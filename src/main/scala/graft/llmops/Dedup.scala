@@ -1,0 +1,133 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY §2.B.12): exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash. All hashing is deterministic integer
+  * arithmetic seeded from md5, so a SQL oracle reproduces results
+  * bit-for-bit — the probabilistic structure (band collisions) is still
+  * the real scale mechanism.
+  *
+  * Scale notes:
+  *  - exact dedup = hash-agg on the content key (one shuffle);
+  *  - shingle-join Jaccard is exact but quadratic in per-shingle doc
+  *    frequency — the candidate generator to prefer at 100 TB is
+  *    MinHash-LSH below, whose shuffle key is (band, signature), i.e.
+  *    output-linear;
+  *  - SimHash pairs join on 15-bit chunks (pigeonhole: hamming ≤ 3 over
+  *    4 chunks ⇒ ≥ 1 chunk equal), also output-linear.
+  */
+object Dedup {
+
+  val P31: Long = 2147483647L // 2^31 - 1 (Mersenne prime)
+
+  /** MinHash permutation parameters — generated deterministically; the
+    * SQL oracle embeds the same constants. */
+  def permParams(numPerms: Int): Seq[(Long, Long)] =
+    (1 to numPerms).map(i => ((1103515245L * i) % P31, (12345L * i) % P31))
+
+  /** Per-document MinHash signature columns s0..s{n-1} over 3-gram
+    * shingles: s_i = min over shingles of (a_i * h + b_i) mod P31, with
+    * h = md5-derived 32-bit shingle hash reduced mod P31.
+    *
+    * Computed as per-row array folds (`aggregate` over the shingle-hash
+    * array) instead of explode+groupBy: ZERO shuffles — signature
+    * computation is embarrassingly parallel at any scale; the only wide
+    * operation in the dedup pipeline is the band-bucket join. Documents
+    * with no shingles (< 3 tokens) produce no row, matching the
+    * explode-form semantics. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      numPerms: Int): DataFrame = {
+    val hashed = docs
+      .select(col(idCol),
+        transform(TextOps.shingles(col(textCol), 3),
+          sh => TextOps.md5Hash32(sh) % P31).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val sigs = permParams(numPerms).zipWithIndex.map { case ((a, b), i) =>
+      aggregate(col("hs"), lit(P31), (acc, h) => least(acc, (lit(a) * h + lit(b)) % P31))
+        .as(s"s$i")
+    }
+    hashed.select(col(idCol) +: sigs: _*)
+  }
+
+  /** LSH candidate pairs: band the signature (bands × rowsPerBand =
+    * numPerms), bucket-join on (band, banded signature), emit distinct
+    * (d1 < d2) pairs. */
+  def minhashCandidates(sigs: DataFrame, idCol: String, numPerms: Int,
+      bands: Int): DataFrame = {
+    // the banded view is self-joined; materialize signatures once
+    // (small: one row of 16 longs per doc) instead of recomputing the
+    // md5 pipeline on both join sides
+    val sigsM = sigs.localCheckpoint(true)
+    val rows = numPerms / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until rows).map(r => col(s"s${b * rows + r}")): _*).as("sig"))
+    }
+    val banded = sigsM.select(col(idCol), explode(array(bandCols: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val a = banded.select(col("band"), col("sig"), col(idCol).as("d1"))
+    val b = banded.select(col("band"), col("sig"), col(idCol).as("d2"))
+    a.join(b, Seq("band", "sig")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity via shingle inverted-index join:
+    * returns (d1, d2, inter, sz1, sz2) for pairs with ≥ 1 shared
+    * shingle; jaccard = inter / (sz1 + sz2 - inter). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val sh = docs
+      .select(col(idCol), explode(TextOps.shingles(col(textCol), n)).as("sh"))
+      .distinct()
+      .localCheckpoint(true) // consumed 3× (sizes + both join sides)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val pairs = sh.select(col("sh"), col(idCol).as("d1"))
+      .join(sh.select(col("sh"), col(idCol).as("d2")), Seq("sh"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col(idCol).as("d1"), col("sz").as("sz1")), Seq("d1"))
+      .join(sizes.select(col(idCol).as("d2"), col("sz").as("sz2")), Seq("d2"))
+  }
+
+  val SimBits = 60 // md5-derived token hash width that fits a signed long
+
+  /** Per-document SimHash over whitespace tokens: bit i is set iff the
+    * majority of token-occurrences have bit i set in their 60-bit md5
+    * hash.
+    *
+    * Like [[minhashSignatures]], computed as per-row array folds over
+    * the token-hash array (materialized once per document) — zero
+    * shuffles, stays inside whole-stage codegen, no 60-buffer hash
+    * aggregate. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = docs.select(col(idCol),
+      transform(TextOps.tokens(col(textCol)), t => TextOps.md5Hash60(t)).as("hs"))
+    val n = size(col("hs"))
+    val sim = (0 until SimBits).map { i =>
+      val cnt = aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + shiftright(h, i).bitwiseAND(1))
+      when(cnt * 2 > n, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    hashed.select(col(idCol), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming ≤ maxDist via 15-bit chunk
+    * banding (4 chunks; pigeonhole guarantees recall for maxDist ≤ 3). */
+  def simhashPairs(sims: DataFrame, idCol: String, maxDist: Int): DataFrame = {
+    val simsM = sims.localCheckpoint(true) // self-joined below
+    val chunks = (0 until 4).map { b =>
+      struct(lit(b).as("band"), shiftright(col("simhash"), b * 15).bitwiseAND(32767).as("chunk"))
+    }
+    val banded = simsM.select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("bc"))
+      .select(col(idCol), col("simhash"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    val a = banded.select(col("band"), col("chunk"), col(idCol).as("d1"), col("simhash").as("h1"))
+    val b = banded.select(col("band"), col("chunk"), col(idCol).as("d2"), col("simhash").as("h2"))
+    a.join(b, Seq("band", "chunk")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-data-pipeline surface
+  * (SURVEY §2.B.12): tokenization, shingling, fingerprints, quality
+  * metrics, language-ID. Everything is built from codegen'd builtin
+  * functions (no UDFs) and deterministic integer/string arithmetic, so
+  * results are engine-reproducible (the DuckDB oracle re-derives them).
+  *
+  * Scale: all per-document column expressions — embarrassingly parallel,
+  * no shuffle; shuffles appear only in corpus-level aggregations built
+  * on top (e.g. dedup joins).
+  */
+object TextOps {
+
+  /** Whitespace tokenization (keeps empties, limit -1, so the count
+    * matches SQL string_split exactly). */
+  def tokens(text: Column): Column = split(text, " ", -1)
+
+  /** Word n-gram shingles as space-joined strings; empty array when the
+    * document has fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val tk = tokens(text)
+    when(size(tk) >= n,
+      transform(sequence(lit(0), size(tk) - n),
+        i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** 32-bit integer hash of a string via the first 8 hex chars of md5 —
+    * md5 is available identically in Spark and DuckDB (and is the
+    * reference's own hash primitive, `HashUtils.java:17,23`). Output in
+    * [0, 2^32). */
+  def md5Hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** 60-bit variant (15 hex chars — stays within signed-long range). */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Polynomial rolling hash over the document's characters
+    * (Karp-Rabin style): fold (acc*31 + ascii(char)) mod p. Init 0, so
+    * the first step yields ascii(c1) — matching DuckDB's list_reduce
+    * (which seeds with the first element). */
+  val RollMod = 1000000007L
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(text)), i => ascii(substring_index_at(text, i))),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % RollMod)
+
+  // substring(text, i, 1) with a Column position (Scala API only takes Int)
+  private def substring_index_at(text: Column, i: Column): Column =
+    text.substr(i, lit(1))
+
+  /** Document fingerprint: md5 of the lowercased text (exact-dup grade)
+    * — the distributed analogue of content hashing. */
+  def fingerprint(text: Column): Column = md5(lower(text))
+
+  /** Language-ID by stopword-marker scoring (n-gram heuristic): count
+    * marker-token hits per language, argmax with a fixed tie-break
+    * order. Deterministic; SQL-expressible. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "la", "de", "y", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "zh" -> Seq("de", "le", "he", "shi", "zai"))
+
+  def langHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers.map(lit(_)): _*)))
+
+  def predictLang(text: Column): Column = {
+    val hits = LangMarkers.map { case (lang, m) => lang -> langHits(text, m) }
+    // argmax with declaration-order tie-break
+    hits.tail.foldLeft((hits.head._2, lit(hits.head._1))) {
+      case ((bestScore, bestLang), (lang, score)) =>
+        (when(score > bestScore, score).otherwise(bestScore),
+          when(score > bestScore, lit(lang)).otherwise(bestLang))
+    }._2
+  }
+
+  /** Quality metrics: lengths, token stats, stopword ratio (identical
+    * expression trees on the SQL side make the double ratios exact). */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val tk = tokens(text)
+    val nTok = size(tk)
+    val stop = langHits(text, LangMarkers.head._2)
+    Seq(
+      length(text).as("n_chars_m"),
+      nTok.as("n_tokens"),
+      size(array_distinct(tk)).as("n_distinct_tokens"),
+      (size(array_distinct(tk)) / nTok.cast("double")).as("ttr"),
+      stop.as("stop_hits"),
+      (stop / nTok.cast("double")).as("stop_ratio"))
+  }
+}

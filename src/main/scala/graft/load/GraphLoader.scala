@@ -1,0 +1,224 @@
+package graft.load
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.{GraphSchema, IndexDesc, LabelSchema}
+
+/** Builds the labeled property graph (SURVEY §1.1) from the relational
+  * testdata — the Spark-native equivalent of the reference's bulk load
+  * (`ArcadeDBService.java:124-139`: open workspace graph → declare
+  * schema → insert nodes → resolve + insert edges → build indexes).
+  *
+  * Layout follows FIXTURES.md §2: `nodes(id, label, props…)`,
+  * `edges(src, dst, label, props…)`. Source `long` ids are kept as join
+  * keys (no RID indirection — SURVEY §1.5); label keyspaces are made
+  * disjoint with fixed offsets.
+  *
+  * 100 TB posture: everything here is a narrow projection over the
+  * columnar source (no shuffles in node construction); the only wide
+  * operations are the edge endpoint-resolution joins (A13), which
+  * Catalyst plans as broadcast joins for dimension-sized sides and
+  * shuffle joins above `autoBroadcastJoinThreshold`. Persisted form is
+  * parquet partitioned by `label` so every per-label operator gets
+  * partition pruning instead of a filter scan.
+  */
+object GraphLoader {
+
+  // Disjoint id keyspaces (safe through sf >> 100: offsets exceed table
+  // cardinalities by orders of magnitude; at 100 TB the offsets become a
+  // label-bits prefix in the high bits of the long id).
+  val RegionOff = 0L
+  val NationOff = 100L
+  val CustomerOff = 1000000L
+  val SupplierOff = 2000000L
+  val PartOff = 3000000L
+  val OrderOff = 10000000L
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** All node sets, unioned by name with per-label sparse columns —
+    * mirrors the reference's per-label insert loops
+    * (`ArcadeDBService.java:141-164`) as one declarative plan. */
+  def nodes(spark: SparkSession, dir: String): DataFrame = {
+    val region = table(spark, dir, "region").select(
+      (col("r_regionkey").cast(LongType) + RegionOff).as("id"),
+      lit("Region").as("label"),
+      col("r_name").as("name"))
+    val nation = table(spark, dir, "nation").select(
+      (col("n_nationkey").cast(LongType) + NationOff).as("id"),
+      lit("Nation").as("label"),
+      col("n_name").as("name"))
+    val customer = table(spark, dir, "customer").select(
+      (col("c_custkey").cast(LongType) + CustomerOff).as("id"),
+      lit("Customer").as("label"),
+      col("c_name").as("name"),
+      col("c_acctbal").as("acctbal"),
+      col("c_mktsegment").as("mktsegment"))
+    val supplier = table(spark, dir, "supplier").select(
+      (col("s_suppkey").cast(LongType) + SupplierOff).as("id"),
+      lit("Supplier").as("label"),
+      col("s_name").as("name"),
+      col("s_acctbal").as("acctbal"))
+    // tags = split(p_name) exercises typed arrays (A9 / FIXTURES §2)
+    val part = table(spark, dir, "part").select(
+      (col("p_partkey").cast(LongType) + PartOff).as("id"),
+      lit("Part").as("label"),
+      col("p_name").as("name"),
+      col("p_brand").as("brand"),
+      col("p_type").as("ptype"),
+      col("p_size").as("psize"),
+      col("p_retailprice").as("retailprice"),
+      split(col("p_name"), " ").as("tags"))
+    // orderdate as ISO string mirrors the reference's string-typed dates
+    // (SURVEY §1.2: dates in BioDWH2 sources arrive as strings)
+    val order = table(spark, dir, "orders").select(
+      (col("o_orderkey").cast(LongType) + OrderOff).as("id"),
+      lit("Order").as("label"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").as("totalprice"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+      col("o_orderpriority").as("priority"))
+    Seq(region, nation, customer, supplier, part, order)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** All edge sets (FK relationships → graph edges, FIXTURES §2).
+    * lineitem becomes the `CONTAINS` edge properties. */
+  def edges(spark: SparkSession, dir: String): DataFrame = {
+    val inRegion = table(spark, dir, "nation").select(
+      (col("n_nationkey").cast(LongType) + NationOff).as("src"),
+      (col("n_regionkey").cast(LongType) + RegionOff).as("dst"),
+      lit("IN_REGION").as("label"))
+    val custInNation = table(spark, dir, "customer").select(
+      (col("c_custkey").cast(LongType) + CustomerOff).as("src"),
+      (col("c_nationkey").cast(LongType) + NationOff).as("dst"),
+      lit("IN_NATION").as("label"))
+    val suppInNation = table(spark, dir, "supplier").select(
+      (col("s_suppkey").cast(LongType) + SupplierOff).as("src"),
+      (col("s_nationkey").cast(LongType) + NationOff).as("dst"),
+      lit("IN_NATION").as("label"))
+    val placed = table(spark, dir, "orders").select(
+      (col("o_custkey").cast(LongType) + CustomerOff).as("src"),
+      (col("o_orderkey").cast(LongType) + OrderOff).as("dst"),
+      lit("PLACED").as("label"))
+    val li = table(spark, dir, "lineitem")
+    val contains = li.select(
+      (col("l_orderkey").cast(LongType) + OrderOff).as("src"),
+      (col("l_partkey").cast(LongType) + PartOff).as("dst"),
+      lit("CONTAINS").as("label"),
+      col("l_linenumber").as("linenumber"),
+      col("l_quantity").as("quantity"),
+      col("l_extendedprice").as("extendedprice"),
+      col("l_discount").as("discount"),
+      col("l_tax").as("tax"),
+      col("l_returnflag").as("returnflag"),
+      date_format(col("l_shipdate"), "yyyy-MM-dd").as("shipdate"))
+    val suppliedBy = li.select(
+      (col("l_partkey").cast(LongType) + PartOff).as("src"),
+      (col("l_suppkey").cast(LongType) + SupplierOff).as("dst"),
+      lit("SUPPLIED_BY").as("label"),
+      col("l_quantity").as("quantity"))
+    Seq(inRegion, custInNation, suppInNation, placed, contains, suppliedBy)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** The declared schema registry + index descriptions (FIXTURES §2),
+    * read "without scanning rows" like `ArcadeDBService.java:150-151`. */
+  def schema: GraphSchema = {
+    def st(fields: (String, DataType)*) =
+      StructType(fields.map { case (n, t) => StructField(n, t) })
+    GraphSchema(
+      labels = Seq(
+        LabelSchema("Region", "vertex", st("name" -> StringType)),
+        LabelSchema("Nation", "vertex", st("name" -> StringType)),
+        LabelSchema("Customer", "vertex",
+          st("name" -> StringType, "acctbal" -> DoubleType, "mktsegment" -> StringType)),
+        LabelSchema("Supplier", "vertex",
+          st("name" -> StringType, "acctbal" -> DoubleType)),
+        LabelSchema("Part", "vertex",
+          st("name" -> StringType, "brand" -> StringType, "ptype" -> StringType,
+            "psize" -> IntegerType, "retailprice" -> DoubleType,
+            "tags" -> ArrayType(StringType, containsNull = false))),
+        LabelSchema("Order", "vertex",
+          st("status" -> StringType, "totalprice" -> DoubleType,
+            "orderdate" -> StringType, "priority" -> StringType)),
+        LabelSchema("IN_REGION", "edge", st()),
+        LabelSchema("IN_NATION", "edge", st()),
+        LabelSchema("PLACED", "edge", st()),
+        LabelSchema("CONTAINS", "edge",
+          st("linenumber" -> IntegerType, "quantity" -> DoubleType,
+            "extendedprice" -> DoubleType, "discount" -> DoubleType,
+            "tax" -> DoubleType, "returnflag" -> StringType, "shipdate" -> StringType)),
+        LabelSchema("SUPPLIED_BY", "edge", st("quantity" -> DoubleType))
+      ),
+      indexes = Seq(
+        IndexDesc("node", "Customer", "name", unique = true, isArray = false),
+        IndexDesc("node", "Part", "brand", unique = false, isArray = false),
+        IndexDesc("node", "Part", "tags", unique = true, isArray = true), // skipped (A15)
+        IndexDesc("edge", "CONTAINS", "linenumber", unique = false, isArray = false)
+      )
+    )
+  }
+
+  /** A13 — edge-endpoint resolution, the shim's one true join
+    * (`ArcadeDBService.java:131,161,241-244`: id→RID HashMap probe per
+    * endpoint). Spark-native form: two equi-joins against the node id
+    * set. Inner joins drop dangling edges; the returned `dangling` frame
+    * is the integrity side-channel (the reference would NPE at `:241`).
+    *
+    * Scale: `ids` is just (id) — at 100 TB this is a shuffle join on the
+    * id key, and Catalyst/AQE picks broadcast automatically when the node
+    * side fits. No driver-side map (SURVEY §7: A12 stays a join). */
+  def resolveEdges(nodes: DataFrame, edges: DataFrame): (DataFrame, DataFrame) = {
+    val ids = nodes.select(col("id"))
+    val fromOk = edges.join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+    val resolved = fromOk.join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+    val dangling = edges
+      .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+      .unionByName(fromOk.join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti"))
+    (resolved, dangling)
+  }
+
+  /** A15 — UNIQUE index validation. No physical index exists in Spark;
+    * UNIQUE becomes the invariant "no property value occurs twice",
+    * checked with a groupBy — nulls are ignored exactly like the
+    * reference's `NULL_STRATEGY.SKIP` (`ArcadeDBService.java:277`), and
+    * array properties are skipped (`:263-269`). Returns violations:
+    * (label, property, value, cnt). */
+  def validateUnique(nodes: DataFrame, edges: DataFrame, gs: GraphSchema): DataFrame = {
+    val frames = gs.indexes.filter(i => i.unique && i.isBuildable).map { i =>
+      val df = if (i.target == "node") nodes else edges
+      df.filter(col("label") === i.label)
+        .filter(col(i.property).isNotNull) // NULL_STRATEGY.SKIP
+        .groupBy(col(i.property).cast(StringType).as("value"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1)
+        .select(lit(i.label).as("label"), lit(i.property).as("property"),
+          col("value"), col("cnt"))
+    }
+    frames.reduceOption(_.unionByName(_)).getOrElse {
+      nodes.sparkSession.createDataFrame(
+        nodes.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("label", StringType), StructField("property", StringType),
+          StructField("value", StringType), StructField("cnt", LongType))))
+    }
+  }
+
+  /** A11/A14/A16 — persist the graph: parquet partitioned by label
+    * (partition pruning replaces the per-label bucket layout), overwrite
+    * mode (the reference deletes and rebuilds, `ArcadeDBService.java:112-122`),
+    * schema registry + checksum alongside (A17). */
+  def writeGraph(spark: SparkSession, dir: String, outDir: String): Unit = {
+    val n = nodes(spark, dir)
+    val (resolved, _) = resolveEdges(n, edges(spark, dir))
+    n.write.mode("overwrite").partitionBy("label").parquet(s"$outDir/nodes")
+    resolved.write.mode("overwrite").partitionBy("label").parquet(s"$outDir/edges")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/schema.json"), schema.toJson)
+    Checksum.store(
+      java.nio.file.Paths.get(s"$outDir/checksum.txt"),
+      Checksum.pseudoHashDir(java.nio.file.Paths.get(dir)))
+  }
+}

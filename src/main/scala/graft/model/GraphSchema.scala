@@ -1,0 +1,95 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** One declared secondary index, mirroring the reference's
+  * `IndexDescription` consumption
+  * (`/root/reference/src/src/main/java/de/unibi/agbi/biodwh2/arcadedb/server/ArcadeDBService.java:258-283`):
+  * target ∈ {node, edge}, label, property, UNIQUE vs NON_UNIQUE, and an
+  * array-property flag — indexes on array properties are skipped
+  * (`:263-269`).
+  */
+final case class IndexDesc(
+    target: String, // "node" | "edge"
+    label: String,
+    property: String,
+    unique: Boolean,
+    isArray: Boolean
+) {
+  /** The reference skips array-typed properties (`ArcadeDBService.java:263-269`). */
+  def isBuildable: Boolean = !isArray
+}
+
+/** Per-label declared schema: the reference reads a per-label
+  * property-key → type map without scanning rows
+  * (`ArcadeDBService.java:150-151,234-235`) and declares it up-front
+  * before the first insert (`:148-154`, `:232-238`). kind ∈ {vertex, edge}.
+  */
+final case class LabelSchema(label: String, kind: String, schema: StructType)
+
+/** The property-graph catalog (SURVEY §4.2 "custom: property-graph
+  * catalog"): label → (kind, StructType, indexes). Plain Scala — feeds
+  * temp views / per-label reads; no Catalyst work needed. Serialized as
+  * JSON next to the data (the Spark-side analogue of ArcadeDB's declared
+  * schema).
+  */
+final case class GraphSchema(labels: Seq[LabelSchema], indexes: Seq[IndexDesc]) {
+
+  def nodeLabels: Seq[String] = labels.filter(_.kind == "vertex").map(_.label)
+  def edgeLabels: Seq[String] = labels.filter(_.kind == "edge").map(_.label)
+  def apply(label: String): LabelSchema = labels.find(_.label == label).get
+  def indexesFor(label: String): Seq[IndexDesc] = indexes.filter(_.label == label)
+
+  /** JSON form; `StructType.json` is Spark's own stable serialization. */
+  def toJson: String = {
+    def esc(s: String) =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+    val ls = labels
+      .map(l => s"""{"label":"${esc(l.label)}","kind":"${l.kind}","schema":${l.schema.json}}""")
+      .mkString("[", ",", "]")
+    val is = indexes
+      .map(i =>
+        s"""{"target":"${i.target}","label":"${esc(i.label)}","property":"${esc(i.property)}","unique":${i.unique},"isArray":${i.isArray}}""")
+      .mkString("[", ",", "]")
+    s"""{"labels":$ls,"indexes":$is}"""
+  }
+}
+
+object GraphSchema {
+
+  /** Parse the JSON written by [[GraphSchema.toJson]]. Uses Spark's
+    * `DataType.fromJson` for the per-label StructTypes; the outer
+    * envelope is parsed with the JSON4S shipped inside Spark. */
+  def fromJson(json: String): GraphSchema = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    val root = JsonMethods.parse(json)
+    val labels = (root \ "labels") match {
+      case JArray(arr) =>
+        arr.map { l =>
+          LabelSchema(
+            (l \ "label").extract[String],
+            (l \ "kind").extract[String],
+            DataType.fromJson(JsonMethods.compact(JsonMethods.render(l \ "schema")))
+              .asInstanceOf[StructType]
+          )
+        }
+      case _ => Nil
+    }
+    val indexes = (root \ "indexes") match {
+      case JArray(arr) =>
+        arr.map { i =>
+          IndexDesc(
+            (i \ "target").extract[String],
+            (i \ "label").extract[String],
+            (i \ "property").extract[String],
+            (i \ "unique").extract[Boolean],
+            (i \ "isArray").extract[Boolean]
+          )
+        }
+      case _ => Nil
+    }
+    GraphSchema(labels, indexes)
+  }
+}

@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.load.GraphLoader
+import graft.query.PropertyGraph
+import graft.graphx.GraphXBridge
+import Qh._
+
+/** SURVEY §2.A (ETL/catalog operators as queries) + §2.B.3 graph
+  * traversals over the property graph built by [[GraphLoader]]. The
+  * DuckDB oracles express the same traversals as FK joins over the
+  * relational source — the graph is a deterministic view of it
+  * (FIXTURES.md §2), so graph query ≡ relational query.
+  */
+object GraphQueries {
+
+  private def graph(s: org.apache.spark.sql.SparkSession, d: String) =
+    PropertyGraph(GraphLoader.nodes(s, d), GraphLoader.edges(s, d))
+
+  import GraphLoader.{CustomerOff, OrderOff}
+
+  def queries: Seq[Q] = Seq(
+
+    // A3 — label enumeration (catalog scan)
+    Q("label_counts",
+      (s, d) => {
+        val g = graph(s, d)
+        g.nodes.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+          .select(lit("node").as("kind"), col("label"), col("cnt"))
+          .unionByName(g.edges.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+            .select(lit("edge").as("kind"), col("label"), col("cnt")))
+      },
+      Some("""SELECT 'node' AS kind, 'Region' AS label, CAST(count(*) AS BIGINT) AS cnt FROM region
+        UNION ALL SELECT 'node', 'Nation', CAST(count(*) AS BIGINT) FROM nation
+        UNION ALL SELECT 'node', 'Customer', CAST(count(*) AS BIGINT) FROM customer
+        UNION ALL SELECT 'node', 'Supplier', CAST(count(*) AS BIGINT) FROM supplier
+        UNION ALL SELECT 'node', 'Part', CAST(count(*) AS BIGINT) FROM part
+        UNION ALL SELECT 'node', 'Order', CAST(count(*) AS BIGINT) FROM orders
+        UNION ALL SELECT 'edge', 'IN_REGION', CAST(count(*) AS BIGINT) FROM nation
+        UNION ALL SELECT 'edge', 'IN_NATION', CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) AS BIGINT)
+        UNION ALL SELECT 'edge', 'PLACED', CAST(count(*) AS BIGINT) FROM orders
+        UNION ALL SELECT 'edge', 'CONTAINS', CAST(count(*) AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'edge', 'SUPPLIED_BY', CAST(count(*) AS BIGINT) FROM lineitem""")),
+
+    // A4/A5 — schema introspection without scanning rows
+    Q("schema_introspect",
+      (s, d) => {
+        val gs = GraphLoader.schema
+        val rows = gs.labels.flatMap(l =>
+          l.schema.fields.map(f => (l.label, l.kind, f.name, f.dataType.simpleString)))
+        s.createDataFrame(rows).toDF("label", "kind", "property", "dtype")
+      },
+      Some {
+        val gs = GraphLoader.schema
+        val rows = gs.labels.flatMap(l =>
+          l.schema.fields.map(f => s"('${l.label}','${l.kind}','${f.name}','${f.dataType.simpleString}')"))
+        s"SELECT * FROM (VALUES ${rows.mkString(",")}) AS t(label, kind, property, dtype)"
+      }),
+
+    // A13 — edge-endpoint resolution join (the shim's one true join);
+    // inner-join resolution == every endpoint exists (else dangling)
+    Q("edge_resolution",
+      (s, d) => {
+        val g = graph(s, d)
+        val (resolved, _) = GraphLoader.resolveEdges(g.nodes, g.edges)
+        resolved.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+      },
+      Some("""SELECT 'IN_REGION' AS label, CAST(count(*) AS BIGINT) AS cnt FROM nation
+        UNION ALL SELECT 'IN_NATION', CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) AS BIGINT)
+        UNION ALL SELECT 'PLACED', CAST(count(*) AS BIGINT) FROM orders
+        UNION ALL SELECT 'CONTAINS', CAST(count(*) AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'SUPPLIED_BY', CAST(count(*) AS BIGINT) FROM lineitem""")),
+
+    // A15 — UNIQUE index validation (empty = no violations); array-typed
+    // index skipped per ArcadeDBService.java:263-269
+    Q("unique_validation",
+      (s, d) => {
+        val g = graph(s, d)
+        GraphLoader.validateUnique(g.nodes, g.edges, GraphLoader.schema)
+      },
+      Some("""SELECT 'Customer' AS label, 'name' AS property, c_name AS value,
+        CAST(count(*) AS BIGINT) AS cnt FROM customer GROUP BY c_name
+        HAVING count(*) > 1""")),
+
+    // §2.B.3 — 1-hop out: Customer -PLACED-> Order
+    Q("hop_out",
+      (s, d) => graph(s, d).v("Customer", "c").out("PLACED", "Order", "o").result
+        .groupBy(col("c_id"))
+        .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("spent"))
+        .select((col("c_id") - CustomerOff).as("custkey"), col("n_orders"), col("spent")),
+      Some(s"""SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        ${sqlMoneySum("o_totalprice")} AS spent FROM orders GROUP BY o_custkey""")),
+
+    // §2.B.3 — 1-hop in: Nation <-IN_NATION- {Customer, Supplier}
+    Q("hop_in",
+      (s, d) => graph(s, d).v("Nation", "n").in("IN_NATION", "Customer", "c").result
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("nation"), col("n_members")),
+      Some("""SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_members
+        FROM nation JOIN customer ON c_nationkey = n_nationkey GROUP BY n_name""")),
+
+    // §2.B.3 — both(): out-neighbors ∪ in-neighbors of Nation over both
+    // edge labels (IN_REGION out to Region, IN_NATION in from Cust/Supp)
+    Q("hop_both",
+      (s, d) => {
+        val g = graph(s, d)
+        val es = g.edges.filter(col("label").isin("IN_REGION", "IN_NATION"))
+        val nbrs = es.select(col("src").as("id"), col("dst").as("nbr"))
+          .unionByName(es.select(col("dst").as("id"), col("src").as("nbr")))
+        g.nodesOf("Nation").select(col("id"), col("name"))
+          .join(nbrs, "id")
+          .groupBy(col("name").as("nation")).agg(count(lit(1)).as("degree"))
+      },
+      Some("""SELECT n_name AS nation,
+        CAST(1 + (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey)
+               + (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) AS BIGINT) AS degree
+        FROM nation""")),
+
+    // §2.B.3 — MATCH pattern, the flagship 2-hop traversal-aggregate
+    // (SURVEY §7 minimum slice): Customer -PLACED-> Order -CONTAINS-> li
+    Q("match_2hop_revenue",
+      (s, d) => graph(s, d).v("Customer", "c")
+        .out("PLACED", "Order", "o")
+        .outE("CONTAINS", "l").result
+        .groupBy(col("c_id"))
+        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .select((col("c_id") - CustomerOff).as("custkey"), col("revenue"), col("n_items")),
+      Some(s"""SELECT o_custkey AS custkey,
+        ${sqlMoneySum("l_extendedprice*(1-l_discount)")} AS revenue,
+        CAST(count(*) AS BIGINT) AS n_items
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY o_custkey""")),
+
+    // §2.B.3 — edge-level hop with edge-property predicate, then inV()
+    Q("hop_edge_filter",
+      (s, d) => graph(s, d).v("Order", "o")
+        .outE("CONTAINS", "l").filter(col("l_quantity") >= 45)
+        .inV("Part", "p").result
+        .groupBy(col("p_brand").as("brand")).agg(count(lit(1)).as("cnt")),
+      Some("""SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_quantity >= 45 GROUP BY p_brand""")),
+
+    // §2.B.3 — TRAVERSE … WHILE depth <= 2 (variable-length path, in-dir)
+    Q("traverse_varlen",
+      (s, d) => {
+        val g = graph(s, d)
+        g.traverse(g.nodesOf("Region"), Seq("IN_REGION", "IN_NATION"), "in", 2)
+          .groupBy(col("start_id"), col("depth")).agg(count(lit(1)).as("cnt"))
+          .select(col("start_id").as("region_key"), col("depth"), col("cnt"))
+      },
+      Some("""SELECT CAST(r_regionkey AS BIGINT) AS region_key, 0 AS depth,
+          CAST(1 AS BIGINT) AS cnt FROM region
+        UNION ALL SELECT CAST(n_regionkey AS BIGINT), 1, CAST(count(*) AS BIGINT)
+          FROM nation GROUP BY n_regionkey
+        UNION ALL SELECT CAST(n_regionkey AS BIGINT), 2, CAST(count(*) AS BIGINT)
+          FROM (SELECT c_nationkey AS nk FROM customer
+                UNION ALL SELECT s_nationkey FROM supplier) m
+          JOIN nation ON n_nationkey = nk GROUP BY n_regionkey""")),
+
+    // GraphX — landmark shortest paths (shortestPath(a,b) equivalent):
+    // distance from every Customer to its Region along the hierarchy
+    Q("shortest_path_region",
+      (s, d) => {
+        val g = graph(s, d)
+        val landmarks = (0L until 5L).toSeq // region node ids (offset 0)
+        GraphXBridge.shortestPathsTo(s, g, Seq("IN_NATION", "IN_REGION"), landmarks)
+          .filter(col("id") >= CustomerOff && col("id") < GraphLoader.SupplierOff)
+          .select((col("id") - CustomerOff).as("custkey"),
+            col("landmark").as("region_key"), col("dist"))
+      },
+      Some("""SELECT c_custkey AS custkey, CAST(n_regionkey AS BIGINT) AS region_key,
+        2 AS dist FROM customer JOIN nation ON c_nationkey = n_nationkey""")),
+
+    // GraphX — connected components on the Nation—Region subgraph:
+    // one component per region, id = min member id = region node id
+    Q("connected_components",
+      (s, d) => GraphXBridge.connectedComponents(s, graph(s, d), Seq("IN_REGION"))
+        .groupBy(col("component")).agg(count(lit(1)).as("size")),
+      Some("""SELECT CAST(r_regionkey AS BIGINT) AS component,
+        CAST(count(*) + 1 AS BIGINT) AS size FROM nation
+        JOIN region ON n_regionkey = r_regionkey GROUP BY r_regionkey""")),
+
+    // GraphX — weighted SSSP (dijkstra) from supplier 0 up the hierarchy
+    Q("dijkstra_supplier0",
+      (s, d) => GraphXBridge.dijkstra(s, graph(s, d), Seq("IN_NATION", "IN_REGION"),
+        lit(1.0), GraphLoader.SupplierOff)
+        .select(col("id"), col("dist")),
+      Some(s"""SELECT CAST(${GraphLoader.SupplierOff} AS BIGINT) AS id, 0.0 AS dist
+        UNION ALL SELECT CAST(100 + s_nationkey AS BIGINT), 1.0 FROM supplier WHERE s_suppkey = 0
+        UNION ALL SELECT CAST(n_regionkey AS BIGINT), 2.0 FROM supplier
+          JOIN nation ON n_nationkey = s_nationkey WHERE s_suppkey = 0""")),
+
+    // GraphX — PageRank (✚ analytics; no SQL twin: iterative float fixpoint)
+    Q("pagerank",
+      (s, d) => GraphXBridge.pageRank(s, graph(s, d), iters = 10)
+        .select(col("id"), round(col("pagerank"), 6).as("pr"))
+        .orderBy(col("pr").desc, col("id").asc).limit(20),
+      None),
+
+    // §2.B.7 graph-scalar — out().size() degree
+    Q("degree_out",
+      (s, d) => graph(s, d).outDegree("PLACED")
+        .select((col("id") - CustomerOff).as("custkey"), col("degree")),
+      Some("""SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS degree
+        FROM orders GROUP BY o_custkey"""))
+  )
+}

@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.llmops.{Dedup, Multimodal, Similarity, TextOps}
+import Qh._
+
+/** SURVEY §2.B.12 — the LLM-data-pipeline extension operators over the
+  * `documents` / `embeddings` fixtures. Every algorithm is deterministic
+  * (md5-seeded integer hashing, fixed fold order), so the DuckDB oracle
+  * replicates it exactly — including the MinHash/SimHash signatures.
+  * The SQL twins are GENERATED from the same Scala constants as the
+  * Spark plans, so parameters can never drift.
+  */
+object LlmQueries {
+
+  // DuckDB twin of TextOps.md5Hash32/60: fold hex digits of md5 into an
+  // integer (list_reduce seeds with the first element, which equals a
+  // 0-seeded fold for base folding).
+  private def sqlHexFold(hexExpr: String, nChars: Int): String =
+    s"list_reduce(list_transform(generate_series(1, $nChars), " +
+      s"j -> instr('0123456789abcdef', substr($hexExpr, j, 1)) - 1), (a, x) -> a * 16 + x)"
+
+  private def sqlMd5Hash32(strExpr: String): String =
+    sqlHexFold(s"md5($strExpr)", 8)
+  private def sqlMd5Hash60(strExpr: String): String =
+    sqlHexFold(s"md5($strExpr)", 15)
+
+  // DuckDB twin of TextOps.shingles(text, 3) exploded per doc (scalar
+  // generate_series → list → unnest; the lateral form can't take columns)
+  private val sqlShingles3 =
+    """SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
+      i -> array_to_string(tk[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t
+      WHERE len(tk) >= 3"""
+
+  def queries: Seq[Q] = Seq(
+
+    // exact dedup: hash-groupBy on content (one shuffle at any scale)
+    Q("dedup_exact",
+      (s, d) => t(s, d, "documents").groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .select(col("keeper"), col("n_copies")),
+      Some("""SELECT CAST(min(doc_id) AS BIGINT) AS keeper,
+        CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY text""")),
+
+    // exact n-gram Jaccard via shingle inverted-index join
+    Q("dedup_ngram_jaccard",
+      (s, d) => Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 3)
+        .filter(col("inter") / (col("sz1") + col("sz2") - col("inter")) >= 0.22)
+        .select(col("d1"), col("d2"), col("inter"), col("sz1"), col("sz2")),
+      Some(s"""WITH sh AS (SELECT DISTINCT doc_id, sh FROM ($sqlShingles3) raw),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT d1, d2, inter, sa.sz AS sz1, sb.sz AS sz2
+        FROM pairs JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+        WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.22""")),
+
+    // MinHash + LSH banding candidates (16 perms, 4 bands × 4 rows)
+    Q("dedup_minhash",
+      (s, d) => {
+        val sigs = Dedup.minhashSignatures(t(s, d, "documents"), "doc_id", "text", 16)
+        Dedup.minhashCandidates(sigs, "doc_id", 16, 4)
+      },
+      Some {
+        val perms = Dedup.permParams(16)
+        val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+          s"min(($a * h + $b) % ${Dedup.P31}) AS s$i"
+        }.mkString(", ")
+        val bandRows = (0 until 4).map { bnd =>
+          val sig = (0 until 4).map(r => s"CAST(s${bnd * 4 + r} AS VARCHAR)")
+            .mkString(" || '_' || ")
+          s"SELECT doc_id, $bnd AS band, $sig AS sig FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH hs AS (SELECT doc_id, ${sqlMd5Hash32("sh")} % ${Dedup.P31} AS h
+            FROM ($sqlShingles3) raw),
+          sig AS (SELECT doc_id, $sigCols FROM hs GROUP BY doc_id),
+          banded AS ($bandRows)
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM banded a
+          JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"""
+      }),
+
+    // SimHash 60-bit signatures + hamming ≤ 3 pairs via 15-bit chunks
+    Q("dedup_simhash",
+      (s, d) => Dedup.simhashPairs(
+        Dedup.simhash(t(s, d, "documents"), "doc_id", "text"), "doc_id", 3),
+      Some {
+        val cnts = (0 until Dedup.SimBits)
+          .map(i => s"SUM((h >> $i) & 1) AS c$i").mkString(", ")
+        val bits = (0 until Dedup.SimBits)
+          .map(i => s"CASE WHEN c$i * 2 > n THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
+          .mkString(" + ")
+        val chunks = (0 until 4)
+          .map(b => s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 15}) & 32767 AS chunk FROM sim")
+          .mkString(" UNION ALL ")
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+          hs AS (SELECT doc_id, ${sqlMd5Hash60("tk")} AS h FROM tok),
+          cnt AS (SELECT doc_id, $cnts, CAST(count(*) AS BIGINT) AS n FROM hs GROUP BY doc_id),
+          sim AS (SELECT doc_id, $bits AS simhash FROM cnt),
+          banded AS ($chunks),
+          pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM banded a JOIN banded b
+            ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+          SELECT d1, d2, hamming FROM pairs WHERE hamming <= 3"""
+      }),
+
+    // embedding near-dup: exact cosine within a blocking key (label)
+    Q("dedup_embedding",
+      (s, d) => {
+        val v = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+        val a = v.select(col("label"), col("vec_id").as("d1"), col("v").as("v1"))
+        val b = v.select(col("label"), col("vec_id").as("d2"), col("v").as("v2"))
+        a.join(b, Seq("label")).filter(col("d1") < col("d2"))
+          .withColumn("cos", Similarity.cosine(col("v1"), col("v2")))
+          .filter(col("cos") >= 0.35)
+          .select(col("label"), col("d1"), col("d2"), round(col("cos"), 6).as("cos"))
+      },
+      Some("""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.label, a.vec_id AS d1, b.vec_id AS d2,
+          round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35""")),
+
+    // brute-force cosine top-k for a fixed query set (broadcast queries)
+    Q("sim_topk",
+      (s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        Seq(0L, 1L, 2L, 3L, 4L), 10)
+        .select(col("qid"), col("nn"), col("rank"), round(col("cos"), 6).as("cos")),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id IN (0,1,2,3,4)),
+        s AS (SELECT qid, vec_id AS nn,
+          list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+          FROM v, q WHERE vec_id <> qid),
+        r AS (SELECT qid, nn, cos, CAST(row_number() OVER
+          (PARTITION BY qid ORDER BY cos DESC, nn) AS INTEGER) AS rank FROM s)
+        SELECT qid, nn, rank, round(cos, 6) AS cos FROM r WHERE rank <= 10""")),
+
+    // ANN scale path: random-hyperplane LSH bucket histogram (8 planes)
+    Q("sim_ann_buckets",
+      (s, d) => t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("bucket", Similarity.lshBucket(col("v"), 64, 8))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt")),
+      Some {
+        val bits = (0 until 8).map { i =>
+          val plane = (0 until 64).map(j => s"${Similarity.planeSign(i, j)}.0").mkString(",")
+          s"CASE WHEN list_dot_product(v, [$plane]::DOUBLE[]) > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        }.mkString(" + ")
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          b AS (SELECT vec_id, $bits AS bucket FROM v)
+          SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY bucket"""
+      }),
+
+    // language-ID by stopword-marker argmax (fixed tie-break order)
+    Q("text_lang_id",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.predictLang(col("text")).as("pred_lang"),
+        col("lang")),
+      Some {
+        val hits = TextOps.LangMarkers.map { case (lang, m) =>
+          val lst = m.map(w => s"'$w'").mkString(",")
+          s"len(list_filter(string_split(text, ' '), x -> x IN ($lst))) AS h_$lang"
+        }.mkString(", ")
+        // sequential argmax fold, one CTE per step (same order as Scala)
+        val langs = TextOps.LangMarkers.map(_._1)
+        val steps = langs.tail.zipWithIndex.map { case (lg, i) =>
+          val (pb, ps) = if (i == 0) (s"'${langs.head}'", s"h_${langs.head}")
+                         else (s"bl$i", s"bs$i")
+          s"""s${i + 1} AS (SELECT *,
+            CASE WHEN h_$lg > $ps THEN h_$lg ELSE $ps END AS bs${i + 1},
+            CASE WHEN h_$lg > $ps THEN '$lg' ELSE $pb END AS bl${i + 1}
+            FROM ${if (i == 0) "h" else s"s$i"})"""
+        }.mkString(", ")
+        s"""WITH h AS (SELECT doc_id, lang, $hits FROM documents), $steps
+          SELECT doc_id, bl${langs.size - 1} AS pred_lang, lang FROM s${langs.size - 1}"""
+      }),
+
+    // quality scoring: lengths, type-token ratio, stopword ratio
+    Q("text_quality",
+      (s, d) => t(s, d, "documents").select(
+        (Seq(col("doc_id")) ++ TextOps.qualityColumns(col("text"))): _*),
+      Some("""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_m,
+        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+        len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr,
+        CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','is'))) AS INTEGER) AS stop_hits,
+        len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','is'))) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+        FROM documents""")),
+
+    // token counting: whitespace + regex ("BPE-ish") + distinct
+    Q("text_tokens",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).as("re_tokens"),
+        size(array_distinct(TextOps.tokens(col("text")))).as("distinct_tokens")),
+      Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS re_tokens,
+        CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS distinct_tokens
+        FROM documents""")),
+
+    // document fingerprinting: md5 + Karp-Rabin rolling hash
+    Q("text_fingerprint",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        TextOps.rollingHash(col("text")).as("roll")),
+      Some(s"""SELECT doc_id, md5(lower(text)) AS fp,
+        CASE WHEN length(text) = 0 THEN 0
+          ELSE list_reduce(list_transform(generate_series(1, length(text)),
+            i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+            (a, x) -> (a * 31 + x) % ${TextOps.RollMod}) END AS roll
+        FROM documents""")),
+
+    // multimodal: binary payload + stub decode via mapPartitions — the
+    // oracle recomputes the deterministic fake-decode from the text bytes
+    Q("multimodal_meta",
+      (s, d) => Multimodal.extractMeta(Multimodal.packAsMedia(t(s, d, "documents"))),
+      Some("""SELECT doc_id AS media_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+          ELSE 'video' END AS kind,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        CAST(ascii(substr(text, 1, 1)) + 1 AS INTEGER) AS width,
+        CAST(ascii(substr(text, 2, 1)) + 1 AS INTEGER) AS height,
+        CAST(octet_length(encode(text)) * 10 AS BIGINT) AS duration_ms
+        FROM documents"""))
+  )
+}

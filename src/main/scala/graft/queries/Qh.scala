@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** One declared query: the Spark implementation plus (when
+  * SQL-expressible) its DuckDB oracle twin. Column names MUST match
+  * between the two (the driver sorts columns by name before hashing).
+  */
+final case class Q(
+    name: String,
+    spark: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Shared helpers for declared queries.
+  *
+  * Determinism doctrine (SURVEY §7 "float determinism" risk): a hashed
+  * oracle comparison admits only outputs that both engines compute
+  * bit-identically. The rules used throughout:
+  *   - raw column pass-through (any type) is always safe;
+  *   - integer-valued doubles (quantities) sum/avg exactly in any
+  *     partition order, so plain `sum`/`avg` is safe on them;
+  *   - money (2-decimal doubles) is aggregated in exact integer cents:
+  *     `sum(cast(round(x*100) as bigint))`, then divided back — both
+  *     engines do the same integer arithmetic and the same final IEEE
+  *     division;
+  *   - order-dependent float aggregates (stddev over continuous values)
+  *     are rounded, which is safe because their values have full-length
+  *     decimal expansions (boundary collisions ~1e-9);
+  *   - every expression tree is written identically on both sides.
+  */
+object Qh {
+
+  def t(s: SparkSession, dir: String, n: String): DataFrame =
+    s.read.parquet(s"$dir/$n.parquet")
+
+  /** events with `ts` restored to a (microsecond) timestamp: the parquet
+    * carries TIMESTAMP(NANOS), which Spark reads as long ns under
+    * `spark.sql.legacy.parquet.nanosAsLong`; `div` keeps the conversion
+    * in exact integer arithmetic. */
+  def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Exact integer cents of a ≤2-decimal money double. */
+  def cents(c: Column): Column = round(c * lit(100), 0).cast(LongType)
+
+  /** Money sum as double, exact: SUM(cents)/100.0. SQL twin:
+    * `CAST(SUM(CAST(round(x*100) AS BIGINT)) AS BIGINT)/100.0`. */
+  def moneySum(c: Column): Column = sum(cents(c)) / lit(100.0)
+
+  /** SQL-side twin of [[cents]]. */
+  def sqlCents(x: String): String = s"CAST(round(($x)*100) AS BIGINT)"
+
+  /** SQL-side twin of [[moneySum]]. */
+  def sqlMoneySum(x: String): String =
+    s"CAST(SUM(${sqlCents(x)}) AS BIGINT)/100.0"
+}

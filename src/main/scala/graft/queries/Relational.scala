@@ -1,0 +1,408 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Qh._
+
+/** SURVEY §2.B.1–§2.B.7: the relational query surface of the embedded
+  * ArcadeDB SQL engine, re-expressed on the DataFrame API. Each entry is
+  * a declared query with a DuckDB oracle twin over the same parquet.
+  *
+  * Scale notes are per-query; the common doctrine: filters/projections
+  * sit directly on the parquet scan (pushdown + pruning), aggregations
+  * are hash-aggs with map-side partials, dimension joins are broadcast,
+  * fact-fact joins shuffle on their keys and AQE re-plans at runtime.
+  */
+object Relational {
+
+  def queries: Seq[Q] = Seq(
+
+    // ——— §2.B.1 scans ———————————————————————————————————————————
+    Q("scan_type", // SELECT FROM <type> (ArcadeDB type scan)
+      (s, d) => t(s, d, "region").select(col("r_regionkey"), col("r_name")),
+      Some("SELECT r_regionkey, r_name FROM region")),
+
+    Q("scan_counts", // SELECT count(*) per type — metadata-only in parquet
+      (s, d) => Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+        .map(n => t(s, d, n).agg(count(lit(1)).as("cnt"))
+          .select(lit(n).as("table_name"), col("cnt")))
+        .reduce(_.unionByName(_)),
+      Some(Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+        .map(n => s"SELECT '$n' AS table_name, CAST(count(*) AS BIGINT) AS cnt FROM $n")
+        .mkString(" UNION ALL "))),
+
+    Q("point_lookup", // WHERE key = k (index lookup → parquet pushdown)
+      (s, d) => t(s, d, "customer").filter(col("c_custkey") === 42)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal")),
+      Some("SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer WHERE c_custkey = 42")),
+
+    // ——— §2.B.2 projection / predicates ——————————————————————————
+    Q("projection_compute",
+      (s, d) => t(s, d, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        (col("c_acctbal") * 2).as("bal2"),
+        length(col("c_mktsegment")).as("seg_len")),
+      Some("""SELECT c_custkey, upper(c_name) AS uname, c_acctbal * 2 AS bal2,
+        CAST(length(c_mktsegment) AS INTEGER) AS seg_len FROM customer""")),
+
+    Q("filter_predicates", // comparison + boolean connectives + IN
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_quantity").between(10, 20) && col("l_discount") > 0.05
+          && !(col("l_returnflag") === "A") && col("l_linestatus").isin("O", "F"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty")),
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt, SUM(l_quantity) AS sum_qty
+        FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_discount > 0.05
+        AND NOT (l_returnflag = 'A') AND l_linestatus IN ('O','F')
+        GROUP BY l_returnflag""")),
+
+    Q("filter_like", // LIKE / ILIKE / MATCHES(regex)
+      (s, d) => t(s, d, "part")
+        .filter(col("p_name").like("%widget%") || col("p_name").ilike("BLUE%")
+          || col("p_name").rlike("^small .*(bolt|rod)$"))
+        .select(col("p_partkey"), col("p_name")),
+      Some("""SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%widget%'
+        OR p_name ILIKE 'BLUE%' OR regexp_matches(p_name, '^small .*(bolt|rod)$')""")),
+
+    Q("filter_null", // IS NULL / IS DEFINED (A7: absent ≡ null)
+      (s, d) => t(s, d, "orders")
+        .withColumn("s2", expr("nullif(o_orderstatus, 'O')"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(col("s2")).as("non_null_cnt"), count(lit(1)).as("total"),
+          sum(when(col("s2").isNull, 1).otherwise(0)).cast("long").as("null_cnt")),
+      Some("""SELECT o_orderpriority,
+        CAST(count(nullif(o_orderstatus,'O')) AS BIGINT) AS non_null_cnt,
+        CAST(count(*) AS BIGINT) AS total,
+        CAST(SUM(CASE WHEN nullif(o_orderstatus,'O') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cnt
+        FROM orders GROUP BY o_orderpriority""")),
+
+    Q("array_ops", // CONTAINS/CONTAINSALL/size/first over typed arrays
+      (s, d) => t(s, d, "part")
+        .withColumn("tags", split(col("p_name"), " "))
+        .select(col("p_partkey"),
+          size(col("tags")).as("n_tags"),
+          array_contains(col("tags"), "widget").as("has_widget"),
+          element_at(col("tags"), 1).as("first_tag"),
+          array_join(array_sort(col("tags")), ",").as("sorted_tags")),
+      Some("""SELECT p_partkey, CAST(len(string_split(p_name,' ')) AS INTEGER) AS n_tags,
+        list_contains(string_split(p_name,' '), 'widget') AS has_widget,
+        string_split(p_name,' ')[1] AS first_tag,
+        array_to_string(list_sort(string_split(p_name,' ')), ',') AS sorted_tags
+        FROM part""")),
+
+    Q("text_contains", // CONTAINSTEXT-style substring search
+      (s, d) => t(s, d, "documents").filter(col("text").contains("spark"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("cnt")),
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents
+        WHERE contains(text, 'spark') GROUP BY lang""")),
+
+    // ——— §2.B.3 joins ————————————————————————————————————————————
+    Q("join_inner_dims", // traversal-as-join over dimension tables;
+      // broadcast both dims (SURVEY §2.B.3 "broadcast choice")
+      (s, d) => t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          moneySum(col("c_acctbal")).as("sum_acctbal")),
+      Some(s"""SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_cust,
+        ${sqlMoneySum("c_acctbal")} AS sum_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name""")),
+
+    Q("join_left",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey")).agg(count(col("o_orderkey")).as("n_orders")),
+      Some("""SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey""")),
+
+    Q("join_semi", // WHERE id IN (subquery) → left_semi
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("cnt")),
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment""")),
+
+    Q("join_anti", // WHERE id NOT IN (subquery) → left_anti
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name")),
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    Q("join_theta", // non-equi predicate across bindings (LET-style)
+      (s, d) => {
+        val a = t(s, d, "nation").select(col("n_regionkey").as("rk"),
+          col("n_nationkey").as("k1"), col("n_name").as("n1"))
+        val b = t(s, d, "nation").select(col("n_regionkey").as("rk2"),
+          col("n_nationkey").as("k2"), col("n_name").as("n2"))
+        a.join(b, col("rk") === col("rk2") && col("k1") < col("k2"))
+          .select(col("n1"), col("n2"))
+      },
+      Some("""SELECT a.n_name AS n1, b.n_name AS n2 FROM nation a JOIN nation b
+        ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey""")),
+
+    // ——— §2.B.4 aggregation ———————————————————————————————————————
+    Q("agg_pricing_summary", // the TPC-H Q1 shape: hash-agg w/ partials
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("cnt")),
+      Some(s"""SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+        ${sqlMoneySum("l_extendedprice")} AS sum_base_price,
+        ${sqlMoneySum("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
+        AVG(l_quantity) AS avg_qty, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
+
+    Q("agg_count_distinct",
+      (s, d) => t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("cnt")),
+      Some("""SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+        CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part,
+        CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_returnflag""")),
+
+    Q("agg_stats", // stddev/variance (rounded: order-dependent floats)
+      (s, d) => t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(round(stddev_samp(col("l_quantity")), 4).as("std_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("std_price")),
+      Some("""SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS std_qty,
+        round(var_samp(l_quantity), 4) AS var_qty,
+        round(stddev_samp(l_extendedprice), 2) AS std_price
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    Q("agg_percentiles", // median/percentile (exact, integer-valued col)
+      (s, d) => t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(median(col("l_quantity")).as("med_qty"),
+          percentile(col("l_quantity"), lit(0.25)).as("p25_qty"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75_qty")),
+      Some("""SELECT l_returnflag, median(l_quantity) AS med_qty,
+        quantile_cont(l_quantity, 0.25) AS p25_qty,
+        quantile_cont(l_quantity, 0.75) AS p75_qty
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    Q("agg_mode", // mode() with deterministic (count desc, value asc) tie-break
+      (s, d) => {
+        val counts = t(s, d, "lineitem").groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("cnt").desc, col("l_quantity").asc)
+        counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt").as("mode_cnt"))
+      },
+      Some("""SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_cnt FROM (
+        SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS cnt,
+          row_number() OVER (PARTITION BY l_returnflag
+            ORDER BY count(*) DESC, l_quantity ASC) AS rn
+        FROM lineitem GROUP BY l_returnflag, l_quantity) q WHERE rn = 1""")),
+
+    Q("agg_collect", // list()/set() collectors, canonicalized by sort
+      (s, d) => t(s, d, "orders").groupBy(col("o_orderpriority"))
+        .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), "|").as("statuses"),
+          count(lit(1)).as("cnt")),
+      Some("""SELECT o_orderpriority,
+        array_to_string(list_sort(list(DISTINCT o_orderstatus)), '|') AS statuses,
+        CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY o_orderpriority""")),
+
+    Q("agg_having", // HAVING via nested select (ArcadeDB form)
+      (s, d) => t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(moneySum(col("o_totalprice")).as("total_spent"), count(lit(1)).as("n"))
+        .filter(col("n") >= 3),
+      Some(s"""SELECT o_custkey, ${sqlMoneySum("o_totalprice")} AS total_spent,
+        CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY o_custkey
+        HAVING count(*) >= 3""")),
+
+    Q("distinct_rows",
+      (s, d) => t(s, d, "orders").select(col("o_orderstatus"), col("o_orderpriority")).distinct(),
+      Some("SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders")),
+
+    // ✚ extension (absent in ArcadeDB 22.8.1): HLL approximate distinct.
+    // No oracle — sketch estimate is implementation-specific.
+    Q("approx_distinct",
+      (s, d) => t(s, d, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts")),
+      None),
+
+    // ——— §2.B.5 sort / limit / pagination / set ops ————————————————
+    Q("sort_topk", // ORDER BY + LIMIT → TakeOrderedAndProject (no total sort)
+      (s, d) => t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(10)
+        .select(col("o_orderkey"), col("o_totalprice")),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    Q("sort_pagination", // SKIP m LIMIT n
+      (s, d) => t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .offset(20).limit(10)
+        .select(col("o_orderkey"), col("o_totalprice")),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 20""")),
+
+    Q("set_union", // unionall() — bag semantics
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .unionByName(t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL SELECT s_nationkey AS nationkey FROM supplier""")),
+
+    Q("set_intersect", // intersect() — distinct semantics
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT SELECT s_nationkey AS nationkey FROM supplier""")),
+
+    Q("set_except", // difference()
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT SELECT s_nationkey AS nationkey FROM supplier""")),
+
+    Q("set_symdiff", // symmetricDifference()
+      (s, d) => {
+        val a = t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        val b = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+        a.except(b).unionByName(b.except(a))
+      },
+      Some("""(SELECT c_nationkey AS nationkey FROM customer
+          EXCEPT SELECT s_nationkey FROM supplier)
+        UNION ALL
+        (SELECT s_nationkey AS nationkey FROM supplier
+          EXCEPT SELECT c_nationkey FROM customer)""")),
+
+    // ——— §2.B.6 reshaping ————————————————————————————————————————
+    Q("unwind_explode", // UNWIND arrayField
+      (s, d) => t(s, d, "part").select(explode(split(col("p_name"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt")),
+      Some("""SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split(p_name, ' ')) AS token FROM part) u
+        GROUP BY token""")),
+
+    Q("subquery_from", // SELECT FROM (SELECT …)
+      (s, d) => t(s, d, "orders").groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+        .groupBy(col("n")).agg(count(lit(1)).as("n_customers")),
+      Some("""SELECT n, CAST(count(*) AS BIGINT) AS n_customers FROM (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY o_custkey) q
+        WHERE n >= 5 GROUP BY n""")),
+
+    Q("let_scalar", // LET $avg = (subquery) … WHERE x > $avg
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val avgCents = c.agg((sum(cents(col("c_acctbal"))) / count(lit(1))).as("avg_cents"))
+        c.crossJoin(avgCents).filter(cents(col("c_acctbal")) > col("avg_cents"))
+          .select(col("c_custkey"), col("c_name"))
+      },
+      Some(s"""SELECT c_custkey, c_name FROM customer
+        WHERE ${sqlCents("c_acctbal")} >
+          (SELECT CAST(SUM(${sqlCents("c_acctbal")}) AS BIGINT) * 1.0 / count(*) FROM customer)""")),
+
+    // ——— §2.B.7 scalar function families ——————————————————————————
+    Q("string_funcs",
+      (s, d) => t(s, d, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        lower(col("c_name")).as("lo"),
+        substring(col("c_name"), 10, 6).as("sub"),
+        length(col("c_name")).as("len"),
+        concat(col("c_mktsegment"), lit("_"), col("c_name")).as("cat"),
+        regexp_replace(col("c_name"), "0+", "0").as("rre"),
+        md5(col("c_name")).as("h"), // the shim's own hash fn (HashUtils.java:17,23)
+        instr(col("c_name"), "00").cast("int").as("pos"),
+        trim(lit("  x  ")).as("trimmed")),
+      Some("""SELECT c_custkey, upper(c_name) AS up, lower(c_name) AS lo,
+        substr(c_name, 10, 6) AS sub, CAST(length(c_name) AS INTEGER) AS len,
+        c_mktsegment || '_' || c_name AS cat,
+        regexp_replace(c_name, '0+', '0', 'g') AS rre, md5(c_name) AS h,
+        CAST(instr(c_name, '00') AS INTEGER) AS pos, trim('  x  ') AS trimmed
+        FROM customer""")),
+
+    Q("math_funcs",
+      (s, d) => t(s, d, "part").select(
+        col("p_partkey"),
+        abs(col("p_size") * -1).as("abs_v"),
+        ceil(col("p_retailprice")).as("ceil_v"),
+        floor(col("p_retailprice")).as("floor_v"),
+        sqrt(col("p_size").cast("double")).as("sqrt_v"),
+        pow(col("p_size"), 2).as("pow_v"),
+        (col("p_size") % 7).as("mod_v"),
+        round(exp(col("p_size") / lit(100.0)), 6).as("exp_v"),
+        round(log(col("p_size").cast("double") + 1), 6).as("ln_v")),
+      Some("""SELECT p_partkey, abs(p_size * -1) AS abs_v,
+        CAST(ceil(p_retailprice) AS BIGINT) AS ceil_v,
+        CAST(floor(p_retailprice) AS BIGINT) AS floor_v,
+        sqrt(CAST(p_size AS DOUBLE)) AS sqrt_v,
+        pow(p_size, 2) AS pow_v, p_size % 7 AS mod_v,
+        round(exp(p_size / 100.0), 6) AS exp_v,
+        round(ln(CAST(p_size AS DOUBLE) + 1), 6) AS ln_v FROM part""")),
+
+    Q("date_funcs",
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d_str"),
+        to_date(col("o_orderdate")).as("d"),
+        datediff(to_date(lit("1999-01-01")), to_date(col("o_orderdate"))).as("days_to")),
+      Some("""SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        CAST(month(o_orderdate) AS INTEGER) AS mo,
+        CAST(day(o_orderdate) AS INTEGER) AS dom,
+        strftime(o_orderdate, '%Y-%m-%d') AS d_str,
+        CAST(o_orderdate AS DATE) AS d,
+        CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INTEGER) AS days_to
+        FROM orders""")),
+
+    Q("conversion_cast", // the 8-type lattice casts (SURVEY §1.2)
+      (s, d) => t(s, d, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_quantity").cast("int").as("qty_int"),
+        col("l_quantity").cast("long").as("qty_long"),
+        col("l_quantity").cast("string").as("qty_str"),
+        col("l_extendedprice").cast("float").as("price_f"),
+        (col("l_linenumber") % 2).cast("boolean").as("odd_line"),
+        col("l_linenumber").cast("byte").as("line_b"),
+        col("l_linenumber").cast("short").as("line_s"),
+        substring(col("l_returnflag"), 1, 1).as("flag_c")),
+      Some("""SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER) AS qty_int,
+        CAST(l_quantity AS BIGINT) AS qty_long, CAST(l_quantity AS VARCHAR) AS qty_str,
+        CAST(l_extendedprice AS FLOAT) AS price_f,
+        CAST(l_linenumber % 2 AS BOOLEAN) AS odd_line,
+        CAST(l_linenumber AS TINYINT) AS line_b, CAST(l_linenumber AS SMALLINT) AS line_s,
+        substr(l_returnflag, 1, 1) AS flag_c FROM lineitem""")),
+
+    Q("json_funcs", // HTTP layer JSON ↔ records (declared over events.props)
+      (s, d) => t(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+        to_json(struct(col("event_id"), col("event_type"))).as("j")),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+        '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS j
+        FROM events""")),
+
+    Q("conditional_funcs", // if()/ifnull()/coalesce
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 100000, "big")
+          .when(col("o_totalprice") > 50000, "mid").otherwise("small").as("bucket"),
+        coalesce(expr("nullif(o_orderstatus,'O')"), lit("OPEN")).as("status2")),
+      Some("""SELECT o_orderkey,
+        CASE WHEN o_totalprice > 100000 THEN 'big'
+          WHEN o_totalprice > 50000 THEN 'mid' ELSE 'small' END AS bucket,
+        coalesce(nullif(o_orderstatus,'O'), 'OPEN') AS status2 FROM orders"""))
+  )
+}

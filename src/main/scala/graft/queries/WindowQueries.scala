@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Qh._
+
+/** SURVEY §2.B.8 (✚ window functions — absent in ArcadeDB 22.8.1,
+  * declared as extension) and §2.B.10 ✚ streaming-shaped analytics over
+  * `events`, run here in batch form (the reference's freshness model is
+  * batch rebuild; true incremental execution of the same queries lives
+  * in graft.streaming and its tests).
+  */
+object WindowQueries {
+
+  def queries: Seq[Q] = Seq(
+
+    // ranking trio: row_number over a unique order; rank/dense_rank over
+    // a coarse key (real ties), all deterministic
+    Q("window_rank",
+      (s, d) => {
+        val c = t(s, d, "customer").withColumn("bal_k", floor(col("c_acctbal") / 1000))
+        val wUnique = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("bal_k").desc, col("c_custkey").asc)
+        val wCoarse = Window.partitionBy(col("c_mktsegment")).orderBy(col("bal_k").desc)
+        c.select(col("c_custkey"), col("c_mktsegment"), col("bal_k"),
+            row_number().over(wUnique).as("rn"),
+            rank().over(wCoarse).as("rnk"),
+            dense_rank().over(wCoarse).as("drnk"),
+            lag(col("c_custkey"), 1).over(wUnique).as("prev_ck"),
+            lead(col("c_custkey"), 1).over(wUnique).as("next_ck"))
+          .filter(col("rn") <= 8)
+      },
+      Some("""SELECT c_custkey, c_mktsegment, bal_k, rn, rnk, drnk, prev_ck, next_ck
+        FROM (SELECT c_custkey, c_mktsegment, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k,
+          CAST(row_number() OVER w1 AS INTEGER) AS rn,
+          CAST(rank() OVER w2 AS INTEGER) AS rnk,
+          CAST(dense_rank() OVER w2 AS INTEGER) AS drnk,
+          lag(c_custkey, 1) OVER w1 AS prev_ck,
+          lead(c_custkey, 1) OVER w1 AS next_ck
+        FROM customer
+        WINDOW w1 AS (PARTITION BY c_mktsegment ORDER BY floor(c_acctbal / 1000) DESC, c_custkey ASC),
+               w2 AS (PARTITION BY c_mktsegment ORDER BY floor(c_acctbal / 1000) DESC)) q
+        WHERE rn <= 8""")),
+
+    // running aggregate + lag/lead over an event stream ordering
+    Q("window_running",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+        events(s, d).select(
+          col("event_id"), col("user_id"),
+          (sum(cents(col("value"))).over(w.rowsBetween(Window.unboundedPreceding, 0)) / lit(100.0))
+            .as("running_value"),
+          lag(col("event_id"), 1).over(w).as("prev_id"),
+          lead(col("event_id"), 1).over(w).as("next_id"))
+      },
+      Some(s"""SELECT event_id, user_id,
+        CAST(SUM(${sqlCents("value")}) OVER (PARTITION BY user_id ORDER BY event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0 AS running_value,
+        lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_id,
+        lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_id
+        FROM events""")),
+
+    // tumbling event-time window (epoch-aligned, same as time_bucket)
+    Q("window_tumbling",
+      (s, d) => events(s, d)
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), (sum(cents(col("value"))) / lit(100.0)).as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("cnt"), col("sum_value")),
+      Some(s"""SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+        event_type, CAST(count(*) AS BIGINT) AS cnt,
+        CAST(SUM(${sqlCents("value")}) AS BIGINT) / 100.0 AS sum_value
+        FROM events GROUP BY 1, 2""")),
+
+    // session windows (30-min gap), batch form of session_window —
+    // the oracle is the classic gaps-and-islands rewrite
+    Q("window_session",
+      (s, d) => events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), (sum(cents(col("value"))) / lit(100.0)).as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"), col("sum_value")),
+      Some(s"""WITH o AS (SELECT user_id, ts, value,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '30 minutes'
+            THEN 1 ELSE 0 END AS brk FROM events),
+        s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM o)
+        SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+          CAST(count(*) AS BIGINT) AS n_events,
+          CAST(SUM(${sqlCents("value")}) AS BIGINT) / 100.0 AS sum_value
+        FROM s GROUP BY user_id, grp"""))
+  )
+}

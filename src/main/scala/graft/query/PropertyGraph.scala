@@ -1,0 +1,135 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The graph-query surface of the engine (SURVEY §2.B.3): ArcadeDB's
+  * traversal operators (`out/in/both/outE/inE/…`, `MATCH` patterns,
+  * `TRAVERSE`) re-expressed as relational joins over `nodes`/`edges` —
+  * "the join IS the traversal". Every hop is an equi-join on `src`/`dst`
+  * that Catalyst plans as broadcast or shuffle join as sizes dictate;
+  * per-label filters hit the `label` partition column of the persisted
+  * layout, so a hop over one edge label reads only that label's files.
+  *
+  * Column discipline: each binding (`as`) prefixes its node columns, so
+  * a chained pattern yields a flat DataFrame of bindings, like the
+  * ArcadeDB `MATCH {as: a}…RETURN a.x, b.y` form.
+  */
+final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
+
+  def nodesOf(label: String): DataFrame = nodes.filter(col("label") === label)
+  def edgesOf(label: String): DataFrame = edges.filter(col("label") === label)
+
+  /** Start a pattern at all nodes with `label`, bound as `as`. */
+  def v(label: String, as: String): Traversal = {
+    val start = nodesOf(label).select(
+      nodes.columns.map(c => col(c).as(s"${as}_$c")).toIndexedSeq: _*)
+    Traversal(this, start, as)
+  }
+
+  /** Out-degree per node over one edge label — the `out('L').size()`
+    * graph-scalar (SURVEY §2.B.7), computed as a partial-aggregated
+    * groupBy (map-side combine), never a per-node subquery. */
+  def outDegree(edgeLabel: String): DataFrame =
+    edgesOf(edgeLabel).groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+
+  def inDegree(edgeLabel: String): DataFrame =
+    edgesOf(edgeLabel).groupBy(col("dst").as("id")).agg(count(lit(1)).as("degree"))
+
+  /** TRAVERSE … WHILE $depth <= maxDepth (SURVEY §2.B.3 variable-length
+    * path): bounded breadth-first expansion as an iterative driver loop
+    * of joins, one join per depth, with distinct-on-(start,node) dedup.
+    * `direction` ∈ {"out","in","both"}. Lineage is cut with
+    * `localCheckpoint` every few iterations (SURVEY §7 risk note).
+    *
+    * Returns (start_id, node_id, depth) with depth = first (minimal)
+    * depth at which node_id is reached from start_id; depth 0 = start.
+    */
+  def traverse(startNodes: DataFrame, edgeLabels: Seq[String], direction: String,
+      maxDepth: Int): DataFrame = {
+    val es = edges.filter(col("label").isin(edgeLabels: _*))
+    val hop = direction match {
+      case "out" => es.select(col("src").as("from"), col("dst").as("to"))
+      case "in" => es.select(col("dst").as("from"), col("src").as("to"))
+      case "both" => es.select(col("src").as("from"), col("dst").as("to"))
+        .unionByName(es.select(col("dst").as("from"), col("src").as("to")))
+    }
+    var frontier = startNodes.select(col("id").as("start_id"), col("id").as("node_id"),
+      lit(0).as("depth"))
+    var visited = frontier
+    var d = 0
+    while (d < maxDepth) {
+      d += 1
+      val next = frontier.join(hop, frontier("node_id") === hop("from"))
+        .select(col("start_id"), col("to").as("node_id"), lit(d).as("depth"))
+        .distinct()
+      // keep only first-reach depth (minimal-depth semantics)
+      frontier = next.join(visited.select("start_id", "node_id"),
+        Seq("start_id", "node_id"), "left_anti")
+      if (d % 3 == 0) frontier = frontier.localCheckpoint()
+      visited = visited.unionByName(frontier)
+    }
+    visited
+  }
+}
+
+/** A pattern-match in progress: `bound` holds the prefixed columns of
+  * every binding so far; `cur` names the binding at the head. */
+final case class Traversal(g: PropertyGraph, bound: DataFrame, cur: String) {
+
+  private def prefixed(df: DataFrame, as: String): DataFrame =
+    df.select(df.columns.map(c => col(c).as(s"${as}_$c")).toIndexedSeq: _*)
+
+  /** Follow edges with `edgeLabel` out of the current binding into nodes
+    * labeled `nodeLabel`, bound as `as`. `out('L'){as: b}`. */
+  def out(edgeLabel: String, nodeLabel: String, as: String): Traversal =
+    hop(edgeLabel, nodeLabel, as, reverse = false)
+
+  /** `in('L')`: follow edges arriving at the current binding. */
+  def in(edgeLabel: String, nodeLabel: String, as: String): Traversal =
+    hop(edgeLabel, nodeLabel, as, reverse = true)
+
+  /** `both('L')`: union of out and in. */
+  def both(edgeLabel: String, nodeLabel: String, as: String): Traversal = {
+    val o = hop(edgeLabel, nodeLabel, as, reverse = false)
+    val i = hop(edgeLabel, nodeLabel, as, reverse = true)
+    copy(bound = o.bound.unionByName(i.bound), cur = as)
+  }
+
+  private def hop(edgeLabel: String, nodeLabel: String, as: String,
+      reverse: Boolean): Traversal = {
+    val (fromCol, toCol) = if (reverse) ("dst", "src") else ("src", "dst")
+    val e = g.edgesOf(edgeLabel)
+    val eSel = prefixed(e, s"${as}_e")
+    val joinedE = bound.join(eSel,
+      bound(s"${cur}_id") === eSel(s"${as}_e_$fromCol"))
+    val n = prefixed(g.nodesOf(nodeLabel), as)
+    val joined = joinedE.join(n, joinedE(s"${as}_e_$toCol") === n(s"${as}_id"))
+    Traversal(g, joined, as)
+  }
+
+  /** `outE('L')`: stop at the edge level (SURVEY §2.B.3 edge-level hop);
+    * edge columns prefixed `<as>_`. */
+  def outE(edgeLabel: String, as: String): Traversal = {
+    val eSel = prefixed(g.edgesOf(edgeLabel), as)
+    Traversal(g, bound.join(eSel, bound(s"${cur}_id") === eSel(s"${as}_src")), as)
+  }
+
+  def inE(edgeLabel: String, as: String): Traversal = {
+    val eSel = prefixed(g.edgesOf(edgeLabel), as)
+    Traversal(g, bound.join(eSel, bound(s"${cur}_id") === eSel(s"${as}_dst")), as)
+  }
+
+  /** `inV()` / `outV()` after an edge-level hop: join the edge's dst/src
+    * endpoint into nodes labeled `nodeLabel`. */
+  def inV(nodeLabel: String, as: String): Traversal = endpoint(nodeLabel, as, "dst")
+  def outV(nodeLabel: String, as: String): Traversal = endpoint(nodeLabel, as, "src")
+
+  private def endpoint(nodeLabel: String, as: String, end: String): Traversal = {
+    val n = prefixed(g.nodesOf(nodeLabel), as)
+    Traversal(g, bound.join(n, bound(s"${cur}_$end") === n(s"${as}_id")), as)
+  }
+
+  def filter(cond: Column): Traversal = copy(bound = bound.filter(cond))
+  def result: DataFrame = bound
+}

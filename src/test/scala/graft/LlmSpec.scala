@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llmops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** LLM-pipeline operators (SURVEY §2.B.12): deterministic hashing,
+  * dedup recall on planted duplicates, similarity sanity, multimodal
+  * plumbing. */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("shingles: n tokens → n-2 trigrams; short docs → empty") {
+    val r = Seq("a b c d", "a b").toDF("text")
+      .select(TextOps.shingles(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(r(0) == Seq("a b c", "b c d"))
+    assert(r(1).isEmpty)
+  }
+
+  test("rollingHash matches a pure-Scala Karp-Rabin fold") {
+    val s = "merge data table"
+    def pure(t: String): Long =
+      t.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toInt) % TextOps.RollMod)
+    val got = Seq(s).toDF("text").select(TextOps.rollingHash(col("text"))).collect()(0).getLong(0)
+    assert(got == pure(s))
+  }
+
+  test("md5Hash32 matches JVM md5") {
+    val got = Seq("abc").toDF("t").select(TextOps.md5Hash32(col("t"))).collect()(0).getLong(0)
+    val expect = java.lang.Long.parseLong(
+      graft.load.Checksum.md5Hex("abc").substring(0, 8), 16)
+    assert(got == expect)
+  }
+
+  test("minhash LSH: identical docs always collide; signatures deterministic") {
+    val d = Seq((1L, "spark scan join filter window group"),
+      (2L, "spark scan join filter window group"), // exact dup of 1
+      (3L, "completely different tokens here now yes")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "text", 16)
+    val cands = Dedup.minhashCandidates(sigs, "doc_id", 16, 4).collect()
+    assert(cands.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    val sigs2 = Dedup.minhashSignatures(d, "doc_id", "text", 16)
+    assert(sigs.orderBy("doc_id").collect().sameElements(sigs2.orderBy("doc_id").collect()))
+  }
+
+  test("jaccardPairs: exact duplicate has jaccard 1") {
+    val d = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w q a")).toDF("doc_id", "text")
+    val p = Dedup.jaccardPairs(d, "doc_id", "text", 3).collect()
+    val dup = p.find(r => r.getLong(p.head.fieldIndex("d1")) == 1L)
+    assert(dup.isDefined)
+    val r = dup.get
+    assert(r.getAs[Long]("inter") == r.getAs[Long]("sz1"))
+  }
+
+  test("simhash: identical docs → hamming 0; pairs found via banding") {
+    val d = Seq((1L, "spark scan join filter window group by hash"),
+      (2L, "spark scan join filter window group by hash"),
+      (3L, "totally other words appear in this document")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(Dedup.simhash(d, "doc_id", "text"), "doc_id", 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
+  }
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    val d = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 2.0)), (3L, Array(2.0, 0.0)))
+      .toDF("id", "v")
+    val pairs = d.as("a").crossJoin(d.as("b"))
+      .select($"a.id".as("i"), $"b.id".as("j"),
+        Similarity.cosine($"a.v", $"b.v").as("cos")).collect()
+    def cos(i: Long, j: Long) =
+      pairs.find(r => r.getLong(0) == i && r.getLong(1) == j).get.getDouble(2)
+    assert(math.abs(cos(1, 3) - 1.0) < 1e-12)
+    assert(math.abs(cos(1, 2)) < 1e-12)
+  }
+
+  test("bruteForceTopK: returns k ranked neighbors per query") {
+    val top = Similarity.bruteForceTopK(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding",
+      Seq(0L, 1L), 5)
+    val counts = top.groupBy("qid").count().collect()
+    assert(counts.forall(_.getLong(1) == 5))
+    assert(top.filter($"rank" === 1).count() == 2)
+  }
+
+  test("annTopK: bucketed candidates are a subset re-ranked correctly") {
+    val ann = Similarity.annTopK(spark.read.parquet(s"$sfDir/embeddings.parquet"),
+      "vec_id", "embedding", 64, 8, 5)
+    assert(ann.count() > 0)
+    assert(ann.groupBy("qid").count().agg(max("count")).collect()(0).getLong(0) <= 5)
+  }
+
+  test("language-ID is deterministic and total over the corpus") {
+    val pred = docs.select(TextOps.predictLang(col("text")).as("p"))
+    assert(pred.filter($"p".isNull).count() == 0)
+    val langs = pred.distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(TextOps.LangMarkers.map(_._1).toSet))
+  }
+
+  test("multimodal: pack → mapPartitions decode keeps every row, real schema") {
+    val media = Multimodal.packAsMedia(docs)
+    val meta = Multimodal.extractMeta(media)
+    assert(meta.count() == docs.count())
+    val one = meta.filter($"media_id" === 0).collect()(0)
+    val text = docs.filter($"doc_id" === 0).collect()(0).getAs[String]("text")
+    assert(one.getAs[Long]("n_bytes") == text.getBytes("UTF-8").length.toLong)
+    assert(one.getAs[Int]("width") == (text.head.toInt + 1))
+    val sampled = Multimodal.sampleBytes(media, 4)
+    assert(sampled.count() == docs.count())
+  }
+}

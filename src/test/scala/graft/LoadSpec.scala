@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.load.{Checksum, GraphLoader, Normalize}
+
+/** SURVEY §5.2: load-path operators with reference-pinned semantics —
+  * checksum format (A17), internal-field pruning (A6), endpoint
+  * resolution + dangling detection (A13), unique validation incl.
+  * null-skip and array-skip (A15). */
+class LoadSpec extends SparkSpec {
+
+  test("A17: pseudo-hash is md5(mtime + \"__\" + size) — HashUtils.java:23 format") {
+    val f = Files.createTempFile("graft", ".bin")
+    Files.write(f, Array[Byte](1, 2, 3))
+    val attrs = Files.readAttributes(f, classOf[java.nio.file.attribute.BasicFileAttributes])
+    val expect = Checksum.md5Hex(attrs.lastModifiedTime().toString + "__" + 3)
+    assert(Checksum.pseudoHash(f) == expect)
+  }
+
+  test("A17: checksum gate detects touch (mtime change) and missing checksum") {
+    val dir = Files.createTempDirectory("graft")
+    val input = dir.resolve("sources"); Files.createDirectories(input)
+    val data = input.resolve("mapped.db"); Files.write(data, Array[Byte](9, 9))
+    val ck = dir.resolve("arcadedb/checksum.txt")
+    assert(!Checksum.isFresh(ck, input)) // missing checksum ⇒ stale
+    Checksum.store(ck, Checksum.pseudoHashDir(input))
+    assert(Checksum.isFresh(ck, input))
+    Files.setLastModifiedTime(data,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+    assert(!Checksum.isFresh(ck, input)) // touched ⇒ stale
+  }
+
+  test("A6: internal bookkeeping fields are pruned") {
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(1L, "x", "k")),
+      StructType(Seq(StructField("__id", LongType), StructField("__label", StringType),
+        StructField("name", StringType))))
+    assert(Normalize.pruneInternalFields(df).columns.toSeq == Seq("name"))
+  }
+
+  test("A8/A9 column-level: unknown scalar → string; lattice types pass") {
+    val df = spark.range(1).select(
+      lit(java.math.BigDecimal.valueOf(1.5)).as("dec"),
+      array(lit(1), lit(2)).as("ints"))
+    val norm = Normalize.normalizeToLattice(df)
+    assert(norm.schema("dec").dataType == StringType)
+    assert(norm.schema("ints").dataType.asInstanceOf[ArrayType].elementType == IntegerType)
+  }
+
+  test("A10: safeCast keeps the job alive and counts bad values") {
+    val df = spark.createDataFrame(
+      java.util.List.of(Row("1"), Row("oops"), Row("3")),
+      StructType(Seq(StructField("v", StringType))))
+    val (cast, bad) = Normalize.safeCast(df, StructType(Seq(StructField("v", IntegerType))))
+    assert(cast.collect().map(_.isNullAt(0)).count(identity) == 1)
+    assert(bad.collect()(0).getLong(0) == 1) // one uncastable value counted
+  }
+
+  test("A13: every edge endpoint resolves on the real graph (referential integrity)") {
+    val n = GraphLoader.nodes(spark, sfDir)
+    val e = GraphLoader.edges(spark, sfDir)
+    val (resolved, dangling) = GraphLoader.resolveEdges(n, e)
+    assert(dangling.count() == 0)
+    assert(resolved.count() == e.count())
+  }
+
+  test("A13: dangling endpoints are detected (reference would NPE, Service.java:241)") {
+    val n = GraphLoader.nodes(spark, sfDir).filter(col("label") =!= "Region")
+    val e = GraphLoader.edges(spark, sfDir)
+    val (resolved, dangling) = GraphLoader.resolveEdges(n, e)
+    val nations = spark.read.parquet(s"$sfDir/nation.parquet").count()
+    assert(dangling.count() == nations) // all IN_REGION edges dangle
+    assert(resolved.filter(col("label") === "IN_REGION").count() == 0)
+  }
+
+  test("A15: unique validation skips array indexes and nulls, flags dup values") {
+    import graft.model.{GraphSchema, IndexDesc, LabelSchema}
+    val nodes = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, "T", "a"), Row(2L, "T", "a"), Row(3L, "T", null), Row(4L, "T", null)),
+      StructType(Seq(StructField("id", LongType), StructField("label", StringType),
+        StructField("name", StringType))))
+    val gs = GraphSchema(
+      Seq(LabelSchema("T", "vertex", StructType(Seq(StructField("name", StringType))))),
+      Seq(IndexDesc("node", "T", "name", unique = true, isArray = false),
+        IndexDesc("node", "T", "tags", unique = true, isArray = true))) // must be skipped
+    val v = GraphLoader.validateUnique(nodes, nodes.limit(0), gs).collect()
+    // nulls not flagged (NULL_STRATEGY.SKIP); "a" flagged once
+    assert(v.length == 1 && v(0).getString(2) == "a" && v(0).getLong(3) == 2)
+  }
+
+  test("A16/A17: writeGraph persists partitioned layout + schema + checksum") {
+    val out = Files.createTempDirectory("graftout").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    assert(Files.exists(Path.of(out, "schema.json")))
+    assert(Files.exists(Path.of(out, "checksum.txt")))
+    // label partition pruning layout
+    assert(Files.exists(Path.of(out, "nodes/label=Customer")))
+    val n = spark.read.parquet(s"$out/nodes")
+    val reread = graft.model.GraphSchema.fromJson(Files.readString(Path.of(out, "schema.json")))
+    assert(reread == GraphLoader.schema)
+    assert(n.filter(col("label") === "Customer").count() == 150)
+  }
+}

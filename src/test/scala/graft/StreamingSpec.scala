@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventsStream
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double, event_id: Long)
+
+/** ✚ Structured Streaming extension (SURVEY §2.B.10): the same
+  * declarative plans run incrementally — MemoryStream in, memory sink
+  * out, watermark semantics observed. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(1704067200000L + minute * 60000L) // 2024-01-01 UTC
+
+  test("tumbling window aggregation runs incrementally and matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val events = Seq(
+      Ev(ts(1), 1, "click", 1.0, 1), Ev(ts(5), 1, "click", 2.0, 2),
+      Ev(ts(12), 2, "view", 3.0, 3), Ev(ts(25), 1, "click", 4.0, 4))
+    val q = EventsStream.tumblingCounts(mem.toDF(), "10 minutes", "15 minutes")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    // advance watermark far past the data so all windows close
+    mem.addData(Ev(ts(120), 9, "noop", 0.0, 99))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("tumbling").filter($"event_type" =!= "noop")
+    val batch = EventsStream.tumblingCounts(events.toDF(), "10 minutes", "15 minutes")
+    assert(streamed.count() == 3)
+    val s = streamed.orderBy("w_start", "event_type").collect().map(_.toSeq)
+    val b = batch.orderBy("w_start", "event_type").collect().map(_.toSeq)
+    assert(s.toSeq == b.toSeq)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups inside the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.dedupWithinWatermark(mem.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      Ev(ts(1), 1, "click", 1.0, 1), Ev(ts(2), 1, "click", 9.0, 2), // dup key in-horizon
+      Ev(ts(3), 2, "view", 3.0, 3))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup").count() == 2)
+  }
+
+  test("session windows merge events within the gap (streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.sessionize(mem.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      Ev(ts(0), 1, "a", 1.0, 1), Ev(ts(10), 1, "a", 1.0, 2),  // session 1
+      Ev(ts(60), 1, "a", 1.0, 3),                             // session 2
+      Ev(ts(300), 9, "noop", 0.0, 9))                         // close watermark
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions").filter($"user_id" === 1)
+      .orderBy("session_start").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n_events") == 2)
+    assert(rows(1).getAs[Long]("n_events") == 1)
+  }
+}
