@@ -39,7 +39,10 @@ object Dedup {
     * explode-form semantics. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       numPerms: Int): DataFrame = {
-    val hashed = docs
+    // the md5 folds are CPU-bound: spread them over all cores even when
+    // the source is a single small file split
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val hashed = spread
       .select(col(idCol),
         transform(TextOps.shingles(col(textCol), 3),
           sh => TextOps.md5Hash32(sh) % P31).as("hs"))
@@ -102,7 +105,8 @@ object Dedup {
     * shuffles, stays inside whole-stage codegen, no 60-buffer hash
     * aggregate. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = docs.select(col(idCol),
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val hashed = spread.select(col(idCol),
       transform(TextOps.tokens(col(textCol)), t => TextOps.md5Hash60(t)).as("hs"))
     val n = size(col("hs"))
     val sim = (0 until SimBits).map { i =>

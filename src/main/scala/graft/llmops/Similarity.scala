@@ -21,8 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<double> columns: left-to-right fold. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two array<double> columns: strict left-to-right
+    * IEEE accumulation via the codegen'd [[graft.plans.DotProduct]]
+    * kernel (bit-identical to the HOF fold
+    * `aggregate(zip_with(a,b,(x,y)=>x*y), 0.0, _+_)` it replaces, but
+    * stays inside whole-stage codegen). */
+  def dot(a: Column, b: Column): Column = graft.plans.DotProduct.dot(a, b)
+
+  /** The interpreted HOF formulation, kept for cross-checking the
+    * native kernel in tests. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

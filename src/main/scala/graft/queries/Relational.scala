@@ -16,6 +16,14 @@ import Qh._
   */
 object Relational {
 
+  /** One SQL text, two engines (Spark parser + DuckDB oracle). */
+  val SqlInterfaceText: String =
+    """SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/CAST(100.0 AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name"""
+
   def queries: Seq[Q] = Seq(
 
     // ——— §2.B.1 scans ———————————————————————————————————————————
@@ -164,6 +172,28 @@ object Relational {
         ${sqlMoneySum("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
         AVG(l_quantity) AS avg_qty, CAST(count(*) AS BIGINT) AS cnt
         FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
+
+    Q("agg_first_last", // first(x)/last(x) — declared only with an
+      // explicit (unique) order, realized as min_by/max_by (SURVEY §2.B.4)
+      (s, d) => t(s, d, "orders").groupBy(col("o_orderpriority"))
+        .agg(min_by(col("o_totalprice"), col("o_orderkey")).as("first_price"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("last_price"),
+          min(col("o_orderkey")).as("first_key"),
+          max(col("o_orderkey")).as("last_key")),
+      Some("""SELECT o_orderpriority,
+        arg_min(o_totalprice, o_orderkey) AS first_price,
+        arg_max(o_totalprice, o_orderkey) AS last_price,
+        min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+        FROM orders GROUP BY o_orderpriority""")),
+
+    // ✚ extension (SURVEY §2.B.9: absent in ArcadeDB): rollup subtotals
+    Q("agg_rollup",
+      (s, d) => t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+        SUM(l_quantity) AS sum_qty FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
 
     Q("agg_count_distinct",
       (s, d) => t(s, d, "lineitem").groupBy(col("l_returnflag"))
@@ -393,6 +423,17 @@ object Relational {
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
         '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS j
         FROM events""")),
+
+    // The SQL surface itself (ArcadeDB's primary interface is SQL over
+    // HTTP): register per-table temp views and run the IDENTICAL SQL
+    // text through Spark's parser — the oracle twin IS the same string.
+    Q("sql_interface",
+      (s, d) => {
+        Seq("customer", "orders", "nation").foreach(n =>
+          t(s, d, n).createOrReplaceTempView(n))
+        s.sql(SqlInterfaceText)
+      },
+      Some(SqlInterfaceText)),
 
     Q("conditional_funcs", // if()/ifnull()/coalesce
       (s, d) => t(s, d, "orders").select(

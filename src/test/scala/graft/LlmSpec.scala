@@ -62,6 +62,17 @@ class LlmSpec extends SparkSpec {
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
   }
 
+  test("native DotProduct kernel is bit-identical to the interpreted HOF fold") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val a = emb.limit(40).select($"vec_id".as("i"), $"v".as("va"))
+    val b = emb.limit(40).select($"vec_id".as("j"), $"v".as("vb"))
+    val diff = a.crossJoin(b)
+      .select(Similarity.dot($"va", $"vb").as("nat"), Similarity.dotHof($"va", $"vb").as("hof"))
+      .filter(!($"nat" === $"hof")) // bit-exact equality, not approximate
+    assert(diff.count() == 0)
+  }
+
   test("cosine: self-similarity is 1, orthogonal is 0") {
     val d = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 2.0)), (3L, Array(2.0, 0.0)))
       .toDF("id", "v")
