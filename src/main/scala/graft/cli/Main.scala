@@ -1,0 +1,81 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import graft.load.{Checksum, GraphLoader}
+
+/** CLI dispatch (SURVEY §2.A A19/A20): the reference's picocli surface
+  * (`CmdArgs.java:7-24`, dispatch `ArcadeDBServer.java:34-45`) maps to
+  * three commands with the same precedence semantics
+  * (create-serve > serve > create):
+  *
+  *   create <sfDir> <outDir>   build the graph store (≈ --create)
+  *   serve  <outDir>           register per-label views on the built
+  *                             store and keep the session available
+  *                             (≈ --start; queries arrive via the
+  *                             SparkSession / Connect / SQL, not HTTP —
+  *                             the serving protocol is out of analytic
+  *                             scope, SURVEY §7 step 5)
+  *   create-serve <sfDir> <outDir>   both (≈ --create-start)
+  *
+  * `create` is checksum-gated like the reference (A17): a fresh store
+  * whose recorded input hash matches is not rebuilt; serving a stale
+  * store prints the same kind of warning as `ArcadeDBServer.java:98-99`.
+  */
+object Main {
+
+  def session(): SparkSession = SparkSession.builder()
+    .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+    .config("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.adaptive.enabled", "true")
+    .getOrCreate()
+
+  def create(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val ck = java.nio.file.Paths.get(s"$outDir/checksum.txt")
+    if (Checksum.isFresh(ck, java.nio.file.Paths.get(sfDir))) {
+      println(s"[graft] store at $outDir is up to date (checksum match); skipping rebuild")
+    } else {
+      GraphLoader.writeGraph(spark, sfDir, outDir)
+      println(s"[graft] built graph store at $outDir")
+    }
+  }
+
+  /** Register per-label temp views (the catalog surface of §2.B.1 type
+    * scans): `nodes_<Label>` / `edges_<Label>` plus the raw frames. */
+  def serve(spark: SparkSession, outDir: String, sfDir: Option[String]): Unit = {
+    sfDir.foreach { d =>
+      val ck = java.nio.file.Paths.get(s"$outDir/checksum.txt")
+      if (!Checksum.isFresh(ck, java.nio.file.Paths.get(d)))
+        System.err.println(s"[graft] WARNING: store at $outDir is out of date with $d — rebuild with 'create'")
+    }
+    val nodes = spark.read.parquet(s"$outDir/nodes")
+    val edges = spark.read.parquet(s"$outDir/edges")
+    nodes.createOrReplaceTempView("nodes")
+    edges.createOrReplaceTempView("edges")
+    val gs = graft.model.GraphSchema.fromJson(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$outDir/schema.json")))
+    gs.nodeLabels.foreach(l => nodes.filter(nodes("label") === l)
+      .createOrReplaceTempView(s"nodes_$l"))
+    gs.edgeLabels.foreach(l => edges.filter(edges("label") === l)
+      .createOrReplaceTempView(s"edges_$l"))
+    println(s"[graft] serving ${gs.nodeLabels.size} node labels and " +
+      s"${gs.edgeLabels.size} edge labels from $outDir as temp views")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = session()
+    spark.sparkContext.setLogLevel("WARN")
+    args.toList match {
+      case "create" :: sfDir :: outDir :: Nil => create(spark, sfDir, outDir)
+      case "serve" :: outDir :: Nil => serve(spark, outDir, None)
+      case "create-serve" :: sfDir :: outDir :: Nil =>
+        create(spark, sfDir, outDir); serve(spark, outDir, Some(sfDir))
+      case _ =>
+        System.err.println("usage: create <sfDir> <outDir> | serve <outDir> | create-serve <sfDir> <outDir>")
+        sys.exit(2)
+    }
+    spark.stop()
+  }
+}

@@ -204,6 +204,15 @@ object GraphQueries {
       (s, d) => graph(s, d).outDegree("PLACED")
         .select((col("id") - CustomerOff).as("custkey"), col("degree")),
       Some("""SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS degree
-        FROM orders GROUP BY o_custkey"""))
+        FROM orders GROUP BY o_custkey""")),
+
+    // §2.B.7 graph-scalar — in()/inE().size() degree (reverse direction:
+    // edges are stored once, unidirectionally, like the reference's
+    // bidirectional=false — the reverse hop is a join on dst, no penalty)
+    Q("degree_in",
+      (s, d) => graph(s, d).inDegree("CONTAINS")
+        .select((col("id") - GraphLoader.PartOff).as("partkey"), col("degree")),
+      Some("""SELECT l_partkey AS partkey, CAST(count(*) AS BIGINT) AS degree
+        FROM lineitem GROUP BY l_partkey"""))
   )
 }

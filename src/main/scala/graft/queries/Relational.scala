@@ -94,10 +94,17 @@ object Relational {
         .select(col("p_partkey"),
           size(col("tags")).as("n_tags"),
           array_contains(col("tags"), "widget").as("has_widget"),
+          // CONTAINSALL → forall; CONTAINSANY → arrays_overlap
+          forall(col("tags"), t => t.isin("cold", "widget", "blue", "rod",
+            "small", "large", "bolt", "red", "green", "metal")).as("all_known"),
+          arrays_overlap(col("tags"), array(lit("widget"), lit("rod"))).as("any_wr"),
           element_at(col("tags"), 1).as("first_tag"),
           array_join(array_sort(col("tags")), ",").as("sorted_tags")),
       Some("""SELECT p_partkey, CAST(len(string_split(p_name,' ')) AS INTEGER) AS n_tags,
         list_contains(string_split(p_name,' '), 'widget') AS has_widget,
+        len(list_filter(string_split(p_name,' '), t -> t IN ('cold','widget','blue','rod','small','large','bolt','red','green','metal')))
+          = len(string_split(p_name,' ')) AS all_known,
+        len(list_intersect(string_split(p_name,' '), ['widget','rod'])) > 0 AS any_wr,
         string_split(p_name,' ')[1] AS first_tag,
         array_to_string(list_sort(string_split(p_name,' ')), ',') AS sorted_tags
         FROM part""")),
@@ -246,6 +253,27 @@ object Relational {
       Some("""SELECT o_orderpriority,
         array_to_string(list_sort(list(DISTINCT o_orderstatus)), '|') AS statuses,
         CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY o_orderpriority""")),
+
+    Q("agg_collect_map", // map(k,v) collector → map_from_entries;
+      // keys/values extracted via map_keys/map_values (§2.B.7 map family)
+      (s, d) => {
+        val c = t(s, d, "orders").groupBy(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("cnt"))
+        c.groupBy(col("o_orderpriority"))
+          .agg(map_from_entries(array_sort(collect_list(struct(col("o_orderstatus"), col("cnt")))))
+            .as("m"))
+          .select(col("o_orderpriority"),
+            array_join(map_keys(col("m")), "|").as("statuses"),
+            array_join(transform(map_values(col("m")), _.cast("string")), "|").as("counts"))
+      },
+      Some("""WITH c AS (SELECT o_orderpriority, o_orderstatus,
+          CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY 1, 2),
+        m AS (SELECT o_orderpriority,
+          map_from_entries(list_sort(list(struct_pack(k := o_orderstatus, v := cnt)))) AS mp
+          FROM c GROUP BY 1)
+        SELECT o_orderpriority, array_to_string(map_keys(mp), '|') AS statuses,
+          array_to_string(list_transform(map_values(mp), x -> CAST(x AS VARCHAR)), '|') AS counts
+        FROM m""")),
 
     Q("agg_having", // HAVING via nested select (ArcadeDB form)
       (s, d) => t(s, d, "orders").groupBy(col("o_custkey"))
