@@ -44,8 +44,9 @@ object Dedup {
     val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     val hashed = spread
       .select(col(idCol),
-        transform(TextOps.shingles(col(textCol), 3),
-          sh => TextOps.md5Hash32(sh) % P31).as("hs"))
+        transform(
+          graft.plans.NGramMd5(TextOps.tokens(col(textCol)), 3, 8),
+          h => h % P31).as("hs"))
       .filter(size(col("hs")) > 0)
     val sigs = permParams(numPerms).zipWithIndex.map { case ((a, b), i) =>
       aggregate(col("hs"), lit(P31), (acc, h) => least(acc, (lit(a) * h + lit(b)) % P31))
@@ -107,7 +108,7 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     val hashed = spread.select(col(idCol),
-      transform(TextOps.tokens(col(textCol)), t => TextOps.md5Hash60(t)).as("hs"))
+      graft.plans.NGramMd5(TextOps.tokens(col(textCol)), 1, 15).as("hs"))
     val n = size(col("hs"))
     val sim = (0 until SimBits).map { i =>
       val cnt = aggregate(col("hs"), lit(0L),

@@ -1,0 +1,80 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native n-gram md5 hasher: `array<string>` tokens → `array<long>`
+  * hashes of the space-joined n-gram shingles, where each hash is the
+  * integer value of the first `hexChars` hex digits of the shingle's
+  * md5 — EXACTLY `conv(substring(md5(shingle),1,hexChars),16,10)`, the
+  * formula the DuckDB oracle replicates digit-by-digit.
+  *
+  * Replaces the interpreted higher-order chain
+  * `transform(shingles(text,n), sh => conv(substring(md5(sh),1,w),16,10))`
+  * (SURVEY §2.B.11: custom Expression beats UDF beats HOF): one JVM-level
+  * pass per row, one reused MessageDigest, no hex-string round-trip —
+  * the per-shingle cost drops from an expression-tree walk with string
+  * formatting/parsing to a digest + shift loop.
+  *
+  * n = 1 hashes the tokens themselves (the SimHash path); n ≥ 2 hashes
+  * shingles (the MinHash path). Fewer than n tokens → empty array,
+  * matching `TextOps.shingles`.
+  */
+case class NGramMd5(child: Expression, n: Int, hexChars: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(hexChars > 0 && hexChars <= 15, "hexChars must fit a signed long")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // expression instances can be shared across local-mode task threads
+  @transient private lazy val digests =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  override def nullSafeEval(input: Any): Any = {
+    val digest = digests.get()
+    val tokens = input.asInstanceOf[ArrayData]
+    val nTok = tokens.numElements()
+    if (nTok < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](nTok - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= nTok - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      digest.reset()
+      val md = digest.digest(sb.toString.getBytes("UTF-8"))
+      // value of the first hexChars hex digits, big-endian
+      var acc = 0L
+      var k = 0
+      while (k < hexChars) {
+        val b = md(k / 2) & 0xff
+        val nib = if (k % 2 == 0) b >>> 4 else b & 0xf
+        acc = (acc << 4) | nib
+        k += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_ngram_md5"
+}
+
+object NGramMd5 {
+  def apply(tokens: Column, n: Int, hexChars: Int): Column =
+    GraftBridge.column(NGramMd5(GraftBridge.expression(tokens), n, hexChars))
+}
