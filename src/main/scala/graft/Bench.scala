@@ -30,6 +30,7 @@ object Bench {
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "sim_topk",
     "text_quality",
     "multimodal_meta"))

@@ -156,6 +156,24 @@ object LlmQueries {
           SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY bucket"""
       }),
 
+    // CONTAINSTEXT at scale: tokenized inverted-index lookup instead of
+    // a substring scan — postings list join, shuffle keyed on token
+    // (SURVEY §2.B.2 ✚ "tokenized inverted map for scale")
+    Q("text_inverted_search",
+      (s, d) => {
+        val postings = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), explode(TextOps.tokens(col("text"))).as("tk"))
+        postings.filter(col("tk").isin("spark", "stream"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(countDistinct(col("tk")).as("n_terms"), count(lit(1)).as("n_hits"))
+          .filter(col("n_terms") === 2) // AND semantics: both terms present
+          .select(col("doc_id"), col("lang"), col("n_hits"))
+      },
+      Some("""SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_hits FROM (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tk FROM documents) p
+        WHERE tk IN ('spark', 'stream')
+        GROUP BY doc_id, lang HAVING count(DISTINCT tk) = 2""")),
+
     // language-ID by stopword-marker argmax (fixed tie-break order)
     Q("text_lang_id",
       (s, d) => t(s, d, "documents").select(
