@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // This box is a throttling hypervisor guest: with default G1 thread
+  // sizing (23 workers on 32 vCPUs) young pauses stretched to 3-6 s
+  // whenever task threads already saturated the CPU quota (observed in
+  // -Xlog:gc — 100 MB evacuations taking seconds). Capping GC
+  // parallelism keeps pauses bounded under throttling.
+  "-XX:ParallelGCThreads=8", "-XX:ConcGCThreads=2",
+) ++ sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

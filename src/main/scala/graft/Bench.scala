@@ -47,6 +47,8 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JVM/codegen/session init shouldn't bill the first query
+    spark.range(1000000).selectExpr("sum(id)").collect()
     val qs = SparkEntry.queries
     val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()

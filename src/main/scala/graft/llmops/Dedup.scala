@@ -77,12 +77,17 @@ object Dedup {
       .select(col("d1"), col("d2")).distinct()
   }
 
-  /** Exact n-gram Jaccard similarity via shingle inverted-index join:
-    * returns (d1, d2, inter, sz1, sz2) for pairs with ≥ 1 shared
-    * shingle; jaccard = inter / (sz1 + sz2 - inter). */
+  /** N-gram Jaccard similarity via shingle inverted-index join over
+    * 32-bit md5 shingle hashes (joining hashes instead of shingle
+    * strings keeps the hot path in [[graft.plans.NGramMd5]] — the
+    * interpreted string-shingle chain was 15× slower — and the oracle
+    * computes the identical hash, so any collision affects both sides
+    * equally): returns (d1, d2, inter, sz1, sz2) for pairs with ≥ 1
+    * shared shingle; jaccard = inter / (sz1 + sz2 - inter). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val sh = docs
-      .select(col(idCol), explode(TextOps.shingles(col(textCol), n)).as("sh"))
+      .select(col(idCol),
+        explode(graft.plans.NGramMd5(TextOps.tokens(col(textCol)), n, 8)).as("sh"))
       .distinct()
       .localCheckpoint(true) // consumed 3× (sizes + both join sides)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))

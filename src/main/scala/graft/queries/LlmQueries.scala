@@ -48,7 +48,8 @@ object LlmQueries {
       (s, d) => Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 3)
         .filter(col("inter") / (col("sz1") + col("sz2") - col("inter")) >= 0.22)
         .select(col("d1"), col("d2"), col("inter"), col("sz1"), col("sz2")),
-      Some(s"""WITH sh AS (SELECT DISTINCT doc_id, sh FROM ($sqlShingles3) raw),
+      Some(s"""WITH sh AS (SELECT DISTINCT doc_id, ${sqlMd5Hash32("sh")} AS sh
+          FROM ($sqlShingles3) raw),
         sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
         pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS inter
           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id

@@ -63,6 +63,26 @@ class GraphSpec extends SparkSpec {
     assert(d.map(_.getDouble(1)).sorted.toSeq == Seq(0.0, 1.0, 2.0))
   }
 
+  test("saltedJoin is bag-equal to the plain equi-join") {
+    import graft.query.Skew
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+    val plain = li.join(part, li("l_partkey") === part("p_partkey"))
+      .select("l_orderkey", "l_linenumber", "p_name")
+    val salted = Skew.saltedJoin(li, part, "l_partkey", "p_partkey", 8)
+      .select("l_orderkey", "l_linenumber", "p_name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("keyProfile surfaces the hottest join keys") {
+    import graft.query.Skew
+    val prof = Skew.keyProfile(
+      spark.read.parquet(s"$sfDir/lineitem.parquet"), "l_returnflag", 3).collect()
+    assert(prof.length == 3 && prof(0).getLong(1) >= prof(1).getLong(1))
+  }
+
   test("PageRank is deterministic across runs (fixed iterations)") {
     val a = GraphXBridge.pageRank(spark, g, 5).orderBy(col("id")).collect()
     val b = GraphXBridge.pageRank(spark, g, 5).orderBy(col("id")).collect()
