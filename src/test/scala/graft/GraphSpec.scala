@@ -83,9 +83,16 @@ class GraphSpec extends SparkSpec {
     assert(prof.length == 3 && prof(0).getLong(1) >= prof(1).getLong(1))
   }
 
-  test("PageRank is deterministic across runs (fixed iterations)") {
+  test("PageRank is stable across runs (fixed iterations, up to float reduce order)") {
+    // message combining reduces doubles in nondeterministic partition
+    // order, so runs agree only to ~1e-12 relative — which is why the
+    // pagerank query has no hashed oracle (rows-only check) and rounds
     val a = GraphXBridge.pageRank(spark, g, 5).orderBy(col("id")).collect()
     val b = GraphXBridge.pageRank(spark, g, 5).orderBy(col("id")).collect()
-    assert(a.sameElements(b))
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getLong(0) == y.getLong(0))
+      assert(math.abs(x.getDouble(1) - y.getDouble(1)) < 1e-9)
+    }
   }
 }
