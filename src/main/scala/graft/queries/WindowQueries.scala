@@ -60,6 +60,19 @@ object WindowQueries {
         lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_id
         FROM events""")),
 
+    // RANGE frame: sum over a sliding value-range of the ordering key
+    Q("window_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+          .rangeBetween(-100, 0)
+        events(s, d).select(col("event_id"), col("user_id"),
+          (sum(cents(col("value"))).over(w) / lit(100.0)).as("range_sum"))
+      },
+      Some(s"""SELECT event_id, user_id,
+        CAST(SUM(${sqlCents("value")}) OVER (PARTITION BY user_id ORDER BY event_id
+          RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0 AS range_sum
+        FROM events""")),
+
     // tumbling event-time window (epoch-aligned, same as time_bucket)
     Q("window_tumbling",
       (s, d) => events(s, d)

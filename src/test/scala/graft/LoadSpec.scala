@@ -92,6 +92,17 @@ class LoadSpec extends SparkSpec {
     assert(v.length == 1 && v(0).getString(2) == "a" && v(0).getLong(3) == 2)
   }
 
+  test("round-trip: graph → partitioned parquet → graph is lossless (SURVEY §5.2.3)") {
+    val out = Files.createTempDirectory("graftrt").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    val n0 = GraphLoader.nodes(spark, sfDir)
+    val n1 = spark.read.parquet(s"$out/nodes").select(n0.columns.map(col).toIndexedSeq: _*)
+    assert(n1.exceptAll(n0).count() == 0 && n0.exceptAll(n1).count() == 0)
+    val (e0, _) = GraphLoader.resolveEdges(n0, GraphLoader.edges(spark, sfDir))
+    val e1 = spark.read.parquet(s"$out/edges").select(e0.columns.map(col).toIndexedSeq: _*)
+    assert(e1.exceptAll(e0).count() == 0 && e0.exceptAll(e1).count() == 0)
+  }
+
   test("A16/A17: writeGraph persists partitioned layout + schema + checksum") {
     val out = Files.createTempDirectory("graftout").toString
     GraphLoader.writeGraph(spark, sfDir, out)
