@@ -159,6 +159,27 @@ object GraphQueries {
                 UNION ALL SELECT s_nationkey FROM supplier) m
           JOIN nation ON n_nationkey = nk GROUP BY n_regionkey""")),
 
+    // §2.B.3 — TRAVERSE … WHILE <predicate>: the while-guard stops
+    // expansion THROUGH nations alphabetically ≥ 'N' (their members are
+    // not visited), while the guarded nations themselves still appear
+    Q("traverse_while",
+      (s, d) => {
+        val g = graph(s, d)
+        g.traverse(g.nodesOf("Region"), Seq("IN_REGION", "IN_NATION"), "in", 2,
+          whileNode = col("label") =!= "Nation" || col("name") < "N")
+          .groupBy(col("start_id"), col("depth")).agg(count(lit(1)).as("cnt"))
+          .select(col("start_id").as("region_key"), col("depth"), col("cnt"))
+      },
+      Some("""SELECT CAST(r_regionkey AS BIGINT) AS region_key, 0 AS depth,
+          CAST(1 AS BIGINT) AS cnt FROM region
+        UNION ALL SELECT CAST(n_regionkey AS BIGINT), 1, CAST(count(*) AS BIGINT)
+          FROM nation GROUP BY n_regionkey
+        UNION ALL SELECT CAST(n_regionkey AS BIGINT), 2, CAST(count(*) AS BIGINT)
+          FROM (SELECT c_nationkey AS nk FROM customer
+                UNION ALL SELECT s_nationkey FROM supplier) m
+          JOIN nation ON n_nationkey = nk WHERE n_name < 'N'
+          GROUP BY n_regionkey""")),
+
     // GraphX — landmark shortest paths (shortestPath(a,b) equivalent):
     // distance from every Customer to its Region along the hierarchy
     Q("shortest_path_region",

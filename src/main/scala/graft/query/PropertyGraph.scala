@@ -36,17 +36,22 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
   def inDegree(edgeLabel: String): DataFrame =
     edgesOf(edgeLabel).groupBy(col("dst").as("id")).agg(count(lit(1)).as("degree"))
 
-  /** TRAVERSE … WHILE $depth <= maxDepth (SURVEY §2.B.3 variable-length
-    * path): bounded breadth-first expansion as an iterative driver loop
-    * of joins, one join per depth, with distinct-on-(start,node) dedup.
-    * `direction` ∈ {"out","in","both"}. Lineage is cut with
-    * `localCheckpoint` every few iterations (SURVEY §7 risk note).
+  /** TRAVERSE … WHILE (SURVEY §2.B.3 variable-length path): bounded
+    * breadth-first expansion as an iterative driver loop of joins, one
+    * join per depth, with distinct-on-(start,node) dedup (the explicit
+    * visited set — SURVEY §7 risk note). `direction` ∈ {"out","in",
+    * "both"}; `whileNode` is the ArcadeDB `while:` guard — a predicate
+    * over the node row that must hold for the traversal to CONTINUE
+    * THROUGH a node (guarded nodes are still reported, but not
+    * expanded; the start frontier is always expanded). Lineage is cut
+    * with `localCheckpoint` every few iterations. For unbounded forms
+    * use the GraphX Pregel paths (shortestPathsTo runs to fixpoint).
     *
     * Returns (start_id, node_id, depth) with depth = first (minimal)
     * depth at which node_id is reached from start_id; depth 0 = start.
     */
   def traverse(startNodes: DataFrame, edgeLabels: Seq[String], direction: String,
-      maxDepth: Int): DataFrame = {
+      maxDepth: Int, whileNode: Column = lit(true)): DataFrame = {
     val es = edges.filter(col("label").isin(edgeLabels: _*))
     val hop = direction match {
       case "out" => es.select(col("src").as("from"), col("dst").as("to"))
@@ -54,13 +59,18 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
       case "both" => es.select(col("src").as("from"), col("dst").as("to"))
         .unionByName(es.select(col("dst").as("from"), col("src").as("to")))
     }
+    // nodes passing the while-guard (joined to decide expansion)
+    val expandable = nodes.filter(whileNode).select(col("id").as("node_id"))
     var frontier = startNodes.select(col("id").as("start_id"), col("id").as("node_id"),
       lit(0).as("depth"))
     var visited = frontier
     var d = 0
     while (d < maxDepth) {
       d += 1
-      val next = frontier.join(hop, frontier("node_id") === hop("from"))
+      val expanding =
+        if (d == 1) frontier // the start frontier always expands
+        else frontier.join(expandable, Seq("node_id"), "left_semi")
+      val next = expanding.join(hop, expanding("node_id") === hop("from"))
         .select(col("start_id"), col("to").as("node_id"), lit(d).as("depth"))
         .distinct()
       // keep only first-reach depth (minimal-depth semantics)
