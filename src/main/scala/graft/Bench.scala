@@ -50,16 +50,27 @@ object Bench {
     // untimed warmup: JVM/codegen/session init shouldn't bill the first query
     spark.range(1000000).selectExpr("sum(id)").collect()
     val qs = SparkEntry.queries
+    // a failed query records -1 (NOT its partial elapsed time, which
+    // would silently flatter the total); repeated names (the A/B timing
+    // feature of SPARK_GRAFT_BENCH_ONLY) get a #k suffix so the JSON
+    // has no duplicate keys and survives strict parsers
     val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
-      try qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val seen = scala.collection.mutable.Map[String, Int]()
+    val qjson = results.map { case (k, v) =>
+      val n = seen.getOrElse(k, 0); seen(k) = n + 1
+      val key = if (n == 0) k else s"$k#${n + 1}"
+      "\"" + key + "\":" + v
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failJson = if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson$failJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -31,28 +31,27 @@ object Dedup {
     * shingles: s_i = min over shingles of (a_i * h + b_i) mod P31, with
     * h = md5-derived 32-bit shingle hash reduced mod P31.
     *
-    * Computed as per-row array folds (`aggregate` over the shingle-hash
-    * array) instead of explode+groupBy: ZERO shuffles — signature
-    * computation is embarrassingly parallel at any scale; the only wide
-    * operation in the dedup pipeline is the band-bucket join. Documents
-    * with no shingles (< 3 tokens) produce no row, matching the
-    * explode-form semantics. */
+    * ZERO shuffles — signature computation is embarrassingly parallel at
+    * any scale; the only wide operation in the dedup pipeline is the
+    * band-bucket join. All 16 permutations fold in a SINGLE compiled
+    * pass over the hash array ([[graft.plans.MinHashSig]] — round 1 ran
+    * 16 interpreted `aggregate()` HOFs per row, the bench's worst
+    * hotspot). Documents with no shingles (< 3 tokens) are filtered on
+    * the cheap token count BEFORE the signature kernel, so the pushed
+    * predicate never recomputes the signature. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       numPerms: Int): DataFrame = {
-    // the md5 folds are CPU-bound: spread them over all cores even when
-    // the source is a single small file split
+    // the md5 digests are CPU-bound: spread them over all cores even
+    // when the source is a single small file split
     val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    val hashed = spread
+    val sig = spread
+      .filter(size(TextOps.tokens(col(textCol))) >= 3) // ⇔ has ≥1 shingle
       .select(col(idCol),
-        transform(
+        graft.plans.MinHashSig(
           graft.plans.NGramMd5(TextOps.tokens(col(textCol)), 3, 8),
-          h => h % P31).as("hs"))
-      .filter(size(col("hs")) > 0)
-    val sigs = permParams(numPerms).zipWithIndex.map { case ((a, b), i) =>
-      aggregate(col("hs"), lit(P31), (acc, h) => least(acc, (lit(a) * h + lit(b)) % P31))
-        .as(s"s$i")
-    }
-    hashed.select(col(idCol) +: sigs: _*)
+          permParams(numPerms)).as("sig"))
+    sig.select(col(idCol) +:
+      (0 until numPerms).map(i => element_at(col("sig"), i + 1).as(s"s$i")): _*)
   }
 
   /** LSH candidate pairs: band the signature (bands × rowsPerBand =
@@ -106,21 +105,16 @@ object Dedup {
     * majority of token-occurrences have bit i set in their 60-bit md5
     * hash.
     *
-    * Like [[minhashSignatures]], computed as per-row array folds over
-    * the token-hash array (materialized once per document) — zero
-    * shuffles, stays inside whole-stage codegen, no 60-buffer hash
-    * aggregate. */
+    * Like [[minhashSignatures]], zero shuffles; the 60 per-bit majority
+    * counts fold in ONE compiled pass over the token-hash array
+    * ([[graft.plans.SimHashBits]] — round 1 ran 60 interpreted
+    * `aggregate()` HOFs per row). */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    val hashed = spread.select(col(idCol),
-      graft.plans.NGramMd5(TextOps.tokens(col(textCol)), 1, 15).as("hs"))
-    val n = size(col("hs"))
-    val sim = (0 until SimBits).map { i =>
-      val cnt = aggregate(col("hs"), lit(0L),
-        (acc, h) => acc + shiftright(h, i).bitwiseAND(1))
-      when(cnt * 2 > n, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    hashed.select(col(idCol), sim.as("simhash"))
+    spread.select(col(idCol),
+      graft.plans.SimHashBits(
+        graft.plans.NGramMd5(TextOps.tokens(col(textCol)), 1, 15),
+        SimBits).as("simhash"))
   }
 
   /** SimHash near-dup pairs with hamming ≤ maxDist via 15-bit chunk

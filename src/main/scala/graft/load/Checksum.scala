@@ -31,9 +31,14 @@ object Checksum {
     * inputs; same O(attrs) cost model as the reference). */
   def pseudoHashDir(dir: Path): String = {
     import scala.jdk.CollectionConverters._
-    val files = Files.walk(dir).iterator().asScala
-      .filter(Files.isRegularFile(_)).toSeq.sortBy(_.toString)
-    md5Hex(files.map(pseudoHash).mkString("__"))
+    // Files.walk holds directory handles until closed — the CLI calls
+    // the gate on every create/serve, so an unclosed stream leaks fds
+    val walk = Files.walk(dir)
+    try {
+      val files = walk.iterator().asScala
+        .filter(Files.isRegularFile(_)).toSeq.sortBy(_.toString)
+      md5Hex(files.map(pseudoHash).mkString("__"))
+    } finally walk.close()
   }
 
   def store(checksumFile: Path, hash: String): Unit = {

@@ -25,15 +25,38 @@ import graft.model.{GraphSchema, IndexDesc, LabelSchema}
   */
 object GraphLoader {
 
-  // Disjoint id keyspaces (safe through sf >> 100: offsets exceed table
-  // cardinalities by orders of magnitude; at 100 TB the offsets become a
-  // label-bits prefix in the high bits of the long id).
+  // Disjoint id keyspaces. The fixed offsets hold only while every
+  // source key stays below the next offset (c_custkey = 150k×sf crosses
+  // SupplierOff at sf≈6.7!) — so the load path ASSERTS disjointness
+  // (assertDisjointIds) and fails loudly instead of silently resolving
+  // edges to wrong nodes. At 100 TB the scheme flips to label bits in
+  // the high bits of the long id, which can never collide.
   val RegionOff = 0L
   val NationOff = 100L
   val CustomerOff = 1000000L
   val SupplierOff = 2000000L
   val PartOff = 3000000L
   val OrderOff = 10000000L
+
+  /** Keyspace guard: max(source key) + offset must stay strictly below
+    * the next label's offset. One `max()` per table — parquet footer
+    * statistics make these metadata-only scans. */
+  def assertDisjointIds(spark: SparkSession, dir: String): Unit = {
+    val ranges = Seq(
+      ("region", "r_regionkey", RegionOff, NationOff),
+      ("nation", "n_nationkey", NationOff, CustomerOff),
+      ("customer", "c_custkey", CustomerOff, SupplierOff),
+      ("supplier", "s_suppkey", SupplierOff, PartOff),
+      ("part", "p_partkey", PartOff, OrderOff),
+      ("orders", "o_orderkey", OrderOff, Long.MaxValue))
+    ranges.foreach { case (tbl, key, off, next) =>
+      val mx = table(spark, dir, tbl)
+        .agg(max(col(key).cast(LongType))).head.getLong(0)
+      require(mx + off < next,
+        s"node-id keyspace overflow: $tbl.$key max $mx + offset $off >= next offset $next " +
+          "— switch to label-bits-in-high-bits ids for this scale")
+    }
+  }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
@@ -211,6 +234,7 @@ object GraphLoader {
     * mode (the reference deletes and rebuilds, `ArcadeDBService.java:112-122`),
     * schema registry + checksum alongside (A17). */
   def writeGraph(spark: SparkSession, dir: String, outDir: String): Unit = {
+    assertDisjointIds(spark, dir)
     val n = nodes(spark, dir)
     val (resolved, _) = resolveEdges(n, edges(spark, dir))
     n.write.mode("overwrite").partitionBy("label").parquet(s"$outDir/nodes")

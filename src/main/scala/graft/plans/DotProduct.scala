@@ -26,13 +26,27 @@ case class DotProduct(left: Expression, right: Expression)
   // ExpectsInputTypes check is unavailable outside the sql package
   override def dataType: DataType = DoubleType
 
+  // a null ELEMENT nulls the whole product, matching the HOF fold
+  // (acc + null = null) and the oracle — so the result is nullable
+  // whenever the element type is
+  private def elemNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case org.apache.spark.sql.types.ArrayType(_, cn) => cn
+    case _ => false
+  })
+
+  override def nullable: Boolean = super.nullable || elemNullable
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -41,10 +55,14 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullCheck = if (elemNullable)
+        s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+      else ""
       s"""
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $acc = 0.0;
         for (int $i = 0; $i < $n; $i++) {
+          $nullCheck
           $acc += $a.getDouble($i) * $b.getDouble($i);
         }
         ${ev.value} = $acc;

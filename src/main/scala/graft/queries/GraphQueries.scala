@@ -185,7 +185,11 @@ object GraphQueries {
     Q("shortest_path_region",
       (s, d) => {
         val g = graph(s, d)
-        val landmarks = (0L until 5L).toSeq // region node ids (offset 0)
+        // landmarks are inherently driver-side config for ShortestPaths;
+        // derive them from the Region label (a fixed-cardinality
+        // dimension) instead of assuming exactly 5 regions at offset 0
+        val landmarks = g.nodesOf("Region").select(col("id"))
+          .collect().map(_.getLong(0)).toSeq.sorted
         GraphXBridge.shortestPathsTo(s, g, Seq("IN_NATION", "IN_REGION"), landmarks)
           .filter(col("id") >= CustomerOff && col("id") < GraphLoader.SupplierOff)
           .select((col("id") - CustomerOff).as("custkey"),

@@ -98,7 +98,7 @@ object WindowQueries {
           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '30 minutes'
             THEN 1 ELSE 0 END AS brk FROM events),
-        s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM o)
         SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
           CAST(count(*) AS BIGINT) AS n_events,
