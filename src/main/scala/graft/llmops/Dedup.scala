@@ -22,6 +22,23 @@ object Dedup {
 
   val P31: Long = 2147483647L // 2^31 - 1 (Mersenne prime)
 
+  /** df-cap for the exact Jaccard shingle join: a shingle present in more
+    * than this many documents is a stop-shingle — it contributes O(df²)
+    * pairs to the inverted-index self-join while carrying no
+    * discriminative signal. Dropping it bounds the join at
+    * output-linear × maxDf. The oracle SQL embeds the same constant. */
+  val JaccardMaxDf = 100
+
+  /** The signature kernels are CPU-bound (md5 per shingle): when the
+    * source arrives in fewer splits than cores (one small file), spread
+    * it. When the source already has ≥ parallelism partitions — any real
+    * 100 TB input — this is an identity, NOT a full shuffle of the
+    * largest table in the pipeline. */
+  private def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** MinHash permutation parameters — generated deterministically; the
     * SQL oracle embeds the same constants. */
   def permParams(numPerms: Int): Seq[(Long, Long)] =
@@ -41,10 +58,7 @@ object Dedup {
     * predicate never recomputes the signature. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       numPerms: Int): DataFrame = {
-    // the md5 digests are CPU-bound: spread them over all cores even
-    // when the source is a single small file split
-    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    val sig = spread
+    val sig = spread(docs)
       .filter(size(TextOps.tokens(col(textCol))) >= 3) // ⇔ has ≥1 shingle
       .select(col(idCol),
         graft.plans.MinHashSig(
@@ -83,11 +97,21 @@ object Dedup {
     * computes the identical hash, so any collision affects both sides
     * equally): returns (d1, d2, inter, sz1, sz2) for pairs with ≥ 1
     * shared shingle; jaccard = inter / (sz1 + sz2 - inter). */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val sh = docs
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
+      maxDf: Int = JaccardMaxDf): DataFrame = {
+    val sh0 = docs
       .select(col(idCol),
         explode(graft.plans.NGramMd5(TextOps.tokens(col(textCol)), n, 8)).as("sh"))
       .distinct()
+    // df-cap (see JaccardMaxDf): one window count over the sh partition —
+    // the same shuffle key the pair join needs anyway, so the cap costs
+    // no extra exchange structure while removing the quadratic blow-up
+    // on stop-shingles
+    val sh = sh0
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+      .filter(col("df") <= maxDf)
+      .drop("df")
       .localCheckpoint(true) // consumed 3× (sizes + both join sides)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val pairs = sh.select(col("sh"), col(idCol).as("d1"))
@@ -110,8 +134,7 @@ object Dedup {
     * ([[graft.plans.SimHashBits]] — round 1 ran 60 interpreted
     * `aggregate()` HOFs per row). */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    spread.select(col(idCol),
+    spread(docs).select(col(idCol),
       graft.plans.SimHashBits(
         graft.plans.NGramMd5(TextOps.tokens(col(textCol)), 1, 15),
         SimBits).as("simhash"))

@@ -39,8 +39,9 @@ object GraphLoader {
   val OrderOff = 10000000L
 
   /** Keyspace guard: max(source key) + offset must stay strictly below
-    * the next label's offset. One `max()` per table — parquet footer
-    * statistics make these metadata-only scans. */
+    * the next label's offset. One single-column `max()` per table (a
+    * full column scan by default; enable
+    * `spark.sql.parquet.aggregatePushDown` to make it footer-stats-only). */
   def assertDisjointIds(spark: SparkSession, dir: String): Unit = {
     val ranges = Seq(
       ("region", "r_regionkey", RegionOff, NationOff),
@@ -50,11 +51,14 @@ object GraphLoader {
       ("part", "p_partkey", PartOff, OrderOff),
       ("orders", "o_orderkey", OrderOff, Long.MaxValue))
     ranges.foreach { case (tbl, key, off, next) =>
-      val mx = table(spark, dir, tbl)
-        .agg(max(col(key).cast(LongType))).head.getLong(0)
-      require(mx + off < next,
-        s"node-id keyspace overflow: $tbl.$key max $mx + offset $off >= next offset $next " +
-          "— switch to label-bits-in-high-bits ids for this scale")
+      val row = table(spark, dir, tbl)
+        .agg(max(col(key).cast(LongType))).head
+      if (!row.isNullAt(0)) { // empty table ⇒ no keys ⇒ trivially disjoint
+        val mx = row.getLong(0)
+        require(mx + off < next,
+          s"node-id keyspace overflow: $tbl.$key max $mx + offset $off >= next offset $next " +
+            "— switch to label-bits-in-high-bits ids for this scale")
+      }
     }
   }
 

@@ -43,13 +43,18 @@ object LlmQueries {
       Some("""SELECT CAST(min(doc_id) AS BIGINT) AS keeper,
         CAST(count(*) AS BIGINT) AS n_copies FROM documents GROUP BY text""")),
 
-    // exact n-gram Jaccard via shingle inverted-index join
+    // exact n-gram Jaccard via shingle inverted-index join, df-capped:
+    // shingles in > JaccardMaxDf docs are stop-shingles dropped BEFORE
+    // the self-join (they cost O(df²) pairs and carry no signal)
     Q("dedup_ngram_jaccard",
       (s, d) => Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 3)
         .filter(col("inter") / (col("sz1") + col("sz2") - col("inter")) >= 0.22)
         .select(col("d1"), col("d2"), col("inter"), col("sz1"), col("sz2")),
-      Some(s"""WITH sh AS (SELECT DISTINCT doc_id, ${sqlMd5Hash32("sh")} AS sh
+      Some(s"""WITH sh0 AS (SELECT DISTINCT doc_id, ${sqlMd5Hash32("sh")} AS sh
           FROM ($sqlShingles3) raw),
+        sh AS (SELECT doc_id, sh FROM (SELECT doc_id, sh,
+            count(*) OVER (PARTITION BY sh) AS df FROM sh0) f
+          WHERE df <= ${Dedup.JaccardMaxDf}),
         sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
         pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS inter
           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id

@@ -94,7 +94,7 @@ object WindowQueries {
         .select(col("user_id"),
           date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           col("n_events"), col("sum_value")),
-      Some(s"""WITH o AS (SELECT user_id, ts, value,
+      Some(s"""WITH o AS (SELECT user_id, event_id, ts, value,
           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '30 minutes'
             THEN 1 ELSE 0 END AS brk FROM events),
