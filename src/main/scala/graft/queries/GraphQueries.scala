@@ -180,6 +180,33 @@ object GraphQueries {
           JOIN nation ON n_nationkey = nk WHERE n_name < 'N'
           GROUP BY n_regionkey""")),
 
+    // §2.B.3 — unbounded TRAVERSE (no depth bound): run to fixpoint down
+    // the purchase chain Customer -PLACED-> Order -CONTAINS-> Part
+    // -SUPPLIED_BY-> Supplier; the loop drains at depth 3 on its own.
+    // Oracle = DuckDB recursive CTE over the same edge relation.
+    Q("traverse_unbounded",
+      (s, d) => {
+        val g = graph(s, d)
+        g.traverseUnbounded(g.nodesOf("Customer"),
+            Seq("PLACED", "CONTAINS", "SUPPLIED_BY"), "out")
+          .groupBy(col("depth"))
+          .agg(count(lit(1)).as("cnt"), countDistinct(col("node_id")).as("n_nodes"))
+      },
+      Some(s"""WITH RECURSIVE e AS (
+          SELECT DISTINCT CAST(o_custkey + $CustomerOff AS BIGINT) AS src,
+            CAST(o_orderkey + $OrderOff AS BIGINT) AS dst FROM orders
+          UNION SELECT DISTINCT CAST(l_orderkey + $OrderOff AS BIGINT),
+            CAST(l_partkey + ${GraphLoader.PartOff} AS BIGINT) FROM lineitem
+          UNION SELECT DISTINCT CAST(l_partkey + ${GraphLoader.PartOff} AS BIGINT),
+            CAST(l_suppkey + ${GraphLoader.SupplierOff} AS BIGINT) FROM lineitem),
+        r AS (
+          SELECT CAST(c_custkey + $CustomerOff AS BIGINT) AS start_id,
+            CAST(c_custkey + $CustomerOff AS BIGINT) AS node_id, 0 AS depth FROM customer
+          UNION SELECT r.start_id, e.dst, r.depth + 1 FROM r JOIN e ON e.src = r.node_id)
+        SELECT depth, CAST(count(*) AS BIGINT) AS cnt,
+          CAST(count(DISTINCT node_id) AS BIGINT) AS n_nodes
+        FROM r GROUP BY depth""")),
+
     // GraphX — landmark shortest paths (shortestPath(a,b) equivalent):
     // distance from every Customer to its Region along the hierarchy
     Q("shortest_path_region",

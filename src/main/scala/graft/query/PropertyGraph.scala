@@ -52,13 +52,7 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     */
   def traverse(startNodes: DataFrame, edgeLabels: Seq[String], direction: String,
       maxDepth: Int, whileNode: Column = lit(true)): DataFrame = {
-    val es = edges.filter(col("label").isin(edgeLabels: _*))
-    val hop = direction match {
-      case "out" => es.select(col("src").as("from"), col("dst").as("to"))
-      case "in" => es.select(col("dst").as("from"), col("src").as("to"))
-      case "both" => es.select(col("src").as("from"), col("dst").as("to"))
-        .unionByName(es.select(col("dst").as("from"), col("src").as("to")))
-    }
+    val hop = hopRelation(edgeLabels, direction)
     // nodes passing the while-guard (joined to decide expansion)
     val expandable = nodes.filter(whileNode).select(col("id").as("node_id"))
     var frontier = startNodes.select(col("id").as("start_id"), col("id").as("node_id"),
@@ -78,6 +72,55 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
         Seq("start_id", "node_id"), "left_anti")
       if (d % 3 == 0) frontier = frontier.localCheckpoint()
       visited = visited.unionByName(frontier)
+    }
+    visited
+  }
+
+  private def hopRelation(edgeLabels: Seq[String], direction: String): DataFrame = {
+    val es = edges.filter(col("label").isin(edgeLabels: _*))
+    direction match {
+      case "out" => es.select(col("src").as("from"), col("dst").as("to"))
+      case "in" => es.select(col("dst").as("from"), col("src").as("to"))
+      case "both" => es.select(col("src").as("from"), col("dst").as("to"))
+        .unionByName(es.select(col("dst").as("from"), col("src").as("to")))
+    }
+  }
+
+  /** Unbounded `TRAVERSE … [WHILE <pred>]` (SURVEY §2.B.3): breadth-first
+    * expansion run to FIXPOINT — the loop ends when the frontier is
+    * empty, no depth bound required. Termination is guaranteed on any
+    * graph, cyclic or not, because the frontier is left-anti-joined
+    * against the visited set each step: (start, node) pairs are visited
+    * at most once and the node set is finite, so the visited relation
+    * grows strictly until the frontier drains. Each iteration is
+    * materialized via `localCheckpoint` (lineage would otherwise grow
+    * unboundedly — on a cluster, substitute a reliable `checkpoint`);
+    * the per-step emptiness probe is a count over the just-materialized
+    * blocks, not a recompute. Semantics match [[traverse]]: guarded
+    * nodes are reported but not expanded; the start frontier always
+    * expands; depth = minimal reach depth.
+    */
+  def traverseUnbounded(startNodes: DataFrame, edgeLabels: Seq[String],
+      direction: String, whileNode: Column = lit(true)): DataFrame = {
+    val hop = hopRelation(edgeLabels, direction).localCheckpoint(true) // reused every depth
+    val expandable = nodes.filter(whileNode).select(col("id").as("node_id"))
+      .localCheckpoint(true)
+    var frontier = startNodes.select(col("id").as("start_id"), col("id").as("node_id"),
+      lit(0).as("depth")).localCheckpoint(true)
+    var visited = frontier
+    var d = 0
+    while (!frontier.isEmpty) {
+      d += 1
+      val expanding =
+        if (d == 1) frontier // the start frontier always expands
+        else frontier.join(expandable, Seq("node_id"), "left_semi")
+      val next = expanding.join(hop, expanding("node_id") === hop("from"))
+        .select(col("start_id"), col("to").as("node_id"), lit(d).as("depth"))
+        .distinct()
+      frontier = next.join(visited.select("start_id", "node_id"),
+        Seq("start_id", "node_id"), "left_anti").localCheckpoint(true)
+      visited = visited.unionByName(frontier)
+      if (d % 8 == 0) visited = visited.localCheckpoint(true)
     }
     visited
   }

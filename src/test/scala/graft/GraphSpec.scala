@@ -83,6 +83,64 @@ class GraphSpec extends SparkSpec {
     assert(prof.length == 3 && prof(0).getLong(1) >= prof(1).getLong(1))
   }
 
+  test("traverseUnbounded terminates on a cyclic graph with minimal depths") {
+    import spark.implicits._
+    val n = Seq((1L, "N"), (2L, "N"), (3L, "N"), (4L, "N")).toDF("id", "label")
+    val e = Seq((1L, 2L, "E"), (2L, 3L, "E"), (3L, 1L, "E"), (3L, 4L, "E"))
+      .toDF("src", "dst", "label")
+    val pg = PropertyGraph(n, e)
+    val t = pg.traverseUnbounded(n.filter(col("id") === 1), Seq("E"), "out")
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    // 1→2→3→{1 (already visited), 4}: the cycle back to 1 must not loop
+    assert(t == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("traverseUnbounded while-guard stops expansion through guarded nodes") {
+    import spark.implicits._
+    val n = Seq((1L, "N"), (2L, "N"), (3L, "N"), (4L, "N")).toDF("id", "label")
+    val e = Seq((1L, 2L, "E"), (2L, 3L, "E"), (3L, 4L, "E")).toDF("src", "dst", "label")
+    val pg = PropertyGraph(n, e)
+    val t = pg.traverseUnbounded(n.filter(col("id") === 1), Seq("E"), "out",
+      whileNode = col("id") =!= 3)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    // node 3 is reported but not expanded; 4 stays unreached
+    assert(t == Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  test("traverseUnbounded reaches the bounded fixpoint on the acyclic hierarchy") {
+    val bounded = g.traverse(g.nodesOf("Region"), Seq("IN_REGION", "IN_NATION"), "in", 2)
+    val unbounded = g.traverseUnbounded(g.nodesOf("Region"), Seq("IN_REGION", "IN_NATION"), "in")
+    assert(unbounded.count() == bounded.count())
+    assert(unbounded.exceptAll(bounded).count() == 0)
+  }
+
+  test("PageRank matches a driver-side power iteration (independent cross-check)") {
+    // replicate GraphX staticPageRank semantics exactly: rank0 = 1.0;
+    // rank' = reset + (1-reset) * Σ_in rank(src)/outDeg(src) for EVERY
+    // vertex (dangling mass is dropped, parallel edges each contribute)
+    val sub = PropertyGraph(
+      g.nodes.filter(col("label").isin("Region", "Nation")),
+      g.edges.filter(col("label") === "IN_REGION"))
+    val ids = sub.nodes.select("id").collect().map(_.getLong(0))
+    val es = sub.edges.select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val outDeg = es.groupBy(_._1).map { case (k, v) => k -> v.length }
+    var rank = ids.map(_ -> 1.0).toMap
+    (1 to 5).foreach { _ =>
+      val contrib = es.groupBy(_._2).map { case (dst, in) =>
+        dst -> in.map { case (src, _) => rank(src) / outDeg(src) }.sum
+      }
+      rank = ids.map(id => id -> (0.15 + 0.85 * contrib.getOrElse(id, 0.0))).toMap
+    }
+    // GraphX renormalizes the final ranks to sum to |V| (SPARK-18847:
+    // sinks drop mass; the normalization restores the invariant)
+    val scale = ids.length / rank.values.sum
+    rank = rank.map { case (id, r) => id -> r * scale }
+    val gx = GraphXBridge.pageRank(spark, sub, 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gx.keySet == rank.keySet)
+    rank.foreach { case (id, r) => assert(math.abs(gx(id) - r) < 1e-9, s"vertex $id") }
+  }
+
   test("PageRank is stable across runs (fixed iterations, up to float reduce order)") {
     // message combining reduces doubles in nondeterministic partition
     // order, so runs agree only to ~1e-12 relative — which is why the
