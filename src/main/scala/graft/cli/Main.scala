@@ -43,8 +43,10 @@ object Main {
   }
 
   /** Register per-label temp views (the catalog surface of §2.B.1 type
-    * scans): `nodes_<Label>` / `edges_<Label>` plus the raw frames. */
-  def serve(spark: SparkSession, outDir: String, sfDir: Option[String]): Unit = {
+    * scans): `nodes_<Label>` / `edges_<Label>` plus the raw frames.
+    * Returns the served graph (for the GraphQL endpoint). */
+  def serve(spark: SparkSession, outDir: String,
+      sfDir: Option[String]): graft.query.PropertyGraph = {
     sfDir.foreach { d =>
       val ck = java.nio.file.Paths.get(s"$outDir/checksum.txt")
       if (!Checksum.isFresh(ck, java.nio.file.Paths.get(d)))
@@ -62,6 +64,23 @@ object Main {
       .createOrReplaceTempView(s"edges_$l"))
     println(s"[graft] serving ${gs.nodeLabels.size} node labels and " +
       s"${gs.edgeLabels.size} edge labels from $outDir as temp views")
+    graft.query.PropertyGraph(nodes, edges)
+  }
+
+  /** `serve`/`create-serve` with a port argument starts the HTTP/JSON
+    * endpoint (the reference's `--start`, `ArcadeDBService.java:58`)
+    * and blocks until killed. */
+  private def serveHttp(spark: SparkSession, outDir: String, sfDir: Option[String],
+      port: Int): Unit = {
+    val g = serve(spark, outDir, sfDir)
+    val started = graft.server.QueryServer.start(spark, port, Some(g))
+    println(s"[graft] HTTP endpoint on port ${started.port}: POST /api/v1/query/graft")
+    val lock = new Object
+    lock.synchronized { lock.wait() } // serve until the process is killed
+  }
+
+  private object Port {
+    def unapply(s: String): Option[Int] = s.toIntOption
   }
 
   def main(args: Array[String]): Unit = {
@@ -70,10 +89,13 @@ object Main {
     args.toList match {
       case "create" :: sfDir :: outDir :: Nil => create(spark, sfDir, outDir)
       case "serve" :: outDir :: Nil => serve(spark, outDir, None)
+      case "serve" :: outDir :: Port(p) :: Nil => serveHttp(spark, outDir, None, p)
       case "create-serve" :: sfDir :: outDir :: Nil =>
         create(spark, sfDir, outDir); serve(spark, outDir, Some(sfDir))
+      case "create-serve" :: sfDir :: outDir :: Port(p) :: Nil =>
+        create(spark, sfDir, outDir); serveHttp(spark, outDir, Some(sfDir), p)
       case _ =>
-        System.err.println("usage: create <sfDir> <outDir> | serve <outDir> | create-serve <sfDir> <outDir>")
+        System.err.println("usage: create <sfDir> <outDir> | serve <outDir> [port] | create-serve <sfDir> <outDir> [port]")
         sys.exit(2)
     }
     spark.stop()

@@ -180,6 +180,20 @@ object GraphQueries {
           JOIN nation ON n_nationkey = nk WHERE n_name < 'N'
           GROUP BY n_regionkey""")),
 
+    // GraphQL read surface (reference's second query language,
+    // src/pom.xml:109-113): label query + nested 1-hop relationship
+    // field, compiled onto the same Traversal join as hop_out — the
+    // GraphQL layer adds zero execution machinery
+    Q("graphql_hop",
+      (s, d) => graft.query.GraphQl.compile(graph(s, d),
+        """{ Customer(mktsegment: "BUILDING") {
+             name acctbal
+             orders: out_PLACED { totalprice status } } }"""),
+      Some("""SELECT c_name AS name, c_acctbal AS acctbal,
+        o_totalprice AS orders_totalprice, o_orderstatus AS orders_status
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'""")),
+
     // §2.B.3 — unbounded TRAVERSE (no depth bound): run to fixpoint down
     // the purchase chain Customer -PLACED-> Order -CONTAINS-> Part
     // -SUPPLIED_BY-> Supplier; the loop drains at depth 3 on its own.

@@ -161,6 +161,26 @@ final case class Traversal(g: PropertyGraph, bound: DataFrame, cur: String) {
     Traversal(g, joined, as)
   }
 
+  /** Label-untyped hops (the GraphQL surface: an edge label determines
+    * its endpoints by construction, so the target node set is joined
+    * without a label filter — same join shape, one filter fewer). */
+  def outAny(edgeLabel: String, as: String): Traversal = hopAny(edgeLabel, as, reverse = false)
+  def inAny(edgeLabel: String, as: String): Traversal = hopAny(edgeLabel, as, reverse = true)
+  def bothAny(edgeLabel: String, as: String): Traversal = {
+    val o = hopAny(edgeLabel, as, reverse = false)
+    val i = hopAny(edgeLabel, as, reverse = true)
+    copy(bound = o.bound.unionByName(i.bound), cur = as)
+  }
+
+  private def hopAny(edgeLabel: String, as: String, reverse: Boolean): Traversal = {
+    val (fromCol, toCol) = if (reverse) ("dst", "src") else ("src", "dst")
+    val eSel = prefixed(g.edgesOf(edgeLabel), s"${as}_e")
+    val joinedE = bound.join(eSel,
+      bound(s"${cur}_id") === eSel(s"${as}_e_$fromCol"))
+    val n = prefixed(g.nodes, as)
+    Traversal(g, joinedE.join(n, joinedE(s"${as}_e_$toCol") === n(s"${as}_id")), as)
+  }
+
   /** `outE('L')`: stop at the edge level (SURVEY §2.B.3 edge-level hop);
     * edge columns prefixed `<as>_`. */
   def outE(edgeLabel: String, as: String): Traversal = {

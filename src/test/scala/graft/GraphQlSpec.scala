@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.load.GraphLoader
+import graft.query.{GraphQl, PropertyGraph}
+
+/** GraphQL surface (SURVEY §2.B GraphQL row): the compiled plan must be
+  * the same joins as the equivalent Traversal — GraphQL adds parsing,
+  * not execution. */
+class GraphQlSpec extends SparkSpec {
+
+  lazy val g = PropertyGraph(GraphLoader.nodes(spark, sfDir), GraphLoader.edges(spark, sfDir))
+
+  test("nested hop query is bag-equal to the hand-built Traversal join") {
+    val viaGql = GraphQl.compile(g,
+      """{ Customer(mktsegment: "BUILDING") {
+           name acctbal orders: out_PLACED { totalprice status } } }""")
+    val viaTraversal = g.v("Customer", "c")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .out("PLACED", "Order", "o").result
+      .select(col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+        col("o_totalprice").as("orders_totalprice"), col("o_status").as("orders_status"))
+    assert(viaGql.columns.toSeq ==
+      Seq("name", "acctbal", "orders_totalprice", "orders_status"))
+    assert(viaGql.count() == viaTraversal.count())
+    assert(viaGql.exceptAll(viaTraversal).count() == 0)
+    assert(viaTraversal.exceptAll(viaGql).count() == 0)
+    // the plan is the traversal's: an equi-join, no extra machinery
+    val plan = viaGql.queryExecution.executedPlan.toString
+    assert(plan.contains("Join") || plan.contains("BroadcastHashJoin"))
+  }
+
+  test("in_ hop, hop args, and sibling hops from the same binding") {
+    val df = GraphQl.compile(g,
+      """query { Region { name nations: in_IN_REGION(name: "NATION_7") { name } } }""")
+    val rows = df.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(df.columns.indexOf("nations_name")) == "NATION_7")
+
+    // two sibling hops both start from the root binding, not from each other
+    val sib = GraphQl.compile(g,
+      """{ Nation(name: "NATION_7") {
+           name r: out_IN_REGION { name } members: in_IN_NATION { name } } }""")
+    assert(sib.columns.toSeq == Seq("name", "r_name", "members_name"))
+    // every member row carries the same region name (cross of 1 region × members)
+    assert(sib.select("r_name").distinct().count() == 1)
+    assert(sib.count() > 0)
+  }
+
+  test("scalar-only query with numeric argument filter") {
+    val df = GraphQl.compile(g, """{ Part(psize: 1) { name brand psize } }""")
+    assert(df.columns.toSeq == Seq("name", "brand", "psize"))
+    assert(df.filter(col("psize") =!= 1).count() == 0)
+    assert(df.count() ==
+      g.nodesOf("Part").filter(col("psize") === 1).count())
+  }
+
+  test("parser rejects malformed documents") {
+    intercept[IllegalArgumentException](GraphQl.parse("{ Customer { name }")) // unbalanced
+    intercept[IllegalArgumentException](GraphQl.parse("Customer { name }"))   // no braces
+    intercept[IllegalArgumentException](GraphQl.parse("{ A { x } B { y } }")) // two roots
+    intercept[IllegalArgumentException](GraphQl.parse("{ A(k:) { x } }"))     // bad arg
+    intercept[IllegalArgumentException](
+      GraphQl.compile(g, "{ Customer { out_PLACED } }")) // hop without selections
+  }
+}
