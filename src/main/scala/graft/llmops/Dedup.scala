@@ -97,21 +97,27 @@ object Dedup {
     * computes the identical hash, so any collision affects both sides
     * equally): returns (d1, d2, inter, sz1, sz2) for pairs with ≥ 1
     * shared shingle; jaccard = inter / (sz1 + sz2 - inter). */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
-      maxDf: Int = JaccardMaxDf): DataFrame = {
-    val sh0 = docs
+  /** The df-capped distinct (doc, shingle-hash) set — the jaccard
+    * pipeline's map stage, exposed separately so PlanAudit can assert
+    * its plan (the checkpoint in [[jaccardPairs]] hides it from the
+    * final query's explain). The df-cap (see [[JaccardMaxDf]]) is one
+    * window count over the sh partition — the same shuffle key the pair
+    * join needs anyway, so the cap costs no extra exchange structure
+    * while removing the quadratic blow-up on stop-shingles. */
+  def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int,
+      maxDf: Int): DataFrame =
+    docs
       .select(col(idCol),
         explode(graft.plans.NGramMd5(TextOps.tokens(col(textCol)), n, 8)).as("sh"))
       .distinct()
-    // df-cap (see JaccardMaxDf): one window count over the sh partition —
-    // the same shuffle key the pair join needs anyway, so the cap costs
-    // no extra exchange structure while removing the quadratic blow-up
-    // on stop-shingles
-    val sh = sh0
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
       .filter(col("df") <= maxDf)
       .drop("df")
+
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
+      maxDf: Int = JaccardMaxDf): DataFrame = {
+    val sh = shingleSet(docs, idCol, textCol, n, maxDf)
       .localCheckpoint(true) // consumed 3× (sizes + both join sides)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val pairs = sh.select(col("sh"), col(idCol).as("d1"))

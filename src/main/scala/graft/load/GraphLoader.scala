@@ -233,6 +233,67 @@ object GraphLoader {
     }
   }
 
+  /** DML append sinks (SURVEY §2.B.1 DML row): the reference's HTTP API
+    * accepts record inserts (`INSERT INTO` / `CREATE VERTEX/EDGE`); the
+    * Spark-native parity is a validated batch append onto the persisted
+    * store. Invariants enforced BEFORE any bytes land (an invalid batch
+    * leaves the store untouched):
+    *  - new node ids must not collide with existing ids (one semi-join);
+    *  - UNIQUE indexes must still hold over existing ∪ batch (A15
+    *    re-validation, null-skip/array-skip semantics unchanged);
+    *  - new edges must resolve both endpoints against existing ∪ batch
+    *    nodes (A13); dangling edges are rejected, not dropped silently.
+    * Columns are aligned to the store schema (missing → typed nulls) so
+    * appended footers agree with existing ones. Scale: append cost is
+    * O(batch) + the validation joins — no rewrite of existing data
+    * (partition dirs receive new files only).
+    */
+  def appendNodes(spark: SparkSession, outDir: String, newNodes: DataFrame): Unit = {
+    val existing = spark.read.parquet(s"$outDir/nodes")
+    val batch = alignTo(newNodes, existing)
+    val dupIds = batch.join(existing.select("id"), Seq("id"), "left_semi")
+    require(dupIds.isEmpty, {
+      val sample = dupIds.select("id").limit(5).collect().map(_.getLong(0)).mkString(", ")
+      s"append rejected: node ids already exist (e.g. $sample)"
+    })
+    val gs = GraphSchema.fromJson(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$outDir/schema.json")))
+    val viol = validateUnique(existing.unionByName(batch),
+      spark.read.parquet(s"$outDir/edges"), gs)
+    require(viol.isEmpty, {
+      val sample = viol.limit(5).collect()
+        .map(r => s"${r.getString(0)}.${r.getString(1)}=${r.getString(2)}").mkString(", ")
+      s"append rejected: UNIQUE violation(s): $sample"
+    })
+    batch.write.mode("append").partitionBy("label").parquet(s"$outDir/nodes")
+  }
+
+  def appendEdges(spark: SparkSession, outDir: String, newEdges: DataFrame): Unit = {
+    val nodes = spark.read.parquet(s"$outDir/nodes")
+    val existing = spark.read.parquet(s"$outDir/edges")
+    val batch = alignTo(newEdges, existing)
+    val (resolved, dangling) = resolveEdges(nodes, batch)
+    require(dangling.isEmpty, {
+      val sample = dangling.select("src", "dst").limit(5).collect()
+        .map(r => s"(${r.getLong(0)}→${r.getLong(1)})").mkString(", ")
+      s"append rejected: dangling edge endpoint(s): $sample"
+    })
+    resolved.write.mode("append").partitionBy("label").parquet(s"$outDir/edges")
+  }
+
+  /** Project `df` onto `target`'s schema: shared columns cast to the
+    * store type, missing columns become typed nulls. Extra columns are
+    * an error (the store schema is declared, A5). */
+  private def alignTo(df: DataFrame, target: DataFrame): DataFrame = {
+    val extra = df.columns.toSet -- target.columns.toSet
+    require(extra.isEmpty, s"append rejected: unknown column(s) ${extra.mkString(", ")}")
+    val have = df.columns.toSet
+    df.select(target.schema.fields.toSeq.map { f =>
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
   /** A11/A14/A16 — persist the graph: parquet partitioned by label
     * (partition pruning replaces the per-label bucket layout), overwrite
     * mode (the reference deletes and rebuilds, `ArcadeDBService.java:112-122`),

@@ -54,6 +54,39 @@ class LlmSpec extends SparkSpec {
     assert(r.getAs[Long]("inter") == r.getAs[Long]("sz1"))
   }
 
+  test("signature paths do not shuffle a source that is already spread") {
+    // wide source (≥ defaultParallelism partitions): the signature plan
+    // must contain NO exchange — at 100 TB this would be a full shuffle
+    // of the largest input
+    val wide = spark.range(0, 200, 1, spark.sparkContext.defaultParallelism)
+      .select($"id".as("doc_id"),
+        concat_ws(" ", lit("tok"), $"id", lit("a b c d e")).as("text"))
+    val widePlan = Dedup.minhashSignatures(wide, "doc_id", "text", 16)
+      .queryExecution.executedPlan.toString
+    assert(!widePlan.contains("Exchange"), widePlan)
+    // narrow source (1 partition): the spread kicks in to use all cores
+    val narrow = spark.range(0, 200, 1, 1)
+      .select($"id".as("doc_id"),
+        concat_ws(" ", lit("tok"), $"id", lit("a b c d e")).as("text"))
+    val narrowPlan = Dedup.simhash(narrow, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(narrowPlan.contains("Exchange"), narrowPlan)
+  }
+
+  test("jaccard df-cap drops stop-shingles before the pair join") {
+    // 12 docs share the stop-shingle "the same prefix"; with maxDf=8 the
+    // hot shingle contributes no pairs, the rare one still matches
+    val d = ((1 to 12).map(i => (i.toLong, s"the same prefix unique$i tail$i")) ++
+      Seq((100L, "rare pair shingle x y"), (101L, "rare pair shingle z w")))
+      .toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(d, "doc_id", "text", 3, maxDf = 8)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)))
+    // uncapped finds the quadratic 12-choose-2 pairs too
+    val uncapped = Dedup.jaccardPairs(d, "doc_id", "text", 3, maxDf = Int.MaxValue)
+    assert(uncapped.count() == 12L * 11 / 2 + 1)
+  }
+
   test("simhash: identical docs → hamming 0; pairs found via banding") {
     val d = Seq((1L, "spark scan join filter window group by hash"),
       (2L, "spark scan join filter window group by hash"),

@@ -103,6 +103,50 @@ class LoadSpec extends SparkSpec {
     assert(e1.exceptAll(e0).count() == 0 && e0.exceptAll(e1).count() == 0)
   }
 
+  test("DML append: validated batch append preserves A13/A15 invariants") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graftapp").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    val n0 = spark.read.parquet(s"$out/nodes").count()
+    val e0 = spark.read.parquet(s"$out/edges").count()
+
+    // valid node append: aligned to store schema, fresh id, unique name
+    val newNode = Seq((1999999L, "Customer", "Customer#fresh", 12.5, "BUILDING"))
+      .toDF("id", "label", "name", "acctbal", "mktsegment")
+    GraphLoader.appendNodes(spark, out, newNode)
+    val nodes = spark.read.parquet(s"$out/nodes")
+    assert(nodes.count() == n0 + 1)
+    assert(nodes.filter(col("id") === 1999999L).select("mktsegment")
+      .head.getString(0) == "BUILDING")
+    // unique_validation still green after the append (the verdict's gate)
+    assert(GraphLoader.validateUnique(nodes,
+      spark.read.parquet(s"$out/edges"), GraphLoader.schema).isEmpty)
+
+    // valid edge append: both endpoints resolve (new customer → nation 107)
+    GraphLoader.appendEdges(spark, out,
+      Seq((1999999L, 107L, "IN_NATION")).toDF("src", "dst", "label"))
+    assert(spark.read.parquet(s"$out/edges").count() == e0 + 1)
+
+    // rejected: id collision with the row just appended
+    intercept[IllegalArgumentException](GraphLoader.appendNodes(spark, out, newNode))
+    // rejected: UNIQUE(Customer.name) violation against existing data
+    val existingName = nodes.filter(col("label") === "Customer")
+      .orderBy("id").select("name").head.getString(0)
+    intercept[IllegalArgumentException](GraphLoader.appendNodes(spark, out,
+      Seq((1999998L, "Customer", existingName, 0.0, "AUTOMOBILE"))
+        .toDF("id", "label", "name", "acctbal", "mktsegment")))
+    // rejected: dangling edge endpoint
+    intercept[IllegalArgumentException](GraphLoader.appendEdges(spark, out,
+      Seq((777L, 107L, "IN_NATION")).toDF("src", "dst", "label")))
+    // rejected: column not in the declared store schema
+    intercept[IllegalArgumentException](GraphLoader.appendNodes(spark, out,
+      Seq((1999997L, "Customer", "x")).toDF("id", "label", "no_such_prop")))
+
+    // every rejection left the store untouched
+    assert(spark.read.parquet(s"$out/nodes").count() == n0 + 1)
+    assert(spark.read.parquet(s"$out/edges").count() == e0 + 1)
+  }
+
   test("A16/A17: writeGraph persists partitioned layout + schema + checksum") {
     val out = Files.createTempDirectory("graftout").toString
     GraphLoader.writeGraph(spark, sfDir, out)
