@@ -69,6 +69,56 @@ object Similarity {
       when(dot(vec, plane) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF coarse-quantizer cell id: the argmax-cosine centroid, ties to
+    * the smallest centroid id. ONE projection over broadcast-literal
+    * centroids — the assignment pass is map-only (no shuffle, no join),
+    * which is the property that matters when assigning 100 TB of
+    * vectors. */
+  def ivfCell(vec: Column, centroids: Seq[(Long, Seq[Double])]): Column =
+    -array_max(array(centroids.map { case (cid, cv) =>
+      struct(cosine(vec, array(cv.map(lit): _*)).as("c"), lit(-cid).as("negid"))
+    }: _*)).getField("negid")
+
+  /** The query-side probe list: the `nProbe` best cells by the same
+    * score, descending cosine with ascending-centroid tie-break. */
+  def ivfProbes(vec: Column, centroids: Seq[(Long, Seq[Double])], nProbe: Int): Column =
+    transform(
+      slice(reverse(array_sort(array(centroids.map { case (cid, cv) =>
+        struct(cosine(vec, array(cv.map(lit): _*)).as("c"), lit(-cid).as("negid"))
+      }: _*))), 1, nProbe),
+      x => -x("negid"))
+
+  /** IVF (inverted-file) ANN — the second approximate scale path next
+    * to [[annTopK]]'s hyperplane LSH. Centroids are the first
+    * `nCentroids` vectors by id: deterministic sampling stands in for
+    * k-means refinement (whose float iteration would break the
+    * bit-exact oracle); at production scale the centroid table would be
+    * trained offline and passed in the same way. Pipeline: map-only
+    * cell assignment ([[ivfCell]]), per-query probe of the `nProbe`
+    * nearest cells, exact cosine re-rank restricted to probed cells.
+    * Shuffles: ONE, partitioning candidates by qid for the top-k window
+    * — candidate volume is output-linear in cell occupancy, never
+    * O(Q·N). */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, nCentroids: Int,
+      nProbe: Int, queryIds: Seq[Long], k: Int): DataFrame = {
+    val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    // centroid table: config-sized (nCentroids × dim doubles), like the
+    // landmark list of shortestPathsTo — driver-held by design
+    val centroids = v.filter(col(idCol) < nCentroids).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val assigned = v.withColumn("cell", ivfCell(col("v"), centroids))
+    val probed = v.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), col("v").as("qv"))
+      .select(col("qid"), col("qv"),
+        explode(ivfProbes(col("qv"), centroids, nProbe)).as("cell"))
+    val cand = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol).as("nn"), cosine(col("qv"), col("v")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nn").asc)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Bucketed ANN: candidates share a bucket; exact cosine re-rank
     * within bucket. */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String, dim: Int,

@@ -146,6 +146,36 @@ object LlmQueries {
           (PARTITION BY qid ORDER BY cos DESC, nn) AS INTEGER) AS rank FROM s)
         SELECT qid, nn, rank, round(cos, 6) AS cos FROM r WHERE rank <= 10""")),
 
+    // IVF ANN: deterministic sampled centroids (vec_id < 16), map-only
+    // cell assignment, probe 4 cells/query, exact re-rank within cells
+    Q("sim_ivf_topk",
+      (s, d) => Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        16, 4, Seq(0L, 1L, 2L, 3L, 4L), 10)
+        .select(col("qid"), col("nn"), col("rank"), round(col("cos"), 6).as("cos")),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+        sc AS (SELECT vec_id, v, cid, list_dot_product(v, cv) /
+            (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS ccos
+          FROM v CROSS JOIN c),
+        cell AS (SELECT vec_id, v, cid AS cell FROM (
+            SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id
+              ORDER BY ccos DESC, cid ASC) AS rn FROM sc) t
+          WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id IN (0,1,2,3,4)),
+        qsc AS (SELECT qid, qv, cid, list_dot_product(qv, cv) /
+            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS ccos
+          FROM q CROSS JOIN c),
+        probes AS (SELECT qid, qv, cid AS cell FROM (
+            SELECT qid, qv, cid, row_number() OVER (PARTITION BY qid
+              ORDER BY ccos DESC, cid ASC) AS rn FROM qsc) t
+          WHERE rn <= 4),
+        cand AS (SELECT p.qid, m.vec_id AS nn, list_dot_product(p.qv, m.v) /
+            (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(m.v, m.v))) AS cos
+          FROM probes p JOIN cell m ON m.cell = p.cell AND m.vec_id <> p.qid),
+        r AS (SELECT qid, nn, cos, CAST(row_number() OVER (PARTITION BY qid
+          ORDER BY cos DESC, nn ASC) AS INTEGER) AS rank FROM cand)
+        SELECT qid, nn, rank, round(cos, 6) AS cos FROM r WHERE rank <= 10""")),
+
     // ANN scale path: random-hyperplane LSH bucket histogram (8 planes)
     Q("sim_ann_buckets",
       (s, d) => t(s, d, "embeddings")
@@ -240,6 +270,21 @@ object LlmQueries {
           ELSE list_reduce(list_transform(generate_series(1, length(text)),
             i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
             (a, x) -> (a * 31 + x) % ${TextOps.RollMod}) END AS roll
+        FROM documents""")),
+
+    // multimodal frame-sampling: byte-stride sample of the payload
+    // (fake kernel, real binary-in/binary-out plumbing); the oracle
+    // recomputes the stride sample from the text characters (the corpus
+    // is ASCII, so char positions == byte positions — same assumption
+    // multimodal_meta already relies on)
+    Q("multimodal_frames",
+      (s, d) => Multimodal.sampleBytes(
+          Multimodal.packAsMedia(t(s, d, "documents")), 4)
+        .select(col("media_id"), col("n_sampled"), md5(col("sampled")).as("fp")),
+      Some("""SELECT doc_id AS media_id,
+        CAST(len(generate_series(1, length(text), 4)) AS INTEGER) AS n_sampled,
+        md5(array_to_string(list_transform(generate_series(1, length(text), 4),
+          i -> substr(text, i, 1)), '')) AS fp
         FROM documents""")),
 
     // multimodal: binary payload + stub decode via mapPartitions — the

@@ -127,6 +127,28 @@ class LlmSpec extends SparkSpec {
     assert(top.filter($"rank" === 1).count() == 2)
   }
 
+  test("ivfTopK: probing all cells recovers brute force; fewer probes stay a subset") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qids = Seq(0L, 1L, 2L)
+    // nProbe == nCentroids ⇒ every candidate is scored ⇒ exact top-k
+    val full = Similarity.ivfTopK(emb, "vec_id", "embedding", 8, 8, qids, 5)
+      .select("qid", "nn", "rank").orderBy("qid", "rank").collect().map(_.toSeq)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, 5)
+      .select("qid", "nn", "rank").orderBy("qid", "rank").collect().map(_.toSeq)
+    assert(full.toSeq == brute.toSeq)
+    // partial probing returns ≤ k ranked rows per query from probed cells
+    val part = Similarity.ivfTopK(emb, "vec_id", "embedding", 8, 2, qids, 5)
+    assert(part.groupBy("qid").count().collect().forall(_.getLong(1) <= 5))
+    assert(part.count() > 0)
+    // the assignment pass is map-only: no exchange before the window
+    val assignPlan = emb
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("cell", Similarity.ivfCell($"v",
+        Seq((0L, Seq.fill(64)(0.5)), (1L, Seq.fill(64)(-0.5)))))
+      .queryExecution.executedPlan.toString
+    assert(!assignPlan.contains("Exchange"), assignPlan)
+  }
+
   test("annTopK: bucketed candidates are a subset re-ranked correctly") {
     val ann = Similarity.annTopK(spark.read.parquet(s"$sfDir/embeddings.parquet"),
       "vec_id", "embedding", 64, 8, 5)

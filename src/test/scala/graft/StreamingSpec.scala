@@ -53,6 +53,39 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup").count() == 2)
   }
 
+  test("flatMapGroupsWithState sessionization matches session_window semantics") {
+    import graft.streaming.EventRow
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val data = Seq(
+      Ev(ts(0), 1, "a", 1.25, 1), Ev(ts(10), 1, "a", 2.50, 2), // user1 session A
+      Ev(ts(60), 1, "a", 4.00, 3),                             // user1 session B (gap 50m)
+      Ev(ts(5), 2, "b", 0.75, 4))                              // user2 session
+    val q = EventsStream.sessionizeStateful(mem.toDF().as[EventRow], 30)
+      .writeStream.format("memory").queryName("statesessions")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    // two watermark advances: first moves the watermark past every
+    // lastTs+gap, second runs the timeout-firing batch
+    mem.addData(Ev(ts(600), 9, "noop", 0.0, 8)); q.processAllAvailable()
+    mem.addData(Ev(ts(700), 9, "noop", 0.0, 9)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("statesessions").filter($"user_id" =!= 9)
+      .select($"user_id", $"session_start", $"n_events", $"sum_value")
+      .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
+    // ground truth: the batch session_window over the same events
+    val batch = data.toDF()
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum((round($"value" * 100)).cast("long")) / lit(100.0)).as("sum_value"))
+      .select($"user_id", $"session_window.start".as("session_start"),
+        $"n_events", $"sum_value")
+      .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
+    assert(got == batch)
+    assert(got.length == 3)
+  }
+
   test("session windows merge events within the gap (streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
