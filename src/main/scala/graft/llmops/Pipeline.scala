@@ -1,0 +1,75 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline composition (SURVEY §2.B.12 north star): the
+  * corpus-prep operators a 100 TB pretraining job chains AFTER the
+  * per-document metrics — gating, deterministic sampling, shard
+  * packing. All decisions are pure column arithmetic (md5-seeded where
+  * randomness is wanted), so reruns are idempotent and the DuckDB
+  * oracle reproduces every decision bit-for-bit — the property that
+  * makes a data pipeline auditable.
+  */
+object Pipeline {
+
+  /** Corpus prep gate + exact dedup, the canonical prep chain:
+    * keep documents whose predicted language agrees with the label
+    * (cheap LID quality gate), whose token count is in bounds, then
+    * collapse exact duplicates keeping the smallest doc_id.
+    * Scale: gates are map-only; the dedup is ONE hash-agg shuffle on
+    * the text key. */
+  def prepCorpus(docs: DataFrame, minTokens: Int, maxTokens: Int): DataFrame =
+    docs
+      .withColumn("pred_lang", TextOps.predictLang(col("text")))
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))))
+      .filter(col("pred_lang") === col("lang") &&
+        col("n_tokens").between(minTokens, maxTokens))
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("lang"), col("doc_id")).as("lang"),
+        max(col("n_tokens")).as("n_tokens"), // constant within a text group
+        count(lit(1)).as("n_copies"))
+      .select("doc_id", "lang", "n_tokens", "n_copies")
+
+  /** Deterministic percent-bucket for an id: md5-fold of salt+id in
+    * [0, 100). Sampling by hash instead of rand() makes the sample
+    * stable across reruns and cluster sizes — rerunning the pipeline on
+    * the same corpus yields the same sample (idempotent backfills). */
+  def samplePct(id: Column, salt: String): Column =
+    TextOps.md5Hash32(concat(lit(salt), id.cast("string"))) % 100
+
+  /** Stratified sampling: per-stratum keep-rates (percent), e.g. keep
+    * 60% of "en", 20% of everything else — the data-mixing primitive.
+    * Map-only (no shuffle, no count pass). */
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Int], defaultPct: Int, salt: String): DataFrame = {
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (stratum, pct)) =>
+        when(col(stratumCol) === stratum, lit(pct)).otherwise(acc)
+    }
+    docs.withColumn("pct", samplePct(col(idCol), salt))
+      .withColumn("rate", rate)
+      .filter(col("pct") < col("rate"))
+  }
+
+  /** Token-budget shard assignment: within each stratum, documents are
+    * packed in id order into shards of ~`capTokens` tokens (a document
+    * lands in the shard its START offset falls into, the streaming-pack
+    * rule). One shuffle on the stratum key; at 100 TB the same plan
+    * holds with range partitioning on (stratum, id) so each executor
+    * owns contiguous shard ranges. */
+  def shardAssign(docs: DataFrame, idCol: String, stratumCol: String,
+      capTokens: Int): DataFrame = {
+    val w = Window.partitionBy(col("stratum")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), col(stratumCol).as("stratum"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"))
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("shard",
+        floor(col("start_offset").cast("double") / capTokens).cast("long"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.llmops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.llmops.{Dedup, Multimodal, Pipeline, Similarity, TextOps}
 import Qh._
 
 /** SURVEY §2.B.12 — the LLM-data-pipeline extension operators over the
@@ -24,6 +24,28 @@ object LlmQueries {
     sqlHexFold(s"md5($strExpr)", 8)
   private def sqlMd5Hash60(strExpr: String): String =
     sqlHexFold(s"md5($strExpr)", 15)
+
+  /** DuckDB twin of TextOps.predictLang as a CTE chain over `documents`
+    * (sequential argmax fold, one CTE per step, same order as Scala).
+    * `carry` columns flow through every step. Returns
+    * (cteChain, finalCteName, predLangColumn). */
+  private def sqlLangChain(carry: String): (String, String, String) = {
+    val hits = TextOps.LangMarkers.map { case (lang, m) =>
+      val lst = m.map(w => s"'$w'").mkString(",")
+      s"len(list_filter(string_split(text, ' '), x -> x IN ($lst))) AS h_$lang"
+    }.mkString(", ")
+    val langs = TextOps.LangMarkers.map(_._1)
+    val steps = langs.tail.zipWithIndex.map { case (lg, i) =>
+      val (pb, ps) = if (i == 0) (s"'${langs.head}'", s"h_${langs.head}")
+                     else (s"bl$i", s"bs$i")
+      s"""s${i + 1} AS (SELECT *,
+        CASE WHEN h_$lg > $ps THEN h_$lg ELSE $ps END AS bs${i + 1},
+        CASE WHEN h_$lg > $ps THEN '$lg' ELSE $pb END AS bl${i + 1}
+        FROM ${if (i == 0) "h" else s"s$i"})"""
+    }.mkString(", ")
+    (s"h AS (SELECT $carry, $hits FROM documents), $steps",
+      s"s${langs.size - 1}", s"bl${langs.size - 1}")
+  }
 
   // DuckDB twin of TextOps.shingles(text, 3) exploded per doc (scalar
   // generate_series → list → unnest; the lateral form can't take columns)
@@ -217,23 +239,54 @@ object LlmQueries {
         TextOps.predictLang(col("text")).as("pred_lang"),
         col("lang")),
       Some {
-        val hits = TextOps.LangMarkers.map { case (lang, m) =>
-          val lst = m.map(w => s"'$w'").mkString(",")
-          s"len(list_filter(string_split(text, ' '), x -> x IN ($lst))) AS h_$lang"
-        }.mkString(", ")
-        // sequential argmax fold, one CTE per step (same order as Scala)
-        val langs = TextOps.LangMarkers.map(_._1)
-        val steps = langs.tail.zipWithIndex.map { case (lg, i) =>
-          val (pb, ps) = if (i == 0) (s"'${langs.head}'", s"h_${langs.head}")
-                         else (s"bl$i", s"bs$i")
-          s"""s${i + 1} AS (SELECT *,
-            CASE WHEN h_$lg > $ps THEN h_$lg ELSE $ps END AS bs${i + 1},
-            CASE WHEN h_$lg > $ps THEN '$lg' ELSE $pb END AS bl${i + 1}
-            FROM ${if (i == 0) "h" else s"s$i"})"""
-        }.mkString(", ")
-        s"""WITH h AS (SELECT doc_id, lang, $hits FROM documents), $steps
-          SELECT doc_id, bl${langs.size - 1} AS pred_lang, lang FROM s${langs.size - 1}"""
+        val (ctes, fin, pred) = sqlLangChain("doc_id, lang")
+        s"WITH $ctes SELECT doc_id, $pred AS pred_lang, lang FROM $fin"
       }),
+
+    // pipeline composition: LID-agreement gate + token bounds + exact
+    // dedup keeping min doc_id — the canonical prep chain (map-only
+    // gates, ONE hash-agg shuffle)
+    Q("pipeline_prep",
+      (s, d) => Pipeline.prepCorpus(t(s, d, "documents"), 5, 512),
+      Some {
+        val (ctes, fin, pred) = sqlLangChain("doc_id, lang, text")
+        s"""WITH $ctes,
+          gated AS (SELECT doc_id, lang, text,
+            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+            FROM $fin WHERE $pred = lang
+            AND len(string_split(text, ' ')) BETWEEN 5 AND 512)
+          SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+            arg_min(lang, doc_id) AS lang, max(n_tokens) AS n_tokens,
+            CAST(count(*) AS BIGINT) AS n_copies
+          FROM gated GROUP BY text"""
+      }),
+
+    // deterministic stratified sampling: md5-bucket per doc, per-lang
+    // keep rates (60% en, 20% rest) — stable across reruns/cluster sizes
+    Q("pipeline_sample",
+      (s, d) => Pipeline.stratifiedSample(t(s, d, "documents"), "doc_id", "lang",
+          Map("en" -> 60), 20, "graft_mix_")
+        .select(col("doc_id"), col("lang"), col("pct"), col("rate")),
+      Some(s"""SELECT doc_id, lang,
+        ${sqlMd5Hash32("'graft_mix_' || CAST(doc_id AS VARCHAR)")} % 100 AS pct,
+        CASE WHEN lang = 'en' THEN 60 ELSE 20 END AS rate
+        FROM documents
+        WHERE ${sqlMd5Hash32("'graft_mix_' || CAST(doc_id AS VARCHAR)")} % 100
+          < CASE WHEN lang = 'en' THEN 60 ELSE 20 END""")),
+
+    // token-budget shard packing: per-lang running start offsets →
+    // shard = floor(start / 4096) (streaming-pack rule)
+    Q("pipeline_shards",
+      (s, d) => Pipeline.shardAssign(t(s, d, "documents"), "doc_id", "lang", 4096),
+      Some("""SELECT doc_id, lang AS stratum,
+        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER (PARTITION BY lang
+          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS start_offset,
+        CAST(floor(CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER (PARTITION BY lang
+          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+          / 4096) AS BIGINT) AS shard
+        FROM documents""")),
 
     // quality scoring: lengths, type-token ratio, stopword ratio
     Q("text_quality",

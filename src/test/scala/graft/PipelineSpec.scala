@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llmops.Pipeline
+
+/** Training-data pipeline composition ops (SURVEY §2.B.12 north star):
+  * gating+dedup, deterministic sampling, shard packing. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("prepCorpus gates on LID agreement and collapses exact dups to min id") {
+    val d = Seq(
+      (10L, "en", "the cat a dog of things and more is here"), // en-predicted, kept
+      (11L, "en", "the cat a dog of things and more is here"), // exact dup of 10
+      (12L, "fr", "the cat a dog of things and more is here"), // pred en ≠ lang fr → gated
+      (13L, "en", "too short"),                                // < 5 tokens → gated
+      (14L, "en", "the quick brown fox jumps over a lazy dog again"))
+      .toDF("doc_id", "lang", "text")
+    val out = Pipeline.prepCorpus(d, 5, 512).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L, 14L))
+    val kept = out.find(_.getLong(0) == 10L).get
+    assert(kept.getAs[Long]("n_copies") == 2)
+  }
+
+  test("stratifiedSample is idempotent and respects per-stratum rates") {
+    val a = Pipeline.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 60), 20, "s_")
+    val b = Pipeline.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 60), 20, "s_")
+    assert(a.select("doc_id").exceptAll(b.select("doc_id")).count() == 0)
+    assert(a.count() == b.count())
+    assert(a.filter($"pct" >= $"rate").count() == 0)
+    assert(a.filter($"lang" === "en" && $"rate" =!= 60).count() == 0)
+    assert(a.filter($"lang" =!= "en" && $"rate" =!= 20).count() == 0)
+    // a different salt draws a different (but still valid) sample
+    val c = Pipeline.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 60), 20, "t_")
+    assert(c.select("doc_id").exceptAll(a.select("doc_id")).count() > 0)
+  }
+
+  test("shardAssign packs in id order with monotone offsets from zero") {
+    val sh = Pipeline.shardAssign(docs, "doc_id", "lang", 4096)
+    // first document of every stratum starts at offset 0
+    val firsts = sh.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("stratum").orderBy("doc_id")))
+      .filter($"rn" === 1)
+    assert(firsts.filter($"start_offset" =!= 0).count() == 0)
+    // offsets are the exclusive prefix sum: next start = prev start + prev tokens
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("stratum").orderBy("doc_id")
+    val bad = sh.withColumn("expected",
+        lag($"start_offset" + $"n_tokens", 1).over(w))
+      .filter($"expected".isNotNull && $"start_offset" =!= $"expected")
+    assert(bad.count() == 0)
+    // shards respect the cap rule: a doc's start offset is inside its shard
+    assert(sh.filter(floor($"start_offset" / 4096) =!= $"shard").count() == 0)
+  }
+}
