@@ -32,8 +32,13 @@ object Bench {
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "sim_topk",
+    "sim_ivf_topk",
+    "graphql_hop",
+    "pipeline_prep",
+    "pipeline_shards",
     "text_quality",
-    "multimodal_meta"))
+    "multimodal_meta",
+    "multimodal_frames"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -76,14 +76,21 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     visited
   }
 
+  /** The (from, to) relation a traversal expands over. Parallel edges
+    * are collapsed up front: BFS reachability only needs edge
+    * EXISTENCE, and deduping once here (e.g. SUPPLIED_BY carries one
+    * row per lineitem, ~3× per distinct endpoint pair) shrinks every
+    * downstream frontier join by the same factor — the multiplication
+    * would otherwise be paid again at every depth. */
   private def hopRelation(edgeLabels: Seq[String], direction: String): DataFrame = {
     val es = edges.filter(col("label").isin(edgeLabels: _*))
-    direction match {
+    val hop = direction match {
       case "out" => es.select(col("src").as("from"), col("dst").as("to"))
       case "in" => es.select(col("dst").as("from"), col("src").as("to"))
       case "both" => es.select(col("src").as("from"), col("dst").as("to"))
         .unionByName(es.select(col("dst").as("from"), col("src").as("to")))
     }
+    hop.distinct()
   }
 
   /** Unbounded `TRAVERSE … [WHILE <pred>]` (SURVEY §2.B.3): breadth-first
