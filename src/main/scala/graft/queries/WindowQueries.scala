@@ -60,6 +60,36 @@ object WindowQueries {
         lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_id
         FROM events""")),
 
+    // distribution/analytic family: percent_rank, cume_dist, ntile,
+    // first_value/last_value over explicit frames (unique total order)
+    Q("window_dist",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_custkey").asc)
+        val c = t(s, d, "customer")
+        // pr/cd pass through unrounded: (rank-1)/(n-1) and peers/n are
+        // single IEEE divisions of exact integers — bit-determined on
+        // both engines (rounding would be the risk, per the Qh doctrine)
+        c.select(col("c_custkey"), col("c_mktsegment"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"),
+            ntile(4).over(w).as("quartile"),
+            first(col("c_custkey")).over(
+              w.rowsBetween(Window.unboundedPreceding, 0)).as("first_ck"),
+            last(col("c_custkey")).over(
+              w.rowsBetween(0, Window.unboundedFollowing)).as("last_ck"))
+          .filter(col("c_custkey") % 10 === 0)
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+        percent_rank() OVER w AS pr,
+        cume_dist() OVER w AS cd,
+        CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        first_value(c_custkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_ck,
+        last_value(c_custkey) OVER (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_ck
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_custkey ASC)
+        QUALIFY c_custkey % 10 = 0""")),
+
     // RANGE frame: sum over a sliding value-range of the ordering key
     Q("window_range_frame",
       (s, d) => {

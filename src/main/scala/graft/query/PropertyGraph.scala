@@ -64,12 +64,17 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
       val expanding =
         if (d == 1) frontier // the start frontier always expands
         else frontier.join(expandable, Seq("node_id"), "left_semi")
+      // distinct BEFORE tagging the (constant) depth: the dedup and the
+      // anti-join then share the (start_id, node_id) partitioning, so
+      // Catalyst reuses one exchange instead of re-shuffling the full
+      // frontier twice per depth
       val next = expanding.join(hop, expanding("node_id") === hop("from"))
-        .select(col("start_id"), col("to").as("node_id"), lit(d).as("depth"))
+        .select(col("start_id"), col("to").as("node_id"))
         .distinct()
       // keep only first-reach depth (minimal-depth semantics)
       frontier = next.join(visited.select("start_id", "node_id"),
         Seq("start_id", "node_id"), "left_anti")
+        .select(col("start_id"), col("node_id"), lit(d).as("depth"))
       if (d % 3 == 0) frontier = frontier.localCheckpoint()
       visited = visited.unionByName(frontier)
     }
@@ -108,26 +113,44 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     * expands; depth = minimal reach depth.
     */
   def traverseUnbounded(startNodes: DataFrame, edgeLabels: Seq[String],
-      direction: String, whileNode: Column = lit(true)): DataFrame = {
+      direction: String, whileNode: Option[Column] = None): DataFrame = {
     val hop = hopRelation(edgeLabels, direction).localCheckpoint(true) // reused every depth
-    val expandable = nodes.filter(whileNode).select(col("id").as("node_id"))
-      .localCheckpoint(true)
+    // guard relation built only when a guard exists — the unguarded form
+    // must not pay a frontier×nodes semi-join per depth
+    val expandable = whileNode.map(p =>
+      nodes.filter(p).select(col("id").as("node_id")).localCheckpoint(true))
     var frontier = startNodes.select(col("id").as("start_id"), col("id").as("node_id"),
       lit(0).as("depth")).localCheckpoint(true)
     var visited = frontier
     var d = 0
-    while (!frontier.isEmpty) {
+    var drained = false
+    while (!drained) {
       d += 1
-      val expanding =
-        if (d == 1) frontier // the start frontier always expands
-        else frontier.join(expandable, Seq("node_id"), "left_semi")
-      val next = expanding.join(hop, expanding("node_id") === hop("from"))
-        .select(col("start_id"), col("to").as("node_id"), lit(d).as("depth"))
+      val expanding = expandable match {
+        case Some(exp) if d > 1 => frontier.join(exp, Seq("node_id"), "left_semi")
+        case _ => frontier // no guard, or the start frontier (always expands)
+      }
+      // reached is materialized BEFORE the visited anti-join: at the
+      // draining depth the expansion comes up empty, and short-
+      // circuiting here avoids shuffling the (by now largest) visited
+      // relation one last useless time — AQE launches both join stages
+      // concurrently, so the empty left side alone would not save it.
+      // distinct excludes the constant depth tag so the dedup and the
+      // anti-join share one (start_id, node_id) exchange.
+      val reached = expanding.join(hop, expanding("node_id") === hop("from"))
+        .select(col("start_id"), col("to").as("node_id"))
         .distinct()
-      frontier = next.join(visited.select("start_id", "node_id"),
-        Seq("start_id", "node_id"), "left_anti").localCheckpoint(true)
-      visited = visited.unionByName(frontier)
-      if (d % 8 == 0) visited = visited.localCheckpoint(true)
+        .localCheckpoint(true)
+      if (reached.isEmpty) drained = true
+      else {
+        frontier = reached.join(visited.select("start_id", "node_id"),
+          Seq("start_id", "node_id"), "left_anti")
+          .select(col("start_id"), col("node_id"), lit(d).as("depth"))
+          .localCheckpoint(true)
+        drained = frontier.isEmpty
+        visited = visited.unionByName(frontier)
+        if (d % 8 == 0) visited = visited.localCheckpoint(true)
+      }
     }
     visited
   }

@@ -101,7 +101,7 @@ class GraphSpec extends SparkSpec {
     val e = Seq((1L, 2L, "E"), (2L, 3L, "E"), (3L, 4L, "E")).toDF("src", "dst", "label")
     val pg = PropertyGraph(n, e)
     val t = pg.traverseUnbounded(n.filter(col("id") === 1), Seq("E"), "out",
-      whileNode = col("id") =!= 3)
+      whileNode = Some(col("id") =!= 3))
       .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
     // node 3 is reported but not expanded; 4 stays unreached
     assert(t == Map(1L -> 0, 2L -> 1, 3L -> 2))
