@@ -69,11 +69,20 @@ object TextOps {
     "de" -> Seq("der", "die", "und", "das", "ein"),
     "zh" -> Seq("de", "le", "he", "shi", "zai"))
 
+  /** Marker-hit count via the native [[graft.plans.TokenSetCount]]
+    * kernel — value-identical to the interpreted
+    * `size(filter(tokens, _.isin(markers)))` it replaces (LlmSpec
+    * asserts the bit-identity), but one compiled pass per row. */
   def langHits(text: Column, markers: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(markers.map(lit(_)): _*)))
+    element_at(graft.plans.TokenSetCount(tokens(text), Seq(markers)), 1)
 
   def predictLang(text: Column): Column = {
-    val hits = LangMarkers.map { case (lang, m) => lang -> langHits(text, m) }
+    // ONE kernel pass counts all five marker sets; Catalyst's
+    // subexpression elimination evaluates the shared array once
+    val counts = graft.plans.TokenSetCount(tokens(text), LangMarkers.map(_._2))
+    val hits = LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(counts, i + 1)
+    }
     // argmax with declaration-order tie-break
     hits.tail.foldLeft((hits.head._2, lit(hits.head._1))) {
       case ((bestScore, bestLang), (lang, score)) =>

@@ -156,6 +156,21 @@ class LlmSpec extends SparkSpec {
     assert(ann.groupBy("qid").count().agg(max("count")).collect()(0).getLong(0) <= 5)
   }
 
+  test("native TokenSetCount kernel is value-identical to the interpreted filters") {
+    val sets = graft.llmops.TextOps.LangMarkers.map(_._2)
+    val counts = docs.select(
+      graft.plans.TokenSetCount(graft.llmops.TextOps.tokens(col("text")), sets).as("k"),
+      array(sets.map(s =>
+        size(filter(graft.llmops.TextOps.tokens(col("text")),
+          t => t.isin(s.map(lit(_)): _*)))): _*).as("hof"))
+    assert(counts.filter(!(col("k") === col("hof"))).count() == 0)
+    // repeated tokens count as occurrences, not distinct membership
+    val dup = Seq("the the the a").toDF("text").select(
+      graft.plans.TokenSetCount(graft.llmops.TextOps.tokens(col("text")),
+        Seq(Seq("the", "a"))).as("k")).collect()
+    assert(dup(0).getSeq[Int](0) == Seq(4))
+  }
+
   test("language-ID is deterministic and total over the corpus") {
     val pred = docs.select(TextOps.predictLang(col("text")).as("p"))
     assert(pred.filter($"p".isNull).count() == 0)
