@@ -35,6 +35,7 @@ object Dedup {
     * 100 TB input — this is an identity, NOT a full shuffle of the
     * largest table in the pipeline. */
   private def spread(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // micro-batches are already source-partitioned
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }

@@ -41,11 +41,19 @@ object TextOps {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Polynomial rolling hash over the document's characters
-    * (Karp-Rabin style): fold (acc*31 + ascii(char)) mod p. Init 0, so
+    * (Karp-Rabin style): fold (acc*31 + codepoint) mod p, seed 0, so
     * the first step yields ascii(c1) — matching DuckDB's list_reduce
-    * (which seeds with the first element). */
+    * (which seeds with the first element). Runs as the compiled
+    * [[graft.plans.RollingHash]] kernel — one JVM loop per row instead
+    * of an interpreted expression-tree walk per CHARACTER (the HOF
+    * form is kept in LlmSpec as the bit-identity cross-check). */
   val RollMod = 1000000007L
   def rollingHash(text: Column): Column =
+    graft.plans.RollingHash(text, RollMod)
+
+  /** The interpreted HOF formulation, kept for cross-checking the
+    * native kernel in tests. */
+  def rollingHashHof(text: Column): Column =
     aggregate(
       transform(sequence(lit(1), length(text)), i => ascii(substring_index_at(text, i))),
       lit(0L),

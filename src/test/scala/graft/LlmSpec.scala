@@ -27,6 +27,17 @@ class LlmSpec extends SparkSpec {
     assert(got == pure(s))
   }
 
+  test("native RollingHash kernel is bit-identical to the interpreted HOF fold") {
+    val diff = docs.select(TextOps.rollingHash(col("text")).as("nat"),
+        TextOps.rollingHashHof(col("text")).as("hof"))
+      .filter(!(col("nat") === col("hof")))
+    assert(diff.count() == 0)
+    // empty string folds to the seed
+    val empty = Seq("").toDF("text")
+      .select(TextOps.rollingHash(col("text"))).collect()(0).getLong(0)
+    assert(empty == 0L)
+  }
+
   test("md5Hash32 matches JVM md5") {
     val got = Seq("abc").toDF("t").select(TextOps.md5Hash32(col("t"))).collect()(0).getLong(0)
     val expect = java.lang.Long.parseLong(

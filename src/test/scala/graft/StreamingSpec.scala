@@ -7,6 +7,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.EventsStream
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double, event_id: Long)
+case class Doc(ts: Timestamp, doc_id: Long, text: String)
 
 /** ✚ Structured Streaming extension (SURVEY §2.B.10): the same
   * declarative plans run incrementally — MemoryStream in, memory sink
@@ -84,6 +85,31 @@ class StreamingSpec extends SparkSpec {
       .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
     assert(got == batch)
     assert(got.length == 3)
+  }
+
+  test("streaming near-dup dedup: signature kernels run incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    // MinHash signature computed by the compiled kernels inside the
+    // streaming plan; near-dups collapse on signature equality with
+    // watermark-bounded state — the streaming form of dedup_minhash
+    val sig = graft.plans.MinHashSig(
+      graft.plans.NGramMd5(graft.llmops.TextOps.tokens($"text"), 3, 8),
+      graft.llmops.Dedup.permParams(16))
+    val q = mem.toDF().withWatermark("ts", "10 minutes")
+      .select($"ts", $"doc_id", sig.as("sig"))
+      .dropDuplicatesWithinWatermark(Seq("sig"))
+      .writeStream.format("memory").queryName("streamdedup")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      Doc(ts(1), 1, "spark streams dedup the corpus fast"),
+      Doc(ts(2), 2, "spark streams dedup the corpus fast"), // exact dup → same sig
+      Doc(ts(3), 3, "an entirely different document body here"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("streamdedup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L)) // dup doc 2 suppressed within the horizon
   }
 
   test("session windows merge events within the gap (streaming)") {
