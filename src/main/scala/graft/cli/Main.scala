@@ -73,8 +73,10 @@ object Main {
   private def serveHttp(spark: SparkSession, outDir: String, sfDir: Option[String],
       port: Int): Unit = {
     val g = serve(spark, outDir, sfDir)
-    val started = graft.server.QueryServer.start(spark, port, Some(g))
-    println(s"[graft] HTTP endpoint on port ${started.port}: POST /api/v1/query/graft")
+    val started = graft.server.QueryServer.start(spark, port, Some(g),
+      Some(graft.server.QueryServer.StoreContext(outDir, () => serve(spark, outDir, None))))
+    println(s"[graft] HTTP endpoint on port ${started.port}: " +
+      "POST /api/v1/query/graft (reads), /api/v1/command/graft (DML)")
     val lock = new Object
     lock.synchronized { lock.wait() } // serve until the process is killed
   }

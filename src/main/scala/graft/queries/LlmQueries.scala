@@ -214,6 +214,27 @@ object LlmQueries {
           SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY bucket"""
       }),
 
+    // LSH ANN end-to-end: bucket join + exact cosine re-rank within
+    // buckets (the query sim_ann_buckets only histograms the buckets)
+    Q("sim_ann_topk",
+      (s, d) => Similarity.annTopK(t(s, d, "embeddings"), "vec_id", "embedding", 64, 8, 5)
+        .select(col("qid"), col("nn"), col("rank"), round(col("cos"), 6).as("cos")),
+      Some {
+        val bits = (0 until 8).map { i =>
+          val plane = (0 until 64).map(j => s"${Similarity.planeSign(i, j)}.0").mkString(",")
+          s"CASE WHEN list_dot_product(v, [$plane]::DOUBLE[]) > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        }.mkString(" + ")
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          b AS (SELECT vec_id, v, $bits AS bucket FROM v),
+          cand AS (SELECT a.vec_id AS qid, c.vec_id AS nn,
+            list_dot_product(a.v, c.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+          r AS (SELECT qid, nn, cos, CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY cos DESC, nn ASC) AS INTEGER) AS rank FROM cand)
+          SELECT qid, nn, rank, round(cos, 6) AS cos FROM r WHERE rank <= 5"""
+      }),
+
     // CONTAINSTEXT at scale: tokenized inverted-index lookup instead of
     // a substring scan — postings list join, shuffle keyed on token
     // (SURVEY §2.B.2 ✚ "tokenized inverted map for scale")

@@ -35,6 +35,12 @@ object QueryServer {
     def stop(): Unit = server.stop(0)
   }
 
+  /** Store binding for the DML route: where the persisted graph lives
+    * and how to re-register the served views after a write (parquet
+    * DataFrames snapshot their file listing, so appended files are
+    * invisible to the old frames). */
+  final case class StoreContext(dir: String, reload: () => PropertyGraph)
+
   /** A19 port validation: the reference validates its port argument the
     * same way before binding. */
   def validatePort(port: Int): Int = {
@@ -43,51 +49,77 @@ object QueryServer {
   }
 
   /** Start serving. `port` 0 binds an ephemeral port (tests);
-    * `graph` enables `language: "graphql"`. */
+    * `graph` enables `language: "graphql"`; `store` enables the DML
+    * command route. */
   def start(spark: SparkSession, port: Int,
-      graph: Option[PropertyGraph] = None): Started = {
+      graph: Option[PropertyGraph] = None,
+      store: Option[StoreContext] = None): Started = {
     val server = HttpServer.create(new InetSocketAddress(validatePort(port)), 0)
+    @volatile var servedGraph = graph
 
     server.createContext("/api/v1/ready", (ex: HttpExchange) => {
       ex.sendResponseHeaders(204, -1); ex.close()
     })
 
-    server.createContext("/api/v1/query/", (ex: HttpExchange) => {
+    def parsed(body: String): (String, String, Int) = {
+      val j = JsonMethods.parse(body)
+      val language = j \ "language" match {
+        case JString(l) => l.toLowerCase
+        case JNothing => "sql"
+        case other => throw new IllegalArgumentException(s"bad language: $other")
+      }
+      val command = j \ "command" match {
+        case JString(c) => c
+        case _ => throw new IllegalArgumentException("missing 'command'")
+      }
+      val limit = j \ "limit" match {
+        case JInt(n) => math.min(n.toInt, MaxLimit)
+        case JNothing => DefaultLimit
+        case other => throw new IllegalArgumentException(s"bad limit: $other")
+      }
+      (language, command, limit)
+    }
+
+    def handle(ex: HttpExchange)(f: => String): Unit =
       try {
         if (ex.getRequestMethod != "POST") respond(ex, 405, err("use POST"))
-        else {
-          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-          val j = JsonMethods.parse(body)
-          val language = j \ "language" match {
-            case JString(l) => l.toLowerCase
-            case JNothing => "sql"
-            case other => throw new IllegalArgumentException(s"bad language: $other")
-          }
-          val command = j \ "command" match {
-            case JString(c) => c
-            case _ => throw new IllegalArgumentException("missing 'command'")
-          }
-          val limit = j \ "limit" match {
-            case JInt(n) => math.min(n.toInt, MaxLimit)
-            case JNothing => DefaultLimit
-            case other => throw new IllegalArgumentException(s"bad limit: $other")
-          }
-          val df: DataFrame = language match {
-            case "sql" => spark.sql(command)
-            case "graphql" => GraphQl.compile(graph.getOrElse(
-              throw new IllegalStateException("no graph served — start with a store")), command)
-            case l => throw new IllegalArgumentException(s"unsupported language: $l")
-          }
-          // toJSON keeps row serialization distributed (executor-side
-          // Jackson codegen); only the bounded page is collected
-          val rows = df.limit(limit).toJSON.collect()
-          respond(ex, 200, rows.mkString("{\"result\":[", ",", "]}"))
-        }
+        else respond(ex, 200, f)
       } catch {
         case e: IllegalArgumentException => respond(ex, 400, err(e.getMessage))
         case e: org.apache.spark.sql.AnalysisException => respond(ex, 400, err(e.getMessage))
         case e: Throwable => respond(ex, 500, err(e.toString))
       }
+
+    server.createContext("/api/v1/query/", (ex: HttpExchange) => handle(ex) {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val (language, command, limit) = parsed(body)
+      val df: DataFrame = language match {
+        case "sql" => spark.sql(command)
+        case "graphql" => GraphQl.compile(servedGraph.getOrElse(
+          throw new IllegalStateException("no graph served — start with a store")), command)
+        case l => throw new IllegalArgumentException(s"unsupported language: $l")
+      }
+      // toJSON keeps row serialization distributed (executor-side
+      // Jackson codegen); only the bounded page is collected
+      val rows = df.limit(limit).toJSON.collect()
+      rows.mkString("{\"result\":[", ",", "]}")
+    })
+
+    // the reference's write route (`POST /api/v1/command/{db}` [dep]):
+    // SQL DML compiled onto the validated append sinks; served views
+    // and the GraphQL graph are re-registered after a successful write
+    server.createContext("/api/v1/command/", (ex: HttpExchange) => handle(ex) {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val (language, command, _) = parsed(body)
+      if (language != "sql")
+        throw new IllegalArgumentException(s"unsupported command language: $language")
+      if (!Dml.isDml(command))
+        throw new IllegalArgumentException("only DML here — use /api/v1/query for reads")
+      val ctx = store.getOrElse(
+        throw new IllegalStateException("no store attached — DML needs a persisted store"))
+      val n = Dml.execute(spark, ctx.dir, command)
+      servedGraph = Some(ctx.reload())
+      s"""{"result":[{"count":$n}]}"""
     })
 
     server.setExecutor(null) // serial dispatch; the driver is one-at-a-time anyway

@@ -27,10 +27,11 @@ class CliSpec extends SparkSpec {
     val out = Files.createTempDirectory("grafthttp").toString
     Main.create(spark, sfDir, out)
     val g = Main.serve(spark, out, Some(sfDir))
-    val srv = graft.server.QueryServer.start(spark, 0, Some(g))
+    val srv = graft.server.QueryServer.start(spark, 0, Some(g),
+      Some(graft.server.QueryServer.StoreContext(out, () => Main.serve(spark, out, None))))
     try {
-      def post(body: String): (Int, String) = {
-        val conn = new java.net.URL(s"http://127.0.0.1:${srv.port}/api/v1/query/graft")
+      def postTo(route: String)(body: String): (Int, String) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:${srv.port}/api/v1/$route/graft")
           .openConnection().asInstanceOf[java.net.HttpURLConnection]
         conn.setRequestMethod("POST")
         conn.setDoOutput(true)
@@ -39,6 +40,7 @@ class CliSpec extends SparkSpec {
         val is = if (code < 400) conn.getInputStream else conn.getErrorStream
         (code, new String(is.readAllBytes(), "UTF-8"))
       }
+      def post(body: String): (Int, String) = postTo("query")(body)
       def q(s: String): String = "\"" + s.replace("\"", "\\\"").replace("\n", " ") + "\""
 
       // the sql_interface query text over the served views (the e2e the
@@ -78,6 +80,27 @@ class CliSpec extends SparkSpec {
       val ready = new java.net.URL(s"http://127.0.0.1:${srv.port}/api/v1/ready")
         .openConnection().asInstanceOf[java.net.HttpURLConnection]
       assert(ready.getResponseCode == 204)
+
+      // DML over HTTP: INSERT lands in the store and the served views
+      // are re-registered, so a follow-up query sees the record
+      val ins = """INSERT INTO Customer (id, name, acctbal, mktsegment)
+        VALUES (1999001, 'Customer#http', 7.25, 'MACHINERY')"""
+      val (cd1, bd1) = postTo("command")(s"""{"language":"sql","command":${q(ins)}}""")
+      assert(cd1 == 200, bd1)
+      assert(bd1.contains("\"count\":1"))
+      val (cq, bq) = post(s"""{"language":"sql","command":${q(
+        "SELECT name FROM nodes_Customer WHERE id = 1999001")}}""")
+      assert(cq == 200 && bq.contains("Customer#http"), bq)
+
+      // CREATE EDGE to an existing nation resolves; dangling src is 400
+      val (cd2, bd2) = postTo("command")(
+        s"""{"language":"sql","command":${q("CREATE EDGE IN_NATION FROM 1999001 TO 107")}}""")
+      assert(cd2 == 200, bd2)
+      assert(postTo("command")(
+        s"""{"language":"sql","command":${q("CREATE EDGE IN_NATION FROM 555444 TO 107")}}""")._1 == 400)
+      // duplicate id and reads on the command route are rejected
+      assert(postTo("command")(s"""{"language":"sql","command":${q(ins)}}""")._1 == 400)
+      assert(postTo("command")(s"""{"language":"sql","command":${q("SELECT 1")}}""")._1 == 400)
     } finally srv.stop()
   }
 

@@ -182,6 +182,14 @@ class LlmSpec extends SparkSpec {
     assert(dup(0).getSeq[Int](0) == Seq(4))
   }
 
+  test("approx_count_distinct HLL is within its error bound of exact") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val r = li.agg(approx_count_distinct(col("l_partkey")).as("a"),
+      countDistinct(col("l_partkey")).as("e")).collect()(0)
+    val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e") // default rsd 0.05
+  }
+
   test("language-ID is deterministic and total over the corpus") {
     val pred = docs.select(TextOps.predictLang(col("text")).as("p"))
     assert(pred.filter($"p".isNull).count() == 0)
