@@ -294,6 +294,28 @@ object GraphLoader {
     }: _*)
   }
 
+  /** ✚ Bucketed layout (SURVEY §4.2 co-location): nodes bucketed on
+    * `id`, edges on `src`, same bucket count — the A13 endpoint-
+    * resolution join (and any id-keyed join) then plans WITHOUT an
+    * exchange on either side. This is the 100 TB co-location strategy:
+    * pay one clustered write, then every traversal join reads bucket-
+    * aligned files instead of shuffling the node table per query.
+    * (Bucketing needs the table catalog, hence saveAsTable — the
+    * partitioned-parquet store of [[writeGraph]] stays the primary
+    * layout; this one exists for join-heavy deployments.) */
+  def writeBucketedTables(spark: SparkSession, dir: String, nBuckets: Int,
+      prefix: String = "graft"): Unit = {
+    assertDisjointIds(spark, dir)
+    val n = nodes(spark, dir)
+    val (resolved, _) = resolveEdges(n, edges(spark, dir))
+    n.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "id").sortBy("id")
+      .saveAsTable(s"${prefix}_nodes_bucketed")
+    resolved.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "src").sortBy("src")
+      .saveAsTable(s"${prefix}_edges_bucketed")
+  }
+
   /** A11/A14/A16 — persist the graph: parquet partitioned by label
     * (partition pruning replaces the per-label bucket layout), overwrite
     * mode (the reference deletes and rebuilds, `ArcadeDBService.java:112-122`),

@@ -115,6 +115,22 @@ object WindowQueries {
         CAST(SUM(${sqlCents("value")}) AS BIGINT) / 100.0 AS sum_value
         FROM events GROUP BY 1, 2""")),
 
+    // sliding event-time windows (10-min window, 5-min slide): each
+    // event lands in two windows; the oracle unnests the two candidate
+    // starts per event
+    Q("window_sliding",
+      (s, d) => events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("cnt")),
+      Some("""SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+        CAST(count(*) AS BIGINT) AS cnt FROM (
+          SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                         time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS w_start,
+            event_type FROM events) q
+        GROUP BY 1, 2""")),
+
     // session windows (30-min gap), batch form of session_window —
     // the oracle is the classic gaps-and-islands rewrite
     Q("window_session",

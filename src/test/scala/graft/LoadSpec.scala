@@ -147,6 +147,31 @@ class LoadSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/edges").count() == e0 + 1)
   }
 
+  test("bucketed layout: endpoint-resolution join plans shuffle-free") {
+    GraphLoader.writeBucketedTables(spark, sfDir, 8)
+    // at sf0.001 the node side broadcasts, which sidesteps bucketing —
+    // disable auto-broadcast to exercise the at-scale plan shape, where
+    // neither side fits in memory and co-location is what saves the day
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val n = spark.table("graft_nodes_bucketed")
+      val e = spark.table("graft_edges_bucketed")
+      val joined = e.join(n, e("src") === n("id"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      // both sides bucketed on the join key with equal bucket counts:
+      // the join must not SHUFFLE either side (the 100 TB co-location win)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      // and it is the same join semantically as the plain layout
+      val plain = GraphLoader.edges(spark, sfDir)
+      val nn = GraphLoader.nodes(spark, sfDir)
+      val (resolved, _) = GraphLoader.resolveEdges(nn, plain)
+      assert(joined.count() == resolved.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("A16/A17: writeGraph persists partitioned layout + schema + checksum") {
     val out = Files.createTempDirectory("graftout").toString
     GraphLoader.writeGraph(spark, sfDir, out)
