@@ -221,6 +221,36 @@ object GraphQueries {
           CAST(count(DISTINCT node_id) AS BIGINT) AS n_nodes
         FROM r GROUP BY depth""")),
 
+    // §2.B.3 — unbounded TRAVERSE with a WHILE guard: expansion stops
+    // AT orders with status 'F' (they are reported, their lineage is
+    // not), still run to fixpoint with no depth bound
+    Q("traverse_unbounded_while",
+      (s, d) => {
+        val g = graph(s, d)
+        g.traverseUnbounded(g.nodesOf("Customer"),
+            Seq("PLACED", "CONTAINS", "SUPPLIED_BY"), "out",
+            whileNode = Some(col("label") =!= "Order" || col("status") =!= "F"))
+          .groupBy(col("depth"))
+          .agg(count(lit(1)).as("cnt"), countDistinct(col("node_id")).as("n_nodes"))
+      },
+      Some(s"""WITH RECURSIVE e AS (
+          SELECT DISTINCT CAST(o_custkey + $CustomerOff AS BIGINT) AS src,
+            CAST(o_orderkey + $OrderOff AS BIGINT) AS dst FROM orders
+          UNION SELECT DISTINCT CAST(l_orderkey + $OrderOff AS BIGINT),
+            CAST(l_partkey + ${GraphLoader.PartOff} AS BIGINT) FROM lineitem
+          UNION SELECT DISTINCT CAST(l_partkey + ${GraphLoader.PartOff} AS BIGINT),
+            CAST(l_suppkey + ${GraphLoader.SupplierOff} AS BIGINT) FROM lineitem),
+        guarded AS (SELECT CAST(o_orderkey + $OrderOff AS BIGINT) AS id
+          FROM orders WHERE o_orderstatus = 'F'),
+        r AS (
+          SELECT CAST(c_custkey + $CustomerOff AS BIGINT) AS start_id,
+            CAST(c_custkey + $CustomerOff AS BIGINT) AS node_id, 0 AS depth FROM customer
+          UNION SELECT r.start_id, e.dst, r.depth + 1 FROM r JOIN e ON e.src = r.node_id
+          WHERE r.depth = 0 OR r.node_id NOT IN (SELECT id FROM guarded))
+        SELECT depth, CAST(count(*) AS BIGINT) AS cnt,
+          CAST(count(DISTINCT node_id) AS BIGINT) AS n_nodes
+        FROM r GROUP BY depth""")),
+
     // GraphX — landmark shortest paths (shortestPath(a,b) equivalent):
     // distance from every Customer to its Region along the hierarchy
     Q("shortest_path_region",

@@ -47,6 +47,25 @@ object LlmQueries {
       s"s${langs.size - 1}", s"bl${langs.size - 1}")
   }
 
+  /** DuckDB twin of the MinHash signature + banding pipeline as a CTE
+    * chain (`hs`, `sig`, `banded`) — shared by the candidate-pair and
+    * near-dup-removal oracles so the parameters can never drift. */
+  private lazy val sqlMinhashBandedCtes: String = {
+    val perms = Dedup.permParams(16)
+    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % ${Dedup.P31}) AS s$i"
+    }.mkString(", ")
+    val bandRows = (0 until 4).map { bnd =>
+      val sig = (0 until 4).map(r => s"CAST(s${bnd * 4 + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $bnd AS band, $sig AS sig FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""hs AS (SELECT doc_id, ${sqlMd5Hash32("sh")} % ${Dedup.P31} AS h
+        FROM ($sqlShingles3) raw),
+      sig AS (SELECT doc_id, $sigCols FROM hs GROUP BY doc_id),
+      banded AS ($bandRows)"""
+  }
+
   // DuckDB twin of TextOps.shingles(text, 3) exploded per doc (scalar
   // generate_series → list → unnest; the lateral form can't take columns)
   private val sqlShingles3 =
@@ -91,23 +110,28 @@ object LlmQueries {
         val sigs = Dedup.minhashSignatures(t(s, d, "documents"), "doc_id", "text", 16)
         Dedup.minhashCandidates(sigs, "doc_id", 16, 4)
       },
-      Some {
-        val perms = Dedup.permParams(16)
-        val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
-          s"min(($a * h + $b) % ${Dedup.P31}) AS s$i"
-        }.mkString(", ")
-        val bandRows = (0 until 4).map { bnd =>
-          val sig = (0 until 4).map(r => s"CAST(s${bnd * 4 + r} AS VARCHAR)")
-            .mkString(" || '_' || ")
-          s"SELECT doc_id, $bnd AS band, $sig AS sig FROM sig"
-        }.mkString(" UNION ALL ")
-        s"""WITH hs AS (SELECT doc_id, ${sqlMd5Hash32("sh")} % ${Dedup.P31} AS h
-            FROM ($sqlShingles3) raw),
-          sig AS (SELECT doc_id, $sigCols FROM hs GROUP BY doc_id),
-          banded AS ($bandRows)
-          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM banded a
-          JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"""
-      }),
+      Some(s"""WITH $sqlMinhashBandedCtes
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM banded a
+        JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""")),
+
+    // end-to-end near-dup REMOVAL (greedy keep-smallest-id): drop every
+    // document that LSH-collides with a smaller-id document — the
+    // operator a prep pipeline actually chains after candidate
+    // generation (one extra anti-join over dedup_minhash's plan)
+    Q("pipeline_neardup",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 16)
+        val cands = Dedup.minhashCandidates(sigs, "doc_id", 16, 4)
+        docs.join(cands.select(col("d2").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"))
+      },
+      Some(s"""WITH $sqlMinhashBandedCtes,
+        cand AS (SELECT DISTINCT b.doc_id AS d2 FROM banded a
+          JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+        SELECT doc_id, lang FROM documents
+        WHERE doc_id NOT IN (SELECT d2 FROM cand)""")),
 
     // SimHash 60-bit signatures + hamming ≤ 3 pairs via 15-bit chunks
     Q("dedup_simhash",
