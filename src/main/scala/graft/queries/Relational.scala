@@ -388,6 +388,29 @@ object Relational {
         CAST(instr(c_name, '00') AS INTEGER) AS pos, trim('  x  ') AS trimmed
         FROM customer""")),
 
+    // second string batch: the §2.B.7 method-chain forms not in
+    // string_funcs (left/right/charAt/split/format/pad/repeat/affix)
+    Q("string_funcs2",
+      (s, d) => t(s, d, "customer").select(
+        col("c_custkey"),
+        left(col("c_name"), lit(8)).as("l8"),
+        right(col("c_name"), lit(3)).as("r3"),
+        substring(col("c_name"), 1, 1).as("ch1"), // charAt(0)
+        element_at(split(col("c_name"), "#"), 2).as("numpart"),
+        format_string("%s_%d", col("c_mktsegment"), col("c_custkey")).as("fmt"),
+        lpad(col("c_custkey").cast("string"), 9, "0").as("padded"),
+        repeat(lit("ab"), 3).as("rep"),
+        col("c_name").startsWith("Customer").as("sw"),
+        col("c_name").endsWith("1").as("ew")),
+      Some("""SELECT c_custkey, left(c_name, 8) AS l8, right(c_name, 3) AS r3,
+        substr(c_name, 1, 1) AS ch1, string_split(c_name, '#')[2] AS numpart,
+        printf('%s_%d', c_mktsegment, c_custkey) AS fmt,
+        lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS padded,
+        repeat('ab', 3) AS rep,
+        starts_with(c_name, 'Customer') AS sw,
+        ends_with(c_name, '1') AS ew
+        FROM customer""")),
+
     Q("math_funcs",
       (s, d) => t(s, d, "part").select(
         col("p_partkey"),

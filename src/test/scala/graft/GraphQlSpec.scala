@@ -47,6 +47,16 @@ class GraphQlSpec extends SparkSpec {
     assert(sib.count() > 0)
   }
 
+  test("both_ hop unions the two directions") {
+    val df = GraphQl.compile(g,
+      """{ Nation(name: "NATION_7") { name nbrs: both_IN_REGION { name } } }""")
+    // nation 7's only IN_REGION neighbor is its region (out direction)
+    val rows = df.collect()
+    assert(rows.length == 1)
+    val regionNames = g.nodesOf("Region").select("name").collect().map(_.getString(0)).toSet
+    assert(regionNames.contains(rows(0).getString(1)))
+  }
+
   test("scalar-only query with numeric argument filter") {
     val df = GraphQl.compile(g, """{ Part(psize: 1) { name brand psize } }""")
     assert(df.columns.toSeq == Seq("name", "brand", "psize"))

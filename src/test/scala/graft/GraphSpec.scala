@@ -22,6 +22,19 @@ class GraphSpec extends SparkSpec {
     assert(inn == out)
   }
 
+  test("both(): union of out-hop and in-hop bindings") {
+    // Nation --IN_REGION--> Region: from Nation, both() = out only (no
+    // incoming IN_REGION); from Region, both() = in only
+    val fromNation = g.v("Nation", "n").both("IN_REGION", "Region", "r").result
+    val fromRegion = g.v("Region", "r").both("IN_REGION", "Nation", "n").result
+    assert(fromNation.count() == 25)
+    assert(fromRegion.count() == 25)
+    // and with an edge label pointing both ways relative to Nation
+    // (IN_NATION in, IN_REGION out) both over both labels sees all
+    val deg = g.v("Nation", "n").both("IN_NATION", "Customer", "c").result
+    assert(deg.count() == 150) // customers only (suppliers filtered by label)
+  }
+
   test("outE/inV chain: order→lineitem→part equals lineitem count") {
     val r = g.v("Order", "o").outE("CONTAINS", "l").inV("Part", "p").result
     assert(r.count() == spark.read.parquet(s"$sfDir/lineitem.parquet").count())
