@@ -36,6 +36,9 @@ object PlanAudit {
     Check("text_lang_id", "native marker-count kernel", "graft_token_set_count"),
     Check("text_lang_id", "lang-ID stays in codegen", "codegen id"),
     Check("text_fingerprint", "native rolling-hash kernel", "graft_rolling_hash"),
+    Check("sim_ivf_topk", "native dot kernel scores IVF candidates", "graft_dot"),
+    Check("pipeline_prep", "native marker-count kernel in the prep gate", "graft_token_set_count"),
+    Check("pipeline_shards", "shard packing is one window over the stratum", "Window"),
     Check("join_semi", "IN-subquery as left semi", "LeftSemi"),
     Check("join_anti", "NOT-IN as left anti", "LeftAnti"),
     Check("filter_predicates", "filters pushed", "PushedFilters"),
