@@ -72,7 +72,11 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1.0 }
     }
     val names = headline.filter(qs.contains).distinct
-    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(2)
+    // 3 passes (fwd, rev, fwd): every query gets ≥1 early-position slot
+    // in each direction AND a third chance to land outside a throttled
+    // window (BASELINE.md history #3/#4 — the tax drifts between whole
+    // runs, not just positions)
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     names.foreach(n => best(n) = -1.0)
     (0 until passes).foreach { p =>
