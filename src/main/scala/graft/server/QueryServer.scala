@@ -61,6 +61,11 @@ object QueryServer {
       ex.sendResponseHeaders(204, -1); ex.close()
     })
 
+    // reference parity: GET /api/v1/databases lists served databases
+    // (one logical database per server, like the shim's one workspace)
+    server.createContext("/api/v1/databases", (ex: HttpExchange) =>
+      respond(ex, 200, """{"result":["graft"]}"""))
+
     def parsed(body: String): (String, String, Int) = {
       val j = JsonMethods.parse(body)
       val language = j \ "language" match {

@@ -76,10 +76,13 @@ class CliSpec extends SparkSpec {
       assert(post("""{"language":"sql"}""")._1 == 400)
       assert(post(s"""{"language":"sql","command":${q("SELECT * FROM no_such_table")}}""")._1 == 400)
 
-      // ready probe (reference parity)
+      // ready + database-list probes (reference parity)
       val ready = new java.net.URL(s"http://127.0.0.1:${srv.port}/api/v1/ready")
         .openConnection().asInstanceOf[java.net.HttpURLConnection]
       assert(ready.getResponseCode == 204)
+      val dbs = new java.net.URL(s"http://127.0.0.1:${srv.port}/api/v1/databases")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(new String(dbs.getInputStream.readAllBytes(), "UTF-8").contains("graft"))
 
       // DML over HTTP: INSERT lands in the store and the served views
       // are re-registered, so a follow-up query sees the record
