@@ -120,6 +120,34 @@ class GraphSpec extends SparkSpec {
     assert(t == Map(1L -> 0, 2L -> 1, 3L -> 2))
   }
 
+  test("traverseUnbounded matches driver-side BFS on random graphs (cycles included)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42) // fixed seed: deterministic cases
+    (1 to 6).foreach { caseNo =>
+      val nNodes = 2 + rnd.nextInt(7)
+      val nEdges = 1 + rnd.nextInt(14)
+      // duplicates and self-loops allowed on purpose
+      val edges = Seq.fill(nEdges)(
+        (1L + rnd.nextInt(nNodes), 1L + rnd.nextInt(nNodes))).distinct
+      // reference: plain driver-side BFS from node 1
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val dist = scala.collection.mutable.Map(1L -> 0)
+      var frontier = List(1L)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(n => adj.getOrElse(n, Nil))
+          .filterNot(dist.contains).distinct
+        next.foreach(n => dist(n) = dist(frontier.head) + 1)
+        frontier = next
+      }
+      val nDf = (1L to nNodes).map(id => (id, "N")).toDF("id", "label")
+      val eDf = edges.map { case (a, b) => (a, b, "E") }.toDF("src", "dst", "label")
+      val got = query.PropertyGraph(nDf, eDf)
+        .traverseUnbounded(nDf.filter(col("id") === 1), Seq("E"), "out")
+        .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+      assert(got == dist.toMap, s"case $caseNo edges=$edges")
+    }
+  }
+
   test("traverseUnbounded reaches the bounded fixpoint on the acyclic hierarchy") {
     val bounded = g.traverse(g.nodesOf("Region"), Seq("IN_REGION", "IN_NATION"), "in", 2)
     val unbounded = g.traverseUnbounded(g.nodesOf("Region"), Seq("IN_REGION", "IN_NATION"), "in")

@@ -190,6 +190,21 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e") // default rsd 0.05
   }
 
+  test("TokenSetCount on random text incl. unicode/empty tokens equals HOF") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = Seq("the", "a", "", "données", "中文", "x", "the", "y", "la", "el")
+    val rows = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+    }
+    val sets = Seq(Seq("the", "a"), Seq("données", "中文"), Seq("la", "el", ""))
+    val df = rows.toDF("id", "text").select(
+      graft.plans.TokenSetCount(graft.llmops.TextOps.tokens(col("text")), sets).as("k"),
+      array(sets.map(s =>
+        size(filter(graft.llmops.TextOps.tokens(col("text")),
+          t => t.isin(s.map(lit(_)): _*)))): _*).as("hof"))
+    assert(df.filter(!(col("k") === col("hof"))).count() == 0)
+  }
+
   test("language-ID is deterministic and total over the corpus") {
     val pred = docs.select(TextOps.predictLang(col("text")).as("p"))
     assert(pred.filter($"p".isNull).count() == 0)
