@@ -256,6 +256,11 @@ object GraphLoader {
       val sample = dupIds.select("id").limit(5).collect().map(_.getLong(0)).mkString(", ")
       s"append rejected: node ids already exist (e.g. $sample)"
     })
+    val dupInBatch = batch.groupBy("id").count().filter(col("count") > 1)
+    require(dupInBatch.isEmpty, {
+      val sample = dupInBatch.select("id").limit(5).collect().map(_.getLong(0)).mkString(", ")
+      s"append rejected: duplicate ids within the batch (e.g. $sample)"
+    })
     val gs = GraphSchema.fromJson(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$outDir/schema.json")))
     val viol = validateUnique(existing.unionByName(batch),

@@ -147,6 +147,34 @@ class LoadSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/edges").count() == e0 + 1)
   }
 
+  test("DML parser fails closed on malformed statements") {
+    val out = Files.createTempDirectory("graftdml").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    import graft.server.Dml
+    Seq(
+      "INSERT INTO NoSuchLabel (id) VALUES (1)",
+      "INSERT INTO Customer (id, name) VALUES (1, 'x', 'extra')", // arity
+      "INSERT INTO Customer () VALUES (1)",
+      "INSERT INTO Customer (name) VALUES ('x')", // node without id
+      "INSERT INTO Customer (id) VALUES (1) trailing garbage",
+      "INSERT INTO Customer (id) VALUES ('unterminated",
+      "CREATE VERTEX IN_NATION SET src = 1", // edge label as vertex
+      "CREATE EDGE Customer FROM 1 TO 2",    // vertex label as edge
+      "CREATE VERTEX Customer SET = 1",
+      "CREATE VERTEX Customer SET id = bogusliteral",
+      "DELETE FROM Customer", // unsupported verb
+      "").foreach { stmt =>
+      intercept[IllegalArgumentException](Dml.execute(spark, out, stmt))
+    }
+    // intra-batch duplicate ids are rejected too (a gap this test found:
+    // the existing-id semi-join alone would have let them through)
+    val n = spark.read.parquet(s"$out/nodes").count()
+    intercept[IllegalArgumentException](Dml.execute(spark, out,
+      "INSERT INTO Customer (id, name) VALUES (1999100, 'a'), (1999100, 'b')"))
+    // none of the rejects touched the store
+    assert(spark.read.parquet(s"$out/nodes").count() == n)
+  }
+
   test("bucketed layout: endpoint-resolution join plans shuffle-free") {
     GraphLoader.writeBucketedTables(spark, sfDir, 8)
     // at sf0.001 the node side broadcasts, which sidesteps bucketing —
