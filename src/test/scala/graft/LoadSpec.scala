@@ -163,6 +163,7 @@ class LoadSpec extends SparkSpec {
       "CREATE VERTEX Customer SET = 1",
       "CREATE VERTEX Customer SET id = bogusliteral",
       "DELETE FROM Customer", // unsupported verb
+      "INSERT INTO Customer (id, name) VALUES ('abc', 'x')", // string into bigint (ANSI cast)
       "").foreach { stmt =>
       intercept[IllegalArgumentException](Dml.execute(spark, out, stmt))
     }
