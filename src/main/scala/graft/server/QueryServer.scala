@@ -85,9 +85,10 @@ object QueryServer {
       (language, command, limit)
     }
 
-    def handle(ex: HttpExchange)(f: => String): Unit =
+    def handle(ex: HttpExchange, allowGet: Boolean = false)(f: => String): Unit =
       try {
-        if (ex.getRequestMethod != "POST") respond(ex, 405, err("use POST"))
+        val m = ex.getRequestMethod
+        if (m != "POST" && !(allowGet && m == "GET")) respond(ex, 405, err("use POST"))
         else respond(ex, 200, f)
       } catch {
         case e: IllegalArgumentException => respond(ex, 400, err(e.getMessage))
@@ -95,9 +96,7 @@ object QueryServer {
         case e: Throwable => respond(ex, 500, err(e.toString))
       }
 
-    server.createContext("/api/v1/query/", (ex: HttpExchange) => handle(ex) {
-      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-      val (language, command, limit) = parsed(body)
+    def runQuery(language: String, command: String, limit: Int): String = {
       val df: DataFrame = language match {
         case "sql" => spark.sql(command)
         case "graphql" => GraphQl.compile(servedGraph.getOrElse(
@@ -108,6 +107,25 @@ object QueryServer {
       // Jackson codegen); only the bounded page is collected
       val rows = df.limit(limit).toJSON.collect()
       rows.mkString("{\"result\":[", ",", "]}")
+    }
+
+    server.createContext("/api/v1/query/", (ex: HttpExchange) => handle(ex, allowGet = true) {
+      if (ex.getRequestMethod == "GET") {
+        // reference parity: GET /api/v1/query/{db}/{language}/{command}
+        // with the command URL-encoded in the path
+        val rest = ex.getRequestURI.getRawPath.stripPrefix("/api/v1/query/")
+        rest.split("/", 3) match {
+          case Array(_, language, command) if command.nonEmpty =>
+            runQuery(language.toLowerCase,
+              java.net.URLDecoder.decode(command, "UTF-8"), DefaultLimit)
+          case _ => throw new IllegalArgumentException(
+            "GET form is /api/v1/query/{db}/{language}/{url-encoded command}")
+        }
+      } else {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val (language, command, limit) = parsed(body)
+        runQuery(language, command, limit)
+      }
     })
 
     // the reference's write route (`POST /api/v1/command/{db}` [dep]):

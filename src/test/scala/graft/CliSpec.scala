@@ -84,6 +84,14 @@ class CliSpec extends SparkSpec {
         .openConnection().asInstanceOf[java.net.HttpURLConnection]
       assert(new String(dbs.getInputStream.readAllBytes(), "UTF-8").contains("graft"))
 
+      // GET query form with the command URL-encoded in the path
+      val enc = java.net.URLEncoder.encode("SELECT count(*) AS n FROM nodes_Region", "UTF-8")
+      val getQ = new java.net.URL(
+        s"http://127.0.0.1:${srv.port}/api/v1/query/graft/sql/$enc")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(getQ.getResponseCode == 200)
+      assert(new String(getQ.getInputStream.readAllBytes(), "UTF-8").contains("\"n\":5"))
+
       // DML over HTTP: INSERT lands in the store and the served views
       // are re-registered, so a follow-up query sees the record
       val ins = """INSERT INTO Customer (id, name, acctbal, mktsegment)
