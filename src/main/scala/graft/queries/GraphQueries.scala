@@ -19,6 +19,52 @@ object GraphQueries {
 
   import GraphLoader.{CustomerOff, OrderOff}
 
+  /** DuckDB twin of `GraphXBridge.pageRank(iters)` over the full graph:
+    * the vertex/edge sets mirror [[GraphLoader.nodes]]/[[GraphLoader.edges]]
+    * (same offsets), `dg.w` precomputes 1/outDeg like GraphX's
+    * `mapTriplets(1.0 / srcDeg)`, each step is one LEFT JOIN against the
+    * aggregated incoming contributions, and the final SELECT applies the
+    * |V|/Σrank correction factor. Literals are cast to DOUBLE — DuckDB
+    * would otherwise compute 0.15/0.85 in DECIMAL. */
+  private def pagerankSql(iters: Int): String = {
+    import GraphLoader.{NationOff, PartOff, RegionOff, SupplierOff}
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT v.id,
+         CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * COALESCE(m.s, CAST(0 AS DOUBLE)) AS pr
+         FROM v LEFT JOIN (
+           SELECT e.dst AS id, SUM(r.pr * dg.w) AS s
+           FROM e JOIN r${i - 1} r ON r.id = e.src JOIN dg ON dg.src = e.src
+           GROUP BY e.dst) m ON m.id = v.id)"""
+    }.mkString(",\n")
+    s"""WITH v AS (
+        SELECT CAST(r_regionkey + $RegionOff AS BIGINT) AS id FROM region
+        UNION ALL SELECT CAST(n_nationkey + $NationOff AS BIGINT) FROM nation
+        UNION ALL SELECT CAST(c_custkey + $CustomerOff AS BIGINT) FROM customer
+        UNION ALL SELECT CAST(s_suppkey + $SupplierOff AS BIGINT) FROM supplier
+        UNION ALL SELECT CAST(p_partkey + $PartOff AS BIGINT) FROM part
+        UNION ALL SELECT CAST(o_orderkey + $OrderOff AS BIGINT) FROM orders),
+      e AS (
+        SELECT CAST(n_nationkey + $NationOff AS BIGINT) AS src,
+          CAST(n_regionkey + $RegionOff AS BIGINT) AS dst FROM nation
+        UNION ALL SELECT CAST(c_custkey + $CustomerOff AS BIGINT),
+          CAST(c_nationkey + $NationOff AS BIGINT) FROM customer
+        UNION ALL SELECT CAST(s_suppkey + $SupplierOff AS BIGINT),
+          CAST(s_nationkey + $NationOff AS BIGINT) FROM supplier
+        UNION ALL SELECT CAST(o_custkey + $CustomerOff AS BIGINT),
+          CAST(o_orderkey + $OrderOff AS BIGINT) FROM orders
+        UNION ALL SELECT CAST(l_orderkey + $OrderOff AS BIGINT),
+          CAST(l_partkey + $PartOff AS BIGINT) FROM lineitem
+        UNION ALL SELECT CAST(l_partkey + $PartOff AS BIGINT),
+          CAST(l_suppkey + $SupplierOff AS BIGINT) FROM lineitem),
+      dg AS (SELECT src, CAST(1.0 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS w
+        FROM e GROUP BY src),
+      r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS pr FROM v),
+      $steps
+      SELECT id, round(pr * ((SELECT CAST(count(*) AS DOUBLE) FROM v)
+        / (SELECT SUM(pr) FROM r$iters)), 6) AS pr
+      FROM r$iters ORDER BY pr DESC, id ASC LIMIT 20"""
+  }
+
   def queries: Seq[Q] = Seq(
 
     // A3 — label enumeration (catalog scan)
@@ -288,12 +334,20 @@ object GraphQueries {
         UNION ALL SELECT CAST(n_regionkey AS BIGINT), 2.0 FROM supplier
           JOIN nation ON n_nationkey = s_nationkey WHERE s_suppkey = 0""")),
 
-    // GraphX — PageRank (✚ analytics; no SQL twin: iterative float fixpoint)
+    // GraphX — PageRank. The oracle is the SAME power iteration unrolled
+    // as 10 SQL CTE steps (GraphSpec "driver-side power iteration"
+    // validates this model against staticPageRank to 1e-9): rank0 = 1,
+    // rank' = 0.15 + 0.85·Σ_in rank(src)·(1/outDeg(src)) with parallel
+    // edges contributing individually and dangling mass dropped, then
+    // the SPARK-18847 renormalization to Σrank = |V|. Rounding to 6dp
+    // absorbs the float-reduce-order drift (~1e-12 relative) between
+    // GraphX message combining and DuckDB's sequential sums — safe on
+    // continuous values per the Qh doctrine.
     Q("pagerank",
       (s, d) => GraphXBridge.pageRank(s, graph(s, d), iters = 10)
         .select(col("id"), round(col("pagerank"), 6).as("pr"))
         .orderBy(col("pr").desc, col("id").asc).limit(20),
-      None),
+      Some(pagerankSql(10))),
 
     // §2.B.7 graph-scalar — out().size() degree
     Q("degree_out",
