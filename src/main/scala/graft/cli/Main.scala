@@ -73,8 +73,11 @@ object Main {
   private def serveHttp(spark: SparkSession, outDir: String, sfDir: Option[String],
       port: Int): Unit = {
     val g = serve(spark, outDir, sfDir)
+    val gs = graft.model.GraphSchema.fromJson(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$outDir/schema.json")))
     val started = graft.server.QueryServer.start(spark, port, Some(g),
-      Some(graft.server.QueryServer.StoreContext(outDir, () => serve(spark, outDir, None))))
+      Some(graft.server.QueryServer.StoreContext(outDir, () => serve(spark, outDir, None))),
+      schema = gs)
     println(s"[graft] HTTP endpoint on port ${started.port}: " +
       "POST /api/v1/query/graft (reads), /api/v1/command/graft (DML)")
     val lock = new Object

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import graft.load.GraphLoader
+import graft.query.{ArcadeSql, PropertyGraph}
+
+/** Declared queries written in the ArcadeDB SQL dialect (the
+  * reference's primary query language, served by `ArcadeDBService.java:58`
+  * [dep arcadedb-server, `src/pom.xml:104-108`]) and compiled by
+  * [[ArcadeSql.compile]] onto the engine's existing combinators. Each
+  * oracle is plain DuckDB SQL over the relational source — several are
+  * verbatim twins of already-green DataFrame queries (`graphql_hop`,
+  * `hop_edge_filter`), proving the dialect front-end reaches the same
+  * results through the same plans.
+  */
+object ArcadeSqlQueries {
+
+  private def graph(s: SparkSession, d: String) =
+    PropertyGraph(GraphLoader.nodes(s, d), GraphLoader.edges(s, d))
+
+  private def asql(text: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
+    (s, d) => ArcadeSql.compile(graph(s, d), GraphLoader.schema, text)
+
+  import GraphLoader.{CustomerOff, OrderOff, PartOff, SupplierOff}
+
+  def queries: Seq[Q] = Seq(
+
+    // SELECT <proj> FROM <Type> WHERE <comparison AND comparison>
+    Q("asql_select_where",
+      asql("SELECT name, acctbal FROM Customer WHERE mktsegment = 'BUILDING' AND acctbal > 1000"),
+      Some("""SELECT c_name AS name, c_acctbal AS acctbal FROM customer
+        WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000""")),
+
+    // method chains: toUpperCase/length/substring (Java indices)/
+    // toLowerCase.left composition; indexOf in the predicate
+    Q("asql_method_chain",
+      asql("""SELECT name.toUpperCase() AS uname, name.length() AS namelen,
+        name.substring(0, 8) AS prefix8, mktsegment.toLowerCase().left(4) AS seg
+        FROM Customer WHERE name.indexOf('1') >= 0"""),
+      Some("""SELECT upper(c_name) AS uname, CAST(length(c_name) AS INT) AS namelen,
+        substr(c_name, 1, 8) AS prefix8, substr(lower(c_mktsegment), 1, 4) AS seg
+        FROM customer WHERE instr(c_name, '1') >= 1""")),
+
+    // graph-scalar projection: out('L').size() — compiles to ONE
+    // partial-aggregated degree frame left-joined on id, not a per-row
+    // subquery
+    Q("asql_degree",
+      asql("SELECT name, out('PLACED').size() AS n_orders FROM Customer"),
+      Some("""SELECT c_name AS name,
+        CAST((SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS BIGINT) AS n_orders
+        FROM customer""")),
+
+    // expand(out('L')): hop to the neighbor records, then project in an
+    // outer SELECT — one equi-join, the Traversal hop shape
+    Q("asql_expand_hop",
+      asql("""SELECT status, totalprice
+        FROM (SELECT expand(out('PLACED')) FROM Customer WHERE mktsegment = 'BUILDING')"""),
+      Some("""SELECT o_orderstatus AS status, o_totalprice AS totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'""")),
+
+    // IN [..] / BETWEEN / LIKE / array CONTAINS predicate battery
+    Q("asql_filter_battery",
+      asql("""SELECT name, brand, psize FROM Part
+        WHERE psize BETWEEN 10 AND 30 AND brand IN ['Brand#2', 'Brand#17']
+          AND name LIKE '%e%' AND tags CONTAINS 'red'"""),
+      Some("""SELECT p_name AS name, p_brand AS brand, p_size AS psize FROM part
+        WHERE p_size BETWEEN 10 AND 30 AND p_brand IN ('Brand#2', 'Brand#17')
+          AND p_name LIKE '%e%' AND list_contains(string_split(p_name, ' '), 'red')""")),
+
+    // TRAVERSE to a bounded depth; $depth grouped in the outer SELECT.
+    // Dialect semantics: every record visited once, at its minimal
+    // breadth-first depth across all roots.
+    Q("asql_traverse_depth",
+      asql("""SELECT $depth AS depth, count(*) AS cnt
+        FROM (TRAVERSE in('IN_REGION', 'IN_NATION') FROM (SELECT FROM Region) MAXDEPTH 2)
+        GROUP BY $depth"""),
+      Some("""SELECT 0 AS depth, CAST(count(*) AS BIGINT) AS cnt FROM region
+        UNION ALL SELECT 1, CAST(count(*) AS BIGINT) FROM nation
+        UNION ALL SELECT 2, CAST((SELECT count(*) FROM customer)
+          + (SELECT count(*) FROM supplier) AS BIGINT)""")),
+
+    // TRAVERSE … WHILE: the $depth bound folds into MAXDEPTH, the rest
+    // of the guard gates expansion THROUGH nodes (guarded Orders with
+    // status 'F' are reported, not expanded). Oracle: recursive CTE
+    // with the same guard, min-depth per node.
+    Q("asql_traverse_while",
+      asql("""SELECT $depth AS depth, count(*) AS cnt
+        FROM (TRAVERSE out('PLACED', 'CONTAINS', 'SUPPLIED_BY') FROM (SELECT FROM Customer)
+              WHILE $depth < 3 AND (label <> 'Order' OR status <> 'F'))
+        GROUP BY $depth"""),
+      Some(s"""WITH RECURSIVE e AS (
+          SELECT DISTINCT CAST(o_custkey + $CustomerOff AS BIGINT) AS src,
+            CAST(o_orderkey + $OrderOff AS BIGINT) AS dst FROM orders
+          UNION SELECT DISTINCT CAST(l_orderkey + $OrderOff AS BIGINT),
+            CAST(l_partkey + $PartOff AS BIGINT) FROM lineitem
+          UNION SELECT DISTINCT CAST(l_partkey + $PartOff AS BIGINT),
+            CAST(l_suppkey + $SupplierOff AS BIGINT) FROM lineitem),
+        guarded AS (SELECT CAST(o_orderkey + $OrderOff AS BIGINT) AS id
+          FROM orders WHERE o_orderstatus = 'F'),
+        r AS (
+          SELECT CAST(c_custkey + $CustomerOff AS BIGINT) AS node_id, 0 AS depth FROM customer
+          UNION SELECT e.dst, r.depth + 1 FROM r JOIN e ON e.src = r.node_id
+          WHERE r.depth < 3 AND (r.depth = 0 OR r.node_id NOT IN (SELECT id FROM guarded)))
+        SELECT depth, CAST(count(*) AS BIGINT) AS cnt FROM (
+          SELECT node_id, MIN(depth) AS depth FROM r GROUP BY node_id) GROUP BY depth""")),
+
+    // MATCH pattern with per-binding where — identical twin of the
+    // green graphql_hop oracle: the dialect, GraphQL, and the DataFrame
+    // API all compile onto the same Traversal join
+    Q("asql_match_hop",
+      asql("""MATCH {type: Customer, as: c, where: (mktsegment = 'BUILDING')}
+          .out('PLACED') {type: Order, as: o}
+        RETURN c.name AS name, c.acctbal AS acctbal,
+          o.totalprice AS orders_totalprice, o.status AS orders_status"""),
+      Some("""SELECT c_name AS name, c_acctbal AS acctbal,
+        o_totalprice AS orders_totalprice, o_orderstatus AS orders_status
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'""")),
+
+    // MATCH 2-hop + aggregate RETURN with GROUP BY
+    Q("asql_match_agg",
+      asql("""MATCH {type: Customer, as: c}
+          .out('PLACED') {type: Order, as: o}
+          .out('CONTAINS') {type: Part, as: p}
+        RETURN p.brand AS brand, count(*) AS cnt GROUP BY p.brand"""),
+      Some("""SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS cnt
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN part ON p_partkey = l_partkey GROUP BY p_brand""")),
+
+    // ORDER BY … SKIP/LIMIT pagination (deterministic: unique id
+    // tie-break)
+    Q("asql_order_page",
+      asql("SELECT id, totalprice FROM Order ORDER BY totalprice DESC, id ASC SKIP 5 LIMIT 10"),
+      Some(s"""SELECT CAST(o_orderkey + $OrderOff AS BIGINT) AS id,
+        o_totalprice AS totalprice FROM orders
+        ORDER BY totalprice DESC, id ASC LIMIT 10 OFFSET 5"""))
+  )
+}

@@ -6,7 +6,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
-import graft.query.{GraphQl, PropertyGraph}
+import graft.model.GraphSchema
+import graft.query.{ArcadeSql, GraphQl, PropertyGraph}
 
 /** HTTP/JSON query endpoint — the reference's serving surface
   * (`ArcadeDBService.java:58` `server.start()`, port config `:87`;
@@ -49,11 +50,14 @@ object QueryServer {
   }
 
   /** Start serving. `port` 0 binds an ephemeral port (tests);
-    * `graph` enables `language: "graphql"`; `store` enables the DML
-    * command route. */
+    * `graph` enables `language: "graphql"` and the ArcadeDB SQL
+    * dialect; `store` enables the DML command route; `schema` anchors
+    * dialect compilation (label catalog — defaults to the engine's
+    * declared registry). */
   def start(spark: SparkSession, port: Int,
       graph: Option[PropertyGraph] = None,
-      store: Option[StoreContext] = None): Started = {
+      store: Option[StoreContext] = None,
+      schema: GraphSchema = graft.load.GraphLoader.schema): Started = {
     val server = HttpServer.create(new InetSocketAddress(validatePort(port)), 0)
     @volatile var servedGraph = graph
 
@@ -97,10 +101,19 @@ object QueryServer {
       }
 
     def runQuery(language: String, command: String, limit: Int): String = {
+      def graphOr: PropertyGraph = servedGraph.getOrElse(
+        throw new IllegalStateException("no graph served — start with a store"))
       val df: DataFrame = language match {
+        // reference parity: "sql" is ArcadeDB SQL. Dialect-anchored
+        // commands (FROM a known label / TRAVERSE / MATCH) compile via
+        // ArcadeSql; anything else falls through to Spark SQL over the
+        // served views — a richer superset the dialect doesn't cover.
+        case "sql" if servedGraph.nonEmpty && ArcadeSql.looksLikeDialect(schema, command) =>
+          ArcadeSql.compile(graphOr, schema, command)
         case "sql" => spark.sql(command)
-        case "graphql" => GraphQl.compile(servedGraph.getOrElse(
-          throw new IllegalStateException("no graph served — start with a store")), command)
+        case "arcadesql" | "arcade" => ArcadeSql.compile(graphOr, schema, command)
+        case "sparksql" => spark.sql(command)
+        case "graphql" => GraphQl.compile(graphOr, command)
         case l => throw new IllegalArgumentException(s"unsupported language: $l")
       }
       // toJSON keeps row serialization distributed (executor-side

@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.load.GraphLoader
+import graft.query.{ArcadeSql, PropertyGraph}
+
+/** ArcadeDB SQL dialect front-end: parse + compile onto the existing
+  * combinators. Equivalence is asserted against the DataFrame twins the
+  * dialect claims to compile into — same rows, same plans (plan-shape
+  * needles checked in the match case).
+  */
+class ArcadeSqlSpec extends SparkSpec {
+
+  private lazy val g =
+    PropertyGraph(GraphLoader.nodes(spark, sfDir), GraphLoader.edges(spark, sfDir))
+  private val gs = GraphLoader.schema
+
+  private def run(q: String) = ArcadeSql.compile(g, gs, q)
+
+  test("SELECT FROM label returns the label's declared schema") {
+    val df = run("SELECT FROM Customer")
+    assert(df.columns.toSeq == Seq("id", "label", "name", "acctbal", "mktsegment"))
+    assert(df.count() == g.nodesOf("Customer").count())
+    val edges = run("SELECT FROM CONTAINS")
+    assert(edges.columns.take(3).toSeq == Seq("src", "dst", "label"))
+  }
+
+  test("WHERE predicates match the Column twin") {
+    val got = run("SELECT name FROM Customer WHERE mktsegment = 'BUILDING' AND acctbal > 1000")
+      .collect().map(_.getString(0)).toSet
+    val want = g.nodesOf("Customer")
+      .filter(col("mktsegment") === "BUILDING" && col("acctbal") > 1000)
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("method chains: Java-style substring/indexOf/left/right/charAt") {
+    val row = run("""SELECT name.substring(0, 8) AS a, name.left(8) AS b,
+        name.right(4) AS c, name.charAt(0) AS d, name.indexOf('#') AS e,
+        name.toUpperCase() AS f, name.length() AS len
+      FROM Customer WHERE id = 1000042""").collect()(0)
+    // name is 'Customer#000000042'
+    assert(row.getString(0) == "Customer")
+    assert(row.getString(1) == "Customer")
+    assert(row.getString(2) == "0042")
+    assert(row.getString(3) == "C")
+    assert(row.getInt(4) == 8) // 0-based like Java
+    assert(row.getString(5) == "CUSTOMER#000000042")
+    assert(row.getInt(6) == 18)
+  }
+
+  test("IS DEFINED / IS NULL and boolean structure") {
+    // suppliers have no mktsegment → null in the union store; the
+    // dialect reads each label's own schema so probe via Part.tags
+    val n = run("SELECT name FROM Part WHERE tags IS DEFINED AND NOT (psize < 0)").count()
+    assert(n == g.nodesOf("Part").count())
+  }
+
+  test("out('L').size() degree equals the combinator degree") {
+    val got = run("SELECT id, out('PLACED').size() AS d FROM Customer")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = g.nodesOf("Customer").select("id")
+      .join(g.outDegree("PLACED"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("degree"), lit(0L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // customers without orders appear with degree 0
+    assert(got.values.exists(_ == 0L) || got.values.forall(_ > 0L))
+  }
+
+  test("expand(out) equals the Traversal hop") {
+    val got = run("SELECT expand(out('PLACED')) FROM Customer WHERE mktsegment = 'BUILDING'")
+    val want = g.v("Customer", "c").filter(col("c_mktsegment") === "BUILDING")
+      .out("PLACED", "Order", "o").result
+    assert(got.count() == want.count())
+  }
+
+  test("TRAVERSE bounded/unbounded agree with PropertyGraph.traverse") {
+    val bounded = run(
+      "SELECT FROM (TRAVERSE in('IN_REGION', 'IN_NATION') FROM (SELECT FROM Region) MAXDEPTH 2)")
+    val twin = g.traverse(g.nodesOf("Region"), Seq("IN_REGION", "IN_NATION"), "in", 2)
+    assert(bounded.count() == twin.select("node_id").distinct().count())
+    // unbounded (fixpoint) on the same acyclic hierarchy reaches the
+    // same records
+    val unbounded = run(
+      "SELECT FROM (TRAVERSE in('IN_REGION', 'IN_NATION') FROM (SELECT FROM Region))")
+    assert(unbounded.count() == bounded.count())
+  }
+
+  test("TRAVERSE WHILE folds $depth bounds and keeps node guards") {
+    val guarded = run("""SELECT FROM (TRAVERSE in('IN_REGION', 'IN_NATION')
+      FROM (SELECT FROM Region) WHILE $depth < 2 AND name <> 'NATION_3')""")
+    val twin = g.traverse(g.nodesOf("Region"), Seq("IN_REGION", "IN_NATION"), "in", 2,
+      whileNode = col("name") =!= "NATION_3")
+    assert(guarded.count() == twin.select("node_id").distinct().count())
+  }
+
+  test("MATCH compiles onto the same joins as the Traversal API") {
+    val df = run("""MATCH {type: Customer, as: c, where: (mktsegment = 'BUILDING')}
+        .out('PLACED') {type: Order, as: o}
+      RETURN c.name AS name, o.totalprice AS total""")
+    val twin = g.v("Customer", "c").filter(col("c_mktsegment") === "BUILDING")
+      .out("PLACED", "Order", "o").result
+      .select(col("c_name").as("name"), col("o_totalprice").as("total"))
+    assert(df.collect().toSet == twin.collect().toSet)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Join"), "MATCH must plan as joins")
+  }
+
+  test("ORDER BY / SKIP / LIMIT paginate deterministically") {
+    val all = run("SELECT id FROM Order ORDER BY totalprice DESC, id ASC LIMIT 15")
+      .collect().map(_.getLong(0)).toSeq
+    val page = run("SELECT id FROM Order ORDER BY totalprice DESC, id ASC SKIP 5 LIMIT 10")
+      .collect().map(_.getLong(0)).toSeq
+    assert(page == all.drop(5))
+  }
+
+  test("aggregates with GROUP BY") {
+    val got = run("SELECT mktsegment, count(*) AS cnt, max(acctbal) AS mx FROM Customer GROUP BY mktsegment")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = g.nodesOf("Customer").groupBy("mktsegment")
+      .agg(count(lit(1)), max("acctbal"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+  }
+
+  test("looksLikeDialect anchors on the schema, not just the grammar") {
+    assert(ArcadeSql.looksLikeDialect(gs, "SELECT FROM Customer"))
+    assert(ArcadeSql.looksLikeDialect(gs, "SELECT name FROM Customer WHERE acctbal > 0"))
+    assert(ArcadeSql.looksLikeDialect(gs, "TRAVERSE out('PLACED') FROM (SELECT FROM Customer)"))
+    assert(ArcadeSql.looksLikeDialect(gs,
+      "MATCH {type: Customer, as: c} RETURN c.name AS n"))
+    // Spark SQL over served views must NOT be captured
+    assert(!ArcadeSql.looksLikeDialect(gs, "SELECT label, count(*) FROM nodes GROUP BY label"))
+    assert(!ArcadeSql.looksLikeDialect(gs, "SELECT name FROM nodes_Customer WHERE id = 7"))
+    assert(!ArcadeSql.looksLikeDialect(gs, "SELECT 1"))
+    assert(!ArcadeSql.looksLikeDialect(gs, "not sql at all"))
+  }
+
+  test("unsupported forms and unknown names fail loudly") {
+    intercept[IllegalArgumentException](run("SELECT FROM NoSuchType"))
+    intercept[IllegalArgumentException](run("SELECT nope( FROM Customer"))
+    intercept[IllegalArgumentException](run("DELETE FROM Customer")) // DML is not a read
+    intercept[IllegalArgumentException](run("SELECT name.frobnicate() FROM Customer"))
+    intercept[IllegalArgumentException](
+      run("TRAVERSE out('A'), in('B') FROM (SELECT FROM Region)")) // mixed directions
+    intercept[IllegalArgumentException](run("SELECT FROM Customer trailing garbage"))
+  }
+
+  test("parser fuzz: random garbage never hangs or succeeds silently") {
+    val rnd = new scala.util.Random(4242)
+    val alphabet = "SELECT FROM WHERE ().,'*=<>[]$depth out in MATCH TRAVERSE abc0123 \n\t"
+    (1 to 300).foreach { _ =>
+      val s = (1 to rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      try { ArcadeSql.parse(s); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+    // mutations of a valid query: truncations must parse or fail cleanly
+    val valid = "SELECT name, out('PLACED').size() AS d FROM Customer WHERE acctbal > 10 ORDER BY name SKIP 1 LIMIT 5"
+    (1 until valid.length).foreach { k =>
+      try { ArcadeSql.parse(valid.take(k)); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+}

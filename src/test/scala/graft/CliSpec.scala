@@ -92,6 +92,18 @@ class CliSpec extends SparkSpec {
       assert(getQ.getResponseCode == 200)
       assert(new String(getQ.getInputStream.readAllBytes(), "UTF-8").contains("\"n\":5"))
 
+      // ArcadeDB SQL dialect: explicit language, and the "sql" sniff
+      // routing a dialect-anchored command to the same compiler
+      val asql = "SELECT name FROM Customer WHERE mktsegment = 'BUILDING' ORDER BY name LIMIT 3"
+      val (ca, ba) = post(s"""{"language":"arcadesql","command":${q(asql)}}""")
+      assert(ca == 200 && ba.contains("Customer#"), ba)
+      val (cs, bs) = post(s"""{"language":"sql","command":${q(asql)}}""")
+      assert(cs == 200 && bs == ba, bs)
+      val (cm, bm) = post(s"""{"language":"sql","command":${q(
+        "MATCH {type: Region, as: r} RETURN r.name AS name")}}""")
+      assert(cm == 200, bm)
+      assert((org.json4s.jackson.JsonMethods.parse(bm) \ "result").children.size == 5)
+
       // DML over HTTP: INSERT lands in the store and the served views
       // are re-registered, so a follow-up query sees the record
       val ins = """INSERT INTO Customer (id, name, acctbal, mktsegment)
