@@ -286,6 +286,113 @@ object GraphLoader {
     resolved.write.mode("append").partitionBy("label").parquet(s"$outDir/edges")
   }
 
+  /** UPDATE <Label> SET … WHERE <pred> — copy-on-write rewrite of ONE
+    * label partition (the reference's HTTP command surface accepts
+    * updates [dep arcadedb-server, `src/pom.xml:104-108`]). Invariants:
+    * key/topology columns (`id`, `src`, `dst`, `label`) are immutable;
+    * UNIQUE indexes on the label are revalidated over the rewritten
+    * partition BEFORE the store is touched. 100 TB posture: only the
+    * target label's files are read and rewritten (partition pruning at
+    * the directory level); the swap is a metadata-level rename, and the
+    * predicate/SET application is one map-only pass — no shuffle.
+    * Returns the number of updated records. */
+  def updateRecords(spark: SparkSession, outDir: String, label: String, kind: String,
+      sets: Map[String, Any], pred: org.apache.spark.sql.Column): Long = {
+    require(sets.nonEmpty, "UPDATE needs a SET clause")
+    val immutable = Set("id", "src", "dst", "label")
+    val bad = sets.keySet.intersect(immutable)
+    require(bad.isEmpty,
+      s"UPDATE rejected: ${bad.mkString(", ")} are immutable (keys/topology)")
+    rewriteLabelPartition(spark, outDir, kind, label) { part =>
+      val unknown = sets.keySet -- part.columns.toSet
+      require(unknown.isEmpty, s"UPDATE rejected: unknown column(s) ${unknown.mkString(", ")}")
+      val affected = part.filter(pred).count()
+      val updated = part.select(part.schema.fields.toSeq.map { f =>
+        sets.get(f.name) match {
+          case Some(v) => when(pred, lit(v).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+      // A15 re-validation scoped to this label's UNIQUE indexes
+      val gs = GraphSchema.fromJson(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$outDir/schema.json")))
+      val target = if (kind == "vertex") "node" else "edge"
+      gs.indexes.filter(ix => ix.unique && ix.isBuildable &&
+          ix.label == label && ix.target == target).foreach { ix =>
+        val dup = updated.filter(col(ix.property).isNotNull)
+          .groupBy(col(ix.property)).count().filter(col("count") > 1)
+        require(dup.isEmpty, {
+          val sample = dup.limit(3).collect().map(_.get(0)).mkString(", ")
+          s"UPDATE rejected: UNIQUE($label.${ix.property}) violated (e.g. $sample)"
+        })
+      }
+      (updated, affected)
+    }
+  }
+
+  /** DELETE FROM <Label> [WHERE <pred>] — copy-on-write rewrite without
+    * the matching rows. Deleting vertices whose ids are still referenced
+    * by ANY edge is rejected (the A13 integrity mirror: the store never
+    * holds a dangling endpoint) — delete the edges first. Returns the
+    * number of deleted records. */
+  def deleteRecords(spark: SparkSession, outDir: String, label: String, kind: String,
+      pred: Option[org.apache.spark.sql.Column]): Long = {
+    // NULL-predicate rows are KEPT (SQL three-valued semantics): a bare
+    // `!pred` filter would silently drop them alongside the matches
+    val p = coalesce(pred.getOrElse(lit(true)), lit(false))
+    rewriteLabelPartition(spark, outDir, kind, label) { part =>
+      val affected = part.filter(p).count()
+      if (affected > 0 && kind == "vertex") {
+        val deletedIds = part.filter(p).select(col("id"))
+        val edges = spark.read.parquet(s"$outDir/edges")
+        val referencing = edges
+          .join(deletedIds.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+          .unionByName(edges
+            .join(deletedIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi"))
+        require(referencing.isEmpty, {
+          val sample = referencing.select("src", "dst").limit(5).collect()
+            .map(r => s"(${r.getLong(0)}→${r.getLong(1)})").mkString(", ")
+          s"DELETE rejected: edges still reference deleted node(s): $sample — delete them first"
+        })
+      }
+      (part.filter(!p), affected)
+    }
+  }
+
+  /** Copy-on-write rewrite of one label partition directory: `f` maps
+    * the current partition frame (label column elided — it lives in the
+    * directory name) to (rewritten frame, affected count). Zero affected
+    * → the store is untouched. Writes go to a staging directory first;
+    * the swap is two renames, so a failed validation or write never
+    * corrupts the store. (On a cluster the same protocol runs against
+    * HDFS/object-store rename; a transactional table format would make
+    * the swap atomic — out of scope for the shim's single-writer model.) */
+  private def rewriteLabelPartition(spark: SparkSession, outDir: String, kind: String,
+      label: String)(f: DataFrame => (DataFrame, Long)): Long = {
+    val entity = if (kind == "vertex") "nodes" else "edges"
+    val dir = java.nio.file.Paths.get(s"$outDir/$entity/label=$label")
+    if (!java.nio.file.Files.isDirectory(dir)) return 0L // declared label, no rows yet
+    val part = spark.read.parquet(dir.toString)
+    val (rewritten, affected) = f(part)
+    if (affected == 0) return 0L
+    val staging = java.nio.file.Paths.get(
+      s"$outDir/.staging_${entity}_${label}_${java.util.UUID.randomUUID().toString.take(8)}")
+    rewritten.write.mode("overwrite").parquet(staging.toString)
+    val old = java.nio.file.Paths.get(s"$outDir/.old_${entity}_$label")
+    java.nio.file.Files.move(dir, old)
+    java.nio.file.Files.move(staging, dir)
+    deleteRecursively(old)
+    affected
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
   /** Project `df` onto `target`'s schema: shared columns cast to the
     * store type, missing columns become typed nulls. Extra columns are
     * an error (the store schema is declared, A5). */

@@ -124,6 +124,17 @@ class CliSpec extends SparkSpec {
       // duplicate id and reads on the command route are rejected
       assert(postTo("command")(s"""{"language":"sql","command":${q(ins)}}""")._1 == 400)
       assert(postTo("command")(s"""{"language":"sql","command":${q("SELECT 1")}}""")._1 == 400)
+
+      // UPDATE over HTTP: copy-on-write rewrite, served views reloaded
+      val (cu, bu) = postTo("command")(s"""{"language":"sql","command":${q(
+        "UPDATE Customer SET mktsegment = 'ORBITAL' WHERE id = 1999001")}}""")
+      assert(cu == 200 && bu.contains("\"count\":1"), bu)
+      val (cq2, bq2) = post(s"""{"language":"sql","command":${q(
+        "SELECT mktsegment FROM nodes_Customer WHERE id = 1999001")}}""")
+      assert(cq2 == 200 && bq2.contains("ORBITAL"), bq2)
+      // DELETE of a vertex still referenced by its IN_NATION edge → 400
+      assert(postTo("command")(s"""{"language":"sql","command":${q(
+        "DELETE FROM Customer WHERE id = 1999001")}}""")._1 == 400)
     } finally srv.stop()
   }
 

@@ -147,6 +147,50 @@ class LoadSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/edges").count() == e0 + 1)
   }
 
+  test("DML update/delete: copy-on-write label rewrite with invariants") {
+    val out = Files.createTempDirectory("graftupd").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    import graft.server.Dml
+    val n0 = spark.read.parquet(s"$out/nodes").count()
+
+    // UPDATE: one customer's segment changes, row/file counts intact
+    assert(Dml.execute(spark, out,
+      "UPDATE Customer SET mktsegment = 'MOONBASE' WHERE id = 1000042") == 1)
+    val nodes = spark.read.parquet(s"$out/nodes")
+    assert(nodes.count() == n0)
+    assert(nodes.filter(col("id") === 1000042L).select("mktsegment")
+      .head.getString(0) == "MOONBASE")
+    assert(GraphLoader.validateUnique(nodes,
+      spark.read.parquet(s"$out/edges"), GraphLoader.schema).isEmpty)
+
+    // UPDATE violating UNIQUE(Customer.name) rejected, store untouched
+    intercept[IllegalArgumentException](
+      Dml.execute(spark, out, "UPDATE Customer SET name = 'CLONE'"))
+    assert(spark.read.parquet(s"$out/nodes")
+      .filter(col("name") === "CLONE").count() == 0)
+
+    // DELETE of a referenced vertex is rejected (A13 dangling mirror);
+    // deleting its edges first makes the vertex delete land
+    intercept[IllegalArgumentException](
+      Dml.execute(spark, out, "DELETE FROM Customer WHERE id = 1000042"))
+    assert(Dml.execute(spark, out, "DELETE FROM IN_NATION WHERE src = 1000042") == 1)
+    Dml.execute(spark, out, "DELETE FROM PLACED WHERE src = 1000042")
+    assert(Dml.execute(spark, out, "DELETE FROM Customer WHERE id = 1000042") == 1)
+    assert(spark.read.parquet(s"$out/nodes").count() == n0 - 1)
+
+    // edge-property update through the dialect predicate grammar
+    val eUpd = Dml.execute(spark, out,
+      "UPDATE CONTAINS SET returnflag = 'X' WHERE quantity >= 49")
+    assert(eUpd > 0)
+    assert(spark.read.parquet(s"$out/edges")
+      .filter(col("returnflag") === "X").count() == eUpd)
+
+    // zero-match update/delete leaves the store untouched (no rewrite)
+    assert(Dml.execute(spark, out,
+      "UPDATE Customer SET mktsegment = 'Z' WHERE id = 1") == 0)
+    assert(Dml.execute(spark, out, "DELETE FROM Customer WHERE id = 1") == 0)
+  }
+
   test("DML parser fails closed on malformed statements") {
     val out = Files.createTempDirectory("graftdml").toString
     GraphLoader.writeGraph(spark, sfDir, out)
@@ -162,7 +206,10 @@ class LoadSpec extends SparkSpec {
       "CREATE EDGE Customer FROM 1 TO 2",    // vertex label as edge
       "CREATE VERTEX Customer SET = 1",
       "CREATE VERTEX Customer SET id = bogusliteral",
-      "DELETE FROM Customer", // unsupported verb
+      "TRUNCATE Customer", // unsupported verb
+      "DELETE FROM Customer", // supported verb, but every customer has edges → dangling reject
+      "UPDATE Customer SET id = 9", // immutable key
+      "UPDATE Customer SET name = 'x' WHERE ???bad", // malformed dialect predicate
       "INSERT INTO Customer (id, name) VALUES ('abc', 'x')", // string into bigint (ANSI cast)
       "").foreach { stmt =>
       intercept[IllegalArgumentException](Dml.execute(spark, out, stmt))
