@@ -30,6 +30,9 @@ object Main {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")
+    // FAIR scheduling: the HTTP endpoint assigns one pool per request
+    // thread so concurrent queries interleave instead of queueing FIFO
+    .config("spark.scheduler.mode", "FAIR")
     .getOrCreate()
 
   def create(spark: SparkSession, sfDir: String, outDir: String): Unit = {
@@ -75,9 +78,22 @@ object Main {
     val g = serve(spark, outDir, sfDir)
     val gs = graft.model.GraphSchema.fromJson(
       java.nio.file.Files.readString(java.nio.file.Paths.get(s"$outDir/schema.json")))
+    // A21 parity: bootstrap a credential before serving (the reference
+    // creates its user with an encoded password, ArcadeDBService.java:93-105).
+    // Token file next to the store; generated once, reused across restarts.
+    val tokenPath = java.nio.file.Paths.get(s"$outDir/server-token")
+    val token =
+      if (java.nio.file.Files.exists(tokenPath))
+        java.nio.file.Files.readString(tokenPath).trim
+      else {
+        val t = java.util.UUID.randomUUID().toString.replace("-", "")
+        java.nio.file.Files.writeString(tokenPath, t)
+        println(s"[graft] generated HTTP bearer token at $tokenPath")
+        t
+      }
     val started = graft.server.QueryServer.start(spark, port, Some(g),
       Some(graft.server.QueryServer.StoreContext(outDir, () => serve(spark, outDir, None))),
-      schema = gs)
+      schema = gs, auth = Some(token))
     println(s"[graft] HTTP endpoint on port ${started.port}: " +
       "POST /api/v1/query/graft (reads), /api/v1/command/graft (DML)")
     val lock = new Object

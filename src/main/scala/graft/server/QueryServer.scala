@@ -32,8 +32,9 @@ object QueryServer {
   val DefaultLimit = 1000
   val MaxLimit = 100000
 
-  final case class Started(server: HttpServer, port: Int) {
-    def stop(): Unit = server.stop(0)
+  final case class Started(server: HttpServer, port: Int,
+      pool: java.util.concurrent.ExecutorService) {
+    def stop(): Unit = { server.stop(0); pool.shutdownNow(); () }
   }
 
   /** Store binding for the DML route: where the persisted graph lives
@@ -57,9 +58,32 @@ object QueryServer {
   def start(spark: SparkSession, port: Int,
       graph: Option[PropertyGraph] = None,
       store: Option[StoreContext] = None,
-      schema: GraphSchema = graft.load.GraphLoader.schema): Started = {
+      schema: GraphSchema = graft.load.GraphLoader.schema,
+      auth: Option[String] = None): Started = {
     val server = HttpServer.create(new InetSocketAddress(validatePort(port)), 0)
     @volatile var servedGraph = graph
+    // DML is serialized through this lock (copy-on-write rewrites and
+    // appends assume a single writer); reads run concurrently
+    val dmlLock = new Object
+
+    /** A21 parity (`ArcadeDBService.java:93-105` bootstraps a
+      * credentialed user before serving): when a token is configured,
+      * query+command routes require `Authorization: Bearer <token>` or
+      * HTTP Basic with the token as password. Probes (`/ready`,
+      * `/databases`) stay open, like the reference's readiness check. */
+    def authorized(ex: HttpExchange): Boolean = auth match {
+      case None => true
+      case Some(tok) =>
+        Option(ex.getRequestHeaders.getFirst("Authorization")).exists { v =>
+          v == s"Bearer $tok" || (v.startsWith("Basic ") && (try {
+            new String(java.util.Base64.getDecoder.decode(v.stripPrefix("Basic ").trim),
+              StandardCharsets.UTF_8).split(":", 2) match {
+              case Array(_, p) => p == tok
+              case _ => false
+            }
+          } catch { case _: IllegalArgumentException => false }))
+        }
+    }
 
     server.createContext("/api/v1/ready", (ex: HttpExchange) => {
       ex.sendResponseHeaders(204, -1); ex.close()
@@ -92,8 +116,21 @@ object QueryServer {
     def handle(ex: HttpExchange, allowGet: Boolean = false)(f: => String): Unit =
       try {
         val m = ex.getRequestMethod
-        if (m != "POST" && !(allowGet && m == "GET")) respond(ex, 405, err("use POST"))
-        else respond(ex, 200, f)
+        if (!authorized(ex)) {
+          ex.getResponseHeaders.set("WWW-Authenticate", "Bearer")
+          respond(ex, 401, err("unauthorized"))
+        }
+        else if (m != "POST" && !(allowGet && m == "GET")) respond(ex, 405, err("use POST"))
+        else {
+          // one FAIR pool per request thread: concurrent analytical
+          // queries interleave their Spark stages instead of queueing
+          // FIFO behind the first (needs spark.scheduler.mode=FAIR on
+          // the session, set by the CLI serve path; a no-op under FIFO)
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+            s"http-${Thread.currentThread().getId}")
+          try respond(ex, 200, f)
+          finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+        }
       } catch {
         case e: IllegalArgumentException => respond(ex, 400, err(e.getMessage))
         case e: org.apache.spark.sql.AnalysisException => respond(ex, 400, err(e.getMessage))
@@ -153,14 +190,29 @@ object QueryServer {
         throw new IllegalArgumentException("only DML here — use /api/v1/query for reads")
       val ctx = store.getOrElse(
         throw new IllegalStateException("no store attached — DML needs a persisted store"))
-      val n = Dml.execute(spark, ctx.dir, command)
-      servedGraph = Some(ctx.reload())
+      val n = dmlLock.synchronized {
+        val n0 = Dml.execute(spark, ctx.dir, command)
+        servedGraph = Some(ctx.reload())
+        n0
+      }
       s"""{"result":[{"count":$n}]}"""
     })
 
-    server.setExecutor(null) // serial dispatch; the driver is one-at-a-time anyway
+    // request-per-thread dispatch (the reference's embedded server model):
+    // a slow analytical query must not head-of-line-block /ready or a
+    // concurrent point lookup. Query execution itself stays distributed —
+    // these threads only drive job submission and page serialization.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-http-${n.incrementAndGet()}")
+          t.setDaemon(true); t
+        }
+      })
+    server.setExecutor(pool)
     server.start()
-    Started(server, server.getAddress.getPort)
+    Started(server, server.getAddress.getPort, pool)
   }
 
   private def err(msg: String): String =

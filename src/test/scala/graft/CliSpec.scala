@@ -138,6 +138,75 @@ class CliSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("HTTP auth: query and command routes require the token; probes stay open") {
+    val out = Files.createTempDirectory("graftauth").toString
+    Main.create(spark, sfDir, out)
+    val g = Main.serve(spark, out, None)
+    val srv = graft.server.QueryServer.start(spark, 0, Some(g),
+      Some(graft.server.QueryServer.StoreContext(out, () => Main.serve(spark, out, None))),
+      auth = Some("sekrit-token"))
+    try {
+      def req(route: String, authHeader: Option[String], body: String): Int = {
+        val conn = new java.net.URL(s"http://127.0.0.1:${srv.port}$route")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        authHeader.foreach(conn.setRequestProperty("Authorization", _))
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        conn.getResponseCode
+      }
+      val q = """{"language":"sql","command":"SELECT count(*) AS n FROM nodes_Region"}"""
+      val dml = """{"language":"sql","command":"UPDATE Customer SET mktsegment = 'X' WHERE id = -1"}"""
+      // no/wrong credential → 401; nothing executes
+      assert(req("/api/v1/query/graft", None, q) == 401)
+      assert(req("/api/v1/query/graft", Some("Bearer wrong"), q) == 401)
+      assert(req("/api/v1/command/graft", None, dml) == 401)
+      assert(req("/api/v1/command/graft", Some("Basic !!!notbase64"), dml) == 401)
+      // bearer and basic (password = token) both pass
+      assert(req("/api/v1/query/graft", Some("Bearer sekrit-token"), q) == 200)
+      val basic = java.util.Base64.getEncoder.encodeToString("biodwh2:sekrit-token".getBytes("UTF-8"))
+      assert(req("/api/v1/query/graft", Some(s"Basic $basic"), q) == 200)
+      assert(req("/api/v1/command/graft", Some("Bearer sekrit-token"), dml) == 200)
+      // readiness probe stays open (reference's health-check parity)
+      val ready = new java.net.URL(s"http://127.0.0.1:${srv.port}/api/v1/ready")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(ready.getResponseCode == 204)
+    } finally srv.stop()
+  }
+
+  test("concurrent dispatch: a slow query does not block /ready or a point lookup") {
+    val out = Files.createTempDirectory("graftconc").toString
+    Main.create(spark, sfDir, out)
+    val g = Main.serve(spark, out, None)
+    val srv = graft.server.QueryServer.start(spark, 0, Some(g))
+    try {
+      // a deliberately slow query: per-row sleep via a test-only UDF
+      spark.udf.register("graft_test_slow", (x: Long) => { Thread.sleep(15); x })
+      val slowBody =
+        """{"language":"sql","command":"SELECT sum(graft_test_slow(id)) AS s FROM nodes"}"""
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val slow = Future {
+        val conn = new java.net.URL(s"http://127.0.0.1:${srv.port}/api/v1/query/graft")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(slowBody.getBytes("UTF-8"))
+        conn.getResponseCode
+      }
+      Thread.sleep(300) // let the slow request occupy its handler thread
+      val t0 = System.nanoTime()
+      val ready = new java.net.URL(s"http://127.0.0.1:${srv.port}/api/v1/ready")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(ready.getResponseCode == 204)
+      val readyMs = (System.nanoTime() - t0) / 1e6
+      // serial dispatch would park this behind ~3+ s of sleeping rows
+      assert(readyMs < 2000, s"/ready took $readyMs ms behind a slow query")
+      assert(!slow.isCompleted, "slow query finished before the probe — test proves nothing")
+      assert(Await.result(slow, 120.seconds) == 200)
+    } finally srv.stop()
+  }
+
   test("port validation rejects out-of-range ports") {
     intercept[IllegalArgumentException](graft.server.QueryServer.validatePort(70000))
     intercept[IllegalArgumentException](graft.server.QueryServer.validatePort(-1))
