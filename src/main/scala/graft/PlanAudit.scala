@@ -37,6 +37,11 @@ object PlanAudit {
     Check("text_lang_id", "lang-ID stays in codegen", "codegen id"),
     Check("text_fingerprint", "native rolling-hash kernel", "graft_rolling_hash"),
     Check("sim_ivf_topk", "native dot kernel scores IVF candidates", "graft_dot"),
+    // the cap's row_number column __crn exists ONLY between the cap
+    // window and its filter, both upstream of the re-rank join — its
+    // presence in the plan proves the hot-bucket guard is in place
+    Check("sim_ivf_topk", "per-cell candidate cap precedes the re-rank join", "__crn"),
+    Check("sim_ann_topk", "per-bucket candidate cap precedes the re-rank join", "__crn"),
     Check("pipeline_prep", "native marker-count kernel in the prep gate", "graft_token_set_count"),
     Check("pipeline_shards", "shard packing is one window over the stratum", "Window"),
     Check("join_semi", "IN-subquery as left semi", "LeftSemi"),

@@ -88,6 +88,27 @@ object Similarity {
       }: _*))), 1, nProbe),
       x => -x("negid"))
 
+  /** Hot-bucket guard for the ANN paths: the bucket/cell re-rank joins
+    * are output-linear only while occupancy stays balanced — a
+    * degenerate corpus (many near-identical embeddings hashing to one
+    * bucket) would pay m²/2 cosine evaluations inside one partition,
+    * the same failure class as unbounded stop-shingles in the jaccard
+    * pipeline (fixed there by the df-cap). The guard bounds each
+    * bucket's CANDIDATE contribution to the `cap` smallest ids —
+    * deterministic, mirrored verbatim in the DuckDB oracles — so the
+    * worst case is |queries in bucket|·cap, never m². Recall on a hot
+    * bucket degrades gracefully (top-`cap`-by-id is the declared
+    * approximation, exactly like the df-cap drops stop-shingles).
+    * The cap window partitions by the SAME key the re-rank join uses,
+    * so Catalyst reuses one exchange — no extra shuffle. */
+  val CandidateCap = 128
+
+  private def capPerKey(df: DataFrame, key: String, ord: String, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(ord).asc)
+    df.withColumn("__crn", row_number().over(w)).filter(col("__crn") <= cap).drop("__crn")
+  }
+
   /** IVF (inverted-file) ANN — the second approximate scale path next
     * to [[annTopK]]'s hyperplane LSH. Centroids are the first
     * `nCentroids` vectors by id: deterministic sampling stands in for
@@ -100,13 +121,15 @@ object Similarity {
     * — candidate volume is output-linear in cell occupancy, never
     * O(Q·N). */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, nCentroids: Int,
-      nProbe: Int, queryIds: Seq[Long], k: Int): DataFrame = {
+      nProbe: Int, queryIds: Seq[Long], k: Int,
+      capPerCell: Int = CandidateCap): DataFrame = {
     val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
     // centroid table: config-sized (nCentroids × dim doubles), like the
     // landmark list of shortestPathsTo — driver-held by design
     val centroids = v.filter(col(idCol) < nCentroids).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
-    val assigned = v.withColumn("cell", ivfCell(col("v"), centroids))
+    val assigned = capPerKey(
+      v.withColumn("cell", ivfCell(col("v"), centroids)), "cell", idCol, capPerCell)
     val probed = v.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("qid"), col("v").as("qv"))
       .select(col("qid"), col("qv"),
@@ -122,11 +145,12 @@ object Similarity {
   /** Bucketed ANN: candidates share a bucket; exact cosine re-rank
     * within bucket. */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
-      numPlanes: Int, k: Int): DataFrame = {
+      numPlanes: Int, k: Int, capPerBucket: Int = CandidateCap): DataFrame = {
     val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .withColumn("bucket", lshBucket(col("v"), dim, numPlanes))
     val a = v.select(col("bucket"), col(idCol).as("qid"), col("v").as("qv"))
-    val b = v.select(col("bucket"), col(idCol).as("nn"), col("v").as("nv"))
+    val b = capPerKey(v, "bucket", idCol, capPerBucket)
+      .select(col("bucket"), col(idCol).as("nn"), col("v").as("nv"))
     val scored = a.join(b, Seq("bucket")).filter(col("qid") =!= col("nn"))
       .select(col("qid"), col("nn"), cosine(col("qv"), col("nv")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window

@@ -198,7 +198,7 @@ object LlmQueries {
       (s, d) => Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         16, 4, Seq(0L, 1L, 2L, 3L, 4L), 10)
         .select(col("qid"), col("nn"), col("rank"), round(col("cos"), 6).as("cos")),
-      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
         sc AS (SELECT vec_id, v, cid, list_dot_product(v, cv) /
             (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS ccos
@@ -215,9 +215,12 @@ object LlmQueries {
             SELECT qid, qv, cid, row_number() OVER (PARTITION BY qid
               ORDER BY ccos DESC, cid ASC) AS rn FROM qsc) t
           WHERE rn <= 4),
+        celln AS (SELECT vec_id, v, cell, row_number() OVER (PARTITION BY cell
+            ORDER BY vec_id ASC) AS crn FROM cell),
         cand AS (SELECT p.qid, m.vec_id AS nn, list_dot_product(p.qv, m.v) /
             (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(m.v, m.v))) AS cos
-          FROM probes p JOIN cell m ON m.cell = p.cell AND m.vec_id <> p.qid),
+          FROM probes p JOIN celln m ON m.cell = p.cell AND m.vec_id <> p.qid
+          WHERE m.crn <= ${Similarity.CandidateCap}),
         r AS (SELECT qid, nn, cos, CAST(row_number() OVER (PARTITION BY qid
           ORDER BY cos DESC, nn ASC) AS INTEGER) AS rank FROM cand)
         SELECT qid, nn, rank, round(cos, 6) AS cos FROM r WHERE rank <= 10""")),
@@ -250,10 +253,13 @@ object LlmQueries {
         }.mkString(" + ")
         s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           b AS (SELECT vec_id, v, $bits AS bucket FROM v),
+          bn AS (SELECT vec_id, v, bucket, row_number() OVER (PARTITION BY bucket
+            ORDER BY vec_id ASC) AS crn FROM b),
           cand AS (SELECT a.vec_id AS qid, c.vec_id AS nn,
             list_dot_product(a.v, c.v) /
               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
-            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+            FROM b a JOIN bn c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+            WHERE c.crn <= ${Similarity.CandidateCap}),
           r AS (SELECT qid, nn, cos, CAST(row_number() OVER (PARTITION BY qid
             ORDER BY cos DESC, nn ASC) AS INTEGER) AS rank FROM cand)
           SELECT qid, nn, rank, round(cos, 6) AS cos FROM r WHERE rank <= 5"""

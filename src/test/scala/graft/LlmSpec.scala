@@ -141,8 +141,11 @@ class LlmSpec extends SparkSpec {
   test("ivfTopK: probing all cells recovers brute force; fewer probes stay a subset") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val qids = Seq(0L, 1L, 2L)
-    // nProbe == nCentroids ⇒ every candidate is scored ⇒ exact top-k
-    val full = Similarity.ivfTopK(emb, "vec_id", "embedding", 8, 8, qids, 5)
+    // nProbe == nCentroids AND no candidate cap ⇒ every candidate is
+    // scored ⇒ exact top-k (the default cap may drop high-id members of
+    // hot cells, which is the point of the cap — disable it here)
+    val full = Similarity.ivfTopK(emb, "vec_id", "embedding", 8, 8, qids, 5,
+      capPerCell = Int.MaxValue)
       .select("qid", "nn", "rank").orderBy("qid", "rank").collect().map(_.toSeq)
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, 5)
       .select("qid", "nn", "rank").orderBy("qid", "rank").collect().map(_.toSeq)
@@ -165,6 +168,21 @@ class LlmSpec extends SparkSpec {
       "vec_id", "embedding", 64, 8, 5)
     assert(ann.count() > 0)
     assert(ann.groupBy("qid").count().agg(max("count")).collect()(0).getLong(0) <= 5)
+  }
+
+  test("ANN hot-bucket cap bounds candidate work on a degenerate corpus") {
+    // 400 identical vectors hash into ONE bucket/cell — uncapped, the
+    // re-rank join would evaluate 400² cosines inside one partition.
+    // The cap keeps the deterministic smallest-id candidates only.
+    val dim = 8
+    val deg = (0L until 400L).map(i => (i, Seq.fill(dim)(0.5f))).toDF("vec_id", "embedding")
+    val ann = Similarity.annTopK(deg, "vec_id", "embedding", dim, 8, 300, capPerBucket = 7)
+    assert(ann.groupBy("qid").count().agg(max("count")).collect()(0).getLong(0) <= 7)
+    // survivors are the smallest ids in the bucket
+    assert(ann.filter($"qid" === 399L).select("nn").collect().map(_.getLong(0)).forall(_ < 7))
+    val ivf = Similarity.ivfTopK(deg, "vec_id", "embedding", 2, 2, Seq(399L), 300,
+      capPerCell = 7)
+    assert(ivf.count() <= 14 && ivf.count() > 0) // ≤ cap per probed cell
   }
 
   test("native TokenSetCount kernel is value-identical to the interpreted filters") {
