@@ -109,6 +109,9 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     args.toList match {
       case "create" :: sfDir :: outDir :: Nil => create(spark, sfDir, outDir)
+      case "compact" :: outDir :: Nil =>
+        val n = GraphLoader.compactStore(spark, outDir)
+        println(s"[graft] compacted $n fragmented label partition(s) in $outDir")
       case "serve" :: outDir :: Nil => serve(spark, outDir, None)
       case "serve" :: outDir :: Port(p) :: Nil => serveHttp(spark, outDir, None, p)
       case "create-serve" :: sfDir :: outDir :: Nil =>
@@ -116,7 +119,7 @@ object Main {
       case "create-serve" :: sfDir :: outDir :: Port(p) :: Nil =>
         create(spark, sfDir, outDir); serveHttp(spark, outDir, Some(sfDir), p)
       case _ =>
-        System.err.println("usage: create <sfDir> <outDir> | serve <outDir> [port] | create-serve <sfDir> <outDir> [port]")
+        System.err.println("usage: create <sfDir> <outDir> | compact <outDir> | serve <outDir> [port] | create-serve <sfDir> <outDir> [port]")
         sys.exit(2)
     }
     spark.stop()

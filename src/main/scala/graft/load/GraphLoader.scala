@@ -385,6 +385,65 @@ object GraphLoader {
     affected
   }
 
+  /** A16 maintenance — compact the store in place. Every single-row
+    * HTTP append lands one small parquet file in its label partition;
+    * N commands = N files, and every later reader pays N footer reads.
+    * Compaction rewrites any label partition holding more than
+    * `maxFilesPerLabel` files down to max(1, ceil(bytes/targetBytes))
+    * files via the same staged-swap protocol as UPDATE/DELETE — a
+    * maintenance pass over ONLY the fragmented partitions, never a full
+    * store rebuild. Returns the number of partitions rewritten.
+    * (128 MB default target matches the scan split size, so a compacted
+    * partition reads at one task per file at cluster scale.) */
+  def compactStore(spark: SparkSession, outDir: String,
+      maxFilesPerLabel: Int = 4, targetBytes: Long = 128L << 20): Int = {
+    import scala.jdk.CollectionConverters._
+    def labelDirs(entity: String): Seq[(String, java.nio.file.Path)] = {
+      val root = java.nio.file.Paths.get(s"$outDir/$entity")
+      if (!java.nio.file.Files.isDirectory(root)) Nil
+      else {
+        val s = java.nio.file.Files.list(root)
+        try s.iterator().asScala.filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("label="))
+          .map(p => (p.getFileName.toString.stripPrefix("label="), p)).toList
+        finally s.close()
+      }
+    }
+    def parquetFiles(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).toList
+      finally s.close()
+    }
+    var rewritten = 0
+    Seq("nodes" -> "vertex", "edges" -> "edge").foreach { case (entity, kind) =>
+      labelDirs(entity).foreach { case (label, dir) =>
+        val files = parquetFiles(dir)
+        val bytes = files.map(java.nio.file.Files.size).sum
+        val target = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        if (files.size > math.max(target, maxFilesPerLabel)) {
+          rewriteLabelPartition(spark, outDir, kind, label)(part =>
+            (part.coalesce(target), files.size.toLong))
+          rewritten += 1
+        }
+      }
+    }
+    rewritten
+  }
+
+  /** Refresh the bucketed co-location layout FROM the persisted store
+    * (post-DML: the store is the truth, not the source tables) — the
+    * id-keyed joins stay exchange-free afterwards exactly like
+    * [[writeBucketedTables]]. */
+  def writeBucketedTablesFromStore(spark: SparkSession, outDir: String, nBuckets: Int,
+      prefix: String = "graft_store"): Unit = {
+    spark.read.parquet(s"$outDir/nodes").write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "id").sortBy("id")
+      .saveAsTable(s"${prefix}_nodes_bucketed")
+    spark.read.parquet(s"$outDir/edges").write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "src").sortBy("src")
+      .saveAsTable(s"${prefix}_edges_bucketed")
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {

@@ -191,6 +191,48 @@ class LoadSpec extends SparkSpec {
     assert(Dml.execute(spark, out, "DELETE FROM Customer WHERE id = 1") == 0)
   }
 
+  test("compaction bounds the file count left by single-row appends") {
+    import scala.jdk.CollectionConverters._
+    val out = Files.createTempDirectory("graftcmp").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    import graft.server.Dml
+    (0 until 12).foreach(i => Dml.execute(spark, out,
+      s"INSERT INTO Customer (id, name) VALUES (${1999100 + i}, 'Customer#c$i')"))
+    def files(): Int = {
+      val s = Files.list(Path.of(s"$out/nodes/label=Customer"))
+      try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    assert(files() >= 12) // one small file per command — the problem
+    val before = spark.read.parquet(s"$out/nodes")
+      .filter(col("label") === "Customer").count()
+    assert(GraphLoader.compactStore(spark, out) >= 1)
+    assert(files() <= 4, s"still ${files()} files after compaction")
+    assert(spark.read.parquet(s"$out/nodes")
+      .filter(col("label") === "Customer").count() == before)
+    // idempotent: a second pass finds nothing fragmented
+    assert(GraphLoader.compactStore(spark, out) == 0)
+    // the HTTP-visible command form routes to the same maintenance pass
+    assert(Dml.isDml("COMPACT DATABASE"))
+    assert(Dml.execute(spark, out, "COMPACT DATABASE") == 0)
+
+    // post-compaction the bucketed co-location refresh from the STORE
+    // keeps the endpoint-resolution join exchange-free (the 100 TB
+    // property of writeBucketedTables, now over DML-mutated data)
+    GraphLoader.writeBucketedTablesFromStore(spark, out, 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val n = spark.table("graft_store_nodes_bucketed")
+      val e = spark.table("graft_store_edges_bucketed")
+      val joined = e.join(n, e("src") === n("id"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("DML parser fails closed on malformed statements") {
     val out = Files.createTempDirectory("graftdml").toString
     GraphLoader.writeGraph(spark, sfDir, out)
