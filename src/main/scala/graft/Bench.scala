@@ -34,6 +34,8 @@ object Bench {
     "sim_topk",
     "sim_ivf_topk",
     "graphql_hop",
+    "asql_match_agg",
+    "asql_traverse_depth",
     "pipeline_prep",
     "pipeline_shards",
     "text_quality",
