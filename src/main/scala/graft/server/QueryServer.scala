@@ -89,6 +89,21 @@ object QueryServer {
       ex.sendResponseHeaders(204, -1); ex.close()
     })
 
+    // Studio-parity console (the reference opens a browser UI at "/",
+    // `ArcadeDBService.java:285-293`): one static dependency-free page
+    // that drives the JSON API — query box, language picker, result
+    // table. Served open like /ready; every query it issues goes
+    // through the authenticated /api/v1 routes.
+    server.createContext("/", (ex: HttpExchange) =>
+      if (ex.getRequestURI.getPath != "/") respond(ex, 404, err("not found"))
+      else {
+        val bytes = StudioHtml.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        val os = ex.getResponseBody
+        os.write(bytes); os.close()
+      })
+
     // reference parity: GET /api/v1/databases lists served databases
     // (one logical database per server, like the shim's one workspace)
     server.createContext("/api/v1/databases", (ex: HttpExchange) =>
@@ -214,6 +229,63 @@ object QueryServer {
     server.start()
     Started(server, server.getAddress.getPort, pool)
   }
+
+  /** The console page: plain HTML + fetch(), no assets, no framework —
+    * the programmatic JSON endpoint stays the real surface. */
+  private val StudioHtml: String =
+    """<!doctype html>
+      |<html><head><meta charset="utf-8"><title>graft console</title>
+      |<style>
+      | body{font-family:monospace;margin:2em;max-width:72em}
+      | textarea{width:100%;height:6em;font-family:monospace}
+      | table{border-collapse:collapse;margin-top:1em}
+      | td,th{border:1px solid #999;padding:2px 8px;text-align:left}
+      | .err{color:#b00}
+      | input[type=password]{width:24em}
+      |</style></head><body>
+      |<h2>graft console</h2>
+      |<p>language
+      | <select id="lang">
+      |  <option value="sql">sql (ArcadeDB dialect, Spark SQL fallback)</option>
+      |  <option value="arcadesql">arcadesql</option>
+      |  <option value="sparksql">sparksql</option>
+      |  <option value="graphql">graphql</option>
+      | </select>
+      | token <input type="password" id="tok" placeholder="bearer token (if the server requires one)">
+      | limit <input type="number" id="lim" value="100" style="width:6em">
+      |</p>
+      |<textarea id="q">SELECT FROM Customer LIMIT 10</textarea><br>
+      |<button onclick="run()">run (ctrl-enter)</button>
+      |<div id="out"></div>
+      |<script>
+      |async function run(){
+      | const out=document.getElementById('out');
+      | out.innerHTML='…';
+      | const headers={'Content-Type':'application/json'};
+      | const tok=document.getElementById('tok').value;
+      | if(tok) headers['Authorization']='Bearer '+tok;
+      | try{
+      |  const r=await fetch('/api/v1/query/graft',{method:'POST',headers,
+      |   body:JSON.stringify({language:document.getElementById('lang').value,
+      |    command:document.getElementById('q').value,
+      |    limit:parseInt(document.getElementById('lim').value)||100})});
+      |  const j=await r.json();
+      |  if(!r.ok){out.innerHTML='<p class="err"></p>';out.firstChild.textContent=j.error;return;}
+      |  const rows=j.result||[];
+      |  if(!rows.length){out.textContent='0 rows';return;}
+      |  const cols=[...new Set(rows.flatMap(Object.keys))];
+      |  const tbl=document.createElement('table');
+      |  tbl.innerHTML='<tr>'+cols.map(c=>'<th></th>').join('')+'</tr>';
+      |  cols.forEach((c,i)=>tbl.rows[0].cells[i].textContent=c);
+      |  for(const row of rows){const tr=tbl.insertRow();
+      |   cols.forEach(c=>{tr.insertCell().textContent=
+      |    row[c]===undefined?'':JSON.stringify(row[c]);});}
+      |  out.innerHTML='<p>'+rows.length+' rows</p>';out.appendChild(tbl);
+      | }catch(e){out.innerHTML='<p class="err"></p>';out.firstChild.textContent=e;}
+      |}
+      |document.getElementById('q').addEventListener('keydown',
+      | e=>{if(e.ctrlKey&&e.key==='Enter')run();});
+      |</script></body></html>""".stripMargin
 
   private def err(msg: String): String =
     JsonMethods.compact(JObject("error" -> JString(Option(msg).getOrElse("error"))))

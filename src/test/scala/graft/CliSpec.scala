@@ -76,6 +76,16 @@ class CliSpec extends SparkSpec {
       assert(post("""{"language":"sql"}""")._1 == 400)
       assert(post(s"""{"language":"sql","command":${q("SELECT * FROM no_such_table")}}""")._1 == 400)
 
+      // Studio-parity console at "/" (reference opens a browser UI,
+      // Service.java:285-293): static HTML driving the same JSON API
+      val ui = new java.net.URL(s"http://127.0.0.1:${srv.port}/")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(ui.getResponseCode == 200)
+      assert(ui.getContentType.startsWith("text/html"))
+      assert(new String(ui.getInputStream.readAllBytes(), "UTF-8").contains("graft console"))
+      assert(new java.net.URL(s"http://127.0.0.1:${srv.port}/nope")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection].getResponseCode == 404)
+
       // ready + database-list probes (reference parity)
       val ready = new java.net.URL(s"http://127.0.0.1:${srv.port}/api/v1/ready")
         .openConnection().asInstanceOf[java.net.HttpURLConnection]
