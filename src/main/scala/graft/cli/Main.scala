@@ -33,6 +33,10 @@ object Main {
     // FAIR scheduling: the HTTP endpoint assigns one pool per request
     // thread so concurrent queries interleave instead of queueing FIFO
     .config("spark.scheduler.mode", "FAIR")
+    // min/max/count aggregates over unfiltered parquet resolve from
+    // footer statistics (makes the A13 keyspace-guard max() scans
+    // metadata-only, as GraphLoader.assertDisjointIds documents)
+    .config("spark.sql.parquet.aggregatePushDown", "true")
     .getOrCreate()
 
   def create(spark: SparkSession, sfDir: String, outDir: String): Unit = {

@@ -124,6 +124,22 @@ class ArcadeSqlSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("label-less hops span every edge label") {
+    // nations' only out-edges are IN_REGION, so out() ≡ out('IN_REGION')
+    assert(run("SELECT expand(out()) FROM Nation").count()
+      == run("SELECT expand(out('IN_REGION')) FROM Nation").count())
+    val all = run("SELECT id, in().size() AS d FROM Region")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labeled = run("SELECT id, in('IN_REGION').size() AS d FROM Region")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all == labeled) // only IN_REGION edges point at regions
+    // label-less TRAVERSE runs the fixpoint over the whole edge set
+    val t = run("SELECT FROM (TRAVERSE in() FROM (SELECT FROM Region) MAXDEPTH 2)")
+    val tl = run(
+      "SELECT FROM (TRAVERSE in('IN_REGION', 'IN_NATION') FROM (SELECT FROM Region) MAXDEPTH 2)")
+    assert(t.count() == tl.count()) // no other labels reach this subgraph in 2 hops
+  }
+
   test("looksLikeDialect anchors on the schema, not just the grammar") {
     assert(ArcadeSql.looksLikeDialect(gs, "SELECT FROM Customer"))
     assert(ArcadeSql.looksLikeDialect(gs, "SELECT name FROM Customer WHERE acctbal > 0"))
