@@ -97,7 +97,11 @@ object Main {
       }
     val started = graft.server.QueryServer.start(spark, port, Some(g),
       Some(graft.server.QueryServer.StoreContext(outDir, () => serve(spark, outDir, None))),
-      schema = gs, auth = Some(token))
+      schema = gs, auth = Some(token),
+      // per-query budget (seconds); 0 disables. A runaway analytical
+      // query is cancelled at the job-group level, freeing its cores.
+      queryTimeoutSec = sys.env.get("GRAFT_HTTP_QUERY_TIMEOUT_SEC")
+        .map(_.toInt).orElse(Some(300)).filter(_ > 0))
     println(s"[graft] HTTP endpoint on port ${started.port}: " +
       "POST /api/v1/query/graft (reads), /api/v1/command/graft (DML)")
     val lock = new Object

@@ -129,6 +129,24 @@ object ArcadeSqlQueries {
         JOIN lineitem ON l_orderkey = o_orderkey
         JOIN part ON p_partkey = l_partkey GROUP BY p_brand""")),
 
+    // SELECT DISTINCT projection
+    Q("asql_distinct",
+      asql("SELECT DISTINCT mktsegment FROM Customer"),
+      Some("SELECT DISTINCT c_mktsegment AS mktsegment FROM customer")),
+
+    // count(DISTINCT x) aggregate-modifier form
+    Q("asql_count_distinct",
+      asql("""SELECT status, count(DISTINCT priority) AS n_prio, count(*) AS cnt
+        FROM Order GROUP BY status"""),
+      Some("""SELECT o_orderstatus AS status,
+        CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+        CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY o_orderstatus""")),
+
+    // .hash('md5') method (both engines md5 the utf-8 bytes)
+    Q("asql_hash",
+      asql("SELECT name, name.hash('md5') AS h FROM Region"),
+      Some("SELECT r_name AS name, md5(r_name) AS h FROM region")),
+
     // ORDER BY … SKIP/LIMIT pagination (deterministic: unique id
     // tie-break)
     Q("asql_order_page",

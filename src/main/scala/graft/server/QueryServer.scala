@@ -33,9 +33,15 @@ object QueryServer {
   val MaxLimit = 100000
 
   final case class Started(server: HttpServer, port: Int,
-      pool: java.util.concurrent.ExecutorService) {
-    def stop(): Unit = { server.stop(0); pool.shutdownNow(); () }
+      pool: java.util.concurrent.ExecutorService,
+      scheduler: java.util.concurrent.ScheduledExecutorService) {
+    def stop(): Unit = { server.stop(0); pool.shutdownNow(); scheduler.shutdownNow(); () }
   }
+
+  /** Raised when a query exceeds the configured budget — mapped to
+    * HTTP 408 rather than a 500. */
+  final class QueryTimeout(seconds: Int)
+    extends RuntimeException(s"query exceeded the ${seconds}s budget and was cancelled")
 
   /** Store binding for the DML route: where the persisted graph lives
     * and how to re-register the served views after a write (parquet
@@ -59,9 +65,13 @@ object QueryServer {
       graph: Option[PropertyGraph] = None,
       store: Option[StoreContext] = None,
       schema: GraphSchema = graft.load.GraphLoader.schema,
-      auth: Option[String] = None): Started = {
+      auth: Option[String] = None,
+      queryTimeoutSec: Option[Int] = None): Started = {
     val server = HttpServer.create(new InetSocketAddress(validatePort(port)), 0)
     @volatile var servedGraph = graph
+    val reqCounter = new java.util.concurrent.atomic.AtomicLong
+    val scheduler = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => { val t = new Thread(r, "graft-http-timeout"); t.setDaemon(true); t })
     // DML is serialized through this lock (copy-on-write rewrites and
     // appends assume a single writer); reads run concurrently
     val dmlLock = new Object
@@ -149,6 +159,7 @@ object QueryServer {
       } catch {
         case e: IllegalArgumentException => respond(ex, 400, err(e.getMessage))
         case e: org.apache.spark.sql.AnalysisException => respond(ex, 400, err(e.getMessage))
+        case e: QueryTimeout => respond(ex, 408, err(e.getMessage))
         case e: Throwable => respond(ex, 500, err(e.toString))
       }
 
@@ -170,8 +181,32 @@ object QueryServer {
       }
       // toJSON keeps row serialization distributed (executor-side
       // Jackson codegen); only the bounded page is collected
-      val rows = df.limit(limit).toJSON.collect()
-      rows.mkString("{\"result\":[", ",", "]}")
+      def page(): String =
+        df.limit(limit).toJSON.collect().mkString("{\"result\":[", ",", "]}")
+      queryTimeoutSec match {
+        case None => page()
+        case Some(budget) =>
+          // query budget: the request's Spark jobs run under their own
+          // job group (interrupt-on-cancel); a scheduler cancels the
+          // group when the budget lapses, freeing the pool thread AND
+          // the executor cores — a runaway query can't pin the server
+          val gid = s"graft-http-${reqCounter.incrementAndGet()}"
+          spark.sparkContext.setJobGroup(gid, s"http query ($budget s budget)",
+            interruptOnCancel = true)
+          val killer = scheduler.schedule(new Runnable {
+            def run(): Unit = spark.sparkContext.cancelJobGroup(gid)
+          }, budget.toLong, java.util.concurrent.TimeUnit.SECONDS)
+          try page()
+          catch {
+            case e: Throwable
+                if String.valueOf(e.getMessage).contains("cancelled") ||
+                  e.isInstanceOf[InterruptedException] =>
+              throw new QueryTimeout(budget)
+          } finally {
+            killer.cancel(false)
+            spark.sparkContext.clearJobGroup()
+          }
+      }
     }
 
     server.createContext("/api/v1/query/", (ex: HttpExchange) => handle(ex, allowGet = true) {
@@ -227,7 +262,7 @@ object QueryServer {
       })
     server.setExecutor(pool)
     server.start()
-    Started(server, server.getAddress.getPort, pool)
+    Started(server, server.getAddress.getPort, pool, scheduler)
   }
 
   /** The console page: plain HTML + fetch(), no assets, no framework —

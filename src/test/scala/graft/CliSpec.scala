@@ -217,6 +217,34 @@ class CliSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("query budget: a runaway query is cancelled with 408, session stays healthy") {
+    val out = Files.createTempDirectory("grafttmo").toString
+    Main.create(spark, sfDir, out)
+    val g = Main.serve(spark, out, None)
+    val srv = graft.server.QueryServer.start(spark, 0, Some(g), queryTimeoutSec = Some(1))
+    try {
+      spark.udf.register("graft_test_slow2", (x: Long) => { Thread.sleep(25); x })
+      def post(body: String): (Int, String) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:${srv.port}/api/v1/query/graft")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+        (code, new String(is.readAllBytes(), "UTF-8"))
+      }
+      // ~5+ s of sleeping rows against a 1 s budget → cancelled, 408
+      val (code, body) = post(
+        """{"language":"sql","command":"SELECT sum(graft_test_slow2(id)) AS s FROM nodes"}""")
+      assert(code == 408, s"$code $body")
+      assert(body.contains("cancelled"), body)
+      // the session survives the cancellation: a fast query still works
+      val (c2, b2) = post(
+        """{"language":"sql","command":"SELECT count(*) AS n FROM nodes_Region"}""")
+      assert(c2 == 200 && b2.contains("\"n\":5"), b2)
+    } finally srv.stop()
+  }
+
   test("port validation rejects out-of-range ports") {
     intercept[IllegalArgumentException](graft.server.QueryServer.validatePort(70000))
     intercept[IllegalArgumentException](graft.server.QueryServer.validatePort(-1))
