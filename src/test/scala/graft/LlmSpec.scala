@@ -157,7 +157,8 @@ class LlmSpec extends SparkSpec {
     // the assignment pass is map-only: no exchange before the window
     val assignPlan = emb
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      .withColumn("cell", Similarity.ivfCell($"v",
+      .withColumn("nv", Similarity.norm($"v"))
+      .withColumn("cell", Similarity.ivfCell($"v", $"nv",
         Seq((0L, Seq.fill(64)(0.5)), (1L, Seq.fill(64)(-0.5)))))
       .queryExecution.executedPlan.toString
     assert(!assignPlan.contains("Exchange"), assignPlan)
