@@ -163,6 +163,39 @@ class ArcadeSqlSpec extends SparkSpec {
     intercept[IllegalArgumentException](run("SELECT FROM Customer trailing garbage"))
   }
 
+  test("randomized predicates: dialect filter ≡ hand-built Column filter") {
+    val rnd = new scala.util.Random(777)
+    val cust = g.nodesOf("Customer")
+    def randPred(depth: Int): (String, org.apache.spark.sql.Column) = {
+      if (depth >= 2 || rnd.nextInt(3) == 0) rnd.nextInt(4) match {
+        case 0 =>
+          val v = rnd.nextInt(10000) - 2000
+          (s"acctbal > $v", col("acctbal") > v)
+        case 1 =>
+          val seg = Seq("BUILDING", "MACHINERY", "AUTOMOBILE")(rnd.nextInt(3))
+          (s"mktsegment = '$seg'", col("mktsegment") === seg)
+        case 2 =>
+          val v = rnd.nextInt(1000)
+          (s"acctbal <= $v OR acctbal >= ${v + 5000}",
+            col("acctbal") <= v || col("acctbal") >= v + 5000)
+        case 3 =>
+          val d = rnd.nextInt(10)
+          (s"name LIKE '%$d'", col("name").like(s"%$d"))
+      } else {
+        val (ls, lc) = randPred(depth + 1)
+        val (rs, rc) = randPred(depth + 1)
+        if (rnd.nextBoolean()) (s"($ls) AND ($rs)", lc && rc)
+        else (s"($ls) OR ($rs)", lc || rc)
+      }
+    }
+    (1 to 25).foreach { _ =>
+      val (text, column) = randPred(0)
+      val got = run(s"SELECT id FROM Customer WHERE $text").count()
+      val want = cust.filter(column).count()
+      assert(got == want, s"predicate: $text")
+    }
+  }
+
   test("parser fuzz: random garbage never hangs or succeeds silently") {
     val rnd = new scala.util.Random(4242)
     val alphabet = "SELECT FROM WHERE ().,'*=<>[]$depth out in MATCH TRAVERSE abc0123 \n\t"
