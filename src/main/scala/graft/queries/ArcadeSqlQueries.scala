@@ -129,6 +129,17 @@ object ArcadeSqlQueries {
         JOIN lineitem ON l_orderkey = o_orderkey
         JOIN part ON p_partkey = l_partkey GROUP BY p_brand""")),
 
+    // edge-centric endpoint hop: expand(inV()) from an edge scan with
+    // an edge-property predicate — same twin as the green
+    // hop_edge_filter (outE + inV through the Traversal API)
+    Q("asql_edge_endpoint",
+      asql("""SELECT brand, count(*) AS cnt
+        FROM (SELECT expand(inV()) FROM CONTAINS WHERE quantity >= 45)
+        GROUP BY brand"""),
+      Some("""SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_quantity >= 45 GROUP BY p_brand""")),
+
     // SELECT DISTINCT projection
     Q("asql_distinct",
       asql("SELECT DISTINCT mktsegment FROM Customer"),

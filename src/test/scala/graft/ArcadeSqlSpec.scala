@@ -124,6 +124,17 @@ class ArcadeSqlSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("expand(outV()/inV()) hops from edges to endpoint records") {
+    val inv = run("SELECT expand(inV()) FROM CONTAINS WHERE quantity >= 45")
+    val twin = g.v("Order", "o").outE("CONTAINS", "l").filter(col("l_quantity") >= 45)
+      .inV("Part", "p").result
+    assert(inv.count() == twin.count() && inv.count() > 0)
+    val outv = run("SELECT expand(outV()) FROM PLACED")
+    assert(outv.count() == g.edgesOf("PLACED").count()) // one row per edge
+    assert(outv.filter(col("label") =!= "Customer").count() == 0)
+    intercept[IllegalArgumentException](run("SELECT expand(inV()) FROM Customer"))
+  }
+
   test("label-less hops span every edge label") {
     // nations' only out-edges are IN_REGION, so out() ≡ out('IN_REGION')
     assert(run("SELECT expand(out()) FROM Nation").count()
