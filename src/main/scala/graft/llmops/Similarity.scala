@@ -38,14 +38,20 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k neighbors for a small set of query ids (broadcast the
-    * queries; scan the corpus once). */
+    * queries; scan the corpus once). Norms are hoisted to one per ROW
+    * (`nv`/`qn`) instead of one per PAIR — same IEEE values (the
+    * division tree is unchanged: dot/(qn·nv)), but the O(Q·N·dim)
+    * redundant norm arithmetic disappears, which is what matters when
+    * N is the 100 TB corpus. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int): DataFrame = {
     val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nv", norm(col("v")))
     val q = v.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("qid"), col("v").as("qv"))
+      .select(col(idCol).as("qid"), col("v").as("qv"), col("nv").as("qn"))
     val scored = v.join(broadcast(q), col(idCol) =!= col("qid"))
-      .select(col("qid"), col(idCol).as("nn"), cosine(col("qv"), col("v")).as("cos"))
+      .select(col("qid"), col(idCol).as("nn"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nv"))).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("nn").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -140,22 +146,22 @@ object Similarity {
       nProbe: Int, queryIds: Seq[Long], k: Int,
       capPerCell: Int = CandidateCap): DataFrame = {
     val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nv", norm(col("v")))
     // centroid table: config-sized (nCentroids × dim doubles), like the
     // landmark list of shortestPathsTo — driver-held by design
     val centroids = v.filter(col(idCol) < nCentroids).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
     val assigned = capPerKey(
-      v.withColumn("nv", norm(col("v")))
-        .withColumn("cell", ivfCell(col("v"), col("nv"), centroids))
-        .drop("nv"),
+      v.withColumn("cell", ivfCell(col("v"), col("nv"), centroids)),
       "cell", idCol, capPerCell)
     val probed = v.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("qid"), col("v").as("qv"))
-      .select(col("qid"), col("qv"),
+      .select(col(idCol).as("qid"), col("v").as("qv"), col("nv").as("qn"))
+      .select(col("qid"), col("qv"), col("qn"),
         explode(ivfProbes(col("qv"), centroids, nProbe)).as("cell"))
     val cand = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col(idCol) =!= col("qid"))
-      .select(col("qid"), col(idCol).as("nn"), cosine(col("qv"), col("v")).as("cos"))
+      .select(col("qid"), col(idCol).as("nn"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nv"))).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("nn").asc)
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -167,11 +173,13 @@ object Similarity {
       numPlanes: Int, k: Int, capPerBucket: Int = CandidateCap): DataFrame = {
     val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .withColumn("bucket", lshBucket(col("v"), dim, numPlanes))
-    val a = v.select(col("bucket"), col(idCol).as("qid"), col("v").as("qv"))
+      .withColumn("n", norm(col("v")))
+    val a = v.select(col("bucket"), col(idCol).as("qid"), col("v").as("qv"), col("n").as("qn"))
     val b = capPerKey(v, "bucket", idCol, capPerBucket)
-      .select(col("bucket"), col(idCol).as("nn"), col("v").as("nv"))
+      .select(col("bucket"), col(idCol).as("nn"), col("v").as("nv"), col("n").as("nnorm"))
     val scored = a.join(b, Seq("bucket")).filter(col("qid") =!= col("nn"))
-      .select(col("qid"), col("nn"), cosine(col("qv"), col("nv")).as("cos"))
+      .select(col("qid"), col("nn"),
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nnorm"))).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("nn").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

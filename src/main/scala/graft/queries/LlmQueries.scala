@@ -161,12 +161,15 @@ object LlmQueries {
     // embedding near-dup: exact cosine within a blocking key (label)
     Q("dedup_embedding",
       (s, d) => {
+        // per-row norm hoist: same dot/(n1·n2) IEEE tree as cosine(),
+        // but norms compute once per vector instead of once per pair
         val v = t(s, d, "embeddings")
           .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-        val a = v.select(col("label"), col("vec_id").as("d1"), col("v").as("v1"))
-        val b = v.select(col("label"), col("vec_id").as("d2"), col("v").as("v2"))
+          .withColumn("n", Similarity.norm(col("v")))
+        val a = v.select(col("label"), col("vec_id").as("d1"), col("v").as("v1"), col("n").as("n1"))
+        val b = v.select(col("label"), col("vec_id").as("d2"), col("v").as("v2"), col("n").as("n2"))
         a.join(b, Seq("label")).filter(col("d1") < col("d2"))
-          .withColumn("cos", Similarity.cosine(col("v1"), col("v2")))
+          .withColumn("cos", Similarity.dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
           .filter(col("cos") >= 0.35)
           .select(col("label"), col("d1"), col("d2"), round(col("cos"), 6).as("cos"))
       },
