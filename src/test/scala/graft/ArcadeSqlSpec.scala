@@ -115,6 +115,19 @@ class ArcadeSqlSpec extends SparkSpec {
     assert(page == all.drop(5))
   }
 
+  test("scalar functions: abs/sqrt/floor/ceil/round/concat") {
+    val r = run("""SELECT abs(0 - psize) AS a, floor(retailprice) AS f,
+      ceil(retailprice) AS c, round(retailprice, 1) AS r1, sqrt(psize * psize) AS sq,
+      concat(brand, '-', name) AS cn FROM Part WHERE id = 3000007""").collect()(0)
+    val p = g.nodesOf("Part").filter(col("id") === 3000007L)
+      .select("psize", "retailprice", "brand", "name").collect()(0)
+    assert(r.getInt(0) == p.getInt(0))
+    assert(r.getLong(1) == math.floor(p.getDouble(1)).toLong)
+    assert(r.getLong(2) == math.ceil(p.getDouble(1)).toLong)
+    assert(r.getDouble(4) == p.getInt(0).toDouble)
+    assert(r.getString(5) == s"${p.getString(2)}-${p.getString(3)}")
+  }
+
   test("aggregates with GROUP BY") {
     val got = run("SELECT mktsegment, count(*) AS cnt, max(acctbal) AS mx FROM Customer GROUP BY mktsegment")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
