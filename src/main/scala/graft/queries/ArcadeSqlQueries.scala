@@ -140,6 +140,16 @@ object ArcadeSqlQueries {
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE l_quantity >= 45 GROUP BY p_brand""")),
 
+    // text-predicate family through the dialect: CONTAINSTEXT
+    // (substring), MATCHES (regex), ILIKE (case-insensitive pattern)
+    Q("asql_text_predicates",
+      asql("""SELECT name, brand FROM Part
+        WHERE name CONTAINSTEXT 'red' AND name MATCHES '^[a-z ]+$'
+          AND brand ILIKE 'brand#1%'"""),
+      Some("""SELECT p_name AS name, p_brand AS brand FROM part
+        WHERE instr(p_name, 'red') > 0 AND regexp_matches(p_name, '^[a-z ]+$')
+          AND p_brand ILIKE 'brand#1%'""")),
+
     // SELECT DISTINCT projection
     Q("asql_distinct",
       asql("SELECT DISTINCT mktsegment FROM Customer"),
