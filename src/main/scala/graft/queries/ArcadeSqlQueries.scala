@@ -150,6 +150,17 @@ object ArcadeSqlQueries {
         WHERE instr(p_name, 'red') > 0 AND regexp_matches(p_name, '^[a-z ]+$')
           AND p_brand ILIKE 'brand#1%'""")),
 
+    // bare hop projection: out('L') as the sorted neighbor-id list
+    // (adjacency), one aggregated frame left-joined on id
+    // (stringified: the driver's canonicalizer sorts rows by every
+    // column, which an array-typed column breaks — same reason
+    // agg_collect string-joins its collected set)
+    Q("asql_adjacency",
+      asql("SELECT id, out('PLACED').asString() AS orders FROM Customer"),
+      Some(s"""SELECT CAST(c_custkey + $CustomerOff AS BIGINT) AS id,
+        CAST((SELECT coalesce(list_sort(list(CAST(o_orderkey + $OrderOff AS BIGINT))), [])
+         FROM orders WHERE o_custkey = c_custkey) AS VARCHAR) AS orders FROM customer""")),
+
     // SELECT DISTINCT projection
     Q("asql_distinct",
       asql("SELECT DISTINCT mktsegment FROM Customer"),

@@ -137,6 +137,22 @@ class ArcadeSqlSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("bare hop projection yields the sorted adjacency list; degree works in WHERE") {
+    val adj = run("SELECT id, out('PLACED') AS nbrs FROM Customer")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val want = g.edgesOf("PLACED").groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    adj.foreach { case (id, l) =>
+      assert(l == want.getOrElse(id, Seq.empty), s"customer $id")
+      assert(l == l.sorted)
+    }
+    // degree rewriting applies inside WHERE too
+    val busy = run("SELECT id FROM Customer WHERE out('PLACED').size() >= 15").count()
+    val twin = g.outDegree("PLACED").filter(col("degree") >= 15).count()
+    assert(busy == twin)
+  }
+
   test("expand(outV()/inV()) hops from edges to endpoint records") {
     val inv = run("SELECT expand(inV()) FROM CONTAINS WHERE quantity >= 45")
     val twin = g.v("Order", "o").outE("CONTAINS", "l").filter(col("l_quantity") >= 45)
