@@ -107,6 +107,15 @@ class ArcadeSqlSpec extends SparkSpec {
     assert(plan.contains("Join"), "MATCH must plan as joins")
   }
 
+  test("MATCH and TRAVERSE compose as FROM sources of an outer SELECT") {
+    val n = run("""SELECT name FROM (
+        MATCH {type: Customer, as: c, where: (mktsegment = 'BUILDING')}
+        RETURN c.name AS name)
+      WHERE name LIKE 'Customer#%' ORDER BY name LIMIT 5""")
+    assert(n.count() == 5)
+    assert(n.collect().forall(_.getString(0).startsWith("Customer#")))
+  }
+
   test("ORDER BY / SKIP / LIMIT paginate deterministically") {
     val all = run("SELECT id FROM Order ORDER BY totalprice DESC, id ASC LIMIT 15")
       .collect().map(_.getLong(0)).toSeq
