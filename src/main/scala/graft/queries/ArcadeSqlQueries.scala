@@ -179,6 +179,12 @@ object ArcadeSqlQueries {
       asql("SELECT name, name.hash('md5') AS h FROM Region"),
       Some("SELECT r_name AS name, md5(r_name) AS h FROM region")),
 
+    // UNWIND: flatten the array-typed tags property into rows
+    Q("asql_unwind",
+      asql("SELECT name, tags FROM Part WHERE psize <= 3 UNWIND tags"),
+      Some("""SELECT p_name AS name, unnest(string_split(p_name, ' ')) AS tags
+        FROM part WHERE p_size <= 3""")),
+
     // ORDER BY … SKIP/LIMIT pagination (deterministic: unique id
     // tie-break)
     Q("asql_order_page",
