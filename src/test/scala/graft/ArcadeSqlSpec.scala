@@ -173,6 +173,27 @@ class ArcadeSqlSpec extends SparkSpec {
     intercept[IllegalArgumentException](run("SELECT expand(inV()) FROM Customer"))
   }
 
+  test("MATCHES is a full-string regex match, not a substring search") {
+    // every customer name is 'Customer#NNNNNNNNN' — a full-string match
+    // needs the whole pattern to cover the name
+    val full = run("SELECT id FROM Customer WHERE name MATCHES 'Customer#[0-9]+'").count()
+    assert(full == g.nodesOf("Customer").count())
+    // an unanchored prefix must NOT over-match (substring semantics would
+    // return every row here; String.matches semantics returns none)
+    assert(run("SELECT id FROM Customer WHERE name MATCHES 'Customer'").count() == 0)
+    assert(run("SELECT id FROM Customer WHERE name MATCHES '[0-9]+'").count() == 0)
+  }
+
+  test("expand(…) honors SKIP and rejects DISTINCT/UNWIND loudly") {
+    val total = run("SELECT expand(out('PLACED')) FROM Customer").count()
+    assert(run("SELECT expand(out('PLACED')) FROM Customer SKIP 5").count() == total - 5)
+    assert(run("SELECT expand(out('PLACED')) FROM Customer SKIP 5 LIMIT 10").count() == 10)
+    intercept[IllegalArgumentException](
+      run("SELECT DISTINCT expand(out('PLACED')) FROM Customer"))
+    intercept[IllegalArgumentException](
+      run("SELECT expand(outV()) FROM PLACED UNWIND nbrs"))
+  }
+
   test("label-less hops span every edge label") {
     // nations' only out-edges are IN_REGION, so out() ≡ out('IN_REGION')
     assert(run("SELECT expand(out()) FROM Nation").count()
