@@ -371,18 +371,51 @@ object GraphLoader {
       label: String)(f: DataFrame => (DataFrame, Long)): Long = {
     val entity = if (kind == "vertex") "nodes" else "edges"
     val dir = java.nio.file.Paths.get(s"$outDir/$entity/label=$label")
+    recoverLabelPartition(outDir, entity, label, dir)
     if (!java.nio.file.Files.isDirectory(dir)) return 0L // declared label, no rows yet
     val part = spark.read.parquet(dir.toString)
     val (rewritten, affected) = f(part)
     if (affected == 0) return 0L
-    val staging = java.nio.file.Paths.get(
-      s"$outDir/.staging_${entity}_${label}_${java.util.UUID.randomUUID().toString.take(8)}")
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    val staging = java.nio.file.Paths.get(s"$outDir/.staging_${entity}_${label}_$uuid")
     rewritten.write.mode("overwrite").parquet(staging.toString)
-    val old = java.nio.file.Paths.get(s"$outDir/.old_${entity}_$label")
+    // the old dir carries the same UUID as staging: a crash between the
+    // two renames is recoverable (the old dir is found and restored by
+    // the next rewrite), and a failed delete can never collide with a
+    // later rewrite's rename the way a fixed name would
+    val old = java.nio.file.Paths.get(s"$outDir/.old_${entity}_${label}_$uuid")
     java.nio.file.Files.move(dir, old)
     java.nio.file.Files.move(staging, dir)
-    deleteRecursively(old)
+    try deleteRecursively(old)
+    catch { case _: java.io.IOException => () } // stale dir; swept next rewrite
     affected
+  }
+
+  /** Crash recovery for the staged-swap protocol, run before every
+    * rewrite of (entity, label): a crash between the two renames leaves
+    * the live dir missing and the previous generation parked in
+    * `.old_…` — restore it. Anything else matching this label's
+    * `.old_`/`.staging_` prefixes is a leftover from a completed or
+    * abandoned swap — delete it. (Writers are serialized by the server's
+    * write lock, so no live swap can race this sweep.) */
+  private def recoverLabelPartition(outDir: String, entity: String, label: String,
+      dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(outDir)
+    if (!java.nio.file.Files.isDirectory(root)) return
+    val oldPrefix = s".old_${entity}_${label}_"
+    val stagingPrefix = s".staging_${entity}_${label}_"
+    val s = java.nio.file.Files.list(root)
+    val stale = try s.iterator().asScala.filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith(oldPrefix) || n.startsWith(stagingPrefix)
+    }.toList finally s.close()
+    stale.foreach { p =>
+      if (p.getFileName.toString.startsWith(oldPrefix) &&
+          !java.nio.file.Files.isDirectory(dir)) {
+        java.nio.file.Files.move(p, dir) // interrupted swap: restore
+      } else deleteRecursively(p)
+    }
   }
 
   /** A16 maintenance — compact the store in place. Every single-row

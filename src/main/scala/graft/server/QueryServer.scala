@@ -72,9 +72,22 @@ object QueryServer {
     val reqCounter = new java.util.concurrent.atomic.AtomicLong
     val scheduler = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
       (r: Runnable) => { val t = new Thread(r, "graft-http-timeout"); t.setDaemon(true); t })
-    // DML is serialized through this lock (copy-on-write rewrites and
-    // appends assume a single writer); reads run concurrently
-    val dmlLock = new Object
+    // Store access is guarded by a fair reader-writer lock: reads run
+    // concurrently, but UPDATE/DELETE/COMPACT swap label directories
+    // (a parquet scan snapshots its file listing at plan time, so a
+    // swap under an in-flight read turns into FileNotFoundException →
+    // 500). Writers also serialize against each other (the
+    // copy-on-write rewrite assumes a single writer). Fairness keeps a
+    // steady read stream from starving DML.
+    val storeLock = new java.util.concurrent.locks.ReentrantReadWriteLock(true)
+    def withRead[T](f: => T): T = {
+      storeLock.readLock().lock()
+      try f finally storeLock.readLock().unlock()
+    }
+    def withWrite[T](f: => T): T = {
+      storeLock.writeLock().lock()
+      try f finally storeLock.writeLock().unlock()
+    }
 
     /** A21 parity (`ArcadeDBService.java:93-105` bootstraps a
       * credentialed user before serving): when a token is configured,
@@ -216,15 +229,15 @@ object QueryServer {
         val rest = ex.getRequestURI.getRawPath.stripPrefix("/api/v1/query/")
         rest.split("/", 3) match {
           case Array(_, language, command) if command.nonEmpty =>
-            runQuery(language.toLowerCase,
-              java.net.URLDecoder.decode(command, "UTF-8"), DefaultLimit)
+            withRead(runQuery(language.toLowerCase,
+              java.net.URLDecoder.decode(command, "UTF-8"), DefaultLimit))
           case _ => throw new IllegalArgumentException(
             "GET form is /api/v1/query/{db}/{language}/{url-encoded command}")
         }
       } else {
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         val (language, command, limit) = parsed(body)
-        runQuery(language, command, limit)
+        withRead(runQuery(language, command, limit))
       }
     })
 
@@ -240,7 +253,7 @@ object QueryServer {
         throw new IllegalArgumentException("only DML here — use /api/v1/query for reads")
       val ctx = store.getOrElse(
         throw new IllegalStateException("no store attached — DML needs a persisted store"))
-      val n = dmlLock.synchronized {
+      val n = withWrite {
         val n0 = Dml.execute(spark, ctx.dir, command)
         servedGraph = Some(ctx.reload())
         n0

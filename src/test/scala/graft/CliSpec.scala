@@ -217,6 +217,47 @@ class CliSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("DML swap never fails an in-flight read (reader/writer lock)") {
+    val out = Files.createTempDirectory("graftrw").toString
+    Main.create(spark, sfDir, out)
+    val g = Main.serve(spark, out, None)
+    val srv = graft.server.QueryServer.start(spark, 0, Some(g),
+      Some(graft.server.QueryServer.StoreContext(out, () => Main.serve(spark, out, None))))
+    try {
+      def fire(route: String, body: String): Int = {
+        val conn = new java.net.URL(s"http://127.0.0.1:${srv.port}/api/v1/$route/graft")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        conn.getResponseCode
+      }
+      val read =
+        """{"language":"arcadesql","command":"SELECT name FROM Customer ORDER BY id LIMIT 20"}"""
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // a stream of reads over the label the writers keep swapping:
+      // before the server's read-write lock, an in-flight scan whose
+      // file listing predated the swap died with FileNotFoundException
+      val readers = (1 to 3).map(_ => Future {
+        val codes = scala.collection.mutable.ArrayBuffer[Int]()
+        while (!stop.get()) codes += fire("query", read)
+        codes.toList
+      })
+      (1 to 3).foreach { i =>
+        val upd = s"""{"language":"sql","command":"UPDATE Customer SET mktsegment = 'RW$i' WHERE id = 1000042"}"""
+        assert(fire("command", upd) == 200)
+      }
+      stop.set(true)
+      readers.foreach { f =>
+        val codes = Await.result(f, 120.seconds)
+        assert(codes.nonEmpty && codes.forall(_ == 200),
+          s"reads failed during DML swaps: ${codes.filter(_ != 200)}")
+      }
+    } finally srv.stop()
+  }
+
   test("query budget: a runaway query is cancelled with 408, session stays healthy") {
     val out = Files.createTempDirectory("grafttmo").toString
     Main.create(spark, sfDir, out)

@@ -191,6 +191,37 @@ class LoadSpec extends SparkSpec {
     assert(Dml.execute(spark, out, "DELETE FROM Customer WHERE id = 1") == 0)
   }
 
+  test("staged-swap crash recovery: interrupted swap restores, stale dirs sweep") {
+    val out = Files.createTempDirectory("graftrec").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    import graft.server.Dml
+    val live = Path.of(s"$out/nodes/label=Customer")
+    val before = spark.read.parquet(s"$out/nodes")
+      .filter(col("label") === "Customer").count()
+
+    // simulate a crash between the two swap renames: the live dir sits
+    // parked under its .old_ name, plus an abandoned staging leftover
+    Files.move(live, Path.of(s"$out/.old_nodes_Customer_deadbeef"))
+    Files.createDirectories(Path.of(s"$out/.staging_nodes_Customer_cafe0123"))
+
+    // the next rewrite of the label restores the parked generation,
+    // sweeps the staging junk, then applies normally
+    assert(Dml.execute(spark, out,
+      "UPDATE Customer SET mktsegment = 'RECOVERED' WHERE id = 1000042") == 1)
+    assert(Files.isDirectory(live))
+    assert(!Files.exists(Path.of(s"$out/.old_nodes_Customer_deadbeef")))
+    assert(!Files.exists(Path.of(s"$out/.staging_nodes_Customer_cafe0123")))
+    val after = spark.read.parquet(s"$out/nodes").filter(col("label") === "Customer")
+    assert(after.count() == before)
+    assert(after.filter(col("id") === 1000042L).select("mktsegment")
+      .head.getString(0) == "RECOVERED")
+    // a completed-swap leftover (live present + stale .old_) is swept too
+    Files.createDirectories(Path.of(s"$out/.old_nodes_Customer_0ddba11"))
+    assert(Dml.execute(spark, out,
+      "UPDATE Customer SET mktsegment = 'BUILDING' WHERE id = 1000042") == 1)
+    assert(!Files.exists(Path.of(s"$out/.old_nodes_Customer_0ddba11")))
+  }
+
   test("compaction bounds the file count left by single-row appends") {
     import scala.jdk.CollectionConverters._
     val out = Files.createTempDirectory("graftcmp").toString
