@@ -248,7 +248,8 @@ object GraphLoader {
     * O(batch) + the validation joins — no rewrite of existing data
     * (partition dirs receive new files only).
     */
-  def appendNodes(spark: SparkSession, outDir: String, newNodes: DataFrame): Unit = {
+  def appendNodes(spark: SparkSession, outDir: String, newNodes: DataFrame): Unit =
+      StoreLock.withWriteLock(outDir) {
     val existing = spark.read.parquet(s"$outDir/nodes")
     val batch = alignTo(newNodes, existing)
     val dupIds = batch.join(existing.select("id"), Seq("id"), "left_semi")
@@ -273,7 +274,8 @@ object GraphLoader {
     batch.write.mode("append").partitionBy("label").parquet(s"$outDir/nodes")
   }
 
-  def appendEdges(spark: SparkSession, outDir: String, newEdges: DataFrame): Unit = {
+  def appendEdges(spark: SparkSession, outDir: String, newEdges: DataFrame): Unit =
+      StoreLock.withWriteLock(outDir) {
     val nodes = spark.read.parquet(s"$outDir/nodes")
     val existing = spark.read.parquet(s"$outDir/edges")
     val batch = alignTo(newEdges, existing)
@@ -297,7 +299,8 @@ object GraphLoader {
     * predicate/SET application is one map-only pass — no shuffle.
     * Returns the number of updated records. */
   def updateRecords(spark: SparkSession, outDir: String, label: String, kind: String,
-      sets: Map[String, Any], pred: org.apache.spark.sql.Column): Long = {
+      sets: Map[String, Any], pred: org.apache.spark.sql.Column): Long =
+      StoreLock.withWriteLock(outDir) {
     require(sets.nonEmpty, "UPDATE needs a SET clause")
     val immutable = Set("id", "src", "dst", "label")
     val bad = sets.keySet.intersect(immutable)
@@ -336,7 +339,8 @@ object GraphLoader {
     * holds a dangling endpoint) — delete the edges first. Returns the
     * number of deleted records. */
   def deleteRecords(spark: SparkSession, outDir: String, label: String, kind: String,
-      pred: Option[org.apache.spark.sql.Column]): Long = {
+      pred: Option[org.apache.spark.sql.Column]): Long =
+      StoreLock.withWriteLock(outDir) {
     // NULL-predicate rows are KEPT (SQL three-valued semantics): a bare
     // `!pred` filter would silently drop them alongside the matches
     val p = coalesce(pred.getOrElse(lit(true)), lit(false))
@@ -396,8 +400,9 @@ object GraphLoader {
     * the live dir missing and the previous generation parked in
     * `.old_…` — restore it. Anything else matching this label's
     * `.old_`/`.staging_` prefixes is a leftover from a completed or
-    * abandoned swap — delete it. (Writers are serialized by the server's
-    * write lock, so no live swap can race this sweep.) */
+    * abandoned swap — delete it. (Writers — including CLI-launched ones
+    * in another process — are serialized by [[StoreLock]], so no live
+    * swap can race this sweep.) */
   private def recoverLabelPartition(outDir: String, entity: String, label: String,
       dir: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -405,16 +410,25 @@ object GraphLoader {
     if (!java.nio.file.Files.isDirectory(root)) return
     val oldPrefix = s".old_${entity}_${label}_"
     val stagingPrefix = s".staging_${entity}_${label}_"
+    // Exact-name match: the remainder after the prefix must be precisely
+    // the 8-char UUID fragment. A bare startsWith would let a label that
+    // is an underscore-boundary prefix of another (HAS vs HAS_PART)
+    // claim — and delete or mis-restore — the longer label's dirs.
+    def uuidTail(n: String, prefix: String): Boolean =
+      n.length == prefix.length + 8 && !n.substring(prefix.length).contains('_')
     val s = java.nio.file.Files.list(root)
     val stale = try s.iterator().asScala.filter { p =>
       val n = p.getFileName.toString
-      n.startsWith(oldPrefix) || n.startsWith(stagingPrefix)
+      (n.startsWith(oldPrefix) && uuidTail(n, oldPrefix)) ||
+        (n.startsWith(stagingPrefix) && uuidTail(n, stagingPrefix))
     }.toList finally s.close()
     stale.foreach { p =>
       if (p.getFileName.toString.startsWith(oldPrefix) &&
           !java.nio.file.Files.isDirectory(dir)) {
-        java.nio.file.Files.move(p, dir) // interrupted swap: restore
-      } else deleteRecursively(p)
+        java.nio.file.Files.move(p, dir) // interrupted swap: restore (strict — a
+        // failure here must surface, not silently drop a generation)
+      } else try deleteRecursively(p)
+      catch { case _: java.io.IOException => () } // stale dir; swept next rewrite
     }
   }
 
@@ -429,7 +443,8 @@ object GraphLoader {
     * (128 MB default target matches the scan split size, so a compacted
     * partition reads at one task per file at cluster scale.) */
   def compactStore(spark: SparkSession, outDir: String,
-      maxFilesPerLabel: Int = 4, targetBytes: Long = 128L << 20): Int = {
+      maxFilesPerLabel: Int = 4, targetBytes: Long = 128L << 20): Int =
+      StoreLock.withWriteLock(outDir) {
     import scala.jdk.CollectionConverters._
     def labelDirs(entity: String): Seq[(String, java.nio.file.Path)] = {
       val root = java.nio.file.Paths.get(s"$outDir/$entity")

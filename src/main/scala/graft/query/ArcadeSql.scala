@@ -573,8 +573,9 @@ object ArcadeSql {
         case "ilike" => cl.ilike(likePattern(r))
         // MATCHES is a FULL-string regex match (Java String.matches
         // semantics in ArcadeDB/OrientDB), not a substring search —
-        // anchor the pattern so unanchored regexes don't over-match
-        case "matches" => cl.rlike("^(?:" + likePattern(r) + ")$")
+        // anchor with \A…\z (not ^…$: Java-regex $ also matches before
+        // a trailing newline, so 'abc\n' would wrongly MATCH 'abc')
+        case "matches" => cl.rlike("\\A(?:" + likePattern(r) + ")\\z")
         case "containstext" => cl.contains(cr)
         case "contains" => array_contains(cl, cr)
         case "containsall" =>

@@ -182,6 +182,13 @@ class ArcadeSqlSpec extends SparkSpec {
     // return every row here; String.matches semantics returns none)
     assert(run("SELECT id FROM Customer WHERE name MATCHES 'Customer'").count() == 0)
     assert(run("SELECT id FROM Customer WHERE name MATCHES '[0-9]+'").count() == 0)
+    // Java String.matches semantics: a trailing newline is part of the
+    // string, so 'abc\n' does NOT match 'abc' (a ^…$ anchoring would —
+    // $ matches before a final newline; \A…\z must not)
+    import spark.implicits._
+    val df = Seq("abc", "abc\n").toDF("name")
+    assert(df.filter(graft.query.ArcadeSql.predicate("name MATCHES 'abc'"))
+      .count() == 1)
   }
 
   test("expand(…) honors SKIP and rejects DISTINCT/UNWIND loudly") {

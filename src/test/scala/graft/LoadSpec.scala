@@ -216,10 +216,34 @@ class LoadSpec extends SparkSpec {
     assert(after.filter(col("id") === 1000042L).select("mktsegment")
       .head.getString(0) == "RECOVERED")
     // a completed-swap leftover (live present + stale .old_) is swept too
-    Files.createDirectories(Path.of(s"$out/.old_nodes_Customer_0ddba11"))
+    Files.createDirectories(Path.of(s"$out/.old_nodes_Customer_0ddba11d"))
     assert(Dml.execute(spark, out,
       "UPDATE Customer SET mktsegment = 'BUILDING' WHERE id = 1000042") == 1)
-    assert(!Files.exists(Path.of(s"$out/.old_nodes_Customer_0ddba11")))
+    assert(!Files.exists(Path.of(s"$out/.old_nodes_Customer_0ddba11d")))
+  }
+
+  test("recovery sweep never touches an underscore-boundary sibling label's dirs") {
+    // label `Customer` vs a hypothetical longer label `Customer_X`:
+    // `.old_nodes_Customer_X_deadbeef` starts with the short label's
+    // prefix `.old_nodes_Customer_` — a bare startsWith sweep would
+    // delete (or mis-restore) the LONGER label's parked generation
+    val out = Files.createTempDirectory("graftpfx").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    import graft.server.Dml
+    val sibling = Path.of(s"$out/.old_nodes_Customer_X_deadbeef")
+    Files.createDirectories(sibling)
+    Files.writeString(sibling.resolve("keep.txt"), "sibling generation")
+    assert(Dml.execute(spark, out,
+      "UPDATE Customer SET mktsegment = 'PFX' WHERE id = 1000042") == 1)
+    assert(Files.exists(sibling.resolve("keep.txt")),
+      "rewrite of Customer must not sweep Customer_X's parked dir")
+    // and a malformed fragment (not exactly 8 chars) is left alone too
+    val short = Path.of(s"$out/.old_nodes_Customer_abc")
+    Files.createDirectories(short)
+    assert(Dml.execute(spark, out,
+      "UPDATE Customer SET mktsegment = 'PFX2' WHERE id = 1000042") == 1)
+    assert(Files.exists(short))
+    Files.delete(short)
   }
 
   test("compaction bounds the file count left by single-row appends") {
