@@ -30,12 +30,29 @@ object GraphXBridge {
     out
   }
 
+  /** Oriented edge frame for a traversal `direction`: `out` follows
+    * edges as stored, `in` reverses them, `both` unions both
+    * orientations (the dialect's shortestPath/dijkstra direction
+    * argument). */
+  private def oriented(g: PropertyGraph, edgeLabels: Seq[String],
+      direction: String): DataFrame = {
+    val es = if (edgeLabels.isEmpty) g.edges
+             else g.edges.filter(col("label").isin(edgeLabels: _*))
+    direction.toLowerCase match {
+      case "out" => es.select(col("src"), col("dst"))
+      case "in" => es.select(col("dst").as("src"), col("src").as("dst"))
+      case "both" => es.select(col("src"), col("dst"))
+        .unionByName(es.select(col("dst").as("src"), col("src").as("dst")))
+      case other => throw new IllegalArgumentException(
+        s"unsupported direction '$other' (expected OUT, IN, or BOTH)")
+    }
+  }
+
   /** Project a PropertyGraph down to a GraphX topology (ids only). */
-  def toGraphX(g: PropertyGraph, edgeLabels: Seq[String] = Nil): Graph[Unit, String] = {
-    val es = (if (edgeLabels.isEmpty) g.edges
-              else g.edges.filter(col("label").isin(edgeLabels: _*)))
-      .select("src", "dst", "label").rdd
-      .map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
+  def toGraphX(g: PropertyGraph, edgeLabels: Seq[String] = Nil,
+      direction: String = "out"): Graph[Unit, Unit] = {
+    val es = oriented(g, edgeLabels, direction).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val vs = g.nodes.select("id").rdd.map(r => (r.getLong(0), ()))
     Graph(vs, es, (), StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
   }
@@ -60,9 +77,10 @@ object GraphXBridge {
   /** Landmark shortest-path distances (unweighted BFS Pregel), the
     * `shortestPath(a, b)` equivalent. Returns (id, landmark, dist). */
   def shortestPathsTo(spark: SparkSession, g: PropertyGraph,
-      edgeLabels: Seq[String], landmarks: Seq[VertexId]): DataFrame = {
+      edgeLabels: Seq[String], landmarks: Seq[VertexId],
+      direction: String = "out"): DataFrame = {
     import spark.implicits._
-    val base = toGraphX(g, edgeLabels)
+    val base = toGraphX(g, edgeLabels, direction)
     val res = ShortestPaths.run(base, landmarks)
     finish(res.vertices.flatMap { case (id, spmap) =>
       spmap.map { case (lm, d) => (id, lm, d) }
@@ -81,22 +99,42 @@ object GraphXBridge {
 
   /** Weighted single-source shortest path (the `dijkstra(a,b,'w')`
     * equivalent) via Pregel over double weights. `weight` is any Column
-    * over the edge row (a property or a constant). */
+    * over the edge row (a property or a constant). Returns
+    * (id, dist, hops) — `hops` is the edge count of the minimal-weight
+    * path (ties broken toward fewer hops, deterministically), which is
+    * what the dialect's path-list `.size()` needs (`size = hops + 1`). */
   def dijkstra(spark: SparkSession, g: PropertyGraph, edgeLabels: Seq[String],
-      weight: org.apache.spark.sql.Column, source: VertexId): DataFrame = {
+      weight: org.apache.spark.sql.Column, source: VertexId,
+      direction: String = "out"): DataFrame = {
     import spark.implicits._
-    val es = g.edges.filter(col("label").isin(edgeLabels: _*))
-      .select(col("src"), col("dst"), weight.cast("double").as("w")).rdd
-      .map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val graph = Graph.fromEdges(es, Double.PositiveInfinity,
+    val base = if (edgeLabels.isEmpty) g.edges
+               else g.edges.filter(col("label").isin(edgeLabels: _*))
+    val withW = base.select(col("src"), col("dst"), weight.cast("double").as("w"))
+    val orientedW = direction.toLowerCase match {
+      case "out" => withW
+      case "in" => withW.select(col("dst").as("src"), col("src").as("dst"), col("w"))
+      case "both" => withW.unionByName(
+        withW.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      case other => throw new IllegalArgumentException(
+        s"unsupported direction '$other' (expected OUT, IN, or BOTH)")
+    }
+    val es = orientedW.rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val inf = (Double.PositiveInfinity, Int.MaxValue)
+    def better(a: (Double, Int), b: (Double, Int)): (Double, Int) =
+      if (a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)) a else b
+    val graph = Graph.fromEdges(es, inf,
       StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
-      .mapVertices((id, _) => if (id == source) 0.0 else Double.PositiveInfinity)
-    val res = graph.pregel(Double.PositiveInfinity)(
-      (_, dist, msg) => math.min(dist, msg),
-      t => if (t.srcAttr + t.attr < t.dstAttr) Iterator((t.dstId, t.srcAttr + t.attr))
-           else Iterator.empty,
-      (a, b) => math.min(a, b))
-    finish(res.vertices.filter(_._2 < Double.PositiveInfinity)
-      .map { case (id, d) => (id, d) }.toDF("id", "dist"), graph, res)
+      .mapVertices((id, _) => if (id == source) (0.0, 0) else inf)
+    val res = graph.pregel(inf)(
+      (_, attr, msg) => better(attr, msg),
+      t => {
+        val cand = (t.srcAttr._1 + t.attr, t.srcAttr._2 + 1)
+        if (t.srcAttr._1 < Double.PositiveInfinity && better(cand, t.dstAttr) == cand &&
+            cand != t.dstAttr) Iterator((t.dstId, cand))
+        else Iterator.empty
+      },
+      (a, b) => better(a, b))
+    finish(res.vertices.filter(_._2._1 < Double.PositiveInfinity)
+      .map { case (id, (d, h)) => (id, d, h) }.toDF("id", "dist", "hops"), graph, res)
   }
 }

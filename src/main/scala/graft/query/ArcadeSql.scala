@@ -55,6 +55,9 @@ object ArcadeSql {
   final case class Neg(e: Expr) extends Expr
   final case class IsNull(e: Expr, not: Boolean) extends Expr
   final case class InList(e: Expr, vs: ListLit, not: Boolean) extends Expr
+  final case class InSubquery(e: Expr, sub: Stmt, not: Boolean) extends Expr
+  final case class Var(name: String) extends Expr // $x (LET binding reference)
+  final case class SubqueryExpr(stmt: Stmt) extends Expr // (SELECT …) as a LET value
   final case class Between(e: Expr, lo: Expr, hi: Expr) extends Expr
   final case class Method(target: Expr, name: String, args: Seq[Expr]) extends Expr
   final case class Func(name: String, args: Seq[Expr]) extends Expr
@@ -66,12 +69,16 @@ object ArcadeSql {
   sealed trait Source
   final case class LabelSource(label: String) extends Source
   final case class SubSource(stmt: Stmt) extends Source
+  /** FROM-less SELECT (`SELECT expand($c) LET …`) — the dialect's
+    * set-function form has no scan target of its own. */
+  case object UnitSource extends Source
 
   sealed trait Stmt
   final case class Select(projs: Seq[Proj], from: Source, where: Option[Expr],
       groupBy: Seq[Expr], orderBy: Seq[(Expr, Boolean)],
       skip: Option[Int], limit: Option[Int], distinct: Boolean = false,
-      unwind: Option[String] = None) extends Stmt
+      unwind: Option[String] = None,
+      lets: Seq[(String, Expr)] = Nil) extends Stmt
   final case class Traverse(hops: Seq[HopExpr], from: Source,
       maxDepth: Option[Int], whileE: Option[Expr]) extends Stmt
   final case class MatchNode(typ: Option[String], as: Option[String], where: Option[Expr])
@@ -166,8 +173,23 @@ object ArcadeSql {
           while (peek == ',') { i += 1; ps += projection() }
           ps.toSeq
         }
-      expectKw("FROM")
-      val src = source()
+      // FROM may be omitted ONLY in the LET set-function form
+      // (`SELECT expand($c) LET $a = (…), …`) — everything else needs a
+      // scan target
+      val src = if (at("LET")) UnitSource else { expectKw("FROM"); source() }
+      // LET $x = (subquery) | <set-function expr> — bindings are in
+      // scope for later bindings, WHERE, and projections
+      val lets = scala.collection.mutable.ArrayBuffer[(String, Expr)]()
+      if (eat("LET")) {
+        def binding(): Unit = {
+          ws(); expectCh('$')
+          val name = ident()
+          ws(); expectCh('=')
+          lets += ((name, letValue()))
+        }
+        binding()
+        while (peek == ',') { i += 1; binding() }
+      }
       val where = if (eat("WHERE")) Some(expr()) else None
       val group =
         if (eat("GROUP")) { expectKw("BY"); exprList() } else Nil
@@ -176,7 +198,27 @@ object ArcadeSql {
       val unwind = if (eat("UNWIND")) Some(ident()) else None
       val skip = if (eat("SKIP")) Some(intLit()) else None
       val limit = if (eat("LIMIT")) Some(intLit()) else None
-      Select(projs, src, where, group, order, skip, limit, distinct, unwind)
+      Select(projs, src, where, group, order, skip, limit, distinct, unwind,
+        lets.toSeq)
+    }
+
+    /** A LET binding's right-hand side: `(subquery)` or an expression
+      * (set functions over earlier `$bindings` / `(subqueries)`). */
+    private def letValue(): Expr =
+      maybeSubquery().map(SubqueryExpr(_)).getOrElse(expr())
+
+    /** If the cursor sits on `(SELECT|TRAVERSE|MATCH …)`, consume and
+      * return the statement; otherwise leave the cursor untouched. */
+    private def maybeSubquery(): Option[Stmt] = {
+      ws()
+      if (peek != '(') return None
+      val save = i
+      i += 1 // '('
+      if (at("SELECT") || at("TRAVERSE") || at("MATCH")) {
+        val st = statement()
+        expectCh(')')
+        Some(st)
+      } else { i = save; None }
     }
 
     private def traverse(): Traverse = {
@@ -323,10 +365,10 @@ object ArcadeSql {
         else if (eat("DEFINED")) IsNull(l, !not) // IS DEFINED == IS NOT NULL
         else fail("expected NULL or DEFINED after IS")
       } else if (eat("NOT")) {
-        if (eat("IN")) InList(l, listLit(), not = true)
+        if (eat("IN")) inRhs(l, not = true)
         else if (eat("LIKE")) Bin("not_like", l, addExpr())
         else fail("expected IN or LIKE after NOT")
-      } else if (eat("IN")) InList(l, listLit(), not = false)
+      } else if (eat("IN")) inRhs(l, not = false)
       else if (eat("BETWEEN")) {
         val lo = addExpr(); expectKw("AND"); Between(l, lo, addExpr())
       }
@@ -345,6 +387,16 @@ object ArcadeSql {
           case None => l
         }
       }
+    }
+
+    /** The right-hand side of [NOT] IN: a `[literal list]` or a
+      * `(SELECT …)` subquery (compiled to a semi/anti join). */
+    private def inRhs(l: Expr, not: Boolean): Expr = {
+      ws()
+      if (peek == '(')
+        InSubquery(l, maybeSubquery().getOrElse(
+          fail("expected a SELECT/TRAVERSE/MATCH subquery after IN (")), not)
+      else InList(l, listLit(), not)
     }
 
     private def addExpr(): Expr = {
@@ -408,13 +460,16 @@ object ArcadeSql {
     private def primary(): Expr = {
       ws()
       peek match {
-        case '(' => i += 1; val e = expr(); expectCh(')'); e
+        case '(' =>
+          maybeSubquery().map(SubqueryExpr(_)).getOrElse {
+            i += 1; val e = expr(); expectCh(')'); e
+          }
         case '\'' => Lit(stringLit())
         case '[' => listLit()
         case '$' =>
           i += 1
           val v = ident()
-          if (v.equalsIgnoreCase("depth")) Depth else fail(s"unsupported variable $$$v")
+          if (v.equalsIgnoreCase("depth")) Depth else Var(v)
         case '*' => i += 1; Star
         case c if c == '-' || c.isDigit => Lit(number())
         case c if c.isLetter || c == '_' =>
@@ -541,6 +596,12 @@ object ArcadeSql {
     case Ident(n) => resolve(n)
     case PathIdent(b, p) => resolve(s"$b.$p")
     case Depth => resolve("$depth")
+    case Var(n) => resolve(s"$$$n") // scalar LET binding (bound upstream)
+    case _: InSubquery =>
+      fail("IN (SELECT …) is only supported as a top-level AND-conjunct of WHERE")
+    case _: SubqueryExpr =>
+      fail("(SELECT …) is only valid as a LET value, an IN (…) right-hand side, " +
+        "or a FROM source — not in a scalar position")
     case Not(x) => !ce(x, resolve)
     case Neg(x) => -ce(x, resolve)
     case IsNull(x, false) => ce(x, resolve).isNull
@@ -681,21 +742,98 @@ object ArcadeSql {
     case _ => fail("computed projection needs an AS alias")
   }
 
+  // ---- LET bindings & set functions ----
+
+  /** The dialect's result-set combinators (`unionall(a, b[, …])` etc.),
+    * mapped onto the engine's already-green set operators
+    * (`Relational` §2.B.5 twins): unionall = bag union, intersect /
+    * difference = distinct semantics, symmetricDifference = both
+    * one-sided differences unioned. */
+  private val SetFuncs = Map[String, (DataFrame, DataFrame) => DataFrame](
+    "unionall" -> (_ unionByName _),
+    "intersect" -> (_ intersect _),
+    "difference" -> (_ except _),
+    "symmetricdifference" -> ((a, b) => a.except(b).unionByName(b.except(a))))
+
+  /** Evaluate a LET value / expand(…) argument to a result-set frame:
+    * a `$binding`, a `(subquery)`, or a set function over those. */
+  private def frameOf(g: PropertyGraph, gs: GraphSchema, e: Expr,
+      lets: scala.collection.Map[String, DataFrame]): DataFrame = e match {
+    case Var(n) => lets.getOrElse(n, fail(s"undefined LET variable $$$n"))
+    case SubqueryExpr(st) => compileStmt(g, gs, st)
+    case Func(n, args) if SetFuncs.contains(n) =>
+      if (args.size < 2) fail(s"$n(…) needs at least two result-set arguments")
+      args.map(frameOf(g, gs, _, lets)).reduce(SetFuncs(n))
+    case other => fail(s"expected a $$binding, (subquery), or set function, got $other")
+  }
+
+  /** A LET subquery that provably returns ONE row (a single aggregate
+    * projection, no GROUP BY) — the only form a `$x` scalar reference
+    * accepts. Anything else would silently duplicate rows under the
+    * cross join, so it fails loudly instead. */
+  private def isScalarSubquery(e: Expr): Boolean = e match {
+    case SubqueryExpr(s: Select) =>
+      s.groupBy.isEmpty && s.projs.size == 1 && s.projs.forall(p => isAggregate(p.expr))
+    case _ => false
+  }
+
+  private def conjuncts(e: Expr): Seq[Expr] = e match {
+    case Bin("and", l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def varsIn(e: Expr): Set[String] = e match {
+    case Var(n) => Set(n)
+    case Bin(_, l, r) => varsIn(l) ++ varsIn(r)
+    case Not(x) => varsIn(x)
+    case Neg(x) => varsIn(x)
+    case IsNull(x, _) => varsIn(x)
+    case InList(x, _, _) => varsIn(x)
+    case InSubquery(x, _, _) => varsIn(x)
+    case Between(x, lo, hi) => varsIn(x) ++ varsIn(lo) ++ varsIn(hi)
+    case Method(t, _, args) => varsIn(t) ++ args.flatMap(varsIn)
+    case Func(n, args) if !SetFuncs.contains(n) => args.flatMap(varsIn).toSet
+    case _ => Set.empty
+  }
+
   // ---- SELECT ----
 
   private def compileSelect(g: PropertyGraph, gs: GraphSchema, sel: Select): DataFrame = {
     // `SELECT expand(out('L')) FROM …` — whole-statement hop form;
     // `expand(outV())`/`expand(inV())` hop from an edge source to its
     // endpoint records (outV = the edge's source vertex, inV = target)
+    // LET bindings, in declaration order (each sees the previous ones);
+    // scalar-qualifying bindings may also be referenced as `$x` in
+    // expressions
+    val letFrames = scala.collection.mutable.LinkedHashMap[String, DataFrame]()
+    val letScalar = scala.collection.mutable.Set[String]()
+    sel.lets.foreach { case (name, v) =>
+      letFrames(name) = frameOf(g, gs, v, letFrames)
+      if (isScalarSubquery(v)) letScalar += name
+    }
+
     sel.projs match {
       case Seq(Proj(Func("expand", Seq(h: HopExpr)), _)) =>
         return compileExpand(g, gs, sel, h)
       case Seq(Proj(Func("expand", Seq(Func(v @ ("outv" | "inv"), Nil))), _)) =>
         return compileExpandEndpoint(g, gs, sel, if (v == "outv") "src" else "dst")
+      // `SELECT expand($c)` / `SELECT expand(unionall($a, $b))` — the
+      // projection IS a result-set; modifiers page it like any expand
+      case Seq(Proj(Func("expand", Seq(arg @ (Var(_) | SubqueryExpr(_) | Func(_, _)))), _))
+          if (arg match {
+            case Func(n, _) => SetFuncs.contains(n)
+            case _ => true
+          }) =>
+        if (sel.where.nonEmpty) fail("expand($x / set function) takes no WHERE — filter inside the subquery")
+        return expandModifiers(sel, frameOf(g, gs, arg, letFrames))
       case _ =>
     }
 
-    val base = sourceFrame(g, gs, sel.from)
+    val base = sel.from match {
+      case UnitSource => fail("a FROM-less SELECT can only project expand($x) " +
+        "or expand(<set function>) over its LET bindings")
+      case src => sourceFrame(g, gs, src)
+    }
     val resolve: String => Column = n => base(n)
 
     // hop projections: `out('L').size()` becomes one partial-aggregated
@@ -705,14 +843,23 @@ object ArcadeSql {
     // (same shape as PropertyGraph.outDegree)
     val degreeHops = scala.collection.mutable.LinkedHashMap[HopExpr, String]()
     val adjHops = scala.collection.mutable.LinkedHashMap[HopExpr, String]()
+    // shortestPath(…)/dijkstra(…).size() — per-record path-node counts,
+    // each one Pregel job whose (id → size) frame is left-joined on id
+    val pathHops = scala.collection.mutable.LinkedHashMap[Func, String]()
     def rewriteDegrees(e: Expr): Expr = e match {
       case Method(h: HopExpr, "size", Nil) =>
         Ident(degreeHops.getOrElseUpdate(h, s"__deg${degreeHops.size}"))
       case h: HopExpr =>
         Ident(adjHops.getOrElseUpdate(h, s"__adj${adjHops.size}"))
+      case Method(f @ Func("shortestpath" | "dijkstra", _), "size", Nil) =>
+        Ident(pathHops.getOrElseUpdate(f, s"__plen${pathHops.size}"))
+      case Func(n @ ("shortestpath" | "dijkstra"), _) =>
+        fail(s"$n(…) must be consumed with .size() — materializing the path " +
+          "record list is unsupported")
       case Method(t, m, args) => Method(rewriteDegrees(t), m, args.map(rewriteDegrees))
       case Bin(op, l, r) => Bin(op, rewriteDegrees(l), rewriteDegrees(r))
       case Not(x) => Not(rewriteDegrees(x))
+      case InSubquery(x, st, not) => InSubquery(rewriteDegrees(x), st, not)
       case Func("expand", args) => Func("expand", args) // handled upstream
       case Func(n, args) => Func(n, args.map(rewriteDegrees))
       case other => other
