@@ -191,6 +191,93 @@ object ArcadeSqlQueries {
       asql("SELECT id, totalprice FROM Order ORDER BY totalprice DESC, id ASC SKIP 5 LIMIT 10"),
       Some(s"""SELECT CAST(o_orderkey + $OrderOff AS BIGINT) AS id,
         o_totalprice AS totalprice FROM orders
-        ORDER BY totalprice DESC, id ASC LIMIT 10 OFFSET 5"""))
+        ORDER BY totalprice DESC, id ASC LIMIT 10 OFFSET 5""")),
+
+    // ——— dialect breadth phase 2 (VERDICT r5 order #1) ————————————
+
+    // WHERE id IN (SELECT …) — compiles to a left_semi join (the
+    // join_semi twin), never a collected literal list
+    Q("asql_in_subquery",
+      asql("""SELECT mktsegment, count(*) AS cnt FROM Customer
+        WHERE id IN (SELECT src FROM PLACED) GROUP BY mktsegment"""),
+      Some("""SELECT c_mktsegment AS mktsegment, CAST(count(*) AS BIGINT) AS cnt
+        FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment""")),
+
+    // NOT IN (SELECT …) → left_anti, mixed with a plain conjunct in the
+    // same WHERE (the conjunct splitter keeps the filter in place)
+    Q("asql_not_in_subquery",
+      asql("""SELECT id, name FROM Part
+        WHERE psize <= 25 AND id NOT IN (SELECT dst FROM CONTAINS WHERE quantity >= 48)"""),
+      Some(s"""SELECT CAST(p_partkey + $PartOff AS BIGINT) AS id, p_name AS name
+        FROM part WHERE p_size <= 25 AND NOT EXISTS
+          (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity >= 48)""")),
+
+    // LET $x = (single-aggregate subquery) read as a scalar in WHERE —
+    // broadcast cross join of the provably-one-row frame (the
+    // let_scalar twin). max() keeps the oracle float-exact.
+    Q("asql_let_scalar",
+      asql("""SELECT id, name, acctbal FROM Customer
+        LET $hi = (SELECT max(acctbal) AS hi FROM Customer)
+        WHERE acctbal > $hi - 2000"""),
+      Some(s"""SELECT CAST(c_custkey + $CustomerOff AS BIGINT) AS id, c_name AS name,
+        c_acctbal AS acctbal FROM customer
+        WHERE c_acctbal > (SELECT max(c_acctbal) FROM customer) - 2000""")),
+
+    // result-set LET bindings consumed by expand(<set function>):
+    // unionall = bag union (set_union twin). IN_NATION edges under
+    // SupplierOff start at customers, at or above at suppliers.
+    Q("asql_set_union",
+      asql(s"""SELECT expand(unionall($$a, $$b))
+        LET $$a = (SELECT dst AS nid FROM IN_NATION WHERE src < $SupplierOff),
+            $$b = (SELECT dst AS nid FROM IN_NATION WHERE src >= $SupplierOff)"""),
+      Some(s"""SELECT CAST(c_nationkey + 100 AS BIGINT) AS nid FROM customer
+        UNION ALL SELECT CAST(s_nationkey + 100 AS BIGINT) FROM supplier""")),
+
+    // intersect() — distinct semantics (set_intersect twin)
+    Q("asql_set_intersect",
+      asql(s"""SELECT expand(intersect($$a, $$b))
+        LET $$a = (SELECT dst AS nid FROM IN_NATION WHERE src < $SupplierOff),
+            $$b = (SELECT dst AS nid FROM IN_NATION WHERE src >= $SupplierOff)"""),
+      Some(s"""SELECT CAST(c_nationkey + 100 AS BIGINT) AS nid FROM customer
+        INTERSECT SELECT CAST(s_nationkey + 100 AS BIGINT) FROM supplier""")),
+
+    // difference() — the never-ordered parts (set_except twin shape)
+    Q("asql_set_difference",
+      asql("""SELECT expand(difference($a, $b))
+        LET $a = (SELECT id AS pid FROM Part),
+            $b = (SELECT dst AS pid FROM CONTAINS WHERE quantity >= 48)"""),
+      Some(s"""SELECT CAST(p_partkey + $PartOff AS BIGINT) AS pid FROM part
+        EXCEPT SELECT CAST(l_partkey + $PartOff AS BIGINT) FROM lineitem
+          WHERE l_quantity >= 48""")),
+
+    // symmetricDifference() — disjoint name sets exercise both sides
+    Q("asql_set_symdiff",
+      asql("""SELECT expand(symmetricDifference($a, $b))
+        LET $a = (SELECT name FROM Region), $b = (SELECT name FROM Nation)"""),
+      Some("""(SELECT r_name AS name FROM region EXCEPT SELECT n_name FROM nation)
+        UNION ALL
+        (SELECT n_name AS name FROM nation EXCEPT SELECT r_name FROM region)""")),
+
+    // shortestPath(from, to, dir, [labels]).size() — ONE Pregel
+    // landmark job left-joined on id (the shortest_path_region twin);
+    // unreachable = empty path = 0. Region 0's node id is 0.
+    Q("asql_shortest_path",
+      asql("""SELECT id, name, shortestPath(id, 0, 'OUT', ['IN_NATION', 'IN_REGION']).size() AS plen
+        FROM Customer"""),
+      Some(s"""SELECT CAST(c_custkey + $CustomerOff AS BIGINT) AS id, c_name AS name,
+        CAST(CASE WHEN n_regionkey = 0 THEN 3 ELSE 0 END AS INT) AS plen
+        FROM customer JOIN nation ON n_nationkey = c_nationkey""")),
+
+    // dijkstra(from, to, weight, dir).size() — fixed source (supplier
+    // 0), per-record destination; hops+1 node count (dijkstra_supplier0
+    // twin)
+    Q("asql_dijkstra",
+      asql(s"""SELECT id, name, dijkstra($SupplierOff, id, 1.0, 'OUT').size() AS plen
+        FROM Region"""),
+      Some("""SELECT CAST(r_regionkey AS BIGINT) AS id, r_name AS name,
+        CAST(CASE WHEN r_regionkey = (SELECT n_regionkey FROM nation WHERE n_nationkey =
+          (SELECT s_nationkey FROM supplier WHERE s_suppkey = 0)) THEN 3 ELSE 0 END AS INT) AS plen
+        FROM region"""))
   )
 }

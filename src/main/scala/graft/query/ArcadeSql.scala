@@ -3,6 +3,7 @@ package graft.query
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.graphx.GraphXBridge
 import graft.model.GraphSchema
 
 /** ArcadeDB SQL dialect front-end — the reference's PRIMARY query
@@ -869,6 +870,22 @@ object ArcadeSql {
     val orderRewritten = sel.orderBy.map { case (e, asc) => (rewriteDegrees(e), asc) }
 
     var df = base
+
+    // scalar `$x` references: each scalar-qualifying LET binding (a
+    // single-aggregate subquery — provably one row) is broadcast
+    // cross-joined as a literal-like column named `$x`; a result-set
+    // binding in scalar position fails loudly rather than silently
+    // multiplying rows
+    val referencedVars =
+      (projs.map(_.expr) ++ whereRewritten ++ orderRewritten.map(_._1) ++ sel.groupBy)
+        .flatMap(varsIn).toSet
+    referencedVars.foreach { v =>
+      val f = letFrames.getOrElse(v, fail(s"undefined LET variable $$$v"))
+      if (!letScalar(v))
+        fail(s"$$$v is a result set — consume it with expand($$$v) or a set " +
+          "function; only a single-aggregate LET subquery can be read as a scalar")
+      df = df.crossJoin(broadcast(f.select(col(f.columns.head).as(s"$$$v"))))
+    }
     def edgeSource: Boolean = sel.from match {
       case LabelSource(l) => gs.labels.exists(ls => ls.label == l && ls.kind == "edge")
       case _ => false
@@ -899,9 +916,33 @@ object ArcadeSql {
           array().cast(org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.LongType, containsNull = false))))
     }
+    pathHops.foreach { case (f, name) =>
+      if (edgeSource) fail(s"${f.name}(…) needs a vertex source")
+      // one Pregel job per distinct call; (id → path-node count) frame
+      // left-joined on id; ArcadeDB's unreachable result is the empty
+      // path, so .size() coalesces to 0
+      df = df.join(pathSizeFrame(g, gs, f, name), Seq("id"), "left")
+        .withColumn(name, coalesce(col(name), lit(0)))
+    }
     val res: String => Column = n => df(n)
 
-    whereRewritten.foreach(w => df = df.filter(ce(w, res)))
+    // WHERE: plain conjuncts filter in place; top-level [NOT] IN
+    // (SELECT …) conjuncts compile to left_semi / left_anti joins (the
+    // join_semi / join_anti twins — broadcastable, AQE-planned). An IN
+    // subquery nested under OR/NOT reaches ce() and fails loudly.
+    whereRewritten.foreach { w =>
+      val (inSubs, plain) = conjuncts(w).partition(_.isInstanceOf[InSubquery])
+      plain.reduceOption(Bin("and", _, _)).foreach(p => df = df.filter(ce(p, res)))
+      inSubs.foreach { case InSubquery(x, st, not) =>
+        val sub = compileStmt(g, gs, st)
+        if (sub.columns.length != 1)
+          fail(s"IN (SELECT …) must project exactly one column, got ${sub.columns.mkString(", ")}")
+        val key = sub.select(col(sub.columns.head).as("__in_key"))
+        df = df.join(key, ce(x, res) === key("__in_key"),
+          if (not) "left_anti" else "left_semi")
+      case other => fail(s"unexpected conjunct $other") // unreachable: partition is on InSubquery
+      }
+    }
 
     val hasAgg = projs.exists(p => isAggregate(p.expr)) || sel.groupBy.nonEmpty
     val projected: DataFrame =
@@ -936,6 +977,69 @@ object ArcadeSql {
     }
 
     ordered(unwound, orderRewritten, sel.skip, sel.limit, res)
+  }
+
+  /** Compile `shortestPath(a, b[, dir[, [labels]]]).size()` /
+    * `dijkstra(a, b, weight[, dir[, [labels]]]).size()` to a
+    * per-vertex `(id, <outName>)` frame. Exactly one of a/b must be
+    * the record's `id` column and the other a vertex-id literal: the
+    * fixed endpoint becomes the single Pregel landmark/source (ONE
+    * distributed job per distinct call — never a per-row traversal),
+    * and when the fixed endpoint sits on the opposite side of the
+    * direction of travel the edge orientation is flipped instead.
+    * `.size()` is the path's node count (dist/hops + 1); ArcadeDB's
+    * unreachable result is the empty path, so the caller coalesces the
+    * left-join miss to 0. Dialect ref: the shortestPath()/dijkstra()
+    * graph functions of the SQL engine served at
+    * `ArcadeDBService.java:58`. */
+  private def pathSizeFrame(g: PropertyGraph, gs: GraphSchema, f: Func,
+      outName: String): DataFrame = {
+    val spark = g.nodes.sparkSession
+    val isDijkstra = f.name == "dijkstra"
+    val args = f.args
+    val usage =
+      if (isDijkstra) "dijkstra(from, to, weight[, direction[, [edge labels]]])"
+      else "shortestPath(from, to[, direction[, [edge labels]]])"
+    val (lo, hi) = if (isDijkstra) (3, 5) else (2, 4)
+    if (args.size < lo || args.size > hi) fail(usage)
+    val tail = args.drop(if (isDijkstra) 3 else 2)
+    val dir = tail.headOption.map {
+      case Lit(s: String) => s.toLowerCase
+      case other => fail(s"direction must be a string literal, got $other")
+    }.getOrElse("out")
+    if (!Set("out", "in", "both").contains(dir)) fail(s"unsupported direction '$dir'")
+    val labels: Seq[String] = tail.drop(1).headOption.map {
+      case ListLit(vs) => vs.map {
+        case Lit(s: String) => s
+        case other => fail(s"edge label list must hold string literals, got $other")
+      }
+      case other => fail(s"edge labels must be a [list] of string literals, got $other")
+    }.getOrElse(Nil)
+    def flip(d: String): String =
+      d match { case "out" => "in"; case "in" => "out"; case _ => "both" }
+    // ShortestPaths measures TOWARD its landmark, dijkstra FROM its
+    // source — so the orientation flips when the fixed endpoint is on
+    // the other side
+    val (fixedId, direction) = (args(0), args(1)) match {
+      case (Ident("id"), Lit(t: Long)) => (t, if (isDijkstra) flip(dir) else dir)
+      case (Lit(s: Long), Ident("id")) => (s, if (isDijkstra) dir else flip(dir))
+      case other => fail(s"${f.name}(from, to): one endpoint must be the record's " +
+        s"id column and the other a vertex-id literal, got $other")
+    }
+    if (isDijkstra) {
+      val w = args(2) match {
+        case Lit(p: String) => col(p) // an edge property
+        case Lit(n: Long) => lit(n.toDouble)
+        case Lit(n: Double) => lit(n)
+        case other => fail(s"dijkstra weight must be an edge property name or " +
+          s"a numeric literal, got $other")
+      }
+      GraphXBridge.dijkstra(spark, g, labels, w, fixedId, direction)
+        .select(col("id"), (col("hops") + lit(1)).cast(IntegerType).as(outName))
+    } else {
+      GraphXBridge.shortestPathsTo(spark, g, labels, Seq(fixedId), direction)
+        .select(col("id"), (col("dist") + lit(1)).cast(IntegerType).as(outName))
+    }
   }
 
   /** ORDER BY resolves against the projected frame's output names

@@ -240,6 +240,98 @@ class ArcadeSqlSpec extends SparkSpec {
     intercept[IllegalArgumentException](run("SELECT FROM Customer trailing garbage"))
   }
 
+  test("IN (SELECT …) compiles to a semi join and matches the twin") {
+    val got = run("""SELECT mktsegment, count(*) AS cnt FROM Customer
+        WHERE id IN (SELECT src FROM PLACED) GROUP BY mktsegment""")
+    assert(got.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    val twin = g.nodesOf("Customer")
+      .join(g.edgesOf("PLACED").select(col("src").as("id")), Seq("id"), "left_semi")
+      .groupBy("mktsegment").agg(count(lit(1)).as("cnt"))
+    assert(got.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      == twin.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+  }
+
+  test("NOT IN (SELECT …) anti join mixes with plain conjuncts") {
+    val got = run("""SELECT id FROM Part
+        WHERE psize <= 25 AND id NOT IN (SELECT dst FROM CONTAINS)""")
+    assert(got.queryExecution.optimizedPlan.toString.contains("LeftAnti"))
+    val ordered = g.edgesOf("CONTAINS").select(col("dst").as("id"))
+    val twin = g.nodesOf("Part").filter(col("psize") <= 25)
+      .join(ordered, Seq("id"), "left_anti").select("id")
+    assert(got.collect().map(_.getLong(0)).toSet
+      == twin.collect().map(_.getLong(0)).toSet)
+    // nested under OR it cannot become a join — loud failure, not a
+    // silent wrong answer
+    intercept[IllegalArgumentException](
+      run("SELECT id FROM Part WHERE psize <= 2 OR id IN (SELECT dst FROM CONTAINS)"))
+  }
+
+  test("LET scalar binding broadcasts one row; result-set misuse fails loudly") {
+    val got = run("""SELECT id FROM Customer
+        LET $hi = (SELECT max(acctbal) AS hi FROM Customer)
+        WHERE acctbal > $hi - 2000""")
+    val hi = g.nodesOf("Customer").agg(max(col("acctbal"))).head.getDouble(0)
+    val twin = g.nodesOf("Customer").filter(col("acctbal") > hi - 2000).select("id")
+    assert(got.collect().map(_.getLong(0)).toSet == twin.collect().map(_.getLong(0)).toSet)
+    // a multi-row LET subquery read as a scalar would silently multiply
+    // rows under the cross join — it must fail instead
+    intercept[IllegalArgumentException](
+      run("""SELECT id FROM Customer LET $rs = (SELECT id FROM Region) WHERE id > $rs"""))
+    intercept[IllegalArgumentException](
+      run("SELECT id FROM Customer WHERE id > $nosuch"))
+  }
+
+  test("expand($x) and set functions over LET result sets") {
+    val a = g.edgesOf("IN_NATION").filter(col("src") < GraphLoader.SupplierOff)
+      .select(col("dst").as("nid"))
+    val b = g.edgesOf("IN_NATION").filter(col("src") >= GraphLoader.SupplierOff)
+      .select(col("dst").as("nid"))
+    def lets = s"""LET $$a = (SELECT dst AS nid FROM IN_NATION WHERE src < ${GraphLoader.SupplierOff}),
+         $$b = (SELECT dst AS nid FROM IN_NATION WHERE src >= ${GraphLoader.SupplierOff})"""
+    assert(run(s"SELECT expand(unionall($$a, $$b)) $lets").count()
+      == a.unionByName(b).count())
+    assert(run(s"SELECT expand(intersect($$a, $$b)) $lets").collect().map(_.getLong(0)).toSet
+      == a.intersect(b).collect().map(_.getLong(0)).toSet)
+    assert(run(s"SELECT expand(difference($$a, $$b)) $lets").collect().map(_.getLong(0)).toSet
+      == a.except(b).collect().map(_.getLong(0)).toSet)
+    assert(run(s"SELECT expand(symmetricDifference($$a, $$b)) $lets").collect().map(_.getLong(0)).toSet
+      == a.except(b).unionByName(b.except(a)).collect().map(_.getLong(0)).toSet)
+    // plain expand($x) pages the bound frame
+    assert(run(s"SELECT expand($$a) $lets LIMIT 7").count() == 7)
+    intercept[IllegalArgumentException](run("SELECT expand($a) FROM Customer")) // $a unbound
+    intercept[IllegalArgumentException](
+      run(s"SELECT expand(unionall($$a)) $lets")) // arity
+  }
+
+  test("shortestPath().size() equals the landmark-BFS twin; bare call fails") {
+    val got = run("""SELECT id, shortestPath(id, 0, 'OUT', ['IN_NATION', 'IN_REGION']).size() AS plen
+        FROM Nation""").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // nations of region 0 sit one hop away (path = [nation, region0]);
+    // others are unreachable following OUT
+    val twin = g.edgesOf("IN_REGION").filter(col("dst") === 0L)
+      .select("src").collect().map(_.getLong(0)).toSet
+    got.foreach { case (id, plen) => assert(plen == (if (twin(id)) 2 else 0)) }
+    assert(got.values.count(_ == 2) == twin.size)
+    intercept[IllegalArgumentException]( // must be consumed via .size()
+      run("SELECT shortestPath(id, 0) AS p FROM Nation"))
+    intercept[IllegalArgumentException]( // both endpoints fixed
+      run("SELECT shortestPath(1, 0).size() AS p FROM Nation"))
+  }
+
+  test("dijkstra().size() orients from the fixed source and counts hops+1") {
+    val got = run(s"""SELECT id, dijkstra(${GraphLoader.SupplierOff}, id, 1.0, 'OUT').size() AS plen
+        FROM Region""").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // supplier 0 → its nation → its region: exactly one region at
+    // path length 3, the rest unreachable
+    assert(got.values.count(_ == 3) == 1)
+    assert(got.values.count(_ == 0) == got.size - 1)
+    // flipped spelling: per-row source, fixed destination, IN direction
+    // reaches the same single region
+    val flipped = run(s"""SELECT id, dijkstra(id, ${GraphLoader.SupplierOff}, 1.0, 'IN').size() AS plen
+        FROM Region""").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(flipped == got)
+  }
+
   test("randomized predicates: dialect filter ≡ hand-built Column filter") {
     val rnd = new scala.util.Random(777)
     val cust = g.nodesOf("Customer")
