@@ -259,6 +259,29 @@ object ArcadeSqlQueries {
         UNION ALL
         (SELECT n_name AS name FROM nation EXCEPT SELECT r_name FROM region)""")),
 
+    // date method family: asDate()/asDatetime() casts, .format(fmt)
+    // rendering, date(str, fmt) parsing (VERDICT r5 order #2; the
+    // date_funcs twin). Order.orderdate is the store's ISO string.
+    Q("asql_date_funcs",
+      asql("""SELECT id, orderdate.asDate() AS d, orderdate.asDatetime() AS dt,
+        orderdate.asDate().format('yyyy-MM') AS ym,
+        date(orderdate, 'yyyy-MM-dd') AS d2 FROM Order"""),
+      Some(s"""SELECT CAST(o_orderkey + $OrderOff AS BIGINT) AS id,
+        CAST(o_orderdate AS DATE) AS d, CAST(o_orderdate AS TIMESTAMP) AS dt,
+        strftime(o_orderdate, '%Y-%m') AS ym, CAST(o_orderdate AS DATE) AS d2
+        FROM orders""")),
+
+    // collection methods .sort()/.first()/.last() (+ .size()) over the
+    // array-typed tags property — scalar outputs so the driver's
+    // row canonicalizer never sees an array column
+    Q("asql_collection_methods",
+      asql("""SELECT id, tags.sort().first() AS t0, tags.sort().last() AS tlast,
+        tags.size() AS n FROM Part"""),
+      Some(s"""SELECT CAST(p_partkey + $PartOff AS BIGINT) AS id,
+        list_sort(string_split(p_name, ' '))[1] AS t0,
+        list_sort(string_split(p_name, ' '))[-1] AS tlast,
+        CAST(len(string_split(p_name, ' ')) AS INT) AS n FROM part""")),
+
     // shortestPath(from, to, dir, [labels]).size() — ONE Pregel
     // landmark job left-joined on id (the shortest_path_region twin);
     // unreachable = empty path = 0. Region 0's node id is 0.

@@ -682,6 +682,15 @@ object ArcadeSql {
       case "append" => arity(1); concat(c, a(0))
       case "prefix" => arity(1); concat(a(0), c)
       case "replace" => arity(2); replace(c, a(0), a(1))
+      case "asDate" => arity(0); to_date(c)
+      case "asDatetime" => arity(0); c.cast(TimestampType)
+      // date/datetime rendering; ArcadeDB uses SimpleDateFormat
+      // patterns, Spark java.time — identical for the common
+      // yyyy/MM/dd/HH/mm/ss letters
+      case "format" => arity(1); date_format(c, likePattern(args.head))
+      case "first" => arity(0); element_at(c, 1)
+      case "last" => arity(0); element_at(c, -1)
+      case "sort" => arity(0); sort_array(c)
       case "asInteger" => arity(0); c.cast(IntegerType)
       case "asLong" => arity(0); c.cast(LongType)
       case "asFloat" => arity(0); c.cast(FloatType)
@@ -716,6 +725,10 @@ object ArcadeSql {
     case "coalesce" => coalesce(args.map(ce(_, resolve)): _*)
     case "if" | "ifnull" if args.size == 2 =>
       coalesce(args.map(ce(_, resolve)): _*)
+    case "sysdate" if args.isEmpty => current_timestamp()
+    case "date" if args.size == 1 => to_date(ce(args.head, resolve))
+    case "date" if args.size == 2 =>
+      to_date(ce(args.head, resolve), likePattern(args(1)))
     case other => fail(s"unsupported function $other(…)")
   }
 

@@ -332,6 +332,28 @@ class ArcadeSqlSpec extends SparkSpec {
     assert(flipped == got)
   }
 
+  test("date and collection method families") {
+    val row = run("""SELECT orderdate, orderdate.asDate() AS d,
+        orderdate.asDate().format('yyyy-MM') AS ym,
+        date(orderdate, 'yyyy-MM-dd') AS d2, orderdate.asDatetime() AS dt
+      FROM Order LIMIT 1""").collect()(0)
+    val iso = row.getString(0)
+    assert(row.getDate(1).toString == iso)
+    assert(row.getString(2) == iso.substring(0, 7))
+    assert(row.getDate(3).toString == iso)
+    assert(row.getTimestamp(4).toInstant.toString.startsWith(iso))
+    val tags = run("""SELECT tags.sort() AS ts, tags.sort().first() AS t0,
+        tags.sort().last() AS tn FROM Part LIMIT 5""").collect()
+    tags.foreach { r =>
+      val ts = r.getSeq[String](0)
+      assert(ts == ts.sorted && r.getString(1) == ts.head && r.getString(2) == ts.last)
+    }
+    // sysdate() is the session clock — sanity only, never oracle-hashed
+    assert(run("SELECT sysdate() AS now FROM Region LIMIT 1").collect()(0)
+      .getTimestamp(0) != null)
+    intercept[IllegalArgumentException](run("SELECT tags.frobnicate() FROM Part"))
+  }
+
   test("randomized predicates: dialect filter ≡ hand-built Column filter") {
     val rnd = new scala.util.Random(777)
     val cust = g.nodesOf("Customer")
