@@ -288,12 +288,19 @@ object Relational {
       Some("SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders")),
 
     // ✚ extension (absent in ArcadeDB 22.8.1): HLL approximate distinct.
-    // No oracle — sketch estimate is implementation-specific.
+    // The sketch estimate itself is implementation-specific, so the
+    // hashed contract is the oracle-computable part: the exact count
+    // plus a boolean attesting the estimate sits within the sketch's
+    // configured 5% relative error of it (HLL++ at rsd=0.05).
     Q("approx_distinct",
       (s, d) => t(s, d, "lineitem")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts")),
-      None),
+        .agg(approx_count_distinct(col("l_partkey"), 0.05).as("approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")).cast("double")
+            / col("exact_parts") <= 0.05).as("within_5pct")),
+      Some("""SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        true AS within_5pct FROM lineitem""")),
 
     // ——— §2.B.5 sort / limit / pagination / set ops ————————————————
     Q("sort_topk", // ORDER BY + LIMIT → TakeOrderedAndProject (no total sort)
