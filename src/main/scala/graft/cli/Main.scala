@@ -59,8 +59,8 @@ object Main {
       if (!Checksum.isFresh(ck, java.nio.file.Paths.get(d)))
         System.err.println(s"[graft] WARNING: store at $outDir is out of date with $d — rebuild with 'create'")
     }
-    val nodes = spark.read.parquet(s"$outDir/nodes")
-    val edges = spark.read.parquet(s"$outDir/edges")
+    val nodes = graft.load.Store.readEntity(spark, outDir, "nodes")
+    val edges = graft.load.Store.readEntity(spark, outDir, "edges")
     nodes.createOrReplaceTempView("nodes")
     edges.createOrReplaceTempView("edges")
     val gs = graft.model.GraphSchema.fromJson(

@@ -248,9 +248,32 @@ object GraphLoader {
     * O(batch) + the validation joins — no rewrite of existing data
     * (partition dirs receive new files only).
     */
+  /** Land one validated batch: rows for labels that already have a
+    * generation are appended as new files INTO that generation
+    * (readers only ever list files at plan time, so added files never
+    * break an in-flight scan and new readers see them immediately);
+    * labels without one get a fresh generation plus a manifest commit. */
+  private def appendBatch(spark: SparkSession, outDir: String, entity: String,
+      batch: DataFrame): Unit = {
+    var m = Store.readManifest(outDir)
+    val labels = batch.select("label").distinct().collect().map(_.getString(0))
+    labels.foreach { label =>
+      val rows = batch.filter(col("label") === label).drop("label")
+      m.gens(entity).get(label) match {
+        case Some(gen) =>
+          rows.write.mode("append")
+            .parquet(Store.genDir(outDir, entity, label, gen).toString)
+        case None =>
+          val gen = Store.writeGen(outDir, entity, label, m.seq + 1, rows)
+          m = m.withGen(entity, label, gen)
+          Store.writeManifest(outDir, m)
+      }
+    }
+  }
+
   def appendNodes(spark: SparkSession, outDir: String, newNodes: DataFrame): Unit =
       StoreLock.withWriteLock(outDir) {
-    val existing = spark.read.parquet(s"$outDir/nodes")
+    val existing = Store.readEntity(spark, outDir, "nodes")
     val batch = alignTo(newNodes, existing)
     val dupIds = batch.join(existing.select("id"), Seq("id"), "left_semi")
     require(dupIds.isEmpty, {
@@ -265,19 +288,19 @@ object GraphLoader {
     val gs = GraphSchema.fromJson(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$outDir/schema.json")))
     val viol = validateUnique(existing.unionByName(batch),
-      spark.read.parquet(s"$outDir/edges"), gs)
+      Store.readEntity(spark, outDir, "edges"), gs)
     require(viol.isEmpty, {
       val sample = viol.limit(5).collect()
         .map(r => s"${r.getString(0)}.${r.getString(1)}=${r.getString(2)}").mkString(", ")
       s"append rejected: UNIQUE violation(s): $sample"
     })
-    batch.write.mode("append").partitionBy("label").parquet(s"$outDir/nodes")
+    appendBatch(spark, outDir, "nodes", batch)
   }
 
   def appendEdges(spark: SparkSession, outDir: String, newEdges: DataFrame): Unit =
       StoreLock.withWriteLock(outDir) {
-    val nodes = spark.read.parquet(s"$outDir/nodes")
-    val existing = spark.read.parquet(s"$outDir/edges")
+    val nodes = Store.readEntity(spark, outDir, "nodes")
+    val existing = Store.readEntity(spark, outDir, "edges")
     val batch = alignTo(newEdges, existing)
     val (resolved, dangling) = resolveEdges(nodes, batch)
     require(dangling.isEmpty, {
@@ -285,7 +308,26 @@ object GraphLoader {
         .map(r => s"(${r.getLong(0)}→${r.getLong(1)})").mkString(", ")
       s"append rejected: dangling edge endpoint(s): $sample"
     })
-    resolved.write.mode("append").partitionBy("label").parquet(s"$outDir/edges")
+    appendBatch(spark, outDir, "edges", resolved)
+    // keep the DELETE probe's pruning metadata a superset of reality:
+    // fold the batch's observed endpoint labels into the manifest
+    val nl = nodes.select(col("id"), col("label").as("__nl"))
+    val obs = resolved.select(col("src"), col("dst"), col("label"))
+      .join(nl.withColumnRenamed("id", "src").withColumnRenamed("__nl", "__sl"), Seq("src"))
+      .join(nl.withColumnRenamed("id", "dst").withColumnRenamed("__nl", "__dl"), Seq("dst"))
+      .select(col("label"), col("__sl"), col("__dl")).distinct().collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rows) =>
+        l -> ((rows.map(_.getString(1)).toSet, rows.map(_.getString(2)).toSet))
+      }
+    val m = Store.readManifest(outDir)
+    val merged = (m.edgeEndpoints.keySet ++ obs.keySet).map { l =>
+      val (s1, d1) = m.edgeEndpoints.getOrElse(l, (Set.empty[String], Set.empty[String]))
+      val (s2, d2) = obs.getOrElse(l, (Set.empty[String], Set.empty[String]))
+      l -> ((s1 ++ s2, d1 ++ d2))
+    }.toMap
+    if (merged != m.edgeEndpoints)
+      Store.writeManifest(outDir, m.copy(edgeEndpoints = merged))
   }
 
   /** UPDATE <Label> SET … WHERE <pred> — copy-on-write rewrite of ONE
@@ -348,88 +390,69 @@ object GraphLoader {
       val affected = part.filter(p).count()
       if (affected > 0 && kind == "vertex") {
         val deletedIds = part.filter(p).select(col("id"))
-        val edges = spark.read.parquet(s"$outDir/edges")
-        val referencing = edges
-          .join(deletedIds.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
-          .unionByName(edges
-            .join(deletedIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi"))
-        require(referencing.isEmpty, {
-          val sample = referencing.select("src", "dst").limit(5).collect()
-            .map(r => s"(${r.getLong(0)}→${r.getLong(1)})").mkString(", ")
-          s"DELETE rejected: edges still reference deleted node(s): $sample — delete them first"
-        })
+        // probe ONLY the edge labels whose observed endpoint labels can
+        // reference this vertex label (manifest metadata) — at 100 TB a
+        // single-row delete must not pay a full edge-store scan
+        // (VERDICT r5 order #7)
+        val m = Store.readManifest(outDir)
+        val frames = edgeLabelsReferencing(outDir, label).map { el =>
+          spark.read.parquet(
+            Store.genDir(outDir, "edges", el, m.edges(el)).toString)
+            .select(col("src"), col("dst"))
+        }
+        frames.reduceOption(_.unionByName(_)).foreach { edges =>
+          val referencing = edges
+            .join(deletedIds.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+            .unionByName(edges
+              .join(deletedIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi"))
+          require(referencing.isEmpty, {
+            val sample = referencing.select("src", "dst").limit(5).collect()
+              .map(r => s"(${r.getLong(0)}→${r.getLong(1)})").mkString(", ")
+            s"DELETE rejected: edges still reference deleted node(s): $sample — delete them first"
+          })
+        }
       }
       (part.filter(!p), affected)
     }
   }
 
-  /** Copy-on-write rewrite of one label partition directory: `f` maps
-    * the current partition frame (label column elided — it lives in the
-    * directory name) to (rewritten frame, affected count). Zero affected
-    * → the store is untouched. Writes go to a staging directory first;
-    * the swap is two renames, so a failed validation or write never
-    * corrupts the store. (On a cluster the same protocol runs against
-    * HDFS/object-store rename; a transactional table format would make
-    * the swap atomic — out of scope for the shim's single-writer model.) */
+  /** Copy-on-write rewrite of one label partition: `f` maps the
+    * current generation's frame (label column elided — it lives in the
+    * manifest) to (rewritten frame, affected count). Zero affected →
+    * the store is untouched. The rewritten frame lands as a NEW
+    * generation directory, invisible until the atomic manifest commit
+    * ([[Store]] scaladoc); the superseded generation stays on disk for
+    * in-flight readers until [[Store.sweep]] finds it unpinned. A
+    * crash at any point leaves either the old manifest (orphan gen
+    * dir, swept later) or the new one (complete by construction) —
+    * there is no torn state to recover. */
   private def rewriteLabelPartition(spark: SparkSession, outDir: String, kind: String,
       label: String)(f: DataFrame => (DataFrame, Long)): Long = {
     val entity = if (kind == "vertex") "nodes" else "edges"
-    val dir = java.nio.file.Paths.get(s"$outDir/$entity/label=$label")
-    recoverLabelPartition(outDir, entity, label, dir)
-    if (!java.nio.file.Files.isDirectory(dir)) return 0L // declared label, no rows yet
-    val part = spark.read.parquet(dir.toString)
+    val m = Store.readManifest(outDir)
+    val current = m.gens(entity).get(label) match {
+      case Some(gen) => gen
+      case None => return 0L // declared label, no rows yet
+    }
+    val part = spark.read.parquet(Store.genDir(outDir, entity, label, current).toString)
     val (rewritten, affected) = f(part)
     if (affected == 0) return 0L
-    val uuid = java.util.UUID.randomUUID().toString.take(8)
-    val staging = java.nio.file.Paths.get(s"$outDir/.staging_${entity}_${label}_$uuid")
-    rewritten.write.mode("overwrite").parquet(staging.toString)
-    // the old dir carries the same UUID as staging: a crash between the
-    // two renames is recoverable (the old dir is found and restored by
-    // the next rewrite), and a failed delete can never collide with a
-    // later rewrite's rename the way a fixed name would
-    val old = java.nio.file.Paths.get(s"$outDir/.old_${entity}_${label}_$uuid")
-    java.nio.file.Files.move(dir, old)
-    java.nio.file.Files.move(staging, dir)
-    try deleteRecursively(old)
-    catch { case _: java.io.IOException => () } // stale dir; swept next rewrite
+    val gen = Store.writeGen(outDir, entity, label, m.seq + 1, rewritten)
+    Store.writeManifest(outDir, m.withGen(entity, label, gen))
     affected
   }
 
-  /** Crash recovery for the staged-swap protocol, run before every
-    * rewrite of (entity, label): a crash between the two renames leaves
-    * the live dir missing and the previous generation parked in
-    * `.old_…` — restore it. Anything else matching this label's
-    * `.old_`/`.staging_` prefixes is a leftover from a completed or
-    * abandoned swap — delete it. (Writers — including CLI-launched ones
-    * in another process — are serialized by [[StoreLock]], so no live
-    * swap can race this sweep.) */
-  private def recoverLabelPartition(outDir: String, entity: String, label: String,
-      dir: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Paths.get(outDir)
-    if (!java.nio.file.Files.isDirectory(root)) return
-    val oldPrefix = s".old_${entity}_${label}_"
-    val stagingPrefix = s".staging_${entity}_${label}_"
-    // Exact-name match: the remainder after the prefix must be precisely
-    // the 8-char UUID fragment. A bare startsWith would let a label that
-    // is an underscore-boundary prefix of another (HAS vs HAS_PART)
-    // claim — and delete or mis-restore — the longer label's dirs.
-    def uuidTail(n: String, prefix: String): Boolean =
-      n.length == prefix.length + 8 && !n.substring(prefix.length).contains('_')
-    val s = java.nio.file.Files.list(root)
-    val stale = try s.iterator().asScala.filter { p =>
-      val n = p.getFileName.toString
-      (n.startsWith(oldPrefix) && uuidTail(n, oldPrefix)) ||
-        (n.startsWith(stagingPrefix) && uuidTail(n, stagingPrefix))
-    }.toList finally s.close()
-    stale.foreach { p =>
-      if (p.getFileName.toString.startsWith(oldPrefix) &&
-          !java.nio.file.Files.isDirectory(dir)) {
-        java.nio.file.Files.move(p, dir) // interrupted swap: restore (strict — a
-        // failure here must surface, not silently drop a generation)
-      } else try deleteRecursively(p)
-      catch { case _: java.io.IOException => () } // stale dir; swept next rewrite
-    }
+  /** The edge labels whose observed endpoints can reference vertex
+    * label `label` — the DELETE probe's pruning set. An edge label
+    * with no endpoint metadata is conservatively included. */
+  def edgeLabelsReferencing(outDir: String, label: String): Seq[String] = {
+    val m = Store.readManifest(outDir)
+    m.edges.keys.filter { el =>
+      m.edgeEndpoints.get(el) match {
+        case Some((srcs, dsts)) => srcs.contains(label) || dsts.contains(label)
+        case None => true
+      }
+    }.toSeq.sorted
   }
 
   /** A16 maintenance — compact the store in place. Every single-row
@@ -446,25 +469,16 @@ object GraphLoader {
       maxFilesPerLabel: Int = 4, targetBytes: Long = 128L << 20): Int =
       StoreLock.withWriteLock(outDir) {
     import scala.jdk.CollectionConverters._
-    def labelDirs(entity: String): Seq[(String, java.nio.file.Path)] = {
-      val root = java.nio.file.Paths.get(s"$outDir/$entity")
-      if (!java.nio.file.Files.isDirectory(root)) Nil
-      else {
-        val s = java.nio.file.Files.list(root)
-        try s.iterator().asScala.filter(p => java.nio.file.Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("label="))
-          .map(p => (p.getFileName.toString.stripPrefix("label="), p)).toList
-        finally s.close()
-      }
-    }
     def parquetFiles(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
       val s = java.nio.file.Files.list(dir)
       try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).toList
       finally s.close()
     }
+    val m = Store.readManifest(outDir)
     var rewritten = 0
     Seq("nodes" -> "vertex", "edges" -> "edge").foreach { case (entity, kind) =>
-      labelDirs(entity).foreach { case (label, dir) =>
+      m.gens(entity).toSeq.sortBy(_._1).foreach { case (label, gen) =>
+        val dir = Store.genDir(outDir, entity, label, gen)
         val files = parquetFiles(dir)
         val bytes = files.map(java.nio.file.Files.size).sum
         val target = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
@@ -475,6 +489,9 @@ object GraphLoader {
         }
       }
     }
+    // compaction doubles as store GC: superseded generations beyond a
+    // one-generation grace window go now (pins still respected)
+    Store.sweep(outDir, keepPerLabel = 1)
     rewritten
   }
 
@@ -484,20 +501,12 @@ object GraphLoader {
     * [[writeBucketedTables]]. */
   def writeBucketedTablesFromStore(spark: SparkSession, outDir: String, nBuckets: Int,
       prefix: String = "graft_store"): Unit = {
-    spark.read.parquet(s"$outDir/nodes").write.mode("overwrite").format("parquet")
+    Store.readEntity(spark, outDir, "nodes").write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "id").sortBy("id")
       .saveAsTable(s"${prefix}_nodes_bucketed")
-    spark.read.parquet(s"$outDir/edges").write.mode("overwrite").format("parquet")
+    Store.readEntity(spark, outDir, "edges").write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "src").sortBy("src")
       .saveAsTable(s"${prefix}_edges_bucketed")
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
   }
 
   /** Project `df` onto `target`'s schema: shared columns cast to the
@@ -539,16 +548,67 @@ object GraphLoader {
     * (partition pruning replaces the per-label bucket layout), overwrite
     * mode (the reference deletes and rebuilds, `ArcadeDBService.java:112-122`),
     * schema registry + checksum alongside (A17). */
-  def writeGraph(spark: SparkSession, dir: String, outDir: String): Unit = {
+  def writeGraph(spark: SparkSession, dir: String, outDir: String): Unit =
+      StoreLock.withWriteLock(outDir) {
     assertDisjointIds(spark, dir)
     val n = nodes(spark, dir)
     val (resolved, _) = resolveEdges(n, edges(spark, dir))
-    n.write.mode("overwrite").partitionBy("label").parquet(s"$outDir/nodes")
-    resolved.write.mode("overwrite").partitionBy("label").parquet(s"$outDir/edges")
+    // ONE partitioned write per entity into a hidden bulk-staging tree
+    // (hidden names are invisible to any concurrent reader), then each
+    // label directory is renamed into its generation slot and the
+    // manifest commit makes the new store visible atomically
+    // (Store scaladoc; drop-and-rebuild parity with
+    // `ArcadeDBService.java:112-122`).
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    val bulk = java.nio.file.Paths.get(s"$outDir/.bulk_$uuid")
+    n.write.mode("overwrite").partitionBy("label").parquet(s"$bulk/nodes")
+    resolved.write.mode("overwrite").partitionBy("label").parquet(s"$bulk/edges")
+    val prevSeq =
+      if (java.nio.file.Files.exists(Store.manifestPath(outDir)))
+        Store.readManifest(outDir).seq
+      else 0L
+    val seq = prevSeq + 1
+    def promote(entity: String): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      val root = bulk.resolve(entity)
+      val s = java.nio.file.Files.list(root)
+      val labelDirs = try s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("label=")).toList
+        finally s.close()
+      labelDirs.map { p =>
+        val label = java.net.URLDecoder.decode(
+          p.getFileName.toString.stripPrefix("label="), "UTF-8")
+        val gen = Store.newGenName(seq)
+        val dest = Store.genDir(outDir, entity, label, gen)
+        java.nio.file.Files.createDirectories(dest.getParent)
+        java.nio.file.Files.move(p, dest)
+        label -> gen
+      }.toMap
+    }
+    val nodeGens = promote("nodes")
+    val edgeGens = promote("edges")
+    // per-edge-label endpoint labels: the vertex-DELETE probe's pruning
+    // metadata (one small distinct-aggregate at load time)
+    val nodeLabels = n.select(col("id"), col("label").as("__nl"))
+    val eps = resolved.select(col("src"), col("dst"), col("label"))
+      .join(nodeLabels.withColumnRenamed("id", "src")
+        .withColumnRenamed("__nl", "__sl"), Seq("src"))
+      .join(nodeLabels.withColumnRenamed("id", "dst")
+        .withColumnRenamed("__nl", "__dl"), Seq("dst"))
+      .select(col("label"), col("__sl"), col("__dl")).distinct()
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rows) =>
+        l -> ((rows.map(_.getString(1)).toSet, rows.map(_.getString(2)).toSet))
+      }
+    Store.writeManifest(outDir, Store.Manifest(seq, nodeGens, edgeGens, eps))
+    Store.deleteRecursively(bulk)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/schema.json"), schema.toJson)
     Checksum.store(
       java.nio.file.Paths.get(s"$outDir/checksum.txt"),
       Checksum.pseudoHashDir(java.nio.file.Paths.get(dir)))
+    Store.sweep(outDir)
+    ()
   }
 }

@@ -77,15 +77,21 @@ object Dml {
       // dangling endpoints). The WHERE grammar is the ArcadeSql dialect's.
       case UpdateRe(label, setClause, whereClause) =>
         clientCastErrors {
-          GraphLoader.updateRecords(spark, storeDir, label, kindOf(label),
+          val n = GraphLoader.updateRecords(spark, storeDir, label, kindOf(label),
             parseSet(setClause),
             Option(whereClause).map(graft.query.ArcadeSql.predicate)
               .getOrElse(org.apache.spark.sql.functions.lit(true)))
+          // GC with a one-generation grace window (an in-process server
+          // additionally sweeps with exact pin knowledge post-reload)
+          graft.load.Store.sweep(storeDir, keepPerLabel = 1)
+          n
         }
       case DeleteRe(label, whereClause) =>
         clientCastErrors {
-          GraphLoader.deleteRecords(spark, storeDir, label, kindOf(label),
+          val n = GraphLoader.deleteRecords(spark, storeDir, label, kindOf(label),
             Option(whereClause).map(graft.query.ArcadeSql.predicate))
+          graft.load.Store.sweep(storeDir, keepPerLabel = 1)
+          n
         }
       // maintenance: rewrite fragmented label partitions (the N small
       // files N single-row commands leave behind) into scan-sized files

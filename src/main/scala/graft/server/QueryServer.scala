@@ -68,25 +68,48 @@ object QueryServer {
       auth: Option[String] = None,
       queryTimeoutSec: Option[Int] = None): Started = {
     val server = HttpServer.create(new InetSocketAddress(validatePort(port)), 0)
-    @volatile var servedGraph = graph
     val reqCounter = new java.util.concurrent.atomic.AtomicLong
     val scheduler = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
       (r: Runnable) => { val t = new Thread(r, "graft-http-timeout"); t.setDaemon(true); t })
-    // Store access is guarded by a fair reader-writer lock: reads run
-    // concurrently, but UPDATE/DELETE/COMPACT swap label directories
-    // (a parquet scan snapshots its file listing at plan time, so a
-    // swap under an in-flight read turns into FileNotFoundException →
-    // 500). Writers also serialize against each other (the
-    // copy-on-write rewrite assumes a single writer). Fairness keeps a
-    // steady read stream from starving DML.
-    val storeLock = new java.util.concurrent.locks.ReentrantReadWriteLock(true)
-    def withRead[T](f: => T): T = {
-      storeLock.readLock().lock()
-      try f finally storeLock.readLock().unlock()
+    // Generation-pinned snapshot isolation (Store scaladoc): each
+    // served snapshot pins the store generations its frames reference,
+    // so DML — which commits NEW generations and never touches old
+    // files — proceeds without waiting on readers, and an in-flight
+    // read keeps scanning the generation its plan listed. A retired
+    // snapshot unpins once its last read finishes; the sweep then
+    // deletes superseded, unpinned generations. (Round 5's global
+    // reader-writer lock made a label rewrite stall every read for the
+    // rewrite's whole duration — minutes of read unavailability per
+    // single-row UPDATE at 100 TB.)
+    final class Snapshot(val graph: Option[PropertyGraph], val genPaths: Seq[String]) {
+      val activeReads = new java.util.concurrent.atomic.AtomicInteger
     }
-    def withWrite[T](f: => T): T = {
-      storeLock.writeLock().lock()
-      try f finally storeLock.writeLock().unlock()
+    @volatile var current = new Snapshot(graph, store.toSeq.flatMap { ctx =>
+      if (java.nio.file.Files.exists(graft.load.Store.manifestPath(ctx.dir)))
+        graft.load.Store.currentGenPaths(ctx.dir)
+      else Nil
+    })
+    graft.load.GenerationPins.pin(current.genPaths)
+    val retired = new java.util.concurrent.ConcurrentLinkedQueue[Snapshot]()
+    val writeMutex = new Object
+    def maybeSweep(): Unit = {
+      var released = false
+      val it = retired.iterator()
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.activeReads.get() == 0) {
+          it.remove()
+          graft.load.GenerationPins.unpin(s.genPaths)
+          released = true
+        }
+      }
+      if (released) store.foreach(ctx => graft.load.Store.sweep(ctx.dir))
+    }
+    def withRead[T](f: Snapshot => T): T = {
+      val snap = current
+      snap.activeReads.incrementAndGet()
+      try f(snap)
+      finally { snap.activeReads.decrementAndGet(); maybeSweep() }
     }
 
     /** A21 parity (`ArcadeDBService.java:93-105` bootstraps a
@@ -176,15 +199,15 @@ object QueryServer {
         case e: Throwable => respond(ex, 500, err(e.toString))
       }
 
-    def runQuery(language: String, command: String, limit: Int): String = {
-      def graphOr: PropertyGraph = servedGraph.getOrElse(
+    def runQuery(snap: Snapshot, language: String, command: String, limit: Int): String = {
+      def graphOr: PropertyGraph = snap.graph.getOrElse(
         throw new IllegalStateException("no graph served — start with a store"))
       val df: DataFrame = language match {
         // reference parity: "sql" is ArcadeDB SQL. Dialect-anchored
         // commands (FROM a known label / TRAVERSE / MATCH) compile via
         // ArcadeSql; anything else falls through to Spark SQL over the
         // served views — a richer superset the dialect doesn't cover.
-        case "sql" if servedGraph.nonEmpty && ArcadeSql.looksLikeDialect(schema, command) =>
+        case "sql" if snap.graph.nonEmpty && ArcadeSql.looksLikeDialect(schema, command) =>
           ArcadeSql.compile(graphOr, schema, command)
         case "sql" => spark.sql(command)
         case "arcadesql" | "arcade" => ArcadeSql.compile(graphOr, schema, command)
@@ -229,7 +252,7 @@ object QueryServer {
         val rest = ex.getRequestURI.getRawPath.stripPrefix("/api/v1/query/")
         rest.split("/", 3) match {
           case Array(_, language, command) if command.nonEmpty =>
-            withRead(runQuery(language.toLowerCase,
+            withRead(snap => runQuery(snap, language.toLowerCase,
               java.net.URLDecoder.decode(command, "UTF-8"), DefaultLimit))
           case _ => throw new IllegalArgumentException(
             "GET form is /api/v1/query/{db}/{language}/{url-encoded command}")
@@ -237,7 +260,7 @@ object QueryServer {
       } else {
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         val (language, command, limit) = parsed(body)
-        withRead(runQuery(language, command, limit))
+        withRead(snap => runQuery(snap, language, command, limit))
       }
     })
 
@@ -253,11 +276,20 @@ object QueryServer {
         throw new IllegalArgumentException("only DML here — use /api/v1/query for reads")
       val ctx = store.getOrElse(
         throw new IllegalStateException("no store attached — DML needs a persisted store"))
-      val n = withWrite {
+      // writers serialize against each other (and cross-process via
+      // StoreLock inside the sinks) but NEVER wait on readers: the
+      // commit lands a new generation set, the snapshot swap pins it,
+      // and the superseded one retires with its in-flight reads
+      val n = writeMutex.synchronized {
         val n0 = Dml.execute(spark, ctx.dir, command)
-        servedGraph = Some(ctx.reload())
+        val paths = graft.load.Store.currentGenPaths(ctx.dir)
+        graft.load.GenerationPins.pin(paths)
+        val old = current
+        current = new Snapshot(Some(ctx.reload()), paths)
+        retired.add(old)
         n0
       }
+      maybeSweep()
       s"""{"result":[{"count":$n}]}"""
     })
 

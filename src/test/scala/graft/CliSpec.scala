@@ -217,7 +217,7 @@ class CliSpec extends SparkSpec {
     } finally srv.stop()
   }
 
-  test("DML swap never fails an in-flight read (reader/writer lock)") {
+  test("DML swap never fails an in-flight read (generation snapshots)") {
     val out = Files.createTempDirectory("graftrw").toString
     Main.create(spark, sfDir, out)
     val g = Main.serve(spark, out, None)
@@ -255,6 +255,59 @@ class CliSpec extends SparkSpec {
         assert(codes.nonEmpty && codes.forall(_ == 200),
           s"reads failed during DML swaps: ${codes.filter(_ != 200)}")
       }
+    } finally srv.stop()
+  }
+
+  test("generation pinning: DML never waits on a slow read; old gen serves it, then sweeps") {
+    val out = Files.createTempDirectory("graftgen").toString
+    Main.create(spark, sfDir, out)
+    val g = Main.serve(spark, out, None)
+    val srv = graft.server.QueryServer.start(spark, 0, Some(g),
+      Some(graft.server.QueryServer.StoreContext(out, () => Main.serve(spark, out, None))))
+    try {
+      val gen0 = graft.load.Store.readManifest(out).nodes("Customer")
+      val gen0Dir = java.nio.file.Path.of(s"$out/nodes/Customer/$gen0")
+      def fire(route: String, body: String): Int = {
+        val conn = new java.net.URL(s"http://127.0.0.1:${srv.port}/api/v1/$route/graft")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        conn.getResponseCode
+      }
+      // a read that scans Customer, then holds its snapshot open ~8 s
+      spark.udf.register("graft_test_hold", (x: Long) => { Thread.sleep(8000); x })
+      val slowBody = """{"language":"sparksql","command":
+        "SELECT graft_test_hold(x) AS s FROM (SELECT sum(id) AS x FROM nodes_Customer)"}"""
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val slow = Future(fire("query", slowBody))
+      Thread.sleep(1000) // the read is planned and sleeping mid-scan
+      // the rewrite commits WITHOUT waiting for the reader: round 5's
+      // reader-writer lock would park this UPDATE behind the full read
+      assert(fire("command",
+        """{"language":"sql","command":"UPDATE Customer SET mktsegment = 'GEN2' WHERE id = 1000042"}""") == 200)
+      assert(!slow.isCompleted,
+        "DML finished only after the slow read — writers are still waiting on readers")
+      // the superseded generation is pinned by the in-flight read
+      assert(java.nio.file.Files.isDirectory(gen0Dir),
+        "superseded generation swept while a reader was pinned to it")
+      assert(Await.result(slow, 120.seconds) == 200)
+      // the reader's release sweeps the now-unpinned generation
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (java.nio.file.Files.exists(gen0Dir) && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      assert(!java.nio.file.Files.exists(gen0Dir),
+        "unpinned superseded generation was never swept")
+      // and new readers see the committed rewrite
+      val conn = new java.net.URL(s"http://127.0.0.1:${srv.port}/api/v1/query/graft")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.write(
+        """{"language":"arcadesql","command":"SELECT mktsegment FROM Customer WHERE id = 1000042"}"""
+          .getBytes("UTF-8"))
+      val resp = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      assert(conn.getResponseCode == 200 && resp.contains("GEN2"))
     } finally srv.stop()
   }
 

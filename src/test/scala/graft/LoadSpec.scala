@@ -12,6 +12,9 @@ import graft.load.{Checksum, GraphLoader, Normalize}
   * null-skip and array-skip (A15). */
 class LoadSpec extends SparkSpec {
 
+  private def storeNodes(out: String) = graft.load.Store.readEntity(spark, out, "nodes")
+  private def storeEdges(out: String) = graft.load.Store.readEntity(spark, out, "edges")
+
   test("A17: pseudo-hash is md5(mtime + \"__\" + size) — HashUtils.java:23 format") {
     val f = Files.createTempFile("graft", ".bin")
     Files.write(f, Array[Byte](1, 2, 3))
@@ -96,10 +99,10 @@ class LoadSpec extends SparkSpec {
     val out = Files.createTempDirectory("graftrt").toString
     GraphLoader.writeGraph(spark, sfDir, out)
     val n0 = GraphLoader.nodes(spark, sfDir)
-    val n1 = spark.read.parquet(s"$out/nodes").select(n0.columns.map(col).toIndexedSeq: _*)
+    val n1 = storeNodes(out).select(n0.columns.map(col).toIndexedSeq: _*)
     assert(n1.exceptAll(n0).count() == 0 && n0.exceptAll(n1).count() == 0)
     val (e0, _) = GraphLoader.resolveEdges(n0, GraphLoader.edges(spark, sfDir))
-    val e1 = spark.read.parquet(s"$out/edges").select(e0.columns.map(col).toIndexedSeq: _*)
+    val e1 = storeEdges(out).select(e0.columns.map(col).toIndexedSeq: _*)
     assert(e1.exceptAll(e0).count() == 0 && e0.exceptAll(e1).count() == 0)
   }
 
@@ -107,25 +110,25 @@ class LoadSpec extends SparkSpec {
     import spark.implicits._
     val out = Files.createTempDirectory("graftapp").toString
     GraphLoader.writeGraph(spark, sfDir, out)
-    val n0 = spark.read.parquet(s"$out/nodes").count()
-    val e0 = spark.read.parquet(s"$out/edges").count()
+    val n0 = storeNodes(out).count()
+    val e0 = storeEdges(out).count()
 
     // valid node append: aligned to store schema, fresh id, unique name
     val newNode = Seq((1999999L, "Customer", "Customer#fresh", 12.5, "BUILDING"))
       .toDF("id", "label", "name", "acctbal", "mktsegment")
     GraphLoader.appendNodes(spark, out, newNode)
-    val nodes = spark.read.parquet(s"$out/nodes")
+    val nodes = storeNodes(out)
     assert(nodes.count() == n0 + 1)
     assert(nodes.filter(col("id") === 1999999L).select("mktsegment")
       .head.getString(0) == "BUILDING")
     // unique_validation still green after the append (the verdict's gate)
     assert(GraphLoader.validateUnique(nodes,
-      spark.read.parquet(s"$out/edges"), GraphLoader.schema).isEmpty)
+      storeEdges(out), GraphLoader.schema).isEmpty)
 
     // valid edge append: both endpoints resolve (new customer → nation 107)
     GraphLoader.appendEdges(spark, out,
       Seq((1999999L, 107L, "IN_NATION")).toDF("src", "dst", "label"))
-    assert(spark.read.parquet(s"$out/edges").count() == e0 + 1)
+    assert(storeEdges(out).count() == e0 + 1)
 
     // rejected: id collision with the row just appended
     intercept[IllegalArgumentException](GraphLoader.appendNodes(spark, out, newNode))
@@ -143,30 +146,30 @@ class LoadSpec extends SparkSpec {
       Seq((1999997L, "Customer", "x")).toDF("id", "label", "no_such_prop")))
 
     // every rejection left the store untouched
-    assert(spark.read.parquet(s"$out/nodes").count() == n0 + 1)
-    assert(spark.read.parquet(s"$out/edges").count() == e0 + 1)
+    assert(storeNodes(out).count() == n0 + 1)
+    assert(storeEdges(out).count() == e0 + 1)
   }
 
   test("DML update/delete: copy-on-write label rewrite with invariants") {
     val out = Files.createTempDirectory("graftupd").toString
     GraphLoader.writeGraph(spark, sfDir, out)
     import graft.server.Dml
-    val n0 = spark.read.parquet(s"$out/nodes").count()
+    val n0 = storeNodes(out).count()
 
     // UPDATE: one customer's segment changes, row/file counts intact
     assert(Dml.execute(spark, out,
       "UPDATE Customer SET mktsegment = 'MOONBASE' WHERE id = 1000042") == 1)
-    val nodes = spark.read.parquet(s"$out/nodes")
+    val nodes = storeNodes(out)
     assert(nodes.count() == n0)
     assert(nodes.filter(col("id") === 1000042L).select("mktsegment")
       .head.getString(0) == "MOONBASE")
     assert(GraphLoader.validateUnique(nodes,
-      spark.read.parquet(s"$out/edges"), GraphLoader.schema).isEmpty)
+      storeEdges(out), GraphLoader.schema).isEmpty)
 
     // UPDATE violating UNIQUE(Customer.name) rejected, store untouched
     intercept[IllegalArgumentException](
       Dml.execute(spark, out, "UPDATE Customer SET name = 'CLONE'"))
-    assert(spark.read.parquet(s"$out/nodes")
+    assert(storeNodes(out)
       .filter(col("name") === "CLONE").count() == 0)
 
     // DELETE of a referenced vertex is rejected (A13 dangling mirror);
@@ -176,13 +179,13 @@ class LoadSpec extends SparkSpec {
     assert(Dml.execute(spark, out, "DELETE FROM IN_NATION WHERE src = 1000042") == 1)
     Dml.execute(spark, out, "DELETE FROM PLACED WHERE src = 1000042")
     assert(Dml.execute(spark, out, "DELETE FROM Customer WHERE id = 1000042") == 1)
-    assert(spark.read.parquet(s"$out/nodes").count() == n0 - 1)
+    assert(storeNodes(out).count() == n0 - 1)
 
     // edge-property update through the dialect predicate grammar
     val eUpd = Dml.execute(spark, out,
       "UPDATE CONTAINS SET returnflag = 'X' WHERE quantity >= 49")
     assert(eUpd > 0)
-    assert(spark.read.parquet(s"$out/edges")
+    assert(storeEdges(out)
       .filter(col("returnflag") === "X").count() == eUpd)
 
     // zero-match update/delete leaves the store untouched (no rewrite)
@@ -191,59 +194,85 @@ class LoadSpec extends SparkSpec {
     assert(Dml.execute(spark, out, "DELETE FROM Customer WHERE id = 1") == 0)
   }
 
-  test("staged-swap crash recovery: interrupted swap restores, stale dirs sweep") {
+  test("generation commit: crash debris is invisible and swept; commit is atomic") {
     val out = Files.createTempDirectory("graftrec").toString
     GraphLoader.writeGraph(spark, sfDir, out)
+    import graft.load.Store
     import graft.server.Dml
-    val live = Path.of(s"$out/nodes/label=Customer")
-    val before = spark.read.parquet(s"$out/nodes")
-      .filter(col("label") === "Customer").count()
+    val before = storeNodes(out).filter(col("label") === "Customer").count()
+    val genBefore = Store.readManifest(out).nodes("Customer")
 
-    // simulate a crash between the two swap renames: the live dir sits
-    // parked under its .old_ name, plus an abandoned staging leftover
-    Files.move(live, Path.of(s"$out/.old_nodes_Customer_deadbeef"))
-    Files.createDirectories(Path.of(s"$out/.staging_nodes_Customer_cafe0123"))
+    // simulate a writer that died after writing its new generation but
+    // BEFORE the manifest commit: an orphan gen dir plus a manifest
+    // temp file — no reader ever sees either
+    val orphan = Path.of(s"$out/nodes/Customer/gen-999999999999-deadbeef")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("junk.parquet"), "not parquet")
+    Files.writeString(Path.of(s"$out/.manifest.tmp-cafe0123"), "{}")
+    assert(Store.readManifest(out).nodes("Customer") == genBefore)
+    assert(storeNodes(out).filter(col("label") === "Customer").count() == before)
 
-    // the next rewrite of the label restores the parked generation,
-    // sweeps the staging junk, then applies normally
+    // the next DML applies normally; its sweep clears the debris
     assert(Dml.execute(spark, out,
       "UPDATE Customer SET mktsegment = 'RECOVERED' WHERE id = 1000042") == 1)
-    assert(Files.isDirectory(live))
-    assert(!Files.exists(Path.of(s"$out/.old_nodes_Customer_deadbeef")))
-    assert(!Files.exists(Path.of(s"$out/.staging_nodes_Customer_cafe0123")))
-    val after = spark.read.parquet(s"$out/nodes").filter(col("label") === "Customer")
+    Store.sweep(out) // no grace window: everything unpinned goes
+    assert(!Files.exists(orphan))
+    assert(!Files.exists(Path.of(s"$out/.manifest.tmp-cafe0123")))
+    val after = storeNodes(out).filter(col("label") === "Customer")
     assert(after.count() == before)
     assert(after.filter(col("id") === 1000042L).select("mktsegment")
       .head.getString(0) == "RECOVERED")
-    // a completed-swap leftover (live present + stale .old_) is swept too
-    Files.createDirectories(Path.of(s"$out/.old_nodes_Customer_0ddba11d"))
-    assert(Dml.execute(spark, out,
-      "UPDATE Customer SET mktsegment = 'BUILDING' WHERE id = 1000042") == 1)
-    assert(!Files.exists(Path.of(s"$out/.old_nodes_Customer_0ddba11d")))
+    // the superseded generation is gone, the live one remains
+    assert(!Files.exists(Path.of(s"$out/nodes/Customer/$genBefore")))
+    assert(Files.isDirectory(Path.of(
+      s"$out/nodes/Customer/${Store.readManifest(out).nodes("Customer")}")))
   }
 
-  test("recovery sweep never touches an underscore-boundary sibling label's dirs") {
-    // label `Customer` vs a hypothetical longer label `Customer_X`:
-    // `.old_nodes_Customer_X_deadbeef` starts with the short label's
-    // prefix `.old_nodes_Customer_` — a bare startsWith sweep would
-    // delete (or mis-restore) the LONGER label's parked generation
-    val out = Files.createTempDirectory("graftpfx").toString
+  test("pinned generations survive sweeps and stay readable through a rewrite") {
+    val out = Files.createTempDirectory("graftpin").toString
     GraphLoader.writeGraph(spark, sfDir, out)
+    import graft.load.{GenerationPins, Store}
     import graft.server.Dml
-    val sibling = Path.of(s"$out/.old_nodes_Customer_X_deadbeef")
-    Files.createDirectories(sibling)
-    Files.writeString(sibling.resolve("keep.txt"), "sibling generation")
-    assert(Dml.execute(spark, out,
-      "UPDATE Customer SET mktsegment = 'PFX' WHERE id = 1000042") == 1)
-    assert(Files.exists(sibling.resolve("keep.txt")),
-      "rewrite of Customer must not sweep Customer_X's parked dir")
-    // and a malformed fragment (not exactly 8 chars) is left alone too
-    val short = Path.of(s"$out/.old_nodes_Customer_abc")
-    Files.createDirectories(short)
-    assert(Dml.execute(spark, out,
-      "UPDATE Customer SET mktsegment = 'PFX2' WHERE id = 1000042") == 1)
-    assert(Files.exists(short))
-    Files.delete(short)
+    val gen0 = Store.readManifest(out).nodes("Customer")
+    val pinnedPath = Path.of(s"$out/nodes/Customer/$gen0").toAbsolutePath.normalize
+    // a reader snapshot pins the generation its plan listed…
+    val oldFrame = spark.read.parquet(pinnedPath.toString)
+    GenerationPins.pin(Seq(pinnedPath.toString))
+    try {
+      // …then a rewrite supersedes it and sweeps aggressively
+      assert(Dml.execute(spark, out,
+        "UPDATE Customer SET mktsegment = 'PINNED' WHERE id = 1000042") == 1)
+      Store.sweep(out)
+      assert(Files.isDirectory(pinnedPath), "sweep must not delete a pinned generation")
+      // the in-flight reader still scans its snapshot — pre-update data
+      assert(oldFrame.filter(col("id") === 1000042L).select("mktsegment")
+        .head.getString(0) != "PINNED")
+    } finally GenerationPins.unpin(Seq(pinnedPath.toString))
+    // unpinned, the old generation goes on the next sweep
+    Store.sweep(out)
+    assert(!Files.exists(pinnedPath))
+    // and the rewrite is visible to new readers
+    assert(storeNodes(out).filter(col("id") === 1000042L).select("mktsegment")
+      .head.getString(0) == "PINNED")
+  }
+
+  test("vertex DELETE probes only edge labels that can reference the label") {
+    val out = Files.createTempDirectory("graftprobe").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    import graft.load.Store
+    val m = Store.readManifest(out)
+    // endpoint metadata exists for every edge label
+    assert(m.edgeEndpoints.keySet == m.edges.keySet)
+    // Customer vertices can be referenced by IN_NATION (src) and PLACED
+    // (src) only — a strict subset of the edge labels (VERDICT r5 #7:
+    // a single-row delete must not scan the whole edge store)
+    val probed = GraphLoader.edgeLabelsReferencing(out, "Customer")
+    assert(probed.toSet == Set("IN_NATION", "PLACED"))
+    assert(probed.size < m.edges.size)
+    assert(GraphLoader.edgeLabelsReferencing(out, "Region") == Seq("IN_REGION"))
+    // an edge label with no endpoint metadata is probed conservatively
+    Store.writeManifest(out, m.copy(edgeEndpoints = m.edgeEndpoints - "PLACED"))
+    assert(GraphLoader.edgeLabelsReferencing(out, "Part").contains("PLACED"))
   }
 
   test("compaction bounds the file count left by single-row appends") {
@@ -254,16 +283,17 @@ class LoadSpec extends SparkSpec {
     (0 until 12).foreach(i => Dml.execute(spark, out,
       s"INSERT INTO Customer (id, name) VALUES (${1999100 + i}, 'Customer#c$i')"))
     def files(): Int = {
-      val s = Files.list(Path.of(s"$out/nodes/label=Customer"))
+      val gen = graft.load.Store.readManifest(out).nodes("Customer")
+      val s = Files.list(Path.of(s"$out/nodes/Customer/$gen"))
       try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
       finally s.close()
     }
     assert(files() >= 12) // one small file per command — the problem
-    val before = spark.read.parquet(s"$out/nodes")
+    val before = storeNodes(out)
       .filter(col("label") === "Customer").count()
     assert(GraphLoader.compactStore(spark, out) >= 1)
     assert(files() <= 4, s"still ${files()} files after compaction")
-    assert(spark.read.parquet(s"$out/nodes")
+    assert(storeNodes(out)
       .filter(col("label") === "Customer").count() == before)
     // idempotent: a second pass finds nothing fragmented
     assert(GraphLoader.compactStore(spark, out) == 0)
@@ -313,11 +343,11 @@ class LoadSpec extends SparkSpec {
     }
     // intra-batch duplicate ids are rejected too (a gap this test found:
     // the existing-id semi-join alone would have let them through)
-    val n = spark.read.parquet(s"$out/nodes").count()
+    val n = storeNodes(out).count()
     intercept[IllegalArgumentException](Dml.execute(spark, out,
       "INSERT INTO Customer (id, name) VALUES (1999100, 'a'), (1999100, 'b')"))
     // none of the rejects touched the store
-    assert(spark.read.parquet(s"$out/nodes").count() == n)
+    assert(storeNodes(out).count() == n)
   }
 
   test("bucketed layout: endpoint-resolution join plans shuffle-free") {
@@ -350,9 +380,10 @@ class LoadSpec extends SparkSpec {
     GraphLoader.writeGraph(spark, sfDir, out)
     assert(Files.exists(Path.of(out, "schema.json")))
     assert(Files.exists(Path.of(out, "checksum.txt")))
-    // label partition pruning layout
-    assert(Files.exists(Path.of(out, "nodes/label=Customer")))
-    val n = spark.read.parquet(s"$out/nodes")
+    // per-label generation layout behind an atomic manifest
+    val gen = graft.load.Store.readManifest(out).nodes("Customer")
+    assert(Files.isDirectory(Path.of(out, s"nodes/Customer/$gen")))
+    val n = storeNodes(out)
     val reread = graft.model.GraphSchema.fromJson(Files.readString(Path.of(out, "schema.json")))
     assert(reread == GraphLoader.schema)
     assert(n.filter(col("label") === "Customer").count() == 150)
