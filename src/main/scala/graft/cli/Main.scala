@@ -82,22 +82,20 @@ object Main {
     val g = serve(spark, outDir, sfDir)
     val gs = graft.model.GraphSchema.fromJson(
       java.nio.file.Files.readString(java.nio.file.Paths.get(s"$outDir/schema.json")))
-    // A21 parity: bootstrap a credential before serving (the reference
-    // creates its user with an encoded password, ArcadeDBService.java:93-105).
-    // Token file next to the store; generated once, reused across restarts.
-    val tokenPath = java.nio.file.Paths.get(s"$outDir/server-token")
-    val token =
-      if (java.nio.file.Files.exists(tokenPath))
-        java.nio.file.Files.readString(tokenPath).trim
-      else {
-        val t = java.util.UUID.randomUUID().toString.replace("-", "")
-        java.nio.file.Files.writeString(tokenPath, t)
-        println(s"[graft] generated HTTP bearer token at $tokenPath")
-        t
-      }
+    // A21 parity: bootstrap role-based accounts before serving (the
+    // reference creates its user with an encoded password and grants,
+    // ArcadeDBService.java:93-105). users.json beside the store holds
+    // (name, sha-256 token hash, role ∈ {read, admin}); first start
+    // generates an admin account and prints its token ONCE — only the
+    // hash persists. Add read-only accounts by editing the file.
+    val (accounts, freshToken) =
+      graft.server.Users.bootstrap(java.nio.file.Paths.get(s"$outDir/users.json"))
+    freshToken.foreach(t =>
+      println(s"[graft] created admin account — bearer token (shown once): $t"))
     val started = graft.server.QueryServer.start(spark, port, Some(g),
       Some(graft.server.QueryServer.StoreContext(outDir, () => serve(spark, outDir, None))),
-      schema = gs, auth = Some(token),
+      schema = gs, users = accounts,
+      poolSize = sys.env.get("GRAFT_HTTP_POOL").flatMap(_.toIntOption).getOrElse(8),
       // per-query budget (seconds); 0 disables. A runaway analytical
       // query is cancelled at the job-group level, freeing its cores.
       queryTimeoutSec = sys.env.get("GRAFT_HTTP_QUERY_TIMEOUT_SEC")

@@ -66,7 +66,13 @@ object QueryServer {
       store: Option[StoreContext] = None,
       schema: GraphSchema = graft.load.GraphLoader.schema,
       auth: Option[String] = None,
+      users: Seq[ServerUser] = Nil,
+      poolSize: Int = 8,
       queryTimeoutSec: Option[Int] = None): Started = {
+    // account registry: explicit users plus the legacy single-token
+    // form (an admin named root, like the reference's bootstrap user)
+    val accounts: Seq[ServerUser] =
+      users ++ auth.map(t => ServerUser("root", Users.sha256Hex(t), "admin"))
     val server = HttpServer.create(new InetSocketAddress(validatePort(port)), 0)
     val reqCounter = new java.util.concurrent.atomic.AtomicLong
     val scheduler = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
@@ -113,23 +119,27 @@ object QueryServer {
     }
 
     /** A21 parity (`ArcadeDBService.java:93-105` bootstraps a
-      * credentialed user before serving): when a token is configured,
-      * query+command routes require `Authorization: Bearer <token>` or
-      * HTTP Basic with the token as password. Probes (`/ready`,
-      * `/databases`) stay open, like the reference's readiness check. */
-    def authorized(ex: HttpExchange): Boolean = auth match {
-      case None => true
-      case Some(tok) =>
-        Option(ex.getRequestHeaders.getFirst("Authorization")).exists { v =>
-          v == s"Bearer $tok" || (v.startsWith("Basic ") && (try {
-            new String(java.util.Base64.getDecoder.decode(v.stripPrefix("Basic ").trim),
-              StandardCharsets.UTF_8).split(":", 2) match {
-              case Array(_, p) => p == tok
-              case _ => false
-            }
-          } catch { case _: IllegalArgumentException => false }))
-        }
-    }
+      * credentialed user with per-database grants before serving):
+      * with accounts configured, query+command routes require
+      * `Authorization: Bearer <token>` or HTTP Basic with the token as
+      * password; the resolved account's role gates DML. Probes
+      * (`/ready`, `/databases`) stay open, like the reference's
+      * readiness check. Token comparison is constant-time
+      * ([[Users.authenticate]]). */
+    def authorized(ex: HttpExchange): Option[ServerUser] =
+      if (accounts.isEmpty) Some(ServerUser("anonymous", "", "admin"))
+      else Option(ex.getRequestHeaders.getFirst("Authorization")).flatMap { v =>
+        if (v.startsWith("Bearer "))
+          Users.authenticate(accounts, None, v.stripPrefix("Bearer ").trim)
+        else if (v.startsWith("Basic ")) try {
+          new String(java.util.Base64.getDecoder.decode(v.stripPrefix("Basic ").trim),
+            StandardCharsets.UTF_8).split(":", 2) match {
+            case Array(n, p) => Users.authenticate(accounts, Some(n).filter(_.nonEmpty), p)
+            case _ => None
+          }
+        } catch { case _: IllegalArgumentException => None }
+        else None
+      }
 
     server.createContext("/api/v1/ready", (ex: HttpExchange) => {
       ex.sendResponseHeaders(204, -1); ex.close()
@@ -174,13 +184,18 @@ object QueryServer {
       (language, command, limit)
     }
 
-    def handle(ex: HttpExchange, allowGet: Boolean = false)(f: => String): Unit =
+    def handle(ex: HttpExchange, allowGet: Boolean = false,
+        requireAdmin: Boolean = false)(f: => String): Unit =
       try {
         val m = ex.getRequestMethod
-        if (!authorized(ex)) {
+        val user = authorized(ex)
+        if (user.isEmpty) {
           ex.getResponseHeaders.set("WWW-Authenticate", "Bearer")
           respond(ex, 401, err("unauthorized"))
         }
+        else if (requireAdmin && !user.get.isAdmin)
+          respond(ex, 403, err(s"forbidden: '${user.get.name}' has role " +
+            s"'${user.get.role}' — DML requires admin"))
         else if (m != "POST" && !(allowGet && m == "GET")) respond(ex, 405, err("use POST"))
         else {
           // one FAIR pool per request thread: concurrent analytical
@@ -267,7 +282,8 @@ object QueryServer {
     // the reference's write route (`POST /api/v1/command/{db}` [dep]):
     // SQL DML compiled onto the validated append sinks; served views
     // and the GraphQL graph are re-registered after a successful write
-    server.createContext("/api/v1/command/", (ex: HttpExchange) => handle(ex) {
+    server.createContext("/api/v1/command/", (ex: HttpExchange) =>
+        handle(ex, requireAdmin = true) {
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       val (language, command, _) = parsed(body)
       if (language != "sql")
@@ -296,8 +312,9 @@ object QueryServer {
     // request-per-thread dispatch (the reference's embedded server model):
     // a slow analytical query must not head-of-line-block /ready or a
     // concurrent point lookup. Query execution itself stays distributed —
-    // these threads only drive job submission and page serialization.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+    // these threads only drive job submission and page serialization,
+    // so the pool sizes to expected concurrent clients, not cores.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize,
       new java.util.concurrent.ThreadFactory {
         private val n = new java.util.concurrent.atomic.AtomicInteger
         def newThread(r: Runnable): Thread = {

@@ -172,9 +172,10 @@ class CliSpec extends SparkSpec {
       assert(req("/api/v1/query/graft", Some("Bearer wrong"), q) == 401)
       assert(req("/api/v1/command/graft", None, dml) == 401)
       assert(req("/api/v1/command/graft", Some("Basic !!!notbase64"), dml) == 401)
-      // bearer and basic (password = token) both pass
+      // bearer and basic both pass; the legacy single token is the
+      // bootstrap account "root" (Basic binds the account name)
       assert(req("/api/v1/query/graft", Some("Bearer sekrit-token"), q) == 200)
-      val basic = java.util.Base64.getEncoder.encodeToString("biodwh2:sekrit-token".getBytes("UTF-8"))
+      val basic = java.util.Base64.getEncoder.encodeToString("root:sekrit-token".getBytes("UTF-8"))
       assert(req("/api/v1/query/graft", Some(s"Basic $basic"), q) == 200)
       assert(req("/api/v1/command/graft", Some("Bearer sekrit-token"), dml) == 200)
       // readiness probe stays open (reference's health-check parity)
@@ -255,6 +256,47 @@ class CliSpec extends SparkSpec {
         assert(codes.nonEmpty && codes.forall(_ == 200),
           s"reads failed during DML swaps: ${codes.filter(_ != 200)}")
       }
+    } finally srv.stop()
+  }
+
+  test("role-based users: read role queries but gets 403 on DML; admin does both") {
+    val out = Files.createTempDirectory("graftrole").toString
+    Main.create(spark, sfDir, out)
+    val g = Main.serve(spark, out, None)
+    import graft.server.{ServerUser, Users}
+    val (boot, fresh) = Users.bootstrap(java.nio.file.Path.of(s"$out/users.json"))
+    assert(fresh.nonEmpty && boot.head.role == "admin")
+    assert(!fresh.exists(boot.head.tokenHash.contains(_)), "raw token must not be stored")
+    val accounts = boot :+ ServerUser("viewer", Users.sha256Hex("read-tok"), "read")
+    val srv = graft.server.QueryServer.start(spark, 0, Some(g),
+      Some(graft.server.QueryServer.StoreContext(out, () => Main.serve(spark, out, None))),
+      users = accounts)
+    try {
+      def req(route: String, tok: Option[String], body: String): Int = {
+        val conn = new java.net.URL(s"http://127.0.0.1:${srv.port}$route")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        tok.foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        conn.getResponseCode
+      }
+      val q = """{"language":"sql","command":"SELECT count(*) AS n FROM nodes_Region"}"""
+      val dml = """{"language":"sql","command":"UPDATE Customer SET mktsegment = 'R' WHERE id = -1"}"""
+      assert(req("/api/v1/query/graft", None, q) == 401)
+      assert(req("/api/v1/query/graft", Some("read-tok"), q) == 200)
+      assert(req("/api/v1/command/graft", Some("read-tok"), dml) == 403) // role, not auth
+      assert(req("/api/v1/command/graft", Some(fresh.get), dml) == 200)
+      assert(req("/api/v1/query/graft", Some(fresh.get), q) == 200)
+      // Basic form binds the name: viewer's token under the admin name fails
+      val cross = java.util.Base64.getEncoder.encodeToString("admin:read-tok".getBytes("UTF-8"))
+      val conn = new java.net.URL(s"http://127.0.0.1:${srv.port}/api/v1/query/graft")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.setRequestProperty("Authorization", s"Basic $cross")
+      conn.getOutputStream.write(q.getBytes("UTF-8"))
+      assert(conn.getResponseCode == 401)
+      // users.json round-trips
+      assert(Users.load(java.nio.file.Path.of(s"$out/users.json")) == boot)
     } finally srv.stop()
   }
 
