@@ -215,7 +215,13 @@ object GraphLoader {
     * array properties are skipped (`:263-269`). Returns violations:
     * (label, property, value, cnt). */
   def validateUnique(nodes: DataFrame, edges: DataFrame, gs: GraphSchema): DataFrame = {
-    val frames = gs.indexes.filter(i => i.unique && i.isBuildable).map { i =>
+    val frames = gs.indexes.filter(i => i.unique && i.isBuildable)
+      .filter { i =>
+        // a declared property no stored row carries yet has no values:
+        // all-null ⇒ NULL_STRATEGY.SKIP ⇒ trivially valid (runtime DDL
+        // declares columns before the first file contains them)
+        (if (i.target == "node") nodes else edges).columns.contains(i.property)
+      }.map { i =>
       val df = if (i.target == "node") nodes else edges
       df.filter(col("label") === i.label)
         .filter(col(i.property).isNotNull) // NULL_STRATEGY.SKIP
@@ -274,7 +280,9 @@ object GraphLoader {
   def appendNodes(spark: SparkSession, outDir: String, newNodes: DataFrame): Unit =
       StoreLock.withWriteLock(outDir) {
     val existing = Store.readEntity(spark, outDir, "nodes")
-    val batch = alignTo(newNodes, existing)
+    val gs = GraphSchema.fromJson(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$outDir/schema.json")))
+    val batch = alignTo(newNodes, widened(existing, gs, "vertex"))
     val dupIds = batch.join(existing.select("id"), Seq("id"), "left_semi")
     require(dupIds.isEmpty, {
       val sample = dupIds.select("id").limit(5).collect().map(_.getLong(0)).mkString(", ")
@@ -285,9 +293,8 @@ object GraphLoader {
       val sample = dupInBatch.select("id").limit(5).collect().map(_.getLong(0)).mkString(", ")
       s"append rejected: duplicate ids within the batch (e.g. $sample)"
     })
-    val gs = GraphSchema.fromJson(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$outDir/schema.json")))
-    val viol = validateUnique(existing.unionByName(batch),
+    val viol = validateUnique(
+      existing.unionByName(batch, allowMissingColumns = true),
       Store.readEntity(spark, outDir, "edges"), gs)
     require(viol.isEmpty, {
       val sample = viol.limit(5).collect()
@@ -301,7 +308,9 @@ object GraphLoader {
       StoreLock.withWriteLock(outDir) {
     val nodes = Store.readEntity(spark, outDir, "nodes")
     val existing = Store.readEntity(spark, outDir, "edges")
-    val batch = alignTo(newEdges, existing)
+    val gs = GraphSchema.fromJson(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$outDir/schema.json")))
+    val batch = alignTo(newEdges, widened(existing, gs, "edge"))
     val (resolved, dangling) = resolveEdges(nodes, batch)
     require(dangling.isEmpty, {
       val sample = dangling.select("src", "dst").limit(5).collect()
@@ -509,14 +518,27 @@ object GraphLoader {
       .saveAsTable(s"${prefix}_edges_bucketed")
   }
 
-  /** Project `df` onto `target`'s schema: shared columns cast to the
-    * store type, missing columns become typed nulls. Extra columns are
-    * an error (the store schema is declared, A5). */
-  private def alignTo(df: DataFrame, target: DataFrame): DataFrame = {
-    val extra = df.columns.toSet -- target.columns.toSet
+  /** The align target for appends: the store's current union schema
+    * widened with DECLARED properties no stored row carries yet —
+    * runtime DDL (`CREATE PROPERTY`) must make a column insertable
+    * before any file contains it. Deterministic order: store columns
+    * first, new declared columns sorted by name. */
+  private def widened(existing: DataFrame, gs: GraphSchema, kind: String): StructType = {
+    val have = existing.columns.toSet
+    val extra = gs.labels.filter(_.kind == kind).flatMap(_.schema.fields)
+      .filterNot(f => have.contains(f.name))
+      .groupBy(_.name).map(_._2.head).toSeq.sortBy(_.name)
+    StructType(existing.schema.fields ++ extra)
+  }
+
+  /** Project `df` onto `target`: shared columns cast to the store
+    * type, missing columns become typed nulls. Extra columns are an
+    * error (the store schema is declared, A5). */
+  private def alignTo(df: DataFrame, target: StructType): DataFrame = {
+    val extra = df.columns.toSet -- target.fieldNames.toSet
     require(extra.isEmpty, s"append rejected: unknown column(s) ${extra.mkString(", ")}")
     val have = df.columns.toSet
-    df.select(target.schema.fields.toSeq.map { f =>
+    df.select(target.fields.toSeq.map { f =>
       if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)

@@ -37,11 +37,21 @@ object Dml {
     """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*""".r
   private val DeleteRe = """(?is)\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?\s*""".r
   private val CompactRe = """(?is)\s*COMPACT(?:\s+DATABASE)?\s*""".r
+  // runtime schema DDL (the reference declares types/properties/indexes
+  // through the same command surface before loading,
+  // `ArcadeDBService.java:149-154,232-238,275-277`)
+  private val CreateTypeRe =
+    """(?is)\s*CREATE\s+(VERTEX|EDGE)\s+TYPE\s+(\w+)(\s+IF\s+NOT\s+EXISTS)?\s*""".r
+  private val CreatePropertyRe =
+    """(?is)\s*CREATE\s+PROPERTY\s+(\w+)\.(\w+)\s+(\w+)\s*""".r
+  private val CreateIndexRe =
+    """(?is)\s*CREATE\s+INDEX\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s+(UNIQUE|NOTUNIQUE)\s*""".r
 
   def isDml(command: String): Boolean = {
     val t = command.trim.toUpperCase
     t.startsWith("INSERT") || t.startsWith("CREATE VERTEX") ||
-      t.startsWith("CREATE EDGE") || t.startsWith("UPDATE") ||
+      t.startsWith("CREATE EDGE") || t.startsWith("CREATE PROPERTY") ||
+      t.startsWith("CREATE INDEX") || t.startsWith("UPDATE") ||
       t.startsWith("DELETE") || t.startsWith("COMPACT")
   }
 
@@ -56,6 +66,59 @@ object Dml {
         throw new IllegalArgumentException(s"unknown label: $label"))
 
     command match {
+      // DDL first: `CREATE VERTEX TYPE T` must not fall into the
+      // instance form `CREATE VERTEX <label> SET …`
+      case CreateTypeRe(kind, label, ifNotExists) =>
+        ddl(storeDir) { cur =>
+          if (cur.labels.exists(_.label == label)) {
+            require(ifNotExists != null, s"type $label already exists")
+            (cur, 0L)
+          } else {
+            val k = if (kind.equalsIgnoreCase("VERTEX")) "vertex" else "edge"
+            (cur.copy(labels = cur.labels :+
+              graft.model.LabelSchema(label, k, StructType(Nil))), 1L)
+          }
+        }
+      case CreatePropertyRe(label, prop, typeName) =>
+        ddl(storeDir) { cur =>
+          val ls = cur.labels.find(_.label == label).getOrElse(
+            throw new IllegalArgumentException(s"unknown type: $label"))
+          require(!Set("id", "label", "src", "dst").contains(prop),
+            s"$prop is a reserved key/topology column")
+          require(!ls.schema.fieldNames.contains(prop),
+            s"property $label.$prop already declared")
+          val updated = ls.copy(schema =
+            StructType(ls.schema.fields :+ StructField(prop, ddlType(typeName))))
+          (cur.copy(labels = cur.labels.map(l => if (l.label == label) updated else l)), 1L)
+        }
+      case CreateIndexRe(label, prop, uniq) =>
+        ddl(storeDir) { cur =>
+          val ls = cur.labels.find(_.label == label).getOrElse(
+            throw new IllegalArgumentException(s"unknown type: $label"))
+          val field = ls.schema.fields.find(_.name == prop).getOrElse(
+            throw new IllegalArgumentException(
+              s"property $label.$prop is not declared — CREATE PROPERTY first"))
+          val target = if (ls.kind == "vertex") "node" else "edge"
+          require(!cur.indexes.exists(i =>
+              i.target == target && i.label == label && i.property == prop),
+            s"index on $label.$prop already exists")
+          val ix = graft.model.IndexDesc(target, label, prop,
+            unique = uniq.equalsIgnoreCase("UNIQUE"),
+            isArray = field.dataType.isInstanceOf[ArrayType])
+          // a UNIQUE index over EXISTING data must hold before it is
+          // declared (A15 semantics — null-skip/array-skip built in)
+          if (ix.unique && ix.isBuildable) {
+            val probe = cur.copy(indexes = Seq(ix))
+            val viol = GraphLoader.validateUnique(
+              graft.load.Store.readEntity(spark, storeDir, "nodes"),
+              graft.load.Store.readEntity(spark, storeDir, "edges"), probe)
+            require(viol.isEmpty, {
+              val sample = viol.limit(3).collect().map(_.get(2)).mkString(", ")
+              s"CREATE INDEX rejected: existing duplicates of $label.$prop (e.g. $sample)"
+            })
+          }
+          (cur.copy(indexes = cur.indexes :+ ix), 1L)
+        }
       case InsertRe(label, cols, values) =>
         val names = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         require(names.nonEmpty, "INSERT needs a column list")
@@ -101,6 +164,42 @@ object Dml {
         throw new IllegalArgumentException(
           "unsupported DML (expected INSERT INTO … VALUES, CREATE VERTEX … SET, or CREATE EDGE … FROM … TO …)")
     }
+  }
+
+  /** Apply a schema mutation under the store write lock and persist it
+    * atomically (tmp file + ATOMIC_MOVE — a concurrent schema read
+    * sees the old or the new registry, never a torn file). */
+  private def ddl(storeDir: String)(
+      f: graft.model.GraphSchema => (graft.model.GraphSchema, Long)): Long =
+    graft.load.StoreLock.withWriteLock(storeDir) {
+      val path = java.nio.file.Paths.get(s"$storeDir/schema.json")
+      val (updated, n) =
+        f(graft.model.GraphSchema.fromJson(java.nio.file.Files.readString(path)))
+      if (n > 0) {
+        val tmp = java.nio.file.Paths.get(
+          s"$storeDir/.schema.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+        java.nio.file.Files.writeString(tmp, updated.toJson)
+        java.nio.file.Files.move(tmp, path,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      n
+    }
+
+  /** The dialect's property-type names onto the engine's lattice (A8). */
+  private def ddlType(name: String): DataType = name.toUpperCase match {
+    case "STRING" => StringType
+    case "INTEGER" | "INT" => IntegerType
+    case "LONG" => LongType
+    case "SHORT" => ShortType
+    case "BYTE" => ByteType
+    case "FLOAT" => FloatType
+    case "DOUBLE" => DoubleType
+    case "BOOLEAN" => BooleanType
+    case "DATE" => DateType
+    case "DATETIME" => TimestampType
+    case "LIST" => ArrayType(StringType)
+    case other => throw new IllegalArgumentException(s"unsupported property type: $other")
   }
 
   private def append(spark: SparkSession, storeDir: String, label: String,

@@ -87,10 +87,19 @@ object QueryServer {
     // reader-writer lock made a label rewrite stall every read for the
     // rewrite's whole duration — minutes of read unavailability per
     // single-row UPDATE at 100 TB.)
-    final class Snapshot(val graph: Option[PropertyGraph], val genPaths: Seq[String]) {
+    final class Snapshot(val graph: Option[PropertyGraph], val gschema: GraphSchema,
+        val genPaths: Seq[String]) {
       val activeReads = new java.util.concurrent.atomic.AtomicInteger
     }
-    @volatile var current = new Snapshot(graph, store.toSeq.flatMap { ctx =>
+    // runtime DDL mutates the persisted registry, so each snapshot
+    // re-reads it — the dialect compiles new types without a restart
+    def storeSchema(): GraphSchema = store.flatMap { ctx =>
+      val p = java.nio.file.Paths.get(s"${ctx.dir}/schema.json")
+      if (java.nio.file.Files.exists(p))
+        Some(GraphSchema.fromJson(java.nio.file.Files.readString(p)))
+      else None
+    }.getOrElse(schema)
+    @volatile var current = new Snapshot(graph, storeSchema(), store.toSeq.flatMap { ctx =>
       if (java.nio.file.Files.exists(graft.load.Store.manifestPath(ctx.dir)))
         graft.load.Store.currentGenPaths(ctx.dir)
       else Nil
@@ -222,10 +231,10 @@ object QueryServer {
         // commands (FROM a known label / TRAVERSE / MATCH) compile via
         // ArcadeSql; anything else falls through to Spark SQL over the
         // served views — a richer superset the dialect doesn't cover.
-        case "sql" if snap.graph.nonEmpty && ArcadeSql.looksLikeDialect(schema, command) =>
-          ArcadeSql.compile(graphOr, schema, command)
+        case "sql" if snap.graph.nonEmpty && ArcadeSql.looksLikeDialect(snap.gschema, command) =>
+          ArcadeSql.compile(graphOr, snap.gschema, command)
         case "sql" => spark.sql(command)
-        case "arcadesql" | "arcade" => ArcadeSql.compile(graphOr, schema, command)
+        case "arcadesql" | "arcade" => ArcadeSql.compile(graphOr, snap.gschema, command)
         case "sparksql" => spark.sql(command)
         case "graphql" => GraphQl.compile(graphOr, command)
         case l => throw new IllegalArgumentException(s"unsupported language: $l")
@@ -301,7 +310,7 @@ object QueryServer {
         val paths = graft.load.Store.currentGenPaths(ctx.dir)
         graft.load.GenerationPins.pin(paths)
         val old = current
-        current = new Snapshot(Some(ctx.reload()), paths)
+        current = new Snapshot(Some(ctx.reload()), storeSchema(), paths)
         retired.add(old)
         n0
       }

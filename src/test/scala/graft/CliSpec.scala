@@ -259,6 +259,41 @@ class CliSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("runtime DDL over HTTP: a declared type is insertable and dialect-queryable live") {
+    val out = Files.createTempDirectory("graftddl2").toString
+    Main.create(spark, sfDir, out)
+    val g = Main.serve(spark, out, None)
+    val srv = graft.server.QueryServer.start(spark, 0, Some(g),
+      Some(graft.server.QueryServer.StoreContext(out, () => Main.serve(spark, out, None))))
+    try {
+      def post(route: String, body: String): (Int, String) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:${srv.port}/api/v1/$route/graft")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+        (code, new String(is.readAllBytes(), "UTF-8"))
+      }
+      def cmd(c: String): (Int, String) =
+        post("command", s"""{"language":"sql","command":"$c"}""")
+      def cmdOk(c: String): Unit = {
+        val (code, body) = cmd(c)
+        assert(code == 200, s"'$c' got $code: $body")
+      }
+      cmdOk("CREATE VERTEX TYPE Topic")
+      cmdOk("CREATE PROPERTY Topic.title STRING")
+      cmdOk("CREATE INDEX ON Topic (title) UNIQUE")
+      cmdOk("INSERT INTO Topic (id, title) VALUES (9100001, 'genomes')")
+      assert(cmd("INSERT INTO Topic (id, title) VALUES (9100002, 'genomes')")._1 == 400)
+      // the dialect resolves the runtime type in the SAME server: the
+      // served snapshot re-reads the registry on reload
+      val (qc, qb) = post("query",
+        """{"language":"arcadesql","command":"SELECT title FROM Topic WHERE title LIKE 'gen%'"}""")
+      assert(qc == 200 && qb.contains("genomes"))
+    } finally srv.stop()
+  }
+
   test("role-based users: read role queries but gets 403 on DML; admin does both") {
     val out = Files.createTempDirectory("graftrole").toString
     Main.create(spark, sfDir, out)

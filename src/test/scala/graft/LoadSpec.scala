@@ -275,6 +275,53 @@ class LoadSpec extends SparkSpec {
     assert(GraphLoader.edgeLabelsReferencing(out, "Part").contains("PLACED"))
   }
 
+  test("runtime DDL: types, properties, and indexes declare through the command surface") {
+    val out = Files.createTempDirectory("graftddl").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    import graft.server.Dml
+    import graft.model.GraphSchema
+
+    def gs() = GraphSchema.fromJson(Files.readString(Path.of(s"$out/schema.json")))
+
+    assert(Dml.execute(spark, out, "CREATE VERTEX TYPE Tag") == 1)
+    assert(Dml.execute(spark, out, "CREATE VERTEX TYPE Tag IF NOT EXISTS") == 0)
+    intercept[IllegalArgumentException](Dml.execute(spark, out, "CREATE VERTEX TYPE Tag"))
+    assert(Dml.execute(spark, out, "CREATE PROPERTY Tag.name STRING") == 1)
+    assert(Dml.execute(spark, out, "CREATE INDEX ON Tag (name) UNIQUE") == 1)
+    assert(Dml.execute(spark, out, "CREATE EDGE TYPE TAGGED") == 1)
+    val reread = gs()
+    assert(reread.labels.exists(l => l.label == "Tag" && l.kind == "vertex"
+      && l.schema.fieldNames.contains("name")))
+    assert(reread.indexes.exists(i => i.label == "Tag" && i.property == "name" && i.unique))
+
+    // inserts into the runtime-declared type validate like built-ins:
+    // the UNIQUE index holds, ids collide-check, dialect sees the type
+    assert(Dml.execute(spark, out,
+      "INSERT INTO Tag (id, name) VALUES (9000001, 'alpha'), (9000002, 'beta')") == 2)
+    intercept[IllegalArgumentException](Dml.execute(spark, out,
+      "INSERT INTO Tag (id, name) VALUES (9000003, 'alpha')")) // UNIQUE(Tag.name)
+    intercept[IllegalArgumentException](Dml.execute(spark, out,
+      "INSERT INTO Tag (id, name) VALUES (9000001, 'gamma')")) // id collision
+    assert(storeNodes(out).filter(col("label") === "Tag").count() == 2)
+    // runtime edge type: endpoint metadata reaches the DELETE probe
+    assert(Dml.execute(spark, out,
+      "CREATE EDGE TAGGED FROM 9000001 TO 9000002") == 1)
+    assert(GraphLoader.edgeLabelsReferencing(out, "Tag") == Seq("TAGGED"))
+    intercept[IllegalArgumentException](Dml.execute(spark, out,
+      "DELETE FROM Tag WHERE id = 9000002")) // still referenced
+
+    // guard rails: unknown type, reserved columns, duplicate property,
+    // index on an undeclared property, UNIQUE over existing duplicates
+    intercept[IllegalArgumentException](Dml.execute(spark, out, "CREATE PROPERTY Nope.x STRING"))
+    intercept[IllegalArgumentException](Dml.execute(spark, out, "CREATE PROPERTY Tag.id LONG"))
+    intercept[IllegalArgumentException](Dml.execute(spark, out, "CREATE PROPERTY Tag.name STRING"))
+    intercept[IllegalArgumentException](Dml.execute(spark, out, "CREATE INDEX ON Tag (nope) UNIQUE"))
+    intercept[IllegalArgumentException](
+      Dml.execute(spark, out, "CREATE INDEX ON Customer (mktsegment) UNIQUE"))
+    intercept[IllegalArgumentException](Dml.execute(spark, out, "CREATE PROPERTY Tag.bad BLOB"))
+    assert(gs() == reread, "failed DDL must leave the registry untouched")
+  }
+
   test("compaction bounds the file count left by single-row appends") {
     import scala.jdk.CollectionConverters._
     val out = Files.createTempDirectory("graftcmp").toString
