@@ -33,9 +33,6 @@ object Dml {
   private val CreateVertexRe = """(?is)\s*CREATE\s+VERTEX\s+(\w+)\s+SET\s+(.+?)\s*""".r
   private val CreateEdgeRe =
     """(?is)\s*CREATE\s+EDGE\s+(\w+)\s+FROM\s+(-?\d+)\s+TO\s+(-?\d+)(?:\s+SET\s+(.+?))?\s*""".r
-  private val UpdateRe =
-    """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*""".r
-  private val DeleteRe = """(?is)\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?\s*""".r
   private val CompactRe = """(?is)\s*COMPACT(?:\s+DATABASE)?\s*""".r
   // runtime schema DDL (the reference declares types/properties/indexes
   // through the same command surface before loading,
@@ -138,21 +135,26 @@ object Dml {
       // UPDATE/DELETE: copy-on-write rewrites of the label partition with
       // the same invariants as the bulk path (UNIQUE revalidation, no
       // dangling endpoints). The WHERE grammar is the ArcadeSql dialect's.
-      case UpdateRe(label, setClause, whereClause) =>
+      // UPDATE/DELETE parse character-level (the dialect's own lexer
+      // semantics): a string literal holding a keyword — `SET comment =
+      // 'WHERE x'` — can never mis-split the statement the way the old
+      // regex capture did
+      case c if c.trim.toUpperCase.startsWith("UPDATE") =>
+        val (label, sets, where) = parseUpdate(c)
         clientCastErrors {
           val n = GraphLoader.updateRecords(spark, storeDir, label, kindOf(label),
-            parseSet(setClause),
-            Option(whereClause).map(graft.query.ArcadeSql.predicate)
+            sets, where.map(graft.query.ArcadeSql.predicate)
               .getOrElse(org.apache.spark.sql.functions.lit(true)))
           // GC with a one-generation grace window (an in-process server
           // additionally sweeps with exact pin knowledge post-reload)
           graft.load.Store.sweep(storeDir, keepPerLabel = 1)
           n
         }
-      case DeleteRe(label, whereClause) =>
+      case c if c.trim.toUpperCase.startsWith("DELETE") =>
+        val (label, where) = parseDelete(c)
         clientCastErrors {
           val n = GraphLoader.deleteRecords(spark, storeDir, label, kindOf(label),
-            Option(whereClause).map(graft.query.ArcadeSql.predicate))
+            where.map(graft.query.ArcadeSql.predicate))
           graft.load.Store.sweep(storeDir, keepPerLabel = 1)
           n
         }
@@ -265,6 +267,13 @@ object Dml {
       s.substring(start, i)
     }
 
+    def keyword(k: String): Unit = {
+      val id = ident()
+      if (!id.equalsIgnoreCase(k)) fail(s"expected $k, got '$id'")
+    }
+
+    def rest(): String = s.substring(i)
+
     def literal(): Any = {
       ws()
       peek match {
@@ -295,6 +304,40 @@ object Dml {
           }
       }
     }
+  }
+
+  /** `UPDATE <Label> SET k = lit[, …] [WHERE <pred>]` — the WHERE tail
+    * (if any) is handed verbatim to the dialect predicate grammar. */
+  private def parseUpdate(cmd: String): (String, Map[String, Any], Option[String]) = {
+    val lx = new Lexer(cmd)
+    lx.keyword("UPDATE")
+    val label = lx.ident()
+    lx.keyword("SET")
+    val sets = scala.collection.mutable.LinkedHashMap[String, Any]()
+    var more = true
+    while (more) {
+      val k = lx.ident()
+      lx.expect('=')
+      sets(k) = lx.literal()
+      lx.ws()
+      if (lx.peek == ',') lx.i += 1 else more = false
+    }
+    val where =
+      if (lx.done) None
+      else { lx.keyword("WHERE"); Some(lx.rest()) }
+    (label, sets.toMap, where)
+  }
+
+  /** `DELETE FROM <Label> [WHERE <pred>]` */
+  private def parseDelete(cmd: String): (String, Option[String]) = {
+    val lx = new Lexer(cmd)
+    lx.keyword("DELETE")
+    lx.keyword("FROM")
+    val label = lx.ident()
+    val where =
+      if (lx.done) None
+      else { lx.keyword("WHERE"); Some(lx.rest()) }
+    (label, where)
   }
 
   /** `(v, …)[, (v, …)]…` */

@@ -192,6 +192,17 @@ class LoadSpec extends SparkSpec {
     assert(Dml.execute(spark, out,
       "UPDATE Customer SET mktsegment = 'Z' WHERE id = 1") == 0)
     assert(Dml.execute(spark, out, "DELETE FROM Customer WHERE id = 1") == 0)
+
+    // keyword-bearing string literals never mis-split the statement
+    // (character-level parse, not regex capture)
+    assert(Dml.execute(spark, out,
+      "UPDATE Customer SET mktsegment = 'WHERE x, SET y' WHERE id = 1000043") == 1)
+    assert(storeNodes(out).filter(col("id") === 1000043L)
+      .select("mktsegment").head.getString(0) == "WHERE x, SET y")
+    assert(Dml.execute(spark, out,
+      "UPDATE Customer SET mktsegment = 'BUILDING' WHERE mktsegment = 'WHERE x, SET y'") == 1)
+    intercept[IllegalArgumentException](
+      Dml.execute(spark, out, "UPDATE Customer SET mktsegment = 'x' TRAILING"))
   }
 
   test("generation commit: crash debris is invisible and swept; commit is atomic") {
