@@ -384,27 +384,47 @@ object LlmQueries {
     // recomputes the stride sample from the text characters (the corpus
     // is ASCII, so char positions == byte positions — same assumption
     // multimodal_meta already relies on)
+    // image rows REALLY decode (PNG/PPM via ImageCodec) and decimate
+    // pixels stride-4; the oracle recomputes the expected raster
+    // arithmetically (genImage's formula) and md5s the same ASCII-safe
+    // byte string — proving encode→decode→sample round-trips exactly.
+    // Audio/video rows keep the byte-stride sample of the text payload.
     Q("multimodal_frames",
       (s, d) => Multimodal.sampleBytes(
           Multimodal.packAsMedia(t(s, d, "documents")), 4)
         .select(col("media_id"), col("n_sampled"), md5(col("sampled")).as("fp")),
       Some("""SELECT doc_id AS media_id,
-        CAST(len(generate_series(1, length(text), 4)) AS INTEGER) AS n_sampled,
-        md5(array_to_string(list_transform(generate_series(1, length(text), 4),
-          i -> substr(text, i, 1)), '')) AS fp
+        CAST(CASE WHEN doc_id % 3 = 0
+          THEN ((doc_id % 13 + 4) // 4) * ((doc_id % 7 + 4) // 4) * 3
+          ELSE len(generate_series(1, length(text), 4)) END AS INTEGER) AS n_sampled,
+        CASE WHEN doc_id % 3 = 0
+          THEN md5(array_to_string(flatten(flatten(
+            list_transform(generate_series(0, CAST((doc_id % 7 + 4) // 4 AS INTEGER) - 1), y ->
+              list_transform(generate_series(0, CAST((doc_id % 13 + 4) // 4 AS INTEGER) - 1), x ->
+                list_transform(generate_series(0, 2), c ->
+                  chr(CAST((doc_id + 4*x*7 + 4*y*11 + c*5) % 96 + 32 AS INTEGER))))))), ''))
+          ELSE md5(array_to_string(list_transform(generate_series(1, length(text), 4),
+            i -> substr(text, i, 1)), '')) END AS fp
         FROM documents""")),
 
-    // multimodal: binary payload + stub decode via mapPartitions — the
-    // oracle recomputes the deterministic fake-decode from the text bytes
+    // binary payload + batch decode via mapPartitions. Image rows carry
+    // real PNG (even ids) / PPM (odd ids) bytes decoded by ImageCodec —
+    // the oracle knows the generator's dimensions; n_bytes for an image
+    // is its decoded pixel count. Audio/video fall back to the
+    // documented deterministic pseudo-decode of the text bytes.
     Q("multimodal_meta",
       (s, d) => Multimodal.extractMeta(Multimodal.packAsMedia(t(s, d, "documents"))),
       Some("""SELECT doc_id AS media_id,
         CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
           ELSE 'video' END AS kind,
-        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        CAST(ascii(substr(text, 1, 1)) + 1 AS INTEGER) AS width,
-        CAST(ascii(substr(text, 2, 1)) + 1 AS INTEGER) AS height,
-        CAST(octet_length(encode(text)) * 10 AS BIGINT) AS duration_ms
+        CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id % 13 + 1) * (doc_id % 7 + 1) * 3
+          ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes,
+        CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 13 + 1
+          ELSE ascii(substr(text, 1, 1)) + 1 END AS INTEGER) AS width,
+        CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 7 + 1
+          ELSE ascii(substr(text, 2, 1)) + 1 END AS INTEGER) AS height,
+        CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+          ELSE octet_length(encode(text)) * 10 END AS BIGINT) AS duration_ms
         FROM documents"""))
   )
 }

@@ -235,11 +235,105 @@ class LlmSpec extends SparkSpec {
     val media = Multimodal.packAsMedia(docs)
     val meta = Multimodal.extractMeta(media)
     assert(meta.count() == docs.count())
-    val one = meta.filter($"media_id" === 0).collect()(0)
-    val text = docs.filter($"doc_id" === 0).collect()(0).getAs[String]("text")
+    // image rows (id % 3 == 0) carry REAL encoded rasters: decoded
+    // dimensions match the generator, not any byte heuristic
+    val img = meta.filter($"media_id" === 6).collect()(0) // PNG path (even)
+    assert(img.getAs[Int]("width") == 7 && img.getAs[Int]("height") == 7)
+    assert(img.getAs[Long]("n_bytes") == 7L * 7 * 3)
+    val ppm = meta.filter($"media_id" === 3).collect()(0) // PPM path (odd)
+    assert(ppm.getAs[Int]("width") == 4 && ppm.getAs[Int]("height") == 4)
+    // audio/video rows fall back to the documented pseudo-decode
+    val one = meta.filter($"media_id" === 1).collect()(0)
+    val text = docs.filter($"doc_id" === 1).collect()(0).getAs[String]("text")
     assert(one.getAs[Long]("n_bytes") == text.getBytes("UTF-8").length.toLong)
     assert(one.getAs[Int]("width") == (text.head.toInt + 1))
     val sampled = Multimodal.sampleBytes(media, 4)
     assert(sampled.count() == docs.count())
+  }
+
+  test("image codec: PNG and PPM round-trip pixels exactly") {
+    import graft.llmops.ImageCodec
+    import graft.llmops.ImageCodec.Image
+    val px = Array.tabulate(3 * 2 * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val img = Image(3, 2, 3, px)
+    for (encoded <- Seq(ImageCodec.encodePng(img), ImageCodec.encodePpm(img))) {
+      val back = ImageCodec.decode(encoded).get
+      assert(back.width == 3 && back.height == 2 && back.channels == 3)
+      assert(back.pixels.sameElements(px))
+    }
+    // gray and RGBA color types (PNG only)
+    for (ch <- Seq(1, 2, 4)) {
+      val p = Array.tabulate(4 * 3 * ch)(i => ((i * 53 + 7) % 256).toByte)
+      val back = ImageCodec.decodePng(ImageCodec.encodePng(Image(4, 3, ch, p)))
+      assert(back.channels == ch && back.pixels.sameElements(p))
+    }
+    // PPM header whitespace/comments tolerated per the netpbm spec
+    val withComment = ("P6\n# a comment\n3 2\n255\n").getBytes("US-ASCII") ++ px
+    assert(ImageCodec.decodePpm(withComment).pixels.sameElements(px))
+  }
+
+  test("image codec: all five PNG scanline filters de-apply correctly") {
+    import graft.llmops.ImageCodec
+    import graft.llmops.ImageCodec.Image
+    // forward-filter known pixels with every filter type, build a PNG
+    // by hand (zlib + CRC via java.util.zip), and require the decoder
+    // to reconstruct the original bytes exactly
+    val w = 4; val h = 5; val ch = 3; val rowBytes = w * ch
+    val px = Array.tabulate(h * rowBytes)(i => ((i * 97 + 13) % 256).toByte)
+    val filters = Array(0, 1, 2, 3, 4) // one per row
+    val raw = new Array[Byte](h * (1 + rowBytes))
+    for (y <- 0 until h) {
+      raw(y * (1 + rowBytes)) = filters(y).toByte
+      for (x <- 0 until rowBytes) {
+        val cur = px(y * rowBytes + x) & 0xff
+        val a = if (x >= ch) px(y * rowBytes + x - ch) & 0xff else 0
+        val b = if (y > 0) px((y - 1) * rowBytes + x) & 0xff else 0
+        val c = if (y > 0 && x >= ch) px((y - 1) * rowBytes + x - ch) & 0xff else 0
+        val predicted = filters(y) match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        raw(y * (1 + rowBytes) + 1 + x) = ((cur - predicted) & 0xff).toByte
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zout.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    def chunk(t: String, data: Array[Byte]): Unit = {
+      def w32(v: Int): Unit = out.write(
+        Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte), 0, 4)
+      w32(data.length); out.write(t.getBytes("US-ASCII"), 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32
+      crc.update(t.getBytes("US-ASCII")); crc.update(data)
+      w32(crc.getValue.toInt)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(3) = w.toByte; ihdr(7) = h.toByte; ihdr(8) = 8; ihdr(9) = 2
+    chunk("IHDR", ihdr); chunk("IDAT", zout.toByteArray); chunk("IEND", Array.emptyByteArray)
+    val decoded = ImageCodec.decodePng(out.toByteArray)
+    assert(decoded.width == w && decoded.height == h)
+    assert(decoded.pixels.sameElements(px), "filtered scanlines must reconstruct exactly")
+    // corrupt bytes fail loudly, never a silent wrong raster
+    val corrupt = out.toByteArray
+    corrupt(40) = (corrupt(40) ^ 0xff).toByte
+    intercept[IllegalArgumentException](ImageCodec.decodePng(corrupt))
+    intercept[IllegalArgumentException](
+      ImageCodec.decodePpm("P6\n2 2\n255\nxy".getBytes("US-ASCII"))) // truncated
+    // resize kernel: 1-pixel image stretches; identity is exact
+    val one = Image(1, 1, 3, Array[Byte](1, 2, 3))
+    assert(ImageCodec.resizeNearest(one, 3, 2).pixels.toSeq ==
+      Seq[Byte](1, 2, 3, 1, 2, 3, 1, 2, 3, 1, 2, 3, 1, 2, 3, 1, 2, 3))
   }
 }
