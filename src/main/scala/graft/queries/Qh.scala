@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** One declared query: the Spark implementation plus (when
   * SQL-expressible) its DuckDB oracle twin. Column names MUST match
@@ -39,8 +39,17 @@ object Qh {
     * carries TIMESTAMP(NANOS), which Spark reads as long ns under
     * `spark.sql.legacy.parquet.nanosAsLong`; `div` keeps the conversion
     * in exact integer arithmetic. */
-  def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      // TPC-H-ish fixture: TIMESTAMP(NANOS) read as long ns under
+      // `spark.sql.legacy.parquet.nanosAsLong`
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // regenerated data (e.g. the 10× scale probe) lands micro-second
+      // timestamps directly — normalize NTZ to the session zone type
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
 
   /** Exact integer cents of a ≤2-decimal money double. */
   def cents(c: Column): Column = round(c * lit(100), 0).cast(LongType)

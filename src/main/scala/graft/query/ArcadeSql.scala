@@ -26,8 +26,20 @@ import graft.model.GraphSchema
   *    (`out('L').size()`), `expand(out('L'))` (hop to the neighbor
   *    records), `$depth` over a TRAVERSE subquery
   *  - predicates: comparison, AND/OR/NOT, LIKE/ILIKE, MATCHES (regex),
-  *    IN [..], BETWEEN, IS [NOT] NULL, IS [NOT] DEFINED, CONTAINS
-  *    (array membership), CONTAINSTEXT (substring)
+  *    IN [..], `[NOT] IN (SELECT …)` (compiled to a left_semi /
+  *    left_anti join), BETWEEN, IS [NOT] NULL, IS [NOT] DEFINED,
+  *    CONTAINS (array membership), CONTAINSTEXT (substring)
+  *  - `LET $x = (subquery) | <set function>` after FROM: a
+  *    single-aggregate subquery may be read as a scalar `$x` (broadcast
+  *    cross join of the one-row frame); any binding can feed
+  *    `expand($x)` or the set functions
+  *    `unionall/intersect/difference/symmetricDifference(a, b, …)`
+  *  - graph functions `shortestPath(a, b[, dir[, [labels]]]).size()` /
+  *    `dijkstra(a, b, weight[, dir]).size()` — one Pregel landmark job
+  *    left-joined on id, never a per-row traversal
+  *  - date/collection methods: `.asDate()`, `.asDatetime()`,
+  *    `.format(fmt)`, `date(str[, fmt])`, `sysdate()`,
+  *    `.first()/.last()/.sort()`
   *  - `TRAVERSE out|in|both('L', …) FROM (<select>) [MAXDEPTH n]
   *    [WHILE p] [STRATEGY BREADTH_FIRST]` — `$depth` bounds inside
   *    WHILE are folded into the depth bound; the rest of the guard
@@ -1078,13 +1090,24 @@ object ArcadeSql {
   /** Modifiers expand(…) can't honor must fail loudly (never a silent
     * wrong page): GROUP BY/ORDER BY/DISTINCT/UNWIND are rejected; SKIP
     * and LIMIT are applied (offset before limit, the dialect's page
-    * order). */
+    * order). A SKIP page over a distributed frame would otherwise
+    * depend on partition order — ArcadeDB's no-ORDER-BY order is
+    * storage-stable, ours is not — so paging first stabilizes on the
+    * record keys when they are present (id for vertices, (src, dst)
+    * for edges); a keyless frame with SKIP is rejected. */
   private def expandModifiers(sel: Select, df: DataFrame): DataFrame = {
     if (sel.groupBy.nonEmpty || sel.orderBy.nonEmpty)
       fail("expand(…) does not combine with GROUP BY / ORDER BY — wrap it in an outer SELECT")
     if (sel.distinct) fail("expand(…) does not combine with DISTINCT — wrap it in an outer SELECT")
     if (sel.unwind.nonEmpty) fail("expand(…) does not combine with UNWIND — wrap it in an outer SELECT")
     var out = df
+    if (sel.skip.nonEmpty) { // bare LIMIT keeps the cheap CollectLimit
+      val cols = out.columns.toSet
+      if (cols("id")) out = out.orderBy(col("id"))
+      else if (cols("src") && cols("dst")) out = out.orderBy(col("src"), col("dst"))
+      else fail("expand(…) SKIP needs id or (src, dst) keys to page deterministically — " +
+        "wrap it in an outer SELECT with ORDER BY")
+    }
     sel.skip.foreach(n => out = out.offset(n))
     sel.limit.foreach(n => out = out.limit(n))
     out

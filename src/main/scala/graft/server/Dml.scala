@@ -15,6 +15,13 @@ import graft.load.GraphLoader
   *   UPDATE <Label> SET k = v, … [WHERE <pred>]
   *   DELETE FROM <Label> [WHERE <pred>]
   *
+  * plus the runtime schema DDL the reference issues before loading
+  * (`ArcadeDBService.java:149-154,232-238,275-277`):
+  *
+  *   CREATE VERTEX|EDGE TYPE <Label> [IF NOT EXISTS]
+  *   CREATE PROPERTY <Label>.<prop> <STRING|INTEGER|LONG|…|LIST>
+  *   CREATE INDEX ON <Label> (<prop>) UNIQUE|NOTUNIQUE
+  *
   * Insert statements compile to a small typed batch routed through
   * [[GraphLoader.appendNodes]]/[[GraphLoader.appendEdges]] — so every
   * HTTP insert gets the same invariants as the bulk path (id collision,

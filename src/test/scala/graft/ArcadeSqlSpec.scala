@@ -195,6 +195,11 @@ class ArcadeSqlSpec extends SparkSpec {
     val total = run("SELECT expand(out('PLACED')) FROM Customer").count()
     assert(run("SELECT expand(out('PLACED')) FROM Customer SKIP 5").count() == total - 5)
     assert(run("SELECT expand(out('PLACED')) FROM Customer SKIP 5 LIMIT 10").count() == 10)
+    // SKIP pages are key-stabilized: the same page twice returns the
+    // same records (partition order alone would not guarantee this)
+    def page() = run("SELECT expand(out('PLACED')) FROM Customer SKIP 5 LIMIT 10")
+      .collect().map(_.getLong(0)).toSeq
+    assert(page() == page())
     intercept[IllegalArgumentException](
       run("SELECT DISTINCT expand(out('PLACED')) FROM Customer"))
     intercept[IllegalArgumentException](
