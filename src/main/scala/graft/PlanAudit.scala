@@ -64,17 +64,20 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // partition-pruning audit on the persisted graph store (§1.5/§4.1:
-    // label = partition column replaces per-label buckets)
+    // label-pruning audit on the persisted graph store (§1.5/§4.1). The
+    // generation layout reads one scan per label with the label
+    // attached as a literal, so a label filter must constant-fold every
+    // other union branch away: the physical plan may contain exactly
+    // ONE parquet scan — the filtered label's generation directory.
     val store = java.nio.file.Files.createTempDirectory("graftstore").toString
     graft.load.GraphLoader.writeGraph(spark, sfDir, store)
-    val pruned = spark.read.parquet(s"$store/nodes")
+    val pruned = graft.load.Store.readEntity(spark, store, "nodes")
       .filter(org.apache.spark.sql.functions.col("label") === "Customer")
     pruned.collect()
     val prunedPlan = pruned.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
-    val pruneOk = prunedPlan.contains("PartitionFilters: [isnotnull(label#") ||
-      prunedPlan.contains("label) = Customer")
+    val pruneOk = "Location: InMemoryFileIndex".r.findAllIn(prunedPlan).size == 1 &&
+      prunedPlan.contains("/nodes/Customer/gen-")
 
     // pre-checkpoint pipeline stages, auditable alongside declared queries
     val stages: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = {
