@@ -259,6 +259,27 @@ object ArcadeSqlQueries {
         UNION ALL
         (SELECT n_name AS name FROM nation EXCEPT SELECT r_name FROM region)""")),
 
+    // OrientDB-lineage pseudo-types kept by ArcadeDB: V scans every
+    // vertex, E every edge — the dialect spelling of the label
+    // enumeration (label_counts twin)
+    Q("asql_scan_v",
+      asql("SELECT label, count(*) AS cnt FROM V GROUP BY label"),
+      Some("""SELECT 'Region' AS label, CAST(count(*) AS BIGINT) AS cnt FROM region
+        UNION ALL SELECT 'Nation', CAST(count(*) AS BIGINT) FROM nation
+        UNION ALL SELECT 'Customer', CAST(count(*) AS BIGINT) FROM customer
+        UNION ALL SELECT 'Supplier', CAST(count(*) AS BIGINT) FROM supplier
+        UNION ALL SELECT 'Part', CAST(count(*) AS BIGINT) FROM part
+        UNION ALL SELECT 'Order', CAST(count(*) AS BIGINT) FROM orders""")),
+
+    Q("asql_scan_e",
+      asql("SELECT label, count(*) AS cnt FROM E GROUP BY label"),
+      Some("""SELECT 'IN_REGION' AS label, CAST(count(*) AS BIGINT) AS cnt FROM nation
+        UNION ALL SELECT 'IN_NATION',
+          CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) AS BIGINT)
+        UNION ALL SELECT 'PLACED', CAST(count(*) AS BIGINT) FROM orders
+        UNION ALL SELECT 'CONTAINS', CAST(count(*) AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'SUPPLIED_BY', CAST(count(*) AS BIGINT) FROM lineitem""")),
+
     // date method family: asDate()/asDatetime() casts, .format(fmt)
     // rendering, date(str, fmt) parsing (VERDICT r5 order #2; the
     // date_funcs twin). Order.orderdate is the store's ISO string.

@@ -542,8 +542,9 @@ object ArcadeSql {
   def looksLikeDialect(gs: GraphSchema, command: String): Boolean =
     try {
       def rootLabel(src: Source): Boolean = src match {
-        case LabelSource(l) => gs.labels.exists(_.label == l)
+        case LabelSource(l) => l == "V" || l == "E" || gs.labels.exists(_.label == l)
         case SubSource(st) => stmtAnchored(st)
+        case UnitSource => true // FROM-less LET set-function form
       }
       def stmtAnchored(st: Stmt): Boolean = st match {
         case sel: Select => rootLabel(sel.from)
@@ -586,11 +587,20 @@ object ArcadeSql {
   private def sourceFrame(g: PropertyGraph, gs: GraphSchema, src: Source): DataFrame =
     src match {
       case LabelSource(l) =>
-        val ls = gs.labels.find(_.label == l).getOrElse(fail(s"unknown type: $l"))
-        val keys = if (ls.kind == "vertex") Seq("id", "label") else Seq("src", "dst", "label")
-        val base = if (ls.kind == "vertex") g.nodesOf(l) else g.edgesOf(l)
-        base.select((keys ++ ls.schema.fieldNames).map(col).toIndexedSeq: _*)
+        gs.labels.find(_.label == l) match {
+          case Some(ls) =>
+            val keys = if (ls.kind == "vertex") Seq("id", "label") else Seq("src", "dst", "label")
+            val base = if (ls.kind == "vertex") g.nodesOf(l) else g.edgesOf(l)
+            base.select((keys ++ ls.schema.fieldNames).map(col).toIndexedSeq: _*)
+          // OrientDB-lineage pseudo-types kept by ArcadeDB: V = every
+          // vertex, E = every edge (the union store's sparse schema). A
+          // user-declared type named V/E shadows the pseudo-type above.
+          case None if l == "V" => g.nodes
+          case None if l == "E" => g.edges
+          case None => fail(s"unknown type: $l")
+        }
       case SubSource(st) => compileStmt(g, gs, st)
+      case UnitSource => fail("this statement form needs a FROM source")
     }
 
   // ---- expression compilation ----

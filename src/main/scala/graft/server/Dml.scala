@@ -158,9 +158,12 @@ object Dml {
           n
         }
       case c if c.trim.toUpperCase.startsWith("DELETE") =>
-        val (label, where) = parseDelete(c)
+        val (label, where, requiredKind) = parseDelete(c)
+        val kind = kindOf(label)
+        requiredKind.foreach(k => require(k == kind,
+          s"DELETE ${k.toUpperCase}: $label is a $kind type"))
         clientCastErrors {
-          val n = GraphLoader.deleteRecords(spark, storeDir, label, kindOf(label),
+          val n = GraphLoader.deleteRecords(spark, storeDir, label, kind,
             where.map(graft.query.ArcadeSql.predicate))
           graft.load.Store.sweep(storeDir, keepPerLabel = 1)
           n
@@ -335,16 +338,24 @@ object Dml {
     (label, sets.toMap, where)
   }
 
-  /** `DELETE FROM <Label> [WHERE <pred>]` */
-  private def parseDelete(cmd: String): (String, Option[String]) = {
+  /** `DELETE FROM <Label> [WHERE <pred>]`, plus the OrientDB-lineage
+    * spellings ArcadeDB keeps: `DELETE VERTEX <Label>` /
+    * `DELETE EDGE <Label>` — those also assert the label's kind.
+    * Returns (label, where, requiredKind). */
+  private def parseDelete(cmd: String): (String, Option[String], Option[String]) = {
     val lx = new Lexer(cmd)
     lx.keyword("DELETE")
-    lx.keyword("FROM")
+    val requiredKind = lx.ident().toUpperCase match {
+      case "FROM" => None
+      case "VERTEX" => Some("vertex")
+      case "EDGE" => Some("edge")
+      case other => lx.fail(s"expected FROM, VERTEX, or EDGE after DELETE, got '$other'")
+    }
     val label = lx.ident()
     val where =
       if (lx.done) None
       else { lx.keyword("WHERE"); Some(lx.rest()) }
-    (label, where)
+    (label, where, requiredKind)
   }
 
   /** `(v, …)[, (v, …)]…` */

@@ -337,6 +337,15 @@ class ArcadeSqlSpec extends SparkSpec {
     assert(flipped == got)
   }
 
+  test("V and E pseudo-types scan every vertex / edge") {
+    assert(run("SELECT FROM V").count() == g.nodes.count())
+    assert(run("SELECT FROM E").count() == g.edges.count())
+    assert(run("SELECT count(*) AS n FROM V WHERE label = 'Customer'")
+      .head.getLong(0) == g.nodesOf("Customer").count())
+    assert(ArcadeSql.looksLikeDialect(gs, "SELECT FROM V"))
+    intercept[IllegalArgumentException](run("SELECT FROM W")) // unknown stays loud
+  }
+
   test("date and collection method families") {
     val row = run("""SELECT orderdate, orderdate.asDate() AS d,
         orderdate.asDate().format('yyyy-MM') AS ym,

@@ -193,6 +193,15 @@ class LoadSpec extends SparkSpec {
       "UPDATE Customer SET mktsegment = 'Z' WHERE id = 1") == 0)
     assert(Dml.execute(spark, out, "DELETE FROM Customer WHERE id = 1") == 0)
 
+    // DELETE VERTEX / DELETE EDGE spellings assert the label's kind
+    intercept[IllegalArgumentException](
+      Dml.execute(spark, out, "DELETE EDGE Customer WHERE id = 1000044"))
+    intercept[IllegalArgumentException](
+      Dml.execute(spark, out, "DELETE VERTEX PLACED WHERE src = 1000044"))
+    assert(Dml.execute(spark, out, "DELETE EDGE IN_NATION WHERE src = 1000044") == 1)
+    Dml.execute(spark, out, "DELETE EDGE PLACED WHERE src = 1000044")
+    assert(Dml.execute(spark, out, "DELETE VERTEX Customer WHERE id = 1000044") == 1)
+
     // keyword-bearing string literals never mis-split the statement
     // (character-level parse, not regex capture)
     assert(Dml.execute(spark, out,
