@@ -483,6 +483,16 @@ object ArcadeSql {
           i += 1
           val v = ident()
           if (v.equalsIgnoreCase("depth")) Depth else Var(v)
+        // record attributes: @type is the record's type name (our label
+        // column), @rid its identity (our id). No other @attribute maps
+        // onto the Spark store — fail loudly.
+        case '@' =>
+          i += 1
+          ident().toLowerCase match {
+            case "type" | "class" => Ident("label")
+            case "rid" => Ident("id")
+            case other => fail(s"unsupported record attribute @$other")
+          }
         case '*' => i += 1; Star
         case c if c == '-' || c.isDigit => Lit(number())
         case c if c.isLetter || c == '_' =>

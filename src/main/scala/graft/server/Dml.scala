@@ -37,6 +37,7 @@ object Dml {
 
   private val InsertRe =
     """(?is)\s*INSERT\s+INTO\s+(\w+)\s*\(([^)]*)\)\s*VALUES\s*(.+?)\s*""".r
+  private val InsertSetRe = """(?is)\s*INSERT\s+INTO\s+(\w+)\s+SET\s+(.+?)\s*""".r
   private val CreateVertexRe = """(?is)\s*CREATE\s+VERTEX\s+(\w+)\s+SET\s+(.+?)\s*""".r
   private val CreateEdgeRe =
     """(?is)\s*CREATE\s+EDGE\s+(\w+)\s+FROM\s+(-?\d+)\s+TO\s+(-?\d+)(?:\s+SET\s+(.+?))?\s*""".r
@@ -131,6 +132,9 @@ object Dml {
           s"VALUES arity ${t.size} != column list arity ${names.size}"))
         append(spark, storeDir, label, kindOf(label),
           tuples.map(t => names.zip(t).toMap))
+      // the dialect's second insert shape: INSERT INTO <T> SET k = v, …
+      case InsertSetRe(label, setClause) =>
+        append(spark, storeDir, label, kindOf(label), Seq(parseSet(setClause)))
       case CreateVertexRe(label, setClause) =>
         require(kindOf(label) == "vertex", s"$label is not a vertex type")
         append(spark, storeDir, label, "vertex", Seq(parseSet(setClause)))

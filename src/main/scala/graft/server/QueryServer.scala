@@ -174,6 +174,12 @@ object QueryServer {
     server.createContext("/api/v1/databases", (ex: HttpExchange) =>
       respond(ex, 200, """{"result":["graft"]}"""))
 
+    // schema browsing (Studio parity: the reference UI lists types,
+    // properties, indexes): the served snapshot's registry as JSON —
+    // authenticated like any read
+    server.createContext("/api/v1/schema", (ex: HttpExchange) =>
+      handle(ex, allowGet = true)(withRead(snap => snap.gschema.toJson)))
+
     def parsed(body: String): (String, String, Int) = {
       val j = JsonMethods.parse(body)
       val language = j \ "language" match {
@@ -362,8 +368,31 @@ object QueryServer {
       |</p>
       |<textarea id="q">SELECT FROM Customer LIMIT 10</textarea><br>
       |<button onclick="run()">run (ctrl-enter)</button>
+      |<button onclick="schema()">schema</button>
       |<div id="out"></div>
       |<script>
+      |async function schema(){
+      | const out=document.getElementById('out');
+      | out.innerHTML='…';
+      | const headers={};
+      | const tok=document.getElementById('tok').value;
+      | if(tok) headers['Authorization']='Bearer '+tok;
+      | try{
+      |  const r=await fetch('/api/v1/schema',{headers});
+      |  const j=await r.json();
+      |  if(!r.ok){out.innerHTML='<p class="err"></p>';out.firstChild.textContent=j.error;return;}
+      |  const tbl=document.createElement('table');
+      |  tbl.innerHTML='<tr><th>type</th><th>kind</th><th>properties</th><th>indexes</th></tr>';
+      |  for(const l of j.labels){const tr=tbl.insertRow();
+      |   tr.insertCell().textContent=l.label;
+      |   tr.insertCell().textContent=l.kind;
+      |   tr.insertCell().textContent=(l.schema.fields||[])
+      |    .map(f=>f.name+': '+(typeof f.type==='string'?f.type:f.type.type)).join(', ');
+      |   tr.insertCell().textContent=j.indexes.filter(x=>x.label===l.label)
+      |    .map(x=>x.property+(x.unique?' UNIQUE':'')).join(', ');}
+      |  out.innerHTML='<p>'+j.labels.length+' types</p>';out.appendChild(tbl);
+      | }catch(e){out.innerHTML='<p class="err"></p>';out.firstChild.textContent=e;}
+      |}
       |async function run(){
       | const out=document.getElementById('out');
       | out.innerHTML='…';

@@ -344,6 +344,10 @@ class ArcadeSqlSpec extends SparkSpec {
       .head.getLong(0) == g.nodesOf("Customer").count())
     assert(ArcadeSql.looksLikeDialect(gs, "SELECT FROM V"))
     intercept[IllegalArgumentException](run("SELECT FROM W")) // unknown stays loud
+    // record attributes map onto the store's physical columns
+    val attrs = run("SELECT @rid AS r, @type AS t FROM Region WHERE @rid = 0").collect()
+    assert(attrs.length == 1 && attrs(0).getLong(0) == 0L && attrs(0).getString(1) == "Region")
+    intercept[IllegalArgumentException](run("SELECT @version FROM Region"))
   }
 
   test("date and collection method families") {

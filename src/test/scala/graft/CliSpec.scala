@@ -71,6 +71,13 @@ class CliSpec extends SparkSpec {
       assert(c3 == 200)
       assert((org.json4s.jackson.JsonMethods.parse(b3) \ "result").children.size == 1000)
 
+      // schema browsing: the served registry as JSON (Studio parity)
+      val sconn = new java.net.URL(s"http://127.0.0.1:${srv.port}/api/v1/schema")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(sconn.getResponseCode == 200)
+      val sbody = new String(sconn.getInputStream.readAllBytes(), "UTF-8")
+      assert(sbody.contains("\"Customer\"") && sbody.contains("\"indexes\""))
+
       // bad requests: unknown language, missing command, invalid SQL
       assert(post("""{"language":"gremlin","command":"g.V()"}""")._1 == 400)
       assert(post("""{"language":"sql"}""")._1 == 400)

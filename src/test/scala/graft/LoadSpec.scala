@@ -119,6 +119,12 @@ class LoadSpec extends SparkSpec {
     GraphLoader.appendNodes(spark, out, newNode)
     val nodes = storeNodes(out)
     assert(nodes.count() == n0 + 1)
+
+    // the dialect's second insert shape: INSERT INTO <T> SET k = v, …
+    assert(graft.server.Dml.execute(spark, out,
+      "INSERT INTO Customer SET id = 1999996, name = 'Customer#set-form'") == 1)
+    assert(storeNodes(out).filter(col("id") === 1999996L)
+      .select("name").head.getString(0) == "Customer#set-form")
     assert(nodes.filter(col("id") === 1999999L).select("mktsegment")
       .head.getString(0) == "BUILDING")
     // unique_validation still green after the append (the verdict's gate)
@@ -145,8 +151,8 @@ class LoadSpec extends SparkSpec {
     intercept[IllegalArgumentException](GraphLoader.appendNodes(spark, out,
       Seq((1999997L, "Customer", "x")).toDF("id", "label", "no_such_prop")))
 
-    // every rejection left the store untouched
-    assert(storeNodes(out).count() == n0 + 1)
+    // every rejection left the store untouched (+2 = the two inserts)
+    assert(storeNodes(out).count() == n0 + 2)
     assert(storeEdges(out).count() == e0 + 1)
   }
 
