@@ -351,6 +351,15 @@ object GraphLoader {
     * Returns the number of updated records. */
   def updateRecords(spark: SparkSession, outDir: String, label: String, kind: String,
       sets: Map[String, Any], pred: org.apache.spark.sql.Column): Long =
+    updateColumns(spark, outDir, label, kind,
+      sets.map { case (k, v) => k -> lit(v) }, pred)
+
+  /** Column-valued UPDATE: SET values are arbitrary expressions over
+    * the label partition's own row (the dialect's `SET x = x + 1`),
+    * literals being the trivial case above. */
+  def updateColumns(spark: SparkSession, outDir: String, label: String, kind: String,
+      sets: Map[String, org.apache.spark.sql.Column],
+      pred: org.apache.spark.sql.Column): Long =
       StoreLock.withWriteLock(outDir) {
     require(sets.nonEmpty, "UPDATE needs a SET clause")
     val immutable = Set("id", "src", "dst", "label")
@@ -363,7 +372,7 @@ object GraphLoader {
       val affected = part.filter(pred).count()
       val updated = part.select(part.schema.fields.toSeq.map { f =>
         sets.get(f.name) match {
-          case Some(v) => when(pred, lit(v).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case Some(v) => when(pred, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
           case None => col(f.name)
         }
       }: _*)

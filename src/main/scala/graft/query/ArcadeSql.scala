@@ -166,6 +166,20 @@ object ArcadeSql {
 
     def expectEnd(): Unit = { ws(); if (i < s.length) fail(s"trailing input: '${s.substring(i)}'") }
 
+    /** The DML UPDATE tail: `k = <expr>[, …] [WHERE <pred>]` — shared
+      * with the command surface so SET values get the FULL dialect
+      * expression grammar (arithmetic, method chains), not just
+      * literals. */
+    def updateTail(): (Seq[(String, Expr)], Option[Expr]) = {
+      val sets = scala.collection.mutable.ArrayBuffer[(String, Expr)]()
+      def one(): Unit = { ws(); val k = ident(); ws(); expectCh('='); sets += ((k, expr())) }
+      one(); ws()
+      while (peek == ',') { i += 1; one(); ws() }
+      val pred = if (eat("WHERE")) Some(expr()) else None
+      expectEnd()
+      (sets.toSeq, pred)
+    }
+
     // ---- statements ----
 
     def statement(): Stmt = {
@@ -574,6 +588,15 @@ object ArcadeSql {
     val e = p.expr()
     p.expectEnd()
     ce(e, n => col(n))
+  }
+
+  /** Parse a DML UPDATE tail `k = <expr>[, …] [WHERE <pred>]` into
+    * column assignments plus the optional predicate, all compiled
+    * against unresolved columns of the target label partition. */
+  def updateClause(s: String): (Seq[(String, Column)], Option[Column]) = {
+    val (sets, pred) = new Parser(s).updateTail()
+    (sets.map { case (k, e) => k -> ce(e, n => col(n)) },
+      pred.map(ce(_, n => col(n))))
   }
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)

@@ -151,11 +151,18 @@ object Dml {
       // 'WHERE x'` — can never mis-split the statement the way the old
       // regex capture did
       case c if c.trim.toUpperCase.startsWith("UPDATE") =>
-        val (label, sets, where) = parseUpdate(c)
+        // UPDATE <Label> SET <tail>: the tail (assignments + WHERE) is
+        // the dialect grammar — SET values are full expressions over
+        // the row, and a string literal holding a keyword can never
+        // mis-split the statement
+        val lx = new Lexer(c)
+        lx.keyword("UPDATE")
+        val label = lx.ident()
+        lx.keyword("SET")
+        val (sets, where) = graft.query.ArcadeSql.updateClause(lx.rest())
         clientCastErrors {
-          val n = GraphLoader.updateRecords(spark, storeDir, label, kindOf(label),
-            sets, where.map(graft.query.ArcadeSql.predicate)
-              .getOrElse(org.apache.spark.sql.functions.lit(true)))
+          val n = GraphLoader.updateColumns(spark, storeDir, label, kindOf(label),
+            sets.toMap, where.getOrElse(org.apache.spark.sql.functions.lit(true)))
           // GC with a one-generation grace window (an in-process server
           // additionally sweeps with exact pin knowledge post-reload)
           graft.load.Store.sweep(storeDir, keepPerLabel = 1)
@@ -318,28 +325,6 @@ object Dml {
           }
       }
     }
-  }
-
-  /** `UPDATE <Label> SET k = lit[, …] [WHERE <pred>]` — the WHERE tail
-    * (if any) is handed verbatim to the dialect predicate grammar. */
-  private def parseUpdate(cmd: String): (String, Map[String, Any], Option[String]) = {
-    val lx = new Lexer(cmd)
-    lx.keyword("UPDATE")
-    val label = lx.ident()
-    lx.keyword("SET")
-    val sets = scala.collection.mutable.LinkedHashMap[String, Any]()
-    var more = true
-    while (more) {
-      val k = lx.ident()
-      lx.expect('=')
-      sets(k) = lx.literal()
-      lx.ws()
-      if (lx.peek == ',') lx.i += 1 else more = false
-    }
-    val where =
-      if (lx.done) None
-      else { lx.keyword("WHERE"); Some(lx.rest()) }
-    (label, sets.toMap, where)
   }
 
   /** `DELETE FROM <Label> [WHERE <pred>]`, plus the OrientDB-lineage

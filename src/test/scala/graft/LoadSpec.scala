@@ -208,6 +208,18 @@ class LoadSpec extends SparkSpec {
     Dml.execute(spark, out, "DELETE EDGE PLACED WHERE src = 1000044")
     assert(Dml.execute(spark, out, "DELETE VERTEX Customer WHERE id = 1000044") == 1)
 
+    // SET values are full dialect expressions over the row
+    val bal0 = storeNodes(out).filter(col("id") === 1000045L)
+      .select("acctbal").head.getDouble(0)
+    assert(Dml.execute(spark, out,
+      "UPDATE Customer SET acctbal = acctbal + 10.5 WHERE id = 1000045") == 1)
+    assert(storeNodes(out).filter(col("id") === 1000045L)
+      .select("acctbal").head.getDouble(0) == bal0 + 10.5)
+    assert(Dml.execute(spark, out,
+      "UPDATE Customer SET mktsegment = mktsegment.toLowerCase() WHERE id = 1000045") == 1)
+    assert(storeNodes(out).filter(col("id") === 1000045L).select("mktsegment")
+      .head.getString(0).forall(c => !c.isUpper))
+
     // keyword-bearing string literals never mis-split the statement
     // (character-level parse, not regex capture)
     assert(Dml.execute(spark, out,
