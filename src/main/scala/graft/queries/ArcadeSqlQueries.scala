@@ -303,6 +303,36 @@ object ArcadeSqlQueries {
         list_sort(string_split(p_name, ' '))[-1] AS tlast,
         CAST(len(string_split(p_name, ' ')) AS INT) AS n FROM part""")),
 
+    // statistical aggregate family through the dialect (agg_stats +
+    // agg_percentiles twins); rounding in the outer SELECT absorbs
+    // float reduce-order drift, median/percentile are exact on the
+    // integer-valued quantity
+    Q("asql_agg_stats",
+      asql("""SELECT returnflag, round(sd, 4) AS std_qty, round(vr, 4) AS var_qty,
+          med AS med_qty, p25 AS p25_qty, p75 AS p75_qty
+        FROM (SELECT returnflag, stddev(quantity) AS sd, variance(quantity) AS vr,
+          median(quantity) AS med, percentile(quantity, 0.25) AS p25,
+          percentile(quantity, 0.75) AS p75 FROM CONTAINS GROUP BY returnflag)"""),
+      Some("""SELECT l_returnflag AS returnflag,
+        round(stddev_samp(l_quantity), 4) AS std_qty,
+        round(var_samp(l_quantity), 4) AS var_qty,
+        median(l_quantity) AS med_qty,
+        quantile_cont(l_quantity, 0.25) AS p25_qty,
+        quantile_cont(l_quantity, 0.75) AS p75_qty
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // first/last with an explicit order key (min_by/max_by — the
+    // agg_first_last twin; 1-arg first() fails loudly instead of being
+    // silently nondeterministic on a distributed store)
+    Q("asql_agg_first_last",
+      asql("""SELECT priority, first(totalprice, id) AS first_price,
+        last(totalprice, id) AS last_price, count(*) AS cnt
+        FROM Order GROUP BY priority"""),
+      Some("""SELECT o_orderpriority AS priority,
+        arg_min(o_totalprice, o_orderkey) AS first_price,
+        arg_max(o_totalprice, o_orderkey) AS last_price,
+        CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY o_orderpriority""")),
+
     // shortestPath(from, to, dir, [labels]).size() — ONE Pregel
     // landmark job left-joined on id (the shortest_path_region twin);
     // unreachable = empty path = 0. Region 0's node id is 0.

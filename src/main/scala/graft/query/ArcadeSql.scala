@@ -763,7 +763,8 @@ object ArcadeSql {
     }
   }
 
-  private val AggNames = Set("count", "count_distinct", "sum", "min", "max", "avg")
+  private val AggNames = Set("count", "count_distinct", "sum", "min", "max", "avg",
+    "stddev", "variance", "median", "percentile", "first", "last", "list", "set")
 
   private def scalarFunc(name: String, args: Seq[Expr],
       resolve: String => Column): Column = name match {
@@ -795,6 +796,22 @@ object ArcadeSql {
     case Func("min", Seq(x)) => min(ce(x, resolve))
     case Func("max", Seq(x)) => max(ce(x, resolve))
     case Func("avg", Seq(x)) => avg(ce(x, resolve))
+    case Func("stddev", Seq(x)) => stddev_samp(ce(x, resolve))
+    case Func("variance", Seq(x)) => var_samp(ce(x, resolve))
+    case Func("median", Seq(x)) => median(ce(x, resolve))
+    case Func("percentile", Seq(x, Lit(q))) =>
+      percentile(ce(x, resolve), lit(q))
+    // first/last are declared ONLY with an explicit order key
+    // (min_by/max_by) — the engine has no storage order to lean on,
+    // so a 1-arg first() would be silently nondeterministic
+    case Func("first", Seq(x, k)) => min_by(ce(x, resolve), ce(k, resolve))
+    case Func("last", Seq(x, k)) => max_by(ce(x, resolve), ce(k, resolve))
+    case Func(n @ ("first" | "last"), _) =>
+      fail(s"$n(value, orderKey) needs an explicit order key — " +
+        "record order is not defined on a distributed store")
+    // collectors, canonicalized by sort for deterministic output
+    case Func("list", Seq(x)) => sort_array(collect_list(ce(x, resolve)))
+    case Func("set", Seq(x)) => array_sort(collect_set(ce(x, resolve)))
     case other => fail(s"unsupported aggregate $other")
   }
 

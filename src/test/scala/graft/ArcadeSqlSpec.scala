@@ -350,6 +350,25 @@ class ArcadeSqlSpec extends SparkSpec {
     intercept[IllegalArgumentException](run("SELECT @version FROM Region"))
   }
 
+  test("statistical aggregates and collectors in the dialect") {
+    val row = run("""SELECT stddev(acctbal) AS sd, variance(acctbal) AS vr,
+        median(acctbal) AS med, percentile(acctbal, 0.5) AS p50,
+        first(acctbal, id) AS f, last(acctbal, id) AS l FROM Customer""").collect()(0)
+    val twin = g.nodesOf("Customer").agg(
+      stddev_samp(col("acctbal")), var_samp(col("acctbal")), median(col("acctbal")),
+      percentile(col("acctbal"), lit(0.5)),
+      min_by(col("acctbal"), col("id")), max_by(col("acctbal"), col("id"))).collect()(0)
+    (0 until 6).foreach(i => assert(row.getDouble(i) == twin.getDouble(i)))
+    // collectors sort for determinism; set() dedups
+    val coll = run("""SELECT priority, list(status) AS ls, set(status) AS ss
+        FROM Order GROUP BY priority LIMIT 1""").collect()(0)
+    val ls = coll.getSeq[String](1); val ss = coll.getSeq[String](2)
+    assert(ls == ls.sorted && ss == ss.sorted && ss.distinct == ss)
+    assert(ss.toSet.subsetOf(ls.toSet) && ls.size >= ss.size)
+    intercept[IllegalArgumentException](
+      run("SELECT first(acctbal) AS f FROM Customer")) // no order key
+  }
+
   test("date and collection method families") {
     val row = run("""SELECT orderdate, orderdate.asDate() AS d,
         orderdate.asDate().format('yyyy-MM') AS ym,
