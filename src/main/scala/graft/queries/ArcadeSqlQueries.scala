@@ -303,6 +303,23 @@ object ArcadeSqlQueries {
         list_sort(string_split(p_name, ' '))[-1] AS tlast,
         CAST(len(string_split(p_name, ' ')) AS INT) AS n FROM part""")),
 
+    // remaining scalar-function family: printf-style format(),
+    // case-insensitive strcmpci(), base64 encode/decode round-trip,
+    // and the distinct(x) function spelling
+    Q("asql_scalar_funcs",
+      asql("""SELECT name, format('%s/%d', name, psize) AS tag,
+        strcmpci(brand, 'brand#13') AS cmp,
+        decode(encode(name, 'base64'), 'base64') AS roundtrip
+        FROM Part WHERE psize <= 5"""),
+      Some("""SELECT p_name AS name, printf('%s/%d', p_name, p_size) AS tag,
+        CAST(CASE WHEN lower(p_brand) = 'brand#13' THEN 0
+          WHEN lower(p_brand) < 'brand#13' THEN -1 ELSE 1 END AS INT) AS cmp,
+        p_name AS roundtrip FROM part WHERE p_size <= 5""")),
+
+    Q("asql_distinct_fn",
+      asql("SELECT distinct(mktsegment) FROM Customer"),
+      Some("SELECT DISTINCT c_mktsegment AS mktsegment FROM customer")),
+
     // statistical aggregate family through the dialect (agg_stats +
     // agg_percentiles twins); rounding in the outer SELECT absorbs
     // float reduce-order drift, median/percentile are exact on the

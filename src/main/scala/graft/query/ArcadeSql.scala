@@ -764,7 +764,7 @@ object ArcadeSql {
   }
 
   private val AggNames = Set("count", "count_distinct", "sum", "min", "max", "avg",
-    "stddev", "variance", "median", "percentile", "first", "last", "list", "set")
+    "stddev", "variance", "median", "percentile", "first", "last", "list", "set", "map")
 
   private def scalarFunc(name: String, args: Seq[Expr],
       resolve: String => Column): Column = name match {
@@ -785,6 +785,19 @@ object ArcadeSql {
     case "date" if args.size == 1 => to_date(ce(args.head, resolve))
     case "date" if args.size == 2 =>
       to_date(ce(args.head, resolve), likePattern(args(1)))
+    // printf-style rendering (the dialect's format() is Java
+    // String.format; Spark's format_string is the same printf family)
+    case "format" if args.size >= 2 =>
+      format_string(likePattern(args.head), args.tail.map(ce(_, resolve)): _*)
+    // case-insensitive compare: 0 equal, else sign of the compare
+    case "strcmpci" if args.size == 2 =>
+      val (a, b) = (lower(ce(args(0), resolve)), lower(ce(args(1), resolve)))
+      when(a === b, 0).when(a < b, -1).otherwise(1)
+    case "encode" if args.size == 2 && likePattern(args(1)).equalsIgnoreCase("base64") =>
+      base64(ce(args.head, resolve).cast(BinaryType))
+    case "decode" if args.size == 2 && likePattern(args(1)).equalsIgnoreCase("base64") =>
+      unbase64(ce(args.head, resolve)).cast(StringType)
+    case "uuid" if args.isEmpty => expr("uuid()")
     case other => fail(s"unsupported function $other(…)")
   }
 
@@ -812,6 +825,8 @@ object ArcadeSql {
     // collectors, canonicalized by sort for deterministic output
     case Func("list", Seq(x)) => sort_array(collect_list(ce(x, resolve)))
     case Func("set", Seq(x)) => array_sort(collect_set(ce(x, resolve)))
+    case Func("map", Seq(k, v)) =>
+      map_from_entries(array_sort(collect_list(struct(ce(k, resolve), ce(v, resolve)))))
     case other => fail(s"unsupported aggregate $other")
   }
 
@@ -912,6 +927,11 @@ object ArcadeSql {
           }) =>
         if (sel.where.nonEmpty) fail("expand($x / set function) takes no WHERE — filter inside the subquery")
         return expandModifiers(sel, frameOf(g, gs, arg, letFrames))
+      // `SELECT distinct(x) FROM T` — the dialect's function spelling
+      // of SELECT DISTINCT x
+      case Seq(Proj(Func("distinct", Seq(e)), alias)) =>
+        return compileSelect(g, gs,
+          sel.copy(projs = Seq(Proj(e, alias)), distinct = true))
       case _ =>
     }
 

@@ -367,6 +367,20 @@ class ArcadeSqlSpec extends SparkSpec {
     assert(ss.toSet.subsetOf(ls.toSet) && ls.size >= ss.size)
     intercept[IllegalArgumentException](
       run("SELECT first(acctbal) AS f FROM Customer")) // no order key
+    // map(k, v) collector builds a deterministic map per group
+    val m = run("""SELECT priority, map(status, cnt) AS by_status
+        FROM (SELECT priority, status, count(*) AS cnt FROM Order GROUP BY priority, status)
+        GROUP BY priority""").collect()
+    assert(m.nonEmpty && m.forall(r => r.getMap[String, Long](1).nonEmpty))
+  }
+
+  test("scalar functions: format/strcmpci/encode/decode/uuid/distinct()") {
+    val r = run("""SELECT format('%s:%d', name, id) AS t, strcmpci(name, 'africa') AS c,
+        decode(encode(name, 'base64'), 'base64') AS rt FROM Region WHERE id = 0""").collect()(0)
+    assert(r.getString(0).endsWith(":0") && r.getString(2) == r.getString(0).split(":")(0))
+    assert(run("SELECT uuid() AS u FROM Region LIMIT 1").collect()(0).getString(0).length == 36)
+    assert(run("SELECT distinct(mktsegment) FROM Customer").count() == 5)
+    intercept[IllegalArgumentException](run("SELECT encode(name, 'rot13') FROM Region"))
   }
 
   test("date and collection method families") {
