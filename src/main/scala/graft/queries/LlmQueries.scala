@@ -195,6 +195,27 @@ object LlmQueries {
           (PARTITION BY qid ORDER BY cos DESC, nn) AS INTEGER) AS rank FROM s)
         SELECT qid, nn, rank, round(cos, 6) AS cos FROM r WHERE rank <= 10""")),
 
+    // int8-quantized cosine top-k: 4× smaller corpus representation,
+    // integer dot products. The oracle recomputes the quantization
+    // arithmetically (round(x·127/max|x|)) — code-exact, and the
+    // cosine ratio of exact integers matches to the rounded 6dp.
+    Q("sim_quantized_topk",
+      (s, d) => Similarity.quantizedTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        Seq(0L, 1L, 2L, 3L, 4L), 10)
+        .select(col("qid"), col("nn"), col("rank"), round(col("cos"), 6).as("cos")),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM v),
+        qz AS (SELECT vec_id,
+          list_transform(v, x -> CAST(round(x * 127 / ma) AS INTEGER)) AS c FROM m),
+        n AS (SELECT vec_id, c, list_dot_product(c, c) AS n2 FROM qz),
+        q AS (SELECT vec_id AS qid, c AS qc, n2 AS qn2 FROM n WHERE vec_id IN (0,1,2,3,4)),
+        s AS (SELECT qid, vec_id AS nn,
+          list_dot_product(qc, c) / (sqrt(qn2) * sqrt(n2)) AS cos
+          FROM n, q WHERE vec_id <> qid),
+        r AS (SELECT qid, nn, cos, CAST(row_number() OVER
+          (PARTITION BY qid ORDER BY cos DESC, nn) AS INTEGER) AS rank FROM s)
+        SELECT qid, nn, rank, round(cos, 6) AS cos FROM r WHERE rank <= 10""")),
+
     // IVF ANN: deterministic sampled centroids (vec_id < 16), map-only
     // cell assignment, probe 4 cells/query, exact re-rank within cells
     Q("sim_ivf_topk",

@@ -251,6 +251,26 @@ class LlmSpec extends SparkSpec {
     assert(sampled.count() == docs.count())
   }
 
+  test("int8 quantization: codes bounded, tinyint-typed, top-k recalls brute force") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qz = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    assert(qz.schema("codes").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.ByteType)
+    val bounds = qz.select(explode($"codes").as("c"))
+      .agg(min($"c"), max($"c")).collect()(0)
+    assert(bounds.getByte(0) >= -127 && bounds.getByte(1) <= 127)
+    // every vector's largest-magnitude component quantizes to ±127
+    assert(qz.filter(aggregate(transform($"codes", c => abs(c.cast("int"))),
+      lit(0), (a, x) => greatest(a, x)) === 127).count() == qz.count())
+    // quantized ranking stays close to the exact float ranking
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", Seq(0L, 1L), 10)
+      .select($"qid", $"nn").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedTopK(emb, "vec_id", "embedding", Seq(0L, 1L), 10)
+      .select($"qid", $"nn").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = exact.intersect(quant).size.toDouble / exact.size
+    assert(overlap >= 0.6, s"quantized top-10 overlap $overlap too low")
+  }
+
   test("image codec: PNG and PPM round-trip pixels exactly") {
     import graft.llmops.ImageCodec
     import graft.llmops.ImageCodec.Image
