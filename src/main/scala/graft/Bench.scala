@@ -33,6 +33,7 @@ object Bench {
     "dedup_ngram_jaccard",
     "sim_topk",
     "sim_ivf_topk",
+    "sim_quantized_topk",
     "graphql_hop",
     "asql_match_agg",
     "asql_traverse_depth",

@@ -48,7 +48,9 @@ object PlanAudit {
     Check("join_anti", "NOT-IN as left anti", "LeftAnti"),
     Check("filter_predicates", "filters pushed", "PushedFilters"),
     Check("window_running", "single shuffle for window", "Window"),
-    Check("sim_topk", "native dot kernel in plan", "graft_dot")
+    Check("sim_topk", "native dot kernel in plan", "graft_dot"),
+    Check("sim_quantized_topk", "quantized queries broadcast, corpus scanned once",
+      "BroadcastNestedLoopJoin")
   )
 
   def main(args: Array[String]): Unit = {
