@@ -369,8 +369,61 @@ object QueryServer {
       |<textarea id="q">SELECT FROM Customer LIMIT 10</textarea><br>
       |<button onclick="run()">run (ctrl-enter)</button>
       |<button onclick="schema()">schema</button>
+      |<button onclick="graph()">graph</button>
       |<div id="out"></div>
       |<script>
+      |// Studio-parity graph rendering: draws the CURRENT query's result
+      |// as a node-link SVG when rows look like edges (src+dst columns)
+      |// or vertices (id column; out/in columns of ids become links).
+      |// Circle layout, capped at 300 edges — a preview, not a dataplane.
+      |async function graph(){
+      | const out=document.getElementById('out');
+      | out.innerHTML='…';
+      | const headers={'Content-Type':'application/json'};
+      | const tok=document.getElementById('tok').value;
+      | if(tok) headers['Authorization']='Bearer '+tok;
+      | try{
+      |  const r=await fetch('/api/v1/query/graft',{method:'POST',headers,
+      |   body:JSON.stringify({language:document.getElementById('lang').value,
+      |    command:document.getElementById('q').value,
+      |    limit:parseInt(document.getElementById('lim').value)||100})});
+      |  const j=await r.json();
+      |  if(!r.ok){out.innerHTML='<p class="err"></p>';out.firstChild.textContent=j.error;return;}
+      |  const rows=j.result||[];
+      |  const edges=[],ids=new Set();
+      |  for(const row of rows.slice(0,300)){
+      |   if(row.src!==undefined&&row.dst!==undefined){
+      |    edges.push([row.src,row.dst]);ids.add(row.src);ids.add(row.dst);
+      |   }else if(row.id!==undefined){
+      |    ids.add(row.id);
+      |    for(const k of Object.keys(row)){
+      |     const v=row[k];
+      |     if(Array.isArray(v)&&v.every(x=>typeof x==='number'))
+      |      for(const t of v.slice(0,20)){edges.push([row.id,t]);ids.add(t);}
+      |    }
+      |   }
+      |  }
+      |  if(!ids.size){out.textContent='result has no src/dst or id columns to draw';return;}
+      |  const ns=[...ids],n=ns.length,R=Math.min(320,40+8*n),C=R+60;
+      |  const pos={};ns.forEach((v,k)=>{const a=2*Math.PI*k/n;
+      |   pos[v]=[C+R*Math.cos(a),C+R*Math.sin(a)];});
+      |  const svgNS='http://www.w3.org/2000/svg';
+      |  const svg=document.createElementNS(svgNS,'svg');
+      |  svg.setAttribute('width',2*C);svg.setAttribute('height',2*C);
+      |  for(const[a,b]of edges){const l=document.createElementNS(svgNS,'line');
+      |   l.setAttribute('x1',pos[a][0]);l.setAttribute('y1',pos[a][1]);
+      |   l.setAttribute('x2',pos[b][0]);l.setAttribute('y2',pos[b][1]);
+      |   l.setAttribute('stroke','#999');svg.appendChild(l);}
+      |  for(const v of ns){const c=document.createElementNS(svgNS,'circle');
+      |   c.setAttribute('cx',pos[v][0]);c.setAttribute('cy',pos[v][1]);
+      |   c.setAttribute('r',5);c.setAttribute('fill','#36c');svg.appendChild(c);
+      |   const t=document.createElementNS(svgNS,'text');
+      |   t.setAttribute('x',pos[v][0]+7);t.setAttribute('y',pos[v][1]+4);
+      |   t.setAttribute('font-size','9');t.textContent=v;svg.appendChild(t);}
+      |  out.innerHTML='<p>'+ids.size+' nodes, '+edges.length+' edges</p>';
+      |  out.appendChild(svg);
+      | }catch(e){out.innerHTML='<p class="err"></p>';out.firstChild.textContent=e;}
+      |}
       |async function schema(){
       | const out=document.getElementById('out');
       | out.innerHTML='…';
