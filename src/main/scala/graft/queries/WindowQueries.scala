@@ -43,6 +43,32 @@ object WindowQueries {
         WHERE rn <= 8""")),
 
     // running aggregate + lag/lead over an event stream ordering
+    // ✚ as-of join (AsOfJoin scaladoc): each purchase aligned to the
+    // user's latest PRIOR view — one shuffle + sort, oracle = DuckDB's
+    // native ASOF LEFT JOIN. Staleness in exact integer microseconds.
+    Q("asof_events",
+      (s, d) => {
+        val e = events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        // right side deduped per (user, ts): REQUIRED by the operator
+        val views = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max_by(col("value"), col("event_id")).as("value"))
+        graft.operators.AsOfJoin.asofJoin(purchases, views, "user_id", "ts",
+          Seq("value"))
+          .select(col("event_id"), col("user_id"),
+            col("asof_value").as("view_value"),
+            (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("staleness_us"))
+      },
+      Some("""WITH l AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+        r AS (SELECT user_id, ts, arg_max(value, event_id) AS value FROM events
+          WHERE event_type = 'view' GROUP BY user_id, ts)
+        SELECT l.event_id, l.user_id, r.value AS view_value,
+          epoch_us(l.ts) - epoch_us(r.ts) AS staleness_us
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""")),
+
     Q("window_running",
       (s, d) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)

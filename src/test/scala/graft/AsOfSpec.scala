@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+/** AsOfJoin semantics: inclusive ties, latest-prior selection,
+  * left-join nulls, and the column-clash guard. */
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of join picks the latest prior right row per key, inclusive at ties") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"), (3L, 9L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 1.0), (1L, 15L, 2.0), (1L, 21L, 3.0), (2L, 7L, 4.0))
+      .toDF("k", "t", "v")
+    val got = AsOfJoin.asofJoin(left, right, "k", "t", Seq("v"))
+      .select($"tag", $"asof_v", $"asof_ts")
+      .collect().map(r => r.getString(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(got("a") == (Some(1.0), Some(10L))) // inclusive: rts == lts matches
+    assert(got("b") == (Some(2.0), Some(15L))) // latest prior, never the future 21
+    assert(got("d") == (None, None))           // key with no right rows at all
+    assert(got("c") == (None, None))           // right exists but only in the future
+  }
+
+  test("as-of join scales shape: one shuffle on the key, no range join") {
+    val left = spark.range(0, 1000).select(($"id" % 10).as("k"), $"id".as("t"))
+    val right = spark.range(0, 100).select(($"id" % 10).as("k"),
+      ($"id" * 10).as("t"), $"id".cast("double").as("v"))
+    val joined = AsOfJoin.asofJoin(left, right, "k", "t", Seq("v"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "as-of must not plan a range/cartesian join")
+    // spot-check: left (k=0, t=990); right rows for k=0 sit at
+    // t = 0, 100, …, 900 with v = t/10 → latest prior is v=90
+    assert(joined.filter($"k" === 0 && $"t" === 990).select($"asof_v")
+      .head.getDouble(0) == 90.0)
+    // clash guard fails loudly
+    intercept[IllegalArgumentException](AsOfJoin.asofJoin(
+      left.withColumn("asof_v", lit(1)), right, "k", "t", Seq("v")))
+  }
+}
