@@ -69,6 +69,38 @@ object WindowQueries {
           epoch_us(l.ts) - epoch_us(r.ts) AS staleness_us
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""")),
 
+    // ✚ banded range join (RangeJoin scaladoc): per purchase, the
+    // count/cents of the user's views in the preceding hour — an
+    // equi-join on (user, Δ-band) + residual filter, never the
+    // inequality theta-join's per-key cartesian. Zero-view purchases
+    // kept via the left join of aggregates back onto purchases.
+    Q("range_join_events",
+      (s, d) => {
+        val e = events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("value"))
+        val hourUs = 3600L * 1000 * 1000
+        val pairs = graft.operators.RangeJoin.rangeJoin(
+          purchases, views, "user_id", "ts", hourUs, Seq("value"))
+        val agg = pairs.groupBy(col("event_id"))
+          .agg(count(lit(1)).as("n_views"), sum(cents(col("r_value"))).as("view_cents"))
+        purchases.join(agg, Seq("event_id"), "left")
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("n_views"), lit(0L)).as("n_views"),
+            coalesce(col("view_cents"), lit(0L)).as("view_cents"))
+      },
+      Some("""WITH l AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+        r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+        SELECT l.event_id, l.user_id,
+          CAST(count(r.ts) AS BIGINT) AS n_views,
+          CAST(coalesce(sum(CAST(round(r.value * 100) AS BIGINT)), 0) AS BIGINT) AS view_cents
+        FROM l LEFT JOIN r ON l.user_id = r.user_id
+          AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts < l.ts
+        GROUP BY l.event_id, l.user_id""")),
+
     Q("window_running",
       (s, d) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)

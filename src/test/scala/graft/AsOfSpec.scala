@@ -22,6 +22,33 @@ class AsOfSpec extends SparkSpec {
     assert(got("c") == (None, None))           // right exists but only in the future
   }
 
+  test("range join matches the brute-force inequality join across band boundaries") {
+    import graft.operators.RangeJoin
+    // timestamps engineered to straddle band edges: delta = 100, rows
+    // at 0, 99, 100, 101, 199, 200 exercise same-band, previous-band,
+    // and exactly-delta (excluded) cases
+    val mk = (rows: Seq[(Long, Long)]) => rows.toDF("k", "us")
+      .select($"k", timestamp_micros($"us").as("ts"), $"us".cast("double").as("value"))
+    val left = mk(Seq((1L, 100L), (1L, 200L), (1L, 101L), (2L, 150L)))
+    val right = mk(Seq((1L, 0L), (1L, 99L), (1L, 100L), (1L, 101L), (1L, 199L), (2L, 149L)))
+    val got = RangeJoin.rangeJoin(left, right, "k", "ts", 100L, Seq("value"))
+      .select($"k", unix_micros($"ts").as("lus"), unix_micros($"r_ts").as("rus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force: same key, rus in [lus - 100, lus)
+    val want = (for {
+      (lk, lus) <- Seq((1L, 100L), (1L, 200L), (1L, 101L), (2L, 150L))
+      (rk, rus) <- Seq((1L, 0L), (1L, 99L), (1L, 100L), (1L, 101L), (1L, 199L), (2L, 149L))
+      if lk == rk && rus >= lus - 100 && rus < lus
+    } yield (lk, lus, rus)).toSet
+    assert(got == want)
+    assert(want.contains((1L, 100L, 0L)), "window start is inclusive")
+    assert(!got.exists { case (_, l, r) => r == l }, "window end is exclusive")
+    // the plan is an equi-join on (key, band), not a cartesian/theta join
+    val plan = RangeJoin.rangeJoin(left, right, "k", "ts", 100L, Seq("value"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("as-of join scales shape: one shuffle on the key, no range join") {
     val left = spark.range(0, 1000).select(($"id" % 10).as("k"), $"id".as("t"))
     val right = spark.range(0, 100).select(($"id" % 10).as("k"),
