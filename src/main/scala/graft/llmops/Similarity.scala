@@ -81,9 +81,10 @@ object Similarity {
     * candidate-generation trade every int8 serving stack makes. */
   def quantizedTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int): DataFrame = {
-    def idot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("int") * y.cast("int")),
-        lit(0), (acc, x) => acc + x)
+    // codegen'd exact-integer kernel (ByteDotProduct); the HOF twin
+    // `aggregate(zip_with(a,b,(x,y)=>int(x)*int(y)), 0, _+_)` is kept
+    // in the spec cross-check
+    def idot(a: Column, b: Column): Column = graft.plans.ByteDotProduct.dot(a, b)
     val qz = quantizeInt8(emb, idCol, vecCol)
       .select(col(idCol), col("codes"), idot(col("codes"), col("codes")).as("n2"))
     val q = qz.filter(col(idCol).isin(queryIds: _*))

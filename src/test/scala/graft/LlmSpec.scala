@@ -251,6 +251,23 @@ class LlmSpec extends SparkSpec {
     assert(sampled.count() == docs.count())
   }
 
+  test("native ByteDotProduct kernel is value-identical to the interpreted HOF fold") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qz = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("int") * y.cast("int")),
+        lit(0), (acc, x) => acc + x)
+    val diff = qz.select(
+      graft.plans.ByteDotProduct.dot($"codes", $"codes").as("native"),
+      hof($"codes", $"codes").as("interp"))
+      .filter($"native" =!= $"interp").count()
+    assert(diff == 0)
+    // kernel appears in the quantized top-k plan (codegen path)
+    val plan = Similarity.quantizedTopK(emb, "vec_id", "embedding", Seq(0L), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bdot"))
+  }
+
   test("int8 quantization: codes bounded, tinyint-typed, top-k recalls brute force") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val qz = Similarity.quantizeInt8(emb, "vec_id", "embedding")
