@@ -50,7 +50,9 @@ object PlanAudit {
     Check("window_running", "single shuffle for window", "Window"),
     Check("sim_topk", "native dot kernel in plan", "graft_dot"),
     Check("sim_quantized_topk", "quantized queries broadcast, corpus scanned once",
-      "BroadcastNestedLoopJoin")
+      "BroadcastNestedLoopJoin"),
+    Check("sim_quantized_topk", "native integer dot kernel scores the codes",
+      "graft_bdot")
   )
 
   def main(args: Array[String]): Unit = {
