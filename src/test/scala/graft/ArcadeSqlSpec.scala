@@ -440,17 +440,27 @@ class ArcadeSqlSpec extends SparkSpec {
 
   test("parser fuzz: random garbage never hangs or succeeds silently") {
     val rnd = new scala.util.Random(4242)
-    val alphabet = "SELECT FROM WHERE ().,'*=<>[]$depth out in MATCH TRAVERSE abc0123 \n\t"
-    (1 to 300).foreach { _ =>
+    // alphabet includes the round-6 surface: LET/$vars, IN (SELECT …),
+    // set functions, path functions, @attributes
+    val alphabet = "SELECT FROM WHERE ().,'*=<>[]$depth out in MATCH TRAVERSE " +
+      "LET $a unionall intersect difference shortestPath dijkstra IN NOT @rid @type " +
+      "expand distinct first V E abc0123 \n\t"
+    (1 to 400).foreach { _ =>
       val s = (1 to rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
       try { ArcadeSql.parse(s); () }
       catch { case _: IllegalArgumentException => () }
     }
-    // mutations of a valid query: truncations must parse or fail cleanly
-    val valid = "SELECT name, out('PLACED').size() AS d FROM Customer WHERE acctbal > 10 ORDER BY name SKIP 1 LIMIT 5"
-    (1 until valid.length).foreach { k =>
-      try { ArcadeSql.parse(valid.take(k)); () }
-      catch { case _: IllegalArgumentException => () }
+    // mutations of valid queries: truncations must parse or fail cleanly
+    val valids = Seq(
+      "SELECT name, out('PLACED').size() AS d FROM Customer WHERE acctbal > 10 ORDER BY name SKIP 1 LIMIT 5",
+      "SELECT id FROM Customer LET $hi = (SELECT max(acctbal) AS hi FROM Customer) WHERE acctbal > $hi - 2000",
+      "SELECT expand(unionall($a, $b)) LET $a = (SELECT id FROM Region), $b = (SELECT id FROM Nation)",
+      "SELECT id, shortestPath(id, 0, 'OUT', ['IN_NATION']).size() AS p FROM Customer WHERE id IN (SELECT src FROM PLACED)")
+    valids.foreach { valid =>
+      (1 until valid.length).foreach { k =>
+        try { ArcadeSql.parse(valid.take(k)); () }
+        catch { case _: IllegalArgumentException => () }
+      }
     }
   }
 }
