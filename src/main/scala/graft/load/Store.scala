@@ -71,6 +71,10 @@ object Store {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     implicit val fmt: Formats = DefaultFormats
+    if (!Files.exists(manifestPath(outDir)))
+      throw new IllegalArgumentException(
+        s"no manifest.json in $outDir — not a graft store, or one written by " +
+          "a pre-generation layout; rebuild it with 'create'")
     val root = JsonMethods.parse(Files.readString(manifestPath(outDir)))
     def gens(field: String): Map[String, String] = root \ field match {
       case JObject(fields) => fields.map { case (k, v) => k -> v.extract[String] }.toMap
