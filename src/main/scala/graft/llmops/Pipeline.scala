@@ -72,4 +72,25 @@ object Pipeline {
       .withColumn("shard",
         floor(col("start_offset").cast("double") / capTokens).cast("long"))
   }
+
+  /** Benchmark decontamination — the standard pretraining hygiene
+    * pass: flag every corpus document sharing ANY length-`n` token
+    * shingle with the eval/benchmark set (n ≈ 8–13 in practice; short
+    * n-grams over-flag on common phrases). Both sides shingle through
+    * the compiled [[graft.plans.NGramMd5]] kernel; the check is ONE
+    * left-semi join on the 32-bit-truncated shingle hash — the eval
+    * side is benchmark-sized and broadcastable, the corpus side
+    * streams, so the pass is map-heavy and scales like the dedup
+    * family. A hash collision can only OVER-flag (a doc is dropped
+    * that didn't need to be) — the safe direction for contamination
+    * hygiene; widen the hash if the corpus makes that rate matter.
+    * Returns the distinct contaminated ids. */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    def shingles(df: DataFrame) = df.select(col(idCol),
+      explode(graft.plans.NGramMd5(TextOps.tokens(col(textCol)), n, 8)).as("sh"))
+    val evalSh = shingles(evalDocs).select(col("sh")).distinct()
+    shingles(corpus).join(evalSh, Seq("sh"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
 }

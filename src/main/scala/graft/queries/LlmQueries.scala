@@ -104,6 +104,26 @@ object LlmQueries {
         FROM pairs JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
         WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.22""")),
 
+    // benchmark decontamination (Pipeline.decontaminate): corpus docs
+    // sharing any 8-gram with the held-out source (src0 stands in for
+    // the benchmark) are flagged — one semi-join on the shingle hash
+    Q("pipeline_decontaminate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Pipeline.decontaminate(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", 8)
+      },
+      Some("""WITH sh AS (SELECT doc_id, source,
+          unnest(list_transform(generate_series(1, len(tk) - 7),
+            i -> array_to_string(tk[i:i+7], ' '))) AS sh
+          FROM (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents) t
+          WHERE len(tk) >= 8),
+        ev AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0')
+        SELECT DISTINCT doc_id FROM sh
+        WHERE source <> 'src0' AND sh IN (SELECT sh FROM ev)""")),
+
     // MinHash + LSH banding candidates (16 perms, 4 bands × 4 rows)
     Q("dedup_minhash",
       (s, d) => {
