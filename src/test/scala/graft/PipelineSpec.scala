@@ -37,6 +37,22 @@ class PipelineSpec extends SparkSpec {
     assert(c.select("doc_id").exceptAll(a.select("doc_id")).count() > 0)
   }
 
+  test("decontaminate flags exactly the docs sharing an n-gram with the eval set") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // contains the planted 4-gram
+      (2L, "totally unrelated words all the way through here"),
+      (3L, "beta gamma delta epsilon trailing tail tokens")) // shares it too
+      .toDF("doc_id", "text")
+    val evalSet = Seq((100L, "prefix beta gamma delta epsilon suffix"))
+      .toDF("doc_id", "text")
+    val flagged = Pipeline.decontaminate(corpus, evalSet, "doc_id", "text", 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1L, 3L))
+    // longer n than any shared run → nothing flagged
+    assert(Pipeline.decontaminate(corpus, evalSet, "doc_id", "text", 6).count() == 0)
+  }
+
   test("shardAssign packs in id order with monotone offsets from zero") {
     val sh = Pipeline.shardAssign(docs, "doc_id", "lang", 4096)
     // first document of every stratum starts at offset 0
