@@ -200,10 +200,13 @@ object Store {
             try { deleteRecursively(p); removed += 1 }
             catch { case _: java.io.IOException => () } // next sweep retries
         }
-        if (current.isEmpty && listDirs(labelDir).isEmpty &&
-            !Files.list(labelDir).iterator().hasNext)
-          try { Files.delete(labelDir); () }
-          catch { case _: java.io.IOException => () }
+        if (current.isEmpty && listDirs(labelDir).isEmpty) {
+          val ls = Files.list(labelDir)
+          val empty = try !ls.iterator().hasNext finally ls.close()
+          if (empty)
+            try { Files.delete(labelDir); () }
+            catch { case _: java.io.IOException => () }
+        }
       }
     }
     val root = Paths.get(outDir)

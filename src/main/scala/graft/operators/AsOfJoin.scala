@@ -42,7 +42,12 @@ object AsOfJoin {
     val lTagged = left
       .withColumn("__side", lit(1))
       .withColumns(asofCols.map(c => c -> lit(null)).toMap)
-    val rTagged = right.select(
+    // a null-timestamp right row would sort FIRST under the ascending
+    // window and pollute every left row's carried payload — it can
+    // never be "the latest prior" of anything, so drop it here; a
+    // null-timestamp LEFT row naturally gets null payloads (it sorts
+    // before every surviving right row)
+    val rTagged = right.filter(col(ts).isNotNull).select(
       Seq(col(key), col(ts), lit(0).as("__side")) ++
         payloadCols.map(c => col(c).as(s"asof_$c")) :+ col(ts).as("asof_ts"): _*)
 

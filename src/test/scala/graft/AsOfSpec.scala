@@ -20,6 +20,14 @@ class AsOfSpec extends SparkSpec {
     assert(got("b") == (Some(2.0), Some(15L))) // latest prior, never the future 21
     assert(got("d") == (None, None))           // key with no right rows at all
     assert(got("c") == (None, None))           // right exists but only in the future
+    // a null-timestamp right row must never become anyone's "prior"
+    val rWithNull = right.unionByName(
+      Seq((1L, "x", 99.0)).toDF("k", "t2", "v")
+        .select($"k", lit(null).cast("long").as("t"), $"v"))
+    val got2 = AsOfJoin.asofJoin(left, rWithNull, "k", "t", Seq("v"))
+      .select($"tag", $"asof_v").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got2("a") == Some(1.0) && got2("d") == None)
   }
 
   test("range join matches the brute-force inequality join across band boundaries") {
