@@ -263,6 +263,16 @@ object GraphLoader {
       batch: DataFrame): Unit = {
     var m = Store.readManifest(outDir)
     val labels = batch.select("label").distinct().collect().map(_.getString(0))
+    // only declared labels of the right kind may land (A5: the store
+    // schema is a registry, not whatever a batch claims)
+    val gs = GraphSchema.fromJson(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$outDir/schema.json")))
+    val kind = if (entity == "nodes") "vertex" else "edge"
+    val declared = gs.labels.filter(_.kind == kind).map(_.label).toSet
+    val unknown = labels.filterNot(declared)
+    require(unknown.isEmpty,
+      s"append rejected: undeclared $kind label(s) ${unknown.mkString(", ")} — " +
+        "CREATE " + kind.toUpperCase + " TYPE first")
     labels.foreach { label =>
       val rows = batch.filter(col("label") === label).drop("label")
       m.gens(entity).get(label) match {

@@ -150,6 +150,10 @@ class LoadSpec extends SparkSpec {
     // rejected: column not in the declared store schema
     intercept[IllegalArgumentException](GraphLoader.appendNodes(spark, out,
       Seq((1999997L, "Customer", "x")).toDF("id", "label", "no_such_prop")))
+    // rejected: undeclared label (the registry governs, not the batch)
+    intercept[IllegalArgumentException](GraphLoader.appendNodes(spark, out,
+      Seq((1999995L, "Phantom", "x", 0.0, "B"))
+        .toDF("id", "label", "name", "acctbal", "mktsegment")))
 
     // every rejection left the store untouched (+2 = the two inserts)
     assert(storeNodes(out).count() == n0 + 2)
