@@ -59,12 +59,17 @@ object Main {
       if (!Checksum.isFresh(ck, java.nio.file.Paths.get(d)))
         System.err.println(s"[graft] WARNING: store at $outDir is out of date with $d — rebuild with 'create'")
     }
-    val nodes = graft.load.Store.readEntity(spark, outDir, "nodes")
-    val edges = graft.load.Store.readEntity(spark, outDir, "edges")
+    val gs0 = graft.model.GraphSchema.fromJson(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$outDir/schema.json")))
+    // widen with declared-but-unstored columns so runtime-DDL
+    // properties read as nulls before the first row carries them
+    val nodes = graft.load.GraphLoader.widenToDeclared(
+      graft.load.Store.readEntity(spark, outDir, "nodes"), gs0, "vertex")
+    val edges = graft.load.GraphLoader.widenToDeclared(
+      graft.load.Store.readEntity(spark, outDir, "edges"), gs0, "edge")
     nodes.createOrReplaceTempView("nodes")
     edges.createOrReplaceTempView("edges")
-    val gs = graft.model.GraphSchema.fromJson(
-      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$outDir/schema.json")))
+    val gs = gs0
     gs.nodeLabels.foreach(l => nodes.filter(nodes("label") === l)
       .createOrReplaceTempView(s"nodes_$l"))
     gs.edgeLabels.foreach(l => edges.filter(edges("label") === l)

@@ -254,11 +254,26 @@ object GraphLoader {
     * O(batch) + the validation joins — no rewrite of existing data
     * (partition dirs receive new files only).
     */
-  /** Land one validated batch: rows for labels that already have a
-    * generation are appended as new files INTO that generation
-    * (readers only ever list files at plan time, so added files never
-    * break an in-flight scan and new readers see them immediately);
-    * labels without one get a fresh generation plus a manifest commit. */
+  /** Spark's partition-dir escaping percent-encodes specials but
+    * leaves '+' literal — URLDecoder would corrupt it to a space, so
+    * only %XX escapes are decoded here. */
+  private def decodePartitionName(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(s(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Land one validated batch: every label's rows become a NEW segment
+    * directory, made visible by one atomic manifest commit per label —
+    * appends get the same all-or-nothing durability as rewrites (a
+    * crash leaves only invisible orphan directories, and a concurrent
+    * reader never sees a partial batch). */
   private def appendBatch(spark: SparkSession, outDir: String, entity: String,
       batch: DataFrame): Unit = {
     var m = Store.readManifest(outDir)
@@ -275,15 +290,9 @@ object GraphLoader {
         "CREATE " + kind.toUpperCase + " TYPE first")
     labels.foreach { label =>
       val rows = batch.filter(col("label") === label).drop("label")
-      m.gens(entity).get(label) match {
-        case Some(gen) =>
-          rows.write.mode("append")
-            .parquet(Store.genDir(outDir, entity, label, gen).toString)
-        case None =>
-          val gen = Store.writeGen(outDir, entity, label, m.seq + 1, rows)
-          m = m.withGen(entity, label, gen)
-          Store.writeManifest(outDir, m)
-      }
+      val gen = Store.writeGen(outDir, entity, label, m.seq + 1, rows)
+      m = m.withSegment(entity, label, gen)
+      Store.writeManifest(outDir, m)
     }
   }
 
@@ -321,24 +330,29 @@ object GraphLoader {
     val gs = GraphSchema.fromJson(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$outDir/schema.json")))
     val batch = alignTo(newEdges, widened(existing, gs, "edge"))
-    val (resolved, dangling) = resolveEdges(nodes, batch)
+    // ONE pass does endpoint resolution AND endpoint-label observation
+    // (the DELETE probe's pruning metadata): left joins carry the node
+    // labels, a null label = a dangling endpoint
+    val nl = nodes.select(col("id"), col("label").as("__nl"))
+    val joined = batch
+      .join(nl.withColumnRenamed("id", "src").withColumnRenamed("__nl", "__sl"),
+        Seq("src"), "left")
+      .join(nl.withColumnRenamed("id", "dst").withColumnRenamed("__nl", "__dl"),
+        Seq("dst"), "left")
+      .localCheckpoint(true) // consumed 3×: dangling check, obs, rows
+    val dangling = joined.filter(col("__sl").isNull || col("__dl").isNull)
     require(dangling.isEmpty, {
       val sample = dangling.select("src", "dst").limit(5).collect()
         .map(r => s"(${r.getLong(0)}→${r.getLong(1)})").mkString(", ")
       s"append rejected: dangling edge endpoint(s): $sample"
     })
-    appendBatch(spark, outDir, "edges", resolved)
-    // keep the DELETE probe's pruning metadata a superset of reality:
-    // fold the batch's observed endpoint labels into the manifest
-    val nl = nodes.select(col("id"), col("label").as("__nl"))
-    val obs = resolved.select(col("src"), col("dst"), col("label"))
-      .join(nl.withColumnRenamed("id", "src").withColumnRenamed("__nl", "__sl"), Seq("src"))
-      .join(nl.withColumnRenamed("id", "dst").withColumnRenamed("__nl", "__dl"), Seq("dst"))
-      .select(col("label"), col("__sl"), col("__dl")).distinct().collect()
+    val obs = joined.select(col("label"), col("__sl"), col("__dl")).distinct().collect()
       .groupBy(_.getString(0))
       .map { case (l, rows) =>
         l -> ((rows.map(_.getString(1)).toSet, rows.map(_.getString(2)).toSet))
       }
+    appendBatch(spark, outDir, "edges",
+      joined.drop("__sl", "__dl").select(batch.columns.map(col).toIndexedSeq: _*))
     val m = Store.readManifest(outDir)
     val merged = (m.edgeEndpoints.keySet ++ obs.keySet).map { l =>
       val (s1, d1) = m.edgeEndpoints.getOrElse(l, (Set.empty[String], Set.empty[String]))
@@ -423,10 +437,9 @@ object GraphLoader {
         // single-row delete must not pay a full edge-store scan
         // (VERDICT r5 order #7)
         val m = Store.readManifest(outDir)
-        val frames = edgeLabelsReferencing(outDir, label).map { el =>
-          spark.read.parquet(
-            Store.genDir(outDir, "edges", el, m.edges(el)).toString)
-            .select(col("src"), col("dst"))
+        val frames = edgeLabelsReferencing(outDir, label).flatMap { el =>
+          Store.readLabel(spark, outDir, "edges", el, m)
+            .map(_.select(col("src"), col("dst")))
         }
         frames.reduceOption(_.unionByName(_)).foreach { edges =>
           val referencing = edges
@@ -458,11 +471,19 @@ object GraphLoader {
       label: String)(f: DataFrame => (DataFrame, Long)): Long = {
     val entity = if (kind == "vertex") "nodes" else "edges"
     val m = Store.readManifest(outDir)
-    val current = m.gens(entity).get(label) match {
-      case Some(gen) => gen
+    val segs = Store.readLabel(spark, outDir, entity, label, m) match {
+      case Some(df) => df
       case None => return 0L // declared label, no rows yet
     }
-    val part = spark.read.parquet(Store.genDir(outDir, entity, label, current).toString)
+    // widen with DECLARED properties no stored segment carries yet —
+    // runtime DDL makes a column UPDATEable (and rewritable) before the
+    // first file contains it
+    val gs = GraphSchema.fromJson(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$outDir/schema.json")))
+    val have = segs.columns.toSet
+    val part = gs.labels.find(l => l.label == label).toSeq
+      .flatMap(_.schema.fields).filterNot(f0 => have(f0.name))
+      .foldLeft(segs)((df, f0) => df.withColumn(f0.name, lit(null).cast(f0.dataType)))
     val (rewritten, affected) = f(part)
     if (affected == 0) return 0L
     val gen = Store.writeGen(outDir, entity, label, m.seq + 1, rewritten)
@@ -505,9 +526,8 @@ object GraphLoader {
     val m = Store.readManifest(outDir)
     var rewritten = 0
     Seq("nodes" -> "vertex", "edges" -> "edge").foreach { case (entity, kind) =>
-      m.gens(entity).toSeq.sortBy(_._1).foreach { case (label, gen) =>
-        val dir = Store.genDir(outDir, entity, label, gen)
-        val files = parquetFiles(dir)
+      m.gens(entity).toSeq.sortBy(_._1).foreach { case (label, segs) =>
+        val files = segs.flatMap(g => parquetFiles(Store.genDir(outDir, entity, label, g)))
         val bytes = files.map(java.nio.file.Files.size).sum
         val target = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
         if (files.size > math.max(target, maxFilesPerLabel)) {
@@ -548,6 +568,16 @@ object GraphLoader {
       .filterNot(f => have.contains(f.name))
       .groupBy(_.name).map(_._2.head).toSeq.sortBy(_.name)
     StructType(existing.schema.fields ++ extra)
+  }
+
+  /** Attach DECLARED properties missing from a stored union frame as
+    * typed nulls — a column added by runtime DDL is readable (as null)
+    * before any file carries it. Serve-side twin of [[widened]]. */
+  def widenToDeclared(df: DataFrame, gs: GraphSchema, kind: String): DataFrame = {
+    val have = df.columns.toSet
+    gs.labels.filter(_.kind == kind).flatMap(_.schema.fields)
+      .filterNot(f => have(f.name)).groupBy(_.name).map(_._2.head).toSeq.sortBy(_.name)
+      .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
   }
 
   /** Project `df` onto `target`: shared columns cast to the store
@@ -609,7 +639,7 @@ object GraphLoader {
         Store.readManifest(outDir).seq
       else 0L
     val seq = prevSeq + 1
-    def promote(entity: String): Map[String, String] = {
+    def promote(entity: String): Map[String, Seq[String]] = {
       import scala.jdk.CollectionConverters._
       val root = bulk.resolve(entity)
       val s = java.nio.file.Files.list(root)
@@ -617,13 +647,12 @@ object GraphLoader {
         .filter(p => p.getFileName.toString.startsWith("label=")).toList
         finally s.close()
       labelDirs.map { p =>
-        val label = java.net.URLDecoder.decode(
-          p.getFileName.toString.stripPrefix("label="), "UTF-8")
+        val label = decodePartitionName(p.getFileName.toString.stripPrefix("label="))
         val gen = Store.newGenName(seq)
         val dest = Store.genDir(outDir, entity, label, gen)
         java.nio.file.Files.createDirectories(dest.getParent)
         java.nio.file.Files.move(p, dest)
-        label -> gen
+        label -> Seq(gen)
       }.toMap
     }
     val nodeGens = promote("nodes")

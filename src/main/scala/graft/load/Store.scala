@@ -48,21 +48,34 @@ import scala.jdk.CollectionConverters._
   */
 object Store {
 
-  /** `edgeEndpoints`: per edge label, the OBSERVED set of (src node
-    * labels, dst node labels) — maintained at bulk load and on edge
-    * append as a monotone over-approximation (edge deletes never
-    * shrink it). Consumed by the vertex-DELETE integrity probe to scan
-    * only edge labels that can reference the deleted label. */
+  /** Each label maps to its ordered SEGMENT list (oldest → newest):
+    * a rewrite commits a single fresh segment replacing the list, an
+    * append commits one additional segment — so every mutation,
+    * including appends, is one atomic manifest swap and a crashed
+    * writer can only leave invisible orphan directories. Segments may
+    * carry different schemas (runtime DDL adds columns); readers union
+    * them by name. `edgeEndpoints`: per edge label, the OBSERVED set
+    * of (src node labels, dst node labels) — maintained at bulk load
+    * and on edge append as a monotone over-approximation (edge deletes
+    * never shrink it); consumed by the vertex-DELETE integrity probe
+    * to scan only edge labels that can reference the deleted label. */
   final case class Manifest(
       seq: Long,
-      nodes: Map[String, String],
-      edges: Map[String, String],
+      nodes: Map[String, Seq[String]],
+      edges: Map[String, Seq[String]],
       edgeEndpoints: Map[String, (Set[String], Set[String])]) {
-    def gens(entity: String): Map[String, String] =
+    def gens(entity: String): Map[String, Seq[String]] =
       if (entity == "nodes") nodes else edges
+    /** Rewrite commit: the label's whole content is now `gen`. */
     def withGen(entity: String, label: String, gen: String): Manifest =
-      if (entity == "nodes") copy(seq = seq + 1, nodes = nodes + (label -> gen))
-      else copy(seq = seq + 1, edges = edges + (label -> gen))
+      if (entity == "nodes") copy(seq = seq + 1, nodes = nodes + (label -> Seq(gen)))
+      else copy(seq = seq + 1, edges = edges + (label -> Seq(gen)))
+    /** Append commit: `gen` joins the label's segment list. */
+    def withSegment(entity: String, label: String, gen: String): Manifest = {
+      val cur = gens(entity).getOrElse(label, Nil)
+      if (entity == "nodes") copy(seq = seq + 1, nodes = nodes + (label -> (cur :+ gen)))
+      else copy(seq = seq + 1, edges = edges + (label -> (cur :+ gen)))
+    }
   }
 
   def manifestPath(outDir: String): Path = Paths.get(outDir, "manifest.json")
@@ -76,8 +89,8 @@ object Store {
         s"no manifest.json in $outDir — not a graft store, or one written by " +
           "a pre-generation layout; rebuild it with 'create'")
     val root = JsonMethods.parse(Files.readString(manifestPath(outDir)))
-    def gens(field: String): Map[String, String] = root \ field match {
-      case JObject(fields) => fields.map { case (k, v) => k -> v.extract[String] }.toMap
+    def gens(field: String): Map[String, Seq[String]] = root \ field match {
+      case JObject(fields) => fields.map { case (k, v) => k -> v.extract[Seq[String]] }.toMap
       case _ => Map.empty
     }
     val eps = root \ "edgeEndpoints" match {
@@ -93,15 +106,16 @@ object Store {
   def writeManifest(outDir: String, m: Manifest): Unit = {
     def esc(s: String) =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
-    def gens(g: Map[String, String]) =
-      g.toSeq.sortBy(_._1).map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
-        .mkString("{", ",", "}")
+    def gens(g: Map[String, Seq[String]]) =
+      g.toSeq.sortBy(_._1).map { case (k, v) =>
+        s""""${esc(k)}":${v.map(x => s"\"${esc(x)}\"").mkString("[", ",", "]")}"""
+      }.mkString("{", ",", "}")
     def strSet(s: Set[String]) =
       s.toSeq.sorted.map(x => s""""${esc(x)}"""").mkString("[", ",", "]")
     val eps = m.edgeEndpoints.toSeq.sortBy(_._1).map { case (l, (srcs, dsts)) =>
       s""""${esc(l)}":{"src":${strSet(srcs)},"dst":${strSet(dsts)}}"""
     }.mkString("{", ",", "}")
-    val json = s"""{"version":2,"seq":${m.seq},"nodes":${gens(m.nodes)},""" +
+    val json = s"""{"version":3,"seq":${m.seq},"nodes":${gens(m.nodes)},""" +
       s""""edges":${gens(m.edges)},"edgeEndpoints":$eps}"""
     val tmp = Paths.get(outDir, s".manifest.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     Files.writeString(tmp, json)
@@ -117,29 +131,41 @@ object Store {
 
   private def canon(p: Path): String = p.toAbsolutePath.normalize.toString
 
-  /** The concrete generation directories the current manifest
+  /** The concrete segment directories the current manifest
     * references — what a freshly-built reader snapshot must pin. */
   def currentGenPaths(outDir: String): Seq[String] = {
     val m = readManifest(outDir)
-    (m.nodes.toSeq.map { case (l, g) => genDir(outDir, "nodes", l, g) } ++
-      m.edges.toSeq.map { case (l, g) => genDir(outDir, "edges", l, g) }).map(canon)
+    (m.nodes.toSeq.flatMap { case (l, gs) => gs.map(genDir(outDir, "nodes", l, _)) } ++
+      m.edges.toSeq.flatMap { case (l, gs) => gs.map(genDir(outDir, "edges", l, _)) })
+      .map(canon)
   }
 
-  /** One entity's union frame: per-label generation scans with the
+  /** One entity's union frame: per-label segment scans with the
     * label re-attached (files store data columns only, like the old
     * layout's partition directories). Catalyst folds a
     * `label === 'X'` filter to empty scans on every other union
-    * branch, so label pruning matches the old partition pruning. */
+    * branch, so label pruning matches the old partition pruning.
+    * Segments union BY NAME — a column added by runtime DDL exists
+    * only in newer segments and reads as null from older ones, with
+    * no dependence on parquet schema-merge inference. */
   def readEntity(spark: SparkSession, outDir: String, entity: String): DataFrame = {
     val m = readManifest(outDir)
     readEntityAt(spark, outDir, entity, m)
   }
 
+  /** All segments of ONE label, label column elided — the rewrite /
+    * probe-side reader. */
+  def readLabel(spark: SparkSession, outDir: String, entity: String,
+      label: String, m: Manifest): Option[DataFrame] =
+    m.gens(entity).get(label).filter(_.nonEmpty).map { segs =>
+      segs.map(g => spark.read.parquet(genDir(outDir, entity, label, g).toString))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+
   def readEntityAt(spark: SparkSession, outDir: String, entity: String,
       m: Manifest): DataFrame = {
-    val frames = m.gens(entity).toSeq.sortBy(_._1).map { case (label, gen) =>
-      spark.read.parquet(genDir(outDir, entity, label, gen).toString)
-        .withColumn("label", lit(label))
+    val frames = m.gens(entity).toSeq.sortBy(_._1).flatMap { case (label, _) =>
+      readLabel(spark, outDir, entity, label, m).map(_.withColumn("label", lit(label)))
     }
     frames.reduceOption(_.unionByName(_, allowMissingColumns = true)).getOrElse {
       val base =
@@ -190,10 +216,11 @@ object Store {
       listDirs(Paths.get(outDir, entity)).foreach { labelDir =>
         val label = labelDir.getFileName.toString
         val current = m.gens(entity).get(label)
+        val referenced = current.getOrElse(Nil).toSet
         val gens = listDirs(labelDir).map(_.getFileName.toString)
           .filter(_.startsWith("gen-"))
         // gen names sort by their zero-padded seq: newest first
-        val superseded = gens.filterNot(current.contains).sorted.reverse.drop(keepPerLabel)
+        val superseded = gens.filterNot(referenced).sorted.reverse.drop(keepPerLabel)
         superseded.foreach { g =>
           val p = labelDir.resolve(g)
           if (!GenerationPins.isPinned(canon(p)))
@@ -230,20 +257,25 @@ object Store {
   * processes are serialized by [[StoreLock]] but must sweep with a
   * `keepPerLabel` grace window instead of pin knowledge). */
 object GenerationPins {
-  private val pins =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+  // plain map under a monitor: pin/unpin are rare (snapshot create /
+  // retire, not per-row), and lock-free counters had a real race —
+  // unpin's count-to-0 removal could discard an entry a concurrent
+  // pin() had just re-incremented, silently losing that pin
+  private val pins = scala.collection.mutable.Map[String, Int]()
 
-  def pin(paths: Seq[String]): Unit = paths.foreach { p =>
-    pins.computeIfAbsent(p, _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
+  def pin(paths: Seq[String]): Unit = synchronized {
+    paths.foreach(p => pins(p) = pins.getOrElse(p, 0) + 1)
   }
 
-  def unpin(paths: Seq[String]): Unit = paths.foreach { p =>
-    val c = pins.get(p)
-    if (c != null && c.decrementAndGet() <= 0) pins.remove(p, c)
+  def unpin(paths: Seq[String]): Unit = synchronized {
+    paths.foreach { p =>
+      pins.get(p) match {
+        case Some(n) if n > 1 => pins(p) = n - 1
+        case Some(_) => pins.remove(p)
+        case None => ()
+      }
+    }
   }
 
-  def isPinned(path: String): Boolean = {
-    val c = pins.get(path)
-    c != null && c.get() > 0
-  }
+  def isPinned(path: String): Boolean = synchronized(pins.contains(path))
 }

@@ -915,8 +915,17 @@ object ArcadeSql {
 
     sel.projs match {
       case Seq(Proj(Func("expand", Seq(h: HopExpr)), _)) =>
+        // LET scalars are not wired into the expand(hop) fast path — a
+        // $var reaching its resolver would surface as an unresolved
+        // column (HTTP 500), so refuse it cleanly here
+        if (sel.lets.nonEmpty || sel.where.exists(w => varsIn(w).nonEmpty))
+          fail("LET bindings do not combine with expand(<hop>) — wrap the hop " +
+            "in an outer SELECT")
         return compileExpand(g, gs, sel, h)
       case Seq(Proj(Func("expand", Seq(Func(v @ ("outv" | "inv"), Nil))), _)) =>
+        if (sel.lets.nonEmpty || sel.where.exists(w => varsIn(w).nonEmpty))
+          fail("LET bindings do not combine with expand(outV()/inV()) — wrap it " +
+            "in an outer SELECT")
         return compileExpandEndpoint(g, gs, sel, if (v == "outv") "src" else "dst")
       // `SELECT expand($c)` / `SELECT expand(unionall($a, $b))` — the
       // projection IS a result-set; modifiers page it like any expand

@@ -75,13 +75,18 @@ object Dml {
       // instance form `CREATE VERTEX <label> SET …`
       case CreateTypeRe(kind, label, ifNotExists) =>
         ddl(storeDir) { cur =>
-          if (cur.labels.exists(_.label == label)) {
-            require(ifNotExists != null, s"type $label already exists")
-            (cur, 0L)
-          } else {
-            val k = if (kind.equalsIgnoreCase("VERTEX")) "vertex" else "edge"
-            (cur.copy(labels = cur.labels :+
-              graft.model.LabelSchema(label, k, StructType(Nil))), 1L)
+          val k = if (kind.equalsIgnoreCase("VERTEX")) "vertex" else "edge"
+          cur.labels.find(_.label == label) match {
+            case Some(existing) =>
+              // IF NOT EXISTS never papers over a KIND conflict — the
+              // caller's model of the type would be silently wrong
+              require(existing.kind == k,
+                s"type $label already exists as a ${existing.kind} type")
+              require(ifNotExists != null, s"type $label already exists")
+              (cur, 0L)
+            case None =>
+              (cur.copy(labels = cur.labels :+
+                graft.model.LabelSchema(label, k, StructType(Nil))), 1L)
           }
         }
       case CreatePropertyRe(label, prop, typeName) =>

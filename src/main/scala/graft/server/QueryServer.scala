@@ -107,22 +107,40 @@ object QueryServer {
     graft.load.GenerationPins.pin(current.genPaths)
     val retired = new java.util.concurrent.ConcurrentLinkedQueue[Snapshot]()
     val writeMutex = new Object
+    val sweepMutex = new Object
+    // serialized: two concurrent completions must not both release the
+    // same retired snapshot (a double-unpin would strip a pin another
+    // still-active snapshot holds on the same generation)
     def maybeSweep(): Unit = {
-      var released = false
-      val it = retired.iterator()
-      while (it.hasNext) {
-        val s = it.next()
-        if (s.activeReads.get() == 0) {
-          it.remove()
-          graft.load.GenerationPins.unpin(s.genPaths)
-          released = true
+      val released = sweepMutex.synchronized {
+        var any = false
+        val it = retired.iterator()
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.activeReads.get() == 0) {
+            it.remove()
+            graft.load.GenerationPins.unpin(s.genPaths)
+            any = true
+          }
         }
+        any
       }
       if (released) store.foreach(ctx => graft.load.Store.sweep(ctx.dir))
     }
     def withRead[T](f: Snapshot => T): T = {
-      val snap = current
+      // pin-then-verify: if the snapshot was swapped out between the
+      // volatile read and the increment, the sweeper may already have
+      // counted it idle — drop the stale claim and take the new
+      // snapshot (the increment-before-eq-check ordering makes the
+      // settled claim race-free: a snapshot retired AFTER the check
+      // sees our count)
+      var snap = current
       snap.activeReads.incrementAndGet()
+      while (!(snap eq current)) {
+        snap.activeReads.decrementAndGet()
+        snap = current
+        snap.activeReads.incrementAndGet()
+      }
       try f(snap)
       finally { snap.activeReads.decrementAndGet(); maybeSweep() }
     }

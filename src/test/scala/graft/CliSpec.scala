@@ -349,7 +349,7 @@ class CliSpec extends SparkSpec {
     val srv = graft.server.QueryServer.start(spark, 0, Some(g),
       Some(graft.server.QueryServer.StoreContext(out, () => Main.serve(spark, out, None))))
     try {
-      val gen0 = graft.load.Store.readManifest(out).nodes("Customer")
+      val gen0 = graft.load.Store.readManifest(out).nodes("Customer").head
       val gen0Dir = java.nio.file.Path.of(s"$out/nodes/Customer/$gen0")
       def fire(route: String, body: String): Int = {
         val conn = new java.net.URL(s"http://127.0.0.1:${srv.port}/api/v1/$route/graft")

@@ -242,7 +242,7 @@ class LoadSpec extends SparkSpec {
     import graft.load.Store
     import graft.server.Dml
     val before = storeNodes(out).filter(col("label") === "Customer").count()
-    val genBefore = Store.readManifest(out).nodes("Customer")
+    val genBefore = Store.readManifest(out).nodes("Customer").head
 
     // simulate a writer that died after writing its new generation but
     // BEFORE the manifest commit: an orphan gen dir plus a manifest
@@ -251,7 +251,7 @@ class LoadSpec extends SparkSpec {
     Files.createDirectories(orphan)
     Files.writeString(orphan.resolve("junk.parquet"), "not parquet")
     Files.writeString(Path.of(s"$out/.manifest.tmp-cafe0123"), "{}")
-    assert(Store.readManifest(out).nodes("Customer") == genBefore)
+    assert(Store.readManifest(out).nodes("Customer") == Seq(genBefore))
     assert(storeNodes(out).filter(col("label") === "Customer").count() == before)
 
     // the next DML applies normally; its sweep clears the debris
@@ -267,7 +267,7 @@ class LoadSpec extends SparkSpec {
     // the superseded generation is gone, the live one remains
     assert(!Files.exists(Path.of(s"$out/nodes/Customer/$genBefore")))
     assert(Files.isDirectory(Path.of(
-      s"$out/nodes/Customer/${Store.readManifest(out).nodes("Customer")}")))
+      s"$out/nodes/Customer/${Store.readManifest(out).nodes("Customer").head}")))
   }
 
   test("pinned generations survive sweeps and stay readable through a rewrite") {
@@ -275,7 +275,7 @@ class LoadSpec extends SparkSpec {
     GraphLoader.writeGraph(spark, sfDir, out)
     import graft.load.{GenerationPins, Store}
     import graft.server.Dml
-    val gen0 = Store.readManifest(out).nodes("Customer")
+    val gen0 = Store.readManifest(out).nodes("Customer").head
     val pinnedPath = Path.of(s"$out/nodes/Customer/$gen0").toAbsolutePath.normalize
     // a reader snapshot pins the generation its plan listed…
     val oldFrame = spark.read.parquet(pinnedPath.toString)
@@ -352,8 +352,29 @@ class LoadSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dml.execute(spark, out,
       "DELETE FROM Tag WHERE id = 9000002")) // still referenced
 
+    // schema evolution on a POPULATED label: the new column lands in a
+    // new SEGMENT (atomic manifest commit), reads for new rows, and
+    // SURVIVES a later rewrite of the label — the silent-loss scenario
+    // a single-directory mixed-schema append invited
+    assert(Dml.execute(spark, out, "CREATE PROPERTY Customer.nickname STRING") == 1)
+    assert(Dml.execute(spark, out,
+      "INSERT INTO Customer SET id = 9000050, name = 'Customer#nick', nickname = 'nick'") == 1)
+    assert(storeNodes(out).filter(col("id") === 9000050L)
+      .select("nickname").head.getString(0) == "nick")
+    assert(Dml.execute(spark, out,
+      "UPDATE Customer SET mktsegment = 'EVOLVED' WHERE id = 9000050") == 1)
+    assert(storeNodes(out).filter(col("id") === 9000050L)
+      .select("nickname").head.getString(0) == "nick",
+      "rewrite must not drop a runtime-declared column's data")
+    // the evolved column is UPDATEable even where no file carries it
+    assert(Dml.execute(spark, out,
+      "UPDATE Customer SET nickname = 'old-timer' WHERE id = 1000042") == 1)
+    assert(storeNodes(out).filter(col("id") === 1000042L)
+      .select("nickname").head.getString(0) == "old-timer")
+
     // guard rails: unknown type, reserved columns, duplicate property,
     // index on an undeclared property, UNIQUE over existing duplicates
+    val beforeGuards = gs()
     intercept[IllegalArgumentException](Dml.execute(spark, out, "CREATE PROPERTY Nope.x STRING"))
     intercept[IllegalArgumentException](Dml.execute(spark, out, "CREATE PROPERTY Tag.id LONG"))
     intercept[IllegalArgumentException](Dml.execute(spark, out, "CREATE PROPERTY Tag.name STRING"))
@@ -361,7 +382,10 @@ class LoadSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dml.execute(spark, out, "CREATE INDEX ON Customer (mktsegment) UNIQUE"))
     intercept[IllegalArgumentException](Dml.execute(spark, out, "CREATE PROPERTY Tag.bad BLOB"))
-    assert(gs() == reread, "failed DDL must leave the registry untouched")
+    // kind conflicts are never papered over, even with IF NOT EXISTS
+    intercept[IllegalArgumentException](
+      Dml.execute(spark, out, "CREATE EDGE TYPE Tag IF NOT EXISTS"))
+    assert(gs() == beforeGuards, "failed DDL must leave the registry untouched")
   }
 
   test("compaction bounds the file count left by single-row appends") {
@@ -372,10 +396,12 @@ class LoadSpec extends SparkSpec {
     (0 until 12).foreach(i => Dml.execute(spark, out,
       s"INSERT INTO Customer (id, name) VALUES (${1999100 + i}, 'Customer#c$i')"))
     def files(): Int = {
-      val gen = graft.load.Store.readManifest(out).nodes("Customer")
-      val s = Files.list(Path.of(s"$out/nodes/Customer/$gen"))
-      try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
-      finally s.close()
+      val segs = graft.load.Store.readManifest(out).nodes("Customer")
+      segs.map { g =>
+        val s = Files.list(Path.of(s"$out/nodes/Customer/$g"))
+        try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+        finally s.close()
+      }.sum
     }
     assert(files() >= 12) // one small file per command — the problem
     val before = storeNodes(out)
@@ -469,9 +495,10 @@ class LoadSpec extends SparkSpec {
     GraphLoader.writeGraph(spark, sfDir, out)
     assert(Files.exists(Path.of(out, "schema.json")))
     assert(Files.exists(Path.of(out, "checksum.txt")))
-    // per-label generation layout behind an atomic manifest
-    val gen = graft.load.Store.readManifest(out).nodes("Customer")
-    assert(Files.isDirectory(Path.of(out, s"nodes/Customer/$gen")))
+    // per-label segment layout behind an atomic manifest
+    val segs = graft.load.Store.readManifest(out).nodes("Customer")
+    assert(segs.nonEmpty && segs.forall(g =>
+      Files.isDirectory(Path.of(out, s"nodes/Customer/$g"))))
     val n = storeNodes(out)
     val reread = graft.model.GraphSchema.fromJson(Files.readString(Path.of(out, "schema.json")))
     assert(reread == GraphLoader.schema)
