@@ -20,9 +20,11 @@ import scala.jdk.CollectionConverters._
   * Every generation directory is written once and never mutated except
   * by whole-directory deletion; readers resolve the manifest to
   * concrete generation paths, so a reader's planned file listing stays
-  * valid for as long as its generations exist — a rewrite (UPDATE /
-  * DELETE / compaction) writes a NEW generation beside the old one and
-  * commits by atomically replacing `manifest.json`. This replaces the
+  * valid for as long as its generations exist. Each label owns an
+  * ordered SEGMENT list: an append commits one new segment, a rewrite
+  * (UPDATE / DELETE / compaction) writes a fresh segment replacing the
+  * list — every mutation, append included, is one atomic replace of
+  * `manifest.json`. This replaces the
   * round-5 rename-swap protocol, whose directory rename invalidated
   * every in-flight scan and therefore forced the server to serialize
   * all reads behind a writer lock (VERDICT r5 "what's wrong" #3): with
