@@ -39,6 +39,9 @@ object Bench {
     "asql_traverse_depth",
     "pipeline_prep",
     "pipeline_shards",
+    "pipeline_decontaminate",
+    "asof_events",
+    "range_join_events",
     "text_quality",
     "multimodal_meta",
     "multimodal_frames"))
