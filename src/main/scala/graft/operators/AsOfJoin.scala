@@ -12,18 +12,30 @@ import org.apache.spark.sql.functions._
   * Spark has no native as-of join; the classic scalable formulation is
   * used here: tag both sides, union them, and carry the right side's
   * payload forward with `last(_, ignoreNulls) OVER (PARTITION BY key
-  * ORDER BY ts, side ROWS UNBOUNDED PRECEDING)`, then keep the left
-  * rows. Cost = ONE hash shuffle on the key plus a per-partition sort
-  * — never a per-row range probe, a broadcast range join, or an
+  * ORDER BY ts, side, payload ROWS UNBOUNDED PRECEDING)`, then keep the
+  * left rows. Cost = ONE hash shuffle on the key plus a per-partition
+  * sort — never a per-row range probe, a broadcast range join, or an
   * exploding inequality join, so it scales to a 100 TB event log the
   * same way a groupBy does. Right rows sort before left rows at equal
   * timestamps, giving the standard inclusive (`>=`) as-of semantics —
   * the same contract as DuckDB's native `ASOF JOIN`, which is the
   * oracle twin (`asof_events`).
   *
-  * The right side must be unique per (key, ts) — pre-aggregate it
-  * (e.g. `max_by`) if it is not; ties would otherwise be
-  * partition-order dependent, so this is REQUIRED, not advisory.
+  * All carried fields come from ONE right row: the payload columns and
+  * the matched timestamp travel as a single struct, so a matched row
+  * with a NULL payload value yields that NULL (never an older row's
+  * non-null value resurrected field-by-field).
+  *
+  * Duplicate right rows per (key, ts) are resolved DETERMINISTICALLY,
+  * not by partition order: the payload struct participates in the
+  * window sort, so at equal (key, ts) the row with the greatest payload
+  * tuple (field-by-field, in `payloadCols` order) wins. This makes the
+  * former "right side must be unique" precondition a defined tie rule
+  * instead of a silent-wrong-answer hazard. Corollary: payload columns
+  * must be orderable types (atomic / struct / array); an unorderable
+  * payload (e.g. map) is rejected loudly at planning time — pre-pack it
+  * into an orderable surrogate or pre-aggregate the right side.
+  *
   * Rows with no prior right match keep null payloads (left-join
   * semantics).
   *
@@ -36,31 +48,35 @@ object AsOfJoin {
       payloadCols: Seq[String]): DataFrame = {
     require(payloadCols.nonEmpty, "as-of join needs at least one right payload column")
     val asofCols = payloadCols.map(c => s"asof_$c") :+ "asof_ts"
-    val clash = left.columns.toSet.intersect(asofCols.toSet + "__side")
+    val clash = left.columns.toSet.intersect(asofCols.toSet ++ Set("__side", "__asof"))
     require(clash.isEmpty, s"left side already has column(s) ${clash.mkString(", ")}")
 
-    val lTagged = left
-      .withColumn("__side", lit(1))
-      .withColumns(asofCols.map(c => c -> lit(null)).toMap)
+    // one struct carries the matched row whole; payload fields lead so
+    // struct order IS the tie rule at equal ts (recency itself is the
+    // window's ts column, never the struct)
+    val lTagged = left.withColumn("__side", lit(1))
     // a null-timestamp right row would sort FIRST under the ascending
     // window and pollute every left row's carried payload — it can
     // never be "the latest prior" of anything, so drop it here; a
     // null-timestamp LEFT row naturally gets null payloads (it sorts
     // before every surviving right row)
     val rTagged = right.filter(col(ts).isNotNull).select(
-      Seq(col(key), col(ts), lit(0).as("__side")) ++
-        payloadCols.map(c => col(c).as(s"asof_$c")) :+ col(ts).as("asof_ts"): _*)
+      col(key), col(ts), lit(0).as("__side"),
+      struct(payloadCols.map(c => col(c).as(s"asof_$c")) :+ col(ts).as("asof_ts"): _*)
+        .as("__asof"))
 
     val u = lTagged.unionByName(rTagged, allowMissingColumns = true)
     // right rows (side 0) sort before left rows (side 1) at equal ts →
-    // inclusive as-of; the frame never looks ahead
+    // inclusive as-of; among right rows at the SAME (key, ts) the
+    // greatest payload struct sorts last and therefore wins the
+    // last(ignoreNulls) carry — the deterministic tie rule. Left rows'
+    // null __asof sorts first within their side group (harmless).
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts).asc, col("__side").asc)
+      .orderBy(col(ts).asc, col("__side").asc, col("__asof").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = asofCols.foldLeft(u) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1)
-      .select(left.columns.map(col).toIndexedSeq ++ asofCols.map(col): _*)
+    u.withColumn("__carry", last(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col).toIndexedSeq ++
+        asofCols.map(c => col(s"__carry.$c").as(c)): _*)
   }
 }

@@ -30,6 +30,25 @@ class AsOfSpec extends SparkSpec {
     assert(got2("a") == Some(1.0) && got2("d") == None)
   }
 
+  test("duplicate (key,ts) right rows tie-break deterministically; NULL payloads carry whole-row") {
+    val left = Seq((1L, 20L, "a"), (1L, 40L, "b")).toDF("k", "t", "tag")
+    // two right rows at t=10: the greatest payload tuple (7.0) must win,
+    // regardless of partition order; at t=30 the matched row's payload is
+    // NULL and must be carried as NULL (not the older 7.0 resurrected)
+    val right = Seq((1L, 10L, Some(3.0)), (1L, 10L, Some(7.0)), (1L, 30L, None))
+      .toDF("k", "t", "v")
+    val got = AsOfJoin.asofJoin(left, right, "k", "t", Seq("v"))
+      .select($"tag", $"asof_v", $"asof_ts").collect()
+      .map(r => r.getString(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(got("a") == ((Some(7.0), Some(10L))), "greatest payload struct wins the tie")
+    assert(got("b") == ((None, Some(30L))), "matched row's NULL payload, its own asof_ts")
+    // repartitioned differently, the answer is identical (determinism)
+    val got2 = AsOfJoin.asofJoin(left, right.repartition(7), "k", "t", Seq("v"))
+      .select($"tag", $"asof_v", $"asof_ts").collect()
+      .map(r => r.getString(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(got2 == got)
+  }
+
   test("range join matches the brute-force inequality join across band boundaries") {
     import graft.operators.RangeJoin
     // timestamps engineered to straddle band edges: delta = 100, rows
