@@ -63,7 +63,33 @@ object Dml {
   /** Execute a DML command against the persisted store; returns the
     * number of records written. Throws IllegalArgumentException on
     * parse/validation errors (mapped to HTTP 400). */
-  def execute(spark: SparkSession, storeDir: String, command: String): Long = {
+  def execute(spark: SparkSession, storeDir: String, command: String): Long =
+    executeOne(spark, storeDir, command, None)
+
+  /** Execute several DML statements as ONE atomic store commit (the
+    * HTTP batch form `{"commands": […]}` — the reference's session
+    * transaction routes [dep] collapsed to a single-request batch).
+    * All statements run against a staged manifest ([[graft.load.StoreTxn]]):
+    * later statements see earlier ones (an edge may reference a vertex
+    * inserted in the same batch), nothing is visible until the single
+    * manifest swap at the end, and ANY failure leaves the manifest
+    * byte-untouched (staged gens become sweepable orphans). DDL and
+    * COMPACT are not record DML and must be issued as single commands. */
+  def executeBatch(spark: SparkSession, storeDir: String, commands: Seq[String]): Long =
+    graft.load.StoreLock.withWriteLock(storeDir) {
+      require(commands.nonEmpty, "empty command batch")
+      val txn = GraphLoader.beginTxn(storeDir)
+      val n = commands.map(c => executeOne(spark, storeDir, c, Some(txn))).sum
+      txn.commit()
+      graft.load.Store.sweep(storeDir, keepPerLabel = 1)
+      GraphLoader.autoCompactTouched(spark, storeDir, txn.touched)
+      n
+    }
+
+  private def executeOne(spark: SparkSession, storeDir: String, command: String,
+      txn: Option[graft.load.StoreTxn]): Long = {
+    def noTxn(what: String): Unit = require(txn.isEmpty,
+      s"$what is not allowed in a command batch — issue it as its own command")
     val gs = graft.model.GraphSchema.fromJson(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$storeDir/schema.json")))
     def kindOf(label: String): String =
@@ -74,6 +100,7 @@ object Dml {
       // DDL first: `CREATE VERTEX TYPE T` must not fall into the
       // instance form `CREATE VERTEX <label> SET …`
       case CreateTypeRe(kind, label, ifNotExists) =>
+        noTxn("DDL")
         ddl(storeDir) { cur =>
           val k = if (kind.equalsIgnoreCase("VERTEX")) "vertex" else "edge"
           cur.labels.find(_.label == label) match {
@@ -90,6 +117,7 @@ object Dml {
           }
         }
       case CreatePropertyRe(label, prop, typeName) =>
+        noTxn("DDL")
         ddl(storeDir) { cur =>
           val ls = cur.labels.find(_.label == label).getOrElse(
             throw new IllegalArgumentException(s"unknown type: $label"))
@@ -102,6 +130,7 @@ object Dml {
           (cur.copy(labels = cur.labels.map(l => if (l.label == label) updated else l)), 1L)
         }
       case CreateIndexRe(label, prop, uniq) =>
+        noTxn("DDL")
         ddl(storeDir) { cur =>
           val ls = cur.labels.find(_.label == label).getOrElse(
             throw new IllegalArgumentException(s"unknown type: $label"))
@@ -136,18 +165,18 @@ object Dml {
         tuples.foreach(t => require(t.size == names.size,
           s"VALUES arity ${t.size} != column list arity ${names.size}"))
         append(spark, storeDir, label, kindOf(label),
-          tuples.map(t => names.zip(t).toMap))
+          tuples.map(t => names.zip(t).toMap), txn)
       // the dialect's second insert shape: INSERT INTO <T> SET k = v, …
       case InsertSetRe(label, setClause) =>
-        append(spark, storeDir, label, kindOf(label), Seq(parseSet(setClause)))
+        append(spark, storeDir, label, kindOf(label), Seq(parseSet(setClause)), txn)
       case CreateVertexRe(label, setClause) =>
         require(kindOf(label) == "vertex", s"$label is not a vertex type")
-        append(spark, storeDir, label, "vertex", Seq(parseSet(setClause)))
+        append(spark, storeDir, label, "vertex", Seq(parseSet(setClause)), txn)
       case CreateEdgeRe(label, src, dst, setClause) =>
         require(kindOf(label) == "edge", s"$label is not an edge type")
         val props = Option(setClause).map(parseSet).getOrElse(Map.empty)
         append(spark, storeDir, label, "edge",
-          Seq(props + ("src" -> src.toLong) + ("dst" -> dst.toLong)))
+          Seq(props + ("src" -> src.toLong) + ("dst" -> dst.toLong)), txn)
       // UPDATE/DELETE: copy-on-write rewrites of the label partition with
       // the same invariants as the bulk path (UNIQUE revalidation, no
       // dangling endpoints). The WHERE grammar is the ArcadeSql dialect's.
@@ -167,10 +196,11 @@ object Dml {
         val (sets, where) = graft.query.ArcadeSql.updateClause(lx.rest())
         clientCastErrors {
           val n = GraphLoader.updateColumns(spark, storeDir, label, kindOf(label),
-            sets.toMap, where.getOrElse(org.apache.spark.sql.functions.lit(true)))
+            sets.toMap, where.getOrElse(org.apache.spark.sql.functions.lit(true)), txn)
           // GC with a one-generation grace window (an in-process server
-          // additionally sweeps with exact pin knowledge post-reload)
-          graft.load.Store.sweep(storeDir, keepPerLabel = 1)
+          // additionally sweeps with exact pin knowledge post-reload);
+          // in a batch, GC waits for the single commit
+          if (txn.isEmpty) graft.load.Store.sweep(storeDir, keepPerLabel = 1)
           n
         }
       case c if c.trim.toUpperCase.startsWith("DELETE") =>
@@ -180,13 +210,14 @@ object Dml {
           s"DELETE ${k.toUpperCase}: $label is a $kind type"))
         clientCastErrors {
           val n = GraphLoader.deleteRecords(spark, storeDir, label, kind,
-            where.map(graft.query.ArcadeSql.predicate))
-          graft.load.Store.sweep(storeDir, keepPerLabel = 1)
+            where.map(graft.query.ArcadeSql.predicate), txn)
+          if (txn.isEmpty) graft.load.Store.sweep(storeDir, keepPerLabel = 1)
           n
         }
       // maintenance: rewrite fragmented label partitions (the N small
       // files N single-row commands leave behind) into scan-sized files
       case CompactRe() =>
+        noTxn("COMPACT")
         GraphLoader.compactStore(spark, storeDir).toLong
       case _ =>
         throw new IllegalArgumentException(
@@ -231,7 +262,8 @@ object Dml {
   }
 
   private def append(spark: SparkSession, storeDir: String, label: String,
-      kind: String, records: Seq[Map[String, Any]]): Long = {
+      kind: String, records: Seq[Map[String, Any]],
+      txn: Option[graft.load.StoreTxn]): Long = {
     val isNode = kind == "vertex"
     if (isNode) records.foreach(r => require(r.contains("id"),
       "node insert needs an explicit id (ids are the graph's join keys)"))
@@ -253,8 +285,8 @@ object Dml {
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
       schema)
     clientCastErrors {
-      if (isNode) GraphLoader.appendNodes(spark, storeDir, batch)
-      else GraphLoader.appendEdges(spark, storeDir, batch)
+      if (isNode) GraphLoader.appendNodes(spark, storeDir, batch, txn)
+      else GraphLoader.appendEdges(spark, storeDir, batch, txn)
     }
     records.size.toLong
   }

@@ -34,8 +34,12 @@ object QueryServer {
 
   final case class Started(server: HttpServer, port: Int,
       pool: java.util.concurrent.ExecutorService,
-      scheduler: java.util.concurrent.ScheduledExecutorService) {
-    def stop(): Unit = { server.stop(0); pool.shutdownNow(); scheduler.shutdownNow(); () }
+      scheduler: java.util.concurrent.ScheduledExecutorService,
+      leasedDir: Option[String] = None) {
+    def stop(): Unit = {
+      server.stop(0); pool.shutdownNow(); scheduler.shutdownNow()
+      leasedDir.foreach(graft.load.ServingLease.release)
+    }
   }
 
   /** Raised when a query exceeds the configured budget — mapped to
@@ -73,6 +77,9 @@ object QueryServer {
     // form (an admin named root, like the reference's bootstrap user)
     val accounts: Seq[ServerUser] =
       users ++ auth.map(t => ServerUser("root", Users.sha256Hex(t), "admin"))
+    // serving lease (Store scaladoc): held for the server's lifetime so
+    // no OTHER process's sweep can GC generations our readers pin
+    store.foreach(ctx => graft.load.ServingLease.acquire(ctx.dir))
     val server = HttpServer.create(new InetSocketAddress(validatePort(port)), 0)
     val reqCounter = new java.util.concurrent.atomic.AtomicLong
     val scheduler = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
@@ -318,11 +325,28 @@ object QueryServer {
     server.createContext("/api/v1/command/", (ex: HttpExchange) =>
         handle(ex, requireAdmin = true) {
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-      val (language, command, _) = parsed(body)
-      if (language != "sql")
-        throw new IllegalArgumentException(s"unsupported command language: $language")
-      if (!Dml.isDml(command))
-        throw new IllegalArgumentException("only DML here — use /api/v1/query for reads")
+      // transactional batch form (the reference's session transaction
+      // routes [dep], collapsed to one request): {"commands": ["…", …]}
+      // executes every statement as ONE atomic store commit — a
+      // concurrent reader sees the whole batch or none of it, and a
+      // mid-batch failure leaves the manifest untouched (Dml scaladoc)
+      val batch: Option[Seq[String]] = JsonMethods.parse(body) \ "commands" match {
+        case JArray(items) => Some(items.map {
+          case JString(s) => s
+          case other => throw new IllegalArgumentException(s"bad command in batch: $other")
+        })
+        case JNothing => None
+        case other => throw new IllegalArgumentException(s"bad 'commands': $other")
+      }
+      val commands: Seq[String] = batch.getOrElse {
+        val (language, command, _) = parsed(body)
+        if (language != "sql")
+          throw new IllegalArgumentException(s"unsupported command language: $language")
+        Seq(command)
+      }
+      commands.filterNot(Dml.isDml).foreach(c =>
+        throw new IllegalArgumentException(
+          s"only DML here — use /api/v1/query for reads (got: ${c.take(40)})"))
       val ctx = store.getOrElse(
         throw new IllegalStateException("no store attached — DML needs a persisted store"))
       // writers serialize against each other (and cross-process via
@@ -330,7 +354,9 @@ object QueryServer {
       // commit lands a new generation set, the snapshot swap pins it,
       // and the superseded one retires with its in-flight reads
       val n = writeMutex.synchronized {
-        val n0 = Dml.execute(spark, ctx.dir, command)
+        val n0 =
+          if (batch.isDefined) Dml.executeBatch(spark, ctx.dir, commands)
+          else Dml.execute(spark, ctx.dir, commands.head)
         val paths = graft.load.Store.currentGenPaths(ctx.dir)
         graft.load.GenerationPins.pin(paths)
         val old = current
@@ -357,7 +383,7 @@ object QueryServer {
       })
     server.setExecutor(pool)
     server.start()
-    Started(server, server.getAddress.getPort, pool, scheduler)
+    Started(server, server.getAddress.getPort, pool, scheduler, store.map(_.dir))
   }
 
   /** The console page: plain HTML + fetch(), no assets, no framework —

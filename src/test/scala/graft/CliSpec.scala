@@ -266,6 +266,50 @@ class CliSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("HTTP transactional batch: all-or-nothing visibility across labels") {
+    val out = Files.createTempDirectory("graftbatch").toString
+    Main.create(spark, sfDir, out)
+    val g = Main.serve(spark, out, None)
+    val srv = graft.server.QueryServer.start(spark, 0, Some(g),
+      Some(graft.server.QueryServer.StoreContext(out, () => Main.serve(spark, out, None))))
+    try {
+      def fire(route: String, body: String): (Int, String) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:${srv.port}/api/v1/$route/graft")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+        (code, new String(is.readAllBytes(), "UTF-8"))
+      }
+      def countOf(q: String): Long = {
+        val (c, b) = fire("query", s"""{"language":"sparksql","command":"$q"}""")
+        assert(c == 200, b)
+        (org.json4s.jackson.JsonMethods.parse(b) \ "result").children.headOption
+          .map(r => (r \ "cnt").asInstanceOf[org.json4s.JInt].num.toLong).getOrElse(0L)
+      }
+      // a two-label batch plus an edge onto the batch's own vertex:
+      // one atomic commit, every statement visible together
+      val (c1, b1) = fire("command",
+        """{"commands":[
+          |"INSERT INTO Customer (id, name) VALUES (1996001, 'Customer#b1')",
+          |"INSERT INTO Supplier (id, name) VALUES (2996001, 'Supplier#b1')",
+          |"CREATE EDGE IN_NATION FROM 1996001 TO 101"]}""".stripMargin)
+      assert(c1 == 200, b1)
+      assert(b1.contains("\"count\":3"))
+      assert(countOf("SELECT count(*) AS cnt FROM nodes WHERE id IN (1996001, 2996001)") == 2)
+      assert(countOf("SELECT count(*) AS cnt FROM edges WHERE src = 1996001") == 1)
+      // a failing statement aborts the WHOLE batch: the valid insert
+      // before it never becomes visible
+      val (c2, _) = fire("command",
+        """{"commands":[
+          |"INSERT INTO Customer (id, name) VALUES (1996002, 'Customer#b2')",
+          |"INSERT INTO Customer (id, name) VALUES (1996001, 'Customer#dup')"]}""".stripMargin)
+      assert(c2 == 400)
+      assert(countOf("SELECT count(*) AS cnt FROM nodes WHERE id = 1996002") == 0)
+    } finally srv.stop()
+  }
+
   test("runtime DDL over HTTP: a declared type is insertable and dialect-queryable live") {
     val out = Files.createTempDirectory("graftddl2").toString
     Main.create(spark, sfDir, out)

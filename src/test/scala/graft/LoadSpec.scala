@@ -393,8 +393,12 @@ class LoadSpec extends SparkSpec {
     val out = Files.createTempDirectory("graftcmp").toString
     GraphLoader.writeGraph(spark, sfDir, out)
     import graft.server.Dml
-    (0 until 12).foreach(i => Dml.execute(spark, out,
+    // hold OFF the automatic per-append compaction so this test still
+    // exercises the manual COMPACT path over real fragmentation
+    sys.props("graft.autoCompactSegments") = "1000"
+    try (0 until 12).foreach(i => Dml.execute(spark, out,
       s"INSERT INTO Customer (id, name) VALUES (${1999100 + i}, 'Customer#c$i')"))
+    finally sys.props.remove("graft.autoCompactSegments")
     def files(): Int = {
       val segs = graft.load.Store.readManifest(out).nodes("Customer")
       segs.map { g =>
@@ -431,6 +435,119 @@ class LoadSpec extends SparkSpec {
       assert(plan.contains("SortMergeJoin"), plan)
       assert(!plan.contains("Exchange hashpartitioning"), plan)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("auto-compaction bounds the segment list under repeated appends") {
+    val out = Files.createTempDirectory("graftauto").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    import graft.server.Dml
+    def segs(): Int = graft.load.Store.readManifest(out).nodes("Customer").size
+    sys.props("graft.autoCompactSegments") = "3"
+    try {
+      var maxSeen = 0
+      (0 until 10).foreach { i =>
+        Dml.execute(spark, out,
+          s"INSERT INTO Customer (id, name) VALUES (${1998100 + i}, 'Customer#a$i')")
+        maxSeen = math.max(maxSeen, segs())
+      }
+      // each append adds one segment; crossing the threshold collapses
+      // the list to one — the list can never outgrow threshold + 1
+      assert(maxSeen <= 4, s"segment list reached $maxSeen")
+      assert(segs() <= 4)
+      val got = storeNodes(out).filter(col("label") === "Customer")
+        .filter(col("id") >= 1998100 && col("id") < 1998110).count()
+      assert(got == 10) // compaction lost nothing
+    } finally sys.props.remove("graft.autoCompactSegments")
+  }
+
+  test("transactional batch: one atomic commit, cross-statement visibility, clean abort") {
+    val out = Files.createTempDirectory("grafttxn").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    import graft.server.Dml
+    val mpath = Path.of(out, "manifest.json")
+    // an edge referencing a vertex inserted EARLIER IN THE SAME BATCH
+    // must resolve (statements see the staged manifest)
+    val n = Dml.executeBatch(spark, out, Seq(
+      "INSERT INTO Customer (id, name) VALUES (1997001, 'Customer#t1')",
+      "INSERT INTO Supplier (id, name) VALUES (2997001, 'Supplier#t1')",
+      "CREATE EDGE IN_NATION FROM 1997001 TO 101"))
+    assert(n == 3)
+    assert(storeNodes(out).filter(col("id") === 1997001).count() == 1)
+    assert(storeNodes(out).filter(col("id") === 2997001).count() == 1)
+    assert(storeEdges(out).filter(col("src") === 1997001 && col("dst") === 101).count() == 1)
+    // a failing statement mid-batch leaves the manifest byte-untouched:
+    // nothing from the batch is visible, not even the valid first insert
+    val before = Files.readString(mpath)
+    intercept[IllegalArgumentException](Dml.executeBatch(spark, out, Seq(
+      "INSERT INTO Customer (id, name) VALUES (1997002, 'Customer#t2')",
+      "INSERT INTO Customer (id, name) VALUES (1997001, 'Customer#dup')"))) // dup id
+    assert(Files.readString(mpath) == before, "aborted batch mutated the manifest")
+    assert(storeNodes(out).filter(col("id") === 1997002).count() == 0)
+    // DDL stays non-transactional, loudly
+    val e = intercept[IllegalArgumentException](Dml.executeBatch(spark, out,
+      Seq("CREATE VERTEX TYPE Nope")))
+    assert(e.getMessage.contains("not allowed in a command batch"))
+  }
+
+  test("UPDATE reads its label exactly once (observe-metric count, no double scan)") {
+    val out = Files.createTempDirectory("graftonep").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    val orderRows = storeNodes(out).filter(col("label") === "Order").count()
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) read.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = GraphLoader.updateRecords(spark, out, "Order", "vertex",
+        Map("priority" -> "9-TEST"), col("status") === "F")
+      assert(n > 0)
+      // listener events drain asynchronously: wait for quiescence
+      var last = -1L
+      var spins = 0
+      while (read.get() != last && spins < 50) {
+        last = read.get(); Thread.sleep(100); spins += 1
+      }
+      // Order has no UNIQUE index → the rewrite is the only job; the
+      // old count-then-rewrite path read ≈ 2× the label
+      assert(read.get() <= (orderRows * 1.3).toLong,
+        s"UPDATE read ${read.get()} records for a $orderRows-row label — more than one scan")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // zero-affected UPDATE leaves no new generation behind
+    val segsBefore = graft.load.Store.readManifest(out).nodes("Order")
+    assert(GraphLoader.updateRecords(spark, out, "Order", "vertex",
+      Map("priority" -> "x"), col("status") === "NOPE") == 0)
+    assert(graft.load.Store.readManifest(out).nodes("Order") == segsBefore)
+  }
+
+  test("a foreign serving lease fences generation GC (cross-process sweep race)") {
+    val out = Files.createTempDirectory("graftlease").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    // supersede Order's generation so a sweep has something to collect
+    GraphLoader.updateRecords(spark, out, "Order", "vertex",
+      Map("priority" -> "5-LOW"), col("status") === "F")
+    import scala.jdk.CollectionConverters._
+    def orderGens(): Set[String] = {
+      val s = Files.list(Path.of(out, "nodes", "Order"))
+      try s.iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("gen-")).toSet
+      finally s.close()
+    }
+    val live = graft.load.Store.readManifest(out).nodes("Order").toSet
+    assert(orderGens().size > live.size, "expected a superseded generation on disk")
+    // with a FOREIGN server lease: sweep must not GC — its pins are invisible
+    assert(graft.load.Store.sweepImpl(out, 0, foreignServer = true) == 0)
+    assert(orderGens().size > live.size)
+    // our own process holding the lease is NOT "elsewhere"
+    graft.load.ServingLease.acquire(out)
+    try {
+      assert(!graft.load.ServingLease.heldElsewhere(out))
+      // and a second acquire in the same process is idempotent
+      graft.load.ServingLease.acquire(out)
+    } finally graft.load.ServingLease.release(out)
+    // no lease → normal GC reclaims the superseded generation
+    assert(graft.load.Store.sweep(out) >= 1)
+    assert(orderGens() == live)
   }
 
   test("DML parser fails closed on malformed statements") {
