@@ -369,6 +369,40 @@ object ArcadeSqlQueries {
       Some("""SELECT CAST(r_regionkey AS BIGINT) AS id, r_name AS name,
         CAST(CASE WHEN r_regionkey = (SELECT n_regionkey FROM nation WHERE n_nationkey =
           (SELECT s_nationkey FROM supplier WHERE s_suppkey = 0)) THEN 3 ELSE 0 END AS INT) AS plen
-        FROM region"""))
+        FROM region""")),
+
+    // FROM bucket:<name> — ArcadeDB's physical-bucket scan spelling;
+    // the default bucket named after its type IS the label partition
+    // here, so the plan is the same pruned label scan as `FROM Customer`
+    Q("asql_bucket_scan",
+      asql("""SELECT name, mktsegment FROM bucket:Customer
+        WHERE acctbal > 9000 ORDER BY name"""),
+      Some("""SELECT c_name AS name, c_mktsegment AS mktsegment FROM customer
+        WHERE c_acctbal > 9000 ORDER BY name""")),
+
+    // MATCH … {optional: true}: the left-join step — customers keep a
+    // row even with zero orders (order columns null), the dialect's
+    // OPTIONAL MATCH analog; where on the optional node applies INSIDE
+    // the optional side (a low-priority filter must not drop the
+    // customer, only the non-matching orders)
+    Q("asql_optional_match",
+      asql("""MATCH {type: Customer, as: c}
+          .out('PLACED'){as: o, optional: true, where: (priority = '5-LOW')}
+        RETURN c.name AS name, o.status AS status, o.priority AS priority"""),
+      Some("""SELECT c_name AS name, o.o_orderstatus AS status,
+          o.o_orderpriority AS priority
+        FROM customer c LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey AND o.o_orderpriority = '5-LOW'""")),
+
+    // TRAVERSE … STRATEGY BREADTH_FIRST — the dialect's explicit
+    // strategy option (the engine's iterative-join traversal IS
+    // breadth-first; DEPTH_FIRST is rejected, not silently reordered)
+    Q("asql_traverse_strategy",
+      asql("""SELECT $depth AS depth, count(*) AS cnt
+        FROM (TRAVERSE in('IN_REGION') FROM (SELECT FROM Region)
+          MAXDEPTH 1 STRATEGY BREADTH_FIRST)
+        GROUP BY $depth"""),
+      Some("""SELECT 0 AS depth, CAST(count(*) AS BIGINT) AS cnt FROM region
+        UNION ALL SELECT 1, CAST(count(*) AS BIGINT) FROM nation"""))
   )
 }

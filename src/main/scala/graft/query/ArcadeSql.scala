@@ -94,7 +94,8 @@ object ArcadeSql {
       lets: Seq[(String, Expr)] = Nil) extends Stmt
   final case class Traverse(hops: Seq[HopExpr], from: Source,
       maxDepth: Option[Int], whileE: Option[Expr]) extends Stmt
-  final case class MatchNode(typ: Option[String], as: Option[String], where: Option[Expr])
+  final case class MatchNode(typ: Option[String], as: Option[String], where: Option[Expr],
+      optional: Boolean = false)
   final case class MatchStep(dir: String, label: String, node: MatchNode)
   final case class MatchStmt(first: MatchNode, steps: Seq[MatchStep], ret: Seq[Proj],
       groupBy: Seq[Expr], orderBy: Seq[(Expr, Boolean)],
@@ -166,18 +167,20 @@ object ArcadeSql {
 
     def expectEnd(): Unit = { ws(); if (i < s.length) fail(s"trailing input: '${s.substring(i)}'") }
 
-    /** The DML UPDATE tail: `k = <expr>[, …] [WHERE <pred>]` — shared
-      * with the command surface so SET values get the FULL dialect
-      * expression grammar (arithmetic, method chains), not just
-      * literals. */
-    def updateTail(): (Seq[(String, Expr)], Option[Expr]) = {
+    /** The DML UPDATE tail: `k = <expr>[, …] [UPSERT] [WHERE <pred>]` —
+      * shared with the command surface so SET values get the FULL
+      * dialect expression grammar (arithmetic, method chains), not just
+      * literals. UPSERT sits between the SET list and WHERE, the
+      * ArcadeDB ordering [dep arcadedb SQL]. */
+    def updateTail(): (Seq[(String, Expr)], Boolean, Option[Expr]) = {
       val sets = scala.collection.mutable.ArrayBuffer[(String, Expr)]()
       def one(): Unit = { ws(); val k = ident(); ws(); expectCh('='); sets += ((k, expr())) }
       one(); ws()
       while (peek == ',') { i += 1; one(); ws() }
+      val upsert = eat("UPSERT")
       val pred = if (eat("WHERE")) Some(expr()) else None
       expectEnd()
-      (sets.toSeq, pred)
+      (sets.toSeq, upsert, pred)
     }
 
     // ---- statements ----
@@ -314,6 +317,7 @@ object ArcadeSql {
       var typ: Option[String] = None
       var as: Option[String] = None
       var where: Option[Expr] = None
+      var optional = false
       while (peek != '}') {
         val k = ident().toLowerCase
         expectCh(':')
@@ -321,19 +325,34 @@ object ArcadeSql {
           case "type" => typ = Some(ident())
           case "as" => as = Some(ident())
           case "where" => expectCh('('); where = Some(expr()); expectCh(')')
+          case "optional" => optional = ident().toLowerCase match {
+            case "true" => true
+            case "false" => false
+            case other => fail(s"optional: expects true/false, got '$other'")
+          }
           case other => fail(s"unsupported MATCH key '$other'")
         }
         ws()
         if (peek == ',') i += 1
       }
       i += 1
-      MatchNode(typ, as, where)
+      MatchNode(typ, as, where, optional)
     }
 
     private def source(): Source = {
       ws()
       if (peek == '(') { i += 1; val st = statement(); expectCh(')'); SubSource(st) }
-      else LabelSource(ident())
+      else {
+        val name = ident()
+        // ArcadeDB's physical-bucket spelling `FROM bucket:<name>`
+        // (SURVEY §2.B.1): label partitions ARE this engine's buckets
+        // (one directory tree per label), so the default bucket named
+        // after its type reads as that label's partition scan
+        if (name.equalsIgnoreCase("bucket") && peek == ':') {
+          i += 1
+          LabelSource(ident())
+        } else LabelSource(name)
+      }
     }
 
     private def projection(): Proj = {
@@ -590,13 +609,40 @@ object ArcadeSql {
     ce(e, n => col(n))
   }
 
-  /** Parse a DML UPDATE tail `k = <expr>[, …] [WHERE <pred>]` into
-    * column assignments plus the optional predicate, all compiled
+  /** A parsed UPDATE tail, compiled for both of its execution paths:
+    * `sets`/`where` drive the rewrite, and — when `upsert` —
+    * `insertRecord` is the record an empty match inserts instead:
+    * the literal SET pairs merged over the WHERE clause's top-level
+    * `field = literal` equality conjuncts (SET wins on overlap), the
+    * ArcadeDB/OrientDB UPSERT initialization rule [dep arcadedb SQL].
+    * `insertRecord` is None when a SET value is a non-literal
+    * expression — such an UPSERT can still update, but an insert has
+    * no row to evaluate the expression against and fails loudly. */
+  final case class UpdateSpec(sets: Seq[(String, Column)], upsert: Boolean,
+      where: Option[Column], insertRecord: Option[Map[String, Any]])
+
+  /** Parse a DML UPDATE tail `k = <expr>[, …] [UPSERT] [WHERE <pred>]`
+    * into column assignments plus the optional predicate, all compiled
     * against unresolved columns of the target label partition. */
+  def updateSpec(s: String): UpdateSpec = {
+    val (sets, upsert, pred) = new Parser(s).updateTail()
+    def whereEqs(e: Expr): Seq[(String, Any)] = e match {
+      case Bin("and", l, r) => whereEqs(l) ++ whereEqs(r)
+      case Bin("=", Ident(k), Lit(v)) => Seq(k -> v)
+      case Bin("=", Lit(v), Ident(k)) => Seq(k -> v)
+      case _ => Nil
+    }
+    val setLits = sets.collect { case (k, Lit(v)) => k -> v }
+    val rec = if (upsert && setLits.size == sets.size)
+      Some((pred.toSeq.flatMap(whereEqs) ++ setLits).toMap)
+    else None
+    UpdateSpec(sets.map { case (k, e) => k -> ce(e, n => col(n)) }, upsert,
+      pred.map(ce(_, n => col(n))), rec)
+  }
+
   def updateClause(s: String): (Seq[(String, Column)], Option[Column]) = {
-    val (sets, pred) = new Parser(s).updateTail()
-    (sets.map { case (k, e) => k -> ce(e, n => col(n)) },
-      pred.map(ce(_, n => col(n))))
+    val u = updateSpec(s)
+    (u.sets, u.where)
   }
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
@@ -1303,19 +1349,27 @@ object ArcadeSql {
     m.steps.foreach { st =>
       idx += 1
       val as = st.node.as.getOrElse(s"__m$idx")
-      t = st.node.typ match {
-        case Some(typ) => st.dir match {
-          case "out" => t.out(st.label, typ, as)
-          case "in" => t.in(st.label, typ, as)
-          case "both" => t.both(st.label, typ, as)
+      if (st.node.optional) {
+        // optional: true (left-join step) — the node's where belongs
+        // INSIDE the optional side (filtering after the left join would
+        // silently turn it back into an inner match)
+        val f = st.node.where.map(w => ce(w, n => col(s"${as}_$n")))
+        t = t.hopOptional(st.dir, st.label, st.node.typ, as, f)
+      } else {
+        t = st.node.typ match {
+          case Some(typ) => st.dir match {
+            case "out" => t.out(st.label, typ, as)
+            case "in" => t.in(st.label, typ, as)
+            case "both" => t.both(st.label, typ, as)
+          }
+          case None => st.dir match {
+            case "out" => t.outAny(st.label, as)
+            case "in" => t.inAny(st.label, as)
+            case "both" => t.bothAny(st.label, as)
+          }
         }
-        case None => st.dir match {
-          case "out" => t.outAny(st.label, as)
-          case "in" => t.inAny(st.label, as)
-          case "both" => t.bothAny(st.label, as)
-        }
+        t = bindFilter(t, as, st.node.where)
       }
-      t = bindFilter(t, as, st.node.where)
     }
     val bound = t.result
     val resolve: String => Column = n =>

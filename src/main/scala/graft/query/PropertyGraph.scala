@@ -233,6 +233,34 @@ final case class Traversal(g: PropertyGraph, bound: DataFrame, cur: String) {
     Traversal(g, bound.join(n, bound(s"${cur}_$end") === n(s"${as}_id")), as)
   }
 
+  /** `{…, optional: true}` hop (MATCH's left-join step): the edge and
+    * its target node — filtered by the node's own `where` BEFORE the
+    * join, like Cypher's OPTIONAL MATCH — LEFT-join onto the pattern,
+    * so an unmatched row survives with null `<as>_*` columns instead
+    * of being dropped. Same equi-join shape as the inner hop (the edge
+    * → node join runs first, then one left equi-join on the binding
+    * key), so the plan stays broadcast/shuffle-joinable at scale. */
+  def hopOptional(dir: String, edgeLabel: String, nodeLabel: Option[String],
+      as: String, nodeFilter: Option[Column]): Traversal = {
+    def side(reverse: Boolean): DataFrame = {
+      val (fromCol, toCol) = if (reverse) ("dst", "src") else ("src", "dst")
+      val eSel = prefixed(g.edgesOf(edgeLabel), s"${as}_e")
+      val n = prefixed(nodeLabel.map(g.nodesOf).getOrElse(g.nodes), as)
+      eSel.join(n, eSel(s"${as}_e_$toCol") === n(s"${as}_id"))
+        .withColumn(s"__${as}_from", col(s"${as}_e_$fromCol"))
+    }
+    val hopF0 = dir match {
+      case "out" => side(false)
+      case "in" => side(true)
+      case "both" => side(false).unionByName(side(true))
+      case other => throw new IllegalArgumentException(s"bad hop direction: $other")
+    }
+    val hopF = nodeFilter.map(hopF0.filter).getOrElse(hopF0)
+    val joined = bound.join(hopF, bound(s"${cur}_id") === hopF(s"__${as}_from"), "left")
+      .drop(s"__${as}_from")
+    Traversal(g, joined, as)
+  }
+
   def filter(cond: Column): Traversal = copy(bound = bound.filter(cond))
   def result: DataFrame = bound
 }

@@ -185,23 +185,35 @@ object Dml {
       // 'WHERE x'` — can never mis-split the statement the way the old
       // regex capture did
       case c if c.trim.toUpperCase.startsWith("UPDATE") =>
-        // UPDATE <Label> SET <tail>: the tail (assignments + WHERE) is
-        // the dialect grammar — SET values are full expressions over
-        // the row, and a string literal holding a keyword can never
-        // mis-split the statement
+        // UPDATE <Label> SET <tail>: the tail (assignments + [UPSERT] +
+        // WHERE) is the dialect grammar — SET values are full
+        // expressions over the row, and a string literal holding a
+        // keyword can never mis-split the statement
         val lx = new Lexer(c)
         lx.keyword("UPDATE")
         val label = lx.ident()
         lx.keyword("SET")
-        val (sets, where) = graft.query.ArcadeSql.updateClause(lx.rest())
+        val spec = graft.query.ArcadeSql.updateSpec(lx.rest())
         clientCastErrors {
           val n = GraphLoader.updateColumns(spark, storeDir, label, kindOf(label),
-            sets.toMap, where.getOrElse(org.apache.spark.sql.functions.lit(true)), txn)
-          // GC with a one-generation grace window (an in-process server
-          // additionally sweeps with exact pin knowledge post-reload);
-          // in a batch, GC waits for the single commit
-          if (txn.isEmpty) graft.load.Store.sweep(storeDir, keepPerLabel = 1)
-          n
+            spec.sets.toMap,
+            spec.where.getOrElse(org.apache.spark.sql.functions.lit(true)), txn)
+          if (n == 0 && spec.upsert) {
+            // UPSERT with an empty match inserts the record instead:
+            // SET literals over the WHERE equality pairs (UpdateSpec
+            // scaladoc) — routed through the validated append sink, so
+            // id/UNIQUE/endpoint invariants hold exactly like INSERT
+            val rec = spec.insertRecord.getOrElse(throw new IllegalArgumentException(
+              "UPSERT insert needs literal SET values (no row exists to evaluate " +
+                "an expression against)"))
+            append(spark, storeDir, label, kindOf(label), Seq(rec), txn)
+          } else {
+            // GC with a one-generation grace window (an in-process
+            // server additionally sweeps with exact pin knowledge
+            // post-reload); in a batch, GC waits for the single commit
+            if (txn.isEmpty) graft.load.Store.sweep(storeDir, keepPerLabel = 1)
+            n
+          }
         }
       case c if c.trim.toUpperCase.startsWith("DELETE") =>
         val (label, where, requiredKind) = parseDelete(c)

@@ -550,6 +550,35 @@ class LoadSpec extends SparkSpec {
     assert(orderGens() == live)
   }
 
+  test("UPSERT inserts on empty match, updates on the second pass") {
+    val out = Files.createTempDirectory("graftups").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    import graft.server.Dml
+    def row() = storeNodes(out).filter(col("id") === 1995001)
+      .select("name", "acctbal").collect()
+    // no Customer with this id → the insert path: SET literals merged
+    // over the WHERE equality pairs, routed through the validated
+    // append sink (id collision / UNIQUE / schema all enforced)
+    val n1 = Dml.execute(spark, out,
+      "UPDATE Customer SET name = 'Customer#u1', acctbal = 10.5 UPSERT WHERE id = 1995001")
+    assert(n1 == 1)
+    assert(row().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("Customer#u1", 10.5)))
+    // the record now exists → the same statement shape updates in place
+    val n2 = Dml.execute(spark, out,
+      "UPDATE Customer SET acctbal = 99.25 UPSERT WHERE id = 1995001")
+    assert(n2 == 1)
+    assert(row().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("Customer#u1", 99.25))) // still ONE row; name untouched
+    // a non-literal SET can update but cannot seed an insert
+    val e = intercept[IllegalArgumentException](Dml.execute(spark, out,
+      "UPDATE Customer SET acctbal = acctbal + 1 UPSERT WHERE id = 1995999"))
+    assert(e.getMessage.contains("literal SET"))
+    // plain UPDATE (no UPSERT) of a missing record still writes nothing
+    assert(Dml.execute(spark, out,
+      "UPDATE Customer SET acctbal = 1.0 WHERE id = 1995999") == 0)
+  }
+
   test("DML parser fails closed on malformed statements") {
     val out = Files.createTempDirectory("graftdml").toString
     GraphLoader.writeGraph(spark, sfDir, out)
