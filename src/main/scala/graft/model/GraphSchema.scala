@@ -27,13 +27,22 @@ final case class IndexDesc(
   */
 final case class LabelSchema(label: String, kind: String, schema: StructType)
 
+/** A server-registered SQL function (the reference's `DEFINE FUNCTION`
+  * surface [dep arcadedb SQL], SQL-language form only): a named
+  * dialect-expression macro. `body` is an ArcadeSql expression over
+  * `params`; calls expand at parse time (ArcadeSql.compile), so there
+  * is no new executor — a registered function call plans exactly like
+  * its inlined twin. */
+final case class FunctionDef(name: String, params: Seq[String], body: String)
+
 /** The property-graph catalog (SURVEY §4.2 "custom: property-graph
   * catalog"): label → (kind, StructType, indexes). Plain Scala — feeds
   * temp views / per-label reads; no Catalyst work needed. Serialized as
   * JSON next to the data (the Spark-side analogue of ArcadeDB's declared
   * schema).
   */
-final case class GraphSchema(labels: Seq[LabelSchema], indexes: Seq[IndexDesc]) {
+final case class GraphSchema(labels: Seq[LabelSchema], indexes: Seq[IndexDesc],
+    functions: Seq[FunctionDef] = Nil) {
 
   def nodeLabels: Seq[String] = labels.filter(_.kind == "vertex").map(_.label)
   def edgeLabels: Seq[String] = labels.filter(_.kind == "edge").map(_.label)
@@ -51,7 +60,10 @@ final case class GraphSchema(labels: Seq[LabelSchema], indexes: Seq[IndexDesc]) 
       .map(i =>
         s"""{"target":"${i.target}","label":"${esc(i.label)}","property":"${esc(i.property)}","unique":${i.unique},"isArray":${i.isArray}}""")
       .mkString("[", ",", "]")
-    s"""{"labels":$ls,"indexes":$is}"""
+    val fs = functions
+      .map(f => s"""{"name":"${esc(f.name)}","params":${f.params.map(p => s""""${esc(p)}"""").mkString("[", ",", "]")},"body":"${esc(f.body)}"}""")
+      .mkString("[", ",", "]")
+    s"""{"labels":$ls,"indexes":$is,"functions":$fs}"""
   }
 }
 
@@ -90,6 +102,18 @@ object GraphSchema {
         }
       case _ => Nil
     }
-    GraphSchema(labels, indexes)
+    // absent in pre-function schema.json files → no registered functions
+    val functions = (root \ "functions") match {
+      case JArray(arr) =>
+        arr.map { f =>
+          FunctionDef(
+            (f \ "name").extract[String],
+            (f \ "params").extract[Seq[String]],
+            (f \ "body").extract[String]
+          )
+        }
+      case _ => Nil
+    }
+    GraphSchema(labels, indexes, functions)
   }
 }

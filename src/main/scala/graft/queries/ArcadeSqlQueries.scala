@@ -404,5 +404,24 @@ object ArcadeSqlQueries {
         GROUP BY $depth"""),
       Some("""SELECT 0 AS depth, CAST(count(*) AS BIGINT) AS cnt FROM region
         UNION ALL SELECT 1, CAST(count(*) AS BIGINT) FROM nation"""))
+  ,
+
+    // ✚ registered functions (CREATE FUNCTION, SURVEY §2.B.11 server
+    // side): parse-time macro expansion — `bigticket` even calls
+    // `discounted`, proving nested expansion; the compiled plan is
+    // byte-identical to the inlined twin (no new executor)
+    Q("asql_function",
+      (s, d) => {
+        val gs = GraphLoader.schema.copy(functions = Seq(
+          graft.model.FunctionDef("discounted", Seq("p", "d"), "p * (1.0 - d)"),
+          graft.model.FunctionDef("bigticket", Seq("x"),
+            "discounted(extendedprice, discount) > x")))
+        ArcadeSql.compile(graph(s, d), gs,
+          """SELECT linenumber, quantity, discounted(extendedprice, discount) AS disc
+            FROM CONTAINS WHERE bigticket(90000.0)""")
+      },
+      Some("""SELECT l_linenumber AS linenumber, l_quantity AS quantity,
+        l_extendedprice * (1.0 - l_discount) AS disc
+        FROM lineitem WHERE l_extendedprice * (1.0 - l_discount) > 90000.0"""))
   )
 }

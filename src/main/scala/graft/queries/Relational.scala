@@ -290,17 +290,20 @@ object Relational {
     // ✚ extension (absent in ArcadeDB 22.8.1): HLL approximate distinct.
     // The sketch estimate itself is implementation-specific, so the
     // hashed contract is the oracle-computable part: the exact count
-    // plus a boolean attesting the estimate sits within the sketch's
-    // configured 5% relative error of it (HLL++ at rsd=0.05).
+    // plus a boolean attesting the estimate sits within 15% ≈ 3σ of it
+    // (HLL++ at rsd=0.05 — rsd is a standard DEVIATION, not a bound, so
+    // attesting 1σ would turn an in-spec estimate at another scale into
+    // a spurious correctness failure; 3σ holds for any dataset the
+    // sketch meets its contract on).
     Q("approx_distinct",
       (s, d) => t(s, d, "lineitem")
         .agg(approx_count_distinct(col("l_partkey"), 0.05).as("approx"),
           countDistinct(col("l_partkey")).as("exact_parts"))
         .select(col("exact_parts"),
           (abs(col("approx") - col("exact_parts")).cast("double")
-            / col("exact_parts") <= 0.05).as("within_5pct")),
+            / col("exact_parts") <= 0.15).as("within_3sigma")),
       Some("""SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
-        true AS within_5pct FROM lineitem""")),
+        true AS within_3sigma FROM lineitem""")),
 
     // ——— §2.B.5 sort / limit / pagination / set ops ————————————————
     Q("sort_topk", // ORDER BY + LIMIT → TakeOrderedAndProject (no total sort)

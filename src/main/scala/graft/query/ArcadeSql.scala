@@ -597,7 +597,96 @@ object ArcadeSql {
     } catch { case _: IllegalArgumentException => false }
 
   def compile(g: PropertyGraph, gs: GraphSchema, command: String): DataFrame =
-    compileStmt(g, gs, parse(command))
+    compileStmt(g, gs, expandFunctions(parse(command), gs))
+
+  /** Parse a registered function's body as a dialect expression —
+    * the CREATE FUNCTION validation hook (a body that does not parse
+    * is rejected at registration, not at first call). */
+  def parseExpression(s: String): Expr = {
+    val p = new Parser(s)
+    val e = p.expr()
+    p.expectEnd()
+    e
+  }
+
+  // ---- registered-function expansion (SURVEY §2.B.11 server side) ----
+
+  /** Bottom-up expression rewrite; `f` fires on each node AFTER its
+    * children were rewritten. Subqueries rewrite through [[mapStmt]]. */
+  private def mapExpr(e: Expr)(f: PartialFunction[Expr, Expr]): Expr = {
+    val rec: Expr => Expr = mapExpr(_)(f)
+    val mapped = e match {
+      case Lit(_) | Ident(_) | PathIdent(_, _) | Var(_) | Star | Depth | HopExpr(_, _) => e
+      case ListLit(vs) => ListLit(vs.map(rec))
+      case Bin(op, l, r) => Bin(op, rec(l), rec(r))
+      case Not(x) => Not(rec(x))
+      case Neg(x) => Neg(rec(x))
+      case IsNull(x, n) => IsNull(rec(x), n)
+      case InList(x, vs, n) => InList(rec(x), ListLit(vs.vs.map(rec)), n)
+      case InSubquery(x, sub, n) => InSubquery(rec(x), mapStmt(sub)(f), n)
+      case SubqueryExpr(st) => SubqueryExpr(mapStmt(st)(f))
+      case Between(x, lo, hi) => Between(rec(x), rec(lo), rec(hi))
+      case Method(t, n, as) => Method(rec(t), n, as.map(rec))
+      case Func(n, as) => Func(n, as.map(rec))
+    }
+    if (f.isDefinedAt(mapped)) f(mapped) else mapped
+  }
+
+  /** Rewrite every expression position of a statement (and its nested
+    * subqueries/sources) through [[mapExpr]]. */
+  private def mapStmt(stmt: Stmt)(f: PartialFunction[Expr, Expr]): Stmt = {
+    val xe: Expr => Expr = mapExpr(_)(f)
+    def xsrc(src: Source): Source = src match {
+      case SubSource(st) => SubSource(mapStmt(st)(f))
+      case other => other
+    }
+    def xnode(n: MatchNode): MatchNode = n.copy(where = n.where.map(xe))
+    stmt match {
+      case s: Select => s.copy(
+        projs = s.projs.map(p => p.copy(expr = xe(p.expr))),
+        from = xsrc(s.from),
+        where = s.where.map(xe),
+        groupBy = s.groupBy.map(xe),
+        orderBy = s.orderBy.map { case (e, asc) => (xe(e), asc) },
+        lets = s.lets.map { case (n, e) => (n, xe(e)) })
+      case t: Traverse => t.copy(from = xsrc(t.from), whileE = t.whileE.map(xe))
+      case m: MatchStmt => m.copy(
+        first = xnode(m.first),
+        steps = m.steps.map(st => st.copy(node = xnode(st.node))),
+        ret = m.ret.map(p => p.copy(expr = xe(p.expr))),
+        groupBy = m.groupBy.map(xe),
+        orderBy = m.orderBy.map { case (e, asc) => (xe(e), asc) })
+    }
+  }
+
+  /** Expand calls to the schema's registered functions
+    * ([[graft.model.FunctionDef]]): `name(args…)` becomes the
+    * function's body expression with each parameter substituted by its
+    * (already-expanded) argument — pure parse-time macro expansion, so
+    * the compiled plan is IDENTICAL to the inlined spelling and no new
+    * executor exists. Nested registered calls expand recursively with
+    * a depth cap, so a self-referential definition fails loudly
+    * instead of looping. Registered names shadow nothing: builtin
+    * functions win (a user cannot redefine count/sum — Dml enforces at
+    * registration; lookup here is name-exact, case-insensitive). */
+  private def expandFunctions(stmt: Stmt, gs: GraphSchema): Stmt = {
+    if (gs.functions.isEmpty) return stmt
+    val byName = gs.functions.map(f => f.name.toLowerCase -> f).toMap
+    def expand(depth: Int): PartialFunction[Expr, Expr] = {
+      case Func(n, args) if byName.contains(n.toLowerCase) =>
+        if (depth > 8) fail(s"function $n: expansion too deep (recursive definition?)")
+        val fd = byName(n.toLowerCase)
+        if (args.size != fd.params.size)
+          fail(s"function ${fd.name} expects ${fd.params.size} argument(s), got ${args.size}")
+        val bound = fd.params.map(_.toLowerCase).zip(args).toMap
+        val body = parseExpression(fd.body)
+        val substituted = mapExpr(body) {
+          case Ident(p) if bound.contains(p.toLowerCase) => bound(p.toLowerCase)
+        }
+        mapExpr(substituted)(expand(depth + 1))
+    }
+    mapStmt(stmt)(expand(0))
+  }
 
   /** Parse a bare dialect predicate (the WHERE grammar) and compile it
     * against unresolved columns — reused by the DML UPDATE/DELETE
@@ -811,6 +900,17 @@ object ArcadeSql {
 
   private val AggNames = Set("count", "count_distinct", "sum", "min", "max", "avg",
     "stddev", "variance", "median", "percentile", "first", "last", "list", "set", "map")
+
+  /** Every function name the compiler interprets itself — a registered
+    * function (CREATE FUNCTION) may not shadow one: expansion happens
+    * BEFORE compilation, so a same-named macro would silently replace
+    * the builtin everywhere. Dml rejects such registrations. */
+  val BuiltinFunctionNames: Set[String] = AggNames ++ Set(
+    "abs", "sqrt", "floor", "ceil", "ceiling", "round", "concat", "coalesce",
+    "if", "ifnull", "sysdate", "date", "format", "strcmpci", "encode", "decode",
+    "uuid", "expand", "distinct", "shortestpath", "dijkstra", "out", "in", "both",
+    "oute", "ine", "outv", "inv", "unionall", "intersect", "difference",
+    "symmetricdifference")
 
   private def scalarFunc(name: String, args: Seq[Expr],
       resolve: String => Column): Column = name match {

@@ -51,13 +51,19 @@ object Dml {
     """(?is)\s*CREATE\s+PROPERTY\s+(\w+)\.(\w+)\s+(\w+)\s*""".r
   private val CreateIndexRe =
     """(?is)\s*CREATE\s+INDEX\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s+(UNIQUE|NOTUNIQUE)\s*""".r
+  // server-registered SQL functions (the reference's DEFINE FUNCTION
+  // [dep arcadedb SQL], SQL-language form): body is a single-quoted
+  // dialect expression ('' escapes a quote), params an optional list
+  private val CreateFunctionRe =
+    """(?is)\s*(?:CREATE|DEFINE)\s+FUNCTION\s+(\w+)\s+'((?:[^']|'')*)'\s*(?:PARAMETERS\s*\[([^\]]*)\])?\s*""".r
 
   def isDml(command: String): Boolean = {
     val t = command.trim.toUpperCase
     t.startsWith("INSERT") || t.startsWith("CREATE VERTEX") ||
       t.startsWith("CREATE EDGE") || t.startsWith("CREATE PROPERTY") ||
       t.startsWith("CREATE INDEX") || t.startsWith("UPDATE") ||
-      t.startsWith("DELETE") || t.startsWith("COMPACT")
+      t.startsWith("DELETE") || t.startsWith("COMPACT") ||
+      t.startsWith("CREATE FUNCTION") || t.startsWith("DEFINE FUNCTION")
   }
 
   /** Execute a DML command against the persisted store; returns the
@@ -157,6 +163,26 @@ object Dml {
             })
           }
           (cur.copy(indexes = cur.indexes :+ ix), 1L)
+        }
+      case CreateFunctionRe(name, bodyRaw, paramsRaw) =>
+        noTxn("DDL")
+        ddl(storeDir) { cur =>
+          val body = bodyRaw.replace("''", "'")
+          val params = Option(paramsRaw)
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+          params.foreach(p => require(p.matches("\\w+"),
+            s"PARAMETERS must be identifiers, got '$p'"))
+          require(!graft.query.ArcadeSql.BuiltinFunctionNames(name.toLowerCase),
+            s"cannot shadow builtin function $name")
+          require(!cur.functions.exists(_.name.equalsIgnoreCase(name)),
+            s"function $name already defined")
+          // a body that does not parse is rejected HERE, not at first call
+          try graft.query.ArcadeSql.parseExpression(body)
+          catch { case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(s"function body does not parse: ${e.getMessage}")
+          }
+          (cur.copy(functions = cur.functions :+
+            graft.model.FunctionDef(name, params, body)), 1L)
         }
       case InsertRe(label, cols, values) =>
         val names = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq

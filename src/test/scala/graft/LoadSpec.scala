@@ -579,6 +579,33 @@ class LoadSpec extends SparkSpec {
       "UPDATE Customer SET acctbal = 1.0 WHERE id = 1995999") == 0)
   }
 
+  test("CREATE FUNCTION registers a schema-stored macro, live for the dialect") {
+    val out = Files.createTempDirectory("graftfn").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    import graft.server.Dml
+    assert(Dml.execute(spark, out, "CREATE FUNCTION halfbal 'acctbal / 2.0'") == 1)
+    // persisted in schema.json and honored by a fresh compile (the
+    // server's per-snapshot schema re-read makes this live, no restart)
+    val gs = graft.model.GraphSchema.fromJson(
+      Files.readString(Path.of(out, "schema.json")))
+    assert(gs.functions.map(_.name) == Seq("halfbal"))
+    val g = graft.query.PropertyGraph(storeNodes(out), storeEdges(out))
+    val got = graft.query.ArcadeSql.compile(g, gs,
+      "SELECT acctbal, halfbal() AS hb FROM Customer WHERE halfbal() > 3000.0")
+      .collect()
+    assert(got.nonEmpty && got.forall(r => r.getDouble(1) == r.getDouble(0) / 2.0))
+    // registration fails closed: duplicates, builtin shadowing, bad body
+    intercept[IllegalArgumentException](
+      Dml.execute(spark, out, "CREATE FUNCTION halfbal 'acctbal'"))
+    intercept[IllegalArgumentException](
+      Dml.execute(spark, out, "CREATE FUNCTION sum 'acctbal'"))
+    intercept[IllegalArgumentException](
+      Dml.execute(spark, out, "CREATE FUNCTION broken 'acctbal +'"))
+    // DEFINE FUNCTION is the reference's spelling for the same DDL
+    assert(Dml.execute(spark, out,
+      "DEFINE FUNCTION twice 'x * 2' PARAMETERS [x]") == 1)
+  }
+
   test("DML parser fails closed on malformed statements") {
     val out = Files.createTempDirectory("graftdml").toString
     GraphLoader.writeGraph(spark, sfDir, out)
