@@ -422,6 +422,20 @@ object ArcadeSqlQueries {
       },
       Some("""SELECT l_linenumber AS linenumber, l_quantity AS quantity,
         l_extendedprice * (1.0 - l_discount) AS disc
-        FROM lineitem WHERE l_extendedprice * (1.0 - l_discount) > 90000.0"""))
+        FROM lineitem WHERE l_extendedprice * (1.0 - l_discount) > 90000.0""")),
+
+    // multi-pattern MATCH: comma-separated chains share alias `c`, so
+    // the second pattern equi-joins the first on c's binding key — two
+    // broadcast-joinable chains, never a cartesian (disconnected
+    // patterns are rejected at compile time)
+    Q("asql_match_multi",
+      asql("""MATCH {type: Customer, as: c}.out('PLACED'){as: o},
+          {type: Customer, as: c}.out('IN_NATION'){as: n}
+        RETURN n.name AS nation, count(o.id) AS orders GROUP BY n.name"""),
+      Some("""SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS orders
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        GROUP BY n_name"""))
   )
 }

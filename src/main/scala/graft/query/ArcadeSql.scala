@@ -97,7 +97,10 @@ object ArcadeSql {
   final case class MatchNode(typ: Option[String], as: Option[String], where: Option[Expr],
       optional: Boolean = false)
   final case class MatchStep(dir: String, label: String, node: MatchNode)
-  final case class MatchStmt(first: MatchNode, steps: Seq[MatchStep], ret: Seq[Proj],
+  /** One `{node}.out('L'){node}…` pattern chain; a MATCH may hold
+    * several, comma-separated, joined on their shared aliases. */
+  final case class MatchChain(first: MatchNode, steps: Seq[MatchStep])
+  final case class MatchStmt(chains: Seq[MatchChain], ret: Seq[Proj],
       groupBy: Seq[Expr], orderBy: Seq[(Expr, Boolean)],
       skip: Option[Int], limit: Option[Int]) extends Stmt
 
@@ -289,17 +292,24 @@ object ArcadeSql {
 
     private def matchStmt(): MatchStmt = {
       expectKw("MATCH")
-      val first = matchNode()
-      val steps = scala.collection.mutable.ArrayBuffer[MatchStep]()
-      while (peek == '.') {
-        i += 1
-        val dir = ident().toLowerCase
-        if (!Set("out", "in", "both")(dir)) fail(s"expected out/in/both, got $dir")
-        expectCh('(')
-        val label = stringLit()
-        expectCh(')')
-        steps += MatchStep(dir, label, matchNode())
+      def chain(): MatchChain = {
+        val first = matchNode()
+        val steps = scala.collection.mutable.ArrayBuffer[MatchStep]()
+        while (peek == '.') {
+          i += 1
+          val dir = ident().toLowerCase
+          if (!Set("out", "in", "both")(dir)) fail(s"expected out/in/both, got $dir")
+          expectCh('(')
+          val label = stringLit()
+          expectCh(')')
+          steps += MatchStep(dir, label, matchNode())
+        }
+        MatchChain(first, steps.toSeq)
       }
+      // comma-separated pattern chains share aliases (ArcadeDB's
+      // multi-pattern MATCH); the list ends at RETURN
+      val chains = scala.collection.mutable.ArrayBuffer(chain())
+      while (peek == ',') { i += 1; chains += chain() }
       expectKw("RETURN")
       val ret = scala.collection.mutable.ArrayBuffer(projection())
       while (peek == ',') { i += 1; ret += projection() }
@@ -307,7 +317,7 @@ object ArcadeSql {
       val order = if (eat("ORDER")) { expectKw("BY"); orderList() } else Nil
       val skip = if (eat("SKIP")) Some(intLit()) else None
       val limit = if (eat("LIMIT")) Some(intLit()) else None
-      MatchStmt(first, steps.toSeq, ret.toSeq, group, order, skip, limit)
+      MatchStmt(chains.toSeq, ret.toSeq, group, order, skip, limit)
     }
 
     private def matchNode(): MatchNode = {
@@ -651,8 +661,9 @@ object ArcadeSql {
         lets = s.lets.map { case (n, e) => (n, xe(e)) })
       case t: Traverse => t.copy(from = xsrc(t.from), whileE = t.whileE.map(xe))
       case m: MatchStmt => m.copy(
-        first = xnode(m.first),
-        steps = m.steps.map(st => st.copy(node = xnode(st.node))),
+        chains = m.chains.map(c => c.copy(
+          first = xnode(c.first),
+          steps = c.steps.map(st => st.copy(node = xnode(st.node))))),
         ret = m.ret.map(p => p.copy(expr = xe(p.expr))),
         groupBy = m.groupBy.map(xe),
         orderBy = m.orderBy.map { case (e, asc) => (xe(e), asc) })
@@ -1439,39 +1450,63 @@ object ArcadeSql {
   // ---- MATCH ----
 
   private def compileMatch(g: PropertyGraph, gs: GraphSchema, m: MatchStmt): DataFrame = {
-    val firstType = m.first.typ.getOrElse(fail("first MATCH node needs a type"))
-    val firstAs = m.first.as.getOrElse(fail("first MATCH node needs an alias"))
-    var t = g.v(firstType, firstAs)
     def bindFilter(trav: Traversal, as: String, where: Option[Expr]): Traversal =
       where.map(w => trav.filter(ce(w, n => col(s"${as}_$n")))).getOrElse(trav)
-    t = bindFilter(t, firstAs, m.first.where)
-    var idx = 0
-    m.steps.foreach { st =>
-      idx += 1
-      val as = st.node.as.getOrElse(s"__m$idx")
-      if (st.node.optional) {
-        // optional: true (left-join step) — the node's where belongs
-        // INSIDE the optional side (filtering after the left join would
-        // silently turn it back into an inner match)
-        val f = st.node.where.map(w => ce(w, n => col(s"${as}_$n")))
-        t = t.hopOptional(st.dir, st.label, st.node.typ, as, f)
-      } else {
-        t = st.node.typ match {
-          case Some(typ) => st.dir match {
-            case "out" => t.out(st.label, typ, as)
-            case "in" => t.in(st.label, typ, as)
-            case "both" => t.both(st.label, typ, as)
+    var idx = 0 // anonymous-binding counter, global across chains
+    def compileChain(cn: MatchChain): (DataFrame, Set[String]) = {
+      val firstType = cn.first.typ.getOrElse(fail("first MATCH node of a pattern needs a type"))
+      val firstAs = cn.first.as.getOrElse(fail("first MATCH node of a pattern needs an alias"))
+      var t = g.v(firstType, firstAs)
+      val aliases = scala.collection.mutable.Set(firstAs)
+      t = bindFilter(t, firstAs, cn.first.where)
+      cn.steps.foreach { st =>
+        idx += 1
+        val as = st.node.as.getOrElse(s"__m$idx")
+        aliases += as
+        if (st.node.optional) {
+          // optional: true (left-join step) — the node's where belongs
+          // INSIDE the optional side (filtering after the left join would
+          // silently turn it back into an inner match)
+          val f = st.node.where.map(w => ce(w, n => col(s"${as}_$n")))
+          t = t.hopOptional(st.dir, st.label, st.node.typ, as, f)
+        } else {
+          t = st.node.typ match {
+            case Some(typ) => st.dir match {
+              case "out" => t.out(st.label, typ, as)
+              case "in" => t.in(st.label, typ, as)
+              case "both" => t.both(st.label, typ, as)
+            }
+            case None => st.dir match {
+              case "out" => t.outAny(st.label, as)
+              case "in" => t.inAny(st.label, as)
+              case "both" => t.bothAny(st.label, as)
+            }
           }
-          case None => st.dir match {
-            case "out" => t.outAny(st.label, as)
-            case "in" => t.inAny(st.label, as)
-            case "both" => t.bothAny(st.label, as)
-          }
+          t = bindFilter(t, as, st.node.where)
         }
-        t = bindFilter(t, as, st.node.where)
       }
+      (t.result, aliases.toSet)
     }
-    val bound = t.result
+    // multi-pattern MATCH: each later chain equi-joins the accumulated
+    // frame on the `<alias>_id` key of every SHARED alias (the same
+    // node binding by construction, so its duplicated property columns
+    // keep the left copy). Disconnected patterns are rejected — an
+    // alias-free pair would be a cartesian product, the exact plan
+    // class this engine refuses to emit.
+    val (f0, a0) = compileChain(m.chains.head)
+    var bound = f0
+    var aliases = a0
+    m.chains.tail.foreach { cn =>
+      val (f, as) = compileChain(cn)
+      val shared = aliases.intersect(as)
+      if (shared.isEmpty)
+        fail("MATCH patterns must share at least one alias " +
+          "(disconnected patterns would be a cartesian product)")
+      val keys = shared.toSeq.sorted.map(a => s"${a}_id")
+      val dup = f.columns.filter(c => bound.columns.contains(c) && !keys.contains(c))
+      bound = bound.join(f.drop(dup.toIndexedSeq: _*), keys, "inner")
+      aliases ++= as
+    }
     val resolve: String => Column = n =>
       if (n.contains('.')) { val Array(b, p) = n.split("\\.", 2); bound(s"${b}_$p") }
       else bound(n)

@@ -107,6 +107,28 @@ class ArcadeSqlSpec extends SparkSpec {
     assert(plan.contains("Join"), "MATCH must plan as joins")
   }
 
+  test("multi-pattern MATCH joins chains on shared aliases; disconnected patterns fail") {
+    // two chains share c → equi-join on c's binding key; the twin is
+    // one chain extended by hand with the second hop
+    val df = run("""MATCH {type: Customer, as: c}.out('PLACED'){as: o},
+        {type: Customer, as: c}.out('IN_NATION'){as: n}
+      RETURN c.name AS name, n.name AS nation, o.totalprice AS total""")
+    val twin = g.v("Customer", "c").out("PLACED", "Order", "o").result
+      .join(g.v("Customer", "c2").out("IN_NATION", "Nation", "n").result
+        .withColumnRenamed("c2_id", "c_id")
+        .select(col("c_id"), col("n_name")), Seq("c_id"))
+      .select(col("c_name").as("name"), col("n_name").as("nation"),
+        col("o_totalprice").as("total"))
+    assert(df.collect().toSet == twin.collect().toSet && df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "shared-alias patterns must join, not cross")
+    // no shared alias → rejected, never a cartesian plan
+    val e = intercept[IllegalArgumentException](run(
+      "MATCH {type: Region, as: a}, {type: Nation, as: b} RETURN a.name AS x"))
+    assert(e.getMessage.contains("share at least one alias"))
+  }
+
   test("MATCH and TRAVERSE compose as FROM sources of an outer SELECT") {
     val n = run("""SELECT name FROM (
         MATCH {type: Customer, as: c, where: (mktsegment = 'BUILDING')}
