@@ -52,7 +52,18 @@ object PlanAudit {
     Check("sim_quantized_topk", "quantized queries broadcast, corpus scanned once",
       "BroadcastNestedLoopJoin"),
     Check("sim_quantized_topk", "native integer dot kernel scores the codes",
-      "graft_bdot")
+      "graft_bdot"),
+    // round-7 operators: the as-of join is ONE carry window (its
+    // negative twin — no range/cartesian join — is asserted in
+    // AsOfSpec); the range join and MATCH variants must plan as real
+    // equi-joins; decontamination is a single left-semi probe
+    Check("asof_events", "as-of carries payload in one window pass", "Window"),
+    Check("range_join_events", "band join is an equi-join",
+      "BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin"),
+    Check("pipeline_decontaminate", "decontamination is one left-semi probe", "LeftSemi"),
+    Check("asql_optional_match", "optional MATCH step is a left outer join", "LeftOuter"),
+    Check("asql_match_multi", "shared-alias pattern join is a hash join",
+      "BroadcastHashJoin|ShuffledHashJoin")
   )
 
   def main(args: Array[String]): Unit = {

@@ -381,30 +381,37 @@ object GraphLoader {
     // (the DELETE probe's pruning metadata): left joins carry the node
     // labels, a null label = a dangling endpoint
     val nl = nodes.select(col("id"), col("label").as("__nl"))
+    // consumed 3× (dangling check, endpoint observation, segment
+    // write): cached rather than eagerly localCheckpoint'ed — the
+    // first action materializes it lazily into executor storage, the
+    // write spills to disk if a bulk batch outgrows memory, and
+    // unpersist releases it as soon as the segments are staged
     val joined = batch
       .join(nl.withColumnRenamed("id", "src").withColumnRenamed("__nl", "__sl"),
         Seq("src"), "left")
       .join(nl.withColumnRenamed("id", "dst").withColumnRenamed("__nl", "__dl"),
         Seq("dst"), "left")
-      .localCheckpoint(true) // consumed 3×: dangling check, obs, rows
-    val dangling = joined.filter(col("__sl").isNull || col("__dl").isNull)
-    require(dangling.isEmpty, {
-      val sample = dangling.select("src", "dst").limit(5).collect()
-        .map(r => s"(${r.getLong(0)}→${r.getLong(1)})").mkString(", ")
-      s"append rejected: dangling edge endpoint(s): $sample"
-    })
-    val obs = joined.select(col("label"), col("__sl"), col("__dl")).distinct().collect()
-      .groupBy(_.getString(0))
-      .map { case (l, rows) =>
-        l -> ((rows.map(_.getString(1)).toSet, rows.map(_.getString(2)).toSet))
-      }
-    // endpoint delta folds into the SAME manifest commit as the new
-    // segments: a crash can never publish edges whose labels the
-    // DELETE probe's pruning metadata doesn't yet know about
-    val labels = appendBatch(spark, outDir, "edges",
-      joined.drop("__sl", "__dl").select(batch.columns.map(col).toIndexedSeq: _*),
-      m0, txn, epDelta = obs)
-    if (txn.isEmpty) autoCompactIfNeeded(spark, outDir, labels.map(("edges", _)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dangling = joined.filter(col("__sl").isNull || col("__dl").isNull)
+      require(dangling.isEmpty, {
+        val sample = dangling.select("src", "dst").limit(5).collect()
+          .map(r => s"(${r.getLong(0)}→${r.getLong(1)})").mkString(", ")
+        s"append rejected: dangling edge endpoint(s): $sample"
+      })
+      val obs = joined.select(col("label"), col("__sl"), col("__dl")).distinct().collect()
+        .groupBy(_.getString(0))
+        .map { case (l, rows) =>
+          l -> ((rows.map(_.getString(1)).toSet, rows.map(_.getString(2)).toSet))
+        }
+      // endpoint delta folds into the SAME manifest commit as the new
+      // segments: a crash can never publish edges whose labels the
+      // DELETE probe's pruning metadata doesn't yet know about
+      val labels = appendBatch(spark, outDir, "edges",
+        joined.drop("__sl", "__dl").select(batch.columns.map(col).toIndexedSeq: _*),
+        m0, txn, epDelta = obs)
+      if (txn.isEmpty) autoCompactIfNeeded(spark, outDir, labels.map(("edges", _)))
+    } finally joined.unpersist()
   }
 
   /** UPDATE <Label> SET … WHERE <pred> — copy-on-write rewrite of ONE

@@ -107,6 +107,22 @@ class ArcadeSqlSpec extends SparkSpec {
     assert(plan.contains("Join"), "MATCH must plan as joins")
   }
 
+  test("registered functions expand to the inlined plan (no second executor)") {
+    val fgs = gs.copy(functions = Seq(
+      graft.model.FunctionDef("discounted", Seq("p", "d"), "p * (1.0 - d)")))
+    val viaFn = ArcadeSql.compile(g, fgs,
+      "SELECT linenumber, discounted(extendedprice, discount) AS v FROM CONTAINS")
+    val inlined = ArcadeSql.compile(g, fgs,
+      "SELECT linenumber, extendedprice * (1.0 - discount) AS v FROM CONTAINS")
+    // sameResult compares canonicalized plans: macro expansion must be
+    // invisible to Catalyst, not merely value-equal
+    assert(viaFn.queryExecution.optimizedPlan
+      .sameResult(inlined.queryExecution.optimizedPlan))
+    // arity mismatch and unknown names still fail loudly
+    intercept[IllegalArgumentException](ArcadeSql.compile(g, fgs,
+      "SELECT discounted(extendedprice) AS v FROM CONTAINS"))
+  }
+
   test("multi-pattern MATCH joins chains on shared aliases; disconnected patterns fail") {
     // two chains share c → equi-join on c's binding key; the twin is
     // one chain extended by hand with the second hop
