@@ -41,6 +41,7 @@ object Bench {
     "pipeline_shards",
     "pipeline_decontaminate",
     "asof_events",
+    "asof_events_salted",
     "range_join_events",
     "text_quality",
     "multimodal_meta",

@@ -45,25 +45,60 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String]): DataFrame =
+    asofImpl(left, right, key, ts, payloadCols, salts = 1)
+
+  /** Skew-resilient two-level variant: a single pathological hot key
+    * hash-partitions all of its rows into ONE partition's sort in the
+    * plain as-of (the same exposure as any groupBy, but a window
+    * cannot be AQE-skew-split) — so here left rows additionally salt
+    * into `salts` subpartitions by a deterministic row hash, and right
+    * rows REPLICATE to every salt of their key. Each (key, salt)
+    * subpartition then holds all right rows of the key plus 1/salts of
+    * its left rows, so the per-partition sort shrinks by the salt
+    * factor while every left row still sees the full right timeline —
+    * results are IDENTICAL to [[asofJoin]], tie rule included. Cost:
+    * the right side shuffles ×salts (it is the small state/feature
+    * side in the alignment workload; pick salts ≈ the skew factor). */
+  def asofJoinSalted(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payloadCols: Seq[String], salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    asofImpl(left, right, key, ts, payloadCols, salts)
+  }
+
+  private def asofImpl(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payloadCols: Seq[String], salts: Int): DataFrame = {
     require(payloadCols.nonEmpty, "as-of join needs at least one right payload column")
     val asofCols = payloadCols.map(c => s"asof_$c") :+ "asof_ts"
-    val clash = left.columns.toSet.intersect(asofCols.toSet ++ Set("__side", "__asof"))
+    val clash = left.columns.toSet.intersect(
+      asofCols.toSet ++ Set("__side", "__asof", "__salt"))
     require(clash.isEmpty, s"left side already has column(s) ${clash.mkString(", ")}")
 
+    // left rows salt by a stable row hash (identical rows are
+    // interchangeable, so hash-determinism is enough); salts=1 (the
+    // plain join) degenerates to a constant
+    val saltCol =
+      if (salts == 1) lit(0)
+      else pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(salts))
     // one struct carries the matched row whole; payload fields lead so
     // struct order IS the tie rule at equal ts (recency itself is the
     // window's ts column, never the struct)
-    val lTagged = left.withColumn("__side", lit(1))
+    val lTagged = left.withColumn("__side", lit(1)).withColumn("__salt", saltCol)
     // a null-timestamp right row would sort FIRST under the ascending
     // window and pollute every left row's carried payload — it can
     // never be "the latest prior" of anything, so drop it here; a
     // null-timestamp LEFT row naturally gets null payloads (it sorts
     // before every surviving right row)
-    val rTagged = right.filter(col(ts).isNotNull).select(
+    val rBase = right.filter(col(ts).isNotNull).select(
       col(key), col(ts), lit(0).as("__side"),
       struct(payloadCols.map(c => col(c).as(s"asof_$c")) :+ col(ts).as("asof_ts"): _*)
         .as("__asof"))
+    // right rows replicate to every salt: each subpartition carries the
+    // key's whole right timeline
+    val rTagged =
+      if (salts == 1) rBase.withColumn("__salt", lit(0))
+      else rBase.withColumn("__salt",
+        explode(sequence(lit(0), lit(salts - 1)).cast("array<long>")))
 
     val u = lTagged.unionByName(rTagged, allowMissingColumns = true)
     // right rows (side 0) sort before left rows (side 1) at equal ts →
@@ -71,7 +106,7 @@ object AsOfJoin {
     // greatest payload struct sorts last and therefore wins the
     // last(ignoreNulls) carry — the deterministic tie rule. Left rows'
     // null __asof sorts first within their side group (harmless).
-    val w = Window.partitionBy(col(key))
+    val w = Window.partitionBy(col(key), col("__salt"))
       .orderBy(col(ts).asc, col("__side").asc, col("__asof").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("__carry", last(col("__asof"), ignoreNulls = true).over(w))

@@ -51,12 +51,40 @@ object WindowQueries {
         val e = events(s, d)
         val purchases = e.filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), col("ts"))
-        // right side deduped per (user, ts): REQUIRED by the operator
+        // right side deduped per (user, ts) to match the DuckDB oracle
+        // exactly (the operator itself resolves duplicates by its
+        // deterministic greatest-payload tie rule)
         val views = e.filter(col("event_type") === "view")
           .groupBy(col("user_id"), col("ts"))
           .agg(max_by(col("value"), col("event_id")).as("value"))
         graft.operators.AsOfJoin.asofJoin(purchases, views, "user_id", "ts",
           Seq("value"))
+          .select(col("event_id"), col("user_id"),
+            col("asof_value").as("view_value"),
+            (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("staleness_us"))
+      },
+      Some("""WITH l AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+        r AS (SELECT user_id, ts, arg_max(value, event_id) AS value FROM events
+          WHERE event_type = 'view' GROUP BY user_id, ts)
+        SELECT l.event_id, l.user_id, r.value AS view_value,
+          epoch_us(l.ts) - epoch_us(r.ts) AS staleness_us
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""")),
+
+    // ✚ skew-resilient as-of (the 100 TB hot-key refinement named in
+    // the r6 audit): left rows salt into 8 subpartitions, right rows
+    // replicate per salt — IDENTICAL results to asof_events, proven
+    // against the same DuckDB native-ASOF oracle
+    Q("asof_events_salted",
+      (s, d) => {
+        val e = events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max_by(col("value"), col("event_id")).as("value"))
+        graft.operators.AsOfJoin.asofJoinSalted(purchases, views, "user_id", "ts",
+          Seq("value"), salts = 8)
           .select(col("event_id"), col("user_id"),
             col("asof_value").as("view_value"),
             (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("staleness_us"))

@@ -49,6 +49,31 @@ class AsOfSpec extends SparkSpec {
     assert(got2 == got)
   }
 
+  test("salted as-of equals the plain as-of, hot key included") {
+    // one pathological hot key (0) holding most rows, plus normal keys;
+    // duplicate (key,ts) right rows exercise the tie rule under salting
+    val left = spark.range(0, 2000).select(
+      when($"id" < 1500, 0L).otherwise($"id" % 7).as("k"), ($"id" * 3).as("t"),
+      $"id".as("tag"))
+    val right = spark.range(0, 400).select(
+      when($"id" < 300, 0L).otherwise($"id" % 7).as("k"), (($"id" % 100) * 20).as("t"),
+      ($"id" % 50).cast("double").as("v"))
+    val plain = AsOfJoin.asofJoin(left, right, "k", "t", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)))).toSet
+    Seq(2, 8).foreach { s =>
+      val salted = AsOfJoin.asofJoinSalted(left, right, "k", "t", Seq("v"), s)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)), Option(r.get(4)))).toSet
+      assert(salted == plain, s"salts=$s diverged from the plain as-of")
+    }
+    // the salted window partitions by (key, salt): the hot key's sort
+    // splits across subpartitions instead of serializing on one core
+    val plan = AsOfJoin.asofJoinSalted(left, right, "k", "t", Seq("v"), 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), "salt column must reach the window partitioning")
+  }
+
   test("range join matches the brute-force inequality join across band boundaries") {
     import graft.operators.RangeJoin
     // timestamps engineered to straddle band edges: delta = 100, rows
