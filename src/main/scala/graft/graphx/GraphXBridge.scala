@@ -74,6 +74,21 @@ object GraphXBridge {
       base, cc)
   }
 
+  /** Connected components over an arbitrary (src, dst) pair frame —
+    * the dedup-cluster resolver: near-dup PAIRS become groups, each
+    * represented by its minimum member id (GraphX CC's canonical
+    * representative, deterministic). Vertices are the pair members
+    * only; callers left-join and coalesce to self for singletons. */
+  def componentsOfPairs(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val es = pairs.select("src", "dst").rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val base = Graph.fromEdges(es, (), StorageLevel.MEMORY_AND_DISK,
+      StorageLevel.MEMORY_AND_DISK)
+    val cc = base.connectedComponents()
+    finish(cc.vertices.map { case (id, comp) => (id, comp) }.toDF("id", "component"),
+      base, cc)
+  }
+
   /** Landmark shortest-path distances (unweighted BFS Pregel), the
     * `shortestPath(a, b)` equivalent. Returns (id, landmark, dist). */
   def shortestPathsTo(spark: SparkSession, g: PropertyGraph,

@@ -153,6 +153,41 @@ object LlmQueries {
         SELECT doc_id, lang FROM documents
         WHERE doc_id NOT IN (SELECT d2 FROM cand)""")),
 
+    // ✚ dedup-GROUP resolution: pipeline_neardup's greedy drop is
+    // pairwise (B collides with A ⇒ drop B), but real cluster dedup is
+    // transitive — A~B, B~C puts all three in ONE group even when A,C
+    // never collide directly. Candidate pairs become an undirected
+    // graph; GraphX connected components (min-id canonical
+    // representative) resolve each doc to its group keeper. Oracle:
+    // the same pairs closed transitively by a recursive CTE. Scale:
+    // CC is the Pregel min-propagation loop — group diameter
+    // iterations over the PAIR graph only, never the corpus.
+    Q("pipeline_dedup_groups",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 16)
+        val cands = Dedup.minhashCandidates(sigs, "doc_id", 16, 4)
+        val comp = graft.graphx.GraphXBridge.componentsOfPairs(s,
+          cands.select(col("d1").as("src"), col("d2").as("dst")))
+        docs.join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("keeper"),
+            (coalesce(col("component"), col("doc_id")) === col("doc_id")).as("kept"))
+      },
+      Some(s"""WITH RECURSIVE $sqlMinhashBandedCtes,
+        cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM banded a
+          JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        e AS (SELECT d1 AS s, d2 AS t FROM cand UNION SELECT d2, d1 FROM cand),
+        reach(node, r) AS (
+          SELECT DISTINCT s, s FROM e
+          UNION
+          SELECT e.t, reach.r FROM e JOIN reach ON e.s = reach.node),
+        comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+        SELECT d.doc_id,
+          coalesce(c.component, d.doc_id) AS keeper,
+          coalesce(c.component, d.doc_id) = d.doc_id AS kept
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id""")),
+
     // SimHash 60-bit signatures + hamming ≤ 3 pairs via 15-bit chunks
     Q("dedup_simhash",
       (s, d) => Dedup.simhashPairs(
