@@ -34,6 +34,7 @@ object Bench {
     "sim_topk",
     "sim_ivf_topk",
     "sim_quantized_topk",
+    "sim_pq_topk",
     "graphql_hop",
     "asql_match_agg",
     "asql_traverse_depth",

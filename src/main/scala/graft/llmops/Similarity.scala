@@ -74,6 +74,60 @@ object Similarity {
         .as("codes"))
   }
 
+  /** Product-quantization top-k — the sub-byte compression rung below
+    * int8 ([[quantizedTopK]]): the vector splits into `m` subspaces,
+    * each encoded as the index of its L2-nearest codeword from a
+    * per-subspace codebook, so a 64-dim double vector stores as `m`
+    * small codes (here 4 × 4 bits of information — a 128× reduction).
+    * The codebook follows the IVF sampling doctrine
+    * (deterministic: the `nCodes` smallest-id vectors, collected —
+    * config-sized by construction, broadcast as literals). Scoring is
+    * asymmetric: the query stays exact, the corpus side is its
+    * RECONSTRUCTION (concatenated codewords) — one map-only encode
+    * pass + one corpus scan, queries broadcast, never an all-pairs
+    * join. Distances use the expansion `|s|² − 2·s·c + |c|²` and
+    * first-minimum-wins argmin (tie → smallest code), so a SQL oracle
+    * reproduces codes, reconstructions, and cosines bit-for-bit. */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String, m: Int, nCodes: Int,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    val v0 = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val cbRows = v0.filter(col(idCol) < nCodes).orderBy(col(idCol))
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(cbRows.length == nCodes, s"expected $nCodes codebook vectors")
+    val dim = cbRows.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    def litVec(xs: Array[Double]): Column = array(xs.toIndexedSeq.map(lit): _*)
+    val cbSub: IndexedSeq[IndexedSeq[Array[Double]]] = (0 until m).map(mi =>
+      cbRows.toIndexedSeq.map(_.slice(mi * dsub, (mi + 1) * dsub)))
+    def subv(vc: Column, mi: Int): Column = slice(vc, mi * dsub + 1, dsub)
+    // 1-based argmin code per subspace; array_position takes the FIRST
+    // minimum, and the codeword array is ordered by code id
+    def codeCol(vc: Column, mi: Int): Column = {
+      val s = subv(vc, mi)
+      val dists = array(cbSub(mi).map { cw =>
+        val c = litVec(cw)
+        dot(s, s) - lit(2.0) * dot(s, c) + dot(c, c)
+      }: _*)
+      array_position(dists, array_min(dists))
+    }
+    val coded = v0.withColumn("codes",
+      array((0 until m).map(mi => codeCol(col("v"), mi)): _*))
+    val recon = flatten(array((0 until m).map(mi =>
+      element_at(array(cbSub(mi).map(litVec): _*),
+        element_at(col("codes"), mi + 1).cast("int"))): _*))
+    val rv = coded.withColumn("rv", recon).withColumn("rn", norm(col("rv")))
+    val q = v0.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), col("v").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = rv.join(broadcast(q), col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol).as("nn"),
+        (dot(col("qv"), col("rv")) / (col("qn") * col("rn"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nn").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Exact top-k over the QUANTIZED corpus — the memory-bounded
     * variant of [[bruteForceTopK]]: integer dot products (64 dims ×
     * 127² fits int comfortably), norms hoisted per row, queries

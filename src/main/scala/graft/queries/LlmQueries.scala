@@ -271,6 +271,37 @@ object LlmQueries {
           (PARTITION BY qid ORDER BY cos DESC, nn) AS INTEGER) AS rank FROM s)
         SELECT qid, nn, rank, round(cos, 6) AS cos FROM r WHERE rank <= 10""")),
 
+    // ✚ product quantization (Similarity.pqTopK scaladoc): 4 subspaces
+    // × 16 sampled codewords, asymmetric query-vs-reconstruction
+    // cosine — the oracle recomputes codes (L2 expansion + first-min
+    // argmin), reconstructions, and cosines bit-for-bit
+    Q("sim_pq_topk",
+      (s, d) => Similarity.pqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        4, 16, Seq(0L, 1L, 2L, 3L, 4L), 10)
+        .select(col("qid"), col("nn"), col("rank"), round(col("cos"), 6).as("cos")),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ms AS (SELECT unnest(range(4)) AS m),
+        cb AS (SELECT vec_id AS code, v AS cv FROM v WHERE vec_id < 16),
+        sl AS (SELECT vec_id, v, m, v[m*16+1 : m*16+16] AS s FROM v CROSS JOIN ms),
+        cbs AS (SELECT code, m, cv[m*16+1 : m*16+16] AS c FROM cb CROSS JOIN ms),
+        d AS (SELECT vec_id, m, code, c,
+            list_dot_product(s, s) - 2.0 * list_dot_product(s, c)
+              + list_dot_product(c, c) AS d2
+          FROM sl JOIN cbs USING (m)),
+        chosen AS (SELECT vec_id, m, c FROM (
+            SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m
+              ORDER BY d2 ASC, code ASC) AS rn FROM d) t
+          WHERE rn = 1),
+        recon AS (SELECT vec_id, flatten(list(c ORDER BY m)) AS rv
+          FROM chosen GROUP BY vec_id),
+        q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id IN (0,1,2,3,4)),
+        cand AS (SELECT q.qid, r.vec_id AS nn, list_dot_product(q.qv, r.rv) /
+            (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(r.rv, r.rv))) AS cos
+          FROM q CROSS JOIN recon r WHERE r.vec_id <> q.qid),
+        rr AS (SELECT qid, nn, cos, CAST(row_number() OVER (PARTITION BY qid
+          ORDER BY cos DESC, nn ASC) AS INTEGER) AS rank FROM cand)
+        SELECT qid, nn, rank, round(cos, 6) AS cos FROM rr WHERE rank <= 10""")),
+
     // IVF ANN: deterministic sampled centroids (vec_id < 16), map-only
     // cell assignment, probe 4 cells/query, exact re-rank within cells
     Q("sim_ivf_topk",

@@ -164,6 +164,29 @@ class LlmSpec extends SparkSpec {
     assert(!assignPlan.contains("Exchange"), assignPlan)
   }
 
+  test("pqTopK: reconstruction ranking approximates exact cosine; plan broadcasts queries") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding", 4, 16, qids, 10)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, 10)
+    def tops(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "nn").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (p, e) = (tops(pq), tops(exact))
+    assert(p.keySet == qids.toSet && p.values.forall(_.size == 10))
+    // PQ is lossy by design; demand meaningful overlap with the exact
+    // top-10, not equality (4×16 codebook on 64 dims)
+    val recall = qids.map(q => p(q).intersect(e(q)).size).sum / (10.0 * qids.size)
+    assert(recall >= 0.3, s"PQ recall@10 degenerated to $recall")
+    // deterministic: re-running encodes + ranks identically
+    val again = Similarity.pqTopK(emb, "vec_id", "embedding", 4, 16, qids, 10)
+    assert(pq.collect().toSet == again.collect().toSet)
+    // scale shape: queries broadcast onto one corpus scan, never an
+    // all-pairs shuffle join
+    val plan = pq.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("annTopK: bucketed candidates are a subset re-ranked correctly") {
     val ann = Similarity.annTopK(spark.read.parquet(s"$sfDir/embeddings.parquet"),
       "vec_id", "embedding", 64, 8, 5)
