@@ -473,6 +473,33 @@ object LlmQueries {
         CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS distinct_tokens
         FROM documents""")),
 
+    // ✚ repetition scoring (the Gopher-family quality signal): the
+    // fraction of a document's trigrams that are duplicates — high
+    // values flag boilerplate/templated text a prep pipeline drops.
+    // Same compiled shingle kernel as the dedup family; map-only.
+    Q("text_repetition",
+      (s, d) => {
+        val sh = graft.plans.NGramMd5(TextOps.tokens(col("text")), 3, 8)
+        t(s, d, "documents").select(col("doc_id"),
+          size(sh).as("n_trigrams"),
+          size(array_distinct(sh)).as("n_distinct_trigrams"),
+          when(size(sh) > 0,
+            (size(sh) - size(array_distinct(sh))).cast("double")
+              / size(sh).cast("double"))
+            .otherwise(0.0).as("dup_trigram_frac"))
+      },
+      Some(s"""WITH h AS (SELECT doc_id, ${sqlMd5Hash32("sh")} AS sh
+          FROM ($sqlShingles3) raw),
+        agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_trigrams,
+          CAST(count(DISTINCT sh) AS INTEGER) AS n_distinct_trigrams
+          FROM h GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(a.n_trigrams, 0) AS n_trigrams,
+          coalesce(a.n_distinct_trigrams, 0) AS n_distinct_trigrams,
+          CASE WHEN a.n_trigrams > 0
+            THEN (a.n_trigrams - a.n_distinct_trigrams) / CAST(a.n_trigrams AS DOUBLE)
+            ELSE 0.0 END AS dup_trigram_frac
+        FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""")),
+
     // document fingerprinting: md5 + Karp-Rabin rolling hash
     Q("text_fingerprint",
       (s, d) => t(s, d, "documents").select(

@@ -305,6 +305,30 @@ object Relational {
       Some("""SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
         true AS within_3sigma FROM lineitem""")),
 
+    // ✚ one-pass column profiler (operators.Profile scaladoc): counts,
+    // exact distincts, min/max per column from ONE scan; money
+    // profiled in integer cents so min/max strings render identically
+    // in both engines
+    Q("profile_columns",
+      (s, d) => graft.operators.Profile.profile(t(s, d, "orders"), Seq(
+        "o_orderstatus" -> col("o_orderstatus"),
+        "o_custkey" -> col("o_custkey"),
+        "o_totalprice_cents" -> cents(col("o_totalprice")))),
+      Some("""SELECT * FROM (
+        SELECT 'o_orderstatus' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(o_orderstatus) AS BIGINT) AS n_nonnull,
+          CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+          CAST(min(o_orderstatus) AS VARCHAR) AS min_val,
+          CAST(max(o_orderstatus) AS VARCHAR) AS max_val FROM orders
+        UNION ALL SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+          CAST(count(o_custkey) AS BIGINT), CAST(count(DISTINCT o_custkey) AS BIGINT),
+          CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+        UNION ALL SELECT 'o_totalprice_cents', CAST(count(*) AS BIGINT),
+          CAST(count(c) AS BIGINT), CAST(count(DISTINCT c) AS BIGINT),
+          CAST(min(c) AS VARCHAR), CAST(max(c) AS VARCHAR)
+          FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders) t
+      ) p""")),
+
     // ——— §2.B.5 sort / limit / pagination / set ops ————————————————
     Q("sort_topk", // ORDER BY + LIMIT → TakeOrderedAndProject (no total sort)
       (s, d) => t(s, d, "orders")
