@@ -78,6 +78,13 @@ object Store {
       if (entity == "nodes") copy(seq = seq + 1, nodes = nodes + (label -> (cur :+ gen)))
       else copy(seq = seq + 1, edges = edges + (label -> (cur :+ gen)))
     }
+    /** DROP TYPE commit: the label leaves the manifest (its gen dirs
+      * become sweepable orphans); an edge label sheds its endpoint
+      * metadata with it. */
+    def withoutLabel(entity: String, label: String): Manifest =
+      if (entity == "nodes") copy(seq = seq + 1, nodes = nodes - label)
+      else copy(seq = seq + 1, edges = edges - label,
+        edgeEndpoints = edgeEndpoints - label)
   }
 
   def manifestPath(outDir: String): Path = Paths.get(outDir, "manifest.json")

@@ -56,6 +56,11 @@ object Dml {
   // dialect expression ('' escapes a quote), params an optional list
   private val CreateFunctionRe =
     """(?is)\s*(?:CREATE|DEFINE)\s+FUNCTION\s+(\w+)\s+'((?:[^']|'')*)'\s*(?:PARAMETERS\s*\[([^\]]*)\])?\s*""".r
+  // schema-lifecycle DDL completion: DROP mirrors of the CREATE forms
+  private val DropTypeRe = """(?is)\s*DROP\s+TYPE\s+(\w+)(\s+IF\s+EXISTS)?\s*""".r
+  private val DropPropertyRe = """(?is)\s*DROP\s+PROPERTY\s+(\w+)\.(\w+)\s*""".r
+  private val DropIndexRe = """(?is)\s*DROP\s+INDEX\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s*""".r
+  private val DropFunctionRe = """(?is)\s*DROP\s+FUNCTION\s+(\w+)\s*""".r
 
   def isDml(command: String): Boolean = {
     val t = command.trim.toUpperCase
@@ -63,7 +68,8 @@ object Dml {
       t.startsWith("CREATE EDGE") || t.startsWith("CREATE PROPERTY") ||
       t.startsWith("CREATE INDEX") || t.startsWith("UPDATE") ||
       t.startsWith("DELETE") || t.startsWith("COMPACT") ||
-      t.startsWith("CREATE FUNCTION") || t.startsWith("DEFINE FUNCTION")
+      t.startsWith("CREATE FUNCTION") || t.startsWith("DEFINE FUNCTION") ||
+      t.startsWith("DROP")
   }
 
   /** Execute a DML command against the persisted store; returns the
@@ -183,6 +189,68 @@ object Dml {
           }
           (cur.copy(functions = cur.functions :+
             graft.model.FunctionDef(name, params, body)), 1L)
+        }
+      // DROP lifecycle — the CREATE forms' mirrors. DROP TYPE refuses
+      // while records exist (delete them first) and retires the label's
+      // manifest entry in the same locked section, so a dropped type's
+      // generation dirs become sweepable orphans.
+      case DropTypeRe(label, ifExists) =>
+        noTxn("DDL")
+        graft.load.StoreLock.withWriteLock(storeDir) {
+          gs.labels.find(_.label == label) match {
+            case None =>
+              require(ifExists != null, s"unknown type: $label")
+              0L
+            case Some(ls) =>
+              val entity = if (ls.kind == "vertex") "nodes" else "edges"
+              val m = graft.load.Store.readManifest(storeDir)
+              val rows = graft.load.Store.readLabel(spark, storeDir, entity, label, m)
+                .map(_.count()).getOrElse(0L)
+              require(rows == 0,
+                s"DROP TYPE rejected: $label still holds $rows record(s) — DELETE them first")
+              if (ls.kind == "vertex") {
+                val referenced = m.edgeEndpoints.exists { case (_, (srcs, dsts)) =>
+                  srcs.contains(label) || dsts.contains(label)
+                }
+                require(!referenced, s"DROP TYPE rejected: edge types have referenced " +
+                  s"$label — drop those edge types first")
+              }
+              if (m.gens(entity).contains(label))
+                graft.load.Store.writeManifest(storeDir, m.withoutLabel(entity, label))
+              ddl(storeDir) { cur =>
+                (cur.copy(labels = cur.labels.filterNot(_.label == label),
+                  indexes = cur.indexes.filterNot(_.label == label)), 1L)
+              }
+          }
+        }
+      case DropPropertyRe(label, prop) =>
+        noTxn("DDL")
+        ddl(storeDir) { cur =>
+          val ls = cur.labels.find(_.label == label).getOrElse(
+            throw new IllegalArgumentException(s"unknown type: $label"))
+          require(ls.schema.fieldNames.contains(prop),
+            s"property $label.$prop is not declared")
+          val target = if (ls.kind == "vertex") "node" else "edge"
+          require(!cur.indexes.exists(i =>
+              i.target == target && i.label == label && i.property == prop),
+            s"DROP PROPERTY rejected: an index on $label.$prop exists — DROP INDEX first")
+          val updated = ls.copy(schema =
+            StructType(ls.schema.fields.filterNot(_.name == prop)))
+          (cur.copy(labels = cur.labels.map(l => if (l.label == label) updated else l)), 1L)
+        }
+      case DropIndexRe(label, prop) =>
+        noTxn("DDL")
+        ddl(storeDir) { cur =>
+          val after = cur.indexes.filterNot(i => i.label == label && i.property == prop)
+          require(after.size < cur.indexes.size, s"no index on $label.$prop")
+          (cur.copy(indexes = after), 1L)
+        }
+      case DropFunctionRe(name) =>
+        noTxn("DDL")
+        ddl(storeDir) { cur =>
+          val after = cur.functions.filterNot(_.name.equalsIgnoreCase(name))
+          require(after.size < cur.functions.size, s"unknown function: $name")
+          (cur.copy(functions = after), 1L)
         }
       case InsertRe(label, cols, values) =>
         val names = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq

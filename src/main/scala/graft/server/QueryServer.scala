@@ -254,9 +254,14 @@ object QueryServer {
         case e: Throwable => respond(ex, 500, err(e.toString))
       }
 
-    def runQuery(snap: Snapshot, language: String, command: String, limit: Int): String = {
+    def runQuery(snap: Snapshot, language: String, command0: String, limit: Int): String = {
       def graphOr: PropertyGraph = snap.graph.getOrElse(
         throw new IllegalStateException("no graph served — start with a store"))
+      // reference parity: `EXPLAIN <query>` returns the execution plan
+      // instead of rows — here Spark's formatted physical plan, the
+      // honest answer for a Catalyst-backed engine
+      val explain = command0.trim.toUpperCase.startsWith("EXPLAIN ")
+      val command = if (explain) command0.trim.drop("EXPLAIN ".length) else command0
       val df: DataFrame = language match {
         // reference parity: "sql" is ArcadeDB SQL. Dialect-anchored
         // commands (FROM a known label / TRAVERSE / MATCH) compile via
@@ -269,6 +274,16 @@ object QueryServer {
         case "sparksql" => spark.sql(command)
         case "graphql" => GraphQl.compile(graphOr, command)
         case l => throw new IllegalArgumentException(s"unsupported language: $l")
+      }
+      if (explain) {
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val esc = plan.flatMap {
+          case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+          case '\r' => ""; case '\t' => "\\t"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+        }
+        return s"""{"result":[{"plan":"$esc"}]}"""
       }
       // toJSON keeps row serialization distributed (executor-side
       // Jackson codegen); only the bounded page is collected

@@ -467,6 +467,31 @@ class CliSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("EXPLAIN returns the formatted physical plan over HTTP") {
+    val out = Files.createTempDirectory("graftexp").toString
+    Main.create(spark, sfDir, out)
+    val g = Main.serve(spark, out, None)
+    val srv = graft.server.QueryServer.start(spark, 0, Some(g))
+    try {
+      def post(body: String): (Int, String) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:${srv.port}/api/v1/query/graft")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+        (code, new String(is.readAllBytes(), "UTF-8"))
+      }
+      // dialect EXPLAIN: the compiled plan, not rows
+      val (c1, b1) = post("""{"language":"arcadesql","command":"EXPLAIN SELECT name FROM Customer WHERE id = 1000042"}""")
+      assert(c1 == 200, b1)
+      assert(b1.contains("Physical Plan") && b1.contains("\"plan\""), b1)
+      // spark-sql EXPLAIN goes through the same path
+      val (c2, b2) = post("""{"language":"sparksql","command":"EXPLAIN SELECT count(*) FROM nodes"}""")
+      assert(c2 == 200 && b2.contains("Physical Plan"), b2)
+    } finally srv.stop()
+  }
+
   test("port validation rejects out-of-range ports") {
     intercept[IllegalArgumentException](graft.server.QueryServer.validatePort(70000))
     intercept[IllegalArgumentException](graft.server.QueryServer.validatePort(-1))

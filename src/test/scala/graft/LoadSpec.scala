@@ -606,6 +606,36 @@ class LoadSpec extends SparkSpec {
       "DEFINE FUNCTION twice 'x * 2' PARAMETERS [x]") == 1)
   }
 
+  test("DROP TYPE/PROPERTY/INDEX/FUNCTION complete the DDL lifecycle") {
+    val out = Files.createTempDirectory("graftdrop").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    import graft.server.Dml
+    Dml.execute(spark, out, "CREATE VERTEX TYPE Scratch")
+    Dml.execute(spark, out, "CREATE PROPERTY Scratch.tag STRING")
+    Dml.execute(spark, out, "CREATE INDEX ON Scratch (tag) UNIQUE")
+    // teardown order is enforced: indexed property refuses to drop
+    intercept[IllegalArgumentException](
+      Dml.execute(spark, out, "DROP PROPERTY Scratch.tag"))
+    assert(Dml.execute(spark, out, "DROP INDEX ON Scratch (tag)") == 1)
+    assert(Dml.execute(spark, out, "DROP PROPERTY Scratch.tag") == 1)
+    // a type holding records refuses; DELETE first, then DROP retires
+    // the label from schema AND manifest
+    Dml.execute(spark, out, "CREATE VERTEX Scratch SET id = 1994001")
+    intercept[IllegalArgumentException](Dml.execute(spark, out, "DROP TYPE Scratch"))
+    Dml.execute(spark, out, "DELETE FROM Scratch")
+    assert(Dml.execute(spark, out, "DROP TYPE Scratch") == 1)
+    assert(!graft.load.Store.readManifest(out).nodes.contains("Scratch"))
+    val gs = graft.model.GraphSchema.fromJson(
+      Files.readString(Path.of(out, "schema.json")))
+    assert(!gs.labels.exists(_.label == "Scratch"))
+    intercept[IllegalArgumentException](Dml.execute(spark, out, "DROP TYPE Scratch"))
+    assert(Dml.execute(spark, out, "DROP TYPE Scratch IF EXISTS") == 0)
+    // function lifecycle closes the same way
+    Dml.execute(spark, out, "CREATE FUNCTION scr 'acctbal'")
+    assert(Dml.execute(spark, out, "DROP FUNCTION scr") == 1)
+    intercept[IllegalArgumentException](Dml.execute(spark, out, "DROP FUNCTION scr"))
+  }
+
   test("DML parser fails closed on malformed statements") {
     val out = Files.createTempDirectory("graftdml").toString
     GraphLoader.writeGraph(spark, sfDir, out)
