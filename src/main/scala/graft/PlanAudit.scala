@@ -63,7 +63,11 @@ object PlanAudit {
     Check("pipeline_decontaminate", "decontamination is one left-semi probe", "LeftSemi"),
     Check("asql_optional_match", "optional MATCH step is a left outer join", "LeftOuter"),
     Check("asql_match_multi", "shared-alias pattern join is a hash join",
-      "BroadcastHashJoin|ShuffledHashJoin")
+      "BroadcastHashJoin|ShuffledHashJoin"),
+    Check("sim_pq_topk", "PQ queries broadcast onto one corpus scan",
+      "BroadcastNestedLoopJoin"),
+    Check("sim_pq_topk", "native dot kernel scores reconstructions", "graft_dot"),
+    Check("profile_columns", "multi-distinct profile is one Expand aggregate", "Expand")
   )
 
   def main(args: Array[String]): Unit = {

@@ -427,6 +427,7 @@ object QueryServer {
       |</p>
       |<textarea id="q">SELECT FROM Customer LIMIT 10</textarea><br>
       |<button onclick="run()">run (ctrl-enter)</button>
+      |<button onclick="run(true)">plan</button>
       |<button onclick="schema()">schema</button>
       |<button onclick="graph()">graph</button>
       |<div id="out"></div>
@@ -505,20 +506,23 @@ object QueryServer {
       |  out.innerHTML='<p>'+j.labels.length+' types</p>';out.appendChild(tbl);
       | }catch(e){out.innerHTML='<p class="err"></p>';out.firstChild.textContent=e;}
       |}
-      |async function run(){
+      |async function run(plan){
       | const out=document.getElementById('out');
       | out.innerHTML='…';
       | const headers={'Content-Type':'application/json'};
       | const tok=document.getElementById('tok').value;
       | if(tok) headers['Authorization']='Bearer '+tok;
       | try{
+      |  const cmd=(plan?'EXPLAIN ':'')+document.getElementById('q').value;
       |  const r=await fetch('/api/v1/query/graft',{method:'POST',headers,
       |   body:JSON.stringify({language:document.getElementById('lang').value,
-      |    command:document.getElementById('q').value,
+      |    command:cmd,
       |    limit:parseInt(document.getElementById('lim').value)||100})});
       |  const j=await r.json();
       |  if(!r.ok){out.innerHTML='<p class="err"></p>';out.firstChild.textContent=j.error;return;}
       |  const rows=j.result||[];
+      |  if(plan&&rows.length&&rows[0].plan){const pre=document.createElement('pre');
+      |   pre.textContent=rows[0].plan;out.innerHTML='';out.appendChild(pre);return;}
       |  if(!rows.length){out.textContent='0 rows';return;}
       |  const cols=[...new Set(rows.flatMap(Object.keys))];
       |  const tbl=document.createElement('table');
