@@ -29,8 +29,9 @@ SHIFTS = {  # table -> {column: key-space letter}
     "lineitem": {"l_orderkey": "O", "l_partkey": "P", "l_suppkey": "S"},
     "documents": {"doc_id": "D"},
     "events": {"event_id": "E", "user_id": "U"},
+    "embeddings": {"vec_id": "V"},
 }
-COPY_AS_IS = ["region", "nation", "embeddings"]
+COPY_AS_IS = ["region", "nation"]
 
 SPAN_SOURCES = {
     "C": ("customer", "c_custkey"),
@@ -40,6 +41,7 @@ SPAN_SOURCES = {
     "D": ("documents", "doc_id"),
     "E": ("events", "event_id"),
     "U": ("events", "user_id"),
+    "V": ("embeddings", "vec_id"),
 }
 
 
