@@ -38,14 +38,26 @@ import graft.model.{GraphSchema, IndexDesc, LabelSchema}
 final class StoreTxn private[load] (val outDir: String) {
   private var m: Store.Manifest = Store.readManifest(outDir)
   private val touchedLabels = scala.collection.mutable.LinkedHashSet[(String, String)]()
+  private val stagedGens = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
   private[load] def manifest: Store.Manifest = m
-  private[load] def stage(updated: Store.Manifest, labels: Seq[(String, String)]): Unit = {
-    m = updated; touchedLabels ++= labels
+  private[load] def stage(updated: Store.Manifest, labels: Seq[(String, String)],
+      gens: Seq[java.nio.file.Path]): Unit = {
+    m = updated; touchedLabels ++= labels; stagedGens ++= gens
   }
   /** (entity, label) pairs the staged statements wrote to. */
   def touched: Seq[(String, String)] = touchedLabels.toSeq
   /** Publish every staged statement in one atomic manifest swap. */
   def commit(): Unit = Store.writeManifest(outDir, m)
+  /** Abandon the transaction: best-effort eager delete of the staged
+    * generation directories. Without this they linger as orphans that
+    * — sorting NEWEST by seq — would occupy a later sweep's
+    * `keepPerLabel` grace slot and let the real newest superseded
+    * generation be GC'd early out from under a cross-process reader.
+    * A failed delete is harmless (the normal orphan sweep retries). */
+  def abort(): Unit = stagedGens.foreach { p =>
+    try Store.deleteRecursively(p)
+    catch { case _: java.io.IOException => () }
+  }
 }
 
 object GraphLoader {
@@ -318,9 +330,11 @@ object GraphLoader {
     require(unknown.isEmpty,
       s"append rejected: undeclared $kind label(s) ${unknown.mkString(", ")} — " +
         "CREATE " + kind.toUpperCase + " TYPE first")
+    val genDirs = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
     labels.foreach { label =>
       val rows = batch.filter(col("label") === label).drop("label")
       val gen = Store.writeGen(outDir, entity, label, m.seq + 1, rows)
+      genDirs += Store.genDir(outDir, entity, label, gen)
       m = m.withSegment(entity, label, gen)
     }
     if (epDelta.nonEmpty) {
@@ -332,7 +346,7 @@ object GraphLoader {
       m = m.copy(edgeEndpoints = merged)
     }
     txn match {
-      case Some(t) => t.stage(m, labels.map(entity -> _))
+      case Some(t) => t.stage(m, labels.map(entity -> _), genDirs.toSeq)
       case None => Store.writeManifest(outDir, m)
     }
     labels
@@ -454,7 +468,10 @@ object GraphLoader {
       s"UPDATE rejected: ${bad.mkString(", ")} are immutable (keys/topology)")
     val entity = if (kind == "vertex") "nodes" else "edges"
     val m = txn.map(_.manifest).getOrElse(Store.readManifest(outDir))
-    val part = readLabelWidened(spark, outDir, entity, label, m) match {
+    // ONE schema read serves both the widening and the A15 checks
+    val gs = GraphSchema.fromJson(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$outDir/schema.json")))
+    val part = readLabelWidened(spark, outDir, entity, label, m, gs) match {
       case Some(df) => df
       case None => return 0L // declared label, no rows yet
     }
@@ -471,32 +488,41 @@ object GraphLoader {
       .observe(obs, sum(when(col("__hit"), 1L).otherwise(0L)).as("affected"))
       .drop("__hit")
     val gen = Store.writeGen(outDir, entity, label, m.seq + 1, rewritten)
+    val genPath = Store.genDir(outDir, entity, label, gen)
     val affected = obs.get.get("affected") match {
       case Some(n: Long) => n
       case _ => 0L // empty partition: sum over no rows is null
     }
     if (affected == 0) {
-      Store.deleteRecursively(Store.genDir(outDir, entity, label, gen))
+      Store.deleteRecursively(genPath)
       return 0L
     }
     // A15 re-validation scoped to this label's UNIQUE indexes, reading
-    // the WRITTEN gen back (columnar scan of the new files only)
-    val gs = GraphSchema.fromJson(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$outDir/schema.json")))
-    val target = if (kind == "vertex") "node" else "edge"
-    val written = spark.read.parquet(Store.genDir(outDir, entity, label, gen).toString)
-    gs.indexes.filter(ix => ix.unique && ix.isBuildable &&
-        ix.label == label && ix.target == target &&
-        written.columns.contains(ix.property)).foreach { ix =>
-      val dup = written.filter(col(ix.property).isNotNull)
-        .groupBy(col(ix.property)).count().filter(col("count") > 1)
-      require(dup.isEmpty, {
-        val sample = dup.limit(3).collect().map(_.get(0)).mkString(", ")
-        s"UPDATE rejected: UNIQUE($label.${ix.property}) violated (e.g. $sample)"
-      })
+    // the WRITTEN gen back (columnar scan of the new files only); a
+    // rejection deletes its own gen eagerly — an orphan sorting newest
+    // would otherwise occupy a later sweep's grace slot
+    try {
+      val target = if (kind == "vertex") "node" else "edge"
+      val written = spark.read.parquet(genPath.toString)
+      gs.indexes.filter(ix => ix.unique && ix.isBuildable &&
+          ix.label == label && ix.target == target &&
+          written.columns.contains(ix.property)).foreach { ix =>
+        val dup = written.filter(col(ix.property).isNotNull)
+          .groupBy(col(ix.property)).count().filter(col("count") > 1)
+        require(dup.isEmpty, {
+          val sample = dup.limit(3).collect().map(_.get(0)).mkString(", ")
+          s"UPDATE rejected: UNIQUE($label.${ix.property}) violated (e.g. $sample)"
+        })
+      }
+    } catch {
+      case e: Throwable =>
+        try Store.deleteRecursively(genPath)
+        catch { case _: java.io.IOException => () }
+        throw e
     }
     txn match {
-      case Some(t) => t.stage(m.withGen(entity, label, gen), Seq(entity -> label))
+      case Some(t) => t.stage(m.withGen(entity, label, gen),
+        Seq(entity -> label), Seq(genPath))
       case None => Store.writeManifest(outDir, m.withGen(entity, label, gen))
     }
     affected
@@ -546,10 +572,8 @@ object GraphLoader {
     * no stored segment carries yet — runtime DDL makes a column
     * UPDATEable (and rewritable) before the first file contains it. */
   private def readLabelWidened(spark: SparkSession, outDir: String, entity: String,
-      label: String, m: Store.Manifest): Option[DataFrame] =
+      label: String, m: Store.Manifest, gs: GraphSchema): Option[DataFrame] =
     Store.readLabel(spark, outDir, entity, label, m).map { segs =>
-      val gs = GraphSchema.fromJson(java.nio.file.Files.readString(
-        java.nio.file.Paths.get(s"$outDir/schema.json")))
       val have = segs.columns.toSet
       gs.labels.find(l => l.label == label).toSeq
         .flatMap(_.schema.fields).filterNot(f0 => have(f0.name))
@@ -572,7 +596,9 @@ object GraphLoader {
       f: (DataFrame, Store.Manifest) => (DataFrame, Long)): Long = {
     val entity = if (kind == "vertex") "nodes" else "edges"
     val m = txn.map(_.manifest).getOrElse(Store.readManifest(outDir))
-    val part = readLabelWidened(spark, outDir, entity, label, m) match {
+    val gs = GraphSchema.fromJson(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$outDir/schema.json")))
+    val part = readLabelWidened(spark, outDir, entity, label, m, gs) match {
       case Some(df) => df
       case None => return 0L // declared label, no rows yet
     }
@@ -580,7 +606,8 @@ object GraphLoader {
     if (affected == 0) return 0L
     val gen = Store.writeGen(outDir, entity, label, m.seq + 1, rewritten)
     txn match {
-      case Some(t) => t.stage(m.withGen(entity, label, gen), Seq(entity -> label))
+      case Some(t) => t.stage(m.withGen(entity, label, gen),
+        Seq(entity -> label), Seq(Store.genDir(outDir, entity, label, gen)))
       case None => Store.writeManifest(outDir, m.withGen(entity, label, gen))
     }
     affected

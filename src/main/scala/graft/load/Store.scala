@@ -283,38 +283,58 @@ object Store {
   * as before; this lease only fences GC. One serving process per
   * store: a second acquire from another process fails loudly. */
 object ServingLease {
-  private val held = new java.util.concurrent.ConcurrentHashMap[
-    String, (java.nio.channels.FileChannel, java.nio.channels.FileLock)]()
+  private final class Held(val ch: java.nio.channels.FileChannel,
+      val fl: java.nio.channels.FileLock, var count: Int)
+  private val held = scala.collection.mutable.Map[String, Held]()
 
   private def canonDir(outDir: String): String =
     Paths.get(outDir).toAbsolutePath.normalize.toString
 
   private def leasePath(c: String): Path = Paths.get(c, ".serving.lock")
 
-  /** Take the store's serving lease for this process (idempotent per
-    * store). Fails if another process is already serving it. */
-  def acquire(outDir: String): Unit = {
+  /** Take the store's serving lease for this process. Reference-
+    * counted: a second in-process acquire (e.g. a graceful server
+    * swap) nests, and the OS lock releases only when the LAST holder
+    * releases — so stopping the old server never strips the lease out
+    * from under the new one. Another process's [[heldElsewhere]] PROBE
+    * holds the lock for microseconds, so a null tryLock retries
+    * briefly before declaring a real server; a persistent holder still
+    * fails loudly. */
+  def acquire(outDir: String): Unit = synchronized {
     val c = canonDir(outDir)
-    if (held.containsKey(c)) return
-    Files.createDirectories(Paths.get(c))
-    val ch = java.nio.channels.FileChannel.open(leasePath(c),
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
-    val fl = try ch.tryLock() catch {
-      case _: java.nio.channels.OverlappingFileLockException => null
+    held.get(c) match {
+      case Some(h) => h.count += 1
+      case None =>
+        Files.createDirectories(Paths.get(c))
+        val ch = java.nio.channels.FileChannel.open(leasePath(c),
+          java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+        var fl: java.nio.channels.FileLock = null
+        var attempts = 0
+        while (fl == null && attempts < 10) {
+          fl = try ch.tryLock() catch {
+            case _: java.nio.channels.OverlappingFileLockException => null
+          }
+          if (fl == null) { attempts += 1; Thread.sleep(50) }
+        }
+        if (fl == null) {
+          ch.close()
+          throw new IllegalStateException(
+            s"another server is already serving $outDir (.serving.lock is held)")
+        }
+        held(c) = new Held(ch, fl, 1)
     }
-    if (fl == null) {
-      ch.close()
-      throw new IllegalStateException(
-        s"another server is already serving $outDir (.serving.lock is held)")
-    }
-    held.put(c, (ch, fl))
-    ()
   }
 
-  def release(outDir: String): Unit =
-    Option(held.remove(canonDir(outDir))).foreach { case (ch, fl) =>
-      try fl.release() finally ch.close()
+  def release(outDir: String): Unit = synchronized {
+    val c = canonDir(outDir)
+    held.get(c).foreach { h =>
+      h.count -= 1
+      if (h.count == 0) {
+        held.remove(c)
+        try h.fl.release() finally h.ch.close()
+      }
     }
+  }
 
   /** True iff a DIFFERENT process holds the lease. Our own process
     * holding it is not "elsewhere": in-process sweeps see the real
@@ -323,7 +343,7 @@ object ServingLease {
     * short-circuited first). */
   def heldElsewhere(outDir: String): Boolean = {
     val c = canonDir(outDir)
-    if (held.containsKey(c)) return false
+    synchronized { if (held.contains(c)) return false }
     val p = leasePath(c)
     if (!Files.exists(p)) return false
     val ch = java.nio.channels.FileChannel.open(p,

@@ -51,8 +51,19 @@ final case class GraphSchema(labels: Seq[LabelSchema], indexes: Seq[IndexDesc],
 
   /** JSON form; `StructType.json` is Spark's own stable serialization. */
   def toJson: String = {
+    // control characters MUST escape too: a function body holding a
+    // newline written raw would make schema.json unparseable for every
+    // subsequent read — a bricked store from one legal-looking DDL
     def esc(s: String) =
-      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
     val ls = labels
       .map(l => s"""{"label":"${esc(l.label)}","kind":"${l.kind}","schema":${l.schema.json}}""")
       .mkString("[", ",", "]")

@@ -71,7 +71,7 @@ object AsOfJoin {
     require(payloadCols.nonEmpty, "as-of join needs at least one right payload column")
     val asofCols = payloadCols.map(c => s"asof_$c") :+ "asof_ts"
     val clash = left.columns.toSet.intersect(
-      asofCols.toSet ++ Set("__side", "__asof", "__salt"))
+      asofCols.toSet ++ Set("__side", "__asof", "__salt", "__carry"))
     require(clash.isEmpty, s"left side already has column(s) ${clash.mkString(", ")}")
 
     // left rows salt by a stable row hash (identical rows are

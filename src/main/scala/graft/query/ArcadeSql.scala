@@ -726,15 +726,24 @@ object ArcadeSql {
     * against unresolved columns of the target label partition. */
   def updateSpec(s: String): UpdateSpec = {
     val (sets, upsert, pred) = new Parser(s).updateTail()
-    def whereEqs(e: Expr): Seq[(String, Any)] = e match {
-      case Bin("and", l, r) => whereEqs(l) ++ whereEqs(r)
-      case Bin("=", Ident(k), Lit(v)) => Seq(k -> v)
-      case Bin("=", Lit(v), Ident(k)) => Seq(k -> v)
-      case _ => Nil
+    // the insert path exists ONLY when the WHERE is a pure conjunction
+    // of `field = literal` — dropping any other conjunct would insert a
+    // row its own predicate does not match, so the next identical
+    // UPSERT would miss again and collide on the insert instead of
+    // converging to an update
+    def whereEqs(e: Expr): Option[Seq[(String, Any)]] = e match {
+      case Bin("and", l, r) => for (a <- whereEqs(l); b <- whereEqs(r)) yield a ++ b
+      case Bin("=", Ident(k), Lit(v)) => Some(Seq(k -> v))
+      case Bin("=", Lit(v), Ident(k)) => Some(Seq(k -> v))
+      case _ => None
+    }
+    val eqs = pred match {
+      case None => Some(Nil)
+      case Some(p) => whereEqs(p)
     }
     val setLits = sets.collect { case (k, Lit(v)) => k -> v }
     val rec = if (upsert && setLits.size == sets.size)
-      Some((pred.toSeq.flatMap(whereEqs) ++ setLits).toMap)
+      eqs.map(es => (es ++ setLits).toMap)
     else None
     UpdateSpec(sets.map { case (k, e) => k -> ce(e, n => col(n)) }, upsert,
       pred.map(ce(_, n => col(n))), rec)
@@ -1493,19 +1502,39 @@ object ArcadeSql {
     // keep the left copy). Disconnected patterns are rejected — an
     // alias-free pair would be a cartesian product, the exact plan
     // class this engine refuses to emit.
+    // an optional binding's id is NULL for unmatched rows; joining
+    // onward from it (next step, or a later chain sharing it) would
+    // inner-join on that null key and silently drop the very rows
+    // `optional` promised to keep — reject loudly instead
+    m.chains.foreach { cn =>
+      cn.steps.sliding(2).foreach {
+        case Seq(prev, next) if prev.node.optional && !next.node.optional =>
+          fail("a MATCH step after an {optional: true} step must also be optional " +
+            "(continuing inner would silently drop the unmatched rows)")
+        case _ => ()
+      }
+    }
+    def optionalAliases(cn: MatchChain): Set[String] =
+      cn.steps.filter(_.node.optional).flatMap(_.node.as).toSet
     val (f0, a0) = compileChain(m.chains.head)
     var bound = f0
     var aliases = a0
+    var optAliases = optionalAliases(m.chains.head)
     m.chains.tail.foreach { cn =>
       val (f, as) = compileChain(cn)
       val shared = aliases.intersect(as)
       if (shared.isEmpty)
         fail("MATCH patterns must share at least one alias " +
           "(disconnected patterns would be a cartesian product)")
+      val sharedOpt = shared.intersect(optAliases ++ optionalAliases(cn))
+      if (sharedOpt.nonEmpty)
+        fail(s"MATCH patterns may not join on optionally-bound alias(es) " +
+          s"${sharedOpt.mkString(", ")} (the join would drop their unmatched rows)")
       val keys = shared.toSeq.sorted.map(a => s"${a}_id")
       val dup = f.columns.filter(c => bound.columns.contains(c) && !keys.contains(c))
       bound = bound.join(f.drop(dup.toIndexedSeq: _*), keys, "inner")
       aliases ++= as
+      optAliases ++= optionalAliases(cn)
     }
     val resolve: String => Column = n =>
       if (n.contains('.')) { val Array(b, p) = n.split("\\.", 2); bound(s"${b}_$p") }

@@ -91,7 +91,9 @@ object Dml {
     graft.load.StoreLock.withWriteLock(storeDir) {
       require(commands.nonEmpty, "empty command batch")
       val txn = GraphLoader.beginTxn(storeDir)
-      val n = commands.map(c => executeOne(spark, storeDir, c, Some(txn))).sum
+      val n =
+        try commands.map(c => executeOne(spark, storeDir, c, Some(txn))).sum
+        catch { case e: Throwable => txn.abort(); throw e }
       txn.commit()
       graft.load.Store.sweep(storeDir, keepPerLabel = 1)
       GraphLoader.autoCompactTouched(spark, storeDir, txn.touched)
@@ -298,8 +300,8 @@ object Dml {
             // scaladoc) — routed through the validated append sink, so
             // id/UNIQUE/endpoint invariants hold exactly like INSERT
             val rec = spec.insertRecord.getOrElse(throw new IllegalArgumentException(
-              "UPSERT insert needs literal SET values (no row exists to evaluate " +
-                "an expression against)"))
+              "UPSERT insert needs literal SET values and a WHERE of `field = literal` " +
+                "conjuncts only (the inserted row must satisfy its own predicate)"))
             append(spark, storeDir, label, kindOf(label), Seq(rec), txn)
           } else {
             // GC with a one-generation grace window (an in-process

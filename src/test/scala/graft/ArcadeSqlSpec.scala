@@ -143,6 +143,17 @@ class ArcadeSqlSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](run(
       "MATCH {type: Region, as: a}, {type: Nation, as: b} RETURN a.name AS x"))
     assert(e.getMessage.contains("share at least one alias"))
+    // continuing INNER after an optional step would silently drop the
+    // unmatched rows the optional kept — rejected loudly
+    val e2 = intercept[IllegalArgumentException](run(
+      """MATCH {type: Customer, as: c}.out('PLACED'){as: o, optional: true}
+        .out('CONTAINS'){as: l} RETURN c.name AS x"""))
+    assert(e2.getMessage.contains("must also be optional"))
+    // ...and so would a later chain joining on an optionally-bound alias
+    val e3 = intercept[IllegalArgumentException](run(
+      """MATCH {type: Customer, as: c}.out('PLACED'){as: o, optional: true},
+        {type: Order, as: o}.out('CONTAINS'){as: l} RETURN c.name AS x"""))
+    assert(e3.getMessage.contains("optionally-bound"))
   }
 
   test("MATCH and TRAVERSE compose as FROM sources of an outer SELECT") {

@@ -478,11 +478,21 @@ class LoadSpec extends SparkSpec {
     // a failing statement mid-batch leaves the manifest byte-untouched:
     // nothing from the batch is visible, not even the valid first insert
     val before = Files.readString(mpath)
+    import scala.jdk.CollectionConverters._
+    def custGens(): Set[String] = {
+      val s = Files.list(Path.of(out, "nodes", "Customer"))
+      try s.iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("gen-")).toSet
+      finally s.close()
+    }
+    val gensBefore = custGens()
     intercept[IllegalArgumentException](Dml.executeBatch(spark, out, Seq(
       "INSERT INTO Customer (id, name) VALUES (1997002, 'Customer#t2')",
       "INSERT INTO Customer (id, name) VALUES (1997001, 'Customer#dup')"))) // dup id
     assert(Files.readString(mpath) == before, "aborted batch mutated the manifest")
     assert(storeNodes(out).filter(col("id") === 1997002).count() == 0)
+    // the abort deleted its staged generation eagerly: a lingering
+    // orphan (sorting newest) would occupy a later sweep's grace slot
+    assert(custGens() == gensBefore, "aborted batch left orphan generation dirs")
     // DDL stays non-transactional, loudly
     val e = intercept[IllegalArgumentException](Dml.executeBatch(spark, out,
       Seq("CREATE VERTEX TYPE Nope")))
@@ -542,8 +552,11 @@ class LoadSpec extends SparkSpec {
     graft.load.ServingLease.acquire(out)
     try {
       assert(!graft.load.ServingLease.heldElsewhere(out))
-      // and a second acquire in the same process is idempotent
+      // nested acquire is refcounted: releasing the INNER hold leaves
+      // the lease in place (graceful in-process server swap)
       graft.load.ServingLease.acquire(out)
+      graft.load.ServingLease.release(out)
+      assert(!graft.load.ServingLease.heldElsewhere(out))
     } finally graft.load.ServingLease.release(out)
     // no lease → normal GC reclaims the superseded generation
     assert(graft.load.Store.sweep(out) >= 1)
@@ -574,6 +587,12 @@ class LoadSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](Dml.execute(spark, out,
       "UPDATE Customer SET acctbal = acctbal + 1 UPSERT WHERE id = 1995999"))
     assert(e.getMessage.contains("literal SET"))
+    // a non-equality WHERE conjunct cannot seed an insert either: the
+    // inserted row would not satisfy its own predicate, so the same
+    // UPSERT would insert-collide forever instead of updating
+    val e2 = intercept[IllegalArgumentException](Dml.execute(spark, out,
+      "UPDATE Customer SET name = 'Customer#u9' UPSERT WHERE id = 1995998 AND acctbal > 100"))
+    assert(e2.getMessage.contains("field = literal"))
     // plain UPDATE (no UPSERT) of a missing record still writes nothing
     assert(Dml.execute(spark, out,
       "UPDATE Customer SET acctbal = 1.0 WHERE id = 1995999") == 0)
@@ -604,6 +623,12 @@ class LoadSpec extends SparkSpec {
     // DEFINE FUNCTION is the reference's spelling for the same DDL
     assert(Dml.execute(spark, out,
       "DEFINE FUNCTION twice 'x * 2' PARAMETERS [x]") == 1)
+    // a body spanning lines must not brick schema.json (control chars
+    // escape in the registry JSON)
+    assert(Dml.execute(spark, out, "CREATE FUNCTION multiline 'acctbal +\n 1.0'") == 1)
+    val gs3 = graft.model.GraphSchema.fromJson(
+      Files.readString(Path.of(out, "schema.json")))
+    assert(gs3.functions.exists(_.name == "multiline"))
   }
 
   test("DROP TYPE/PROPERTY/INDEX/FUNCTION complete the DDL lifecycle") {
