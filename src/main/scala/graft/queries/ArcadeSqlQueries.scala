@@ -371,6 +371,13 @@ object ArcadeSqlQueries {
           (SELECT s_nationkey FROM supplier WHERE s_suppkey = 0)) THEN 3 ELSE 0 END AS INT) AS plen
         FROM region""")),
 
+    // record-id lookup `FROM #<id>`: ids replace RIDs (SURVEY §1.5);
+    // the id predicate folds into the scan as a pushed filter
+    Q("asql_rid_lookup",
+      asql("SELECT name, mktsegment FROM #1000042"),
+      Some("""SELECT c_name AS name, c_mktsegment AS mktsegment
+        FROM customer WHERE c_custkey = 42""")),
+
     // FROM bucket:<name> — ArcadeDB's physical-bucket scan spelling;
     // the default bucket named after its type IS the label partition
     // here, so the plan is the same pruned label scan as `FROM Customer`

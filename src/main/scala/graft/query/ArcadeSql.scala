@@ -81,6 +81,8 @@ object ArcadeSql {
   final case class Proj(expr: Expr, alias: Option[String])
   sealed trait Source
   final case class LabelSource(label: String) extends Source
+  /** `FROM #<id>` / `FROM #<bucket>:<pos>` — record-id point lookup. */
+  final case class RidSource(id: Long) extends Source
   final case class SubSource(stmt: Stmt) extends Source
   /** FROM-less SELECT (`SELECT expand($c) LET …`) — the dialect's
     * set-function form has no scan target of its own. */
@@ -352,7 +354,25 @@ object ArcadeSql {
     private def source(): Source = {
       ws()
       if (peek == '(') { i += 1; val st = statement(); expectCh(')'); SubSource(st) }
-      else {
+      else if (peek == '#') {
+        // record-id lookup `SELECT FROM #<id>` (SURVEY §2.B.1): long
+        // ids replace ArcadeDB RIDs in this engine (SURVEY §1.5), and
+        // the OrientDB-lineage `#bucket:position` spelling maps the
+        // position to the id (bucket part ignored — ids are global)
+        i += 1
+        val a = number() match {
+          case n: Long => n
+          case other => fail(s"record id must be an integer, got $other")
+        }
+        val id = if (peek == ':') {
+          i += 1
+          number() match {
+            case n: Long => n
+            case other => fail(s"record position must be an integer, got $other")
+          }
+        } else a
+        RidSource(id)
+      } else {
         val name = ident()
         // ArcadeDB's physical-bucket spelling `FROM bucket:<name>`
         // (SURVEY §2.B.1): label partitions ARE this engine's buckets
@@ -596,6 +616,7 @@ object ArcadeSql {
     try {
       def rootLabel(src: Source): Boolean = src match {
         case LabelSource(l) => l == "V" || l == "E" || gs.labels.exists(_.label == l)
+        case RidSource(_) => true // `FROM #id` is dialect-only syntax
         case SubSource(st) => stmtAnchored(st)
         case UnitSource => true // FROM-less LET set-function form
       }
@@ -787,6 +808,10 @@ object ArcadeSql {
           case None if l == "E" => g.edges
           case None => fail(s"unknown type: $l")
         }
+      // point lookup: the id filter folds into the scan (partition
+      // pruning by label is unavailable — the rid doesn't name one —
+      // but the pushed id predicate skips row groups via min/max)
+      case RidSource(id) => g.nodes.filter(col("id") === id)
       case SubSource(st) => compileStmt(g, gs, st)
       case UnitSource => fail("this statement form needs a FROM source")
     }

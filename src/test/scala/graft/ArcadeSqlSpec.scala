@@ -165,6 +165,15 @@ class ArcadeSqlSpec extends SparkSpec {
     assert(n.collect().forall(_.getString(0).startsWith("Customer#")))
   }
 
+  test("record-id lookup: FROM #id and the #bucket:pos spelling") {
+    val a = run("SELECT name FROM #1000042").collect()
+    assert(a.length == 1 && a.head.getString(0).startsWith("Customer#"))
+    // OrientDB-lineage two-part rid: position carries the id
+    val b = run("SELECT name FROM #7:1000042").collect()
+    assert(b.map(_.getString(0)).toSeq == a.map(_.getString(0)).toSeq)
+    assert(run("SELECT name FROM #999999999").collect().isEmpty)
+  }
+
   test("ORDER BY / SKIP / LIMIT paginate deterministically") {
     val all = run("SELECT id FROM Order ORDER BY totalprice DESC, id ASC LIMIT 15")
       .collect().map(_.getLong(0)).toSeq
