@@ -12,6 +12,14 @@ case class EventRow(ts: java.sql.Timestamp, user_id: Long, event_type: String,
 /** Accumulating per-user session state for [[EventsStream.sessionizeStateful]]. */
 case class SessionState(start: Long, lastTs: Long, n: Long, sumCents: Long)
 
+/** Per-user state for [[EventsStream.asofStateful]]: the retained view
+  * timeline and the purchases still awaiting the watermark. */
+case class AsOfState(views: List[(Long, Double)], pending: List[(Long, Long)])
+
+/** One aligned purchase from [[EventsStream.asofStateful]]. */
+case class AsOfOut(event_id: Long, user_id: Long,
+  view_value: Option[Double], view_ts_ms: Option[Long])
+
 /** A closed session emitted by [[EventsStream.sessionizeStateful]]. */
 case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
   n_events: Long, sum_value: Double)
@@ -118,6 +126,70 @@ object EventsStream {
     }
 
     events.withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** INCREMENTAL as-of join — the streaming twin of
+    * [[graft.operators.AsOfJoin]] over one event stream: every
+    * `purchase` is aligned to the user's latest PRIOR `view`
+    * (inclusive at equal ts, greatest value winning ties — the batch
+    * operator's exact contract, which the spec asserts by equality).
+    *
+    * The batch formulation is a window function, which Structured
+    * Streaming cannot run; the streaming shape is custom state per
+    * user: views accumulate into a timeline, purchases BUFFER until
+    * the watermark passes their event time (only then can no earlier
+    * view still arrive), and each flushed purchase binds to the
+    * latest view at-or-before it — emitted in event-time order, so
+    * out-of-order arrival within the watermark cannot change answers.
+    *
+    * State is bounded by the same watermark that bounds correctness:
+    * retained views = those still above the watermark plus ONE latest
+    * at-or-below it (any future purchase has ts > watermark, so no
+    * older view can ever be "the latest prior" again); buffered
+    * purchases drain on every watermark advance, with an event-time
+    * timeout firing the flush when no further events reach the user.
+    * Scale: one shuffle on user_id, state-store per partition, no
+    * driver involvement — the same posture as the stateful
+    * sessionizer. */
+  def asofStateful(events: Dataset[EventRow],
+      watermark: String = "30 minutes"): Dataset[AsOfOut] = {
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, rows: Iterator[EventRow],
+        state: GroupState[AsOfState]): Iterator[AsOfOut] = {
+      val st = state.getOption.getOrElse(AsOfState(Nil, Nil))
+      val rs = rows.toSeq
+      val views = st.views ++
+        rs.filter(_.event_type == "view").map(r => (r.ts.getTime, r.value))
+      val pending = st.pending ++
+        rs.filter(_.event_type == "purchase").map(r => (r.ts.getTime, r.event_id))
+      val wm = state.getCurrentWatermarkMs()
+      // sorted by (ts, value): the last entry at-or-before a purchase
+      // is the latest prior view, greatest value on an exact ts tie —
+      // the batch operator's deterministic tie rule for one payload
+      val timeline = views.sortBy(identity)
+      val (ready, still) = pending.partition(_._1 <= wm)
+      val out = ready.sortBy(identity).map { case (pts, eid) =>
+        val prior = timeline.takeWhile(_._1 <= pts).lastOption
+        AsOfOut(eid, userId, prior.map(_._2), prior.map(_._1))
+      }
+      val (past, future) = timeline.partition(_._1 <= wm)
+      val keep = past.lastOption.toList ++ future
+      if (still.isEmpty && keep.isEmpty) state.remove()
+      else {
+        state.update(AsOfState(keep, still))
+        // flush guarantee without further events: fire when the
+        // watermark passes the earliest buffered purchase (> wm now
+        // by construction, as setTimeoutTimestamp requires)
+        if (still.nonEmpty) state.setTimeoutTimestamp(still.map(_._1).min)
+      }
+      out.iterator
+    }
+
+    events.filter(e => e.event_type == "view" || e.event_type == "purchase")
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }

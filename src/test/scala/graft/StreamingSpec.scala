@@ -87,6 +87,50 @@ class StreamingSpec extends SparkSpec {
     assert(got.length == 3)
   }
 
+  test("stateful as-of join matches the batch operator under out-of-order arrival") {
+    import graft.streaming.EventRow
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.asofStateful(mem.toDF().as[EventRow], "30 minutes")
+      .writeStream.format("memory").queryName("asofstream")
+      .outputMode(OutputMode.Append()).start()
+    // purchase 101 arrives BEFORE the view that precedes it in event
+    // time; a naive processing-order join would bind it to view@5
+    mem.addData(
+      Ev(ts(20), 1, "purchase", 0.0, 101),
+      Ev(ts(5), 1, "view", 1.0, 11),
+      Ev(ts(35), 1, "view", 3.0, 13),
+      Ev(ts(2), 2, "purchase", 0.0, 201))
+    q.processAllAvailable()
+    // the LATE view@15 is inside the watermark and must win purchase 101
+    mem.addData(Ev(ts(15), 1, "view", 2.0, 12), Ev(ts(40), 1, "purchase", 0.0, 102))
+    q.processAllAvailable()
+    // advance the watermark past everything; second batch fires timeouts
+    mem.addData(Ev(ts(600), 9, "view", 0.0, 999)); q.processAllAvailable()
+    mem.addData(Ev(ts(700), 9, "view", 0.0, 998)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asofstream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), Option(r.get(3))))
+      .toSet
+    assert(got.size == 3)
+    assert(got.contains((101L, 1L, Some(2.0), Some(ts(15).getTime))),
+      s"late view must win purchase 101, got $got")
+    // ground truth: the BATCH as-of operator over the same rows
+    val all = Seq(
+      Ev(ts(20), 1, "purchase", 0.0, 101), Ev(ts(5), 1, "view", 1.0, 11),
+      Ev(ts(35), 1, "view", 3.0, 13), Ev(ts(2), 2, "purchase", 0.0, 201),
+      Ev(ts(15), 1, "view", 2.0, 12), Ev(ts(40), 1, "purchase", 0.0, 102))
+    val purchases = all.toDF().filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val views = all.toDF().filter($"event_type" === "view")
+      .select($"user_id", $"ts", $"value")
+    val batch = graft.operators.AsOfJoin.asofJoin(purchases, views, "user_id", "ts", Seq("value"))
+      .select($"event_id", $"user_id", $"asof_value", unix_millis($"asof_ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), Option(r.get(3))))
+      .toSet
+    assert(got == batch, s"streamed $got != batch $batch")
+  }
+
   test("streaming near-dup dedup: signature kernels run incrementally") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Doc]
