@@ -120,6 +120,59 @@ object Multimodal {
     spark.createDataFrame(rdd, out)
   }
 
+  /** Box-filter downscale by integer `factor` — the RESIZE kernel of
+    * the multimodal family (sampleBytes decimates; this averages):
+    * each output pixel is the integer mean of its `factor × factor`
+    * source box, edge boxes clamped to the raster. Images only (the
+    * one payload kind with a real decoder); one `mapPartitions` pass,
+    * embarrassingly parallel, zero shuffle. Averaging of 32..127
+    * pixels stays in 32..127, so the SQL oracle can md5 the same
+    * ASCII-safe byte string it rebuilds arithmetically. */
+  def downscale(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = media.sparkSession
+    val out = StructType(Seq(
+      StructField("media_id", LongType), StructField("width", IntegerType),
+      StructField("height", IntegerType), StructField("resized", BinaryType)))
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        ImageCodec.decode(r.getAs[Array[Byte]]("payload")).map { img =>
+          val ow = (img.width + factor - 1) / factor
+          val oh = (img.height + factor - 1) / factor
+          val outPx = new Array[Byte](ow * oh * img.channels)
+          var y = 0
+          while (y < oh) {
+            var x = 0
+            while (x < ow) {
+              var c = 0
+              while (c < img.channels) {
+                var sum = 0
+                var n = 0
+                var dy = 0
+                while (dy < factor && y * factor + dy < img.height) {
+                  var dx = 0
+                  while (dx < factor && x * factor + dx < img.width) {
+                    sum += img.pixels(((y * factor + dy) * img.width +
+                      (x * factor + dx)) * img.channels + c) & 0xff
+                    n += 1
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                outPx((y * ow + x) * img.channels + c) = (sum / n).toByte
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.getLong(0), ow, oh, outPx)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, out)
+  }
+
   /** Frame/byte sampling. Image payloads DECODE and decimate by
     * `stride` in both axes (out(x,y) = src(stride·x, stride·y) — the
     * thumbnail/frame-sample kernel over real pixels); other payloads

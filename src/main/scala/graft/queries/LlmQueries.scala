@@ -541,6 +541,31 @@ object LlmQueries {
             i -> substr(text, i, 1)), '')) END AS fp
         FROM documents""")),
 
+    // ✚ multimodal RESIZE (Multimodal.downscale scaladoc): real
+    // decode → 2×2 box-filter average → integer pixels; the oracle
+    // recomputes every averaged pixel arithmetically from genImage's
+    // formula (edge boxes clamped) and md5s the same byte string —
+    // proving encode→decode→average round-trips exactly
+    Q("multimodal_resize",
+      (s, d) => Multimodal.downscale(
+          Multimodal.packAsMedia(t(s, d, "documents")), 2)
+        .select(col("media_id"), col("width"), col("height"),
+          md5(col("resized")).as("fp")),
+      Some("""SELECT doc_id AS media_id,
+        CAST((doc_id % 13 + 2) // 2 AS INTEGER) AS width,
+        CAST((doc_id % 7 + 2) // 2 AS INTEGER) AS height,
+        md5(array_to_string(flatten(flatten(
+          list_transform(generate_series(0, CAST((doc_id % 7 + 2) // 2 AS INTEGER) - 1), y ->
+            list_transform(generate_series(0, CAST((doc_id % 13 + 2) // 2 AS INTEGER) - 1), x ->
+              list_transform(generate_series(0, 2), c ->
+                chr(CAST(list_sum(flatten(
+                  list_transform(generate_series(0, CASE WHEN 2*y+1 < doc_id % 7 + 1 THEN 1 ELSE 0 END), dy ->
+                    list_transform(generate_series(0, CASE WHEN 2*x+1 < doc_id % 13 + 1 THEN 1 ELSE 0 END), dx ->
+                      (doc_id + (2*x+dx)*7 + (2*y+dy)*11 + c*5) % 96 + 32))))
+                  // ((CASE WHEN 2*y+1 < doc_id % 7 + 1 THEN 2 ELSE 1 END)
+                    * (CASE WHEN 2*x+1 < doc_id % 13 + 1 THEN 2 ELSE 1 END)) AS INTEGER))))))), '')) AS fp
+        FROM documents WHERE doc_id % 3 = 0""")),
+
     // binary payload + batch decode via mapPartitions. Image rows carry
     // real PNG (even ids) / PPM (odd ids) bytes decoded by ImageCodec —
     // the oracle knows the generator's dimensions; n_bytes for an image
