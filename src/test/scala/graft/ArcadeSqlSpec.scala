@@ -498,11 +498,13 @@ class ArcadeSqlSpec extends SparkSpec {
 
   test("parser fuzz: random garbage never hangs or succeeds silently") {
     val rnd = new scala.util.Random(4242)
-    // alphabet includes the round-6 surface: LET/$vars, IN (SELECT …),
-    // set functions, path functions, @attributes
+    // alphabet includes the round-6/7 surface: LET/$vars, IN (SELECT …),
+    // set functions, path functions, @attributes, bucket:/#rid sources,
+    // optional/multi-pattern MATCH keys, STRATEGY
     val alphabet = "SELECT FROM WHERE ().,'*=<>[]$depth out in MATCH TRAVERSE " +
       "LET $a unionall intersect difference shortestPath dijkstra IN NOT @rid @type " +
-      "expand distinct first V E abc0123 \n\t"
+      "expand distinct first V E abc0123 \n\t" +
+      "bucket: #7: optional true STRATEGY BREADTH_FIRST {as} "
     (1 to 400).foreach { _ =>
       val s = (1 to rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
       try { ArcadeSql.parse(s); () }
@@ -513,7 +515,11 @@ class ArcadeSqlSpec extends SparkSpec {
       "SELECT name, out('PLACED').size() AS d FROM Customer WHERE acctbal > 10 ORDER BY name SKIP 1 LIMIT 5",
       "SELECT id FROM Customer LET $hi = (SELECT max(acctbal) AS hi FROM Customer) WHERE acctbal > $hi - 2000",
       "SELECT expand(unionall($a, $b)) LET $a = (SELECT id FROM Region), $b = (SELECT id FROM Nation)",
-      "SELECT id, shortestPath(id, 0, 'OUT', ['IN_NATION']).size() AS p FROM Customer WHERE id IN (SELECT src FROM PLACED)")
+      "SELECT id, shortestPath(id, 0, 'OUT', ['IN_NATION']).size() AS p FROM Customer WHERE id IN (SELECT src FROM PLACED)",
+      "SELECT name FROM bucket:Customer WHERE acctbal > 10",
+      "SELECT name FROM #7:1000042",
+      "MATCH {type: Customer, as: c}.out('PLACED'){as: o, optional: true}, {type: Customer, as: c}.out('IN_NATION'){as: n} RETURN c.name AS a, n.name AS b",
+      "SELECT $depth AS d FROM (TRAVERSE in('IN_REGION') FROM (SELECT FROM Region) MAXDEPTH 2 STRATEGY BREADTH_FIRST) GROUP BY $depth")
     valids.foreach { valid =>
       (1 until valid.length).foreach { k =>
         try { ArcadeSql.parse(valid.take(k)); () }
