@@ -371,6 +371,23 @@ object ArcadeSqlQueries {
           (SELECT s_nationkey FROM supplier WHERE s_suppkey = 0)) THEN 3 ELSE 0 END AS INT) AS plen
         FROM region""")),
 
+    // CONTAINSKEY / CONTAINSVALUE — the CONTAINS family's map
+    // predicates over a dialect map(k,v) collector
+    Q("asql_map_predicates",
+      asql("""SELECT priority, m CONTAINSKEY 'F' AS has_f,
+          m CONTAINSVALUE 9 AS has_nine
+        FROM (SELECT priority, map(status, cnt) AS m
+          FROM (SELECT priority, status, count(*) AS cnt
+            FROM Order GROUP BY priority, status)
+          GROUP BY priority)"""),
+      Some("""WITH c AS (SELECT o_orderpriority AS priority, o_orderstatus AS status,
+          CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY 1, 2),
+        m AS (SELECT priority,
+          map_from_entries(list_sort(list(struct_pack(k := status, v := cnt)))) AS mp
+          FROM c GROUP BY 1)
+        SELECT priority, list_contains(map_keys(mp), 'F') AS has_f,
+          list_contains(map_values(mp), 9) AS has_nine FROM m""")),
+
     // record-id lookup `FROM #<id>`: ids replace RIDs (SURVEY §1.5);
     // the id predicate folds into the scan as a pushed filter
     Q("asql_rid_lookup",

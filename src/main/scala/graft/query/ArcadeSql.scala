@@ -454,6 +454,9 @@ object ArcadeSql {
       else if (eat("CONTAINSTEXT")) Bin("containstext", l, addExpr())
       else if (eat("CONTAINSALL")) Bin("containsall", l, listLit())
       else if (eat("CONTAINSANY")) Bin("containsany", l, listLit())
+      // map predicates (the CONTAINS family's map siblings [dep])
+      else if (eat("CONTAINSKEY")) Bin("containskey", l, addExpr())
+      else if (eat("CONTAINSVALUE")) Bin("containsvalue", l, addExpr())
       else if (eat("CONTAINS")) Bin("contains", l, addExpr())
       else {
         val ops = Seq("<>", "!=", "<=", ">=", "=", "<", ">")
@@ -879,6 +882,8 @@ object ArcadeSql {
           // every listed value present: size(list ∖ column) == 0
           size(array_except(cr, cl)) === 0
         case "containsany" => arrays_overlap(cl, cr)
+        case "containskey" => map_contains_key(cl, cr)
+        case "containsvalue" => array_contains(map_values(cl), cr)
         case other => fail(s"unsupported operator $other")
       }
     case Method(t, m, args) => method(ce(t, resolve), m, args, resolve)
