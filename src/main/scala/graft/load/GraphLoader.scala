@@ -54,10 +54,7 @@ final class StoreTxn private[load] (val outDir: String) {
     * `keepPerLabel` grace slot and let the real newest superseded
     * generation be GC'd early out from under a cross-process reader.
     * A failed delete is harmless (the normal orphan sweep retries). */
-  def abort(): Unit = stagedGens.foreach { p =>
-    try Store.deleteRecursively(p)
-    catch { case _: java.io.IOException => () }
-  }
+  def abort(): Unit = stagedGens.foreach(p => Store.tryDeleteRecursively(p))
 }
 
 object GraphLoader {
@@ -494,7 +491,7 @@ object GraphLoader {
       case _ => 0L // empty partition: sum over no rows is null
     }
     if (affected == 0) {
-      Store.deleteRecursively(genPath)
+      Store.tryDeleteRecursively(genPath) // leftover = sweepable orphan
       return 0L
     }
     // A15 re-validation scoped to this label's UNIQUE indexes, reading
@@ -516,8 +513,7 @@ object GraphLoader {
       }
     } catch {
       case e: Throwable =>
-        try Store.deleteRecursively(genPath)
-        catch { case _: java.io.IOException => () }
+        Store.tryDeleteRecursively(genPath) // must never mask the real error
         throw e
     }
     txn match {

@@ -202,6 +202,18 @@ object Store {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
 
+  /** Best-effort recursive delete for GC/cleanup paths. `Files.walk`'s
+    * iterator throws UncheckedIOException (a RuntimeException) when a
+    * concurrent deleter races the traversal — a bare IOException catch
+    * misses it and the cleanup failure would mask the caller's REAL
+    * error. Returns false on failure; the next sweep retries. */
+  def tryDeleteRecursively(p: Path): Boolean =
+    try { deleteRecursively(p); true }
+    catch {
+      case _: java.io.IOException => false
+      case _: java.io.UncheckedIOException => false
+    }
+
   private def listDirs(p: Path): Seq[Path] =
     if (!Files.isDirectory(p)) Nil
     else {
@@ -242,12 +254,11 @@ object Store {
         val superseded = gens.filterNot(referenced).sorted.reverse.drop(keepPerLabel)
         superseded.foreach { g =>
           val p = labelDir.resolve(g)
-          if (!GenerationPins.isPinned(canon(p)))
-            try { deleteRecursively(p); removed += 1 }
-            catch { // next sweep retries — but never silently (VERDICT r6 wrong #4)
-              case e: java.io.IOException =>
-                System.err.println(s"graft: sweep could not delete $p (${e.getMessage}); will retry")
-            }
+          if (!GenerationPins.isPinned(canon(p))) {
+            if (tryDeleteRecursively(p)) removed += 1
+            else // next sweep retries — but never silently (VERDICT r6 wrong #4)
+              System.err.println(s"graft: sweep could not delete $p; will retry")
+          }
         }
         if (current.isEmpty && listDirs(labelDir).isEmpty) {
           val ls = Files.list(labelDir)
@@ -265,8 +276,7 @@ object Store {
       n.startsWith(".bulk_") || n.startsWith(".manifest.tmp-")
     }.toList finally s.close()
     debris.foreach { p =>
-      try { deleteRecursively(p); removed += 1 }
-      catch { case _: java.io.IOException => () }
+      if (tryDeleteRecursively(p)) removed += 1
     }
     removed
   }
@@ -300,28 +310,51 @@ object ServingLease {
     * holds the lock for microseconds, so a null tryLock retries
     * briefly before declaring a real server; a persistent holder still
     * fails loudly. */
-  def acquire(outDir: String): Unit = synchronized {
+  def acquire(outDir: String): Unit = {
     val c = canonDir(outDir)
-    held.get(c) match {
-      case Some(h) => h.count += 1
-      case None =>
-        Files.createDirectories(Paths.get(c))
-        val ch = java.nio.channels.FileChannel.open(leasePath(c),
-          java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
-        var fl: java.nio.channels.FileLock = null
-        var attempts = 0
-        while (fl == null && attempts < 10) {
-          fl = try ch.tryLock() catch {
-            case _: java.nio.channels.OverlappingFileLockException => null
-          }
-          if (fl == null) { attempts += 1; Thread.sleep(50) }
+    // fast path under the monitor; the retry loop below runs OUTSIDE
+    // it (sleeping while holding the global monitor would stall every
+    // other store's release/heldElsewhere behind one slow acquire)
+    synchronized {
+      held.get(c) match {
+        case Some(h) => h.count += 1; return
+        case None => ()
+      }
+    }
+    Files.createDirectories(Paths.get(c))
+    val ch = java.nio.channels.FileChannel.open(leasePath(c),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    var registered = false
+    try {
+      var fl: java.nio.channels.FileLock = null
+      var attempts = 0
+      while (fl == null && attempts < 10) {
+        fl = try ch.tryLock() catch {
+          case _: java.nio.channels.OverlappingFileLockException => null
         }
-        if (fl == null) {
-          ch.close()
-          throw new IllegalStateException(
-            s"another server is already serving $outDir (.serving.lock is held)")
+        if (fl == null) { attempts += 1; Thread.sleep(50) }
+      }
+      if (fl == null)
+        throw new IllegalStateException(
+          s"another server is already serving $outDir (.serving.lock is held)")
+      synchronized {
+        held.get(c) match {
+          case Some(h) =>
+            // a concurrent in-process acquire won the race; ours is
+            // redundant (the finally closes our channel + lock)
+            h.count += 1
+            fl.release()
+          case None =>
+            held(c) = new Held(ch, fl, 1)
+            registered = true
         }
-        held(c) = new Held(ch, fl, 1)
+      }
+    } finally {
+      // on ANY non-registered exit — lost race, lock held elsewhere,
+      // or an interrupt mid-sleep — the channel must not leak
+      if (!registered) {
+        try ch.close() catch { case _: java.io.IOException => () }
+      }
     }
   }
 

@@ -766,8 +766,17 @@ object ArcadeSql {
       case Some(p) => whereEqs(p)
     }
     val setLits = sets.collect { case (k, Lit(v)) => k -> v }
+    // consistency gate: if SET and WHERE (or two WHERE conjuncts)
+    // assign DIFFERENT values to one field, no insertable record can
+    // satisfy the predicate — refuse the insert path rather than
+    // silently letting one side win and never converging
     val rec = if (upsert && setLits.size == sets.size)
-      eqs.map(es => (es ++ setLits).toMap)
+      eqs.flatMap { es =>
+        val byKey = (es ++ setLits).groupBy(_._1)
+        if (byKey.values.forall(_.map(_._2).distinct.size == 1))
+          Some(byKey.map { case (k, vs) => k -> vs.head._2 })
+        else None
+      }
     else None
     UpdateSpec(sets.map { case (k, e) => k -> ce(e, n => col(n)) }, upsert,
       pred.map(ce(_, n => col(n))), rec)

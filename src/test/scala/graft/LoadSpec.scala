@@ -593,6 +593,11 @@ class LoadSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](Dml.execute(spark, out,
       "UPDATE Customer SET name = 'Customer#u9' UPSERT WHERE id = 1995998 AND acctbal > 100"))
     assert(e2.getMessage.contains("field = literal"))
+    // SET contradicting a WHERE equality on the same field: no record
+    // can satisfy the predicate after insert — refused, not half-won
+    val e3 = intercept[IllegalArgumentException](Dml.execute(spark, out,
+      "UPDATE Customer SET mktsegment = 'AAA' UPSERT WHERE id = 1995997 AND mktsegment = 'BBB'"))
+    assert(e3.getMessage.contains("satisfy its own predicate"))
     // plain UPDATE (no UPSERT) of a missing record still writes nothing
     assert(Dml.execute(spark, out,
       "UPDATE Customer SET acctbal = 1.0 WHERE id = 1995999") == 0)
