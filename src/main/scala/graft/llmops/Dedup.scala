@@ -72,19 +72,28 @@ object Dedup {
   /** LSH candidate pairs: band the signature (bands × rowsPerBand =
     * numPerms), bucket-join on (band, banded signature), emit distinct
     * (d1 < d2) pairs. */
+  /** The LSH band view of a signature frame: one (id, band, sig) row
+    * per band, `sig` = the band's rows joined — the bucketing key for
+    * candidate joins (self-join for near-dup pairs, cross-set join for
+    * fuzzy decontamination). */
+  def bandedSignatures(sigs: DataFrame, idCol: String, numPerms: Int,
+      bands: Int): DataFrame = {
+    val rows = numPerms / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until rows).map(r => col(s"s${b * rows + r}")): _*).as("sig"))
+    }
+    sigs.select(col(idCol), explode(array(bandCols: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
   def minhashCandidates(sigs: DataFrame, idCol: String, numPerms: Int,
       bands: Int): DataFrame = {
     // the banded view is self-joined; materialize signatures once
     // (small: one row of 16 longs per doc) instead of recomputing the
     // md5 pipeline on both join sides
     val sigsM = sigs.localCheckpoint(true)
-    val rows = numPerms / bands
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("_", (0 until rows).map(r => col(s"s${b * rows + r}")): _*).as("sig"))
-    }
-    val banded = sigsM.select(col(idCol), explode(array(bandCols: _*)).as("bs"))
-      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val banded = bandedSignatures(sigsM, idCol, numPerms, bands)
     val a = banded.select(col("band"), col("sig"), col(idCol).as("d1"))
     val b = banded.select(col("band"), col("sig"), col(idCol).as("d2"))
     a.join(b, Seq("band", "sig")).filter(col("d1") < col("d2"))

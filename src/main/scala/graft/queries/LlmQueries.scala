@@ -153,6 +153,32 @@ object LlmQueries {
         SELECT doc_id, lang FROM documents
         WHERE doc_id NOT IN (SELECT d2 FROM cand)""")),
 
+    // ✚ FUZZY decontamination: the exact 8-gram probe above misses a
+    // paraphrased benchmark leak; this variant flags corpus docs whose
+    // MinHash bands collide with ANY eval-set doc (the same signatures
+    // the near-dup family compiles) — one cross-set equi-join on
+    // (band, sig), eval side tiny, never all-pairs. Over-flagging is
+    // the safe direction, exactly like the exact probe.
+    Q("pipeline_decontaminate_fuzzy",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val corpus = docs.filter(col("source") =!= "src0")
+        val evalSet = docs.filter(col("source") === "src0")
+        val cb = Dedup.bandedSignatures(
+          Dedup.minhashSignatures(corpus, "doc_id", "text", 16), "doc_id", 16, 4)
+        val eb = Dedup.bandedSignatures(
+          Dedup.minhashSignatures(evalSet, "doc_id", "text", 16), "doc_id", 16, 4)
+        cb.join(eb.select("band", "sig"), Seq("band", "sig"), "left_semi")
+          .select(col("doc_id")).distinct()
+          .join(corpus.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      },
+      Some(s"""WITH $sqlMinhashBandedCtes,
+        flagged AS (SELECT DISTINCT a.doc_id FROM banded a
+          JOIN documents da ON da.doc_id = a.doc_id AND da.source <> 'src0'
+          JOIN banded b ON b.band = a.band AND b.sig = a.sig
+          JOIN documents db ON db.doc_id = b.doc_id AND db.source = 'src0')
+        SELECT f.doc_id, d.lang FROM flagged f JOIN documents d USING (doc_id)""")),
+
     // ✚ dedup-GROUP resolution: pipeline_neardup's greedy drop is
     // pairwise (B collides with A ⇒ drop B), but real cluster dedup is
     // transitive — A~B, B~C puts all three in ONE group even when A,C
