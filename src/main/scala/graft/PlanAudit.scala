@@ -67,7 +67,9 @@ object PlanAudit {
     Check("sim_pq_topk", "PQ queries broadcast onto one corpus scan",
       "BroadcastNestedLoopJoin"),
     Check("sim_pq_topk", "native dot kernel scores reconstructions", "graft_dot"),
-    Check("profile_columns", "multi-distinct profile is one Expand aggregate", "Expand")
+    Check("profile_columns", "multi-distinct profile is one Expand aggregate", "Expand"),
+    Check("pipeline_decontaminate_fuzzy", "fuzzy decontamination is a semi probe", "LeftSemi"),
+    Check("asql_rid_lookup", "rid lookup pushes the id predicate", "PushedFilters")
   )
 
   def main(args: Array[String]): Unit = {
