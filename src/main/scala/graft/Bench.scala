@@ -41,12 +41,17 @@ object Bench {
     "pipeline_prep",
     "pipeline_shards",
     "pipeline_decontaminate",
+    "pipeline_decontaminate_fuzzy",
+    "pipeline_dedup_groups",
     "asof_events",
     "asof_events_salted",
     "range_join_events",
     "text_quality",
+    "text_repetition",
+    "profile_columns",
     "multimodal_meta",
-    "multimodal_frames"))
+    "multimodal_frames",
+    "multimodal_resize"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
