@@ -68,6 +68,8 @@ object PlanAudit {
       "BroadcastNestedLoopJoin"),
     Check("sim_pq_topk", "native dot kernel scores reconstructions", "graft_dot"),
     Check("profile_columns", "multi-distinct profile is one Expand aggregate", "Expand"),
+    Check("profile_columns", "profile scan prunes to the profiled columns",
+      "ReadSchema: struct<o_custkey:bigint,o_orderstatus:string,o_totalprice:double>"),
     Check("pipeline_decontaminate_fuzzy", "fuzzy decontamination is a semi probe", "LeftSemi"),
     Check("asql_rid_lookup", "rid lookup pushes the id predicate", "PushedFilters")
   )
