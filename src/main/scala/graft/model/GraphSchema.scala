@@ -51,19 +51,7 @@ final case class GraphSchema(labels: Seq[LabelSchema], indexes: Seq[IndexDesc],
 
   /** JSON form; `StructType.json` is Spark's own stable serialization. */
   def toJson: String = {
-    // control characters MUST escape too: a function body holding a
-    // newline written raw would make schema.json unparseable for every
-    // subsequent read — a bricked store from one legal-looking DDL
-    def esc(s: String) =
-      s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case '\n' => "\\n"
-        case '\r' => "\\r"
-        case '\t' => "\\t"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
+    import GraphSchema.{escJson => esc}
     val ls = labels
       .map(l => s"""{"label":"${esc(l.label)}","kind":"${l.kind}","schema":${l.schema.json}}""")
       .mkString("[", ",", "]")
@@ -79,6 +67,24 @@ final case class GraphSchema(labels: Seq[LabelSchema], indexes: Seq[IndexDesc],
 }
 
 object GraphSchema {
+
+  /** The ONE JSON string escaper for every hand-written catalog file
+    * (schema.json AND manifest.json). Control characters MUST escape:
+    * a label or function body holding a raw newline would make the
+    * file unparseable for every subsequent read — a bricked store from
+    * one legal-looking input. Labels reach manifest.json from bulk-load
+    * INPUT DATA, not just the dialect parser, so the manifest writer
+    * shares this escaper rather than trusting its callers. */
+  def escJson(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
 
   /** Parse the JSON written by [[GraphSchema.toJson]]. Uses Spark's
     * `DataType.fromJson` for the per-label StructTypes; the outer

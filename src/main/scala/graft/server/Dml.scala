@@ -217,12 +217,19 @@ object Dml {
                 require(!referenced, s"DROP TYPE rejected: edge types have referenced " +
                   s"$label — drop those edge types first")
               }
-              if (m.gens(entity).contains(label))
-                graft.load.Store.writeManifest(storeDir, m.withoutLabel(entity, label))
-              ddl(storeDir) { cur =>
+              // schema.json FIRST, manifest retirement LAST (ADVICE r7):
+              // the schema is the registry gating appends, so a crash
+              // between the two commits leaves at worst a zero-row
+              // manifest entry for an undeclared label (benign orphan,
+              // retired by any later DROP of a re-declared twin) —
+              // never a declared type whose manifest entry is gone
+              val n = ddl(storeDir) { cur =>
                 (cur.copy(labels = cur.labels.filterNot(_.label == label),
                   indexes = cur.indexes.filterNot(_.label == label)), 1L)
               }
+              if (m.gens(entity).contains(label))
+                graft.load.Store.writeManifest(storeDir, m.withoutLabel(entity, label))
+              n
           }
         }
       case DropPropertyRe(label, prop) =>

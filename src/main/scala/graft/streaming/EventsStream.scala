@@ -170,20 +170,34 @@ object EventsStream {
       // is the latest prior view, greatest value on an exact ts tie —
       // the batch operator's deterministic tie rule for one payload
       val timeline = views.sortBy(identity)
-      val (ready, still) = pending.partition(_._1 <= wm)
+      // STRICT < wm: a purchase flushes only once no admissible row at
+      // its timestamp can still arrive (ADVICE r7). On THIS Spark the
+      // late-row predicate is `eventTime <= watermark`
+      // (LessThanOrEqual in WatermarkSupport.watermarkExpression,
+      // verified by disassembly), so an equal-boundary view is dropped
+      // and `<= wm` was equally safe — but that boundary has differed
+      // across Spark versions and operators, and the strict form is
+      // correct under EITHER admission rule, costing only one extra
+      // watermark advance of latency for rows sitting exactly on it.
+      val (ready, still) = pending.partition(_._1 < wm)
       val out = ready.sortBy(identity).map { case (pts, eid) =>
         val prior = timeline.takeWhile(_._1 <= pts).lastOption
         AsOfOut(eid, userId, prior.map(_._2), prior.map(_._1))
       }
-      val (past, future) = timeline.partition(_._1 <= wm)
+      // symmetric strict boundary: a view at ts == wm stays a live
+      // timeline entry (a purchase at the same ts is still buffered)
+      val (past, future) = timeline.partition(_._1 < wm)
       val keep = past.lastOption.toList ++ future
       if (still.isEmpty && keep.isEmpty) state.remove()
       else {
         state.update(AsOfState(keep, still))
-        // flush guarantee without further events: fire when the
-        // watermark passes the earliest buffered purchase (> wm now
-        // by construction, as setTimeoutTimestamp requires)
-        if (still.nonEmpty) state.setTimeoutTimestamp(still.map(_._1).min)
+        // flush guarantee without further events: fire once the
+        // watermark advances STRICTLY past the earliest buffered
+        // purchase; setTimeoutTimestamp demands a value > wm, so a
+        // purchase sitting exactly at wm clamps to wm + 1 (the fire
+        // condition wm' > wm ≡ wm' > ts is unchanged)
+        if (still.nonEmpty)
+          state.setTimeoutTimestamp(math.max(still.map(_._1).min, wm + 1))
       }
       out.iterator
     }

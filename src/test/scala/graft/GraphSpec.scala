@@ -96,6 +96,17 @@ class GraphSpec extends SparkSpec {
     assert(prof.length == 3 && prof(0).getLong(1) >= prof(1).getLong(1))
   }
 
+  test("profiler handles hostile column names (VERDICT r7 wrong #3)") {
+    import spark.implicits._
+    val hostile = "bad ' name\" with, stack(" // would break a selectExpr parse
+    val df = Seq((1, Some("a")), (2, Some("b")), (2, None)).toDF("id", hostile)
+    val prof = graft.operators.Profile.profile(df,
+      Seq("id" -> df("id"), hostile -> df(hostile))).collect()
+    val row = prof.find(_.getString(0) == hostile).get
+    assert(row.getLong(1) == 3 && row.getLong(2) == 2 && row.getLong(3) == 2)
+    assert(prof.find(_.getString(0) == "id").get.getLong(3) == 2)
+  }
+
   test("traverseUnbounded terminates on a cyclic graph with minimal depths") {
     import spark.implicits._
     val n = Seq((1L, "N"), (2L, "N"), (3L, "N"), (4L, "N")).toDF("id", "label")

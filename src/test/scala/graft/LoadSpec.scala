@@ -723,6 +723,43 @@ class LoadSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("manifest round-trips labels holding control characters (VERDICT r7 wrong #1)") {
+    // labels reach the manifest from bulk-load INPUT DATA, not just the
+    // dialect's ident() parser — a hostile label must round-trip, never
+    // brick manifest.json for every subsequent read
+    val out = Files.createTempDirectory("graftesc").toString
+    val hostile = "Bad\nLabel\twith \"quotes\" and \\slash\u0001"
+    val m = graft.load.Store.Manifest(
+      1L, Map(hostile -> Seq("gen-000000000001-aaaaaaaa")),
+      Map(hostile -> Seq("gen-000000000001-bbbbbbbb")),
+      Map(hostile -> (Set(hostile), Set(hostile))))
+    graft.load.Store.writeManifest(out, m)
+    val back = graft.load.Store.readManifest(out)
+    assert(back.nodes == m.nodes && back.edges == m.edges &&
+      back.edgeEndpoints == m.edgeEndpoints)
+  }
+
+  test("concurrent in-process lease acquires nest instead of spuriously failing (ADVICE r7)") {
+    val out = Files.createTempDirectory("graftleaserace").toString
+    val n = 8
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to n).map(_ => new Thread(() => {
+      start.await()
+      try graft.load.ServingLease.acquire(out)
+      catch { case t: Throwable => errs.add(t) }
+    }))
+    threads.foreach(_.start())
+    start.countDown() // maximal overlap: same-JVM tryLock THROWS for losers
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing acquires failed: ${errs.peek()}")
+    // refcounted: the lease frees only after the last release
+    (1 to n).foreach(_ => graft.load.ServingLease.release(out))
+    // and a fresh acquire/release cycle still works
+    graft.load.ServingLease.acquire(out)
+    graft.load.ServingLease.release(out)
+  }
+
   test("A16/A17: writeGraph persists partitioned layout + schema + checksum") {
     val out = Files.createTempDirectory("graftout").toString
     GraphLoader.writeGraph(spark, sfDir, out)

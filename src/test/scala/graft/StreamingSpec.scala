@@ -131,6 +131,40 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch, s"streamed $got != batch $batch")
   }
 
+  test("as-of watermark boundary: strict flush never strands a purchase at ts == wm (ADVICE r7)") {
+    // Spark 4.1 DROPS rows with event time <= watermark in stateful
+    // operators (WatermarkSupport.watermarkExpression builds
+    // LessThanOrEqual — verified by disassembly), so an equal-boundary
+    // view can never arrive and the flush boundary (< vs <=) cannot
+    // change ANSWERS on this version. The strict `< wm` flush is the
+    // version-robust choice; what this test pins is its LIVENESS: a
+    // purchase sitting exactly on the watermark keeps buffering, and
+    // the wm+1 timeout clamp still fires it exactly once (an unclamped
+    // setTimeoutTimestamp(wm) would throw and kill the query).
+    import graft.streaming.EventRow
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.asofStateful(mem.toDF().as[EventRow], "30 minutes")
+      .writeStream.format("memory").queryName("asofboundary")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: the purchase, a prior view, and a rider pinning the
+    // watermark AT the purchase's event time (60m − 30m delay = ts(30))
+    mem.addData(Ev(ts(30), 1, "purchase", 0.0, 301), Ev(ts(10), 1, "view", 7.0, 302),
+      Ev(ts(60), 9, "view", 0.0, 900))
+    q.processAllAvailable()
+    // batch 2: the purchase sits exactly on the watermark — still
+    // buffered (strict flush), timeout re-armed at wm+1
+    mem.addData(Ev(ts(30), 2, "view", 0.0, 903))
+    q.processAllAvailable()
+    // watermark advances; the timeout path must flush it exactly once
+    mem.addData(Ev(ts(700), 9, "view", 0.0, 999)); q.processAllAvailable()
+    mem.addData(Ev(ts(800), 9, "view", 0.0, 998)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asofboundary").filter($"user_id" === 1)
+      .collect().map(r => (r.getLong(0), Option(r.get(2)), Option(r.get(3)))).toSeq
+    assert(got == Seq((301L, Some(7.0), Some(ts(10).getTime))), s"got $got")
+  }
+
   test("streaming near-dup dedup: signature kernels run incrementally") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Doc]
