@@ -48,6 +48,8 @@ object Bench {
     "range_join_events",
     "text_quality",
     "text_repetition",
+    "asql_containstext_indexed",
+    "asql_containstext_scan",
     "profile_columns",
     "multimodal_meta",
     "multimodal_frames",

@@ -71,7 +71,14 @@ object PlanAudit {
     Check("profile_columns", "profile scan prunes to the profiled columns",
       "ReadSchema: struct<o_custkey:bigint,o_orderstatus:string,o_totalprice:double>"),
     Check("pipeline_decontaminate_fuzzy", "fuzzy decontamination is a semi probe", "LeftSemi"),
-    Check("asql_rid_lookup", "rid lookup pushes the id predicate", "PushedFilters")
+    Check("asql_rid_lookup", "rid lookup pushes the id predicate", "PushedFilters"),
+    // round-8: CONTAINSTEXT must be SERVED BY the persisted postings
+    // generations (the ft/… path appears as a scan location) via a
+    // semi join — the corpus is never tokenized at query time
+    Check("asql_containstext_indexed",
+      "CONTAINSTEXT scans the persisted postings generation", "/ft/nodes/Part/name/"),
+    Check("asql_containstext_indexed",
+      "postings ids reach the label scan as a semi join", "LeftSemi")
   )
 
   def main(args: Array[String]): Unit = {

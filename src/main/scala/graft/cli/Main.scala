@@ -59,24 +59,21 @@ object Main {
       if (!Checksum.isFresh(ck, java.nio.file.Paths.get(d)))
         System.err.println(s"[graft] WARNING: store at $outDir is out of date with $d — rebuild with 'create'")
     }
-    val gs0 = graft.model.GraphSchema.fromJson(
+    val gs = graft.model.GraphSchema.fromJson(
       java.nio.file.Files.readString(java.nio.file.Paths.get(s"$outDir/schema.json")))
-    // widen with declared-but-unstored columns so runtime-DDL
-    // properties read as nulls before the first row carries them
-    val nodes = graft.load.GraphLoader.widenToDeclared(
-      graft.load.Store.readEntity(spark, outDir, "nodes"), gs0, "vertex")
-    val edges = graft.load.GraphLoader.widenToDeclared(
-      graft.load.Store.readEntity(spark, outDir, "edges"), gs0, "edge")
-    nodes.createOrReplaceTempView("nodes")
-    edges.createOrReplaceTempView("edges")
-    val gs = gs0
-    gs.nodeLabels.foreach(l => nodes.filter(nodes("label") === l)
+    // one consistent snapshot: entity unions widened with declared-but-
+    // unstored columns (runtime-DDL properties read as nulls before the
+    // first row carries them) + the full-text postings provider
+    val g = graft.load.GraphLoader.openGraph(spark, outDir)
+    g.nodes.createOrReplaceTempView("nodes")
+    g.edges.createOrReplaceTempView("edges")
+    gs.nodeLabels.foreach(l => g.nodes.filter(g.nodes("label") === l)
       .createOrReplaceTempView(s"nodes_$l"))
-    gs.edgeLabels.foreach(l => edges.filter(edges("label") === l)
+    gs.edgeLabels.foreach(l => g.edges.filter(g.edges("label") === l)
       .createOrReplaceTempView(s"edges_$l"))
     println(s"[graft] serving ${gs.nodeLabels.size} node labels and " +
       s"${gs.edgeLabels.size} edge labels from $outDir as temp views")
-    graft.query.PropertyGraph(nodes, edges)
+    g
   }
 
   /** `serve`/`create-serve` with a port argument starts the HTTP/JSON

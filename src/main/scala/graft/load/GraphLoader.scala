@@ -218,7 +218,11 @@ object GraphLoader {
         IndexDesc("node", "Customer", "name", unique = true, isArray = false),
         IndexDesc("node", "Part", "brand", unique = false, isArray = false),
         IndexDesc("node", "Part", "tags", unique = true, isArray = true), // skipped (A15)
-        IndexDesc("edge", "CONTAINS", "linenumber", unique = false, isArray = false)
+        IndexDesc("edge", "CONTAINS", "linenumber", unique = false, isArray = false),
+        // FULL_TEXT: served by a persisted postings table built at bulk
+        // load and maintained by every DML commit ([[FullText]])
+        IndexDesc("node", "Part", "name", unique = false, isArray = false,
+          fulltext = true)
       )
     )
   }
@@ -312,6 +316,56 @@ object GraphLoader {
     * never ahead of the DELETE probe's pruning metadata. Inside a
     * [[StoreTxn]] nothing is written at all — the staged manifest
     * accumulates until the transaction's single commit. */
+  /** The full-text indexes the store must maintain for one label
+    * ([[FullText]] — node labels only: edges carry no record id). */
+  private def ftIndexes(gs: GraphSchema, entity: String, label: String): Seq[IndexDesc] =
+    if (entity != "nodes") Nil
+    else gs.indexes.filter(ix => ix.fulltext && ix.isBuildable &&
+      ix.target == "node" && ix.label == label)
+
+  /** Stage postings for a freshly WRITTEN data generation of `label`,
+    * reading the new gen's files back (a columnar scan of just those
+    * files). `append = true`: the segment's postings join each index's
+    * list — applied only to indexes the manifest already carries (an
+    * index declared but never built stays scan-served rather than
+    * silently serving append-only partial postings). `append = false`
+    * (rewrite): postings rebuilt from the gen replace the list.
+    * Returns the updated manifest and the created postings dirs (for
+    * txn staging / eager abort cleanup). Nothing is visible until the
+    * caller's ONE manifest swap commits data and postings together. */
+  private def stageFt(spark: SparkSession, outDir: String, entity: String,
+      label: String, gs: GraphSchema, m0: Store.Manifest,
+      dataGen: java.nio.file.Path, append: Boolean)
+      : (Store.Manifest, Seq[java.nio.file.Path]) = {
+    var m = m0
+    if (!append) {
+      // self-heal: retire postings entries whose index is no longer
+      // declared (the benign orphan a crashed DROP INDEX leaves)
+      val declared = ftIndexes(gs, entity, label).map(_.property).toSet
+      m.ft.keys.toSeq.collect { case k @ (e, l, p) if e == entity && l == label
+          && !declared(p) => k }
+        .foreach { case (e, l, p) => m = m.withoutFt(e, l, p) }
+    }
+    val applicable = ftIndexes(gs, entity, label)
+      .filter(ix => !append || m0.ft.contains((entity, label, ix.property)))
+    if (applicable.isEmpty) return (m, Nil)
+    val dirs = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+    val written = spark.read.parquet(dataGen.toString)
+    applicable.foreach { ix =>
+      // declared properties always reach written gens (append aligns
+      // to the widened schema; rewrites read the widened frame) — a
+      // miss here would mean silently-stale postings, so fail loudly
+      require(written.columns.contains(ix.property),
+        s"full-text index $label.${ix.property}: written generation lacks the column")
+      val post = FullText.postings(written, ix.property)
+      val gen = Store.writeFtGen(outDir, entity, label, ix.property, m.seq + 1, post)
+      dirs += Store.ftDir(outDir, entity, label, ix.property, gen)
+      m = if (append) m.withFtSegment(entity, label, ix.property, gen)
+      else m.withFtGen(entity, label, ix.property, gen)
+    }
+    (m, dirs.toSeq)
+  }
+
   private def appendBatch(spark: SparkSession, outDir: String, entity: String,
       batch: DataFrame, m0: Store.Manifest, txn: Option[StoreTxn],
       epDelta: Map[String, (Set[String], Set[String])] = Map.empty): Seq[String] = {
@@ -333,6 +387,11 @@ object GraphLoader {
       val gen = Store.writeGen(outDir, entity, label, m.seq + 1, rows)
       genDirs += Store.genDir(outDir, entity, label, gen)
       m = m.withSegment(entity, label, gen)
+      // the appended segment's postings ride the SAME commit (one
+      // postings segment per data segment — FullText scaladoc)
+      val (m2, ftDirs) = stageFt(spark, outDir, entity, label, gs, m,
+        Store.genDir(outDir, entity, label, gen), append = true)
+      m = m2; genDirs ++= ftDirs
     }
     if (epDelta.nonEmpty) {
       val merged = (m.edgeEndpoints.keySet ++ epDelta.keySet).map { l =>
@@ -516,10 +575,12 @@ object GraphLoader {
         Store.tryDeleteRecursively(genPath) // must never mask the real error
         throw e
     }
+    // postings rebuilt from the rewritten gen ride the same swap
+    val (m2, ftDirs) = stageFt(spark, outDir, entity, label, gs,
+      m.withGen(entity, label, gen), genPath, append = false)
     txn match {
-      case Some(t) => t.stage(m.withGen(entity, label, gen),
-        Seq(entity -> label), Seq(genPath))
-      case None => Store.writeManifest(outDir, m.withGen(entity, label, gen))
+      case Some(t) => t.stage(m2, Seq(entity -> label), genPath +: ftDirs)
+      case None => Store.writeManifest(outDir, m2)
     }
     affected
   }
@@ -601,10 +662,13 @@ object GraphLoader {
     val (rewritten, affected) = f(part, m)
     if (affected == 0) return 0L
     val gen = Store.writeGen(outDir, entity, label, m.seq + 1, rewritten)
+    val genPath = Store.genDir(outDir, entity, label, gen)
+    // postings rebuilt from the rewritten gen ride the same swap
+    val (m2, ftDirs) = stageFt(spark, outDir, entity, label, gs,
+      m.withGen(entity, label, gen), genPath, append = false)
     txn match {
-      case Some(t) => t.stage(m.withGen(entity, label, gen),
-        Seq(entity -> label), Seq(Store.genDir(outDir, entity, label, gen)))
-      case None => Store.writeManifest(outDir, m.withGen(entity, label, gen))
+      case Some(t) => t.stage(m2, Seq(entity -> label), genPath +: ftDirs)
+      case None => Store.writeManifest(outDir, m2)
     }
     affected
   }
@@ -744,6 +808,26 @@ object GraphLoader {
       .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
   }
 
+  /** Store-backed [[graft.query.PropertyGraph]]: entity unions widened
+    * to the declared schema, plus the full-text provider resolving a
+    * (label, property) to its persisted postings frame — resolved
+    * against ONE manifest read, so the graph and its indexes are one
+    * consistent snapshot (a query never joins new postings against old
+    * rows). */
+  def openGraph(spark: SparkSession, outDir: String): graft.query.PropertyGraph = {
+    val gs = GraphSchema.fromJson(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$outDir/schema.json")))
+    val m = Store.readManifest(outDir)
+    val nodes = widenToDeclared(
+      Store.readEntityAt(spark, outDir, "nodes", m), gs, "vertex")
+    val edges = widenToDeclared(
+      Store.readEntityAt(spark, outDir, "edges", m), gs, "edge")
+    val ft = gs.indexes.filter(ix => ix.fulltext && ix.target == "node" && ix.isBuildable)
+      .flatMap(ix => Store.readFt(spark, outDir, "nodes", ix.label, ix.property, m)
+        .map(df => (ix.label, ix.property) -> df)).toMap
+    graft.query.PropertyGraph(nodes, edges, (l, p) => ft.get((l, p)))
+  }
+
   /** Project `df` onto `target`: shared columns cast to the store
     * type, missing columns become typed nulls. Extra columns are an
     * error (the store schema is declared, A5). */
@@ -835,7 +919,19 @@ object GraphLoader {
       .map { case (l, rows) =>
         l -> ((rows.map(_.getString(1)).toSet, rows.map(_.getString(2)).toSet))
       }
-    Store.writeManifest(outDir, Store.Manifest(seq, nodeGens, edgeGens, eps))
+    // full-text postings per declared FULL_TEXT index, built from the
+    // promoted generations and committed by the SAME manifest swap as
+    // the data — the bulk-load analogue of the reference building its
+    // indexes inside the load transaction (`ArcadeDBService.java:258-283`)
+    var m = Store.Manifest(seq, nodeGens, edgeGens, eps)
+    nodeGens.keys.toSeq.sorted.foreach { label =>
+      nodeGens(label).foreach { gen =>
+        val (m2, _) = stageFt(spark, outDir, "nodes", label, schema, m,
+          Store.genDir(outDir, "nodes", label, gen), append = false)
+        m = m2
+      }
+    }
+    Store.writeManifest(outDir, m)
     Store.deleteRecursively(bulk)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/schema.json"), schema.toJson)

@@ -60,12 +60,17 @@ object Store {
     * of (src node labels, dst node labels) — maintained at bulk load
     * and on edge append as a monotone over-approximation (edge deletes
     * never shrink it); consumed by the vertex-DELETE integrity probe
-    * to scan only edge labels that can reference the deleted label. */
+    * to scan only edge labels that can reference the deleted label.
+    * `ft`: full-text postings generations ([[FullText]]) keyed by
+    * (entity, label, property) — the index lives under the SAME
+    * manifest as the rows it serves, so a data commit and its postings
+    * commit are one atomic swap, never observable apart. */
   final case class Manifest(
       seq: Long,
       nodes: Map[String, Seq[String]],
       edges: Map[String, Seq[String]],
-      edgeEndpoints: Map[String, (Set[String], Set[String])]) {
+      edgeEndpoints: Map[String, (Set[String], Set[String])],
+      ft: Map[(String, String, String), Seq[String]] = Map.empty) {
     def gens(entity: String): Map[String, Seq[String]] =
       if (entity == "nodes") nodes else edges
     /** Rewrite commit: the label's whole content is now `gen`. */
@@ -80,11 +85,29 @@ object Store {
     }
     /** DROP TYPE commit: the label leaves the manifest (its gen dirs
       * become sweepable orphans); an edge label sheds its endpoint
-      * metadata with it. */
-    def withoutLabel(entity: String, label: String): Manifest =
-      if (entity == "nodes") copy(seq = seq + 1, nodes = nodes - label)
+      * metadata with it, and any label sheds its postings entries. */
+    def withoutLabel(entity: String, label: String): Manifest = {
+      val ft2 = ft.filterNot { case ((e, l, _), _) => e == entity && l == label }
+      if (entity == "nodes") copy(seq = seq + 1, nodes = nodes - label, ft = ft2)
       else copy(seq = seq + 1, edges = edges - label,
-        edgeEndpoints = edgeEndpoints - label)
+        edgeEndpoints = edgeEndpoints - label, ft = ft2)
+    }
+    /** Full-text rebuild commit: the index's whole postings content is
+      * now `gen` (bulk build, CREATE INDEX over existing rows, or a
+      * label rewrite's postings twin). */
+    def withFtGen(entity: String, label: String, prop: String, gen: String): Manifest =
+      copy(seq = seq + 1, ft = ft + ((entity, label, prop) -> Seq(gen)))
+    /** Full-text append commit: `gen` (the postings of ONE appended
+      * data segment) joins the index's segment list. (tk, id) stays
+      * unique across segments because appends reject duplicate ids. */
+    def withFtSegment(entity: String, label: String, prop: String, gen: String): Manifest = {
+      val cur = ft.getOrElse((entity, label, prop), Nil)
+      copy(seq = seq + 1, ft = ft + ((entity, label, prop) -> (cur :+ gen)))
+    }
+    /** DROP INDEX commit: the postings leave the manifest (their gen
+      * dirs become sweepable orphans). */
+    def withoutFt(entity: String, label: String, prop: String): Manifest =
+      copy(seq = seq + 1, ft = ft - ((entity, label, prop)))
   }
 
   def manifestPath(outDir: String): Path = Paths.get(outDir, "manifest.json")
@@ -108,7 +131,20 @@ object Store {
       }.toMap
       case _ => Map.empty[String, (Set[String], Set[String])]
     }
-    Manifest((root \ "seq").extract[Long], gens("nodes"), gens("edges"), eps)
+    // absent in pre-full-text manifests → no postings indexes
+    val ft = root \ "ft" match {
+      case JObject(ents) => ents.flatMap { case (entity, lv) => lv match {
+        case JObject(ls) => ls.flatMap { case (label, pv) => pv match {
+          case JObject(ps) => ps.map { case (prop, g) =>
+            (entity, label, prop) -> g.extract[Seq[String]]
+          }
+          case _ => Nil
+        }}
+        case _ => Nil
+      }}.toMap
+      case _ => Map.empty[(String, String, String), Seq[String]]
+    }
+    Manifest((root \ "seq").extract[Long], gens("nodes"), gens("edges"), eps, ft)
   }
 
   /** Atomic commit: temp file + ATOMIC_MOVE onto manifest.json.
@@ -127,8 +163,18 @@ object Store {
     val eps = m.edgeEndpoints.toSeq.sortBy(_._1).map { case (l, (srcs, dsts)) =>
       s""""${esc(l)}":{"src":${strSet(srcs)},"dst":${strSet(dsts)}}"""
     }.mkString("{", ",", "}")
-    val json = s"""{"version":3,"seq":${m.seq},"nodes":${gens(m.nodes)},""" +
-      s""""edges":${gens(m.edges)},"edgeEndpoints":$eps}"""
+    val ftJson = m.ft.toSeq.sortBy(_._1).groupBy(_._1._1).toSeq.sortBy(_._1)
+      .map { case (entity, es) =>
+        val byLabel = es.groupBy(_._1._2).toSeq.sortBy(_._1).map { case (label, ls) =>
+          val props = ls.sortBy(_._1._3).map { case ((_, _, prop), gs) =>
+            s""""${esc(prop)}":${gs.map(x => s"\"${esc(x)}\"").mkString("[", ",", "]")}"""
+          }.mkString("{", ",", "}")
+          s""""${esc(label)}":$props"""
+        }.mkString("{", ",", "}")
+        s""""${esc(entity)}":$byLabel"""
+      }.mkString("{", ",", "}")
+    val json = s"""{"version":4,"seq":${m.seq},"nodes":${gens(m.nodes)},""" +
+      s""""edges":${gens(m.edges)},"edgeEndpoints":$eps,"ft":$ftJson}"""
     val tmp = Paths.get(outDir, s".manifest.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     Files.writeString(tmp, json)
     Files.move(tmp, manifestPath(outDir), StandardCopyOption.ATOMIC_MOVE,
@@ -141,6 +187,11 @@ object Store {
   def genDir(outDir: String, entity: String, label: String, gen: String): Path =
     Paths.get(outDir, entity, label, gen)
 
+  /** Postings generation directory: `outDir/ft/<entity>/<label>/<prop>/gen-…`
+    * — same write-once/delete-whole discipline as data generations. */
+  def ftDir(outDir: String, entity: String, label: String, prop: String, gen: String): Path =
+    Paths.get(outDir, "ft", entity, label, prop, gen)
+
   private def canon(p: Path): String = p.toAbsolutePath.normalize.toString
 
   /** The concrete segment directories the current manifest
@@ -148,7 +199,8 @@ object Store {
   def currentGenPaths(outDir: String): Seq[String] = {
     val m = readManifest(outDir)
     (m.nodes.toSeq.flatMap { case (l, gs) => gs.map(genDir(outDir, "nodes", l, _)) } ++
-      m.edges.toSeq.flatMap { case (l, gs) => gs.map(genDir(outDir, "edges", l, _)) })
+      m.edges.toSeq.flatMap { case (l, gs) => gs.map(genDir(outDir, "edges", l, _)) } ++
+      m.ft.toSeq.flatMap { case ((e, l, p), gs) => gs.map(ftDir(outDir, e, l, p, _)) })
       .map(canon)
   }
 
@@ -199,6 +251,27 @@ object Store {
       .write.mode("overwrite").parquet(genDir(outDir, entity, label, gen).toString)
     gen
   }
+
+  /** Write one postings frame ([[FullText.postings]] shape) as a fresh
+    * full-text generation — invisible until a manifest commit points at
+    * it, exactly like [[writeGen]]. */
+  def writeFtGen(outDir: String, entity: String, label: String, prop: String,
+      seq: Long, postings: DataFrame): String = {
+    val gen = newGenName(seq)
+    postings.write.mode("overwrite")
+      .parquet(ftDir(outDir, entity, label, prop, gen).toString)
+    gen
+  }
+
+  /** One index's postings union `(tk, id, tf)`, or None when the
+    * manifest carries no postings for it (unbuilt / dropped) — callers
+    * fall back to the corpus scan. */
+  def readFt(spark: SparkSession, outDir: String, entity: String, label: String,
+      prop: String, m: Manifest): Option[DataFrame] =
+    m.ft.get((entity, label, prop)).filter(_.nonEmpty).map { segs =>
+      segs.map(g => spark.read.parquet(ftDir(outDir, entity, label, prop, g).toString))
+        .reduce(_.unionByName(_))
+    }
 
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
@@ -270,6 +343,34 @@ object Store {
             try { Files.delete(labelDir); () }
             catch { case _: java.io.IOException => () }
         }
+      }
+    }
+    // full-text postings GC: same discipline, one level deeper
+    // (ft/<entity>/<label>/<prop>/gen-*); an index dropped from the
+    // manifest leaves its whole prop dir unreferenced
+    if (!foreignServer) Seq("nodes", "edges").foreach { entity =>
+      listDirs(Paths.get(outDir, "ft", entity)).foreach { labelDir =>
+        val label = labelDir.getFileName.toString
+        listDirs(labelDir).foreach { propDir =>
+          val prop = propDir.getFileName.toString
+          val referenced = m.ft.getOrElse((entity, label, prop), Nil).toSet
+          val gens = listDirs(propDir).map(_.getFileName.toString)
+            .filter(_.startsWith("gen-"))
+          val superseded = gens.filterNot(referenced).sorted.reverse.drop(keepPerLabel)
+          superseded.foreach { g =>
+            val p = propDir.resolve(g)
+            if (!GenerationPins.isPinned(canon(p))) {
+              if (tryDeleteRecursively(p)) removed += 1
+              else System.err.println(s"graft: sweep could not delete $p; will retry")
+            }
+          }
+          if (referenced.isEmpty && listDirs(propDir).isEmpty)
+            try { Files.delete(propDir); () }
+            catch { case _: java.io.IOException => () }
+        }
+        if (listDirs(labelDir).isEmpty)
+          try { Files.delete(labelDir); () }
+          catch { case _: java.io.IOException => () }
       }
     }
     val root = Paths.get(outDir)

@@ -14,7 +14,13 @@ final case class IndexDesc(
     label: String,
     property: String,
     unique: Boolean,
-    isArray: Boolean
+    isArray: Boolean,
+    /** FULL_TEXT index kind (ArcadeDB index types are UNIQUE /
+      * NOTUNIQUE / FULL_TEXT [dep arcadedb SQL]): served by a persisted
+      * postings table in the store ([[graft.load.FullText]]) instead of
+      * a uniqueness invariant. Node labels only — edge records are
+      * endpoint-identified and carry no `id` to post against. */
+    fulltext: Boolean = false
 ) {
   /** The reference skips array-typed properties (`ArcadeDBService.java:263-269`). */
   def isBuildable: Boolean = !isArray
@@ -57,7 +63,7 @@ final case class GraphSchema(labels: Seq[LabelSchema], indexes: Seq[IndexDesc],
       .mkString("[", ",", "]")
     val is = indexes
       .map(i =>
-        s"""{"target":"${i.target}","label":"${esc(i.label)}","property":"${esc(i.property)}","unique":${i.unique},"isArray":${i.isArray}}""")
+        s"""{"target":"${i.target}","label":"${esc(i.label)}","property":"${esc(i.property)}","unique":${i.unique},"isArray":${i.isArray},"fulltext":${i.fulltext}}""")
       .mkString("[", ",", "]")
     val fs = functions
       .map(f => s"""{"name":"${esc(f.name)}","params":${f.params.map(p => s""""${esc(p)}"""").mkString("[", ",", "]")},"body":"${esc(f.body)}"}""")
@@ -114,7 +120,9 @@ object GraphSchema {
             (i \ "label").extract[String],
             (i \ "property").extract[String],
             (i \ "unique").extract[Boolean],
-            (i \ "isArray").extract[Boolean]
+            (i \ "isArray").extract[Boolean],
+            // absent in pre-full-text schema.json files → value index
+            fulltext = (i \ "fulltext").extractOrElse[Boolean](false)
           )
         }
       case _ => Nil

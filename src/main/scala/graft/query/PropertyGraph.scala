@@ -15,7 +15,13 @@ import org.apache.spark.sql.functions._
   * a chained pattern yields a flat DataFrame of bindings, like the
   * ArcadeDB `MATCH {as: a}…RETURN a.x, b.y` form.
   */
-final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
+final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
+    /** Persisted full-text postings provider: (vertex label, property)
+      * → `(tk, id, tf)` frame when the store maintains a FULL_TEXT
+      * index for it ([[graft.load.FullText]]). The query compiler
+      * routes eligible CONTAINSTEXT predicates through it; the default
+      * (no store attached) serves every predicate from the scan. */
+    ftIndex: (String, String) => Option[DataFrame] = (_, _) => None) {
 
   def nodesOf(label: String): DataFrame = nodes.filter(col("label") === label)
   def edgesOf(label: String): DataFrame = edges.filter(col("label") === label)

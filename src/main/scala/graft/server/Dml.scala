@@ -50,7 +50,7 @@ object Dml {
   private val CreatePropertyRe =
     """(?is)\s*CREATE\s+PROPERTY\s+(\w+)\.(\w+)\s+(\w+)\s*""".r
   private val CreateIndexRe =
-    """(?is)\s*CREATE\s+INDEX\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s+(UNIQUE|NOTUNIQUE)\s*""".r
+    """(?is)\s*CREATE\s+INDEX\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)\s+(UNIQUE|NOTUNIQUE|FULL_TEXT|FULLTEXT)\s*""".r
   // server-registered SQL functions (the reference's DEFINE FUNCTION
   // [dep arcadedb SQL], SQL-language form): body is a single-quoted
   // dialect expression ('' escapes a quote), params an optional list
@@ -143,6 +143,9 @@ object Dml {
             StructType(ls.schema.fields :+ StructField(prop, ddlType(typeName))))
           (cur.copy(labels = cur.labels.map(l => if (l.label == label) updated else l)), 1L)
         }
+      case CreateIndexRe(label, prop, uniq) if uniq.toUpperCase.startsWith("FULL") =>
+        noTxn("DDL")
+        createFullTextIndex(spark, storeDir, label, prop)
       case CreateIndexRe(label, prop, uniq) =>
         noTxn("DDL")
         ddl(storeDir) { cur =>
@@ -249,10 +252,27 @@ object Dml {
         }
       case DropIndexRe(label, prop) =>
         noTxn("DDL")
-        ddl(storeDir) { cur =>
-          val after = cur.indexes.filterNot(i => i.label == label && i.property == prop)
-          require(after.size < cur.indexes.size, s"no index on $label.$prop")
-          (cur.copy(indexes = after), 1L)
+        graft.load.StoreLock.withWriteLock(storeDir) {
+          var wasFt = false
+          ddl(storeDir) { cur =>
+            val dropped = cur.indexes.filter(i => i.label == label && i.property == prop)
+            require(dropped.nonEmpty, s"no index on $label.$prop")
+            wasFt = dropped.exists(_.fulltext)
+            (cur.copy(indexes =
+              cur.indexes.filterNot(i => i.label == label && i.property == prop)), 1L)
+          }
+          // FULL_TEXT: retire the postings entry AFTER the schema
+          // removal (mirroring DROP TYPE's ordering — the schema is
+          // what gates routing and maintenance, so a crash between the
+          // two commits leaves at worst an unrouted, unmaintained
+          // postings entry; the next label rewrite retires it)
+          if (wasFt) {
+            val m = graft.load.Store.readManifest(storeDir)
+            if (m.ft.contains(("nodes", label, prop)))
+              graft.load.Store.writeManifest(storeDir, m.withoutFt("nodes", label, prop))
+            graft.load.Store.sweep(storeDir, keepPerLabel = 1)
+          }
+          1L
         }
       case DropFunctionRe(name) =>
         noTxn("DDL")
@@ -343,6 +363,56 @@ object Dml {
   /** Apply a schema mutation under the store write lock and persist it
     * atomically (tmp file + ATOMIC_MOVE — a concurrent schema read
     * sees the old or the new registry, never a torn file). */
+  /** CREATE INDEX … FULL_TEXT — the reference's third index kind
+    * [dep arcadedb SQL], served by a persisted postings table
+    * ([[graft.load.FullText]]). Postings over EXISTING rows commit to
+    * the MANIFEST first, the schema declaration lands second: a crash
+    * between the two leaves an undeclared (unrouted, unmaintained)
+    * postings entry that a re-CREATE replaces — never a declared index
+    * whose postings are missing or append-only partial. Node labels
+    * only: edge records are endpoint-identified and carry no `id` to
+    * post against (same documented scope as record-id lookups). */
+  private def createFullTextIndex(spark: SparkSession, storeDir: String,
+      label: String, prop: String): Long =
+    graft.load.StoreLock.withWriteLock(storeDir) {
+      val cur = graft.model.GraphSchema.fromJson(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$storeDir/schema.json")))
+      val ls = cur.labels.find(_.label == label).getOrElse(
+        throw new IllegalArgumentException(s"unknown type: $label"))
+      require(ls.kind == "vertex",
+        s"FULL_TEXT index rejected: $label is an edge type — edge records are " +
+          "endpoint-identified and carry no record id to post against")
+      val field = ls.schema.fields.find(_.name == prop).getOrElse(
+        throw new IllegalArgumentException(
+          s"property $label.$prop is not declared — CREATE PROPERTY first"))
+      require(field.dataType == org.apache.spark.sql.types.StringType,
+        s"FULL_TEXT index needs a STRING property; $label.$prop is " +
+          field.dataType.simpleString)
+      require(!cur.indexes.exists(i =>
+          i.target == "node" && i.label == label && i.property == prop),
+        s"index on $label.$prop already exists")
+      val m = graft.load.Store.readManifest(storeDir)
+      val rows = graft.load.Store.readLabel(spark, storeDir, "nodes", label, m)
+        .map(df => if (df.columns.contains(prop)) df
+          else df.withColumn(prop, // declared by DDL, no file carries it yet
+            org.apache.spark.sql.functions.lit(null)
+              .cast(org.apache.spark.sql.types.StringType)))
+        .getOrElse(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField(prop,
+              org.apache.spark.sql.types.StringType)))))
+      val post = graft.load.FullText.postings(rows, prop)
+      val gen = graft.load.Store.writeFtGen(storeDir, "nodes", label, prop, m.seq + 1, post)
+      graft.load.Store.writeManifest(storeDir, m.withFtGen("nodes", label, prop, gen))
+      ddl(storeDir) { cur2 =>
+        (cur2.copy(indexes = cur2.indexes :+ graft.model.IndexDesc(
+          "node", label, prop, unique = false, isArray = false, fulltext = true)), 1L)
+      }
+    }
+
   private def ddl(storeDir: String)(
       f: graft.model.GraphSchema => (graft.model.GraphSchema, Long)): Long =
     graft.load.StoreLock.withWriteLock(storeDir) {

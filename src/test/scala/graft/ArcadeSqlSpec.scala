@@ -165,6 +165,41 @@ class ArcadeSqlSpec extends SparkSpec {
     assert(n.collect().forall(_.getString(0).startsWith("Customer#")))
   }
 
+  test("CONTAINSTEXT routes through persisted postings and matches the scan exactly") {
+    val out = java.nio.file.Files.createTempDirectory("graftftsql").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    val sg = GraphLoader.openGraph(spark, out)
+    val q = "SELECT name, brand FROM Part WHERE name CONTAINSTEXT 'dget'"
+    val indexed = ArcadeSql.compile(sg, gs, q)
+    val viaScan = ArcadeSql.compile(sg.copy(ftIndex = (_, _) => None), gs, q)
+    // plan proof: the postings generation is scanned and semi-joined;
+    // the scan twin filters the corpus instead
+    val ip = indexed.queryExecution.executedPlan.toString
+    assert(ip.contains("LeftSemi") && ip.contains("ft/nodes/Part/name"),
+      s"expected postings semi join in:\n$ip")
+    assert(!viaScan.queryExecution.executedPlan.toString.contains("ft/nodes/Part/name"))
+    // answer proof: identical multisets, and non-empty (substring
+    // WITHIN a token — 'dget' ⊂ 'widget' — must match)
+    val a = indexed.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val b = viaScan.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    // case-sensitivity preserved through the index (contains is
+    // case-sensitive; tokens are stored case-preserved)
+    assert(ArcadeSql.compile(sg, gs,
+      "SELECT name FROM Part WHERE name CONTAINSTEXT 'dGET'").isEmpty)
+    // non-routable needles (whitespace crosses token boundaries) fall
+    // back to the corpus scan — same answers, no postings in the plan
+    val fbq = "SELECT name FROM Part WHERE name CONTAINSTEXT 'red w'"
+    val fb = ArcadeSql.compile(sg, gs, fbq)
+    assert(!fb.queryExecution.executedPlan.toString.contains("ft/nodes/Part/name"))
+    val fbWant = sg.nodesOf("Part").filter(col("name").contains("red w")).count()
+    assert(fb.count() == fbWant && fbWant > 0)
+    // an unindexed property never routes
+    val ui = ArcadeSql.compile(sg, gs,
+      "SELECT name FROM Part WHERE brand CONTAINSTEXT 'Brand'")
+    assert(!ui.queryExecution.executedPlan.toString.contains("/ft/"))
+  }
+
   test("record-id lookup: FROM #id and the #bucket:pos spelling") {
     val a = run("SELECT name FROM #1000042").collect()
     assert(a.length == 1 && a.head.getString(0).startsWith("Customer#"))

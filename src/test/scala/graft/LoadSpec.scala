@@ -760,6 +760,92 @@ class LoadSpec extends SparkSpec {
     graft.load.ServingLease.release(out)
   }
 
+  test("full-text postings: built at bulk load, maintained by every DML commit") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graftft").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    def m() = graft.load.Store.readManifest(out)
+    def post() = graft.load.Store.readFt(spark, out, "nodes", "Part", "name", m()).get
+    def recomputed() = graft.load.FullText.postings(
+      storeNodes(out).filter(col("label") === "Part").select("id", "name"), "name")
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    // bulk build: postings exactly equal a recompute from the data
+    assert(m().ft.contains(("nodes", "Part", "name")))
+    assert(same(post(), recomputed()))
+
+    // DML append: ONE postings segment joins the list in the SAME
+    // manifest (data segment count and ft segment count move together)
+    val ftSegs0 = m().ft(("nodes", "Part", "name")).size
+    assert(graft.server.Dml.execute(spark, out,
+      "INSERT INTO Part SET id = 3999999, name = 'zzuniquetoken gadget'") == 1)
+    assert(m().ft(("nodes", "Part", "name")).size == ftSegs0 + 1)
+    assert(same(post(), recomputed()))
+    assert(post().filter(col("tk") === "zzuniquetoken").count() == 1)
+
+    // UPDATE rewrite: postings rebuilt to ONE generation; the old
+    // token is gone, the new one present
+    assert(graft.server.Dml.execute(spark, out,
+      "UPDATE Part SET name = 'renamed sprocket' WHERE id = 3999999") == 1)
+    assert(m().ft(("nodes", "Part", "name")).size == 1)
+    assert(post().filter(col("tk") === "zzuniquetoken").isEmpty)
+    assert(post().filter(col("tk") === "sprocket").count() == 1)
+    assert(same(post(), recomputed()))
+
+    // DELETE rewrite: the record's tokens leave the postings
+    assert(graft.server.Dml.execute(spark, out,
+      "DELETE FROM Part WHERE id = 3999999") == 1)
+    assert(post().filter(col("tk") === "sprocket").isEmpty)
+    assert(same(post(), recomputed()))
+
+    // sweep GCs superseded postings generations (none pinned here)
+    graft.load.Store.sweep(out)
+    val live = m().ft(("nodes", "Part", "name")).toSet
+    val onDisk = java.nio.file.Files.list(Path.of(out, "ft/nodes/Part/name"))
+    val dirs = try {
+      import scala.jdk.CollectionConverters._
+      onDisk.iterator().asScala.map(_.getFileName.toString).toSet
+    } finally onDisk.close()
+    assert(dirs == live)
+  }
+
+  test("full-text DDL: CREATE INDEX FULL_TEXT builds, DROP INDEX retires") {
+    val out = Files.createTempDirectory("graftftddl").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    // no index on Customer.name yet (the declared one is UNIQUE-value);
+    // FULL_TEXT on an edge type or non-string property is refused
+    val e1 = intercept[IllegalArgumentException](graft.server.Dml.execute(spark, out,
+      "CREATE INDEX ON PLACED (linenumber) FULL_TEXT"))
+    assert(e1.getMessage.toLowerCase.contains("edge"))
+    val e2 = intercept[IllegalArgumentException](graft.server.Dml.execute(spark, out,
+      "CREATE INDEX ON Part (psize) FULL_TEXT"))
+    assert(e2.getMessage.contains("STRING"))
+    // a fresh string property: declare, index, and serve
+    assert(graft.server.Dml.execute(spark, out,
+      "CREATE PROPERTY Order.note STRING") == 1)
+    assert(graft.server.Dml.execute(spark, out,
+      "CREATE INDEX ON Order (note) FULL_TEXT") == 1)
+    val m1 = graft.load.Store.readManifest(out)
+    assert(m1.ft.contains(("nodes", "Order", "note")))
+    // postings of a declared-but-unstored column are empty but PRESENT
+    // (appends maintain them from here on)
+    assert(graft.load.Store.readFt(spark, out, "nodes", "Order", "note", m1)
+      .get.isEmpty)
+    assert(graft.server.Dml.execute(spark, out,
+      "INSERT INTO Order SET id = 19999999, note = 'expedite zzflagged'") == 1)
+    val m2 = graft.load.Store.readManifest(out)
+    assert(graft.load.Store.readFt(spark, out, "nodes", "Order", "note", m2)
+      .get.filter(col("tk") === "zzflagged").count() == 1)
+    // DROP INDEX retires schema AND manifest entry; the sweep removes dirs
+    assert(graft.server.Dml.execute(spark, out,
+      "DROP INDEX ON Order (note)") == 1)
+    val m3 = graft.load.Store.readManifest(out)
+    assert(!m3.ft.contains(("nodes", "Order", "note")))
+    val gs = graft.model.GraphSchema.fromJson(
+      Files.readString(Path.of(out, "schema.json")))
+    assert(!gs.indexes.exists(i => i.label == "Order" && i.property == "note"))
+  }
+
   test("A16/A17: writeGraph persists partitioned layout + schema + checksum") {
     val out = Files.createTempDirectory("graftout").toString
     GraphLoader.writeGraph(spark, sfDir, out)
