@@ -37,6 +37,11 @@ import graft.model.{GraphSchema, IndexDesc, LabelSchema}
   * hold the store write lock for the transaction's whole extent. */
 final class StoreTxn private[load] (val outDir: String) {
   private var m: Store.Manifest = Store.readManifest(outDir)
+  /** The manifest seq this transaction began from — the HTTP session
+    * routes' optimistic-conflict token: a commit (or a later staged
+    * statement) finding the store advanced past this seq aborts with a
+    * conflict instead of clobbering the interleaved writer's commit. */
+  val baseSeq: Long = m.seq
   private val touchedLabels = scala.collection.mutable.LinkedHashSet[(String, String)]()
   private val stagedGens = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
   private[load] def manifest: Store.Manifest = m

@@ -87,6 +87,15 @@ object Dml {
     * manifest swap at the end, and ANY failure leaves the manifest
     * byte-untouched (staged gens become sweepable orphans). DDL and
     * COMPACT are not record DML and must be issued as single commands. */
+  /** One statement staged into an OPEN session transaction (the HTTP
+    * begin/commit/rollback routes' engine): executes against the
+    * transaction's staged manifest — later statements see earlier
+    * ones — and nothing becomes visible until the session's single
+    * commit. DDL and COMPACT are refused inside, like the batch form. */
+  def executeInTxn(spark: SparkSession, storeDir: String, command: String,
+      txn: graft.load.StoreTxn): Long =
+    executeOne(spark, storeDir, command, Some(txn))
+
   def executeBatch(spark: SparkSession, storeDir: String, commands: Seq[String]): Long =
     graft.load.StoreLock.withWriteLock(storeDir) {
       require(commands.nonEmpty, "empty command batch")
@@ -103,7 +112,8 @@ object Dml {
   private def executeOne(spark: SparkSession, storeDir: String, command: String,
       txn: Option[graft.load.StoreTxn]): Long = {
     def noTxn(what: String): Unit = require(txn.isEmpty,
-      s"$what is not allowed in a command batch — issue it as its own command")
+      s"$what is not allowed inside a transaction (batch or session) — " +
+        "issue it as its own command")
     val gs = graft.model.GraphSchema.fromJson(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$storeDir/schema.json")))
     def kindOf(label: String): String =

@@ -334,6 +334,99 @@ object QueryServer {
       }
     })
 
+    // ---- session transactions (the reference's begin/commit/rollback
+    // routes [dep]): a session id binds requests to ONE StoreTxn, so a
+    // driver can stage DML across any number of requests and publish
+    // them as one atomic manifest swap. Concurrency is OPTIMISTIC
+    // (ArcadeDB's MVCC posture): the txn records the manifest seq it
+    // began from, and a staged statement or the commit finding the
+    // store advanced past it aborts with a conflict — a session never
+    // holds the store lock between requests, so it can never pin other
+    // writers while idle. An idle session is reaped (aborted) after
+    // `graft.txnIdleSec` (default 300) so an abandoned driver cannot
+    // accumulate staged generations forever.
+    final class TxnSession(val id: String, val txn: graft.load.StoreTxn) {
+      @volatile var lastTouched: Long = System.currentTimeMillis()
+      var closed: Boolean = false // guarded by synchronized(this)
+      var total: Long = 0L
+    }
+    val sessions = new java.util.concurrent.ConcurrentHashMap[String, TxnSession]()
+    val txnIdleMs = java.lang.Long.getLong("graft.txnIdleSec", 300L) * 1000L
+    def closeSession(s: TxnSession)(f: => Unit): Unit = s.synchronized {
+      if (!s.closed) { s.closed = true; sessions.remove(s.id); f }
+    }
+    scheduler.scheduleWithFixedDelay(new Runnable {
+      def run(): Unit = {
+        val cutoff = System.currentTimeMillis() - txnIdleMs
+        sessions.values().forEach { s =>
+          if (s.lastTouched < cutoff) closeSession(s)(s.txn.abort())
+        }
+      }
+    }, 1L, 1L, java.util.concurrent.TimeUnit.SECONDS)
+    def sessionOf(ex: HttpExchange): Option[TxnSession] =
+      Option(ex.getRequestHeaders.getFirst("arcadedb-session-id")).map { sid =>
+        Option(sessions.get(sid)).getOrElse(throw new IllegalArgumentException(
+          s"unknown or expired transaction session: $sid — begin a new one " +
+            "(idle sessions are rolled back after " + (txnIdleMs / 1000) + "s)"))
+      }
+    def storeCtx: StoreContext = store.getOrElse(
+      throw new IllegalStateException("no store attached — DML needs a persisted store"))
+
+    server.createContext("/api/v1/begin/", (ex: HttpExchange) =>
+        handle(ex, requireAdmin = true) {
+      val ctx = storeCtx
+      val s = new TxnSession(java.util.UUID.randomUUID().toString,
+        graft.load.GraphLoader.beginTxn(ctx.dir))
+      sessions.put(s.id, s)
+      ex.getResponseHeaders.set("arcadedb-session-id", s.id)
+      s"""{"result":[{"sessionId":"${s.id}"}]}"""
+    })
+
+    server.createContext("/api/v1/commit/", (ex: HttpExchange) =>
+        handle(ex, requireAdmin = true) {
+      val ctx = storeCtx
+      val s = sessionOf(ex).getOrElse(throw new IllegalArgumentException(
+        "commit needs an arcadedb-session-id header"))
+      var n = 0L
+      var committed = false
+      closeSession(s) {
+        n = writeMutex.synchronized {
+          graft.load.StoreLock.withWriteLock(ctx.dir) {
+            val cur = graft.load.Store.readManifest(ctx.dir).seq
+            if (cur != s.txn.baseSeq) {
+              s.txn.abort()
+              throw new IllegalArgumentException(
+                s"transaction conflict: the store advanced (seq ${s.txn.baseSeq} → " +
+                  s"$cur) during the session — rolled back, retry")
+            }
+            s.txn.commit()
+          }
+          committed = true
+          graft.load.Store.sweep(ctx.dir, keepPerLabel = 1)
+          graft.load.GraphLoader.autoCompactTouched(spark, ctx.dir, s.txn.touched)
+          val paths = graft.load.Store.currentGenPaths(ctx.dir)
+          graft.load.GenerationPins.pin(paths)
+          val old = current
+          current = new Snapshot(Some(ctx.reload()), storeSchema(), paths)
+          retired.add(old)
+          s.total
+        }
+      }
+      if (!committed) throw new IllegalArgumentException("session already closed")
+      maybeSweep()
+      s"""{"result":[{"count":$n}]}"""
+    })
+
+    server.createContext("/api/v1/rollback/", (ex: HttpExchange) =>
+        handle(ex, requireAdmin = true) {
+      val s = sessionOf(ex).getOrElse(throw new IllegalArgumentException(
+        "rollback needs an arcadedb-session-id header"))
+      var rolled = false
+      closeSession(s) { s.txn.abort(); rolled = true }
+      if (!rolled) throw new IllegalArgumentException("session already closed")
+      s"""{"result":[{"count":0}]}"""
+    })
+
     // the reference's write route (`POST /api/v1/command/{db}` [dep]):
     // SQL DML compiled onto the validated append sinks; served views
     // and the GraphQL graph are re-registered after a successful write
@@ -364,23 +457,50 @@ object QueryServer {
           s"only DML here — use /api/v1/query for reads (got: ${c.take(40)})"))
       val ctx = store.getOrElse(
         throw new IllegalStateException("no store attached — DML needs a persisted store"))
-      // writers serialize against each other (and cross-process via
-      // StoreLock inside the sinks) but NEVER wait on readers: the
-      // commit lands a new generation set, the snapshot swap pins it,
-      // and the superseded one retires with its in-flight reads
-      val n = writeMutex.synchronized {
-        val n0 =
-          if (batch.isDefined) Dml.executeBatch(spark, ctx.dir, commands)
-          else Dml.execute(spark, ctx.dir, commands.head)
-        val paths = graft.load.Store.currentGenPaths(ctx.dir)
-        graft.load.GenerationPins.pin(paths)
-        val old = current
-        current = new Snapshot(Some(ctx.reload()), storeSchema(), paths)
-        retired.add(old)
-        n0
+      // inside a session transaction: statements STAGE against the
+      // session's txn (later ones see earlier ones through the staged
+      // manifest) and nothing becomes visible — or swaps the served
+      // snapshot — until /commit. A foreign commit since begin is a
+      // conflict caught here (early) or at commit (authoritative).
+      sessionOf(ex) match {
+        case Some(s) =>
+          val n = s.synchronized {
+            if (s.closed) throw new IllegalArgumentException("session already closed")
+            val staged = writeMutex.synchronized {
+              val cur = graft.load.Store.readManifest(ctx.dir).seq
+              if (cur != s.txn.baseSeq) {
+                closeSession(s)(s.txn.abort())
+                throw new IllegalArgumentException(
+                  s"transaction conflict: the store advanced (seq ${s.txn.baseSeq} → " +
+                    s"$cur) during the session — rolled back, retry")
+              }
+              try commands.map(c => Dml.executeInTxn(spark, ctx.dir, c, s.txn)).sum
+              catch { case e: Throwable => closeSession(s)(s.txn.abort()); throw e }
+            }
+            s.total += staged
+            s.lastTouched = System.currentTimeMillis()
+            staged
+          }
+          s"""{"result":[{"count":$n}]}"""
+        case None =>
+          // writers serialize against each other (and cross-process via
+          // StoreLock inside the sinks) but NEVER wait on readers: the
+          // commit lands a new generation set, the snapshot swap pins it,
+          // and the superseded one retires with its in-flight reads
+          val n = writeMutex.synchronized {
+            val n0 =
+              if (batch.isDefined) Dml.executeBatch(spark, ctx.dir, commands)
+              else Dml.execute(spark, ctx.dir, commands.head)
+            val paths = graft.load.Store.currentGenPaths(ctx.dir)
+            graft.load.GenerationPins.pin(paths)
+            val old = current
+            current = new Snapshot(Some(ctx.reload()), storeSchema(), paths)
+            retired.add(old)
+            n0
+          }
+          maybeSweep()
+          s"""{"result":[{"count":$n}]}"""
       }
-      maybeSweep()
-      s"""{"result":[{"count":$n}]}"""
     })
 
     // request-per-thread dispatch (the reference's embedded server model):

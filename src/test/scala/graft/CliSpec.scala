@@ -310,6 +310,108 @@ class CliSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("HTTP session transactions: begin/commit/rollback across requests") {
+    val out = Files.createTempDirectory("graftsess").toString
+    Main.create(spark, sfDir, out)
+    val g = Main.serve(spark, out, None)
+    System.setProperty("graft.txnIdleSec", "2") // fast reap for the test
+    val srv = graft.server.QueryServer.start(spark, 0, Some(g),
+      Some(graft.server.QueryServer.StoreContext(out, () => Main.serve(spark, out, None))))
+    try {
+      def fire(route: String, body: String, session: Option[String] = None): (Int, String) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:${srv.port}/api/v1/$route/graft")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        session.foreach(conn.setRequestProperty("arcadedb-session-id", _))
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+        (code, new String(is.readAllBytes(), "UTF-8"))
+      }
+      def countOf(q: String): Long = {
+        val (c, b) = fire("query", s"""{"language":"sparksql","command":"$q"}""")
+        assert(c == 200, b)
+        (org.json4s.jackson.JsonMethods.parse(b) \ "result").children.headOption
+          .map(r => (r \ "cnt").asInstanceOf[org.json4s.JInt].num.toLong).getOrElse(0L)
+      }
+      def begin(): String = {
+        val (c, b) = fire("begin", "{}")
+        assert(c == 200, b)
+        (org.json4s.jackson.JsonMethods.parse(b) \ "result").children.head \ "sessionId" match {
+          case org.json4s.JString(sid) => sid
+          case other => fail(s"no sessionId: $other")
+        }
+      }
+      // a multi-request transaction: two statements in two requests,
+      // the second referencing the first's staged vertex; NOTHING is
+      // visible to a concurrent reader until /commit publishes both
+      // with one manifest swap
+      val sid = begin()
+      val (c1, b1) = fire("command",
+        """{"language":"sql","command":"INSERT INTO Customer (id, name) VALUES (1997001, 'Customer#s1')"}""",
+        Some(sid))
+      assert(c1 == 200, b1)
+      val (c2, _) = fire("command",
+        """{"language":"sql","command":"CREATE EDGE IN_NATION FROM 1997001 TO 101"}""",
+        Some(sid))
+      assert(c2 == 200)
+      assert(countOf("SELECT count(*) AS cnt FROM nodes WHERE id = 1997001") == 0)
+      assert(countOf("SELECT count(*) AS cnt FROM edges WHERE src = 1997001") == 0)
+      val (c3, b3) = fire("commit", "{}", Some(sid))
+      assert(c3 == 200, b3)
+      assert(b3.contains("\"count\":2"))
+      assert(countOf("SELECT count(*) AS cnt FROM nodes WHERE id = 1997001") == 1)
+      assert(countOf("SELECT count(*) AS cnt FROM edges WHERE src = 1997001") == 1)
+      // the session is single-use: a second commit is refused
+      assert(fire("commit", "{}", Some(sid))._1 == 400)
+
+      // rollback: staged work vanishes, store untouched
+      val sid2 = begin()
+      fire("command",
+        """{"language":"sql","command":"INSERT INTO Customer (id, name) VALUES (1997002, 'Customer#s2')"}""",
+        Some(sid2))
+      assert(fire("rollback", "{}", Some(sid2))._1 == 200)
+      assert(countOf("SELECT count(*) AS cnt FROM nodes WHERE id = 1997002") == 0)
+      assert(fire("command",
+        """{"language":"sql","command":"INSERT INTO Customer (id, name) VALUES (1997003, 'x')"}""",
+        Some(sid2))._1 == 400) // unknown/expired after rollback
+
+      // DDL is refused mid-session (same rule as the batch form)
+      val sid3 = begin()
+      val (cd, bd) = fire("command",
+        """{"language":"sql","command":"CREATE VERTEX TYPE Zzz"}""", Some(sid3))
+      assert(cd == 400 && bd.toLowerCase.contains("transaction"), bd)
+      fire("rollback", "{}", Some(sid3))
+
+      // optimistic conflict: a non-session write lands mid-session →
+      // the session's commit is refused and rolled back
+      val sid4 = begin()
+      fire("command",
+        """{"language":"sql","command":"INSERT INTO Customer (id, name) VALUES (1997004, 'Customer#s4')"}""",
+        Some(sid4))
+      val (cw, bw) = fire("command",
+        """{"language":"sql","command":"INSERT INTO Customer (id, name) VALUES (1997005, 'Customer#other')"}""")
+      assert(cw == 200, bw)
+      val (cc, bc) = fire("commit", "{}", Some(sid4))
+      assert(cc == 400 && bc.contains("conflict"), bc)
+      assert(countOf("SELECT count(*) AS cnt FROM nodes WHERE id = 1997004") == 0)
+      assert(countOf("SELECT count(*) AS cnt FROM nodes WHERE id = 1997005") == 1)
+
+      // idle-timeout reap: an abandoned session is rolled back and its
+      // id forgotten, so it can never pin the store
+      val sid5 = begin()
+      fire("command",
+        """{"language":"sql","command":"INSERT INTO Customer (id, name) VALUES (1997006, 'Customer#s6')"}""",
+        Some(sid5))
+      Thread.sleep(4000)
+      assert(fire("commit", "{}", Some(sid5))._1 == 400)
+      assert(countOf("SELECT count(*) AS cnt FROM nodes WHERE id = 1997006") == 0)
+    } finally {
+      System.clearProperty("graft.txnIdleSec")
+      srv.stop()
+    }
+  }
+
   test("runtime DDL over HTTP: a declared type is insertable and dialect-queryable live") {
     val out = Files.createTempDirectory("graftddl2").toString
     Main.create(spark, sfDir, out)

@@ -496,7 +496,7 @@ class LoadSpec extends SparkSpec {
     // DDL stays non-transactional, loudly
     val e = intercept[IllegalArgumentException](Dml.executeBatch(spark, out,
       Seq("CREATE VERTEX TYPE Nope")))
-    assert(e.getMessage.contains("not allowed in a command batch"))
+    assert(e.getMessage.contains("not allowed inside a transaction"))
   }
 
   test("UPDATE reads its label exactly once (observe-metric count, no double scan)") {
