@@ -496,6 +496,20 @@ object ArcadeSqlQueries {
         FROM customer
         JOIN orders ON o_custkey = c_custkey
         JOIN nation ON n_nationkey = c_nationkey
-        GROUP BY n_name"""))
+        GROUP BY n_name""")),
+
+    // variable-length MATCH step (VERDICT r7 missing #3): the hop
+    // expands under the TRAVERSE loop — every (start, reached) pair,
+    // depth 0 (the binding itself) included, minimal depth per start.
+    // Each customer/supplier reaches its region through exactly one
+    // nation, so per-label pair counts equal the table sizes.
+    Q("asql_match_varlen",
+      asql("""MATCH {type: Region, as: r}
+          .in('IN_REGION', 'IN_NATION') {as: v, while: ($depth < 3)}
+        RETURN v.label AS lbl, count(*) AS cnt GROUP BY v.label"""),
+      Some("""SELECT 'Region' AS lbl, CAST(count(*) AS BIGINT) AS cnt FROM region
+        UNION ALL SELECT 'Nation', CAST(count(*) AS BIGINT) FROM nation
+        UNION ALL SELECT 'Customer', CAST(count(*) AS BIGINT) FROM customer
+        UNION ALL SELECT 'Supplier', CAST(count(*) AS BIGINT) FROM supplier"""))
   )
 }

@@ -49,7 +49,10 @@ import graft.model.GraphSchema
   *    records at their minimal (breadth-first) visit depth, global
   *    across all roots like the dialect's visited-once semantics.
   *  - `MATCH {type: T, as: a, where: (p)}.out('L'){as: b, …}…
-  *    RETURN e AS alias, … [GROUP BY …] [ORDER BY …] [SKIP/LIMIT]`
+  *    RETURN e AS alias, … [GROUP BY …] [ORDER BY …] [SKIP/LIMIT]`;
+  *    hop steps also accept `{while: (…), maxDepth: n}` (variable-
+  *    length expansion under the TRAVERSE loop, multi-label edge
+  *    lists allowed there: `.out('A', 'B'){while: …}`)
   *
   * Unsupported forms fail loudly with a parse/compile error — never a
   * silent wrong answer.
@@ -103,9 +106,17 @@ object ArcadeSql {
       lets: Seq[(String, Expr)] = Nil) extends Stmt
   final case class Traverse(hops: Seq[HopExpr], from: Source,
       maxDepth: Option[Int], whileE: Option[Expr]) extends Stmt
+  /** `whileE`/`maxDepth` make the step VARIABLE-LENGTH (SURVEY §2.B.3;
+    * VERDICT r7 missing #3): the hop expands through `labels`
+    * repeatedly under the TRAVERSE loop's semantics — every node
+    * reachable from the previous binding (depth 0 = that binding
+    * itself, the OrientDB-lineage rule) matches, at its minimal
+    * breadth-first depth per start. */
   final case class MatchNode(typ: Option[String], as: Option[String], where: Option[Expr],
-      optional: Boolean = false)
-  final case class MatchStep(dir: String, label: String, node: MatchNode)
+      optional: Boolean = false, whileE: Option[Expr] = None, maxDepth: Option[Int] = None) {
+    def variableLength: Boolean = whileE.nonEmpty || maxDepth.nonEmpty
+  }
+  final case class MatchStep(dir: String, labels: Seq[String], node: MatchNode)
   /** One `{node}.out('L'){node}…` pattern chain; a MATCH may hold
     * several, comma-separated, joined on their shared aliases. */
   final case class MatchChain(first: MatchNode, steps: Seq[MatchStep])
@@ -309,9 +320,16 @@ object ArcadeSql {
           val dir = ident().toLowerCase
           if (!Set("out", "in", "both")(dir)) fail(s"expected out/in/both, got $dir")
           expectCh('(')
-          val label = stringLit()
+          val labels = scala.collection.mutable.ArrayBuffer(stringLit())
+          while (peek == ',') { i += 1; labels += stringLit() }
           expectCh(')')
-          steps += MatchStep(dir, label, matchNode())
+          val node = matchNode()
+          // multi-label hops only make sense under the traverse loop;
+          // a fixed step is ONE equi-join over one edge label
+          if (labels.size > 1 && !node.variableLength)
+            fail("a multi-label MATCH step needs {while: …} or {maxDepth: …} " +
+              "(fixed steps take exactly one edge label)")
+          steps += MatchStep(dir, labels.toSeq, node)
         }
         MatchChain(first, steps.toSeq)
       }
@@ -337,6 +355,8 @@ object ArcadeSql {
       var as: Option[String] = None
       var where: Option[Expr] = None
       var optional = false
+      var whileE: Option[Expr] = None
+      var maxDepth: Option[Int] = None
       while (peek != '}') {
         val k = ident().toLowerCase
         expectCh(':')
@@ -349,13 +369,17 @@ object ArcadeSql {
             case "false" => false
             case other => fail(s"optional: expects true/false, got '$other'")
           }
+          case "while" => expectCh('('); whileE = Some(expr()); expectCh(')')
+          case "maxdepth" => maxDepth = Some(intLit())
           case other => fail(s"unsupported MATCH key '$other'")
         }
         ws()
         if (peek == ',') i += 1
       }
       i += 1
-      MatchNode(typ, as, where, optional)
+      if (optional && (whileE.nonEmpty || maxDepth.nonEmpty))
+        fail("a variable-length MATCH step cannot be optional")
+      MatchNode(typ, as, where, optional, whileE, maxDepth)
     }
 
     private def source(): Source = {
@@ -1569,23 +1593,53 @@ object ArcadeSql {
         idx += 1
         val as = st.node.as.getOrElse(s"__m$idx")
         aliases += as
-        if (st.node.optional) {
+        if (st.node.variableLength) {
+          // variable-length step: the SAME bounded-BFS loop TRAVERSE
+          // compiles to (one equi-join per depth, distinct-on-
+          // (start,node) minimal-depth dedup), joined back per start —
+          // each previous-binding row matches every node its own
+          // traversal reaches, depth 0 (the binding itself) included
+          // (OrientDB-lineage while-step rule). `$depth < n` folds into
+          // the depth bound exactly like TRAVERSE's WHILE.
+          val (wd, wp) = st.node.whileE.map(splitWhile).getOrElse((None, None))
+          val bound = (st.node.maxDepth, wd) match {
+            case (Some(a), Some(b)) => Some(math.min(a, b))
+            case (a, b) => a.orElse(b)
+          }
+          val guard = wp.map(p => ce(p, n => g.nodes(n)))
+          val starts = t.bound.select(col(s"${t.cur}_id").as("id")).distinct()
+          val visited = bound match {
+            case Some(d) => g.traverse(starts, st.labels, st.dir, d,
+              guard.getOrElse(lit(true)))
+            case None => g.traverseUnbounded(starts, st.labels, st.dir, guard)
+          }
+          val target = st.node.typ
+            .map(ty => g.nodes.filter(col("label") === ty)).getOrElse(g.nodes)
+          val tgt = target.select(
+            target.columns.map(c => col(c).as(s"${as}_$c")).toIndexedSeq: _*)
+          val joined = t.bound
+            .join(visited, t.bound(s"${t.cur}_id") === visited("start_id"), "inner")
+            .join(tgt, visited("node_id") === tgt(s"${as}_id"), "inner")
+            .drop("start_id", "node_id", "depth")
+          t = Traversal(g, joined, as)
+          t = bindFilter(t, as, st.node.where)
+        } else if (st.node.optional) {
           // optional: true (left-join step) — the node's where belongs
           // INSIDE the optional side (filtering after the left join would
           // silently turn it back into an inner match)
           val f = st.node.where.map(w => ce(w, n => col(s"${as}_$n")))
-          t = t.hopOptional(st.dir, st.label, st.node.typ, as, f)
+          t = t.hopOptional(st.dir, st.labels.head, st.node.typ, as, f)
         } else {
           t = st.node.typ match {
             case Some(typ) => st.dir match {
-              case "out" => t.out(st.label, typ, as)
-              case "in" => t.in(st.label, typ, as)
-              case "both" => t.both(st.label, typ, as)
+              case "out" => t.out(st.labels.head, typ, as)
+              case "in" => t.in(st.labels.head, typ, as)
+              case "both" => t.both(st.labels.head, typ, as)
             }
             case None => st.dir match {
-              case "out" => t.outAny(st.label, as)
-              case "in" => t.inAny(st.label, as)
-              case "both" => t.bothAny(st.label, as)
+              case "out" => t.outAny(st.labels.head, as)
+              case "in" => t.inAny(st.labels.head, as)
+              case "both" => t.bothAny(st.labels.head, as)
             }
           }
           t = bindFilter(t, as, st.node.where)

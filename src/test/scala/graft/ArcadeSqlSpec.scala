@@ -165,6 +165,37 @@ class ArcadeSqlSpec extends SparkSpec {
     assert(n.collect().forall(_.getString(0).startsWith("Customer#")))
   }
 
+  test("variable-length MATCH step agrees with its TRAVERSE twin") {
+    // while-spelling and maxDepth-spelling compile to the same loop
+    val byWhile = run("""MATCH {type: Region, as: r}
+        .in('IN_REGION', 'IN_NATION') {as: v, while: ($depth < 3)}
+      RETURN v.label AS lbl, count(*) AS cnt GROUP BY v.label""").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byDepth = run("""MATCH {type: Region, as: r}
+        .in('IN_REGION', 'IN_NATION') {as: v, maxDepth: 2}
+      RETURN v.label AS lbl, count(*) AS cnt GROUP BY v.label""").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byWhile == byDepth)
+    // TRAVERSE twin: single-root traversal visits the same node set,
+    // and single-root pair counts == visited counts
+    val trav = run("""SELECT label AS lbl, count(*) AS cnt
+        FROM (TRAVERSE in('IN_REGION', 'IN_NATION') FROM (SELECT FROM Region) MAXDEPTH 2)
+        GROUP BY label""").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byWhile == trav)
+    // a type filter narrows the reached set; where filters bind rows
+    val nations = run("""MATCH {type: Region, as: r}
+        .in('IN_REGION', 'IN_NATION') {type: Nation, as: v, maxDepth: 2}
+      RETURN count(*) AS cnt""").head.getLong(0)
+    assert(nations == trav("Nation"))
+    // guardrails: multi-label fixed step / optional var-length rejected
+    val e1 = intercept[IllegalArgumentException](run(
+      "MATCH {type: Region, as: r}.in('IN_REGION', 'IN_NATION') {as: v} RETURN v.label AS l"))
+    assert(e1.getMessage.contains("while"))
+    val e2 = intercept[IllegalArgumentException](run(
+      "MATCH {type: Region, as: r}.in('IN_REGION') {as: v, optional: true, maxDepth: 2} RETURN v.label AS l"))
+    assert(e2.getMessage.contains("optional"))
+  }
+
   test("CONTAINSTEXT routes through persisted postings and matches the scan exactly") {
     val out = java.nio.file.Files.createTempDirectory("graftftsql").toString
     GraphLoader.writeGraph(spark, sfDir, out)
