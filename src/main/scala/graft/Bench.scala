@@ -33,6 +33,7 @@ object Bench {
     "dedup_ngram_jaccard",
     "sim_topk",
     "sim_ivf_topk",
+    "sim_ivf_trained_topk",
     "sim_quantized_topk",
     "sim_pq_topk",
     "graphql_hop",

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.llmops.Similarity
+
+/** Recall@k probe for the approximate similarity paths (VERDICT r7
+  * missing #4's "measure recall"): brute-force cosine top-k is ground
+  * truth; the sampled-centroid IVF and the [[Similarity.trainKMeans]]
+  * trained IVF are scored by mean per-query overlap. Run against
+  * `SPARK_GRAFT_SF_DIR` (and the ×100 embedding probe) — prints one
+  * JSON line for BASELINE.md.
+  *
+  * Correctness of the search pipeline is the oracle's job
+  * (`sim_ivf_topk` / `sim_ivf_trained_topk` hash-match DuckDB); this
+  * main measures the QUALITY effect of training the coarse quantizer,
+  * which no equality oracle can see.
+  */
+object Recall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val k = 10
+    val qids = (0L until 20L).toSeq
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "nn").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val truth = topSets(Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, k))
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = topSets(df)
+      val per = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }
+      per.sum / per.size
+    }
+    val nTrain = sys.env.getOrElse("GRAFT_KM_NTRAIN", "256").toInt
+    val iters = sys.env.getOrElse("GRAFT_KM_ITERS", "2").toInt
+    val cents = Similarity.trainKMeans(emb, "vec_id", "embedding", 16, nTrain, iters)
+    val sampled = recallOf(Similarity.ivfTopK(
+      emb, "vec_id", "embedding", 16, 4, qids, k))
+    val trained = recallOf(Similarity.ivfTopKWith(
+      emb, "vec_id", "embedding", cents, 4, qids, k))
+    // uncapped pair isolates QUANTIZER quality from the hot-cell
+    // candidate cap (which truncates every cell once occupancy
+    // outgrows it — at sf0.1 the cap, not the quantizer, dominates)
+    val sampledU = recallOf(Similarity.ivfTopK(
+      emb, "vec_id", "embedding", 16, 4, qids, k, capPerCell = Int.MaxValue))
+    val trainedU = recallOf(Similarity.ivfTopKWith(
+      emb, "vec_id", "embedding", cents, 4, qids, k, capPerCell = Int.MaxValue))
+    println(f"""{"metric":"recall_at_$k","sampled_ivf":$sampled%.4f,""" +
+      f""""trained_ivf":$trained%.4f,"sampled_ivf_uncapped":$sampledU%.4f,""" +
+      f""""trained_ivf_uncapped":$trainedU%.4f,"sf_dir":"$sfDir"}""")
+    spark.stop()
+  }
+}

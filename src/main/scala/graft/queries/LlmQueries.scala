@@ -13,6 +13,38 @@ import Qh._
   */
 object LlmQueries {
 
+  // DuckDB replay of Similarity.trainKMeans(k=16, nTrain=256, iters=2):
+  // grid-round (floor to 2^-20 — sums of grid values are exact under
+  // ANY order, the determinism device), then two unrolled Lloyd
+  // iterations — L2-expansion argmin assignment (ties → smallest cid),
+  // per-(cell, pos) sum/count means, empty cells keep their centroid.
+  // Ends at CTE `c2` = the trained centroid table (cid, cv DOUBLE[]).
+  private val KmeansCtes: String = {
+    def iter(n: Int, prev: String): String =
+      s"""d$n AS (SELECT t.vec_id, t.v, c.cid,
+          list_dot_product(t.v, t.v) - 2.0 * list_dot_product(t.v, c.cv)
+            + list_dot_product(c.cv, c.cv) AS d
+        FROM tr t CROSS JOIN $prev c),
+      a$n AS (SELECT vec_id, v, cid AS cell FROM (
+          SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d ASC, cid ASC) AS rn FROM d$n) z
+        WHERE rn = 1),
+      s$n AS (SELECT cell, p.pos AS pos, sum(v[p.pos + 1]) AS s, count(*) AS n
+        FROM a$n CROSS JOIN range(64) p(pos) GROUP BY cell, p.pos),
+      m$n AS (SELECT cell AS cid, list(s / n ORDER BY pos) AS cv FROM s$n GROUP BY cell),
+      c$n AS (SELECT b.cid, coalesce(m$n.cv, b.cv) AS cv
+        FROM $prev b LEFT JOIN m$n ON m$n.cid = b.cid)"""
+    s"""tr0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw
+        FROM embeddings WHERE vec_id < 256),
+      tr AS (SELECT vec_id, list_transform(raw, x -> floor(
+          (CASE WHEN list_dot_product(raw, raw) = 0 THEN 0.0
+            ELSE x / sqrt(list_dot_product(raw, raw)) END) * 1048576.0)
+          / 1048576.0) AS v FROM tr0),
+      c0 AS (SELECT vec_id AS cid, v AS cv FROM tr WHERE vec_id < 16),
+      ${iter(1, "c0")},
+      ${iter(2, "c1")}"""
+  }
+
   // DuckDB twin of TextOps.md5Hash32/60: fold hex digits of md5 into an
   // integer (list_reduce seeds with the first element, which equals a
   // 0-seeded fold for base folding).
@@ -327,6 +359,62 @@ object LlmQueries {
         rr AS (SELECT qid, nn, cos, CAST(row_number() OVER (PARTITION BY qid
           ORDER BY cos DESC, nn ASC) AS INTEGER) AS rank FROM cand)
         SELECT qid, nn, rank, round(cos, 6) AS cos FROM rr WHERE rank <= 10""")),
+
+    // deterministic k-means (VERDICT r7 missing #4): 2 unrolled Lloyd
+    // iterations over grid-rounded training vectors — sums become
+    // order-invariant-EXACT (Similarity.trainKMeans scaladoc), so the
+    // DuckDB replay of the same iterations lands on the same doubles
+    // and the trained centroid table hash-matches bit-for-bit
+    Q("sim_kmeans_centroids",
+      (s, d) => {
+        val cents = Similarity.trainKMeans(
+          t(s, d, "embeddings"), "vec_id", "embedding", 16, 256)
+        import s.implicits._
+        cents.flatMap { case (cid, cv) =>
+          cv.zipWithIndex.map { case (x, p) => (cid, p, x) }
+        }.toDF("cid", "pos", "val")
+      },
+      Some(s"WITH $KmeansCtes " +
+        """SELECT cid, CAST(p.pos AS INT) AS pos, cv[p.pos + 1] AS val
+          FROM c2 CROSS JOIN range(64) p(pos)""")),
+
+    // IVF search over the TRAINED coarse quantizer: same pipeline as
+    // sim_ivf_topk with trainKMeans centroids plugged in; the oracle
+    // replays the training CTEs then the assignment/probe/re-rank
+    Q("sim_ivf_trained_topk",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cents = Similarity.trainKMeans(emb, "vec_id", "embedding", 16, 256)
+        Similarity.ivfTopKWith(emb, "vec_id", "embedding", cents,
+          4, Seq(0L, 1L, 2L, 3L, 4L), 10)
+          .select(col("qid"), col("nn"), col("rank"), round(col("cos"), 6).as("cos"))
+      },
+      Some(s"WITH $KmeansCtes, " +
+        s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sc AS (SELECT t.vec_id, t.v, c.cid, list_dot_product(t.v, c.cv) /
+            (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
+          FROM v t CROSS JOIN c2 c),
+        cell AS (SELECT vec_id, v, cid AS cell FROM (
+            SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id
+              ORDER BY ccos DESC, cid ASC) AS rn FROM sc) z
+          WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id IN (0,1,2,3,4)),
+        qsc AS (SELECT qid, qv, cid, list_dot_product(qv, cv) /
+            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS ccos
+          FROM q CROSS JOIN c2),
+        probes AS (SELECT qid, qv, cid AS cell FROM (
+            SELECT qid, qv, cid, row_number() OVER (PARTITION BY qid
+              ORDER BY ccos DESC, cid ASC) AS rn FROM qsc) z
+          WHERE rn <= 4),
+        celln AS (SELECT vec_id, v, cell, row_number() OVER (PARTITION BY cell
+            ORDER BY vec_id ASC) AS crn FROM cell),
+        cand AS (SELECT p.qid, m.vec_id AS nn, list_dot_product(p.qv, m.v) /
+            (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(m.v, m.v))) AS cos
+          FROM probes p JOIN celln m ON m.cell = p.cell AND m.vec_id <> p.qid
+          WHERE m.crn <= ${Similarity.CandidateCap}),
+        r AS (SELECT qid, nn, cos, CAST(row_number() OVER (PARTITION BY qid
+          ORDER BY cos DESC, nn ASC) AS INTEGER) AS rank FROM cand)
+        SELECT qid, nn, rank, round(cos, 6) AS cos FROM r WHERE rank <= 10""")),
 
     // IVF ANN: deterministic sampled centroids (vec_id < 16), map-only
     // cell assignment, probe 4 cells/query, exact re-rank within cells

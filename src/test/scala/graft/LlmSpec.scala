@@ -164,6 +164,44 @@ class LlmSpec extends SparkSpec {
     assert(!assignPlan.contains("Exchange"), assignPlan)
   }
 
+  test("trainKMeans: deterministic Lloyd tightens the quantizer and repeats exactly") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val k = 8
+    val trained = Similarity.trainKMeans(emb, "vec_id", "embedding", k, 256)
+    // deterministic: a second run is bit-identical
+    assert(trained == Similarity.trainKMeans(emb, "vec_id", "embedding", k, 256))
+    assert(trained.size == k && trained.forall(_._2.size == 64))
+    // the refinement must TIGHTEN the quantizer: within-cluster sum of
+    // squares over UNIT vectors (the spherical objective trainKMeans
+    // optimizes) strictly improves on the first-N seed centroids
+    def wcss(cents: Seq[(Long, Seq[Double])]): Double = {
+      val rows = emb.filter($"vec_id" < 256)
+        .select($"embedding".cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toArray)
+        .map { v => val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+      rows.map { v =>
+        cents.map { case (_, c) =>
+          v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+        }.min
+      }.sum
+    }
+    val seed = emb.filter($"vec_id" < k).orderBy($"vec_id")
+      .select($"vec_id", $"embedding".cast("array<double>")).collect()
+      .map(r => (r.getLong(0), {
+        val v = r.getSeq[Double](1).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / n).toSeq
+      })).toSeq
+    assert(wcss(trained) < wcss(seed))
+    // trained IVF still returns full result sets through the pipeline
+    val top = Similarity.ivfTopKWith(emb, "vec_id", "embedding", trained,
+      k, Seq(0L, 1L), 5, capPerCell = Int.MaxValue)
+      .select("qid", "nn", "rank").orderBy("qid", "rank").collect().map(_.toSeq)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", Seq(0L, 1L), 5)
+      .select("qid", "nn", "rank").orderBy("qid", "rank").collect().map(_.toSeq)
+    assert(top.toSeq == brute.toSeq) // all cells probed, no cap ⇒ exact
+  }
+
   test("pqTopK: reconstruction ranking approximates exact cosine; plan broadcasts queries") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val qids = Seq(0L, 1L, 2L, 3L, 4L)
