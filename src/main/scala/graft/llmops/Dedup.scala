@@ -100,6 +100,32 @@ object Dedup {
       .select(col("d1"), col("d2")).distinct()
   }
 
+  /** Candidate EDGES for collision-closure consumers (transitive
+    * dedup groups, greedy keep/drop): per (band, sig) bucket, a STAR
+    * from the bucket's smallest id to every other member — O(members)
+    * edges whose transitive closure EQUALS the all-pairs clique's
+    * (any two co-bucketed docs connect through the bucket minimum),
+    * and whose `d2` set equals the clique's (a non-minimum member
+    * always has the minimum as a smaller collider). The distinction
+    * is not cosmetic: the ×100 posture probe (100 shifted copies of
+    * every document) made [[minhashCandidates]]'s clique quadratic in
+    * duplicate multiplicity — ~100²/2 pairs per duplicated text,
+    * 30× wall at ×100 input — while the star stays linear. A
+    * duplicate-HEAVY corpus is precisely where dedup runs, so the
+    * group-resolution path must not pay pairs it doesn't need.
+    * [[minhashCandidates]] stays the pair-REPORTING semantics (its
+    * consumers return the pairs themselves). One window-min over the
+    * (band, sig) partition — the same shuffle key the pair join used,
+    * with no self-join at all. */
+  def minhashStarEdges(sigs: DataFrame, idCol: String, numPerms: Int,
+      bands: Int): DataFrame = {
+    val banded = bandedSignatures(sigs.localCheckpoint(true), idCol, numPerms, bands)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))
+    banded.withColumn("d1", min(col(idCol)).over(w))
+      .filter(col("d1") < col(idCol))
+      .select(col("d1"), col(idCol).as("d2")).distinct()
+  }
+
   /** N-gram Jaccard similarity via shingle inverted-index join over
     * 32-bit md5 shingle hashes (joining hashes instead of shingle
     * strings keeps the hot path in [[graft.plans.NGramMd5]] — the

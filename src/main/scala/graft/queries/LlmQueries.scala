@@ -174,14 +174,19 @@ object LlmQueries {
       (s, d) => {
         val docs = t(s, d, "documents")
         val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 16)
-        val cands = Dedup.minhashCandidates(sigs, "doc_id", 16, 4)
+        // star edges, not the all-pairs clique: the dropped set (docs
+        // with a SMALLER collider) is identical, and the ×100 probe
+        // showed the clique going quadratic on duplicate-heavy input
+        // (minhashStarEdges scaladoc)
+        val cands = Dedup.minhashStarEdges(sigs, "doc_id", 16, 4)
         docs.join(cands.select(col("d2").as("doc_id")).distinct(),
             Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("lang"))
       },
       Some(s"""WITH $sqlMinhashBandedCtes,
-        cand AS (SELECT DISTINCT b.doc_id AS d2 FROM banded a
-          JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+        cand AS (SELECT DISTINCT d2 FROM (
+          SELECT min(doc_id) OVER (PARTITION BY band, sig) AS d1, doc_id AS d2
+          FROM banded) z WHERE d1 < d2)
         SELECT doc_id, lang FROM documents
         WHERE doc_id NOT IN (SELECT d2 FROM cand)""")),
 
@@ -224,7 +229,11 @@ object LlmQueries {
       (s, d) => {
         val docs = t(s, d, "documents")
         val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 16)
-        val cands = Dedup.minhashCandidates(sigs, "doc_id", 16, 4)
+        // star edges per bucket — SAME connected components as the
+        // all-pairs clique at O(members) instead of O(members²) edges;
+        // the ×100 probe measured the clique at 30× wall (quadratic in
+        // duplicate multiplicity, the exact corpus dedup runs on)
+        val cands = Dedup.minhashStarEdges(sigs, "doc_id", 16, 4)
         val comp = graft.graphx.GraphXBridge.componentsOfPairs(s,
           cands.select(col("d1").as("src"), col("d2").as("dst")))
         docs.join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
@@ -233,8 +242,9 @@ object LlmQueries {
             (coalesce(col("component"), col("doc_id")) === col("doc_id")).as("kept"))
       },
       Some(s"""WITH RECURSIVE $sqlMinhashBandedCtes,
-        cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM banded a
-          JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        cand AS (SELECT DISTINCT d1, d2 FROM (
+          SELECT min(doc_id) OVER (PARTITION BY band, sig) AS d1, doc_id AS d2
+          FROM banded) z WHERE d1 < d2),
         e AS (SELECT d1 AS s, d2 AS t FROM cand UNION SELECT d2, d1 FROM cand),
         reach(node, r) AS (
           SELECT DISTINCT s, s FROM e

@@ -56,6 +56,33 @@ class LlmSpec extends SparkSpec {
     assert(sigs.orderBy("doc_id").collect().sameElements(sigs2.orderBy("doc_id").collect()))
   }
 
+  test("minhash star edges: same closure as the clique, linear in duplicates") {
+    // 6 copies of one text + 2 of another + a singleton: the clique
+    // emits O(n²) pairs per duplicate group, the star O(n) — with the
+    // SAME transitive closure and the SAME dropped (d2) set
+    val d = ((1L to 6L).map(i => (i, "spark scan join filter window group")) ++
+      Seq((7L, "completely different tokens here now yes"),
+        (8L, "completely different tokens here now yes"),
+        (9L, "a singleton document unlike all of the others"))).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "text", 16)
+    val clique = Dedup.minhashCandidates(sigs, "doc_id", 16, 4)
+    val star = Dedup.minhashStarEdges(sigs, "doc_id", 16, 4)
+    // identical docs: clique is quadratic (15 pairs for the 6-group),
+    // star linear (5 edges)
+    assert(clique.filter($"d2" <= 6).count() == 15L)
+    assert(star.filter($"d2" <= 6).count() == 5L)
+    // d2 sets equal (the greedy-drop semantics)
+    val cd2 = clique.select("d2").distinct().collect().map(_.getLong(0)).toSet
+    val sd2 = star.select("d2").distinct().collect().map(_.getLong(0)).toSet
+    assert(cd2 == sd2)
+    // connected components equal (the group-resolution semantics)
+    def comps(edges: org.apache.spark.sql.DataFrame) =
+      graft.graphx.GraphXBridge.componentsOfPairs(spark,
+        edges.select($"d1".as("src"), $"d2".as("dst")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(clique) == comps(star))
+  }
+
   test("jaccardPairs: exact duplicate has jaccard 1") {
     val d = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w q a")).toDF("doc_id", "text")
     val p = Dedup.jaccardPairs(d, "doc_id", "text", 3).collect()
