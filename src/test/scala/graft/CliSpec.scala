@@ -447,6 +447,49 @@ class CliSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("full-text over HTTP: FULL_TEXT DDL, postings-served CONTAINSTEXT, live maintenance") {
+    val out = Files.createTempDirectory("graftfthttp").toString
+    Main.create(spark, sfDir, out)
+    val g = Main.serve(spark, out, None)
+    val srv = graft.server.QueryServer.start(spark, 0, Some(g),
+      Some(graft.server.QueryServer.StoreContext(out, () => Main.serve(spark, out, None))))
+    try {
+      def post(route: String, body: String): (Int, String) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:${srv.port}/api/v1/$route/graft")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+        (code, new String(is.readAllBytes(), "UTF-8"))
+      }
+      def asql(c: String) = post("query", s"""{"language":"arcadesql","command":"$c"}""")
+      // the bulk-loaded FULL_TEXT index on Part.name serves immediately:
+      // EXPLAIN proves the postings generation is scanned, not the corpus
+      val (pc, pb) = asql("EXPLAIN SELECT name FROM Part WHERE name CONTAINSTEXT 'dget'")
+      assert(pc == 200 && pb.contains("ft/nodes/Part/name") && pb.contains("LeftSemi"), pb)
+      val (qc, qb) = asql("SELECT name FROM Part WHERE name CONTAINSTEXT 'dget'")
+      assert(qc == 200 && qb.contains("widget"), qb)
+      // DML maintenance is live: an inserted row is immediately
+      // postings-served through the reloaded snapshot
+      assert(post("command",
+        """{"language":"sql","command":"INSERT INTO Part SET id = 3999977, name = 'xyzzy gadget'"}""")._1 == 200)
+      val (nc, nb) = asql("SELECT name FROM Part WHERE name CONTAINSTEXT 'xyzzy'")
+      assert(nc == 200 && nb.contains("xyzzy gadget"), nb)
+      // runtime FULL_TEXT DDL on a fresh property, end to end
+      assert(post("command",
+        """{"language":"sql","command":"CREATE PROPERTY Part.caption STRING"}""")._1 == 200)
+      assert(post("command",
+        """{"language":"sql","command":"CREATE INDEX ON Part (caption) FULL_TEXT"}""")._1 == 200)
+      assert(post("command",
+        """{"language":"sql","command":"UPDATE Part SET caption = 'limited edition' WHERE id = 3999977"}""")._1 == 200)
+      val (cc, cb) = asql("SELECT name FROM Part WHERE caption CONTAINSTEXT 'limited'")
+      assert(cc == 200 && cb.contains("xyzzy gadget"), cb)
+      val (ec, eb) = asql("EXPLAIN SELECT name FROM Part WHERE caption CONTAINSTEXT 'limited'")
+      assert(ec == 200 && eb.contains("ft/nodes/Part/caption"), eb)
+    } finally srv.stop()
+  }
+
   test("role-based users: read role queries but gets 403 on DML; admin does both") {
     val out = Files.createTempDirectory("graftrole").toString
     Main.create(spark, sfDir, out)
