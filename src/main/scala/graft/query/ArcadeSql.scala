@@ -877,14 +877,23 @@ object ArcadeSql {
         if (ls.kind != "vertex")
           fail(s"bucket #$b is edge type '${ls.label}': edge records are " +
             "identified by their endpoints and are not RID-addressable")
-        val actual = g.nodes.filter(col("id") === pos)
-          .select("label").limit(1).collect().headOption.map(_.getString(0))
-        actual.filter(_ != ls.label).foreach { other =>
-          val otherBucket = gs.labels.indexWhere(_.label == other)
-          fail(s"record #$pos lives in bucket #$otherBucket ('$other'), " +
-            s"not bucket #$b ('${ls.label}')")
+        // validation order matters at scale (code-review r8): the
+        // label-PRUNED point probe runs first, so the common hit case
+        // pays one pruned scan at compile; only a MISS pays the global
+        // probe, which distinguishes 'no such record' (empty result —
+        // allowed) from 'record lives in another bucket' (mis-
+        // addressed rid — loud error)
+        val pruned = g.nodes.filter(col("label") === ls.label && col("id") === pos)
+        if (pruned.limit(1).isEmpty) {
+          val actual = g.nodes.filter(col("id") === pos)
+            .select("label").limit(1).collect().headOption.map(_.getString(0))
+          actual.foreach { other =>
+            val otherBucket = gs.labels.indexWhere(_.label == other)
+            fail(s"record #$pos lives in bucket #$otherBucket ('$other'), " +
+              s"not bucket #$b ('${ls.label}')")
+          }
         }
-        g.nodes.filter(col("label") === ls.label && col("id") === pos)
+        pruned
       case SubSource(st) => compileStmt(g, gs, st)
       case UnitSource => fail("this statement form needs a FROM source")
     }

@@ -316,6 +316,17 @@ object QueryServer {
     }
 
     server.createContext("/api/v1/query/", (ex: HttpExchange) => handle(ex, allowGet = true) {
+      // reads inside a session transaction are not implemented: /query
+      // serves the COMMITTED snapshot only. A client sending its
+      // session id here expects read-your-writes — answer loudly
+      // rather than silently serving pre-transaction state (the
+      // fail-loudly doctrine; code-review r8)
+      if (ex.getRequestHeaders.getFirst("arcadedb-session-id") != null)
+        throw new IllegalArgumentException(
+          "reads are not bound to session transactions — /query serves the " +
+            "committed snapshot only; drop the arcadedb-session-id header " +
+            "(staged statements are visible to later statements in the session, " +
+            "not to queries, until commit)")
       if (ex.getRequestMethod == "GET") {
         // reference parity: GET /api/v1/query/{db}/{language}/{command}
         // with the command URL-encoded in the path
@@ -346,20 +357,37 @@ object QueryServer {
     // `graft.txnIdleSec` (default 300) so an abandoned driver cannot
     // accumulate staged generations forever.
     final class TxnSession(val id: String, val txn: graft.load.StoreTxn) {
+      val lock = new java.util.concurrent.locks.ReentrantLock()
       @volatile var lastTouched: Long = System.currentTimeMillis()
-      var closed: Boolean = false // guarded by synchronized(this)
+      var closed: Boolean = false // guarded by lock
       var total: Long = 0L
     }
     val sessions = new java.util.concurrent.ConcurrentHashMap[String, TxnSession]()
     val txnIdleMs = java.lang.Long.getLong("graft.txnIdleSec", 300L) * 1000L
-    def closeSession(s: TxnSession)(f: => Unit): Unit = s.synchronized {
-      if (!s.closed) { s.closed = true; sessions.remove(s.id); f }
+    /** Close under the session lock; returns false if already closed. */
+    def closeSession(s: TxnSession)(f: => Unit): Boolean = {
+      s.lock.lock()
+      try {
+        if (s.closed) false
+        else { s.closed = true; sessions.remove(s.id); f; true }
+      } finally s.lock.unlock()
     }
+    // the reaper must NEVER (a) abort an ACTIVE session — a statement
+    // longer than the idle budget is busy, not abandoned — or (b) park
+    // the single scheduler thread (it also drives the per-query 408
+    // budget killers) behind a busy session's lock. tryLock skips a
+    // session whose statement is running, and the idle check re-reads
+    // lastTouched UNDER the lock so a statement that just finished
+    // (refreshing the stamp while the reaper was deciding) survives.
     scheduler.scheduleWithFixedDelay(new Runnable {
       def run(): Unit = {
         val cutoff = System.currentTimeMillis() - txnIdleMs
         sessions.values().forEach { s =>
-          if (s.lastTouched < cutoff) closeSession(s)(s.txn.abort())
+          if (s.lastTouched < cutoff && s.lock.tryLock()) {
+            try if (!s.closed && s.lastTouched < cutoff) {
+              s.closed = true; sessions.remove(s.id); s.txn.abort()
+            } finally s.lock.unlock()
+          }
         }
       }
     }, 1L, 1L, java.util.concurrent.TimeUnit.SECONDS)
@@ -388,8 +416,7 @@ object QueryServer {
       val s = sessionOf(ex).getOrElse(throw new IllegalArgumentException(
         "commit needs an arcadedb-session-id header"))
       var n = 0L
-      var committed = false
-      closeSession(s) {
+      val did = closeSession(s) {
         n = writeMutex.synchronized {
           graft.load.StoreLock.withWriteLock(ctx.dir) {
             val cur = graft.load.Store.readManifest(ctx.dir).seq
@@ -401,7 +428,6 @@ object QueryServer {
             }
             s.txn.commit()
           }
-          committed = true
           graft.load.Store.sweep(ctx.dir, keepPerLabel = 1)
           graft.load.GraphLoader.autoCompactTouched(spark, ctx.dir, s.txn.touched)
           val paths = graft.load.Store.currentGenPaths(ctx.dir)
@@ -412,7 +438,7 @@ object QueryServer {
           s.total
         }
       }
-      if (!committed) throw new IllegalArgumentException("session already closed")
+      if (!did) throw new IllegalArgumentException("session already closed")
       maybeSweep()
       s"""{"result":[{"count":$n}]}"""
     })
@@ -421,9 +447,8 @@ object QueryServer {
         handle(ex, requireAdmin = true) {
       val s = sessionOf(ex).getOrElse(throw new IllegalArgumentException(
         "rollback needs an arcadedb-session-id header"))
-      var rolled = false
-      closeSession(s) { s.txn.abort(); rolled = true }
-      if (!rolled) throw new IllegalArgumentException("session already closed")
+      if (!closeSession(s)(s.txn.abort()))
+        throw new IllegalArgumentException("session already closed")
       s"""{"result":[{"count":0}]}"""
     })
 
@@ -464,8 +489,10 @@ object QueryServer {
       // conflict caught here (early) or at commit (authoritative).
       sessionOf(ex) match {
         case Some(s) =>
-          val n = s.synchronized {
+          s.lock.lock()
+          val n = try {
             if (s.closed) throw new IllegalArgumentException("session already closed")
+            s.lastTouched = System.currentTimeMillis() // busy ≠ idle: stamp at start too
             val staged = writeMutex.synchronized {
               val cur = graft.load.Store.readManifest(ctx.dir).seq
               if (cur != s.txn.baseSeq) {
@@ -475,12 +502,21 @@ object QueryServer {
                     s"$cur) during the session — rolled back, retry")
               }
               try commands.map(c => Dml.executeInTxn(spark, ctx.dir, c, s.txn)).sum
-              catch { case e: Throwable => closeSession(s)(s.txn.abort()); throw e }
+              catch {
+                case e: Throwable =>
+                  closeSession(s)(s.txn.abort())
+                  // the whole staged transaction is gone — say so, or
+                  // the client's next request misreads the 'unknown
+                  // session' error as idle expiry (code-review r8)
+                  throw new IllegalArgumentException(
+                    s"${e.getMessage} — the session transaction was ROLLED BACK " +
+                      "(a failed statement aborts the whole session; begin a new one)", e)
+              }
             }
             s.total += staged
             s.lastTouched = System.currentTimeMillis()
             staged
-          }
+          } finally s.lock.unlock()
           s"""{"result":[{"count":$n}]}"""
         case None =>
           // writers serialize against each other (and cross-process via

@@ -193,9 +193,13 @@ object EventsStream {
         state.update(AsOfState(keep, still))
         // flush guarantee without further events: fire once the
         // watermark advances STRICTLY past the earliest buffered
-        // purchase; setTimeoutTimestamp demands a value > wm, so a
-        // purchase sitting exactly at wm clamps to wm + 1 (the fire
-        // condition wm' > wm ≡ wm' > ts is unchanged)
+        // purchase (Spark fires EventTimeTimeout at wm' > timeout).
+        // setTimeoutTimestamp demands a value > wm, so a purchase
+        // sitting exactly at wm clamps to wm + 1 — the timeout then
+        // fires at wm' > wm + 1, up to ONE MILLISECOND of watermark
+        // positions later than the flush condition (ts < wm') first
+        // holds. A pure latency corner: any advance beyond wm + 1
+        // flushes, and new events for the user flush it sooner.
         if (still.nonEmpty)
           state.setTimeoutTimestamp(math.max(still.map(_._1).min, wm + 1))
       }

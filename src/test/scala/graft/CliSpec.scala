@@ -376,12 +376,20 @@ class CliSpec extends SparkSpec {
         """{"language":"sql","command":"INSERT INTO Customer (id, name) VALUES (1997003, 'x')"}""",
         Some(sid2))._1 == 400) // unknown/expired after rollback
 
-      // DDL is refused mid-session (same rule as the batch form)
+      // DDL is refused mid-session (same rule as the batch form), and
+      // the error SAYS the whole session was rolled back — the client
+      // must not misread the follow-up 'unknown session' as idle expiry
       val sid3 = begin()
+      // reads never silently serve a session context: /query with the
+      // session header is rejected loudly (fail-loudly doctrine)
+      val (rq, rb) = fire("query",
+        """{"language":"sparksql","command":"SELECT 1 AS x"}""", Some(sid3))
+      assert(rq == 400 && rb.contains("committed snapshot"), rb)
       val (cd, bd) = fire("command",
         """{"language":"sql","command":"CREATE VERTEX TYPE Zzz"}""", Some(sid3))
       assert(cd == 400 && bd.toLowerCase.contains("transaction"), bd)
-      fire("rollback", "{}", Some(sid3))
+      assert(bd.contains("ROLLED BACK"), bd)
+      assert(fire("rollback", "{}", Some(sid3))._1 == 400) // already gone
 
       // optimistic conflict: a non-session write lands mid-session →
       // the session's commit is refused and rolled back
