@@ -40,7 +40,9 @@ final class StoreTxn private[load] (val outDir: String) {
   /** The manifest seq this transaction began from — the HTTP session
     * routes' optimistic-conflict token: a commit (or a later staged
     * statement) finding the store advanced past this seq aborts with a
-    * conflict instead of clobbering the interleaved writer's commit. */
+    * conflict instead of clobbering the interleaved writer's commit.
+    * Schema-only DDL bumps the seq too ([[Store.bumpSeq]]), so a
+    * mid-session CREATE INDEX / DROP TYPE is also a conflict. */
   val baseSeq: Long = m.seq
   private val touchedLabels = scala.collection.mutable.LinkedHashSet[(String, String)]()
   private val stagedGens = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
@@ -48,18 +50,32 @@ final class StoreTxn private[load] (val outDir: String) {
   private[load] def stage(updated: Store.Manifest, labels: Seq[(String, String)],
       gens: Seq[java.nio.file.Path]): Unit = {
     m = updated; touchedLabels ++= labels; stagedGens ++= gens
+    // staged generations are referenced ONLY by this in-memory
+    // manifest — PIN them, or any interleaved in-process sweep (a
+    // retired snapshot draining, another client's zero-affected
+    // UPDATE) deletes them mid-session and a later commit would
+    // publish a manifest pointing at deleted directories (code-review
+    // r8). The single-request batch path never needed this (it holds
+    // the store write lock for its whole extent); a session releases
+    // every lock between requests. Cross-process sweeps are already
+    // fenced by the server's ServingLease.
+    GenerationPins.pin(gens.map(Store.canon))
   }
+  private def unpinStaged(): Unit = GenerationPins.unpin(stagedGens.map(Store.canon).toSeq)
   /** (entity, label) pairs the staged statements wrote to. */
   def touched: Seq[(String, String)] = touchedLabels.toSeq
   /** Publish every staged statement in one atomic manifest swap. */
-  def commit(): Unit = Store.writeManifest(outDir, m)
+  def commit(): Unit = { Store.writeManifest(outDir, m); unpinStaged() }
   /** Abandon the transaction: best-effort eager delete of the staged
     * generation directories. Without this they linger as orphans that
     * — sorting NEWEST by seq — would occupy a later sweep's
     * `keepPerLabel` grace slot and let the real newest superseded
     * generation be GC'd early out from under a cross-process reader.
     * A failed delete is harmless (the normal orphan sweep retries). */
-  def abort(): Unit = stagedGens.foreach(p => Store.tryDeleteRecursively(p))
+  def abort(): Unit = {
+    unpinStaged()
+    stagedGens.foreach(p => Store.tryDeleteRecursively(p))
+  }
 }
 
 object GraphLoader {

@@ -181,6 +181,22 @@ object Store {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Advance the manifest seq without changing its content — the
+    * transactional-visibility stamp for SCHEMA-ONLY commits. The seq
+    * is the session transactions' optimistic-conflict token, and a
+    * catalog change (CREATE INDEX, DROP TYPE of an empty type, CREATE
+    * PROPERTY…) changes what a staged statement would have been
+    * validated against — so it must conflict a concurrent session
+    * exactly like a data commit does (code-review r8: a UNIQUE index
+    * declared mid-session could otherwise be silently violated by the
+    * session's commit). Callers hold the store write lock. */
+  def bumpSeq(outDir: String): Unit = {
+    if (Files.exists(manifestPath(outDir))) {
+      val m = readManifest(outDir)
+      writeManifest(outDir, m.copy(seq = m.seq + 1))
+    }
+  }
+
   def newGenName(seq: Long): String =
     f"gen-$seq%012d-${java.util.UUID.randomUUID().toString.take(8)}"
 
@@ -192,7 +208,7 @@ object Store {
   def ftDir(outDir: String, entity: String, label: String, prop: String, gen: String): Path =
     Paths.get(outDir, "ft", entity, label, prop, gen)
 
-  private def canon(p: Path): String = p.toAbsolutePath.normalize.toString
+  private[load] def canon(p: Path): String = p.toAbsolutePath.normalize.toString
 
   /** The concrete segment directories the current manifest
     * references — what a freshly-built reader snapshot must pin. */

@@ -436,6 +436,10 @@ object Dml {
         java.nio.file.Files.move(tmp, path,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // schema changes are transactional state: advance the manifest
+        // seq so an open session transaction conflicts instead of
+        // committing against a catalog it never saw (Store.bumpSeq)
+        graft.load.Store.bumpSeq(storeDir)
       }
       n
     }

@@ -405,6 +405,18 @@ class CliSpec extends SparkSpec {
       assert(countOf("SELECT count(*) AS cnt FROM nodes WHERE id = 1997004") == 0)
       assert(countOf("SELECT count(*) AS cnt FROM nodes WHERE id = 1997005") == 1)
 
+      // a SCHEMA-only concurrent commit conflicts too: the catalog a
+      // staged statement was validated against changed under it
+      val sid6 = begin()
+      fire("command",
+        """{"language":"sql","command":"INSERT INTO Customer (id, name) VALUES (1997007, 'Customer#s7')"}""",
+        Some(sid6))
+      assert(fire("command",
+        """{"language":"sql","command":"CREATE PROPERTY Supplier.rating INTEGER"}""")._1 == 200)
+      val (cs, bs) = fire("commit", "{}", Some(sid6))
+      assert(cs == 400 && bs.contains("conflict"), bs)
+      assert(countOf("SELECT count(*) AS cnt FROM nodes WHERE id = 1997007") == 0)
+
       // idle-timeout reap: an abandoned session is rolled back and its
       // id forgotten, so it can never pin the store
       val sid5 = begin()

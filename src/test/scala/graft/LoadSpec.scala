@@ -760,6 +760,59 @@ class LoadSpec extends SparkSpec {
     graft.load.ServingLease.release(out)
   }
 
+  test("staged transaction generations survive interleaved sweeps (code-review r8)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("grafttxnpin").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    val n0 = storeNodes(out).count()
+    // a cross-request session txn holds NO lock between statements; an
+    // interleaved sweep (zero-affected UPDATE, snapshot retirement)
+    // must not GC the staged gens the in-memory manifest references
+    val txn = GraphLoader.beginTxn(out)
+    GraphLoader.appendNodes(spark, out,
+      Seq((1994001L, "Customer", "Customer#staged1", 1.0, "BUILDING"))
+        .toDF("id", "label", "name", "acctbal", "mktsegment"), Some(txn))
+    GraphLoader.appendNodes(spark, out,
+      Seq((1994002L, "Customer", "Customer#staged2", 2.0, "BUILDING"))
+        .toDF("id", "label", "name", "acctbal", "mktsegment"), Some(txn))
+    // the hostile interleavings: an aggressive full sweep AND the
+    // keep-1 sweep a zero-affected DML runs
+    graft.load.Store.sweep(out, keepPerLabel = 0)
+    graft.load.Store.sweep(out, keepPerLabel = 1)
+    txn.commit()
+    // every committed row is READABLE — a swept staged gen would throw
+    val after = storeNodes(out)
+    assert(after.count() == n0 + 2)
+    assert(after.filter(col("id").isin(1994001L, 1994002L)).count() == 2)
+    // and the pins are released: a post-commit... orphan-free sweep runs
+    graft.load.Store.sweep(out, keepPerLabel = 0)
+    assert(storeNodes(out).count() == n0 + 2)
+    // abort releases pins too (fresh txn, staged gen, abort, sweep)
+    val txn2 = GraphLoader.beginTxn(out)
+    GraphLoader.appendNodes(spark, out,
+      Seq((1994003L, "Customer", "Customer#staged3", 3.0, "BUILDING"))
+        .toDF("id", "label", "name", "acctbal", "mktsegment"), Some(txn2))
+    txn2.abort()
+    graft.load.Store.sweep(out, keepPerLabel = 0)
+    assert(storeNodes(out).filter(col("id") === 1994003L).isEmpty)
+  }
+
+  test("schema-only DDL advances the manifest seq (session conflict token)") {
+    val out = Files.createTempDirectory("graftddlseq").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    val seq0 = graft.load.Store.readManifest(out).seq
+    // a catalog change must conflict an open session like a data
+    // commit does — a UNIQUE index declared mid-session could
+    // otherwise be silently violated by the session's commit
+    assert(graft.server.Dml.execute(spark, out,
+      "CREATE PROPERTY Customer.note STRING") == 1)
+    assert(graft.load.Store.readManifest(out).seq > seq0)
+    val seq1 = graft.load.Store.readManifest(out).seq
+    assert(graft.server.Dml.execute(spark, out,
+      "CREATE INDEX ON Customer (note) NOTUNIQUE") == 1)
+    assert(graft.load.Store.readManifest(out).seq > seq1)
+  }
+
   test("full-text postings: built at bulk load, maintained by every DML commit") {
     import spark.implicits._
     val out = Files.createTempDirectory("graftft").toString
