@@ -190,6 +190,46 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(1L, 3L)) // dup doc 2 suppressed within the horizon
   }
 
+  test("streaming ingest into the persisted store maintains full-text postings") {
+    // the streaming → store bridge: foreachBatch lands each microbatch
+    // through the SAME validated append sink DML uses, so every store
+    // invariant — atomic manifest swap per batch, UNIQUE validation,
+    // postings segments per append — holds for streamed data with no
+    // extra machinery. (This is the Spark-native shape of continuous
+    // ingestion into the reference's store.)
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graftstreamstore").toString
+    graft.load.GraphLoader.writeGraph(spark, sfDir, out)
+    val mem = MemoryStream[Doc]
+    val q = mem.toDF()
+      .select(($"doc_id" + 3900000L).as("id"), lit("Part").as("label"),
+        $"text".as("name"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.load.GraphLoader.appendNodes(spark, out, batch)
+      }
+      .start()
+    mem.addData(Doc(ts(1), 1L, "streamed widget alpha"),
+      Doc(ts(2), 2L, "streamed sprocket beta"))
+    q.processAllAvailable()
+    mem.addData(Doc(ts(3), 3L, "streamed zzgizmo gamma"))
+    q.processAllAvailable()
+    q.stop()
+    val m = graft.load.Store.readManifest(out)
+    val nodes = graft.load.Store.readEntity(spark, out, "nodes")
+    assert(nodes.filter($"label" === "Part" && $"id" >= 3900000L).count() == 3)
+    // postings followed each microbatch's append (one ft segment per
+    // batch that appended rows) and serve the streamed tokens
+    val post = graft.load.Store.readFt(spark, out, "nodes", "Part", "name", m).get
+    assert(post.filter($"tk" === "streamed").count() == 3)
+    assert(post.filter($"tk" === "zzgizmo").count() == 1)
+    // and the dialect route sees them through a store-backed graph
+    val g = graft.load.GraphLoader.openGraph(spark, out)
+    val served = graft.query.ArcadeSql.compile(g, graft.load.GraphLoader.schema,
+      "SELECT name FROM Part WHERE name CONTAINSTEXT 'zzgizmo'")
+    assert(served.collect().map(_.getString(0)).toSeq == Seq("streamed zzgizmo gamma"))
+  }
+
   test("session windows merge events within the gap (streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
