@@ -181,6 +181,52 @@ object Store {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Consistent online backup (the reference's `BACKUP DATABASE`
+    * surface [dep arcadedb SQL]): copy ONE manifest's referenced
+    * state — schema.json, every referenced data/postings generation,
+    * users/checksum if present, and the manifest itself LAST (a
+    * half-written backup is visibly manifest-less, never torn).
+    * Writers are NOT blocked: generations are write-once, so copying
+    * them races nothing; the only hazard is the sweep deleting a
+    * generation superseded mid-backup, so the referenced set is
+    * PINNED for the copy's duration. Returns the number of files
+    * copied. */
+  def backup(outDir: String, destDir: String): Long = {
+    val dest = Paths.get(destDir)
+    require(!Files.exists(manifestPath(destDir)),
+      s"backup destination $destDir already holds a store")
+    val m = readManifest(outDir)
+    val genPaths = currentGenPaths(outDir)
+    GenerationPins.pin(genPaths)
+    try {
+      Files.createDirectories(dest)
+      var copied = 0L
+      def copyTree(fromRoot: Path, rel: Path): Unit = {
+        val from = fromRoot.resolve(rel)
+        if (Files.exists(from)) {
+          val walk = Files.walk(from)
+          try walk.iterator().asScala.foreach { p =>
+            val target = dest.resolve(rel).resolve(from.relativize(p))
+            if (Files.isDirectory(p)) Files.createDirectories(target)
+            else { Files.copy(p, target); copied += 1 }
+          } finally walk.close()
+        }
+      }
+      val root = Paths.get(outDir)
+      (m.nodes.toSeq.flatMap { case (l, gs) => gs.map(g => Paths.get("nodes", l, g)) } ++
+        m.edges.toSeq.flatMap { case (l, gs) => gs.map(g => Paths.get("edges", l, g)) } ++
+        m.ft.toSeq.flatMap { case ((e, l, p), gs) =>
+          gs.map(g => Paths.get("ft", e, l, p, g)) })
+        .foreach(copyTree(root, _))
+      Seq("schema.json", "checksum.txt", "users.json").foreach { f =>
+        val p = root.resolve(f)
+        if (Files.exists(p)) { Files.copy(p, dest.resolve(f)); copied += 1 }
+      }
+      writeManifest(destDir, m) // LAST: the backup becomes a store atomically
+      copied + 1
+    } finally GenerationPins.unpin(genPaths)
+  }
+
   /** Advance the manifest seq without changing its content — the
     * transactional-visibility stamp for SCHEMA-ONLY commits. The seq
     * is the session transactions' optimistic-conflict token, and a

@@ -42,6 +42,11 @@ object Dml {
   private val CreateEdgeRe =
     """(?is)\s*CREATE\s+EDGE\s+(\w+)\s+FROM\s+(-?\d+)\s+TO\s+(-?\d+)(?:\s+SET\s+(.+?))?\s*""".r
   private val CompactRe = """(?is)\s*COMPACT(?:\s+DATABASE)?\s*""".r
+  // the reference's maintenance surface [dep arcadedb SQL]: TRUNCATE
+  // empties a type keeping its declaration; BACKUP copies a pinned
+  // consistent snapshot while writes continue
+  private val TruncateRe = """(?is)\s*TRUNCATE\s+TYPE\s+(\w+)(\s+UNSAFE)?\s*""".r
+  private val BackupRe = """(?is)\s*BACKUP\s+DATABASE\s+'([^']+)'\s*""".r
   // runtime schema DDL (the reference declares types/properties/indexes
   // through the same command surface before loading,
   // `ArcadeDBService.java:149-154,232-238,275-277`)
@@ -68,6 +73,7 @@ object Dml {
       t.startsWith("CREATE EDGE") || t.startsWith("CREATE PROPERTY") ||
       t.startsWith("CREATE INDEX") || t.startsWith("UPDATE") ||
       t.startsWith("DELETE") || t.startsWith("COMPACT") ||
+      t.startsWith("TRUNCATE") || t.startsWith("BACKUP") ||
       t.startsWith("CREATE FUNCTION") || t.startsWith("DEFINE FUNCTION") ||
       t.startsWith("DROP")
   }
@@ -364,6 +370,24 @@ object Dml {
       case CompactRe() =>
         noTxn("COMPACT")
         GraphLoader.compactStore(spark, storeDir).toLong
+      // TRUNCATE TYPE <T>: empty the type, keep its declaration. The
+      // vertex path keeps the store's no-dangling-edge invariant (the
+      // DELETE probe); the reference's UNSAFE escape hatch would leave
+      // dangling endpoints, which this store refuses BY DESIGN — fail
+      // loudly rather than corrupt referential integrity
+      case TruncateRe(label, unsafe) => // plain DML (a whole-label DELETE): txn-safe
+        require(unsafe == null,
+          "TRUNCATE TYPE ... UNSAFE is not supported: it would leave dangling " +
+            "edge endpoints, which this store never holds — delete or truncate " +
+            "the referencing edge types first, then TRUNCATE without UNSAFE")
+        val n = GraphLoader.deleteRecords(spark, storeDir, label, kindOf(label), None, txn)
+        if (txn.isEmpty) graft.load.Store.sweep(storeDir, keepPerLabel = 1)
+        n
+      // BACKUP DATABASE '<dest>': pinned consistent snapshot copy;
+      // writers never blocked (generations are write-once)
+      case BackupRe(dest) =>
+        noTxn("BACKUP")
+        graft.load.Store.backup(storeDir, dest)
       case _ =>
         throw new IllegalArgumentException(
           "unsupported DML (expected INSERT INTO … VALUES, CREATE VERTEX … SET, or CREATE EDGE … FROM … TO …)")

@@ -760,6 +760,58 @@ class LoadSpec extends SparkSpec {
     graft.load.ServingLease.release(out)
   }
 
+  test("TRUNCATE TYPE empties the type, keeps the declaration, guards integrity") {
+    val out = Files.createTempDirectory("grafttrunc").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    // truncating a REFERENCED vertex type is refused (no-dangling
+    // invariant), and UNSAFE is refused by design
+    val e1 = intercept[IllegalArgumentException](
+      graft.server.Dml.execute(spark, out, "TRUNCATE TYPE Customer"))
+    assert(e1.getMessage.contains("edges still reference"))
+    val e2 = intercept[IllegalArgumentException](
+      graft.server.Dml.execute(spark, out, "TRUNCATE TYPE Customer UNSAFE"))
+    assert(e2.getMessage.contains("UNSAFE"))
+    // edge types truncate freely; then the vertex type truncates
+    val nPlaced = storeEdges(out).filter(col("label") === "PLACED").count()
+    assert(graft.server.Dml.execute(spark, out, "TRUNCATE TYPE PLACED") == nPlaced)
+    assert(graft.server.Dml.execute(spark, out, "TRUNCATE TYPE IN_NATION") > 0)
+    val nCust = storeNodes(out).filter(col("label") === "Customer").count()
+    assert(graft.server.Dml.execute(spark, out, "TRUNCATE TYPE Customer") == nCust)
+    assert(storeNodes(out).filter(col("label") === "Customer").isEmpty)
+    // the declaration survives: an insert lands again
+    assert(graft.server.Dml.execute(spark, out,
+      "INSERT INTO Customer SET id = 1995001, name = 'Customer#reborn'") == 1)
+  }
+
+  test("BACKUP DATABASE copies a consistent snapshot that opens as a store") {
+    val out = Files.createTempDirectory("graftbaksrc").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    val n0 = storeNodes(out).count()
+    val e0 = storeEdges(out).count()
+    val dest = Files.createTempDirectory("graftbakdst").toString + "/bak"
+    assert(graft.server.Dml.execute(spark, out, s"BACKUP DATABASE '$dest'") > 0)
+    // mutate + compact + sweep the SOURCE after the backup — the
+    // backup must stay a self-contained, openable store
+    assert(graft.server.Dml.execute(spark, out,
+      "UPDATE Part SET brand = 'Brand#bak' WHERE id = 3000001") >= 0)
+    graft.load.GraphLoader.compactStore(spark, out)
+    graft.load.Store.sweep(out, keepPerLabel = 0)
+    val bn = graft.load.Store.readEntity(spark, dest, "nodes")
+    val be = graft.load.Store.readEntity(spark, dest, "edges")
+    assert(bn.count() == n0 && be.count() == e0)
+    // postings generations ride the backup: the dialect route serves
+    // CONTAINSTEXT from the backup's own index
+    val g = graft.load.GraphLoader.openGraph(spark, dest)
+    val served = graft.query.ArcadeSql.compile(g, GraphLoader.schema,
+      "SELECT name FROM Part WHERE name CONTAINSTEXT 'dget'")
+    assert(served.queryExecution.executedPlan.toString.contains("ft/nodes/Part/name"))
+    assert(served.count() > 0)
+    // a second backup into the same destination is refused
+    val e = intercept[IllegalArgumentException](
+      graft.server.Dml.execute(spark, out, s"BACKUP DATABASE '$dest'"))
+    assert(e.getMessage.contains("already holds a store"))
+  }
+
   test("staged transaction generations survive interleaved sweeps (code-review r8)") {
     import spark.implicits._
     val out = Files.createTempDirectory("grafttxnpin").toString
