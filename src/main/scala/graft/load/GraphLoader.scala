@@ -64,8 +64,12 @@ final class StoreTxn private[load] (val outDir: String) {
   private def unpinStaged(): Unit = GenerationPins.unpin(stagedGens.map(Store.canon).toSeq)
   /** (entity, label) pairs the staged statements wrote to. */
   def touched: Seq[(String, String)] = touchedLabels.toSeq
-  /** Publish every staged statement in one atomic manifest swap. */
-  def commit(): Unit = { Store.writeManifest(outDir, m); unpinStaged() }
+  /** Publish every staged statement in one atomic manifest swap. The
+    * pins release even when the swap throws (disk full): the gens are
+    * then plain orphans the sweep may reclaim — a leaked pin would
+    * shield them for the process lifetime (code-review r8). */
+  def commit(): Unit =
+    try Store.writeManifest(outDir, m) finally unpinStaged()
   /** Abandon the transaction: best-effort eager delete of the staged
     * generation directories. Without this they linger as orphans that
     * — sorting NEWEST by seq — would occupy a later sweep's

@@ -195,15 +195,37 @@ object Store {
     val dest = Paths.get(destDir)
     require(!Files.exists(manifestPath(destDir)),
       s"backup destination $destDir already holds a store")
-    val m = readManifest(outDir)
-    val genPaths = currentGenPaths(outDir)
-    GenerationPins.pin(genPaths)
+    // fencing (code-review r8): (a) the ServingLease makes every OTHER
+    // process's sweep skip generation deletion for the copy's whole
+    // duration (in-process pins are invisible cross-process); (b) the
+    // manifest read and the pin happen under the store WRITE lock, so
+    // no writer can supersede a generation between them; (c) the pin
+    // then protects the copy from in-process sweeps after the lock is
+    // released — writers are blocked only for the read+pin instant,
+    // never for the copy.
+    ServingLease.acquire(outDir)
     try {
-      Files.createDirectories(dest)
-      var copied = 0L
-      def copyTree(fromRoot: Path, rel: Path): Unit = {
-        val from = fromRoot.resolve(rel)
-        if (Files.exists(from)) {
+      val root = Paths.get(outDir)
+      val (m, rels) = StoreLock.withWriteLock(outDir) {
+        val m0 = readManifest(outDir)
+        val r =
+          m0.nodes.toSeq.flatMap { case (l, gs) => gs.map(g => Paths.get("nodes", l, g)) } ++
+            m0.edges.toSeq.flatMap { case (l, gs) => gs.map(g => Paths.get("edges", l, g)) } ++
+            m0.ft.toSeq.flatMap { case ((e, l, p), gs) =>
+              gs.map(g => Paths.get("ft", e, l, p, g)) }
+        GenerationPins.pin(r.map(rel => canon(root.resolve(rel))))
+        (m0, r)
+      }
+      try {
+        Files.createDirectories(dest)
+        var copied = 0L
+        def copyTree(rel: Path): Unit = {
+          val from = root.resolve(rel)
+          // a referenced generation MUST exist — skipping it would
+          // publish a manifest pointing at nothing and call that a
+          // successful backup (code-review r8)
+          require(Files.isDirectory(from),
+            s"backup aborted: referenced generation $rel is missing from $outDir")
           val walk = Files.walk(from)
           try walk.iterator().asScala.foreach { p =>
             val target = dest.resolve(rel).resolve(from.relativize(p))
@@ -211,20 +233,15 @@ object Store {
             else { Files.copy(p, target); copied += 1 }
           } finally walk.close()
         }
-      }
-      val root = Paths.get(outDir)
-      (m.nodes.toSeq.flatMap { case (l, gs) => gs.map(g => Paths.get("nodes", l, g)) } ++
-        m.edges.toSeq.flatMap { case (l, gs) => gs.map(g => Paths.get("edges", l, g)) } ++
-        m.ft.toSeq.flatMap { case ((e, l, p), gs) =>
-          gs.map(g => Paths.get("ft", e, l, p, g)) })
-        .foreach(copyTree(root, _))
-      Seq("schema.json", "checksum.txt", "users.json").foreach { f =>
-        val p = root.resolve(f)
-        if (Files.exists(p)) { Files.copy(p, dest.resolve(f)); copied += 1 }
-      }
-      writeManifest(destDir, m) // LAST: the backup becomes a store atomically
-      copied + 1
-    } finally GenerationPins.unpin(genPaths)
+        rels.foreach(copyTree)
+        Seq("schema.json", "checksum.txt", "users.json").foreach { f =>
+          val p = root.resolve(f)
+          if (Files.exists(p)) { Files.copy(p, dest.resolve(f)); copied += 1 }
+        }
+        writeManifest(destDir, m) // LAST: the backup becomes a store atomically
+        copied + 1
+      } finally GenerationPins.unpin(rels.map(rel => canon(root.resolve(rel))))
+    } finally ServingLease.release(outDir)
   }
 
   /** Advance the manifest seq without changing its content — the
@@ -388,15 +405,20 @@ object Store {
         val referenced = current.getOrElse(Nil).toSet
         val gens = listDirs(labelDir).map(_.getFileName.toString)
           .filter(_.startsWith("gen-"))
-        // gen names sort by their zero-padded seq: newest first
-        val superseded = gens.filterNot(referenced).sorted.reverse.drop(keepPerLabel)
+        // gen names sort by their zero-padded seq: newest first.
+        // PINNED gens leave the candidate list BEFORE the grace-slot
+        // drop: a pinned (undeletable) session-staged gen sorting
+        // newest would otherwise occupy the keepPerLabel slot and let
+        // the genuinely newest superseded generation be deleted out
+        // from under a cross-process reader (code-review r8)
+        val superseded = gens.filterNot(referenced)
+          .filterNot(g => GenerationPins.isPinned(canon(labelDir.resolve(g))))
+          .sorted.reverse.drop(keepPerLabel)
         superseded.foreach { g =>
           val p = labelDir.resolve(g)
-          if (!GenerationPins.isPinned(canon(p))) {
-            if (tryDeleteRecursively(p)) removed += 1
-            else // next sweep retries — but never silently (VERDICT r6 wrong #4)
-              System.err.println(s"graft: sweep could not delete $p; will retry")
-          }
+          if (tryDeleteRecursively(p)) removed += 1
+          else // next sweep retries — but never silently (VERDICT r6 wrong #4)
+            System.err.println(s"graft: sweep could not delete $p; will retry")
         }
         if (current.isEmpty && listDirs(labelDir).isEmpty) {
           val ls = Files.list(labelDir)
@@ -418,13 +440,15 @@ object Store {
           val referenced = m.ft.getOrElse((entity, label, prop), Nil).toSet
           val gens = listDirs(propDir).map(_.getFileName.toString)
             .filter(_.startsWith("gen-"))
-          val superseded = gens.filterNot(referenced).sorted.reverse.drop(keepPerLabel)
+          // pinned ft gens leave the candidates before the grace drop,
+          // same as the data branch above
+          val superseded = gens.filterNot(referenced)
+            .filterNot(g => GenerationPins.isPinned(canon(propDir.resolve(g))))
+            .sorted.reverse.drop(keepPerLabel)
           superseded.foreach { g =>
             val p = propDir.resolve(g)
-            if (!GenerationPins.isPinned(canon(p))) {
-              if (tryDeleteRecursively(p)) removed += 1
-              else System.err.println(s"graft: sweep could not delete $p; will retry")
-            }
+            if (tryDeleteRecursively(p)) removed += 1
+            else System.err.println(s"graft: sweep could not delete $p; will retry")
           }
           if (referenced.isEmpty && listDirs(propDir).isEmpty)
             try { Files.delete(propDir); () }

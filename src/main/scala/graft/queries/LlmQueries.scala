@@ -13,9 +13,17 @@ import Qh._
   */
 object LlmQueries {
 
-  // per-source-dir trained-centroid cache (see sim_ivf_trained_topk)
+  // trained-centroid cache (see sim_ivf_trained_topk), keyed by
+  // (dir, attribute fingerprint of embeddings.parquet) — regenerated
+  // source data at the same path must retrain, or the served lists
+  // would silently diverge from the oracle's replay (code-review r8)
   private val trainedCentroids =
-    scala.collection.mutable.Map[String, Seq[(Long, Seq[Double])]]()
+    scala.collection.mutable.Map[(String, String), Seq[(Long, Seq[Double])]]()
+  private def embFingerprint(d: String): String = {
+    val p = java.nio.file.Paths.get(s"$d/embeddings.parquet")
+    if (java.nio.file.Files.isDirectory(p)) graft.load.Checksum.pseudoHashDir(p)
+    else graft.load.Checksum.pseudoHash(p)
+  }
 
   // DuckDB replay of Similarity.trainKMeans(k=16, nTrain=256, iters=2):
   // grid-round (floor to 2^-20 — sums of grid values are exact under
@@ -404,7 +412,7 @@ object LlmQueries {
       (s, d) => {
         val emb = t(s, d, "embeddings")
         val cents = trainedCentroids.synchronized {
-          trainedCentroids.getOrElseUpdate(d,
+          trainedCentroids.getOrElseUpdate((d, embFingerprint(d)),
             Similarity.trainKMeans(emb, "vec_id", "embedding", 16, 256))
         }
         Similarity.ivfTopKWith(emb, "vec_id", "embedding", cents,

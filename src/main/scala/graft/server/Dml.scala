@@ -384,7 +384,10 @@ object Dml {
         if (txn.isEmpty) graft.load.Store.sweep(storeDir, keepPerLabel = 1)
         n
       // BACKUP DATABASE '<dest>': pinned consistent snapshot copy;
-      // writers never blocked (generations are write-once)
+      // writers never blocked (generations are write-once). Takes the
+      // serving lease for the copy's duration, so a backup from a
+      // SECOND process against a live server is refused loudly — run
+      // it through the serving process (this route), whose lease nests
       case BackupRe(dest) =>
         noTxn("BACKUP")
         graft.load.Store.backup(storeDir, dest)

@@ -849,6 +849,27 @@ class LoadSpec extends SparkSpec {
     assert(storeNodes(out).filter(col("id") === 1994003L).isEmpty)
   }
 
+  test("pinned staged gens do not consume the sweep's grace slot (code-review r8)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graftgrace").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    val g0 = graft.load.Store.readManifest(out).nodes("Customer").head
+    // supersede Customer's bulk gen with a rewrite…
+    assert(graft.server.Dml.execute(spark, out,
+      "UPDATE Customer SET acctbal = acctbal WHERE id = 1000001") == 1)
+    // …and stage a PINNED session gen on the same label (sorts newest)
+    val txn = GraphLoader.beginTxn(out)
+    GraphLoader.appendNodes(spark, out,
+      Seq((1993001L, "Customer", "Customer#grace", 1.0, "BUILDING"))
+        .toDF("id", "label", "name", "acctbal", "mktsegment"), Some(txn))
+    // keep-1 sweep: the grace slot must go to the REAL newest
+    // superseded gen (g0), not be eaten by the undeletable pinned gen
+    graft.load.Store.sweep(out, keepPerLabel = 1)
+    assert(Files.isDirectory(Path.of(out, s"nodes/Customer/$g0")),
+      "grace-window gen was deleted out from under cross-process readers")
+    txn.abort()
+  }
+
   test("schema-only DDL advances the manifest seq (session conflict token)") {
     val out = Files.createTempDirectory("graftddlseq").toString
     GraphLoader.writeGraph(spark, sfDir, out)
