@@ -19,6 +19,9 @@ object LlmQueries {
   // would silently diverge from the oracle's replay (code-review r8)
   private val trainedCentroids =
     scala.collection.mutable.Map[(String, String), Seq[(Long, Seq[Double])]]()
+  // trained PQ codebooks, cached under the same key discipline
+  private val trainedPqBooks =
+    scala.collection.mutable.Map[(String, String), IndexedSeq[IndexedSeq[Array[Double]]]]()
   private def embFingerprint(d: String): String = {
     val p = java.nio.file.Paths.get(s"$d/embeddings.parquet")
     if (java.nio.file.Files.isDirectory(p)) graft.load.Checksum.pseudoHashDir(p)
@@ -55,6 +58,39 @@ object LlmQueries {
       c0 AS (SELECT vec_id AS cid, v AS cv FROM tr WHERE vec_id < 16),
       ${iter(1, "c0")},
       ${iter(2, "c1")}"""
+  }
+
+  // DuckDB replay of Similarity.trainPqCodebooks(m=4, nCodes=16,
+  // nTrain=256, iters=2): grid-round RAW vectors (PQ trains in the L2
+  // geometry it encodes with — no unit normalization), slice into 4
+  // 16-dim subspaces, two unrolled Lloyd iterations per subspace in the
+  // SAME CTEs (subspace id is a grouping column). Ends at `pcb2`
+  // = (m, code, c DOUBLE[16]) — the trained codebook table.
+  private val PqKmeansCtes: String = {
+    def iter(n: Int, prev: String): String =
+      s"""pd$n AS (SELECT t.vec_id, t.m, t.s, b.code,
+          list_dot_product(t.s, t.s) - 2.0 * list_dot_product(t.s, b.c)
+            + list_dot_product(b.c, b.c) AS d2
+        FROM psl t JOIN $prev b ON b.m = t.m),
+      pa$n AS (SELECT vec_id, m, s, code FROM (
+          SELECT vec_id, m, s, code, row_number() OVER (PARTITION BY vec_id, m
+            ORDER BY d2 ASC, code ASC) AS rn FROM pd$n) z
+        WHERE rn = 1),
+      ps$n AS (SELECT m, code, p.pos AS pos, sum(s[p.pos + 1]) AS sm, count(*) AS n
+        FROM pa$n CROSS JOIN range(16) p(pos) GROUP BY m, code, p.pos),
+      pm$n AS (SELECT m, code, list(sm / n ORDER BY pos) AS c FROM ps$n GROUP BY m, code),
+      pcb$n AS (SELECT b.m, b.code, coalesce(pm$n.c, b.c) AS c
+        FROM $prev b LEFT JOIN pm$n ON pm$n.m = b.m AND pm$n.code = b.code)"""
+    s"""ptr0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw
+        FROM embeddings WHERE vec_id < 256),
+      ptr AS (SELECT vec_id, list_transform(raw,
+          x -> floor(x * 1048576.0) / 1048576.0) AS v FROM ptr0),
+      pms AS (SELECT unnest(range(4)) AS m),
+      psl AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS s FROM ptr CROSS JOIN pms),
+      pcb0 AS (SELECT m, vec_id AS code, v[m*16+1 : m*16+16] AS c
+        FROM ptr CROSS JOIN pms WHERE vec_id < 16),
+      ${iter(1, "pcb0")},
+      ${iter(2, "pcb1")}"""
   }
 
   // DuckDB twin of TextOps.md5Hash32/60: fold hex digits of md5 into an
@@ -371,6 +407,44 @@ object LlmQueries {
         chosen AS (SELECT vec_id, m, c FROM (
             SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m
               ORDER BY d2 ASC, code ASC) AS rn FROM d) t
+          WHERE rn = 1),
+        recon AS (SELECT vec_id, flatten(list(c ORDER BY m)) AS rv
+          FROM chosen GROUP BY vec_id),
+        q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id IN (0,1,2,3,4)),
+        cand AS (SELECT q.qid, r.vec_id AS nn, list_dot_product(q.qv, r.rv) /
+            (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(r.rv, r.rv))) AS cos
+          FROM q CROSS JOIN recon r WHERE r.vec_id <> q.qid),
+        rr AS (SELECT qid, nn, cos, CAST(row_number() OVER (PARTITION BY qid
+          ORDER BY cos DESC, nn ASC) AS INTEGER) AS rank FROM cand)
+        SELECT qid, nn, rank, round(cos, 6) AS cos FROM rr WHERE rank <= 10""")),
+
+    // PQ search over TRAINED per-subspace codebooks (VERDICT r7
+    // missing #4's "IVF/PQ" — the PQ half): trainPqCodebooks' grid-
+    // rounded Lloyd iterations are replayed by the oracle CTEs
+    // bit-for-bit, then both sides encode the corpus against the same
+    // trained codewords. Codebooks are cached per source dir like the
+    // IVF centroids — production trains once offline, serves many.
+    Q("sim_pq_trained_topk",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val books = trainedPqBooks.synchronized {
+          trainedPqBooks.getOrElseUpdate((d, embFingerprint(d)),
+            Similarity.trainPqCodebooks(emb, "vec_id", "embedding", 4, 16, 256))
+        }
+        Similarity.pqTopKWith(emb, "vec_id", "embedding", books,
+          Seq(0L, 1L, 2L, 3L, 4L), 10)
+          .select(col("qid"), col("nn"), col("rank"), round(col("cos"), 6).as("cos"))
+      },
+      Some(s"WITH $PqKmeansCtes, " +
+        """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        esl AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS s FROM v CROSS JOIN pms),
+        ed AS (SELECT e.vec_id, e.m, b.code, b.c,
+            list_dot_product(e.s, e.s) - 2.0 * list_dot_product(e.s, b.c)
+              + list_dot_product(b.c, b.c) AS d2
+          FROM esl e JOIN pcb2 b ON b.m = e.m),
+        chosen AS (SELECT vec_id, m, c FROM (
+            SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m
+              ORDER BY d2 ASC, code ASC) AS rn FROM ed) z
           WHERE rn = 1),
         recon AS (SELECT vec_id, flatten(list(c ORDER BY m)) AS rv
           FROM chosen GROUP BY vec_id),
