@@ -206,7 +206,13 @@ object Store {
     ServingLease.acquire(outDir)
     try {
       val root = Paths.get(outDir)
-      val (m, rels) = StoreLock.withWriteLock(outDir) {
+      // schema.json/users.json/checksum.txt bytes are SNAPSHOTTED under
+      // the same write lock that reads the manifest (ADVICE r8): a DDL
+      // committed mid-copy (DROP TYPE, CREATE INDEX FULL_TEXT) must not
+      // yield a backup whose schema disagrees with its manifest — the
+      // restored store could serve rows for an undeclared label or
+      // declare an index its manifest never built.
+      val (m, rels, metaBytes) = StoreLock.withWriteLock(outDir) {
         val m0 = readManifest(outDir)
         val r =
           m0.nodes.toSeq.flatMap { case (l, gs) => gs.map(g => Paths.get("nodes", l, g)) } ++
@@ -214,7 +220,11 @@ object Store {
             m0.ft.toSeq.flatMap { case ((e, l, p), gs) =>
               gs.map(g => Paths.get("ft", e, l, p, g)) }
         GenerationPins.pin(r.map(rel => canon(root.resolve(rel))))
-        (m0, r)
+        val meta = Seq("schema.json", "checksum.txt", "users.json").flatMap { f =>
+          val p = root.resolve(f)
+          if (Files.exists(p)) Some(f -> Files.readAllBytes(p)) else None
+        }
+        (m0, r, meta)
       }
       try {
         Files.createDirectories(dest)
@@ -234,9 +244,8 @@ object Store {
           } finally walk.close()
         }
         rels.foreach(copyTree)
-        Seq("schema.json", "checksum.txt", "users.json").foreach { f =>
-          val p = root.resolve(f)
-          if (Files.exists(p)) { Files.copy(p, dest.resolve(f)); copied += 1 }
+        metaBytes.foreach { case (f, bytes) =>
+          Files.write(dest.resolve(f), bytes); copied += 1
         }
         writeManifest(destDir, m) // LAST: the backup becomes a store atomically
         copied + 1
@@ -411,9 +420,16 @@ object Store {
         // newest would otherwise occupy the keepPerLabel slot and let
         // the genuinely newest superseded generation be deleted out
         // from under a cross-process reader (code-review r8)
+        // a label the manifest no longer references AT ALL (committed
+        // DROP TYPE) gets no grace slot: the grace window protects
+        // cross-process readers of a SUPERSEDED generation, but a
+        // dropped label has no current generation to supersede — keeping
+        // its newest gen would leak it forever, one sweep after another
+        // (ADVICE r8)
+        val keep = if (referenced.isEmpty) 0 else keepPerLabel
         val superseded = gens.filterNot(referenced)
           .filterNot(g => GenerationPins.isPinned(canon(labelDir.resolve(g))))
-          .sorted.reverse.drop(keepPerLabel)
+          .sorted.reverse.drop(keep)
         superseded.foreach { g =>
           val p = labelDir.resolve(g)
           if (tryDeleteRecursively(p)) removed += 1
@@ -441,10 +457,14 @@ object Store {
           val gens = listDirs(propDir).map(_.getFileName.toString)
             .filter(_.startsWith("gen-"))
           // pinned ft gens leave the candidates before the grace drop,
-          // same as the data branch above
+          // same as the data branch above; an index the manifest no
+          // longer references (committed DROP INDEX) gets no grace slot
+          // — its last postings generation would otherwise survive
+          // every sweep forever (ADVICE r8)
+          val keep = if (referenced.isEmpty) 0 else keepPerLabel
           val superseded = gens.filterNot(referenced)
             .filterNot(g => GenerationPins.isPinned(canon(propDir.resolve(g))))
-            .sorted.reverse.drop(keepPerLabel)
+            .sorted.reverse.drop(keep)
           superseded.foreach { g =>
             val p = propDir.resolve(g)
             if (tryDeleteRecursively(p)) removed += 1

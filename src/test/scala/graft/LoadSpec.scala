@@ -666,6 +666,33 @@ class LoadSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dml.execute(spark, out, "DROP FUNCTION scr"))
   }
 
+  test("sweep reclaims dropped-index and dropped-type dirs despite the grace slot (ADVICE r8)") {
+    val out = Files.createTempDirectory("graftdropgc").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    import graft.server.Dml
+    // the default schema builds FULL_TEXT postings for Part.name
+    val ftProp = Path.of(out, "ft", "nodes", "Part", "name")
+    assert(Files.isDirectory(ftProp))
+    assert(Dml.execute(spark, out, "DROP INDEX ON Part (name)") == 1)
+    // the grace-window sweep (keepPerLabel=1, the compaction/commit
+    // default) must NOT spare the dropped index's newest generation:
+    // the manifest references nothing under this dir, so there is no
+    // current generation the grace window could be protecting
+    graft.load.Store.sweep(out, keepPerLabel = 1)
+    assert(!Files.exists(ftProp),
+      "dropped FULL_TEXT index postings must be swept even with a grace slot")
+    // same for a dropped TYPE's data generations
+    Dml.execute(spark, out, "CREATE VERTEX TYPE Gone")
+    Dml.execute(spark, out, "CREATE VERTEX Gone SET id = 1997001")
+    val goneDir = Path.of(out, "nodes", "Gone")
+    assert(Files.isDirectory(goneDir))
+    Dml.execute(spark, out, "DELETE FROM Gone")
+    assert(Dml.execute(spark, out, "DROP TYPE Gone") == 1)
+    graft.load.Store.sweep(out, keepPerLabel = 1)
+    assert(!Files.exists(goneDir),
+      "dropped type generations must be swept even with a grace slot")
+  }
+
   test("DML parser fails closed on malformed statements") {
     val out = Files.createTempDirectory("graftdml").toString
     GraphLoader.writeGraph(spark, sfDir, out)
