@@ -201,14 +201,11 @@ class StreamingSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("graftstreamstore").toString
     graft.load.GraphLoader.writeGraph(spark, sfDir, out)
     val mem = MemoryStream[Doc]
-    val q = mem.toDF()
+    // the main-code bridge (EventsStream.ingestTo) — the spec drives
+    // the same entry point a user gets, not an inline composition
+    val q = EventsStream.ingestTo(out, mem.toDF()
       .select(($"doc_id" + 3900000L).as("id"), lit("Part").as("label"),
-        $"text".as("name"))
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        graft.load.GraphLoader.appendNodes(spark, out, batch)
-      }
-      .start()
+        $"text".as("name")))
     mem.addData(Doc(ts(1), 1L, "streamed widget alpha"),
       Doc(ts(2), 2L, "streamed sprocket beta"))
     q.processAllAvailable()
