@@ -51,6 +51,11 @@ object Bench {
     "text_repetition",
     "asql_containstext_indexed",
     "asql_containstext_scan",
+    "asql_containstext_doc_indexed",
+    "asql_containstext_doc_scan",
+    "text_inverted_store",
+    "text_term_search_store",
+    "text_term_search_scan",
     "profile_columns",
     "multimodal_meta",
     "multimodal_frames",

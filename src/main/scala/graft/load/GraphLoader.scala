@@ -892,11 +892,21 @@ object GraphLoader {
     * (partition pruning replaces the per-label bucket layout), overwrite
     * mode (the reference deletes and rebuilds, `ArcadeDBService.java:112-122`),
     * schema registry + checksum alongside (A17). */
-  def writeGraph(spark: SparkSession, dir: String, outDir: String): Unit =
-      StoreLock.withWriteLock(outDir) {
+  def writeGraph(spark: SparkSession, dir: String, outDir: String): Unit = {
     assertDisjointIds(spark, dir)
     val n = nodes(spark, dir)
     val (resolved, _) = resolveEdges(n, edges(spark, dir))
+    writeGraphFrom(spark, outDir, n, resolved, schema, dir)
+  }
+
+  /** Bulk-load ANY labeled node/edge frames into a fresh generation
+    * store under `gs` — the engine behind [[writeGraph]] (which binds
+    * it to the TPC-H-ish fixture schema) and any other corpus a caller
+    * declares (e.g. the long-text document store the full-text bench
+    * loads). `checksumDir` feeds the A17 rebuild gate. */
+  def writeGraphFrom(spark: SparkSession, outDir: String, n: DataFrame,
+      resolved: DataFrame, gs: GraphSchema, checksumDir: String): Unit =
+      StoreLock.withWriteLock(outDir) {
     // ONE partitioned write per entity into a hidden bulk-staging tree
     // (hidden names are invisible to any concurrent reader), then each
     // label directory is renamed into its generation slot and the
@@ -951,7 +961,7 @@ object GraphLoader {
     var m = Store.Manifest(seq, nodeGens, edgeGens, eps)
     nodeGens.keys.toSeq.sorted.foreach { label =>
       nodeGens(label).foreach { gen =>
-        val (m2, _) = stageFt(spark, outDir, "nodes", label, schema, m,
+        val (m2, _) = stageFt(spark, outDir, "nodes", label, gs, m,
           Store.genDir(outDir, "nodes", label, gen), append = false)
         m = m2
       }
@@ -959,10 +969,10 @@ object GraphLoader {
     Store.writeManifest(outDir, m)
     Store.deleteRecursively(bulk)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/schema.json"), schema.toJson)
+      java.nio.file.Paths.get(s"$outDir/schema.json"), gs.toJson)
     Checksum.store(
       java.nio.file.Paths.get(s"$outDir/checksum.txt"),
-      Checksum.pseudoHashDir(java.nio.file.Paths.get(dir)))
+      Checksum.pseudoHashDir(java.nio.file.Paths.get(checksumDir)))
     Store.sweep(outDir)
     ()
   }
