@@ -284,13 +284,16 @@ object Store {
 
   /** The concrete segment directories the current manifest
     * references — what a freshly-built reader snapshot must pin. */
-  def currentGenPaths(outDir: String): Seq[String] = {
-    val m = readManifest(outDir)
+  def currentGenPaths(outDir: String): Seq[String] =
+    genPathsOf(outDir, readManifest(outDir))
+
+  /** The concrete segment directories ONE manifest references — also
+    * used by in-session reads to pin a STAGED manifest's view. */
+  def genPathsOf(outDir: String, m: Manifest): Seq[String] =
     (m.nodes.toSeq.flatMap { case (l, gs) => gs.map(genDir(outDir, "nodes", l, _)) } ++
       m.edges.toSeq.flatMap { case (l, gs) => gs.map(genDir(outDir, "edges", l, _)) } ++
       m.ft.toSeq.flatMap { case ((e, l, p), gs) => gs.map(ftDir(outDir, e, l, p, _)) })
       .map(canon)
-  }
 
   /** One entity's union frame: per-label segment scans with the
     * label re-attached (files store data columns only, like the old

@@ -357,6 +357,18 @@ class CliSpec extends SparkSpec {
       assert(c2 == 200)
       assert(countOf("SELECT count(*) AS cnt FROM nodes WHERE id = 1997001") == 0)
       assert(countOf("SELECT count(*) AS cnt FROM edges WHERE src = 1997001") == 0)
+      // read-your-writes (VERDICT r8 missing #2): a dialect query
+      // carrying the session id sees the STAGED vertex while the plain
+      // reads above keep seeing the committed snapshot
+      val (ry, rybody) = fire("query",
+        """{"language":"sql","command":"SELECT name FROM Customer WHERE id = 1997001"}""",
+        Some(sid))
+      assert(ry == 200 && rybody.contains("Customer#s1"), rybody)
+      // …and the staged edge resolves through the staged graph too
+      val (rye, ryebody) = fire("query",
+        """{"language":"sql","command":"SELECT out('IN_NATION').size() AS deg FROM Customer WHERE id = 1997001"}""",
+        Some(sid))
+      assert(rye == 200 && ryebody.contains("\"deg\":1"), ryebody)
       val (c3, b3) = fire("commit", "{}", Some(sid))
       assert(c3 == 200, b3)
       assert(b3.contains("\"count\":2"))
@@ -380,11 +392,17 @@ class CliSpec extends SparkSpec {
       // the error SAYS the whole session was rolled back — the client
       // must not misread the follow-up 'unknown session' as idle expiry
       val sid3 = begin()
-      // reads never silently serve a session context: /query with the
-      // session header is rejected loudly (fail-loudly doctrine)
+      // the Spark SQL fallback reads COMMITTED views, which would
+      // silently break read-your-writes inside a session — rejected
+      // loudly (the dialect path above is the in-session read surface)
       val (rq, rb) = fire("query",
         """{"language":"sparksql","command":"SELECT 1 AS x"}""", Some(sid3))
       assert(rq == 400 && rb.contains("committed snapshot"), rb)
+      // an UNKNOWN session id on a read is a loud error, not a silent
+      // committed-snapshot read
+      assert(fire("query",
+        """{"language":"sql","command":"SELECT name FROM Customer WHERE id = 42"}""",
+        Some("no-such-session"))._1 == 400)
       val (cd, bd) = fire("command",
         """{"language":"sql","command":"CREATE VERTEX TYPE Zzz"}""", Some(sid3))
       assert(cd == 400 && bd.toLowerCase.contains("transaction"), bd)
