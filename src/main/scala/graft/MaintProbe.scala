@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.load.{GraphLoader, Store}
+
+/** ×100 posture probe for the store MAINTENANCE paths (VERDICT r8
+  * order #5): on a FULL_TEXT-indexed label at the ×100 documents probe,
+  * measure (a) `BACKUP DATABASE` wall time, and (b) two DML appends —
+  * asserting that postings maintenance builds ONE segment per append
+  * from the APPENDED rows only and never rewrites an existing
+  * generation (old gen files must remain bit-for-bit untouched: the
+  * probe records their paths and mtimes and re-checks after both
+  * appends). The append is measured against a BACKUP CLONE of the doc
+  * store so the bench's cached store stays pristine.
+  *
+  * Prints one JSON line for BASELINE.md. Run:
+  * `SPARK_GRAFT_SF_DIR=target/probe100 sbt "runMain graft.MaintProbe"`.
+  */
+object MaintProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val src = graft.queries.DocQueries.ensure(spark, sfDir)
+    val nDocs = Store.readEntity(spark, src, "nodes").count()
+    val dest = s"target/maintprobe-${java.util.UUID.randomUUID().toString.take(8)}"
+    def secs(t0: Long): Double = (System.nanoTime() - t0) / 1e9
+
+    val tb = System.nanoTime()
+    val copied = Store.backup(src, dest)
+    val backupSec = secs(tb)
+
+    // snapshot every existing generation file (data + postings): the
+    // append path must never touch one
+    def genFiles(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dest)
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.toString.contains("gen-"))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+      finally walk.close()
+    }
+    val before = genFiles()
+    val m0 = Store.readManifest(dest)
+    val ftSegs0 = m0.ft(("nodes", "Doc", "text")).size
+
+    def batch(shift: Long) =
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(5000)
+        .select((col("doc_id").cast(LongType) + shift).as("id"),
+          lit("Doc").as("label"), col("text"), col("lang"), col("source"),
+          col("n_chars").cast(LongType).as("nchars"))
+    val ta1 = System.nanoTime()
+    GraphLoader.appendNodes(spark, dest, batch(100000000L))
+    val append1Sec = secs(ta1)
+    val ta2 = System.nanoTime()
+    GraphLoader.appendNodes(spark, dest, batch(200000000L))
+    val append2Sec = secs(ta2)
+
+    val m1 = Store.readManifest(dest)
+    val ftSegs1 = m1.ft(("nodes", "Doc", "text")).size
+    require(ftSegs1 == ftSegs0 + 2,
+      s"expected one postings segment per append: $ftSegs0 -> $ftSegs1")
+    val after = genFiles()
+    val touched = before.filter { case (p, t) => after.get(p).forall(_ != t) }
+    require(touched.isEmpty,
+      s"append must never touch existing generations; touched: ${touched.keys.take(3)}")
+
+    // the appended rows are postings-served through the dialect route
+    val served = graft.query.ArcadeSql.compile(
+      GraphLoader.openGraph(spark, dest), graft.queries.DocQueries.docSchema,
+      "SELECT id FROM Doc WHERE text CONTAINSTEXT 'dup'")
+    val hits = served.count()
+    val plan = served.queryExecution.executedPlan.toString
+    require(plan.contains("/ft/nodes/Doc/text/"), "route must stay postings-served")
+
+    println(s"""{"metric":"maint_probe","docs":$nDocs,"backup_sec":$backupSec,""" +
+      s""""backup_files":$copied,"append_5k_sec":$append1Sec,""" +
+      s""""append2_5k_sec":$append2Sec,"ft_segments":$ftSegs1,""" +
+      s""""containstext_hits":$hits,"sf":"$sfDir"}""")
+    Store.deleteRecursively(java.nio.file.Paths.get(dest))
+    spark.stop()
+  }
+}

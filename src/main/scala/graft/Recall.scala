@@ -28,7 +28,43 @@ object Recall {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // GRAFT_RECALL_MOG=<rows>: score on a deterministic mixture-of-
+    // Gaussians corpus whose ids are NOT cluster-aligned (VERDICT r8
+    // order #6). The driver fixture's id-aligned seeds make
+    // first-N-by-id sampling coincide with the generator's natural
+    // clusters, so training could only reach parity there (BASELINE.md
+    // #9); here cluster membership is a hash of the id, so sampled
+    // centroids are arbitrary points and the training path's value is
+    // measurable. splitmix64 + Box-Muller: same corpus every run, no
+    // RNG state.
+    val emb = sys.env.get("GRAFT_RECALL_MOG") match {
+      case Some(nStr) =>
+        import spark.implicits._
+        val n = nStr.toLong; val dim = 64; val kTrue = 16
+        // noise/separation ratio: 0.5 = crisply separated clusters,
+        // ≥2.0 = heavy overlap (where quantizer quality starts to
+        // matter — see the BASELINE.md finding)
+        val noise = sys.env.getOrElse("GRAFT_RECALL_MOG_NOISE", "0.5").toDouble
+        def mix(x0: Long): Long = {
+          var x = x0 + 0x9E3779B97F4A7C15L
+          x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+          x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+          x ^ (x >>> 31)
+        }
+        def unif(s: Long): Double = (mix(s) >>> 11).toDouble / (1L << 53).toDouble
+        def gauss(s: Long): Double = {
+          val u1 = math.max(unif(2 * s), 1e-12)
+          math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * unif(2 * s + 1))
+        }
+        spark.range(n).map { id =>
+          val c = (mix(id) & Long.MaxValue) % kTrue // id ↛ cluster
+          val v = Array.tabulate(dim) { d =>
+            (3.0 * gauss(c * 1000003L + d) + noise * gauss(mix(id) * 131L + d)).toFloat
+          }
+          (id, v)
+        }.toDF("vec_id", "embedding")
+      case None => spark.read.parquet(s"$sfDir/embeddings.parquet")
+    }
     val k = 10
     val qids = (0L until 20L).toSeq
     def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
