@@ -97,6 +97,23 @@ object GraphLoader {
   val PartOff = 3000000L
   val OrderOff = 10000000L
 
+  // Edge RECORD ids (round 9, retiring the node-only rid scope —
+  // reference RIDs address edge records too [dep]): deterministic
+  // per-label keyspaces strictly ABOVE every node id, derived from the
+  // source keys so the DuckDB oracle can compute the same values.
+  // CONTAINS/SUPPLIED_BY pack (orderkey, linenumber) as orderkey*8 +
+  // linenumber (TPC-H linenumber ≤ 7). Same scale caveat as node
+  // offsets: at 100 TB the scheme flips to label bits in the high
+  // bits; [[assertDisjointIds]] guards the packed bound.
+  val EidInRegion = 1000000000L
+  val EidInNationCust = 1100000000L
+  val EidInNationSupp = 1200000000L
+  val EidPlaced = 1300000000L
+  val EidContains = 1400000000L
+  val EidSuppliedBy = 1500000000L
+  /** Every id at or above this is an EDGE record id. */
+  val EidFloor = EidInRegion
+
   /** Keyspace guard: max(source key) + offset must stay strictly below
     * the next label's offset. One single-column `max()` per table (a
     * full column scan by default; enable
@@ -108,7 +125,12 @@ object GraphLoader {
       ("customer", "c_custkey", CustomerOff, SupplierOff),
       ("supplier", "s_suppkey", SupplierOff, PartOff),
       ("part", "p_partkey", PartOff, OrderOff),
-      ("orders", "o_orderkey", OrderOff, Long.MaxValue))
+      ("orders", "o_orderkey", OrderOff, EidInRegion),
+      // edge-rid bases (100M spans above every node id)
+      ("nation", "n_nationkey", EidInRegion, EidInNationCust),
+      ("customer", "c_custkey", EidInNationCust, EidInNationSupp),
+      ("supplier", "s_suppkey", EidInNationSupp, EidPlaced),
+      ("orders", "o_orderkey", EidPlaced, EidContains))
     ranges.foreach { case (tbl, key, off, next) =>
       val row = table(spark, dir, tbl)
         .agg(max(col(key).cast(LongType))).head
@@ -119,6 +141,15 @@ object GraphLoader {
             "— switch to label-bits-in-high-bits ids for this scale")
       }
     }
+    // the remaining edge-rid span: the packed lineitem id
+    // (orderkey*8 + linenumber) must fit its own 100M window
+    val liRow = table(spark, dir, "lineitem")
+      .agg(max(col("l_orderkey").cast(LongType) * 8 + col("l_linenumber").cast(LongType)))
+      .head
+    if (!liRow.isNullAt(0))
+      require(liRow.getLong(0) + EidContains < EidSuppliedBy,
+        s"edge-rid keyspace overflow: packed lineitem id ${liRow.getLong(0)} " +
+          "exceeds its 100M span — switch to label-bits-in-high-bits ids")
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -176,24 +207,30 @@ object GraphLoader {
     val inRegion = table(spark, dir, "nation").select(
       (col("n_nationkey").cast(LongType) + NationOff).as("src"),
       (col("n_regionkey").cast(LongType) + RegionOff).as("dst"),
-      lit("IN_REGION").as("label"))
+      lit("IN_REGION").as("label"),
+      (col("n_nationkey").cast(LongType) + EidInRegion).as("eid"))
     val custInNation = table(spark, dir, "customer").select(
       (col("c_custkey").cast(LongType) + CustomerOff).as("src"),
       (col("c_nationkey").cast(LongType) + NationOff).as("dst"),
-      lit("IN_NATION").as("label"))
+      lit("IN_NATION").as("label"),
+      (col("c_custkey").cast(LongType) + EidInNationCust).as("eid"))
     val suppInNation = table(spark, dir, "supplier").select(
       (col("s_suppkey").cast(LongType) + SupplierOff).as("src"),
       (col("s_nationkey").cast(LongType) + NationOff).as("dst"),
-      lit("IN_NATION").as("label"))
+      lit("IN_NATION").as("label"),
+      (col("s_suppkey").cast(LongType) + EidInNationSupp).as("eid"))
     val placed = table(spark, dir, "orders").select(
       (col("o_custkey").cast(LongType) + CustomerOff).as("src"),
       (col("o_orderkey").cast(LongType) + OrderOff).as("dst"),
-      lit("PLACED").as("label"))
+      lit("PLACED").as("label"),
+      (col("o_orderkey").cast(LongType) + EidPlaced).as("eid"))
     val li = table(spark, dir, "lineitem")
+    val liEid = col("l_orderkey").cast(LongType) * 8 + col("l_linenumber").cast(LongType)
     val contains = li.select(
       (col("l_orderkey").cast(LongType) + OrderOff).as("src"),
       (col("l_partkey").cast(LongType) + PartOff).as("dst"),
       lit("CONTAINS").as("label"),
+      (liEid + EidContains).as("eid"),
       col("l_linenumber").as("linenumber"),
       col("l_quantity").as("quantity"),
       col("l_extendedprice").as("extendedprice"),
@@ -205,6 +242,7 @@ object GraphLoader {
       (col("l_partkey").cast(LongType) + PartOff).as("src"),
       (col("l_suppkey").cast(LongType) + SupplierOff).as("dst"),
       lit("SUPPLIED_BY").as("label"),
+      (liEid + EidSuppliedBy).as("eid"),
       col("l_quantity").as("quantity"))
     Seq(inRegion, custInNation, suppInNation, placed, contains, suppliedBy)
       .reduce(_.unionByName(_, allowMissingColumns = true))

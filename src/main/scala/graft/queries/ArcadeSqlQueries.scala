@@ -431,6 +431,17 @@ object ArcadeSqlQueries {
       Some("""SELECT c_name AS name, c_mktsegment AS mktsegment
         FROM customer WHERE c_custkey = 42""")),
 
+    // EDGE record-id lookup (round 9 — reference RIDs address edge
+    // records too [dep]): the loader assigns deterministic per-label
+    // eids; CONTAINS packs (orderkey, linenumber) as orderkey*8 +
+    // linenumber above the 1.4e9 base, so #1400000001 is lineitem
+    // (0, 1) — present at the driver's sf0.01 correctness slice (an
+    // absent key is an empty result BOTH sides, still hash-equal)
+    Q("asql_rid_edge",
+      asql("SELECT quantity, linenumber FROM #1400000001"),
+      Some("""SELECT l_quantity AS quantity, l_linenumber AS linenumber
+        FROM lineitem WHERE l_orderkey = 0 AND l_linenumber = 1""")),
+
     // FROM bucket:<name> — ArcadeDB's physical-bucket scan spelling;
     // the default bucket named after its type IS the label partition
     // here, so the plan is the same pruned label scan as `FROM Customer`

@@ -865,8 +865,17 @@ object ArcadeSql {
       // point lookup: the id filter folds into the scan (partition
       // pruning by label is unavailable — the bare rid doesn't name
       // one — but the pushed id predicate skips row groups via
-      // min/max). Node records only: edges carry no record id
-      // (identified by endpoints — ADVICE r7, documented scope).
+      // min/max). Ids at or above the edge-rid floor address EDGE
+      // records (round 9, retiring the node-only scope — the loader
+      // assigns deterministic per-label `eid`s; reference RIDs address
+      // edge records too [dep]); a graph without the eid column (a
+      // pre-eid store) fails loudly rather than returning a silent
+      // empty result.
+      case RidSource(id, None) if id >= graft.load.GraphLoader.EidFloor =>
+        if (!g.edges.columns.contains("eid"))
+          fail(s"#$id addresses an edge record but this graph carries no edge " +
+            "record ids — rebuild the store with the current loader")
+        g.edges.filter(col("eid") === id)
       case RidSource(id, None) => g.nodes.filter(col("id") === id)
       // bucketed rid `#b:pos`: bucket b = the b-th declared label
       // (buckets are label partitions); the label is VALIDATED against
@@ -880,9 +889,12 @@ object ArcadeSql {
           fail(s"unknown bucket #$b: buckets are label partitions and " +
             s"${gs.labels.size} label(s) are declared")
         val ls = gs.labels(b.toInt)
-        if (ls.kind != "vertex")
-          fail(s"bucket #$b is edge type '${ls.label}': edge records are " +
-            "identified by their endpoints and are not RID-addressable")
+        val isVertex = ls.kind == "vertex"
+        if (!isVertex && !g.edges.columns.contains("eid"))
+          fail(s"bucket #$b is edge type '${ls.label}' and this graph carries " +
+            "no edge record ids — rebuild the store with the current loader")
+        val frame = if (isVertex) g.nodes else g.edges
+        val key = if (isVertex) "id" else "eid"
         // mis-address validation is part of the PLAN, not of compile
         // (VERDICT r8 wrong #1: compile/EXPLAIN must be pure planning —
         // the old eager probes ran real Spark jobs during compile and
@@ -894,7 +906,7 @@ object ArcadeSql {
         // with the bucket diagnosis while 'no such record' stays an
         // empty result. Both branches are pushed point probes (id
         // min/max row-group skip); EXPLAIN triggers zero jobs.
-        val pruned = g.nodes.filter(col("label") === ls.label && col("id") === pos)
+        val pruned = frame.filter(col("label") === ls.label && col(key) === pos)
         val bucketOf = gs.labels.zipWithIndex.foldLeft(lit(-1)) {
           case (acc, (l0, i0)) => when(col("label") === l0.label, lit(i0)).otherwise(acc)
         }
@@ -906,8 +918,8 @@ object ArcadeSql {
         // never column-pruned away, so even `SELECT count(*) FROM #b:p`
         // (which reads no columns) still trips the guard on a
         // mis-addressed rid
-        val guard = g.nodes
-          .filter(col("id") === pos && col("label") =!= ls.label)
+        val guard = frame
+          .filter(col(key) === pos && col("label") =!= ls.label)
           .filter(raise_error(msg).isNull)
         pruned.unionByName(guard)
       case SubSource(st) => compileStmt(g, gs, st)

@@ -261,15 +261,29 @@ class ArcadeSqlSpec extends SparkSpec {
     // …and `count()` (which prunes every column) still trips the guard
     val e1b = intercept[Throwable](run("SELECT name FROM #0:1000042").count())
     assert(chainMsg(e1b).contains("bucket #2"))
-    // edge buckets hold no rid-addressable records (edges are
-    // identified by endpoints — documented scope)
-    val e2 = intercept[IllegalArgumentException](run("SELECT name FROM #7:1000042"))
-    assert(e2.getMessage.contains("edge"))
     val e3 = intercept[IllegalArgumentException](run("SELECT name FROM #42:7"))
     assert(e3.getMessage.contains("unknown bucket"))
     // a miss inside the right bucket is an empty result, not an error
     assert(run("SELECT name FROM #2:999999999").collect().isEmpty)
     assert(run("SELECT name FROM #999999999").collect().isEmpty)
+
+    // EDGE record ids (round 9): a real CONTAINS eid resolves bare and
+    // through its bucket (#9 = CONTAINS in declaration order), and a
+    // mis-bucketed edge eid trips the execution-time guard
+    val anEid = g.edgesOf("CONTAINS").select("eid").orderBy("eid")
+      .limit(1).collect().head.getLong(0)
+    val bare = run(s"SELECT quantity FROM #$anEid").collect()
+    assert(bare.length == 1)
+    val bucketed = run(s"SELECT quantity FROM #9:$anEid").collect()
+    assert(bucketed.map(_.getDouble(0)).toSeq == bare.map(_.getDouble(0)).toSeq)
+    def chainMsg2(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val eMis = intercept[Throwable](run(s"SELECT quantity FROM #8:$anEid").collect())
+    assert(chainMsg2(eMis).contains("bucket #9") &&
+      chainMsg2(eMis).contains("CONTAINS"))
+    // an edge eid that exists nowhere is an empty result, not an error
+    assert(run("SELECT quantity FROM #1999999999").collect().isEmpty)
   }
 
   test("bucketed-rid compile and EXPLAIN run zero Spark jobs (VERDICT r8 wrong #1)") {
