@@ -114,6 +114,33 @@ object GraphLoader {
   /** Every id at or above this is an EDGE record id. */
   val EidFloor = EidInRegion
 
+  /** The rid-dispatch invariant, enforced at EVERY write path (bulk
+    * load and append alike, not just the TPC-H fixture's
+    * [[assertDisjointIds]]): node ids live strictly BELOW [[EidFloor]],
+    * edge record ids at or above it. Bare-rid resolution dispatches on
+    * that boundary alone (`ArcadeSql` RidSource), so a node id in the
+    * edge keyspace would be silently unreachable — or shadowed by an
+    * unrelated edge (code-review r9). One single-column agg over the
+    * frame being written; `eidCol` is None for frames that carry no
+    * record ids (DML-created edges stay endpoint-identified). */
+  def assertRidKeyspace(df: DataFrame, kind: String,
+      eidCol: Option[String] = None): Unit = kind match {
+    case "vertex" =>
+      val row = df.agg(max(col("id").cast(LongType))).head
+      if (!row.isNullAt(0))
+        require(row.getLong(0) < EidFloor,
+          s"node id ${row.getLong(0)} collides with the edge record-id " +
+            s"keyspace (ids >= $EidFloor address edge records) — " +
+            "switch to label-bits-in-high-bits ids for this scale")
+    case _ => eidCol.filter(df.columns.contains).foreach { c =>
+      val row = df.agg(min(col(c).cast(LongType))).head
+      if (!row.isNullAt(0))
+        require(row.getLong(0) >= EidFloor,
+          s"edge record id ${row.getLong(0)} falls below the edge keyspace " +
+            s"floor $EidFloor — edge rids must live above every node id")
+    }
+  }
+
   /** Keyspace guard: max(source key) + offset must stay strictly below
     * the next label's offset. One single-column `max()` per table (a
     * full column scan by default; enable
@@ -489,6 +516,7 @@ object GraphLoader {
       val sample = dupInBatch.select("id").limit(5).collect().map(_.getLong(0)).mkString(", ")
       s"append rejected: duplicate ids within the batch (e.g. $sample)"
     })
+    assertRidKeyspace(batch, "vertex") // batch-only agg, not the store
     val viol = validateUnique(
       existing.unionByName(batch, allowMissingColumns = true),
       Store.readEntityAt(spark, outDir, "edges", m0), gs)
@@ -510,6 +538,7 @@ object GraphLoader {
     val gs = GraphSchema.fromJson(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$outDir/schema.json")))
     val batch = alignTo(newEdges, widened(existing, gs, "edge"))
+    assertRidKeyspace(batch, "edge", Some("eid")) // batch-only agg
     // ONE pass does endpoint resolution AND endpoint-label observation
     // (the DELETE probe's pruning metadata): left joins carry the node
     // labels, a null label = a dangling endpoint
@@ -966,6 +995,11 @@ object GraphLoader {
   def writeGraphFrom(spark: SparkSession, outDir: String, n: DataFrame,
       resolved: DataFrame, gs: GraphSchema, checksumDir: String): Unit =
       StoreLock.withWriteLock(outDir) {
+    // rid-dispatch invariant for ANY corpus, not just the fixture
+    // (whose assertDisjointIds subsumes this): one single-column agg
+    // per entity against the frames about to be written
+    assertRidKeyspace(n, "vertex")
+    assertRidKeyspace(resolved, "edge", Some("eid"))
     // ONE partitioned write per entity into a hidden bulk-staging tree
     // (hidden names are invisible to any concurrent reader), then each
     // label directory is renamed into its generation slot and the

@@ -921,7 +921,23 @@ object ArcadeSql {
         val guard = frame
           .filter(col(key) === pos && col("label") =!= ls.label)
           .filter(raise_error(msg).isNull)
-        pruned.unionByName(guard)
+        // …and a rid crossing the vertex/edge KIND boundary (an edge
+        // eid given to a vertex bucket, or a node id to an edge
+        // bucket) must fail just as loudly — probing only the bucket's
+        // own frame would silently alias it to 'no such record'
+        // (code-review r9). The other frame's probe projects typed
+        // nulls purely for union-schema compatibility: any matching
+        // row raises before projection. Skipped when the other frame
+        // cannot hold rid-addressable records (pre-eid stores).
+        val (other, otherKey) = if (isVertex) (g.edges, "eid") else (g.nodes, "id")
+        val crossGuard =
+          if (!other.columns.contains(otherKey)) None
+          else Some(other
+            .filter(col(otherKey) === pos)
+            .filter(raise_error(msg).isNull)
+            .select(pruned.schema.fields.map(f =>
+              lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*))
+        crossGuard.foldLeft(pruned.unionByName(guard))(_.unionByName(_))
       case SubSource(st) => compileStmt(g, gs, st)
       case UnitSource => fail("this statement form needs a FROM source")
     }

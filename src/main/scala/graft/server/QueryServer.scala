@@ -387,20 +387,38 @@ object QueryServer {
       * drivers attach the session id to every request inside a
       * transaction, reads included [dep]. The session lock is held for
       * the read (the reaper's tryLock already treats a running
-      * statement as busy, not idle); the staged manifest's COMMITTED
-      * generations are pinned for the read's duration — a concurrent
-      * writer's commit may supersede and sweep them mid-query. */
+      * statement as busy, not idle). Like every session STATEMENT, the
+      * read first checks the store seq against the txn base under the
+      * writeMutex — a foreign commit since begin is a conflict (abort +
+      * loud diagnosis), never a torn read: the staged manifest's
+      * committed generations could otherwise be swept out from under
+      * the query mid-flight (code-review r9). The pin happens inside
+      * the same mutex block, so no in-process commit/sweep can
+      * interleave between the seq check and the pin, and the schema is
+      * snapshotted there too so a later DDL commit can't diverge it
+      * from the staged manifest. */
     def runSessionQuery(s: TxnSession, language: String, command: String,
         limit: Int): String = {
       s.lock.lock()
       try {
         if (s.closed) throw new IllegalArgumentException("session already closed")
         s.lastTouched = System.currentTimeMillis()
-        val paths = graft.load.GraphLoader.stagedGenPaths(s.txn)
-        graft.load.GenerationPins.pin(paths)
+        val ctx = storeCtx
+        val (paths, schemaSnap) = writeMutex.synchronized {
+          val cur = graft.load.Store.readManifest(ctx.dir).seq
+          if (cur != s.txn.baseSeq) {
+            closeSession(s)(s.txn.abort())
+            throw new IllegalArgumentException(
+              s"transaction conflict: the store advanced (seq ${s.txn.baseSeq} → " +
+                s"$cur) during the session — rolled back, retry")
+          }
+          val p = graft.load.GraphLoader.stagedGenPaths(s.txn)
+          graft.load.GenerationPins.pin(p)
+          (p, storeSchema())
+        }
         try {
           val g = graft.load.GraphLoader.openGraphStaged(spark, s.txn)
-          runQuery(new Snapshot(Some(g), storeSchema(), Nil),
+          runQuery(new Snapshot(Some(g), schemaSnap, Nil),
             language, command, limit, inSession = true)
         } finally {
           graft.load.GenerationPins.unpin(paths)

@@ -276,12 +276,19 @@ class ArcadeSqlSpec extends SparkSpec {
     assert(bare.length == 1)
     val bucketed = run(s"SELECT quantity FROM #9:$anEid").collect()
     assert(bucketed.map(_.getDouble(0)).toSeq == bare.map(_.getDouble(0)).toSeq)
-    def chainMsg2(t: Throwable): String =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
     val eMis = intercept[Throwable](run(s"SELECT quantity FROM #8:$anEid").collect())
-    assert(chainMsg2(eMis).contains("bucket #9") &&
-      chainMsg2(eMis).contains("CONTAINS"))
+    assert(chainMsg(eMis).contains("bucket #9") &&
+      chainMsg(eMis).contains("CONTAINS"))
+    // …and a rid crossing the vertex/edge KIND boundary fails just as
+    // loudly (code-review r9): a real edge eid through a VERTEX bucket,
+    // and a real node id through an EDGE bucket, both diagnose the
+    // record's true home instead of silently returning empty
+    val eCross1 = intercept[Throwable](run(s"SELECT name FROM #2:$anEid").collect())
+    assert(chainMsg(eCross1).contains("bucket #9") &&
+      chainMsg(eCross1).contains("CONTAINS"))
+    val eCross2 = intercept[Throwable](run("SELECT quantity FROM #9:1000042").collect())
+    assert(chainMsg(eCross2).contains("bucket #2") &&
+      chainMsg(eCross2).contains("Customer"))
     // an edge eid that exists nowhere is an empty result, not an error
     assert(run("SELECT quantity FROM #1999999999").collect().isEmpty)
   }

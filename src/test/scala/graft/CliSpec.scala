@@ -435,6 +435,23 @@ class CliSpec extends SparkSpec {
       assert(cs == 400 && bs.contains("conflict"), bs)
       assert(countOf("SELECT count(*) AS cnt FROM nodes WHERE id = 1997007") == 0)
 
+      // an in-session READ after a foreign commit is the SAME loud
+      // conflict as a statement — never a torn read against generations
+      // a concurrent commit may have swept (code-review r9)
+      val sid8 = begin()
+      assert(fire("command",
+        """{"language":"sql","command":"INSERT INTO Customer (id, name) VALUES (1997008, 'Customer#s8')"}""",
+        Some(sid8))._1 == 200)
+      assert(fire("command",
+        """{"language":"sql","command":"INSERT INTO Customer (id, name) VALUES (1997009, 'Customer#other9')"}""")._1 == 200)
+      val (cr8, br8) = fire("query",
+        """{"language":"sql","command":"SELECT name FROM Customer WHERE id = 1997008"}""",
+        Some(sid8))
+      assert(cr8 == 400 && br8.contains("conflict"), br8)
+      assert(countOf("SELECT count(*) AS cnt FROM nodes WHERE id = 1997008") == 0)
+      // the conflicted session was rolled back: its id is now unknown
+      assert(fire("rollback", "{}", Some(sid8))._1 == 400)
+
       // idle-timeout reap: an abandoned session is rolled back and its
       // id forgotten, so it can never pin the store
       val sid5 = begin()

@@ -154,6 +154,12 @@ class LoadSpec extends SparkSpec {
     intercept[IllegalArgumentException](GraphLoader.appendNodes(spark, out,
       Seq((1999995L, "Phantom", "x", 0.0, "B"))
         .toDF("id", "label", "name", "acctbal", "mktsegment")))
+    // rejected: node id inside the edge record-id keyspace — bare-rid
+    // dispatch routes ids >= EidFloor to edges, so such a node would be
+    // silently unreachable (code-review r9)
+    intercept[IllegalArgumentException](GraphLoader.appendNodes(spark, out,
+      Seq((GraphLoader.EidFloor + 42L, "Customer", "Customer#eidspace", 0.0, "B"))
+        .toDF("id", "label", "name", "acctbal", "mktsegment")))
 
     // every rejection left the store untouched (+2 = the two inserts)
     assert(storeNodes(out).count() == n0 + 2)
