@@ -40,6 +40,9 @@ object MaintProbe {
     val tb = System.nanoTime()
     val copied = Store.backup(src, dest)
     val backupSec = secs(tb)
+    // the multi-hundred-MB clone must not outlive a failed probe run
+    // (code-review r9 #5): clean up on ANY exit, happy or raised
+    try {
 
     // snapshot every existing generation file (data + postings): the
     // append path must never touch one
@@ -91,7 +94,9 @@ object MaintProbe {
       s""""backup_files":$copied,"append_5k_sec":$append1Sec,""" +
       s""""append2_5k_sec":$append2Sec,"ft_segments":$ftSegs1,""" +
       s""""containstext_hits":$hits,"sf":"$sfDir"}""")
-    Store.deleteRecursively(java.nio.file.Paths.get(dest))
-    spark.stop()
+    } finally {
+      Store.deleteRecursively(java.nio.file.Paths.get(dest))
+      spark.stop()
+    }
   }
 }

@@ -539,6 +539,26 @@ object GraphLoader {
       java.nio.file.Paths.get(s"$outDir/schema.json")))
     val batch = alignTo(newEdges, widened(existing, gs, "edge"))
     assertRidKeyspace(batch, "edge", Some("eid")) // batch-only agg
+    // edge record ids get the SAME uniqueness guarantee as node ids
+    // (code-review r9 #2): a duplicated eid would make one rid address
+    // two records. NULL eids are exempt — DML-created edges stay
+    // endpoint-identified and never enter the rid keyspace.
+    if (batch.columns.contains("eid")) {
+      val withEid = batch.filter(col("eid").isNotNull)
+      if (existing.columns.contains("eid")) {
+        val dupEids = withEid.join(
+          existing.filter(col("eid").isNotNull).select("eid"), Seq("eid"), "left_semi")
+        require(dupEids.isEmpty, {
+          val sample = dupEids.select("eid").limit(5).collect().map(_.getLong(0)).mkString(", ")
+          s"append rejected: edge record ids already exist (e.g. $sample)"
+        })
+      }
+      val dupEidInBatch = withEid.groupBy("eid").count().filter(col("count") > 1)
+      require(dupEidInBatch.isEmpty, {
+        val sample = dupEidInBatch.select("eid").limit(5).collect().map(_.getLong(0)).mkString(", ")
+        s"append rejected: duplicate edge record ids within the batch (e.g. $sample)"
+      })
+    }
     // ONE pass does endpoint resolution AND endpoint-label observation
     // (the DELETE probe's pruning metadata): left joins carry the node
     // labels, a null label = a dangling endpoint
@@ -610,7 +630,12 @@ object GraphLoader {
       txn: Option[StoreTxn] = None): Long =
       StoreLock.withWriteLock(outDir) {
     require(sets.nonEmpty, "UPDATE needs a SET clause")
-    val immutable = Set("id", "src", "dst", "label")
+    // the edge record id is as immutable as the topology it addresses:
+    // bare-rid dispatch keys on the eid keyspace, so a rewritten eid
+    // would make the record unreachable by rid — or alias another
+    // record's address (code-review r9 #1)
+    val immutable = Set("id", "src", "dst", "label") ++
+      (if (kind != "vertex") Set("eid") else Set.empty)
     val bad = sets.keySet.intersect(immutable)
     require(bad.isEmpty,
       s"UPDATE rejected: ${bad.mkString(", ")} are immutable (keys/topology)")
@@ -984,7 +1009,9 @@ object GraphLoader {
     assertDisjointIds(spark, dir)
     val n = nodes(spark, dir)
     val (resolved, _) = resolveEdges(n, edges(spark, dir))
-    writeGraphFrom(spark, outDir, n, resolved, schema, dir)
+    // assertDisjointIds above already proved the rid keyspace (node
+    // ranges < EidFloor, edge-rid spans within their windows)
+    writeGraphFrom(spark, outDir, n, resolved, schema, dir, keyspaceChecked = true)
   }
 
   /** Bulk-load ANY labeled node/edge frames into a fresh generation
@@ -993,13 +1020,19 @@ object GraphLoader {
     * declares (e.g. the long-text document store the full-text bench
     * loads). `checksumDir` feeds the A17 rebuild gate. */
   def writeGraphFrom(spark: SparkSession, outDir: String, n: DataFrame,
-      resolved: DataFrame, gs: GraphSchema, checksumDir: String): Unit =
+      resolved: DataFrame, gs: GraphSchema, checksumDir: String,
+      keyspaceChecked: Boolean = false): Unit =
       StoreLock.withWriteLock(outDir) {
-    // rid-dispatch invariant for ANY corpus, not just the fixture
-    // (whose assertDisjointIds subsumes this): one single-column agg
-    // per entity against the frames about to be written
-    assertRidKeyspace(n, "vertex")
-    assertRidKeyspace(resolved, "edge", Some("eid"))
+    // rid-dispatch invariant for ANY corpus — one single-column agg per
+    // entity against the frames about to be written. The fixture path
+    // ([[writeGraph]]) passes keyspaceChecked=true: its
+    // assertDisjointIds already proved both bounds from the per-table
+    // maxes, and re-deriving them here would re-scan every source table
+    // under the store write lock (code-review r9 #4).
+    if (!keyspaceChecked) {
+      assertRidKeyspace(n, "vertex")
+      assertRidKeyspace(resolved, "edge", Some("eid"))
+    }
     // ONE partitioned write per entity into a hidden bulk-staging tree
     // (hidden names are invisible to any concurrent reader), then each
     // label directory is renamed into its generation slot and the

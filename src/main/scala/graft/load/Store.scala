@@ -404,6 +404,29 @@ object Store {
   def sweep(outDir: String, keepPerLabel: Int = 0): Int =
     sweepImpl(outDir, keepPerLabel, ServingLease.heldElsewhere(outDir))
 
+  /** Grace-slot sizing for one swept dir. A REFERENCED dir keeps the
+    * caller's grace (and sheds any stale `.retired` marker — the label
+    * was resurrected by a later CREATE). A dereferenced dir (committed
+    * DROP TYPE / DROP INDEX) gets the grace exactly ONCE: the first
+    * sweep spares the newest candidate and drops the marker file, every
+    * later sweep deletes the rest. Marker I/O is serialized by the
+    * StoreLock the sweep already holds. */
+  private def graceKeep(dir: Path, referenced: Boolean, keepPerLabel: Int,
+      candidates: Int): Int = {
+    val marker = dir.resolve(".retired")
+    def clear(): Unit =
+      try { Files.deleteIfExists(marker); () }
+      catch { case _: java.io.IOException => () }
+    if (referenced) { clear(); keepPerLabel }
+    else if (keepPerLabel <= 0 || candidates == 0) { clear(); 0 }
+    else if (Files.exists(marker)) 0
+    else {
+      try { Files.createFile(marker); () }
+      catch { case _: java.io.IOException => () }
+      keepPerLabel
+    }
+  }
+
   private[graft] def sweepImpl(outDir: String, keepPerLabel: Int,
       foreignServer: Boolean): Int =
       StoreLock.withWriteLock(outDir) {
@@ -424,15 +447,19 @@ object Store {
         // the genuinely newest superseded generation be deleted out
         // from under a cross-process reader (code-review r8)
         // a label the manifest no longer references AT ALL (committed
-        // DROP TYPE) gets no grace slot: the grace window protects
-        // cross-process readers of a SUPERSEDED generation, but a
-        // dropped label has no current generation to supersede — keeping
-        // its newest gen would leak it forever, one sweep after another
-        // (ADVICE r8)
-        val keep = if (referenced.isEmpty) 0 else keepPerLabel
-        val superseded = gens.filterNot(referenced)
+        // DROP TYPE) gets ONE sweep cycle of grace, marked by a hidden
+        // `.retired` file: the first sweep after the drop spares the
+        // newest gen (a lease-less cross-process reader of the pre-drop
+        // manifest gets the same one-generation protection a superseded
+        // gen gets — code-review r9 #3), the next sweep deletes it.
+        // Keeping it forever would leak it (ADVICE r8); deleting it
+        // immediately re-opens the torn-read the grace slot closes.
+        val candidates = gens.filterNot(referenced)
           .filterNot(g => GenerationPins.isPinned(canon(labelDir.resolve(g))))
-          .sorted.reverse.drop(keep)
+          .sorted.reverse
+        val keep = graceKeep(labelDir, referenced.nonEmpty, keepPerLabel,
+          candidates.size)
+        val superseded = candidates.drop(keep)
         superseded.foreach { g =>
           val p = labelDir.resolve(g)
           if (tryDeleteRecursively(p)) removed += 1
@@ -440,6 +467,9 @@ object Store {
             System.err.println(s"graft: sweep could not delete $p; will retry")
         }
         if (current.isEmpty && listDirs(labelDir).isEmpty) {
+          // the retire marker has done its job once no gens remain
+          try { Files.deleteIfExists(labelDir.resolve(".retired")); () }
+          catch { case _: java.io.IOException => () }
           val ls = Files.list(labelDir)
           val empty = try !ls.iterator().hasNext finally ls.close()
           if (empty)
@@ -460,22 +490,26 @@ object Store {
           val gens = listDirs(propDir).map(_.getFileName.toString)
             .filter(_.startsWith("gen-"))
           // pinned ft gens leave the candidates before the grace drop,
-          // same as the data branch above; an index the manifest no
-          // longer references (committed DROP INDEX) gets no grace slot
-          // — its last postings generation would otherwise survive
-          // every sweep forever (ADVICE r8)
-          val keep = if (referenced.isEmpty) 0 else keepPerLabel
-          val superseded = gens.filterNot(referenced)
+          // same as the data branch above; a dropped index gets the
+          // same ONE-cycle `.retired` grace as a dropped label (leak
+          // forever: ADVICE r8; delete immediately: code-review r9 #3)
+          val candidates = gens.filterNot(referenced)
             .filterNot(g => GenerationPins.isPinned(canon(propDir.resolve(g))))
-            .sorted.reverse.drop(keep)
+            .sorted.reverse
+          val keep = graceKeep(propDir, referenced.nonEmpty, keepPerLabel,
+            candidates.size)
+          val superseded = candidates.drop(keep)
           superseded.foreach { g =>
             val p = propDir.resolve(g)
             if (tryDeleteRecursively(p)) removed += 1
             else System.err.println(s"graft: sweep could not delete $p; will retry")
           }
-          if (referenced.isEmpty && listDirs(propDir).isEmpty)
+          if (referenced.isEmpty && listDirs(propDir).isEmpty) {
+            try { Files.deleteIfExists(propDir.resolve(".retired")); () }
+            catch { case _: java.io.IOException => () }
             try { Files.delete(propDir); () }
             catch { case _: java.io.IOException => () }
+          }
         }
         if (listDirs(labelDir).isEmpty)
           try { Files.delete(labelDir); () }

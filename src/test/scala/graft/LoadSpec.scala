@@ -160,6 +160,21 @@ class LoadSpec extends SparkSpec {
     intercept[IllegalArgumentException](GraphLoader.appendNodes(spark, out,
       Seq((GraphLoader.EidFloor + 42L, "Customer", "Customer#eidspace", 0.0, "B"))
         .toDF("id", "label", "name", "acctbal", "mktsegment")))
+    // rejected: edge record id below the keyspace floor (would dispatch
+    // to the NODE path and be unreachable as an edge rid)
+    intercept[IllegalArgumentException](GraphLoader.appendEdges(spark, out,
+      Seq((1999999L, 107L, "IN_NATION", 42L)).toDF("src", "dst", "label", "eid")))
+    // rejected: eid already taken by an existing edge record — one rid
+    // must never address two records (code-review r9 #2)
+    val takenEid = storeEdges(out).filter(col("eid").isNotNull)
+      .select("eid").head.getLong(0)
+    intercept[IllegalArgumentException](GraphLoader.appendEdges(spark, out,
+      Seq((1999999L, 107L, "IN_NATION", takenEid)).toDF("src", "dst", "label", "eid")))
+    // rejected: duplicate eids within one batch
+    intercept[IllegalArgumentException](GraphLoader.appendEdges(spark, out,
+      Seq((1999999L, 107L, "IN_NATION", GraphLoader.EidFloor + 777777L),
+          (1999996L, 107L, "IN_NATION", GraphLoader.EidFloor + 777777L))
+        .toDF("src", "dst", "label", "eid")))
 
     // every rejection left the store untouched (+2 = the two inserts)
     assert(storeNodes(out).count() == n0 + 2)
@@ -672,7 +687,7 @@ class LoadSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dml.execute(spark, out, "DROP FUNCTION scr"))
   }
 
-  test("sweep reclaims dropped-index and dropped-type dirs despite the grace slot (ADVICE r8)") {
+  test("dropped-index/type dirs get ONE sweep cycle of grace, then reclaim (ADVICE r8 + code-review r9)") {
     val out = Files.createTempDirectory("graftdropgc").toString
     GraphLoader.writeGraph(spark, sfDir, out)
     import graft.server.Dml
@@ -680,13 +695,16 @@ class LoadSpec extends SparkSpec {
     val ftProp = Path.of(out, "ft", "nodes", "Part", "name")
     assert(Files.isDirectory(ftProp))
     assert(Dml.execute(spark, out, "DROP INDEX ON Part (name)") == 1)
-    // the grace-window sweep (keepPerLabel=1, the compaction/commit
-    // default) must NOT spare the dropped index's newest generation:
-    // the manifest references nothing under this dir, so there is no
-    // current generation the grace window could be protecting
+    // DROP INDEX's own post-retirement sweep is grace cycle 1: a
+    // cross-process reader of the pre-drop manifest keeps its newest
+    // postings generation for one cycle (code-review r9 #3 — deleting
+    // immediately re-opens the torn read the grace slot exists for)
+    assert(Files.isDirectory(ftProp),
+      "the drop's own sweep must spare the newest postings gen once")
+    // …and the NEXT sweep reclaims it fully (leak-forever was ADVICE r8)
     graft.load.Store.sweep(out, keepPerLabel = 1)
     assert(!Files.exists(ftProp),
-      "dropped FULL_TEXT index postings must be swept even with a grace slot")
+      "dropped FULL_TEXT index postings must be swept on the second cycle")
     // same for a dropped TYPE's data generations
     Dml.execute(spark, out, "CREATE VERTEX TYPE Gone")
     Dml.execute(spark, out, "CREATE VERTEX Gone SET id = 1997001")
@@ -694,9 +712,12 @@ class LoadSpec extends SparkSpec {
     assert(Files.isDirectory(goneDir))
     Dml.execute(spark, out, "DELETE FROM Gone")
     assert(Dml.execute(spark, out, "DROP TYPE Gone") == 1)
-    graft.load.Store.sweep(out, keepPerLabel = 1)
+    graft.load.Store.sweep(out, keepPerLabel = 1) // grace cycle
+    assert(Files.isDirectory(goneDir),
+      "first post-drop sweep grants one grace cycle")
+    graft.load.Store.sweep(out, keepPerLabel = 1) // reclaim
     assert(!Files.exists(goneDir),
-      "dropped type generations must be swept even with a grace slot")
+      "dropped type generations must be swept on the second cycle")
   }
 
   test("DML parser fails closed on malformed statements") {
@@ -717,6 +738,7 @@ class LoadSpec extends SparkSpec {
       "TRUNCATE Customer", // unsupported verb
       "DELETE FROM Customer", // supported verb, but every customer has edges → dangling reject
       "UPDATE Customer SET id = 9", // immutable key
+      "UPDATE IN_NATION SET eid = 9", // immutable edge record id (code-review r9)
       "UPDATE Customer SET name = 'x' WHERE ???bad", // malformed dialect predicate
       "INSERT INTO Customer (id, name) VALUES ('abc', 'x')", // string into bigint (ANSI cast)
       "").foreach { stmt =>
