@@ -31,6 +31,7 @@ object Bench {
     "dedup_minhash",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_incremental",
     "sim_topk",
     "sim_ivf_topk",
     "sim_ivf_trained_topk",

@@ -97,7 +97,16 @@ object PlanAudit {
     // dictionary analogue; substring contains() cannot push, which is
     // the measured reason the needle pair keeps its scan win)
     Check("text_term_search_store",
-      "term literal pushes into the postings scan", "EqualTo(tk,dup)")
+      "term literal pushes into the postings scan", "EqualTo(tk,dup)"),
+    // incremental dedup: the resident corpus must be served from the
+    // PERSISTED signature index (the cache path appears as a scan
+    // location) through a semi probe — at arrival time the resident
+    // text is never re-hashed, so the md5 kernel may appear only on
+    // the batch side (asserted by the spec, which counts kernels)
+    Check("dedup_incremental",
+      "resident side reads the persisted signature index", "graft-sigidx"),
+    Check("dedup_incremental",
+      "arrival probe is a semi join against the index", "LeftSemi")
   )
 
   def main(args: Array[String]): Unit = {

@@ -126,6 +126,72 @@ object Dedup {
       .select(col("d1"), col(idCol).as("d2")).distinct()
   }
 
+  /** Persisted LSH signature index for INCREMENTAL dedup — the
+    * arrival-time serving shape: a training corpus grows by batches,
+    * and each batch must be deduplicated against the RESIDENT corpus
+    * without recomputing the resident side's signatures (at 100 TB the
+    * resident MinHash pass costs more than everything else in the
+    * pipeline combined — it must be paid once, not per batch).
+    *
+    * The index is the banded signature view `(id, band, sig)` written
+    * ONCE as parquet under `cacheRoot/key`, range-partitioned and
+    * sorted on (band, sig) so an arrival probe join reads only the row
+    * groups whose min/max straddle the batch's bucket keys — the same
+    * sorted-terms-dictionary discipline the full-text postings use.
+    * Publication is atomic (write to a hidden temp dir, rename into
+    * place); a concurrent builder loses the rename and reads the
+    * winner. The key must fingerprint the resident SOURCE (same
+    * mtime__size trade as the trained-centroid cache, BASELINE #14):
+    * a regenerated corpus at the same path must re-index, or arrival
+    * probes would silently miss new residents. */
+  def residentBandIndex(spark: org.apache.spark.sql.SparkSession,
+      cacheRoot: String, key: String, resident: => DataFrame,
+      idCol: String, textCol: String, numPerms: Int, bands: Int): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dest = Paths.get(cacheRoot, key)
+    if (!Files.isDirectory(dest)) {
+      Files.createDirectories(Paths.get(cacheRoot))
+      val tmp = Paths.get(cacheRoot,
+        s".build-$key-${java.util.UUID.randomUUID().toString.take(8)}")
+      bandedSignatures(minhashSignatures(resident, idCol, textCol, numPerms),
+          idCol, numPerms, bands)
+        .repartitionByRange(col("band"), col("sig"))
+        .sortWithinPartitions("band", "sig")
+        .write.mode("overwrite").parquet(tmp.toString)
+      try { Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE); () }
+      catch { case _: java.io.IOException => // lost the publish race
+        graft.load.Store.tryDeleteRecursively(tmp); ()
+      }
+    }
+    spark.read.parquet(dest.toString)
+  }
+
+  /** Incremental near-dup: drop every batch document whose bands
+    * collide with the resident index, or with a smaller-id document of
+    * the SAME batch (the star rule — within-batch duplicates must not
+    * both survive just because neither is resident yet). Returns the
+    * kept batch ids. Scale: ONE semi join against the sorted index +
+    * one window over the batch's own bands; the resident corpus is
+    * never scanned, never re-hashed. */
+  def incrementalKeep(index: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, numPerms: Int, bands: Int): DataFrame = {
+    val bsigs = minhashSignatures(batch, idCol, textCol, numPerms)
+      .localCheckpoint(true)
+    val bb = bandedSignatures(bsigs, idCol, numPerms, bands)
+    val hitResident = bb.join(index.select("band", "sig"),
+        Seq("band", "sig"), "left_semi")
+      .select(col(idCol)).distinct()
+    // window-min star over the batch's OWN bands (same frame as the
+    // probe — no second signature pass, no self-join)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("sig"))
+    val intraDrop = bb.withColumn("d1", min(col(idCol)).over(w))
+      .filter(col("d1") < col(idCol))
+      .select(col(idCol)).distinct()
+    batch.join(hitResident.unionByName(intraDrop).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   /** N-gram Jaccard similarity via shingle inverted-index join over
     * 32-bit md5 shingle hashes (joining hashes instead of shingle
     * strings keeps the hot path in [[graft.plans.NGramMd5]] — the

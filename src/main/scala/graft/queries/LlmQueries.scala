@@ -27,6 +27,14 @@ object LlmQueries {
     if (java.nio.file.Files.isDirectory(p)) graft.load.Checksum.pseudoHashDir(p)
     else graft.load.Checksum.pseudoHash(p)
   }
+  // signature-index cache key (dedup_incremental) — same mtime__size
+  // fingerprint discipline (and the same documented staleness trade,
+  // BASELINE #14) as the trained-centroid cache above
+  private def docFingerprint(d: String): String = {
+    val p = java.nio.file.Paths.get(s"$d/documents.parquet")
+    if (java.nio.file.Files.isDirectory(p)) graft.load.Checksum.pseudoHashDir(p)
+    else graft.load.Checksum.pseudoHash(p)
+  }
 
   // DuckDB replay of Similarity.trainKMeans(k=16, nTrain=256, iters=2):
   // grid-round (floor to 2^-20 — sums of grid values are exact under
@@ -237,6 +245,41 @@ object LlmQueries {
           FROM banded) z WHERE d1 < d2)
         SELECT doc_id, lang FROM documents
         WHERE doc_id NOT IN (SELECT d2 FROM cand)""")),
+
+    // ✚ INCREMENTAL near-dup — the arrival-time serving shape: a batch
+    // (source 'src19' plays the arriving shard) is deduplicated against
+    // the RESIDENT corpus through a persisted banded-signature index
+    // (Dedup.residentBandIndex: built once, range-partitioned + sorted
+    // on (band, sig), atomically published), plus the within-batch star
+    // rule. The resident corpus is never re-hashed at arrival time —
+    // at 100 TB the per-batch cost is O(batch), not O(corpus), which
+    // is the difference between a pipeline that can ingest continuously
+    // and one that re-pays its largest job per shard. The oracle
+    // recomputes both sides from scratch (caching is invisible to
+    // results — that is the point).
+    Q("dedup_incremental",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val batch = docs.filter(col("source") === "src19")
+        val idx = Dedup.residentBandIndex(s, "target/graft-sigidx",
+          s"mh16x4-${docFingerprint(d)}",
+          docs.filter(col("source") =!= "src19"), "doc_id", "text", 16, 4)
+        Dedup.incrementalKeep(idx, batch, "doc_id", "text", 16, 4)
+          .select(col("doc_id"), col("lang"))
+      },
+      Some(s"""WITH $sqlMinhashBandedCtes,
+        bb AS (SELECT b.* FROM banded b JOIN documents d USING (doc_id)
+          WHERE d.source = 'src19'),
+        rb AS (SELECT b.* FROM banded b JOIN documents d USING (doc_id)
+          WHERE d.source <> 'src19'),
+        hit AS (SELECT DISTINCT bb.doc_id FROM bb
+          JOIN rb ON rb.band = bb.band AND rb.sig = bb.sig),
+        intra AS (SELECT DISTINCT d2 FROM (
+          SELECT min(doc_id) OVER (PARTITION BY band, sig) AS d1, doc_id AS d2
+          FROM bb) z WHERE d1 < d2)
+        SELECT doc_id, lang FROM documents
+        WHERE source = 'src19' AND doc_id NOT IN (SELECT doc_id FROM hit)
+          AND doc_id NOT IN (SELECT d2 FROM intra)""")),
 
     // ✚ FUZZY decontamination: the exact 8-gram probe above misses a
     // paraphrased benchmark leak; this variant flags corpus docs whose

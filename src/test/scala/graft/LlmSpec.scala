@@ -56,6 +56,39 @@ class LlmSpec extends SparkSpec {
     assert(sigs.orderBy("doc_id").collect().sameElements(sigs2.orderBy("doc_id").collect()))
   }
 
+  test("incremental dedup: persisted index serves arrivals without re-hashing residents") {
+    val resident = Seq((1L, "spark scan join filter window group"),
+      (2L, "completely different tokens here now yes")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "spark scan join filter window group"),    // resident dup → drop
+      (11L, "a fresh unique arrival document today"),  // unique → keep
+      (12L, "another brand new text with many words"), // keep (smaller of 12/13)
+      (13L, "another brand new text with many words")  // within-batch dup → drop
+    ).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graftsig").toString
+    val idx = Dedup.residentBandIndex(spark, root, "k1", resident,
+      "doc_id", "text", 16, 4)
+    val kept = Dedup.incrementalKeep(idx, batch, "doc_id", "text", 16, 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L),
+      s"resident collision drops 10, within-batch star drops 13: $kept")
+    // the index is PERSISTED and the cache hit never evaluates the
+    // resident frame: a poisoned by-name argument must not throw
+    val files0 = java.nio.file.Files.list(java.nio.file.Paths.get(root, "k1"))
+      .toArray.length
+    val idx2 = Dedup.residentBandIndex(spark, root, "k1",
+      sys.error("cache hit must not recompute the resident corpus"),
+      "doc_id", "text", 16, 4)
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(root, "k1"))
+      .toArray.length == files0)
+    assert(idx2.count() == idx.count())
+    // the arrival plan probes the persisted index (the cache path is a
+    // scan location), never a recomputed resident side
+    val plan = Dedup.incrementalKeep(idx2, batch, "doc_id", "text", 16, 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graftsig") && plan.contains("LeftSemi"), plan.take(800))
+  }
+
   test("minhash star edges: same closure as the clique, linear in duplicates") {
     // 6 copies of one text + 2 of another + a singleton: the clique
     // emits O(n²) pairs per duplicate group, the star O(n) — with the
