@@ -93,4 +93,64 @@ object Pipeline {
     shingles(corpus).join(evalSh, Seq("sh"), "left_semi")
       .select(col(idCol)).distinct()
   }
+
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * shingle pass above: flag every corpus vector whose cosine against
+    * ANY benchmark vector reaches `tau` (paraphrased contamination that
+    * shares no 8-gram). Exact by design: decontamination wants
+    * recall = 1 on the benchmark, so no LSH/IVF pruning on this path —
+    * the benchmark side is eval-sized and BROADCAST, making the pass
+    * one corpus scan doing |benchmark| compiled dot products per row
+    * (map-only, zero shuffle until the per-id max aggregation, which is
+    * output-linear in the flagged set). At 100 TB that is the right
+    * trade: benchmark sets are thousands of rows, so the scan cost is
+    * ~|B| fused multiply-adds per corpus vector — cheaper than the
+    * shingle explode the exact pass already pays.
+    * Returns (cid, max_cos rounded 6dp, n_hits) per flagged id. */
+  def decontaminateSemantic(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, vecCol: String, tau: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", Similarity.norm(col("cv")))
+    val b = benchmark.select(col(vecCol).cast("array<double>").as("bv"))
+      .withColumn("bn", Similarity.norm(col("bv")))
+    c.crossJoin(broadcast(b))
+      .withColumn("cos", Similarity.dot(col("cv"), col("bv")) / (col("cn") * col("bn")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("cid"))
+      .agg(max(col("cos")).as("mx"), count(lit(1)).as("n_hits"))
+      .select(col("cid"), round(col("mx"), 6).as("max_cos"), col("n_hits"))
+  }
+
+  /** Cluster-balanced sampling — the data-mixing primitive over an
+    * EMBEDDING clustering rather than a label column (D4/DataComp-style
+    * rebalancing): assign every vector to its nearest centroid cell
+    * (map-only, broadcast-literal centroids — [[Similarity.ivfCell]]),
+    * then keep the same number of rows from every cell so no cluster
+    * dominates the mix. The kept subset per cell is the `target`
+    * smallest by a salted md5 rank — deterministic, rerun-stable, and
+    * unbiased within cell (hash order is independent of id order).
+    * Shuffles: one config-sized cell-count aggregation (nCells rows,
+    * broadcast back as a scalar) + ONE window shuffle on the cell key.
+    * At 100 TB the window partitions by cell (nCells × corpus/nCells
+    * rows each) — bounded by the same occupancy argument as the IVF
+    * candidate cap; a skewed cell costs its occupancy, never O(N²). */
+  def clusterBalance(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Seq[Double])], salt: String): DataFrame = {
+    val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nv", Similarity.norm(col("v")))
+    val assigned = v
+      .withColumn("cell", Similarity.ivfCell(col("v"), col("nv"), centroids))
+      .select(col(idCol), col("cell"))
+    val target = assigned.groupBy(col("cell")).agg(count(lit(1)).as("csz"))
+      .agg(min(col("csz")).as("target"))
+    val w = Window.partitionBy(col("cell")).orderBy(
+      TextOps.md5Hash32(concat(lit(salt), col(idCol).cast("string"))).asc,
+      col(idCol).asc)
+    assigned
+      .withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(target)) // 1-row scalar bind, same as the other scalar binds
+      .filter(col("rn") <= col("target"))
+      .select(col(idCol), col("cell"), col("rn"), col("target"))
+  }
 }

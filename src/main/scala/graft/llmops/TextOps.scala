@@ -113,4 +113,37 @@ object TextOps {
       stop.as("stop_hits"),
       (stop / nTok.cast("double")).as("stop_ratio"))
   }
+
+  /** Scrub patterns for [[cleanColumns]] — written in the common subset
+    * of Java regex (Spark) and RE2 (DuckDB): no backreferences, no
+    * lookaround, so ONE literal serves both engines (the constants are
+    * interpolated into the oracle SQL, drift-proof by construction). */
+  val UrlRe = "https?://[^ ]+"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Text normalization / scrubbing — the pre-tokenization hygiene pass
+    * of a pretraining pipeline: strip URLs and e-mail addresses (PII /
+    * boilerplate), collapse whitespace runs, then collapse ADJACENT
+    * duplicate tokens (the boilerplate-stutter rule — RE2 has no
+    * backreferences, so the dedupe is positional array arithmetic both
+    * engines express identically rather than a `(\w+) \1` regex).
+    * All per-row column expressions: embarrassingly parallel, no
+    * shuffle, survives any scale-up by construction. */
+  def cleanColumns(text: Column): Seq[Column] = {
+    val scrubbed = regexp_replace(regexp_replace(text, UrlRe, " "), EmailRe, " ")
+    val squashed = trim(regexp_replace(scrubbed, " +", " "))
+    val tk = tokens(squashed)
+    // keep token i when first or different from its left neighbor
+    val kept = filter(
+      transform(sequence(lit(1), size(tk)), i =>
+        when(i === 1 || element_at(tk, i) =!= element_at(tk, i - 1),
+          element_at(tk, i))),
+      x => x.isNotNull)
+    Seq(
+      concat_ws(" ", kept).as("clean_text"),
+      size(regexp_extract_all(text, lit(UrlRe), lit(0))).as("n_urls"),
+      size(regexp_extract_all(text, lit(EmailRe), lit(0))).as("n_emails"),
+      size(tk).as("n_tokens_raw"),
+      size(kept).as("n_tokens_clean"))
+  }
 }

@@ -13,6 +13,13 @@ import Qh._
   */
 object LlmQueries {
 
+  /** Cosine threshold for the semantic-decontamination declared query —
+    * ONE constant interpolated into both the Spark plan and the oracle
+    * SQL (drift-proof). 0.38 flags ~2% of the synthetic corpus (whose
+    * max pairwise cosine is only ~0.51 — there are no true near-dups,
+    * so the declared query exercises the machinery, not the epsilon). */
+  val SemDecontamTau = 0.38
+
   // trained-centroid cache (see sim_ivf_trained_topk), keyed by
   // (dir, attribute fingerprint of embeddings.parquet) — regenerated
   // source data at the same path must retrain, or the served lists
@@ -211,6 +218,57 @@ object LlmQueries {
         ev AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0')
         SELECT DISTINCT doc_id FROM sh
         WHERE source <> 'src0' AND sh IN (SELECT sh FROM ev)""")),
+
+    // SEMANTIC decontamination (Pipeline.decontaminateSemantic): flag
+    // corpus vectors within cosine tau of ANY benchmark vector — the
+    // paraphrase-contamination complement of the shingle pass. Exact
+    // (recall-1) by design: benchmark side broadcast, one corpus scan.
+    // vec_id % 23 == 0 stands in for the held-out benchmark set.
+    Q("pipeline_decontaminate_semantic",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Pipeline.decontaminateSemantic(
+          emb.filter(col("vec_id") % 23 =!= 0),
+          emb.filter(col("vec_id") % 23 === 0),
+          "vec_id", "embedding", SemDecontamTau)
+      },
+      Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT v AS bv FROM v WHERE vec_id % 23 = 0),
+        c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id % 23 <> 0),
+        j AS (SELECT cid, list_dot_product(cv, bv) /
+            (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(bv, bv))) AS cos
+          FROM c CROSS JOIN b)
+        SELECT cid, round(max(cos), 6) AS max_cos, CAST(count(*) AS BIGINT) AS n_hits
+        FROM j WHERE cos >= $SemDecontamTau GROUP BY cid""")),
+
+    // cluster-balanced sampling (Pipeline.clusterBalance): nearest-
+    // centroid cell assignment (8 sampled centroids, same quantizer as
+    // sim_ivf_topk), then keep the min-cell-size smallest-salted-hash
+    // rows per cell — the embedding-space data-mixing primitive
+    Q("pipeline_cluster_balance",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        // config-sized centroid table (8 × dim), same discipline as ivfTopK
+        val cents = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .filter(col("vec_id") < 8).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+        Pipeline.clusterBalance(emb, "vec_id", "embedding", cents, "graft_bal_")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 8),
+        sc AS (SELECT vec_id, cid, list_dot_product(v.v, cv) /
+            (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(cv, cv))) AS ccos
+          FROM v CROSS JOIN c),
+        cell AS (SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+              ORDER BY ccos DESC, cid ASC) AS rn FROM sc) z WHERE rn = 1),
+        tgt AS (SELECT CAST(min(csz) AS BIGINT) AS target FROM (
+            SELECT cell, count(*) AS csz FROM cell GROUP BY cell) zz),
+        rnk AS (SELECT vec_id, cell, CAST(row_number() OVER (PARTITION BY cell
+            ORDER BY ${sqlMd5Hash32("'graft_bal_' || CAST(vec_id AS VARCHAR)")} ASC,
+              vec_id ASC) AS INTEGER) AS rn FROM cell)
+        SELECT vec_id, cell, rn, target FROM rnk CROSS JOIN tgt
+        WHERE rn <= target""")),
 
     // MinHash + LSH banding candidates (16 perms, 4 bands × 4 rows)
     Q("dedup_minhash",
@@ -721,6 +779,45 @@ object LlmQueries {
         CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','is'))) AS INTEGER) AS stop_hits,
         len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','is'))) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
         FROM documents""")),
+
+    // text normalization / scrubbing (TextOps.cleanColumns): URL +
+    // e-mail scrub (PII hygiene; regexes valid in Java regex AND RE2),
+    // whitespace collapse, adjacent-duplicate-token collapse — pure
+    // per-row expressions, zero shuffle
+    Q("text_clean",
+      (s, d) => t(s, d, "documents").select(
+        (Seq(col("doc_id")) ++ TextOps.cleanColumns(col("text"))): _*),
+      Some(s"""WITH s AS (SELECT doc_id,
+          trim(regexp_replace(regexp_replace(regexp_replace(text,
+            '${TextOps.UrlRe}', ' ', 'g'), '${TextOps.EmailRe}', ' ', 'g'),
+            ' +', ' ', 'g')) AS sq,
+          CAST(len(regexp_extract_all(text, '${TextOps.UrlRe}')) AS INTEGER) AS n_urls,
+          CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS INTEGER) AS n_emails
+          FROM documents),
+        tks AS (SELECT doc_id, n_urls, n_emails, string_split(sq, ' ') AS tk FROM s),
+        kept AS (SELECT doc_id, n_urls, n_emails, tk,
+          list_filter(list_transform(generate_series(1, len(tk)),
+            i -> CASE WHEN i = 1 OR tk[i] <> tk[i-1] THEN tk[i] END),
+            x -> x IS NOT NULL) AS kp FROM tks)
+        SELECT doc_id, array_to_string(kp, ' ') AS clean_text, n_urls, n_emails,
+          CAST(len(tk) AS INTEGER) AS n_tokens_raw,
+          CAST(len(kp) AS INTEGER) AS n_tokens_clean
+        FROM kept""")),
+
+    // corpus vocabulary statistics: per-token term frequency + document
+    // frequency, top-20 by tf (total order: tf DESC, tk ASC). Partial
+    // agg shuffles only vocabulary-sized data; top-k is
+    // TakeOrderedAndProject — no global sort materialization
+    Q("text_vocab",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
+        .groupBy(col("tk"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("tk").asc).limit(20),
+      Some("""SELECT tk, CAST(count(*) AS BIGINT) AS tf,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents) p
+        GROUP BY tk ORDER BY tf DESC, tk ASC LIMIT 20""")),
 
     // token counting: whitespace + regex ("BPE-ish") + distinct
     Q("text_tokens",

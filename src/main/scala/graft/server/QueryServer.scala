@@ -343,7 +343,9 @@ object QueryServer {
       var total: Long = 0L
     }
     val sessions = new java.util.concurrent.ConcurrentHashMap[String, TxnSession]()
-    val txnIdleMs = java.lang.Long.getLong("graft.txnIdleSec", 300L) * 1000L
+    // re-read per use (reaper tick / error message) so an operator —
+    // or a test exercising the reaper — can retune without a restart
+    def txnIdleMs = java.lang.Long.getLong("graft.txnIdleSec", 300L) * 1000L
     /** Close under the session lock; returns false if already closed. */
     def closeSession(s: TxnSession)(f: => Unit): Boolean = {
       s.lock.lock()

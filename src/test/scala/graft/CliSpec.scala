@@ -314,7 +314,11 @@ class CliSpec extends SparkSpec {
     val out = Files.createTempDirectory("graftsess").toString
     Main.create(spark, sfDir, out)
     val g = Main.serve(spark, out, None)
-    System.setProperty("graft.txnIdleSec", "2") // fast reap for the test
+    // generous idle budget for the multi-step flow below — under full-
+    // suite load a single DML step can take seconds, and a 2s budget
+    // let the reaper race the test's own sessions (r10 flake); the
+    // reap step at the end drops it to 2s JUST for its session
+    System.setProperty("graft.txnIdleSec", "60")
     val srv = graft.server.QueryServer.start(spark, 0, Some(g),
       Some(graft.server.QueryServer.StoreContext(out, () => Main.serve(spark, out, None))))
     try {
@@ -453,11 +457,13 @@ class CliSpec extends SparkSpec {
       assert(fire("rollback", "{}", Some(sid8))._1 == 400)
 
       // idle-timeout reap: an abandoned session is rolled back and its
-      // id forgotten, so it can never pin the store
+      // id forgotten, so it can never pin the store (budget dropped to
+      // 2s only now — the reaper re-reads it each tick)
       val sid5 = begin()
       fire("command",
         """{"language":"sql","command":"INSERT INTO Customer (id, name) VALUES (1997006, 'Customer#s6')"}""",
         Some(sid5))
+      System.setProperty("graft.txnIdleSec", "2")
       Thread.sleep(4000)
       assert(fire("commit", "{}", Some(sid5))._1 == 400)
       assert(countOf("SELECT count(*) AS cnt FROM nodes WHERE id = 1997006") == 0)

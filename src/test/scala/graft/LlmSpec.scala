@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llmops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.llmops.{Dedup, Multimodal, Pipeline, Similarity, TextOps}
 
 /** LLM-pipeline operators (SURVEY §2.B.12): deterministic hashing,
   * dedup recall on planted duplicates, similarity sanity, multimodal
@@ -493,5 +493,55 @@ class LlmSpec extends SparkSpec {
     val one = Image(1, 1, 3, Array[Byte](1, 2, 3))
     assert(ImageCodec.resizeNearest(one, 3, 2).pixels.toSeq ==
       Seq[Byte](1, 2, 3, 1, 2, 3, 1, 2, 3, 1, 2, 3, 1, 2, 3, 1, 2, 3))
+  }
+
+  test("cleanColumns: scrubs URLs/emails, collapses spaces and stuttered tokens") {
+    val d = Seq(
+      (1L, "see https://ex.com/a?b=1 and mail bob@ex.org now"),
+      (2L, "a a the the the end"),
+      (3L, "plain  double  spaces"),
+      (4L, "")).toDF("doc_id", "text")
+    val r = d.select((Seq(col("doc_id")) ++ TextOps.cleanColumns(col("text"))): _*)
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(1), x.getInt(2), x.getInt(3), x.getInt(4), x.getInt(5))).toMap
+    assert(r(1L) == (("see and mail now", 1, 1, 4, 4)))
+    assert(r(2L) == (("a the end", 0, 0, 6, 3)))
+    assert(r(3L) == (("plain double spaces", 0, 0, 3, 3)))
+    assert(r(4L) == (("", 0, 0, 1, 1))) // empty text → one empty token (split parity)
+  }
+
+  test("clusterBalance: every cell keeps exactly min-cell-size rows, deterministically") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = emb.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .filter($"vec_id" < 8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val bal = Pipeline.clusterBalance(emb, "vec_id", "embedding", cents, "t_")
+    val perCell = bal.groupBy("cell").count().collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(perCell.nonEmpty)
+    assert(perCell.map(_._2).distinct.length == 1, "all cells keep the same count")
+    val target = bal.select("target").head().getLong(0)
+    assert(perCell.forall(_._2 == target))
+    // rerun-stable (hash order, not partition order)
+    val again = Pipeline.clusterBalance(emb, "vec_id", "embedding", cents, "t_")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == bal.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // a different salt re-draws the within-cell sample
+    val other = Pipeline.clusterBalance(emb, "vec_id", "embedding", cents, "u_")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(other != again, "salt changes the draw")
+  }
+
+  test("decontaminateSemantic: flags cosine hits against the benchmark, exact") {
+    val corpus = Seq(
+      (10L, Seq(1.0, 0.0, 0.0)), // = benchmark vector → cos 1
+      (11L, Seq(0.0, 1.0, 0.0)), // orthogonal → unflagged
+      (12L, Seq(0.9, 0.1, 0.0))  // near → cos ≈ 0.994
+    ).toDF("vec_id", "embedding")
+    val bench = Seq((0L, Seq(1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val r = Pipeline.decontaminateSemantic(corpus, bench, "vec_id", "embedding", 0.9)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.keySet == Set(10L, 12L))
+    assert(r(10L) == 1.0)
+    assert(r(12L) > 0.99 && r(12L) < 1.0)
   }
 }
