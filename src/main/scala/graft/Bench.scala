@@ -44,12 +44,16 @@ object Bench {
     "pipeline_shards",
     "pipeline_decontaminate",
     "pipeline_decontaminate_fuzzy",
+    "pipeline_decontaminate_semantic",
+    "pipeline_cluster_balance",
     "pipeline_dedup_groups",
     "asof_events",
     "asof_events_salted",
     "range_join_events",
     "text_quality",
     "text_repetition",
+    "text_clean",
+    "text_vocab",
     "asql_containstext_indexed",
     "asql_containstext_scan",
     "asql_containstext_doc_indexed",
