@@ -106,7 +106,22 @@ object PlanAudit {
     Check("dedup_incremental",
       "resident side reads the persisted signature index", "graft-sigidx"),
     Check("dedup_incremental",
-      "arrival probe is a semi join against the index", "LeftSemi")
+      "arrival probe is a semi join against the index", "LeftSemi"),
+    // round-10 ops: semantic decontamination must broadcast the
+    // benchmark onto ONE corpus scan (never shuffle the corpus) and
+    // score with the compiled dot kernel; the cluster-balance draw is
+    // one window over the cell key; vocabulary top-k must plan as
+    // TakeOrderedAndProject (no global sort materialization); the
+    // text-clean scan reads only the two columns it uses
+    Check("pipeline_decontaminate_semantic",
+      "benchmark broadcasts onto one corpus scan", "BroadcastNestedLoopJoin"),
+    Check("pipeline_decontaminate_semantic",
+      "native dot kernel scores the pairs", "graft_dot"),
+    Check("pipeline_cluster_balance",
+      "balanced draw is one window over the cell key", "Window"),
+    Check("text_vocab", "vocab top-k without total sort", "TakeOrderedAndProject"),
+    Check("text_clean", "clean scan prunes to doc_id+text",
+      "ReadSchema: struct<doc_id:bigint,text:string>")
   )
 
   def main(args: Array[String]): Unit = {
