@@ -72,6 +72,57 @@ object EventsStream {
     w.start()
   }
 
+  /** Streaming near-dup gate — the arrival-time shape of corpus
+    * construction: each microbatch of documents is MinHash-deduplicated
+    * against everything that arrived before it, without ever rescanning
+    * or re-hashing the resident corpus. Composition of two existing
+    * proven pieces: [[graft.llmops.Dedup.incrementalKeep]] (one semi
+    * join against the banded-signature index + the intra-batch star
+    * rule) and an append-only parquet signature index (the kept rows'
+    * bands land as one sorted segment per batch, so later probes prune
+    * by row-group (band, sig) min/max exactly like the resident index
+    * built in bulk).
+    *
+    * Kept rows go to `sink` (e.g. [[ingestTo]]'s append sink, a parquet
+    * writer, …). Delivery is foreachBatch's at-least-once: a batch
+    * retried after a sink failure re-offers the SAME kept set — the
+    * dedup decision itself is idempotent, because re-probing rows whose
+    * bands already landed in the index can only drop MORE, and
+    * signature duplicates in the index never change a semi join's
+    * answer. Scale: per-batch work is batch-sized (the index side is
+    * pruned, the resident corpus untouched) — stream length only grows
+    * the index, which is output-linear in kept documents. */
+  def neardupGate(indexDir: String, docs: DataFrame, idCol: String,
+      textCol: String, numPerms: Int = 16, bands: Int = 4,
+      checkpointDir: Option[String] = None)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val w = docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val files = Option(new java.io.File(indexDir).listFiles).toSeq.flatten
+          val index =
+            if (files.exists(_.getName.endsWith(".parquet")))
+              spark.read.parquet(indexDir)
+            else spark.emptyDataFrame
+              .select(lit(0L).as(idCol), lit(0).as("band"), lit("").as("sig"))
+              .limit(0)
+          val kept = graft.llmops.Dedup
+            .incrementalKeep(index, batch, idCol, textCol, numPerms, bands)
+            .localCheckpoint(true) // consumed twice: sink + index append
+          sink(kept)
+          graft.llmops.Dedup
+            .bandedSignatures(graft.llmops.Dedup
+              .minhashSignatures(kept, idCol, textCol, numPerms),
+              idCol, numPerms, bands)
+            .sortWithinPartitions("band", "sig")
+            .write.mode("append").parquet(indexDir)
+        }
+      }
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.start()
+  }
+
   /** Tumbling-window counts with late-data drop via watermark. */
   def tumblingCounts(events: DataFrame, window_ : String = "10 minutes",
       watermark: String = "15 minutes"): DataFrame =

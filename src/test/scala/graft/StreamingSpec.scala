@@ -227,6 +227,35 @@ class StreamingSpec extends SparkSpec {
     assert(served.collect().map(_.getString(0)).toSeq == Seq("streamed zzgizmo gamma"))
   }
 
+  test("streaming near-dup gate drops arrivals colliding with earlier batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graftgateidx").toString
+    val keptRows = scala.collection.mutable.ArrayBuffer[Long]()
+    val mem = MemoryStream[Doc]
+    val q = EventsStream.neardupGate(idx, mem.toDF(), "doc_id", "text") { kept =>
+      keptRows.synchronized {
+        keptRows ++= kept.select("doc_id").collect().map(_.getLong(0))
+      }
+    }
+    // batch 1: 2 is an exact dup of 1 (intra-batch star rule)
+    mem.addData(
+      Doc(ts(1), 1L, "spark streams dedup the corpus fast"),
+      Doc(ts(2), 2L, "spark streams dedup the corpus fast"),
+      Doc(ts(3), 3L, "an entirely different document body here"))
+    q.processAllAvailable()
+    assert(keptRows.sorted == Seq(1L, 3L))
+    // batch 2: 4 collides with RESIDENT doc 1 (cross-batch, via the
+    // persisted index — doc 1's text is never re-read); 5 is new
+    mem.addData(
+      Doc(ts(4), 4L, "spark streams dedup the corpus fast"),
+      Doc(ts(5), 5L, "completely novel fifth arrival text okay"))
+    q.processAllAvailable()
+    q.stop()
+    assert(keptRows.sorted == Seq(1L, 3L, 5L))
+    // the index grew by exactly the kept documents' bands (4 each)
+    assert(spark.read.parquet(idx).select("doc_id").distinct().count() == 3)
+  }
+
   test("session windows merge events within the gap (streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
