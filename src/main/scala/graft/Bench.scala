@@ -32,6 +32,7 @@ object Bench {
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_incremental",
+    "dedup_embedding_lsh",
     "sim_topk",
     "sim_ivf_topk",
     "sim_ivf_trained_topk",

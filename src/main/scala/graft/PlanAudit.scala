@@ -120,6 +120,10 @@ object PlanAudit {
     Check("pipeline_cluster_balance",
       "balanced draw is one window over the cell key", "Window"),
     Check("text_vocab", "vocab top-k without total sort", "TakeOrderedAndProject"),
+    Check("dedup_embedding_lsh",
+      "per-bucket candidate cap precedes the pair join", "__crn"),
+    Check("dedup_embedding_lsh",
+      "native dot kernel re-ranks LSH candidates", "graft_dot"),
     Check("text_clean", "clean scan prunes to doc_id+text",
       "ReadSchema: struct<doc_id:bigint,text:string>")
   )

@@ -233,6 +233,51 @@ object Dedup {
 
   val SimBits = 60 // md5-derived token hash width that fits a signed long
 
+  /** Embedding near-dup at SCALE — the LSH-bucketed complement of the
+    * exact label-blocked cosine pass (`dedup_embedding`): candidates
+    * are pairs sharing a bucket in ANY of `tables` independent
+    * random-hyperplane hash tables (table t draws planes t·k…t·k+k−1
+    * of the shared deterministic family), re-ranked by exact cosine,
+    * thresholded at `tau`. The multi-table draw is the recall knob —
+    * the same role banding plays for MinHash — and the declared
+    * approximation is missing a pair whose vectors agree in NO table
+    * (recall on this synthetic structureless corpus is measured and
+    * recorded in BASELINE.md; true near-dups at cos → 1 flip plane
+    * signs with probability → 0, so the serving-shape recall → 1).
+    * Scale: ONE (table, bucket) equi-join, candidate volume bounded by
+    * the same per-bucket cap as [[Similarity.annTopK]] — never O(N²);
+    * at 100 TB tables/planes tune occupancy exactly like IVF cells. */
+  def embeddingNeardupLsh(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, tables: Int, planesPerTable: Int, tau: Double,
+      cap: Int = Similarity.CandidateCap): DataFrame = {
+    val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", Similarity.norm(col("v")))
+    val buckets = (0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        Similarity.lshBucket(col("v"), dim, planesPerTable,
+          t * planesPerTable).as("bucket"))
+    }
+    val banded = v.select(col(idCol), col("v"), col("n"),
+        explode(array(buckets: _*)).as("tb"))
+      .select(col(idCol), col("v"), col("n"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tbl"), col("bucket")).orderBy(col(idCol).asc)
+    val capped = banded.withColumn("__crn", row_number().over(w))
+      .filter(col("__crn") <= cap).drop("__crn")
+    val a = banded.select(col("tbl"), col("bucket"), col(idCol).as("d1"),
+      col("v").as("v1"), col("n").as("n1"))
+    val b = capped.select(col("tbl"), col("bucket"), col(idCol).as("d2"),
+      col("v").as("v2"), col("n").as("n2"))
+    a.join(b, Seq("tbl", "bucket")).filter(col("d1") < col("d2"))
+      .withColumn("cos", Similarity.dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cos") >= tau)
+      // a pair collides once per agreeing table; cos is functional on
+      // the pair, so the distinct dedups table multiplicity exactly
+      .select(col("d1"), col("d2"), round(col("cos"), 6).as("cos"))
+      .distinct()
+  }
+
   /** Per-document SimHash over whitespace tokens: bit i is set iff the
     * majority of token-occurrences have bit i set in their 60-bit md5
     * hash.

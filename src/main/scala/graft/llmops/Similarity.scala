@@ -184,10 +184,16 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id over `numPlanes` fixed ±1 planes:
-    * bit i = [dot(v, plane_i) > 0]. */
-  def lshBucket(vec: Column, dim: Int, numPlanes: Int): Column =
+    * bit i = [dot(v, plane_{offset+i}) > 0]. `planeOffset` lets callers
+    * draw INDEPENDENT hash tables from the same plane family (table t
+    * uses planes t·k … t·k+k−1), which is how the multi-table near-dup
+    * path gets its recall without changing this function's single-table
+    * callers (offset 0 = the original planes). */
+  def lshBucket(vec: Column, dim: Int, numPlanes: Int,
+      planeOffset: Int = 0): Column =
     (0 until numPlanes).map { i =>
-      val plane = array((0 until dim).map(j => lit(planeSign(i, j).toDouble)): _*)
+      val plane = array((0 until dim).map(j =>
+        lit(planeSign(planeOffset + i, j).toDouble)): _*)
       when(dot(vec, plane) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 

@@ -453,6 +453,36 @@ object LlmQueries {
         WHERE list_dot_product(a.v, b.v) /
           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35""")),
 
+    // embedding near-dup SCALE path (Dedup.embeddingNeardupLsh): pairs
+    // sharing a bucket in any of 4 independent 4-plane LSH tables,
+    // exact-cosine re-rank ≥ 0.35, per-bucket candidate cap — the
+    // approximate complement of dedup_embedding's exact blocked pass
+    // (recall measured in BASELINE.md #17)
+    Q("dedup_embedding_lsh",
+      (s, d) => Dedup.embeddingNeardupLsh(t(s, d, "embeddings"), "vec_id", "embedding",
+        64, 4, 4, 0.35),
+      Some {
+        val tableRows = (0 until 4).map { tt =>
+          val bits = (0 until 4).map { i =>
+            val plane = (0 until 64).map(j =>
+              s"${Similarity.planeSign(tt * 4 + i, j)}.0").mkString(",")
+            s"CASE WHEN list_dot_product(v, [$plane]::DOUBLE[]) > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+          }.mkString(" + ")
+          s"SELECT vec_id, v, $tt AS tbl, $bits AS bucket FROM v"
+        }.mkString(" UNION ALL ")
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          banded AS ($tableRows),
+          bn AS (SELECT vec_id, v, tbl, bucket, row_number() OVER (
+              PARTITION BY tbl, bucket ORDER BY vec_id ASC) AS crn FROM banded),
+          cand AS (SELECT a.vec_id AS d1, c.vec_id AS d2,
+              list_dot_product(a.v, c.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+            FROM banded a JOIN bn c ON a.tbl = c.tbl AND a.bucket = c.bucket
+              AND a.vec_id < c.vec_id
+            WHERE c.crn <= ${Similarity.CandidateCap})
+          SELECT DISTINCT d1, d2, round(cos, 6) AS cos FROM cand WHERE cos >= 0.35"""
+      }),
+
     // brute-force cosine top-k for a fixed query set (broadcast queries)
     Q("sim_topk",
       (s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",

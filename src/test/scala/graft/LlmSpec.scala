@@ -531,6 +531,32 @@ class LlmSpec extends SparkSpec {
     assert(other != again, "salt changes the draw")
   }
 
+  test("embeddingNeardupLsh: identical vectors always collide; output is a subset of exact pairs") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val lsh = Dedup.embeddingNeardupLsh(emb, "vec_id", "embedding", 64, 4, 4, 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // exact pairs at the same tau (no label blocking, rounded identically)
+    val v = emb.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val exact = v.select($"vec_id".as("d1"), $"v".as("v1"))
+      .join(v.select($"vec_id".as("d2"), $"v".as("v2")))
+      .filter($"d1" < $"d2")
+      .withColumn("cos", Similarity.dot($"v1", $"v2") /
+        (Similarity.norm($"v1") * Similarity.norm($"v2")))
+      .filter($"cos" >= 0.35)
+      .select($"d1", $"d2", round($"cos", 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.nonEmpty && lsh.keySet.subsetOf(exact.keySet))
+    lsh.foreach { case (k, c) => assert(exact(k) == c) } // same IEEE cosine
+    // an identical-vector pair agrees in EVERY table → always a candidate
+    val base = emb.limit(1).select($"embedding".cast("array<double>").as("v"))
+      .head().getSeq[Double](0)
+    import spark.implicits._
+    val planted = Seq((1L, base), (2L, base)).toDF("vec_id", "embedding")
+    val hit = Dedup.embeddingNeardupLsh(planted, "vec_id", "embedding", 64, 4, 4, 0.99)
+      .collect()
+    assert(hit.length == 1 && hit.head.getDouble(2) == 1.0)
+  }
+
   test("decontaminateSemantic: flags cosine hits against the benchmark, exact") {
     val corpus = Seq(
       (10L, Seq(1.0, 0.0, 0.0)), // = benchmark vector → cos 1
