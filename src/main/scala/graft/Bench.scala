@@ -43,6 +43,7 @@ object Bench {
     "asql_traverse_depth",
     "pipeline_prep",
     "pipeline_shards",
+    "pipeline_mix_rates",
     "pipeline_decontaminate",
     "pipeline_decontaminate_fuzzy",
     "pipeline_decontaminate_semantic",

@@ -122,6 +122,35 @@ object Pipeline {
       .select(col("cid"), round(col("mx"), 6).as("max_cos"), col("n_hits"))
   }
 
+  /** Mixture targeting — the planning half of data mixing: given
+    * target token-share weights per stratum (summing to 1), compute the
+    * per-stratum keep RATES that realize the mixture while discarding
+    * as little as possible. The achievable corpus size is bounded by
+    * the scarcest stratum relative to its target, T = min_s(tokens_s /
+    * w_s); stratum s keeps w_s·T of its tokens_s, i.e. rate_s =
+    * w_s·T / tokens_s, with the binding stratum at rate 1. Output is
+    * stratum-sized (one row per targeted stratum; untargeted strata
+    * are dropped — a rate-0 decision made loudly by absence).
+    * [[stratifiedSample]] applies the rates downstream. Scale: ONE
+    * hash agg over the stratum key + a broadcast scalar bind — the
+    * decision table is config-sized no matter the corpus. */
+  def mixRates(docs: DataFrame, stratumCol: String, textCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    val tokens = docs.groupBy(col(stratumCol).as("stratum"))
+      .agg(sum(size(TextOps.tokens(col(textCol)))).as("n_tokens"))
+    val wcol = targets.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
+      case (acc, (s, w)) => when(col("stratum") === s, lit(w)).otherwise(acc)
+    }
+    val withW = tokens.withColumn("target_w", wcol)
+      .filter(col("target_w").isNotNull)
+    val tmax = withW.agg(min(col("n_tokens") / col("target_w")).as("t_max"))
+    withW.crossJoin(broadcast(tmax)) // 1-row scalar bind
+      .select(col("stratum"), col("n_tokens"), col("target_w"),
+        // least() guards the binding stratum against a +1-ulp overshoot
+        round(least(lit(1.0), col("target_w") * col("t_max") / col("n_tokens")), 6)
+          .as("rate"))
+  }
+
   /** Cluster-balanced sampling — the data-mixing primitive over an
     * EMBEDDING clustering rather than a label column (D4/DataComp-style
     * rebalancing): assign every vector to its nearest centroid cell

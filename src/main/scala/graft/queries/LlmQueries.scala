@@ -20,6 +20,11 @@ object LlmQueries {
     * so the declared query exercises the machinery, not the epsilon). */
   val SemDecontamTau = 0.38
 
+  /** Target token-share mixture for the mix-rates declared query — ONE
+    * constant generating both the Spark plan and the oracle CASE. */
+  val MixTargets: Map[String, Double] =
+    Map("en" -> 0.4, "fr" -> 0.2, "es" -> 0.2, "de" -> 0.1, "zh" -> 0.1)
+
   // trained-centroid cache (see sim_ivf_trained_topk), keyed by
   // (dir, attribute fingerprint of embeddings.parquet) — regenerated
   // source data at the same path must retrain, or the served lists
@@ -783,6 +788,26 @@ object LlmQueries {
         FROM documents
         WHERE ${sqlMd5Hash32("'graft_mix_' || CAST(doc_id AS VARCHAR)")} % 100
           < CASE WHEN lang = 'en' THEN 60 ELSE 20 END""")),
+
+    // mixture targeting (Pipeline.mixRates): per-lang keep rates that
+    // realize a target token-share mixture — achievable size is bound
+    // by the scarcest stratum (rate 1 there); one stratum-keyed agg
+    Q("pipeline_mix_rates",
+      (s, d) => Pipeline.mixRates(t(s, d, "documents"), "lang", "text", MixTargets),
+      Some {
+        val cases = MixTargets.toSeq.sortBy(_._1)
+          .map { case (k, w) => s"WHEN '$k' THEN $w" }.mkString(" ")
+        s"""WITH tok AS (SELECT lang AS stratum,
+            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY lang),
+          w AS (SELECT stratum, n_tokens,
+            CASE stratum $cases END AS target_w FROM tok
+            WHERE CASE stratum $cases END IS NOT NULL),
+          m AS (SELECT min(n_tokens / target_w) AS t_max FROM w)
+          SELECT stratum, n_tokens, target_w,
+            round(least(1.0, target_w * t_max / n_tokens), 6) AS rate
+          FROM w CROSS JOIN m"""
+      }),
 
     // token-budget shard packing: per-lang running start offsets →
     // shard = floor(start / 4096) (streaming-pack rule)

@@ -84,14 +84,24 @@ object EventsStream {
     * built in bulk).
     *
     * Kept rows go to `sink` (e.g. [[ingestTo]]'s append sink, a parquet
-    * writer, …). Delivery is foreachBatch's at-least-once: a batch
-    * retried after a sink failure re-offers the SAME kept set — the
-    * dedup decision itself is idempotent, because re-probing rows whose
-    * bands already landed in the index can only drop MORE, and
-    * signature duplicates in the index never change a semi join's
-    * answer. Scale: per-batch work is batch-sized (the index side is
-    * pruned, the resident corpus untouched) — stream length only grows
-    * the index, which is output-linear in kept documents. */
+    * writer, …). Retry semantics (foreachBatch is at-least-once), per
+    * failure point — bands are appended only AFTER `sink` returns, for
+    * exactly the kept set, which gives the no-loss invariant "a row in
+    * the index was delivered":
+    *   - sink fails → nothing appended → the retry probes the same
+    *     index, keeps the same set, re-offers it (at-least-once);
+    *   - append fails → the retry re-offers the same kept set (duplicate
+    *     delivery) and re-appends; duplicate bands in the index never
+    *     change a semi join's answer;
+    *   - failure after append but before the checkpoint commits → the
+    *     retry SELF-collides with its own banded signatures, keeps
+    *     nothing, and delivers nothing twice — and cannot lose a row,
+    *     because its bands' presence proves the first delivery returned.
+    * One gate per index directory (concurrent writers would race their
+    * keep decisions; appends themselves are unique-filename-safe).
+    * Scale: per-batch work is batch-sized (the index side is pruned,
+    * the resident corpus untouched) — stream length only grows the
+    * index, which is output-linear in kept documents. */
   def neardupGate(indexDir: String, docs: DataFrame, idCol: String,
       textCol: String, numPerms: Int = 16, bands: Int = 4,
       checkpointDir: Option[String] = None)(sink: DataFrame => Unit)

@@ -557,6 +557,23 @@ class LlmSpec extends SparkSpec {
     assert(hit.length == 1 && hit.head.getDouble(2) == 1.0)
   }
 
+  test("mixRates: binding stratum keeps everything, realized shares hit the targets") {
+    val d = Seq(
+      (1L, "en", "a b c d e f g h i j"), // 10 tokens
+      (2L, "fr", "a b c d e"),           // 5 tokens  → scarce vs target
+      (3L, "en", "a b c d e f g h i j")) // en: 20, fr: 5
+    .toDF("doc_id", "lang", "text")
+    // targets: en 50%, fr 50% → T = min(20/.5, 5/.5) = 10; fr binds (rate 1),
+    // en keeps 5 of 20 (rate 0.25)
+    val r = Pipeline.mixRates(d, "lang", "text", Map("en" -> 0.5, "fr" -> 0.5))
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getDouble(3))).toMap
+    assert(r("fr") == ((5L, 1.0)))
+    assert(r("en") == ((20L, 0.25)))
+    // untargeted strata are absent, not rate-0 rows
+    val r2 = Pipeline.mixRates(d, "lang", "text", Map("en" -> 1.0))
+    assert(r2.collect().map(_.getString(0)).toSeq == Seq("en"))
+  }
+
   test("decontaminateSemantic: flags cosine hits against the benchmark, exact") {
     val corpus = Seq(
       (10L, Seq(1.0, 0.0, 0.0)), // = benchmark vector → cos 1
