@@ -367,6 +367,45 @@ object GraphLoader {
     }
   }
 
+  /** MANDATORY-constraint validation (ALTER PROPERTY … MANDATORY): per
+    * declared constraint, count label rows whose property is null.
+    * Under A7 normalization an absent key IS a null value, so a frame
+    * that lacks the column entirely violates on EVERY label row (the
+    * declared-but-never-stored column case — the opposite default from
+    * UNIQUE, whose null-skip makes absence trivially valid: a
+    * uniqueness invariant constrains values that exist, a mandatory
+    * invariant demands they exist). Unlike UNIQUE this is per-row, so
+    * callers can validate just a batch/rewrite — no store-wide rescan
+    * on append. Returns violations (label, property, cnt). */
+  def validateMandatory(nodes: DataFrame, edges: DataFrame, gs: GraphSchema): DataFrame = {
+    val frames = gs.constraints.filter(_.kind == "mandatory").map { c =>
+      val df = if (c.target == "node") nodes else edges
+      val nullRows =
+        if (df.columns.contains(c.property))
+          df.filter(col("label") === c.label && col(c.property).isNull)
+        else df.filter(col("label") === c.label)
+      nullRows.groupBy().agg(count(lit(1)).as("cnt")).filter(col("cnt") > 0)
+        .select(lit(c.label).as("label"), lit(c.property).as("property"), col("cnt"))
+    }
+    frames.reduceOption(_.unionByName(_)).getOrElse {
+      nodes.sparkSession.createDataFrame(
+        nodes.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("label", StringType),
+          StructField("property", StringType), StructField("cnt", LongType))))
+    }
+  }
+
+  private def requireMandatory(nodes: DataFrame, edges: DataFrame,
+      gs: GraphSchema, what: String): Unit = {
+    val viol = validateMandatory(nodes, edges, gs)
+    require(viol.isEmpty, {
+      val sample = viol.limit(3).collect()
+        .map(r => s"${r.getString(0)}.${r.getString(1)} (${r.getLong(2)} null rows)")
+        .mkString(", ")
+      s"$what rejected: MANDATORY violation(s): $sample"
+    })
+  }
+
   /** DML append sinks (SURVEY §2.B.1 DML row): the reference's HTTP API
     * accepts record inserts (`INSERT INTO` / `CREATE VERTEX/EDGE`); the
     * Spark-native parity is a validated batch append onto the persisted
@@ -525,6 +564,9 @@ object GraphLoader {
         .map(r => s"${r.getString(0)}.${r.getString(1)}=${r.getString(2)}").mkString(", ")
       s"append rejected: UNIQUE violation(s): $sample"
     })
+    // MANDATORY is per-row, so validating the BATCH suffices — the
+    // resident rows were validated when the constraint was declared
+    requireMandatory(batch, batch.limit(0), gs, "append")
     val labels = appendBatch(spark, outDir, "nodes", batch, m0, txn)
     if (txn.isEmpty) autoCompactIfNeeded(spark, outDir, labels.map(("nodes", _)))
   }
@@ -586,6 +628,8 @@ object GraphLoader {
         .map { case (l, rows) =>
           l -> ((rows.map(_.getString(1)).toSet, rows.map(_.getString(2)).toSet))
         }
+      // MANDATORY: batch-scoped, same argument as the node sink
+      requireMandatory(batch.limit(0), batch, gs, "append")
       // endpoint delta folds into the SAME manifest commit as the new
       // segments: a crash can never publish edges whose labels the
       // DELETE probe's pruning metadata doesn't yet know about
@@ -686,6 +730,17 @@ object GraphLoader {
           val sample = dup.limit(3).collect().map(_.get(0)).mkString(", ")
           s"UPDATE rejected: UNIQUE($label.${ix.property}) violated (e.g. $sample)"
         })
+      }
+      // MANDATORY re-check on the written gen: `SET p = null` (or an
+      // expression landing null) must not strip a constrained value
+      gs.constraints.filter(c => c.kind == "mandatory" &&
+          c.label == label && c.target == target).foreach { c =>
+        val nulls =
+          if (written.columns.contains(c.property))
+            written.filter(col(c.property).isNull).count()
+          else written.count()
+        require(nulls == 0,
+          s"UPDATE rejected: MANDATORY($label.${c.property}) violated ($nulls null row(s))")
       }
     } catch {
       case e: Throwable =>

@@ -26,6 +26,19 @@ final case class IndexDesc(
   def isBuildable: Boolean = !isArray
 }
 
+/** One declared property constraint (ArcadeDB's `ALTER PROPERTY …
+  * MANDATORY true` / `NOTNULL true` surface [dep arcadedb SQL]).
+  * Under the engine's A7 normalization an absent key IS a null column
+  * value (null-skip parity collapses "key missing" and "value null"
+  * into one representation), so MANDATORY and NOTNULL enforce the SAME
+  * invariant here — every stored row of the label carries a non-null
+  * value — and both spellings declare kind "mandatory". */
+final case class ConstraintDesc(
+    target: String, // "node" | "edge"
+    label: String,
+    property: String,
+    kind: String) // "mandatory"
+
 /** Per-label declared schema: the reference reads a per-label
   * property-key → type map without scanning rows
   * (`ArcadeDBService.java:150-151,234-235`) and declares it up-front
@@ -48,7 +61,8 @@ final case class FunctionDef(name: String, params: Seq[String], body: String)
   * schema).
   */
 final case class GraphSchema(labels: Seq[LabelSchema], indexes: Seq[IndexDesc],
-    functions: Seq[FunctionDef] = Nil) {
+    functions: Seq[FunctionDef] = Nil,
+    constraints: Seq[ConstraintDesc] = Nil) {
 
   def nodeLabels: Seq[String] = labels.filter(_.kind == "vertex").map(_.label)
   def edgeLabels: Seq[String] = labels.filter(_.kind == "edge").map(_.label)
@@ -68,7 +82,11 @@ final case class GraphSchema(labels: Seq[LabelSchema], indexes: Seq[IndexDesc],
     val fs = functions
       .map(f => s"""{"name":"${esc(f.name)}","params":${f.params.map(p => s""""${esc(p)}"""").mkString("[", ",", "]")},"body":"${esc(f.body)}"}""")
       .mkString("[", ",", "]")
-    s"""{"labels":$ls,"indexes":$is,"functions":$fs}"""
+    val cs = constraints
+      .map(c =>
+        s"""{"target":"${c.target}","label":"${esc(c.label)}","property":"${esc(c.property)}","kind":"${c.kind}"}""")
+      .mkString("[", ",", "]")
+    s"""{"labels":$ls,"indexes":$is,"functions":$fs,"constraints":$cs}"""
   }
 }
 
@@ -139,6 +157,19 @@ object GraphSchema {
         }
       case _ => Nil
     }
-    GraphSchema(labels, indexes, functions)
+    // absent in pre-constraint schema.json files → no constraints
+    val constraints = (root \ "constraints") match {
+      case JArray(arr) =>
+        arr.map { c =>
+          ConstraintDesc(
+            (c \ "target").extract[String],
+            (c \ "label").extract[String],
+            (c \ "property").extract[String],
+            (c \ "kind").extract[String]
+          )
+        }
+      case _ => Nil
+    }
+    GraphSchema(labels, indexes, functions, constraints)
   }
 }

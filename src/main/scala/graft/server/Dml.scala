@@ -61,6 +61,14 @@ object Dml {
   // dialect expression ('' escapes a quote), params an optional list
   private val CreateFunctionRe =
     """(?is)\s*(?:CREATE|DEFINE)\s+FUNCTION\s+(\w+)\s+'((?:[^']|'')*)'\s*(?:PARAMETERS\s*\[([^\]]*)\])?\s*""".r
+  // property constraints (ArcadeDB's ALTER PROPERTY surface [dep
+  // arcadedb SQL]): MANDATORY and NOTNULL collapse to one invariant
+  // under A7 normalization (absent key ≡ null value) — see
+  // ConstraintDesc. Other ALTER PROPERTY attributes (MIN/MAX/REGEXP/
+  // READONLY/DEFAULT/CUSTOM) are unsupported and fail the dispatch
+  // loudly rather than parsing to a silent no-op.
+  private val AlterPropertyRe =
+    """(?is)\s*ALTER\s+PROPERTY\s+(\w+)\.(\w+)\s+(?:MANDATORY|NOTNULL)\s+(true|false)\s*""".r
   // schema-lifecycle DDL completion: DROP mirrors of the CREATE forms
   private val DropTypeRe = """(?is)\s*DROP\s+TYPE\s+(\w+)(\s+IF\s+EXISTS)?\s*""".r
   private val DropPropertyRe = """(?is)\s*DROP\s+PROPERTY\s+(\w+)\.(\w+)\s*""".r
@@ -75,7 +83,7 @@ object Dml {
       t.startsWith("DELETE") || t.startsWith("COMPACT") ||
       t.startsWith("TRUNCATE") || t.startsWith("BACKUP") ||
       t.startsWith("CREATE FUNCTION") || t.startsWith("DEFINE FUNCTION") ||
-      t.startsWith("DROP")
+      t.startsWith("ALTER") || t.startsWith("DROP")
   }
 
   /** Execute a DML command against the persisted store; returns the
@@ -244,12 +252,43 @@ object Dml {
               // never a declared type whose manifest entry is gone
               val n = ddl(storeDir) { cur =>
                 (cur.copy(labels = cur.labels.filterNot(_.label == label),
-                  indexes = cur.indexes.filterNot(_.label == label)), 1L)
+                  indexes = cur.indexes.filterNot(_.label == label),
+                  constraints = cur.constraints.filterNot(_.label == label)), 1L)
               }
               if (m.gens(entity).contains(label))
                 graft.load.Store.writeManifest(storeDir, m.withoutLabel(entity, label))
               n
           }
+        }
+      case AlterPropertyRe(label, prop, value) =>
+        noTxn("DDL")
+        ddl(storeDir) { cur =>
+          val ls = cur.labels.find(_.label == label).getOrElse(
+            throw new IllegalArgumentException(s"unknown type: $label"))
+          require(ls.schema.fieldNames.contains(prop),
+            s"property $label.$prop is not declared — CREATE PROPERTY first")
+          val target = if (ls.kind == "vertex") "node" else "edge"
+          val c = graft.model.ConstraintDesc(target, label, prop, "mandatory")
+          def same(x: graft.model.ConstraintDesc) =
+            x.target == target && x.label == label && x.property == prop
+          if (value.equalsIgnoreCase("true")) {
+            require(!cur.constraints.exists(same),
+              s"$label.$prop is already MANDATORY")
+            // existing data must satisfy the constraint BEFORE it is
+            // declared (the CREATE INDEX UNIQUE discipline): a store
+            // already holding null rows would turn every later append
+            // into a liar's contract
+            val viol = GraphLoader.validateMandatory(
+              graft.load.Store.readEntity(spark, storeDir, "nodes"),
+              graft.load.Store.readEntity(spark, storeDir, "edges"),
+              cur.copy(constraints = Seq(c)))
+            require(viol.isEmpty, {
+              val n = viol.limit(1).collect().map(_.getLong(2)).headOption.getOrElse(0L)
+              s"ALTER PROPERTY rejected: $label.$prop has $n existing null row(s)"
+            })
+            (cur.copy(constraints = cur.constraints :+ c), 1L)
+          } else
+            (cur.copy(constraints = cur.constraints.filterNot(same)), 1L)
         }
       case DropPropertyRe(label, prop) =>
         noTxn("DDL")
@@ -262,6 +301,10 @@ object Dml {
           require(!cur.indexes.exists(i =>
               i.target == target && i.label == label && i.property == prop),
             s"DROP PROPERTY rejected: an index on $label.$prop exists — DROP INDEX first")
+          require(!cur.constraints.exists(c =>
+              c.target == target && c.label == label && c.property == prop),
+            s"DROP PROPERTY rejected: $label.$prop is MANDATORY — " +
+              "ALTER PROPERTY … MANDATORY false first")
           val updated = ls.copy(schema =
             StructType(ls.schema.fields.filterNot(_.name == prop)))
           (cur.copy(labels = cur.labels.map(l => if (l.label == label) updated else l)), 1L)

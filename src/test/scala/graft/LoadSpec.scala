@@ -1027,6 +1027,49 @@ class LoadSpec extends SparkSpec {
     assert(!gs.indexes.exists(i => i.label == "Order" && i.property == "note"))
   }
 
+  test("ALTER PROPERTY MANDATORY: declared, enforced at every sink, droppable") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graftmand").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    assert(graft.server.Dml.execute(spark, out, "CREATE VERTEX TYPE Gadget") == 1)
+    assert(graft.server.Dml.execute(spark, out, "CREATE PROPERTY Gadget.gname STRING") == 1)
+    // a row WITHOUT the property lands fine before the constraint…
+    assert(graft.server.Dml.execute(spark, out, "INSERT INTO Gadget SET id = 5000001") == 1)
+    // …and blocks declaring it (existing null rows must be fixed first)
+    intercept[IllegalArgumentException](
+      graft.server.Dml.execute(spark, out, "ALTER PROPERTY Gadget.gname MANDATORY true"))
+    assert(graft.server.Dml.execute(spark, out,
+      "UPDATE Gadget SET gname = 'g1' WHERE id = 5000001") == 1)
+    assert(graft.server.Dml.execute(spark, out, "ALTER PROPERTY Gadget.gname MANDATORY true") == 1)
+    // the constraint is in the served schema (rides /api/v1/schema)
+    val gs = graft.model.GraphSchema.fromJson(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$out/schema.json")))
+    assert(gs.constraints.exists(c =>
+      c.label == "Gadget" && c.property == "gname" && c.kind == "mandatory"))
+    // INSERT missing the property → rejected at the append sink
+    intercept[IllegalArgumentException](
+      graft.server.Dml.execute(spark, out, "INSERT INTO Gadget SET id = 5000002"))
+    // UPDATE stripping the value → rejected at the rewrite sink
+    intercept[IllegalArgumentException](
+      graft.server.Dml.execute(spark, out, "UPDATE Gadget SET gname = null WHERE id = 5000001"))
+    // a double-declare is loud; the NOTNULL spelling collapses to the
+    // same invariant (A7: absent key ≡ null) so it is "already" too
+    intercept[IllegalArgumentException](
+      graft.server.Dml.execute(spark, out, "ALTER PROPERTY Gadget.gname MANDATORY true"))
+    intercept[IllegalArgumentException](
+      graft.server.Dml.execute(spark, out, "ALTER PROPERTY Gadget.gname NOTNULL true"))
+    // DROP PROPERTY is refused while the constraint stands
+    intercept[IllegalArgumentException](
+      graft.server.Dml.execute(spark, out, "DROP PROPERTY Gadget.gname"))
+    // retire the constraint → everything above unblocks
+    assert(graft.server.Dml.execute(spark, out, "ALTER PROPERTY Gadget.gname MANDATORY false") == 1)
+    assert(graft.server.Dml.execute(spark, out, "INSERT INTO Gadget SET id = 5000002") == 1)
+    assert(graft.server.Dml.execute(spark, out, "DROP PROPERTY Gadget.gname") == 1)
+    // valid inserts flow normally under an active constraint elsewhere
+    assert(graft.server.Dml.execute(spark, out,
+      "INSERT INTO Gadget SET id = 5000003") == 1) // gname dropped: no constraint
+  }
+
   test("A16/A17: writeGraph persists partitioned layout + schema + checksum") {
     val out = Files.createTempDirectory("graftout").toString
     GraphLoader.writeGraph(spark, sfDir, out)
