@@ -436,7 +436,9 @@ object Dml {
         graft.load.Store.backup(storeDir, dest)
       case _ =>
         throw new IllegalArgumentException(
-          "unsupported DML (expected INSERT INTO … VALUES, CREATE VERTEX … SET, or CREATE EDGE … FROM … TO …)")
+          "unsupported DML (expected INSERT INTO … VALUES, CREATE VERTEX … SET, " +
+            "CREATE EDGE … FROM … TO …; the only ALTER form is " +
+            "ALTER PROPERTY T.p MANDATORY|NOTNULL true|false)")
     }
   }
 
