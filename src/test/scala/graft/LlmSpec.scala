@@ -557,6 +557,46 @@ class LlmSpec extends SparkSpec {
     assert(hit.length == 1 && hit.head.getDouble(2) == 1.0)
   }
 
+  test("embeddingNeardupLsh: planted near-dups (cos≈0.97) are recalled at ≥0.9") {
+    // BASELINE #17's serving-shape claim, MEASURED: plant 50 noisy
+    // duplicates of real vectors (deterministic hash noise, cos≈0.97)
+    // and assert the 4×4-table LSH pass recalls ≥90% of them. Theory:
+    // per-plane agreement 1−θ/π ≈ 0.92, per-table 0.92⁴ ≈ 0.72,
+    // P(miss all 4 tables) ≈ 0.28⁴ ≈ 0.006 → expected recall ≈ 0.99.
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .filter($"vec_id" < 50).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def noise(id: Long, j: Int): Double = {
+      // splitmix64-style deterministic noise in [-1, 1)
+      var z = id * 64 + j + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 52).toDouble - 1.0
+    }
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var d, na, nb = 0.0
+      (0 until a.length).foreach { i => d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val planted = base.map { case (id, v) =>
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      val dup = v.zipWithIndex.map { case (x, j) => x + 0.25 * nrm / 8 * noise(id, j) }
+      (id + 10000L, dup, cosine(v, dup))
+    }
+    val minCos = planted.map(_._3).min
+    assert(minCos > 0.9, s"noise too large: min planted cos $minCos")
+    import spark.implicits._
+    val corpus = (base.map { case (id, v) => (id, v.toSeq) } ++
+      planted.map { case (id, v, _) => (id, v.toSeq) }).toSeq
+      .toDF("vec_id", "embedding")
+    val found = Dedup.embeddingNeardupLsh(corpus, "vec_id", "embedding", 64, 4, 4,
+        minCos - 0.001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = base.count { case (id, _) => found.contains((id, id + 10000L)) } / 50.0
+    assert(recall >= 0.9, s"planted near-dup recall $recall < 0.9")
+  }
+
   test("mixRates: binding stratum keeps everything, realized shares hit the targets") {
     val d = Seq(
       (1L, "en", "a b c d e f g h i j"), // 10 tokens
