@@ -56,6 +56,7 @@ object Bench {
     "text_repetition",
     "text_clean",
     "text_vocab",
+    "text_chunks",
     "asql_containstext_indexed",
     "asql_containstext_scan",
     "asql_containstext_doc_indexed",

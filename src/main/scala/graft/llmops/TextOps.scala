@@ -114,6 +114,31 @@ object TextOps {
       (stop / nTok.cast("double")).as("stop_ratio"))
   }
 
+  /** Context-window chunking — split each document into fixed-size
+    * token windows with a stride (overlapping when stride < size, the
+    * training-sequence shape): chunk i covers tokens [i·stride,
+    * i·stride + size), the last chunk clipping at the document end.
+    * The token array is MATERIALIZED as a column before the explode so
+    * the split runs once per document, not once per chunk (the same
+    * lambda-re-evaluation trap [[cleanColumns]] documents). Map-only:
+    * zero shuffle, output-linear in total chunks — the plan a 100 TB
+    * corpus chunking job wants. Returns (id, chunk_id, chunk_text,
+    * n_chunk_tokens). */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      size_ : Int, stride: Int): DataFrame = {
+    require(size_ > 0 && stride > 0, "chunk size and stride must be positive")
+    docs.select(col(idCol), tokens(col(textCol)).as("tk"))
+      // chunk starts 0, stride, 2·stride … while start < n_tokens
+      .withColumn("chunk_id",
+        explode(sequence(lit(0),
+          floor((size(col("tk")) - 1).cast("double") / stride).cast("int"))))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ", slice(col("tk"), col("chunk_id") * stride + 1, lit(size_)))
+          .as("chunk_text"),
+        size(slice(col("tk"), col("chunk_id") * stride + 1, lit(size_)))
+          .as("n_chunk_tokens"))
+  }
+
   /** Scrub patterns for [[cleanColumns]] — written in the common subset
     * of Java regex (Spark) and RE2 (DuckDB): no backreferences, no
     * lookaround, so ONE literal serves both engines (the constants are

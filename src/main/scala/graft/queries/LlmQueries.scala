@@ -874,6 +874,19 @@ object LlmQueries {
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents) p
         GROUP BY tk ORDER BY tf DESC, tk ASC LIMIT 20""")),
 
+    // context-window chunking (TextOps.chunkTokens): 32-token windows
+    // at stride 24 (overlapping) — map-only explode, chunk-output-linear
+    Q("text_chunks",
+      (s, d) => TextOps.chunkTokens(t(s, d, "documents"), "doc_id", "text", 32, 24),
+      Some("""WITH tks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        c AS (SELECT doc_id, tk,
+          unnest(generate_series(0, CAST(floor((len(tk) - 1) / 24.0) AS INTEGER))) AS ci
+          FROM tks)
+        SELECT doc_id, CAST(ci AS INTEGER) AS chunk_id,
+          array_to_string(tk[ci*24+1 : ci*24+32], ' ') AS chunk_text,
+          CAST(len(tk[ci*24+1 : ci*24+32]) AS INTEGER) AS n_chunk_tokens
+        FROM c""")),
+
     // token counting: whitespace + regex ("BPE-ish") + distinct
     Q("text_tokens",
       (s, d) => t(s, d, "documents").select(

@@ -597,6 +597,22 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.9, s"planted near-dup recall $recall < 0.9")
   }
 
+  test("chunkTokens: overlapping windows cover every token, last chunk clips") {
+    val d = Seq((1L, "t0 t1 t2 t3 t4 t5 t6"), (2L, "a")).toDF("doc_id", "text")
+    val r = TextOps.chunkTokens(d, "doc_id", "text", 4, 3)
+      .collect().map(x => (x.getLong(0), x.getInt(1)) -> (x.getString(2), x.getInt(3))).toMap
+    // doc 1: 7 tokens, starts 0/3/6 → 3 chunks, last clipped to 1 token
+    assert(r((1L, 0)) == (("t0 t1 t2 t3", 4)))
+    assert(r((1L, 1)) == (("t3 t4 t5 t6", 4))) // overlap: t3 shared
+    assert(r((1L, 2)) == (("t6", 1)))
+    // doc 2: 1 token → exactly one chunk
+    assert(r((2L, 0)) == (("a", 1)))
+    assert(r.size == 4)
+    // every token index is covered by at least one chunk (stride ≤ size)
+    val covered = (0 until 3).flatMap(ci => (ci * 3) until math.min(ci * 3 + 4, 7)).toSet
+    assert(covered == (0 until 7).toSet)
+  }
+
   test("mixRates: binding stratum keeps everything, realized shares hit the targets") {
     val d = Seq(
       (1L, "en", "a b c d e f g h i j"), // 10 tokens
