@@ -25,6 +25,19 @@ object LlmQueries {
   val MixTargets: Map[String, Double] =
     Map("en" -> 0.4, "fr" -> 0.2, "es" -> 0.2, "de" -> 0.1, "zh" -> 0.1)
 
+  /** Composite quality-gate thresholds (Gopher-family filter rules) —
+    * single constants shared by the Spark plan and the oracle SQL.
+    * Chosen against the measured sf0.01 signal distributions so each
+    * rule actually splits the corpus (too_short ~5%, low_stopwords
+    * ~18%, low_ttr ~13%; the repetition rule fires only on genuinely
+    * degenerate docs — none in the synthetic corpus — and is exercised
+    * by a planted spec case instead). */
+  val QgMinTokens = 16
+  val QgMaxTokens = 512
+  val QgMinStopRatio = 0.03
+  val QgMinTtr = 0.33
+  val QgMaxDupTrigram = 0.2
+
   // trained-centroid cache (see sim_ivf_trained_topk), keyed by
   // (dir, attribute fingerprint of embeddings.parquet) — regenerated
   // source data at the same path must retrain, or the served lists
@@ -886,6 +899,61 @@ object LlmQueries {
           array_to_string(tk[ci*24+1 : ci*24+32], ' ') AS chunk_text,
           CAST(len(tk[ci*24+1 : ci*24+32]) AS INTEGER) AS n_chunk_tokens
         FROM c""")),
+
+    // composite quality gate — the Gopher-family filter DECISION: all
+    // per-doc signals (token bounds, stopword ratio, type-token ratio,
+    // duplicate-trigram fraction, LID agreement) evaluated in ONE
+    // map-only pass, failures reported by rule name (fixed order), keep
+    // = no failures. The op a prep pipeline actually branches on.
+    Q("pipeline_quality_gate",
+      (s, d) => {
+        val tk = TextOps.tokens(col("text"))
+        val nTok = size(tk)
+        val stopRatio = TextOps.langHits(col("text"), TextOps.LangMarkers.head._2) /
+          nTok.cast("double")
+        val ttr = size(array_distinct(tk)) / nTok.cast("double")
+        val sh = graft.plans.NGramMd5(tk, 3, 8)
+        val dup3 = when(size(sh) > 0,
+          (size(sh) - size(array_distinct(sh))).cast("double") / size(sh).cast("double"))
+          .otherwise(0.0)
+        val checks: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+          "too_short" -> (nTok < QgMinTokens),
+          "too_long" -> (nTok > QgMaxTokens),
+          "low_stopwords" -> (stopRatio < QgMinStopRatio),
+          "low_ttr" -> (ttr < QgMinTtr),
+          "repetitive" -> (dup3 > QgMaxDupTrigram),
+          "lang_mismatch" -> (TextOps.predictLang(col("text")) =!= col("lang")))
+        val reasons = concat_ws(",", checks.map { case (n, c) => when(c, lit(n)) }: _*)
+        t(s, d, "documents").select(col("doc_id"), nTok.as("n_tokens"),
+          reasons.as("reasons"), (reasons === "").as("keep"))
+      },
+      Some {
+        val (ctes, fin, pred) = sqlLangChain("doc_id, lang, text")
+        s"""WITH $ctes,
+          hh AS (SELECT doc_id, ${sqlMd5Hash32("sh")} AS sh FROM ($sqlShingles3) raw),
+          agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS nt,
+            CAST(count(DISTINCT sh) AS INTEGER) AS nd FROM hh GROUP BY doc_id),
+          base AS (SELECT q.doc_id,
+            CAST(len(string_split(q.text, ' ')) AS INTEGER) AS n_tokens,
+            len(list_filter(string_split(q.text, ' '),
+              x -> x IN ('the','a','of','and','is')))
+              / CAST(len(string_split(q.text, ' ')) AS DOUBLE) AS stopr,
+            len(list_distinct(string_split(q.text, ' ')))
+              / CAST(len(string_split(q.text, ' ')) AS DOUBLE) AS ttr,
+            CASE WHEN a.nt > 0 THEN (a.nt - a.nd) / CAST(a.nt AS DOUBLE)
+              ELSE 0.0 END AS dup3,
+            $pred AS pred_lang, q.lang AS lang
+            FROM $fin q LEFT JOIN agg a ON a.doc_id = q.doc_id),
+          gated AS (SELECT doc_id, n_tokens, concat_ws(',',
+            CASE WHEN n_tokens < $QgMinTokens THEN 'too_short' END,
+            CASE WHEN n_tokens > $QgMaxTokens THEN 'too_long' END,
+            CASE WHEN stopr < $QgMinStopRatio THEN 'low_stopwords' END,
+            CASE WHEN ttr < $QgMinTtr THEN 'low_ttr' END,
+            CASE WHEN dup3 > $QgMaxDupTrigram THEN 'repetitive' END,
+            CASE WHEN pred_lang <> lang THEN 'lang_mismatch' END) AS reasons
+            FROM base)
+          SELECT doc_id, n_tokens, reasons, reasons = '' AS keep FROM gated"""
+      }),
 
     // token counting: whitespace + regex ("BPE-ish") + distinct
     Q("text_tokens",

@@ -597,6 +597,29 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.9, s"planted near-dup recall $recall < 0.9")
   }
 
+  test("quality gate: each rule fires on a planted violator, clean docs keep") {
+    import graft.queries.LlmQueries._
+    val gate = graft.queries.LlmQueries.queries.find(_.name == "pipeline_quality_gate").get
+    val tmp = java.nio.file.Files.createTempDirectory("graftqg")
+    val docs = Seq(
+      // clean: 20 tokens, stopwords present, varied vocabulary, en markers
+      (1L, "en", "the quick brown fox jumps over a lazy dog while the sun is warm and birds sing of spring days"),
+      (2L, "en", "tiny doc of the day"),                       // too_short (5 < 16)
+      // repetitive: one trigram looped → dup fraction ≈ 1
+      (3L, "en", "the spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam is bad"),
+      // lang_mismatch: French markers under an 'en' label (≥16 tokens)
+      (4L, "en", "le chat et la souris et les amis et des voisins et le jardin et la maison et")
+    ).toDF("doc_id", "lang", "text")
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")).cast("long"))
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = gate.spark(spark, tmp.toString).collect()
+      .map(x => x.getLong(0) -> (x.getString(2), x.getBoolean(3))).toMap
+    assert(r(1L) == (("", true)), s"clean doc flagged: ${r(1L)}")
+    assert(r(2L)._1.contains("too_short") && !r(2L)._2)
+    assert(r(3L)._1.contains("repetitive") && !r(3L)._2)
+    assert(r(4L)._1.contains("lang_mismatch") && !r(4L)._2)
+  }
+
   test("chunkTokens: overlapping windows cover every token, last chunk clips") {
     val d = Seq((1L, "t0 t1 t2 t3 t4 t5 t6"), (2L, "a")).toDF("doc_id", "text")
     val r = TextOps.chunkTokens(d, "doc_id", "text", 4, 3)
