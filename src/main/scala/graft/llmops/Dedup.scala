@@ -250,6 +250,8 @@ object Dedup {
   def embeddingNeardupLsh(emb: DataFrame, idCol: String, vecCol: String,
       dim: Int, tables: Int, planesPerTable: Int, tau: Double,
       cap: Int = Similarity.CandidateCap): DataFrame = {
+    require(tables > 0 && planesPerTable > 0 && planesPerTable <= 62,
+      "need ≥1 table of 1..62 planes (bucket bits must fit a long)")
     val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", Similarity.norm(col("v")))
     val buckets = (0 until tables).map { t =>

@@ -166,6 +166,9 @@ object Pipeline {
     * candidate cap; a skewed cell costs its occupancy, never O(N²). */
   def clusterBalance(emb: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Long, Seq[Double])], salt: String): DataFrame = {
+    // an empty quantizer would make every cell assignment null — refuse
+    // loudly instead of returning an empty "balanced" sample
+    require(centroids.nonEmpty, "clusterBalance needs at least one centroid")
     val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nv", Similarity.norm(col("v")))
     val assigned = v
