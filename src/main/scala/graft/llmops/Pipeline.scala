@@ -122,6 +122,41 @@ object Pipeline {
       .select(col("cid"), round(col("mx"), 6).as("max_cos"), col("n_hits"))
   }
 
+  /** Threshold set for [[qualityGate]] (Gopher-family filter rules). */
+  final case class GateRules(minTokens: Int, maxTokens: Int,
+      minStopRatio: Double, minTtr: Double, maxDupTrigram: Double)
+
+  /** Composite quality gate — the filter DECISION a prep pipeline
+    * branches on: every per-document signal (token bounds, stopword
+    * ratio, type-token ratio, duplicate-trigram fraction via the
+    * compiled shingle kernel, LID agreement) evaluated in ONE map-only
+    * pass; failures reported by rule name in a fixed order, keep = no
+    * failures. Stateless per-row columns, so the same plan runs under
+    * Structured Streaming unchanged. Returns
+    * (id, n_tokens, reasons, keep). */
+  def qualityGate(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, r: GateRules): DataFrame = {
+    val tk = TextOps.tokens(col(textCol))
+    val nTok = size(tk)
+    val stopRatio = TextOps.langHits(col(textCol), TextOps.LangMarkers.head._2) /
+      nTok.cast("double")
+    val ttr = size(array_distinct(tk)) / nTok.cast("double")
+    val sh = graft.plans.NGramMd5(tk, 3, 8)
+    val dup3 = when(size(sh) > 0,
+      (size(sh) - size(array_distinct(sh))).cast("double") / size(sh).cast("double"))
+      .otherwise(0.0)
+    val checks: Seq[(String, Column)] = Seq(
+      "too_short" -> (nTok < r.minTokens),
+      "too_long" -> (nTok > r.maxTokens),
+      "low_stopwords" -> (stopRatio < r.minStopRatio),
+      "low_ttr" -> (ttr < r.minTtr),
+      "repetitive" -> (dup3 > r.maxDupTrigram),
+      "lang_mismatch" -> (TextOps.predictLang(col(textCol)) =!= col(langCol)))
+    val reasons = concat_ws(",", checks.map { case (n, c) => when(c, lit(n)) }: _*)
+    docs.select(col(idCol), nTok.as("n_tokens"),
+      reasons.as("reasons"), (reasons === "").as("keep"))
+  }
+
   /** Mixture targeting — the planning half of data mixing: given
     * target token-share weights per stratum (summing to 1), compute the
     * per-stratum keep RATES that realize the mixture while discarding

@@ -906,27 +906,9 @@ object LlmQueries {
     // map-only pass, failures reported by rule name (fixed order), keep
     // = no failures. The op a prep pipeline actually branches on.
     Q("pipeline_quality_gate",
-      (s, d) => {
-        val tk = TextOps.tokens(col("text"))
-        val nTok = size(tk)
-        val stopRatio = TextOps.langHits(col("text"), TextOps.LangMarkers.head._2) /
-          nTok.cast("double")
-        val ttr = size(array_distinct(tk)) / nTok.cast("double")
-        val sh = graft.plans.NGramMd5(tk, 3, 8)
-        val dup3 = when(size(sh) > 0,
-          (size(sh) - size(array_distinct(sh))).cast("double") / size(sh).cast("double"))
-          .otherwise(0.0)
-        val checks: Seq[(String, org.apache.spark.sql.Column)] = Seq(
-          "too_short" -> (nTok < QgMinTokens),
-          "too_long" -> (nTok > QgMaxTokens),
-          "low_stopwords" -> (stopRatio < QgMinStopRatio),
-          "low_ttr" -> (ttr < QgMinTtr),
-          "repetitive" -> (dup3 > QgMaxDupTrigram),
-          "lang_mismatch" -> (TextOps.predictLang(col("text")) =!= col("lang")))
-        val reasons = concat_ws(",", checks.map { case (n, c) => when(c, lit(n)) }: _*)
-        t(s, d, "documents").select(col("doc_id"), nTok.as("n_tokens"),
-          reasons.as("reasons"), (reasons === "").as("keep"))
-      },
+      (s, d) => Pipeline.qualityGate(t(s, d, "documents"), "doc_id", "text", "lang",
+        Pipeline.GateRules(QgMinTokens, QgMaxTokens, QgMinStopRatio, QgMinTtr,
+          QgMaxDupTrigram)),
       Some {
         val (ctes, fin, pred) = sqlLangChain("doc_id, lang, text")
         s"""WITH $ctes,

@@ -256,6 +256,30 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(idx).select("doc_id").distinct().count() == 3)
   }
 
+  test("quality gate runs unchanged under streaming and equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llmops.Pipeline
+    val rules = Pipeline.GateRules(3, 100, 0.0, 0.2, 0.9)
+    val docs = Seq(
+      Doc(ts(1), 1L, "the quick brown fox jumps over a lazy dog today"),
+      Doc(ts(2), 2L, "a b"), // too_short
+      Doc(ts(3), 3L, "x x x x x x x x x x x x")) // low_ttr + repetitive
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.qualityGate(df.withColumn("lang", lit("en")), "doc_id", "text", "lang", rules)
+    val mem = MemoryStream[Doc]
+    val q = gate(mem.toDF()).writeStream.format("memory").queryName("qgate")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("qgate").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getBoolean(3))).toSet
+    val batch = gate(docs.toDF()).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getBoolean(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.exists { case (id, reasons, keep) => id == 2L && reasons.contains("too_short") && !keep })
+  }
+
   test("session windows merge events within the gap (streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
