@@ -186,6 +186,22 @@ object Pipeline {
           .as("rate"))
   }
 
+  /** Apply a target mixture end-to-end: [[mixRates]] plans the
+    * per-stratum keep rates, then [[stratifiedSample]]'s md5-bucket
+    * rule applies them (rates quantized to integer percent — the
+    * sampler's deterministic unit). The rate table is stratum-sized, so
+    * the collect is config-sized by construction; the sampling pass
+    * itself stays map-only. Realized token shares approach the targets
+    * up to percent quantization and per-bucket hash variance. */
+  def applyMix(docs: DataFrame, idCol: String, stratumCol: String,
+      textCol: String, targets: Map[String, Double], salt: String): DataFrame = {
+    val rates = mixRates(docs, stratumCol, textCol, targets)
+      .select(col("stratum"), col("rate")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1) * 100).round.toInt.min(100)).toMap
+    val targeted = docs.filter(col(stratumCol).isin(rates.keys.toSeq: _*))
+    stratifiedSample(targeted, idCol, stratumCol, rates, defaultPct = 0, salt)
+  }
+
   /** Cluster-balanced sampling — the data-mixing primitive over an
     * EMBEDDING clustering rather than a label column (D4/DataComp-style
     * rebalancing): assign every vector to its nearest centroid cell

@@ -653,6 +653,24 @@ class LlmSpec extends SparkSpec {
     assert(r2.collect().map(_.getString(0)).toSeq == Seq("en"))
   }
 
+  test("applyMix: realized token shares land near the targets") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val targets = Map("en" -> 0.5, "fr" -> 0.5)
+    val mixed = Pipeline.applyMix(docs, "doc_id", "lang", "text", targets, "mix_")
+      .withColumn("n_tok", size(TextOps.tokens(col("text"))))
+    val byLang = mixed.groupBy("lang").agg(sum("n_tok").as("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.keySet == Set("en", "fr"), "untargeted strata excluded")
+    val total = byLang.values.sum.toDouble
+    // percent quantization + hash variance: shares within ±10 points
+    byLang.values.foreach(t => assert(math.abs(t / total - 0.5) < 0.10,
+      s"share ${t / total} off target 0.5 (per-lang: $byLang)"))
+    // deterministic: the same salt reproduces the same sample
+    val again = Pipeline.applyMix(docs, "doc_id", "lang", "text", targets, "mix_")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == mixed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("decontaminateSemantic: flags cosine hits against the benchmark, exact") {
     val corpus = Seq(
       (10L, Seq(1.0, 0.0, 0.0)), // = benchmark vector → cos 1
