@@ -263,6 +263,11 @@ object Dedup {
         explode(array(buckets: _*)).as("tb"))
       .select(col(idCol), col("v"), col("n"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      // consumed by BOTH join sides with different child plans (the
+      // capped side adds a window), so no exchange reuse — without the
+      // materialization the scan + tables×planes×dim bucket hashing
+      // runs twice (the minhashCandidates precedent, review r10)
+      .localCheckpoint(true)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("tbl"), col("bucket")).orderBy(col(idCol).asc)
     val capped = banded.withColumn("__crn", row_number().over(w))

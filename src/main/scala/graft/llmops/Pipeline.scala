@@ -151,7 +151,10 @@ object Pipeline {
       "low_stopwords" -> (stopRatio < r.minStopRatio),
       "low_ttr" -> (ttr < r.minTtr),
       "repetitive" -> (dup3 > r.maxDupTrigram),
-      "lang_mismatch" -> (TextOps.predictLang(col(textCol)) =!= col(langCol)))
+      // null-safe: an UNLABELED doc is a mismatch, not a silent pass —
+      // plain =!= evaluates to null on a null label and the when()
+      // would skip the rule entirely (review r10)
+      "lang_mismatch" -> !(TextOps.predictLang(col(textCol)) <=> col(langCol)))
     val reasons = concat_ws(",", checks.map { case (n, c) => when(c, lit(n)) }: _*)
     docs.select(col(idCol), nTok.as("n_tokens"),
       reasons.as("reasons"), (reasons === "").as("keep"))
@@ -171,6 +174,11 @@ object Pipeline {
     * decision table is config-sized no matter the corpus. */
   def mixRates(docs: DataFrame, stratumCol: String, textCol: String,
       targets: Map[String, Double]): DataFrame = {
+    // a zero weight divides to Infinity (t_max) and multiplies back to
+    // NaN rates; negative weights flip the min — refuse loudly (the
+    // clusterBalance degenerate-parameter discipline, review r10)
+    require(targets.values.forall(_ > 0),
+      s"mixRates needs strictly positive target weights, got $targets")
     val tokens = docs.groupBy(col(stratumCol).as("stratum"))
       .agg(sum(size(TextOps.tokens(col(textCol)))).as("n_tokens"))
     val wcol = targets.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
@@ -197,7 +205,12 @@ object Pipeline {
       textCol: String, targets: Map[String, Double], salt: String): DataFrame = {
     val rates = mixRates(docs, stratumCol, textCol, targets)
       .select(col("stratum"), col("rate")).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1) * 100).round.toInt.min(100)).toMap
+      // floor at 1%: a planned rate below the sampler's percent unit
+      // must round UP, not to zero — rounding a 0.4% rate to 0 would
+      // DROP the stratum entirely (total mixture error), while keeping
+      // 1% overshoots only that stratum's small share (review r10)
+      .map(r => r.getString(0) ->
+        (r.getDouble(1) * 100).round.toInt.max(1).min(100)).toMap
     val targeted = docs.filter(col(stratumCol).isin(rates.keys.toSeq: _*))
     stratifiedSample(targeted, idCol, stratumCol, rates, defaultPct = 0, salt)
   }
@@ -225,6 +238,10 @@ object Pipeline {
     val assigned = v
       .withColumn("cell", Similarity.ivfCell(col("v"), col("nv"), centroids))
       .select(col(idCol), col("cell"))
+      // consumed by the cell-count aggregate AND the window subtree —
+      // materialize once or the scan + nCentroids×dim argmax pass (the
+      // dominant cost) runs twice (review r10)
+      .localCheckpoint(true)
     val target = assigned.groupBy(col("cell")).agg(count(lit(1)).as("csz"))
       .agg(min(col("csz")).as("target"))
     val w = Window.partitionBy(col("cell")).orderBy(

@@ -127,7 +127,10 @@ object TextOps {
   def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
       size_ : Int, stride: Int): DataFrame = {
     require(size_ > 0 && stride > 0, "chunk size and stride must be positive")
-    docs.select(col(idCol), tokens(col(textCol)).as("tk"))
+    // null text normalizes to "" (one empty token, one empty chunk):
+    // size(null) = -1 would otherwise make sequence(0, -1) count DOWN,
+    // emitting chunk_ids 0 and -1 with -1 token counts (review r10)
+    docs.select(col(idCol), tokens(coalesce(col(textCol), lit(""))).as("tk"))
       // chunk starts 0, stride, 2·stride … while start < n_tokens
       .withColumn("chunk_id",
         explode(sequence(lit(0),

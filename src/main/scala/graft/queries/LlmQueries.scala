@@ -891,7 +891,7 @@ object LlmQueries {
     // at stride 24 (overlapping) — map-only explode, chunk-output-linear
     Q("text_chunks",
       (s, d) => TextOps.chunkTokens(t(s, d, "documents"), "doc_id", "text", 32, 24),
-      Some("""WITH tks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      Some("""WITH tks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk FROM documents),
         c AS (SELECT doc_id, tk,
           unnest(generate_series(0, CAST(floor((len(tk) - 1) / 24.0) AS INTEGER))) AS ci
           FROM tks)
@@ -932,7 +932,7 @@ object LlmQueries {
             CASE WHEN stopr < $QgMinStopRatio THEN 'low_stopwords' END,
             CASE WHEN ttr < $QgMinTtr THEN 'low_ttr' END,
             CASE WHEN dup3 > $QgMaxDupTrigram THEN 'repetitive' END,
-            CASE WHEN pred_lang <> lang THEN 'lang_mismatch' END) AS reasons
+            CASE WHEN pred_lang IS DISTINCT FROM lang THEN 'lang_mismatch' END) AS reasons
             FROM base)
           SELECT doc_id, n_tokens, reasons, reasons = '' AS keep FROM gated"""
       }),

@@ -99,6 +99,15 @@ object EventsStream {
     *     because its bands' presence proves the first delivery returned.
     * One gate per index directory (concurrent writers would race their
     * keep decisions; appends themselves are unique-filename-safe).
+    *
+    * Scope (the MinHash family invariant, same as the batch pipeline):
+    * documents with fewer than 3 tokens have no 3-gram shingles, hence
+    * no signature and no bands — they are ALWAYS kept, never indexed,
+    * and the retry/self-collision guarantees above do not apply to
+    * them (a retried batch re-delivers its sub-shingle docs). Callers
+    * needing exact dedup of micro-documents should gate them
+    * separately on a content fingerprint; near-dup semantics below the
+    * shingle width are not meaningful (review r10).
     * Scale: per-batch work is batch-sized (the index side is pruned,
     * the resident corpus untouched) — stream length only grows the
     * index, which is output-linear in kept documents. */

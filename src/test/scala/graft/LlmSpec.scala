@@ -608,7 +608,10 @@ class LlmSpec extends SparkSpec {
       // repetitive: one trigram looped → dup fraction ≈ 1
       (3L, "en", "the spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam is bad"),
       // lang_mismatch: French markers under an 'en' label (≥16 tokens)
-      (4L, "en", "le chat et la souris et les amis et des voisins et le jardin et la maison et")
+      (4L, "en", "le chat et la souris et les amis et des voisins et le jardin et la maison et"),
+      // NULL label: must be a mismatch, not a silent pass (review r10)
+      (5L, null.asInstanceOf[String],
+        "the quick brown fox jumps over a lazy dog while the sun is warm and birds sing")
     ).toDF("doc_id", "lang", "text")
       .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")).cast("long"))
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
@@ -618,6 +621,7 @@ class LlmSpec extends SparkSpec {
     assert(r(2L)._1.contains("too_short") && !r(2L)._2)
     assert(r(3L)._1.contains("repetitive") && !r(3L)._2)
     assert(r(4L)._1.contains("lang_mismatch") && !r(4L)._2)
+    assert(r(5L)._1 == "lang_mismatch" && !r(5L)._2, s"null label must flag: ${r(5L)}")
   }
 
   test("chunkTokens: overlapping windows cover every token, last chunk clips") {
@@ -669,6 +673,18 @@ class LlmSpec extends SparkSpec {
     val again = Pipeline.applyMix(docs, "doc_id", "lang", "text", targets, "mix_")
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(again == mixed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // a sub-percent planned rate floors at 1%, never 0 — the stratum
+    // stays in the mix instead of vanishing (review r10): en is 50000
+    // tokens vs fr's 8 at 50/50 targets → en's exact rate is 0.016%
+    val skew = ((0 until 500).map(i => (i.toLong, "en", Seq.fill(100)("tok").mkString(" ")))
+      :+ (9999L, "fr", "dix petits jetons pour la strate rare ici")).toDF("doc_id", "lang", "text")
+    val skewKept = Pipeline.applyMix(skew, "doc_id", "lang", "text", targets, "mix_")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(skewKept.getOrElse("en", 0L) > 0, s"floored stratum dropped: $skewKept")
+    assert(skewKept.getOrElse("fr", 0L) == 1L)
+    // degenerate weights are refused loudly
+    intercept[IllegalArgumentException](
+      Pipeline.mixRates(skew, "lang", "text", Map("en" -> 0.0)))
   }
 
   test("decontaminateSemantic: flags cosine hits against the benchmark, exact") {
