@@ -238,10 +238,13 @@ object Pipeline {
     val assigned = v
       .withColumn("cell", Similarity.ivfCell(col("v"), col("nv"), centroids))
       .select(col(idCol), col("cell"))
-      // consumed by the cell-count aggregate AND the window subtree —
-      // materialize once or the scan + nCentroids×dim argmax pass (the
-      // dominant cost) runs twice (review r10)
-      .localCheckpoint(true)
+    // `assigned` is consumed twice (cell-count aggregate + window) and
+    // the subtrees share no exchange, so the scan + argmax pass DOES
+    // run twice — but materializing it was MEASURED slower at sf0.1
+    // (0.46→0.83 s) AND at ×100 (0.97→1.33 s): the narrow (id, cell)
+    // recompute is map-parallel and cheap, while an eager checkpoint
+    // is a serial barrier + write. Recompute wins; re-measure before
+    // "fixing" this again (review r10 finding rejected by measurement).
     val target = assigned.groupBy(col("cell")).agg(count(lit(1)).as("csz"))
       .agg(min(col("csz")).as("target"))
     val w = Window.partitionBy(col("cell")).orderBy(
