@@ -58,6 +58,7 @@ object Bench {
     "text_clean",
     "text_vocab",
     "text_chunks",
+    "pipeline_pack_chunks",
     "asql_containstext_indexed",
     "asql_containstext_scan",
     "asql_containstext_doc_indexed",

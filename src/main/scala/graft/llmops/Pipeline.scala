@@ -73,6 +73,28 @@ object Pipeline {
         floor(col("start_offset").cast("double") / capTokens).cast("long"))
   }
 
+  /** Sequence packing — the last mile of corpus prep: pack UNITS
+    * (typically [[TextOps.chunkTokens]] chunks) in (docId, unitId)
+    * order into fixed-`capTokens` training sequences per stratum, a
+    * unit landing in the sequence its START offset falls into (the
+    * same streaming-pack rule as [[shardAssign]], at unit granularity
+    * with a composite order key). ONE window shuffle on the stratum
+    * key; the running sum is the only state, so the plan scales like
+    * the shard packer. Returns the units annotated with
+    * (start_offset, seq_id). */
+  def packSequences(units: DataFrame, docIdCol: String, unitIdCol: String,
+      stratumCol: String, nTokensCol: String, capTokens: Int): DataFrame = {
+    require(capTokens > 0, "sequence capacity must be positive")
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col(docIdCol), col(unitIdCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    units.select(col(docIdCol), col(unitIdCol), col(stratumCol).as("stratum"),
+        col(nTokensCol).as("n_tokens"))
+      .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id",
+        floor(col("start_offset").cast("double") / capTokens).cast("long"))
+  }
+
   /** Benchmark decontamination — the standard pretraining hygiene
     * pass: flag every corpus document sharing ANY length-`n` token
     * shingle with the eval/benchmark set (n ≈ 8–13 in practice; short

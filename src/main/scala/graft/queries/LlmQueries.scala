@@ -937,6 +937,35 @@ object LlmQueries {
           SELECT doc_id, n_tokens, reasons, reasons = '' AS keep FROM gated"""
       }),
 
+    // sequence packing (Pipeline.packSequences over chunkTokens units):
+    // chunks packed in (doc, chunk) order into 1024-token training
+    // sequences per lang — chunk → pack, the corpus-prep last mile
+    Q("pipeline_pack_chunks",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val chunks = TextOps.chunkTokens(docs, "doc_id", "text", 32, 24)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        Pipeline.packSequences(chunks, "doc_id", "chunk_id", "lang",
+          "n_chunk_tokens", 1024)
+      },
+      Some("""WITH tks AS (SELECT doc_id, lang, string_split(coalesce(text, ''), ' ') AS tk
+          FROM documents),
+        c AS (SELECT doc_id, lang, tk,
+          unnest(generate_series(0, CAST(floor((len(tk) - 1) / 24.0) AS INTEGER))) AS ci
+          FROM tks),
+        u AS (SELECT doc_id, CAST(ci AS INTEGER) AS chunk_id, lang AS stratum,
+          CAST(len(tk[ci*24+1 : ci*24+32]) AS INTEGER) AS n_tokens FROM c)
+        SELECT doc_id, chunk_id, stratum, n_tokens,
+          CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY stratum
+            ORDER BY doc_id, chunk_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS start_offset,
+          CAST(floor(CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY stratum
+            ORDER BY doc_id, chunk_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+            / 1024) AS BIGINT) AS seq_id
+        FROM u""")),
+
     // token counting: whitespace + regex ("BPE-ish") + distinct
     Q("text_tokens",
       (s, d) => t(s, d, "documents").select(

@@ -640,6 +640,21 @@ class LlmSpec extends SparkSpec {
     assert(covered == (0 until 7).toSet)
   }
 
+  test("packSequences: units fill a sequence to capacity, then roll over") {
+    val units = Seq(
+      (1L, 0, "en", 400), (1L, 1, "en", 400), (2L, 0, "en", 400), // 3rd starts at 800 → seq 0
+      (3L, 0, "en", 400),                                          // starts 1200 → seq 1
+      (9L, 0, "fr", 50)                                            // own stratum → seq 0
+    ).toDF("doc_id", "chunk_id", "lang", "n_tok")
+    val r = Pipeline.packSequences(units, "doc_id", "chunk_id", "lang", "n_tok", 1024)
+      .collect().map(x => (x.getLong(0), x.getInt(1)) -> (x.getLong(4), x.getLong(5))).toMap
+    assert(r((1L, 0)) == ((0L, 0L)))
+    assert(r((1L, 1)) == ((400L, 0L)))
+    assert(r((2L, 0)) == ((800L, 0L))) // starts inside capacity → seq 0
+    assert(r((3L, 0)) == ((1200L, 1L))) // rolls over
+    assert(r((9L, 0)) == ((0L, 0L))) // strata pack independently
+  }
+
   test("mixRates: binding stratum keeps everything, realized shares hit the targets") {
     val d = Seq(
       (1L, "en", "a b c d e f g h i j"), // 10 tokens
