@@ -43,7 +43,14 @@ object PlanAudit {
     Check("sim_ivf_topk", "per-cell candidate cap precedes the re-rank join", "__crn"),
     Check("sim_ann_topk", "per-bucket candidate cap precedes the re-rank join", "__crn"),
     Check("pipeline_prep", "native marker-count kernel in the prep gate", "graft_token_set_count"),
-    Check("pipeline_shards", "shard packing is one window over the stratum", "Window"),
+    // the packers' heavy window must partition by (stratum, __blk) —
+    // the two-phase prefix sum's block key — never by the stratum
+    // alone (which would serialize each language/domain through ONE
+    // task at 100 TB). __blk exists only inside the blockedStartOffset
+    // kernel, so its presence in the plan proves the blocked shape.
+    Check("pipeline_shards", "shard offsets use the blocked two-phase prefix sum", "__blk"),
+    Check("pipeline_pack_chunks", "sequence packing uses the blocked two-phase prefix sum", "__blk"),
+    Check("pipeline_pack_chunks", "block offsets broadcast back onto the units", "BroadcastHashJoin"),
     Check("join_semi", "IN-subquery as left semi", "LeftSemi"),
     Check("join_anti", "NOT-IN as left anti", "LeftAnti"),
     Check("filter_predicates", "filters pushed", "PushedFilters"),

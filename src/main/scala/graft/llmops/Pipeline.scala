@@ -54,21 +54,69 @@ object Pipeline {
       .filter(col("pct") < col("rate"))
   }
 
+  /** Documents per prefix-sum block in the packers below. 2^16 ids per
+    * block keeps the block-total table metadata-sized (a 100 B-doc
+    * corpus yields ~1.5 M block rows — broadcastable) while bounding
+    * every within-block window partition to ~65k documents of work. */
+  val PackBlockDocs: Long = 1L << 16
+
+  /** Two-phase distributed prefix sum — the scale-safe running-offset
+    * kernel shared by [[shardAssign]] and [[packSequences]]. A naive
+    * `Window.partitionBy(stratum)` serializes EACH STRATUM through one
+    * task: strata are languages/domains, so at 100 TB a single window
+    * partition is terabytes. Instead the classic two-phase shape:
+    *
+    *  1. block every row by a DETERMINISTIC contiguous-in-order key
+    *     (`floor(id / blockDocs)` — deterministic where
+    *     `spark_partition_id()` after `repartitionByRange` is not:
+    *     range-bound sampling can resolve differently between the
+    *     offset job and the assignment job, desyncing the phases);
+    *  2. aggregate per-(stratum, block) token totals — map-side
+    *     combinable, so the shuffle moves block-count partials, not
+    *     rows;
+    *  3. cumulate block totals into per-block start offsets with a
+    *     window over the BLOCK TABLE (metadata-sized: rows = blocks,
+    *     not documents);
+    *  4. broadcast the offsets back and finish with a window
+    *     partitioned by (stratum, block) — every partition is bounded
+    *     by `blockDocs` ids regardless of stratum skew, so the heavy
+    *     pass parallelizes with the data.
+    *
+    * `rows` must carry `stratum` and `n_tokens` columns plus the order
+    * columns; `idCol` must be numeric (block derivation divides it).
+    * Returns `rows`' columns + `start_offset`, in that order. */
+  private def blockedStartOffset(rows: DataFrame, idCol: String,
+      orderCols: Seq[Column], blockDocs: Long): DataFrame = {
+    require(blockDocs > 0, "prefix-sum block size must be positive")
+    val u = rows.withColumn("__blk",
+      floor(col(idCol).cast("long").cast("double") / blockDocs).cast("long"))
+    val wb = Window.partitionBy(col("stratum")).orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blockOffsets = u.groupBy(col("stratum"), col("__blk"))
+      .agg(sum(col("n_tokens")).as("__bsum"))
+      .withColumn("__boff", coalesce(sum(col("__bsum")).over(wb), lit(0L)))
+      .select(col("stratum"), col("__blk"), col("__boff"))
+    val wi = Window.partitionBy(col("stratum"), col("__blk"))
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    u.join(broadcast(blockOffsets), Seq("stratum", "__blk"))
+      .withColumn("start_offset",
+        col("__boff") + coalesce(sum(col("n_tokens")).over(wi), lit(0L)))
+      .select(rows.columns.map(col) :+ col("start_offset"): _*)
+  }
+
   /** Token-budget shard assignment: within each stratum, documents are
     * packed in id order into shards of ~`capTokens` tokens (a document
     * lands in the shard its START offset falls into, the streaming-pack
-    * rule). One shuffle on the stratum key; at 100 TB the same plan
-    * holds with range partitioning on (stratum, id) so each executor
-    * owns contiguous shard ranges. */
+    * rule). Running offsets come from the two-phase
+    * [[blockedStartOffset]] prefix sum, so no stratum ever serializes
+    * through a single window task — the heavy window partitions by
+    * (stratum, id-block) and parallelizes with the data. */
   def shardAssign(docs: DataFrame, idCol: String, stratumCol: String,
-      capTokens: Int): DataFrame = {
-    val w = Window.partitionBy(col("stratum")).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .select(col(idCol), col(stratumCol).as("stratum"),
-        size(TextOps.tokens(col("text"))).as("n_tokens"))
-      .withColumn("start_offset",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      capTokens: Int, blockDocs: Long = PackBlockDocs): DataFrame = {
+    val base = docs.select(col(idCol), col(stratumCol).as("stratum"),
+      size(TextOps.tokens(col("text"))).as("n_tokens"))
+    blockedStartOffset(base, idCol, Seq(col(idCol)), blockDocs)
       .withColumn("shard",
         floor(col("start_offset").cast("double") / capTokens).cast("long"))
   }
@@ -78,19 +126,19 @@ object Pipeline {
     * order into fixed-`capTokens` training sequences per stratum, a
     * unit landing in the sequence its START offset falls into (the
     * same streaming-pack rule as [[shardAssign]], at unit granularity
-    * with a composite order key). ONE window shuffle on the stratum
-    * key; the running sum is the only state, so the plan scales like
-    * the shard packer. Returns the units annotated with
+    * with a composite order key). Offsets come from the same two-phase
+    * [[blockedStartOffset]] prefix sum (blocked on the DOC id, so all
+    * of a document's units share a block and the composite order is
+    * preserved). Returns the units annotated with
     * (start_offset, seq_id). */
   def packSequences(units: DataFrame, docIdCol: String, unitIdCol: String,
-      stratumCol: String, nTokensCol: String, capTokens: Int): DataFrame = {
+      stratumCol: String, nTokensCol: String, capTokens: Int,
+      blockDocs: Long = PackBlockDocs): DataFrame = {
     require(capTokens > 0, "sequence capacity must be positive")
-    val w = Window.partitionBy(col("stratum"))
-      .orderBy(col(docIdCol), col(unitIdCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    units.select(col(docIdCol), col(unitIdCol), col(stratumCol).as("stratum"),
-        col(nTokensCol).as("n_tokens"))
-      .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    val base = units.select(col(docIdCol), col(unitIdCol),
+      col(stratumCol).as("stratum"), col(nTokensCol).as("n_tokens"))
+    blockedStartOffset(base, docIdCol, Seq(col(docIdCol), col(unitIdCol)),
+        blockDocs)
       .withColumn("seq_id",
         floor(col("start_offset").cast("double") / capTokens).cast("long"))
   }
@@ -160,8 +208,18 @@ object Pipeline {
       langCol: String, r: GateRules): DataFrame = {
     val tk = TextOps.tokens(col(textCol))
     val nTok = size(tk)
-    val stopRatio = TextOps.langHits(col(textCol), TextOps.LangMarkers.head._2) /
-      nTok.cast("double")
+    // stopword hits against the LABEL's marker set — the English-only
+    // formulation flagged every correctly-labeled non-English doc
+    // (ADVICE r10). ONE TokenSetCount pass evaluates all five sets;
+    // the label selects its element; unlabeled/unknown labels fall
+    // back to the English set (and fail lang_mismatch anyway).
+    val setCounts = graft.plans.TokenSetCount(tk, TextOps.LangMarkers.map(_._2))
+    val stopHits = TextOps.LangMarkers.zipWithIndex.foldLeft(
+        element_at(setCounts, 1)) {
+      case (acc, ((lang, _), i)) =>
+        when(col(langCol) === lang, element_at(setCounts, i + 1)).otherwise(acc)
+    }
+    val stopRatio = stopHits / nTok.cast("double")
     val ttr = size(array_distinct(tk)) / nTok.cast("double")
     val sh = graft.plans.NGramMd5(tk, 3, 8)
     val dup3 = when(size(sh) > 0,
@@ -189,11 +247,14 @@ object Pipeline {
     * the scarcest stratum relative to its target, T = min_s(tokens_s /
     * w_s); stratum s keeps w_s·T of its tokens_s, i.e. rate_s =
     * w_s·T / tokens_s, with the binding stratum at rate 1. Output is
-    * stratum-sized (one row per targeted stratum; untargeted strata
-    * are dropped — a rate-0 decision made loudly by absence).
-    * [[stratifiedSample]] applies the rates downstream. Scale: ONE
-    * hash agg over the stratum key + a broadcast scalar bind — the
-    * decision table is config-sized no matter the corpus. */
+    * one row per TARGETED stratum — including strata the corpus does
+    * not contain, which surface with n_tokens = 0 and collapse T (and
+    * so every rate) to 0: an impossible mixture is visible in the
+    * plan's own output, never silently renormalized over the strata
+    * that happen to exist (ADVICE r10). [[stratifiedSample]] applies
+    * the rates downstream. Scale: ONE hash agg over the stratum key +
+    * a broadcast scalar bind — the decision table is config-sized no
+    * matter the corpus. */
   def mixRates(docs: DataFrame, stratumCol: String, textCol: String,
       targets: Map[String, Double]): DataFrame = {
     // a zero weight divides to Infinity (t_max) and multiplies back to
@@ -201,18 +262,25 @@ object Pipeline {
     // clusterBalance degenerate-parameter discipline, review r10)
     require(targets.values.forall(_ > 0),
       s"mixRates needs strictly positive target weights, got $targets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val targetDf = targets.toSeq.sortBy(_._1).toDF("stratum", "target_w")
     val tokens = docs.groupBy(col(stratumCol).as("stratum"))
       .agg(sum(size(TextOps.tokens(col(textCol)))).as("n_tokens"))
-    val wcol = targets.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
-      case (acc, (s, w)) => when(col("stratum") === s, lit(w)).otherwise(acc)
-    }
-    val withW = tokens.withColumn("target_w", wcol)
-      .filter(col("target_w").isNotNull)
+    // left join FROM the config-sized target table: a targeted stratum
+    // absent from the corpus keeps its row. The token aggregate is
+    // stratum-sized, so it broadcasts (an outer join can only build
+    // its non-preserved side — hinting the target table would be a
+    // silent no-op)
+    val withW = targetDf.join(broadcast(tokens), Seq("stratum"), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
     val tmax = withW.agg(min(col("n_tokens") / col("target_w")).as("t_max"))
     withW.crossJoin(broadcast(tmax)) // 1-row scalar bind
       .select(col("stratum"), col("n_tokens"), col("target_w"),
+        // absent stratum: 0 tokens would divide 0/0 → NaN; pin rate 0.
         // least() guards the binding stratum against a +1-ulp overshoot
-        round(least(lit(1.0), col("target_w") * col("t_max") / col("n_tokens")), 6)
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(
+          round(least(lit(1.0), col("target_w") * col("t_max") / col("n_tokens")), 6))
           .as("rate"))
   }
 
@@ -225,8 +293,16 @@ object Pipeline {
     * up to percent quantization and per-bucket hash variance. */
   def applyMix(docs: DataFrame, idCol: String, stratumCol: String,
       textCol: String, targets: Map[String, Double], salt: String): DataFrame = {
-    val rates = mixRates(docs, stratumCol, textCol, targets)
+    val planned = mixRates(docs, stratumCol, textCol, targets)
       .select(col("stratum"), col("rate")).collect()
+    // a rate of 0 can only mean a targeted stratum the corpus lacks
+    // (present strata all get rate ≥ w_s·T/tokens_s > 0) — the mixture
+    // is unrealizable, so refuse loudly rather than keep the 1% floor
+    // of nothing (ADVICE r10)
+    val absent = planned.filter(_.getDouble(1) == 0.0).map(_.getString(0))
+    require(absent.isEmpty,
+      s"applyMix: targeted strata absent from the corpus: ${absent.mkString(",")}")
+    val rates = planned
       // floor at 1%: a planned rate below the sampler's percent unit
       // must round UP, not to zero — rounding a 0.4% rate to 0 would
       // DROP the stratum entirely (total mixture error), while keeping

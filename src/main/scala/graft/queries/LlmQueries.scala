@@ -160,6 +160,20 @@ object LlmQueries {
       s"s${langs.size - 1}", s"bl${langs.size - 1}")
   }
 
+  /** DuckDB twin of the quality gate's per-language stopword count
+    * (qualityGate selects the LABEL's marker set; unknown/unlabeled
+    * labels fall back to the English set — ADVICE r10). Generated from
+    * the same [[TextOps.LangMarkers]] constant as the Spark plan.
+    * References the `q` alias of the gate's base CTE. */
+  private lazy val sqlStopHitsByLang: String = {
+    def hits(m: Seq[String]) =
+      s"len(list_filter(string_split(q.text, ' '), x -> x IN (${m.map(w => s"'$w'").mkString(",")})))"
+    val whens = TextOps.LangMarkers.map { case (lang, m) =>
+      s"WHEN '$lang' THEN ${hits(m)}"
+    }.mkString(" ")
+    s"(CASE q.lang $whens ELSE ${hits(TextOps.LangMarkers.head._2)} END)"
+  }
+
   /** DuckDB twin of the MinHash signature + banding pipeline as a CTE
     * chain (`hs`, `sig`, `banded`) — shared by the candidate-pair and
     * near-dup-removal oracles so the parameters can never drift. */
@@ -808,17 +822,21 @@ object LlmQueries {
     Q("pipeline_mix_rates",
       (s, d) => Pipeline.mixRates(t(s, d, "documents"), "lang", "text", MixTargets),
       Some {
-        val cases = MixTargets.toSeq.sortBy(_._1)
-          .map { case (k, w) => s"WHEN '$k' THEN $w" }.mkString(" ")
+        // right-joined onto the target VALUES table, mirroring the
+        // Spark plan: a targeted stratum absent from the corpus keeps
+        // an n_tokens=0 row that collapses every rate to 0 (ADVICE r10)
+        val values = MixTargets.toSeq.sortBy(_._1)
+          .map { case (k, w) => s"('$k', CAST($w AS DOUBLE))" }.mkString(", ")
         s"""WITH tok AS (SELECT lang AS stratum,
             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
             FROM documents GROUP BY lang),
-          w AS (SELECT stratum, n_tokens,
-            CASE stratum $cases END AS target_w FROM tok
-            WHERE CASE stratum $cases END IS NOT NULL),
+          tgt AS (SELECT * FROM (VALUES $values) t(stratum, target_w)),
+          w AS (SELECT tgt.stratum, CAST(coalesce(tok.n_tokens, 0) AS BIGINT) AS n_tokens,
+            tgt.target_w FROM tgt LEFT JOIN tok ON tok.stratum = tgt.stratum),
           m AS (SELECT min(n_tokens / target_w) AS t_max FROM w)
           SELECT stratum, n_tokens, target_w,
-            round(least(1.0, target_w * t_max / n_tokens), 6) AS rate
+            CASE WHEN n_tokens = 0 THEN 0.0
+              ELSE round(least(1.0, target_w * t_max / n_tokens), 6) END AS rate
           FROM w CROSS JOIN m"""
       }),
 
@@ -917,8 +935,7 @@ object LlmQueries {
             CAST(count(DISTINCT sh) AS INTEGER) AS nd FROM hh GROUP BY doc_id),
           base AS (SELECT q.doc_id,
             CAST(len(string_split(q.text, ' ')) AS INTEGER) AS n_tokens,
-            len(list_filter(string_split(q.text, ' '),
-              x -> x IN ('the','a','of','and','is')))
+            $sqlStopHitsByLang
               / CAST(len(string_split(q.text, ' ')) AS DOUBLE) AS stopr,
             len(list_distinct(string_split(q.text, ' ')))
               / CAST(len(string_split(q.text, ' ')) AS DOUBLE) AS ttr,

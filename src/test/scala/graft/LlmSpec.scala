@@ -601,7 +601,25 @@ class LlmSpec extends SparkSpec {
     import graft.queries.LlmQueries._
     val gate = graft.queries.LlmQueries.queries.find(_.name == "pipeline_quality_gate").get
     val tmp = java.nio.file.Files.createTempDirectory("graftqg")
-    val docs = Seq(
+    // per-language planted pairs (ADVICE r10: the stopword rule must
+    // score the LABEL's marker set, not English's). For each language:
+    // a CLEAN doc (marker-dense, correctly labeled — the case the
+    // English-only rule used to flag) and a low-stopword VIOLATOR
+    // (99 distinct fillers + ONE language-unique marker, so the text
+    // still predicts its label: ratio 0.01 < 0.03 fires ONLY
+    // low_stopwords). Unique markers chosen to dodge the cross-language
+    // collisions in the marker table (la:fr/es, de:es/zh, le:fr/zh).
+    val langFixtures = Seq(
+      // (lang, clean text, unique marker for the violator)
+      ("fr", "le chat et la souris et les amis des voisins le jardin et la maison des fleurs", "les"),
+      ("es", "el perro y la casa de los amigos y el sol de la playa y los campos", "los"),
+      ("de", "der hund und die katze und das haus ein garten und der baum und die sonne", "und"),
+      ("zh", "de le he shi zai men wo ni ta hao bu yao lai qu shang xia da xiao duo shao", "zai"))
+    val perLangDocs = langFixtures.zipWithIndex.flatMap { case ((lg, clean, mk), i) =>
+      Seq((10L + i, lg, clean),
+        (20L + i, lg, ((0 until 99).map(j => s"w$j") :+ mk).mkString(" ")))
+    }
+    val docs = (Seq(
       // clean: 20 tokens, stopwords present, varied vocabulary, en markers
       (1L, "en", "the quick brown fox jumps over a lazy dog while the sun is warm and birds sing of spring days"),
       (2L, "en", "tiny doc of the day"),                       // too_short (5 < 16)
@@ -612,7 +630,7 @@ class LlmSpec extends SparkSpec {
       // NULL label: must be a mismatch, not a silent pass (review r10)
       (5L, null.asInstanceOf[String],
         "the quick brown fox jumps over a lazy dog while the sun is warm and birds sing")
-    ).toDF("doc_id", "lang", "text")
+    ) ++ perLangDocs).toDF("doc_id", "lang", "text")
       .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")).cast("long"))
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val r = gate.spark(spark, tmp.toString).collect()
@@ -622,6 +640,14 @@ class LlmSpec extends SparkSpec {
     assert(r(3L)._1.contains("repetitive") && !r(3L)._2)
     assert(r(4L)._1.contains("lang_mismatch") && !r(4L)._2)
     assert(r(5L)._1 == "lang_mismatch" && !r(5L)._2, s"null label must flag: ${r(5L)}")
+    langFixtures.zipWithIndex.foreach { case ((lg, _, _), i) =>
+      // the clean non-English doc KEEPS — the English-only stopword
+      // rule would have flagged it low_stopwords
+      assert(r(10L + i) == (("", true)), s"clean $lg doc flagged: ${r(10L + i)}")
+      // the planted violator fires low_stopwords and ONLY that rule
+      assert(r(20L + i)._1 == "low_stopwords" && !r(20L + i)._2,
+        s"$lg violator: ${r(20L + i)}")
+    }
   }
 
   test("chunkTokens: overlapping windows cover every token, last chunk clips") {
@@ -700,6 +726,21 @@ class LlmSpec extends SparkSpec {
     // degenerate weights are refused loudly
     intercept[IllegalArgumentException](
       Pipeline.mixRates(skew, "lang", "text", Map("en" -> 0.0)))
+  }
+
+  test("mixRates/applyMix: a targeted stratum the corpus lacks is loud, not renormalized") {
+    val d = Seq((1L, "en", "a b c")).toDF("doc_id", "lang", "text")
+    // ADVICE r10: asking for en/fr 50/50 on an en-only corpus must NOT
+    // return en at rate 1 — the missing stratum surfaces with
+    // n_tokens = 0 and collapses T (hence every rate) to 0
+    val r = Pipeline.mixRates(d, "lang", "text", Map("en" -> 0.5, "fr" -> 0.5))
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getDouble(3))).toMap
+    assert(r.keySet == Set("en", "fr"), s"missing stratum absent from plan: $r")
+    assert(r("fr") == ((0L, 0.0)) && r("en") == ((3L, 0.0)), s"rates not collapsed: $r")
+    // applyMix refuses the unrealizable mixture outright
+    val ex = intercept[IllegalArgumentException](
+      Pipeline.applyMix(d, "doc_id", "lang", "text", Map("en" -> 0.5, "fr" -> 0.5), "s"))
+    assert(ex.getMessage.contains("fr"))
   }
 
   test("decontaminateSemantic: flags cosine hits against the benchmark, exact") {

@@ -69,4 +69,25 @@ class PipelineSpec extends SparkSpec {
     // shards respect the cap rule: a doc's start offset is inside its shard
     assert(sh.filter(floor($"start_offset" / 4096) =!= $"shard").count() == 0)
   }
+
+  test("packers: two-phase prefix sum is block-size invariant (blocked ≡ degenerate)") {
+    // tiny blocks force MANY (stratum, block) window partitions — the
+    // shape that parallelizes a single giant stratum at 100 TB; the
+    // offsets must equal the one-block-per-stratum degenerate case
+    val fine = Pipeline.shardAssign(docs, "doc_id", "lang", 4096, blockDocs = 8)
+    val coarse = Pipeline.shardAssign(docs, "doc_id", "lang", 4096)
+    assert(fine.exceptAll(coarse).count() == 0 && coarse.exceptAll(fine).count() == 0)
+    // the heavy window must key on the block, not the bare stratum
+    val plan = fine.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("__blk"), "blocked prefix sum missing from plan")
+    // packSequences: composite (doc, unit) order across block boundaries
+    val units = (0 until 200).map(i =>
+      (i / 4L, i % 4, if (i % 2 == 0) "en" else "fr", 100))
+      .toDF("doc_id", "chunk_id", "lang", "n_tok")
+    val f2 = Pipeline.packSequences(units, "doc_id", "chunk_id", "lang", "n_tok",
+      1024, blockDocs = 16)
+    val c2 = Pipeline.packSequences(units, "doc_id", "chunk_id", "lang", "n_tok", 1024)
+    assert(f2.exceptAll(c2).count() == 0 && c2.exceptAll(f2).count() == 0)
+  }
 }
