@@ -367,44 +367,89 @@ object GraphLoader {
     }
   }
 
-  /** MANDATORY-constraint validation (ALTER PROPERTY … MANDATORY): per
-    * declared constraint, count label rows whose property is null.
-    * Under A7 normalization an absent key IS a null value, so a frame
-    * that lacks the column entirely violates on EVERY label row (the
-    * declared-but-never-stored column case — the opposite default from
-    * UNIQUE, whose null-skip makes absence trivially valid: a
-    * uniqueness invariant constrains values that exist, a mandatory
-    * invariant demands they exist). Unlike UNIQUE this is per-row, so
-    * callers can validate just a batch/rewrite — no store-wide rescan
-    * on append. Returns violations (label, property, cnt). */
-  def validateMandatory(nodes: DataFrame, edges: DataFrame, gs: GraphSchema): DataFrame = {
-    val frames = gs.constraints.filter(_.kind == "mandatory").map { c =>
+  /** Per-row violation predicate of one declared constraint over `df`
+    * (null for DEFAULT, which is a fill — see [[applyDefaults]] — not a
+    * check). MANDATORY: under A7 normalization an absent key IS a null
+    * value, so a frame that lacks the column entirely violates on EVERY
+    * label row (the declared-but-never-stored column case — the
+    * opposite default from UNIQUE, whose null-skip makes absence
+    * trivially valid: a uniqueness invariant constrains values that
+    * exist, a mandatory invariant demands they exist). MIN/MAX/REGEXP
+    * constrain values that exist (null rows pass — combine with
+    * MANDATORY to also demand presence); the bound literal is cast to
+    * the COLUMN's type, so numeric properties compare numerically and
+    * strings lexicographically; REGEXP is a full match (`\A…\z`),
+    * matching the reference dependency's `String.matches` semantics. */
+  private def violationOf(df: DataFrame, c: graft.model.ConstraintDesc)
+      : Option[org.apache.spark.sql.Column] = {
+    val has = df.columns.contains(c.property)
+    def bound = lit(c.arg.get).cast(df.schema(c.property).dataType)
+    c.kind match {
+      case "mandatory" =>
+        Some(if (has) col(c.property).isNull else lit(true))
+      case "min" if has =>
+        Some(col(c.property).isNotNull && col(c.property) < bound)
+      case "max" if has =>
+        Some(col(c.property).isNotNull && col(c.property) > bound)
+      case "regexp" if has =>
+        Some(col(c.property).isNotNull &&
+          !col(c.property).rlike("\\A(?:" + c.arg.get + ")\\z"))
+      case _ => None // default (a fill), or a value bound on an absent column
+    }
+  }
+
+  /** Constraint validation (the ALTER PROPERTY attribute family): per
+    * declared check-constraint, count violating label rows. Unlike
+    * UNIQUE this is per-row, so callers can validate just a
+    * batch/rewrite — no store-wide rescan on append. Returns
+    * violations (label, property, kind, cnt). */
+  def validateConstraints(nodes: DataFrame, edges: DataFrame, gs: GraphSchema): DataFrame = {
+    val frames = gs.constraints.flatMap { c =>
       val df = if (c.target == "node") nodes else edges
-      val nullRows =
-        if (df.columns.contains(c.property))
-          df.filter(col("label") === c.label && col(c.property).isNull)
-        else df.filter(col("label") === c.label)
-      nullRows.groupBy().agg(count(lit(1)).as("cnt")).filter(col("cnt") > 0)
-        .select(lit(c.label).as("label"), lit(c.property).as("property"), col("cnt"))
+      violationOf(df, c).map { bad =>
+        df.filter(col("label") === c.label && bad)
+          .groupBy().agg(count(lit(1)).as("cnt")).filter(col("cnt") > 0)
+          .select(lit(c.label).as("label"), lit(c.property).as("property"),
+            lit(c.kind).as("kind"), col("cnt"))
+      }
     }
     frames.reduceOption(_.unionByName(_)).getOrElse {
       nodes.sparkSession.createDataFrame(
         nodes.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("label", StringType),
-          StructField("property", StringType), StructField("cnt", LongType))))
+          StructField("property", StringType), StructField("kind", StringType),
+          StructField("cnt", LongType))))
     }
   }
 
-  private def requireMandatory(nodes: DataFrame, edges: DataFrame,
+  private def requireConstraints(nodes: DataFrame, edges: DataFrame,
       gs: GraphSchema, what: String): Unit = {
-    val viol = validateMandatory(nodes, edges, gs)
+    val viol = validateConstraints(nodes, edges, gs)
     require(viol.isEmpty, {
       val sample = viol.limit(3).collect()
-        .map(r => s"${r.getString(0)}.${r.getString(1)} (${r.getLong(2)} null rows)")
+        .map(r => s"${r.getString(2).toUpperCase}(${r.getString(0)}.${r.getString(1)}) " +
+          s"(${r.getLong(3)} row(s))")
         .mkString(", ")
-      s"$what rejected: MANDATORY violation(s): $sample"
+      s"$what rejected: constraint violation(s): $sample"
     })
   }
+
+  /** DEFAULT-constraint fill (a creation-time semantic, mirroring the
+    * reference dependency's DEFAULT attribute): appended rows whose
+    * constrained property is null/absent receive the declared literal
+    * BEFORE validation, so `DEFAULT` composes with `MANDATORY` the way
+    * a user expects. UPDATE rewrites do NOT re-fill — defaults apply
+    * on record creation only. */
+  private def applyDefaults(df: DataFrame, gs: GraphSchema, target: String): DataFrame =
+    gs.constraints
+      .filter(c => c.kind == "default" && c.target == target &&
+        df.columns.contains(c.property))
+      .foldLeft(df) { (d, c) =>
+        d.withColumn(c.property,
+          when(col("label") === c.label && col(c.property).isNull,
+            lit(c.arg.get).cast(d.schema(c.property).dataType))
+            .otherwise(col(c.property)))
+      }
 
   /** DML append sinks (SURVEY §2.B.1 DML row): the reference's HTTP API
     * accepts record inserts (`INSERT INTO` / `CREATE VERTEX/EDGE`); the
@@ -544,7 +589,8 @@ object GraphLoader {
     val existing = Store.readEntityAt(spark, outDir, "nodes", m0)
     val gs = GraphSchema.fromJson(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$outDir/schema.json")))
-    val batch = alignTo(newNodes, widened(existing, gs, "vertex"))
+    val batch = applyDefaults(
+      alignTo(newNodes, widened(existing, gs, "vertex")), gs, "node")
     val dupIds = batch.join(existing.select("id"), Seq("id"), "left_semi")
     require(dupIds.isEmpty, {
       val sample = dupIds.select("id").limit(5).collect().map(_.getLong(0)).mkString(", ")
@@ -564,9 +610,9 @@ object GraphLoader {
         .map(r => s"${r.getString(0)}.${r.getString(1)}=${r.getString(2)}").mkString(", ")
       s"append rejected: UNIQUE violation(s): $sample"
     })
-    // MANDATORY is per-row, so validating the BATCH suffices — the
-    // resident rows were validated when the constraint was declared
-    requireMandatory(batch, batch.limit(0), gs, "append")
+    // constraints are per-row, so validating the BATCH suffices — the
+    // resident rows were validated when each constraint was declared
+    requireConstraints(batch, batch.limit(0), gs, "append")
     val labels = appendBatch(spark, outDir, "nodes", batch, m0, txn)
     if (txn.isEmpty) autoCompactIfNeeded(spark, outDir, labels.map(("nodes", _)))
   }
@@ -579,7 +625,8 @@ object GraphLoader {
     val existing = Store.readEntityAt(spark, outDir, "edges", m0)
     val gs = GraphSchema.fromJson(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$outDir/schema.json")))
-    val batch = alignTo(newEdges, widened(existing, gs, "edge"))
+    val batch = applyDefaults(
+      alignTo(newEdges, widened(existing, gs, "edge")), gs, "edge")
     assertRidKeyspace(batch, "edge", Some("eid")) // batch-only agg
     // edge record ids get the SAME uniqueness guarantee as node ids
     // (code-review r9 #2): a duplicated eid would make one rid address
@@ -628,8 +675,8 @@ object GraphLoader {
         .map { case (l, rows) =>
           l -> ((rows.map(_.getString(1)).toSet, rows.map(_.getString(2)).toSet))
         }
-      // MANDATORY: batch-scoped, same argument as the node sink
-      requireMandatory(batch.limit(0), batch, gs, "append")
+      // constraints: batch-scoped, same argument as the node sink
+      requireConstraints(batch.limit(0), batch, gs, "append")
       // endpoint delta folds into the SAME manifest commit as the new
       // segments: a crash can never publish edges whose labels the
       // DELETE probe's pruning metadata doesn't yet know about
@@ -731,16 +778,16 @@ object GraphLoader {
           s"UPDATE rejected: UNIQUE($label.${ix.property}) violated (e.g. $sample)"
         })
       }
-      // MANDATORY re-check on the written gen: `SET p = null` (or an
-      // expression landing null) must not strip a constrained value
-      gs.constraints.filter(c => c.kind == "mandatory" &&
+      // constraint re-check on the written gen: `SET p = null` (or an
+      // expression landing out of bounds) must not break a declared
+      // MANDATORY/MIN/MAX/REGEXP invariant (DEFAULT is creation-only)
+      gs.constraints.filter(c =>
           c.label == label && c.target == target).foreach { c =>
-        val nulls =
-          if (written.columns.contains(c.property))
-            written.filter(col(c.property).isNull).count()
-          else written.count()
-        require(nulls == 0,
-          s"UPDATE rejected: MANDATORY($label.${c.property}) violated ($nulls null row(s))")
+        violationOf(written, c).foreach { bad =>
+          val n = written.filter(bad).count()
+          require(n == 0, s"UPDATE rejected: ${c.kind.toUpperCase}" +
+            s"($label.${c.property}) violated ($n row(s))")
+        }
       }
     } catch {
       case e: Throwable =>

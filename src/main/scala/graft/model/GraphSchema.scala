@@ -26,18 +26,25 @@ final case class IndexDesc(
   def isBuildable: Boolean = !isArray
 }
 
-/** One declared property constraint (ArcadeDB's `ALTER PROPERTY …
-  * MANDATORY true` / `NOTNULL true` surface [dep arcadedb SQL]).
-  * Under the engine's A7 normalization an absent key IS a null column
-  * value (null-skip parity collapses "key missing" and "value null"
-  * into one representation), so MANDATORY and NOTNULL enforce the SAME
-  * invariant here — every stored row of the label carries a non-null
-  * value — and both spellings declare kind "mandatory". */
+/** One declared property constraint (ArcadeDB's `ALTER PROPERTY`
+  * attribute surface [dep arcadedb SQL]): MANDATORY/NOTNULL, MIN, MAX,
+  * REGEXP, DEFAULT. Under the engine's A7 normalization an absent key
+  * IS a null column value (null-skip parity collapses "key missing"
+  * and "value null" into one representation), so MANDATORY and NOTNULL
+  * enforce the SAME invariant here — every stored row of the label
+  * carries a non-null value — and both spellings declare kind
+  * "mandatory". MIN/MAX bound non-null values (numeric order for
+  * numeric properties, lexicographic for strings — the literal is cast
+  * to the property's type at check time); REGEXP demands a FULL match
+  * of every non-null value; DEFAULT is a fill, not a check — appended
+  * rows with a null/absent value receive it before validation. `arg`
+  * carries the attribute's literal for every kind but "mandatory". */
 final case class ConstraintDesc(
     target: String, // "node" | "edge"
     label: String,
     property: String,
-    kind: String) // "mandatory"
+    kind: String, // "mandatory" | "min" | "max" | "regexp" | "default"
+    arg: Option[String] = None)
 
 /** Per-label declared schema: the reference reads a per-label
   * property-key → type map without scanning rows
@@ -83,8 +90,10 @@ final case class GraphSchema(labels: Seq[LabelSchema], indexes: Seq[IndexDesc],
       .map(f => s"""{"name":"${esc(f.name)}","params":${f.params.map(p => s""""${esc(p)}"""").mkString("[", ",", "]")},"body":"${esc(f.body)}"}""")
       .mkString("[", ",", "]")
     val cs = constraints
-      .map(c =>
-        s"""{"target":"${c.target}","label":"${esc(c.label)}","property":"${esc(c.property)}","kind":"${c.kind}"}""")
+      .map { c =>
+        val arg = c.arg.map(a => s""","arg":"${esc(a)}"""").getOrElse("")
+        s"""{"target":"${c.target}","label":"${esc(c.label)}","property":"${esc(c.property)}","kind":"${c.kind}"$arg}"""
+      }
       .mkString("[", ",", "]")
     s"""{"labels":$ls,"indexes":$is,"functions":$fs,"constraints":$cs}"""
   }
@@ -165,7 +174,9 @@ object GraphSchema {
             (c \ "target").extract[String],
             (c \ "label").extract[String],
             (c \ "property").extract[String],
-            (c \ "kind").extract[String]
+            (c \ "kind").extract[String],
+            // absent for "mandatory" (and pre-attribute schema files)
+            (c \ "arg").extractOpt[String]
           )
         }
       case _ => Nil

@@ -64,11 +64,12 @@ object Dml {
   // property constraints (ArcadeDB's ALTER PROPERTY surface [dep
   // arcadedb SQL]): MANDATORY and NOTNULL collapse to one invariant
   // under A7 normalization (absent key ≡ null value) — see
-  // ConstraintDesc. Other ALTER PROPERTY attributes (MIN/MAX/REGEXP/
-  // READONLY/DEFAULT/CUSTOM) are unsupported and fail the dispatch
-  // loudly rather than parsing to a silent no-op.
+  // ConstraintDesc. MIN/MAX/REGEXP bound existing values and DEFAULT
+  // fills absent ones at append; `ALTER PROPERTY T.p MIN null` retires
+  // an attribute. READONLY/CUSTOM remain unsupported and fail the
+  // dispatch loudly rather than parsing to a silent no-op.
   private val AlterPropertyRe =
-    """(?is)\s*ALTER\s+PROPERTY\s+(\w+)\.(\w+)\s+(?:MANDATORY|NOTNULL)\s+(true|false)\s*""".r
+    """(?is)\s*ALTER\s+PROPERTY\s+(\w+)\.(\w+)\s+(MANDATORY|NOTNULL|MIN|MAX|REGEXP|DEFAULT)\s+(.+?)\s*""".r
   // schema-lifecycle DDL completion: DROP mirrors of the CREATE forms
   private val DropTypeRe = """(?is)\s*DROP\s+TYPE\s+(\w+)(\s+IF\s+EXISTS)?\s*""".r
   private val DropPropertyRe = """(?is)\s*DROP\s+PROPERTY\s+(\w+)\.(\w+)\s*""".r
@@ -260,7 +261,7 @@ object Dml {
               n
           }
         }
-      case AlterPropertyRe(label, prop, value) =>
+      case AlterPropertyRe(label, prop, attrRaw, valueRaw) =>
         noTxn("DDL")
         ddl(storeDir) { cur =>
           val ls = cur.labels.find(_.label == label).getOrElse(
@@ -268,27 +269,89 @@ object Dml {
           require(ls.schema.fieldNames.contains(prop),
             s"property $label.$prop is not declared — CREATE PROPERTY first")
           val target = if (ls.kind == "vertex") "node" else "edge"
-          val c = graft.model.ConstraintDesc(target, label, prop, "mandatory")
+          val attr = attrRaw.toUpperCase
+          val kind = attr match {
+            case "MANDATORY" | "NOTNULL" => "mandatory"
+            case other => other.toLowerCase
+          }
           def same(x: graft.model.ConstraintDesc) =
-            x.target == target && x.label == label && x.property == prop
-          if (value.equalsIgnoreCase("true")) {
-            require(!cur.constraints.exists(same),
-              s"$label.$prop is already MANDATORY")
-            // existing data must satisfy the constraint BEFORE it is
-            // declared (the CREATE INDEX UNIQUE discipline): a store
-            // already holding null rows would turn every later append
-            // into a liar's contract
-            val viol = GraphLoader.validateMandatory(
+            x.target == target && x.label == label && x.property == prop &&
+              x.kind == kind
+          // existing data must satisfy a check-constraint BEFORE it is
+          // declared (the CREATE INDEX UNIQUE discipline): a store
+          // already violating it would turn every later append into a
+          // liar's contract
+          def validateExisting(c: graft.model.ConstraintDesc): Unit = {
+            val viol = GraphLoader.validateConstraints(
               graft.load.Store.readEntity(spark, storeDir, "nodes"),
               graft.load.Store.readEntity(spark, storeDir, "edges"),
               cur.copy(constraints = Seq(c)))
             require(viol.isEmpty, {
-              val n = viol.limit(1).collect().map(_.getLong(2)).headOption.getOrElse(0L)
-              s"ALTER PROPERTY rejected: $label.$prop has $n existing null row(s)"
+              val n = viol.limit(1).collect().map(_.getLong(3)).headOption.getOrElse(0L)
+              s"ALTER PROPERTY rejected: $label.$prop has $n existing " +
+                s"row(s) violating $attr"
             })
-            (cur.copy(constraints = cur.constraints :+ c), 1L)
-          } else
+          }
+          val value = valueRaw.trim
+          if (kind == "mandatory") {
+            if (value.equalsIgnoreCase("true")) {
+              require(!cur.constraints.exists(same),
+                s"$label.$prop is already MANDATORY")
+              val c = graft.model.ConstraintDesc(target, label, prop, "mandatory")
+              validateExisting(c)
+              (cur.copy(constraints = cur.constraints :+ c), 1L)
+            } else if (value.equalsIgnoreCase("false")) {
+              // retiring a constraint that does not exist is a client
+              // error, mirroring the double-declare above — a typo'd
+              // retire must not report success (ADVICE r10)
+              require(cur.constraints.exists(same),
+                s"$label.$prop is not MANDATORY — nothing to retire")
+              (cur.copy(constraints = cur.constraints.filterNot(same)), 1L)
+            } else throw new IllegalArgumentException(
+              s"ALTER PROPERTY $attr takes true|false, got '$value'")
+          } else if (value.equalsIgnoreCase("null")) {
+            // the dialect's retire spelling: ALTER PROPERTY T.p MIN null
+            require(cur.constraints.exists(same),
+              s"$label.$prop has no $attr attribute — nothing to retire")
             (cur.copy(constraints = cur.constraints.filterNot(same)), 1L)
+          } else {
+            val lx = new Lexer(value)
+            val parsed = lx.literal()
+            if (!lx.done) lx.fail(s"trailing input after $attr value")
+            val arg = parsed match {
+              case s: String => s
+              case other =>
+                require(attr != "REGEXP",
+                  s"ALTER PROPERTY REGEXP takes a quoted pattern, got '$value'")
+                String.valueOf(other)
+            }
+            if (attr == "REGEXP") {
+              // an uncompilable pattern is rejected HERE, not at the
+              // first append (the DEFINE FUNCTION parse discipline)
+              try java.util.regex.Pattern.compile(arg)
+              catch { case e: java.util.regex.PatternSyntaxException =>
+                throw new IllegalArgumentException(
+                  s"REGEXP pattern does not compile: ${e.getMessage}")
+              }
+            }
+            if (attr == "MIN" || attr == "MAX" || attr == "DEFAULT") {
+              // the literal must cast into the property's declared type
+              // (ANSI semantics — 'abc' into an INTEGER bound would
+              // otherwise become a silent never-firing null check)
+              val dt = ls.schema.fields.find(_.name == prop).get.dataType
+              val casted = clientCastErrors {
+                spark.range(1).select(
+                  org.apache.spark.sql.functions.lit(arg).cast(dt)).head.get(0)
+              }
+              require(casted != null,
+                s"$attr literal '$arg' does not cast to ${dt.simpleString}")
+            }
+            val c = graft.model.ConstraintDesc(target, label, prop, kind, Some(arg))
+            if (kind != "default") validateExisting(c)
+            // re-setting an attribute OVERWRITES it (ALTER semantics) —
+            // unlike the boolean MANDATORY toggle, a bound is a value
+            (cur.copy(constraints = cur.constraints.filterNot(same) :+ c), 1L)
+          }
         }
       case DropPropertyRe(label, prop) =>
         noTxn("DDL")
@@ -301,10 +364,11 @@ object Dml {
           require(!cur.indexes.exists(i =>
               i.target == target && i.label == label && i.property == prop),
             s"DROP PROPERTY rejected: an index on $label.$prop exists — DROP INDEX first")
-          require(!cur.constraints.exists(c =>
-              c.target == target && c.label == label && c.property == prop),
-            s"DROP PROPERTY rejected: $label.$prop is MANDATORY — " +
-              "ALTER PROPERTY … MANDATORY false first")
+          val held = cur.constraints.filter(c =>
+            c.target == target && c.label == label && c.property == prop)
+          require(held.isEmpty,
+            s"DROP PROPERTY rejected: $label.$prop carries constraint(s) " +
+              s"(${held.map(_.kind.toUpperCase).mkString(", ")}) — retire them first")
           val updated = ls.copy(schema =
             StructType(ls.schema.fields.filterNot(_.name == prop)))
           (cur.copy(labels = cur.labels.map(l => if (l.label == label) updated else l)), 1L)
@@ -437,8 +501,8 @@ object Dml {
       case _ =>
         throw new IllegalArgumentException(
           "unsupported DML (expected INSERT INTO … VALUES, CREATE VERTEX … SET, " +
-            "CREATE EDGE … FROM … TO …; the only ALTER form is " +
-            "ALTER PROPERTY T.p MANDATORY|NOTNULL true|false)")
+            "CREATE EDGE … FROM … TO …; ALTER forms are ALTER PROPERTY T.p " +
+            "MANDATORY|NOTNULL true|false and MIN|MAX|REGEXP|DEFAULT <literal>|null)")
     }
   }
 

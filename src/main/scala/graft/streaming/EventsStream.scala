@@ -119,10 +119,21 @@ object EventsStream {
     val w = docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val files = Option(new java.io.File(indexDir).listFiles).toSeq.flatten
+          // probe the index through the Hadoop FileSystem API, not
+          // java.io.File: a local-only listing returns null for every
+          // non-local URI (hdfs://, s3a://), which would silently
+          // degrade cross-batch dedup to intra-batch while appends
+          // keep succeeding (ADVICE r10). Resolving against the
+          // session's Hadoop conf makes distributed index paths work
+          // — and genuinely broken ones fail loudly at globStatus.
+          val indexPath = new org.apache.hadoop.fs.Path(indexDir)
+          val fs = indexPath.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          val hasSegments = fs.exists(indexPath) &&
+            fs.globStatus(new org.apache.hadoop.fs.Path(indexPath, "*.parquet"))
+              .nonEmpty
           val index =
-            if (files.exists(_.getName.endsWith(".parquet")))
-              spark.read.parquet(indexDir)
+            if (hasSegments) spark.read.parquet(indexDir)
             else spark.emptyDataFrame
               .select(lit(0L).as(idCol), lit(0).as("band"), lit("").as("sig"))
               .limit(0)

@@ -1068,6 +1068,83 @@ class LoadSpec extends SparkSpec {
     // valid inserts flow normally under an active constraint elsewhere
     assert(graft.server.Dml.execute(spark, out,
       "INSERT INTO Gadget SET id = 5000003") == 1) // gname dropped: no constraint
+    // a typo'd retire (no such constraint) is a client error, not a
+    // silent success (ADVICE r10) — symmetric with the double-declare
+    intercept[IllegalArgumentException](graft.server.Dml.execute(spark, out,
+      "ALTER PROPERTY Gadget.gcount MANDATORY false"))
+  }
+
+  test("ALTER PROPERTY MIN/MAX/REGEXP/DEFAULT: declared over existing data, enforced, retirable") {
+    val out = Files.createTempDirectory("graftattr").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    assert(graft.server.Dml.execute(spark, out, "CREATE VERTEX TYPE Widget") == 1)
+    assert(graft.server.Dml.execute(spark, out, "CREATE PROPERTY Widget.wname STRING") == 1)
+    assert(graft.server.Dml.execute(spark, out, "CREATE PROPERTY Widget.wsize LONG") == 1)
+    assert(graft.server.Dml.execute(spark, out,
+      "INSERT INTO Widget SET id = 6000001, wname = 'ok_name', wsize = 10") == 1)
+    // declare-over-existing discipline: a bound the store already
+    // violates is rejected before it lands
+    intercept[IllegalArgumentException](graft.server.Dml.execute(spark, out,
+      "ALTER PROPERTY Widget.wsize MIN 50"))
+    assert(graft.server.Dml.execute(spark, out, "ALTER PROPERTY Widget.wsize MIN 5") == 1)
+    assert(graft.server.Dml.execute(spark, out, "ALTER PROPERTY Widget.wsize MAX 100") == 1)
+    assert(graft.server.Dml.execute(spark, out,
+      "ALTER PROPERTY Widget.wname REGEXP '[a-z_]+'") == 1)
+    // constraints ride schema.json with their literals
+    val gs = graft.model.GraphSchema.fromJson(
+      Files.readString(Path.of(out, "schema.json")))
+    assert(gs.constraints.exists(c => c.property == "wsize" &&
+      c.kind == "min" && c.arg.contains("5")))
+    assert(gs.constraints.exists(c => c.property == "wname" &&
+      c.kind == "regexp" && c.arg.contains("[a-z_]+")))
+    // append sink: out-of-bounds / non-matching rows are rejected
+    intercept[IllegalArgumentException](graft.server.Dml.execute(spark, out,
+      "INSERT INTO Widget SET id = 6000002, wname = 'ok', wsize = 2"))       // < MIN
+    intercept[IllegalArgumentException](graft.server.Dml.execute(spark, out,
+      "INSERT INTO Widget SET id = 6000002, wname = 'ok', wsize = 500"))     // > MAX
+    intercept[IllegalArgumentException](graft.server.Dml.execute(spark, out,
+      "INSERT INTO Widget SET id = 6000002, wname = 'Bad Name', wsize = 9")) // regexp
+    // REGEXP is a FULL match: a matching substring inside junk fails
+    intercept[IllegalArgumentException](graft.server.Dml.execute(spark, out,
+      "INSERT INTO Widget SET id = 6000002, wname = 'ok!', wsize = 9"))
+    // null values PASS value bounds (MANDATORY is the presence rule)
+    assert(graft.server.Dml.execute(spark, out,
+      "INSERT INTO Widget SET id = 6000002, wsize = 9") == 1)
+    // UPDATE rewrite sink enforces the same bounds
+    intercept[IllegalArgumentException](graft.server.Dml.execute(spark, out,
+      "UPDATE Widget SET wsize = 1 WHERE id = 6000001"))
+    // re-setting a bound OVERWRITES it (ALTER semantics)
+    assert(graft.server.Dml.execute(spark, out, "ALTER PROPERTY Widget.wsize MIN 1") == 1)
+    assert(graft.server.Dml.execute(spark, out,
+      "UPDATE Widget SET wsize = 2 WHERE id = 6000001") == 1)
+    // DEFAULT: a creation-time fill composing with MANDATORY
+    assert(graft.server.Dml.execute(spark, out,
+      "ALTER PROPERTY Widget.wname DEFAULT 'unnamed'") == 1)
+    assert(graft.server.Dml.execute(spark, out,
+      "INSERT INTO Widget SET id = 6000003, wsize = 9") == 1)
+    assert(storeNodes(out).filter(col("id") === 6000003L)
+      .select("wname").head.getString(0) == "unnamed")
+    // degenerate declarations are loud: bad literal type, broken regex
+    intercept[IllegalArgumentException](graft.server.Dml.execute(spark, out,
+      "ALTER PROPERTY Widget.wsize MAX 'abc'"))
+    intercept[IllegalArgumentException](graft.server.Dml.execute(spark, out,
+      "ALTER PROPERTY Widget.wname REGEXP '[unclosed'"))
+    // DROP PROPERTY refused while ANY attribute stands; retire unblocks
+    intercept[IllegalArgumentException](graft.server.Dml.execute(spark, out,
+      "DROP PROPERTY Widget.wname"))
+    assert(graft.server.Dml.execute(spark, out,
+      "ALTER PROPERTY Widget.wname REGEXP null") == 1)
+    assert(graft.server.Dml.execute(spark, out,
+      "ALTER PROPERTY Widget.wname DEFAULT null") == 1)
+    assert(graft.server.Dml.execute(spark, out, "DROP PROPERTY Widget.wname") == 1)
+    // retiring an attribute that was never declared is loud
+    intercept[IllegalArgumentException](graft.server.Dml.execute(spark, out,
+      "ALTER PROPERTY Widget.wsize REGEXP null"))
+    // bounds retire independently
+    assert(graft.server.Dml.execute(spark, out, "ALTER PROPERTY Widget.wsize MIN null") == 1)
+    assert(graft.server.Dml.execute(spark, out, "ALTER PROPERTY Widget.wsize MAX null") == 1)
+    assert(graft.server.Dml.execute(spark, out,
+      "INSERT INTO Widget SET id = 6000004, wsize = 50000") == 1)
   }
 
   test("A16/A17: writeGraph persists partitioned layout + schema + checksum") {
