@@ -33,6 +33,8 @@ object PlanAudit {
     Check("stage:simhash_signatures", "one-pass native signature kernel", "graft_simhash_bits"),
     Check("stage:jaccard_shingles", "df-cap window precedes the pair join", "Window"),
     Check("graphql_hop", "GraphQL compiles to the traversal hash join", "BroadcastHashJoin|ShuffledHashJoin"),
+    Check("graphql_hop_paged", "GraphQL orderBy+limit is top-k without total sort", "TakeOrderedAndProject"),
+    Check("graphql_hop_paged", "paged GraphQL keeps the traversal hash join", "BroadcastHashJoin|ShuffledHashJoin"),
     Check("text_lang_id", "native marker-count kernel", "graft_token_set_count"),
     Check("text_lang_id", "lang-ID stays in codegen", "codegen id"),
     Check("text_fingerprint", "native rolling-hash kernel", "graft_rolling_hash"),

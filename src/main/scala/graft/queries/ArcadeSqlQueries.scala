@@ -465,13 +465,24 @@ object ArcadeSqlQueries {
         FROM customer c LEFT JOIN orders o
           ON o.o_custkey = c.c_custkey AND o.o_orderpriority = '5-LOW'""")),
 
-    // TRAVERSE … STRATEGY BREADTH_FIRST — the dialect's explicit
-    // strategy option (the engine's iterative-join traversal IS
-    // breadth-first; DEPTH_FIRST is rejected, not silently reordered)
+    // TRAVERSE … STRATEGY — the dialect's two explicit strategies.
+    // Strategy governs a sequential traverser's VISIT ORDER; this
+    // engine's result is a declarative SET (no row order without
+    // ORDER BY), and the visited-once set at minimal depth is
+    // identical under either order — so the twin pair below runs the
+    // SAME oracle, which IS the equivalence assertion (order-
+    // insensitive hash over both strategies).
     Q("asql_traverse_strategy",
       asql("""SELECT $depth AS depth, count(*) AS cnt
         FROM (TRAVERSE in('IN_REGION') FROM (SELECT FROM Region)
           MAXDEPTH 1 STRATEGY BREADTH_FIRST)
+        GROUP BY $depth"""),
+      Some("""SELECT 0 AS depth, CAST(count(*) AS BIGINT) AS cnt FROM region
+        UNION ALL SELECT 1, CAST(count(*) AS BIGINT) FROM nation""")),
+    Q("asql_traverse_strategy_dfs",
+      asql("""SELECT $depth AS depth, count(*) AS cnt
+        FROM (TRAVERSE in('IN_REGION') FROM (SELECT FROM Region)
+          MAXDEPTH 1 STRATEGY DEPTH_FIRST)
         GROUP BY $depth"""),
       Some("""SELECT 0 AS depth, CAST(count(*) AS BIGINT) AS cnt FROM region
         UNION ALL SELECT 1, CAST(count(*) AS BIGINT) FROM nation"""))

@@ -240,6 +240,22 @@ object GraphQueries {
         FROM customer JOIN orders ON o_custkey = c_custkey
         WHERE c_mktsegment = 'BUILDING'""")),
 
+    // GraphQL query-modifier arguments (orderBy + limit, the
+    // arcadedb-graphql module's filtered/limited serving): same
+    // traversal join as graphql_hop, topped by TakeOrderedAndProject.
+    // The hop is 1:1 (customer → its nation) and the sort key unique,
+    // so the limit boundary is deterministic — oracle-safe by
+    // construction
+    Q("graphql_hop_paged",
+      (s, d) => graft.query.GraphQl.compile(graph(s, d),
+        """{ Customer(mktsegment: "BUILDING", orderBy: "name desc", limit: 10) {
+             name acctbal
+             nation: out_IN_NATION { name } } }"""),
+      Some("""SELECT c_name AS name, c_acctbal AS acctbal, n_name AS nation_name
+        FROM customer JOIN nation ON n_nationkey = c_nationkey
+        WHERE c_mktsegment = 'BUILDING'
+        ORDER BY c_name DESC LIMIT 10""")),
+
     // §2.B.3 — unbounded TRAVERSE (no depth bound): run to fixpoint down
     // the purchase chain Customer -PLACED-> Order -CONTAINS-> Part
     // -SUPPLIED_BY-> Supplier; the loop drains at depth 3 on its own.

@@ -41,13 +41,16 @@ import graft.model.GraphSchema
   *    `.format(fmt)`, `date(str[, fmt])`, `sysdate()`,
   *    `.first()/.last()/.sort()`
   *  - `TRAVERSE out|in|both('L', …) FROM (<select>) [MAXDEPTH n]
-  *    [WHILE p] [STRATEGY BREADTH_FIRST]` — `$depth` bounds inside
-  *    WHILE are folded into the depth bound; the rest of the guard
-  *    becomes the node predicate of [[PropertyGraph.traverse]]. No
-  *    depth bound at all compiles to the fixpoint
-  *    [[PropertyGraph.traverseUnbounded]]. Result rows are the visited
-  *    records at their minimal (breadth-first) visit depth, global
-  *    across all roots like the dialect's visited-once semantics.
+  *    [WHILE p] [STRATEGY BREADTH_FIRST|DEPTH_FIRST]` — `$depth`
+  *    bounds inside WHILE are folded into the depth bound; the rest of
+  *    the guard becomes the node predicate of
+  *    [[PropertyGraph.traverse]]. No depth bound at all compiles to
+  *    the fixpoint [[PropertyGraph.traverseUnbounded]]. Result rows
+  *    are the visited records at their minimal visit depth, global
+  *    across all roots like the dialect's visited-once semantics; both
+  *    strategies yield this same SET (strategy orders a sequential
+  *    traverser's visits — a declarative result without ORDER BY
+  *    exposes no visit order to differ on).
   *  - `MATCH {type: T, as: a, where: (p)}.out('L'){as: b, …}…
   *    RETURN e AS alias, … [GROUP BY …] [ORDER BY …] [SKIP/LIMIT]`;
   *    hop steps also accept `{while: (…), maxDepth: n}` (variable-
@@ -289,9 +292,19 @@ object ArcadeSql {
         if (eat("MAXDEPTH")) maxDepth = Some(intLit())
         else if (eat("WHILE")) whileE = Some(expr())
         else if (eat("STRATEGY")) {
+          // BREADTH_FIRST and DEPTH_FIRST both accepted (the dialect's
+          // two strategies [dep arcadedb SQL]): strategy governs the
+          // VISIT ORDER of a sequential traverser, while this engine's
+          // result is a declarative SET — rows have no defined order
+          // without ORDER BY, and the visited-once set (every record
+          // reachable within MAXDEPTH/WHILE at its minimal depth) is
+          // identical under either order. The asql_traverse_strategy
+          // twin pair asserts BFS ≡ DFS on the same oracle.
           val strat = ident()
-          if (!strat.equalsIgnoreCase("BREADTH_FIRST"))
-            fail(s"unsupported TRAVERSE strategy $strat (only BREADTH_FIRST)")
+          if (!strat.equalsIgnoreCase("BREADTH_FIRST") &&
+              !strat.equalsIgnoreCase("DEPTH_FIRST"))
+            fail(s"unsupported TRAVERSE strategy $strat " +
+              "(BREADTH_FIRST or DEPTH_FIRST)")
         } else more = false
       }
       Traverse(hops.toSeq, src, maxDepth, whileE)

@@ -135,6 +135,17 @@ object GraphQl {
 
   private val HopName = "^(out|in|both)_(.+)$".r
 
+  /** Root-field arguments with non-filter semantics (the
+    * arcadedb-graphql module's query-modifier surface [dep,
+    * `src/pom.xml:109-113`]): `orderBy: "<rootProperty> [asc|desc]"`
+    * sorts on a ROOT property (selected or not), `limit: n` caps the
+    * result. Both compile onto the traversal's result frame —
+    * orderBy+limit plans as TakeOrderedAndProject (top-k without a
+    * total sort), never a new executor. Reserved names are refused on
+    * hop fields: a per-hop limit is per-group top-k, which this
+    * surface does not serve — loud, not silently filtered. */
+  private val ReservedArgs = Set("orderBy", "limit")
+
   /** Compile a parsed query against a property graph into a flat
     * DataFrame. Scalar fields project `alias` columns; hop fields join
     * one edge label and prefix their scalars with `alias_`. */
@@ -142,10 +153,33 @@ object GraphQl {
     val root = parse(query)
     // root field = node label; args = equality filters over properties
     var t = g.v(root.name, "r")
-    t = applyArgs(t, "r", root.args)
+    t = applyArgs(t, "r", root.args -- ReservedArgs)
     val (trav, cols) = compileSelections(t, "r", "", root.selections, 0)
     require(cols.nonEmpty, "GraphQL query selects no scalar fields")
-    trav.result.select(cols: _*)
+    val base = trav.result
+    val ordered = root.args.get("orderBy") match {
+      case Some(spec: String) =>
+        val sortCol = spec.trim.split("\\s+") match {
+          case Array(f) => col(s"r_$f").asc
+          case Array(f, d) if d.equalsIgnoreCase("asc") => col(s"r_$f").asc
+          case Array(f, d) if d.equalsIgnoreCase("desc") => col(s"r_$f").desc
+          case _ => throw new IllegalArgumentException(
+            s"""orderBy takes "<property> [asc|desc]", got "$spec"""")
+        }
+        base.orderBy(sortCol)
+      case Some(other) => throw new IllegalArgumentException(
+        s"orderBy takes a string, got $other")
+      case None => base
+    }
+    val limited = root.args.get("limit") match {
+      case Some(n: Long) =>
+        require(n >= 0 && n <= Int.MaxValue, s"limit out of range: $n")
+        ordered.limit(n.toInt)
+      case Some(other) => throw new IllegalArgumentException(
+        s"limit takes a non-negative integer, got $other")
+      case None => ordered
+    }
+    limited.select(cols: _*)
   }
 
   private def applyArgs(t: Traversal, binding: String, args: Map[String, Any]): Traversal =
@@ -164,6 +198,10 @@ object GraphQl {
       f.name match {
         case HopName(dir, edgeLabel) =>
           require(f.selections.nonEmpty, s"hop field '${f.name}' needs a selection set")
+          val reserved = f.args.keySet.intersect(ReservedArgs)
+          require(reserved.isEmpty,
+            s"${reserved.mkString(",")} not supported on hop field '${f.name}' " +
+              "(root-level only — a per-hop limit is per-group top-k)")
           hopIdx += 1
           val as = s"${binding}_h$hopIdx"
           val hopped = dir match {

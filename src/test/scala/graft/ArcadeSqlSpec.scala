@@ -87,6 +87,24 @@ class ArcadeSqlSpec extends SparkSpec {
     assert(unbounded.count() == bounded.count())
   }
 
+  test("TRAVERSE STRATEGY: BFS and DFS yield the identical visited set") {
+    // strategy orders a sequential traverser's visits; the declarative
+    // result is the visited-once SET at minimal depth, identical under
+    // either order — asserted over a 2-deep traverse including the
+    // per-record $depth annotation, not just the row count
+    def rows(strat: String) = run(
+      s"""SELECT id, $$depth AS depth FROM (TRAVERSE in('IN_REGION', 'IN_NATION')
+        FROM (SELECT FROM Region) MAXDEPTH 2 STRATEGY $strat)""")
+      .collect().map(r => (r.getAs[Number]("id").longValue,
+        r.getAs[Number]("depth").longValue)).toSet
+    val bfs = rows("BREADTH_FIRST")
+    assert(bfs == rows("DEPTH_FIRST"))
+    assert(bfs.map(_._2) == Set(0L, 1L, 2L), "traverse must reach depth 2")
+    // anything else stays loudly refused
+    intercept[IllegalArgumentException](run(
+      "SELECT FROM (TRAVERSE in('IN_REGION') FROM (SELECT FROM Region) STRATEGY SIDEWAYS)"))
+  }
+
   test("TRAVERSE WHILE folds $depth bounds and keeps node guards") {
     val guarded = run("""SELECT FROM (TRAVERSE in('IN_REGION', 'IN_NATION')
       FROM (SELECT FROM Region) WHILE $depth < 2 AND name <> 'NATION_3')""")

@@ -65,6 +65,31 @@ class GraphQlSpec extends SparkSpec {
       g.nodesOf("Part").filter(col("psize") === 1).count())
   }
 
+  test("orderBy/limit arguments page the root selection, refuse hop scope") {
+    val df = GraphQl.compile(g,
+      """{ Customer(orderBy: "acctbal desc", limit: 5) { name acctbal } }""")
+    val rows = df.collect()
+    assert(rows.length == 5)
+    val top5 = g.nodesOf("Customer").orderBy(col("acctbal").desc)
+      .limit(5).select("acctbal").collect().map(_.getDouble(0)).toSeq
+    assert(rows.map(_.getDouble(1)).toSeq == top5)
+    // ascending is the default direction; the sort key need not be selected
+    val asc = GraphQl.compile(g,
+      """{ Customer(orderBy: "name", limit: 3) { acctbal } }""").count()
+    assert(asc == 3)
+    // top-k plans as TakeOrderedAndProject — never a total sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k in:\n$plan")
+    // reserved args are root-only: a hop-scoped limit is refused loudly
+    intercept[IllegalArgumentException](GraphQl.compile(g,
+      """{ Customer { name orders: out_PLACED(limit: 3) { status } } }"""))
+    // degenerate modifier values are loud, not silently ignored
+    intercept[IllegalArgumentException](GraphQl.compile(g,
+      """{ Customer(orderBy: "name sideways", limit: 3) { name } }"""))
+    intercept[IllegalArgumentException](GraphQl.compile(g,
+      """{ Customer(limit: -1) { name } }"""))
+  }
+
   test("parser fails closed on fuzzed input (never escapes IllegalArgumentException)") {
     val rnd = new scala.util.Random(3)
     val seed = """query { Customer(mktsegment: "B", psize: 4) {
