@@ -58,6 +58,7 @@ object Bench {
     "text_clean",
     "text_vocab",
     "text_chunks",
+    "text_subword",
     "pipeline_pack_chunks",
     "asql_containstext_indexed",
     "asql_containstext_scan",
@@ -69,7 +70,8 @@ object Bench {
     "profile_columns",
     "multimodal_meta",
     "multimodal_frames",
-    "multimodal_resize"))
+    "multimodal_resize",
+    "multimodal_audio"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -7,12 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing (SURVEY §2.B.12): opaque `binary` payloads
   * with typed metadata, processed in distributed batches.
   *
-  * The decode step itself is STUBBED (this container has no image/audio
-  * codecs — see the builder brief): `fakeDecode` derives deterministic
-  * pseudo-metadata from the payload bytes. The Spark-side plumbing is
-  * real: schema, batch iteration via `mapPartitions` (the Scala
-  * equivalent of `mapInPandas` batch processing), and partition-friendly
-  * layout.
+  * Image payloads decode for REAL ([[ImageCodec]]: PNG/PPM, CRC
+  * validated) and so do audio payloads ([[AudioCodec]]: RIFF/WAVE PCM).
+  * Only VIDEO keeps the documented deterministic pseudo-decode
+  * (`fakeDecode`) — container/video codecs are genuinely out of scope
+  * for a pure-JVM kernel. The Spark-side plumbing is real throughout:
+  * schema, batch iteration via `mapPartitions` (the Scala equivalent of
+  * `mapInPandas` batch processing), and partition-friendly layout.
   */
 object Multimodal {
 
@@ -54,12 +55,32 @@ object Multimodal {
     ImageCodec.Image(w, h, 3, px)
   }
 
+  /** The deterministic clip for media id `id`: mono 8-bit PCM at
+    * 8 kHz whose length and sample values derive arithmetically from
+    * the id — the audio twin of [[genImage]], so a SQL oracle can
+    * recompute EXPECTED samples while the engine round-trips the REAL
+    * RIFF/WAVE bytes through [[AudioCodec]]. Samples stay in 32..127
+    * (ASCII-safe) so an md5 over them equals an md5 over the oracle's
+    * chr()-built string. */
+  val AudioRate = 8000
+  def genAudio(id: Long): AudioCodec.Audio = {
+    val n = (id % 40 + 5).toInt
+    val s = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      s(i) = (((id + i * 13) % 96) + 32).toInt
+      i += 1
+    }
+    AudioCodec.Audio(AudioRate, 1, 8, s)
+  }
+
   /** Pack a text table into media payloads. Image rows carry REAL
     * encoded images (PNG for even ids, PPM for odd — both decoders
-    * exercised): [[genImage]] rendered through [[ImageCodec]]. Audio/
-    * video rows keep document bytes as opaque payloads — those codecs
-    * stay out of scope, and [[extractMeta]]'s fallback documents the
-    * boundary. */
+    * exercised): [[genImage]] rendered through [[ImageCodec]]. Audio
+    * rows carry REAL RIFF/WAVE PCM: [[genAudio]] rendered through
+    * [[AudioCodec]]. Video rows keep document bytes as opaque
+    * payloads — that codec stays out of scope, and [[extractMeta]]'s
+    * fallback documents the boundary. */
   def packAsMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     val out = StructType(Seq(
@@ -74,7 +95,7 @@ object Multimodal {
             val bytes =
               if (id % 2 == 0) ImageCodec.encodePng(img) else ImageCodec.encodePpm(img)
             Row(id, "image", bytes)
-          case 1 => Row(id, "audio", r.getAs[Array[Byte]](1))
+          case 1 => Row(id, "audio", AudioCodec.encodeWav(genAudio(id)))
           case _ => Row(id, "video", r.getAs[Array[Byte]](1))
         }
       }
@@ -83,9 +104,10 @@ object Multimodal {
   }
 
   /** Deterministic pseudo-metadata for payloads with no in-container
-    * codec (audio/video): derived purely from the bytes so tests stay
-    * exact. A real deployment plugs ffmpeg-class decoders in at the
-    * same `mapPartitions` boundary the image path already uses. */
+    * codec (video only, now that audio decodes for real): derived
+    * purely from the bytes so tests stay exact. A real deployment
+    * plugs ffmpeg-class decoders in at the same `mapPartitions`
+    * boundary the image and audio paths already use. */
   def fakeDecode(payload: Array[Byte]): (Long, Int, Int, Long) = {
     val n = payload.length.toLong
     val w = (if (n > 0) (payload(0) & 0xff) else 0) + 1
@@ -95,9 +117,12 @@ object Multimodal {
 
   /** Batch feature extraction over partitions — the mapInPandas-shaped
     * path: one iterator pass per partition, no driver involvement.
-    * Image payloads go through the REAL decoder ([[ImageCodec]]):
+    * Image payloads go through the REAL raster decoder ([[ImageCodec]]):
     * n_bytes is the decoded pixel count, width/height the raster
-    * dimensions, duration 0. Other media fall back to [[fakeDecode]]. */
+    * dimensions, duration 0. Audio payloads go through the REAL WAV
+    * decoder ([[AudioCodec]]): n_bytes is the decoded sample count,
+    * width the channel count, height the bit depth, duration_ms the
+    * clip length. Video falls back to [[fakeDecode]]. */
   def extractMeta(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val out = StructType(Seq(
@@ -111,9 +136,45 @@ object Multimodal {
           case Some(img) =>
             Row(r.getLong(0), r.getString(1), img.pixels.length.toLong,
               img.width, img.height, 0L)
+          case None if AudioCodec.isWav(payload) =>
+            val a = AudioCodec.decodeWav(payload)
+            Row(r.getLong(0), r.getString(1), a.samples.length.toLong,
+              a.channels, a.bitsPerSample, a.durationMs)
           case None =>
             val (n, w, h, d) = fakeDecode(payload)
             Row(r.getLong(0), r.getString(1), n, w, h, d)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, out)
+  }
+
+  /** Per-clip sample statistics over decoded audio — the feature-
+    * extraction face of the audio path (decode is the expensive step;
+    * the stats are one register pass over the samples). Non-audio
+    * payloads are skipped. Integer sums keep the SQL oracle exact. */
+  def audioStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val out = StructType(Seq(
+      StructField("media_id", LongType), StructField("sample_rate", IntegerType),
+      StructField("n_samples", IntegerType), StructField("duration_ms", LongType),
+      StructField("sum_amp", LongType), StructField("peak_amp", IntegerType)))
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val p = r.getAs[Array[Byte]]("payload")
+        if (!AudioCodec.isWav(p)) None
+        else {
+          val a = AudioCodec.decodeWav(p)
+          var sum = 0L
+          var peak = Int.MinValue
+          var i = 0
+          while (i < a.samples.length) {
+            sum += a.samples(i)
+            if (a.samples(i) > peak) peak = a.samples(i)
+            i += 1
+          }
+          Some(Row(r.getLong(0), a.sampleRate, a.samples.length, a.durationMs,
+            sum, if (a.samples.isEmpty) 0 else peak))
         }
       }
     }
@@ -175,9 +236,11 @@ object Multimodal {
 
   /** Frame/byte sampling. Image payloads DECODE and decimate by
     * `stride` in both axes (out(x,y) = src(stride·x, stride·y) — the
-    * thumbnail/frame-sample kernel over real pixels); other payloads
-    * keep the byte-stride sample. Binary in, binary out, metadata
-    * updated — one `mapPartitions` pass either way. */
+    * thumbnail/frame-sample kernel over real pixels); audio payloads
+    * DECODE and keep every stride-th sample frame ([[AudioCodec
+    * .decimate]]), emitting the decimated clip's raw PCM data bytes;
+    * other payloads keep the byte-stride sample. Binary in, binary
+    * out, metadata updated — one `mapPartitions` pass either way. */
   def sampleBytes(media: DataFrame, stride: Int): DataFrame = {
     val spark = media.sparkSession
     val out = StructType(Seq(
@@ -188,6 +251,20 @@ object Multimodal {
       it.map { r =>
         val p = r.getAs[Array[Byte]]("payload")
         ImageCodec.decode(p) match {
+          case None if AudioCodec.isWav(p) =>
+            val a = AudioCodec.decimate(AudioCodec.decodeWav(p), stride)
+            val bytesPer = a.bitsPerSample / 8
+            val s = new Array[Byte](a.samples.length * bytesPer)
+            var i = 0
+            while (i < a.samples.length) {
+              if (bytesPer == 1) s(i) = a.samples(i).toByte
+              else {
+                s(i * 2) = a.samples(i).toByte
+                s(i * 2 + 1) = (a.samples(i) >> 8).toByte
+              }
+              i += 1
+            }
+            Row(r.getLong(0), s, a.samples.length)
           case Some(img) =>
             val outW = (img.width + stride - 1) / stride
             val outH = (img.height + stride - 1) / stride

@@ -67,6 +67,29 @@ object TextOps {
     * — the distributed analogue of content hashing. */
   def fingerprint(text: Column): Column = md5(lower(text))
 
+  /** Fixture subword vocabulary for [[subwordCount]] — frequent English
+    * digraphs/trigraphs plus common whole words, the shape of the head
+    * of a trained BPE merge table. FIXED by design: a deterministic
+    * vocab is what makes the greedy segmentation reproducible across
+    * engines (the oracle interpolates this same list). Single
+    * characters need no entries — they are the tokenizer's implicit
+    * fallback. */
+  val SubwordVocab: Seq[String] = Seq(
+    "the", "ing", "ion", "and", "ent", "tion", "that", "with",
+    "er", "an", "re", "on", "at", "en", "ed", "es", "or", "te",
+    "in", "st", "ar", "al", "le", "de", "co", "un", "th", "is",
+    "it", "ou", "se", "ve", "ly", "ro", "ra", "ri")
+
+  /** Tokenizer-faithful token count: the number of subword tokens a
+    * greedy longest-match (MaxMatch/WordPiece-style) segmentation over
+    * [[SubwordVocab]] produces for the lowercased whitespace words —
+    * the count a training pipeline budgets sequences by when the real
+    * tokenizer is subword, not whitespace. Compiled one-pass kernel
+    * ([[graft.plans.SubwordCount]]); whitespace [[tokens]] stays the
+    * default everywhere else. */
+  def subwordCount(text: Column): Column =
+    graft.plans.SubwordCount(tokens(lower(text)), SubwordVocab)
+
   /** Language-ID by stopword-marker scoring (n-gram heuristic): count
     * marker-token hits per language, argmax with a fixed tie-break
     * order. Deterministic; SQL-expressible. */

@@ -1035,16 +1035,46 @@ object LlmQueries {
             (a, x) -> (a * 31 + x) % ${TextOps.RollMod}) END AS roll
         FROM documents""")),
 
-    // multimodal frame-sampling: byte-stride sample of the payload
-    // (fake kernel, real binary-in/binary-out plumbing); the oracle
-    // recomputes the stride sample from the text characters (the corpus
-    // is ASCII, so char positions == byte positions — same assumption
-    // multimodal_meta already relies on)
-    // image rows REALLY decode (PNG/PPM via ImageCodec) and decimate
-    // pixels stride-4; the oracle recomputes the expected raster
-    // arithmetically (genImage's formula) and md5s the same ASCII-safe
-    // byte string — proving encode→decode→sample round-trips exactly.
-    // Audio/video rows keep the byte-stride sample of the text payload.
+    // ✚ tokenizer-faithful token counts (TextOps.subwordCount
+    // scaladoc): greedy longest-match subword segmentation over the
+    // fixed fixture vocab, as one compiled kernel pass — the count a
+    // sequence-budgeting pipeline uses when the real tokenizer is
+    // subword. The oracle REPLAYS the greedy automaton with a
+    // recursive CTE (one step per consumed subword) over the DISTINCT
+    // words, then re-weights by word multiplicity — vocab literals are
+    // interpolated from the same Scala constant, drift-proof.
+    Q("text_subword",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        TextOps.subwordCount(col("text")).as("n_subwords")),
+      Some {
+        val vals = TextOps.SubwordVocab.map(v => s"('$v')").mkString(",")
+        s"""WITH RECURSIVE
+        words AS (
+          SELECT doc_id, w, count(*) AS mult FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents) t
+          GROUP BY doc_id, w),
+        dw AS (SELECT DISTINCT w FROM words),
+        step(w, pos, cnt) AS (
+          SELECT w, 1, 0 FROM dw
+          UNION ALL
+          SELECT w,
+            pos + coalesce((SELECT max(length(v)) FROM (VALUES $vals) vocab(v)
+                            WHERE substr(w, pos, length(v)) = v), 1),
+            cnt + 1
+          FROM step WHERE pos <= length(w)),
+        counts AS (SELECT w, max(cnt) AS n FROM step GROUP BY w)
+        SELECT wo.doc_id, CAST(sum(wo.mult * c.n) AS INTEGER) AS n_subwords
+        FROM words wo JOIN counts c USING (w) GROUP BY wo.doc_id"""
+      }),
+
+    // multimodal frame-sampling over REAL decodes: image rows (PNG/PPM
+    // via ImageCodec) decimate pixels stride-4 and audio rows (WAV via
+    // AudioCodec) keep every 4th PCM sample — the oracle recomputes
+    // both expected streams arithmetically (genImage's / genAudio's
+    // formulas) and md5s the same ASCII-safe byte strings, proving
+    // encode→decode→sample round-trips exactly for both codecs.
+    // Video rows keep the byte-stride sample of the text payload.
     Q("multimodal_frames",
       (s, d) => Multimodal.sampleBytes(
           Multimodal.packAsMedia(t(s, d, "documents")), 4)
@@ -1052,6 +1082,7 @@ object LlmQueries {
       Some("""SELECT doc_id AS media_id,
         CAST(CASE WHEN doc_id % 3 = 0
           THEN ((doc_id % 13 + 4) // 4) * ((doc_id % 7 + 4) // 4) * 3
+          WHEN doc_id % 3 = 1 THEN (doc_id % 40 + 5 + 3) // 4
           ELSE len(generate_series(1, length(text), 4)) END AS INTEGER) AS n_sampled,
         CASE WHEN doc_id % 3 = 0
           THEN md5(array_to_string(flatten(flatten(
@@ -1059,9 +1090,32 @@ object LlmQueries {
               list_transform(generate_series(0, CAST((doc_id % 13 + 4) // 4 AS INTEGER) - 1), x ->
                 list_transform(generate_series(0, 2), c ->
                   chr(CAST((doc_id + 4*x*7 + 4*y*11 + c*5) % 96 + 32 AS INTEGER))))))), ''))
+          WHEN doc_id % 3 = 1
+          THEN md5(array_to_string(
+            list_transform(generate_series(0, CAST((doc_id % 40 + 5 + 3) // 4 AS INTEGER) - 1),
+              j -> chr(CAST((doc_id + 4*j*13) % 96 + 32 AS INTEGER))), ''))
           ELSE md5(array_to_string(list_transform(generate_series(1, length(text), 4),
             i -> substr(text, i, 1)), '')) END AS fp
         FROM documents""")),
+
+    // ✚ multimodal AUDIO decode (AudioCodec scaladoc): audio rows carry
+    // REAL RIFF/WAVE PCM (genAudio rendered through encodeWav); decode
+    // parses the container (fmt/data chunks, sizes validated) and the
+    // stats are integer arithmetic over the samples, which the oracle
+    // recomputes from the generator's formula — proving the header
+    // fields (rate, depth) and every sample byte round-trip exactly
+    Q("multimodal_audio",
+      (s, d) => Multimodal.audioStats(
+        Multimodal.packAsMedia(t(s, d, "documents"))),
+      Some("""SELECT doc_id AS media_id,
+        8000 AS sample_rate,
+        CAST(doc_id % 40 + 5 AS INTEGER) AS n_samples,
+        CAST((doc_id % 40 + 5) // 8 AS BIGINT) AS duration_ms,
+        CAST(list_sum(list_transform(generate_series(0, CAST(doc_id % 40 + 4 AS INTEGER)),
+          i -> (doc_id + i*13) % 96 + 32)) AS BIGINT) AS sum_amp,
+        CAST(list_max(list_transform(generate_series(0, CAST(doc_id % 40 + 4 AS INTEGER)),
+          i -> (doc_id + i*13) % 96 + 32)) AS INTEGER) AS peak_amp
+        FROM documents WHERE doc_id % 3 = 1""")),
 
     // ✚ multimodal RESIZE (Multimodal.downscale scaladoc): real
     // decode → 2×2 box-filter average → integer pixels; the oracle
@@ -1089,22 +1143,27 @@ object LlmQueries {
         FROM documents WHERE doc_id % 3 = 0""")),
 
     // binary payload + batch decode via mapPartitions. Image rows carry
-    // real PNG (even ids) / PPM (odd ids) bytes decoded by ImageCodec —
-    // the oracle knows the generator's dimensions; n_bytes for an image
-    // is its decoded pixel count. Audio/video fall back to the
-    // documented deterministic pseudo-decode of the text bytes.
+    // real PNG (even ids) / PPM (odd ids) bytes decoded by ImageCodec
+    // (n_bytes = decoded pixel count); audio rows carry real WAV bytes
+    // decoded by AudioCodec (n_bytes = sample count, width = channels,
+    // height = bit depth, duration from the rate). Video falls back to
+    // the documented deterministic pseudo-decode of the text bytes.
     Q("multimodal_meta",
       (s, d) => Multimodal.extractMeta(Multimodal.packAsMedia(t(s, d, "documents"))),
       Some("""SELECT doc_id AS media_id,
         CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
           ELSE 'video' END AS kind,
         CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id % 13 + 1) * (doc_id % 7 + 1) * 3
+          WHEN doc_id % 3 = 1 THEN doc_id % 40 + 5
           ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes,
         CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 13 + 1
+          WHEN doc_id % 3 = 1 THEN 1
           ELSE ascii(substr(text, 1, 1)) + 1 END AS INTEGER) AS width,
         CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 7 + 1
+          WHEN doc_id % 3 = 1 THEN 8
           ELSE ascii(substr(text, 2, 1)) + 1 END AS INTEGER) AS height,
         CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+          WHEN doc_id % 3 = 1 THEN (doc_id % 40 + 5) // 8
           ELSE octet_length(encode(text)) * 10 END AS BIGINT) AS duration_ms
         FROM documents"""))
   )
