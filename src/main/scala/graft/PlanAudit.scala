@@ -116,16 +116,18 @@ object PlanAudit {
       "resident side reads the persisted signature index", "graft-sigidx"),
     Check("dedup_incremental",
       "arrival probe is a semi join against the index", "LeftSemi"),
-    // round-10 ops: semantic decontamination must broadcast the
-    // benchmark onto ONE corpus scan (never shuffle the corpus) and
-    // score with the compiled dot kernel; the cluster-balance draw is
-    // one window over the cell key; vocabulary top-k must plan as
-    // TakeOrderedAndProject (no global sort materialization); the
-    // text-clean scan reads only the two columns it uses
+    // round-10/11 ops: semantic decontamination folds the eval-sized
+    // benchmark into the compiled max-cos kernel — one corpus scan,
+    // zero shuffle, no pair join to materialize (round 11 replaced the
+    // broadcast-NLJ + max-agg shape after measuring the serving
+    // benchmark); the cluster-balance draw is one window over the cell
+    // key; vocabulary top-k must plan as TakeOrderedAndProject (no
+    // global sort materialization); the text-clean scan reads only the
+    // two columns it uses
     Check("pipeline_decontaminate_semantic",
-      "benchmark broadcasts onto one corpus scan", "BroadcastNestedLoopJoin"),
+      "benchmark folds into the compiled max-cos kernel", "graft_maxcos"),
     Check("pipeline_decontaminate_semantic",
-      "native dot kernel scores the pairs", "graft_dot"),
+      "the decon scan stays in codegen", "codegen id"),
     Check("pipeline_cluster_balance",
       "balanced draw is one window over the cell key", "Window"),
     Check("text_vocab", "vocab top-k without total sort", "TakeOrderedAndProject"),

@@ -168,28 +168,28 @@ object Pipeline {
     * shingle pass above: flag every corpus vector whose cosine against
     * ANY benchmark vector reaches `tau` (paraphrased contamination that
     * shares no 8-gram). Exact by design: decontamination wants
-    * recall = 1 on the benchmark, so no LSH/IVF pruning on this path —
-    * the benchmark side is eval-sized and BROADCAST, making the pass
-    * one corpus scan doing |benchmark| compiled dot products per row
-    * (map-only, zero shuffle until the per-id max aggregation, which is
-    * output-linear in the flagged set). At 100 TB that is the right
-    * trade: benchmark sets are thousands of rows, so the scan cost is
-    * ~|B| fused multiply-adds per corpus vector — cheaper than the
-    * shingle explode the exact pass already pays.
+    * recall = 1 on the benchmark, so no LSH/IVF pruning on this path.
+    * The benchmark is eval-sized by contract, so it rides into a
+    * compiled max-cos kernel as a LITERAL matrix (the IVF-centroid
+    * pattern): ONE corpus scan does the |B| dot products, the τ
+    * filter, the max, and the count per row — map-only, ZERO shuffle,
+    * output-linear. This replaced the broadcast-NLJ + per-id max-agg
+    * formulation, which materialized one row per (corpus, benchmark)
+    * pair: measured at the serving shape (fixed 1k benchmark), the
+    * kernel cut the ×100-corpus pass ~4× (BASELINE.md round 11) while
+    * staying bit-identical (same IEEE accumulation order per pair).
     * Returns (cid, max_cos rounded 6dp, n_hits) per flagged id. */
   def decontaminateSemantic(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, vecCol: String, tau: Double): DataFrame = {
-    val c = corpus.select(col(idCol).as("cid"),
-      col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("cn", Similarity.norm(col("cv")))
-    val b = benchmark.select(col(vecCol).cast("array<double>").as("bv"))
-      .withColumn("bn", Similarity.norm(col("bv")))
-    c.crossJoin(broadcast(b))
-      .withColumn("cos", Similarity.dot(col("cv"), col("bv")) / (col("cn") * col("bn")))
-      .filter(col("cos") >= tau)
-      .groupBy(col("cid"))
-      .agg(max(col("cos")).as("mx"), count(lit(1)).as("n_hits"))
-      .select(col("cid"), round(col("mx"), 6).as("max_cos"), col("n_hits"))
+    // eval-sized collect (the mixRates/centroid discipline: config- or
+    // benchmark-sized tables may land on the driver; corpora never do)
+    val bench = benchmark.select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0)).toSeq
+    val h = graft.plans.MaxCosHits(col(vecCol).cast("array<double>"), bench, tau)
+    corpus.select(col(idCol).as("cid"), h.as("h"))
+      .filter(col("h").isNotNull)
+      .select(col("cid"), round(col("h.max_cos"), 6).as("max_cos"),
+        col("h.n_hits").as("n_hits"))
   }
 
   /** Threshold set for [[qualityGate]] (Gopher-family filter rules). */

@@ -816,10 +816,19 @@ class LlmSpec extends SparkSpec {
       (12L, Seq(0.9, 0.1, 0.0))  // near → cos ≈ 0.994
     ).toDF("vec_id", "embedding")
     val bench = Seq((0L, Seq(1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
-    val r = Pipeline.decontaminateSemantic(corpus, bench, "vec_id", "embedding", 0.9)
-      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val q = Pipeline.decontaminateSemantic(corpus, bench, "vec_id", "embedding", 0.9)
+    val r = q.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
     assert(r.keySet == Set(10L, 12L))
     assert(r(10L) == 1.0)
     assert(r(12L) > 0.99 && r(12L) < 1.0)
+    // serving shape (round 11): the benchmark folds into the compiled
+    // max-cos kernel — one corpus scan, NO pair join of any kind.
+    // Asserted on a parquet-backed corpus: the local-relation corpus
+    // above constant-folds to a LocalTableScan, kernel and all.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val plan = Pipeline.decontaminateSemantic(
+        emb, bench, "vec_id", "embedding", 0.9)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_maxcos") && !plan.contains("Join"), plan)
   }
 }
