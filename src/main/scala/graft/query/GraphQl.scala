@@ -78,10 +78,24 @@ object GraphQl {
           while (i < s.length && (s(i).isDigit || s(i) == '.')) i += 1
           val t = s.substring(start, i)
           if (t.contains('.')) t.toDouble else t.toLong
-        case 't' | 'f' =>
+        case 't' | 'f' | 'n' =>
           val id = ident()
           if (id == "true") true else if (id == "false") false
+          else if (id == "null") null
           else fail(s"unexpected value '$id'")
+        // input-object value (GraphQL `{k: v, …}`) — the mutation
+        // surface's where/set arguments. Unambiguous here: a selection
+        // set can only FOLLOW a closed argument list, never sit inside
+        // one
+        case '{' =>
+          i += 1
+          val m = scala.collection.mutable.LinkedHashMap[String, Any]()
+          ws()
+          while (peek != '}') {
+            val k = ident(); expect(':'); m(k) = value(); ws()
+          }
+          i += 1
+          m.toMap
         case _ => fail("expected value")
       }
     }
@@ -122,6 +136,8 @@ object GraphQl {
     /** `query Name? { root }` or bare `{ root }`; exactly one root field. */
     def document(): Field = {
       ws()
+      if (peek == 'm') fail(
+        "mutations are writes — POST them to the command route, not the query route")
       if (peek == 'q') { val kw = ident(); if (kw != "query") fail("expected 'query'"); ws(); if (peek != '{') ident() }
       val roots = selectionSet()
       ws()
@@ -129,9 +145,27 @@ object GraphQl {
       if (roots.size != 1) fail(s"expected exactly one root field, got ${roots.size}")
       roots.head
     }
+
+    /** `mutation Name? { field+ }`; multiple root fields allowed (they
+      * execute as ONE atomic batch, GraphQL's sequential-root contract
+      * made transactional). */
+    def mutationDocument(): Seq[Field] = {
+      ws()
+      val kw = ident()
+      if (kw != "mutation") fail("expected 'mutation'")
+      ws()
+      if (peek != '{') ident() // optional operation name
+      val roots = selectionSet()
+      ws()
+      if (i < s.length) fail("trailing input")
+      if (roots.isEmpty) fail("mutation selects no fields")
+      roots
+    }
   }
 
   def parse(query: String): Field = new Parser(query).document()
+
+  def isMutation(doc: String): Boolean = doc.trim.startsWith("mutation")
 
   private val HopName = "^(out|in|both)_(.+)$".r
 
@@ -184,6 +218,93 @@ object GraphQl {
 
   private def applyArgs(t: Traversal, binding: String, args: Map[String, Any]): Traversal =
     args.foldLeft(t) { case (acc, (k, v)) => acc.filter(col(s"${binding}_$k") === lit(v)) }
+
+  // ---- mutations ----
+
+  /** Compile a GraphQL mutation document into the DML statements it
+    * denotes — the write face of the GraphQL surface (the reference
+    * ships GraphQL as a full query language beside SQL [dep,
+    * `src/pom.xml:109-113`]; reads compile onto the traversal joins
+    * above, writes compile onto the SAME validated DML sinks as the
+    * SQL command surface, so every invariant — id collision, UNIQUE,
+    * endpoint resolution, constraints — holds identically). Field
+    * forms, `<Type>` a declared label:
+    *
+    *  - `create<Type>(prop: v, …)` → `CREATE VERTEX <Type> SET …`;
+    *    with `from`/`to` arguments → `CREATE EDGE <Type> FROM f TO t
+    *    [SET rest]` (the store validates the label's kind — a vertex
+    *    create with from/to fails there, loudly). Props may also ride
+    *    in one `input: {…}` object.
+    *  - `update<Type>(where: {k: v, …}, set: {k: v, …})` →
+    *    `UPDATE <Type> SET … WHERE k = v AND …`
+    *  - `delete<Type>(where: {k: v, …})` → `DELETE FROM <Type> WHERE …`
+    *
+    * Mutations return counts, not rows, so selection sets are refused
+    * loudly. Multiple root fields translate to multiple statements —
+    * the server executes them as ONE atomic batch. */
+  def mutationToDml(doc: String): Seq[String] = {
+    val roots = new Parser(doc).mutationDocument()
+    val MutName = "^(create|update|delete)([A-Za-z_]\\w*)$".r
+    def sqlLit(v: Any): String = v match {
+      case null => "null"
+      case s: String => "'" + s.replace("'", "''") + "'"
+      case b: Boolean => b.toString
+      case n @ (_: Long | _: Double) => n.toString
+      case other => throw new IllegalArgumentException(
+        s"unsupported literal in mutation: $other (objects only in where/set/input)")
+    }
+    def setClause(m: Map[String, Any]): String =
+      m.map { case (k, v) => s"$k = ${sqlLit(v)}" }.mkString(", ")
+    def whereClause(m: Map[String, Any]): String = {
+      require(m.nonEmpty, "mutation 'where' must not be empty — an empty object " +
+        "would address the whole type; use an explicit predicate through SQL for that")
+      m.map { case (k, v) => s"$k = ${sqlLit(v)}" }.mkString(" AND ")
+    }
+    def obj(v: Any, what: String): Map[String, Any] = v match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case other => throw new IllegalArgumentException(s"'$what' takes an object, got $other")
+    }
+    roots.map { f =>
+      require(f.selections.isEmpty,
+        s"mutation field '${f.name}' returns a count — selection sets are not served")
+      f.name match {
+        case MutName("create", label) =>
+          // props inline or in one input object (both GraphQL idioms)
+          val props = f.args.get("input").map(obj(_, "input"))
+            .getOrElse(f.args - "input")
+          (props.get("from"), props.get("to")) match {
+            case (Some(src: Long), Some(dst: Long)) =>
+              val rest = props - "from" - "to"
+              s"CREATE EDGE $label FROM $src TO $dst" +
+                (if (rest.nonEmpty) s" SET ${setClause(rest)}" else "")
+            case (Some(_), Some(_)) => throw new IllegalArgumentException(
+              "edge create takes integer record ids for from/to")
+            case (None, None) =>
+              require(props.nonEmpty, s"create$label needs at least one property")
+              s"CREATE VERTEX $label SET ${setClause(props)}"
+            case _ => throw new IllegalArgumentException(
+              "edge create needs BOTH from and to")
+          }
+        case MutName("update", label) =>
+          val where = obj(f.args.getOrElse("where", throw new IllegalArgumentException(
+            s"update$label needs a where: {…} argument")), "where")
+          val set = obj(f.args.getOrElse("set", throw new IllegalArgumentException(
+            s"update$label needs a set: {…} argument")), "set")
+          require(set.nonEmpty, s"update$label 'set' must not be empty")
+          val extra = f.args.keySet -- Set("where", "set")
+          require(extra.isEmpty, s"unknown update argument(s): ${extra.mkString(",")}")
+          s"UPDATE $label SET ${setClause(set)} WHERE ${whereClause(where)}"
+        case MutName("delete", label) =>
+          val where = obj(f.args.getOrElse("where", throw new IllegalArgumentException(
+            s"delete$label needs a where: {…} argument")), "where")
+          val extra = f.args.keySet - "where"
+          require(extra.isEmpty, s"unknown delete argument(s): ${extra.mkString(",")}")
+          s"DELETE FROM $label WHERE ${whereClause(where)}"
+        case other => throw new IllegalArgumentException(
+          s"unknown mutation field '$other' (expected create<Type>/update<Type>/delete<Type>)")
+      }
+    }
+  }
 
   /** Walk the selection set: scalars become aliased columns off the
     * current binding; hop fields recurse with a fresh binding. Returns

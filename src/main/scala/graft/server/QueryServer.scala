@@ -527,11 +527,22 @@ object QueryServer {
         case JNothing => None
         case other => throw new IllegalArgumentException(s"bad 'commands': $other")
       }
+      // GraphQL mutations translate onto the SAME DML statements (and
+      // sinks) as the SQL command surface; a multi-field mutation
+      // becomes a multi-statement atomic batch (GraphQL's sequential
+      // root execution made transactional)
+      var gqlBatch = false
       val commands: Seq[String] = batch.getOrElse {
         val (language, command, _) = parsed(body)
-        if (language != "sql")
-          throw new IllegalArgumentException(s"unsupported command language: $language")
-        Seq(command)
+        language match {
+          case "sql" => Seq(command)
+          case "graphql" =>
+            val dml = graft.query.GraphQl.mutationToDml(command)
+            gqlBatch = dml.size > 1
+            dml
+          case other =>
+            throw new IllegalArgumentException(s"unsupported command language: $other")
+        }
       }
       commands.filterNot(Dml.isDml).foreach(c =>
         throw new IllegalArgumentException(
@@ -581,7 +592,7 @@ object QueryServer {
           // and the superseded one retires with its in-flight reads
           val n = writeMutex.synchronized {
             val n0 =
-              if (batch.isDefined) Dml.executeBatch(spark, ctx.dir, commands)
+              if (batch.isDefined || gqlBatch) Dml.executeBatch(spark, ctx.dir, commands)
               else Dml.execute(spark, ctx.dir, commands.head)
             val paths = graft.load.Store.currentGenPaths(ctx.dir)
             graft.load.GenerationPins.pin(paths)

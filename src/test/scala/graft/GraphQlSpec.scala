@@ -121,4 +121,40 @@ class GraphQlSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       GraphQl.compile(g, "{ Customer { out_PLACED } }")) // hop without selections
   }
+
+  test("mutations translate to the DML statements they denote") {
+    def one(doc: String): String = GraphQl.mutationToDml(doc) match {
+      case Seq(s) => s
+      case other => fail(s"expected one statement, got $other")
+    }
+    assert(one("""mutation { createCustomer(id: 7, name: "O'Hare", vip: true) }""")
+      == "CREATE VERTEX Customer SET id = 7, name = 'O''Hare', vip = true")
+    assert(one("""mutation { createCustomer(input: {id: 7, acctbal: 1.5}) }""")
+      == "CREATE VERTEX Customer SET id = 7, acctbal = 1.5")
+    assert(one("""mutation { createPLACED(from: 1, to: 2, weight: 3) }""")
+      == "CREATE EDGE PLACED FROM 1 TO 2 SET weight = 3")
+    assert(one("""mutation { createPLACED(from: 1, to: 2) }""")
+      == "CREATE EDGE PLACED FROM 1 TO 2")
+    assert(one("""mutation { updateCustomer(where: {id: 7, name: "x"}, set: {acctbal: 2.0}) }""")
+      == "UPDATE Customer SET acctbal = 2.0 WHERE id = 7 AND name = 'x'")
+    assert(one("""mutation { deleteCustomer(where: {id: 7}) }""")
+      == "DELETE FROM Customer WHERE id = 7")
+    // multi-field = multi-statement (the server batches them atomically)
+    assert(GraphQl.mutationToDml(
+      """mutation { createCustomer(id: 1) deleteCustomer(where: {id: 1}) }""").size == 2)
+    // refusals: empty where, missing set, selection sets, half an edge,
+    // unknown verb, and a mutation on the read path
+    intercept[IllegalArgumentException](GraphQl.mutationToDml(
+      "mutation { deleteCustomer(where: {}) }"))
+    intercept[IllegalArgumentException](GraphQl.mutationToDml(
+      "mutation { updateCustomer(where: {id: 1}) }"))
+    intercept[IllegalArgumentException](GraphQl.mutationToDml(
+      "mutation { createCustomer(id: 1) { id } }"))
+    intercept[IllegalArgumentException](GraphQl.mutationToDml(
+      "mutation { createPLACED(from: 1, weight: 2) }"))
+    intercept[IllegalArgumentException](GraphQl.mutationToDml(
+      "mutation { upsertCustomer(id: 1) }"))
+    intercept[IllegalArgumentException](GraphQl.parse(
+      "mutation { deleteCustomer(where: {id: 1}) }"))
+  }
 }
