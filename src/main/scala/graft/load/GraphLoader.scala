@@ -820,6 +820,17 @@ object GraphLoader {
     // ONE schema read serves both the widening and the A15 checks
     val gs = GraphSchema.fromJson(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$outDir/schema.json")))
+    // READONLY properties are frozen like the keys: creation-time
+    // writes only (ALTER PROPERTY … READONLY — the ArcadeDB attribute
+    // that constrains CHANGES rather than values [dep arcadedb SQL])
+    val roTarget = if (kind == "vertex") "node" else "edge"
+    val frozen = gs.constraints.collect {
+      case c if c.kind == "readonly" && c.target == roTarget && c.label == label =>
+        c.property
+    }.toSet
+    val badRo = sets.keySet.intersect(frozen)
+    require(badRo.isEmpty,
+      s"UPDATE rejected: ${badRo.mkString(", ")} READONLY (creation-time writes only)")
     val part = readLabelWidened(spark, outDir, entity, label, m, gs) match {
       case Some(df) => df
       case None => return 0L // declared label, no rows yet

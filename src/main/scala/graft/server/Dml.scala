@@ -64,12 +64,14 @@ object Dml {
   // property constraints (ArcadeDB's ALTER PROPERTY surface [dep
   // arcadedb SQL]): MANDATORY and NOTNULL collapse to one invariant
   // under A7 normalization (absent key ≡ null value) — see
-  // ConstraintDesc. MIN/MAX/REGEXP bound existing values and DEFAULT
-  // fills absent ones at append; `ALTER PROPERTY T.p MIN null` retires
-  // an attribute. READONLY/CUSTOM remain unsupported and fail the
-  // dispatch loudly rather than parsing to a silent no-op.
+  // ConstraintDesc. MIN/MAX/REGEXP bound existing values, DEFAULT
+  // fills absent ones at append, READONLY freezes a property against
+  // UPDATE (creation-time writes only — enforced beside the
+  // key/topology immutables in updateColumns); `ALTER PROPERTY T.p
+  // MIN null` retires an attribute. CUSTOM remains unsupported and
+  // fails the dispatch loudly rather than parsing to a silent no-op.
   private val AlterPropertyRe =
-    """(?is)\s*ALTER\s+PROPERTY\s+(\w+)\.(\w+)\s+(MANDATORY|NOTNULL|MIN|MAX|REGEXP|DEFAULT)\s+(.+?)\s*""".r
+    """(?is)\s*ALTER\s+PROPERTY\s+(\w+)\.(\w+)\s+(MANDATORY|NOTNULL|MIN|MAX|REGEXP|DEFAULT|READONLY)\s+(.+?)\s*""".r
   // schema-lifecycle DDL completion: DROP mirrors of the CREATE forms
   private val DropTypeRe = """(?is)\s*DROP\s+TYPE\s+(\w+)(\s+IF\s+EXISTS)?\s*""".r
   private val DropPropertyRe = """(?is)\s*DROP\s+PROPERTY\s+(\w+)\.(\w+)\s*""".r
@@ -274,6 +276,11 @@ object Dml {
             case "MANDATORY" | "NOTNULL" => "mandatory"
             case other => other.toLowerCase
           }
+          // boolean-shaped attributes share the MANDATORY toggle
+          // discipline (declare-over-declared and retire-of-absent are
+          // both client errors); READONLY constrains CHANGES, not
+          // values, so existing data needs no validation pass
+          val boolAttr = kind == "mandatory" || kind == "readonly"
           def same(x: graft.model.ConstraintDesc) =
             x.target == target && x.label == label && x.property == prop &&
               x.kind == kind
@@ -293,19 +300,19 @@ object Dml {
             })
           }
           val value = valueRaw.trim
-          if (kind == "mandatory") {
+          if (boolAttr) {
             if (value.equalsIgnoreCase("true")) {
               require(!cur.constraints.exists(same),
-                s"$label.$prop is already MANDATORY")
-              val c = graft.model.ConstraintDesc(target, label, prop, "mandatory")
-              validateExisting(c)
+                s"$label.$prop is already $attr")
+              val c = graft.model.ConstraintDesc(target, label, prop, kind)
+              if (kind == "mandatory") validateExisting(c)
               (cur.copy(constraints = cur.constraints :+ c), 1L)
             } else if (value.equalsIgnoreCase("false")) {
               // retiring a constraint that does not exist is a client
               // error, mirroring the double-declare above — a typo'd
               // retire must not report success (ADVICE r10)
               require(cur.constraints.exists(same),
-                s"$label.$prop is not MANDATORY — nothing to retire")
+                s"$label.$prop is not $attr — nothing to retire")
               (cur.copy(constraints = cur.constraints.filterNot(same)), 1L)
             } else throw new IllegalArgumentException(
               s"ALTER PROPERTY $attr takes true|false, got '$value'")
@@ -502,7 +509,8 @@ object Dml {
         throw new IllegalArgumentException(
           "unsupported DML (expected INSERT INTO … VALUES, CREATE VERTEX … SET, " +
             "CREATE EDGE … FROM … TO …; ALTER forms are ALTER PROPERTY T.p " +
-            "MANDATORY|NOTNULL true|false and MIN|MAX|REGEXP|DEFAULT <literal>|null)")
+            "MANDATORY|NOTNULL|READONLY true|false and " +
+            "MIN|MAX|REGEXP|DEFAULT <literal>|null)")
     }
   }
 

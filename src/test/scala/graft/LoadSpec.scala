@@ -1145,6 +1145,27 @@ class LoadSpec extends SparkSpec {
     assert(graft.server.Dml.execute(spark, out, "ALTER PROPERTY Widget.wsize MAX null") == 1)
     assert(graft.server.Dml.execute(spark, out,
       "INSERT INTO Widget SET id = 6000004, wsize = 50000") == 1)
+
+    // READONLY (round 11): freezes a property against UPDATE —
+    // creation-time writes only; other properties stay updatable;
+    // retire unblocks; the MANDATORY toggle discipline applies
+    assert(graft.server.Dml.execute(spark, out,
+      "ALTER PROPERTY Widget.wsize READONLY true") == 1)
+    intercept[IllegalArgumentException](graft.server.Dml.execute(spark, out,
+      "ALTER PROPERTY Widget.wsize READONLY true")) // double declare
+    val exRo = intercept[IllegalArgumentException](graft.server.Dml.execute(spark, out,
+      "UPDATE Widget SET wsize = 1 WHERE id = 6000004"))
+    assert(exRo.getMessage.contains("READONLY"))
+    assert(graft.server.Dml.execute(spark, out,
+      "INSERT INTO Widget SET id = 6000005, wsize = 7") == 1) // creation still fine
+    intercept[IllegalArgumentException](graft.server.Dml.execute(spark, out,
+      "DROP PROPERTY Widget.wsize")) // constraint blocks the drop
+    assert(graft.server.Dml.execute(spark, out,
+      "ALTER PROPERTY Widget.wsize READONLY false") == 1)
+    assert(graft.server.Dml.execute(spark, out,
+      "UPDATE Widget SET wsize = 1 WHERE id = 6000004") == 1)
+    intercept[IllegalArgumentException](graft.server.Dml.execute(spark, out,
+      "ALTER PROPERTY Widget.wsize READONLY false")) // retire of absent
   }
 
   test("DML edge record ids: CREATE EDGE draws from the manifest " +
