@@ -44,6 +44,7 @@ object Bench {
     "pipeline_prep",
     "pipeline_shards",
     "pipeline_mix_rates",
+    "pipeline_mix_temperature",
     "pipeline_quality_gate",
     "pipeline_decontaminate",
     "pipeline_decontaminate_fuzzy",

@@ -284,6 +284,39 @@ object Pipeline {
           .as("rate"))
   }
 
+  /** Temperature-tempered mixture planning — the multilingual-sampling
+    * classic (weights ∝ tokens^α, α < 1 upsampling low-resource
+    * strata): given the observed per-stratum token mass n_s, plan keep
+    * rates realizing the α-tempered mixture w_s ∝ n_s^α while
+    * discarding as little as possible. Normalization cancels inside
+    * rate_s = w_s·T/n_s (T = min_t n_t/w_t), so the raw tempered
+    * weight is used directly — no order-sensitive floating SUM crosses
+    * the engine boundary, keeping the oracle bit-exact. The SMALLEST
+    * stratum binds at rate 1 (the α-tempering shape: keep everything
+    * rare, downsample the big strata ∝ n^(α−1)). α = 0.5 computes via
+    * `sqrt` (correctly rounded per IEEE in BOTH engines — the declared
+    * twin's setting); other α use `pow`, whose last-ulp behavior is
+    * libm-specific (fine for the library, not for a hash-matched
+    * oracle). Same scale posture as [[mixRates]]: ONE stratum agg +
+    * a broadcast scalar bind. */
+  def mixRatesTemperature(docs: DataFrame, stratumCol: String, textCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1,
+      s"temperature exponent must be in (0, 1], got $alpha")
+    val tokens = docs.groupBy(col(stratumCol).as("stratum"))
+      .agg(sum(size(TextOps.tokens(col(textCol)))).as("n_tokens"))
+    val wRaw =
+      if (alpha == 0.5) sqrt(col("n_tokens").cast("double"))
+      else pow(col("n_tokens").cast("double"), alpha)
+    val withW = tokens.withColumn("w_raw", wRaw)
+    val tmax = withW.agg(min(col("n_tokens") / col("w_raw")).as("t_max"))
+    withW.crossJoin(broadcast(tmax)) // 1-row scalar bind (mixRates pattern)
+      .select(col("stratum"), col("n_tokens"),
+        round(col("w_raw"), 6).as("w_raw"),
+        round(least(lit(1.0), col("w_raw") * col("t_max") / col("n_tokens")), 6)
+          .as("rate"))
+  }
+
   /** Apply a target mixture end-to-end: [[mixRates]] plans the
     * per-stratum keep rates, then [[stratifiedSample]]'s md5-bucket
     * rule applies them (rates quantized to integer percent — the

@@ -819,6 +819,22 @@ object LlmQueries {
     // mixture targeting (Pipeline.mixRates): per-lang keep rates that
     // realize a target token-share mixture — achievable size is bound
     // by the scarcest stratum (rate 1 there); one stratum-keyed agg
+    // ✚ temperature-tempered mixing (Pipeline.mixRatesTemperature):
+    // weights ∝ tokens^0.5 — keep all of the scarcest language,
+    // downsample the big ones ∝ n^-0.5. sqrt is correctly rounded per
+    // IEEE in both engines, so the rate doubles hash-match exactly.
+    Q("pipeline_mix_temperature",
+      (s, d) => Pipeline.mixRatesTemperature(t(s, d, "documents"), "lang", "text", 0.5),
+      Some("""WITH tok AS (SELECT lang AS stratum,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY lang),
+        w AS (SELECT stratum, n_tokens,
+          sqrt(CAST(n_tokens AS DOUBLE)) AS w_raw FROM tok),
+        m AS (SELECT min(n_tokens / w_raw) AS t_max FROM w)
+        SELECT stratum, n_tokens, round(w_raw, 6) AS w_raw,
+          round(least(1.0, w_raw * t_max / n_tokens), 6) AS rate
+        FROM w CROSS JOIN m""")),
+
     Q("pipeline_mix_rates",
       (s, d) => Pipeline.mixRates(t(s, d, "documents"), "lang", "text", MixTargets),
       Some {
