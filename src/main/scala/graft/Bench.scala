@@ -61,6 +61,7 @@ object Bench {
     "text_chunks",
     "text_subword",
     "pipeline_pack_chunks",
+    "pipeline_pack_subword",
     "asql_containstext_indexed",
     "asql_containstext_scan",
     "asql_containstext_doc_indexed",

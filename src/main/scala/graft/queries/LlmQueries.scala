@@ -999,6 +999,57 @@ object LlmQueries {
             / 1024) AS BIGINT) AS seq_id
         FROM u""")),
 
+    // ✚ sequence packing under TOKENIZER-FAITHFUL counts (VERDICT r10
+    // order #10's rewiring): non-overlapping 32-word chunks budgeted by
+    // their greedy-subword counts (plans.SubwordCount) instead of
+    // whitespace counts — the pack a real training job runs, since
+    // sequence capacity is subword tokens. Same blocked two-phase
+    // prefix sum; the oracle re-derives per-chunk subword mass by
+    // summing the word-level recursive-CTE counts over each ordinal
+    // 32-word slice (chunk counts are word-separable because chunks
+    // split on whitespace).
+    Q("pipeline_pack_subword",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val chunks = TextOps.chunkTokens(docs, "doc_id", "text", 32, 32)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .withColumn("n_sub", graft.plans.SubwordCount(
+            TextOps.tokens(lower(col("chunk_text"))), TextOps.SubwordVocab))
+        Pipeline.packSequences(chunks, "doc_id", "chunk_id", "lang", "n_sub", 1024)
+      },
+      Some {
+        val vals = TextOps.SubwordVocab.map(v => s"('$v')").mkString(",")
+        s"""WITH RECURSIVE
+        tks AS (SELECT doc_id, lang, string_split(lower(coalesce(text, '')), ' ') AS tk
+          FROM documents),
+        wp AS (SELECT doc_id, lang, unnest(tk) AS w, generate_subscripts(tk, 1) AS ord
+          FROM tks),
+        dw AS (SELECT DISTINCT w FROM wp),
+        step(w, pos, cnt) AS (
+          SELECT w, 1, 0 FROM dw
+          UNION ALL
+          SELECT w,
+            pos + coalesce((SELECT max(length(v)) FROM (VALUES $vals) vocab(v)
+                            WHERE substr(w, pos, length(v)) = v), 1),
+            cnt + 1
+          FROM step WHERE pos <= length(w)),
+        counts AS (SELECT w, max(cnt) AS n FROM step GROUP BY w),
+        u AS (SELECT wp.doc_id, CAST((wp.ord - 1) // 32 AS INTEGER) AS chunk_id,
+            wp.lang AS stratum, CAST(sum(c.n) AS INTEGER) AS n_tokens
+          FROM wp JOIN counts c USING (w)
+          GROUP BY wp.doc_id, (wp.ord - 1) // 32, wp.lang)
+        SELECT doc_id, chunk_id, stratum, n_tokens,
+          CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY stratum
+            ORDER BY doc_id, chunk_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS start_offset,
+          CAST(floor(CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY stratum
+            ORDER BY doc_id, chunk_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+            / 1024) AS BIGINT) AS seq_id
+        FROM u"""
+      }),
+
     // token counting: whitespace + regex ("BPE-ish") + distinct
     Q("text_tokens",
       (s, d) => t(s, d, "documents").select(

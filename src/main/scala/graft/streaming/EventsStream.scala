@@ -153,6 +153,25 @@ object EventsStream {
     w.start()
   }
 
+  /** Streaming SEMANTIC decontamination gate — ingest hygiene against a
+    * fixed benchmark set: annotate every arriving vector with whether
+    * its max cosine against the benchmark reaches `tau` (and with that
+    * max). The round-11 serving shape makes this free to stream: the
+    * benchmark rides inside the [[graft.plans.MaxCosHits]] expression
+    * as a literal matrix, so the gate is a STATELESS per-row column —
+    * the same plan runs under Structured Streaming unchanged (no
+    * foreachBatch, no state store, any output mode). Contrast
+    * [[neardupGate]], which needs cross-batch state by nature.
+    * Returns the input plus (contaminated, max_cos — null when clean). */
+  def deconGate(docs: DataFrame, benchmark: Seq[Seq[Double]], vecCol: String,
+      tau: Double): DataFrame = {
+    val h = graft.plans.MaxCosHits(col(vecCol).cast("array<double>"), benchmark, tau)
+    docs.withColumn("__h", h)
+      .withColumn("contaminated", col("__h").isNotNull)
+      .withColumn("max_cos", round(col("__h.max_cos"), 6))
+      .drop("__h")
+  }
+
   /** Tumbling-window counts with late-data drop via watermark. */
   def tumblingCounts(events: DataFrame, window_ : String = "10 minutes",
       watermark: String = "15 minutes"): DataFrame =

@@ -8,6 +8,7 @@ import graft.streaming.EventsStream
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double, event_id: Long)
 case class Doc(ts: Timestamp, doc_id: Long, text: String)
+case class DeconV(vec_id: Long, embedding: Seq[Double])
 
 /** ✚ Structured Streaming extension (SURVEY §2.B.10): the same
   * declarative plans run incrementally — MemoryStream in, memory sink
@@ -278,6 +279,31 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(2), r.getBoolean(3))).toSet
     assert(streamed == batch)
     assert(streamed.exists { case (id, reasons, keep) => id == 2L && reasons.contains("too_short") && !keep })
+  }
+
+  test("semantic decon gate is stateless: streaming equals batch, flags the plant") {
+    implicit val sqlCtx = spark.sqlContext
+    val benchmark = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+    val rows = Seq(
+      DeconV(1L, Seq(1.0, 0.0, 0.0)),  // = benchmark[0] → contaminated, cos 1
+      DeconV(2L, Seq(0.0, 0.0, 1.0)),  // orthogonal to both → clean
+      DeconV(3L, Seq(0.1, 0.99, 0.0))) // near benchmark[1] → contaminated
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      EventsStream.deconGate(df, benchmark, "embedding", 0.9)
+    val mem = MemoryStream[DeconV]
+    val q = gate(mem.toDF()).writeStream.format("memory").queryName("dgate")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    def shape(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_id"), r.getAs[Boolean]("contaminated"),
+        Option(r.getAs[java.lang.Double]("max_cos")).map(_.toDouble))
+    val streamed = spark.table("dgate").collect().map(shape(_)).toSet
+    val batch = gate(rows.toDF()).collect().map(shape(_)).toSet
+    assert(streamed == batch)
+    assert(streamed.collect { case (id, true, _) => id } == Set(1L, 3L))
+    assert(streamed.exists { case (1L, _, cos) => cos.contains(1.0); case _ => false })
   }
 
   test("session windows merge events within the gap (streaming)") {
