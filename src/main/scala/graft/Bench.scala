@@ -33,6 +33,9 @@ object Bench {
     "dedup_ngram_jaccard",
     "dedup_incremental",
     "dedup_embedding_lsh",
+    "dedup_semantic",
+    "dedup_spans",
+    "pipeline_decontaminate_bloom",
     "sim_topk",
     "sim_ivf_topk",
     "sim_ivf_trained_topk",

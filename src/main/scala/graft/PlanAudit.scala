@@ -136,7 +136,24 @@ object PlanAudit {
     Check("dedup_embedding_lsh",
       "native dot kernel re-ranks LSH candidates", "graft_dot"),
     Check("text_clean", "clean scan prunes to doc_id+text",
-      "ReadSchema: struct<doc_id:bigint,text:string>")
+      "ReadSchema: struct<doc_id:bigint,text:string>"),
+    // round-11 additions: SemDeDup within-cell dedup must keep the
+    // per-cell candidate cap and score with the compiled dot kernel;
+    // span dedup's df count and island merge are window passes over the
+    // native n-gram kernel's output; the bloom decon gate must be a
+    // JOIN-FREE map-only pass through the compiled bloom kernel (the
+    // absence needle is the whole point — no broadcast relation, no
+    // semi probe, nothing to shuffle)
+    Check("dedup_semantic", "per-cell candidate cap precedes the pair join", "__crn"),
+    Check("dedup_semantic", "native dot kernel re-ranks within cells", "graft_dot"),
+    Check("dedup_spans", "windows hash through the native n-gram kernel", "graft_ngram_md5"),
+    Check("dedup_spans", "df count and island merge are window passes", "Window"),
+    Check("pipeline_decontaminate_bloom",
+      "benchmark folds into the compiled bloom kernel", "graft_bloom_hits"),
+    Check("pipeline_decontaminate_bloom",
+      "bloom gate is join-free (map-only corpus pass)", "!Join"),
+    Check("pipeline_decontaminate_bloom",
+      "bloom gate stays in codegen", "codegen id")
   )
 
   def main(args: Array[String]): Unit = {

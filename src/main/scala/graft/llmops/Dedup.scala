@@ -231,6 +231,97 @@ object Dedup {
       .join(sizes.select(col(idCol).as("d2"), col("sz").as("sz2")), Seq("d2"))
   }
 
+  /** SemDeDup-style semantic near-dup pairs — embedding dedup blocked
+    * by a COARSE QUANTIZER instead of a label or an LSH bucket: every
+    * vector is assigned to its nearest-centroid cell (map-only,
+    * broadcast-literal centroids — [[Similarity.ivfCell]], the
+    * clusterBalance assignment), then exact cosine runs only WITHIN
+    * cells, thresholded at `tau`. This is the published SemDeDup shape
+    * (k-means cells bound the candidate set; true semantic duplicates
+    * share a cell with probability → 1 as cos → 1) and the natural
+    * companion to [[embeddingNeardupLsh]] when a trained quantizer
+    * already exists for IVF serving — ONE quantizer then powers search,
+    * balancing, AND dedup. Declared approximation: a cross-cell pair is
+    * missed (cells partition the corpus; boundary pairs land in
+    * different cells exactly like LSH tables disagreeing). Scale: the
+    * pair join is an equi-join on the cell id with the same per-cell
+    * candidate cap as [[Similarity.ivfTopK]] — a skewed cell costs its
+    * occupancy × cap, never O(N²); centroid count tunes occupancy.
+    * Returns (cell, d1, d2, cos rounded 6dp). */
+  def semanticNeardup(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Seq[Double])], tau: Double,
+      cap: Int = Similarity.CandidateCap): DataFrame = {
+    require(centroids.nonEmpty, "semanticNeardup needs at least one centroid")
+    val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", Similarity.norm(col("v")))
+      .withColumn("cell", Similarity.ivfCell(col("v"), col("n"), centroids))
+      // consumed by BOTH join sides with different child plans (the
+      // capped side adds a window), so no exchange reuse — without the
+      // materialization the scan + centroid argmax runs twice (the
+      // embeddingNeardupLsh precedent)
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col(idCol).asc)
+    val capped = v.withColumn("__crn", row_number().over(w))
+      .filter(col("__crn") <= cap).drop("__crn")
+    val a = v.select(col("cell"), col(idCol).as("d1"),
+      col("v").as("v1"), col("n").as("n1"))
+    val b = capped.select(col("cell"), col(idCol).as("d2"),
+      col("v").as("v2"), col("n").as("n2"))
+    a.join(b, Seq("cell")).filter(col("d1") < col("d2"))
+      .withColumn("cos", Similarity.dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cos") >= tau)
+      .select(col("cell"), col("d1"), col("d2"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Duplicate-PASSAGE extraction — dedup at SPAN granularity (the
+    * suffix-array substring-dedup result, approximated at fixed window
+    * width): find every maximal run of `windowTokens`-token windows
+    * whose hash occurs ≥ 2 times in the corpus (another document OR a
+    * self-repeat), and report it as a token span to scrub. Whole-doc
+    * dedup misses boilerplate (licenses, headers, templated intros)
+    * pasted into otherwise-unique documents; span dedup removes the
+    * repeated passage and keeps the document.
+    *
+    * Shape: one [[graft.plans.NGramMd5]] pass emits (doc, pos, hash)
+    * windows; ONE window-count over the hash partition computes global
+    * df (the same shuffle key a join would need, with no join); flagged
+    * windows then merge per document into maximal spans by the classic
+    * gaps-and-islands fold — overlapping or adjacent windows
+    * (pos − prev ≤ windowTokens) share an island. Per-document window
+    * partitions are doc-sized; the df partition is hash-keyed and
+    * count-only, so a stop-window (boilerplate in EVERY doc) costs its
+    * df in rows through one count — never a pair explosion, which is
+    * what makes this safe where the all-pairs shingle join is not.
+    * Returns (id, span_start, span_end, n_windows) with 0-based
+    * inclusive token positions. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int): DataFrame = {
+    require(windowTokens >= 2, "span windows need ≥ 2 tokens")
+    val w = spread(docs).select(col(idCol),
+      posexplode(graft.plans.NGramMd5(TextOps.tokens(col(textCol)), windowTokens, 8)))
+      .withColumnRenamed("col", "h")
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos").asc)
+    val flagged = w.withColumn("df", count(lit(1)).over(wh))
+      .filter(col("df") >= 2)
+    // island break: first window of a doc (lag null ⇒ otherwise-branch)
+    // or a gap beyond adjacency; island id = running break count
+    val isl = flagged
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wd) <= windowTokens, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("island",
+        sum(col("brk")).over(wd.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    isl.groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + windowTokens - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
   val SimBits = 60 // md5-derived token hash width that fits a signed long
 
   /** Embedding near-dup at SCALE — the LSH-bucketed complement of the

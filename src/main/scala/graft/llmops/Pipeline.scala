@@ -192,6 +192,35 @@ object Pipeline {
         col("h.n_hits").as("n_hits"))
   }
 
+  /** Bloom-gated decontamination — the memory-bounded serving shape of
+    * the shingle pass: the benchmark's distinct shingle hashes fold
+    * into an `mBits`-bit Bloom bitmap (driver-side, benchmark-sized —
+    * the [[decontaminateSemantic]] collect discipline) that rides into
+    * ONE compiled membership kernel ([[graft.plans.BloomHits]]). The
+    * corpus pass is then map-only — no broadcast hash relation, no
+    * semi-join, no shuffle at all — and the bitmap costs ~10 bits per
+    * benchmark shingle instead of the exact set's tens of bytes per
+    * entry: the difference between a multi-GB and a ~100 MB per-executor
+    * footprint when the eval suite has hundreds of millions of
+    * shingles. A false positive can only OVER-flag (safe direction for
+    * hygiene; rate ≈ (1 − e^(−k·n/m))^k, sized by `mBits`); every flag
+    * of [[decontaminate]] is flagged here too (no false negatives).
+    * Returns (id, n_hits) with n_hits = hitting shingle POSITIONS —
+    * counted per occurrence so the kernel needs no per-document set. */
+  def decontaminateBloom(corpus: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, n: Int, mBits: Int = 1 << 16, k: Int = 4): DataFrame = {
+    val params = Dedup.permParams(k)
+    val evalHashes = evalDocs
+      .select(explode(graft.plans.NGramMd5(TextOps.tokens(col(textCol)), n, 8)).as("h"))
+      .distinct().collect().map(_.getLong(0))
+    val words = graft.plans.BloomHits.buildWords(evalHashes, mBits, params)
+    corpus
+      .select(col(idCol), graft.plans.BloomHits(
+        graft.plans.NGramMd5(TextOps.tokens(col(textCol)), n, 8),
+        words, mBits, params).as("n_hits"))
+      .filter(col("n_hits") > 0)
+  }
+
   /** Threshold set for [[qualityGate]] (Gopher-family filter rules). */
   final case class GateRules(minTokens: Int, maxTokens: Int,
       minStopRatio: Double, minTtr: Double, maxDupTrigram: Double)

@@ -20,6 +20,24 @@ object LlmQueries {
     * so the declared query exercises the machinery, not the epsilon). */
   val SemDecontamTau = 0.38
 
+  /** Cosine threshold for the SemDeDup-style within-cell dedup declared
+    * query — shared by plan and oracle (0.35 pairs ~0.6% of within-cell
+    * candidates on the structureless synthetic corpus). */
+  val SemDedupTau = 0.35
+
+  /** Window width (tokens) for duplicate-passage extraction — shared by
+    * the Spark kernel call and the oracle's slice arithmetic. */
+  val SpanWindow = 16
+
+  /** Bloom decontamination sizing — 2^18 bits, 4 probe functions.
+    * Deliberately NOT oversized for the sf0.01 benchmark (≈1.1k eval
+    * shingles): the declared query shows the bloom as a bloom, with a
+    * measured ~29-document over-flag beside the exact pass's 2 — the
+    * safe direction, and the oracle replays every false positive
+    * bit-for-bit. Serving sizes m at ~10 bits per benchmark shingle. */
+  val BloomMBits = 1 << 18
+  val BloomK = 4
+
   /** Target token-share mixture for the mix-rates declared query — ONE
     * constant generating both the Spark plan and the oracle CASE. */
   val MixTargets: Map[String, Double] =
@@ -513,6 +531,97 @@ object LlmQueries {
               AND a.vec_id < c.vec_id
             WHERE c.crn <= ${Similarity.CandidateCap})
           SELECT DISTINCT d1, d2, round(cos, 6) AS cos FROM cand WHERE cos >= 0.35"""
+      }),
+
+    // ✚ SemDeDup-style semantic near-dup (Dedup.semanticNeardup):
+    // embedding dedup blocked by the IVF coarse quantizer — nearest-
+    // centroid cells (same 8-centroid quantizer as cluster_balance),
+    // exact cosine only WITHIN a cell, per-cell candidate cap. One
+    // quantizer powers search (sim_ivf_topk), balancing
+    // (pipeline_cluster_balance), AND dedup — the SemDeDup shape.
+    Q("dedup_semantic",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cents = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .filter(col("vec_id") < 8).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+        Dedup.semanticNeardup(emb, "vec_id", "embedding", cents, SemDedupTau)
+      },
+      Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 8),
+        sc AS (SELECT vec_id, cid, list_dot_product(v.v, cv) /
+            (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(cv, cv))) AS ccos
+          FROM v CROSS JOIN c),
+        cell AS (SELECT z.vec_id, v.v AS v, z.cell FROM (
+            SELECT vec_id, cid AS cell, row_number() OVER (PARTITION BY vec_id
+              ORDER BY ccos DESC, cid ASC) AS rn FROM sc) z
+          JOIN v ON v.vec_id = z.vec_id WHERE z.rn = 1),
+        cn AS (SELECT vec_id, v, cell, row_number() OVER (PARTITION BY cell
+            ORDER BY vec_id ASC) AS crn FROM cell)
+        SELECT a.cell, a.vec_id AS d1, b.vec_id AS d2,
+          round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        FROM cell a JOIN cn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE b.crn <= ${Similarity.CandidateCap}
+          AND list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= $SemDedupTau""")),
+
+    // ✚ duplicate-PASSAGE extraction (Dedup.duplicateSpans): maximal
+    // token spans of ≥2-occurrence 16-token windows — span-granularity
+    // dedup (boilerplate scrubbing) where whole-doc dedup keeps or
+    // drops everything. One window-count shuffle on the hash + doc-
+    // sized gaps-and-islands merge; no pair join anywhere.
+    Q("dedup_spans",
+      (s, d) => Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text", SpanWindow),
+      Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        w0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - ${SpanWindow - 1}),
+            i -> {'pos': i - 1, 'sh': array_to_string(tk[i:i+${SpanWindow - 1}], ' ')})) AS u
+          FROM tk WHERE len(tk) >= $SpanWindow),
+        w AS (SELECT doc_id, u.pos AS pos, ${sqlHexFold("md5(u.sh)", 8)} AS h FROM w0),
+        f AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
+            count(*) OVER (PARTITION BY h) AS df FROM w) z WHERE df >= 2),
+        b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+            ORDER BY pos) <= $SpanWindow THEN 0 ELSE 1 END AS brk FROM f),
+        isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS UNBOUNDED PRECEDING) AS island FROM b)
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+          CAST(max(pos) + ${SpanWindow - 1} AS BIGINT) AS span_end,
+          count(*) AS n_windows
+        FROM isl GROUP BY doc_id, island""")),
+
+    // ✚ Bloom-gated decontamination (Pipeline.decontaminateBloom): the
+    // benchmark's shingle set folded into a 2^18-bit bloom bitmap that
+    // rides inside ONE compiled membership kernel — map-only, no
+    // broadcast hash relation, ~10 bits per benchmark shingle at
+    // serving size. Over-flag only (the safe direction); the oracle
+    // replays the bitmap's integer arithmetic exactly, false positives
+    // included.
+    Q("pipeline_decontaminate_bloom",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Pipeline.decontaminateBloom(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", 8, BloomMBits, BloomK)
+      },
+      Some {
+        val perms = Dedup.permParams(BloomK)
+        val vals = perms.map { case (a, b) => s"($a,$b)" }.mkString(",")
+        val conds = perms.map { case (a, b) =>
+          s"(($a * hm + $b) % ${Dedup.P31}) % $BloomMBits IN (SELECT bit FROM bits)"
+        }.mkString(" AND ")
+        s"""WITH sh AS (SELECT doc_id, source, ${sqlHexFold("md5(shv)", 8)} AS h
+            FROM (SELECT doc_id, source,
+              unnest(list_transform(generate_series(1, len(tk) - 7),
+                i -> array_to_string(tk[i:i+7], ' '))) AS shv
+              FROM (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents) t
+              WHERE len(tk) >= 8) raw),
+          ev AS (SELECT DISTINCT h FROM sh WHERE source = 'src0'),
+          pm AS (SELECT * FROM (VALUES $vals) p(a, b)),
+          bits AS (SELECT DISTINCT ((a * (h % ${Dedup.P31}) + b) % ${Dedup.P31})
+              % $BloomMBits AS bit FROM ev CROSS JOIN pm),
+          cp AS (SELECT doc_id, h % ${Dedup.P31} AS hm FROM sh WHERE source <> 'src0')
+          SELECT doc_id, count(*) AS n_hits FROM cp WHERE $conds GROUP BY doc_id"""
       }),
 
     // brute-force cosine top-k for a fixed query set (broadcast queries)

@@ -638,6 +638,76 @@ class LlmSpec extends SparkSpec {
     assert(hit.length == 1 && hit.head.getDouble(2) == 1.0)
   }
 
+  test("semanticNeardup: within-cell pairs are a subset of exact, cosines identical") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = emb.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .filter($"vec_id" < 8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val sem = Dedup.semanticNeardup(emb, "vec_id", "embedding", cents, 0.3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val v = emb.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val exact = v.select($"vec_id".as("d1"), $"v".as("v1"))
+      .join(v.select($"vec_id".as("d2"), $"v".as("v2")))
+      .filter($"d1" < $"d2")
+      .withColumn("cos", Similarity.dot($"v1", $"v2") /
+        (Similarity.norm($"v1") * Similarity.norm($"v2")))
+      .filter($"cos" >= 0.3)
+      .select($"d1", $"d2", round($"cos", 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sem.nonEmpty && sem.keySet.subsetOf(exact.keySet))
+    sem.foreach { case (k, c) => assert(exact(k) == c) } // same IEEE tree
+    // identical vectors land in the SAME cell (same argmax) → the pair
+    // is never missed, at any tau < 1 — the SemDeDup recall argument
+    val base = emb.limit(1).select($"embedding".cast("array<double>").as("v"))
+      .head().getSeq[Double](0)
+    val planted = Seq((1L, base), (2L, base)).toDF("vec_id", "embedding")
+    val hit = Dedup.semanticNeardup(planted, "vec_id", "embedding", cents, 0.99)
+      .collect()
+    assert(hit.length == 1 && hit.head.getDouble(3) == 1.0)
+  }
+
+  test("duplicateSpans: planted boilerplate becomes maximal spans; unique docs have none") {
+    val passage = (1 to 20).map(i => s"p$i").mkString(" ")
+    def uniq(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"${uniq("a", 5)} $passage ${uniq("b", 3)}"), // passage at tokens 5..24
+      (2L, s"$passage ${uniq("c", 10)}"),                // passage at tokens 0..19
+      (3L, uniq("d", 30))                                // fully unique
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(corpus, "doc_id", "text", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 20-token passage under W=16 → 5 in-passage windows; boundary
+    // windows carry unique tokens and never repeat
+    assert(spans.toSet == Set((1L, 5L, 24L, 5L), (2L, 0L, 19L, 5L)))
+    // SELF-repeat: the same passage twice in one doc, 2 filler tokens
+    // apart — two islands (gap 18 > W), both reported
+    val selfRep = Seq(
+      (1L, s"$passage ${uniq("f", 2)} $passage"),
+      (2L, uniq("g", 25))).toDF("doc_id", "text")
+    val sr = Dedup.duplicateSpans(selfRep, "doc_id", "text", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(sr == Set((1L, 0L, 19L, 5L), (1L, 22L, 41L, 5L)))
+  }
+
+  test("decontaminateBloom: superset of the exact pass, planted contamination flagged") {
+    val exact = Pipeline.decontaminate(
+      docs.filter($"source" =!= "src0"), docs.filter($"source" === "src0"),
+      "doc_id", "text", 8).collect().map(_.getLong(0)).toSet
+    val bloom = Pipeline.decontaminateBloom(
+      docs.filter($"source" =!= "src0"), docs.filter($"source" === "src0"),
+      "doc_id", "text", 8).collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(bloom)) // no false negatives, by construction
+    // planted: a corpus doc embedding a verbatim 8-gram from the eval
+    // side must be flagged with ≥ 1 hit even at a tiny bitmap
+    val evalD = Seq((100L, (1 to 12).map(i => s"e$i").mkString(" "))).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x1 x2 x3 " + (3 to 10).map(i => s"e$i").mkString(" ")), // shares e3..e10
+      (2L, (1 to 20).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val flagged = Pipeline.decontaminateBloom(corpus, evalD, "doc_id", "text", 8,
+      mBits = 1 << 10, k = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(flagged.contains(1L) && flagged(1L) >= 1L)
+  }
+
   test("embeddingNeardupLsh: planted near-dups (cos≈0.97) are recalled at ≥0.9") {
     // BASELINE #17's serving-shape claim, MEASURED: plant 50 noisy
     // duplicates of real vectors (deterministic hash noise, cos≈0.97)
