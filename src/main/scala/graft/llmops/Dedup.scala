@@ -322,6 +322,58 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
   }
 
+  /** APPLY side of span dedup — scrub repeated passages, keeping the
+    * corpus-globally FIRST occurrence (the substring-dedup removal
+    * rule: one copy of the boilerplate survives, every other copy is
+    * cut out of its document, the document itself kept). "First" =
+    * smallest (id, pos) per window hash — deterministic and
+    * rerun-stable. Flagged windows merge into spans exactly as in
+    * [[duplicateSpans]]; a document's tokens are then dropped where a
+    * span covers them and re-joined. Declared approximation: a keeper
+    * window's tokens can still be cut when an OVERLAPPING different
+    * window is flagged — span-granularity, not suffix-array-exact.
+    * Scale: the df count and the keeper min share ONE window over the
+    * hash partition (same single shuffle as the report side), the
+    * island merge is doc-sized, and the final token filter is a
+    * per-row HOF against the doc's own config-sized span list.
+    * Returns (id, clean_text, n_removed). */
+  def scrubSpans(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int): DataFrame = {
+    require(windowTokens >= 2, "span windows need ≥ 2 tokens")
+    val tk = TextOps.tokens(col(textCol))
+    val w = spread(docs).select(col(idCol),
+      posexplode(graft.plans.NGramMd5(tk, windowTokens, 8)))
+      .withColumnRenamed("col", "h")
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos").asc)
+    val flagged = w
+      .withColumn("df", count(lit(1)).over(wh))
+      .withColumn("keeper", min(struct(col(idCol), col("pos"))).over(wh))
+      .filter(col("df") >= 2 &&
+        !(struct(col(idCol), col("pos")) === col("keeper")))
+    val isl = flagged
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wd) <= windowTokens, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("island",
+        sum(col("brk")).over(wd.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val spans = isl.groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("s"),
+        (max(col("pos")) + windowTokens - 1).as("e"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    val cleanTokens = filter(tk, (_, i) =>
+      !exists(col("spans"), sp => i >= sp("s") && i <= sp("e")))
+    docs.join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("spans").isNull, col(textCol))
+          .otherwise(concat_ws(" ", cleanTokens)).as("clean_text"),
+        when(col("spans").isNull, lit(0L))
+          .otherwise((size(tk) - size(cleanTokens)).cast("long")).as("n_removed"))
+  }
+
   val SimBits = 60 // md5-derived token hash width that fits a signed long
 
   /** Embedding near-dup at SCALE — the LSH-bucketed complement of the

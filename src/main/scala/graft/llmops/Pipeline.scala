@@ -207,17 +207,25 @@ object Pipeline {
     * of [[decontaminate]] is flagged here too (no false negatives).
     * Returns (id, n_hits) with n_hits = hitting shingle POSITIONS —
     * counted per occurrence so the kernel needs no per-document set. */
-  def decontaminateBloom(corpus: DataFrame, evalDocs: DataFrame, idCol: String,
-      textCol: String, n: Int, mBits: Int = 1 << 16, k: Int = 4): DataFrame = {
-    val params = Dedup.permParams(k)
+  /** The bitmap build half of [[decontaminateBloom]], exposed so the
+    * serving path (build ONCE from the benchmark, gate forever — incl.
+    * the streaming face, [[graft.streaming.EventsStream.bloomGate]])
+    * can hold the words without re-collecting per use. */
+  def bloomWords(evalDocs: DataFrame, textCol: String, n: Int,
+      mBits: Int, k: Int): Seq[Long] = {
     val evalHashes = evalDocs
       .select(explode(graft.plans.NGramMd5(TextOps.tokens(col(textCol)), n, 8)).as("h"))
       .distinct().collect().map(_.getLong(0))
-    val words = graft.plans.BloomHits.buildWords(evalHashes, mBits, params)
+    graft.plans.BloomHits.buildWords(evalHashes, mBits, Dedup.permParams(k))
+  }
+
+  def decontaminateBloom(corpus: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, n: Int, mBits: Int = 1 << 16, k: Int = 4): DataFrame = {
+    val words = bloomWords(evalDocs, textCol, n, mBits, k)
     corpus
       .select(col(idCol), graft.plans.BloomHits(
         graft.plans.NGramMd5(TextOps.tokens(col(textCol)), n, 8),
-        words, mBits, params).as("n_hits"))
+        words, mBits, Dedup.permParams(k)).as("n_hits"))
       .filter(col("n_hits") > 0)
   }
 

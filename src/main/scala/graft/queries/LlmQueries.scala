@@ -589,6 +589,40 @@ object LlmQueries {
           count(*) AS n_windows
         FROM isl GROUP BY doc_id, island""")),
 
+    // ✚ span SCRUB — the apply side of dedup_spans: cut every repeated
+    // passage except its corpus-globally first occurrence (smallest
+    // (doc, pos) per window hash keeps), re-join the surviving tokens.
+    // The removal rule a substring-dedup pipeline actually applies.
+    Q("dedup_spans_scrub",
+      (s, d) => Dedup.scrubSpans(t(s, d, "documents"), "doc_id", "text", SpanWindow),
+      Some(s"""WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+        w0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - ${SpanWindow - 1}),
+            i -> {'pos': i - 1, 'sh': array_to_string(tk[i:i+${SpanWindow - 1}], ' ')})) AS u
+          FROM tk WHERE len(tk) >= $SpanWindow),
+        w AS (SELECT doc_id, u.pos AS pos, ${sqlHexFold("md5(u.sh)", 8)} AS h FROM w0),
+        m AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS df,
+            row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM w),
+        f AS (SELECT doc_id, pos FROM m WHERE df >= 2 AND rn > 1),
+        b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+            ORDER BY pos) <= $SpanWindow THEN 0 ELSE 1 END AS brk FROM f),
+        isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS UNBOUNDED PRECEDING) AS island FROM b),
+        sp AS (SELECT doc_id, min(pos) AS s, max(pos) + ${SpanWindow - 1} AS e
+          FROM isl GROUP BY doc_id, island),
+        spl AS (SELECT doc_id, list({'s': s, 'e': e}) AS spans FROM sp GROUP BY doc_id),
+        cl AS (SELECT tk.doc_id, tk.text, tk.tk, spl.spans,
+            list_filter(tk.tk, (x, i) -> NOT len(list_filter(spl.spans,
+              q -> i - 1 >= q.s AND i - 1 <= q.e)) > 0) AS ck
+          FROM tk LEFT JOIN spl ON spl.doc_id = tk.doc_id)
+        SELECT doc_id,
+          CASE WHEN spans IS NULL THEN text
+            -- a fully-scrubbed doc: duckdb's array_to_string([]) is
+            -- NULL where Spark's concat_ws is '' — pin the '' shape
+            ELSE coalesce(array_to_string(ck, ' '), '') END AS clean_text,
+          CAST(CASE WHEN spans IS NULL THEN 0
+            ELSE len(tk) - len(ck) END AS BIGINT) AS n_removed
+        FROM cl""")),
+
     // ✚ Bloom-gated decontamination (Pipeline.decontaminateBloom): the
     // benchmark's shingle set folded into a 2^18-bit bloom bitmap that
     // rides inside ONE compiled membership kernel — map-only, no

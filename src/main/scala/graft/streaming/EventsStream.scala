@@ -172,6 +172,25 @@ object EventsStream {
       .drop("__h")
   }
 
+  /** Streaming BLOOM decontamination gate — the shingle-level
+    * complement of [[deconGate]]: annotate every arriving document
+    * with its count of benchmark-colliding shingles against a Bloom
+    * bitmap built ONCE from the benchmark
+    * ([[graft.llmops.Pipeline.bloomWords]]) and embedded in the
+    * compiled [[graft.plans.BloomHits]] kernel. Like the max-cos gate,
+    * the bitmap lives inside the expression, so the gate is a
+    * STATELESS per-row column: the same plan runs under Structured
+    * Streaming unchanged — no foreachBatch, no state store, any
+    * output mode. Returns the input plus (n_hits, contaminated). */
+  def bloomGate(docs: DataFrame, words: Seq[Long], mBits: Int, k: Int,
+      textCol: String, n: Int): DataFrame = {
+    docs.withColumn("n_hits", graft.plans.BloomHits(
+        graft.plans.NGramMd5(
+          graft.llmops.TextOps.tokens(col(textCol)), n, 8),
+        words, mBits, graft.llmops.Dedup.permParams(k)))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   /** Tumbling-window counts with late-data drop via watermark. */
   def tumblingCounts(events: DataFrame, window_ : String = "10 minutes",
       watermark: String = "15 minutes"): DataFrame =

@@ -689,6 +689,29 @@ class LlmSpec extends SparkSpec {
     assert(sr == Set((1L, 0L, 19L, 5L), (1L, 22L, 41L, 5L)))
   }
 
+  test("scrubSpans: first occurrence keeps, later copies are cut, uniques untouched") {
+    val passage = (1 to 20).map(i => s"p$i").mkString(" ")
+    def uniq(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"${uniq("a", 5)} $passage ${uniq("b", 3)}"), // keeper (smallest id)
+      (2L, s"$passage ${uniq("c", 10)}"),                // later copy — cut
+      (3L, uniq("d", 30))                                // fully unique
+    ).toDF("doc_id", "text")
+    val byId = Dedup.scrubSpans(corpus, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // keeper doc and the unique doc survive verbatim
+    assert(byId(1L) == ((s"${uniq("a", 5)} $passage ${uniq("b", 3)}", 0L)))
+    assert(byId(3L) == ((uniq("d", 30), 0L)))
+    // the later copy loses exactly the 20-token passage, filler kept
+    assert(byId(2L) == ((uniq("c", 10), 20L)))
+    // SELF-repeat: second copy inside the SAME doc is cut, first keeps
+    val selfRep = Seq((1L, s"$passage ${uniq("f", 2)} $passage"))
+      .toDF("doc_id", "text")
+    val sr = Dedup.scrubSpans(selfRep, "doc_id", "text", 16)
+      .collect().map(r => (r.getString(1), r.getLong(2))).head
+    assert(sr == ((s"$passage ${uniq("f", 2)}", 20L)))
+  }
+
   test("decontaminateBloom: superset of the exact pass, planted contamination flagged") {
     val exact = Pipeline.decontaminate(
       docs.filter($"source" =!= "src0"), docs.filter($"source" === "src0"),

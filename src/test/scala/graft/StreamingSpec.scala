@@ -306,6 +306,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists { case (1L, _, cos) => cos.contains(1.0); case _ => false })
   }
 
+  test("bloom decon gate is stateless: streaming equals batch, flags the plant") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // benchmark: one 12-token doc; bitmap built ONCE (the serving shape)
+    val evalD = Seq((100L, (1 to 12).map(i => s"e$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val words = graft.llmops.Pipeline.bloomWords(evalD, "text", 8, 1 << 12, 4)
+    val rows = Seq(
+      Doc(new java.sql.Timestamp(0L), 1L,
+        "x1 x2 " + (2 to 11).map(i => s"e$i").mkString(" ")), // shares 8-grams
+      Doc(new java.sql.Timestamp(0L), 2L,
+        (1 to 20).map(i => s"z$i").mkString(" ")))            // clean
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      EventsStream.bloomGate(df, words, 1 << 12, 4, "text", 8)
+    val mem = MemoryStream[Doc]
+    val q = gate(mem.toDF()).writeStream.format("memory").queryName("bgate")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    def shape(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits"),
+        r.getAs[Boolean]("contaminated"))
+    val streamed = spark.table("bgate").collect().map(shape(_)).toSet
+    val batch = gate(rows.toDF()).collect().map(shape(_)).toSet
+    assert(streamed == batch)
+    assert(streamed.collect { case (id, _, true) => id } == Set(1L))
+    // doc 1 embeds e2..e11 verbatim → ≥ 3 of its colliding 8-grams hit
+    assert(streamed.exists { case (1L, h, _) => h >= 3; case _ => false })
+  }
+
   test("session windows merge events within the gap (streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
