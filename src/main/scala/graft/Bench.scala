@@ -49,6 +49,8 @@ object Bench {
     "pipeline_mix_rates",
     "pipeline_mix_temperature",
     "pipeline_quality_gate",
+    "pipeline_ppl_bucket",
+    "dedup_spans_scrub",
     "pipeline_decontaminate",
     "pipeline_decontaminate_fuzzy",
     "pipeline_decontaminate_semantic",

@@ -153,7 +153,25 @@ object PlanAudit {
     Check("pipeline_decontaminate_bloom",
       "bloom gate is join-free (map-only corpus pass)", "!Join"),
     Check("pipeline_decontaminate_bloom",
-      "bloom gate stays in codegen", "codegen id")
+      "bloom gate stays in codegen", "codegen id"),
+    // span SCRUB (the apply side): same native-kernel windowing as the
+    // report side — the token cut itself is a per-row HOF, never a join
+    // back to the window rows
+    Check("dedup_spans_scrub", "scrub windows hash through the native n-gram kernel",
+      "graft_ngram_md5"),
+    Check("dedup_spans_scrub", "df/keeper/island run as window passes", "Window"),
+    // LM scoring: the capped model must BIND BROADCAST onto the corpus
+    // scan (a shuffled model join would re-partition the corpus by
+    // bigram text — the exact thing the config-sized cap exists to
+    // avoid); no sort-merge join may appear anywhere in the plan
+    Check("pipeline_ppl_score", "capped LM model broadcasts onto the corpus scan",
+      "BroadcastHashJoin"),
+    Check("pipeline_ppl_score", "no shuffled join anywhere in the scoring plan",
+      "!SortMergeJoin"),
+    Check("pipeline_ppl_bucket", "bucketing keeps the broadcast model bind",
+      "BroadcastHashJoin"),
+    Check("pipeline_ppl_bucket", "bucket assignment adds no shuffled join",
+      "!SortMergeJoin")
   )
 
   def main(args: Array[String]): Unit = {

@@ -277,6 +277,111 @@ object Pipeline {
       reasons.as("reasons"), (reasons === "").as("keep"))
   }
 
+  /** N-gram LM cross-entropy scoring — the CCNet-style quality axis
+    * (Wenzek et al. 2020): train a capped stupid-backoff bigram model
+    * (Brants et al. 2007) on a trusted REFERENCE slice, score every
+    * corpus document by its per-token cross-entropy under that model.
+    * Documents that read like the reference score low; gibberish and
+    * boilerplate score high — the perplexity complement of the
+    * rule-based [[qualityGate]].
+    *
+    * Model: top-`topBigrams` bigrams by count (ties by bigram text —
+    * a total, engine-stable order) carrying their TRUE prefix counts,
+    * plus top-`topUnigrams` unigrams and the reference token total.
+    * Scoring backs off bigram → 0.4·unigram-MLE → 0.4/N (unseen), the
+    * stupid-backoff schedule; xent = −mean ln p over a document's
+    * bigram positions, rounded to 4 decimals so the cross-engine
+    * last-ulp noise of `ln` and of partial-sum reassociation (both
+    * ≲1e-11 here) can never reach the compared digits.
+    *
+    * Scale: training is a vocabulary-sized hash agg + top-k (the
+    * text_vocab posture — never a total sort); the capped model is
+    * config-sized BY CONSTRUCTION and broadcasts; scoring is one
+    * map-side explode + two broadcast joins + one partial-aggregated
+    * doc-key shuffle. Nothing anywhere scales super-linearly with the
+    * corpus. Returns (id, n_scored, xent); documents with fewer than
+    * two tokens keep a row with n_scored = 0 and NULL xent.
+    */
+  def lmScore(corpus: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, topBigrams: Int, topUnigrams: Int): DataFrame = {
+    require(topBigrams > 0 && topUnigrams > 0,
+      "LM model caps must be positive")
+    val uni = reference
+      .select(explode(TextOps.tokens(col(textCol))).as("tk"))
+      .groupBy(col("tk")).agg(count(lit(1)).as("c1"))
+    val nRef = uni.agg(sum(col("c1")).as("n_ref")) // 1-row scalar bind
+    val uniTop = uni.orderBy(col("c1").desc, col("tk").asc).limit(topUnigrams)
+    val bgTop = reference
+      .select(explode(TextOps.shingles(col(textCol), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      .orderBy(col("c2").desc, col("bg").asc).limit(topBigrams)
+    // the backoff denominator is the TRUE prefix count, which always
+    // exists (a reference bigram's prefix is a reference token) — the
+    // unigram CAP must not starve it, so join the uncapped counts
+    val bgModel = bgTop
+      .withColumn("pfx", substring_index(col("bg"), " ", 1))
+      .join(uni.select(col("tk").as("pfx"), col("c1").as("c1p")), Seq("pfx"))
+      .select(col("bg"), col("c2"), col("c1p"))
+    val cb = corpus.select(col(idCol),
+        explode(TextOps.shingles(col(textCol), 2)).as("bg"))
+      .withColumn("nx", substring_index(col("bg"), " ", -1))
+    val scored = cb
+      .join(broadcast(bgModel), Seq("bg"), "left")
+      .join(broadcast(uniTop.select(col("tk").as("nx"), col("c1").as("c1n"))),
+        Seq("nx"), "left")
+      .crossJoin(broadcast(nRef))
+      .withColumn("logp",
+        when(col("c2").isNotNull, log(col("c2") / col("c1p")))
+          .when(col("c1n").isNotNull,
+            log(lit(0.4) * col("c1n") / col("n_ref")))
+          .otherwise(log(lit(0.4) / col("n_ref"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_scored"),
+        round(-(sum(col("logp")) / count(lit(1))), 4).as("xent"))
+    corpus.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .withColumn("n_scored", coalesce(col("n_scored"), lit(0L)))
+  }
+
+  /** Head/middle/tail perplexity bucketing — the DECISION face of
+    * [[lmScore]] (CCNet partitions its corpus into exactly these three
+    * buckets by cross-entropy tertile and trains preferentially on the
+    * head). Tertile thresholds come from a deterministic md5-bucket
+    * sample of the SCORED documents (rate-`samplePctN`, the
+    * [[samplePct]] rule): threshold estimation needs a sample, not the
+    * corpus, and the hash rule makes it rerun-stable. The sampled xent
+    * values are a config-sized table by the sampling contract (pick
+    * `samplePctN` so ~10³–10⁴ docs land in it at the target corpus;
+    * estimation error shrinks as 1/√n regardless of corpus size), so
+    * they may collect to the driver — the mixRates/centroid
+    * discipline. Thresholds are the ceil(S/3)- and ceil(2S/3)-th
+    * smallest sampled xents (order statistics of a rounded multiset —
+    * no interpolation arithmetic to drift cross-engine). The bucket
+    * pass itself is map-only over [[lmScore]]'s output. Returns
+    * (id, n_scored, xent, bucket ∈ head|middle|tail|unscored). */
+  def lmBucket(corpus: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, topBigrams: Int, topUnigrams: Int,
+      samplePctN: Int, salt: String): DataFrame = {
+    require(samplePctN > 0 && samplePctN <= 100,
+      s"sample percent must be in (0, 100], got $samplePctN")
+    val scored = lmScore(corpus, reference, idCol, textCol,
+      topBigrams, topUnigrams)
+    val sampled = scored
+      .filter(samplePct(col(idCol), salt) < samplePctN &&
+        col("n_scored") > 0)
+      .select(col("xent")).collect().map(_.getDouble(0)).sorted
+    require(sampled.nonEmpty,
+      "lmBucket: the threshold sample is empty — raise samplePctN")
+    val s = sampled.length
+    val t1 = sampled(math.ceil(s / 3.0).toInt - 1)
+    val t2 = sampled(math.ceil(2 * s / 3.0).toInt - 1)
+    scored.withColumn("bucket",
+      when(col("n_scored") === 0, lit("unscored"))
+        .when(col("xent") <= t1, lit("head"))
+        .when(col("xent") <= t2, lit("middle"))
+        .otherwise(lit("tail")))
+  }
+
   /** Mixture targeting — the planning half of data mixing: given
     * target token-share weights per stratum (summing to 1), compute the
     * per-stratum keep RATES that realize the mixture while discarding

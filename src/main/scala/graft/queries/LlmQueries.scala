@@ -56,6 +56,21 @@ object LlmQueries {
   val QgMinTtr = 0.33
   val QgMaxDupTrigram = 0.2
 
+  /** N-gram LM quality-scoring configuration (Pipeline.lmScore /
+    * lmBucket) — single constants shared by the Spark plan and the
+    * oracle SQL. `src1` plays the trusted reference slice (the wiki
+    * stand-in); the caps are sized so the top-k cut actually BITES on
+    * the sf0.01 reference (~5k bigrams → 512 keeps the cut exercised,
+    * ties and all) — at a real corpus they'd be ~10⁶–10⁷, still
+    * config-sized and broadcastable. The 40% threshold sample yields
+    * ~190 sampled xents at sf0.01; a production corpus dials the rate
+    * down to keep the sample ~10³–10⁴ (the scaladoc contract). */
+  val LmRefSource = "src1"
+  val LmTopBigrams = 512
+  val LmTopUnigrams = 256
+  val LmSamplePct = 40
+  val LmSalt = "graft_ppl_"
+
   // trained-centroid cache (see sim_ivf_trained_topk), keyed by
   // (dir, attribute fingerprint of embeddings.parquet) — regenerated
   // source data at the same path must retrain, or the served lists
@@ -155,6 +170,40 @@ object LlmQueries {
     sqlHexFold(s"md5($strExpr)", 8)
   private def sqlMd5Hash60(strExpr: String): String =
     sqlHexFold(s"md5($strExpr)", 15)
+
+  /** Shared CTE chain for the LM-scoring twins: train the capped
+    * stupid-backoff model on the `LmRefSource` slice, score everything
+    * else (mirrors Pipeline.lmScore step for step — same caps, same
+    * tie-breaks, same backoff arithmetic). Ends at `sc` =
+    * (doc_id, n_scored, xent). */
+  private def sqlLmCtes: String =
+    s"""tkx AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+    runi AS (SELECT unnest(tk) AS tk FROM tkx WHERE source = '$LmRefSource'),
+    uni AS (SELECT tk, CAST(count(*) AS BIGINT) AS c1 FROM runi GROUP BY tk),
+    tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n_ref FROM uni),
+    unitop AS (SELECT tk, c1 FROM uni ORDER BY c1 DESC, tk ASC LIMIT $LmTopUnigrams),
+    rbg AS (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+        i -> array_to_string(tk[i:i+1], ' '))) AS bg
+      FROM tkx WHERE source = '$LmRefSource' AND len(tk) >= 2),
+    bgtop AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM rbg GROUP BY bg
+      ORDER BY c2 DESC, bg ASC LIMIT $LmTopBigrams),
+    bgm AS (SELECT bg, c2, c1 AS c1p FROM bgtop
+      JOIN uni ON uni.tk = split_part(bg, ' ', 1)),
+    cb AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+        i -> array_to_string(tk[i:i+1], ' '))) AS bg
+      FROM tkx WHERE source <> '$LmRefSource' AND len(tk) >= 2),
+    lp AS (SELECT doc_id,
+        CASE WHEN bgm.c2 IS NOT NULL THEN ln(bgm.c2 / CAST(bgm.c1p AS DOUBLE))
+          WHEN u.c1 IS NOT NULL THEN ln(0.4 * u.c1 / n_ref)
+          ELSE ln(0.4 / n_ref) END AS logp
+      FROM cb LEFT JOIN bgm USING (bg)
+        LEFT JOIN unitop u ON u.tk = split_part(cb.bg, ' ', 2)
+        CROSS JOIN tot),
+    ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+        round(-(sum(logp) / count(*)), 4) AS xent FROM lp GROUP BY doc_id),
+    sc AS (SELECT d.doc_id, coalesce(ag.n_scored, 0) AS n_scored, ag.xent
+      FROM documents d LEFT JOIN ag USING (doc_id)
+      WHERE d.source <> '$LmRefSource')"""
 
   /** DuckDB twin of TextOps.predictLang as a CTE chain over `documents`
     * (sequential argmax fold, one CTE per step, same order as Scala).
@@ -1112,6 +1161,50 @@ object LlmQueries {
             FROM base)
           SELECT doc_id, n_tokens, reasons, reasons = '' AS keep FROM gated"""
       }),
+
+    // ✚ CCNet-style LM cross-entropy scoring (Pipeline.lmScore): a
+    // capped stupid-backoff bigram model trained on the src1 reference
+    // slice scores every other document's per-token cross-entropy —
+    // vocabulary-sized training aggs, config-sized broadcast model,
+    // one doc-key shuffle to sum. round(·,4) absorbs cross-engine
+    // ln/summation last-ulp noise (operator scaladoc).
+    Q("pipeline_ppl_score",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Pipeline.lmScore(docs.filter(col("source") =!= LmRefSource),
+          docs.filter(col("source") === LmRefSource),
+          "doc_id", "text", LmTopBigrams, LmTopUnigrams)
+      },
+      Some(s"""WITH $sqlLmCtes
+        SELECT doc_id, n_scored, xent FROM sc""")),
+
+    // ✚ head/middle/tail perplexity bucketing (Pipeline.lmBucket): the
+    // CCNet partition decision — tertile thresholds are order
+    // statistics of a deterministic md5-bucket sample of the scored
+    // docs (config-sized collect, the mixRates discipline), bucket
+    // assignment map-only
+    Q("pipeline_ppl_bucket",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Pipeline.lmBucket(docs.filter(col("source") =!= LmRefSource),
+          docs.filter(col("source") === LmRefSource),
+          "doc_id", "text", LmTopBigrams, LmTopUnigrams, LmSamplePct, LmSalt)
+      },
+      Some(s"""WITH $sqlLmCtes,
+        sm AS (SELECT xent, row_number() OVER (ORDER BY xent) AS rn,
+            count(*) OVER () AS s FROM sc
+          WHERE ${sqlMd5Hash32(s"'$LmSalt' || CAST(doc_id AS VARCHAR)")} % 100
+              < $LmSamplePct AND n_scored > 0),
+        th AS (SELECT
+            max(CASE WHEN rn = CAST(ceil(s / 3.0) AS BIGINT) THEN xent END) AS t1,
+            max(CASE WHEN rn = CAST(ceil(2 * s / 3.0) AS BIGINT) THEN xent END) AS t2
+          FROM sm)
+        SELECT doc_id, n_scored, xent,
+          CASE WHEN n_scored = 0 THEN 'unscored'
+            WHEN xent <= t1 THEN 'head'
+            WHEN xent <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+        FROM sc CROSS JOIN th""")),
 
     // sequence packing (Pipeline.packSequences over chunkTokens units):
     // chunks packed in (doc, chunk) order into 1024-token training

@@ -771,6 +771,53 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.9, s"planted near-dup recall $recall < 0.9")
   }
 
+  test("lmScore: reference-like text scores below gibberish; backoff tiers order") {
+    // reference: a tiny repetitive "language" where (the cat / cat sat /
+    // sat here) dominate — the bigram tier should make in-domain text cheap
+    val ref = Seq.tabulate(20)(i => (1000L + i, "the cat sat here and " +
+      "the cat sat here and the cat sat here")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the cat sat here and the cat sat here"), // pure in-domain
+      (2L, "cat the here sat and sat the cat and"),  // same unigrams, broken bigrams
+      (3L, "zq wq vq kq jq xq qq pq mq nq"),         // fully OOV
+      (4L, "one")                                    // single token: unscorable
+    ).toDF("doc_id", "text")
+    val out = Pipeline.lmScore(corpus, ref, "doc_id", "text", 512, 256)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    assert(out(4L) == ((0L, None)))                  // unscored row kept
+    val x = out.view.filterKeys(_ != 4L).mapValues(_._2.get).toMap
+    assert(x(1L) < x(2L), s"in-domain ${x(1L)} !< unigram-backoff ${x(2L)}")
+    assert(x(2L) < x(3L), s"unigram-backoff ${x(2L)} !< OOV ${x(3L)}")
+    // OOV tier exactly: every position costs ln(0.4/N), N = 20 docs × 14 tokens
+    val oovXent = BigDecimal(-math.log(0.4 / 280.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(x(3L) == oovXent)
+  }
+
+  test("lmBucket: tertile thresholds split scored docs; tiny doc lands unscored") {
+    val ref = Seq.tabulate(10)(i => (1000L + i,
+      (1 to 50).map(j => s"w${j % 7}").mkString(" "))).toDF("doc_id", "text")
+    val corpus = Seq.tabulate(30) { i =>
+      // vary OOV fraction so xent spreads monotonically with i
+      val toks = (1 to 40).map(j => if (j % 10 < i % 10) s"o${i}x$j" else s"w${j % 7}")
+      (i.toLong, toks.mkString(" "))
+    } :+ ((99L, "solo")) // one-token doc
+    val out = Pipeline.lmBucket(corpus.toDF("doc_id", "text"), ref,
+        "doc_id", "text", 512, 256, 100, "t_")
+      .collect().map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Double]),
+        r.getString(3)))
+    val byBucket = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byBucket("unscored") == 1 && out.find(_._1 == 99L).get._3 == "unscored")
+    assert(byBucket.getOrElse("head", 0) > 0 && byBucket.getOrElse("tail", 0) > 0)
+    // buckets respect the xent order: max(head) <= min(middle) <= ... holds
+    def xs(b: String) = out.filter(_._3 == b).flatMap(_._2)
+    if (xs("middle").nonEmpty) {
+      assert(xs("head").max <= xs("middle").min)
+      if (xs("tail").nonEmpty) assert(xs("middle").max <= xs("tail").min)
+    }
+  }
+
   test("quality gate: each rule fires on a planted violator, clean docs keep") {
     import graft.queries.LlmQueries._
     val gate = graft.queries.LlmQueries.queries.find(_.name == "pipeline_quality_gate").get
