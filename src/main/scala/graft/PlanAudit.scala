@@ -171,7 +171,15 @@ object PlanAudit {
     Check("pipeline_ppl_bucket", "bucketing keeps the broadcast model bind",
       "BroadcastHashJoin"),
     Check("pipeline_ppl_bucket", "bucket assignment adds no shuffled join",
-      "!SortMergeJoin")
+      "!SortMergeJoin"),
+    // global shuffle: the corpus-wide rank must come from the blocked
+    // two-phase prefix sum (hash-range blocks), never a global
+    // row_number — __blk proves the blocked window, the broadcast is
+    // the offsets table binding back
+    Check("pipeline_shuffle", "global rank uses the blocked two-phase prefix sum",
+      "__blk"),
+    Check("pipeline_shuffle", "block offsets broadcast back onto the rows",
+      "BroadcastHashJoin")
   )
 
   def main(args: Array[String]): Unit = {

@@ -277,6 +277,30 @@ object Pipeline {
       reasons.as("reasons"), (reasons === "").as("keep"))
   }
 
+  /** Deterministic global training-order shuffle: assign every
+    * document a corpus-wide position by ranking on
+    * (md5(salt‖id), id) — the data-ordering step before sharding a
+    * training run (a corpus read in source order trains on one domain
+    * at a time; a hash order interleaves sources uniformly, and the
+    * salt makes each epoch's order fresh yet rerun-STABLE, unlike
+    * rand()). The global rank is the [[blockedStartOffset]] two-phase
+    * prefix sum with unit weights, blocked on hash ranges: the hash is
+    * uniform on [0, 2³²), so `blockSpan`-wide ranges give balanced
+    * blocks, the block-count table is metadata-sized (≤ 2³²/blockSpan
+    * rows), and no window partition ever exceeds a block — a global
+    * row_number() (one task for the whole corpus) is exactly the
+    * serialization this avoids. Returns (id, pos) with pos a
+    * permutation of [0, N). */
+  def globalShuffle(docs: DataFrame, idCol: String, salt: String,
+      blockSpan: Long = 1L << 16): DataFrame = {
+    val base = docs.select(col(idCol),
+        TextOps.md5Hash32(concat(lit(salt), col(idCol).cast("string"))).as("__h"))
+      .withColumn("stratum", lit(""))
+      .withColumn("n_tokens", lit(1L))
+    blockedStartOffset(base, "__h", Seq(col("__h"), col(idCol)), blockSpan)
+      .select(col(idCol), col("start_offset").as("pos"))
+  }
+
   /** N-gram LM cross-entropy scoring — the CCNet-style quality axis
     * (Wenzek et al. 2020): train a capped stupid-backoff bigram model
     * (Brants et al. 2007) on a trusted REFERENCE slice, score every

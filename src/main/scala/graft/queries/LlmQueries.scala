@@ -1008,6 +1008,19 @@ object LlmQueries {
         WHERE ${sqlMd5Hash32("'graft_mix_' || CAST(doc_id AS VARCHAR)")} % 100
           < CASE WHEN lang = 'en' THEN 60 ELSE 20 END""")),
 
+    // ✚ deterministic global training-order shuffle (Pipeline.
+    // globalShuffle): corpus-wide position by (md5(salt‖id), id) rank —
+    // the blocked two-phase prefix sum with unit weights over hash
+    // ranges, so no global-sort/single-task row_number appears anywhere
+    Q("pipeline_shuffle",
+      (s, d) => Pipeline.globalShuffle(t(s, d, "documents"), "doc_id",
+        "graft_shuf_"),
+      Some(s"""SELECT doc_id,
+        CAST(row_number() OVER (ORDER BY
+          ${sqlMd5Hash32("'graft_shuf_' || CAST(doc_id AS VARCHAR)")},
+          doc_id) - 1 AS BIGINT) AS pos
+        FROM documents""")),
+
     // mixture targeting (Pipeline.mixRates): per-lang keep rates that
     // realize a target token-share mixture — achievable size is bound
     // by the scarcest stratum (rate 1 there); one stratum-keyed agg

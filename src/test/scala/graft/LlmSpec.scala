@@ -771,6 +771,26 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.9, s"planted near-dup recall $recall < 0.9")
   }
 
+  test("globalShuffle: pos is a permutation matching the driver-side hash order") {
+    import java.security.MessageDigest
+    val ids = (0L until 300L)
+    val docs = ids.map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val out = Pipeline.globalShuffle(docs, "doc_id", "s1_", blockSpan = 1L << 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.values.toSeq.sorted == (0L until 300L))  // a permutation
+    // matches an independent driver-side sort on (md5-32, id)
+    def h32(s: String) = java.lang.Long.parseLong(
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString, 16)
+    val expect = ids.sortBy(i => (h32(s"s1_$i"), i)).zipWithIndex
+      .map { case (id, p) => id -> p.toLong }.toMap
+    assert(out == expect)
+    // a different salt yields a different epoch order
+    val out2 = Pipeline.globalShuffle(docs, "doc_id", "s2_", blockSpan = 1L << 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out2 != out)
+  }
+
   test("lmScore: reference-like text scores below gibberish; backoff tiers order") {
     // reference: a tiny repetitive "language" where (the cat / cat sat /
     // sat here) dominate — the bigram tier should make in-domain text cheap
