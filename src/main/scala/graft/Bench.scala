@@ -57,6 +57,7 @@ object Bench {
     "pipeline_decontaminate_semantic",
     "pipeline_cluster_balance",
     "pipeline_dedup_groups",
+    "pipeline_dedup_keep_best",
     "asof_events",
     "asof_events_salted",
     "range_join_events",

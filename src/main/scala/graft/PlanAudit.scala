@@ -179,7 +179,17 @@ object PlanAudit {
     Check("pipeline_shuffle", "global rank uses the blocked two-phase prefix sum",
       "__blk"),
     Check("pipeline_shuffle", "block offsets broadcast back onto the rows",
-      "BroadcastHashJoin")
+      "BroadcastHashJoin"),
+    // keep-best: the per-group argmax must be a partial AGGREGATE (a
+    // window over the group key would serialize a boilerplate
+    // mega-group through one task). The struct-ordered max buffers a
+    // struct, which hash agg can't mutate in place — Spark plans it as
+    // SortAggregate, which still map-side-combines partials (the
+    // property that matters here).
+    Check("pipeline_dedup_keep_best", "group argmax is a partial aggregate",
+      "SortAggregate|HashAggregate"),
+    Check("pipeline_dedup_keep_best", "no group-serial window downstream of components",
+      "!Window")
   )
 
   def main(args: Array[String]): Unit = {

@@ -322,6 +322,39 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
   }
 
+  /** Quality-aware canonical selection for near-dup groups — the keep
+    * RULE real dedup pipelines apply: within each transitive LSH group
+    * keep the member with the most CONTENT (token count, ties to the
+    * smallest id), not blindly the smallest id — near-dup clusters
+    * routinely mix a full article with its truncated syndications, and
+    * greedy-min-id would keep whichever copy happened to crawl first.
+    * Groups come from [[minhashStarEdges]] (O(members) edges) closed
+    * by GraphX connected components; the argmax is ONE group-keyed
+    * hash agg (map-side partial, so a boilerplate mega-group
+    * contributes one partial row per partition, never its membership)
+    * joined back on the group key (AQE splits a skewed mega-group
+    * join). Returns (id, grp, kept): grp = component representative
+    * (min id — the group NAME, not the survivor), kept = argmax
+    * member; singletons keep themselves. */
+  def keepBest(docs: DataFrame, idCol: String, textCol: String,
+      numPerms: Int, bands: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val sigs = minhashSignatures(docs, idCol, textCol, numPerms)
+    val cands = minhashStarEdges(sigs, idCol, numPerms, bands)
+    val comp = graft.graphx.GraphXBridge.componentsOfPairs(spark,
+      cands.select(col("d1").as("src"), col("d2").as("dst")))
+    val withG = docs
+      .select(col(idCol), size(TextOps.tokens(col(textCol))).as("n_tokens"))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("grp", coalesce(col("component"), col(idCol)))
+    val best = withG.groupBy(col("grp"))
+      .agg(max(struct(col("n_tokens"), (-col(idCol)).as("nid"))).as("b"))
+    withG.join(best, Seq("grp"))
+      .select(col(idCol), col("grp"),
+        (col("n_tokens") === col("b.n_tokens") &&
+          (-col(idCol)) === col("b.nid")).as("kept"))
+  }
+
   /** APPLY side of span dedup — scrub repeated passages, keeping the
     * corpus-globally FIRST occurrence (the substring-dedup removal
     * rule: one copy of the boilerplate survives, every other copy is

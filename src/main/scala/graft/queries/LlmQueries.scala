@@ -504,6 +504,31 @@ object LlmQueries {
           coalesce(c.component, d.doc_id) = d.doc_id AS kept
         FROM documents d LEFT JOIN comp c ON c.node = d.doc_id""")),
 
+    // ✚ quality-aware canonical selection (Dedup.keepBest): within each
+    // transitive LSH group keep the LONGEST member (ties → smallest id)
+    // instead of the smallest id — one group-keyed partial-agg argmax
+    // joined back; the oracle replays components + the two-step argmax
+    Q("pipeline_dedup_keep_best",
+      (s, d) => Dedup.keepBest(t(s, d, "documents"), "doc_id", "text", 16, 4),
+      Some(s"""WITH RECURSIVE $sqlMinhashBandedCtes,
+        cand AS (SELECT DISTINCT d1, d2 FROM (
+          SELECT min(doc_id) OVER (PARTITION BY band, sig) AS d1, doc_id AS d2
+          FROM banded) z WHERE d1 < d2),
+        e AS (SELECT d1 AS s, d2 AS t FROM cand UNION SELECT d2, d1 FROM cand),
+        reach(node, r) AS (
+          SELECT DISTINCT s, s FROM e
+          UNION
+          SELECT e.t, reach.r FROM e JOIN reach ON e.s = reach.node),
+        comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        g AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grp,
+            len(string_split(d.text, ' ')) AS n_tokens
+          FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+        b AS (SELECT grp, max(n_tokens) AS bn FROM g GROUP BY grp),
+        k AS (SELECT g.grp, min(g.doc_id) AS kid FROM g JOIN b USING (grp)
+          WHERE g.n_tokens = b.bn GROUP BY g.grp)
+        SELECT g.doc_id, g.grp, g.doc_id = k.kid AS kept
+        FROM g JOIN k USING (grp)""")),
+
     // SimHash 60-bit signatures + hamming ≤ 3 pairs via 15-bit chunks
     Q("dedup_simhash",
       (s, d) => Dedup.simhashPairs(

@@ -771,6 +771,24 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.9, s"planted near-dup recall $recall < 0.9")
   }
 
+  test("keepBest: the longest group member survives, not the smallest id") {
+    val body = (1 to 60).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      (1L, body),                                       // truncated copy
+      (2L, body + " x1 x2"),                            // fullest article (62 tk)
+      (3L, body + " tail"),                             // another near-dup (61 tk)
+      (9L, (1 to 40).map(i => s"u$i").mkString(" "))    // unrelated singleton
+    ).toDF("doc_id", "text")
+    val out = Dedup.keepBest(corpus, "doc_id", "text", 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // 1,2,3 share nearly all shingles → one group named by min id 1
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L && out(3L)._1 == 1L)
+    // the 62-token doc 2 survives; smaller-id shorter copies drop
+    assert(out(2L)._2 && !out(1L)._2 && !out(3L)._2)
+    assert(out(9L) == ((9L, true)))                     // singleton keeps itself
+  }
+
   test("globalShuffle: pos is a permutation matching the driver-side hash order") {
     import java.security.MessageDigest
     val ids = (0L until 300L)
