@@ -166,6 +166,8 @@ object PlanAudit {
     // avoid); no sort-merge join may appear anywhere in the plan
     Check("pipeline_ppl_score", "capped LM model broadcasts onto the corpus scan",
       "BroadcastHashJoin"),
+    Check("pipeline_ppl_score", "signatures hash through the native n-gram kernel",
+      "graft_ngram_md5"),
     Check("pipeline_ppl_score", "no shuffled join anywhere in the scoring plan",
       "!SortMergeJoin"),
     Check("pipeline_ppl_bucket", "bucketing keeps the broadcast model bind",

@@ -309,50 +309,72 @@ object Pipeline {
     * boilerplate score high — the perplexity complement of the
     * rule-based [[qualityGate]].
     *
-    * Model: top-`topBigrams` bigrams by count (ties by bigram text —
-    * a total, engine-stable order) carrying their TRUE prefix counts,
-    * plus top-`topUnigrams` unigrams and the reference token total.
-    * Scoring backs off bigram → 0.4·unigram-MLE → 0.4/N (unseen), the
-    * stupid-backoff schedule; xent = −mean ln p over a document's
-    * bigram positions, rounded to 4 decimals so the cross-engine
-    * last-ulp noise of `ln` and of partial-sum reassociation (both
-    * ≲1e-11 here) can never reach the compared digits.
+    * Model: top-`topBigrams` bigrams by count carrying their TRUE
+    * prefix counts, plus top-`topUnigrams` unigrams and the reference
+    * token total. All keys are 60-bit [[graft.plans.NGramMd5]] hashes
+    * (md5-fold of the n-gram text, the house hash): signatures compile
+    * to ONE kernel pass per document instead of the interpreted
+    * `transform`+`concat_ws` HOF chain (measured 98 s → see
+    * BASELINE.md for the fold), join keys are fixed-width longs
+    * instead of strings, and a 60-bit collision merely merges two
+    * count rows (P ≈ |model|²/2⁶¹ — negligible, and the oracle replays
+    * the same hashes bit-for-bit). Ties in the top-k cuts break on the
+    * hash (total order). Scoring backs off bigram → 0.4·unigram-MLE →
+    * 0.4/N (unseen), the stupid-backoff schedule; xent = −mean ln p
+    * over a document's bigram positions, rounded to 4 decimals so the
+    * cross-engine last-ulp noise of `ln` and of partial-sum
+    * reassociation (both ≲1e-11 here) can never reach the compared
+    * digits.
     *
     * Scale: training is a vocabulary-sized hash agg + top-k (the
     * text_vocab posture — never a total sort); the capped model is
     * config-sized BY CONSTRUCTION and broadcasts; scoring is one
-    * map-side explode + two broadcast joins + one partial-aggregated
-    * doc-key shuffle. Nothing anywhere scales super-linearly with the
-    * corpus. Returns (id, n_scored, xent); documents with fewer than
-    * two tokens keep a row with n_scored = 0 and NULL xent.
+    * map-side kernel+zip explode + two broadcast joins + one
+    * partial-aggregated doc-key shuffle. Nothing anywhere scales
+    * super-linearly with the corpus. Returns (id, n_scored, xent);
+    * documents with fewer than two tokens keep a row with
+    * n_scored = 0 and NULL xent.
     */
   def lmScore(corpus: DataFrame, reference: DataFrame, idCol: String,
       textCol: String, topBigrams: Int, topUnigrams: Int): DataFrame = {
     require(topBigrams > 0 && topUnigrams > 0,
       "LM model caps must be positive")
-    val uni = reference
-      .select(explode(TextOps.tokens(col(textCol))).as("tk"))
-      .groupBy(col("tk")).agg(count(lit(1)).as("c1"))
+    def tk = TextOps.tokens(col(textCol))
+    def pre(df: DataFrame, keep: Column*) = df.select(keep :+
+      graft.plans.NGramMd5(tk, 2, 15).as("bgh_arr") :+
+      graft.plans.NGramMd5(tk, 1, 15).as("uh_arr"): _*)
+    val refPre = pre(reference)
+    val uni = refPre.select(explode(col("uh_arr")).as("uh"))
+      .groupBy(col("uh")).agg(count(lit(1)).as("c1"))
     val nRef = uni.agg(sum(col("c1")).as("n_ref")) // 1-row scalar bind
-    val uniTop = uni.orderBy(col("c1").desc, col("tk").asc).limit(topUnigrams)
-    val bgTop = reference
-      .select(explode(TextOps.shingles(col(textCol), 2)).as("bg"))
-      .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-      .orderBy(col("c2").desc, col("bg").asc).limit(topBigrams)
-    // the backoff denominator is the TRUE prefix count, which always
-    // exists (a reference bigram's prefix is a reference token) — the
-    // unigram CAP must not starve it, so join the uncapped counts
+    val uniTop = uni.orderBy(col("c1").desc, col("uh").asc).limit(topUnigrams)
+    // bigram hash zipped with its PREFIX hash (uh_arr[i] prefixes
+    // bgh_arr[i]) — the backoff denominator is the TRUE prefix count,
+    // which always exists (a reference bigram's prefix is a reference
+    // token); the unigram CAP must not starve it, so join uncapped
+    val bgTop = refPre
+      .select(col("bgh_arr"),
+        slice(col("uh_arr"), lit(1),
+          greatest(size(col("uh_arr")) - 1, lit(0))).as("pfx_arr"))
+      .select(explode(arrays_zip(col("bgh_arr"), col("pfx_arr"))).as("z"))
+      .select(col("z.bgh_arr").as("bgh"), col("z.pfx_arr").as("pfxh"))
+      .groupBy(col("bgh"), col("pfxh")).agg(count(lit(1)).as("c2"))
+      .orderBy(col("c2").desc, col("bgh").asc).limit(topBigrams)
     val bgModel = bgTop
-      .withColumn("pfx", substring_index(col("bg"), " ", 1))
-      .join(uni.select(col("tk").as("pfx"), col("c1").as("c1p")), Seq("pfx"))
-      .select(col("bg"), col("c2"), col("c1p"))
-    val cb = corpus.select(col(idCol),
-        explode(TextOps.shingles(col(textCol), 2)).as("bg"))
-      .withColumn("nx", substring_index(col("bg"), " ", -1))
+      .join(uni.select(col("uh").as("pfxh"), col("c1").as("c1p")), Seq("pfxh"))
+      .select(col("bgh"), col("c2"), col("c1p"))
+    // corpus positions: bigram hash zipped with the NEXT token's hash
+    // (uh_arr[i+1] — the unigram-backoff key)
+    val cb = pre(corpus, col(idCol))
+      .select(col(idCol), col("bgh_arr"),
+        slice(col("uh_arr"), lit(2),
+          greatest(size(col("uh_arr")) - 1, lit(0))).as("nx_arr"))
+      .select(col(idCol), explode(arrays_zip(col("bgh_arr"), col("nx_arr"))).as("z"))
+      .select(col(idCol), col("z.bgh_arr").as("bgh"), col("z.nx_arr").as("nxh"))
     val scored = cb
-      .join(broadcast(bgModel), Seq("bg"), "left")
-      .join(broadcast(uniTop.select(col("tk").as("nx"), col("c1").as("c1n"))),
-        Seq("nx"), "left")
+      .join(broadcast(bgModel), Seq("bgh"), "left")
+      .join(broadcast(uniTop.select(col("uh").as("nxh"), col("c1").as("c1n"))),
+        Seq("nxh"), "left")
       .crossJoin(broadcast(nRef))
       .withColumn("logp",
         when(col("c2").isNotNull, log(col("c2") / col("c1p")))
@@ -388,12 +410,17 @@ object Pipeline {
       samplePctN: Int, salt: String): DataFrame = {
     require(samplePctN > 0 && samplePctN <= 100,
       s"sample percent must be in (0, 100], got $samplePctN")
+    // score ONLY the sampled docs for the thresholds (the sample
+    // filter is a map-only id-hash predicate that pushes below the
+    // scoring explode) — re-scoring the full corpus just to sample it
+    // was measured at 1.4× the whole operator's cost
+    val sampled = lmScore(
+        corpus.filter(samplePct(col(idCol), salt) < samplePctN),
+        reference, idCol, textCol, topBigrams, topUnigrams)
+      .filter(col("n_scored") > 0)
+      .select(col("xent")).collect().map(_.getDouble(0)).sorted
     val scored = lmScore(corpus, reference, idCol, textCol,
       topBigrams, topUnigrams)
-    val sampled = scored
-      .filter(samplePct(col(idCol), salt) < samplePctN &&
-        col("n_scored") > 0)
-      .select(col("xent")).collect().map(_.getDouble(0)).sorted
     require(sampled.nonEmpty,
       "lmBucket: the threshold sample is empty — raise samplePctN")
     val s = sampled.length

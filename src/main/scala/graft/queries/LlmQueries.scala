@@ -173,31 +173,34 @@ object LlmQueries {
 
   /** Shared CTE chain for the LM-scoring twins: train the capped
     * stupid-backoff model on the `LmRefSource` slice, score everything
-    * else (mirrors Pipeline.lmScore step for step — same caps, same
-    * tie-breaks, same backoff arithmetic). Ends at `sc` =
-    * (doc_id, n_scored, xent). */
+    * else (mirrors Pipeline.lmScore step for step — same 60-bit md5
+    * key hashes, same caps, same hash tie-breaks, same backoff
+    * arithmetic). Ends at `sc` = (doc_id, n_scored, xent). */
   private def sqlLmCtes: String =
     s"""tkx AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
-    runi AS (SELECT unnest(tk) AS tk FROM tkx WHERE source = '$LmRefSource'),
-    uni AS (SELECT tk, CAST(count(*) AS BIGINT) AS c1 FROM runi GROUP BY tk),
+    runi AS (SELECT unnest(tk) AS t FROM tkx WHERE source = '$LmRefSource'),
+    uni AS (SELECT ${sqlMd5Hash60("t")} AS uh, CAST(count(*) AS BIGINT) AS c1
+      FROM runi GROUP BY uh),
     tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n_ref FROM uni),
-    unitop AS (SELECT tk, c1 FROM uni ORDER BY c1 DESC, tk ASC LIMIT $LmTopUnigrams),
+    unitop AS (SELECT uh, c1 FROM uni ORDER BY c1 DESC, uh ASC LIMIT $LmTopUnigrams),
     rbg AS (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
-        i -> array_to_string(tk[i:i+1], ' '))) AS bg
+        i -> {'b': array_to_string(tk[i:i+1], ' '), 'p': tk[i]})) AS u
       FROM tkx WHERE source = '$LmRefSource' AND len(tk) >= 2),
-    bgtop AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM rbg GROUP BY bg
-      ORDER BY c2 DESC, bg ASC LIMIT $LmTopBigrams),
-    bgm AS (SELECT bg, c2, c1 AS c1p FROM bgtop
-      JOIN uni ON uni.tk = split_part(bg, ' ', 1)),
-    cb AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
-        i -> array_to_string(tk[i:i+1], ' '))) AS bg
+    bgtop AS (SELECT ${sqlMd5Hash60("u.b")} AS bgh, ${sqlMd5Hash60("u.p")} AS pfxh,
+        CAST(count(*) AS BIGINT) AS c2
+      FROM rbg GROUP BY bgh, pfxh ORDER BY c2 DESC, bgh ASC LIMIT $LmTopBigrams),
+    bgm AS (SELECT bgh, c2, c1 AS c1p FROM bgtop JOIN uni ON uni.uh = bgtop.pfxh),
+    cb0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+        i -> {'b': array_to_string(tk[i:i+1], ' '), 'x': tk[i + 1]})) AS u
       FROM tkx WHERE source <> '$LmRefSource' AND len(tk) >= 2),
+    cb AS (SELECT doc_id, ${sqlMd5Hash60("u.b")} AS bgh, ${sqlMd5Hash60("u.x")} AS nxh
+      FROM cb0),
     lp AS (SELECT doc_id,
         CASE WHEN bgm.c2 IS NOT NULL THEN ln(bgm.c2 / CAST(bgm.c1p AS DOUBLE))
-          WHEN u.c1 IS NOT NULL THEN ln(0.4 * u.c1 / n_ref)
+          WHEN u2.c1 IS NOT NULL THEN ln(0.4 * u2.c1 / n_ref)
           ELSE ln(0.4 / n_ref) END AS logp
-      FROM cb LEFT JOIN bgm USING (bg)
-        LEFT JOIN unitop u ON u.tk = split_part(cb.bg, ' ', 2)
+      FROM cb LEFT JOIN bgm USING (bgh)
+        LEFT JOIN unitop u2 ON u2.uh = cb.nxh
         CROSS JOIN tot),
     ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
         round(-(sum(logp) / count(*)), 4) AS xent FROM lp GROUP BY doc_id),
