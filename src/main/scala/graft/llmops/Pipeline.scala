@@ -364,29 +364,32 @@ object Pipeline {
       .join(uni.select(col("uh").as("pfxh"), col("c1").as("c1p")), Seq("pfxh"))
       .select(col("bgh"), col("c2"), col("c1p"))
     // corpus positions: bigram hash zipped with the NEXT token's hash
-    // (uh_arr[i+1] — the unigram-backoff key)
+    // (uh_arr[i+1] — the unigram-backoff key). explode_OUTER keeps a
+    // null position row for <2-token documents, so the per-doc
+    // aggregate itself yields their (0, NULL) rows — no corpus-sized
+    // rejoin at the end (the first formulation's id-join planned as a
+    // corpus×corpus sort-merge join; this plan's only shuffle is the
+    // doc-key aggregate)
     val cb = pre(corpus, col(idCol))
       .select(col(idCol), col("bgh_arr"),
         slice(col("uh_arr"), lit(2),
           greatest(size(col("uh_arr")) - 1, lit(0))).as("nx_arr"))
-      .select(col(idCol), explode(arrays_zip(col("bgh_arr"), col("nx_arr"))).as("z"))
+      .select(col(idCol),
+        explode_outer(arrays_zip(col("bgh_arr"), col("nx_arr"))).as("z"))
       .select(col(idCol), col("z.bgh_arr").as("bgh"), col("z.nx_arr").as("nxh"))
-    val scored = cb
-      .join(broadcast(bgModel), Seq("bgh"), "left")
+    cb.join(broadcast(bgModel), Seq("bgh"), "left")
       .join(broadcast(uniTop.select(col("uh").as("nxh"), col("c1").as("c1n"))),
         Seq("nxh"), "left")
       .crossJoin(broadcast(nRef))
       .withColumn("logp",
-        when(col("c2").isNotNull, log(col("c2") / col("c1p")))
+        when(col("bgh").isNull, lit(null).cast("double")) // the outer row
+          .when(col("c2").isNotNull, log(col("c2") / col("c1p")))
           .when(col("c1n").isNotNull,
             log(lit(0.4) * col("c1n") / col("n_ref")))
           .otherwise(log(lit(0.4) / col("n_ref"))))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_scored"),
-        round(-(sum(col("logp")) / count(lit(1))), 4).as("xent"))
-    corpus.select(col(idCol))
-      .join(scored, Seq(idCol), "left")
-      .withColumn("n_scored", coalesce(col("n_scored"), lit(0L)))
+      .agg(count(col("bgh")).as("n_scored"),
+        round(-(sum(col("logp")) / count(col("bgh"))), 4).as("xent"))
   }
 
   /** Head/middle/tail perplexity bucketing — the DECISION face of
