@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** Driver-resident capped stupid-backoff LM model (parallel column
+    * seqs, sorted/indexed inside [[graft.plans.LmXent]]): top-k bigram
+    * rows (key hash, count, prefix count), top-k unigram rows
+    * (key hash, count), and the reference token total. Config-sized by
+    * the top-k contract. */
+  case class LmModel(bgKeys: Seq[Long], bgC2: Seq[Long], bgC1p: Seq[Long],
+      uniKeys: Seq[Long], uniC1: Seq[Long], nRef: Long)
+
   /** Corpus prep gate + exact dedup, the canonical prep chain:
     * keep documents whose predicted language agrees with the label
     * (cheap LID quality gate), whose token count is in bounds, then
@@ -335,15 +343,17 @@ object Pipeline {
     * documents with fewer than two tokens keep a row with
     * n_scored = 0 and NULL xent.
     */
-  def lmScore(corpus: DataFrame, reference: DataFrame, idCol: String,
-      textCol: String, topBigrams: Int, topUnigrams: Int): DataFrame = {
+  /** Model-frame halves of [[lmScore]]'s training pass, shared with
+    * the driver-side [[lmModel]] collector. Returns
+    * (bgModel(bgh, c2, c1p), uniTop(uh, c1), nRef(n_ref)). */
+  private def lmModelFrames(reference: DataFrame, textCol: String,
+      topBigrams: Int, topUnigrams: Int): (DataFrame, DataFrame, DataFrame) = {
     require(topBigrams > 0 && topUnigrams > 0,
       "LM model caps must be positive")
     def tk = TextOps.tokens(col(textCol))
-    def pre(df: DataFrame, keep: Column*) = df.select(keep :+
-      graft.plans.NGramMd5(tk, 2, 15).as("bgh_arr") :+
-      graft.plans.NGramMd5(tk, 1, 15).as("uh_arr"): _*)
-    val refPre = pre(reference)
+    val refPre = reference.select(
+      graft.plans.NGramMd5(tk, 2, 15).as("bgh_arr"),
+      graft.plans.NGramMd5(tk, 1, 15).as("uh_arr"))
     val uni = refPre.select(explode(col("uh_arr")).as("uh"))
       .groupBy(col("uh")).agg(count(lit(1)).as("c1"))
     val nRef = uni.agg(sum(col("c1")).as("n_ref")) // 1-row scalar bind
@@ -363,6 +373,34 @@ object Pipeline {
     val bgModel = bgTop
       .join(uni.select(col("uh").as("pfxh"), col("c1").as("c1p")), Seq("pfxh"))
       .select(col("bgh"), col("c2"), col("c1p"))
+    (bgModel, uniTop, nRef)
+  }
+
+  /** Collect the capped LM model to the driver — config-sized BY
+    * CONSTRUCTION (top-k caps), the bloomWords/centroid discipline:
+    * build ONCE from the reference, serve forever, including the
+    * streaming face ([[graft.streaming.EventsStream.pplGate]]) where
+    * the model rides inside the compiled [[graft.plans.LmXent]]
+    * kernel. */
+  def lmModel(reference: DataFrame, textCol: String,
+      topBigrams: Int, topUnigrams: Int): LmModel = {
+    val (bgModel, uniTop, nRef) = lmModelFrames(reference, textCol,
+      topBigrams, topUnigrams)
+    val bg = bgModel.collect()
+    val un = uniTop.collect()
+    LmModel(bg.map(_.getLong(0)).toSeq, bg.map(_.getLong(1)).toSeq,
+      bg.map(_.getLong(2)).toSeq, un.map(_.getLong(0)).toSeq,
+      un.map(_.getLong(1)).toSeq, nRef.collect()(0).getLong(0))
+  }
+
+  def lmScore(corpus: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, topBigrams: Int, topUnigrams: Int): DataFrame = {
+    def tk = TextOps.tokens(col(textCol))
+    def pre(df: DataFrame, keep: Column*) = df.select(keep :+
+      graft.plans.NGramMd5(tk, 2, 15).as("bgh_arr") :+
+      graft.plans.NGramMd5(tk, 1, 15).as("uh_arr"): _*)
+    val (bgModel, uniTop, nRef) = lmModelFrames(reference, textCol,
+      topBigrams, topUnigrams)
     // corpus positions: bigram hash zipped with the NEXT token's hash
     // (uh_arr[i+1] — the unigram-backoff key). explode_OUTER keeps a
     // null position row for <2-token documents, so the per-doc

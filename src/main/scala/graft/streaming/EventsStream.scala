@@ -191,6 +191,28 @@ object EventsStream {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Streaming PERPLEXITY gate — the LM-quality complement of
+    * [[bloomGate]]: annotate every arriving document with its
+    * cross-entropy under a capped stupid-backoff model trained ONCE on
+    * the reference slice ([[graft.llmops.Pipeline.lmModel]]) and
+    * embedded in the compiled [[graft.plans.LmXent]] kernel. The model
+    * lives inside the expression, so the gate is a STATELESS per-row
+    * column — the same plan runs under Structured Streaming unchanged,
+    * any output mode, no state store. `tau` is the keep threshold
+    * (e.g. [[graft.llmops.Pipeline.lmBucket]]'s middle/tail boundary
+    * from the batch pass). Returns the input plus
+    * (n_scored, xent, keep); unscorable docs (< 2 tokens) keep NULL
+    * xent and keep = false. */
+  def pplGate(docs: DataFrame, model: graft.llmops.Pipeline.LmModel,
+      textCol: String, tau: Double): DataFrame = {
+    docs.withColumn("__s", graft.plans.LmXent(
+        graft.llmops.TextOps.tokens(col(textCol)), model))
+      .withColumn("n_scored", col("__s.n_scored"))
+      .withColumn("xent", col("__s.xent"))
+      .withColumn("keep", coalesce(col("xent") <= tau, lit(false)))
+      .drop("__s")
+  }
+
   /** Tumbling-window counts with late-data drop via watermark. */
   def tumblingCounts(events: DataFrame, window_ : String = "10 minutes",
       watermark: String = "15 minutes"): DataFrame =

@@ -833,6 +833,26 @@ class LlmSpec extends SparkSpec {
     assert(x(3L) == oovXent)
   }
 
+  test("LmXent kernel agrees with the batch lmScore on every fixture doc") {
+    val ref = Seq.tabulate(20)(i => (1000L + i, "the cat sat here and " +
+      "the cat sat here and the cat sat here")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the cat sat here and the cat sat here"),
+      (2L, "cat the here sat and sat the cat and"),
+      (3L, "zq wq vq kq jq xq qq pq mq nq"),
+      (4L, "one")).toDF("doc_id", "text")
+    val batch = Pipeline.lmScore(corpus, ref, "doc_id", "text", 512, 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    val model = Pipeline.lmModel(ref, "text", 512, 256)
+    val kernel = corpus.select(col("doc_id"),
+        graft.plans.LmXent(TextOps.tokens(col("text")), model).as("s"))
+      .select(col("doc_id"), col("s.n_scored"), col("s.xent"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    assert(kernel == batch)
+  }
+
   test("lmBucket: tertile thresholds split scored docs; tiny doc lands unscored") {
     val ref = Seq.tabulate(10)(i => (1000L + i,
       (1 to 50).map(j => s"w${j % 7}").mkString(" "))).toDF("doc_id", "text")

@@ -337,6 +337,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists { case (1L, h, _) => h >= 3; case _ => false })
   }
 
+  test("ppl gate is stateless: streaming equals batch, gibberish gated out") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // reference: a tiny in-domain "language"; model built ONCE
+    val ref = Seq.tabulate(20)(i => (1000L + i, "the cat sat here and " +
+      "the cat sat here and the cat sat here")).toDF("doc_id", "text")
+    val model = graft.llmops.Pipeline.lmModel(ref, "text", 512, 256)
+    val rows = Seq(
+      Doc(new java.sql.Timestamp(0L), 1L, "the cat sat here and the cat sat"),
+      Doc(new java.sql.Timestamp(0L), 2L, "zq wq vq kq jq xq qq pq mq nq"),
+      Doc(new java.sql.Timestamp(0L), 3L, "solo")) // unscorable
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      EventsStream.pplGate(df, model, "text", tau = 3.0)
+    val mem = MemoryStream[Doc]
+    val q = gate(mem.toDF()).writeStream.format("memory").queryName("pgate")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    def shape(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_scored"),
+        Option(r.getAs[Any]("xent")), r.getAs[Boolean]("keep"))
+    val streamed = spark.table("pgate").collect().map(shape(_)).toSet
+    val batch = gate(rows.toDF()).collect().map(shape(_)).toSet
+    assert(streamed == batch)
+    // in-domain doc keeps; gibberish and the unscorable doc gate out
+    assert(streamed.collect { case (id, _, _, true) => id } == Set(1L))
+    assert(streamed.exists { case (3L, 0L, None, false) => true; case _ => false })
+  }
+
   test("session windows merge events within the gap (streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
