@@ -64,6 +64,7 @@ object Bench {
     "text_quality",
     "text_repetition",
     "text_clean",
+    "text_redact_pii",
     "text_vocab",
     "text_chunks",
     "text_subword",

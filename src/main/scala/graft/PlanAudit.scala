@@ -191,7 +191,12 @@ object PlanAudit {
     Check("pipeline_dedup_keep_best", "group argmax is a partial aggregate",
       "SortAggregate|HashAggregate"),
     Check("pipeline_dedup_keep_best", "no group-serial window downstream of components",
-      "!Window")
+      "!Window"),
+    // PII redaction: a pure per-row regex fold — nothing to join or
+    // shuffle, and the scan reads only the two columns it uses
+    Check("text_redact_pii", "redaction is a join-free map-only pass", "!Join"),
+    Check("text_redact_pii", "redaction scan prunes to doc_id+text",
+      "ReadSchema: struct<doc_id:bigint,text:string>")
   )
 
   def main(args: Array[String]): Unit = {

@@ -202,4 +202,38 @@ object TextOps {
       size(tk).as("n_tokens_raw"),
       size(kept).as("n_tokens_clean"))
   }
+
+  /** PII redaction patterns, ordered — each applies to the text AFTER
+    * its predecessors, and the order is load-bearing (cards and SSNs
+    * would otherwise be half-eaten by the looser phone pattern; IPs by
+    * phone's digit groups). Same Java-regex ∩ RE2 discipline as
+    * [[UrlRe]]: no backreferences, no lookaround, ASCII classes only,
+    * so one literal serves both engines. The phone rule requires a
+    * separator between digit groups on purpose — an unseparated digit
+    * run is more often an id than a phone number, and a redactor that
+    * eats ids destroys more signal than it protects. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    (EmailRe, "<EMAIL>"),
+    ("\\b\\d{4}[- ]?\\d{4}[- ]?\\d{4}[- ]?\\d{4}\\b", "<CARD>"),
+    ("\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("\\+?\\d{1,3}[-. ]\\(?\\d{2,4}\\)?[-. ]\\d{3,4}[-. ]?\\d{2,4}\\b",
+      "<PHONE>"))
+
+  /** PII redaction — replace emails / card numbers / SSN-shaped ids /
+    * IPv4s / phone numbers with typed placeholders, keeping the
+    * surrounding prose (the redact-not-drop rule: a doc with one phone
+    * number is still training data once the number is gone). Counts
+    * are per applied STAGE (pattern i counts matches in the text
+    * patterns < i already cleaned), so categories never double-count
+    * one span. Pure per-row column arithmetic: map-only, no shuffle,
+    * streams unchanged. Returns (clean_text, n_redacted). */
+  def redactPii(text: Column): Seq[Column] = {
+    val (cleaned, n) = PiiPatterns.foldLeft((text, lit(0))) {
+      case ((acc, cnt), (p, r)) =>
+        (regexp_replace(acc, p, r),
+          cnt + size(regexp_extract_all(acc, lit(p), lit(0))))
+    }
+    Seq(cleaned.as("clean_text"), n.cast("long").as("n_redacted"))
+  }
 }

@@ -1139,6 +1139,26 @@ object LlmQueries {
           CAST(len(kp) AS INTEGER) AS n_tokens_clean
         FROM kept""")),
 
+    // ✚ PII redaction (TextOps.redactPii): typed placeholders for
+    // emails/cards/SSNs/IPs/phones, staged so categories never
+    // double-count — both sides generated from the SAME ordered
+    // pattern fold (drift-proof). The synthetic corpus carries no PII,
+    // so the declared query proves pattern parity end-to-end at
+    // n_redacted = 0; the planted redactions live in LlmSpec (the
+    // quality-gate "repetitive" precedent).
+    Q("text_redact_pii",
+      (s, d) => t(s, d, "documents").select(
+        (col("doc_id") +: TextOps.redactPii(col("text"))): _*),
+      Some {
+        val (cleanE, countE) = TextOps.PiiPatterns
+          .foldLeft(("text", "0")) { case ((acc, n), (p, r)) =>
+            (s"regexp_replace($acc, '$p', '$r', 'g')",
+              s"($n + len(regexp_extract_all($acc, '$p')))")
+          }
+        s"""SELECT doc_id, $cleanE AS clean_text,
+          CAST($countE AS BIGINT) AS n_redacted FROM documents"""
+      }),
+
     // corpus vocabulary statistics: per-token term frequency + document
     // frequency, top-20 by tf (total order: tf DESC, tk ASC). Partial
     // agg shuffles only vocabulary-sized data; top-k is

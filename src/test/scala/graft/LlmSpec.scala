@@ -771,6 +771,25 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.9, s"planted near-dup recall $recall < 0.9")
   }
 
+  test("redactPii: each category replaces with its placeholder, prose survives") {
+    val docs = Seq(
+      (1L, "mail a.b+c@ex-1.org or root@h.io now"),
+      (2L, "card 4111 1111 1111 1111 exp 12/26"),
+      (3L, "ssn 123-45-6789 on file"),
+      (4L, "host 192.168.0.1 port 80"),
+      (5L, "call +1 415 555-1234 or (02) 555 7788"),
+      (6L, "no pii here just text 12345")
+    ).toDF("doc_id", "text")
+    val out = docs.select((col("doc_id") +: TextOps.redactPii(col("text"))): _*)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("mail <EMAIL> or <EMAIL> now", 2L)))
+    assert(out(2L) == (("card <CARD> exp 12/26", 1L)))
+    assert(out(3L) == (("ssn <SSN> on file", 1L)))
+    assert(out(4L) == (("host <IP> port 80", 1L)))
+    assert(out(5L)._1.startsWith("call <PHONE>") && out(5L)._2 >= 1L)
+    assert(out(6L) == (("no pii here just text 12345", 0L)))
+  }
+
   test("keepBest: the longest group member survives, not the smallest id") {
     val body = (1 to 60).map(i => s"b$i").mkString(" ")
     val corpus = Seq(
