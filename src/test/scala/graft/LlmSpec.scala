@@ -771,6 +771,58 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.9, s"planted near-dup recall $recall < 0.9")
   }
 
+  test("globalShuffle property: a permutation for arbitrary (sparse, negative) ids") {
+    val rnd = new scala.util.Random(11)
+    val ids = Iterator.continually(rnd.nextLong() % 1000000L)
+      .distinct.take(400).toSeq
+    val docs = ids.map(i => (i, "x")).toDF("doc_id", "text")
+    val pos = Pipeline.globalShuffle(docs, "doc_id", "p_", blockSpan = 1L << 20)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(pos == (0L until 400L))
+  }
+
+  test("redactPii property: idempotent — placeholders contain nothing redactable") {
+    val rnd = new scala.util.Random(7)
+    def piiish() = {
+      val parts = Seq(
+        s"u${rnd.nextInt(99)}@ex${rnd.nextInt(9)}.com",
+        s"${1000 + rnd.nextInt(8999)} ${1000 + rnd.nextInt(8999)} ${1000 + rnd.nextInt(8999)} ${1000 + rnd.nextInt(8999)}",
+        s"${100 + rnd.nextInt(899)}-${10 + rnd.nextInt(89)}-${1000 + rnd.nextInt(8999)}",
+        s"${rnd.nextInt(255)}.${rnd.nextInt(255)}.${rnd.nextInt(255)}.${rnd.nextInt(255)}",
+        s"+${1 + rnd.nextInt(99)} ${100 + rnd.nextInt(899)} ${1000 + rnd.nextInt(8999)}",
+        s"w${rnd.nextInt(999)}")
+      (1 to 6).map(_ => parts(rnd.nextInt(parts.size))).mkString(" ")
+    }
+    val docs = (1 to 200).map(i => (i.toLong, piiish())).toDF("doc_id", "text")
+    val once = docs.select(col("doc_id"),
+      TextOps.redactPii(col("text")).head)
+    val twice = once.select(col("doc_id"),
+      TextOps.redactPii(col("clean_text")).head)
+    val a = once.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val b = twice.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(a == b)
+    // and the generator actually produced redactions to exercise it
+    assert(a.values.count(_.contains("<")) > 150)
+  }
+
+  test("scrubSpans property: n_removed always equals the token-count delta") {
+    val out = Dedup.scrubSpans(docs, "doc_id", "text", 16)
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(
+        (size(TextOps.tokens(col("text"))) -
+          size(TextOps.tokens(col("clean_text")))).cast("long").as("delta"),
+        col("n_removed"),
+        // a scrubbed doc must never GAIN tokens
+        (size(TextOps.tokens(col("clean_text"))) <=
+          size(TextOps.tokens(col("text")))).as("mono"))
+      .collect()
+    assert(out.forall(r => r.getBoolean(2)))
+    // delta == n_removed except for fully-scrubbed docs, where
+    // clean_text = "" still splits to one empty token
+    assert(out.forall(r => r.getLong(0) == r.getLong(1) ||
+      r.getLong(0) == r.getLong(1) - 1))
+  }
+
   test("redactPii: each category replaces with its placeholder, prose survives") {
     val docs = Seq(
       (1L, "mail a.b+c@ex-1.org or root@h.io now"),
