@@ -196,7 +196,17 @@ object PlanAudit {
     // shuffle, and the scan reads only the two columns it uses
     Check("text_redact_pii", "redaction is a join-free map-only pass", "!Join"),
     Check("text_redact_pii", "redaction scan prunes to doc_id+text",
-      "ReadSchema: struct<doc_id:bigint,text:string>")
+      "ReadSchema: struct<doc_id:bigint,text:string>"),
+    // DSIR: the two bucket-count models are config-sized (≤ 2^16 rows)
+    // and must BIND BROADCAST; features hash through the native kernel;
+    // no shuffled join anywhere (the only shuffles are the bucket aggs
+    // and the doc-key aggregate)
+    Check("pipeline_dsir", "bucket models broadcast onto the corpus scan",
+      "BroadcastHashJoin"),
+    Check("pipeline_dsir", "features hash through the native n-gram kernel",
+      "graft_ngram_md5"),
+    Check("pipeline_dsir", "no shuffled join anywhere in the weighting plan",
+      "!SortMergeJoin")
   )
 
   def main(args: Array[String]): Unit = {

@@ -474,6 +474,58 @@ object Pipeline {
         .otherwise(lit("tail")))
   }
 
+  /** DSIR-style importance weighting — data selection via importance
+    * resampling (Xie et al. 2023): weight every corpus document by how
+    * much more likely its hashed-bigram features are under the TARGET
+    * distribution (the trusted reference slice) than under the RAW
+    * distribution (a hash-sample of the corpus itself),
+    * log w(x) = Σ_f [ln p̂_t(f) − ln p̂_r(f)] over the document's bigram
+    * features, p̂ = add-1-smoothed bucket frequencies. Features hash
+    * into a FIXED `buckets`-sized space (the paper's hashed n-gram
+    * trick), so both models are config-sized BY CONSTRUCTION —
+    * independent of vocabulary or corpus — and broadcast; the raw
+    * model trains on the [[samplePct]]-sampled slice (rate-`rawPct`),
+    * never the full corpus. The per-doc sum is intentionally UNNORMALIZED
+    * (paper semantics: a long on-target document carries more target
+    * evidence than a short one). Scale: two bucket-keyed count aggs
+    * (≤ `buckets` rows each) + one kernel explode + two broadcast
+    * joins + one doc-key aggregate; explode_outer folds featureless
+    * docs (< 2 tokens) in as (0, NULL, false) rows — no corpus rejoin
+    * (the lmScore lesson). round(·,4) absorbs ln/summation last-ulp
+    * noise. Returns (id, n_feat, log_w, keep = log_w > tau). */
+  def dsirWeights(corpus: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, buckets: Int, rawPct: Int, salt: String,
+      tau: Double): DataFrame = {
+    require(buckets > 0, "feature-bucket count must be positive")
+    require(rawPct > 0 && rawPct <= 100,
+      s"raw-sample percent must be in (0, 100], got $rawPct")
+    def tk = TextOps.tokens(col(textCol))
+    def bucketCounts(df: DataFrame) = df
+      .select(explode(graft.plans.NGramMd5(tk, 2, 15)).as("h"))
+      .groupBy((col("h") % buckets).as("b")).agg(count(lit(1)).as("c"))
+    val tgt = bucketCounts(reference)
+    val raw = bucketCounts(corpus.filter(samplePct(col(idCol), salt) < rawPct))
+    val nT = tgt.agg(sum(col("c")).as("n_t")) // 1-row scalar binds
+    val nR = raw.agg(sum(col("c")).as("n_r"))
+    corpus
+      .select(col(idCol),
+        explode_outer(graft.plans.NGramMd5(tk, 2, 15)).as("h"))
+      .withColumn("b", col("h") % buckets)
+      .join(broadcast(tgt.withColumnRenamed("c", "c_t")), Seq("b"), "left")
+      .join(broadcast(raw.withColumnRenamed("c", "c_r")), Seq("b"), "left")
+      .crossJoin(broadcast(nT)).crossJoin(broadcast(nR))
+      .withColumn("lw",
+        when(col("h").isNull, lit(null).cast("double")).otherwise(
+          log((coalesce(col("c_t"), lit(0L)) + lit(1.0)) /
+              (col("n_t") + lit(buckets.toDouble))) -
+          log((coalesce(col("c_r"), lit(0L)) + lit(1.0)) /
+              (col("n_r") + lit(buckets.toDouble)))))
+      .groupBy(col(idCol))
+      .agg(count(col("h")).as("n_feat"),
+        round(sum(col("lw")), 4).as("log_w"))
+      .withColumn("keep", coalesce(col("log_w") > tau, lit(false)))
+  }
+
   /** Mixture targeting — the planning half of data mixing: given
     * target token-share weights per stratum (summing to 1), compute the
     * per-stratum keep RATES that realize the mixture while discarding

@@ -71,6 +71,19 @@ object LlmQueries {
   val LmSamplePct = 40
   val LmSalt = "graft_ppl_"
 
+  /** DSIR importance-resampling configuration (Pipeline.dsirWeights) —
+    * shared constants. 2^16 feature buckets (the paper's hashed-bigram
+    * space — model size is the BUCKET count, not the vocabulary);
+    * raw model from a 25% md5 sample. The tiny src1 target slice makes
+    * every log_w negative (most buckets unseen under target pay the
+    * smoothing floor), so τ sits at the measured sf0.01 median (−61,
+    * range −126…−9) to make the keep decision split the corpus — the
+    * Qg-threshold discipline. */
+  val DsirBuckets = 1 << 16
+  val DsirRawPct = 25
+  val DsirSalt = "graft_dsir_"
+  val DsirTau = -61.0
+
   // trained-centroid cache (see sim_ivf_trained_topk), keyed by
   // (dir, attribute fingerprint of embeddings.parquet) — regenerated
   // source data at the same path must retrain, or the served lists
@@ -1266,6 +1279,48 @@ object LlmQueries {
             WHEN xent <= t2 THEN 'middle'
             ELSE 'tail' END AS bucket
         FROM sc CROSS JOIN th""")),
+
+    // ✚ DSIR importance resampling (Pipeline.dsirWeights): hashed-bigram
+    // importance weights log w = Σ[ln p̂_target − ln p̂_raw] over a fixed
+    // 2^16 bucket space — target = src1, raw = a 25% md5 sample of the
+    // corpus; two config-sized broadcast count tables, one kernel
+    // explode, one doc-key aggregate
+    Q("pipeline_dsir",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Pipeline.dsirWeights(docs.filter(col("source") =!= LmRefSource),
+          docs.filter(col("source") === LmRefSource),
+          "doc_id", "text", DsirBuckets, DsirRawPct, DsirSalt, DsirTau)
+      },
+      Some(s"""WITH tkx AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+          FROM documents),
+        bg AS (SELECT doc_id, source,
+            unnest(list_transform(generate_series(1, len(tk) - 1),
+              i -> array_to_string(tk[i:i+1], ' '))) AS g
+          FROM tkx WHERE len(tk) >= 2),
+        bgh AS (SELECT doc_id, source, ${sqlMd5Hash60("g")} % $DsirBuckets AS b
+          FROM bg),
+        tg AS (SELECT b, CAST(count(*) AS BIGINT) AS c_t FROM bgh
+          WHERE source = '$LmRefSource' GROUP BY b),
+        rw AS (SELECT b, CAST(count(*) AS BIGINT) AS c_r FROM bgh
+          WHERE source <> '$LmRefSource'
+            AND ${sqlMd5Hash32(s"'$DsirSalt' || CAST(doc_id AS VARCHAR)")} % 100
+              < $DsirRawPct
+          GROUP BY b),
+        nt AS (SELECT CAST(sum(c_t) AS DOUBLE) AS n_t FROM tg),
+        nr AS (SELECT CAST(sum(c_r) AS DOUBLE) AS n_r FROM rw),
+        lw AS (SELECT doc_id,
+            ln((coalesce(c_t, 0) + 1.0) / (n_t + CAST($DsirBuckets AS DOUBLE))) -
+            ln((coalesce(c_r, 0) + 1.0) / (n_r + CAST($DsirBuckets AS DOUBLE))) AS lw
+          FROM bgh LEFT JOIN tg USING (b) LEFT JOIN rw USING (b)
+            CROSS JOIN nt CROSS JOIN nr
+          WHERE source <> '$LmRefSource'),
+        ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+            round(sum(lw), 4) AS log_w FROM lw GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(ag.n_feat, 0) AS n_feat, ag.log_w,
+          coalesce(ag.log_w > $DsirTau, false) AS keep
+        FROM documents d LEFT JOIN ag USING (doc_id)
+        WHERE d.source <> '$LmRefSource'""")),
 
     // sequence packing (Pipeline.packSequences over chunkTokens units):
     // chunks packed in (doc, chunk) order into 1024-token training

@@ -771,6 +771,31 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.9, s"planted near-dup recall $recall < 0.9")
   }
 
+  test("dsirWeights: target-like docs outweigh off-target; featureless doc kept out") {
+    val tgtPhrase = (1 to 30).map(i => s"t${i % 6}").mkString(" ")
+    val rawPhrase = (1 to 30).map(i => s"r${i % 6}").mkString(" ")
+    val ref = Seq.tabulate(10)(i => (1000L + i, tgtPhrase)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, tgtPhrase),                       // pure target-like
+      (2L, tgtPhrase.split(" ").take(15).mkString(" ") + " " +
+        rawPhrase.split(" ").take(15).mkString(" ")), // half and half
+      (3L, rawPhrase),                       // pure raw-like
+      (4L, "x")                              // featureless
+    ).toDF("doc_id", "text")
+    // rawPct 100: every corpus doc trains the raw model (deterministic)
+    val out = Pipeline.dsirWeights(corpus, ref, "doc_id", "text",
+        1 << 12, 100, "d_", tau = 0.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3)))).toMap
+    assert(out(4L) == ((0L, None, false)))
+    val w = out.view.filterKeys(_ != 4L).mapValues(_._2.get).toMap
+    assert(w(1L) > w(2L) && w(2L) > w(3L),
+      s"importance must order target > mixed > raw, got $w")
+    // the pure target-like doc is MORE likely under target than raw
+    assert(w(1L) > 0 && out(1L)._3)
+    assert(w(3L) < 0 && !out(3L)._3)
+  }
+
   test("globalShuffle property: a permutation for arbitrary (sparse, negative) ids") {
     val rnd = new scala.util.Random(11)
     val ids = Iterator.continually(rnd.nextLong() % 1000000L)
