@@ -151,6 +151,72 @@ object Pipeline {
         floor(col("start_offset").cast("double") / capTokens).cast("long"))
   }
 
+  /** Per-source frequency cap — the Common-Crawl-style domain cap:
+    * keep at most `cap` documents per source/domain, chosen by a
+    * salted-md5 rank so the kept subset is deterministic, rerun-stable,
+    * and unbiased within source (hash order is independent of crawl
+    * order — capping a boilerplate-heavy domain by arrival order would
+    * keep correlated pages). A single
+    * `row_number() over (partition by source)` serializes EACH SOURCE
+    * through one task — and unlike [[clusterBalance]]'s cells, sources
+    * have no occupancy bound (one domain can be half the corpus). So
+    * the rank runs as a TWO-LEVEL blocked top-k:
+    *
+    *  1. rank within (source, id-block) — every window partition is
+    *     bounded by `blockDocs` ids regardless of source skew — and
+    *     keep rank ≤ cap: a row ranked > cap within its own block has
+    *     ≥ cap better rows in that block alone, so it cannot be
+    *     top-`cap` globally (safe pruning, no false negatives);
+    *  2. re-rank the ≤ cap-per-block survivors per source and keep the
+    *     global top-`cap`. The survivor set is blocks×cap rows — a
+    *     ~blockDocs/cap-fold reduction, so even a corpus-dominating
+    *     source feeds its final window a metadata-scale partition.
+    *
+    * Returns (id, source, rk ∈ [1, cap]) — identical to the one-window
+    * formulation (the equivalence is asserted in the spec). */
+  def sourceCap(docs: DataFrame, idCol: String, sourceCol: String,
+      cap: Int, salt: String, blockDocs: Long = PackBlockDocs): DataFrame = {
+    require(cap > 0, "per-source cap must be positive")
+    require(blockDocs > 0, "rank block size must be positive")
+    val h = TextOps.md5Hash32(concat(lit(salt), col(idCol).cast("string")))
+    val base = docs.select(col(idCol), col(sourceCol), h.as("__h"),
+      floor(col(idCol).cast("long").cast("double") / blockDocs).cast("long").as("__blk"))
+    val wBlk = Window.partitionBy(col(sourceCol), col("__blk"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    val wSrc = Window.partitionBy(col(sourceCol))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    base
+      .withColumn("__brk", row_number().over(wBlk))
+      .filter(col("__brk") <= cap)
+      .withColumn("rk", row_number().over(wSrc))
+      .filter(col("rk") <= cap)
+      .select(col(idCol), col(sourceCol), col("rk"))
+  }
+
+  /** Contamination REPORT — the audit face of [[decontaminate]]: for
+    * every benchmark document that shares at least one length-`n`
+    * shingle with the corpus, how many distinct corpus documents hit
+    * it (`n_docs`) and how many of ITS OWN distinct shingles are
+    * compromised (`n_shingles`). Decontamination tells you which
+    * corpus docs to drop; this tells you which EVAL ITEMS are burned —
+    * the number a model-eval report has to disclose. Same scale shape
+    * as the drop pass: both sides dedupe their (doc, shingle) pairs,
+    * the benchmark side is eval-sized and broadcasts, the corpus side
+    * streams through one map-side join, and the aggregate keys on the
+    * BENCHMARK id — output is benchmark-sized by construction. */
+  def deconReport(corpus: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    def shingles(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+        explode(graft.plans.NGramMd5(TextOps.tokens(col(textCol)), n, 8)).as("sh"))
+      .distinct()
+    val ev = shingles(evalDocs, "eid")
+    val co = shingles(corpus, "cid")
+    co.join(broadcast(ev), Seq("sh"))
+      .groupBy(col("eid"))
+      .agg(countDistinct(col("cid")).as("n_docs"),
+        countDistinct(col("sh")).as("n_shingles"))
+  }
+
   /** Benchmark decontamination — the standard pretraining hygiene
     * pass: flag every corpus document sharing ANY length-`n` token
     * shingle with the eval/benchmark set (n ≈ 8–13 in practice; short

@@ -57,6 +57,37 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** kNN majority-vote classification — the evaluation face of the
+    * similarity family (and the standard label-propagation /
+    * nearest-class baseline over an embedding corpus): each query
+    * vector takes the majority label of its `k` exact-cosine nearest
+    * neighbors; vote ties break to the smallest label, neighbor-rank
+    * ties to the smallest id (the [[bruteForceTopK]] order). Same
+    * scale posture as the brute-force baseline it scores against:
+    * queries broadcast, ONE corpus scan, per-query windows — swap the
+    * neighbor stage for the IVF/LSH path when the query set grows.
+    * Returns (qid, pred, votes). */
+  def knnClassify(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queryIds: Seq[Long], k: Int): DataFrame = {
+    val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"),
+        col(labelCol).as("lbl"))
+      .withColumn("nv", norm(col("v")))
+    val q = v.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), col("v").as("qv"), col("nv").as("qn"))
+    val scored = v.join(broadcast(q), col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol).as("nn"), col("lbl"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nv"))).as("cos"))
+    val wN = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nn").asc)
+    val wV = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("votes").desc, col("lbl").asc)
+    scored.withColumn("rank", row_number().over(wN)).filter(col("rank") <= k)
+      .groupBy(col("qid"), col("lbl")).agg(count(lit(1)).as("votes"))
+      .withColumn("__vr", row_number().over(wV))
+      .filter(col("__vr") === 1)
+      .select(col("qid"), col("lbl").as("pred"), col("votes"))
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector
     * codes = round(x·127 / max|x|) ∈ [-127, 127], stored as
     * `array<tinyint>` — 4× smaller than float32 (8× than the double

@@ -180,6 +180,35 @@ object TextOps {
     * engines express identically rather than a `(\w+) \1` regex).
     * All per-row column expressions: embarrassingly parallel, no
     * shuffle, survives any scale-up by construction. */
+  /** Top-`k` TF-IDF terms per document — the keyword-extraction /
+    * topic-fingerprint primitive (and the classic relevance weight:
+    * Spärck Jones 1972). score = tf · ln(N / df) with raw counts (no
+    * sublinear damping — keeps the expression tree trivially mirrored
+    * in SQL), ranked per document on the 4-decimal-ROUNDED score so
+    * the cross-engine last-ulp noise of `ln` can never flip an
+    * ordering the hash would see; ties break on the term string.
+    * Scale: one (doc, term) hash agg (map-combinable), a
+    * vocabulary-sized df agg that BROADCASTS back, a 1-row N bind, and
+    * a window partitioned by DOCUMENT — partitions are doc-sized, the
+    * one per-key window shape with a genuine occupancy bound. Returns
+    * (id, tk, tf, df, score, rk ∈ [1, k]). */
+  def tfIdfTop(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "tf-idf top-k must be positive")
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("tk"))
+      .groupBy(col(idCol), col("tk")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+    val n = docs.select(col(idCol)).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("tk").asc)
+    tf.join(broadcast(df), Seq("tk"))
+      .crossJoin(broadcast(n)) // 1-row scalar bind
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("tk"), col("tf"), col("df"), col("score"), col("rk"))
+  }
+
   def cleanColumns(text: Column): Seq[Column] = {
     val scrubbed = regexp_replace(regexp_replace(text, UrlRe, " "), EmailRe, " ")
     val squashed = trim(regexp_replace(scrubbed, " +", " "))

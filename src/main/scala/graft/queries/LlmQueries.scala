@@ -748,6 +748,53 @@ object LlmQueries {
           SELECT doc_id, count(*) AS n_hits FROM cp WHERE $conds GROUP BY doc_id"""
       }),
 
+    // ✚ contamination REPORT (Pipeline.deconReport): the audit face of
+    // decontamination — per burned EVAL doc, how many corpus docs hit
+    // it and how many of its own distinct shingles are compromised.
+    // Same split and n=8 as pipeline_decontaminate; counts are over the
+    // same 32-bit md5 shingle hashes the Spark kernel emits, so the
+    // oracle mirrors collisions too.
+    Q("pipeline_decon_report",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Pipeline.deconReport(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", 8)
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, source, ${sqlMd5Hash32("shv")} AS sh
+          FROM (SELECT doc_id, source,
+            unnest(list_transform(generate_series(1, len(tk) - 7),
+              i -> array_to_string(tk[i:i+7], ' '))) AS shv
+            FROM (SELECT doc_id, source, string_split(text, ' ') AS tk
+              FROM documents) t
+            WHERE len(tk) >= 8) raw),
+        ev AS (SELECT DISTINCT doc_id AS eid, sh FROM sh WHERE source = 'src0'),
+        co AS (SELECT DISTINCT doc_id AS cid, sh FROM sh WHERE source <> 'src0')
+        SELECT eid, CAST(count(DISTINCT cid) AS BIGINT) AS n_docs,
+          CAST(count(DISTINCT sh) AS BIGINT) AS n_shingles
+        FROM ev JOIN co USING (sh) GROUP BY eid""")),
+
+    // ✚ kNN majority-vote classification (Similarity.knnClassify): the
+    // evaluation face of the similarity family — each query takes the
+    // majority label of its 15 exact-cosine neighbors; vote ties break
+    // to the smallest label, neighbor ties to the smallest id.
+    Q("sim_knn_label",
+      (s, d) => Similarity.knnClassify(t(s, d, "embeddings"), "vec_id", "embedding",
+        "label", Seq(0L, 1L, 2L, 3L, 4L), 15),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id IN (0,1,2,3,4)),
+        s AS (SELECT qid, vec_id AS nn, label AS lbl,
+          list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+          FROM v, q WHERE vec_id <> qid),
+        r AS (SELECT qid, nn, lbl, row_number() OVER
+          (PARTITION BY qid ORDER BY cos DESC, nn) AS rank FROM s),
+        votes AS (SELECT qid, lbl, CAST(count(*) AS BIGINT) AS votes
+          FROM r WHERE rank <= 15 GROUP BY qid, lbl),
+        p AS (SELECT qid, lbl, votes, row_number() OVER
+          (PARTITION BY qid ORDER BY votes DESC, lbl ASC) AS vr FROM votes)
+        SELECT qid, lbl AS pred, votes FROM p WHERE vr = 1""")),
+
     // brute-force cosine top-k for a fixed query set (broadcast queries)
     Q("sim_topk",
       (s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",
@@ -1049,6 +1096,22 @@ object LlmQueries {
         WHERE ${sqlMd5Hash32("'graft_mix_' || CAST(doc_id AS VARCHAR)")} % 100
           < CASE WHEN lang = 'en' THEN 60 ELSE 20 END""")),
 
+    // ✚ per-source frequency cap (Pipeline.sourceCap): the
+    // Common-Crawl domain cap — keep ≤10 docs per source by salted-md5
+    // rank. The Spark side runs the TWO-LEVEL blocked top-k (blockDocs
+    // 64 so the block stage actually engages at sf0.01 — 500 ids span
+    // 8 blocks); the oracle states the equivalent ONE-window global
+    // rank, so the hash check IS the two-level ≡ global proof on real
+    // data (the spec adds the skew case).
+    Q("pipeline_source_cap",
+      (s, d) => Pipeline.sourceCap(t(s, d, "documents"), "doc_id", "source",
+        10, "graft_cap_", 64),
+      Some(s"""SELECT doc_id, source, rk FROM (
+        SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source
+          ORDER BY ${sqlMd5Hash32("'graft_cap_' || CAST(doc_id AS VARCHAR)")},
+            doc_id) AS INTEGER) AS rk
+        FROM documents) t WHERE rk <= 10""")),
+
     // ✚ deterministic global training-order shuffle (Pipeline.
     // globalShuffle): corpus-wide position by (md5(salt‖id), id) rank —
     // the blocked two-phase prefix sum with unit weights over hash
@@ -1186,6 +1249,26 @@ object LlmQueries {
           CAST(count(DISTINCT doc_id) AS BIGINT) AS df
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents) p
         GROUP BY tk ORDER BY tf DESC, tk ASC LIMIT 20""")),
+
+    // ✚ per-document TF-IDF top terms (TextOps.tfIdfTop): keyword
+    // extraction — score = tf·ln(N/df) ranked on the 4dp-ROUNDED score
+    // (cross-engine ln last-ulp noise can't flip an order the hash
+    // sees), ties → term string. One (doc,term) agg + broadcast df +
+    // doc-partitioned window.
+    Q("text_tfidf_top",
+      (s, d) => TextOps.tfIdfTop(t(s, d, "documents"), "doc_id", "text", 3),
+      Some("""WITH tf AS (SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents) p
+          GROUP BY doc_id, tk),
+        df AS (SELECT tk, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tk),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        s AS (SELECT doc_id, tf.tk, tf.tf, df.df,
+          round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 4) AS score
+          FROM tf JOIN df USING (tk) CROSS JOIN n),
+        r AS (SELECT doc_id, tk, tf, df, score, CAST(row_number() OVER
+          (PARTITION BY doc_id ORDER BY score DESC, tk ASC) AS INTEGER) AS rk
+          FROM s)
+        SELECT doc_id, tk, tf, df, score, rk FROM r WHERE rk <= 3""")),
 
     // context-window chunking (TextOps.chunkTokens): 32-token windows
     // at stride 24 (overlapping) — map-only explode, chunk-output-linear

@@ -1140,4 +1140,78 @@ class LlmSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("graft_maxcos") && !plan.contains("Join"), plan)
   }
+
+  test("sourceCap: two-level blocked rank ≡ one-window global rank on a skewed corpus") {
+    // one mega-source (120 docs) + one tiny (3) — the skew shape the
+    // two-level rank exists for; blockDocs 16 → the mega-source spans
+    // ~8 blocks, so the block stage genuinely prunes
+    val rows = (0L until 120L).map(i => (i, "big")) ++
+      Seq((200L, "small"), (201L, "small"), (202L, "small"))
+    val d = rows.toDF("doc_id", "source")
+    val got = Pipeline.sourceCap(d, "doc_id", "source", 5, "s_", blockDocs = 16)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // driver-side one-window replay: global salted-hash rank per source
+    def h(id: Long) = java.lang.Long.parseLong(
+      graft.load.Checksum.md5Hex(s"s_$id").substring(0, 8), 16)
+    val expect = rows.groupBy(_._2).toSeq.flatMap { case (src, members) =>
+      members.map(_._1).sortBy(id => (h(id), id)).take(5)
+        .zipWithIndex.map { case (id, i) => (id, src, i + 1) }
+    }.toSet
+    assert(got.toSet == expect, s"got ${got.toSet}")
+    // cap respected per source; the tiny source keeps all 3
+    assert(got.count(_._2 == "big") == 5 && got.count(_._2 == "small") == 3)
+  }
+
+  test("deconReport: per-eval contamination counts on planted overlaps") {
+    val run = "w1 w2 w3 w4 w5 w6 w7 w8" // one exact 8-gram
+    val corpus = Seq(
+      (1L, s"$run tail tokens here"),      // shares the run with e10
+      (2L, s"prefix stuff $run"),          // shares the same run
+      (3L, "completely different corpus text with no overlap at all")
+    ).toDF("doc_id", "text")
+    val evalDocs = Seq(
+      (10L, s"$run eval continuation"),    // burned by docs 1 and 2
+      (11L, "clean eval item nothing shared anywhere truly")
+    ).toDF("doc_id", "text")
+    val r = Pipeline.deconReport(corpus, evalDocs, "doc_id", "text", 8)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // only the burned eval doc reports; both hitting corpus docs counted
+    assert(r.keySet == Set(10L), s"got $r")
+    assert(r(10L)._1 == 2L) // n_docs
+    assert(r(10L)._2 >= 1L) // at least the planted shingle compromised
+  }
+
+  test("tfIdfTop: ubiquitous terms score zero, distinctive terms win the rank") {
+    val d = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common rare2 filler filler"),
+      (3L, "common filler other other")
+    ).toDF("doc_id", "text")
+    val r = TextOps.tfIdfTop(d, "doc_id", "text", 2)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getDouble(4), x.getInt(5)))
+    // 'common' is in all 3 docs → ln(3/3) = 0 exactly
+    assert(r.filter(_._2 == "common").forall(_._3 == 0.0))
+    // doc 1's top term is its unique one, despite tf(common)=3
+    val top1 = r.filter(x => x._1 == 1L && x._4 == 1).head
+    assert(top1._2 == "rare1", s"got $top1")
+    // rank never exceeds k and every doc reports
+    assert(r.forall(_._4 <= 2) && r.map(_._1).distinct.length == 3)
+  }
+
+  test("knnClassify: majority label of the planted cluster wins; ties break small") {
+    // axis-aligned clusters: label 1 near +x, label 2 near +y
+    val corpus = Seq(
+      (10L, Seq(1.0, 0.0), 1), (11L, Seq(0.99, 0.1), 1),
+      (13L, Seq(0.0, 1.0), 2), (14L, Seq(0.1, 0.99), 2),
+      (0L, Seq(0.9, 0.05), 9) // the query row itself (excluded from its own vote)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnClassify(corpus, "vec_id", "embedding", "label",
+      Seq(0L), 2).collect()
+    assert(r.length == 1)
+    assert(r(0).getInt(1) == 1 && r(0).getLong(2) == 2L, r(0).toString)
+    // vote tie at k=4 (2 vs 2): smaller label wins deterministically
+    val r4 = Similarity.knnClassify(corpus, "vec_id", "embedding", "label",
+      Seq(0L), 4).collect()(0)
+    assert(r4.getInt(1) == 1 && r4.getLong(2) == 2L, r4.toString)
+  }
 }
