@@ -52,6 +52,10 @@ object Bench {
     "pipeline_ppl_bucket",
     "pipeline_dsir",
     "pipeline_shuffle",
+    "pipeline_source_cap",
+    "pipeline_decon_report",
+    "text_tfidf_top",
+    "sim_knn_label",
     "dedup_spans_scrub",
     "pipeline_decontaminate",
     "pipeline_decontaminate_fuzzy",

@@ -206,7 +206,34 @@ object PlanAudit {
     Check("pipeline_dsir", "features hash through the native n-gram kernel",
       "graft_ngram_md5"),
     Check("pipeline_dsir", "no shuffled join anywhere in the weighting plan",
-      "!SortMergeJoin")
+      "!SortMergeJoin"),
+    // source cap: the per-source rank must be the TWO-LEVEL blocked
+    // top-k — __brk (the within-(source, block) rank) exists only
+    // between the block window and its ≤cap filter, both upstream of
+    // the final per-source window, so its presence proves the pruning
+    // level is in place (a bare one-window rank would serialize a
+    // corpus-dominating source through one task)
+    Check("pipeline_source_cap", "block-level rank prunes before the per-source window",
+      "__brk"),
+    // contamination report: both sides shingle through the native
+    // kernel and the eval-sized side must BIND BROADCAST (the corpus
+    // never shuffles on the shingle key)
+    Check("pipeline_decon_report", "shingles hash through the native n-gram kernel",
+      "graft_ngram_md5"),
+    Check("pipeline_decon_report", "eval shingles broadcast onto the corpus side",
+      "BroadcastHashJoin"),
+    // tf-idf: the vocabulary-sized df table must broadcast back onto
+    // the (doc, term) counts — a shuffled join would re-partition the
+    // corpus-sized tf table by term for a config-scale lookup
+    Check("text_tfidf_top", "vocabulary df table broadcasts onto the tf counts",
+      "BroadcastHashJoin"),
+    Check("text_tfidf_top", "no shuffled join anywhere in the tf-idf plan",
+      "!SortMergeJoin"),
+    // kNN classify: the query set broadcasts onto ONE corpus scan
+    // (the sim_topk posture) and scoring runs the compiled dot kernel
+    Check("sim_knn_label", "queries broadcast onto one corpus scan",
+      "BroadcastNestedLoopJoin"),
+    Check("sim_knn_label", "native dot kernel scores the neighbors", "graft_dot")
   )
 
   def main(args: Array[String]): Unit = {
