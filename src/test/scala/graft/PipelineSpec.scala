@@ -90,4 +90,19 @@ class PipelineSpec extends SparkSpec {
     val c2 = Pipeline.packSequences(units, "doc_id", "chunk_id", "lang", "n_tok", 1024)
     assert(f2.exceptAll(c2).count() == 0 && c2.exceptAll(f2).count() == 0)
   }
+
+  test("sourceCap: two-level top-k is block-size invariant on the fixture corpus") {
+    // same invariance discipline as the packers: the block level may
+    // prune differently per block size, but the kept set and ranks are
+    // the global top-cap either way (degenerate = one block ≡ one
+    // global window)
+    val fine = Pipeline.sourceCap(docs, "doc_id", "source", 7, "inv_", blockDocs = 8)
+    val coarse = Pipeline.sourceCap(docs, "doc_id", "source", 7, "inv_",
+      blockDocs = 1L << 40)
+    assert(fine.exceptAll(coarse).count() == 0 && coarse.exceptAll(fine).count() == 0)
+    // the block-rank prune is actually in the fine plan
+    val plan = fine.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("__brk"), "block-level rank missing from plan")
+  }
 }
