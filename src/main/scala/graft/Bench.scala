@@ -56,6 +56,7 @@ object Bench {
     "pipeline_decon_report",
     "text_tfidf_top",
     "sim_knn_label",
+    "sim_cross_join",
     "dedup_spans_scrub",
     "pipeline_decontaminate",
     "pipeline_decontaminate_fuzzy",

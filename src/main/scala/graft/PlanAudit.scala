@@ -233,7 +233,16 @@ object PlanAudit {
     // (the sim_topk posture) and scoring runs the compiled dot kernel
     Check("sim_knn_label", "queries broadcast onto one corpus scan",
       "BroadcastNestedLoopJoin"),
-    Check("sim_knn_label", "native dot kernel scores the neighbors", "graft_dot")
+    Check("sim_knn_label", "native dot kernel scores the neighbors", "graft_dot"),
+    // cross-corpus LSH join: candidates must be a bucket EQUI-join
+    // (never a cartesian/NLJ between two corpus-scale sides), with the
+    // per-bucket cap pruning the right side before the join
+    Check("sim_cross_join", "cross-corpus candidates are a bucket equi-join",
+      "BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin"),
+    Check("sim_cross_join", "no nested-loop join between the corpora",
+      "!BroadcastNestedLoopJoin"),
+    Check("sim_cross_join", "per-bucket cap prunes the right side", "__crn"),
+    Check("sim_cross_join", "native dot kernel re-ranks the candidates", "graft_dot")
   )
 
   def main(args: Array[String]): Unit = {

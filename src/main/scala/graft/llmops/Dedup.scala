@@ -461,6 +461,57 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-corpus similarity JOIN — all pairs (left, right) with
+    * cosine ≥ `tau` where BOTH sides are corpus-scale (retrieval-based
+    * labeling, corpus alignment, weak supervision by neighbor
+    * transfer). [[graft.llmops.Pipeline.decontaminateSemantic]] covers
+    * the benchmark-sized-right case exactly (broadcast literal matrix);
+    * this is the remaining shape — neither side broadcastable, so
+    * brute force would be a full cartesian shuffle. Both sides bucket
+    * through the SAME `tables` random-hyperplane hash tables (a pair
+    * is a candidate iff some table agrees — [[embeddingNeardupLsh]]'s
+    * recall argument verbatim), candidates equi-join on
+    * (table, bucket) with the per-bucket cap on the RIGHT side, exact
+    * cosine re-ranks, and the distinct folds table multiplicity.
+    * Declared approximation: recall < 1 exactly like the in-corpus LSH
+    * family; tables/planes tune bucket occupancy. Returns
+    * (lid, rid, cos rounded 6dp). */
+  def crossSimilarityJoin(left: DataFrame, right: DataFrame, idCol: String,
+      vecCol: String, dim: Int, tables: Int, planesPerTable: Int, tau: Double,
+      cap: Int = Similarity.CandidateCap): DataFrame = {
+    require(tables > 0 && planesPerTable > 0 && planesPerTable <= 62,
+      "need ≥1 table of 1..62 planes (bucket bits must fit a long)")
+    def banded(df: DataFrame) = {
+      val v = df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+        .withColumn("n", Similarity.norm(col("v")))
+      val buckets = (0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          Similarity.lshBucket(col("v"), dim, planesPerTable,
+            t * planesPerTable).as("bucket"))
+      }
+      v.select(col(idCol), col("v"), col("n"),
+          explode(array(buckets: _*)).as("tb"))
+        .select(col(idCol), col("v"), col("n"),
+          col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    }
+    // each side is consumed ONCE (unlike the self-join operators, which
+    // checkpoint because both join sides share a scan) — no
+    // materialization barrier needed
+    val l = banded(left).select(col("tbl"), col("bucket"),
+      col(idCol).as("lid"), col("v").as("v1"), col("n").as("n1"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tbl"), col("bucket")).orderBy(col(idCol).asc)
+    val r = banded(right).withColumn("__crn", row_number().over(w))
+      .filter(col("__crn") <= cap)
+      .select(col("tbl"), col("bucket"), col(idCol).as("rid"),
+        col("v").as("v2"), col("n").as("n2"))
+    l.join(r, Seq("tbl", "bucket"))
+      .withColumn("cos", Similarity.dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cos") >= tau)
+      .select(col("lid"), col("rid"), round(col("cos"), 6).as("cos"))
+      .distinct()
+  }
+
   /** Per-document SimHash over whitespace tokens: bit i is set iff the
     * majority of token-occurrences have bit i set in their 60-bit md5
     * hash.

@@ -623,6 +623,43 @@ object LlmQueries {
           SELECT DISTINCT d1, d2, round(cos, 6) AS cos FROM cand WHERE cos >= 0.35"""
       }),
 
+    // ✚ cross-corpus LSH similarity JOIN (Dedup.crossSimilarityJoin):
+    // all (left, right) pairs at cosine ≥ τ where NEITHER side
+    // broadcasts — both sides bucket through the SAME hyperplane
+    // tables, equi-join on (table, bucket), right side capped per
+    // bucket, exact re-rank. Even/odd vec_ids stand in for the two
+    // corpora; the oracle replays the tables bit-for-bit.
+    Q("sim_cross_join",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Dedup.crossSimilarityJoin(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", 64, 4, 4, 0.30)
+      },
+      Some {
+        val tableRows = (0 until 4).map { tt =>
+          val bits = (0 until 4).map { i =>
+            val plane = (0 until 64).map(j =>
+              s"${Similarity.planeSign(tt * 4 + i, j)}.0").mkString(",")
+            s"CASE WHEN list_dot_product(v, [$plane]::DOUBLE[]) > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+          }.mkString(" + ")
+          s"SELECT vec_id, v, $tt AS tbl, $bits AS bucket FROM v"
+        }.mkString(" UNION ALL ")
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          banded AS ($tableRows),
+          l AS (SELECT vec_id AS lid, v, tbl, bucket FROM banded WHERE vec_id % 2 = 0),
+          rn AS (SELECT vec_id, v, tbl, bucket, row_number() OVER (
+              PARTITION BY tbl, bucket ORDER BY vec_id ASC) AS crn
+            FROM banded WHERE vec_id % 2 = 1),
+          cand AS (SELECT l.lid, rn.vec_id AS rid,
+              list_dot_product(l.v, rn.v) /
+                (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(rn.v, rn.v))) AS cos
+            FROM l JOIN rn ON l.tbl = rn.tbl AND l.bucket = rn.bucket
+            WHERE rn.crn <= ${Similarity.CandidateCap})
+          SELECT DISTINCT lid, rid, round(cos, 6) AS cos FROM cand WHERE cos >= 0.30"""
+      }),
+
     // ✚ SemDeDup-style semantic near-dup (Dedup.semanticNeardup):
     // embedding dedup blocked by the IVF coarse quantizer — nearest-
     // centroid cells (same 8-centroid quantizer as cluster_balance),

@@ -1198,6 +1198,25 @@ class LlmSpec extends SparkSpec {
     assert(r.forall(_._4 <= 2) && r.map(_._1).distinct.length == 3)
   }
 
+  test("crossSimilarityJoin: identical cross-side vectors always pair; subset of exact") {
+    val dim = 64
+    def vec(seed: Int): Seq[Double] =
+      (0 until dim).map(j => math.sin(seed * 31 + j * 7).abs + 0.01)
+    // left 0,2,4; right 1,3,5 — right 1 is IDENTICAL to left 0 (every
+    // hyperplane agrees on identical vectors, so every table collides:
+    // recall 1 regardless of the draw)
+    val left = Seq((0L, vec(1)), (2L, vec(2)), (4L, vec(3))).toDF("vec_id", "embedding")
+    val right = Seq((1L, vec(1)), (3L, vec(4)), (5L, vec(5))).toDF("vec_id", "embedding")
+    val got = Dedup.crossSimilarityJoin(left, right, "vec_id", "embedding",
+      dim, 4, 4, 0.999).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.contains((0L, 1L)), s"identical pair missed: ${got.toSeq}")
+    // candidates are a SUBSET of the exact τ-join (LSH only prunes)
+    val loose = Dedup.crossSimilarityJoin(left, right, "vec_id", "embedding",
+      dim, 4, 4, 0.0).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose.subsetOf(
+      (for { l <- Seq(0L, 2L, 4L); r <- Seq(1L, 3L, 5L) } yield (l, r)).toSet))
+  }
+
   test("knnClassify: majority label of the planted cluster wins; ties break small") {
     // axis-aligned clusters: label 1 near +x, label 2 near +y
     val corpus = Seq(
