@@ -24,6 +24,13 @@ case class AsOfOut(event_id: Long, user_id: Long,
 case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
   n_events: Long, sum_value: Double)
 
+/** Typed doc row for [[EventsStream.quotaGate]]. */
+case class QuotaDoc(doc_id: Long, source: String)
+
+/** A document admitted by [[EventsStream.quotaGate]]; `qrank` is its
+  * 1-based admission index within its source's quota. */
+case class QuotaKept(doc_id: Long, source: String, qrank: Long)
+
 /** ✚ Structured Streaming extension (SURVEY §2.B.10). The reference has
   * zero streaming constructs — its freshness model is batch rebuild
   * gated on a checksum (A16/A17) — so these are declared extensions for
@@ -242,6 +249,39 @@ object EventsStream {
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+
+  /** Streaming per-source QUOTA gate — the ingest-time face of
+    * [[graft.llmops.Pipeline.sourceCap]]: admit at most `cap`
+    * documents per source across the stream's whole lifetime,
+    * first-arrival-wins (within a microbatch, smallest doc_id first —
+    * the deterministic tiebreak a replayed batch reproduces). The
+    * batch cap ranks by salted hash because it SEES the full corpus;
+    * an unbounded stream cannot, so the quota is the streaming-correct
+    * contract (crawl/firehose rate limiting per domain): early
+    * documents hold their admission regardless of what arrives later.
+    *
+    * State per source is ONE long (the admitted count) — source/domain
+    * cardinality is config-scale next to the corpus, and a full quota
+    * never re-admits, so state needs no watermark GC (NoTimeout by
+    * design; the count must survive arbitrarily long streams).
+    * Scale: one shuffle on the source key, state store per partition,
+    * no driver involvement — the stateful-sessionizer posture. */
+  def quotaGate(docs: Dataset[QuotaDoc], cap: Int): Dataset[QuotaKept] = {
+    require(cap > 0, "per-source quota must be positive")
+    import docs.sparkSession.implicits._
+    def update(source: String, rows: Iterator[QuotaDoc],
+        state: GroupState[Long]): Iterator[QuotaKept] = {
+      val admitted = state.getOption.getOrElse(0L)
+      val room = (cap - admitted).max(0L).toInt
+      val kept = rows.toSeq.sortBy(_.doc_id).take(room)
+        .zipWithIndex.map { case (r, i) =>
+          QuotaKept(r.doc_id, source, admitted + i + 1) }
+      state.update(admitted + kept.length)
+      kept.iterator
+    }
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
 
   /** CUSTOM-STATE sessionization via `flatMapGroupsWithState` — the
     * §2.B.10/§2.B.11 extension point Spark's built-in `session_window`

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
-import graft.streaming.EventsStream
+import graft.streaming.{EventsStream, QuotaDoc}
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double, event_id: Long)
 case class Doc(ts: Timestamp, doc_id: Long, text: String)
@@ -384,5 +384,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length == 2)
     assert(rows(0).getAs[Long]("n_events") == 2)
     assert(rows(1).getAs[Long]("n_events") == 1)
+  }
+
+  test("quotaGate: first arrivals hold their admission across batches; cap enforced") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[QuotaDoc]
+    val q = EventsStream.quotaGate(mem.toDS(), cap = 2)
+      .writeStream.format("memory").queryName("quota")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: three src-a docs (unsorted arrival) + one src-b
+    mem.addData(QuotaDoc(7L, "a"), QuotaDoc(3L, "a"), QuotaDoc(9L, "a"),
+      QuotaDoc(1L, "b"))
+    q.processAllAvailable()
+    val b1 = spark.table("quota").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // within the batch, smallest ids win the quota; 9 is rejected
+    assert(b1 == Set((3L, "a", 1L), (7L, "a", 2L), (1L, "b", 1L)), s"got $b1")
+    // batch 2: src-a is FULL — even a smaller id (2) is refused (early
+    // arrivals hold their admission); src-b admits one more, then closes
+    mem.addData(QuotaDoc(2L, "a"), QuotaDoc(8L, "b"), QuotaDoc(4L, "b"))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("quota").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(all == b1 ++ Set((4L, "b", 2L)), s"got $all")
+    // single-batch twin: the quota over one batch is the first-cap-by-id
+    // rank — the degenerate-stream ≡ batch check
+    val batch = Seq(QuotaDoc(7L, "a"), QuotaDoc(3L, "a"), QuotaDoc(9L, "a"),
+      QuotaDoc(1L, "b")).toDS()
+    val one = EventsStream.quotaGate(batch, cap = 2).collect()
+      .map(r => (r.doc_id, r.source, r.qrank)).toSet
+    assert(one == b1)
   }
 }
