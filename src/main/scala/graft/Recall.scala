@@ -92,9 +92,34 @@ object Recall {
       emb, "vec_id", "embedding", 16, 4, qids, k, capPerCell = Int.MaxValue))
     val trainedU = recallOf(Similarity.ivfTopKWith(
       emb, "vec_id", "embedding", cents, 4, qids, k, capPerCell = Int.MaxValue))
+    // cross-corpus LSH join recall: exact τ-pairs between the even/odd
+    // halves are ground truth (brute-force, probe-scale only); the
+    // bucketed join's pairs are a subset by construction, so recall =
+    // |got| / |truth| — the same measured-honesty discipline as the
+    // in-corpus LSH family (BASELINE #17).
+    import org.apache.spark.sql.functions._
+    val tau = 0.30
+    val left = emb.filter(col("vec_id") % 2 === 0)
+    val right = emb.filter(col("vec_id") % 2 === 1)
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vL = left.select(col("vec_id").as("lid"),
+      col("embedding").cast("array<double>").as("v1"))
+      .withColumn("n1", Similarity.norm(col("v1")))
+    val vR = right.select(col("vec_id").as("rid"),
+      col("embedding").cast("array<double>").as("v2"))
+      .withColumn("n2", Similarity.norm(col("v2")))
+    val exactPairs = pairsOf(vL.crossJoin(vR)
+      .filter(Similarity.dot(col("v1"), col("v2")) / (col("n1") * col("n2")) >= tau))
+    val gotPairs = pairsOf(graft.llmops.Dedup.crossSimilarityJoin(
+      left, right, "vec_id", "embedding", 64, 4, 4, tau))
+    val crossRecall =
+      if (exactPairs.isEmpty) 1.0 else gotPairs.size.toDouble / exactPairs.size
     println(f"""{"metric":"recall_at_$k","sampled_ivf":$sampled%.4f,""" +
       f""""trained_ivf":$trained%.4f,"sampled_ivf_uncapped":$sampledU%.4f,""" +
-      f""""trained_ivf_uncapped":$trainedU%.4f,"sf_dir":"$sfDir"}""")
+      f""""trained_ivf_uncapped":$trainedU%.4f,""" +
+      f""""cross_join_pairs":$crossRecall%.4f,"cross_join_truth_n":${exactPairs.size},""" +
+      f""""sf_dir":"$sfDir"}""")
     spark.stop()
   }
 }
