@@ -74,6 +74,7 @@ object Bench {
     "text_vocab",
     "text_chunks",
     "text_subword",
+    "text_winnow",
     "pipeline_pack_chunks",
     "pipeline_pack_subword",
     "asql_containstext_indexed",

@@ -242,7 +242,12 @@ object PlanAudit {
     Check("sim_cross_join", "no nested-loop join between the corpora",
       "!BroadcastNestedLoopJoin"),
     Check("sim_cross_join", "per-bucket cap prunes the right side", "__crn"),
-    Check("sim_cross_join", "native dot kernel re-ranks the candidates", "graft_dot")
+    Check("sim_cross_join", "native dot kernel re-ranks the candidates", "graft_dot"),
+    // winnowing: selection must run as the compiled kernel over the
+    // native n-gram hashes — map-only, join-free, in codegen
+    Check("text_winnow", "selection runs the compiled winnow kernel", "graft_winnow"),
+    Check("text_winnow", "winnowing is a join-free map-only pass", "!Join"),
+    Check("text_winnow", "the winnow scan stays in codegen", "codegen id")
   )
 
   def main(args: Array[String]): Unit = {

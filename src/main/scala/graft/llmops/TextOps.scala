@@ -67,6 +67,16 @@ object TextOps {
     * — the distributed analogue of content hashing. */
   def fingerprint(text: Column): Column = md5(lower(text))
 
+  /** Winnowing fingerprints (MOSS — Schleimer et al. 2003): the sparse
+    * position-robust fingerprint set of a document, selected as the
+    * rightmost minimum of every `w`-window over the `k`-gram md5
+    * hashes via the compiled [[graft.plans.WinnowSelect]] kernel.
+    * Two documents sharing any `w + k − 1`-token run share a
+    * fingerprint — the guarantee plain sampling (every i-th hash)
+    * cannot give. Map-only. Returns array<struct<pos, fp>>. */
+  def winnow(text: Column, k: Int, w: Int): Column =
+    graft.plans.WinnowSelect(graft.plans.NGramMd5(tokens(text), k, 8), w)
+
   /** Fixture subword vocabulary for [[subwordCount]] — frequent English
     * digraphs/trigraphs plus common whole words, the shape of the head
     * of a trained BPE merge table. FIXED by design: a deterministic

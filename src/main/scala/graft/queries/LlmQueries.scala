@@ -1574,6 +1574,29 @@ object LlmQueries {
             (a, x) -> (a * 31 + x) % ${TextOps.RollMod}) END AS roll
         FROM documents""")),
 
+    // ✚ winnowing fingerprints (TextOps.winnow — the MOSS algorithm):
+    // rightmost-min of every 8-window over the 4-gram hashes, compiled
+    // kernel; any shared 11-token run shares a fingerprint. The oracle
+    // replays window minima + rightmost tie-break with nested lambdas;
+    // selections are monotone in position, so its DISTINCT equals the
+    // kernel's adjacent-repeat collapse.
+    Q("text_winnow",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.winnow(col("text"), 4, 8)).as("sel"))
+        .select(col("doc_id"), col("sel.pos").as("pos"), col("sel.fp").as("fp")),
+      Some(s"""WITH tkx AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        hv AS (SELECT doc_id, list_transform(generate_series(1, len(tk) - 3),
+            i -> ${sqlMd5Hash32("array_to_string(tk[i:i+3], ' ')")}) AS h
+          FROM tkx WHERE len(tk) >= 4),
+        ps AS (SELECT doc_id, h, unnest(list_transform(
+            generate_series(1, greatest(len(h) - 7, 1)),
+            i -> list_max(list_transform(generate_series(i, least(i + 7, len(h))),
+              j -> CASE WHEN h[j] = list_min(h[i:least(i + 7, len(h))])
+                THEN j ELSE 0 END)))) AS p
+          FROM hv)
+        SELECT DISTINCT doc_id, CAST(p - 1 AS INTEGER) AS pos, h[p] AS fp
+        FROM ps""")),
+
     // ✚ tokenizer-faithful token counts (TextOps.subwordCount
     // scaladoc): greedy longest-match subword segmentation over the
     // fixed fixture vocab, as one compiled kernel pass — the count a

@@ -1198,6 +1198,45 @@ class LlmSpec extends SparkSpec {
     assert(r.forall(_._4 <= 2) && r.map(_._1).distinct.length == 3)
   }
 
+  test("winnow: shared w+k-1 runs share a fingerprint; positions strictly increase") {
+    val k = 4; val w = 8
+    val run = (1 to (w + k - 1)).map(i => s"shared$i").mkString(" ") // 11 tokens
+    val d = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon zeta eta theta iota"),
+      (2L, s"$run completely different continuation tokens here after the run"),
+      (3L, "tiny doc") // < k tokens → no k-grams → no fingerprints
+    ).toDF("doc_id", "text")
+    val sel = d.select(col("doc_id"), explode(TextOps.winnow(col("text"), k, w)).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // the winnowing guarantee: docs 1 and 2 share ≥1 fingerprint VALUE
+    val f1 = sel.filter(_._1 == 1L).map(_._3).toSet
+    val f2 = sel.filter(_._1 == 2L).map(_._3).toSet
+    assert(f1.intersect(f2).nonEmpty, s"no shared fingerprint: $f1 vs $f2")
+    assert(!sel.exists(_._1 == 3L))
+    // positions strictly increase per doc (the monotone-selection
+    // property that makes DISTINCT ≡ adjacent-collapse in the oracle)
+    Seq(1L, 2L).foreach { id =>
+      val ps = sel.filter(_._1 == id).map(_._2).toSeq
+      assert(ps == ps.sorted && ps.distinct == ps, s"doc $id positions: $ps")
+    }
+    // driver-side replay on doc 2's hashes: rightmost min per window
+    val hashes = d.filter(col("doc_id") === 2L)
+      .select(graft.plans.NGramMd5(TextOps.tokens(col("text")), k, 8).as("h"))
+      .collect()(0).getSeq[Long](0)
+    val expect = (0 to math.max(hashes.length - w, 0)).map { i =>
+      val end = math.min(i + w, hashes.length)
+      val mv = (i until end).map(hashes).min
+      val mp = (i until end).filter(j => hashes(j) == mv).max
+      (mp, mv)
+    }.distinct
+    assert(sel.filter(_._1 == 2L).map(x => (x._2, x._3)).toSeq == expect)
+    // short doc (k ≤ tokens < k+w-1): one whole-array window, one pick
+    val short = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+      .select(explode(TextOps.winnow(col("text"), k, w)).as("s")).collect()
+    assert(short.length == 1)
+  }
+
   test("crossSimilarityJoin: identical cross-side vectors always pair; subset of exact") {
     val dim = 64
     def vec(seed: Int): Seq[Double] =
