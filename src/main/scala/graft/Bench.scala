@@ -64,6 +64,7 @@ object Bench {
     "pipeline_cluster_balance",
     "pipeline_dedup_groups",
     "pipeline_dedup_keep_best",
+    "pipeline_split_leakfree",
     "asof_events",
     "asof_events_salted",
     "range_join_events",

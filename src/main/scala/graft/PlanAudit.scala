@@ -243,6 +243,13 @@ object PlanAudit {
       "!BroadcastNestedLoopJoin"),
     Check("sim_cross_join", "per-bucket cap prunes the right side", "__crn"),
     Check("sim_cross_join", "native dot kernel re-ranks the candidates", "graft_dot"),
+    // leak-free split: the group hash routes per-row AFTER the
+    // component join — the only join is components onto docs (left),
+    // never a group-serial window
+    Check("pipeline_split_leakfree", "components bind back with a hash join",
+      "BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin"),
+    Check("pipeline_split_leakfree", "no group-serial window in the split plan",
+      "!Window"),
     // winnowing: selection must run as the compiled kernel over the
     // native n-gram hashes — map-only, join-free, in codegen
     Check("text_winnow", "selection runs the compiled winnow kernel", "graft_winnow"),

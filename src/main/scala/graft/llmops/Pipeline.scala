@@ -151,6 +151,36 @@ object Pipeline {
         floor(col("start_offset").cast("double") / capTokens).cast("long"))
   }
 
+  /** Leakage-free train/eval split: split on near-duplicate GROUPS,
+    * never documents — a doc-level hash split leaks every near-dup
+    * pair that straddles the cut (the eval set then "tests" lightly
+    * paraphrased training data, the classic inflated-eval bug).
+    * Groups come from the LSH star-edge components
+    * ([[Dedup.minhashStarEdges]] → GraphX, the dedup-groups pipeline);
+    * each group routes WHOLE by the salted md5 of its component id —
+    * deterministic, rerun-stable, and independent of group size
+    * (a giant boilerplate group is one coin flip, not a bias).
+    * Singleton docs are their own group. `evalPct` is the target eval
+    * share in percent (realized share varies with group sizes — the
+    * price of the no-leak contract). Scale: the signature/edge/CC
+    * machinery is the dedup-groups posture (O(members) star edges,
+    * never cliques); the split itself is one map-only hash per row.
+    * Returns (id, group, split ∈ train|eval). */
+  def splitLeakFree(docs: DataFrame, idCol: String, textCol: String,
+      rows: Int, bands: Int, evalPct: Int, salt: String): DataFrame = {
+    require(evalPct >= 0 && evalPct <= 100,
+      s"eval percent must be in [0, 100], got $evalPct")
+    val sigs = Dedup.minhashSignatures(docs, idCol, textCol, rows)
+    val cands = Dedup.minhashStarEdges(sigs, idCol, rows, bands)
+    val comp = graft.graphx.GraphXBridge.componentsOfPairs(docs.sparkSession,
+      cands.select(col("d1").as("src"), col("d2").as("dst")))
+    docs.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("group", coalesce(col("component"), col(idCol)))
+      .select(col(idCol), col("group"),
+        when(TextOps.md5Hash32(concat(lit(salt), col("group").cast("string")))
+            % 100 < evalPct, lit("eval")).otherwise(lit("train")).as("split"))
+  }
+
   /** Per-source frequency cap — the Common-Crawl-style domain cap:
     * keep at most `cap` documents per source/domain, chosen by a
     * salted-md5 rank so the kept subset is deterministic, rerun-stable,

@@ -520,6 +520,31 @@ object LlmQueries {
           coalesce(c.component, d.doc_id) = d.doc_id AS kept
         FROM documents d LEFT JOIN comp c ON c.node = d.doc_id""")),
 
+    // ✚ leakage-free train/eval split (Pipeline.splitLeakFree): split
+    // on near-dup GROUPS, never documents — a group routes whole by
+    // the salted md5 of its component id, so no near-dup pair ever
+    // straddles the cut. Same component machinery (and oracle CTEs)
+    // as pipeline_dedup_groups.
+    Q("pipeline_split_leakfree",
+      (s, d) => Pipeline.splitLeakFree(t(s, d, "documents"), "doc_id", "text",
+        16, 4, 10, "graft_split_"),
+      Some(s"""WITH RECURSIVE $sqlMinhashBandedCtes,
+        cand AS (SELECT DISTINCT d1, d2 FROM (
+          SELECT min(doc_id) OVER (PARTITION BY band, sig) AS d1, doc_id AS d2
+          FROM banded) z WHERE d1 < d2),
+        e AS (SELECT d1 AS s, d2 AS t FROM cand UNION SELECT d2, d1 FROM cand),
+        reach(node, r) AS (
+          SELECT DISTINCT s, s FROM e
+          UNION
+          SELECT e.t, reach.r FROM e JOIN reach ON e.s = reach.node),
+        comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        g AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grp
+          FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+        SELECT doc_id, grp AS "group",
+          CASE WHEN ${sqlMd5Hash32("'graft_split_' || CAST(grp AS VARCHAR)")} % 100 < 10
+            THEN 'eval' ELSE 'train' END AS split
+        FROM g""")),
+
     // ✚ quality-aware canonical selection (Dedup.keepBest): within each
     // transitive LSH group keep the LONGEST member (ties → smallest id)
     // instead of the smallest id — one group-keyed partial-agg argmax

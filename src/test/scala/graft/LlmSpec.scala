@@ -1198,6 +1198,32 @@ class LlmSpec extends SparkSpec {
     assert(r.forall(_._4 <= 2) && r.map(_._1).distinct.length == 3)
   }
 
+  test("splitLeakFree: near-dup groups never straddle the cut") {
+    val dup = "spark scan join filter window group merge sort hash batch"
+    val d = Seq(
+      (1L, dup), (2L, dup), (3L, dup), // one exact-dup group
+      (4L, "completely different first singleton body here tokens"),
+      (5L, "another unrelated second singleton body with more words")
+    ).toDF("doc_id", "text")
+    // sweep salts: whichever side the group draws, all members go there
+    Seq("sA_", "sB_", "sC_").foreach { salt =>
+      val r = Pipeline.splitLeakFree(d, "doc_id", "text", 16, 4, 50, salt)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+      val grpSides = r.filter(x => Seq(1L, 2L, 3L).contains(x._1))
+      assert(grpSides.map(_._2).distinct.length == 1, s"split group: $grpSides")
+      assert(grpSides.map(_._3).distinct.length == 1, s"leak under $salt: $grpSides")
+      // rerun-stable
+      val r2 = Pipeline.splitLeakFree(d, "doc_id", "text", 16, 4, 50, salt)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+      assert(r.sortBy(_._1).toSeq == r2.sortBy(_._1).toSeq)
+    }
+    // evalPct 0 / 100 route everything one way
+    assert(Pipeline.splitLeakFree(d, "doc_id", "text", 16, 4, 0, "z_")
+      .filter(col("split") === "eval").count() == 0)
+    assert(Pipeline.splitLeakFree(d, "doc_id", "text", 16, 4, 100, "z_")
+      .filter(col("split") === "train").count() == 0)
+  }
+
   test("winnow: shared w+k-1 runs share a fingerprint; positions strictly increase") {
     val k = 4; val w = 8
     val run = (1 to (w + k - 1)).map(i => s"shared$i").mkString(" ") // 11 tokens
