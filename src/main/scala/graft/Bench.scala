@@ -76,6 +76,7 @@ object Bench {
     "text_chunks",
     "text_subword",
     "text_winnow",
+    "dedup_winnow",
     "pipeline_pack_chunks",
     "pipeline_pack_subword",
     "asql_containstext_indexed",

@@ -254,7 +254,13 @@ object PlanAudit {
     // native n-gram hashes — map-only, join-free, in codegen
     Check("text_winnow", "selection runs the compiled winnow kernel", "graft_winnow"),
     Check("text_winnow", "winnowing is a join-free map-only pass", "!Join"),
-    Check("text_winnow", "the winnow scan stays in codegen", "codegen id")
+    Check("text_winnow", "the winnow scan stays in codegen", "codegen id"),
+    // winnow pair join: the df-cap window must precede the pair join
+    // (the jaccard discipline — stop-fingerprints leave before they
+    // can explode quadratically)
+    Check("stage:winnow_fps", "df-cap window precedes the winnow pair join", "Window"),
+    Check("stage:winnow_fps", "fingerprints select through the compiled kernel",
+      "graft_winnow")
   )
 
   def main(args: Array[String]): Unit = {
@@ -295,7 +301,9 @@ object PlanAudit {
           graft.llmops.Dedup.simhash(docs(s, d), "doc_id", "text")),
         "stage:jaccard_shingles" -> ((s, d) =>
           graft.llmops.Dedup.shingleSet(docs(s, d), "doc_id", "text", 3,
-            graft.llmops.Dedup.JaccardMaxDf)))
+            graft.llmops.Dedup.JaccardMaxDf)),
+        "stage:winnow_fps" -> ((s, d) =>
+          graft.llmops.Dedup.winnowFpSet(docs(s, d), "doc_id", "text", 4, 8, 100)))
     }
     val qs = SparkEntry.queries ++ stages
     val sb = new StringBuilder

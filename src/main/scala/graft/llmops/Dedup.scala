@@ -231,6 +231,45 @@ object Dedup {
       .join(sizes.select(col(idCol).as("d2"), col("sz").as("sz2")), Seq("d2"))
   }
 
+  /** Winnow-fingerprint near-dup pairs — the MOSS application of
+    * [[TextOps.winnow]]: two documents pair when they share at least
+    * `minShared` selected fingerprints. Winnowing selects ~1/((w+1)/2)
+    * of the k-gram hashes, so the inverted index (and the pair join
+    * feeding it) is a FRACTION of [[jaccardPairs]]'s — the sparse
+    * rung between MinHash sketching and the exact shingle join, with
+    * the positional guarantee the sketch lacks (any shared
+    * w+k−1-token run WILL pair). Same df-cap discipline as the
+    * shingle join: a fingerprint selected by more than `maxDf` docs is
+    * boilerplate and leaves before the join (one window count on the
+    * fp key — the join's own shuffle key). Returns
+    * (d1, d2, n_shared ≥ minShared). */
+  /** The df-capped distinct (doc, winnow-fingerprint) set — exposed
+    * separately (the [[shingleSet]] pattern) so PlanAudit can assert
+    * the cap window + kernel on the stage plan the checkpoint in
+    * [[winnowPairs]] would hide. */
+  def winnowFpSet(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, maxDf: Int): DataFrame =
+    docs
+      .select(col(idCol), explode(TextOps.winnow(col(textCol), k, w)).as("s"))
+      .select(col(idCol), col("s.fp").as("fp"))
+      .distinct()
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, maxDf: Int = JaccardMaxDf, minShared: Int = 2): DataFrame = {
+    require(minShared > 0, "shared-fingerprint threshold must be positive")
+    val fps = winnowFpSet(docs, idCol, textCol, k, w, maxDf)
+      .localCheckpoint(true) // consumed by both join sides
+    fps.select(col("fp"), col(idCol).as("d1"))
+      .join(fps.select(col("fp"), col(idCol).as("d2")), Seq("fp"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** SemDeDup-style semantic near-dup pairs — embedding dedup blocked
     * by a COARSE QUANTIZER instead of a label or an LSH bucket: every
     * vector is assigned to its nearest-centroid cell (map-only,

@@ -1622,6 +1622,31 @@ object LlmQueries {
         SELECT DISTINCT doc_id, CAST(p - 1 AS INTEGER) AS pos, h[p] AS fp
         FROM ps""")),
 
+    // ✚ winnow-fingerprint near-dup pairs (Dedup.winnowPairs — the
+    // MOSS application): docs sharing ≥1 selected fingerprint, df-cap
+    // 100 dropping boilerplate fingerprints pre-join. The inverted
+    // index is winnow-sparse (~2/(w+1) of the k-gram hashes), the
+    // guarantee positional: any shared 11-token run pairs.
+    Q("dedup_winnow",
+      (s, d) => Dedup.winnowPairs(t(s, d, "documents"), "doc_id", "text",
+        4, 8, 100, 1),
+      Some(s"""WITH tkx AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        hv AS (SELECT doc_id, list_transform(generate_series(1, len(tk) - 3),
+            i -> ${sqlMd5Hash32("array_to_string(tk[i:i+3], ' ')")}) AS h
+          FROM tkx WHERE len(tk) >= 4),
+        ps AS (SELECT doc_id, h, unnest(list_transform(
+            generate_series(1, greatest(len(h) - 7, 1)),
+            i -> list_max(list_transform(generate_series(i, least(i + 7, len(h))),
+              j -> CASE WHEN h[j] = list_min(h[i:least(i + 7, len(h))])
+                THEN j ELSE 0 END)))) AS p
+          FROM hv),
+        fp0 AS (SELECT DISTINCT doc_id, h[p] AS fp FROM ps),
+        fpd AS (SELECT doc_id, fp FROM (SELECT doc_id, fp,
+            count(*) OVER (PARTITION BY fp) AS df FROM fp0) z WHERE df <= 100)
+        SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_shared
+        FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY d1, d2 HAVING count(*) >= 1""")),
+
     // ✚ tokenizer-faithful token counts (TextOps.subwordCount
     // scaladoc): greedy longest-match subword segmentation over the
     // fixed fixture vocab, as one compiled kernel pass — the count a

@@ -1263,6 +1263,33 @@ class LlmSpec extends SparkSpec {
     assert(short.length == 1)
   }
 
+  test("winnowPairs: shared runs pair, boilerplate fingerprints df-cap out") {
+    val k = 4; val w = 8
+    val run = (1 to (w + k - 1)).map(i => s"s$i").mkString(" ")
+    val boiler = (1 to (w + k - 1)).map(i => s"b$i").mkString(" ")
+    val d = (Seq(
+      (1L, s"$run alpha beta gamma delta epsilon"),
+      (2L, s"prefix tokens here $run"),
+      (3L, "nothing in common with anyone else at all truly")) ++
+      // 10 IDENTICAL boilerplate docs: identical text → identical
+      // selection → every fingerprint's df = 10 > maxDf = 5
+      (10L until 20L).map(i => (i, boiler))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(d, "doc_id", "text", k, w, maxDf = 5, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the positional guarantee: the shared 11-token run pairs 1-2
+    assert(pairs.contains((1L, 2L)), s"got $pairs")
+    // identical boilerplate docs do NOT pair — every one of their
+    // fingerprints is boilerplate and leaves at the cap (without the
+    // cap the 10 docs would contribute 45 pairs)
+    assert(!pairs.exists { case (a, b) => a >= 10L && b >= 10L }, s"got $pairs")
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+    val uncapped = Dedup.winnowPairs(d, "doc_id", "text", k, w,
+      maxDf = 1000, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.count { case (a, b) => a >= 10L && b >= 10L } == 45)
+  }
+
   test("crossSimilarityJoin: identical cross-side vectors always pair; subset of exact") {
     val dim = 64
     def vec(seed: Int): Seq[Double] =
