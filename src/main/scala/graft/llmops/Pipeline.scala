@@ -728,6 +728,23 @@ object Pipeline {
     stratifiedSample(targeted, idCol, stratumCol, rates, defaultPct = 0, salt)
   }
 
+  /** Apply an α-tempered mixture end-to-end — [[applyMix]]'s sibling
+    * with [[mixRatesTemperature]] as the planner: plan keep rates
+    * ∝ tokensᵅ⁻¹, then run them through [[stratifiedSample]]'s
+    * md5-bucket rule (rates quantized to integer percent, floored at
+    * 1% — the applyMix rounding discipline). Every observed stratum
+    * plans a positive rate by construction (its own tokens bound T),
+    * so there is no absent-stratum failure mode here; unplanned strata
+    * simply aren't sampled (defaultPct 0). */
+  def applyMixTemperature(docs: DataFrame, idCol: String, stratumCol: String,
+      textCol: String, alpha: Double, salt: String): DataFrame = {
+    val rates = mixRatesTemperature(docs, stratumCol, textCol, alpha)
+      .select(col("stratum"), col("rate")).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1) * 100).round.toInt.max(1).min(100)).toMap
+    stratifiedSample(docs, idCol, stratumCol, rates, defaultPct = 0, salt)
+  }
+
   /** Cluster-balanced sampling — the data-mixing primitive over an
     * EMBEDDING clustering rather than a label column (D4/DataComp-style
     * rebalancing): assign every vector to its nearest centroid cell

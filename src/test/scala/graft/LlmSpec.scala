@@ -1103,6 +1103,31 @@ class LlmSpec extends SparkSpec {
       Pipeline.mixRates(skew, "lang", "text", Map("en" -> 0.0)))
   }
 
+  test("applyMixTemperature: smallest stratum kept whole, big ones downsampled") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("n_tok", size(TextOps.tokens(col("text"))))
+    val before = docs.groupBy("lang").agg(sum("n_tok").as("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Pipeline.applyMixTemperature(docs, "doc_id", "lang", "text",
+        0.5, "temp_")
+      .groupBy("lang").agg(sum("n_tok").as("tok"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // every observed stratum survives (temperature rates are all > 0)
+    assert(kept.keySet == before.keySet, s"strata lost: ${before.keySet -- kept.keySet}")
+    // the scarcest stratum binds at rate ~1: nearly all its tokens kept
+    val scarce = before.minBy(_._2)._1
+    assert(kept(scarce)._1.toDouble / before(scarce) > 0.9,
+      s"binding stratum sampled away: $scarce ${kept(scarce)._1} of ${before(scarce)}")
+    // the largest stratum is genuinely downsampled (rate ∝ n^-0.5 < 1)
+    val big = before.maxBy(_._2)._1
+    val bigShare = kept(big)._1.toDouble / before(big)
+    assert(bigShare < 0.85, s"largest stratum not downsampled: $bigShare")
+    // deterministic under the same salt
+    val again = Pipeline.applyMixTemperature(docs, "doc_id", "lang", "text",
+      0.5, "temp_").count()
+    assert(again == kept.values.map(_._2).sum)
+  }
+
   test("mixRates/applyMix: a targeted stratum the corpus lacks is loud, not renormalized") {
     val d = Seq((1L, "en", "a b c")).toDF("doc_id", "lang", "text")
     // ADVICE r10: asking for en/fr 50/50 on an en-only corpus must NOT
