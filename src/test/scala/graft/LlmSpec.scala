@@ -1288,6 +1288,40 @@ class LlmSpec extends SparkSpec {
     assert(short.length == 1)
   }
 
+  test("winnow kernel property: equals the brute per-window reference on random arrays") {
+    // seeded random hash arrays (incl. ties from the tiny value domain)
+    // against an independent pure-Scala reference: every window's
+    // rightmost min, first-occurrence order
+    val rnd = new scala.util.Random(421107)
+    val w = 4
+    def ref(h: Seq[Long]): Seq[(Int, Long)] = {
+      if (h.isEmpty) Seq.empty
+      else {
+        val sels = (0 until math.max(h.length - w + 1, 1)).map { i =>
+          val end = math.min(i + w, h.length)
+          val mv = (i until end).map(h).min
+          val mp = (i until end).filter(j => h(j) == mv).max
+          (mp, mv)
+        }
+        sels.foldLeft(Vector.empty[(Int, Long)]) {
+          case (acc, s) => if (acc.lastOption.contains(s)) acc else acc :+ s
+        }
+      }
+    }
+    val cases = (0 until 40).map { i =>
+      val n = rnd.nextInt(12) // 0..11 hashes, spanning n<w and n>w
+      (i.toLong, Seq.fill(n)(rnd.nextInt(5).toLong)) // heavy ties
+    }
+    val got = cases.toDF("id", "h")
+      .select(col("id"), graft.plans.WinnowSelect(col("h"), w).as("sel"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getInt(0), x.getLong(1))))
+      .toMap
+    cases.foreach { case (id, h) =>
+      assert(got(id) == ref(h), s"id=$id h=$h got=${got(id)} want=${ref(h)}")
+    }
+  }
+
   test("winnowPairs: shared runs pair, boilerplate fingerprints df-cap out") {
     val k = 4; val w = 8
     val run = (1 to (w + k - 1)).map(i => s"s$i").mkString(" ")
