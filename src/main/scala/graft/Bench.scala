@@ -65,6 +65,7 @@ object Bench {
     "pipeline_dedup_groups",
     "pipeline_dedup_keep_best",
     "pipeline_split_leakfree",
+    "pipeline_dedup_stats",
     "asof_events",
     "asof_events_salted",
     "range_join_events",

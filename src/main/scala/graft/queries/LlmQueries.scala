@@ -520,6 +520,44 @@ object LlmQueries {
           coalesce(c.component, d.doc_id) = d.doc_id AS kept
         FROM documents d LEFT JOIN comp c ON c.node = d.doc_id""")),
 
+    // ✚ duplication profile (the dedup-groups DECISION input): how
+    // many near-dup groups of each size, and how many docs they hold —
+    // the histogram a pipeline reads before choosing dedup
+    // aggressiveness (keep-one removes n_docs − n_groups docs). Same
+    // component machinery/oracle as pipeline_dedup_groups; the
+    // histogram is two group-sized aggs.
+    Q("pipeline_dedup_stats",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 16)
+        val cands = Dedup.minhashStarEdges(sigs, "doc_id", 16, 4)
+        val comp = graft.graphx.GraphXBridge.componentsOfPairs(s,
+          cands.select(col("d1").as("src"), col("d2").as("dst")))
+        docs.join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(coalesce(col("component"), col("doc_id")).as("grp"))
+          .groupBy(col("grp")).agg(count(lit(1)).as("group_size"))
+          .groupBy(col("group_size"))
+          .agg(count(lit(1)).as("n_groups"),
+            (count(lit(1)) * col("group_size")).as("n_docs"))
+      },
+      Some(s"""WITH RECURSIVE $sqlMinhashBandedCtes,
+        cand AS (SELECT DISTINCT d1, d2 FROM (
+          SELECT min(doc_id) OVER (PARTITION BY band, sig) AS d1, doc_id AS d2
+          FROM banded) z WHERE d1 < d2),
+        e AS (SELECT d1 AS s, d2 AS t FROM cand UNION SELECT d2, d1 FROM cand),
+        reach(node, r) AS (
+          SELECT DISTINCT s, s FROM e
+          UNION
+          SELECT e.t, reach.r FROM e JOIN reach ON e.s = reach.node),
+        comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        g AS (SELECT coalesce(c.component, d.doc_id) AS grp
+          FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+        sz AS (SELECT grp, CAST(count(*) AS BIGINT) AS group_size
+          FROM g GROUP BY grp)
+        SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups,
+          CAST(count(*) * group_size AS BIGINT) AS n_docs
+        FROM sz GROUP BY group_size""")),
+
     // ✚ leakage-free train/eval split (Pipeline.splitLeakFree): split
     // on near-dup GROUPS, never documents — a group routes whole by
     // the salted md5 of its component id, so no near-dup pair ever
