@@ -170,9 +170,13 @@ object PlanAudit {
       "graft_ngram_md5"),
     Check("pipeline_ppl_score", "no shuffled join anywhere in the scoring plan",
       "!SortMergeJoin"),
-    Check("pipeline_ppl_bucket", "bucketing keeps the broadcast model bind",
-      "BroadcastHashJoin"),
-    Check("pipeline_ppl_bucket", "bucket assignment adds no shuffled join",
+    // bucketing serves from the compiled LM kernel (train once,
+    // collect the config-sized model, score map-only — round 11): the
+    // whole scoring plan is join-free; only the 1-row threshold bind
+    // remains
+    Check("pipeline_ppl_bucket", "bucketing scores through the compiled LM kernel",
+      "graft_lm_xent"),
+    Check("pipeline_ppl_bucket", "kernel scoring adds no shuffled join",
       "!SortMergeJoin"),
     // global shuffle: the corpus-wide rank must come from the blocked
     // two-phase prefix sum (hash-range blocks), never a global
