@@ -386,6 +386,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("n_events") == 1)
   }
 
+  test("stratifiedSample runs unchanged under streaming and equals batch") {
+    // the sampler is a pure id-hash predicate (stateless by design —
+    // the rerun-stability contract), so the SAME plan streams: the
+    // deconGate/bloomGate pattern, asserted end-to-end
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llmops.Pipeline
+    val docs = (1L to 40L).map(i =>
+      Doc(ts(i.toInt), i, if (i % 2 == 0) s"even doc $i" else s"odd doc $i"))
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.stratifiedSample(
+        df.withColumn("lang", when($"doc_id" % 2 === 0, "en").otherwise("fr")),
+        "doc_id", "lang", Map("en" -> 60), 20, "graft_mix_")
+    val mem = MemoryStream[Doc]
+    val q = sample(mem.toDF()).writeStream.format("memory").queryName("ssample")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(docs.take(20): _*)
+    q.processAllAvailable()
+    mem.addData(docs.drop(20): _*) // second batch: same rule, no state
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssample").select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val batch = sample(docs.toDF()).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("quotaGate: first arrivals hold their admission across batches; cap enforced") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[QuotaDoc]
