@@ -91,6 +91,38 @@ class PipelineSpec extends SparkSpec {
     assert(f2.exceptAll(c2).count() == 0 && c2.exceptAll(f2).count() == 0)
   }
 
+  test("end-to-end prep chain: gate → cap → mix → pack composes and conserves rows") {
+    // the composition a real corpus-prep job runs, on the fixture:
+    // quality gate, per-source cap, target mixing, shard packing —
+    // each stage only ever narrows, and the final packing covers
+    // every surviving doc exactly once
+    import graft.llmops.{Pipeline, TextOps}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val gated = Pipeline.qualityGate(docs, "doc_id", "text", "lang",
+        Pipeline.GateRules(8, 512, 0.0, 0.2, 0.9))
+      .filter($"keep").select("doc_id")
+      .join(docs, Seq("doc_id"))
+    assert(gated.count() > 0 && gated.count() <= docs.count())
+    val capped = Pipeline.sourceCap(gated, "doc_id", "source", 20, "e2e_")
+      .select("doc_id").join(gated, Seq("doc_id"))
+    assert(capped.groupBy("source").count()
+      .filter($"count" > 20).count() == 0)
+    // mix over SOURCES (domain mixing): the fixture's LID gate keeps
+    // only label-agreeing docs, which at sf0.01 is the en slice — so
+    // language targets would be single-stratum; domains all survive
+    val mixed = Pipeline.applyMix(capped, "doc_id", "source", "text",
+      Map("src1" -> 0.5, "src2" -> 0.5), "e2e_")
+    assert(mixed.select("source").distinct().collect()
+      .map(_.getString(0)).toSet == Set("src1", "src2"))
+    val packed = Pipeline.shardAssign(
+      mixed.select("doc_id", "source", "text"), "doc_id", "source", 2048)
+    // packing covers every mixed doc exactly once, shards start at 0
+    assert(packed.count() == mixed.count())
+    assert(packed.select("doc_id").distinct().count() == mixed.count())
+    assert(packed.groupBy("stratum").agg(min("shard").as("m"))
+      .filter($"m" =!= 0).count() == 0)
+  }
+
   test("sourceCap: two-level top-k is block-size invariant on the fixture corpus") {
     // same invariance discipline as the packers: the block level may
     // prune differently per block size, but the kept set and ranks are
