@@ -73,6 +73,7 @@ object Bench {
     "text_repetition",
     "text_clean",
     "text_redact_pii",
+    "text_normalize",
     "text_vocab",
     "text_chunks",
     "text_subword",

@@ -259,6 +259,10 @@ object PlanAudit {
     Check("text_winnow", "selection runs the compiled winnow kernel", "graft_winnow"),
     Check("text_winnow", "winnowing is a join-free map-only pass", "!Join"),
     Check("text_winnow", "the winnow scan stays in codegen", "codegen id"),
+    // canonicalization: one compiled pass, join-free, in codegen
+    Check("text_normalize", "canonicalization runs the compiled kernel",
+      "graft_normalize_text"),
+    Check("text_normalize", "canonicalization is a join-free map-only pass", "!Join"),
     // winnow pair join: the df-cap window must precede the pair join
     // (the jaccard discipline — stop-fingerprints leave before they
     // can explode quadratically)

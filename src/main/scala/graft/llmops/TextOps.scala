@@ -67,6 +67,13 @@ object TextOps {
     * — the distributed analogue of content hashing. */
   def fingerprint(text: Column): Column = md5(lower(text))
 
+  /** Unicode canonicalization (NFC + accent strip + root-locale
+    * lowercase) via the compiled [[graft.plans.NormalizeText]] kernel —
+    * run BEFORE exact/fingerprint dedup so composed, decomposed, and
+    * cased spellings of the same text collapse to one key. Map-only. */
+  def normalizeText(text: Column): Column =
+    graft.plans.NormalizeText(text)
+
   /** Winnowing fingerprints (MOSS — Schleimer et al. 2003): the sparse
     * position-robust fingerprint set of a document, selected as the
     * rightmost minimum of every `w`-window over the `k`-gram md5

@@ -1637,6 +1637,18 @@ object LlmQueries {
             (a, x) -> (a * 31 + x) % ${TextOps.RollMod}) END AS roll
         FROM documents""")),
 
+    // ✚ Unicode canonicalization (TextOps.normalizeText): NFC + accent
+    // strip + root-locale lower, the pre-dedup key normalization. The
+    // fixture corpus is ASCII (a fixed point of every step above
+    // lowercase), so the oracle proves the ASCII path; the Unicode
+    // semantics are pinned by LlmSpec's planted diacritics — declared
+    // scope (kernel scaladoc).
+    Q("text_normalize",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextOps.normalizeText(col("text")).as("norm")),
+      Some("""SELECT doc_id,
+        lower(strip_accents(nfc_normalize(text))) AS norm FROM documents""")),
+
     // ✚ winnowing fingerprints (TextOps.winnow — the MOSS algorithm):
     // rightmost-min of every 8-window over the 4-gram hashes, compiled
     // kernel; any shared 11-token run shares a fingerprint. The oracle

@@ -1288,6 +1288,29 @@ class LlmSpec extends SparkSpec {
     assert(short.length == 1)
   }
 
+  test("normalizeText: composed/decomposed/cased spellings collapse to one key") {
+    val composed = "Caf\u00e9"          // e-acute as one codepoint
+    val decomposed = "Cafe\u0301"      // e + combining acute
+    val rows = Seq(
+      (1L, composed), (2L, decomposed), (3L, "CAFE"), (4L, "cafe"),
+      (5L, "naïve Ångström"), // naïve Ångström
+      (6L, "plain ascii stays as lower ASCII"),
+      (7L, "")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.normalizeText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // all four spellings of the same word share one key — the dedup point
+    assert(Set(rows(1L), rows(2L), rows(3L), rows(4L)) == Set("cafe"), rows.toString)
+    assert(rows(5L) == "naive angstrom")
+    assert(rows(6L) == "plain ascii stays as lower ascii")
+    assert(rows(7L) == "")
+    // idempotent: normalizing a normalized string is the identity
+    val twice = Seq((1L, composed)).toDF("doc_id", "text")
+      .select(TextOps.normalizeText(TextOps.normalizeText(col("text"))))
+      .collect()(0).getString(0)
+    assert(twice == "cafe")
+  }
+
   test("winnow kernel property: equals the brute per-window reference on random arrays") {
     // seeded random hash arrays (incl. ties from the tiny value domain)
     // against an independent pure-Scala reference: every window's
