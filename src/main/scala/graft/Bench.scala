@@ -41,6 +41,7 @@ object Bench {
     "sim_ivf_trained_topk",
     "sim_quantized_topk",
     "sim_pq_topk",
+    "sim_pq_rerank_topk",
     "graphql_hop",
     "asql_match_agg",
     "asql_traverse_depth",

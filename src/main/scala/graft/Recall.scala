@@ -92,6 +92,19 @@ object Recall {
       emb, "vec_id", "embedding", 16, 4, qids, k, capPerCell = Int.MaxValue))
     val trainedU = recallOf(Similarity.ivfTopKWith(
       emb, "vec_id", "embedding", cents, 4, qids, k, capPerCell = Int.MaxValue))
+    // compression rungs, same ground truth: int8 symmetric quantization
+    // and 4×16 product quantization — the recall cost of 4× and ~128×
+    // smaller corpus representations respectively
+    val quantized = recallOf(Similarity.quantizedTopK(
+      emb, "vec_id", "embedding", qids, k))
+    val pq = recallOf(Similarity.pqTopK(
+      emb, "vec_id", "embedding", 4, 16, qids, k))
+    val pqBooks = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      4, 16, nTrain, iters)
+    val pqTrained = recallOf(Similarity.pqTopKWith(
+      emb, "vec_id", "embedding", pqBooks, qids, k))
+    val pqRerank = recallOf(Similarity.pqRerankTopK(
+      emb, "vec_id", "embedding", 4, 16, qids, k))
     // cross-corpus LSH join recall: exact τ-pairs between the even/odd
     // halves are ground truth (brute-force, probe-scale only); the
     // bucketed join's pairs are a subset by construction, so recall =
@@ -118,6 +131,8 @@ object Recall {
     println(f"""{"metric":"recall_at_$k","sampled_ivf":$sampled%.4f,""" +
       f""""trained_ivf":$trained%.4f,"sampled_ivf_uncapped":$sampledU%.4f,""" +
       f""""trained_ivf_uncapped":$trainedU%.4f,""" +
+      f""""int8":$quantized%.4f,"pq":$pq%.4f,"pq_trained":$pqTrained%.4f,""" +
+      f""""pq_rerank":$pqRerank%.4f,""" +
       f""""cross_join_pairs":$crossRecall%.4f,"cross_join_truth_n":${exactPairs.size},""" +
       f""""sf_dir":"$sfDir"}""")
     spark.stop()

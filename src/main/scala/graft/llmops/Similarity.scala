@@ -137,6 +137,35 @@ object Similarity {
     pqTopKWith(emb, idCol, vecCol, cbSub, queryIds, k)
   }
 
+  /** Two-stage PQ retrieval — the SERVING shape of product
+    * quantization: the compressed codes only SHORTLIST (top
+    * k·`overfetch` by reconstruction cosine), then the shortlist is
+    * re-ranked with EXACT cosine against the uncompressed vectors.
+    * Pure PQ ranking at ~16 bits/vector is a coarse signal (recall
+    * measured in `graft.Recall`); the re-rank recovers ranking quality
+    * while touching only queries × k × overfetch exact vectors — the
+    * shortlist broadcasts onto ONE corpus scan, so the exact stage
+    * costs a hash probe per corpus row, never a second full scoring
+    * pass. Returns (qid, nn, rank ≤ k, cos) with exact cosines. */
+  def pqRerankTopK(emb: DataFrame, idCol: String, vecCol: String, m: Int,
+      nCodes: Int, queryIds: Seq[Long], k: Int, overfetch: Int = 8): DataFrame = {
+    require(overfetch > 0, "overfetch must be positive")
+    val shortlist = pqTopK(emb, idCol, vecCol, m, nCodes, queryIds, k * overfetch)
+      .select(col("qid"), col("nn"))
+    val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nv", norm(col("v")))
+    val q = v.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), col("v").as("qv"), col("nv").as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nn").asc)
+    v.select(col(idCol).as("nn"), col("v"), col("nv"))
+      .join(broadcast(shortlist), Seq("nn"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nv")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("nn"), col("rank"), col("cos"))
+  }
+
   /** PQ search against CALLER-SUPPLIED per-subspace codebooks — the
     * encode/reconstruct/re-rank pipeline of [[pqTopK]] with the
     * quantizer decoupled (the [[ivfTopKWith]] doctrine), so

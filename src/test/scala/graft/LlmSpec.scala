@@ -1288,6 +1288,28 @@ class LlmSpec extends SparkSpec {
     assert(short.length == 1)
   }
 
+  test("pqRerankTopK: exact cosines on the PQ shortlist; identical vector always top") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val rr = Similarity.pqRerankTopK(emb, "vec_id", "embedding", 4, 16, Seq(0L), 5)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rr.length == 5 && rr.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    // the reported cosines are EXACT: recompute one driver-side
+    val vecs = emb.filter(col("vec_id").isin(0L, rr.head._1))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(math.abs(rr.head._3 - cos(vecs(0L), vecs(rr.head._1))) < 1e-9)
+    // a planted duplicate of the query reconstructs to the query's own
+    // codes, shortlists at the top, and re-ranks to exact cos 1
+    val planted = emb.unionByName(
+      emb.filter(col("vec_id") === 0L).withColumn("vec_id", lit(99999L)))
+    val top = Similarity.pqRerankTopK(planted, "vec_id", "embedding", 4, 16,
+      Seq(0L), 3).filter(col("rank") === 1).collect()(0)
+    assert(top.getLong(1) == 99999L && math.abs(top.getDouble(3) - 1.0) < 1e-9)
+  }
+
   test("normalizeText: composed/decomposed/cased spellings collapse to one key") {
     val composed = "Caf\u00e9"          // e-acute as one codepoint
     val decomposed = "Cafe\u0301"      // e + combining acute
