@@ -68,6 +68,7 @@ object Bench {
     "pipeline_split_leakfree",
     "pipeline_dedup_stats",
     "asof_events",
+    "events_funnel",
     "asof_events_salted",
     "range_join_events",
     "text_quality",

@@ -259,6 +259,12 @@ object PlanAudit {
     Check("text_winnow", "selection runs the compiled winnow kernel", "graft_winnow"),
     Check("text_winnow", "winnowing is a join-free map-only pass", "!Join"),
     Check("text_winnow", "the winnow scan stays in codegen", "codegen id"),
+    // funnel: stage frames must join as hash joins on the user key —
+    // never a per-user window over the raw events, never an NLJ
+    Check("events_funnel", "stage frames join on the user key",
+      "BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin"),
+    Check("events_funnel", "no nested-loop in the funnel plan",
+      "!BroadcastNestedLoopJoin"),
     // canonicalization: one compiled pass, join-free, in codegen
     Check("text_normalize", "canonicalization runs the compiled kernel",
       "graft_normalize_text"),

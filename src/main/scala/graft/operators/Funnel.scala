@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** K-stage funnel analysis over an event table — the events-analytics
+  * classic: for each user, the earliest completion time of every
+  * successive stage, where stage i counts only STRICTLY AFTER stage
+  * i−1's completion (an out-of-order click before the first view does
+  * not advance a view→click funnel). The per-user result is the
+  * furthest stage reached plus its timestamps; the corpus-level funnel
+  * (users per stage) is one aggregation away.
+  *
+  * Shape: stage i is a filtered user-keyed `min` aggregate joined to
+  * stage i−1's (user, t) frame — each frame is USER-sized (far smaller
+  * than the event table), every join keys on the user id the
+  * aggregates already shuffle on, and the event scan is pruned to the
+  * stage's predicate each pass. The alternative single-pass
+  * collect-and-fold holds a user's whole event list in one row; the
+  * per-stage aggregates never materialize more than (user, timestamp)
+  * pairs, so a power user costs their event count in the scan, not in
+  * memory. Completion times are monotone by construction
+  * (tᵢ non-null ⇒ tᵢ₋₁ non-null and tᵢ > tᵢ₋₁).
+  *
+  * Returns one row per user who completed stage 1:
+  * (userCol, t_<stage1>, …, t_<stageK> [nullable], stage = furthest
+  * 1-based stage index reached).
+  */
+object Funnel {
+
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "a funnel needs at least one stage")
+    require(stages.map(_._1).distinct.length == stages.length,
+      "stage names must be distinct")
+    val frames = stages.zipWithIndex.map { case ((name, pred), i) =>
+      (s"t_$name", i)
+    }
+    val stageFrames = stages.zipWithIndex.foldLeft(List.empty[DataFrame]) {
+      case (acc, ((name, pred), i)) =>
+        val tcol = s"t_$name"
+        val filtered = events.filter(pred)
+        val frame = acc.headOption match {
+          case None =>
+            filtered.groupBy(col(userCol)).agg(min(col(tsCol)).as(tcol))
+          case Some(prev) =>
+            val prevT = prev.columns.last
+            filtered.join(prev.select(col(userCol), col(prevT)), Seq(userCol))
+              .filter(col(tsCol) > col(prevT))
+              .groupBy(col(userCol)).agg(min(col(tsCol)).as(tcol))
+        }
+        frame :: acc
+    }.reverse
+    val joined = stageFrames.tail.foldLeft(stageFrames.head) {
+      case (acc, f) => acc.join(f, Seq(userCol), "left")
+    }
+    // ascending fold ⇒ the OUTERMOST when checks the deepest stage
+    // first; completion times are monotone, so the first non-null hit
+    // is the furthest stage (rows exist only for stage-1 completers,
+    // so the 0 seed is unreachable)
+    val stageExpr = frames.foldLeft(lit(0)) {
+      case (acc, (tcol, i)) =>
+        when(col(tcol).isNotNull, lit(i + 1)).otherwise(acc)
+    }
+    joined.withColumn("stage", stageExpr)
+  }
+}

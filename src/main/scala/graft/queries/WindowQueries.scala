@@ -46,6 +46,39 @@ object WindowQueries {
     // ✚ as-of join (AsOfJoin scaladoc): each purchase aligned to the
     // user's latest PRIOR view — one shuffle + sort, oracle = DuckDB's
     // native ASOF LEFT JOIN. Staleness in exact integer microseconds.
+    // ✚ k-stage funnel (operators.Funnel): per user, earliest
+    // completion of view → click → purchase with each stage strictly
+    // after the previous one's completion; stage frames are user-sized
+    // aggregates joined on the key they already shuffle on. Times
+    // cross the engine boundary as epoch micros (exact integers).
+    Q("events_funnel",
+      (s, d) => {
+        val e = events(s, d)
+        graft.operators.Funnel.funnel(e, "user_id", "ts", Seq(
+            "view" -> (col("event_type") === "view"),
+            "click" -> (col("event_type") === "click"),
+            "purchase" -> (col("event_type") === "purchase")))
+          .select(col("user_id"),
+            unix_micros(col("t_view")).as("t_view"),
+            unix_micros(col("t_click")).as("t_click"),
+            unix_micros(col("t_purchase")).as("t_purchase"),
+            col("stage"))
+      },
+      Some("""WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        u2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          JOIN u1 ON e.user_id = u1.user_id
+          WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY e.user_id),
+        u3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          JOIN u2 ON e.user_id = u2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY e.user_id)
+        SELECT u1.user_id, epoch_us(t1) AS t_view, epoch_us(t2) AS t_click,
+          epoch_us(t3) AS t_purchase,
+          CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+            ELSE 1 END AS stage
+        FROM u1 LEFT JOIN u2 ON u1.user_id = u2.user_id
+          LEFT JOIN u3 ON u1.user_id = u3.user_id""")),
+
     Q("asof_events",
       (s, d) => {
         val e = events(s, d)

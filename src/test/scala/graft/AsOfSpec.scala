@@ -117,4 +117,34 @@ class AsOfSpec extends SparkSpec {
     intercept[IllegalArgumentException](AsOfJoin.asofJoin(
       left.withColumn("asof_v", lit(1)), right, "k", "t", Seq("v")))
   }
+
+  test("funnel: stages advance only strictly after the previous completion") {
+    import java.sql.Timestamp
+    def ts(m: Long) = new Timestamp(1704067200000L + m * 60000L)
+    val e = Seq(
+      // user 1 completes all three in order
+      (1L, ts(0), "view"), (1L, ts(5), "click"), (1L, ts(9), "purchase"),
+      // user 2: click BEFORE the first view — must not advance;
+      // purchase after view but with no qualifying click → stage 1
+      (2L, ts(0), "click"), (2L, ts(3), "view"), (2L, ts(7), "purchase"),
+      // user 3: view only
+      (3L, ts(1), "view"),
+      // user 4: never views → not in the funnel at all
+      (4L, ts(2), "purchase"),
+      // user 5: click at the SAME ts as the view — strictly-after says no
+      (5L, ts(0), "view"), (5L, ts(0), "click"), (5L, ts(4), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val r = graft.operators.Funnel.funnel(e, "user_id", "ts", Seq(
+        "view" -> ($"event_type" === "view"),
+        "click" -> ($"event_type" === "click"),
+        "purchase" -> ($"event_type" === "purchase")))
+      .collect().map(x => x.getLong(0) -> x.getInt(4)).toMap
+    assert(r == Map(1L -> 3, 2L -> 1, 3L -> 1, 5L -> 2), r.toString)
+    // user 5's qualifying click is the LATER one (strictly after ts 0)
+    val u5 = graft.operators.Funnel.funnel(e, "user_id", "ts", Seq(
+        "view" -> ($"event_type" === "view"),
+        "click" -> ($"event_type" === "click")))
+      .filter($"user_id" === 5L).collect()(0)
+    assert(u5.getTimestamp(2) == ts(4))
+  }
 }
