@@ -69,6 +69,7 @@ object Bench {
     "pipeline_dedup_stats",
     "asof_events",
     "events_funnel",
+    "events_retention",
     "asof_events_salted",
     "range_join_events",
     "text_quality",

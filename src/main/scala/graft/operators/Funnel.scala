@@ -64,4 +64,25 @@ object Funnel {
     }
     joined.withColumn("stage", stageExpr)
   }
+
+  /** Cohort retention — the second events-analytics classic beside the
+    * funnel: users cohorted by their FIRST active day, then counted as
+    * retained per (cohort, day offset). Day arithmetic runs entirely
+    * in exact integer epoch-days (`unix_micros div 86400e6` — the
+    * Qh cents discipline for time), so an SQL oracle matches
+    * bit-for-bit with no date-type seams. Shuffles: one distinct on
+    * (user, day) — the activity set, far smaller than the event
+    * table — a user-keyed min aggregate, one user-keyed join, and a
+    * cohort-sized final count. Returns
+    * (cohort_day, offset_days, n_users). */
+  def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val usPerDay = 86400000000L
+    val days = events.select(col(userCol),
+        expr(s"unix_micros($tsCol) div $usPerDay").as("day"))
+      .distinct()
+    val cohort = days.groupBy(col(userCol)).agg(min(col("day")).as("cohort_day"))
+    days.join(cohort, Seq(userCol))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
 }

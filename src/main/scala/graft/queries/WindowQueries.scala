@@ -79,6 +79,20 @@ object WindowQueries {
         FROM u1 LEFT JOIN u2 ON u1.user_id = u2.user_id
           LEFT JOIN u3 ON u1.user_id = u3.user_id""")),
 
+    // ✚ cohort retention (operators.Funnel.retention): users cohorted
+    // by first active epoch-day, counted per (cohort, offset) — all
+    // day arithmetic in exact integer epoch-days.
+    Q("events_retention",
+      (s, d) => graft.operators.Funnel.retention(events(s, d), "user_id", "ts"),
+      Some("""WITH days AS (SELECT DISTINCT user_id,
+          epoch_us(ts) // 86400000000 AS day FROM events),
+        cohort AS (SELECT user_id, min(day) AS cohort_day FROM days
+          GROUP BY user_id)
+        SELECT c.cohort_day, d.day - c.cohort_day AS offset_days,
+          CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        FROM days d JOIN cohort c ON d.user_id = c.user_id
+        GROUP BY 1, 2""")),
+
     Q("asof_events",
       (s, d) => {
         val e = events(s, d)

@@ -147,4 +147,22 @@ class AsOfSpec extends SparkSpec {
       .filter($"user_id" === 5L).collect()(0)
     assert(u5.getTimestamp(2) == ts(4))
   }
+
+  test("retention: offsets count from each user's own first day") {
+    import java.sql.Timestamp
+    def ts(day: Int, h: Int = 12) =
+      new Timestamp(1704067200000L + (day * 24L + h) * 3600000L)
+    val e = Seq(
+      // user 1: cohort day d, active d, d+1, d+3 (twice on d+1 — one row)
+      (1L, ts(0)), (1L, ts(1)), (1L, ts(1, 20)), (1L, ts(3)),
+      // user 2: cohort day d+1, active d+1 and d+3 (offset 2!)
+      (2L, ts(1)), (2L, ts(3))
+    ).toDF("user_id", "ts")
+    val r = graft.operators.Funnel.retention(e, "user_id", "ts")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val d0 = 1704067200000L / 86400000L // epoch day of the base ts
+    assert(r == Map(
+      (d0, 0L) -> 1L, (d0, 1L) -> 1L, (d0, 3L) -> 1L,        // user 1
+      (d0 + 1, 0L) -> 1L, (d0 + 1, 2L) -> 1L), r.toString)   // user 2
+  }
 }
