@@ -56,6 +56,7 @@ object Bench {
     "pipeline_source_cap",
     "pipeline_decon_report",
     "text_tfidf_top",
+    "text_pmi_top",
     "sim_knn_label",
     "sim_cross_join",
     "dedup_spans_scrub",

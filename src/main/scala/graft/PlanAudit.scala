@@ -233,6 +233,11 @@ object PlanAudit {
       "BroadcastHashJoin"),
     Check("text_tfidf_top", "no shuffled join anywhere in the tf-idf plan",
       "!SortMergeJoin"),
+    // PMI: marginals broadcast, top-k without total sort
+    Check("text_pmi_top", "marginal counts broadcast onto the bigram table",
+      "BroadcastHashJoin"),
+    Check("text_pmi_top", "collocation top-k without total sort",
+      "TakeOrderedAndProject"),
     // kNN classify: the query set broadcasts onto ONE corpus scan
     // (the sim_topk posture) and scoring runs the compiled dot kernel
     Check("sim_knn_label", "queries broadcast onto one corpus scan",

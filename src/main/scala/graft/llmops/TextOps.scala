@@ -226,6 +226,44 @@ object TextOps {
       .select(col(idCol), col("tk"), col("tf"), col("df"), col("score"), col("rk"))
   }
 
+  /** Top-`k` collocations by pointwise mutual information — the
+    * corpus-analysis classic (Church & Hanks 1990): score every
+    * adjacent token pair by pmi = ln(c₂·N / (c₁(a)·c₁(b))) over
+    * POSITIONAL marginals (c₁(a) = a's count as a left element,
+    * c₁(b) = b's as a right one, N = total bigram positions — the
+    * formulation whose probabilities sum to 1 over the pair space),
+    * keep pairs seen at least `minCount` times (raw PMI is
+    * noise-dominated at low counts — the standard guard), rank on the
+    * 4dp-ROUNDED score so cross-engine ln noise can't flip a hashed
+    * order; ties break on the pair text. Scale: bigram- and
+    * position-keyed aggs (vocabulary-sized, map-combinable), marginals
+    * BROADCAST back, 1-row N bind, and a top-k that must plan as
+    * TakeOrderedAndProject — never a total sort. Returns
+    * (t1, t2, c2, pmi). */
+  def pmiTop(docs: DataFrame, textCol: String, minCount: Int, k: Int): DataFrame = {
+    require(k > 0 && minCount > 0, "pmi top-k and min count must be positive")
+    val tk = tokens(col(textCol))
+    val pairs = docs.select(explode(arrays_zip(
+        slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+        slice(tk, lit(2), greatest(size(tk) - 1, lit(0))))).as("z"))
+      .select(col("z").getField("0").as("t1"), col("z").getField("1").as("t2"))
+    val big = pairs.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c2"))
+    val uni = pairs.select(col("t1").as("t")).groupBy(col("t"))
+      .agg(count(lit(1)).as("c1a"))
+    val uniB = pairs.select(col("t2").as("t")).groupBy(col("t"))
+      .agg(count(lit(1)).as("c1b"))
+    val n = big.agg(sum(col("c2")).as("n_pairs")) // 1-row scalar bind
+    big.filter(col("c2") >= minCount)
+      .join(broadcast(uni.withColumnRenamed("t", "t1")), Seq("t1"))
+      .join(broadcast(uniB.withColumnRenamed("t", "t2")), Seq("t2"))
+      .crossJoin(broadcast(n))
+      .withColumn("pmi", round(log(col("c2").cast("double") * col("n_pairs") /
+        (col("c1a") * col("c1b"))), 4))
+      .orderBy(col("pmi").desc, col("t1").asc, col("t2").asc)
+      .limit(k)
+      .select(col("t1"), col("t2"), col("c2"), col("pmi"))
+  }
+
   def cleanColumns(text: Column): Seq[Column] = {
     val scrubbed = regexp_replace(regexp_replace(text, UrlRe, " "), EmailRe, " ")
     val squashed = trim(regexp_replace(scrubbed, " +", " "))

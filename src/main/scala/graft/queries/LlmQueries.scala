@@ -1387,6 +1387,25 @@ object LlmQueries {
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents) p
         GROUP BY tk ORDER BY tf DESC, tk ASC LIMIT 20""")),
 
+    // ✚ PMI collocations (TextOps.pmiTop): top adjacent pairs by
+    // pointwise mutual information over positional marginals, min
+    // count 5, ranked on the 4dp-rounded score.
+    Q("text_pmi_top",
+      (s, d) => TextOps.pmiTop(t(s, d, "documents"), "text", 5, 20),
+      Some("""WITH tk AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        pairs AS (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+            i -> {'t1': tk[i], 't2': tk[i + 1]})) AS p FROM tk WHERE len(tk) >= 2),
+        pp AS (SELECT p.t1 AS t1, p.t2 AS t2 FROM pairs),
+        big AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS c2 FROM pp GROUP BY t1, t2),
+        ua AS (SELECT t1, CAST(count(*) AS BIGINT) AS c1a FROM pp GROUP BY t1),
+        ub AS (SELECT t2, CAST(count(*) AS BIGINT) AS c1b FROM pp GROUP BY t2),
+        n AS (SELECT CAST(sum(c2) AS BIGINT) AS n_pairs FROM big)
+        SELECT big.t1, big.t2, c2,
+          round(ln(CAST(c2 AS DOUBLE) * n_pairs / (c1a * c1b)), 4) AS pmi
+        FROM big JOIN ua USING (t1) JOIN ub USING (t2) CROSS JOIN n
+        WHERE c2 >= 5
+        ORDER BY pmi DESC, t1 ASC, t2 ASC LIMIT 20""")),
+
     // ✚ per-document TF-IDF top terms (TextOps.tfIdfTop): keyword
     // extraction — score = tf·ln(N/df) ranked on the 4dp-ROUNDED score
     // (cross-engine ln last-ulp noise can't flip an order the hash

@@ -1310,6 +1310,26 @@ class LlmSpec extends SparkSpec {
     assert(top.getLong(1) == 99999L && math.abs(top.getDouble(3) - 1.0) < 1e-9)
   }
 
+  test("pmiTop: exclusive collocations outrank frequent-but-independent pairs") {
+    // "hong kong" always co-occur (exclusive pair); "the data" is
+    // frequent but both words roam freely → low PMI
+    val d = (1 to 10).map(i =>
+      (i.toLong, "the data hong kong holds the data and more data here")
+    ).toDF("doc_id", "text")
+    val r = TextOps.pmiTop(d, "text", 5, 10)
+      .collect().map(x => ((x.getString(0), x.getString(1)), x.getDouble(3)))
+    val m = r.toMap
+    assert(m.contains(("hong", "kong")))
+    // exclusive pair beats the frequent-but-promiscuous one
+    assert(m(("hong", "kong")) > m.getOrElse(("the", "data"), Double.NegativeInfinity))
+    // min-count guard: nothing below 5 occurrences can appear (every
+    // pair here occurs in multiples of 10, so plant a rare one)
+    val d2 = d.union(Seq((99L, "rare pairx only once")).toDF("doc_id", "text"))
+    val r2 = TextOps.pmiTop(d2, "text", 5, 50).collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(!r2.contains(("rare", "pairx")))
+  }
+
   test("normalizeText: composed/decomposed/cased spellings collapse to one key") {
     val composed = "Caf\u00e9"          // e-acute as one codepoint
     val decomposed = "Cafe\u0301"      // e + combining acute
