@@ -24,6 +24,15 @@ case class AsOfOut(event_id: Long, user_id: Long,
 case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
   n_events: Long, sum_value: Double)
 
+/** Per-user state for [[EventsStream.funnelStateful]]: completion
+  * times (ms) of the stages reached so far, plus the typed events
+  * still above the watermark as (ts ms, event_id, stage index). */
+case class FunnelState(times: List[Long], pending: List[(Long, Long, Int)])
+
+/** One stage advance emitted by [[EventsStream.funnelStateful]]:
+  * `stage` is 1-based, `ts_ms` its completion time. */
+case class FunnelAdvance(user_id: Long, stage: Int, ts_ms: Long)
+
 /** Typed doc row for [[EventsStream.quotaGate]]. */
 case class QuotaDoc(doc_id: Long, source: String)
 
@@ -249,6 +258,62 @@ object EventsStream {
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+
+  /** INCREMENTAL funnel — the streaming twin of
+    * [[graft.operators.Funnel.funnel]] keyed by event type: emit a
+    * [[FunnelAdvance]] the moment a user completes each successive
+    * stage, strictly after the previous one (same contract as the
+    * batch operator, asserted equal by the spec). Events BUFFER until
+    * the watermark passes their time — only then can no earlier event
+    * still arrive, so the greedy in-ts-order fold is exactly the batch
+    * min-after-previous (processing ascending, the first qualifying
+    * stage event IS the minimum qualifying one); out-of-order arrival
+    * within the watermark cannot change answers. The [[asofStateful]]
+    * boundary discipline verbatim: strict `< wm` flush, timeout at
+    * `max(minPending, wm + 1)`. State per user is k stage times plus
+    * the above-watermark buffer — watermark-bounded, removed once the
+    * funnel completes and the buffer drains. Advances are monotone,
+    * so Append mode is exact. */
+  def funnelStateful(events: Dataset[EventRow], stages: Seq[String],
+      watermark: String = "30 minutes"): Dataset[FunnelAdvance] = {
+    require(stages.nonEmpty && stages.distinct.length == stages.length,
+      "funnel stages must be non-empty and distinct")
+    import events.sparkSession.implicits._
+    val stageOf = stages.zipWithIndex.toMap
+    val k = stages.length
+
+    def update(userId: Long, rows: Iterator[EventRow],
+        state: GroupState[FunnelState]): Iterator[FunnelAdvance] = {
+      val st = state.getOption.getOrElse(FunnelState(Nil, Nil))
+      val incoming = rows.toSeq.flatMap(r =>
+        stageOf.get(r.event_type).map(i => (r.ts.getTime, r.event_id, i)))
+      val pending = st.pending ++ incoming
+      val wm = state.getCurrentWatermarkMs()
+      val (ready, still) = pending.partition(_._1 < wm)
+      var times = st.times
+      val out = scala.collection.mutable.ArrayBuffer[FunnelAdvance]()
+      // ascending (ts, event_id): deterministic under replays; a
+      // same-ts next-stage event never advances (strict >)
+      ready.sortBy(r => (r._1, r._2)).foreach { case (ts, _, i) =>
+        if (i == times.length && (i == 0 || ts > times.last)) {
+          times = times :+ ts
+          out += FunnelAdvance(userId, i + 1, ts)
+        }
+      }
+      if (still.isEmpty && times.length == k) state.remove()
+      else {
+        state.update(FunnelState(times, still))
+        if (still.nonEmpty)
+          state.setTimeoutTimestamp(math.max(still.map(_._1).min, wm + 1))
+      }
+      out.iterator
+    }
+
+    events.filter(e => stageOf.contains(e.event_type))
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 
   /** Streaming per-source QUOTA gate — the ingest-time face of
     * [[graft.llmops.Pipeline.sourceCap]]: admit at most `cap`

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
-import graft.streaming.{EventsStream, QuotaDoc}
+import graft.streaming.{EventRow, EventsStream, QuotaDoc}
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double, event_id: Long)
 case class Doc(ts: Timestamp, doc_id: Long, text: String)
@@ -411,6 +411,42 @@ class StreamingSpec extends SparkSpec {
     val batch = sample(docs.toDF()).select("doc_id").collect()
       .map(_.getLong(0)).sorted.toSeq
     assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("stateful funnel matches the batch operator under out-of-order arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      // user 1 completes all three — the click arrives OUT OF ORDER
+      // (later batch, earlier ts, within watermark)
+      Ev(ts(0), 1, "view", 0, 1), Ev(ts(40), 1, "purchase", 0, 3),
+      // user 2: click before any view — must not advance past view
+      Ev(ts(0), 2, "click", 0, 4), Ev(ts(5), 2, "view", 0, 5),
+      // user 5: click at the same ts as the view — strict > says no
+      Ev(ts(10), 5, "view", 0, 6), Ev(ts(10), 5, "click", 0, 7))
+    val late = Ev(ts(20), 1, "click", 0, 2) // user 1's out-of-order click
+    val stages = Seq("view", "click", "purchase")
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.funnelStateful(mem.toDF().as[EventRow], stages)
+      .writeStream.format("memory").queryName("sfunnel")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    mem.addData(late); q.processAllAvailable()
+    // advance the watermark far enough to flush every buffered event
+    mem.addData(Ev(ts(600), 9, "view", 0, 8)); q.processAllAvailable()
+    mem.addData(Ev(ts(700), 9, "view", 0, 9)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sfunnel").filter($"user_id" =!= 9)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // furthest stage per user ≡ the batch operator on the same events
+    val batch = graft.operators.Funnel.funnel(
+        (data :+ late).toDF(), "user_id", "ts", stages.map(s => s -> ($"event_type" === s)))
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    val furthest = got.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).max }
+    assert(furthest == batch, s"streaming $furthest vs batch $batch")
+    assert(batch == Map(1L -> 3, 2L -> 1, 5L -> 1))
+    // every intermediate advance was emitted exactly once, in order
+    assert(got.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(1, 2, 3))
   }
 
   test("quotaGate: first arrivals hold their admission across batches; cap enforced") {
