@@ -68,6 +68,7 @@ object Bench {
     "pipeline_dedup_keep_best",
     "pipeline_split_leakfree",
     "pipeline_dedup_stats",
+    "pipeline_corpus_diff",
     "asof_events",
     "events_funnel",
     "events_retention",

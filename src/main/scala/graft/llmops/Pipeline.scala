@@ -151,6 +151,28 @@ object Pipeline {
         floor(col("start_offset").cast("double") / capTokens).cast("long"))
   }
 
+  /** Corpus snapshot diff — the change-detection pass an INCREMENTAL
+    * pipeline runs before re-processing: classify every id across two
+    * corpus versions as added / removed / changed / unchanged, content
+    * compared by md5 so the diff never moves document bodies through
+    * the shuffle — only (id, 32-char hash) pairs meet in ONE id-keyed
+    * full-outer join. Downstream stages then re-run on
+    * `added ∪ changed` instead of the corpus ([[Dedup.incremental]]'s
+    * arrival-vs-resident discipline, at the snapshot granularity).
+    * Returns (id, status). */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def hashed(df: DataFrame, as: String) =
+      df.select(col(idCol), md5(col(textCol)).as(as))
+    hashed(oldDocs, "h_old")
+      .join(hashed(newDocs, "h_new"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") === col("h_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Leakage-free train/eval split: split on near-duplicate GROUPS,
     * never documents — a doc-level hash split leaks every near-dup
     * pair that straddles the cut (the eval set then "tests" lightly

@@ -33,7 +33,7 @@ object Funnel {
     require(stages.nonEmpty, "a funnel needs at least one stage")
     require(stages.map(_._1).distinct.length == stages.length,
       "stage names must be distinct")
-    val frames = stages.zipWithIndex.map { case ((name, pred), i) =>
+    val frames = stages.zipWithIndex.map { case ((name, _), i) =>
       (s"t_$name", i)
     }
     val stageFrames = stages.zipWithIndex.foldLeft(List.empty[DataFrame]) {

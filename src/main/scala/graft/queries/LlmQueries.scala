@@ -520,6 +520,33 @@ object LlmQueries {
           coalesce(c.component, d.doc_id) = d.doc_id AS kept
         FROM documents d LEFT JOIN comp c ON c.node = d.doc_id""")),
 
+    // ✚ corpus snapshot diff (Pipeline.corpusDiff): added / removed /
+    // changed / unchanged across two versions, bodies compared by md5
+    // so only (id, hash) pairs shuffle. The two "versions" derive
+    // deterministically from the fixture: % 11 ids absent from old,
+    // % 13 absent from new, % 17 texts edited in new.
+    Q("pipeline_corpus_diff",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Pipeline.corpusDiff(
+          docs.filter(col("doc_id") % 11 =!= 0),
+          docs.filter(col("doc_id") % 13 =!= 0)
+            .withColumn("text", when(col("doc_id") % 17 === 0,
+              concat(col("text"), lit(" v2"))).otherwise(col("text"))),
+          "doc_id", "text")
+      },
+      Some("""WITH old AS (SELECT doc_id, md5(text) AS h_old FROM documents
+          WHERE doc_id % 11 <> 0),
+        new AS (SELECT doc_id, md5(CASE WHEN doc_id % 17 = 0
+            THEN text || ' v2' ELSE text END) AS h_new FROM documents
+          WHERE doc_id % 13 <> 0)
+        SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+          CASE WHEN h_old IS NULL THEN 'added'
+            WHEN h_new IS NULL THEN 'removed'
+            WHEN h_old = h_new THEN 'unchanged'
+            ELSE 'changed' END AS status
+        FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id""")),
+
     // ✚ duplication profile (the dedup-groups DECISION input): how
     // many near-dup groups of each size, and how many docs they hold —
     // the histogram a pipeline reads before choosing dedup

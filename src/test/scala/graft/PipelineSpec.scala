@@ -123,6 +123,15 @@ class PipelineSpec extends SparkSpec {
       .filter($"m" =!= 0).count() == 0)
   }
 
+  test("corpusDiff: each status fires on its planted case") {
+    import graft.llmops.Pipeline
+    val oldV = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish")).toDF("doc_id", "text")
+    val newV = Seq((1L, "same"), (2L, "changed now"), (4L, "brand new")).toDF("doc_id", "text")
+    val r = Pipeline.corpusDiff(oldV, newV, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"), r.toString)
+  }
+
   test("sourceCap: two-level top-k is block-size invariant on the fixture corpus") {
     // same invariance discipline as the packers: the block level may
     // prune differently per block size, but the kept set and ranks are
