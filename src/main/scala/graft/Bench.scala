@@ -57,6 +57,7 @@ object Bench {
     "pipeline_decon_report",
     "text_tfidf_top",
     "text_pmi_top",
+    "text_bm25",
     "sim_knn_label",
     "sim_cross_join",
     "dedup_spans_scrub",

@@ -233,6 +233,12 @@ object PlanAudit {
       "BroadcastHashJoin"),
     Check("text_tfidf_top", "no shuffled join anywhere in the tf-idf plan",
       "!SortMergeJoin"),
+    // BM25: the query-sized postings broadcast back onto the length
+    // scan; top-k without total sort
+    Check("text_bm25", "query-term postings broadcast onto the corpus",
+      "BroadcastHashJoin"),
+    Check("text_bm25", "retrieval top-k without total sort",
+      "TakeOrderedAndProject"),
     // PMI: marginals broadcast, top-k without total sort
     Check("text_pmi_top", "marginal counts broadcast onto the bigram table",
       "BroadcastHashJoin"),

@@ -264,6 +264,49 @@ object TextOps {
       .select(col("t1"), col("t2"), col("c2"), col("pmi"))
   }
 
+  /** BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene idf
+    * form) for a FIXED query-term set: score(d) = Σ_t idf(t) ·
+    * tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with
+    * idf = ln((N−df+0.5)/(df+0.5) + 1), ranked on the 4dp-ROUNDED
+    * score (ln noise ≤ the compared digits), ties → doc id. Scale:
+    * the term filter lands BEFORE the tf aggregate, so the per-term
+    * postings (query-sized) are the only thing shuffled; doc lengths
+    * are a map-only column on the corpus scan; N/avgdl are a 1-row
+    * bind; the query-sized score table BROADCASTS back onto the
+    * length scan; top-k is TakeOrderedAndProject. Returns
+    * (id, n_hit, score, rk). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && k > 0, "BM25 needs query terms and k > 0")
+    val base = docs.select(col(idCol),
+      size(tokens(col(textCol))).as("dl"),
+      tokens(col(textCol)).as("__tk"))
+    val tf = base.select(col(idCol), explode(col("__tk")).as("tk"))
+      .filter(col("tk").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("tk")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val scored = base.select(col(idCol), col("dl"))
+      .join(broadcast(tf), Seq(idCol))
+      .join(broadcast(df), Seq("tk"))
+      .crossJoin(broadcast(stats)) // 1-row scalar bind
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .withColumn("s", col("idf") * col("tf") * lit(k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") /
+          (col("sum_dl").cast("double") / col("n_docs")))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit"), round(sum(col("s")), 4).as("score"))
+      // top-k as orderBy+limit (TakeOrderedAndProject — never a global
+      // window, which would serialize the match set through one task);
+      // the rank column is derived on the K-ROW result, where a single
+      // window partition is the point, not a bottleneck
+      .orderBy(col("score").desc, col(idCol).asc).limit(k)
+    scored.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col(idCol).asc)))
+  }
+
   def cleanColumns(text: Column): Seq[Column] = {
     val scrubbed = regexp_replace(regexp_replace(text, UrlRe, " "), EmailRe, " ")
     val squashed = trim(regexp_replace(scrubbed, " +", " "))

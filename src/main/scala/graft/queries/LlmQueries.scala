@@ -1414,6 +1414,35 @@ object LlmQueries {
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents) p
         GROUP BY tk ORDER BY tf DESC, tk ASC LIMIT 20""")),
 
+    // ✚ BM25 ranked retrieval (TextOps.bm25TopK): Lucene-form idf,
+    // k1=1.2 b=0.75, scores summed per doc and rounded to 4dp before
+    // ranking. The SQL writes the SAME IEEE expression tree, including
+    // `(1.2 + 1)` as an addition — a literal 2.2 is not necessarily
+    // the double that 1.2 + 1 computes to.
+    Q("text_bm25",
+      (s, d) => TextOps.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        Seq("spark", "window"), 15),
+      Some("""WITH base AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+          string_split(text, ' ') AS tk FROM documents),
+        tf AS (SELECT doc_id, t2 AS tk, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(tk) AS t2 FROM base) x
+          WHERE t2 IN ('spark', 'window') GROUP BY doc_id, t2),
+        df AS (SELECT tk, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tk),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(dl) AS BIGINT) AS sum_dl FROM base),
+        sc AS (SELECT b.doc_id,
+            ln((n_docs - df + 0.5) / (df + 0.5) + 1) * tf * (1.2 + 1) /
+              (tf + 1.2 * (0.25 + 0.75 * dl /
+                (CAST(sum_dl AS DOUBLE) / n_docs))) AS s
+          FROM (SELECT doc_id, dl FROM base) b JOIN tf ON tf.doc_id = b.doc_id
+          JOIN df USING (tk) CROSS JOIN st),
+        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+          round(sum(s), 4) AS score FROM sc GROUP BY doc_id),
+        top AS (SELECT doc_id, n_hit, score FROM agg
+          ORDER BY score DESC, doc_id ASC LIMIT 15)
+        SELECT doc_id, n_hit, score, CAST(row_number() OVER
+          (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rk FROM top""")),
+
     // ✚ PMI collocations (TextOps.pmiTop): top adjacent pairs by
     // pointwise mutual information over positional marginals, min
     // count 5, ranked on the 4dp-rounded score.

@@ -1310,6 +1310,27 @@ class LlmSpec extends SparkSpec {
     assert(top.getLong(1) == 99999L && math.abs(top.getDouble(3) - 1.0) < 1e-9)
   }
 
+  test("bm25TopK: rare terms and shorter docs outrank; rank contiguous") {
+    val filler = Seq.fill(30)("x").mkString(" ")
+    val d = Seq(
+      (1L, s"rare common $filler"),       // has the rare term
+      (2L, s"common common $filler"),     // only the common term
+      (3L, "rare short doc"),             // rare term, much shorter
+      (4L, s"common $filler $filler")     // common term, even longer
+    ).toDF("doc_id", "text")
+    // make 'common' genuinely common: present in every doc above
+    val r = TextOps.bm25TopK(d, "doc_id", "text", Seq("rare", "common"), 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getInt(3)))
+    val byDoc = r.map(x => x._1 -> x._3).toMap
+    // rare-term docs beat common-only docs (idf dominance)
+    assert(byDoc(3L) > byDoc(2L) && byDoc(1L) > byDoc(2L), byDoc.toString)
+    // shorter rare doc beats the longer rare doc (length normalization)
+    assert(byDoc(3L) > byDoc(1L), byDoc.toString)
+    // longer common doc scores below the shorter common doc
+    assert(byDoc(2L) > byDoc(4L), byDoc.toString)
+    assert(r.map(_._4).sorted.toSeq == Seq(1, 2, 3, 4))
+  }
+
   test("pmiTop: exclusive collocations outrank frequent-but-independent pairs") {
     // "hong kong" always co-occur (exclusive pair); "the data" is
     // frequent but both words roam freely → low PMI
