@@ -95,6 +95,8 @@ object Bench {
     "text_term_search_store",
     "text_term_search_scan",
     "profile_columns",
+    "profile_histogram",
+    "profile_correlations",
     "multimodal_meta",
     "multimodal_frames",
     "multimodal_resize",

@@ -233,6 +233,14 @@ object PlanAudit {
       "BroadcastHashJoin"),
     Check("text_tfidf_top", "no shuffled join anywhere in the tf-idf plan",
       "!SortMergeJoin"),
+    // histogram/correlations: single-aggregate shapes — the histogram's
+    // second pass is one map-combined count agg; correlations do ALL
+    // pairs in one aggregate over one scan (no per-pair rescans)
+    Check("profile_histogram", "bucket counts map-side combine", "HashAggregate"),
+    Check("profile_correlations", "all pairs in one aggregate over one scan",
+      "HashAggregate"),
+    Check("profile_correlations", "no join anywhere in the correlation plan",
+      "!Join"),
     // BM25: the query-sized postings broadcast back onto the length
     // scan; top-k without total sort
     Check("text_bm25", "query-term postings broadcast onto the corpus",

@@ -34,4 +34,67 @@ object Profile {
     wide.select(stack((lit(cols.size) +: stackArgs): _*)
       .as(Seq("col_name", "n_rows", "n_nonnull", "n_distinct", "min_val", "max_val")))
   }
+
+  /** Equi-width histogram of a numeric column in EXACT integer cents
+    * (the money doctrine): bucket = floor((cents − min) · nBuckets /
+    * span) clamped so max lands in the last bucket — all integer
+    * arithmetic, so both engines bucket identically with no float
+    * boundary seam. Two passes by necessity (bounds, then buckets):
+    * pass 1 is a 1-row min/max bind, pass 2 one map-side-combined
+    * count agg keyed by the bucket — the output is `nBuckets` rows no
+    * matter the table. Degenerate span (all values equal) pins every
+    * row to bucket 0. Returns (bucket, lo_cents, n). */
+  def histogram(df: DataFrame, valueCents: Column, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, "histogram needs at least one bucket")
+    val bounds = df.agg(min(valueCents).as("__mn"), max(valueCents).as("__mx"))
+    df.select(valueCents.as("__v"))
+      .crossJoin(broadcast(bounds)) // 1-row scalar bind
+      // floor() EXPLICITLY: Spark's double→long cast truncates while
+      // DuckDB's CAST rounds — floor-then-cast is identical in both
+      .withColumn("bucket",
+        when(col("__mx") === col("__mn"), lit(0L)).otherwise(
+          least(lit((nBuckets - 1).toLong),
+            floor((col("__v") - col("__mn")) * nBuckets /
+              (col("__mx") - col("__mn"))))))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("lo_cents",
+        col("__mn") + col("bucket") * (col("__mx") - col("__mn")) / nBuckets)
+      .select(col("bucket"), col("lo_cents"), col("n"))
+  }
+
+  /** Pairwise Pearson correlations from EXACT integer sums — the
+    * determinism doctrine applied to second moments: every Σx, Σy,
+    * Σx², Σy², Σxy accumulates as a BIGINT over integer-cents inputs
+    * (exact in any partition order), and the float arithmetic happens
+    * ONCE at the end on identical exact integers, so both engines
+    * compute the identical IEEE expression
+    * r = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²ᵗᵒᵗ) · √(n·Σy² − Σy²ᵗᵒᵗ)),
+    * rounded 6dp. One aggregate over one scan for ALL pairs. Callers
+    * must pre-scale to integers sized so Σxy fits a long
+    * (10⁵-cent values × 10⁹ rows ≈ 10¹⁹ overflows — rescale first;
+    * the require guards only positivity). Returns (x_col, y_col, r). */
+  def correlations(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, "correlations need at least two columns")
+    val sums = cols.zipWithIndex.flatMap { case ((_, c), i) =>
+      Seq(sum(c).as(s"__s$i"), sum(c * c).as(s"__q$i"))
+    }
+    val pairs = cols.indices.combinations(2).toSeq.map { case Seq(i, j) => (i, j) }
+    val prodAggs = pairs.map { case (i, j) =>
+      sum(cols(i)._2 * cols(j)._2).as(s"__p${i}_$j")
+    }
+    val aggs = count(lit(1)).as("__n") +: (sums ++ prodAggs)
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    def d(c: Column) = c.cast("double")
+    val stackArgs = pairs.flatMap { case (i, j) =>
+      val n = d(col("__n"))
+      val num = n * d(col(s"__p${i}_$j")) - d(col(s"__s$i")) * d(col(s"__s$j"))
+      val den = sqrt(n * d(col(s"__q$i")) - d(col(s"__s$i")) * d(col(s"__s$i"))) *
+        sqrt(n * d(col(s"__q$j")) - d(col(s"__s$j")) * d(col(s"__s$j")))
+      Seq(lit(cols(i)._1), lit(cols(j)._1), round(num / den, 6))
+    }
+    wide.select(stack((lit(pairs.size) +: stackArgs): _*)
+      .as(Seq("x_col", "y_col", "r")))
+  }
 }

@@ -329,6 +329,58 @@ object Relational {
           FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders) t
       ) p""")),
 
+    // ✚ equi-width histogram (operators.Profile.histogram): 20 buckets
+    // over o_totalprice in EXACT integer cents — floor-then-cast both
+    // sides (Spark's double→long cast truncates, DuckDB's rounds),
+    // bounds as a 1-row bind, output 20 rows regardless of table size
+    Q("profile_histogram",
+      (s, d) => graft.operators.Profile.histogram(t(s, d, "orders"),
+        cents(col("o_totalprice")), 20),
+      Some(s"""WITH v AS (SELECT ${sqlCents("o_totalprice")} AS v FROM orders),
+        b AS (SELECT min(v) AS mn, max(v) AS mx FROM v),
+        k AS (SELECT CASE WHEN mx = mn THEN 0
+            ELSE least(19, CAST(floor((v - mn) * 20 / (mx - mn)) AS BIGINT))
+          END AS bucket FROM v CROSS JOIN b),
+        g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM k GROUP BY bucket)
+        SELECT bucket, mn + bucket * (mx - mn) / 20 AS lo_cents, n
+        FROM g CROSS JOIN b""")),
+
+    // ✚ pairwise Pearson correlations (operators.Profile.correlations):
+    // all sums accumulate as EXACT BIGINTs over integer inputs, the
+    // float arithmetic happens once at the end on identical integers —
+    // the determinism doctrine applied to second moments; one scan for
+    // all pairs
+    Q("profile_correlations",
+      (s, d) => graft.operators.Profile.correlations(t(s, d, "lineitem"), Seq(
+        "l_quantity" -> col("l_quantity").cast("long"),
+        // whole DOLLARS, not cents: sum(b^2) over cents overflows BIGINT
+        // already at sf0.1 (1e14 per row x 6e5 rows); dollars keep the
+        // x100 probe at ~6e17, inside the exact-long envelope
+        "l_extendedprice_dollars" -> round(col("l_extendedprice"), 0).cast("long"),
+        "l_discount_pct" -> round(col("l_discount") * 100, 0).cast("long"))),
+      Some("""WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS a,
+          CAST(round(l_extendedprice) AS BIGINT) AS b,
+          CAST(round(l_discount * 100) AS BIGINT) AS c FROM lineitem),
+        w AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(a) AS BIGINT) AS sa, CAST(sum(a*a) AS BIGINT) AS qa,
+          CAST(sum(b) AS BIGINT) AS sb, CAST(sum(b*b) AS BIGINT) AS qb,
+          CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c*c) AS BIGINT) AS qc,
+          CAST(sum(a*b) AS BIGINT) AS pab, CAST(sum(a*c) AS BIGINT) AS pac,
+          CAST(sum(b*c) AS BIGINT) AS pbc FROM v)
+        SELECT 'l_quantity' AS x_col, 'l_extendedprice_dollars' AS y_col,
+          round((CAST(n AS DOUBLE) * pab - CAST(sa AS DOUBLE) * sb) /
+            (sqrt(CAST(n AS DOUBLE) * qa - CAST(sa AS DOUBLE) * sa) *
+             sqrt(CAST(n AS DOUBLE) * qb - CAST(sb AS DOUBLE) * sb)), 6) AS r
+          FROM w
+        UNION ALL SELECT 'l_quantity', 'l_discount_pct',
+          round((CAST(n AS DOUBLE) * pac - CAST(sa AS DOUBLE) * sc) /
+            (sqrt(CAST(n AS DOUBLE) * qa - CAST(sa AS DOUBLE) * sa) *
+             sqrt(CAST(n AS DOUBLE) * qc - CAST(sc AS DOUBLE) * sc)), 6) FROM w
+        UNION ALL SELECT 'l_extendedprice_dollars', 'l_discount_pct',
+          round((CAST(n AS DOUBLE) * pbc - CAST(sb AS DOUBLE) * sc) /
+            (sqrt(CAST(n AS DOUBLE) * qb - CAST(sb AS DOUBLE) * sb) *
+             sqrt(CAST(n AS DOUBLE) * qc - CAST(sc AS DOUBLE) * sc)), 6) FROM w""")),
+
     // ——— §2.B.5 sort / limit / pagination / set ops ————————————————
     Q("sort_topk", // ORDER BY + LIMIT → TakeOrderedAndProject (no total sort)
       (s, d) => t(s, d, "orders")

@@ -107,6 +107,35 @@ class GraphSpec extends SparkSpec {
     assert(prof.find(_.getString(0) == "id").get.getLong(3) == 2)
   }
 
+  test("histogram: exact bucketing, max in last bucket, degenerate span") {
+    import spark.implicits._
+    val df = (0L to 100L).toDF("v")
+    val h = graft.operators.Profile.histogram(df, col("v"), 10)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // counts cover every row; the max (100) clamps into bucket 9
+    assert(h.values.map(_._2).sum == 101L)
+    assert(h.keySet == (0L to 9L).toSet)
+    assert(h(9L)._2 == 11L) // 90..100
+    assert(h(0L)._1 == 0.0 && h(9L)._1 == 90.0)
+    // all-equal column: everything lands in bucket 0
+    val d1 = Seq(5L, 5L, 5L).toDF("v")
+    val g = graft.operators.Profile.histogram(d1, col("v"), 10).collect()
+    assert(g.length == 1 && g(0).getLong(0) == 0L && g(0).getLong(2) == 3L)
+  }
+
+  test("correlations: planted perfect, inverse, and zero correlations") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, -1L, 7L), (2L, 4L, -2L, 7L), (3L, 6L, -3L, 7L),
+      (4L, 8L, -4L, 7L)).toDF("a", "b", "c", "k")
+    val r = graft.operators.Profile.correlations(df, Seq(
+        "a" -> col("a"), "b" -> col("b"), "c" -> col("c")))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
+    assert(r(("a", "b")) == 1.0) // b = 2a
+    assert(r(("a", "c")) == -1.0) // c = -a
+    assert(r(("b", "c")) == -1.0)
+    assert(r.size == 3)
+  }
+
   test("traverseUnbounded terminates on a cyclic graph with minimal depths") {
     import spark.implicits._
     val n = Seq((1L, "N"), (2L, "N"), (3L, "N"), (4L, "N")).toDF("id", "label")
