@@ -73,6 +73,8 @@ object Bench {
     "asof_events",
     "events_funnel",
     "events_retention",
+    "events_anomaly",
+    "graph_degree_hist",
     "asof_events_salted",
     "range_join_events",
     "text_quality",

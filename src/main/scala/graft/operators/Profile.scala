@@ -43,7 +43,7 @@ object Profile {
     * pass 1 is a 1-row min/max bind, pass 2 one map-side-combined
     * count agg keyed by the bucket — the output is `nBuckets` rows no
     * matter the table. Degenerate span (all values equal) pins every
-    * row to bucket 0. Returns (bucket, lo_cents, n). */
+    * row to bucket 0. Returns (bucket, lo, n). */
   def histogram(df: DataFrame, valueCents: Column, nBuckets: Int): DataFrame = {
     require(nBuckets > 0, "histogram needs at least one bucket")
     val bounds = df.agg(min(valueCents).as("__mn"), max(valueCents).as("__mx"))
@@ -59,9 +59,9 @@ object Profile {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(bounds))
-      .withColumn("lo_cents",
+      .withColumn("lo",
         col("__mn") + col("bucket") * (col("__mx") - col("__mn")) / nBuckets)
-      .select(col("bucket"), col("lo_cents"), col("n"))
+      .select(col("bucket"), col("lo"), col("n"))
   }
 
   /** Pairwise Pearson correlations from EXACT integer sums — the

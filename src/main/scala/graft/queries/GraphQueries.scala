@@ -372,6 +372,23 @@ object GraphQueries {
       Some("""SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS degree
         FROM orders GROUP BY o_custkey""")),
 
+    // ✚ degree-distribution histogram (round 11): the graph-summary
+    // composition — Profile.histogram over the PLACED out-degrees, 10
+    // exact-integer buckets; the shape that spots hubs/skew before a
+    // traversal is planned.
+    Q("graph_degree_hist",
+      (s, d) => graft.operators.Profile.histogram(
+        graph(s, d).outDegree("PLACED"), col("degree"), 10),
+      Some("""WITH v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM orders
+          GROUP BY o_custkey),
+        b AS (SELECT min(v) AS mn, max(v) AS mx FROM v),
+        k AS (SELECT CASE WHEN mx = mn THEN 0
+            ELSE least(9, CAST(floor((v - mn) * 10 / (mx - mn)) AS BIGINT))
+          END AS bucket FROM v CROSS JOIN b),
+        g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM k GROUP BY bucket)
+        SELECT bucket, mn + bucket * (mx - mn) / 10 AS lo, n
+        FROM g CROSS JOIN b""")),
+
     // §2.B.7 graph-scalar — in()/inE().size() degree (reverse direction:
     // edges are stored once, unidirectionally, like the reference's
     // bidirectional=false — the reverse hop is a join on dst, no penalty)

@@ -342,7 +342,7 @@ object Relational {
             ELSE least(19, CAST(floor((v - mn) * 20 / (mx - mn)) AS BIGINT))
           END AS bucket FROM v CROSS JOIN b),
         g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM k GROUP BY bucket)
-        SELECT bucket, mn + bucket * (mx - mn) / 20 AS lo_cents, n
+        SELECT bucket, mn + bucket * (mx - mn) / 20 AS lo, n
         FROM g CROSS JOIN b""")),
 
     // ✚ pairwise Pearson correlations (operators.Profile.correlations):

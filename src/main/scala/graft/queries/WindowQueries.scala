@@ -79,6 +79,39 @@ object WindowQueries {
         FROM u1 LEFT JOIN u2 ON u1.user_id = u2.user_id
           LEFT JOIN u3 ON u1.user_id = u3.user_id""")),
 
+    // ✚ per-minute anomaly z-scores: bucket events into exact
+    // epoch-minutes, then z = (c − μ)/σ from EXACT integer sums (the
+    // correlations discipline — Σc and Σc² are BIGINTs, the float
+    // arithmetic happens once on identical integers), rounded 6dp;
+    // |z| > 3 flags the minute. One count agg + a 1-row moment bind.
+    Q("events_anomaly",
+      (s, d) => {
+        val m = events(s, d).select(
+          expr("unix_micros(ts) div 60000000").as("minute"))
+          .groupBy(col("minute")).agg(count(lit(1)).as("c"))
+        val stats = m.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+          sum(col("c") * col("c")).as("qc"))
+        m.crossJoin(broadcast(stats))
+          .withColumn("z", round(
+            (col("c") - col("sc").cast("double") / col("n")) /
+              sqrt(col("qc").cast("double") / col("n") -
+                (col("sc").cast("double") / col("n")) *
+                (col("sc").cast("double") / col("n"))), 6))
+          .select(col("minute"), col("c"), col("z"),
+            (abs(col("z")) > 3).as("anomaly"))
+      },
+      Some("""WITH m AS (SELECT epoch_us(ts) // 60000000 AS minute,
+          CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sc,
+          CAST(sum(c * c) AS BIGINT) AS qc FROM m)
+        SELECT minute, c, round((c - CAST(sc AS DOUBLE) / n) /
+            sqrt(CAST(qc AS DOUBLE) / n -
+              (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n)), 6) AS z,
+          abs(round((c - CAST(sc AS DOUBLE) / n) /
+            sqrt(CAST(qc AS DOUBLE) / n -
+              (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n)), 6)) > 3 AS anomaly
+        FROM m CROSS JOIN st""")),
+
     // ✚ cohort retention (operators.Funnel.retention): users cohorted
     // by first active epoch-day, counted per (cohort, offset) — all
     // day arithmetic in exact integer epoch-days.
