@@ -74,6 +74,7 @@ object Bench {
     "events_funnel",
     "events_retention",
     "events_anomaly",
+    "events_interarrival",
     "graph_degree_hist",
     "asof_events_salted",
     "range_join_events",

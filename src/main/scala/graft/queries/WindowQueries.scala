@@ -79,6 +79,31 @@ object WindowQueries {
         FROM u1 LEFT JOIN u2 ON u1.user_id = u2.user_id
           LEFT JOIN u3 ON u1.user_id = u3.user_id""")),
 
+    // ✚ inter-arrival gaps (the lag/lead family applied): per user,
+    // the µs gap to the previous event (NULL for the first) and each
+    // user's mean gap — gaps are exact integer µs, the mean divides
+    // two exact integers (one IEEE op, identical both engines). The
+    // window partitions by USER (occupancy-bounded).
+    Q("events_interarrival",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("us").asc, col("event_id").asc)
+        events(s, d)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+          .withColumn("mean_gap_us",
+            round(avg(col("gap_us")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))), 1))
+          .select(col("user_id"), col("event_id"), col("gap_us"), col("mean_gap_us"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        g AS (SELECT user_id, event_id,
+          us - lag(us, 1) OVER (PARTITION BY user_id
+            ORDER BY us ASC, event_id ASC) AS gap_us FROM e)
+        SELECT user_id, event_id, gap_us,
+          round(avg(gap_us) OVER (PARTITION BY user_id), 1) AS mean_gap_us
+        FROM g""")),
+
     // ✚ per-minute anomaly z-scores: bucket events into exact
     // epoch-minutes, then z = (c − μ)/σ from EXACT integer sums (the
     // correlations discipline — Σc and Σc² are BIGINTs, the float
