@@ -229,6 +229,25 @@ object EventsStream {
       .drop("__s")
   }
 
+  /** Streaming volume-anomaly gate — the serving face of
+    * `events_anomaly`: per-window counts flagged against a TRAINED
+    * (μ, σ) riding as literals (the bloomWords discipline — moments
+    * come from a batch pass over history, the stream is only
+    * compared). Windowed count + a stateless flag column, so the
+    * plan streams under the same watermark semantics as
+    * [[tumblingCounts]]; retraining is a new query with new
+    * literals. Returns (window, n, z, anomaly). */
+  def anomalyGate(events: DataFrame, mu: Double, sigma: Double,
+      window_ : String = "1 minute", watermark: String = "5 minutes",
+      zTau: Double = 3.0): DataFrame = {
+    require(sigma > 0, "anomaly gate needs a positive trained sigma")
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("z", round((col("n") - mu) / sigma, 6))
+      .withColumn("anomaly", abs(col("z")) > zTau)
+  }
+
   /** Tumbling-window counts with late-data drop via watermark. */
   def tumblingCounts(events: DataFrame, window_ : String = "10 minutes",
       watermark: String = "15 minutes"): DataFrame =

@@ -413,6 +413,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("anomaly gate flags a volume burst under streaming") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // trained moments: ~2 events/min, sd 1 → a 30-event minute is z=28
+    val q = EventsStream.anomalyGate(mem.toDF(), mu = 2.0, sigma = 1.0)
+      .writeStream.format("memory").queryName("agate")
+      .outputMode(OutputMode.Append()).start()
+    val calm = (1 to 4).map(m => Ev(ts(m), m.toLong, "view", 0, m.toLong))
+    val burst = (1 to 30).map(i => Ev(ts(10), 100L + i, "view", 0, 100L + i))
+    mem.addData(calm ++ burst: _*)
+    mem.addData(Ev(ts(600), 9, "noop", 0, 999)) // advance the watermark
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("agate")
+      .select(col("window.start").cast("long").as("w"), col("n"), col("anomaly"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val flagged = rows.filter(_._3)
+    assert(flagged.length == 1 && flagged(0)._2 == 30L, rows.mkString(","))
+    assert(rows.count(!_._3) >= 4) // the calm minutes pass
+  }
+
   test("stateful funnel matches the batch operator under out-of-order arrival") {
     implicit val sqlCtx = spark.sqlContext
     val data = Seq(
