@@ -83,6 +83,7 @@ object Bench {
     "text_clean",
     "text_redact_pii",
     "text_normalize",
+    "text_novelty",
     "text_vocab",
     "text_chunks",
     "text_subword",

@@ -151,6 +151,35 @@ object Pipeline {
         floor(col("start_offset").cast("double") / capTokens).cast("long"))
   }
 
+  /** N-gram novelty scoring — the memorization/novelty metric: what
+    * fraction of a document's n-gram POSITIONS are absent from a
+    * reference set (training-set memorization checks score generated
+    * text this way; as a filter it spots documents that are pure
+    * recombinations of reference phrases). Positions, not distinct
+    * grams: a doc that repeats one seen phrase fifty times is 100%
+    * seen, which is the honest memorization number. Same machinery as
+    * [[decontaminate]] with the aggregate turned into a ratio: the
+    * reference's distinct hashes broadcast into a LEFT semi-ish join
+    * (here a left join + null-count, since the MISSES are the signal),
+    * one doc-key aggregate, novelty rounded 6dp. Docs with fewer than
+    * `n` tokens report novelty NULL (no grams to judge). Returns
+    * (id, n_grams, n_seen, novelty). */
+  def noveltyScore(corpus: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val refSh = reference.select(
+        explode(graft.plans.NGramMd5(TextOps.tokens(col(textCol)), n, 8)).as("sh"))
+      .distinct().withColumn("__hit", lit(1))
+    corpus.select(col(idCol),
+        explode_outer(graft.plans.NGramMd5(TextOps.tokens(col(textCol)), n, 8)).as("sh"))
+      .join(broadcast(refSh), Seq("sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("sh")).as("n_grams"),
+        count(col("__hit")).as("n_seen"))
+      .withColumn("novelty",
+        when(col("n_grams") === 0, lit(null).cast("double"))
+          .otherwise(round(lit(1.0) - col("n_seen").cast("double") / col("n_grams"), 6)))
+  }
+
   /** Corpus snapshot diff — the change-detection pass an INCREMENTAL
     * pipeline runs before re-processing: classify every id across two
     * corpus versions as added / removed / changed / unchanged, content

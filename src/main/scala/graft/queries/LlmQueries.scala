@@ -520,6 +520,37 @@ object LlmQueries {
           coalesce(c.component, d.doc_id) = d.doc_id AS kept
         FROM documents d LEFT JOIN comp c ON c.node = d.doc_id""")),
 
+    // ✚ n-gram novelty scoring (Pipeline.noveltyScore): fraction of a
+    // doc's 4-gram POSITIONS absent from the src0 reference — the
+    // memorization/novelty metric; misses are the signal, so the
+    // reference set left-joins and the nulls count.
+    Q("text_novelty",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Pipeline.noveltyScore(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", 4)
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, source, ${sqlMd5Hash32("shv")} AS sh
+          FROM (SELECT doc_id, source,
+            unnest(list_transform(generate_series(1, len(tk) - 3),
+              i -> array_to_string(tk[i:i+3], ' '))) AS shv
+            FROM (SELECT doc_id, source, string_split(text, ' ') AS tk
+              FROM documents) t
+            WHERE len(tk) >= 4) raw),
+        ref AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0'),
+        c AS (SELECT doc_id, s.sh, CASE WHEN ref.sh IS NULL THEN 0 ELSE 1 END AS hit
+          FROM sh s LEFT JOIN ref ON s.sh = ref.sh WHERE s.source <> 'src0'),
+        g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+          CAST(sum(hit) AS BIGINT) AS n_seen FROM c GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(g.n_grams, 0) AS n_grams,
+          coalesce(g.n_seen, 0) AS n_seen,
+          CASE WHEN coalesce(g.n_grams, 0) = 0 THEN NULL
+            ELSE round(1.0 - CAST(n_seen AS DOUBLE) / n_grams, 6) END AS novelty
+        FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+        LEFT JOIN g ON g.doc_id = d.doc_id""")),
+
     // ✚ corpus snapshot diff (Pipeline.corpusDiff): added / removed /
     // changed / unchanged across two versions, bodies compared by md5
     // so only (id, hash) pairs shuffle. The two "versions" derive

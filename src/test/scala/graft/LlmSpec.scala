@@ -1310,6 +1310,24 @@ class LlmSpec extends SparkSpec {
     assert(top.getLong(1) == 99999L && math.abs(top.getDouble(3) - 1.0) < 1e-9)
   }
 
+  test("noveltyScore: copied text scores 0, fresh text 1, repeats count per position") {
+    val refRun = "r1 r2 r3 r4 r5 r6 r7 r8"
+    val reference = Seq((100L, refRun)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, refRun),                                  // verbatim copy → novelty 0
+      (2L, "all new tokens never seen anywhere at"), // fully novel → 1
+      (3L, s"r1 r2 r3 r4 fresh tokens here now"),    // one seen 4-gram of 5
+      (4L, "a b c")                                  // < 4 tokens → NULL
+    ).toDF("doc_id", "text")
+    val r = Pipeline.noveltyScore(corpus, reference, "doc_id", "text", 4)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), if (x.isNullAt(3)) None else Some(x.getDouble(3))))).toMap
+    assert(r(1L) == ((5L, 5L, Some(0.0))), r.toString)
+    assert(r(2L)._3.contains(1.0))
+    assert(r(3L) == ((5L, 1L, Some(0.8))), r.toString)
+    assert(r(4L) == ((0L, 0L, None)), r.toString)
+  }
+
   test("bm25TopK: rare terms and shorter docs outrank; rank contiguous") {
     val filler = Seq.fill(30)("x").mkString(" ")
     val d = Seq(
