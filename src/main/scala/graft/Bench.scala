@@ -53,6 +53,7 @@ object Bench {
     "pipeline_ppl_bucket",
     "pipeline_dsir",
     "pipeline_shuffle",
+    "pipeline_budget_select",
     "pipeline_source_cap",
     "pipeline_decon_report",
     "text_tfidf_top",

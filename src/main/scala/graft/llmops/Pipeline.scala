@@ -456,6 +456,32 @@ object Pipeline {
       .select(col(idCol), col("start_offset").as("pos"))
   }
 
+  /** Token-budget selection — assemble a training run of ~`budget`
+    * tokens: documents take their [[globalShuffle]] position (salted
+    * hash order — every source interleaved, rerun-stable), running
+    * token offsets accumulate along that order through the blocked
+    * two-phase prefix sum, and a document is kept iff its START
+    * offset falls inside the budget (the [[shardAssign]] streaming-
+    * pack rule, so the realized size overshoots by at most one
+    * document). Changing the salt draws a fresh budget's worth;
+    * changing the budget extends/truncates the SAME order (nested
+    * samples — the property that makes scaling-law subsets
+    * comparable). Scale: the shuffle-position pass + one blocked
+    * prefix sum, both already serialization-free. Returns
+    * (id, pos, n_tokens, start_offset, kept). */
+  def budgetSelect(docs: DataFrame, idCol: String, textCol: String,
+      budget: Long, salt: String, blockDocs: Long = PackBlockDocs): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val pos = globalShuffle(docs, idCol, salt, blockDocs)
+    val base = docs.join(pos, Seq(idCol))
+      .select(col(idCol), col("pos"), lit("").as("stratum"),
+        size(TextOps.tokens(col(textCol))).as("n_tokens"))
+    blockedStartOffset(base, "pos", Seq(col("pos")), blockDocs)
+      .withColumn("kept", col("start_offset") < budget)
+      .select(col(idCol), col("pos"), col("n_tokens"),
+        col("start_offset"), col("kept"))
+  }
+
   /** N-gram LM cross-entropy scoring — the CCNet-style quality axis
     * (Wenzek et al. 2020): train a capped stupid-backoff bigram model
     * (Brants et al. 2007) on a trusted REFERENCE slice, score every

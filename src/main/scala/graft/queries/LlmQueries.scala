@@ -1320,6 +1320,27 @@ object LlmQueries {
           doc_id) - 1 AS BIGINT) AS pos
         FROM documents""")),
 
+    // ✚ token-budget selection (Pipeline.budgetSelect): keep documents
+    // whose running-token START in the salted global-shuffle order
+    // falls inside a 10k-token budget — nested samples under a fixed
+    // salt (the scaling-law subset property).
+    Q("pipeline_budget_select",
+      (s, d) => Pipeline.budgetSelect(t(s, d, "documents"), "doc_id", "text",
+        10000L, "graft_shuf_"),
+      Some(s"""WITH p AS (SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY
+            ${sqlMd5Hash32("'graft_shuf_' || CAST(doc_id AS VARCHAR)")},
+            doc_id) - 1 AS BIGINT) AS pos,
+          CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+          FROM documents)
+        SELECT doc_id, pos, n_tokens,
+          CAST(coalesce(sum(n_tokens) OVER (ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS start_offset,
+          coalesce(sum(n_tokens) OVER (ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < 10000 AS kept
+        FROM p""")),
+
     // mixture targeting (Pipeline.mixRates): per-lang keep rates that
     // realize a target token-share mixture — achievable size is bound
     // by the scarcest stratum (rate 1 there); one stratum-keyed agg

@@ -123,6 +123,24 @@ class PipelineSpec extends SparkSpec {
       .filter($"m" =!= 0).count() == 0)
   }
 
+  test("budgetSelect: nested under budget growth, overshoot bounded by one doc") {
+    import graft.llmops.Pipeline
+    val small = Pipeline.budgetSelect(docs, "doc_id", "text", 2000L, "bs_")
+    val large = Pipeline.budgetSelect(docs, "doc_id", "text", 8000L, "bs_")
+    val sk = small.filter($"kept").select("doc_id").collect().map(_.getLong(0)).toSet
+    val lk = large.filter($"kept").select("doc_id").collect().map(_.getLong(0)).toSet
+    // nested-sample property: the small budget is a subset of the large
+    assert(sk.subsetOf(lk) && sk.nonEmpty && lk.size > sk.size)
+    // realized size: >= budget - (nothing), < budget + max doc (START rule)
+    val tok = small.filter($"kept").agg(sum("n_tokens")).collect()(0).getLong(0)
+    val maxDoc = small.agg(max("n_tokens")).collect()(0).getInt(0)
+    assert(tok >= 2000L - maxDoc && tok < 2000L + maxDoc, s"tok=$tok")
+    // a different salt draws a different budget's worth
+    val other = Pipeline.budgetSelect(docs, "doc_id", "text", 2000L, "bs2_")
+      .filter($"kept").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(other != sk)
+  }
+
   test("corpusDiff: each status fires on its planted case") {
     import graft.llmops.Pipeline
     val oldV = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish")).toDF("doc_id", "text")
