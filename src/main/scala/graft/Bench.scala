@@ -85,6 +85,7 @@ object Bench {
     "text_redact_pii",
     "text_normalize",
     "text_novelty",
+    "text_lang_margin",
     "text_vocab",
     "text_chunks",
     "text_subword",

@@ -139,6 +139,28 @@ object TextOps {
     }._2
   }
 
+  /** [[predictLang]] with a CONFIDENCE margin — the gate a real LID
+    * pipeline thresholds on: (pred_lang, margin = best − second-best
+    * marker hits). A margin of 0 means the argmax was a coin flip on
+    * the tie-break order; production gates demand margin ≥ m before
+    * trusting the label. Same ONE TokenSetCount kernel pass; the fold
+    * tracks (best, second, lang) as pure column expressions, so the
+    * SQL twin replays it step for step. */
+  def predictLangMargin(text: Column): (Column, Column) = {
+    val counts = graft.plans.TokenSetCount(tokens(text), LangMarkers.map(_._2))
+    val hits = LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(counts, i + 1)
+    }
+    val init = (hits.head._2, lit(0), lit(hits.head._1))
+    val (best, second, lang) = hits.tail.foldLeft(init) {
+      case ((b, s2, l), (lg, h)) =>
+        (when(h > b, h).otherwise(b),
+          when(h > b, b).otherwise(when(h > s2, h).otherwise(s2)),
+          when(h > b, lit(lg)).otherwise(l))
+    }
+    (lang, best - second)
+  }
+
   /** Quality metrics: lengths, token stats, stopword ratio (identical
     * expression trees on the SQL side make the double ratios exact). */
   def qualityColumns(text: Column): Seq[Column] = {

@@ -1250,6 +1250,39 @@ object LlmQueries {
         GROUP BY doc_id, lang HAVING count(DISTINCT tk) = 2""")),
 
     // language-ID by stopword-marker argmax (fixed tie-break order)
+    // ✚ LID confidence margin (TextOps.predictLangMargin): best −
+    // second-best marker hits — the threshold a production LID gate
+    // trusts a label at (margin 0 = tie-break coin flip). The oracle
+    // replays the (best, second, lang) fold step for step.
+    Q("text_lang_margin",
+      (s, d) => {
+        val (lang, margin) = TextOps.predictLangMargin(col("text"))
+        t(s, d, "documents").select(col("doc_id"), lang.as("pred_lang"),
+          margin.as("margin"), (margin >= 2).as("confident"))
+      },
+      Some {
+        val hits = TextOps.LangMarkers.map { case (lang, m) =>
+          val lst = m.map(w => s"'$w'").mkString(",")
+          s"CAST(len(list_filter(string_split(text, ' '), x -> x IN ($lst))) AS INTEGER) AS h_$lang"
+        }.mkString(", ")
+        val langs = TextOps.LangMarkers.map(_._1)
+        val steps = langs.tail.zipWithIndex.map { case (lg, i) =>
+          val (pb, ps, pss) =
+            if (i == 0) (s"'${langs.head}'", s"h_${langs.head}", "0")
+            else (s"bl$i", s"bs$i", s"ss$i")
+          s"""s${i + 1} AS (SELECT *,
+            CASE WHEN h_$lg > $ps THEN h_$lg ELSE $ps END AS bs${i + 1},
+            CASE WHEN h_$lg > $ps THEN $ps
+              ELSE (CASE WHEN h_$lg > $pss THEN h_$lg ELSE $pss END) END AS ss${i + 1},
+            CASE WHEN h_$lg > $ps THEN '$lg' ELSE $pb END AS bl${i + 1}
+            FROM ${if (i == 0) "h" else s"s$i"})"""
+        }.mkString(", ")
+        val n = langs.size - 1
+        s"""WITH h AS (SELECT doc_id, $hits FROM documents), $steps
+          SELECT doc_id, bl$n AS pred_lang, bs$n - ss$n AS margin,
+            bs$n - ss$n >= 2 AS confident FROM s$n"""
+      }),
+
     Q("text_lang_id",
       (s, d) => t(s, d, "documents").select(
         col("doc_id"),

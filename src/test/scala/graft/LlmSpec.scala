@@ -1310,6 +1310,23 @@ class LlmSpec extends SparkSpec {
     assert(top.getLong(1) == 99999L && math.abs(top.getDouble(3) - 1.0) < 1e-9)
   }
 
+  test("predictLangMargin: margins order confidence; ties report margin 0") {
+    val d = Seq(
+      (1L, "the a of and is the a of"),   // pure en markers → huge margin
+      (2L, "the le mixed body equally"),  // en 1 vs fr 1 → margin 0 tie
+      (3L, "nothing markerish here")      // all zeros → margin 0
+    ).toDF("doc_id", "text")
+    val (lang, margin) = TextOps.predictLangMargin(col("text"))
+    val r = d.select(col("doc_id"), lang.as("l"), margin.as("m"))
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getInt(2)))).toMap
+    assert(r(1L)._1 == "en" && r(1L)._2 >= 7, r.toString)
+    assert(r(2L)._2 == 0 && r(3L)._2 == 0)
+    // margin agrees with predictLang's pick everywhere on the fixture
+    val mism = docs.select(TextOps.predictLang(col("text")).as("p"),
+        lang.as("l")).filter(col("p") =!= col("l")).count()
+    assert(mism == 0)
+  }
+
   test("noveltyScore: copied text scores 0, fresh text 1, repeats count per position") {
     val refRun = "r1 r2 r3 r4 r5 r6 r7 r8"
     val reference = Seq((100L, refRun)).toDF("doc_id", "text")
