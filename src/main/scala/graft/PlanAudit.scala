@@ -233,6 +233,21 @@ object PlanAudit {
       "BroadcastHashJoin"),
     Check("text_tfidf_top", "no shuffled join anywhere in the tf-idf plan",
       "!SortMergeJoin"),
+    // late-session additions: budget selection must ride the blocked
+    // prefix sum (never a global-sort row_number); novelty's reference
+    // set binds broadcast; the LID margin runs the compiled kernel in
+    // codegen; the anomaly minute-counts map-side combine
+    Check("pipeline_budget_select", "budget offsets use the blocked prefix sum",
+      "__blk"),
+    Check("text_novelty", "reference shingles broadcast onto the corpus",
+      "BroadcastHashJoin"),
+    Check("text_novelty", "shingles hash through the native n-gram kernel",
+      "graft_ngram_md5"),
+    Check("text_lang_margin", "margin fold runs the compiled marker kernel",
+      "graft_token_set_count"),
+    Check("text_lang_margin", "the margin scan stays in codegen", "codegen id"),
+    Check("events_anomaly", "minute counts map-side combine", "HashAggregate"),
+    Check("events_interarrival", "gaps are one window pass", "Window"),
     // histogram/correlations: single-aggregate shapes — the histogram's
     // second pass is one map-combined count agg; correlations do ALL
     // pairs in one aggregate over one scan (no per-pair rescans)
