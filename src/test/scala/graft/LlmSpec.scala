@@ -1310,6 +1310,31 @@ class LlmSpec extends SparkSpec {
     assert(top.getLong(1) == 99999L && math.abs(top.getDouble(3) - 1.0) < 1e-9)
   }
 
+  test("normalizeText kernel property: equals the Java reference on random unicode") {
+    val rnd = new scala.util.Random(111407)
+    val pool = "aA éÉ́̊ß中文zZ.9üØ "
+    def ref(s: String): String = {
+      if (s.forall(_ < 0x80)) s.toLowerCase(java.util.Locale.ROOT)
+      else {
+        val nfd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+        val st = nfd.replaceAll("\\p{Mn}+", "")
+        java.text.Normalizer.normalize(st, java.text.Normalizer.Form.NFC)
+          .toLowerCase(java.util.Locale.ROOT)
+      }
+    }
+    val cases = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(12))(pool(rnd.nextInt(pool.length))).mkString)
+    }
+    val got = cases.toDF("id", "t")
+      .select(col("id"), TextOps.normalizeText(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (id, s) =>
+      assert(got(id) == ref(s), s"id=$id in=${s.map(_.toInt)} got=${got(id)} want=${ref(s)}")
+      // idempotent on every random input
+      assert(ref(got(id)) == got(id))
+    }
+  }
+
   test("predictLangMargin: margins order confidence; ties report margin 0") {
     val d = Seq(
       (1L, "the a of and is the a of"),   // pure en markers → huge margin
