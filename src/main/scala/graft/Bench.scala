@@ -76,6 +76,7 @@ object Bench {
     "events_retention",
     "events_anomaly",
     "events_interarrival",
+    "events_enrich",
     "graph_degree_hist",
     "asof_events_salted",
     "range_join_events",

@@ -248,6 +248,8 @@ object PlanAudit {
     Check("text_lang_margin", "the margin scan stays in codegen", "codegen id"),
     Check("events_anomaly", "minute counts map-side combine", "HashAggregate"),
     Check("events_interarrival", "gaps are one window pass", "Window"),
+    Check("events_enrich", "the dimension broadcasts onto the stream scan",
+      "BroadcastHashJoin"),
     // histogram/correlations: single-aggregate shapes — the histogram's
     // second pass is one map-combined count agg; correlations do ALL
     // pairs in one aggregate over one scan (no per-pair rescans)

@@ -79,6 +79,22 @@ object WindowQueries {
         FROM u1 LEFT JOIN u2 ON u1.user_id = u2.user_id
           LEFT JOIN u3 ON u1.user_id = u3.user_id""")),
 
+    // ✚ stream-static enrichment: events bind their user's dimension
+    // row (customer) through a BROADCAST join — the canonical
+    // streaming enrichment shape (Structured Streaming runs the same
+    // stream-static join incrementally, asserted in StreamingSpec);
+    // per-type spend aggregates per nation.
+    Q("events_enrich",
+      (s, d) => events(s, d)
+        .join(broadcast(t(s, d, "customer")),
+          col("user_id") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value")),
+      Some(s"""SELECT c_nationkey, event_type, CAST(count(*) AS BIGINT) AS n,
+        ${sqlMoneySum("value")} AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_nationkey, event_type""")),
+
     // ✚ inter-arrival gaps (the lag/lead family applied): per user,
     // the µs gap to the previous event (NULL for the first) and each
     // user's mean gap — gaps are exact integer µs, the mean divides

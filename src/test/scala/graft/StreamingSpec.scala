@@ -413,6 +413,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("stream-static enrichment joins the dimension incrementally and equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "acme"), (2L, "globex")).toDF("cust_id", "cust_name")
+    def enrich(df: org.apache.spark.sql.DataFrame) =
+      df.join(broadcast(dim), $"user_id" === $"cust_id")
+        .select($"event_id", $"cust_name", $"value")
+    val evs = Seq(Ev(ts(1), 1, "view", 1.5, 1), Ev(ts(2), 2, "view", 2.5, 2),
+      Ev(ts(3), 7, "view", 9.0, 3)) // user 7 has no dimension row → dropped
+    val mem = MemoryStream[Ev]
+    val q = enrich(mem.toDF()).writeStream.format("memory").queryName("enrich")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(evs.take(2): _*); q.processAllAvailable()
+    mem.addData(evs.drop(2): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("enrich").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val batch = enrich(evs.toDF()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(streamed == batch)
+    assert(streamed == Set((1L, "acme", 1.5), (2L, "globex", 2.5)))
+  }
+
   test("anomaly gate flags a volume burst under streaming") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
