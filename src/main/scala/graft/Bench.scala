@@ -77,6 +77,7 @@ object Bench {
     "events_anomaly",
     "events_interarrival",
     "events_enrich",
+    "events_transitions",
     "graph_degree_hist",
     "asof_events_salted",
     "range_join_events",

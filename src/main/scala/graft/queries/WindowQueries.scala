@@ -79,6 +79,29 @@ object WindowQueries {
         FROM u1 LEFT JOIN u2 ON u1.user_id = u2.user_id
           LEFT JOIN u3 ON u1.user_id = u3.user_id""")),
 
+    // ✚ event-type transition matrix: per-user (prev → next) counts in
+    // (ts, id) order — the Markov-chain summary of behavioral data
+    // (what follows what); one user-partitioned lag window + one
+    // pair-keyed count agg (≤ |types|² rows out).
+    Q("events_transitions",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("us").asc, col("event_id").asc)
+        events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+          epoch_us(ts) AS us FROM events),
+        g AS (SELECT event_type, lag(event_type, 1) OVER (PARTITION BY user_id
+          ORDER BY us ASC, event_id ASC) AS prev_type FROM e)
+        SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM g WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type""")),
+
     // ✚ stream-static enrichment: events bind their user's dimension
     // row (customer) through a BROADCAST join — the canonical
     // streaming enrichment shape (Structured Streaming runs the same
