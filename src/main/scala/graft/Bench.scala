@@ -89,6 +89,7 @@ object Bench {
     "text_novelty",
     "text_lang_margin",
     "text_vocab",
+    "approx_topk_cms",
     "text_chunks",
     "text_subword",
     "text_winnow",

@@ -1488,6 +1488,41 @@ object LlmQueries {
     // frequency, top-20 by tf (total order: tf DESC, tk ASC). Partial
     // agg shuffles only vocabulary-sized data; top-k is
     // TakeOrderedAndProject — no global sort materialization
+    // ✚ Count-Min-Sketch heavy hitters (the sketch family beside
+    // HLL's approx_distinct): one fixed-seed CMS pass over the token
+    // stream, the exact top-10 terms probed against it driver-side
+    // (the sketch is KB-scale by construction — the centroid collect
+    // discipline). CMS never under-counts and over-counts by ≤ ε·N
+    // w.h.p.; with the seed fixed the sketch is deterministic, so the
+    // boolean contract is a stable compared column (the
+    // approx_distinct precedent — DuckDB checks the exact side + the
+    // claimed bounds as literals).
+    Q("approx_topk_cms",
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("tk"))
+        val eps = 0.001
+        val sketchBytes = toks.agg(
+            count_min_sketch(col("tk"), lit(eps), lit(0.99), lit(42)).as("s"))
+          .collect()(0).getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(sketchBytes))
+        val exact = toks.groupBy(col("tk")).agg(count(lit(1)).as("exact"))
+          .orderBy(col("exact").desc, col("tk").asc).limit(10)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val n = exact.map(_._2).sum // lower bound on N is fine for the bound check
+        val spark = s
+        import spark.implicits._
+        exact.map { case (tk, ex) =>
+          val est = cms.estimateCount(tk)
+          (tk, ex, est >= ex, est <= ex + (eps * 10 * n).toLong)
+        }.toSeq.toDF("tk", "exact", "never_under", "within_bound")
+      },
+      Some("""SELECT tk, CAST(count(*) AS BIGINT) AS exact,
+          true AS never_under, true AS within_bound
+        FROM (SELECT unnest(string_split(text, ' ')) AS tk FROM documents) p
+        GROUP BY tk ORDER BY exact DESC, tk ASC LIMIT 10""")),
+
     Q("text_vocab",
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
