@@ -106,6 +106,7 @@ object Bench {
     "profile_columns",
     "profile_histogram",
     "profile_correlations",
+    "orders_rfm",
     "multimodal_meta",
     "multimodal_frames",
     "multimodal_resize",

@@ -250,6 +250,12 @@ object PlanAudit {
     Check("events_interarrival", "gaps are one window pass", "Window"),
     Check("events_enrich", "the dimension broadcasts onto the stream scan",
       "BroadcastHashJoin"),
+    // RFM: quartile boundaries bind as 1-row broadcasts — the plan must
+    // contain NO window at all (an ntile formulation would serialize
+    // every customer through one global window task)
+    Check("orders_rfm", "no window anywhere in the RFM plan", "!Window"),
+    Check("orders_rfm", "quartile boundaries bind broadcast",
+      "BroadcastNestedLoopJoin"),
     // histogram/correlations: single-aggregate shapes — the histogram's
     // second pass is one map-combined count agg; correlations do ALL
     // pairs in one aggregate over one scan (no per-pair rescans)

@@ -86,3 +86,47 @@ object Funnel {
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
 }
+
+/** RFM segmentation — the customer-analytics classic: per customer,
+  * Recency (days since last order, from the corpus max day), Frequency
+  * (order count), Monetary (spend in exact cents); each axis scored
+  * 1–4 by its corpus quartiles (recency INVERTED — recent = good).
+  * All inputs are exact integers, quartile boundaries come from the
+  * interpolated `percentile` both engines compute identically on
+  * integer-valued columns (the agg_percentiles precedent), and scores
+  * are integer comparisons against those boundaries — no ntile global
+  * window (which would serialize every customer through one task).
+  * Shuffles: one customer-keyed agg + two 1-row binds. Returns
+  * (custCol, r_days, f, m_cents, r_score, f_score, m_score, segment).
+  */
+object Rfm {
+  def rfm(orders: DataFrame, custCol: String, dayCol: Column,
+      moneyCents: Column): DataFrame = {
+    val per = orders.groupBy(col(custCol)).agg(
+      max(dayCol).as("last_day"), count(lit(1)).as("f"),
+      sum(moneyCents).as("m_cents"))
+    val maxDay = per.agg(max(col("last_day")).as("__maxd"))
+    val base = per.crossJoin(broadcast(maxDay)) // 1-row bind
+      .withColumn("r_days", col("__maxd") - col("last_day"))
+    val qs = base.agg(
+      percentile(col("r_days"), lit(0.25)).as("rq1"),
+      percentile(col("r_days"), lit(0.5)).as("rq2"),
+      percentile(col("r_days"), lit(0.75)).as("rq3"),
+      percentile(col("f"), lit(0.25)).as("fq1"),
+      percentile(col("f"), lit(0.5)).as("fq2"),
+      percentile(col("f"), lit(0.75)).as("fq3"),
+      percentile(col("m_cents"), lit(0.25)).as("mq1"),
+      percentile(col("m_cents"), lit(0.5)).as("mq2"),
+      percentile(col("m_cents"), lit(0.75)).as("mq3"))
+    def up(v: Column, q1: String, q2: String, q3: String) =
+      lit(1) + (v > col(q1)).cast("int") + (v > col(q2)).cast("int") +
+        (v > col(q3)).cast("int")
+    base.crossJoin(broadcast(qs)) // 1-row bind
+      .withColumn("r_score", lit(5) - up(col("r_days"), "rq1", "rq2", "rq3"))
+      .withColumn("f_score", up(col("f"), "fq1", "fq2", "fq3"))
+      .withColumn("m_score", up(col("m_cents"), "mq1", "mq2", "mq3"))
+      .select(col(custCol), col("r_days"), col("f"), col("m_cents"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+  }
+}

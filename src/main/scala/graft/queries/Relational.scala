@@ -381,6 +381,40 @@ object Relational {
             (sqrt(CAST(n AS DOUBLE) * qb - CAST(sb AS DOUBLE) * sb) *
              sqrt(CAST(n AS DOUBLE) * qc - CAST(sc AS DOUBLE) * sc)), 6) FROM w""")),
 
+    // ✚ RFM segmentation (operators.Rfm): recency/frequency/monetary
+    // quartile scores per customer — exact-integer axes, percentile
+    // boundaries (the agg_percentiles cross-engine precedent), integer
+    // comparisons, NO ntile global window.
+    Q("orders_rfm",
+      (s, d) => graft.operators.Rfm.rfm(t(s, d, "orders"), "o_custkey",
+        // NTZ → session-UTC timestamp is the identity instant here
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"),
+        cents(col("o_totalprice"))),
+      Some(s"""WITH per AS (SELECT o_custkey,
+          max(epoch_us(o_orderdate) // 86400000000) AS last_day,
+          CAST(count(*) AS BIGINT) AS f,
+          CAST(sum(${sqlCents("o_totalprice")}) AS BIGINT) AS m_cents
+          FROM orders GROUP BY o_custkey),
+        mx AS (SELECT max(last_day) AS maxd FROM per),
+        b AS (SELECT per.*, maxd - last_day AS r_days FROM per CROSS JOIN mx),
+        q AS (SELECT quantile_cont(r_days, 0.25) AS rq1, quantile_cont(r_days, 0.5) AS rq2,
+          quantile_cont(r_days, 0.75) AS rq3, quantile_cont(f, 0.25) AS fq1,
+          quantile_cont(f, 0.5) AS fq2, quantile_cont(f, 0.75) AS fq3,
+          quantile_cont(m_cents, 0.25) AS mq1, quantile_cont(m_cents, 0.5) AS mq2,
+          quantile_cont(m_cents, 0.75) AS mq3 FROM b),
+        sc AS (SELECT o_custkey, r_days, f, m_cents,
+          5 - (1 + CAST(r_days > rq1 AS INTEGER) + CAST(r_days > rq2 AS INTEGER)
+            + CAST(r_days > rq3 AS INTEGER)) AS r_score,
+          1 + CAST(f > fq1 AS INTEGER) + CAST(f > fq2 AS INTEGER)
+            + CAST(f > fq3 AS INTEGER) AS f_score,
+          1 + CAST(m_cents > mq1 AS INTEGER) + CAST(m_cents > mq2 AS INTEGER)
+            + CAST(m_cents > mq3 AS INTEGER) AS m_score
+          FROM b CROSS JOIN q)
+        SELECT o_custkey, r_days, f, m_cents, r_score, f_score, m_score,
+          CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+            || CAST(m_score AS VARCHAR) AS segment
+        FROM sc""")),
+
     // ——— §2.B.5 sort / limit / pagination / set ops ————————————————
     Q("sort_topk", // ORDER BY + LIMIT → TakeOrderedAndProject (no total sort)
       (s, d) => t(s, d, "orders")

@@ -148,6 +148,26 @@ class AsOfSpec extends SparkSpec {
     assert(u5.getTimestamp(2) == ts(4))
   }
 
+  test("rfm: scores rank the axes; recency inverts; segments concatenate") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // 4 customers with strictly ordered axes: day/count/spend
+    val d = (1 to 4).flatMap { c =>
+      (1 to c).map(i => (c.toLong, (c * 10 + i).toLong, c * 100L))
+    }.toDF("cust", "day", "cents")
+    val r = graft.operators.Rfm.rfm(d, "cust", col("day"), col("cents"))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getInt(4), x.getInt(5), x.getInt(6), x.getString(7)))).toMap
+    // customer 4: most recent (r=0 → top), most frequent, top spend
+    assert(r(4L) == ((4, 4, 4, "444")), r.toString)
+    // customer 1: oldest last day → r_score 1; least frequent/spend
+    assert(r(1L) == ((1, 1, 1, "111")), r.toString)
+    // monotone: every axis score non-decreasing in the customer index
+    val scores = (1 to 4).map(c => r(c.toLong))
+    assert(scores.map(_._1) == scores.map(_._1).sorted)
+    assert(scores.map(_._2) == scores.map(_._2).sorted)
+    assert(scores.map(_._3) == scores.map(_._3).sorted)
+  }
+
   test("retention: offsets count from each user's own first day") {
     import java.sql.Timestamp
     def ts(day: Int, h: Int = 12) =
