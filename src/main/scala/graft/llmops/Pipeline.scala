@@ -298,6 +298,23 @@ object Pipeline {
         countDistinct(col("sh")).as("n_shingles"))
   }
 
+  /** Shard export — the LAST physical mile: write documents as
+    * JSON-lines partitioned by their [[shardAssign]] shard id, the
+    * layout a training dataloader consumes (`shard=K/part-*.json`,
+    * one JSON object per line). `coalesceTo` caps files per shard
+    * (1 = exactly one file per shard — repartition by the shard
+    * column first so each write task owns whole shards; more lets
+    * big shards parallelize). Column order inside each JSON object
+    * follows the input schema; readers key by name. */
+  def exportJsonl(docs: DataFrame, outDir: String, shardCol: String,
+      coalesceTo: Int = 1): Unit = {
+    require(coalesceTo >= 1, "files per shard must be ≥ 1")
+    val parted =
+      if (coalesceTo == 1) docs.repartition(col(shardCol))
+      else docs.repartition(col(shardCol), pmod(crc32(col(shardCol).cast("string")), lit(coalesceTo)))
+    parted.write.mode("overwrite").partitionBy(shardCol).json(outDir)
+  }
+
   /** Benchmark decontamination — the standard pretraining hygiene
     * pass: flag every corpus document sharing ANY length-`n` token
     * shingle with the eval/benchmark set (n ≈ 8–13 in practice; short

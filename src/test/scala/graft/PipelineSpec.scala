@@ -123,6 +123,28 @@ class PipelineSpec extends SparkSpec {
       .filter($"m" =!= 0).count() == 0)
   }
 
+  test("exportJsonl: shard-partitioned JSONL round-trips and lays out per shard") {
+    import graft.llmops.Pipeline
+    val out = java.nio.file.Files.createTempDirectory("graftjsonl").toString
+    val packed = Pipeline.shardAssign(docs, "doc_id", "lang", 4096)
+      .join(docs.select($"doc_id", $"text"), Seq("doc_id"))
+      .select($"doc_id", $"text", $"stratum", $"shard")
+    Pipeline.exportJsonl(packed, out, "shard")
+    // layout: one directory per shard, one file each (coalesceTo = 1)
+    val shardDirs = new java.io.File(out).listFiles
+      .filter(_.getName.startsWith("shard=")).toSeq
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { dir =>
+      assert(dir.listFiles.count(_.getName.endsWith(".json")) == 1, dir.getName)
+    }
+    // round-trip: every row and text survives byte-for-byte
+    val back = spark.read.json(out)
+    assert(back.count() == packed.count())
+    val a = packed.select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = back.select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
   test("budgetSelect: nested under budget growth, overshoot bounded by one doc") {
     import graft.llmops.Pipeline
     val small = Pipeline.budgetSelect(docs, "doc_id", "text", 2000L, "bs_")
