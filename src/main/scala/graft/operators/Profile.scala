@@ -92,7 +92,10 @@ object Profile {
       val num = n * d(col(s"__p${i}_$j")) - d(col(s"__s$i")) * d(col(s"__s$j"))
       val den = sqrt(n * d(col(s"__q$i")) - d(col(s"__s$i")) * d(col(s"__s$i"))) *
         sqrt(n * d(col(s"__q$j")) - d(col(s"__s$j")) * d(col(s"__s$j")))
-      Seq(lit(cols(i)._1), lit(cols(j)._1), round(num / den, 6))
+      // a CONSTANT column zeroes its variance term: r is undefined,
+      // and the engines disagree on 0-division (Spark NULL, DuckDB
+      // inf) — nullif pins BOTH to NULL (review r11)
+      Seq(lit(cols(i)._1), lit(cols(j)._1), round(num / nullif(den, lit(0.0)), 6))
     }
     wide.select(stack((lit(pairs.size) +: stackArgs): _*)
       .as(Seq("x_col", "y_col", "r")))

@@ -566,15 +566,15 @@ object LlmQueries {
               concat(col("text"), lit(" v2"))).otherwise(col("text"))),
           "doc_id", "text")
       },
-      Some("""WITH old AS (SELECT doc_id, md5(text) AS h_old FROM documents
+      Some("""WITH old AS (SELECT doc_id, md5(text) AS h_old, 1 AS in_old FROM documents
           WHERE doc_id % 11 <> 0),
         new AS (SELECT doc_id, md5(CASE WHEN doc_id % 17 = 0
-            THEN text || ' v2' ELSE text END) AS h_new FROM documents
+            THEN text || ' v2' ELSE text END) AS h_new, 1 AS in_new FROM documents
           WHERE doc_id % 13 <> 0)
         SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
-          CASE WHEN h_old IS NULL THEN 'added'
-            WHEN h_new IS NULL THEN 'removed'
-            WHEN h_old = h_new THEN 'unchanged'
+          CASE WHEN in_old IS NULL THEN 'added'
+            WHEN in_new IS NULL THEN 'removed'
+            WHEN h_old IS NOT DISTINCT FROM h_new THEN 'unchanged'
             ELSE 'changed' END AS status
         FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id""")),
 
@@ -1507,15 +1507,20 @@ object LlmQueries {
           .collect()(0).getAs[Array[Byte]](0)
         val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
           new java.io.ByteArrayInputStream(sketchBytes))
+        // the CMS guarantee is est ≤ exact + ε·N_TOTAL (total stream
+        // length, not the top-k mass — a top-k-derived bound is
+        // STRICTER than the guarantee and can fail a sketch behaving
+        // to spec on a flat vocabulary: review r11); fixed seed makes
+        // the whole check deterministic on fixed data
         val exact = toks.groupBy(col("tk")).agg(count(lit(1)).as("exact"))
           .orderBy(col("exact").desc, col("tk").asc).limit(10)
           .collect().map(r => (r.getString(0), r.getLong(1)))
-        val n = exact.map(_._2).sum // lower bound on N is fine for the bound check
+        val nTotal = toks.count()
         val spark = s
         import spark.implicits._
         exact.map { case (tk, ex) =>
           val est = cms.estimateCount(tk)
-          (tk, ex, est >= ex, est <= ex + (eps * 10 * n).toLong)
+          (tk, ex, est >= ex, est <= ex + (eps * nTotal).toLong)
         }.toSeq.toDF("tk", "exact", "never_under", "within_bound")
       },
       Some("""SELECT tk, CAST(count(*) AS BIGINT) AS exact,

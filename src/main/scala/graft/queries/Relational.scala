@@ -369,17 +369,17 @@ object Relational {
           CAST(sum(b*c) AS BIGINT) AS pbc FROM v)
         SELECT 'l_quantity' AS x_col, 'l_extendedprice_dollars' AS y_col,
           round((CAST(n AS DOUBLE) * pab - CAST(sa AS DOUBLE) * sb) /
-            (sqrt(CAST(n AS DOUBLE) * qa - CAST(sa AS DOUBLE) * sa) *
-             sqrt(CAST(n AS DOUBLE) * qb - CAST(sb AS DOUBLE) * sb)), 6) AS r
+            nullif(sqrt(CAST(n AS DOUBLE) * qa - CAST(sa AS DOUBLE) * sa) *
+             sqrt(CAST(n AS DOUBLE) * qb - CAST(sb AS DOUBLE) * sb), 0.0), 6) AS r
           FROM w
         UNION ALL SELECT 'l_quantity', 'l_discount_pct',
           round((CAST(n AS DOUBLE) * pac - CAST(sa AS DOUBLE) * sc) /
-            (sqrt(CAST(n AS DOUBLE) * qa - CAST(sa AS DOUBLE) * sa) *
-             sqrt(CAST(n AS DOUBLE) * qc - CAST(sc AS DOUBLE) * sc)), 6) FROM w
+            nullif(sqrt(CAST(n AS DOUBLE) * qa - CAST(sa AS DOUBLE) * sa) *
+             sqrt(CAST(n AS DOUBLE) * qc - CAST(sc AS DOUBLE) * sc), 0.0), 6) FROM w
         UNION ALL SELECT 'l_extendedprice_dollars', 'l_discount_pct',
           round((CAST(n AS DOUBLE) * pbc - CAST(sb AS DOUBLE) * sc) /
-            (sqrt(CAST(n AS DOUBLE) * qb - CAST(sb AS DOUBLE) * sb) *
-             sqrt(CAST(n AS DOUBLE) * qc - CAST(sc AS DOUBLE) * sc)), 6) FROM w""")),
+            nullif(sqrt(CAST(n AS DOUBLE) * qb - CAST(sb AS DOUBLE) * sb) *
+             sqrt(CAST(n AS DOUBLE) * qc - CAST(sc AS DOUBLE) * sc), 0.0), 6) FROM w""")),
 
     // ✚ RFM segmentation (operators.Rfm): recency/frequency/monetary
     // quartile scores per customer — exact-integer axes, percentile

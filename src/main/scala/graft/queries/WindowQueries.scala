@@ -156,24 +156,28 @@ object WindowQueries {
         val stats = m.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
           sum(col("c") * col("c")).as("qc"))
         m.crossJoin(broadcast(stats))
+          // zero variance (every minute equal) → σ = 0: nullif pins z
+          // to NULL in BOTH engines (Spark NULL-divides, DuckDB infs —
+          // review r11); nothing is anomalous in a flat stream
           .withColumn("z", round(
             (col("c") - col("sc").cast("double") / col("n")) /
-              sqrt(col("qc").cast("double") / col("n") -
+              nullif(sqrt(col("qc").cast("double") / col("n") -
                 (col("sc").cast("double") / col("n")) *
-                (col("sc").cast("double") / col("n"))), 6))
+                (col("sc").cast("double") / col("n"))), lit(0.0)), 6))
           .select(col("minute"), col("c"), col("z"),
-            (abs(col("z")) > 3).as("anomaly"))
+            coalesce(abs(col("z")) > 3, lit(false)).as("anomaly"))
       },
       Some("""WITH m AS (SELECT epoch_us(ts) // 60000000 AS minute,
           CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
         st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sc,
           CAST(sum(c * c) AS BIGINT) AS qc FROM m)
         SELECT minute, c, round((c - CAST(sc AS DOUBLE) / n) /
-            sqrt(CAST(qc AS DOUBLE) / n -
-              (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n)), 6) AS z,
-          abs(round((c - CAST(sc AS DOUBLE) / n) /
-            sqrt(CAST(qc AS DOUBLE) / n -
-              (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n)), 6)) > 3 AS anomaly
+            nullif(sqrt(CAST(qc AS DOUBLE) / n -
+              (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n)), 0.0), 6) AS z,
+          coalesce(abs(round((c - CAST(sc AS DOUBLE) / n) /
+            nullif(sqrt(CAST(qc AS DOUBLE) / n -
+              (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n)), 0.0), 6)) > 3,
+            false) AS anomaly
         FROM m CROSS JOIN st""")),
 
     // ✚ cohort retention (operators.Funnel.retention): users cohorted

@@ -25,9 +25,11 @@ case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
   n_events: Long, sum_value: Double)
 
 /** Per-user state for [[EventsStream.funnelStateful]]: completion
-  * times (ms) of the stages reached so far, plus the typed events
-  * still above the watermark as (ts ms, event_id, stage index). */
-case class FunnelState(times: List[Long], pending: List[(Long, Long, Int)])
+  * times (ms) of the stages reached so far, the typed events still
+  * above the watermark as (ts ms, event_id, stage index), and the
+  * latest event time seen (the idle-TTL clock). */
+case class FunnelState(times: List[Long], pending: List[(Long, Long, Int)],
+  lastMs: Long)
 
 /** One stage advance emitted by [[EventsStream.funnelStateful]]:
   * `stage` is 1-based, `ts_ms` its completion time. */
@@ -289,21 +291,28 @@ object EventsStream {
     * stage event IS the minimum qualifying one); out-of-order arrival
     * within the watermark cannot change answers. The [[asofStateful]]
     * boundary discipline verbatim: strict `< wm` flush, timeout at
-    * `max(minPending, wm + 1)`. State per user is k stage times plus
-    * the above-watermark buffer — watermark-bounded, removed once the
-    * funnel completes and the buffer drains. Advances are monotone,
-    * so Append mode is exact. */
+    * `max(minPending, wm + 1)`. State: the above-watermark buffer is
+    * watermark-bounded; the k stage times expire on an event-time
+    * IDLE TTL (`idleTtl`) — user cardinality is corpus-scale, so a
+    * user stalled mid-funnel must not hold state forever (review
+    * r11; the quotaGate NoTimeout is justified by config-scale keys,
+    * this one is not). A completed funnel removes immediately; an
+    * expired one silently drops (no advance is lost — advances emit
+    * as confirmed). Advances are monotone, so Append mode is
+    * exact. */
   def funnelStateful(events: Dataset[EventRow], stages: Seq[String],
-      watermark: String = "30 minutes"): Dataset[FunnelAdvance] = {
+      watermark: String = "30 minutes",
+      idleTtlMs: Long = 30L * 24 * 3600 * 1000): Dataset[FunnelAdvance] = {
     require(stages.nonEmpty && stages.distinct.length == stages.length,
       "funnel stages must be non-empty and distinct")
+    require(idleTtlMs > 0, "idle TTL must be positive")
     import events.sparkSession.implicits._
     val stageOf = stages.zipWithIndex.toMap
     val k = stages.length
 
     def update(userId: Long, rows: Iterator[EventRow],
         state: GroupState[FunnelState]): Iterator[FunnelAdvance] = {
-      val st = state.getOption.getOrElse(FunnelState(Nil, Nil))
+      val st = state.getOption.getOrElse(FunnelState(Nil, Nil, 0L))
       val incoming = rows.toSeq.flatMap(r =>
         stageOf.get(r.event_type).map(i => (r.ts.getTime, r.event_id, i)))
       val pending = st.pending ++ incoming
@@ -319,11 +328,18 @@ object EventsStream {
           out += FunnelAdvance(userId, i + 1, ts)
         }
       }
-      if (still.isEmpty && times.length == k) state.remove()
+      val lastMs = (st.lastMs +: incoming.map(_._1)).max
+      val idleExpired = state.hasTimedOut && still.isEmpty &&
+        wm >= lastMs + idleTtlMs
+      if ((still.isEmpty && times.length == k) || idleExpired) state.remove()
       else {
-        state.update(FunnelState(times, still))
-        if (still.nonEmpty)
-          state.setTimeoutTimestamp(math.max(still.map(_._1).min, wm + 1))
+        state.update(FunnelState(times, still, lastMs))
+        // earliest of: the pending flush point, the idle expiry —
+        // clamped above the watermark (the asofStateful discipline)
+        val next =
+          if (still.nonEmpty) math.min(still.map(_._1).min, lastMs + idleTtlMs)
+          else lastMs + idleTtlMs
+        state.setTimeoutTimestamp(math.max(next, wm + 1))
       }
       out.iterator
     }

@@ -129,14 +129,26 @@ class PipelineSpec extends SparkSpec {
     val packed = Pipeline.shardAssign(docs, "doc_id", "lang", 4096)
       .join(docs.select($"doc_id", $"text"), Seq("doc_id"))
       .select($"doc_id", $"text", $"stratum", $"shard")
-    Pipeline.exportJsonl(packed, out, "shard")
-    // layout: one directory per shard, one file each (coalesceTo = 1)
+    Pipeline.exportJsonl(packed, out, "shard", "doc_id")
+    // layout: one directory per shard, one file each (filesPerShard = 1)
     val shardDirs = new java.io.File(out).listFiles
       .filter(_.getName.startsWith("shard=")).toSeq
     assert(shardDirs.nonEmpty)
     shardDirs.foreach { dir =>
       assert(dir.listFiles.count(_.getName.endsWith(".json")) == 1, dir.getName)
     }
+    // filesPerShard > 1 must ACTUALLY split a shard across files —
+    // the sub-key hashes the row id, not the shard column (a
+    // shard-derived sub-key is constant per shard and splits nothing:
+    // review r11)
+    val out2 = java.nio.file.Files.createTempDirectory("graftjsonl2").toString
+    Pipeline.exportJsonl(packed, out2, "shard", "doc_id", filesPerShard = 4)
+    val biggest = new java.io.File(out2).listFiles
+      .filter(_.getName.startsWith("shard="))
+      .maxBy(d => d.listFiles.count(_.getName.endsWith(".json")))
+    assert(biggest.listFiles.count(_.getName.endsWith(".json")) > 1,
+      s"filesPerShard=4 produced no split in ${biggest.getName}")
+    assert(spark.read.json(out2).count() == packed.count())
     // round-trip: every row and text survives byte-for-byte
     val back = spark.read.json(out)
     assert(back.count() == packed.count())
@@ -170,6 +182,13 @@ class PipelineSpec extends SparkSpec {
     val r = Pipeline.corpusDiff(oldV, newV, "doc_id", "text")
       .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
     assert(r == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"), r.toString)
+    // NULL text: present in both snapshots ⇒ unchanged, never 'added'
+    // (presence is an explicit flag, not hash nullability — review r11)
+    val oldN = Seq((7L, null.asInstanceOf[String]), (8L, "x")).toDF("doc_id", "text")
+    val newN = Seq((7L, null.asInstanceOf[String]), (8L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val rn = Pipeline.corpusDiff(oldN, newN, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(rn == Map(7L -> "unchanged", 8L -> "changed"), rn.toString)
   }
 
   test("sourceCap: two-level top-k is block-size invariant on the fixture corpus") {

@@ -492,6 +492,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(1, 2, 3))
   }
 
+  test("stateful funnel: idle state expires on the TTL and the funnel restarts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // 2-minute idle TTL: user 1's half-done funnel expires while idle,
+    // so a later view RE-EMITS stage 1 (fresh state) — the observable
+    // proof the per-user times were dropped, not retained forever
+    val q = EventsStream.funnelStateful(mem.toDF().as[EventRow],
+        Seq("view", "click"), watermark = "1 minute", idleTtlMs = 2 * 60000L)
+      .writeStream.format("memory").queryName("sfunnel_ttl")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(Ev(ts(0), 1, "view", 0, 1)); q.processAllAvailable()
+    // idle: push the watermark far past lastMs + TTL (timeout fires)
+    mem.addData(Ev(ts(100), 9, "view", 0, 2)); q.processAllAvailable()
+    mem.addData(Ev(ts(200), 9, "view", 0, 3)); q.processAllAvailable()
+    // user 1 returns: a fresh stage-1 advance proves the restart
+    mem.addData(Ev(ts(300), 1, "view", 0, 4)); q.processAllAvailable()
+    mem.addData(Ev(ts(400), 9, "view", 0, 5)); q.processAllAvailable()
+    mem.addData(Ev(ts(500), 9, "view", 0, 6)); q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("sfunnel_ttl").filter($"user_id" === 1)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).sortBy(_._2)
+    assert(u1.map(_._1).toSeq == Seq(1, 1), s"got ${u1.toSeq}")
+  }
+
   test("quotaGate: first arrivals hold their admission across batches; cap enforced") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[QuotaDoc]
