@@ -41,8 +41,11 @@ object Profile {
     * arithmetic, so both engines bucket identically with no float
     * boundary seam. Two passes by necessity (bounds, then buckets):
     * pass 1 is a 1-row min/max bind, pass 2 one map-side-combined
-    * count agg keyed by the bucket — the output is `nBuckets` rows no
-    * matter the table. Degenerate span (all values equal) pins every
+    * count agg keyed by the bucket — the output is AT MOST `nBuckets`
+    * rows no matter the table (an EMPTY bucket has no rows to group,
+    * so it is omitted, not emitted as n = 0 — densify with a
+    * bucket-range join if a dense axis is wanted downstream).
+    * Degenerate span (all values equal) pins every
     * row to bucket 0. Returns (bucket, lo, n). */
   def histogram(df: DataFrame, valueCents: Column, nBuckets: Int): DataFrame = {
     require(nBuckets > 0, "histogram needs at least one bucket")

@@ -28,6 +28,7 @@ object LlmQueries {
   /** Window width (tokens) for duplicate-passage extraction — shared by
     * the Spark kernel call and the oracle's slice arithmetic. */
   val SpanWindow = 16
+  val SpanMaxDf = 2 // dedup_spans_capped: binds at sf0.01 (df=3 hashes exist)
 
   /** Bloom decontamination sizing — 2^18 bits, 4 probe functions.
     * Deliberately NOT oversized for the sf0.01 benchmark (≈1.1k eval
@@ -828,6 +829,33 @@ object LlmQueries {
         w AS (SELECT doc_id, u.pos AS pos, ${sqlHexFold("md5(u.sh)", 8)} AS h FROM w0),
         f AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
             count(*) OVER (PARTITION BY h) AS df FROM w) z WHERE df >= 2),
+        b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+            ORDER BY pos) <= $SpanWindow THEN 0 ELSE 1 END AS brk FROM f),
+        isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS UNBOUNDED PRECEDING) AS island FROM b)
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+          CAST(max(pos) + ${SpanWindow - 1} AS BIGINT) AS span_end,
+          count(*) AS n_windows
+        FROM isl GROUP BY doc_id, island""")),
+
+    // ✚ df-capped span report (round 12, VERDICT r11 order #9): the
+    // recall/volume knob — window hashes repeated in more than
+    // SpanMaxDf positions are boilerplate beyond reporting interest and
+    // leave BEFORE the island merge (the jaccard/winnow df-cap
+    // discipline at span granularity). SpanMaxDf = 2 binds on this
+    // corpus (63 hashes carry df = 3), so the capped result genuinely
+    // differs from dedup_spans.
+    Q("dedup_spans_capped",
+      (s, d) => Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
+        SpanWindow, SpanMaxDf),
+      Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        w0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - ${SpanWindow - 1}),
+            i -> {'pos': i - 1, 'sh': array_to_string(tk[i:i+${SpanWindow - 1}], ' ')})) AS u
+          FROM tk WHERE len(tk) >= $SpanWindow),
+        w AS (SELECT doc_id, u.pos AS pos, ${sqlHexFold("md5(u.sh)", 8)} AS h FROM w0),
+        f AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
+            count(*) OVER (PARTITION BY h) AS df FROM w) z
+          WHERE df >= 2 AND df <= $SpanMaxDf),
         b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
             ORDER BY pos) <= $SpanWindow THEN 0 ELSE 1 END AS brk FROM f),
         isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos

@@ -712,6 +712,93 @@ class LlmSpec extends SparkSpec {
     assert(sr == ((s"$passage ${uniq("f", 2)}", 20L)))
   }
 
+  test("span maxDf cap: universal boilerplate leaves before the island merge") {
+    // a passage planted in EVERY doc (in-passage window df = 6) plus a
+    // pairwise duplicate (df = 2): a cap below the universal df bounds
+    // the report/scrub to the pair while the default reports both —
+    // the jaccard/winnow df-cap discipline at span granularity
+    val universal = (1 to 20).map(i => s"p$i").mkString(" ")
+    val pair = (1 to 20).map(i => s"q$i").mkString(" ")
+    def uniq(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val corpus = (1L to 6L).map { i =>
+      val tail = if (i <= 2) s" ${uniq(s"f$i", 2)} $pair" else ""
+      (i, s"${uniq(s"u$i", 3)} $universal$tail")
+    }.toDF("doc_id", "text")
+    // default: both passages report (universal in all 6, pair in 2)
+    val all = Dedup.duplicateSpans(corpus, "doc_id", "text", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(all == ((1L to 6L).map(i => (i, 3L, 22L)) ++
+      Seq((1L, 25L, 44L), (2L, 25L, 44L))).toSet, s"got $all")
+    // capped at 4 (< 6 universal occurrences): only the pair reports
+    val capped = Dedup.duplicateSpans(corpus, "doc_id", "text", 16, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped == Set((1L, 25L, 44L), (2L, 25L, 44L)), s"got $capped")
+    // capped scrub: the universal passage survives everywhere; only the
+    // pair's later copy (doc 2) is cut
+    val scrub = Dedup.scrubSpans(corpus, "doc_id", "text", 16, maxDf = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scrub == (1L to 6L).map(i => i -> (if (i == 2) 20L else 0L)).toMap,
+      s"got $scrub")
+  }
+
+  test("bloomWords: distributed OR-merge build ≡ the driver-side reference fold") {
+    val evalDocs = docs.filter($"source" === "src0")
+    val got = Pipeline.bloomWords(evalDocs, "text", 8, 1 << 16, 4)
+    val hashes = evalDocs
+      .select(explode(graft.plans.NGramMd5(TextOps.tokens($"text"), 8, 8)).as("h"))
+      .distinct().collect().map(_.getLong(0))
+    val ref = graft.plans.BloomHits.buildWords(hashes, 1 << 16, Dedup.permParams(4))
+    assert(got == ref)
+  }
+
+  test("forced eval-side broadcasts refuse loudly beyond the row ceiling") {
+    val corpus = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val evalDocs = Seq((10L, "a b c d e f g h i j k l")).toDF("doc_id", "text")
+    // over-ceiling (ceiling 2 < the eval side's distinct shingle rows)
+    val e1 = intercept[IllegalArgumentException] {
+      Pipeline.deconReport(corpus, evalDocs, "doc_id", "text", 8, maxEvalRows = 2)
+        .collect()
+    }
+    assert(e1.getMessage.contains("forced-broadcast ceiling"))
+    val e2 = intercept[IllegalArgumentException] {
+      Pipeline.noveltyScore(corpus, evalDocs, "doc_id", "text", 8, maxRefRows = 2)
+        .collect()
+    }
+    assert(e2.getMessage.contains("forced-broadcast ceiling"))
+    // at/under the ceiling both serve normally
+    assert(Pipeline.deconReport(corpus, evalDocs, "doc_id", "text", 8,
+      maxEvalRows = 100).count() == 1)
+    assert(Pipeline.noveltyScore(corpus, evalDocs, "doc_id", "text", 8,
+      maxRefRows = 100).count() == 1)
+  }
+
+  test("sourceCap: tree top-k iterates extra levels and matches the global rank") {
+    // blockDocs 2 over ids 0..600 → 301 level-0 blocks > TreeFanIn
+    // (256), so the prune iterates (span 2 → 512) before the final
+    // per-source window — the corpus-dominating-source hardening
+    val rows = (0L to 600L).map(i => (i, if (i % 97 == 0) "rare" else "big"))
+    val d = rows.toDF("doc_id", "source")
+    val got = Pipeline.sourceCap(d, "doc_id", "source", 5, "t_", blockDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    def h(id: Long) = java.lang.Long.parseLong(
+      graft.load.Checksum.md5Hex(s"t_$id").substring(0, 8), 16)
+    val expect = rows.groupBy(_._2).toSeq.flatMap { case (src, members) =>
+      members.map(_._1).sortBy(id => (h(id), id)).take(5)
+        .zipWithIndex.map { case (id, i) => (id, src, i + 1) }
+    }.toSet
+    assert(got.toSet == expect)
+    // non-numeric id refused loudly (ADVICE r11: a NULL-casting id
+    // would collapse every row into one block)
+    val bad = Seq(("a", "s")).toDF("doc_id", "source")
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.sourceCap(bad, "doc_id", "source", 5, "t_")
+    }
+    assert(e.getMessage.contains("numeric id"))
+    // empty corpus: empty result, correct schema
+    assert(Pipeline.sourceCap(d.filter(lit(false)), "doc_id", "source", 5, "t_")
+      .collect().isEmpty)
+  }
+
   test("decontaminateBloom: superset of the exact pass, planted contamination flagged") {
     val exact = Pipeline.decontaminate(
       docs.filter($"source" =!= "src0"), docs.filter($"source" === "src0"),
