@@ -306,6 +306,175 @@ object GraphQl {
     }
   }
 
+  // ---- introspection ----
+
+  /** True when the document is a GraphQL INTROSPECTION query — the
+    * `__schema`/`__type` handshake every real client (GraphiQL,
+    * codegen, schema explorers) fires before its first data query
+    * (the arcadedb-graphql module serves the same handshake [dep,
+    * `/root/reference/src/pom.xml:109-113`]). The `__` prefix is
+    * reserved by the GraphQL spec for introspection, so the sniff can
+    * never collide with a data field; matching on the raw text (not
+    * the parser) is deliberate — stock clients send the canonical
+    * IntrospectionQuery, which uses fragments this engine's data
+    * grammar doesn't serve, and a handshake must not depend on
+    * parsing machinery the answer doesn't need. */
+  def isIntrospection(doc: String): Boolean =
+    doc.contains("__schema") || doc.contains("__type")
+
+  /** Serve an introspection document from the schema registry as a
+    * spec-shaped GraphQL response (`{"data":{"__schema":…}}` /
+    * `{"data":{"__type":…}}`) — a SERIALIZER over [[GraphSchema]], not
+    * an engine change: types, fields, hop relations, and mutation
+    * surface all derive from the registry the data path already
+    * compiles against, so introspection can never drift from what the
+    * executor accepts. `endpoints` resolves an edge label to its
+    * OBSERVED (src labels, dst labels) — the store manifest's
+    * edge-endpoint record — so hop fields type to the concrete target
+    * object when the relation is unambiguous and to the generic
+    * `_Vertex` object otherwise (this engine's edge endpoints are
+    * untyped by design, SURVEY §1.5). */
+  def introspect(gs: graft.model.GraphSchema, doc: String,
+      endpoints: String => Option[(Set[String], Set[String])] = _ => None): String =
+    Introspection.serve(gs, doc, endpoints)
+
+  private object Introspection {
+    import org.json4s._
+    import org.apache.spark.sql.types.{ArrayType, BooleanType, ByteType,
+      DataType, DoubleType, FloatType, IntegerType, LongType, ShortType,
+      StringType}
+
+    private def scalarFor(dt: DataType): String = dt match {
+      case IntegerType | ShortType | ByteType => "Int"
+      case LongType => "Long" // 64-bit ids overflow GraphQL's Int
+      case FloatType | DoubleType => "Float"
+      case BooleanType => "Boolean"
+      case StringType => "String"
+      case _ => "String" // dates/timestamps serialize as strings
+    }
+    private def ref(kind: String, name: String): JObject =
+      JObject("kind" -> JString(kind), "name" -> JString(name), "ofType" -> JNull)
+    private def listOf(t: JValue): JObject =
+      JObject("kind" -> JString("LIST"), "name" -> JNull, "ofType" -> t)
+    private def typeRef(dt: DataType): JValue = dt match {
+      case ArrayType(e, _) => listOf(ref("SCALAR", scalarFor(e)))
+      case other => ref("SCALAR", scalarFor(other))
+    }
+    private def field(name: String, tpe: JValue, args: Seq[JValue] = Nil): JObject =
+      JObject("name" -> JString(name), "description" -> JNull,
+        "args" -> JArray(args.toList), "type" -> tpe,
+        "isDeprecated" -> JBool(false), "deprecationReason" -> JNull)
+    private def inputValue(name: String, tpe: JValue): JObject =
+      JObject("name" -> JString(name), "description" -> JNull,
+        "type" -> tpe, "defaultValue" -> JNull)
+    private def fullType(kind: String, name: String,
+        fields: Option[Seq[JValue]],
+        inputFields: Option[Seq[JValue]] = None): JObject =
+      JObject("kind" -> JString(kind), "name" -> JString(name),
+        "description" -> JNull,
+        "fields" -> fields.map(f => JArray(f.toList)).getOrElse(JNull),
+        "inputFields" -> inputFields.map(f => JArray(f.toList)).getOrElse(JNull),
+        "interfaces" -> (if (kind == "OBJECT") JArray(Nil) else JNull),
+        "enumValues" -> JNull, "possibleTypes" -> JNull)
+
+    /** Every type the registry denotes: scalars, one OBJECT per label,
+      * the generic `_Vertex`, per-label INPUT_OBJECTs (the mutation
+      * argument shapes), and the Query/Mutation roots. */
+    private def allTypes(gs: graft.model.GraphSchema,
+        endpoints: String => Option[(Set[String], Set[String])]): Seq[JObject] = {
+      val scalars = Seq("Int", "Long", "Float", "String", "Boolean", "ID")
+        .map(s => fullType("SCALAR", s, None))
+      val vLabels = gs.labels.filter(_.kind == "vertex")
+      val eLabels = gs.labels.filter(_.kind == "edge")
+      // hop target: the concrete object when the observed endpoint set
+      // is a single label, the generic _Vertex otherwise
+      def target(ls: Set[String]): JValue =
+        if (ls.size == 1) ref("OBJECT", ls.head) else ref("OBJECT", "_Vertex")
+      // which vertex labels an edge label hops FROM (out_) / INTO (in_):
+      // scoped by the manifest endpoints when known, every vertex type
+      // otherwise (the executor accepts any — endpoints are untyped)
+      def eps(e: String) = endpoints(e)
+      val vertexTypes = vLabels.map { ls =>
+        val props = ls.schema.fields.toSeq.map(f => field(f.name, typeRef(f.dataType)))
+        val hops = eLabels.flatMap { el =>
+          val ep = eps(el.label)
+          val outHere = ep.forall(_._1.contains(ls.label))
+          val inHere = ep.forall(_._2.contains(ls.label))
+          Seq(
+            if (outHere) Some(field(s"out_${el.label}",
+              listOf(ep.map(p => target(p._2)).getOrElse(ref("OBJECT", "_Vertex"))))) else None,
+            if (inHere) Some(field(s"in_${el.label}",
+              listOf(ep.map(p => target(p._1)).getOrElse(ref("OBJECT", "_Vertex"))))) else None,
+            if (outHere || inHere) Some(field(s"both_${el.label}",
+              listOf(ep.map(p => target(p._1 ++ p._2)).getOrElse(ref("OBJECT", "_Vertex"))))) else None
+          ).flatten
+        }
+        fullType("OBJECT", ls.label, Some(
+          field("id", ref("SCALAR", "Long")) +: field("label", ref("SCALAR", "String")) +:
+            (props ++ hops)))
+      }
+      val edgeTypes = eLabels.map { ls =>
+        val props = ls.schema.fields.toSeq.map(f => field(f.name, typeRef(f.dataType)))
+        fullType("OBJECT", ls.label, Some(
+          field("src", ref("SCALAR", "Long")) +: field("dst", ref("SCALAR", "Long")) +:
+            field("label", ref("SCALAR", "String")) +: props))
+      }
+      val vertexGeneric = fullType("OBJECT", "_Vertex", Some(Seq(
+        field("id", ref("SCALAR", "Long")), field("label", ref("SCALAR", "String")))))
+      val inputTypes = gs.labels.map { ls =>
+        val extra = if (ls.kind == "edge")
+          Seq(inputValue("from", ref("SCALAR", "Long")),
+            inputValue("to", ref("SCALAR", "Long")))
+        else Nil
+        fullType("INPUT_OBJECT", s"${ls.label}Input", None,
+          Some(extra ++ ls.schema.fields.toSeq.map(f =>
+            inputValue(f.name, typeRef(f.dataType)))))
+      }
+      val queryType = fullType("OBJECT", "Query", Some(vLabels.map { ls =>
+        field(ls.label, listOf(ref("OBJECT", ls.label)),
+          ls.schema.fields.toSeq.map(f => inputValue(f.name, typeRef(f.dataType))) ++
+            Seq(inputValue("orderBy", ref("SCALAR", "String")),
+              inputValue("limit", ref("SCALAR", "Int"))))
+      }))
+      val mutationType = fullType("OBJECT", "Mutation", Some(gs.labels.flatMap { ls =>
+        val in = ref("INPUT_OBJECT", s"${ls.label}Input")
+        Seq(
+          field(s"create${ls.label}", ref("SCALAR", "Int"),
+            Seq(inputValue("input", in))),
+          field(s"update${ls.label}", ref("SCALAR", "Int"),
+            Seq(inputValue("where", in), inputValue("set", in))),
+          field(s"delete${ls.label}", ref("SCALAR", "Int"),
+            Seq(inputValue("where", in))))
+      }))
+      scalars ++ Seq(vertexGeneric) ++ vertexTypes ++ edgeTypes ++ inputTypes ++
+        Seq(queryType, mutationType)
+    }
+
+    private val TypeNameRe = """__type\s*\(\s*name\s*:\s*"([^"]+)"""".r
+
+    def serve(gs: graft.model.GraphSchema, doc: String,
+        endpoints: String => Option[(Set[String], Set[String])]): String = {
+      val types = allTypes(gs, endpoints)
+      val body: JValue =
+        if (doc.contains("__schema"))
+          JObject("data" -> JObject("__schema" -> JObject(
+            "queryType" -> JObject("name" -> JString("Query")),
+            "mutationType" -> JObject("name" -> JString("Mutation")),
+            "subscriptionType" -> JNull,
+            "types" -> JArray(types.toList),
+            "directives" -> JArray(Nil))))
+        else {
+          val name = TypeNameRe.findFirstMatchIn(doc).map(_.group(1)).getOrElse(
+            throw new IllegalArgumentException(
+              """__type takes a name argument: __type(name: "Type")"""))
+          JObject("data" -> JObject("__type" ->
+            types.find(t => t \ "name" == JString(name)).getOrElse(JNull)))
+        }
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(body))
+    }
+  }
+
   /** Walk the selection set: scalars become aliased columns off the
     * current binding; hop fields recurse with a fresh binding. Returns
     * the traversal with all joins applied plus the ordered projection. */

@@ -270,6 +270,17 @@ object QueryServer {
       // honest answer for a Catalyst-backed engine
       val explain = command0.trim.toUpperCase.startsWith("EXPLAIN ")
       val command = if (explain) command0.trim.drop("EXPLAIN ".length) else command0
+      // GraphQL introspection (`__schema`/`__type`): the client
+      // handshake answers straight from the schema registry as a
+      // spec-shaped `{"data": …}` response (what stock clients parse)
+      // — no DataFrame, no paging. Hop relations type concretely via
+      // the manifest's observed edge endpoints when a store is bound.
+      if (language == "graphql" && GraphQl.isIntrospection(command)) {
+        val eps = store.map(ctx =>
+          graft.load.Store.readManifest(ctx.dir).edgeEndpoints)
+          .getOrElse(Map.empty[String, (Set[String], Set[String])])
+        return GraphQl.introspect(snap.gschema, command, eps.get(_))
+      }
       val df: DataFrame = language match {
         // reference parity: "sql" is ArcadeDB SQL. Dialect-anchored
         // commands (FROM a known label / TRAVERSE / MATCH) compile via

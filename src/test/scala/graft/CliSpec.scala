@@ -66,6 +66,41 @@ class CliSpec extends SparkSpec {
       val gqlRows = (org.json4s.jackson.JsonMethods.parse(b2) \ "result").children
       assert(gqlRows.size == 25) // one row per nation under its region
 
+      // GraphQL client handshake: the canonical IntrospectionQuery —
+      // operation name, fragments and all, exactly as GraphiQL/codegen
+      // send it — must answer 200 with a spec-shaped {"data":
+      // {"__schema": …}} the client can build its schema from
+      val handshake = """query IntrospectionQuery {
+        __schema { queryType { name } mutationType { name }
+          types { ...FullType } } }
+        fragment FullType on __Type { kind name
+          fields(includeDeprecated: true) { name args { ...InputValue }
+            type { ...TypeRef } isDeprecated }
+          inputFields { ...InputValue } }
+        fragment InputValue on __InputValue { name type { ...TypeRef } defaultValue }
+        fragment TypeRef on __Type { kind name ofType { kind name } }"""
+      val (ci, bi) = post(s"""{"language":"graphql","command":${q(handshake)}}""")
+      assert(ci == 200, bi)
+      val intro = org.json4s.jackson.JsonMethods.parse(bi)
+      assert((intro \ "data" \ "__schema" \ "queryType" \ "name") ==
+        org.json4s.JString("Query"))
+      val typeNames = (intro \ "data" \ "__schema" \ "types").children
+        .map(t => t \ "name").collect { case org.json4s.JString(s) => s }
+      assert(Set("Query", "Mutation", "Customer", "Order", "PLACED",
+        "CustomerInput").subsetOf(typeNames.toSet), typeNames)
+      // the store manifest's observed endpoints type the hop concretely:
+      // Customer.out_PLACED → [Order]
+      val custT = (intro \ "data" \ "__schema" \ "types").children
+        .find(t => t \ "name" == org.json4s.JString("Customer")).get
+      val hopT = (custT \ "fields").children
+        .find(f => f \ "name" == org.json4s.JString("out_PLACED")).get
+      assert((hopT \ "type" \ "kind") == org.json4s.JString("LIST"))
+      assert((hopT \ "type" \ "ofType" \ "name") == org.json4s.JString("Order"))
+      // __type probe (the other handshake form)
+      val (ct, bt) = post(s"""{"language":"graphql","command":${q(
+        """{ __type(name: "Part") { name kind } }""")}}""")
+      assert(ct == 200 && bt.contains("\"Part\""), bt)
+
       // default limit pages large results
       val (c3, b3) = post(s"""{"language":"sql","command":${q("SELECT id FROM nodes")}}""")
       assert(c3 == 200)

@@ -157,4 +157,69 @@ class GraphQlSpec extends SparkSpec {
     intercept[IllegalArgumentException](GraphQl.parse(
       "mutation { deleteCustomer(where: {id: 1}) }"))
   }
+
+  test("introspection: __schema round-trips types, fields, and edge relations") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val gs = GraphLoader.schema
+    val eps = Map(
+      "PLACED" -> ((Set("Customer"), Set("Order"))),
+      "IN_REGION" -> ((Set("Nation"), Set("Region"))))
+    val j = JsonMethods.parse(GraphQl.introspect(gs,
+      "query IntrospectionQuery { __schema { queryType { name } } }", eps.get(_)))
+    assert((j \ "data" \ "__schema" \ "queryType" \ "name") == JString("Query"))
+    assert((j \ "data" \ "__schema" \ "mutationType" \ "name") == JString("Mutation"))
+    val types = (j \ "data" \ "__schema" \ "types").children
+    def typeNamed(n: String) = types.find(t => t \ "name" == JString(n))
+      .getOrElse(fail(s"type $n missing"))
+    def fieldNames(t: JValue) = (t \ "fields").children
+      .map(f => f \ "name").collect { case JString(s) => s }
+    // every declared label is an OBJECT carrying its declared properties
+    val cust = typeNamed("Customer")
+    assert(cust \ "kind" == JString("OBJECT"))
+    assert(Set("id", "label", "name", "acctbal", "mktsegment")
+      .subsetOf(fieldNames(cust).toSet))
+    // edge relation typed by the observed endpoints: Customer.out_PLACED
+    // → [Order]; the reverse hop lives on Order, not Customer
+    val hop = (cust \ "fields").children
+      .find(f => f \ "name" == JString("out_PLACED")).getOrElse(fail("no out_PLACED"))
+    assert(hop \ "type" \ "kind" == JString("LIST"))
+    assert(hop \ "type" \ "ofType" \ "name" == JString("Order"))
+    assert(!fieldNames(cust).contains("in_PLACED"))
+    assert(fieldNames(typeNamed("Order")).contains("in_PLACED"))
+    // an edge with NO endpoint record hops everywhere, typed _Vertex
+    val anyHop = (cust \ "fields").children
+      .find(f => f \ "name" == JString("out_CONTAINS")).getOrElse(fail("no out_CONTAINS"))
+    assert(anyHop \ "type" \ "ofType" \ "name" == JString("_Vertex"))
+    // the Query root serves one field per vertex label, args = the
+    // label's properties + orderBy/limit
+    val qf = (typeNamed("Query") \ "fields").children
+      .find(f => f \ "name" == JString("Customer")).getOrElse(fail("no Query.Customer"))
+    val argNames = (qf \ "args").children.map(a => a \ "name")
+      .collect { case JString(s) => s }
+    assert(argNames.toSet == Set("name", "acctbal", "mktsegment", "orderBy", "limit"))
+    // the mutation surface and its input shapes introspect too
+    assert(Set("createCustomer", "updateCustomer", "deleteCustomer", "createPLACED")
+      .subsetOf(fieldNames(typeNamed("Mutation")).toSet))
+    val in = typeNamed("PLACEDInput")
+    assert(in \ "kind" == JString("INPUT_OBJECT"))
+    val inFields = (in \ "inputFields").children.map(f => f \ "name")
+      .collect { case JString(s) => s }
+    assert(Set("from", "to").subsetOf(inFields.toSet))
+    // Long scalar: 64-bit ids must not masquerade as GraphQL Int
+    assert((typeNamed("_Vertex") \ "fields").children
+      .find(f => f \ "name" == JString("id"))
+      .exists(f => f \ "type" \ "name" == JString("Long")))
+    // __type probe: one named type; unknown name → null, not an error
+    val t = JsonMethods.parse(GraphQl.introspect(gs,
+      """{ __type(name: "Part") { name } }""", eps.get(_)))
+    assert(t \ "data" \ "__type" \ "name" == JString("Part"))
+    assert(t \ "data" \ "__type" \ "kind" == JString("OBJECT"))
+    val missing = JsonMethods.parse(GraphQl.introspect(gs,
+      """{ __type(name: "Nope") { name } }""", eps.get(_)))
+    assert(missing \ "data" \ "__type" == JNull)
+    // detection: introspection sniffs, data queries do not
+    assert(GraphQl.isIntrospection("query { __schema { types { name } } }"))
+    assert(!GraphQl.isIntrospection("{ Customer { name } }"))
+  }
 }
