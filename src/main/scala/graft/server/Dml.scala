@@ -12,7 +12,11 @@ import graft.load.GraphLoader
   *   INSERT INTO <Label> (c1, c2, …) VALUES (v1, …)[, (…)]…
   *   CREATE VERTEX <Label> SET k1 = v1, k2 = v2, …
   *   CREATE EDGE <Label> FROM <srcId> TO <dstId> [SET k = v, …]
-  *   UPDATE <Label> SET k = v, … [WHERE <pred>]
+  *   UPDATE <Label> SET k = v, … [UPSERT] [WHERE <pred>]
+  *   UPDATE <Label> REMOVE k [, …] [WHERE <pred>]
+  *   UPDATE <Label> INCREMENT k = n [, …] [WHERE <pred>]
+  *   UPDATE <Label> CONTENT {json} [WHERE <pred>]
+  *   UPDATE <Label> MERGE {json} [WHERE <pred>]
   *   DELETE FROM <Label> [WHERE <pred>]
   *
   * plus the runtime schema DDL the reference issues before loading
@@ -438,14 +442,23 @@ object Dml {
       // 'WHERE x'` — can never mis-split the statement the way the old
       // regex capture did
       case c if c.trim.toUpperCase.startsWith("UPDATE") =>
-        // UPDATE <Label> SET <tail>: the tail (assignments + [UPSERT] +
-        // WHERE) is the dialect grammar — SET values are full
-        // expressions over the row, and a string literal holding a
-        // keyword can never mis-split the statement
+        // UPDATE <Label> SET|REMOVE|INCREMENT|CONTENT|MERGE <tail>
+        // (ArcadeDB's update content forms [dep, ArcadeDB 22.8 SQL
+        // update grammar, `src/pom.xml:104-108`]), all compiling onto
+        // the SAME copy-on-write rewrite: REMOVE nulls properties
+        // (A7: absent key ≡ null — MANDATORY re-validation fires),
+        // INCREMENT adds a numeric delta, CONTENT replaces the whole
+        // declared property content (unmentioned props null out, keys/
+        // topology survive — ArcadeDB keeps the @rid), MERGE sets just
+        // the mentioned props. The SET tail is the dialect grammar —
+        // values are full expressions over the row, and a string
+        // literal holding a keyword can never mis-split the statement.
         val lx = new Lexer(c)
         lx.keyword("UPDATE")
         val label = lx.ident()
-        lx.keyword("SET")
+        val op = lx.ident().toUpperCase
+        if (op != "SET") return executeUpdateForm(
+          spark, storeDir, label, kindOf(label), op, lx.rest(), gs, txn)
         val spec = graft.query.ArcadeSql.updateSpec(lx.rest())
         clientCastErrors {
           val n = GraphLoader.updateColumns(spark, storeDir, label, kindOf(label),
@@ -511,6 +524,172 @@ object Dml {
             "CREATE EDGE … FROM … TO …; ALTER forms are ALTER PROPERTY T.p " +
             "MANDATORY|NOTNULL|READONLY true|false and " +
             "MIN|MAX|REGEXP|DEFAULT <literal>|null)")
+    }
+  }
+
+  /** The non-SET update content forms, compiled onto
+    * [[GraphLoader.updateColumns]]'s rewrite (so READONLY/immutable/
+    * UNIQUE/constraint invariants hold identically):
+    *
+    *   UPDATE T REMOVE f [, g]      [WHERE p]   → f, g ← null
+    *   UPDATE T INCREMENT f = n [, …] [WHERE p] → f ← f + n
+    *   UPDATE T CONTENT {json}      [WHERE p]   → declared props ←
+    *     json value or null (full content replacement, keys survive)
+    *   UPDATE T MERGE {json}        [WHERE p]   → mentioned props ← value
+    *
+    * JSON values are scalars (string/number/boolean/null) — nested
+    * objects/arrays are refused loudly, matching the flat property
+    * model. UPSERT applies to the SET form only. */
+  private def executeUpdateForm(spark: SparkSession, storeDir: String,
+      label: String, kind: String, op: String, tail: String,
+      gs: graft.model.GraphSchema,
+      txn: Option[graft.load.StoreTxn]): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val declared = gs.labels.find(_.label == label).map(_.schema.fieldNames.toSet)
+      .getOrElse(throw new IllegalArgumentException(s"unknown label: $label"))
+    def whereOf(rest: String): org.apache.spark.sql.Column = {
+      val t = rest.trim
+      if (t.isEmpty) lit(true)
+      else {
+        val wlx = new Lexer(t)
+        wlx.keyword("WHERE")
+        graft.query.ArcadeSql.predicate(wlx.rest())
+      }
+    }
+    val (sets, where): (Map[String, org.apache.spark.sql.Column],
+        org.apache.spark.sql.Column) = op match {
+      case "REMOVE" =>
+        val lx = new Lexer(tail)
+        val fields = scala.collection.mutable.ArrayBuffer(lx.ident())
+        lx.ws()
+        while (lx.peek == ',') { lx.i += 1; fields += lx.ident(); lx.ws() }
+        (fields.map(f => f -> lit(null).cast("string")).toMap, whereOf(lx.rest()))
+      case "INCREMENT" =>
+        val lx = new Lexer(tail)
+        val pairs = scala.collection.mutable.ArrayBuffer[(String, Any)]()
+        var more = true
+        while (more) {
+          val f = lx.ident(); lx.expect('='); pairs += f -> lx.literal()
+          lx.ws()
+          if (lx.peek == ',') lx.i += 1 else more = false
+        }
+        val sets = pairs.map { case (f, v) =>
+          v match {
+            case n: Long => f -> (col(f) + lit(n))
+            case d: Double => f -> (col(f) + lit(d))
+            case other => throw new IllegalArgumentException(
+              s"INCREMENT takes numeric deltas, got '$other' for $f")
+          }
+        }.toMap
+        (sets, whereOf(lx.rest()))
+      case "CONTENT" | "MERGE" =>
+        val (json, rest) = splitJsonObject(tail)
+        val content = parseFlatJson(json, op)
+        val unknown = content.keySet -- declared
+        require(unknown.isEmpty,
+          s"$op rejected: ${unknown.mkString(", ")} not declared on $label " +
+            "(keys/topology cannot be set through content forms)")
+        val sets =
+          if (op == "MERGE") content.map { case (k, v) => k -> lit(v) }
+          else declared.map(k => // full replacement: unmentioned → null
+            k -> content.get(k).map(lit).getOrElse(lit(null).cast("string"))).toMap
+        (sets, whereOf(rest))
+      case other => throw new IllegalArgumentException(
+        s"unsupported UPDATE operation $other (expected SET, REMOVE, " +
+          "INCREMENT, CONTENT, or MERGE)")
+    }
+    clientCastErrors {
+      val n = GraphLoader.updateColumns(spark, storeDir, label, kind, sets, where, txn)
+      if (txn.isEmpty) graft.load.Store.sweep(storeDir, keepPerLabel = 1)
+      n
+    }
+  }
+
+  /** Split a `sqlscript` batch into its statements on TOP-LEVEL
+    * semicolons: quoted literals (the dialect's ''-escaped single
+    * quotes AND the content forms' double-quoted JSON strings) are
+    * opaque, so a `;` inside either never mis-splits. Empty statements
+    * (a trailing `;`, blank lines) are dropped. The server routes the
+    * result through the same atomic batch as `{"commands": […]}`. */
+  def splitScript(script: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var i = 0
+    var quote: Char = 0 // 0 = top level, else the active quote char
+    while (i < script.length) {
+      val ch = script(i)
+      if (quote != 0) {
+        cur.append(ch)
+        if (ch == quote) {
+          // '' escapes a quote INSIDE a single-quoted literal
+          if (quote == '\'' && i + 1 < script.length && script(i + 1) == '\'') {
+            cur.append('\''); i += 1
+          } else quote = 0
+        } else if (quote == '"' && ch == '\\' && i + 1 < script.length) {
+          cur.append(script(i + 1)); i += 1 // json escape
+        }
+      } else ch match {
+        case '\'' | '"' => quote = ch; cur.append(ch)
+        case ';' => out += cur.toString; cur.clear()
+        case c => cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.toString
+    require(quote == 0, "sqlscript has an unterminated quoted literal")
+    val stmts = out.map(_.trim).filter(_.nonEmpty).toSeq
+    require(stmts.nonEmpty, "empty sqlscript")
+    stmts
+  }
+
+  /** Split `{…json…} [tail]`, matching the object's braces while
+    * respecting double-quoted strings with escapes — a WHERE keyword
+    * inside a JSON string can never mis-split the statement. */
+  private def splitJsonObject(s: String): (String, String) = {
+    val start = s.indexOf('{')
+    require(start >= 0 && s.take(start).trim.isEmpty,
+      "CONTENT/MERGE take a {…} JSON object")
+    var i = start; var depth = 0; var inStr = false
+    while (i < s.length) {
+      val ch = s(i)
+      if (inStr) {
+        if (ch == '\\') i += 1
+        else if (ch == '"') inStr = false
+      } else ch match {
+        case '"' => inStr = true
+        case '{' => depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0) return (s.substring(start, i + 1), s.substring(i + 1))
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException("unterminated JSON object")
+  }
+
+  /** A flat JSON object as property literals; nested structures are
+    * refused (flat property model). */
+  private def parseFlatJson(json: String, op: String): Map[String, Any] = {
+    import org.json4s._
+    val parsed = try org.json4s.jackson.JsonMethods.parse(json)
+    catch { case e: Exception => throw new IllegalArgumentException(
+      s"$op JSON does not parse: ${e.getMessage}") }
+    parsed match {
+      case JObject(fields) => fields.map { case (k, v) =>
+        k -> (v match {
+          case JString(x) => x
+          case JInt(x) => x.toLong
+          case JLong(x) => x
+          case JDouble(x) => x
+          case JDecimal(x) => x.toDouble
+          case JBool(x) => x
+          case JNull => null
+          case other => throw new IllegalArgumentException(
+            s"$op values must be scalars; $k is ${other.getClass.getSimpleName}")
+        })
+      }.toMap
+      case _ => throw new IllegalArgumentException(s"$op takes a JSON object")
     }
   }
 

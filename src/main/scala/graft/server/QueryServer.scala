@@ -551,6 +551,16 @@ object QueryServer {
             val dml = graft.query.GraphQl.mutationToDml(command)
             gqlBatch = dml.size > 1
             dml
+          // the dialect-native batch spelling (`language:"sqlscript"`,
+          // `;`-separated statements): splits at top level — a `;`
+          // inside a quoted literal or CONTENT/MERGE json never
+          // mis-splits — and routes through the SAME atomic batch as
+          // the JSON `{"commands": […]}` form (one manifest swap;
+          // mid-script failure rolls the whole script back)
+          case "sqlscript" =>
+            val stmts = Dml.splitScript(command)
+            gqlBatch = stmts.size > 1
+            stmts
           case other =>
             throw new IllegalArgumentException(s"unsupported command language: $other")
         }

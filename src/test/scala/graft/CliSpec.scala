@@ -381,6 +381,26 @@ class CliSpec extends SparkSpec {
           |"INSERT INTO Customer (id, name) VALUES (1996001, 'Customer#dup')"]}""".stripMargin)
       assert(c2 == 400)
       assert(countOf("SELECT count(*) AS cnt FROM nodes WHERE id = 1996002") == 0)
+
+      // sqlscript: the dialect-native `;`-separated batch spelling —
+      // same atomic commit; a `;` inside a quoted literal never splits
+      val script = "INSERT INTO Customer (id, name) VALUES (1996003, 'a; b');" +
+        "INSERT INTO Supplier (id, name) VALUES (2996003, 'Supplier#s1');" +
+        "CREATE EDGE IN_NATION FROM 1996003 TO 101;"
+      val (c3, b3) = fire("command",
+        s"""{"language":"sqlscript","command":"${script.replace("\"", "\\\"")}"}""")
+      assert(c3 == 200, b3)
+      assert(b3.contains("\"count\":3"))
+      assert(countOf("SELECT count(*) AS cnt FROM nodes WHERE id IN (1996003, 2996003)") == 2)
+      assert(countOf(
+        "SELECT count(*) AS cnt FROM nodes WHERE name = 'a; b'") == 1)
+      // mid-script failure rolls the WHOLE script back
+      val failing = "INSERT INTO Customer (id, name) VALUES (1996004, 'Customer#s2');" +
+        "INSERT INTO Customer (id, name) VALUES (1996003, 'Customer#dup')"
+      val (c4, _) = fire("command",
+        s"""{"language":"sqlscript","command":"$failing"}""")
+      assert(c4 == 400)
+      assert(countOf("SELECT count(*) AS cnt FROM nodes WHERE id = 1996004") == 0)
     } finally srv.stop()
   }
 
@@ -579,6 +599,23 @@ class CliSpec extends SparkSpec {
       val (qc, qb) = post("query",
         """{"language":"arcadesql","command":"SELECT title FROM Topic WHERE title LIKE 'gen%'"}""")
       assert(qc == 200 && qb.contains("genomes"))
+
+      // update content forms over HTTP: INCREMENT / MERGE / REMOVE /
+      // CONTENT against the live store (ArcadeDB update grammar)
+      cmdOk("CREATE PROPERTY Topic.hits LONG")
+      cmdOk("INSERT INTO Topic (id, title, hits) VALUES (9100003, 'proteins', 5)")
+      cmdOk("UPDATE Topic INCREMENT hits = 2 WHERE id = 9100003")
+      assert(post("command",
+        """{"language":"sql","command":"UPDATE Topic MERGE {\"title\": \"proteomes\"} WHERE id = 9100003"}""")._1 == 200)
+      val (uc1, ub1) = post("query",
+        """{"language":"arcadesql","command":"SELECT title, hits FROM Topic WHERE id = 9100003"}""")
+      assert(uc1 == 200 && ub1.contains("proteomes") && ub1.contains("7"), ub1)
+      cmdOk("UPDATE Topic REMOVE hits WHERE id = 9100003")
+      assert(post("command",
+        """{"language":"sql","command":"UPDATE Topic CONTENT {\"title\": \"archaea\"} WHERE id = 9100003"}""")._1 == 200)
+      val (uc2, ub2) = post("query",
+        """{"language":"arcadesql","command":"SELECT title, hits FROM Topic WHERE id = 9100003"}""")
+      assert(uc2 == 200 && ub2.contains("archaea") && !ub2.contains("proteomes"), ub2)
     } finally srv.stop()
   }
 

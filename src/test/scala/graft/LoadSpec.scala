@@ -257,6 +257,65 @@ class LoadSpec extends SparkSpec {
       Dml.execute(spark, out, "UPDATE Customer SET mktsegment = 'x' TRAILING"))
   }
 
+  test("UPDATE content forms: REMOVE / INCREMENT / CONTENT / MERGE") {
+    val out = Files.createTempDirectory("graftupf").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    import graft.server.Dml
+    def cust(id: Long) = storeNodes(out).filter(col("id") === id)
+
+    // INCREMENT: numeric delta over the current value, negatives too
+    val bal0 = cust(1000045L).select("acctbal").head.getDouble(0)
+    assert(Dml.execute(spark, out,
+      "UPDATE Customer INCREMENT acctbal = 10.5 WHERE id = 1000045") == 1)
+    assert(Dml.execute(spark, out,
+      "UPDATE Customer INCREMENT acctbal = -0.25 WHERE id = 1000045") == 1)
+    assert(cust(1000045L).select("acctbal").head.getDouble(0) == bal0 + 10.25)
+    intercept[IllegalArgumentException](Dml.execute(spark, out,
+      "UPDATE Customer INCREMENT mktsegment = 'x' WHERE id = 1000045"))
+
+    // REMOVE: property nulls out (A7: absent ≡ null), others untouched
+    assert(Dml.execute(spark, out,
+      "UPDATE Customer REMOVE mktsegment WHERE id = 1000046") == 1)
+    val r46 = cust(1000046L).select("mktsegment", "name").head
+    assert(r46.isNullAt(0) && !r46.isNullAt(1))
+
+    // MERGE: mentioned props set, the rest survive; a WHERE (or brace)
+    // inside a JSON string never mis-splits the statement
+    assert(Dml.execute(spark, out,
+      """UPDATE Customer MERGE {"mktsegment": "MERGED"} WHERE id = 1000047""") == 1)
+    val r47 = cust(1000047L).select("mktsegment", "name").head
+    assert(r47.getString(0) == "MERGED" && !r47.isNullAt(1))
+    assert(Dml.execute(spark, out,
+      """UPDATE Customer MERGE {"mktsegment": "WHERE } x"} WHERE id = 1000047""") == 1)
+    assert(cust(1000047L).select("mktsegment").head.getString(0) == "WHERE } x")
+
+    // CONTENT: full replacement — unmentioned declared props null out,
+    // keys/topology survive (the record keeps its identity)
+    assert(Dml.execute(spark, out,
+      """UPDATE Customer CONTENT {"name": "Customer#content", "acctbal": 5.0}
+         WHERE id = 1000048""".replace("\n", " ")) == 1)
+    val r48 = cust(1000048L).select("name", "acctbal", "mktsegment", "id").head
+    assert(r48.getString(0) == "Customer#content" && r48.getDouble(1) == 5.0)
+    assert(r48.isNullAt(2) && r48.getLong(3) == 1000048L)
+
+    // refusals: undeclared/reserved keys, nested JSON, zero-match is 0
+    intercept[IllegalArgumentException](Dml.execute(spark, out,
+      """UPDATE Customer CONTENT {"id": 9} WHERE id = 1000049"""))
+    intercept[IllegalArgumentException](Dml.execute(spark, out,
+      """UPDATE Customer MERGE {"nope": 1} WHERE id = 1000049"""))
+    intercept[IllegalArgumentException](Dml.execute(spark, out,
+      """UPDATE Customer MERGE {"mktsegment": {"a": 1}} WHERE id = 1000049"""))
+    assert(Dml.execute(spark, out,
+      """UPDATE Customer MERGE {"mktsegment": "Z"} WHERE id = 1""") == 0)
+
+    // constraint re-validation rides the same rewrite: REMOVE of a
+    // MANDATORY property is rejected and the store stays untouched
+    Dml.execute(spark, out, "ALTER PROPERTY Customer.name MANDATORY true")
+    intercept[IllegalArgumentException](Dml.execute(spark, out,
+      "UPDATE Customer REMOVE name WHERE id = 1000049"))
+    assert(!cust(1000049L).select("name").head.isNullAt(0))
+  }
+
   test("generation commit: crash debris is invisible and swept; commit is atomic") {
     val out = Files.createTempDirectory("graftrec").toString
     GraphLoader.writeGraph(spark, sfDir, out)
