@@ -42,7 +42,7 @@ object ArcadeSqlQueries {
     (s, d) => ArcadeSql.compile(GraphLoader.openGraph(s, ftStore(s, d)),
       GraphLoader.schema, text)
 
-  import GraphLoader.{CustomerOff, OrderOff, PartOff, SupplierOff}
+  import GraphLoader.{CustomerOff, NationOff, OrderOff, PartOff, RegionOff, SupplierOff}
 
   def queries: Seq[Q] = Seq(
 
@@ -125,6 +125,45 @@ object ArcadeSqlQueries {
           WHERE r.depth < 3 AND (r.depth = 0 OR r.node_id NOT IN (SELECT id FROM guarded)))
         SELECT depth, CAST(count(*) AS BIGINT) AS cnt FROM (
           SELECT node_id, MIN(depth) AS depth FROM r GROUP BY node_id) GROUP BY depth""")),
+
+    // TRAVERSE with $path (round 12, VERDICT r11 missing #3): each
+    // visited record carries the id array of its canonical root-to-node
+    // path — minimal depth, ties to the lexicographically smallest
+    // array, computed as a struct-min aggregate over the path-carrying
+    // BFS. Oracle: recursive CTE building the same arrays, canonical
+    // pick via row_number over (depth, path).
+    Q("asql_traverse_path",
+      // the id-array rides the driver compare as a '>'-joined string
+      // (the agg_collect canonicalization — the comparator hashes
+      // scalars); the dialect query itself projects the real array
+      (s, d) => asql("""SELECT name, $depth AS depth, $path AS path
+        FROM (TRAVERSE in('IN_REGION', 'IN_NATION') FROM (SELECT FROM Region WHERE name = 'ASIA')
+              MAXDEPTH 2)""")(s, d)
+        .withColumn("path", org.apache.spark.sql.functions.concat_ws(">",
+          org.apache.spark.sql.functions.col("path"))),
+      Some(s"""WITH RECURSIVE hop AS (
+          SELECT DISTINCT CAST(n_regionkey + $RegionOff AS BIGINT) AS f,
+            CAST(n_nationkey + $NationOff AS BIGINT) AS t FROM nation
+          UNION SELECT DISTINCT CAST(c_nationkey + $NationOff AS BIGINT),
+            CAST(c_custkey + $CustomerOff AS BIGINT) FROM customer
+          UNION SELECT DISTINCT CAST(s_nationkey + $NationOff AS BIGINT),
+            CAST(s_suppkey + $SupplierOff AS BIGINT) FROM supplier),
+        r AS (
+          SELECT CAST(r_regionkey + $RegionOff AS BIGINT) AS node_id, 0 AS depth,
+            [CAST(r_regionkey + $RegionOff AS BIGINT)] AS path
+          FROM region WHERE r_name = 'ASIA'
+          UNION ALL SELECT hop.t, r.depth + 1, list_append(r.path, hop.t)
+          FROM r JOIN hop ON hop.f = r.node_id WHERE r.depth < 2),
+        m AS (SELECT node_id, depth, path,
+            row_number() OVER (PARTITION BY node_id ORDER BY depth, path) AS rn FROM r),
+        names AS (
+          SELECT CAST(r_regionkey + $RegionOff AS BIGINT) AS id, r_name AS name FROM region
+          UNION ALL SELECT CAST(n_nationkey + $NationOff AS BIGINT), n_name FROM nation
+          UNION ALL SELECT CAST(c_custkey + $CustomerOff AS BIGINT), c_name FROM customer
+          UNION ALL SELECT CAST(s_suppkey + $SupplierOff AS BIGINT), s_name FROM supplier)
+        SELECT names.name AS name, m.depth AS depth,
+          array_to_string(m.path, '>') AS path
+        FROM m JOIN names ON names.id = m.node_id WHERE m.rn = 1""")),
 
     // MATCH pattern with per-binding where — identical twin of the
     // green graphql_hop oracle: the dialect, GraphQL, and the DataFrame

@@ -82,6 +82,7 @@ object ArcadeSql {
   final case class Func(name: String, args: Seq[Expr]) extends Expr
   case object Star extends Expr
   case object Depth extends Expr // $depth
+  case object Path extends Expr // $path (TRAVERSE lineage projection)
   final case class HopExpr(dir: String, labels: Seq[String]) extends Expr
 
   final case class Proj(expr: Expr, alias: Option[String])
@@ -603,7 +604,9 @@ object ArcadeSql {
         case '$' =>
           i += 1
           val v = ident()
-          if (v.equalsIgnoreCase("depth")) Depth else Var(v)
+          if (v.equalsIgnoreCase("depth")) Depth
+          else if (v.equalsIgnoreCase("path")) Path
+          else Var(v)
         // record attributes: @type is the record's type name (our label
         // column), @rid its identity (our id). No other @attribute maps
         // onto the Spark store — fail loudly.
@@ -705,7 +708,7 @@ object ArcadeSql {
   private def mapExpr(e: Expr)(f: PartialFunction[Expr, Expr]): Expr = {
     val rec: Expr => Expr = mapExpr(_)(f)
     val mapped = e match {
-      case Lit(_) | Ident(_) | PathIdent(_, _) | Var(_) | Star | Depth | HopExpr(_, _) => e
+      case Lit(_) | Ident(_) | PathIdent(_, _) | Var(_) | Star | Depth | Path | HopExpr(_, _) => e
       case ListLit(vs) => ListLit(vs.map(rec))
       case Bin(op, l, r) => Bin(op, rec(l), rec(r))
       case Not(x) => Not(rec(x))
@@ -844,10 +847,11 @@ object ArcadeSql {
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
 
-  private def compileStmt(g: PropertyGraph, gs: GraphSchema, stmt: Stmt): DataFrame =
+  private def compileStmt(g: PropertyGraph, gs: GraphSchema, stmt: Stmt,
+      wantPath: Boolean = false): DataFrame =
     stmt match {
       case sel: Select => compileSelect(g, gs, sel)
-      case tr: Traverse => compileTraverse(g, gs, tr)
+      case tr: Traverse => compileTraverse(g, gs, tr, wantPath)
       case m: MatchStmt => compileMatch(g, gs, m)
     }
 
@@ -860,7 +864,8 @@ object ArcadeSql {
     * declared properties (nodes), or src/dst/label + properties (edges).
     * Dialect parity: `SELECT FROM Customer` returns Customer's schema,
     * not the union-store's sparse columns. */
-  private def sourceFrame(g: PropertyGraph, gs: GraphSchema, src: Source): DataFrame =
+  private def sourceFrame(g: PropertyGraph, gs: GraphSchema, src: Source,
+      wantPath: Boolean = false): DataFrame =
     src match {
       case LabelSource(l) =>
         gs.labels.find(_.label == l) match {
@@ -957,7 +962,7 @@ object ArcadeSql {
             .select(pruned.schema.fields.map(f =>
               lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*))
         crossGuard.foldLeft(pruned.unionByName(guard))(_.unionByName(_))
-      case SubSource(st) => compileStmt(g, gs, st)
+      case SubSource(st) => compileStmt(g, gs, st, wantPath)
       case UnitSource => fail("this statement form needs a FROM source")
     }
 
@@ -977,6 +982,7 @@ object ArcadeSql {
     case Ident(n) => resolve(n)
     case PathIdent(b, p) => resolve(s"$b.$p")
     case Depth => resolve("$depth")
+    case Path => resolve("$path")
     case Var(n) => resolve(s"$$$n") // scalar LET binding (bound upstream)
     case _: InSubquery =>
       fail("IN (SELECT …) is only supported as a top-level AND-conjunct of WHERE")
@@ -1178,6 +1184,7 @@ object ArcadeSql {
     case Ident(n) => n
     case PathIdent(b, p) => s"${b}_$p"
     case Depth => "$depth"
+    case Path => "$path"
     case _ => fail("computed projection needs an AS alias")
   }
 
@@ -1285,7 +1292,11 @@ object ArcadeSql {
     val base = sel.from match {
       case UnitSource => fail("a FROM-less SELECT can only project expand($x) " +
         "or expand(<set function>) over its LET bindings")
-      case src => sourceFrame(g, gs, src)
+      // $path is computed only when the SELECT references it: the
+      // lineage BFS carries id arrays through every frontier (heavier
+      // rows, a min-agg dedup instead of distinct), so path-free
+      // TRAVERSE queries must keep their existing plan
+      case src => sourceFrame(g, gs, src, selectWantsPath(sel))
     }
     val resolve: String => Column = n => base(n)
 
@@ -1619,7 +1630,21 @@ object ArcadeSql {
     case other => (None, Some(other))
   }
 
-  private def compileTraverse(g: PropertyGraph, gs: GraphSchema, tr: Traverse): DataFrame = {
+  /** Does any expression position of the SELECT reference `$path`?
+    * (Nested subquery positions count — mapExpr recurses.) */
+  private def selectWantsPath(sel: Select): Boolean = {
+    var found = false
+    val probe: PartialFunction[Expr, Expr] = { case Path => found = true; Path }
+    sel.projs.foreach(p => mapExpr(p.expr)(probe))
+    sel.where.foreach(mapExpr(_)(probe))
+    sel.groupBy.foreach(mapExpr(_)(probe))
+    sel.orderBy.foreach { case (e, _) => mapExpr(e)(probe) }
+    sel.lets.foreach { case (_, e) => mapExpr(e)(probe) }
+    found
+  }
+
+  private def compileTraverse(g: PropertyGraph, gs: GraphSchema, tr: Traverse,
+      withPath: Boolean = false): DataFrame = {
     val dirs = tr.hops.map(_.dir).distinct
     if (dirs.size != 1)
       fail("TRAVERSE with mixed out()/in() directions is unsupported — use both()")
@@ -1637,6 +1662,17 @@ object ArcadeSql {
     }
     val guard = whilePred.map(p => ce(p, n => g.nodes(n)))
 
+    if (withPath) {
+      // lineage projection ($path): the path-carrying BFS; global
+      // semantics stay "each record once, minimal depth across roots",
+      // the canonical path = min (depth, id array) — one struct-min
+      // aggregate, deterministic and oracle-reproducible
+      val visited = g.traversePaths(starts, labels, dirs.head, maxDepth, guard)
+      val firstVisit = visited.groupBy(col("node_id").as("id"))
+        .agg(min(struct(col("depth"), col("path"))).as("b"))
+        .select(col("id"), col("b.depth").as("$depth"), col("b.path").as("$path"))
+      return g.nodes.join(firstVisit, Seq("id"), "inner")
+    }
     val visited = maxDepth match {
       case Some(d) => g.traverse(starts, labels, dirs.head, d,
         guard.getOrElse(lit(true)))

@@ -87,6 +87,63 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
     visited
   }
 
+  /** TRAVERSE with LINEAGE (`$path`, SURVEY §2.B.3): the same
+    * breadth-first loop as [[traverse]]/[[traverseUnbounded]], carrying
+    * the id array of ONE canonical root-to-node path. Canonical =
+    * minimal depth, ties to the lexicographically smallest id array —
+    * deterministic and engine-independent, so a SQL oracle reproduces
+    * it. The induction that makes one array per frontier row enough:
+    * every minimal-depth-d path to a node runs through a parent whose
+    * own minimal depth is exactly d−1 (a shallower parent would give
+    * the node a shallower path), and all candidate arrays share length
+    * d, so `min(parent.path) ++ node` IS the global minimum — computed
+    * as ONE map-side-combinable min aggregate per (start, node), never
+    * an enumeration of paths. Paths never revisit a node: the frontier
+    * anti-joins the visited set, exactly like the path-free loops, so
+    * cycles terminate (GraphSpec). `maxDepth` None runs to fixpoint.
+    * Returns (start_id, node_id, depth, path) with path(0) = start_id
+    * and path(depth) = node_id. */
+  def traversePaths(startNodes: DataFrame, edgeLabels: Seq[String],
+      direction: String, maxDepth: Option[Int],
+      whileNode: Option[Column] = None): DataFrame = {
+    val hop = hopRelation(edgeLabels, direction).localCheckpoint(true)
+    val expandable = whileNode.map(p =>
+      nodes.filter(p).select(col("id").as("node_id")).localCheckpoint(true))
+    var frontier = startNodes.select(col("id").as("start_id"),
+        col("id").as("node_id"), lit(0).as("depth"), array(col("id")).as("path"))
+      .localCheckpoint(true)
+    var visited = frontier
+    var d = 0
+    var drained = false
+    while (!drained && maxDepth.forall(d < _)) {
+      d += 1
+      val expanding = expandable match {
+        case Some(exp) if d > 1 => frontier.join(exp, Seq("node_id"), "left_semi")
+        case _ => frontier // no guard, or the start frontier (always expands)
+      }
+      // candidate arrays fold through a partial-aggregated min on the
+      // (start, node) key — the dedup the path-free loop does with
+      // distinct(), with the canonical-path pick riding the same shuffle
+      val reached = expanding.join(hop, expanding("node_id") === hop("from"))
+        .select(col("start_id"), col("to").as("node_id"),
+          concat(col("path"), array(col("to"))).as("path"))
+        .groupBy(col("start_id"), col("node_id"))
+        .agg(min(col("path")).as("path"))
+        .localCheckpoint(true)
+      if (reached.isEmpty) drained = true
+      else {
+        frontier = reached.join(visited.select("start_id", "node_id"),
+          Seq("start_id", "node_id"), "left_anti")
+          .select(col("start_id"), col("node_id"), lit(d).as("depth"), col("path"))
+          .localCheckpoint(true)
+        drained = frontier.isEmpty
+        visited = visited.unionByName(frontier)
+        if (d % 8 == 0) visited = visited.localCheckpoint(true)
+      }
+    }
+    visited
+  }
+
   /** The (from, to) relation a traversal expands over. Parallel edges
     * are collapsed up front: BFS reachability only needs edge
     * EXISTENCE, and deduping once here (e.g. SUPPLIED_BY carries one

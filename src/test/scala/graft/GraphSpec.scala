@@ -234,4 +234,46 @@ class GraphSpec extends SparkSpec {
       assert(math.abs(x.getDouble(1) - y.getDouble(1)) < 1e-9)
     }
   }
+
+  test("traversePaths: canonical min-path on a diamond; cycles never revisit") {
+    import spark.implicits._
+    // diamond: 1→2→4, 1→3→4 — both paths reach 4 at depth 2; the
+    // canonical pick is the lexicographically smaller [1,2,4]
+    val n = Seq((1L, "N"), (2L, "N"), (3L, "N"), (4L, "N")).toDF("id", "label")
+    val e = Seq((1L, 2L, "E"), (1L, 3L, "E"), (2L, 4L, "E"), (3L, 4L, "E"))
+      .toDF("src", "dst", "label")
+    val pg = PropertyGraph(n, e)
+    val paths = pg.traversePaths(n.filter(col("id") === 1), Seq("E"), "out", None)
+      .collect().map(r => r.getLong(1) -> ((r.getInt(2), r.getSeq[Long](3)))).toMap
+    assert(paths == Map(
+      1L -> ((0, Seq(1L))), 2L -> ((1, Seq(1L, 2L))), 3L -> ((1, Seq(1L, 3L))),
+      4L -> ((2, Seq(1L, 2L, 4L)))))
+    // a SHALLOWER reach always wins over a smaller-array deeper one:
+    // 1→5 direct (depth 1) beats 1→2→5 even though both are valid
+    val e2 = Seq((1L, 2L, "E"), (2L, 5L, "E"), (1L, 5L, "E")).toDF("src", "dst", "label")
+    val n2 = Seq((1L, "N"), (2L, "N"), (5L, "N")).toDF("id", "label")
+    val p2 = PropertyGraph(n2, e2)
+      .traversePaths(n2.filter(col("id") === 1), Seq("E"), "out", None)
+      .collect().map(r => r.getLong(1) -> r.getSeq[Long](3)).toMap
+    assert(p2(5L) == Seq(1L, 5L))
+    // cycle 1→2→3→1: fixpoint terminates, no path revisits a node
+    val ec = Seq((1L, 2L, "E"), (2L, 3L, "E"), (3L, 1L, "E"), (3L, 4L, "E"))
+      .toDF("src", "dst", "label")
+    val pc = PropertyGraph(n, ec)
+      .traversePaths(n.filter(col("id") === 1), Seq("E"), "out", None)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getSeq[Long](3)))
+    assert(pc.length == 4) // 1,2,3,4 — each exactly once
+    pc.foreach { case (node, depth, path) =>
+      assert(path.distinct == path, s"path revisits: $path")
+      assert(path.length == depth + 1 && path.last == node && path.head == 1L)
+    }
+    // bounded + while-guard parity with traverse(): guarded nodes are
+    // reported, not expanded
+    val eg = Seq((1L, 2L, "E"), (2L, 3L, "E"), (3L, 4L, "E")).toDF("src", "dst", "label")
+    val pg2 = PropertyGraph(n, eg)
+    val guarded = pg2.traversePaths(n.filter(col("id") === 1), Seq("E"), "out",
+        Some(5), Some(col("id") =!= 3))
+      .collect().map(r => r.getLong(1)).toSet
+    assert(guarded == Set(1L, 2L, 3L))
+  }
 }
