@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llmops.{Dedup, Pipeline, TextOps}
+
+/** North-star END-TO-END corpus pipeline run (VERDICT r11 order #10):
+  * the "pipeline of pipelines" a real pretraining prep job is, wired
+  * as ONE driver program over the ×10 documents corpus —
+  *
+  *   gate → scrub-spans → dedup(keepBest) → decontaminate(bloom)
+  *        → mix(α-temper) → shuffle+budget → pack → exportJsonl
+  *
+  * — with wall-clock and row/token accounting per stage (the table a
+  * data-engineering runbook wants: where did the corpus shrink, what
+  * did each pass cost). Every stage boundary is materialized with an
+  * eager localCheckpoint: that is the composition discipline itself —
+  * without it, each downstream ACTION would re-derive every upstream
+  * stage (Spark shares no work across actions), so the gate would run
+  * nine times. The probe ASSERTS the discipline held: no stage after
+  * the first may re-scan the source parquet (its executed plan must
+  * read checkpointed blocks, not `documents.parquet`).
+  *
+  * Prints one JSON line per stage plus a total line for BASELINE.md.
+  * Run: `sbt "runMain graft.PipelineE2E [probeDir]"` (default
+  * `target/sf1probe_r11`, built by `tools/make_sf_probe.py
+  * /root/testdata/sf0.1 target/sf1probe_r11 10`).
+  */
+object PipelineE2E {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("target/sf1probe_r11")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    var acc = List.newBuilder[String]
+
+    /** Materialize a stage, time it, account rows, and assert the
+      * composition discipline (no source re-scan after stage 1). */
+    var stageNo = 0
+    def stage(name: String, df: => DataFrame): DataFrame = {
+      stageNo += 1
+      val s0 = System.nanoTime()
+      val frame = df
+      val out = frame.localCheckpoint(true) // eager: the stage boundary
+      val rows = out.count()
+      val sec = (System.nanoTime() - s0) / 1e9
+      if (stageNo > 1) {
+        val plan = frame.queryExecution.executedPlan.toString
+        require(!plan.contains("documents.parquet"),
+          s"stage $name re-scans the source parquet — lost checkpoint reuse")
+      }
+      val line = f"""{"stage":"$name","rows_out":$rows,"sec":$sec%.2f}"""
+      println(line); acc += line
+      out
+    }
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val nIn = docs.count()
+
+    // eval set for decontamination: a deterministic 1%% hash slice
+    // (the benchmark stand-in; build the bitmap from it ONCE)
+    val benchmark = docs.filter(Pipeline.samplePct(col("doc_id"), "e2e_bench") < 1)
+
+    // 1. quality gate: rule-based keep/drop, map-only
+    val gated = stage("gate", {
+      val rules = Pipeline.GateRules(minTokens = 5, maxTokens = 100000,
+        minStopRatio = 0.0, minTtr = 0.2, maxDupTrigram = 0.5)
+      docs.join(Pipeline.qualityGate(docs, "doc_id", "text", "lang", rules)
+        .filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+    })
+
+    // 2. span scrub: cut repeated passages, keep the documents
+    val scrubbed = stage("scrub_spans", {
+      Dedup.scrubSpans(gated, "doc_id", "text", 16)
+        .join(gated.drop("text"), Seq("doc_id"))
+        .withColumnRenamed("clean_text", "text")
+        .filter(length(col("text")) > 0)
+        .select("doc_id", "text", "lang", "source")
+    })
+
+    // 3. near-dup groups, quality-aware canonical selection
+    val deduped = stage("dedup_keep_best", {
+      scrubbed.join(Dedup.keepBest(scrubbed, "doc_id", "text", 16, 4)
+        .filter(col("kept")).select("doc_id"), Seq("doc_id"), "left_semi")
+    })
+
+    // 4. bloom decontamination against the benchmark slice
+    val cleaned = stage("decontaminate_bloom", {
+      deduped.join(
+        Pipeline.decontaminateBloom(deduped, benchmark, "doc_id", "text",
+          8, 1 << 18, 4).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    })
+
+    // 5. α-tempered language mix (keep rare languages whole)
+    val mixed = stage("mix_temperature",
+      Pipeline.applyMixTemperature(cleaned, "doc_id", "lang", "text", 0.5, "e2e_mix"))
+
+    // 6. deterministic global shuffle + token-budget selection (the
+    // budget pass rides its own internal shuffle ordering; budget =
+    // half the surviving tokens, so the cut genuinely binds)
+    val budgeted = stage("shuffle_budget", {
+      val total = mixed.agg(sum(size(TextOps.tokens(col("text"))))).head.getLong(0)
+      mixed.join(
+        Pipeline.budgetSelect(mixed, "doc_id", "text", total / 2, "e2e_shuf")
+          .filter(col("kept")).select("doc_id"), Seq("doc_id"), "left_semi")
+    })
+
+    // 7. token-budget shard packing (16k-token shards per language)
+    val packed = stage("pack_shards", {
+      budgeted.join(
+        Pipeline.shardAssign(budgeted, "doc_id", "lang", 16384)
+          .select("doc_id", "shard"), Seq("doc_id"))
+    })
+
+    // 8. JSONL shard export — the physical last mile
+    val outDir = s"target/e2e-export-${java.util.UUID.randomUUID().toString.take(8)}"
+    val s0 = System.nanoTime()
+    Pipeline.exportJsonl(packed, outDir, "shard", "doc_id")
+    val exportSec = (System.nanoTime() - s0) / 1e9
+    val exported = spark.read.json(outDir).count()
+    val shards = spark.read.json(outDir).select("shard").distinct().count()
+    val line = f"""{"stage":"export_jsonl","rows_out":$exported,"shards":$shards,"sec":$exportSec%.2f}"""
+    println(line); acc += line
+
+    require(exported == packed.count(), "export lost rows")
+    val totalSec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"probe":"pipeline_e2e","docs_in":$nIn,"docs_out":$exported,"total_sec":$totalSec%.1f,"stages":[${acc.result().mkString(",")}]}""")
+    graft.load.Store.tryDeleteRecursively(java.nio.file.Paths.get(outDir))
+    spark.stop()
+  }
+}
