@@ -31,7 +31,14 @@ object PlanAudit {
     Check("stage:minhash_signatures", "one-pass native signature kernel", "graft_minhash_sig"),
     Check("stage:minhash_signatures", "signature stage stays in codegen", "codegen id"),
     Check("stage:simhash_signatures", "one-pass native signature kernel", "graft_simhash_bits"),
-    Check("stage:jaccard_shingles", "df-cap window precedes the pair join", "Window"),
+    // round 12: the df-cap is an AGGREGATE on the shingle key + semi
+    // probe — never a window over the content key (a stop-shingle's
+    // corpus-scale df must not serialize one task to compute the very
+    // number that drops it)
+    Check("stage:jaccard_shingles", "df-cap is a partial aggregate on the shingle key",
+      "HashAggregate"),
+    Check("stage:jaccard_shingles", "kept shingles rejoin as a semi probe", "LeftSemi"),
+    Check("stage:jaccard_shingles", "no window over the shingle key", "!Window"),
     Check("graphql_hop", "GraphQL compiles to the traversal hash join", "BroadcastHashJoin|ShuffledHashJoin"),
     Check("graphql_hop_paged", "GraphQL orderBy+limit is top-k without total sort", "TakeOrderedAndProject"),
     Check("graphql_hop_paged", "paged GraphQL keeps the traversal hash join", "BroadcastHashJoin|ShuffledHashJoin"),
@@ -333,9 +340,19 @@ object PlanAudit {
     // winnow pair join: the df-cap window must precede the pair join
     // (the jaccard discipline — stop-fingerprints leave before they
     // can explode quadratically)
-    Check("stage:winnow_fps", "df-cap window precedes the winnow pair join", "Window"),
+    Check("stage:winnow_fps", "df-cap is a partial aggregate on the fp key",
+      "HashAggregate"),
+    Check("stage:winnow_fps", "kept fingerprints rejoin as a semi probe", "LeftSemi"),
+    Check("stage:winnow_fps", "no window over the fp key", "!Window"),
     Check("stage:winnow_fps", "fingerprints select through the compiled kernel",
-      "graft_winnow")
+      "graft_winnow"),
+    // round 12: the star-edge bucket minimum is an aggregate joined
+    // back, never `min(id) over (partition by band, sig)` — a
+    // mega-bucket (boilerplate duplicated corpus-wide) must not
+    // serialize through one window task on dedup's OWN home turf
+    Check("stage:minhash_star_edges", "bucket min is a partial aggregate",
+      "HashAggregate"),
+    Check("stage:minhash_star_edges", "no window over the bucket key", "!Window")
   )
 
   def main(args: Array[String]): Unit = {
@@ -378,7 +395,11 @@ object PlanAudit {
           graft.llmops.Dedup.shingleSet(docs(s, d), "doc_id", "text", 3,
             graft.llmops.Dedup.JaccardMaxDf)),
         "stage:winnow_fps" -> ((s, d) =>
-          graft.llmops.Dedup.winnowFpSet(docs(s, d), "doc_id", "text", 4, 8, 100)))
+          graft.llmops.Dedup.winnowFpSet(docs(s, d), "doc_id", "text", 4, 8, 100)),
+        "stage:minhash_star_edges" -> ((s, d) =>
+          graft.llmops.Dedup.minhashStarEdges(
+            graft.llmops.Dedup.minhashSignatures(docs(s, d), "doc_id", "text", 16),
+            "doc_id", 16, 4)))
     }
     val qs = SparkEntry.queries ++ stages
     val sb = new StringBuilder

@@ -114,14 +114,24 @@ object Dedup {
     * duplicate-HEAVY corpus is precisely where dedup runs, so the
     * group-resolution path must not pay pairs it doesn't need.
     * [[minhashCandidates]] stays the pair-REPORTING semantics (its
-    * consumers return the pairs themselves). One window-min over the
-    * (band, sig) partition — the same shuffle key the pair join used,
-    * with no self-join at all. */
+    * consumers return the pairs themselves). The bucket minimum is a
+    * map-side-combinable GROUP-BY AGGREGATE joined back on the bucket
+    * key (round 12) — NOT `min(id) over (partition by band, sig)`: an
+    * unbounded window over a content key serializes a mega-bucket
+    * (a boilerplate text duplicated across the corpus collides its
+    * whole multiplicity into one (band, sig)) through ONE un-splittable
+    * task, exactly the [[duplicateSpans]] df-window scale killer; the
+    * aggregate contributes one partial per partition however hot the
+    * bucket, and the join back AQE-broadcasts or skew-splits. (Rank-
+    * CAPPED windows elsewhere in this file are different: their
+    * `row_number ≤ k` filter plans as WindowGroupLimit, which
+    * partial-limits map-side — BASELINE #37.) */
   def minhashStarEdges(sigs: DataFrame, idCol: String, numPerms: Int,
       bands: Int): DataFrame = {
     val banded = bandedSignatures(sigs.localCheckpoint(true), idCol, numPerms, bands)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))
-    banded.withColumn("d1", min(col(idCol)).over(w))
+    val mins = banded.groupBy(col("band"), col("sig"))
+      .agg(min(col(idCol)).as("d1"))
+    banded.join(mins, Seq("band", "sig"))
       .filter(col("d1") < col(idCol))
       .select(col("d1"), col(idCol).as("d2")).distinct()
   }
@@ -181,11 +191,12 @@ object Dedup {
     val hitResident = bb.join(index.select("band", "sig"),
         Seq("band", "sig"), "left_semi")
       .select(col(idCol)).distinct()
-    // window-min star over the batch's OWN bands (same frame as the
-    // probe — no second signature pass, no self-join)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("sig"))
-    val intraDrop = bb.withColumn("d1", min(col(idCol)).over(w))
+    // bucket-min star over the batch's OWN bands (same frame as the
+    // probe — no second signature pass, no self-join); aggregate +
+    // join back, not a window, for the minhashStarEdges mega-bucket
+    // reason (a batch of N copies of one text is the COMMON arrival)
+    val mins = bb.groupBy(col("band"), col("sig")).agg(min(col(idCol)).as("d1"))
+    val intraDrop = bb.join(mins, Seq("band", "sig"))
       .filter(col("d1") < col(idCol))
       .select(col(idCol)).distinct()
     batch.join(hitResident.unionByName(intraDrop).distinct(),
@@ -202,20 +213,25 @@ object Dedup {
   /** The df-capped distinct (doc, shingle-hash) set — the jaccard
     * pipeline's map stage, exposed separately so PlanAudit can assert
     * its plan (the checkpoint in [[jaccardPairs]] hides it from the
-    * final query's explain). The df-cap (see [[JaccardMaxDf]]) is one
-    * window count over the sh partition — the same shuffle key the pair
-    * join needs anyway, so the cap costs no extra exchange structure
-    * while removing the quadratic blow-up on stop-shingles. */
+    * final query's explain). The df-cap (see [[JaccardMaxDf]]) is a
+    * map-side-combinable count aggregate on the shingle key, kept rows
+    * semi-joined back (round 12) — the cap exists precisely BECAUSE
+    * stop-shingles carry corpus-scale df, and a `count over (partition
+    * by sh)` would push that very df through one un-splittable window
+    * task to compute the number that drops it (the [[duplicateSpans]]
+    * scale argument); the aggregate's partials stay partition-bounded
+    * and the semi probe AQE-broadcasts (the kept-shingle table) or
+    * skew-splits. */
   def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int,
-      maxDf: Int): DataFrame =
-    docs
+      maxDf: Int): DataFrame = {
+    val pairs = docs
       .select(col(idCol),
         explode(graft.plans.NGramMd5(TextOps.tokens(col(textCol)), n, 8)).as("sh"))
       .distinct()
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
-      .filter(col("df") <= maxDf)
-      .drop("df")
+    val kept = pairs.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("sh"))
+    pairs.join(kept, Seq("sh"), "left_semi")
+  }
 
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
       maxDf: Int = JaccardMaxDf): DataFrame = {
@@ -233,18 +249,21 @@ object Dedup {
 
   /** The df-capped distinct (doc, winnow-fingerprint) set — exposed
     * separately (the [[shingleSet]] pattern) so PlanAudit can assert
-    * the cap window + kernel on the stage plan the checkpoint in
-    * [[winnowPairs]] would hide. */
+    * the cap aggregate + kernel on the stage plan the checkpoint in
+    * [[winnowPairs]] would hide. Cap discipline = [[shingleSet]]'s
+    * round-12 shape: aggregate on the fp key + semi probe, never a
+    * window over it (a boilerplate fingerprint's df is exactly what
+    * must not serialize one task). */
   def winnowFpSet(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, w: Int, maxDf: Int): DataFrame =
-    docs
+      k: Int, w: Int, maxDf: Int): DataFrame = {
+    val pairs = docs
       .select(col(idCol), explode(TextOps.winnow(col(textCol), k, w)).as("s"))
       .select(col(idCol), col("s.fp").as("fp"))
       .distinct()
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-      .filter(col("df") <= maxDf)
-      .drop("df")
+    val kept = pairs.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("fp"))
+    pairs.join(kept, Seq("fp"), "left_semi")
+  }
 
   /** Winnow-fingerprint near-dup pairs — the MOSS application of
     * [[TextOps.winnow]]: two documents pair when they share at least

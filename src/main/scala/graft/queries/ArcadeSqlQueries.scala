@@ -165,6 +165,36 @@ object ArcadeSqlQueries {
           array_to_string(m.path, '>') AS path
         FROM m JOIN names ON names.id = m.node_id WHERE m.rn = 1""")),
 
+    // $parent — the path's predecessor node (null at the root): rides
+    // the same canonical-path machinery as $path
+    Q("asql_traverse_parent",
+      asql("""SELECT name, $depth AS depth, $parent AS parent
+        FROM (TRAVERSE in('IN_REGION', 'IN_NATION') FROM (SELECT FROM Region WHERE name = 'ASIA')
+              MAXDEPTH 2)"""),
+      Some(s"""WITH RECURSIVE hop AS (
+          SELECT DISTINCT CAST(n_regionkey + $RegionOff AS BIGINT) AS f,
+            CAST(n_nationkey + $NationOff AS BIGINT) AS t FROM nation
+          UNION SELECT DISTINCT CAST(c_nationkey + $NationOff AS BIGINT),
+            CAST(c_custkey + $CustomerOff AS BIGINT) FROM customer
+          UNION SELECT DISTINCT CAST(s_nationkey + $NationOff AS BIGINT),
+            CAST(s_suppkey + $SupplierOff AS BIGINT) FROM supplier),
+        r AS (
+          SELECT CAST(r_regionkey + $RegionOff AS BIGINT) AS node_id, 0 AS depth,
+            [CAST(r_regionkey + $RegionOff AS BIGINT)] AS path
+          FROM region WHERE r_name = 'ASIA'
+          UNION ALL SELECT hop.t, r.depth + 1, list_append(r.path, hop.t)
+          FROM r JOIN hop ON hop.f = r.node_id WHERE r.depth < 2),
+        m AS (SELECT node_id, depth, path,
+            row_number() OVER (PARTITION BY node_id ORDER BY depth, path) AS rn FROM r),
+        names AS (
+          SELECT CAST(r_regionkey + $RegionOff AS BIGINT) AS id, r_name AS name FROM region
+          UNION ALL SELECT CAST(n_nationkey + $NationOff AS BIGINT), n_name FROM nation
+          UNION ALL SELECT CAST(c_custkey + $CustomerOff AS BIGINT), c_name FROM customer
+          UNION ALL SELECT CAST(s_suppkey + $SupplierOff AS BIGINT), s_name FROM supplier)
+        SELECT names.name AS name, m.depth AS depth,
+          CASE WHEN len(m.path) > 1 THEN m.path[-2] END AS parent
+        FROM m JOIN names ON names.id = m.node_id WHERE m.rn = 1""")),
+
     // MATCH pattern with per-binding where — identical twin of the
     // green graphql_hop oracle: the dialect, GraphQL, and the DataFrame
     // API all compile onto the same Traversal join

@@ -83,6 +83,7 @@ object ArcadeSql {
   case object Star extends Expr
   case object Depth extends Expr // $depth
   case object Path extends Expr // $path (TRAVERSE lineage projection)
+  case object Parent extends Expr // $parent (the path's predecessor node id)
   final case class HopExpr(dir: String, labels: Seq[String]) extends Expr
 
   final case class Proj(expr: Expr, alias: Option[String])
@@ -606,6 +607,7 @@ object ArcadeSql {
           val v = ident()
           if (v.equalsIgnoreCase("depth")) Depth
           else if (v.equalsIgnoreCase("path")) Path
+          else if (v.equalsIgnoreCase("parent")) Parent
           else Var(v)
         // record attributes: @type is the record's type name (our label
         // column), @rid its identity (our id). No other @attribute maps
@@ -708,7 +710,7 @@ object ArcadeSql {
   private def mapExpr(e: Expr)(f: PartialFunction[Expr, Expr]): Expr = {
     val rec: Expr => Expr = mapExpr(_)(f)
     val mapped = e match {
-      case Lit(_) | Ident(_) | PathIdent(_, _) | Var(_) | Star | Depth | Path | HopExpr(_, _) => e
+      case Lit(_) | Ident(_) | PathIdent(_, _) | Var(_) | Star | Depth | Path | Parent | HopExpr(_, _) => e
       case ListLit(vs) => ListLit(vs.map(rec))
       case Bin(op, l, r) => Bin(op, rec(l), rec(r))
       case Not(x) => Not(rec(x))
@@ -983,6 +985,7 @@ object ArcadeSql {
     case PathIdent(b, p) => resolve(s"$b.$p")
     case Depth => resolve("$depth")
     case Path => resolve("$path")
+    case Parent => resolve("$parent")
     case Var(n) => resolve(s"$$$n") // scalar LET binding (bound upstream)
     case _: InSubquery =>
       fail("IN (SELECT …) is only supported as a top-level AND-conjunct of WHERE")
@@ -1185,6 +1188,7 @@ object ArcadeSql {
     case PathIdent(b, p) => s"${b}_$p"
     case Depth => "$depth"
     case Path => "$path"
+    case Parent => "$parent"
     case _ => fail("computed projection needs an AS alias")
   }
 
@@ -1634,7 +1638,10 @@ object ArcadeSql {
     * (Nested subquery positions count — mapExpr recurses.) */
   private def selectWantsPath(sel: Select): Boolean = {
     var found = false
-    val probe: PartialFunction[Expr, Expr] = { case Path => found = true; Path }
+    val probe: PartialFunction[Expr, Expr] = {
+      case Path => found = true; Path
+      case Parent => found = true; Parent
+    }
     sel.projs.foreach(p => mapExpr(p.expr)(probe))
     sel.where.foreach(mapExpr(_)(probe))
     sel.groupBy.foreach(mapExpr(_)(probe))
@@ -1670,7 +1677,9 @@ object ArcadeSql {
       val visited = g.traversePaths(starts, labels, dirs.head, maxDepth, guard)
       val firstVisit = visited.groupBy(col("node_id").as("id"))
         .agg(min(struct(col("depth"), col("path"))).as("b"))
-        .select(col("id"), col("b.depth").as("$depth"), col("b.path").as("$path"))
+        .select(col("id"), col("b.depth").as("$depth"), col("b.path").as("$path"),
+          // $parent = the canonical path's predecessor (null at the root)
+          when(size(col("b.path")) > 1, element_at(col("b.path"), -2)).as("$parent"))
       return g.nodes.join(firstVisit, Seq("id"), "inner")
     }
     val visited = maxDepth match {
