@@ -459,8 +459,6 @@ object Dedup {
     val w = spread(docs).select(col(idCol),
       posexplode(graft.plans.NGramMd5(tk, windowTokens, 8)))
       .withColumnRenamed("col", "h")
-    val wd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("pos").asc)
     val rep = w.groupBy(col("h"))
       .agg(count(lit(1)).as("df"),
         min(struct(col(idCol), col("pos"))).as("keeper"))
@@ -469,6 +467,18 @@ object Dedup {
     val flagged = w.join(rep, Seq("h"))
       .filter(!(struct(col(idCol), col("pos")) === col("keeper")))
       .drop("keeper")
+    cutFlagged(docs, flagged, idCol, textCol, windowTokens)
+  }
+
+  /** Shared APPLY tail of the span scrubbers: merge flagged (id, pos)
+    * windows into islands, cut the covered tokens, re-join. Doc-sized
+    * window partitions + a per-row HOF against the doc's own
+    * config-sized span list — nothing here scales past a document. */
+  private def cutFlagged(docs: DataFrame, flagged: DataFrame, idCol: String,
+      textCol: String, windowTokens: Int): DataFrame = {
+    val tk = TextOps.tokens(col(textCol))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos").asc)
     val isl = flagged
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(wd) <= windowTokens, lit(0))
@@ -489,6 +499,69 @@ object Dedup {
           .otherwise(concat_ws(" ", cleanTokens)).as("clean_text"),
         when(col("spans").isNull, lit(0L))
           .otherwise((size(tk) - size(cleanTokens)).cast("long")).as("n_removed"))
+  }
+
+  /** Persisted REPEATED-WINDOW index for INCREMENTAL span scrub — the
+    * arrival-time serving shape of [[scrubSpans]] (the
+    * [[residentBandIndex]] discipline, at window granularity): the
+    * resident corpus's repeated window hashes (df in [2, maxDf]) are
+    * computed ONCE and written as parquet range-partitioned/sorted on
+    * `h`, so an arrival probe join reads only the row groups whose
+    * min/max straddle the batch's hashes. At 100 TB the resident
+    * window pass is the dominant cost — it must be paid per
+    * compaction, not per batch. Publication is atomic (tmp dir +
+    * rename; a concurrent builder loses the race and reads the
+    * winner); `key` must fingerprint the resident SOURCE (mtime__size)
+    * or a regenerated corpus would serve a stale boilerplate set. */
+  def residentSpanIndex(spark: org.apache.spark.sql.SparkSession,
+      cacheRoot: String, key: String, corpus: => DataFrame,
+      idCol: String, textCol: String, windowTokens: Int,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(windowTokens >= 2, "span windows need ≥ 2 tokens")
+    val dest = Paths.get(cacheRoot, key)
+    if (!Files.isDirectory(dest)) {
+      Files.createDirectories(Paths.get(cacheRoot))
+      val tmp = Paths.get(cacheRoot,
+        s".build-$key-${java.util.UUID.randomUUID().toString.take(8)}")
+      spread(corpus)
+        .select(explode(graft.plans.NGramMd5(
+          TextOps.tokens(col(textCol)), windowTokens, 8)).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= maxDf)
+        .select(col("h"))
+        .repartitionByRange(col("h"))
+        .sortWithinPartitions("h")
+        .write.mode("overwrite").parquet(tmp.toString)
+      try { Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE); () }
+      catch { case _: java.io.IOException => // lost the publish race
+        graft.load.Store.tryDeleteRecursively(tmp); ()
+      }
+    }
+    spark.read.parquet(dest.toString)
+  }
+
+  /** Incremental span scrub: cut every arrival passage whose window
+    * hashes are RESIDENT boilerplate (the index above) — the
+    * micro-batch/foreachBatch serving face of [[scrubSpans]]. ONE
+    * sorted-probe semi join against the index's single column + the
+    * doc-sized island/cut tail; the resident corpus is never re-read,
+    * never re-hashed. Declared approximation: passages repeated only
+    * WITHIN the arrival batch (or across batches since the last index
+    * build) are not cut — the index is the boilerplate authority;
+    * rebuild it on the compaction cadence. Arrivals are always "later
+    * copies" (the resident keeper survives in the resident corpus),
+    * so every flagged window cuts. Returns (id, clean_text,
+    * n_removed). */
+  def scrubSpansIncremental(index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, windowTokens: Int): DataFrame = {
+    require(windowTokens >= 2, "span windows need ≥ 2 tokens")
+    val w = batch.select(col(idCol),
+      posexplode(graft.plans.NGramMd5(
+        TextOps.tokens(col(textCol)), windowTokens, 8)))
+      .withColumnRenamed("col", "h")
+    val flagged = w.join(index.select("h"), Seq("h"), "left_semi")
+    cutFlagged(batch, flagged, idCol, textCol, windowTokens)
   }
 
   val SimBits = 60 // md5-derived token hash width that fits a signed long

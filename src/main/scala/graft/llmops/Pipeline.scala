@@ -162,6 +162,20 @@ object Pipeline {
         floor(col("start_offset").cast("double") / capTokens).cast("long"))
   }
 
+  /** Per-shard packing QA over [[shardAssign]]'s output — the report a
+    * packing run publishes beside its shards: docs, token mass, and
+    * fill factor vs the capacity. Fill can exceed 1 by at most one
+    * document's tokens (the streaming-pack rule lands a doc in the
+    * shard its START offset falls into), and the LAST shard per
+    * stratum underfills — both visible here, which is the point.
+    * ONE map-side-combinable aggregate on the (stratum, shard) key. */
+  def shardStats(shards: DataFrame, capTokens: Int): DataFrame = {
+    require(capTokens > 0, "shard capacity must be positive")
+    shards.groupBy(col("stratum"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("fill", round(col("n_tokens").cast("double") / capTokens, 6))
+  }
+
   /** Sequence packing — the last mile of corpus prep: pack UNITS
     * (typically [[TextOps.chunkTokens]] chunks) in (docId, unitId)
     * order into fixed-`capTokens` training sequences per stratum, a

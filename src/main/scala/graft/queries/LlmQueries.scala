@@ -1456,6 +1456,24 @@ object LlmQueries {
           / 4096) AS BIGINT) AS shard
         FROM documents""")),
 
+    // ✚ per-shard packing QA (round 12): docs/token-mass/fill-factor
+    // per (stratum, shard) — the report a packing run publishes (last
+    // shard underfills, streaming-pack overshoot ≤ one doc; both
+    // visible by design). One map-combined aggregate over shardAssign.
+    Q("pipeline_shard_stats",
+      (s, d) => Pipeline.shardStats(
+        Pipeline.shardAssign(t(s, d, "documents"), "doc_id", "lang", 4096), 4096),
+      Some("""WITH sh AS (SELECT doc_id, lang AS stratum,
+          len(string_split(text, ' ')) AS n_tokens,
+          CAST(floor(CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER (PARTITION BY lang
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+            / 4096) AS BIGINT) AS shard
+          FROM documents)
+        SELECT stratum, shard, count(*) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+          round(CAST(sum(n_tokens) AS DOUBLE) / 4096, 6) AS fill
+        FROM sh GROUP BY stratum, shard""")),
+
     // quality scoring: lengths, type-token ratio, stopword ratio
     Q("text_quality",
       (s, d) => t(s, d, "documents").select(

@@ -741,6 +741,34 @@ class LlmSpec extends SparkSpec {
       s"got $scrub")
   }
 
+  test("incremental span scrub: resident boilerplate cut from arrivals, index served cold") {
+    val passage = (1 to 20).map(i => s"rb$i").mkString(" ")
+    def uniq(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val resident = (1L to 3L).map(i => (i, s"${uniq(s"r$i", 4)} $passage"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graftspanidx").toString
+    val idx = Dedup.residentSpanIndex(spark, root, "k1", resident,
+      "doc_id", "text", 16)
+    // the index holds exactly the passage's 5 in-passage window hashes
+    assert(idx.count() == 5)
+    val batchOnly = (1 to 20).map(i => s"bo$i").mkString(" ")
+    val batch = Seq(
+      (100L, s"${uniq("a", 3)} $passage ${uniq("b", 2)}"), // resident boilerplate → cut
+      (101L, uniq("c", 30)),                               // fresh → untouched
+      (102L, s"$batchOnly ${uniq("d", 5)}"),               // batch-only dup pair:
+      (103L, s"${uniq("e", 5)} $batchOnly")                //   NOT cut (index authority)
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubSpansIncremental(idx, batch, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(100L) == ((s"${uniq("a", 3)} ${uniq("b", 2)}", 20L)))
+    assert(out(101L)._2 == 0L && out(102L)._2 == 0L && out(103L)._2 == 0L)
+    // second call serves the persisted index without re-evaluating the
+    // corpus (by-name: a rebuild would throw here)
+    val again = Dedup.residentSpanIndex(spark, root, "k1",
+      sys.error("must not rebuild"), "doc_id", "text", 16)
+    assert(again.count() == 5)
+  }
+
   test("bloomWords: distributed OR-merge build ≡ the driver-side reference fold") {
     val evalDocs = docs.filter($"source" === "src0")
     val got = Pipeline.bloomWords(evalDocs, "text", 8, 1 << 16, 4)
