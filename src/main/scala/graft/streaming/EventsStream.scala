@@ -171,6 +171,35 @@ object EventsStream {
     w.start()
   }
 
+  /** Streaming BOILERPLATE-SCRUB gate — the serving face of
+    * [[graft.llmops.Dedup.scrubSpansIncremental]] (round 12): every
+    * arriving document has its RESIDENT-boilerplate passages cut
+    * against the persisted repeated-window index
+    * ([[graft.llmops.Dedup.residentSpanIndex]] — built once from the
+    * resident corpus, rebuilt on the compaction cadence). The index is
+    * READ-ONLY state here (unlike [[neardupGate]], nothing appends
+    * back: what counts as boilerplate is the resident corpus's call,
+    * not the stream's), so each micro-batch is one sorted-probe semi
+    * join against the index's single column plus the doc-sized
+    * island/cut tail. The sink receives (id, clean_text, n_removed)
+    * per arrival. */
+  def scrubGate(indexDir: String, docs: DataFrame, idCol: String,
+      textCol: String, windowTokens: Int,
+      checkpointDir: Option[String] = None)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val w = docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val index = spark.read.parquet(indexDir)
+          sink(graft.llmops.Dedup.scrubSpansIncremental(
+            index, batch, idCol, textCol, windowTokens))
+        }
+      }
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.start()
+  }
+
   /** Streaming SEMANTIC decontamination gate — ingest hygiene against a
     * fixed benchmark set: annotate every arriving vector with whether
     * its max cosine against the benchmark reaches `tau` (and with that

@@ -166,6 +166,41 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((301L, Some(7.0), Some(ts(10).getTime))), s"got $got")
   }
 
+  test("streaming boilerplate scrub: resident index cuts arrivals, equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llmops.Dedup
+    val passage = (1 to 20).map(i => s"sg$i").mkString(" ")
+    def uniq(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val resident = Seq((1L, s"${uniq("r1", 4)} $passage"),
+      (2L, s"${uniq("r2", 4)} $passage")).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graftscrubgate").toString
+    Dedup.residentSpanIndex(spark, root, "g1", resident, "doc_id", "text", 16)
+    val scrubbed = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    val mem = MemoryStream[Doc]
+    val q = EventsStream.scrubGate(s"$root/g1", mem.toDF(), "doc_id", "text", 16) { out =>
+      scrubbed.synchronized {
+        scrubbed ++= out.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2)))
+      }
+    }
+    val arrivals = Seq(
+      Doc(ts(1), 100L, s"${uniq("a", 3)} $passage ${uniq("b", 2)}"),
+      Doc(ts(2), 101L, uniq("c", 25)))
+    mem.addData(arrivals: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(scrubbed.sortBy(_._1).toSeq == Seq(
+      (100L, s"${uniq("a", 3)} ${uniq("b", 2)}", 20L),
+      (101L, uniq("c", 25), 0L)))
+    // streaming ≡ batch: the same batch through the batch API agrees
+    val batchOut = Dedup.scrubSpansIncremental(
+        spark.read.parquet(s"$root/g1"),
+        arrivals.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+        "doc_id", "text", 16)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(batchOut == scrubbed.toSet)
+  }
+
   test("streaming near-dup dedup: signature kernels run incrementally") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Doc]
