@@ -164,6 +164,47 @@ object SkewProbe {
     val (_, tFlat, mFlat) = measure(twoLevelCap(skewed, 100, "sp_", blockDocs))
     println(f"""{"probe":"sourcecap_mega_source","rows":$n2,"mega_share":0.99,"cap":100,"block_docs":$blockDocs,"tree_sec":$tTree%.3f,"flat_sec":$tFlat%.3f,"tree_max_task_rows":$mTree,"flat_max_task_rows":$mFlat,"kept":$rowsTree}""")
 
+    // ---- probe 3: incremental span scrub — arrival cost vs index size
+    // (the GateProbe question at window granularity: a batch scrub must
+    // be batch-bound work against the sorted index, so a 10× resident
+    // corpus must cost a batch FAR less than 10×)
+    val cacheRoot = s"target/skewprobe-${java.util.UUID.randomUUID().toString.take(8)}"
+    val idxSmall = Dedup.residentSpanIndex(spark, cacheRoot, "small",
+      corpus(20000L), "doc_id", "text", 16)
+    val idxBig = Dedup.residentSpanIndex(spark, cacheRoot, "big",
+      corpus(200000L), "doc_id", "text", 16)
+    // 1k arrivals: half carry the resident boilerplate, half fresh
+    val batch = spark.range(1000L).select(
+      (col("id") + 10000000L).as("doc_id"),
+      when(col("id") % 2 === 0,
+        concat_ws(" ", concat(lit("fa"), col("id")), lit(universal),
+          concat(lit("fb"), col("id"))))
+        .otherwise(concat_ws(" ",
+          (1 to 24).map(j => concat(lit(s"z$j"), col("id"))): _*)).as("text"))
+      .localCheckpoint(true)
+    def scrubCount(idx: DataFrame): Long =
+      Dedup.scrubSpansIncremental(idx, batch, "doc_id", "text", 16)
+        .filter(col("n_removed") > 0).count()
+    val (cutSmall, tIdxS, _) = {
+      tracker.reset()
+      var best = Double.MaxValue; var n = 0L
+      (1 to 3).foreach { _ =>
+        val (r, s) = timed(scrubCount(idxSmall)); n = r; if (s < best) best = s
+      }
+      (n, best, 0L)
+    }
+    val (cutBig, tIdxB, _) = {
+      var best = Double.MaxValue; var n = 0L
+      (1 to 3).foreach { _ =>
+        val (r, s) = timed(scrubCount(idxBig)); n = r; if (s < best) best = s
+      }
+      (n, best, 0L)
+    }
+    require(cutSmall == 500 && cutBig == 500,
+      s"scrub decisions wrong: $cutSmall / $cutBig (want 500 each)")
+    println(f"""{"probe":"incremental_scrub_arrival","batch":1000,"resident_small":20000,"resident_big":200000,"sec_small_index":$tIdxS%.3f,"sec_big_index":$tIdxB%.3f,"cut_docs":$cutBig}""")
+    graft.load.Store.tryDeleteRecursively(java.nio.file.Paths.get(cacheRoot))
+
     spark.stop()
   }
 }
