@@ -274,9 +274,11 @@ object Dedup {
     * the positional guarantee the sketch lacks (any shared
     * w+k−1-token run WILL pair). Same df-cap discipline as the
     * shingle join: a fingerprint selected by more than `maxDf` docs is
-    * boilerplate and leaves before the join (one window count on the
-    * fp key — the join's own shuffle key). Returns
-    * (d1, d2, n_shared ≥ minShared). */
+    * boilerplate and leaves before the join, via [[winnowFpSet]]'s
+    * map-side-combinable aggregate on the fp key + semi probe — never
+    * a window over the fp key (PlanAudit asserts its absence; a
+    * boilerplate fingerprint's df must not serialize one task).
+    * Returns (d1, d2, n_shared ≥ minShared). */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, maxDf: Int = JaccardMaxDf, minShared: Int = 2): DataFrame = {
     require(minShared > 0, "shared-fingerprint threshold must be positive")

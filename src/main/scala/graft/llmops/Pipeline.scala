@@ -314,11 +314,15 @@ object Pipeline {
     *     under a large cap re-concentrated in the final window
     *     (VERDICT r11 Wrong #3).
     *
-    * The level count derives from max(id) — ONE map-side-combined
-    * column-scan aggregate, paid once per call (and the reason `idCol`
-    * must be NUMERIC: block derivation divides the id. A non-numeric
-    * id would cast to NULL and collapse every row into one block —
-    * refused loudly here, ADVICE r11).
+    * The level count derives from the id RANGE — min(id) AND max(id),
+    * ONE map-side-combined column-scan aggregate, paid once per call
+    * (and the reason `idCol` must be NUMERIC: block derivation divides
+    * the id. A non-numeric id would cast to NULL and collapse every
+    * row into one block — refused loudly here, ADVICE r11). Counting
+    * from max alone would under-count when ids go NEGATIVE (signed
+    * hashes as ids): negative blocks the loop never saw would exit it
+    * early and quietly void the cap × TreeFanIn bound on the final
+    * window (code-review r12 #6).
     *
     * Returns (id, source, rk ∈ [1, cap]) — identical to the one-window
     * formulation (the equivalence is asserted in the spec). */
@@ -332,10 +336,13 @@ object Pipeline {
     val h = TextOps.md5Hash32(concat(lit(salt), col(idCol).cast("string")))
     val base = docs.select(col(idCol), col(sourceCol), h.as("__h"),
       col(idCol).cast("long").as("__id"))
-    val maxId = base.agg(max(col("__id"))).head.get(0)
-    if (maxId == null) // empty corpus: empty result, correct schema
+    val bounds = base.agg(min(col("__id")), max(col("__id"))).head
+    if (bounds.isNullAt(0)) // empty corpus: empty result, correct schema
       return base.withColumn("rk", lit(1)).filter(lit(false))
         .select(col(idCol), col(sourceCol), col("rk"))
+    val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
+    def nBlocks(span: Long): Long =
+      Math.floorDiv(maxId, span) - Math.floorDiv(minId, span) + 1
     def level(df: DataFrame, span: Long): DataFrame = {
       val wBlk = Window.partitionBy(col(sourceCol),
           floor(col("__id").cast("double") / span).cast("long"))
@@ -345,8 +352,10 @@ object Pipeline {
     }
     var span = blockDocs
     var cur = level(base, span)
-    while (maxId.asInstanceOf[Long] / span + 1 > TreeFanIn) {
-      span = span * TreeFanIn
+    while (nBlocks(span) > TreeFanIn) {
+      // saturating: a near-Long-range id span exits via nBlocks ≤ 2
+      span = if (span > Long.MaxValue / TreeFanIn) Long.MaxValue
+             else span * TreeFanIn
       cur = level(cur, span)
     }
     val wSrc = Window.partitionBy(col(sourceCol))

@@ -10,7 +10,11 @@ import org.apache.spark.sql.functions._
   * arguments over properties, and relationship fields that follow an
   * edge label one hop — here spelled `out_<EDGE>` / `in_<EDGE>` /
   * `both_<EDGE>` (with optional GraphQL alias), since our schema keeps
-  * edge endpoints untyped.
+  * edge endpoints untyped. Stock-client affordances ride on top:
+  * `__typename` in any selection set (round 12), named fragments +
+  * `...` spreads + inline `... on Type` fragments (spliced at parse
+  * time, type conditions masked per row), and the `__schema`/`__type`
+  * introspection handshake below.
   *
   * Compilation is a thin layer over [[Traversal]]: the root selection
   * is `g.v(label, …)`, every relationship field is one equi-join hop,
@@ -30,8 +34,13 @@ import org.apache.spark.sql.functions._
 object GraphQl {
 
   // ---- AST ----
+  /** `cond` = GraphQL type condition (from the enclosing fragment's
+    * `on Type`): a conditioned SCALAR projects null for rows whose
+    * binding label differs; a conditioned HOP restricts the traversal
+    * to matching rows (consistent with the surface's inner-hop
+    * semantics — a row without the hop vanishes anyway). */
   final case class Field(alias: String, name: String, args: Map[String, Any],
-      selections: Seq[Field])
+      selections: Seq[Field], cond: Option[String] = None)
 
   // ---- tokenizer/parser (hand-rolled; the subset is tiny) ----
   private final class Parser(s: String) {
@@ -114,6 +123,23 @@ object GraphQl {
     }
 
     private def field(): Field = {
+      // fragment spread / inline fragment (`...Name` / `... on Type {…}`)
+      // — markers resolved after the whole document is parsed (a
+      // fragment may be DEFINED after its first use, the codegen norm)
+      if (peek == '.') {
+        var dots = 0
+        while (peek == '.') { i += 1; dots += 1 }
+        if (dots != 3) fail("expected '...' (fragment spread)")
+        ws()
+        val n = ident()
+        if (n == "on") { // inline fragment with type condition
+          val t = ident()
+          ws()
+          if (peek != '{') fail("inline fragment needs a selection set")
+          return Field("...on", "...on", Map.empty, selectionSet(), Some(t))
+        }
+        return Field("...", n, Map.empty, Nil)
+      }
       val first = ident()
       ws()
       val (alias, name) =
@@ -133,17 +159,62 @@ object GraphQl {
       fs.toSeq
     }
 
-    /** `query Name? { root }` or bare `{ root }`; exactly one root field. */
+    /** `query Name? { root }` or bare `{ root }`, plus any number of
+      * `fragment Name on Type { … }` definitions before or after the
+      * operation (stock codegen emits fragments-last). Spreads resolve
+      * by splicing the fragment's selections with its type condition
+      * attached; exactly one root field after resolution. */
     def document(): Field = {
+      var op: Option[Seq[Field]] = None
+      val frags = scala.collection.mutable.Map[String, (String, Seq[Field])]()
+      def setOp(sels: Seq[Field]): Unit = {
+        if (op.isDefined) fail("multiple operations in one document")
+        op = Some(sels)
+      }
       ws()
-      if (peek == 'm') fail(
-        "mutations are writes — POST them to the command route, not the query route")
-      if (peek == 'q') { val kw = ident(); if (kw != "query") fail("expected 'query'"); ws(); if (peek != '{') ident() }
-      val roots = selectionSet()
-      ws()
-      if (i < s.length) fail("trailing input")
-      if (roots.size != 1) fail(s"expected exactly one root field, got ${roots.size}")
-      roots.head
+      while (i < s.length) {
+        ws()
+        if (i < s.length) {
+          if (peek == '{') setOp(selectionSet())
+          else ident() match {
+            case "query" =>
+              ws(); if (peek != '{') ident() // optional operation name
+              setOp(selectionSet())
+            case "fragment" =>
+              val n = ident()
+              if (n == "on") fail("'on' is not a legal fragment name")
+              if (ident() != "on") fail("expected 'on' in fragment definition")
+              val t = ident()
+              if (frags.contains(n)) fail(s"duplicate fragment '$n'")
+              frags(n) = (t, selectionSet())
+            case "mutation" => fail(
+              "mutations are writes — POST them to the command route, not the query route")
+            case other => fail(s"unexpected '$other' (expected query or fragment)")
+          }
+        }
+        ws()
+      }
+      val roots = op.getOrElse(fail("document has no operation"))
+      // splice spreads; `inCond` = nearest enclosing fragment's type
+      // condition (an explicit inner condition wins); `stack` guards
+      // against recursive fragments (illegal per spec — fail closed)
+      def resolve(fs: Seq[Field], inCond: Option[String],
+          stack: List[String]): Seq[Field] = fs.flatMap {
+        case Field("...", fragName, _, _, _) =>
+          if (stack.contains(fragName)) fail(s"fragment cycle through '$fragName'")
+          val (t, sels) = frags.getOrElse(fragName,
+            fail(s"unknown fragment '$fragName'"))
+          resolve(sels, Some(t), fragName :: stack)
+        case f if f.alias == "...on" =>
+          resolve(f.selections, f.cond, stack)
+        case f =>
+          Seq(f.copy(cond = f.cond.orElse(inCond),
+            selections = resolve(f.selections, None, stack)))
+      }
+      val resolved = resolve(roots, None, Nil)
+      if (resolved.size != 1)
+        fail(s"expected exactly one root field, got ${resolved.size}")
+      resolved.head
     }
 
     /** `mutation Name? { field+ }`; multiple root fields allowed (they
@@ -318,9 +389,15 @@ object GraphQl {
     * the parser) is deliberate — stock clients send the canonical
     * IntrospectionQuery, which uses fragments this engine's data
     * grammar doesn't serve, and a handshake must not depend on
-    * parsing machinery the answer doesn't need. */
+    * parsing machinery the answer doesn't need. `__type` only counts
+    * when followed by its argument list: `__typename` — which
+    * Apollo-family clients add to every DATA selection set — must
+    * route to the data path (served in [[compileSelections]]), not
+    * here. */
   def isIntrospection(doc: String): Boolean =
-    doc.contains("__schema") || doc.contains("__type")
+    IntrospectionRe.findFirstIn(doc).isDefined
+
+  private val IntrospectionRe = """__schema\b|__type\s*\(""".r
 
   /** Serve an introspection document from the schema registry as a
     * spec-shaped GraphQL response (`{"data":{"__schema":…}}` /
@@ -484,6 +561,14 @@ object GraphQl {
     var t = t0
     val cols = scala.collection.mutable.ArrayBuffer[Column]()
     var hopIdx = 0
+    // fragment type condition: a conditioned scalar projects null off
+    // non-matching rows (GraphQL's "fields outside the condition are
+    // absent" made flat-relational); a conditioned hop restricts the
+    // traversal to matching rows (≡ the surface's inner-hop semantics)
+    def mask(f: Field, c: Column): Column = f.cond match {
+      case Some(tc) => when(col(s"${binding}_label") === tc, c)
+      case None => c
+    }
     sels.foreach { f =>
       f.name match {
         case HopName(dir, edgeLabel) =>
@@ -494,10 +579,12 @@ object GraphQl {
               "(root-level only — a per-hop limit is per-group top-k)")
           hopIdx += 1
           val as = s"${binding}_h$hopIdx"
+          val tHop = f.cond.map(tc =>
+            t.filter(col(s"${binding}_label") === tc)).getOrElse(t)
           val hopped = dir match {
-            case "out" => t.outAny(edgeLabel, as)
-            case "in" => t.inAny(edgeLabel, as)
-            case "both" => t.bothAny(edgeLabel, as)
+            case "out" => tHop.outAny(edgeLabel, as)
+            case "in" => tHop.inAny(edgeLabel, as)
+            case "both" => tHop.bothAny(edgeLabel, as)
           }
           val filtered = applyArgs(hopped, as, f.args)
           val (t2, nested) = compileSelections(filtered, as,
@@ -505,9 +592,16 @@ object GraphQl {
           // restore the outer binding so sibling fields hop from it
           t = t2.copy(cur = binding)
           cols ++= nested
+        // `__typename` meta-field (spec §4.5.1) — Apollo-family
+        // clients add it to EVERY selection set; it resolves to the
+        // binding's concrete label column (nodes are label-tagged), no
+        // introspection machinery involved
+        case "__typename" =>
+          require(f.selections.isEmpty, "__typename cannot have a selection set")
+          cols += mask(f, col(s"${binding}_label")).as(s"$prefix${f.alias}")
         case scalar =>
           require(f.selections.isEmpty, s"scalar field '$scalar' cannot have a selection set")
-          cols += col(s"${binding}_$scalar").as(s"$prefix${f.alias}")
+          cols += mask(f, col(s"${binding}_$scalar")).as(s"$prefix${f.alias}")
       }
     }
     (t, cols.toSeq)

@@ -93,6 +93,50 @@ object Dml {
       t.startsWith("ALTER") || t.startsWith("DROP")
   }
 
+  /** Statements that refuse to run inside a transaction — the
+    * `noTxn` family in [[executeOne]]: schema DDL, COMPACT, BACKUP.
+    * [[executeScript]] treats them as autocommit BARRIERS between
+    * transactional DML runs (ArcadeDB's sqlscript rule: schema
+    * statements commit immediately and are not rolled back by a later
+    * failure [dep, SQL script semantics]). Must stay in lockstep with
+    * the `noTxn` call sites. */
+  def isBarrier(command: String): Boolean = {
+    val t = command.trim.toUpperCase.replaceAll("\\s+", " ")
+    t.startsWith("CREATE VERTEX TYPE") || t.startsWith("CREATE EDGE TYPE") ||
+      t.startsWith("CREATE PROPERTY") || t.startsWith("CREATE INDEX") ||
+      t.startsWith("CREATE FUNCTION") || t.startsWith("DEFINE FUNCTION") ||
+      t.startsWith("ALTER") || t.startsWith("DROP") ||
+      t.startsWith("COMPACT") || t.startsWith("BACKUP")
+  }
+
+  /** Execute a `sqlscript` statement sequence: consecutive DML
+    * statements group into atomic transactional RUNS (one manifest
+    * swap per run, [[executeBatch]]); DDL/COMPACT/BACKUP — which
+    * refuse transactions — execute standalone between runs. A failure
+    * aborts the CURRENT run and stops the script; earlier runs and
+    * barriers stay committed (the reference's sqlscript contract:
+    * schema changes autocommit, only the active transaction rolls
+    * back). A script with no barriers is therefore exactly the atomic
+    * batch (mid-script failure rolls the whole script back — the
+    * CliSpec-pinned case). */
+  def executeScript(spark: SparkSession, storeDir: String,
+      commands: Seq[String]): Long = {
+    require(commands.nonEmpty, "empty script")
+    var total = 0L
+    val run = scala.collection.mutable.ArrayBuffer[String]()
+    def flush(): Unit = if (run.nonEmpty) {
+      total += (if (run.size == 1) execute(spark, storeDir, run.head)
+                else executeBatch(spark, storeDir, run.toSeq))
+      run.clear()
+    }
+    commands.foreach { c =>
+      if (isBarrier(c)) { flush(); total += execute(spark, storeDir, c) }
+      else run += c
+    }
+    flush()
+    total
+  }
+
   /** Execute a DML command against the persisted store; returns the
     * number of records written. Throws IllegalArgumentException on
     * parse/validation errors (mapped to HTTP 400). */
@@ -544,7 +588,7 @@ object Dml {
       label: String, kind: String, op: String, tail: String,
       gs: graft.model.GraphSchema,
       txn: Option[graft.load.StoreTxn]): Long = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     val declared = gs.labels.find(_.label == label).map(_.schema.fieldNames.toSet)
       .getOrElse(throw new IllegalArgumentException(s"unknown label: $label"))
     def whereOf(rest: String): org.apache.spark.sql.Column = {
@@ -563,7 +607,10 @@ object Dml {
         val fields = scala.collection.mutable.ArrayBuffer(lx.ident())
         lx.ws()
         while (lx.peek == ',') { lx.i += 1; fields += lx.ident(); lx.ws() }
-        (fields.map(f => f -> lit(null).cast("string")).toMap, whereOf(lx.rest()))
+        // untyped NullType lit: updateColumns casts it to the field's
+        // declared type, and NullType→array/map casts are legal where
+        // string→array is not (code-review r12 #2)
+        (fields.map(f => f -> lit(null)).toMap, whereOf(lx.rest()))
       case "INCREMENT" =>
         val lx = new Lexer(tail)
         val pairs = scala.collection.mutable.ArrayBuffer[(String, Any)]()
@@ -573,10 +620,14 @@ object Dml {
           lx.ws()
           if (lx.peek == ',') lx.i += 1 else more = false
         }
+        // null/absent counter initializes to the delta (ArcadeDB's
+        // INCREMENT-creates-the-field rule [dep, SQL update grammar]) —
+        // bare col(f) + delta would pin a once-REMOVEd counter to null
+        // forever (code-review r12 #3)
         val sets = pairs.map { case (f, v) =>
           v match {
-            case n: Long => f -> (col(f) + lit(n))
-            case d: Double => f -> (col(f) + lit(d))
+            case n: Long => f -> (coalesce(col(f), lit(0L)) + lit(n))
+            case d: Double => f -> (coalesce(col(f), lit(0d)) + lit(d))
             case other => throw new IllegalArgumentException(
               s"INCREMENT takes numeric deltas, got '$other' for $f")
           }
@@ -592,7 +643,7 @@ object Dml {
         val sets =
           if (op == "MERGE") content.map { case (k, v) => k -> lit(v) }
           else declared.map(k => // full replacement: unmentioned → null
-            k -> content.get(k).map(lit).getOrElse(lit(null).cast("string"))).toMap
+            k -> content.get(k).map(lit).getOrElse(lit(null))).toMap
         (sets, whereOf(rest))
       case other => throw new IllegalArgumentException(
         s"unsupported UPDATE operation $other (expected SET, REMOVE, " +

@@ -543,6 +543,7 @@ object QueryServer {
       // becomes a multi-statement atomic batch (GraphQL's sequential
       // root execution made transactional)
       var gqlBatch = false
+      var script = false // sqlscript: DDL barriers between atomic DML runs
       val commands: Seq[String] = batch.getOrElse {
         val (language, command, _) = parsed(body)
         language match {
@@ -554,12 +555,17 @@ object QueryServer {
           // the dialect-native batch spelling (`language:"sqlscript"`,
           // `;`-separated statements): splits at top level — a `;`
           // inside a quoted literal or CONTENT/MERGE json never
-          // mis-splits — and routes through the SAME atomic batch as
-          // the JSON `{"commands": […]}` form (one manifest swap;
-          // mid-script failure rolls the whole script back)
+          // mis-splits. DML-only scripts route through the SAME atomic
+          // batch as the JSON `{"commands": […]}` form (one manifest
+          // swap; mid-script failure rolls the whole script back);
+          // scripts MIXING DDL run via [[Dml.executeScript]] — DDL
+          // autocommits as a barrier between atomic DML runs, the
+          // reference's sqlscript rule (code-review r12 #4: the batch
+          // form refuses DDL, so schema-setup scripts need this path)
           case "sqlscript" =>
             val stmts = Dml.splitScript(command)
-            gqlBatch = stmts.size > 1
+            script = stmts.size > 1
+            gqlBatch = script
             stmts
           case other =>
             throw new IllegalArgumentException(s"unsupported command language: $other")
@@ -612,14 +618,27 @@ object QueryServer {
           // commit lands a new generation set, the snapshot swap pins it,
           // and the superseded one retires with its in-flight reads
           val n = writeMutex.synchronized {
+            def swapSnapshot(): Unit = {
+              val paths = graft.load.Store.currentGenPaths(ctx.dir)
+              graft.load.GenerationPins.pin(paths)
+              val old = current
+              current = new Snapshot(Some(ctx.reload()), storeSchema(), paths)
+              retired.add(old)
+            }
             val n0 =
-              if (batch.isDefined || gqlBatch) Dml.executeBatch(spark, ctx.dir, commands)
-              else Dml.execute(spark, ctx.dir, commands.head)
-            val paths = graft.load.Store.currentGenPaths(ctx.dir)
-            graft.load.GenerationPins.pin(paths)
-            val old = current
-            current = new Snapshot(Some(ctx.reload()), storeSchema(), paths)
-            retired.add(old)
+              if (script && commands.exists(Dml.isBarrier))
+                // a mixed script advances DISK state even when it fails
+                // partway (DDL barriers and earlier runs have already
+                // committed — the reference's sqlscript contract), so
+                // the served snapshot must refresh on BOTH exits; the
+                // plain single-commit forms below stay success-only
+                try Dml.executeScript(spark, ctx.dir, commands)
+                finally swapSnapshot()
+              else if (batch.isDefined || gqlBatch) {
+                val r = Dml.executeBatch(spark, ctx.dir, commands)
+                swapSnapshot(); r
+              } else { val r = Dml.execute(spark, ctx.dir, commands.head)
+                swapSnapshot(); r }
             n0
           }
           maybeSweep()

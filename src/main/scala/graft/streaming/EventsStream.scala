@@ -181,17 +181,22 @@ object EventsStream {
     * back: what counts as boilerplate is the resident corpus's call,
     * not the stream's), so each micro-batch is one sorted-probe semi
     * join against the index's single column plus the doc-sized
-    * island/cut tail. The sink receives (id, clean_text, n_removed)
-    * per arrival. */
+    * island/cut tail. The index frame is bound ONCE, outside the
+    * batch closure: [[graft.llmops.Dedup.residentSpanIndex]] only
+    * ever publishes a dest dir once (a rebuild lands in a NEW key
+    * dir, served by restarting the gate), so a per-batch re-read —
+    * file listing + schema inference every micro-batch — could never
+    * observe new data anyway (code-review r12 #5). The sink receives
+    * (id, clean_text, n_removed) per arrival. */
   def scrubGate(indexDir: String, docs: DataFrame, idCol: String,
       textCol: String, windowTokens: Int,
       checkpointDir: Option[String] = None)(sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = docs.sparkSession
+    val index = spark.read.parquet(indexDir)
     val w = docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val index = spark.read.parquet(indexDir)
           sink(graft.llmops.Dedup.scrubSpansIncremental(
             index, batch, idCol, textCol, windowTokens))
         }

@@ -401,6 +401,33 @@ class CliSpec extends SparkSpec {
         s"""{"language":"sqlscript","command":"$failing"}""")
       assert(c4 == 400)
       assert(countOf("SELECT count(*) AS cnt FROM nodes WHERE id = 1996004") == 0)
+
+      // a script MIXING DDL and DML (the typical schema-setup script):
+      // DDL autocommits as a barrier, the DML around it still lands —
+      // the batch form alone would refuse the DDL (r12 review #4)
+      val mixed = "CREATE VERTEX TYPE ScriptT;" +
+        "CREATE PROPERTY ScriptT.v STRING;" +
+        "INSERT INTO ScriptT (id, v) VALUES (1996005, 'made by script');"
+      val (c5, b5) = fire("command",
+        s"""{"language":"sqlscript","command":"$mixed"}""")
+      assert(c5 == 200, b5)
+      assert(countOf("SELECT count(*) AS cnt FROM nodes WHERE id = 1996005") == 1)
+      // mid-script failure AFTER a DDL barrier: the DDL stays (schema
+      // changes are not transactional — ArcadeDB's sqlscript rule),
+      // the failing DML run rolls back
+      val mixedFail = "CREATE VERTEX TYPE ScriptU;" +
+        "CREATE PROPERTY ScriptU.v STRING;" +
+        "INSERT INTO ScriptU (id, v) VALUES (1996006, 'x');" +
+        "INSERT INTO Customer (id, name) VALUES (1996003, 'Customer#dup')"
+      val (c6, b6) = fire("command",
+        s"""{"language":"sqlscript","command":"$mixedFail"}""")
+      assert(c6 == 400, b6)
+      assert(countOf("SELECT count(*) AS cnt FROM nodes WHERE id = 1996006") == 0)
+      // the barrier committed: the type exists in the served registry
+      val sconn = new java.net.URL(s"http://127.0.0.1:${srv.port}/api/v1/schema")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val sbody = new String(sconn.getInputStream.readAllBytes(), "UTF-8")
+      assert(sbody.contains("ScriptU"), s"schema missing ScriptU; 400 body was: $b6")
     } finally srv.stop()
   }
 

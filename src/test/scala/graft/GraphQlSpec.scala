@@ -220,6 +220,68 @@ class GraphQlSpec extends SparkSpec {
     assert(missing \ "data" \ "__type" == JNull)
     // detection: introspection sniffs, data queries do not
     assert(GraphQl.isIntrospection("query { __schema { types { name } } }"))
+    assert(GraphQl.isIntrospection("""{ __type(name: "Part") { name } }"""))
     assert(!GraphQl.isIntrospection("{ Customer { name } }"))
+  }
+
+  test("__typename is a data meta-field, never misrouted to introspection") {
+    // Apollo-family clients add __typename to EVERY selection set: the
+    // sniff must not substring-match it into the introspection path
+    // (r12 review #1), and the data path must serve it as the
+    // binding's concrete label
+    val doc = """{ Customer(mktsegment: "BUILDING") {
+                 __typename name orders: out_PLACED { __typename status } } }"""
+    assert(!GraphQl.isIntrospection(doc))
+    val df = GraphQl.compile(g, doc)
+    assert(df.columns.toSeq ==
+      Seq("__typename", "name", "orders___typename", "orders_status"))
+    val r = df.head
+    assert(r.getString(0) == "Customer")
+    assert(r.getString(2) == "Order")
+    // aliased form works like any field alias
+    val aliased = GraphQl.compile(g, "{ Region { t: __typename name } }")
+    assert(aliased.columns.toSeq == Seq("t", "name"))
+    assert(aliased.select("t").distinct().head.getString(0) == "Region")
+  }
+
+  test("fragments: named spreads and inline fragments splice into the selection") {
+    // a named fragment defined AFTER its use (the codegen norm), on
+    // the matching type — identical to writing the fields inline
+    val withFrag = GraphQl.compile(g,
+      """query Q { Customer(mktsegment: "BUILDING") { ...custBits } }
+         fragment custBits on Customer { name acctbal }""")
+    val inline = GraphQl.compile(g,
+      """{ Customer(mktsegment: "BUILDING") { name acctbal } }""")
+    assert(withFrag.columns.toSeq == Seq("name", "acctbal"))
+    assert(withFrag.exceptAll(inline).count() == 0)
+    assert(inline.exceptAll(withFrag).count() == 0)
+
+    // fragments compose through hops and nest (fragment using a fragment)
+    val nested = GraphQl.compile(g,
+      """fragment orderBits on Order { totalprice }
+         fragment custDeep on Customer { name orders: out_PLACED { ...orderBits } }
+         { Customer(mktsegment: "BUILDING") { ...custDeep } }""")
+    assert(nested.columns.toSeq == Seq("name", "orders_totalprice"))
+    assert(nested.count() > 0)
+
+    // an inline fragment whose condition does NOT match masks its
+    // scalars to null instead of failing the query
+    val masked = GraphQl.compile(g,
+      """{ Region { name ... on Nation { regionkey: name } } }""")
+    assert(masked.columns.toSeq == Seq("name", "regionkey"))
+    assert(masked.filter(col("regionkey").isNotNull).count() == 0)
+    // …and a MATCHING condition is transparent
+    val matching = GraphQl.compile(g,
+      """{ Region { ... on Region { name } } }""")
+    assert(matching.select("name").distinct().count() == 5)
+
+    // fail-closed: unknown fragment, cycle, duplicate definition
+    intercept[IllegalArgumentException](GraphQl.compile(g, "{ Region { ...nope } }"))
+    intercept[IllegalArgumentException](GraphQl.compile(g,
+      """{ Region { ...a } } fragment a on Region { ...b }
+         fragment b on Region { ...a }"""))
+    intercept[IllegalArgumentException](GraphQl.compile(g,
+      """{ Region { ...a } } fragment a on Region { name }
+         fragment a on Region { name }"""))
   }
 }

@@ -825,6 +825,20 @@ class LlmSpec extends SparkSpec {
     // empty corpus: empty result, correct schema
     assert(Pipeline.sourceCap(d.filter(lit(false)), "doc_id", "source", 5, "t_")
       .collect().isEmpty)
+
+    // NEGATIVE ids (signed hashes as ids): the level count must derive
+    // from the id RANGE, not max(id) alone — ids -600..0 have
+    // max(id) = 0 (one block by the old count) but 301 level-0 blocks;
+    // results must still match the global rank (r12 review #6)
+    val negRows = (-600L to 0L).map(i => (i, if (i % 97 == 0) "rare" else "big"))
+    val dn = negRows.toDF("doc_id", "source")
+    val gotN = Pipeline.sourceCap(dn, "doc_id", "source", 5, "t_", blockDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val expectN = negRows.groupBy(_._2).toSeq.flatMap { case (src, members) =>
+      members.map(_._1).sortBy(id => (h(id), id)).take(5)
+        .zipWithIndex.map { case (id, i) => (id, src, i + 1) }
+    }.toSet
+    assert(gotN.toSet == expectN)
   }
 
   test("decontaminateBloom: superset of the exact pass, planted contamination flagged") {

@@ -314,6 +314,23 @@ class LoadSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dml.execute(spark, out,
       "UPDATE Customer REMOVE name WHERE id = 1000049"))
     assert(!cust(1000049L).select("name").head.isNullAt(0))
+
+    // REMOVE of an ARRAY-typed property: the null must arrive untyped
+    // (NullType casts to array; string→array does not — r12 review #2)
+    def part(id: Long) = storeNodes(out).filter(col("id") === id)
+    val pid = storeNodes(out).filter(col("label") === "Part")
+      .select("id").head.getLong(0)
+    assert(Dml.execute(spark, out,
+      s"UPDATE Part REMOVE tags WHERE id = $pid") == 1)
+    assert(part(pid).select("tags").head.isNullAt(0))
+
+    // INCREMENT on a null/absent counter initializes to the delta
+    // (ArcadeDB's create-on-increment rule), never null + n = null
+    assert(Dml.execute(spark, out,
+      "UPDATE Customer REMOVE acctbal WHERE id = 1000045") == 1)
+    assert(Dml.execute(spark, out,
+      "UPDATE Customer INCREMENT acctbal = 3.5 WHERE id = 1000045") == 1)
+    assert(cust(1000045L).select("acctbal").head.getDouble(0) == 3.5)
   }
 
   test("generation commit: crash debris is invisible and swept; commit is atomic") {
