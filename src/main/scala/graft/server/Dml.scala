@@ -576,6 +576,15 @@ object Dml {
     * UNIQUE/constraint invariants hold identically):
     *
     *   UPDATE T REMOVE f [, g]      [WHERE p]   → f, g ← null
+    *   UPDATE T REMOVE f = v        [WHERE p]   → f ← f minus element v
+    *     (collection form — null collection stays null, like ArcadeDB)
+    *   UPDATE T ADD f = v [, …]     [WHERE p]   → f ← f ++ [v]
+    *     (append to a LIST property; a null collection initializes to
+    *     [v], the create-on-add rule)
+    *   UPDATE T PUT f = k, v [, …]  [WHERE p]   → f[k] ← v
+    *     (MAP property put — overwrite semantics via map_filter +
+    *     map_concat, so the engine's duplicate-key EXCEPTION policy
+    *     can never fire)
     *   UPDATE T INCREMENT f = n [, …] [WHERE p] → f ← f + n
     *   UPDATE T CONTENT {json}      [WHERE p]   → declared props ←
     *     json value or null (full content replacement, keys survive)
@@ -583,14 +592,21 @@ object Dml {
     *
     * JSON values are scalars (string/number/boolean/null) — nested
     * objects/arrays are refused loudly, matching the flat property
-    * model. UPSERT applies to the SET form only. */
+    * model. ADD/REMOVE-element/PUT literals cast to the DECLARED
+    * element/value type (the lattice cast, loud on mismatch). UPSERT
+    * applies to the SET form only. */
   private def executeUpdateForm(spark: SparkSession, storeDir: String,
       label: String, kind: String, op: String, tail: String,
       gs: graft.model.GraphSchema,
       txn: Option[graft.load.StoreTxn]): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit}
-    val declared = gs.labels.find(_.label == label).map(_.schema.fieldNames.toSet)
+    import org.apache.spark.sql.functions.{array, array_append, array_remove,
+      coalesce, col, lit, map_concat, map_filter, when, map => mapOf}
+    val declaredSchema = gs.labels.find(_.label == label).map(_.schema)
       .getOrElse(throw new IllegalArgumentException(s"unknown label: $label"))
+    val declared = declaredSchema.fieldNames.toSet
+    def declaredType(f: String): DataType =
+      declaredSchema.fields.find(_.name == f).map(_.dataType).getOrElse(
+        throw new IllegalArgumentException(s"property $label.$f is not declared"))
     def whereOf(rest: String): org.apache.spark.sql.Column = {
       val t = rest.trim
       if (t.isEmpty) lit(true)
@@ -603,14 +619,86 @@ object Dml {
     val (sets, where): (Map[String, org.apache.spark.sql.Column],
         org.apache.spark.sql.Column) = op match {
       case "REMOVE" =>
+        // two spellings per item: `f` nulls the property out (A7:
+        // absent ≡ null), `f = v` removes ELEMENT v from a collection
+        // property (the OrientDB-lineage form ArcadeDB keeps)
         val lx = new Lexer(tail)
-        val fields = scala.collection.mutable.ArrayBuffer(lx.ident())
-        lx.ws()
-        while (lx.peek == ',') { lx.i += 1; fields += lx.ident(); lx.ws() }
-        // untyped NullType lit: updateColumns casts it to the field's
-        // declared type, and NullType→array/map casts are legal where
-        // string→array is not (code-review r12 #2)
-        (fields.map(f => f -> lit(null)).toMap, whereOf(lx.rest()))
+        val items = scala.collection.mutable.ArrayBuffer[(String, Option[Any])]()
+        var more = true
+        while (more) {
+          val f = lx.ident(); lx.ws()
+          if (lx.peek == '=') { lx.i += 1; items += f -> Some(lx.literal()) }
+          else items += f -> None
+          lx.ws()
+          if (lx.peek == ',') lx.i += 1 else more = false
+        }
+        val sets = items.map {
+          // untyped NullType lit: updateColumns casts it to the field's
+          // declared type, and NullType→array/map casts are legal where
+          // string→array is not (code-review r12 #2)
+          case (f, None) => f -> lit(null)
+          case (f, Some(v)) => declaredType(f) match {
+            case ArrayType(et, _) => f -> array_remove(col(f), lit(v).cast(et))
+            case MapType(kt, _, _) => // map spelling: drop KEY v
+              f -> map_filter(col(f), (mk, _) => mk =!= lit(v).cast(kt))
+            case other => throw new IllegalArgumentException(
+              s"REMOVE $f = <value> needs a LIST or MAP property; $label.$f is " +
+                other.simpleString)
+          }
+        }.toMap
+        (sets, whereOf(lx.rest()))
+      case "ADD" =>
+        // append to a LIST property; null collection initializes to
+        // [v] (ArcadeDB's create-on-add rule — bare array_append on a
+        // null collection would stay null, the INCREMENT trap)
+        val lx = new Lexer(tail)
+        val pairs = scala.collection.mutable.ArrayBuffer[(String, Any)]()
+        var more = true
+        while (more) {
+          val f = lx.ident(); lx.expect('='); pairs += f -> lx.literal()
+          lx.ws()
+          if (lx.peek == ',') lx.i += 1 else more = false
+        }
+        val sets = pairs.map { case (f, v) =>
+          declaredType(f) match {
+            case ArrayType(et, _) =>
+              val e = lit(v).cast(et)
+              f -> when(col(f).isNull, array(e)).otherwise(array_append(col(f), e))
+            case other => throw new IllegalArgumentException(
+              s"ADD needs a LIST property; $label.$f is ${other.simpleString}")
+          }
+        }.toMap
+        (sets, whereOf(lx.rest()))
+      case "PUT" =>
+        // MAP put: `PUT f = k, v [, g = k2, v2]` — the two literals
+        // after each `=` are the entry, so the comma grammar stays
+        // unambiguous; overwrite = drop the old key (map_filter) then
+        // concat, which keeps Spark's duplicate-map-key EXCEPTION
+        // policy unreachable
+        val lx = new Lexer(tail)
+        val entries = scala.collection.mutable.ArrayBuffer[(String, Any, Any)]()
+        var more = true
+        while (more) {
+          val f = lx.ident(); lx.expect('=')
+          val k = lx.literal(); lx.expect(','); val v = lx.literal()
+          entries += ((f, k, v))
+          lx.ws()
+          if (lx.peek == ',') lx.i += 1 else more = false
+        }
+        val sets = entries.groupBy(_._1).map { case (f, es) =>
+          declaredType(f) match {
+            case MapType(kt, vt, _) =>
+              f -> es.foldLeft(col(f)) { case (acc, (_, k, v)) =>
+                val key = lit(k).cast(kt)
+                val put = mapOf(key, lit(v).cast(vt))
+                when(acc.isNull, put).otherwise(
+                  map_concat(map_filter(acc, (mk, _) => mk =!= key), put))
+              }
+            case other => throw new IllegalArgumentException(
+              s"PUT needs a MAP property; $label.$f is ${other.simpleString}")
+          }
+        }
+        (sets, whereOf(lx.rest()))
       case "INCREMENT" =>
         val lx = new Lexer(tail)
         val pairs = scala.collection.mutable.ArrayBuffer[(String, Any)]()
@@ -646,8 +734,8 @@ object Dml {
             k -> content.get(k).map(lit).getOrElse(lit(null))).toMap
         (sets, whereOf(rest))
       case other => throw new IllegalArgumentException(
-        s"unsupported UPDATE operation $other (expected SET, REMOVE, " +
-          "INCREMENT, CONTENT, or MERGE)")
+        s"unsupported UPDATE operation $other (expected SET, REMOVE, ADD, " +
+          "PUT, INCREMENT, CONTENT, or MERGE)")
     }
     clientCastErrors {
       val n = GraphLoader.updateColumns(spark, storeDir, label, kind, sets, where, txn)
@@ -831,6 +919,7 @@ object Dml {
     case "DATE" => DateType
     case "DATETIME" => TimestampType
     case "LIST" => ArrayType(StringType)
+    case "MAP" => MapType(StringType, StringType)
     case other => throw new IllegalArgumentException(s"unsupported property type: $other")
   }
 

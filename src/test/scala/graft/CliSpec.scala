@@ -643,6 +643,18 @@ class CliSpec extends SparkSpec {
       val (uc2, ub2) = post("query",
         """{"language":"arcadesql","command":"SELECT title, hits FROM Topic WHERE id = 9100003"}""")
       assert(uc2 == 200 && ub2.contains("archaea") && !ub2.contains("proteomes"), ub2)
+
+      // collection forms over HTTP: LIST ADD/REMOVE-element, MAP PUT
+      cmdOk("CREATE PROPERTY Topic.aliases LIST")
+      cmdOk("CREATE PROPERTY Topic.meta MAP")
+      cmdOk("UPDATE Topic ADD aliases = 'archaebacteria' WHERE id = 9100003")
+      cmdOk("UPDATE Topic ADD aliases = 'extremophiles' WHERE id = 9100003")
+      cmdOk("UPDATE Topic REMOVE aliases = 'archaebacteria' WHERE id = 9100003")
+      cmdOk("UPDATE Topic PUT meta = 'domain', 'Archaea' WHERE id = 9100003")
+      val (uc3, ub3) = post("query",
+        """{"language":"arcadesql","command":"SELECT aliases, meta FROM Topic WHERE id = 9100003"}""")
+      assert(uc3 == 200 && ub3.contains("extremophiles") &&
+        !ub3.contains("archaebacteria") && ub3.contains("Archaea"), ub3)
     } finally srv.stop()
   }
 

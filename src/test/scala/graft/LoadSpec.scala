@@ -333,6 +333,53 @@ class LoadSpec extends SparkSpec {
     assert(cust(1000045L).select("acctbal").head.getDouble(0) == 3.5)
   }
 
+  test("UPDATE collection forms: ADD / REMOVE element / PUT (LIST and MAP)") {
+    val out = Files.createTempDirectory("graftcoll").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    import graft.server.Dml
+    def part(id: Long) = storeNodes(out).filter(col("id") === id)
+    val pid = storeNodes(out).filter(col("label") === "Part")
+      .select("id").orderBy("id").head.getLong(0)
+    def tags: Seq[String] = part(pid).select("tags").head.getSeq[String](0)
+
+    // ADD appends to the declared LIST, preserving existing elements
+    val before = tags
+    assert(Dml.execute(spark, out,
+      s"UPDATE Part ADD tags = 'added#1' WHERE id = $pid") == 1)
+    assert(tags == before :+ "added#1")
+    // REMOVE f = v removes the ELEMENT, not the property
+    assert(Dml.execute(spark, out,
+      s"UPDATE Part REMOVE tags = 'added#1' WHERE id = $pid") == 1)
+    assert(tags == before)
+    // create-on-add: null collection (after a bare REMOVE) → [v]
+    assert(Dml.execute(spark, out,
+      s"UPDATE Part REMOVE tags WHERE id = $pid") == 1)
+    assert(Dml.execute(spark, out,
+      s"UPDATE Part ADD tags = 'fresh' WHERE id = $pid") == 1)
+    assert(tags == Seq("fresh"))
+    // ADD on a non-list property refused loudly
+    intercept[IllegalArgumentException](Dml.execute(spark, out,
+      s"UPDATE Part ADD name = 'x' WHERE id = $pid"))
+
+    // MAP property lifecycle: declare, PUT creates, PUT overwrites,
+    // REMOVE f = k drops the key
+    Dml.execute(spark, out, "CREATE PROPERTY Part.attrs MAP")
+    assert(Dml.execute(spark, out,
+      s"UPDATE Part PUT attrs = 'color', 'red' WHERE id = $pid") == 1)
+    def attrs: Map[String, String] =
+      part(pid).select("attrs").head.getMap[String, String](0).toMap
+    assert(attrs == Map("color" -> "red"))
+    assert(Dml.execute(spark, out,
+      s"UPDATE Part PUT attrs = 'color', 'blue', attrs = 'size', 'L' WHERE id = $pid") == 1)
+    assert(attrs == Map("color" -> "blue", "size" -> "L"))
+    assert(Dml.execute(spark, out,
+      s"UPDATE Part REMOVE attrs = 'color' WHERE id = $pid") == 1)
+    assert(attrs == Map("size" -> "L"))
+    // PUT on a non-map property refused loudly
+    intercept[IllegalArgumentException](Dml.execute(spark, out,
+      s"UPDATE Part PUT tags = 'k', 'v' WHERE id = $pid"))
+  }
+
   test("generation commit: crash debris is invisible and swept; commit is atomic") {
     val out = Files.createTempDirectory("graftrec").toString
     GraphLoader.writeGraph(spark, sfDir, out)
