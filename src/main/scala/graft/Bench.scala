@@ -71,6 +71,7 @@ object Bench {
     "pipeline_split_leakfree",
     "pipeline_dedup_stats",
     "pipeline_corpus_diff",
+    "pipeline_data_card",
     "asof_events",
     "events_funnel",
     "events_retention",

@@ -210,6 +210,17 @@ object PlanAudit {
       "__blk"),
     Check("pipeline_shuffle", "block offsets broadcast back onto the rows",
       "BroadcastHashJoin"),
+    // data card: every ratio derives from partial aggregates — the
+    // language majority is a (source, lang)-count argmax (never mode
+    // over raw rows), the dup rate is the fingerprint-df aggregate +
+    // semi probe (a universal fingerprint contributes one partial per
+    // partition, never a window partition), and the corpus total binds
+    // as a 1-row broadcast. No window anywhere in the plan.
+    Check("pipeline_data_card", "dup-rate probe is a semi join on the fingerprint",
+      "LeftSemi"),
+    Check("pipeline_data_card", "corpus total binds as a broadcast",
+      "BroadcastNestedLoopJoin|BroadcastHashJoin"),
+    Check("pipeline_data_card", "no window over any content key", "!Window"),
     // keep-best: the per-group argmax must be a partial AGGREGATE (a
     // window over the group key would serialize a boilerplate
     // mega-group through one task). The struct-ordered max buffers a

@@ -176,6 +176,66 @@ object Pipeline {
       .withColumn("fill", round(col("n_tokens").cast("double") / capTokens, 6))
   }
 
+  /** Corpus DATA CARD — the per-source release report a pretraining
+    * pipeline publishes with a corpus drop: document and token mass
+    * (absolute and as a share of the whole corpus), mean document
+    * length, the source's distinct-token ratio, its predicted-language
+    * majority, and its exact-duplicate rate (share of the source's
+    * docs whose normalized fingerprint occurs ≥ 2 times ANYWHERE in
+    * the corpus — cross-source duplication is exactly what a
+    * per-source card must surface).
+    *
+    * Scale shape: one slim projection (id, source, counts, lang,
+    * fingerprint) eagerly checkpointed (consumed by four aggregates —
+    * the clusterBalance recompute-vs-checkpoint precedent), then only
+    * map-side-combinable aggregates: per-source moments (one hash
+    * agg), the language majority as (source, lang) counts argmaxed
+    * per source (two partial aggs — never a mode over raw rows, so a
+    * monolingual mega-source contributes one partial per partition),
+    * and the duplicate rate via the fingerprint-df aggregate +
+    * semi-probe (the span-dedup discipline: a universal fingerprint
+    * contributes one partial per partition, never a window
+    * partition). The corpus total is a 1-row broadcast cross join.
+    * All ratios divide INTEGER sums once, so the DuckDB twin is
+    * bit-identical (no order-dependent float accumulation). Output is
+    * source-cardinality. */
+  def corpusCard(docs: DataFrame, idCol: String, sourceCol: String,
+      textCol: String): DataFrame = {
+    val tk = TextOps.tokens(col(textCol))
+    val base = docs.select(col(idCol), col(sourceCol),
+      size(tk).cast("long").as("__nt"),
+      size(array_distinct(tk)).cast("long").as("__nd"),
+      TextOps.predictLang(col(textCol)).as("__lang"),
+      TextOps.fingerprint(col(textCol)).as("__fp"))
+      .localCheckpoint(true)
+    val moments = base.groupBy(col(sourceCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__nt")).as("n_tokens"),
+      sum(col("__nd")).as("__ndist"))
+    val langTop = base.groupBy(col(sourceCol), col("__lang"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(sourceCol))
+      .agg(max(struct(col("__c"), col("__lang"))).as("__b"))
+      .select(col(sourceCol), col("__b.__lang").as("top_lang"))
+    val dupFp = base.groupBy(col("__fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2).select(col("__fp"))
+    val dupDocs = base.join(dupFp, Seq("__fp"), "left_semi")
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("__dup"))
+    val total = base.agg(sum(col("__nt")).as("__tot"))
+    moments
+      .join(langTop, Seq(sourceCol))
+      .join(dupDocs, Seq(sourceCol), "left")
+      .crossJoin(broadcast(total))
+      .select(col(sourceCol).as("source"),
+        col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("__tot").cast("double"), 6).as("share_tokens"),
+        round(col("n_tokens") / col("n_docs").cast("double"), 2).as("avg_tokens"),
+        round(col("__ndist") / col("n_tokens").cast("double"), 6).as("distinct_ratio"),
+        col("top_lang"),
+        round(coalesce(col("__dup"), lit(0L)) / col("n_docs").cast("double"), 4)
+          .as("dup_rate"))
+  }
+
   /** Sequence packing — the last mile of corpus prep: pack UNITS
     * (typically [[TextOps.chunkTokens]] chunks) in (docId, unitId)
     * order into fixed-`capTokens` training sequences per stratum, a

@@ -1474,6 +1474,43 @@ object LlmQueries {
           round(CAST(sum(n_tokens) AS DOUBLE) / 4096, 6) AS fill
         FROM sh GROUP BY stratum, shard""")),
 
+    // corpus DATA CARD: the per-source release report (doc/token mass
+    // + corpus share, mean length, distinct-token ratio, predicted-
+    // language majority, cross-source exact-dup rate) — integer sums
+    // divided once, so both engines compute bit-identical ratios
+    Q("pipeline_data_card",
+      (s, d) => Pipeline.corpusCard(t(s, d, "documents"),
+        "doc_id", "source", "text"),
+      Some {
+        val (ctes, fin, pred) = sqlLangChain("doc_id, source, text")
+        s"""WITH $ctes,
+          base AS (SELECT doc_id, source,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+              CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd,
+              $pred AS plang, md5(lower(text)) AS fp
+            FROM $fin),
+          m AS (SELECT source, count(*) AS n_docs,
+              CAST(sum(nt) AS BIGINT) AS n_tokens,
+              CAST(sum(nd) AS BIGINT) AS ndist FROM base GROUP BY source),
+          lc AS (SELECT source, plang, count(*) AS c
+            FROM base GROUP BY source, plang),
+          lt AS (SELECT source, plang AS top_lang FROM (
+              SELECT source, plang, row_number() OVER (PARTITION BY source
+                ORDER BY c DESC, plang DESC) AS rn FROM lc) WHERE rn = 1),
+          rep AS (SELECT fp FROM base GROUP BY fp HAVING count(*) >= 2),
+          dp AS (SELECT source, count(*) AS ndup FROM base
+            WHERE fp IN (SELECT fp FROM rep) GROUP BY source),
+          tot AS (SELECT CAST(sum(nt) AS BIGINT) AS t FROM base)
+          SELECT m.source, n_docs, n_tokens,
+            round(CAST(n_tokens AS DOUBLE) / t, 6) AS share_tokens,
+            round(CAST(n_tokens AS DOUBLE) / n_docs, 2) AS avg_tokens,
+            round(CAST(ndist AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+            top_lang,
+            round(CAST(COALESCE(ndup, 0) AS DOUBLE) / n_docs, 4) AS dup_rate
+          FROM m JOIN lt USING (source) LEFT JOIN dp USING (source)
+          CROSS JOIN tot"""
+      }),
+
     // quality scoring: lengths, type-token ratio, stopword ratio
     Q("text_quality",
       (s, d) => t(s, d, "documents").select(

@@ -1659,4 +1659,28 @@ class LlmSpec extends SparkSpec {
       Seq(0L), 4).collect()(0)
     assert(r4.getInt(1) == 1 && r4.getLong(2) == 2L, r4.toString)
   }
+
+  test("corpusCard: cross-source dup rate, language majority, exact ratios") {
+    // planted corpus: srcA's second doc duplicates srcB's only doc
+    // (case-normalized fingerprint) — CROSS-source duplication must
+    // show in BOTH sources' dup_rate
+    val docs = Seq(
+      (1L, "srcA", "the cat sat on the mat"),
+      (2L, "srcA", "Shared Boilerplate Text Here"),
+      (3L, "srcA", "le chat et le chien et le"),
+      (4L, "srcB", "shared boilerplate text here")
+    ).toDF("doc_id", "source", "text")
+    val card = Pipeline.corpusCard(docs, "doc_id", "source", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = card("srcA"); val b = card("srcB")
+    assert(a.getAs[Long]("n_docs") == 3 && b.getAs[Long]("n_docs") == 1)
+    // token masses: 6 + 4 + 7 = 17 for A, 4 for B; shares sum to 1
+    assert(a.getAs[Long]("n_tokens") == 17 && b.getAs[Long]("n_tokens") == 4)
+    assert(a.getAs[Double]("share_tokens") == 0.809524) // round(17/21, 6)
+    // dup rate: 1 of A's 3 docs and B's single doc share a fingerprint
+    assert(a.getAs[Double]("dup_rate") == 0.3333 && b.getAs[Double]("dup_rate") == 1.0)
+    // language majority: A has 2 en-marker docs vs 1 fr — 'en' wins;
+    // the argmax is deterministic (count, then language string)
+    assert(a.getAs[String]("top_lang") == "en")
+  }
 }
