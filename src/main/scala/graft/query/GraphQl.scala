@@ -43,8 +43,16 @@ object GraphQl {
       selections: Seq[Field], cond: Option[String] = None)
 
   // ---- tokenizer/parser (hand-rolled; the subset is tiny) ----
-  private final class Parser(s: String) {
+  /** `vars` = the request's `variables` JSON (flat map, already
+    * JValue-decoded): `$name` references in argument position resolve
+    * against it, falling back to the declaration's default value —
+    * the stock-client calling convention (every codegen client sends
+    * `{query, variables}`). Declared types are parsed but not
+    * enforced; values coerce exactly like inline literals. */
+  private final class Parser(s: String, vars: Map[String, Any]) {
     private var i = 0
+    private val varDefaults = scala.collection.mutable.Map[String, Any]()
+    private var varNames = Set.empty[String]
     private def ws(): Unit = {
       while (i < s.length && (s(i).isWhitespace || s(i) == ',')) i += 1
       if (i < s.length && s(i) == '#') { // comment to end of line
@@ -68,9 +76,49 @@ object GraphQl {
       s.substring(start, i)
     }
 
+    /** `($x: Type [= default], …)` after the operation name. Types are
+      * consumed (incl. `[...]` lists and `!` non-null markers) but not
+      * enforced — coercion happens where the value lands, like inline
+      * literals. */
+    private def varDefs(): Unit = {
+      ws()
+      if (peek != '(') return
+      i += 1
+      ws()
+      while (peek != ')') {
+        expect('$')
+        val n = ident()
+        if (varNames.contains(n)) fail(s"duplicate variable $$${n}")
+        varNames += n
+        expect(':')
+        ws()
+        if (peek == '[') { // list type: consume to the matching ']'
+          var depth = 0
+          while (i < s.length && { if (peek == '[') depth += 1
+            else if (peek == ']') depth -= 1; i += 1; depth > 0 }) ()
+        } else ident()
+        ws()
+        if (peek == '!') i += 1
+        ws()
+        if (peek == '=') { i += 1; varDefaults(n) = value() }
+        ws()
+      }
+      i += 1
+    }
+
+    private def varRef(): Any = {
+      i += 1 // past '$'
+      val n = ident()
+      if (!varNames.contains(n))
+        fail(s"variable $$${n} is not declared by the operation")
+      vars.get(n).orElse(varDefaults.get(n)).getOrElse(
+        fail(s"variable $$${n} has no value (not in `variables`, no default)"))
+    }
+
     private def value(): Any = {
       ws()
       peek match {
+        case '$' => varRef()
         case '"' =>
           i += 1
           val sb = new StringBuilder
@@ -178,7 +226,9 @@ object GraphQl {
           if (peek == '{') setOp(selectionSet())
           else ident() match {
             case "query" =>
-              ws(); if (peek != '{') ident() // optional operation name
+              ws()
+              if (peek != '{' && peek != '(') ident() // optional op name
+              varDefs()
               setOp(selectionSet())
             case "fragment" =>
               val n = ident()
@@ -225,7 +275,8 @@ object GraphQl {
       val kw = ident()
       if (kw != "mutation") fail("expected 'mutation'")
       ws()
-      if (peek != '{') ident() // optional operation name
+      if (peek != '{' && peek != '(') ident() // optional operation name
+      varDefs()
       val roots = selectionSet()
       ws()
       if (i < s.length) fail("trailing input")
@@ -234,7 +285,8 @@ object GraphQl {
     }
   }
 
-  def parse(query: String): Field = new Parser(query).document()
+  def parse(query: String, vars: Map[String, Any] = Map.empty): Field =
+    new Parser(query, vars).document()
 
   def isMutation(doc: String): Boolean = doc.trim.startsWith("mutation")
 
@@ -254,8 +306,9 @@ object GraphQl {
   /** Compile a parsed query against a property graph into a flat
     * DataFrame. Scalar fields project `alias` columns; hop fields join
     * one edge label and prefix their scalars with `alias_`. */
-  def compile(g: PropertyGraph, query: String): DataFrame = {
-    val root = parse(query)
+  def compile(g: PropertyGraph, query: String,
+      vars: Map[String, Any] = Map.empty): DataFrame = {
+    val root = parse(query, vars)
     // root field = node label; args = equality filters over properties
     var t = g.v(root.name, "r")
     t = applyArgs(t, "r", root.args -- ReservedArgs)
@@ -313,8 +366,8 @@ object GraphQl {
     * Mutations return counts, not rows, so selection sets are refused
     * loudly. Multiple root fields translate to multiple statements —
     * the server executes them as ONE atomic batch. */
-  def mutationToDml(doc: String): Seq[String] = {
-    val roots = new Parser(doc).mutationDocument()
+  def mutationToDml(doc: String, vars: Map[String, Any] = Map.empty): Seq[String] = {
+    val roots = new Parser(doc, vars).mutationDocument()
     val MutName = "^(create|update|delete)([A-Za-z_]\\w*)$".r
     def sqlLit(v: Any): String = v match {
       case null => "null"

@@ -224,6 +224,30 @@ object QueryServer {
       (language, command, limit)
     }
 
+    // the stock GraphQL calling convention sends `{query, variables}`;
+    // values decode to the same scalar/flat-object domain as inline
+    // literals (arrays refused loudly — no argument takes one)
+    def parsedVariables(body: String): Map[String, Any] = {
+      def jAny(v: JValue): Any = v match {
+        case JString(s) => s
+        case JInt(n) => n.toLong
+        case JLong(n) => n
+        case JDouble(d) => d
+        case JDecimal(d) => d.toDouble
+        case JBool(b) => b
+        case JNull => null
+        case JObject(fs) => fs.map { case (k, vv) => k -> jAny(vv) }.toMap
+        case other => throw new IllegalArgumentException(
+          s"unsupported variable value: $other")
+      }
+      JsonMethods.parse(body) \ "variables" match {
+        case JNothing | JNull => Map.empty
+        case JObject(fs) => fs.map { case (k, v) => k -> jAny(v) }.toMap
+        case other => throw new IllegalArgumentException(
+          s"'variables' must be an object, got $other")
+      }
+    }
+
     def handle(ex: HttpExchange, allowGet: Boolean = false,
         requireAdmin: Boolean = false)(f: => String): Unit =
       try {
@@ -255,7 +279,8 @@ object QueryServer {
       }
 
     def runQuery(snap: Snapshot, language: String, command0: String, limit: Int,
-        inSession: Boolean = false): String = {
+        inSession: Boolean = false,
+        vars: Map[String, Any] = Map.empty): String = {
       def graphOr: PropertyGraph = snap.graph.getOrElse(
         throw new IllegalStateException("no graph served — start with a store"))
       // in-session reads serve the session's STAGED graph; the Spark SQL
@@ -293,7 +318,7 @@ object QueryServer {
         case "arcadesql" | "arcade" => ArcadeSql.compile(graphOr, snap.gschema, command)
         case "sparksql" if inSession => noSparkSql()
         case "sparksql" => spark.sql(command)
-        case "graphql" => GraphQl.compile(graphOr, command)
+        case "graphql" => GraphQl.compile(graphOr, command, vars)
         case l => throw new IllegalArgumentException(s"unsupported language: $l")
       }
       if (explain) {
@@ -411,7 +436,7 @@ object QueryServer {
       * snapshotted there too so a later DDL commit can't diverge it
       * from the staged manifest. */
     def runSessionQuery(s: TxnSession, language: String, command: String,
-        limit: Int): String = {
+        limit: Int, vars: Map[String, Any] = Map.empty): String = {
       s.lock.lock()
       try {
         if (s.closed) throw new IllegalArgumentException("session already closed")
@@ -432,7 +457,7 @@ object QueryServer {
         try {
           val g = graft.load.GraphLoader.openGraphStaged(spark, s.txn)
           runQuery(new Snapshot(Some(g), schemaSnap, Nil),
-            language, command, limit, inSession = true)
+            language, command, limit, inSession = true, vars = vars)
         } finally {
           graft.load.GenerationPins.unpin(paths)
           s.lastTouched = System.currentTimeMillis()
@@ -460,9 +485,11 @@ object QueryServer {
       } else {
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         val (language, command, limit) = parsed(body)
+        val vars = parsedVariables(body)
         session match {
-          case Some(s) => runSessionQuery(s, language, command, limit)
-          case None => withRead(snap => runQuery(snap, language, command, limit))
+          case Some(s) => runSessionQuery(s, language, command, limit, vars)
+          case None =>
+            withRead(snap => runQuery(snap, language, command, limit, vars = vars))
         }
       }
     })
@@ -549,7 +576,7 @@ object QueryServer {
         language match {
           case "sql" => Seq(command)
           case "graphql" =>
-            val dml = graft.query.GraphQl.mutationToDml(command)
+            val dml = graft.query.GraphQl.mutationToDml(command, parsedVariables(body))
             gqlBatch = dml.size > 1
             dml
           // the dialect-native batch spelling (`language:"sqlscript"`,

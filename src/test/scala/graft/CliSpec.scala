@@ -66,6 +66,16 @@ class CliSpec extends SparkSpec {
       val gqlRows = (org.json4s.jackson.JsonMethods.parse(b2) \ "result").children
       assert(gqlRows.size == 25) // one row per nation under its region
 
+      // the stock calling convention: {query, variables} — the $var
+      // resolves server-side against the variables object
+      val gqlV = """query($n: String!) { Region { name nations: in_IN_REGION(name: $n) { name } } }"""
+      val (cv, bv) = post(
+        s"""{"language":"graphql","command":${q(gqlV)},"variables":{"n":"NATION_7"}}""")
+      assert(cv == 200, bv)
+      assert((org.json4s.jackson.JsonMethods.parse(bv) \ "result").children.size == 1)
+      // unbound variable without a default → 400, not an empty result
+      assert(post(s"""{"language":"graphql","command":${q(gqlV)}}""")._1 == 400)
+
       // GraphQL client handshake: the canonical IntrospectionQuery —
       // operation name, fragments and all, exactly as GraphiQL/codegen
       // send it — must answer 200 with a spec-shaped {"data":

@@ -284,4 +284,42 @@ class GraphQlSpec extends SparkSpec {
       """{ Region { ...a } } fragment a on Region { name }
          fragment a on Region { name }"""))
   }
+
+  test("variables: declarations, defaults, and the stock calling convention") {
+    val q = """query Custs($seg: String!, $lim: Int = 3) {
+                 Customer(mktsegment: $seg, orderBy: "acctbal desc", limit: $lim) {
+                   name acctbal } }"""
+    val df = GraphQl.compile(g, q, Map("seg" -> "BUILDING"))
+    val inline = GraphQl.compile(g,
+      """{ Customer(mktsegment: "BUILDING", orderBy: "acctbal desc", limit: 3) {
+           name acctbal } }""")
+    assert(df.collect().toSeq == inline.collect().toSeq) // default limit used
+    // provided value overrides the default
+    assert(GraphQl.compile(g, q,
+      Map("seg" -> "BUILDING", "lim" -> 1L)).count() == 1)
+    // numeric + list-typed declarations parse; variables thread into
+    // hop argument position too
+    val hop = GraphQl.compile(g,
+      """query($n: String) { Region { name nations: in_IN_REGION(name: $n) { name } } }""",
+      Map("n" -> "NATION_7"))
+    assert(hop.count() == 1)
+    // fail-closed: undeclared reference, declared-but-unbound without
+    // a default, duplicate declaration
+    intercept[IllegalArgumentException](GraphQl.compile(g,
+      "{ Region(name: $x) { name } }"))
+    intercept[IllegalArgumentException](GraphQl.compile(g,
+      "query($x: String) { Region(name: $x) { name } }"))
+    intercept[IllegalArgumentException](GraphQl.compile(g,
+      "query($x: String, $x: String) { Region(name: $x) { name } }",
+      Map("x" -> "R")))
+    // mutations take variables through the same convention (objects too)
+    val dml = GraphQl.mutationToDml(
+      """mutation($id: Long!, $w: CustomerInput!) {
+           createCustomer(id: $id, name: "V")
+           updateCustomer(where: $w, set: {name: "W"}) }""",
+      Map("id" -> 77L, "w" -> Map("name" -> "V")))
+    assert(dml == Seq(
+      "CREATE VERTEX Customer SET id = 77, name = 'V'",
+      "UPDATE Customer SET name = 'W' WHERE name = 'V'"))
+  }
 }
