@@ -417,6 +417,56 @@ object EventsStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Streaming SOURCE-MIX monitor — the ingest-ops face of
+    * [[graft.llmops.Pipeline.mixRates]]: per event-time window, every
+    * target source's share of the window's token mass beside its
+    * target share, with a drift flag when |share − target| > `tol`.
+    * Sources OUTSIDE the target mix pool into one `__other` row with
+    * target 0 (surplus foreign content shows as drift), and a target
+    * source ABSENT from a window still emits its row at share 0 (the
+    * mixRates absent-stratum visibility rule — a silent zero is
+    * exactly what a mix monitor must not hide).
+    *
+    * Streaming-legal by construction: Structured Streaming forbids
+    * chained aggregations, so the per-source masses and the window
+    * total come from ONE windowed aggregate — the target set is
+    * config-sized, so each source is a `sum(when(source = s, nt))`
+    * pivot column beside the total, map-side-combinable, state = one
+    * row per open window. The per-source rows explode back out
+    * STATELESSLY after the aggregate (legal post-aggregation in
+    * append mode). The same frame runs identically under batch
+    * (streaming ≡ batch asserted in the spec). */
+  def mixMonitor(docs: DataFrame, tsCol: String, sourceCol: String,
+      textCol: String, targets: Map[String, Double], windowDur: String,
+      watermarkDelay: String, tol: Double): DataFrame = {
+    require(targets.nonEmpty, "mix monitor needs a target mix")
+    require(tol > 0 && tol < 1, s"drift tolerance must be in (0,1), got $tol")
+    val known = targets.keys.toSeq.sorted
+    val nt = size(graft.llmops.TextOps.tokens(col(textCol))).cast("long")
+    val aggs =
+      known.zipWithIndex.map { case (s0, i) =>
+        sum(when(col(sourceCol) === s0, nt).otherwise(0L)).as(s"__t_$i")
+      } ++ Seq(
+        sum(when(!col(sourceCol).isInCollection(known), nt).otherwise(0L))
+          .as("__t_other"),
+        sum(nt).as("__tot"))
+    val agg = docs.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur).as("win"))
+      .agg(aggs.head, aggs.tail: _*)
+    val entries =
+      known.zipWithIndex.map { case (s0, i) =>
+        struct(lit(s0).as("source"), col(s"__t_$i").as("tokens"),
+          lit(targets(s0)).as("target"))
+      } :+ struct(lit("__other").as("source"), col("__t_other").as("tokens"),
+        lit(0.0).as("target"))
+    agg.select(col("win"), col("__tot"), explode(array(entries: _*)).as("e"))
+      .select(col("win.start").as("w_start"),
+        col("e.source").as("source"), col("e.tokens").as("tokens"),
+        round(col("e.tokens") / col("__tot").cast("double"), 6).as("share"),
+        col("e.target").as("target"))
+      .withColumn("drift", abs(col("share") - col("target")) > tol)
+  }
+
   /** CUSTOM-STATE sessionization via `flatMapGroupsWithState` — the
     * §2.B.10/§2.B.11 extension point Spark's built-in `session_window`
     * cannot reach when per-session state is richer than an aggregate

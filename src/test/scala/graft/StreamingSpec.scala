@@ -8,6 +8,7 @@ import graft.streaming.{EventRow, EventsStream, QuotaDoc}
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double, event_id: Long)
 case class Doc(ts: Timestamp, doc_id: Long, text: String)
+case class SrcDoc(ts: Timestamp, doc_id: Long, source: String, text: String)
 case class DeconV(vec_id: Long, embedding: Seq[Double])
 
 /** ✚ Structured Streaming extension (SURVEY §2.B.10): the same
@@ -314,6 +315,47 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(2), r.getBoolean(3))).toSet
     assert(streamed == batch)
     assert(streamed.exists { case (id, reasons, keep) => id == 2L && reasons.contains("too_short") && !keep })
+  }
+
+  test("source-mix monitor: windowed shares + drift match batch, absent source visible") {
+    implicit val sqlCtx = spark.sqlContext
+    val targets = Map("web" -> 0.6, "books" -> 0.4)
+    // window 1 (minutes 0-10): web 8 tokens, forum 4 — books ABSENT
+    // (its target-0.4 row must still appear, drifted); forum is
+    // outside the target mix and pools into __other
+    val docs = Seq(
+      SrcDoc(ts(1), 1L, "web", "a b c d e f g h"),
+      SrcDoc(ts(3), 2L, "forum", "x y z w"),
+      // window 2 (minutes 10-20): web 6, books 4 — shares 0.6/0.4, no drift
+      SrcDoc(ts(11), 3L, "web", "a b c d e f"),
+      SrcDoc(ts(12), 4L, "books", "p q r s"))
+    def mon(df: org.apache.spark.sql.DataFrame) =
+      EventsStream.mixMonitor(df, "ts", "source", "text",
+        targets, "10 minutes", "15 minutes", 0.1)
+    val mem = MemoryStream[SrcDoc]
+    val q = mon(mem.toDF()).writeStream.format("memory").queryName("mixmon")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    mem.addData(SrcDoc(ts(120), 9L, "web", "noop")) // close the windows
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5))
+    val streamed = spark.table("mixmon")
+      .filter($"w_start" < ts(100)).collect().map(key).toSet
+    val batch = mon(docs.toDF()).collect().map(key).toSet
+    assert(streamed == batch)
+    // window 1: web share 8/12, books 0 (drifted), __other 4/12 (drifted)
+    val w1 = streamed.filter(_._1 == new Timestamp(1704067200000L))
+    assert(w1.exists(r => r._2 == "web" && r._4 == 0.666667 && !r._6))
+    assert(w1.exists(r => r._2 == "books" && r._3 == 0L && r._4 == 0.0 && r._6))
+    assert(w1.exists(r => r._2 == "__other" && r._4 == 0.333333 && r._6))
+    // window 2: exactly on target — nothing drifts
+    val w2 = streamed.filter(_._1 == new Timestamp(1704067200000L + 600000L))
+    assert(w2.size == 3 && w2.forall(r =>
+      (r._2 == "__other" && r._3 == 0L) || !r._6))
   }
 
   test("semantic decon gate is stateless: streaming equals batch, flags the plant") {
