@@ -72,6 +72,7 @@ object Bench {
     "pipeline_dedup_stats",
     "pipeline_corpus_diff",
     "pipeline_data_card",
+    "pipeline_curriculum",
     "asof_events",
     "events_funnel",
     "events_retention",

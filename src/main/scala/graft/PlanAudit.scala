@@ -210,6 +210,13 @@ object PlanAudit {
       "__blk"),
     Check("pipeline_shuffle", "block offsets broadcast back onto the rows",
       "BroadcastHashJoin"),
+    // curriculum: bin-major global position must ride the SAME blocked
+    // prefix sum (composite bin<<32|hash key) — never a global
+    // row_number over the whole corpus
+    Check("pipeline_curriculum", "curriculum position uses the blocked prefix sum",
+      "__blk"),
+    Check("pipeline_curriculum", "block offsets broadcast back onto the rows",
+      "BroadcastHashJoin"),
     // data card: every ratio derives from partial aggregates — the
     // language majority is a (source, lang)-count argmax (never mode
     // over raw rows), the dup rate is the fingerprint-df aggregate +

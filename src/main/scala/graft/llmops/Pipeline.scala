@@ -666,6 +666,44 @@ object Pipeline {
       .select(col(idCol), col("start_offset").as("pos"))
   }
 
+  /** Curriculum ordering — the training-order refinement of
+    * [[globalShuffle]]: documents take a global position ordered by
+    * DIFFICULTY BIN first (ascending — the caller's score semantics
+    * decide what "easy" means) and by deterministic salted hash within
+    * each bin, so a curriculum run sees easy bins first but each bin
+    * is internally shuffled (the curriculum-learning shape: ordered
+    * phases, unbiased order inside a phase). `binEdges` are explicit
+    * ascending score thresholds — bin = number of edges at or below
+    * the score (quantile edges are a driver-side choice; explicit
+    * edges keep the operator deterministic and rerun-stable).
+    *
+    * Scale: the position is the same blocked two-phase prefix sum as
+    * [[globalShuffle]] over a composite numeric key
+    * (bin << 32 | hash32) — block boundaries can never straddle bins
+    * because 2^32 is a multiple of the block span, so block order IS
+    * bin-major order and no global-sort or single-task row_number
+    * appears anywhere. Returns (id, bin, pos). */
+  def curriculumOrder(docs: DataFrame, idCol: String, scoreCol: String,
+      binEdges: Seq[Double], salt: String,
+      blockSpan: Long = 1L << 16): DataFrame = {
+    require(binEdges.nonEmpty, "curriculum needs at least one bin edge")
+    require(binEdges == binEdges.sorted && binEdges.distinct == binEdges,
+      s"bin edges must be strictly ascending, got $binEdges")
+    require(blockSpan > 0 && (1L << 32) % blockSpan == 0,
+      s"block span must divide 2^32 (bins must own whole blocks), got $blockSpan")
+    val bin = binEdges.foldLeft(lit(0L)) { (acc, e) =>
+      acc + when(col(scoreCol) >= e, 1L).otherwise(0L)
+    }
+    val h = TextOps.md5Hash32(concat(lit(salt), col(idCol).cast("string")))
+    val base = docs.select(col(idCol), bin.as("__bin"), h.as("__h"))
+      .withColumn("__k", (col("__bin") * (1L << 32)) + col("__h"))
+      .withColumn("stratum", lit(""))
+      .withColumn("n_tokens", lit(1L))
+    blockedStartOffset(base, "__k", Seq(col("__k"), col(idCol)), blockSpan)
+      .select(col(idCol), col("__bin").as("bin"),
+        col("start_offset").as("pos"))
+  }
+
   /** Token-budget selection — assemble a training run of ~`budget`
     * tokens: documents take their [[globalShuffle]] position (salted
     * hash order — every source interleaved, rerun-stable), running

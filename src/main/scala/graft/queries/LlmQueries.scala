@@ -1381,6 +1381,32 @@ object LlmQueries {
           doc_id) - 1 AS BIGINT) AS pos
         FROM documents""")),
 
+    // ✚ curriculum ordering (Pipeline.curriculumOrder): global training
+    // position by (difficulty bin, salted hash, id) — easy bins first,
+    // deterministic shuffle within each bin, via the blocked prefix
+    // sum over a composite bin<<32|hash key (no global row_number).
+    // Difficulty here = distinct-token ratio (integer-derived doubles,
+    // so both engines bin identically at the shared edges)
+    Q("pipeline_curriculum",
+      (s, d) => Pipeline.curriculumOrder(
+        t(s, d, "documents").withColumn("ttr",
+          size(array_distinct(TextOps.tokens(col("text")))) /
+            size(TextOps.tokens(col("text"))).cast("double")),
+        "doc_id", "ttr", Seq(0.5, 0.75), "graft_curr_"),
+      Some(s"""WITH sc AS (SELECT doc_id,
+          len(list_distinct(string_split(text, ' '))) /
+            CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr
+          FROM documents)
+        SELECT doc_id,
+          CAST((CASE WHEN ttr >= 0.5 THEN 1 ELSE 0 END) +
+               (CASE WHEN ttr >= 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS bin,
+          CAST(row_number() OVER (ORDER BY
+            (CASE WHEN ttr >= 0.5 THEN 1 ELSE 0 END) +
+              (CASE WHEN ttr >= 0.75 THEN 1 ELSE 0 END),
+            ${sqlMd5Hash32("'graft_curr_' || CAST(doc_id AS VARCHAR)")},
+            doc_id) - 1 AS BIGINT) AS pos
+        FROM sc""")),
+
     // ✚ token-budget selection (Pipeline.budgetSelect): keep documents
     // whose running-token START in the salted global-shuffle order
     // falls inside a 10k-token budget — nested samples under a fixed

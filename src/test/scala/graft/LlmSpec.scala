@@ -1034,6 +1034,31 @@ class LlmSpec extends SparkSpec {
     assert(out2 != out)
   }
 
+  test("curriculumOrder: bin-major positions, shuffled within bins, driver-replayed") {
+    import java.security.MessageDigest
+    val ids = (0L until 300L)
+    // score = id mod 3 scaled — bins split at 0.5 and 1.5 → bin = id mod 3
+    val docs = ids.map(i => (i, (i % 3).toDouble)).toDF("doc_id", "score")
+    val out = Pipeline.curriculumOrder(docs, "doc_id", "score",
+      Seq(0.5, 1.5), "c1_", blockSpan = 1L << 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._3).sorted.toSeq == (0L until 300L)) // a permutation
+    // every bin-0 position precedes every bin-1 position, and so on
+    val maxPos = out.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    val minPos = out.groupBy(_._2).view.mapValues(_.map(_._3).min).toMap
+    assert(maxPos(0L) < minPos(1L) && maxPos(1L) < minPos(2L))
+    // within a bin: exactly the salted-hash shuffle (driver replay)
+    def h32(s: String) = java.lang.Long.parseLong(
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString, 16)
+    val expect = ids.sortBy(i => (i % 3, h32(s"c1_$i"), i)).zipWithIndex
+      .map { case (id, p) => (id, id % 3, p.toLong) }.toSet
+    assert(out.toSet == expect)
+    // unsorted edges refused loudly
+    intercept[IllegalArgumentException](Pipeline.curriculumOrder(
+      docs, "doc_id", "score", Seq(1.5, 0.5), "c1_"))
+  }
+
   test("lmScore: reference-like text scores below gibberish; backoff tiers order") {
     // reference: a tiny repetitive "language" where (the cat / cat sat /
     // sat here) dominate — the bigram tier should make in-domain text cheap
