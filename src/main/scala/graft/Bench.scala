@@ -73,6 +73,7 @@ object Bench {
     "pipeline_corpus_diff",
     "pipeline_data_card",
     "pipeline_curriculum",
+    "text_boilerplate_top",
     "asof_events",
     "events_funnel",
     "events_retention",

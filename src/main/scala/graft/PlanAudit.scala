@@ -210,6 +210,14 @@ object PlanAudit {
       "__blk"),
     Check("pipeline_shuffle", "block offsets broadcast back onto the rows",
       "BroadcastHashJoin"),
+    // boilerplate discovery: one partial aggregate on the gram string
+    // (a universal gram is a hot group-by key, never a window
+    // partition) and a TakeOrdered top-k — no global sort, no window
+    Check("text_boilerplate_top", "gram counts are a partial aggregate",
+      "HashAggregate"),
+    Check("text_boilerplate_top", "top-k plans as TakeOrdered, not a global sort",
+      "TakeOrderedAndProject"),
+    Check("text_boilerplate_top", "no window over the gram key", "!Window"),
     // curriculum: bin-major global position must ride the SAME blocked
     // prefix sum (composite bin<<32|hash key) — never a global
     // row_number over the whole corpus

@@ -176,6 +176,33 @@ object TextOps {
       (stop / nTok.cast("double")).as("stop_ratio"))
   }
 
+  /** Boilerplate DISCOVERY report — the human-readable face of the
+    * span-dedup family: the top-`k` repeated `windowTokens`-token
+    * passages by corpus-wide position count, with how many distinct
+    * documents carry each ([[graft.llmops.Dedup.duplicateSpans]] tells
+    * you WHERE repeated passages sit; this tells you WHAT they are —
+    * the license headers / templated intros a scrub policy is written
+    * against). Scale shape: one map-only gram explode, ONE
+    * map-side-combinable aggregate on the gram string (a universal
+    * boilerplate gram is a hot GROUP-BY key — partial rows, never a
+    * window partition; the distinct-doc count is the standard two-phase
+    * distinct aggregate), then a TakeOrdered top-k — no global sort.
+    * Ordering is total ((count desc, gram asc) — gram is unique after
+    * the groupBy), so the report is deterministic. Returns
+    * (gram, n_positions ≥ 2, n_docs). */
+  def boilerplateTop(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, k: Int): DataFrame = {
+    require(windowTokens >= 2, "boilerplate windows need ≥ 2 tokens")
+    require(k > 0, "top-k must be positive")
+    docs.select(col(idCol), explode(shingles(col(textCol), windowTokens)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_positions"),
+        count_distinct(col(idCol)).as("n_docs"))
+      .filter(col("n_positions") >= 2)
+      .orderBy(col("n_positions").desc, col("gram").asc)
+      .limit(k)
+  }
+
   /** Context-window chunking — split each document into fixed-size
     * token windows with a stride (overlapping when stride < size, the
     * training-sequence shape): chunk i covers tokens [i·stride,

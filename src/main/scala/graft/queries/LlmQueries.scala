@@ -838,6 +838,21 @@ object LlmQueries {
           count(*) AS n_windows
         FROM isl GROUP BY doc_id, island""")),
 
+    // ✚ boilerplate discovery (round 12): WHAT the repeated passages
+    // ARE — top repeated windows by corpus position count, with
+    // distinct-doc reach; one gram aggregate + TakeOrdered top-k
+    Q("text_boilerplate_top",
+      (s, d) => TextOps.boilerplateTop(t(s, d, "documents"), "doc_id", "text",
+        SpanWindow, 20),
+      Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        w0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - ${SpanWindow - 1}),
+            i -> array_to_string(tk[i:i+${SpanWindow - 1}], ' '))) AS gram
+          FROM tk WHERE len(tk) >= $SpanWindow)
+        SELECT gram, count(*) AS n_positions,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM w0 GROUP BY gram HAVING count(*) >= 2
+        ORDER BY n_positions DESC, gram ASC LIMIT 20""")),
+
     // ✚ df-capped span report (round 12, VERDICT r11 order #9): the
     // recall/volume knob — window hashes repeated in more than
     // SpanMaxDf positions are boilerplate beyond reporting interest and
