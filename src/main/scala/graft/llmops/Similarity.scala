@@ -33,6 +33,25 @@ object Similarity {
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Vector HYGIENE report — the admission check an embedding corpus
+    * needs BEFORE any ANN structure sees it: per vector its dimension
+    * (a mixed-dim corpus breaks every kernel downstream), L2 norm,
+    * and the two poisons — zero vectors (cosine undefined; they land
+    * in every top-k at similarity 0/0) and NaN/Inf components (one
+    * NaN poisons a whole IVF cell mean). Map-only single pass (the
+    * squared norm comes from the compiled [[dot]] kernel; NaN ≠
+    * itself, Inf detected via the norm), no shuffle — the 100 TB
+    * shape is exactly this per-row pass. Returns
+    * (id, dim, norm 6dp, is_zero, is_bad). */
+  def vectorHygiene(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val n2 = dot(v, v)
+    vecs.select(col(idCol), size(col(vecCol)).as("dim"),
+      round(sqrt(n2), 6).as("norm"),
+      (n2 === 0.0).as("is_zero"),
+      (isnan(n2) || n2 === Double.PositiveInfinity).as("is_bad"))
+  }
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))

@@ -996,6 +996,17 @@ object LlmQueries {
           (PARTITION BY qid ORDER BY votes DESC, lbl ASC) AS vr FROM votes)
         SELECT qid, lbl AS pred, votes FROM p WHERE vr = 1""")),
 
+    // ✚ vector hygiene (round 12): dim / L2 norm / zero / NaN-Inf per
+    // vector — the admission check before any ANN structure; map-only
+    Q("sim_vector_hygiene",
+      (s, d) => Similarity.vectorHygiene(t(s, d, "embeddings"), "vec_id", "embedding"),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, len(v) AS dim, list_dot_product(v, v) AS n2 FROM v)
+        SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+          round(sqrt(n2), 6) AS norm, n2 = 0 AS is_zero,
+          (isnan(n2) OR n2 = 'infinity'::DOUBLE) AS is_bad
+        FROM n""")),
+
     // brute-force cosine top-k for a fixed query set (broadcast queries)
     Q("sim_topk",
       (s, d) => Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",

@@ -1059,6 +1059,24 @@ class LlmSpec extends SparkSpec {
       docs, "doc_id", "score", Seq(1.5, 0.5), "c1_"))
   }
 
+  test("vectorHygiene: flags zero vectors, NaN/Inf components, mixed dims") {
+    val vecs = Seq(
+      (1L, Seq(3.0, 4.0)),               // healthy: norm 5, dim 2
+      (2L, Seq(0.0, 0.0)),               // zero vector
+      (3L, Seq(Double.NaN, 1.0)),        // NaN component
+      (4L, Seq(Double.MaxValue, Double.MaxValue)), // norm overflows to Inf
+      (5L, Seq(1.0, 0.0, 0.0))           // dim drift: 3 vs 2
+    ).toDF("vec_id", "embedding")
+    val r = graft.llmops.Similarity.vectorHygiene(vecs, "vec_id", "embedding")
+      .collect().map(x => x.getLong(0) ->
+        (x.getInt(1), x.getDouble(2), x.getBoolean(3), x.getBoolean(4))).toMap
+    assert(r(1L) == ((2, 5.0, false, false)))
+    assert(r(2L)._3 && !r(2L)._4)          // zero flagged, not "bad"
+    assert(r(3L)._4)                       // NaN flagged
+    assert(r(4L)._4)                       // overflow-to-Inf flagged
+    assert(r(5L)._1 == 3 && r(1L)._1 == 2) // dim drift visible
+  }
+
   test("lmScore: reference-like text scores below gibberish; backoff tiers order") {
     // reference: a tiny repetitive "language" where (the cat / cat sat /
     // sat here) dominate — the bigram tier should make in-domain text cheap
