@@ -92,23 +92,33 @@ class GraphQlSpec extends SparkSpec {
 
   test("parser fails closed on fuzzed input (never escapes IllegalArgumentException)") {
     val rnd = new scala.util.Random(3)
-    val seed = """query { Customer(mktsegment: "B", psize: 4) {
-      name acctbal orders: out_PLACED { totalprice status } } }"""
-    val chars = "{}()<>:,'\"= abz019_#".toCharArray
-    (1 to 500).foreach { i =>
-      val sb = new StringBuilder(seed)
-      (0 to rnd.nextInt(4)).foreach { _ =>
-        rnd.nextInt(3) match {
-          case 0 if sb.nonEmpty => sb.deleteCharAt(rnd.nextInt(sb.length))
-          case 1 => sb.insert(rnd.nextInt(sb.length + 1), chars(rnd.nextInt(chars.length)))
-          case _ if sb.nonEmpty => sb.setCharAt(rnd.nextInt(sb.length), chars(rnd.nextInt(chars.length)))
-          case _ => ()
+    // two seeds: the classic data query, and one exercising the
+    // round-12 grammar (variables, defaults, fragments, spreads,
+    // inline conditions, __typename) so mutations fuzz the new paths
+    val seeds = Seq(
+      """query { Customer(mktsegment: "B", psize: 4) {
+        name acctbal orders: out_PLACED { totalprice status } } }""",
+      """query Q($s: String!, $n: Int = 3) {
+        Customer(mktsegment: $s, limit: $n) { __typename ...bits
+          ... on Customer { acctbal } } }
+        fragment bits on Customer { name }""")
+    val chars = "{}()<>:,'\"= abz019_#$.!".toCharArray
+    seeds.foreach { seed =>
+      (1 to 500).foreach { i =>
+        val sb = new StringBuilder(seed)
+        (0 to rnd.nextInt(4)).foreach { _ =>
+          rnd.nextInt(3) match {
+            case 0 if sb.nonEmpty => sb.deleteCharAt(rnd.nextInt(sb.length))
+            case 1 => sb.insert(rnd.nextInt(sb.length + 1), chars(rnd.nextInt(chars.length)))
+            case _ if sb.nonEmpty => sb.setCharAt(rnd.nextInt(sb.length), chars(rnd.nextInt(chars.length)))
+            case _ => ()
+          }
         }
-      }
-      try GraphQl.parse(sb.toString)
-      catch {
-        case _: IllegalArgumentException => () // the contract: fail closed
-        case e: Throwable => fail(s"mutant $i threw ${e.getClass}: ${sb.toString.take(120)}")
+        try GraphQl.parse(sb.toString, Map("s" -> "B"))
+        catch {
+          case _: IllegalArgumentException => () // the contract: fail closed
+          case e: Throwable => fail(s"mutant $i threw ${e.getClass}: ${sb.toString.take(120)}")
+        }
       }
     }
   }
