@@ -170,7 +170,34 @@ object GraphQl {
       m.toMap
     }
 
-    private def field(): Field = {
+    /** `@include(if: B)` / `@skip(if: B)` after a field, spread, or
+      * inline-fragment head (the spec's execution directives). With
+      * variables already resolved, the condition is STATIC, so an
+      * excluded selection simply drops at parse time — false when the
+      * selection must be omitted. Unknown directives fail closed. */
+    private def directivesAllow(): Boolean = {
+      ws()
+      var include = true
+      while (peek == '@') {
+        i += 1
+        val dn = ident()
+        val da = args()
+        val cond = da.get("if") match {
+          case Some(b: Boolean) => b
+          case other => fail(s"@$dn takes (if: Boolean), got $other")
+        }
+        dn match {
+          case "include" => include &= cond
+          case "skip" => include &= !cond
+          case other => fail(s"unknown directive @$other " +
+            "(only @include/@skip are served)")
+        }
+        ws()
+      }
+      include
+    }
+
+    private def field(): Option[Field] = {
       // fragment spread / inline fragment (`...Name` / `... on Type {…}`)
       // — markers resolved after the whole document is parsed (a
       // fragment may be DEFINED after its first use, the codegen norm)
@@ -182,27 +209,32 @@ object GraphQl {
         val n = ident()
         if (n == "on") { // inline fragment with type condition
           val t = ident()
+          val keep = directivesAllow()
           ws()
           if (peek != '{') fail("inline fragment needs a selection set")
-          return Field("...on", "...on", Map.empty, selectionSet(), Some(t))
+          val sels = selectionSet()
+          return if (keep) Some(Field("...on", "...on", Map.empty, sels, Some(t)))
+                 else None
         }
-        return Field("...", n, Map.empty, Nil)
+        val keep = directivesAllow()
+        return if (keep) Some(Field("...", n, Map.empty, Nil)) else None
       }
       val first = ident()
       ws()
       val (alias, name) =
         if (peek == ':') { i += 1; (first, ident()) } else (first, first)
       val a = args()
+      val keep = directivesAllow()
       ws()
       val sels = if (peek == '{') selectionSet() else Nil
-      Field(alias, name, a, sels)
+      if (keep) Some(Field(alias, name, a, sels)) else None
     }
 
     private def selectionSet(): Seq[Field] = {
       expect('{')
       val fs = scala.collection.mutable.ArrayBuffer[Field]()
       ws()
-      while (peek != '}') { fs += field(); ws() }
+      while (peek != '}') { field().foreach(fs += _); ws() }
       i += 1
       fs.toSeq
     }

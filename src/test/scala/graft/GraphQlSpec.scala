@@ -322,6 +322,25 @@ class GraphQlSpec extends SparkSpec {
     intercept[IllegalArgumentException](GraphQl.compile(g,
       "query($x: String, $x: String) { Region(name: $x) { name } }",
       Map("x" -> "R")))
+    // @skip/@include execution directives — static with variables
+    // resolved at parse time; they compose, apply to spreads too, and
+    // unknown directives fail closed
+    val dir = GraphQl.compile(g,
+      """query($all: Boolean!) { Region {
+           name
+           skipped: name @skip(if: $all)
+           kept: name @include(if: $all) @skip(if: false) } }""",
+      Map("all" -> true))
+    assert(dir.columns.toSeq == Seq("name", "kept"))
+    val dirSpread = GraphQl.compile(g,
+      """{ Region { name ...extra @skip(if: true) } }
+         fragment extra on Region { dropped: name }""")
+    assert(dirSpread.columns.toSeq == Seq("name"))
+    intercept[IllegalArgumentException](GraphQl.compile(g,
+      "{ Region { name @deprecated } }"))
+    intercept[IllegalArgumentException](GraphQl.compile(g,
+      "{ Region { name @skip(if: 3) } }"))
+
     // mutations take variables through the same convention (objects too)
     val dml = GraphQl.mutationToDml(
       """mutation($id: Long!, $w: CustomerInput!) {
