@@ -67,6 +67,27 @@ object Profile {
       .select(col("bucket"), col("lo"), col("n"))
   }
 
+  /** [[histogram]] with a DENSE axis — exactly `nBuckets` rows, empty
+    * buckets emitted as n = 0 (the shape a chart or a downstream
+    * join-on-bucket wants; the ADVICE r11 densify note made an
+    * operator). One extra metadata-sized join: the bucket range is
+    * `spark.range(nBuckets)` (nBuckets rows — config-scale) LEFT
+    * joined onto the sparse aggregate, bounds re-bound by the same
+    * 1-row broadcast; an EMPTY input keeps the sparse contract
+    * (no bounds → no rows, not nBuckets rows of null lo). */
+  def histogramDense(df: DataFrame, valueCents: Column, nBuckets: Int): DataFrame = {
+    val sparse = histogram(df, valueCents, nBuckets)
+    val spark = df.sparkSession
+    val bounds = df.agg(min(valueCents).as("__mn"), max(valueCents).as("__mx"))
+      .filter(col("__mn").isNotNull)
+    spark.range(nBuckets).select(col("id").as("bucket"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("lo",
+        col("__mn") + col("bucket") * (col("__mx") - col("__mn")) / nBuckets)
+      .join(sparse.select(col("bucket"), col("n")), Seq("bucket"), "left")
+      .select(col("bucket"), col("lo"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** Pairwise Pearson correlations from EXACT integer sums — the
     * determinism doctrine applied to second moments: every Σx, Σy,
     * Σx², Σy², Σxy accumulates as a BIGINT over integer-cents inputs

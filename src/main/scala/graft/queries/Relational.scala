@@ -345,6 +345,23 @@ object Relational {
         SELECT bucket, mn + bucket * (mx - mn) / 20 AS lo, n
         FROM g CROSS JOIN b""")),
 
+    // ✚ dense variant (round 12, the ADVICE r11 densify note): exactly
+    // nBuckets rows, empty buckets at n = 0 — a metadata-sized
+    // bucket-range left join over the sparse aggregate
+    Q("profile_histogram_dense",
+      (s, d) => graft.operators.Profile.histogramDense(t(s, d, "orders"),
+        cents(col("o_totalprice")), 256),
+      Some(s"""WITH v AS (SELECT ${sqlCents("o_totalprice")} AS v FROM orders),
+        b AS (SELECT min(v) AS mn, max(v) AS mx FROM v),
+        k AS (SELECT CASE WHEN mx = mn THEN 0
+            ELSE least(255, CAST(floor((v - mn) * 256 / (mx - mn)) AS BIGINT))
+          END AS bucket FROM v CROSS JOIN b),
+        g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM k GROUP BY bucket),
+        r AS (SELECT unnest(generate_series(0, 255)) AS bucket)
+        SELECT r.bucket, mn + r.bucket * (mx - mn) / 256 AS lo,
+          CAST(coalesce(g.n, 0) AS BIGINT) AS n
+        FROM r CROSS JOIN b LEFT JOIN g ON g.bucket = r.bucket""")),
+
     // ✚ pairwise Pearson correlations (operators.Profile.correlations):
     // all sums accumulate as EXACT BIGINTs over integer inputs, the
     // float arithmetic happens once at the end on identical integers —

@@ -121,6 +121,19 @@ class GraphSpec extends SparkSpec {
     val d1 = Seq(5L, 5L, 5L).toDF("v")
     val g = graft.operators.Profile.histogram(d1, col("v"), 10).collect()
     assert(g.length == 1 && g(0).getLong(0) == 0L && g(0).getLong(2) == 3L)
+
+    // DENSE variant: exactly nBuckets rows, gaps emitted at n = 0 with
+    // their correct lo; values 0 and 100 leave buckets 1..8 empty
+    val gap = Seq(0L, 100L).toDF("v")
+    val dense = graft.operators.Profile.histogramDense(gap, col("v"), 10)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(dense.keySet == (0L to 9L).toSet)
+    assert(dense(0L)._2 == 1L && dense(9L)._2 == 1L)
+    assert((1L to 8L).forall(b => dense(b)._2 == 0L))
+    assert(dense(5L)._1 == 50.0)
+    // empty input keeps the sparse contract: no bounds → no rows
+    assert(graft.operators.Profile.histogramDense(
+      gap.filter(lit(false)), col("v"), 10).collect().isEmpty)
   }
 
   test("correlations: planted perfect, inverse, and zero correlations") {
