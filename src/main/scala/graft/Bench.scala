@@ -81,6 +81,7 @@ object Bench {
     "events_interarrival",
     "events_enrich",
     "events_transitions",
+    "events_trending",
     "graph_degree_hist",
     "asof_events_salted",
     "range_join_events",

@@ -102,6 +102,32 @@ object WindowQueries {
         SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
         FROM g WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type""")),
 
+    // ✚ trending report (round 12): top-3 event types per tumbling
+    // hour by count — the dashboard "what's hot now" query. One
+    // windowed count agg (map-side partials) + a rank window whose
+    // partitions are (hour)-keyed with ≤ |event types| rows each —
+    // bounded by the TYPE cardinality, not the data, so the rank can
+    // never serialize corpus-scale rows through one task.
+    Q("events_trending",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("hr")).orderBy(col("n").desc, col("event_type").asc)
+        events(s, d)
+          .select(floor(unix_micros(col("ts")) / 3600000000L).cast("long").as("hr"),
+            col("event_type"))
+          .groupBy(col("hr"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+      },
+      Some("""WITH e AS (SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hr,
+          event_type FROM events),
+        g AS (SELECT hr, event_type, CAST(count(*) AS BIGINT) AS n
+          FROM e GROUP BY hr, event_type)
+        SELECT hr, event_type, n, CAST(row_number() OVER (PARTITION BY hr
+          ORDER BY n DESC, event_type ASC) AS INTEGER) AS rank
+        FROM g QUALIFY rank <= 3""")),
+
     // ✚ stream-static enrichment: events bind their user's dimension
     // row (customer) through a BROADCAST join — the canonical
     // streaming enrichment shape (Structured Streaming runs the same
