@@ -184,6 +184,26 @@ object PlanAudit {
     Check("dedup_spans_scrub", "keeper table rejoins the windows as a hash join",
       "BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin"),
     Check("dedup_spans_scrub", "island merge stays a per-doc window pass", "Window"),
+    // paragraph dedup (round 12): the df/keeper pass on the paragraph
+    // key is the SAME discipline as the span scrub — a map-side-
+    // combinable aggregate (min over a struct buffers a struct ⇒
+    // SortAggregate partials) joined back, never a window over the raw
+    // paragraph key; duplicates-only rejoin means unique paragraphs
+    // cross the join as probe rows, not build rows
+    Check("dedup_paragraphs", "df/keeper is a partial aggregate on the paragraph key",
+      "SortAggregate|HashAggregate"),
+    Check("dedup_paragraphs", "keeper table rejoins the paragraphs as a hash join",
+      "BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin"),
+    Check("dedup_paragraphs", "no window over any corpus-content key", "!Window"),
+    // coverage metric inherits duplicateSpans' shape: kernel windows,
+    // aggregate df, semi rejoin; the per-doc tail adds one more
+    // doc-keyed aggregate (never a global anything)
+    Check("dedup_coverage", "windows hash through the native n-gram kernel",
+      "graft_ngram_md5"),
+    Check("dedup_coverage", "global df is a partial aggregate on the hash key",
+      "HashAggregate"),
+    Check("dedup_coverage", "flagged windows rejoin by hash as a semi probe",
+      "LeftSemi"),
     // LM scoring: the capped model must BIND BROADCAST onto the corpus
     // scan (a shuffled model join would re-partition the corpus by
     // bigram text — the exact thing the config-sized cap exists to

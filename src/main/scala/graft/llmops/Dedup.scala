@@ -709,4 +709,75 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** PARAGRAPH-level exact dedup — the C4/Dolma removal rule at natural
+    * text-unit granularity: every newline-delimited paragraph keeps
+    * exactly its corpus-globally FIRST occurrence (smallest (id, pos)),
+    * and every other copy is cut from its document; the document itself
+    * survives with its remaining paragraphs in order. This sits between
+    * whole-doc dedup (misses pasted boilerplate) and token-window span
+    * dedup ([[scrubSpans]] — sub-paragraph resolution but fixed-width
+    * approximation): paragraph boundaries are the unit real crawl
+    * pipelines scrub first because repeated units align with them.
+    *
+    * Scale shape: the paragraph key (trimmed text) feeds ONE map-side-
+    * combinable `groupBy(key).agg(count, min(struct(id, pos)))` — a
+    * universal paragraph (a license line in every doc of a 100 TB
+    * crawl) contributes one partial row per input partition, never a
+    * single-task window (the [[duplicateSpans]] scale argument; string
+    * keys kept deliberately — the hash-first rewrite measured WORSE on
+    * the map-bound gram pass, BASELINE #45). Duplicates-only rejoin via
+    * the df ≥ 2 filter (AQE broadcasts the repeated-paragraph table
+    * when small — the common case); unique paragraphs never shuffle
+    * again. Reassembly is doc-sized (sort_array over one doc's kept
+    * paragraphs). Whitespace-only paragraphs are dropped (the C4 rule),
+    * so reassembled text is '\n'-joined non-empty paragraphs.
+    * Returns (id, clean_text, n_removed) — every input doc present. */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val p = spread(docs)
+      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .withColumnRenamed("col", "para")
+      .filter(trim(col("para")) =!= "")
+    val dup = p.groupBy(trim(col("para")).as("key"))
+      .agg(count(lit(1)).as("df"), min(struct(col(idCol), col("pos"))).as("keeper"))
+      .filter(col("df") >= 2)
+      .select(col("key"), col("keeper"))
+    val marked = p.join(dup, trim(col("para")) === col("key"), "left")
+      .withColumn("keep",
+        col("keeper").isNull || struct(col(idCol), col("pos")) === col("keeper"))
+    val agg = marked.groupBy(col(idCol)).agg(
+      concat_ws("\n",
+        transform(
+          array_sort(collect_list(when(col("keep"), struct(col("pos"), col("para"))))),
+          x => x("para"))).as("ct"),
+      sum(when(col("keep"), 0L).otherwise(1L)).as("nr"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("ct"), lit("")).as("clean_text"),
+        coalesce(col("nr"), lit(0L)).cast("long").as("n_removed"))
+  }
+
+  /** Duplicate-coverage metric — per document, the fraction of token
+    * positions covered by at least one corpus-repeated window (the
+    * Lee-et-al. "how much of this doc is duplicated text" diagnostic
+    * that decides whether to scrub spans or drop the whole doc). Built
+    * on [[duplicateSpans]] verbatim (same windows, same df aggregate,
+    * same maxDf knob), so the scale posture is inherited; the per-doc
+    * tail is one sum over the doc's merged islands (disjoint by
+    * construction, so span lengths add without double-count) joined to
+    * a map-only token count. Docs with no repeated span report 0.
+    * Returns (id, n_tokens, covered_tokens, coverage ∈ [0,1]). */
+  def spanCoverage(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, maxDf: Long = Long.MaxValue): DataFrame = {
+    val cov = duplicateSpans(docs, idCol, textCol, windowTokens, maxDf)
+      .groupBy(col(idCol))
+      .agg(sum(col("span_end") - col("span_start") + 1).as("cov"))
+    docs.select(col(idCol),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("cov"), lit(0L)).cast("long").as("covered_tokens"),
+        round(coalesce(col("cov"), lit(0L)).cast("double") /
+          greatest(col("n_tokens"), lit(1L)), 6).as("coverage"))
+  }
 }

@@ -363,6 +363,35 @@ object TextOps {
         .orderBy(col("score").desc, col(idCol).asc)))
   }
 
+  /** Out-of-vocabulary rate per document against the corpus's OWN
+    * top-`vocabSize` token vocabulary — the tokenizer-fit diagnostic a
+    * pretraining run checks before committing a vocab: a doc whose
+    * tokens mostly fall outside the head of the frequency distribution
+    * is noise, another script, or markup. Vocabulary tie-break is
+    * (count desc, token asc) — deterministic at the K boundary.
+    *
+    * Scale: the vocab is ONE map-side-combinable token count (a hot
+    * token contributes one partial per partition) cut to K by
+    * TakeOrdered — config-sized however large the corpus — and
+    * broadcast back onto the token stream (an explicit hint: the K-row
+    * side must never shuffle the corpus-scale token stream); the
+    * per-doc tail is one doc-keyed aggregate. Returns
+    * (id, n_tokens, n_oov, oov_rate ∈ [0,1]). */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tk"))
+    val vocab = toks.groupBy(col("tk")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("tk").asc).limit(vocabSize)
+      .select(col("tk"), lit(1).as("__inv"))
+    toks.join(broadcast(vocab), Seq("tk"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+  }
+
   def cleanColumns(text: Column): Seq[Column] = {
     val scrubbed = regexp_replace(regexp_replace(text, UrlRe, " "), EmailRe, " ")
     val squashed = trim(regexp_replace(scrubbed, " +", " "))

@@ -30,6 +30,17 @@ object LlmQueries {
   val SpanWindow = 16
   val SpanMaxDf = 2 // dedup_spans_capped: binds at sf0.01 (df=3 hashes exist)
 
+  /** Paragraph width (tokens) for the dedup_paragraphs fixture re-flow —
+    * the synthetic corpus is newline-free, so the declared query first
+    * re-flows each doc into fixed 20-token lines (IDENTICAL transform on
+    * both sides) before the newline-unit operator runs. 59 duplicate
+    * paragraph instances exist at sf0.01, one doc fully emptied. */
+  val ParaTokens = 20
+
+  /** Vocabulary size for the OOV-rate declared query — 20 of the
+    * corpus's 31 distinct tokens, so the out-of-vocab tail is real. */
+  val OovVocabK = 20
+
   /** Bloom decontamination sizing — 2^18 bits, 4 probe functions.
     * Deliberately NOT oversized for the sf0.01 benchmark (≈1.1k eval
     * shingles): the declared query shows the bloom as a bloom, with a
@@ -914,6 +925,66 @@ object LlmQueries {
             ELSE len(tk) - len(ck) END AS BIGINT) AS n_removed
         FROM cl""")),
 
+    // ✚ PARAGRAPH-level exact dedup (round 12, Dedup.paragraphDedup):
+    // the C4/Dolma removal rule at natural text-unit granularity —
+    // every newline paragraph keeps its corpus-globally first
+    // occurrence, other copies are cut, docs survive. The corpus is
+    // newline-free, so both sides first re-flow each doc into fixed
+    // ParaTokens-token lines (same expression tree). One map-side-
+    // combinable aggregate on the paragraph key; duplicates-only
+    // rejoin; doc-sized reassembly.
+    Q("dedup_paragraphs",
+      (s, d) => {
+        val tk = TextOps.tokens(col("text"))
+        val reflow = concat_ws("\n",
+          transform(sequence(lit(1), ceil(size(tk) / lit(20.0)).cast("int")),
+            i => concat_ws(" ", slice(tk, (i - 1) * ParaTokens + 1, lit(ParaTokens)))))
+        Dedup.paragraphDedup(
+          t(s, d, "documents").select(col("doc_id"), reflow.as("text")),
+          "doc_id", "text")
+      },
+      Some(s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        rf AS (SELECT doc_id, list_transform(generate_series(1, CAST(ceil(len(tk)/20.0) AS BIGINT)),
+            i -> array_to_string(tk[(i-1)*$ParaTokens+1:i*$ParaTokens], ' ')) AS ps FROM d0),
+        p0 AS (SELECT doc_id, unnest(ps) AS para, generate_subscripts(ps, 1) AS pos FROM rf),
+        p AS (SELECT doc_id, pos, para FROM p0 WHERE trim(para) <> ''),
+        r AS (SELECT doc_id, pos, para,
+            row_number() OVER (PARTITION BY trim(para) ORDER BY doc_id, pos) AS rn FROM p),
+        a AS (SELECT doc_id,
+            string_agg(para, chr(10) ORDER BY pos) FILTER (WHERE rn = 1) AS ct,
+            count(*) FILTER (WHERE rn > 1) AS nr
+          FROM r GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(a.ct, '') AS clean_text,
+          CAST(coalesce(a.nr, 0) AS BIGINT) AS n_removed
+        FROM d0 d LEFT JOIN a USING (doc_id)""")),
+
+    // ✚ duplicate-COVERAGE metric (round 12, Dedup.spanCoverage): per
+    // doc, the fraction of token positions covered by a corpus-repeated
+    // window — the Lee-et-al. diagnostic that decides scrub-spans vs
+    // drop-doc. Same windows/df aggregate as dedup_spans; the tail is
+    // one sum over each doc's disjoint islands.
+    Q("dedup_coverage",
+      (s, d) => Dedup.spanCoverage(t(s, d, "documents"), "doc_id", "text", SpanWindow),
+      Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        w0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - ${SpanWindow - 1}),
+            i -> {'pos': i - 1, 'sh': array_to_string(tk[i:i+${SpanWindow - 1}], ' ')})) AS u
+          FROM tk WHERE len(tk) >= $SpanWindow),
+        w AS (SELECT doc_id, u.pos AS pos, ${sqlHexFold("md5(u.sh)", 8)} AS h FROM w0),
+        f AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
+            count(*) OVER (PARTITION BY h) AS df FROM w) z WHERE df >= 2),
+        b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+            ORDER BY pos) <= $SpanWindow THEN 0 ELSE 1 END AS brk FROM f),
+        isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS UNBOUNDED PRECEDING) AS island FROM b),
+        sp AS (SELECT doc_id, min(pos) AS s, max(pos) + ${SpanWindow - 1} AS e
+          FROM isl GROUP BY doc_id, island),
+        cv AS (SELECT doc_id, sum(e - s + 1) AS cov FROM sp GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+          CAST(coalesce(cv.cov, 0) AS BIGINT) AS covered_tokens,
+          round(CAST(coalesce(cv.cov, 0) AS DOUBLE) /
+            greatest(len(t.tk), 1), 6) AS coverage
+        FROM tk t LEFT JOIN cv ON cv.doc_id = t.doc_id""")),
+
     // ✚ Bloom-gated decontamination (Pipeline.decontaminateBloom): the
     // benchmark's shingle set folded into a 2^18-bit bloom bitmap that
     // rides inside ONE compiled membership kernel — map-only, no
@@ -1673,6 +1744,24 @@ object LlmQueries {
           CAST(count(DISTINCT doc_id) AS BIGINT) AS df
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents) p
         GROUP BY tk ORDER BY tf DESC, tk ASC LIMIT 20""")),
+
+    // ✚ OOV rate (round 12, TextOps.oovRate): per doc, the fraction of
+    // tokens outside the corpus's own top-20 vocabulary — the
+    // tokenizer-fit diagnostic. Vocab = one map-side token count cut by
+    // TakeOrdered (config-sized), broadcast back; per-doc tail is one
+    // aggregate. K=20 of 31 distinct corpus tokens, so the OOV tail is
+    // real at sf0.01.
+    Q("text_oov_rate",
+      (s, d) => TextOps.oovRate(t(s, d, "documents"), "doc_id", "text", OovVocabK),
+      Some(s"""WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+        v AS (SELECT tk FROM (SELECT tk, count(*) AS tf FROM p GROUP BY tk
+            ORDER BY tf DESC, tk ASC LIMIT $OovVocabK) z),
+        m AS (SELECT p.doc_id, v.tk AS hit FROM p LEFT JOIN v ON v.tk = p.tk)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(count(*) FILTER (WHERE hit IS NULL) AS BIGINT) AS n_oov,
+          round(CAST(count(*) FILTER (WHERE hit IS NULL) AS DOUBLE) / count(*), 6)
+            AS oov_rate
+        FROM m GROUP BY doc_id""")),
 
     // ✚ BM25 ranked retrieval (TextOps.bm25TopK): Lucene-form idf,
     // k1=1.2 b=0.75, scores summed per doc and rounded to 4dp before

@@ -741,6 +741,42 @@ class LlmSpec extends SparkSpec {
       s"got $scrub")
   }
 
+  test("paragraphDedup: corpus-first paragraph keeps, later copies cut, blanks dropped") {
+    val corpus = Seq(
+      (1L, "alpha beta\nshared license line\n  \ntail one"),
+      (2L, "shared license line\nunique middle\nshared license line"),
+      (3L, "  shared license line  \nfresh text"), // trim-equal → duplicate
+      (4L, "shared license line")                  // fully emptied doc
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc 1 holds the corpus-first copy (smallest (id, pos)); its
+    // whitespace-only paragraph is dropped without counting as removed
+    assert(out(1L) == ("alpha beta\nshared license line\ntail one", 0L))
+    // doc 2: BOTH its copies lose to doc 1's keeper (within-doc repeat too)
+    assert(out(2L) == ("unique middle", 2L))
+    // doc 3: trim-equal duplicate cut, but the ORIGINAL spelling of kept
+    // paragraphs survives (keys trim, output does not)
+    assert(out(3L) == ("fresh text", 1L))
+    // doc 4: every paragraph removed — present with empty text
+    assert(out(4L) == ("", 1L))
+  }
+
+  test("spanCoverage: covered fraction from disjoint islands; clean docs report zero") {
+    val passage = (1 to 20).map(i => s"p$i").mkString(" ")
+    def uniq(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"${uniq("a", 5)} $passage ${uniq("b", 3)}"), // 20 of 28 covered
+      (2L, s"$passage ${uniq("c", 10)}"),                // 20 of 30 covered
+      (3L, uniq("d", 30))                                // clean
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanCoverage(corpus, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((28L, 20L, math.rint(20.0 / 28 * 1e6) / 1e6)))
+    assert(out(2L) == ((30L, 20L, math.rint(20.0 / 30 * 1e6) / 1e6)))
+    assert(out(3L) == ((30L, 0L, 0.0)))
+  }
+
   test("incremental span scrub: resident boilerplate cut from arrivals, index served cold") {
     val passage = (1 to 20).map(i => s"rb$i").mkString(" ")
     def uniq(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
