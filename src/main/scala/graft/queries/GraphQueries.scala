@@ -396,6 +396,45 @@ object GraphQueries {
       (s, d) => graph(s, d).inDegree("CONTAINS")
         .select((col("id") - GraphLoader.PartOff).as("partkey"), col("degree")),
       Some("""SELECT l_partkey AS partkey, CAST(count(*) AS BIGINT) AS degree
-        FROM lineitem GROUP BY l_partkey"""))
+        FROM lineitem GROUP BY l_partkey""")),
+
+    // ✚ triangle counting (round 12, operators.Triangles): the third
+    // graph-global metric beside components and PageRank, on the
+    // co-purchase projection (parts sharing an order). Spark side runs
+    // the DEGREE-ORDERED orientation (wedge volume bounded by
+    // Σ min-deg², the skew-proof shape); the oracle counts the same
+    // triangles in the id-canonical orientation — the count is
+    // orientation-invariant, which is itself part of what's checked.
+    Q("graph_triangles",
+      (s, d) => graft.operators.Triangles.triangleCount(
+        graft.operators.Triangles.cooccurrenceEdges(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50)),
+      Some("""WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        ok AS (SELECT g FROM m GROUP BY g HAVING count(*) <= 50),
+        mm AS (SELECT m.g, m.i FROM m JOIN ok USING (g)),
+        e AS (SELECT DISTINCT x.i AS a, y.i AS b
+          FROM mm x JOIN mm y ON x.g = y.g AND x.i < y.i)
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""")),
+
+    // ✚ per-vertex triangle participation top-k — the local-clustering
+    // numerator (hub-community detection); ties → id, so the k cut is
+    // deterministic.
+    Q("graph_triangles_top",
+      (s, d) => graft.operators.Triangles.topTriangleVertices(
+        graft.operators.Triangles.cooccurrenceEdges(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50), 20),
+      Some("""WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        ok AS (SELECT g FROM m GROUP BY g HAVING count(*) <= 50),
+        mm AS (SELECT m.g, m.i FROM m JOIN ok USING (g)),
+        e AS (SELECT DISTINCT x.i AS a, y.i AS b
+          FROM mm x JOIN mm y ON x.g = y.g AND x.i < y.i),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1 JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        SELECT n, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM (SELECT unnest([x, y, z]) AS n FROM tri) u
+        GROUP BY n ORDER BY n_triangles DESC, n ASC LIMIT 20"""))
   )
 }

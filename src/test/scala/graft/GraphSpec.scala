@@ -289,4 +289,36 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(1)).toSet
     assert(guarded == Set(1L, 2L, 3L))
   }
+
+  test("triangles: K4 has four, a path has none, per-vertex credit hits all corners") {
+    import spark.implicits._
+    import graft.operators.Triangles
+    // K4 on {1..4}: C(4,3) = 4 triangles, each vertex on exactly 3
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)).toDF("a", "b")
+    assert(Triangles.triangleCount(k4).head().getLong(0) == 4L)
+    val tv = Triangles.topTriangleVertices(k4, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tv == (1L to 4L).map(_ -> 3L).toMap)
+    // path 1-2-3-4 + pendant: zero triangles
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    assert(Triangles.triangleCount(path).head().getLong(0) == 0L)
+  }
+
+  test("cooccurrenceEdges: canonical distinct pairs; the group-size cap binds") {
+    import spark.implicits._
+    import graft.operators.Triangles
+    val m = Seq( // group 10 → {1,2,3}; group 11 → {2,3} (dup edge); group 12 → mega
+      (10L, 1L), (10L, 2L), (10L, 3L), (10L, 3L),
+      (11L, 2L), (11L, 3L),
+      (12L, 7L), (12L, 8L), (12L, 9L), (12L, 6L)
+    ).toDF("g", "i")
+    val e = Triangles.cooccurrenceEdges(m, "g", "i", maxGroupSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // group 12 (4 members > cap) contributes nothing; duplicates collapse
+    assert(e == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // triangle through the combined groups: {1,2,3}
+    assert(Triangles.triangleCount(
+      Triangles.cooccurrenceEdges(m, "g", "i", maxGroupSize = 3))
+      .head().getLong(0) == 1L)
+  }
 }
