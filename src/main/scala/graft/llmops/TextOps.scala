@@ -392,6 +392,68 @@ object TextOps {
         round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
   }
 
+  /** Distributed BPE merge LEARNING — the training side of the subword
+    * story (the compiled [[graft.plans.SubwordCount]] kernel applies a
+    * vocab; this learns one): iteratively count adjacent symbol pairs
+    * and merge the most frequent, `numMerges` times. Ties break
+    * (count desc, left asc, right asc) — fully deterministic.
+    *
+    * Scale: the corpus collapses ONCE into a word-frequency table (one
+    * map-side-combinable aggregate — VOCAB-sized regardless of corpus
+    * rows, the classic BPE trick: a 100 TB crawl and a 1 GB sample
+    * share the same word-type count ceiling), and every iteration runs
+    * over that table: pair counts explode ~|word| rows per word type
+    * but combine map-side onto the pair key; the argmax is TakeOrdered
+    * 1. The ONLY collects are the per-iteration 1-row argmax — the
+    * config-sized discipline. Merges apply as an `aggregate` HOF fold
+    * (greedy non-overlapping left-to-right, the reference BPE rule);
+    * the table is localCheckpoint'ed per iteration so lineage stays
+    * flat across merges. No end-of-word marker (documented choice —
+    * the fixture corpus is whitespace-tokenized already).
+    * Returns (rank, left, right, pair_count) per learned merge; stops
+    * early when no pair repeats. */
+  def learnBpeMerges(docs: DataFrame, textCol: String,
+      numMerges: Int): Seq[(Int, String, String, Long)] = {
+    require(numMerges >= 1, "need at least one merge")
+    var cur = docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("syms"), col("freq"))
+      .localCheckpoint(true)
+    val learned = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val top = cur
+        .select(col("freq"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect() // 1-row argmax — the iteration's only collect
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((rank, l, r, cnt))
+        // greedy non-overlapping left-to-right merge of (l, r) → l+r
+        val prev = cur
+        cur = cur.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(x)))))
+          .localCheckpoint(true)
+        prev.unpersist()
+        rank += 1
+      }
+    }
+    learned.result()
+  }
+
   def cleanColumns(text: Column): Seq[Column] = {
     val scrubbed = regexp_replace(regexp_replace(text, UrlRe, " "), EmailRe, " ")
     val squashed = trim(regexp_replace(scrubbed, " +", " "))

@@ -777,6 +777,56 @@ class LlmSpec extends SparkSpec {
     assert(out(3L) == ((30L, 0L, 0.0)))
   }
 
+  test("learnBpeMerges: planted merges in order, greedy fold, early stop") {
+    val docs = Seq((1L, "aab aab aab ab ab cd")).toDF("doc_id", "text")
+    val merges = TextOps.learnBpeMerges(docs, "text", 5)
+    // pair counts round 1: (a,a)=3 (a,b)=5 (c,d)=1 → merge (a,b);
+    // round 2: aab→[a,ab], ab→[ab] ⇒ (a,ab)=3 → merge (a,ab);
+    // round 3: only (c,d)=1 < 2 → early stop at 2 of 5
+    assert(merges == Seq((1, "a", "b", 5L), (2, "a", "ab", 3L)))
+    // pair COUNTS include overlapping adjacencies ("aaaa" carries three
+    // (a,a) pairs — standard BPE counting) while the APPLY fold merges
+    // greedily non-overlapping: aaaa → [aa, aa], then (aa, aa) merges
+    val rep = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    assert(TextOps.learnBpeMerges(rep, "text", 2) ==
+      Seq((1, "a", "a", 6L), (2, "aa", "aa", 2L)))
+  }
+
+  test("learnBpeMerges matches a driver-side reference on the corpus") {
+    def mergeGreedy(s: Vector[String], l: String, r: String): Vector[String] =
+      s.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+        else acc :+ x
+      }
+    def ref(words: Seq[(String, Long)], n: Int): Seq[(Int, String, String, Long)] = {
+      var syms = words.map { case (w, f) => (w.toVector.map(_.toString), f) }
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      var rank = 1
+      var stop = false
+      while (rank <= n && !stop) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((s, f) <- syms; i <- 0 until s.length - 1)
+          counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + f
+        val elig = counts.filter(_._2 >= 2)
+        if (elig.isEmpty) stop = true
+        else {
+          val ((l, r), c) = elig.minBy { case ((l, r), c) => (-c, l, r) }
+          out += ((rank, l, r, c))
+          syms = syms.map { case (s, f) => (mergeGreedy(s, l, r), f) }
+          rank += 1
+        }
+      }
+      out.result()
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val words = docs.select(explode(split($"text", " ", -1)).as("w"))
+      .filter($"w" =!= "").groupBy($"w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val got = TextOps.learnBpeMerges(docs, "text", 8)
+    assert(got == ref(words, 8), s"distributed $got vs reference ${ref(words, 8)}")
+    assert(got.size == 8) // the corpus supports a full 8 merges
+  }
+
   test("incremental span scrub: resident boilerplate cut from arrivals, index served cold") {
     val passage = (1 to 20).map(i => s"rb$i").mkString(" ")
     def uniq(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
