@@ -111,6 +111,11 @@ object Bench {
     "profile_histogram",
     "profile_correlations",
     "orders_rfm",
+    "dedup_paragraphs",
+    "dedup_coverage",
+    "text_oov_rate",
+    "graph_triangles",
+    "graph_triangles_top",
     "multimodal_meta",
     "multimodal_frames",
     "multimodal_resize",

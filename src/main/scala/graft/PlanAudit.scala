@@ -204,15 +204,16 @@ object PlanAudit {
       "HashAggregate"),
     Check("dedup_coverage", "flagged windows rejoin by hash as a semi probe",
       "LeftSemi"),
-    // triangle counting (round 12): every join is an equi hash-family
-    // join — a nested-loop anywhere means an orientation predicate
-    // leaked out of the equi keys; the closing edge is a semi probe
-    // (wedges are counted, never multiplied); the top-k variant cuts
-    // by TakeOrdered, never a global sort or window
-    Check("graph_triangles", "wedge and closing joins are equi joins",
+    // triangle counting (round 12): the edge-iterator form — closures
+    // come from per-edge adjacency INTERSECTION (codegen'd
+    // array_intersect), so the plan must contain NO third join arm
+    // shuffling a wedge set (exactly two adjacency joins feed the
+    // aggregate) and no nested-loop/cartesian anywhere; the top-k
+    // variant cuts by TakeOrdered, never a global sort or window
+    Check("graph_triangles", "adjacency joins are equi joins",
       "!BroadcastNestedLoopJoin"),
     Check("graph_triangles", "no cartesian product anywhere", "!CartesianProduct"),
-    Check("graph_triangles", "closing edge is a semi probe", "LeftSemi"),
+    Check("graph_triangles", "closures are in-row intersections", "array_intersect"),
     Check("graph_triangles_top", "per-vertex top-k without total sort",
       "TakeOrderedAndProject"),
     // LM scoring: the capped model must BIND BROADCAST onto the corpus

@@ -45,9 +45,13 @@ object Triangles {
       .distinct()
   }
 
-  /** Total triangle count of a canonical (a < b) undirected edge list.
-    * Returns one row (n_triangles). */
-  def triangleCount(edges: DataFrame): DataFrame = {
+  /** Degree-ordered orientation of a canonical edge list, MATERIALIZED
+    * once (localCheckpoint — the [[graft.llmops.Dedup.simhashPairs]]
+    * self-join discipline): the oriented edges feed both the adjacency
+    * build and the edge probe, and without materialization each arm
+    * would recompute the upstream co-occurrence self-join. The
+    * checkpoint is edge-set-sized, i.e. the algorithm's own input. */
+  private def orient(edges: DataFrame): DataFrame = {
     val e = edges.select(col("a"), col("b"))
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -55,37 +59,54 @@ object Triangles {
       .join(deg.select(col("n").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("deg").as("db")), Seq("b"))
     val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
-    val oe = withDeg.select(
+    withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("src"),
       when(aFirst, col("b")).otherwise(col("a")).as("dst"))
-    val wedges = oe.as("e1").join(oe.as("e2"), col("e1.dst") === col("e2.src"))
-      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
-    wedges.join(oe.as("e3"),
-        col("u") === col("e3.src") && col("w") === col("e3.dst"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+      .localCheckpoint(true)
   }
 
+  /** Per-edge triangle closure via ADJACENCY INTERSECTION (the
+    * edge-iterator form): each oriented edge (u, v) carries the
+    * out-neighbor lists of BOTH endpoints and closes |adj(u) ∩ adj(v)|
+    * triangles in-row. This was chosen over the naive wedge join
+    * (e1 ⋈ e2 then a closing semi probe) on measurement: the wedge
+    * form SHUFFLES the full wedge set — Σ out-deg² rows, ~34× the
+    * edge count at sf0.1 — into the closing join, where this shape
+    * shuffles only edge-sized tables (two node-keyed adjacency joins)
+    * and the intersections run inside codegen. Out-degree under the
+    * degree-ordered orientation is bounded by O(√m) (arboricity), so
+    * a carried adjacency list is √m-sized worst case — a hub's
+    * neighbors land on ITS few higher-ranked peers, never back on it.
+    * Returns (u, v, ws = the closing third corners). */
+  private def edgeClosures(oe: DataFrame): DataFrame = {
+    val adj = oe.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+    oe.join(adj.select(col("src"), col("nbrs").as("au")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("av")), Seq("dst"), "left")
+      .select(col("src").as("u"), col("dst").as("v"),
+        when(col("av").isNull,
+          array().cast(org.apache.spark.sql.types.ArrayType(oe.schema("src").dataType)))
+          .otherwise(array_intersect(col("au"), col("av"))).as("ws"))
+  }
+
+  /** Total triangle count of a canonical (a < b) undirected edge list.
+    * Returns one row (n_triangles). */
+  def triangleCount(edges: DataFrame): DataFrame =
+    edgeClosures(orient(edges))
+      .agg(coalesce(sum(size(col("ws"))), lit(0)).cast("long").as("n_triangles"))
+
   /** Per-vertex triangle participation (top-k by count, ties → id): the
-    * local-clustering numerator. Each closed wedge credits all three
-    * corners; the credit explode is output-sized (3 rows per triangle)
-    * and the tail is one vertex-keyed aggregate + TakeOrdered. */
+    * local-clustering numerator. Both closed-edge endpoints credit the
+    * intersection size; each third corner credits 1 via an explode that
+    * is OUTPUT-sized (3 rows per triangle, never wedge-sized). The tail
+    * is one vertex-keyed aggregate + TakeOrdered. */
   def topTriangleVertices(edges: DataFrame, k: Int): DataFrame = {
-    val e = edges.select(col("a"), col("b"))
-    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-    val withDeg = e
-      .join(deg.select(col("n").as("a"), col("deg").as("da")), Seq("a"))
-      .join(deg.select(col("n").as("b"), col("deg").as("db")), Seq("b"))
-    val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
-    val oe = withDeg.select(
-      when(aFirst, col("a")).otherwise(col("b")).as("src"),
-      when(aFirst, col("b")).otherwise(col("a")).as("dst"))
-    val closed = oe.as("e1").join(oe.as("e2"), col("e1.dst") === col("e2.src"))
-      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
-      .join(oe.as("e3"),
-        col("u") === col("e3.src") && col("w") === col("e3.dst"), "left_semi")
-    closed.select(explode(array(col("u"), col("v"), col("w"))).as("n"))
-      .groupBy(col("n")).agg(count(lit(1)).as("n_triangles"))
+    val closed = edgeClosures(orient(edges)).filter(size(col("ws")) > 0)
+      .localCheckpoint(true) // triangle-output-sized; feeds three credit arms
+    val wCredit = closed.select(explode(col("ws")).as("n"), lit(1L).as("c"))
+    val uCredit = closed.select(col("u").as("n"), size(col("ws")).cast("long").as("c"))
+    val vCredit = closed.select(col("v").as("n"), size(col("ws")).cast("long").as("c"))
+    wCredit.unionByName(uCredit).unionByName(vCredit)
+      .groupBy(col("n")).agg(sum(col("c")).as("n_triangles"))
       .orderBy(col("n_triangles").desc, col("n").asc).limit(k)
   }
 }
