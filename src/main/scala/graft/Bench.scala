@@ -116,6 +116,8 @@ object Bench {
     "text_oov_rate",
     "graph_triangles",
     "graph_triangles_top",
+    "graph_clustering_top",
+    "graph_transitivity",
     "multimodal_meta",
     "multimodal_frames",
     "multimodal_resize",

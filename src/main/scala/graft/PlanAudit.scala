@@ -216,6 +216,17 @@ object PlanAudit {
     Check("graph_triangles", "closures are in-row intersections", "array_intersect"),
     Check("graph_triangles_top", "per-vertex top-k without total sort",
       "TakeOrderedAndProject"),
+    // clustering family (round 12): same edge-iterator discipline —
+    // cc's top-k cuts by TakeOrdered (never a global sort/window), and
+    // transitivity's 3T/W must stay on integer aggregates (no window,
+    // no average-of-doubles)
+    Check("graph_clustering_top", "cc top-k without total sort",
+      "TakeOrderedAndProject"),
+    Check("graph_clustering_top", "no window anywhere", "!Window"),
+    Check("graph_clustering_top", "closures are in-row intersections",
+      "array_intersect"),
+    Check("graph_transitivity", "integer partial aggregates, no window",
+      "!Window"),
     // LM scoring: the capped model must BIND BROADCAST onto the corpus
     // scan (a shuffled model join would re-partition the corpus by
     // bigram text — the exact thing the config-sized cap exists to

@@ -94,6 +94,69 @@ object Triangles {
     edgeClosures(orient(edges))
       .agg(coalesce(sum(size(col("ws"))), lit(0)).cast("long").as("n_triangles"))
 
+  /** Per-vertex triangle counts over ALL vertices (no top-k cut) —
+    * shared by [[topTriangleVertices]] and the clustering family.
+    * Vertex-keyed, map-side-combinable; returns (n, n_triangles > 0). */
+  private def vertexTriangles(closed: DataFrame): DataFrame = {
+    val wCredit = closed.select(explode(col("ws")).as("n"), lit(1L).as("c"))
+    val uCredit = closed.select(col("u").as("n"), size(col("ws")).cast("long").as("c"))
+    val vCredit = closed.select(col("v").as("n"), size(col("ws")).cast("long").as("c"))
+    wCredit.unionByName(uCredit).unionByName(vCredit)
+      .groupBy(col("n")).agg(sum(col("c")).as("n_triangles"))
+  }
+
+  /** Per-vertex LOCAL CLUSTERING COEFFICIENT, top-k: cc(v) = t(v) /
+    * C(deg(v), 2) — the fraction of a vertex's neighbor pairs that are
+    * themselves connected. Restricted to deg ≥ `minDeg` (tiny-degree
+    * vertices hit cc = 1 trivially and drown the ranking in ties).
+    *
+    * Determinism discipline: t and deg are EXACT integer aggregates;
+    * cc is ONE double division + round(6) per row — no float sums, so
+    * the DuckDB twin reproduces it bit-for-bit. The edge list is
+    * checkpointed once (it feeds both the degree aggregate and the
+    * orientation) — without it the upstream co-occurrence self-join
+    * would run twice. Ties (cc, deg desc, n asc) → deterministic cut.
+    * Returns (n, deg, n_triangles, cc). */
+  def clusteringTop(edges: DataFrame, minDeg: Int, k: Int): DataFrame = {
+    require(minDeg >= 2, "cc is undefined below degree 2")
+    val e = edges.localCheckpoint(true)
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= minDeg)
+    val tri = vertexTriangles(edgeClosures(orient(e)).filter(size(col("ws")) > 0))
+    deg.join(tri, Seq("n"), "left")
+      .select(col("n"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("cc", round(
+        col("n_triangles").cast("double") * 2.0 /
+          (col("deg") * (col("deg") - 1)).cast("double"), 6))
+      .orderBy(col("cc").desc, col("deg").desc, col("n").asc).limit(k)
+  }
+
+  /** Global TRANSITIVITY (the graph clustering coefficient): 3 × the
+    * triangle count over the wedge count Σ C(deg(v), 2). Chosen over
+    * the average-of-local-cc form deliberately: both numerator and
+    * denominator are EXACT integer sums divided ONCE (the data-card
+    * ratio discipline) — an average of per-vertex doubles would make
+    * the result depend on float summation order across partitions.
+    * Returns one row (n_triangles, n_wedges, transitivity). */
+  def transitivity(edges: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint(true)
+    // Σ deg(deg−1) summed as LONG, halved once with integer DIV (the
+    // sum is even by construction) — `/` would detour through double.
+    val wedges = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .agg(coalesce(sum(col("deg") * (col("deg") - 1)), lit(0L)).as("s2"))
+      .select(expr("s2 DIV 2").as("n_wedges"))
+    val tri = edgeClosures(orient(e))
+      .agg(coalesce(sum(size(col("ws"))), lit(0)).cast("long").as("n_triangles"))
+    tri.crossJoin(wedges)
+      .select(col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") === 0, lit(0.0)).otherwise(round(
+          col("n_triangles").cast("double") * 3.0 / col("n_wedges").cast("double"), 6))
+          .as("transitivity"))
+  }
+
   /** Per-vertex triangle participation (top-k by count, ties → id): the
     * local-clustering numerator. Both closed-edge endpoints credit the
     * intersection size; each third corner credits 1 via an explode that

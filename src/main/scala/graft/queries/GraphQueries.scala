@@ -435,6 +435,54 @@ object GraphQueries {
             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
         SELECT n, CAST(count(*) AS BIGINT) AS n_triangles
         FROM (SELECT unnest([x, y, z]) AS n FROM tri) u
-        GROUP BY n ORDER BY n_triangles DESC, n ASC LIMIT 20"""))
+        GROUP BY n ORDER BY n_triangles DESC, n ASC LIMIT 20""")),
+
+    // ✚ local clustering coefficient top-k: the per-vertex community
+    // density cc(v) = t(v)/C(deg,2); exact integer t and deg, ONE
+    // rounded division per row, deterministic tie-break — hash-green
+    // against the oracle's identical arithmetic.
+    Q("graph_clustering_top",
+      (s, d) => graft.operators.Triangles.clusteringTop(
+        graft.operators.Triangles.cooccurrenceEdges(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50), 5, 20),
+      Some("""WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        ok AS (SELECT g FROM m GROUP BY g HAVING count(*) <= 50),
+        mm AS (SELECT m.g, m.i FROM m JOIN ok USING (g)),
+        e AS (SELECT DISTINCT x.i AS a, y.i AS b
+          FROM mm x JOIN mm y ON x.g = y.g AND x.i < y.i),
+        deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg
+          FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) u GROUP BY n),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1 JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        vt AS (SELECT n, CAST(count(*) AS BIGINT) AS n_triangles
+          FROM (SELECT unnest([x, y, z]) AS n FROM tri) u GROUP BY n)
+        SELECT d.n, d.deg, COALESCE(vt.n_triangles, 0) AS n_triangles,
+          ROUND(COALESCE(vt.n_triangles, 0) * 2.0 / (d.deg * (d.deg - 1)), 6) AS cc
+        FROM deg d LEFT JOIN vt USING (n) WHERE d.deg >= 5
+        ORDER BY cc DESC, d.deg DESC, d.n ASC LIMIT 20""")),
+
+    // ✚ global transitivity 3T/W — integer sums divided once (never an
+    // average of per-vertex doubles, whose value would depend on float
+    // summation order across partitions).
+    Q("graph_transitivity",
+      (s, d) => graft.operators.Triangles.transitivity(
+        graft.operators.Triangles.cooccurrenceEdges(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50)),
+      Some("""WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        ok AS (SELECT g FROM m GROUP BY g HAVING count(*) <= 50),
+        mm AS (SELECT m.g, m.i FROM m JOIN ok USING (g)),
+        e AS (SELECT DISTINCT x.i AS a, y.i AS b
+          FROM mm x JOIN mm y ON x.g = y.g AND x.i < y.i),
+        deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg
+          FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) u GROUP BY n),
+        w AS (SELECT CAST(COALESCE(SUM(deg * (deg - 1)), 0) // 2 AS BIGINT) AS n_wedges FROM deg),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+          FROM e e1 JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        SELECT t.n_triangles, w.n_wedges,
+          CASE WHEN w.n_wedges = 0 THEN 0.0
+            ELSE ROUND(t.n_triangles * 3.0 / w.n_wedges, 6) END AS transitivity
+        FROM t, w"""))
   )
 }

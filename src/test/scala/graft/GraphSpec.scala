@@ -304,6 +304,32 @@ class GraphSpec extends SparkSpec {
     assert(Triangles.triangleCount(path).head().getLong(0) == 0L)
   }
 
+  test("clustering: cc exact on a planted graph; transitivity = 3T/W") {
+    import spark.implicits._
+    import graft.operators.Triangles
+    // bowtie: triangles {1,2,3} and {3,4,5} sharing vertex 3, plus a
+    // pendant 6 off vertex 1.  deg: 1→3, 2→2, 3→4, 4→2, 5→2, 6→1.
+    val bow = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (3L, 5L),
+      (4L, 5L), (1L, 6L)).toDF("a", "b")
+    val cc = Triangles.clusteringTop(bow, minDeg = 2, k = 10)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // v1: 1 triangle of C(3,2)=3 pairs → 1/3; v3: 2 of C(4,2)=6 → 1/3;
+    // v2/v4/v5: 1 of 1 → 1.0; v6 filtered (deg 1 < minDeg)
+    assert(cc == Map(
+      1L -> ((3L, 1L, 0.333333)), 2L -> ((2L, 1L, 1.0)),
+      3L -> ((4L, 2L, 0.333333)), 4L -> ((2L, 1L, 1.0)), 5L -> ((2L, 1L, 1.0))))
+    // ordering: cc desc, deg desc, id asc → 2,4,5 then 3 (deg 4) then 1
+    val order = Triangles.clusteringTop(bow, 2, 10).collect().map(_.getLong(0)).toSeq
+    assert(order == Seq(2L, 4L, 5L, 3L, 1L))
+    // transitivity: W = Σ C(deg,2) = 3+1+6+1+1+0 = 12, T = 2 → 6/12
+    val tr = Triangles.transitivity(bow).head()
+    assert((tr.getLong(0), tr.getLong(1), tr.getDouble(2)) == ((2L, 12L, 0.5)))
+    // empty edge list: zero wedges → transitivity 0.0, not NaN
+    val none = Seq.empty[(Long, Long)].toDF("a", "b")
+    val tr0 = Triangles.transitivity(none).head()
+    assert((tr0.getLong(0), tr0.getLong(1), tr0.getDouble(2)) == ((0L, 0L, 0.0)))
+  }
+
   test("cooccurrenceEdges: canonical distinct pairs; the group-size cap binds") {
     import spark.implicits._
     import graft.operators.Triangles
