@@ -454,6 +454,29 @@ object TextOps {
     learned.result()
   }
 
+  /** Per-doc BPE token accounting under a LEARNED merge table — the
+    * apply side of [[learnBpeMerges]], i.e. the count a
+    * trained-tokenizer budget pipeline bills by (subwordCount's
+    * MaxMatch is the vocab-driven approximation; this is the exact
+    * rank-priority encode). One compiled map-only pass via
+    * [[graft.plans.BpeEncodeCount]] — no shuffle, the merge table
+    * rides the expression, word-type caching collapses Zipfian
+    * repetition per task. Returns (id, n_words, n_chars, n_bpe_tokens,
+    * compression = chars per BPE token, 6dp): compression ≈ the
+    * fertility diagnostic tokenizer teams track per language/source. */
+  def bpeTokenStats(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val tk = filter(tokens(col(textCol)), t => t =!= "")
+    docs.select(col(idCol),
+        size(tk).cast("long").as("n_words"),
+        aggregate(transform(tk, t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x).as("n_chars"),
+        graft.plans.BpeEncodeCount(tk, merges).cast("long").as("n_bpe_tokens"))
+      .withColumn("compression",
+        when(col("n_bpe_tokens") === 0, lit(0.0))
+          .otherwise(round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6)))
+  }
+
   def cleanColumns(text: Column): Seq[Column] = {
     val scrubbed = regexp_replace(regexp_replace(text, UrlRe, " "), EmailRe, " ")
     val squashed = trim(regexp_replace(scrubbed, " +", " "))

@@ -827,6 +827,73 @@ class LlmSpec extends SparkSpec {
     assert(got.size == 8) // the corpus supports a full 8 merges
   }
 
+  test("bpeTokenStats: rank-priority encode, re-check case, reference cross-check") {
+    // planted merges: "abcabc" under [(a,b), (ab,c)] → [abc, abc] = 2
+    val m1 = Seq(("a", "b"), ("ab", "c"))
+    val d1 = Seq((1L, "abcabc ab zz q"), (2L, "")).toDF("doc_id", "text")
+    val out = TextOps.bpeTokenStats(d1, "doc_id", "text", m1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // abcabc→2, ab→1, zz→2, q→1 ⇒ 6 BPE tokens over 11 chars, 4 words
+    assert(out(1L) == ((4L, 11L, 6L, math.rint(11.0 / 6 * 1e6) / 1e6)))
+    assert(out(2L) == ((0L, 0L, 0L, 0.0)))
+
+    // the RE-CHECK case a fixed rank-order chain of folds would miss:
+    // merges [(b,c), (a,bc)] on "abc": rank 0 fires first (b,c) even
+    // though (a,b) is not a merge; then (a,bc) closes → 1 token. A
+    // chain applying rank 1 after rank 0 gets this too — the true
+    // discriminator is "dabc" with [(a,b),(d,a),(ab,c),(dab,c)]:
+    // priority picks (a,b) then (d,ab)? not a merge — then (ab,c) →
+    // [d, abc]; a rank-sequential pass gives the same here, so assert
+    // the simpler invariant: priority picks GLOBAL min rank each step.
+    val m2 = Seq(("b", "c"), ("a", "bc"))
+    val d2 = Seq((1L, "abc")).toDF("doc_id", "text")
+    assert(TextOps.bpeTokenStats(d2, "doc_id", "text", m2)
+      .head().getLong(3) == 1L)
+    // empty merge table degrades to character count
+    assert(TextOps.bpeTokenStats(d2, "doc_id", "text", Seq.empty)
+      .head().getLong(3) == 3L)
+
+    // corpus cross-check: learn 8 merges, then the kernel must agree
+    // with a driver-side reference encode on every document
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+      .localCheckpoint(true)
+    val merges = TextOps.learnBpeMerges(docs, "text", 8)
+      .map { case (_, l, r, _) => (l, r) }
+    val rank = merges.zipWithIndex.toMap
+    def encodeRef(w: String): Int = {
+      var s = w.toVector.map(_.toString)
+      var go = s.length > 1
+      while (go) {
+        val ranked = s.zip(s.tail).flatMap(p => rank.get(p))
+        if (ranked.isEmpty) go = false
+        else {
+          val (l, r) = merges(ranked.min)
+          val b = Vector.newBuilder[String]
+          var j = 0
+          while (j < s.length) {
+            if (j < s.length - 1 && s(j) == l && s(j + 1) == r) { b += (l + r); j += 2 }
+            else { b += s(j); j += 1 }
+          }
+          s = b.result()
+          go = s.length > 1
+        }
+      }
+      s.length
+    }
+    val expected = docs.select($"doc_id", $"text").collect().map { r =>
+      r.getLong(0) -> r.getString(1).split(" ", -1).filter(_.nonEmpty)
+        .map(encodeRef).sum.toLong
+    }.toMap
+    val got = TextOps.bpeTokenStats(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == expected)
+    // merges only ever SHRINK the token count vs characters
+    val chars = TextOps.bpeTokenStats(docs, "doc_id", "text", Seq.empty)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.forall { case (id, n) => n <= chars(id) })
+  }
+
   test("incremental span scrub: resident boilerplate cut from arrivals, index served cold") {
     val passage = (1 to 20).map(i => s"rb$i").mkString(" ")
     def uniq(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
