@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{KCore, Triangles}
+
+/** Graph-analytics posture probe: k-core peel depth and wall on the
+  * sf0.1 co-purchase graph (the same edge list the triangle family
+  * benches on). Reports the 3-core size, the full coreness profile
+  * (max core + distribution mass), and walls. One JSON line for
+  * BASELINE.md. Run: `sbt "runMain graft.GraphProbe"`. */
+object GraphProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val edges = Triangles.cooccurrenceEdges(
+      spark.read.parquet(s"$sfDir/lineitem.parquet"),
+      "l_orderkey", "l_partkey", 50).localCheckpoint(true)
+    val nEdges = edges.count()
+
+    val t0 = System.nanoTime()
+    val c3 = KCore.kCore(edges, 3).count()
+    val s3 = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val core = KCore.coreness(edges).localCheckpoint(true)
+    val maxCore = core.agg(max(col("core"))).head().getInt(0)
+    val s = (System.nanoTime() - t1) / 1e9
+    val top = core.groupBy(col("core")).agg(count(lit(1)).as("n"))
+      .orderBy(col("core").desc).limit(3)
+      .collect().map(r => s""""${r.getInt(0)}":${r.getLong(1)}""").mkString(",")
+
+    println(s"""{"probe":"kcore","edges":$nEdges,"core3_vertices":$c3,""" +
+      s""""core3_sec":$s3,"max_core":$maxCore,"coreness_sec":$s,""" +
+      s""""top_cores":{$top}}""")
+    spark.stop()
+  }
+}

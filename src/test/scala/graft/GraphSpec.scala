@@ -330,6 +330,37 @@ class GraphSpec extends SparkSpec {
     assert((tr0.getLong(0), tr0.getLong(1), tr0.getDouble(2)) == ((0L, 0L, 0.0)))
   }
 
+  test("kCore / coreness: planted cores, cascade peel, star hub stays core-1") {
+    import spark.implicits._
+    import graft.operators.KCore
+    // K4 {1..4} + path 4-5-6 + pendant 7 off 1
+    val g = ((for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)) ++
+      Seq((4L, 5L), (5L, 6L), (1L, 7L))).toDF("a", "b")
+    // 2-core: exactly K4 (the path and pendant peel away — 5 first,
+    // then 6's degree drops: the cascade)
+    val c2 = KCore.kCore(g, 2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // 3-core: still K4; 4-core: empty
+    assert(KCore.kCore(g, 3).count() == 4L)
+    assert(KCore.kCore(g, 4).count() == 0L)
+    val core = KCore.coreness(g).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(core == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3, 5L -> 1, 6L -> 1, 7L -> 1))
+    // a star: hub degree 5 but coreness 1 — degree is not core depth
+    val star = (2L to 6L).map(i => (1L, i)).toDF("a", "b")
+    val sc = KCore.coreness(star).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sc.values.toSet == Set(1))
+    assert(KCore.kCore(star, 2).count() == 0L)
+    // maxK bound: survivors report maxK
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)).toDF("a", "b")
+    val capped = KCore.coreness(k4, maxK = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(capped.values.toSet == Set(2))
+    // empty graph: empty result, schema intact
+    val none = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(KCore.coreness(none).count() == 0L)
+    assert(KCore.kCore(none, 1).columns.toSeq == Seq("n", "deg"))
+  }
+
   test("cooccurrenceEdges: canonical distinct pairs; the group-size cap binds") {
     import spark.implicits._
     import graft.operators.Triangles
