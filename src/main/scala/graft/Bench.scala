@@ -50,6 +50,7 @@ object Bench {
     "pipeline_mix_rates",
     "pipeline_mix_temperature",
     "pipeline_quality_gate",
+    "pipeline_nb_classifier",
     "pipeline_ppl_bucket",
     "pipeline_dsir",
     "pipeline_shuffle",

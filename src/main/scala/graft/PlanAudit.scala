@@ -237,6 +237,15 @@ object PlanAudit {
       "graft_ngram_md5"),
     Check("pipeline_ppl_score", "no shuffled join anywhere in the scoring plan",
       "!SortMergeJoin"),
+    // NB classifier (round 12): capped vocab model must BIND BROADCAST
+    // onto the token explode (a shuffled model join would repartition
+    // the corpus by token text); scoring is one doc-key aggregate —
+    // no window, no shuffled join
+    Check("pipeline_nb_classifier", "capped NB model broadcasts onto the corpus",
+      "BroadcastHashJoin"),
+    Check("pipeline_nb_classifier", "no shuffled join in the scoring plan",
+      "!SortMergeJoin"),
+    Check("pipeline_nb_classifier", "no window anywhere", "!Window"),
     // bucketing serves from the compiled LM kernel (train once,
     // collect the config-sized model, score map-only — round 11): the
     // whole scoring plan is join-free; only the 1-row threshold bind

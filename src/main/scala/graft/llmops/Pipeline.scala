@@ -594,6 +594,59 @@ object Pipeline {
       .filter(col("n_hits") > 0)
   }
 
+  /** Trainable Naive-Bayes text classifier — the fasttext-style
+    * quality/domain filter of the GPT-3/CCNet lineage (train a cheap
+    * linear model on self-labeled seed classes, score the corpus,
+    * keep/weight by the score), distributed as three aggregates and a
+    * broadcast:
+    *
+    *  1. TRAIN: one token-keyed aggregate counts each token's mass per
+    *     class (map-side combinable), cut to the top-`vocabCap` tokens
+    *     by total frequency (tf desc, token asc — deterministic) — the
+    *     model is CONFIG-sized by construction, never vocabulary-tail
+    *     sized.
+    *  2. MODEL: Laplace-smoothed log-likelihood ratio per vocab token,
+    *     llr(t) = ln((c₁+1)/(N₁+V)) − ln((c₀+1)/(N₀+V)), with class
+    *     totals over the SAME capped vocab (one 1-row broadcast); the
+    *     class-prior ln(n₁/n₀) folds into the score.
+    *  3. SCORE: explode_outer tokens → broadcast-join the model →
+    *     ONE doc-key aggregate (the lmScore shape: no corpus-sized
+    *     rejoin; empty docs ride the outer row and score prior-only).
+    *     Out-of-vocab tokens are skipped — the cap IS the model.
+    *
+    * Scores sum doubles, so the result is round(·,4) — the lmScore
+    * rule absorbing cross-engine ln/summation last-ulp noise. Both
+    * classes must be non-empty (the prior is a log odds). Returns
+    * (id, n_scored, score, pred = score > 0). */
+  def nbClassifier(docs: DataFrame, idCol: String, textCol: String,
+      positive: Column, vocabCap: Int): DataFrame = {
+    require(vocabCap >= 1, "vocab cap must be positive")
+    val toks = docs.select(col(idCol),
+        positive.cast("long").as("y"),
+        explode(filter(TextOps.tokens(col(textCol)), t => t =!= "")).as("t"))
+    val vocab = toks.groupBy(col("t"))
+      .agg(sum(col("y")).as("c1"), sum(lit(1L) - col("y")).as("c0"),
+        count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("t").asc).limit(vocabCap)
+    val tot = vocab.agg(sum(col("c1")).as("n1"), sum(col("c0")).as("n0"),
+      count(lit(1)).as("v"))
+    val model = vocab.crossJoin(broadcast(tot))
+      .select(col("t"),
+        (log((col("c1") + 1.0) / (col("n1") + col("v"))) -
+          log((col("c0") + 1.0) / (col("n0") + col("v")))).as("llr"))
+    val prior = docs.agg(
+      log(sum(positive.cast("long")).cast("double") /
+        sum(lit(1L) - positive.cast("long"))).as("p"))
+    docs.select(col(idCol),
+        explode_outer(filter(TextOps.tokens(col(textCol)), t => t =!= "")).as("t"))
+      .join(broadcast(model), Seq("t"), "left")
+      .crossJoin(broadcast(prior))
+      .groupBy(col(idCol))
+      .agg(count(col("llr")).as("n_scored"),
+        round(first(col("p")) + coalesce(sum(col("llr")), lit(0.0)), 4).as("score"))
+      .withColumn("pred", col("score") > 0)
+  }
+
   /** Threshold set for [[qualityGate]] (Gopher-family filter rules). */
   final case class GateRules(minTokens: Int, maxTokens: Int,
       minStopRatio: Double, minTtr: Double, maxDupTrigram: Double)

@@ -1880,6 +1880,36 @@ object LlmQueries {
           SELECT doc_id, n_tokens, reasons, reasons = '' AS keep FROM gated"""
       }),
 
+    // ✚ trainable Naive-Bayes classifier (Pipeline.nbClassifier): the
+    // fasttext-style quality/domain filter — self-labeled here by
+    // lang='en', capped vocab broadcast model, one doc-key aggregate to
+    // score (the lmScore shape); round(·,4) absorbs ln/summation ulp
+    // noise.
+    Q("pipeline_nb_classifier",
+      (s, d) => Pipeline.nbClassifier(t(s, d, "documents"), "doc_id", "text",
+        col("lang") === "en", 4000),
+      Some("""WITH tk AS (SELECT doc_id,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, u.t AS t
+          FROM documents, unnest(string_split(text, ' ')) AS u(t)
+          WHERE u.t <> ''),
+        cnt AS (SELECT t, SUM(y) AS c1, SUM(1 - y) AS c0, count(*) AS tf
+          FROM tk GROUP BY t),
+        voc AS (SELECT t, c1, c0 FROM cnt ORDER BY tf DESC, t ASC LIMIT 4000),
+        tot AS (SELECT SUM(c1) AS n1, SUM(c0) AS n0, count(*) AS v FROM voc),
+        model AS (SELECT t,
+          ln((c1 + 1.0) / (n1 + v)) - ln((c0 + 1.0) / (n0 + v)) AS llr
+          FROM voc, tot),
+        prior AS (SELECT ln(
+          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+          / SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)) AS p FROM documents),
+        sc AS (SELECT d.doc_id, count(m.llr) AS n_scored,
+          ROUND((SELECT p FROM prior) + COALESCE(SUM(m.llr), 0), 4) AS score
+          FROM documents d
+          LEFT JOIN tk ON tk.doc_id = d.doc_id
+          LEFT JOIN model m ON m.t = tk.t
+          GROUP BY d.doc_id)
+        SELECT doc_id, n_scored, score, score > 0 AS pred FROM sc""")),
+
     // ✚ CCNet-style LM cross-entropy scoring (Pipeline.lmScore): a
     // capped stupid-backoff bigram model trained on the src1 reference
     // slice scores every other document's per-token cross-entropy —

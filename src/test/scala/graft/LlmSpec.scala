@@ -827,6 +827,35 @@ class LlmSpec extends SparkSpec {
     assert(got.size == 8) // the corpus supports a full 8 merges
   }
 
+  test("nbClassifier: planted separable classes, prior-only empty doc, OOV skip, cap") {
+    // class 1 speaks {aa bb}, class 0 speaks {cc dd}; doc 5 is empty,
+    // doc 6 is all-OOV relative to the capped vocab
+    val docs = Seq(
+      (1L, "aa bb aa", 1), (2L, "aa aa bb bb", 1),
+      (3L, "cc dd cc", 0), (4L, "cc dd dd dd", 0),
+      (5L, "", 1), (6L, "zz zz", 0)).toDF("doc_id", "text", "y")
+    val out = Pipeline.nbClassifier(docs, "doc_id", "text", $"y" === 1, 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // vocab cap 4 by tf: aa(4) dd(4) bb(3) cc(3) — zz(2) excluded.
+    // N1 = 4+3 = 7, N0 = 4+3 = 7, V = 4; prior = ln(3/3) = 0
+    def llr(c1: Long, c0: Long) =
+      math.log((c1 + 1.0) / 11.0) - math.log((c0 + 1.0) / 11.0)
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val (la, lb, lc, ld) = (llr(4, 0), llr(3, 0), llr(0, 3), llr(0, 4))
+    assert(out(1L) == ((3L, r4(2 * la + lb), true)))
+    assert(out(2L) == ((4L, r4(2 * la + 2 * lb), true)))
+    assert(out(3L) == ((3L, r4(2 * lc + ld), false)))
+    assert(out(4L) == ((4L, r4(lc + 3 * ld), false)))
+    // empty doc: the outer row → zero scored tokens, prior-only score
+    assert(out(5L) == ((0L, 0.0, false)))
+    // all-OOV doc: tokens exist but none in vocab → prior-only too
+    assert(out(6L) == ((0L, 0.0, false)))
+    // every class-1 doc scores strictly above every class-0 doc
+    assert(Seq(out(1L), out(2L)).map(_._2).min >
+      Seq(out(3L), out(4L)).map(_._2).max)
+  }
+
   test("bpeTokenStats: rank-priority encode, re-check case, reference cross-check") {
     // planted merges: "abcabc" under [(a,b), (ab,c)] → [abc, abc] = 2
     val m1 = Seq(("a", "b"), ("ab", "c"))
