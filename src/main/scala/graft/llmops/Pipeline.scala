@@ -620,10 +620,24 @@ object Pipeline {
     * (id, n_scored, score, pred = score > 0). */
   def nbClassifier(docs: DataFrame, idCol: String, textCol: String,
       positive: Column, vocabCap: Int): DataFrame = {
+    val (model, prior) = nbModelFrames(docs, textCol, positive, vocabCap)
+    docs.select(col(idCol),
+        explode_outer(filter(TextOps.tokens(col(textCol)), t => t =!= "")).as("t"))
+      .join(broadcast(model), Seq("t"), "left")
+      .crossJoin(broadcast(prior))
+      .groupBy(col(idCol))
+      .agg(count(col("llr")).as("n_scored"),
+        round(first(col("p")) + coalesce(sum(col("llr")), lit(0.0)), 4).as("score"))
+      .withColumn("pred", col("score") > 0)
+  }
+
+  /** Shared NB model construction: (capped llr vocabulary, 1-row
+    * prior). See [[nbClassifier]] for the arithmetic. */
+  private def nbModelFrames(docs: DataFrame, textCol: String,
+      positive: Column, vocabCap: Int): (DataFrame, DataFrame) = {
     require(vocabCap >= 1, "vocab cap must be positive")
-    val toks = docs.select(col(idCol),
-        positive.cast("long").as("y"),
-        explode(filter(TextOps.tokens(col(textCol)), t => t =!= "")).as("t"))
+    val toks = docs.select(positive.cast("long").as("y"),
+      explode(filter(TextOps.tokens(col(textCol)), t => t =!= "")).as("t"))
     val vocab = toks.groupBy(col("t"))
       .agg(sum(col("y")).as("c1"), sum(lit(1L) - col("y")).as("c0"),
         count(lit(1)).as("tf"))
@@ -637,14 +651,19 @@ object Pipeline {
     val prior = docs.agg(
       log(sum(positive.cast("long")).cast("double") /
         sum(lit(1L) - positive.cast("long"))).as("p"))
-    docs.select(col(idCol),
-        explode_outer(filter(TextOps.tokens(col(textCol)), t => t =!= "")).as("t"))
-      .join(broadcast(model), Seq("t"), "left")
-      .crossJoin(broadcast(prior))
-      .groupBy(col(idCol))
-      .agg(count(col("llr")).as("n_scored"),
-        round(first(col("p")) + coalesce(sum(col("llr")), lit(0.0)), 4).as("score"))
-      .withColumn("pred", col("score") > 0)
+    (model, prior)
+  }
+
+  /** Collected NB model for SERVING (the [[lmModel]] discipline): the
+    * capped llr vocabulary + prior as driver values — vocab-cap-sized
+    * by contract, i.e. config-sized, never corpus-sized — to embed in
+    * the compiled [[graft.plans.NbScore]] kernel for the streaming
+    * gate. Returns (vocab llr pairs, prior). */
+  def nbModel(docs: DataFrame, textCol: String, positive: Column,
+      vocabCap: Int): (Seq[(String, Double)], Double) = {
+    val (model, prior) = nbModelFrames(docs, textCol, positive, vocabCap)
+    (model.collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq,
+      prior.head().getDouble(0))
   }
 
   /** Threshold set for [[qualityGate]] (Gopher-family filter rules). */

@@ -265,6 +265,25 @@ object EventsStream {
       .drop("__s")
   }
 
+  /** Streaming Naive-Bayes classifier gate — the serving face of
+    * `pipeline_nb_classifier`: the capped llr model + prior (trained
+    * by [[graft.llmops.Pipeline.nbModel]] in a batch pass) ride inside
+    * the compiled [[graft.plans.NbScore]] kernel, so classification is
+    * a STATELESS per-row column — no join, no shuffle, no state store,
+    * same plan batch or streaming (the pplGate pattern). `tau` is the
+    * keep threshold (0.0 = the classifier's own decision boundary).
+    * Returns the input plus (n_scored, score, keep). */
+  def nbGate(docs: DataFrame, vocab: Seq[(String, Double)], prior: Double,
+      textCol: String, tau: Double = 0.0): DataFrame = {
+    docs.withColumn("__s", graft.plans.NbScore(
+        filter(graft.llmops.TextOps.tokens(col(textCol)), t => t =!= ""),
+        vocab, prior))
+      .withColumn("n_scored", col("__s.n_scored"))
+      .withColumn("score", col("__s.score"))
+      .withColumn("keep", col("score") > tau)
+      .drop("__s")
+  }
+
   /** Streaming volume-anomaly gate — the serving face of
     * `events_anomaly`: per-window counts flagged against a TRAINED
     * (μ, σ) riding as literals (the bloomWords discipline — moments

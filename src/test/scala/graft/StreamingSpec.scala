@@ -444,6 +444,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists { case (3L, 0L, None, false) => true; case _ => false })
   }
 
+  test("nb gate is stateless: streaming equals batch AND the declarative classifier") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // train on a separable seed (the nbClassifier fixture), serve the gate
+    val seed = Seq(
+      (1L, "aa bb aa", 1), (2L, "aa aa bb bb", 1),
+      (3L, "cc dd cc", 0), (4L, "cc dd dd dd", 0)).toDF("doc_id", "text", "y")
+    val (vocab, prior) = graft.llmops.Pipeline.nbModel(seed, "text", $"y" === 1, 4)
+    val rows = Seq(
+      Doc(new java.sql.Timestamp(0L), 10L, "aa bb"),   // positive-speak
+      Doc(new java.sql.Timestamp(0L), 11L, "cc dd dd"), // negative-speak
+      Doc(new java.sql.Timestamp(0L), 12L, ""),         // prior-only
+      Doc(new java.sql.Timestamp(0L), 13L, "zz zz"))    // all-OOV
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      EventsStream.nbGate(df, vocab, prior, "text")
+    val mem = MemoryStream[Doc]
+    val q = gate(mem.toDF()).writeStream.format("memory").queryName("ngate")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    def shape(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_scored"),
+        r.getAs[Double]("score"), r.getAs[Boolean]("keep"))
+    val streamed = spark.table("ngate").collect().map(shape(_)).toSet
+    val batch = gate(rows.toDF()).collect().map(shape(_)).toSet
+    assert(streamed == batch)
+    assert(streamed.collect { case (id, _, _, true) => id } == Set(10L))
+    // prior-only rows: zero scored tokens, score = round(prior, 4)
+    val p4 = math.rint(prior * 1e4) / 1e4
+    assert(streamed.exists { case (12L, 0L, s, _) => s == p4; case _ => false })
+    assert(streamed.exists { case (13L, 0L, s, _) => s == p4; case _ => false })
+    // kernel scores agree with the DECLARATIVE classifier on the seed
+    val kern = gate(seed.select($"doc_id", $"text",
+        lit(new java.sql.Timestamp(0L)).as("ts")))
+      .select($"doc_id", $"n_scored", $"score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val decl = graft.llmops.Pipeline.nbClassifier(seed, "doc_id", "text", $"y" === 1, 4)
+      .select($"doc_id", $"n_scored", $"score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(kern == decl)
+  }
+
   test("session windows merge events within the gap (streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
