@@ -61,6 +61,7 @@ object Bench {
     "text_pmi_top",
     "text_bm25",
     "sim_knn_label",
+    "sim_hard_negatives",
     "sim_cross_join",
     "dedup_spans_scrub",
     "pipeline_decontaminate",

@@ -384,6 +384,12 @@ object PlanAudit {
     Check("sim_knn_label", "queries broadcast onto one corpus scan",
       "BroadcastNestedLoopJoin"),
     Check("sim_knn_label", "native dot kernel scores the neighbors", "graft_dot"),
+    // hard negatives: same posture — broadcast queries, one scan,
+    // compiled dot kernel
+    Check("sim_hard_negatives", "queries broadcast onto one corpus scan",
+      "BroadcastNestedLoopJoin"),
+    Check("sim_hard_negatives", "native dot kernel scores the candidates",
+      "graft_dot"),
     // cross-corpus LSH join: candidates must be a bucket EQUI-join
     // (never a cartesian/NLJ between two corpus-scale sides), with the
     // per-bucket cap pruning the right side before the join

@@ -107,6 +107,34 @@ object Similarity {
       .select(col("qid"), col("lbl").as("pred"), col("votes"))
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * query vector, the `k` MOST similar vectors carrying a DIFFERENT
+    * label (the negatives a metric-learning loss learns the most
+    * from; easy random negatives saturate early). Same scale posture
+    * as [[bruteForceTopK]]: queries broadcast, ONE corpus scan, the
+    * label inequality folded into the scan-side filter (so the
+    * per-query window ranks only cross-label rows — never the whole
+    * corpus when labels are balanced); swap the candidate stage for
+    * the IVF/LSH path when the query set grows. Ties: cos desc, id
+    * asc. Returns (qid, qlbl, nn, lbl, cos 6dp, rank ≤ k). */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queryIds: Seq[Long], k: Int): DataFrame = {
+    val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"),
+        col(labelCol).as("lbl"))
+      .withColumn("nv", norm(col("v")))
+    val q = v.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), col("lbl").as("qlbl"),
+        col("v").as("qv"), col("nv").as("qn"))
+    val scored = v.join(broadcast(q), col("lbl") =!= col("qlbl"))
+      .select(col("qid"), col("qlbl"), col(idCol).as("nn"), col("lbl"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nv"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nn").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("qlbl"), col("nn"), col("lbl"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector
     * codes = round(x·127 / max|x|) ∈ [-127, 127], stored as
     * `array<tinyint>` — 4× smaller than float32 (8× than the double

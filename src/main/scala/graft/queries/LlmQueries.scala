@@ -1067,6 +1067,22 @@ object LlmQueries {
           (PARTITION BY qid ORDER BY votes DESC, lbl ASC) AS vr FROM votes)
         SELECT qid, lbl AS pred, votes FROM p WHERE vr = 1""")),
 
+    // ✚ hard-negative mining (round 12): per query, the 10 most
+    // similar CROSS-label vectors — the contrastive-training negative
+    // sampler; label filter on the scan side, per-query rank window.
+    Q("sim_hard_negatives",
+      (s, d) => Similarity.hardNegatives(t(s, d, "embeddings"), "vec_id",
+        "embedding", "label", Seq(0L, 1L, 2L, 3L, 4L), 10),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        q AS (SELECT vec_id AS qid, label AS qlbl, v AS qv FROM v WHERE vec_id IN (0,1,2,3,4)),
+        s AS (SELECT qid, qlbl, vec_id AS nn, label AS lbl,
+          list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+          FROM v, q WHERE label <> qlbl),
+        r AS (SELECT qid, qlbl, nn, lbl, cos, CAST(row_number() OVER
+          (PARTITION BY qid ORDER BY cos DESC, nn) AS INTEGER) AS rank FROM s)
+        SELECT qid, qlbl, nn, lbl, round(cos, 6) AS cos, rank
+        FROM r WHERE rank <= 10""")),
+
     // ✚ vector hygiene (round 12): dim / L2 norm / zero / NaN-Inf per
     // vector — the admission check before any ANN structure; map-only
     Q("sim_vector_hygiene",

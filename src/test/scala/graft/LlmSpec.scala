@@ -1885,6 +1885,29 @@ class LlmSpec extends SparkSpec {
     assert(r4.getInt(1) == 1 && r4.getLong(2) == 2L, r4.toString)
   }
 
+  test("hardNegatives: nearest cross-label only; same-label neighbors never appear") {
+    // label 1 hugs +x, label 2 hugs +y; query 0 is label 1 near +x.
+    // Its same-label twins (10, 11) are closest absolutely but must be
+    // excluded; the hard negatives are the label-2 points by cosine.
+    val corpus = Seq(
+      (0L, Seq(0.9, 0.05), 1),
+      (10L, Seq(1.0, 0.0), 1), (11L, Seq(0.99, 0.1), 1),
+      (13L, Seq(0.0, 1.0), 2), (14L, Seq(0.1, 0.99), 2),
+      (15L, Seq(0.5, 0.5), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(corpus, "vec_id", "embedding", "label",
+      Seq(0L), 2).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getInt(3), x.getInt(5)))
+    // rank 1: 15 (45° — most similar cross-label), rank 2: 14, never 10/11
+    assert(r.toSeq.sortBy(_._5) ==
+      Seq((0L, 1, 15L, 2, 1), (0L, 1, 14L, 2, 2)), r.toSeq.toString)
+    // a query whose label covers the whole corpus yields no negatives
+    val solo = Seq((0L, Seq(1.0, 0.0), 1), (1L, Seq(0.0, 1.0), 1))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.hardNegatives(solo, "vec_id", "embedding", "label",
+      Seq(0L), 3).count() == 0L)
+  }
+
   test("corpusCard: cross-source dup rate, language majority, exact ratios") {
     // planted corpus: srcA's second doc duplicates srcB's only doc
     // (case-normalized fingerprint) — CROSS-source duplication must
