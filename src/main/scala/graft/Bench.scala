@@ -120,6 +120,8 @@ object Bench {
     "graph_triangles_top",
     "graph_clustering_top",
     "graph_transitivity",
+    "graph_assortativity",
+    "text_fertility",
     "multimodal_meta",
     "multimodal_frames",
     "multimodal_resize",

@@ -227,6 +227,8 @@ object PlanAudit {
       "array_intersect"),
     Check("graph_transitivity", "integer partial aggregates, no window",
       "!Window"),
+    Check("graph_assortativity", "degree joins are equi-joins, no window",
+      "!Window"),
     // LM scoring: the capped model must BIND BROADCAST onto the corpus
     // scan (a shuffled model join would re-partition the corpus by
     // bigram text — the exact thing the config-sized cap exists to

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Triangle counting over an undirected edge list — the clustering /
@@ -155,6 +155,37 @@ object Triangles {
         when(col("n_wedges") === 0, lit(0.0)).otherwise(round(
           col("n_triangles").cast("double") * 3.0 / col("n_wedges").cast("double"), 6))
           .as("transitivity"))
+  }
+
+  /** Degree ASSORTATIVITY (Newman's r): the Pearson correlation of
+    * endpoint degrees over the symmetrized edge ends — do hubs attach
+    * to hubs (r > 0, social graphs) or to leaves (r < 0, hub-and-spoke
+    * topologies)? The symmetrized sums collapse to ONE pass over the
+    * edge list (Σx = Σ(dₐ+d_b), Σx² = Σ(dₐ²+d_b²), Σxy = Σ2dₐd_b — no
+    * doubled union), all EXACT integer aggregates divided once at the
+    * end (the [[graft.operators.Profile.correlations]] discipline,
+    * including the nullif pin: a degree-regular graph zeroes the
+    * variance and the engines disagree on 0-division). Degrees join
+    * onto the edges as two node-keyed equi-joins — edge-sized shuffle,
+    * AQE-splittable. Like correlations, callers must keep Σd² · M
+    * inside a long (rescale/cap first at extreme scale). Returns one
+    * row (m = directed end count, r). */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint(true)
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val s = e
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), Seq("b"))
+      .agg((count(lit(1)) * 2).as("m"),
+        sum(col("da") + col("db")).as("sx"),
+        sum(col("da") * col("da") + col("db") * col("db")).as("qx"),
+        sum(col("da") * col("db") * 2).as("p"))
+    def d(c: Column) = c.cast("double")
+    s.select(col("m"),
+      round((d(col("m")) * d(col("p")) - d(col("sx")) * d(col("sx"))) /
+        nullif(d(col("m")) * d(col("qx")) - d(col("sx")) * d(col("sx")),
+          lit(0.0)), 6).as("r"))
   }
 
   /** Per-vertex triangle participation (top-k by count, ties → id): the

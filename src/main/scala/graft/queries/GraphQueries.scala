@@ -483,6 +483,32 @@ object GraphQueries {
         SELECT t.n_triangles, w.n_wedges,
           CASE WHEN w.n_wedges = 0 THEN 0.0
             ELSE ROUND(t.n_triangles * 3.0 / w.n_wedges, 6) END AS transitivity
-        FROM t, w"""))
+        FROM t, w""")),
+
+    // ✚ degree assortativity (Newman's r): do hubs attach to hubs?
+    // Symmetrized endpoint-degree sums in ONE edge pass, exact
+    // integers divided once, nullif pin for the degree-regular case.
+    Q("graph_assortativity",
+      (s, d) => graft.operators.Triangles.degreeAssortativity(
+        graft.operators.Triangles.cooccurrenceEdges(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50)),
+      Some("""WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        ok AS (SELECT g FROM m GROUP BY g HAVING count(*) <= 50),
+        mm AS (SELECT m.g, m.i FROM m JOIN ok USING (g)),
+        e AS (SELECT DISTINCT x.i AS a, y.i AS b
+          FROM mm x JOIN mm y ON x.g = y.g AND x.i < y.i),
+        deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg
+          FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) u GROUP BY n),
+        s AS (SELECT CAST(count(*) * 2 AS BIGINT) AS m,
+            CAST(SUM(da.deg + db.deg) AS BIGINT) AS sx,
+            CAST(SUM(da.deg * da.deg + db.deg * db.deg) AS BIGINT) AS qx,
+            CAST(SUM(da.deg * db.deg * 2) AS BIGINT) AS p
+          FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b)
+        SELECT m, ROUND(
+          (CAST(m AS DOUBLE) * CAST(p AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          / NULLIF(CAST(m AS DOUBLE) * CAST(qx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6) AS r
+        FROM s"""))
   )
 }

@@ -2237,6 +2237,54 @@ object LlmQueries {
         FROM words wo JOIN counts c USING (w) GROUP BY wo.doc_id"""
       }),
 
+    // ✚ tokenizer fertility report (round 12): chars-per-subword-token
+    // by (lang, source) — the per-language tokenizer-cost diagnostic a
+    // vocab owner tracks (high fertility = the vocab underserves that
+    // slice). Integer char and subword sums divided ONCE (the data-card
+    // ratio discipline); the oracle replays the greedy automaton over
+    // DISTINCT words and aggregates the same integers.
+    Q("text_fertility",
+      (s, d) => t(s, d, "documents").select(col("lang"), col("source"),
+          TextOps.subwordCount(col("text")).cast("long").as("nsw"),
+          aggregate(transform(TextOps.tokens(lower(col("text"))),
+            w => length(w).cast("long")), lit(0L), (a, x) => a + x).as("nch"))
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(col("nch")).as("n_chars"), sum(col("nsw")).as("n_subwords"))
+        .select(col("lang"), col("source"), col("n_chars"), col("n_subwords"),
+          when(col("n_subwords") === 0, lit(0.0))
+            .otherwise(round(col("n_chars").cast("double") / col("n_subwords"), 6))
+            .as("fertility")),
+      Some {
+        val vals = TextOps.SubwordVocab.map(v => s"('$v')").mkString(",")
+        s"""WITH RECURSIVE
+        words AS (
+          SELECT doc_id, w, count(*) AS mult FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents) t
+          GROUP BY doc_id, w),
+        dw AS (SELECT DISTINCT w FROM words),
+        step(w, pos, cnt) AS (
+          SELECT w, 1, 0 FROM dw
+          UNION ALL
+          SELECT w,
+            pos + coalesce((SELECT max(length(v)) FROM (VALUES $vals) vocab(v)
+                            WHERE substr(w, pos, length(v)) = v), 1),
+            cnt + 1
+          FROM step WHERE pos <= length(w)),
+        counts AS (SELECT w, max(cnt) AS n FROM step GROUP BY w),
+        perdoc AS (SELECT wo.doc_id,
+            CAST(sum(wo.mult * c.n) AS BIGINT) AS nsw,
+            CAST(sum(wo.mult * length(wo.w)) AS BIGINT) AS nch
+          FROM words wo JOIN counts c USING (w) GROUP BY wo.doc_id)
+        SELECT d.lang, d.source,
+          CAST(sum(p.nch) AS BIGINT) AS n_chars,
+          CAST(sum(p.nsw) AS BIGINT) AS n_subwords,
+          CASE WHEN sum(p.nsw) = 0 THEN 0.0
+            ELSE ROUND(CAST(sum(p.nch) AS DOUBLE) / sum(p.nsw), 6) END AS fertility
+        FROM documents d JOIN perdoc p USING (doc_id)
+        GROUP BY d.lang, d.source"""
+      }),
+
     // multimodal frame-sampling over REAL decodes: image rows (PNG/PPM
     // via ImageCodec) decimate pixels stride-4 and audio rows (WAV via
     // AudioCodec) keep every 4th PCM sample — the oracle recomputes

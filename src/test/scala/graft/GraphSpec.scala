@@ -330,6 +330,23 @@ class GraphSpec extends SparkSpec {
     assert((tr0.getLong(0), tr0.getLong(1), tr0.getDouble(2)) == ((0L, 0L, 0.0)))
   }
 
+  test("degreeAssortativity: star is -1, regular graph pins NULL, bowtie negative") {
+    import spark.implicits._
+    import graft.operators.Triangles
+    // a star is the canonical disassortative graph: r = -1 exactly
+    val star = (2L to 6L).map(i => (1L, i)).toDF("a", "b")
+    val rs = Triangles.degreeAssortativity(star).head()
+    assert(rs.getLong(0) == 10L && rs.getDouble(1) == -1.0)
+    // K4 is 3-regular: zero degree variance → NULL (the nullif pin,
+    // never an engine-dependent inf)
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)).toDF("a", "b")
+    assert(Triangles.degreeAssortativity(k4).head().isNullAt(1))
+    // bowtie + pendant: hubs (deg 3, 4) bond to leaves → negative
+    val bow = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (3L, 5L),
+      (4L, 5L), (1L, 6L)).toDF("a", "b")
+    assert(Triangles.degreeAssortativity(bow).head().getDouble(1) < 0.0)
+  }
+
   test("kCore / coreness: planted cores, cascade peel, star hub stays core-1") {
     import spark.implicits._
     import graft.operators.KCore
