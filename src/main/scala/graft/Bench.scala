@@ -84,6 +84,7 @@ object Bench {
     "events_enrich",
     "events_transitions",
     "events_trending",
+    "events_attribution",
     "graph_degree_hist",
     "asof_events_salted",
     "range_join_events",

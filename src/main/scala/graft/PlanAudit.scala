@@ -74,6 +74,14 @@ object PlanAudit {
     // AsOfSpec); the range join and MATCH variants must plan as real
     // equi-joins; decontamination is a single left-semi probe
     Check("asof_events", "as-of carries payload in one window pass", "Window"),
+    // attribution: ONE range-framed user window — no join between the
+    // touch and conversion sides anywhere in the plan
+    Check("events_attribution", "attribution is one range-framed window pass",
+      "Window"),
+    Check("events_attribution", "no touch-conversion join",
+      "!SortMergeJoin"),
+    Check("events_attribution", "no broadcast join either",
+      "!BroadcastHashJoin"),
     Check("range_join_events", "band join is an equi-join",
       "BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin"),
     Check("pipeline_decontaminate", "decontamination is one left-semi probe", "LeftSemi"),

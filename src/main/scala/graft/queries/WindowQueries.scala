@@ -79,6 +79,36 @@ object WindowQueries {
         FROM u1 LEFT JOIN u2 ON u1.user_id = u2.user_id
           LEFT JOIN u3 ON u1.user_id = u3.user_id""")),
 
+    // ✚ touch attribution (round 12): every purchase credits its
+    // last- and first-touch view/click within a 1-day lookback — ONE
+    // range-framed user window over exact integer microseconds (no
+    // join, no second pass); struct-order tie-breaks mirrored verbatim
+    // by the oracle's ORDER BY.
+    Q("events_attribution",
+      (s, d) => graft.operators.Attribution.attribute(events(s, d),
+        "user_id", "ts", "event_id",
+        col("event_type").isin("view", "click"),
+        col("event_type") === "purchase", 86400000000L),
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+          event_type FROM events),
+        t AS (SELECT * FROM e WHERE event_type IN ('view', 'click')),
+        c AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        cand AS (SELECT c.event_id AS cid, t.event_type AS ty,
+            t.us AS tus, t.event_id AS tid
+          FROM c JOIN t ON t.user_id = c.user_id
+            AND t.us BETWEEN c.us - 86400000000 AND c.us),
+        lastp AS (SELECT cid, ty, tus, row_number() OVER (PARTITION BY cid
+          ORDER BY tus DESC, ty DESC, tid DESC) AS rn FROM cand),
+        firstp AS (SELECT cid, ty, tus, row_number() OVER (PARTITION BY cid
+          ORDER BY tus ASC, ty ASC, tid ASC) AS rn FROM cand)
+        SELECT c.event_id, c.user_id, c.us AS conv_us,
+          l.ty AS last_type, l.tus AS last_us, c.us - l.tus AS last_age_us,
+          f.ty AS first_type, f.tus AS first_us, c.us - f.tus AS first_age_us,
+          l.ty IS NOT NULL AS attributed
+        FROM c
+          LEFT JOIN lastp l ON l.cid = c.event_id AND l.rn = 1
+          LEFT JOIN firstp f ON f.cid = c.event_id AND f.rn = 1""")),
+
     // ✚ event-type transition matrix: per-user (prev → next) counts in
     // (ts, id) order — the Markov-chain summary of behavioral data
     // (what follows what); one user-partitioned lag window + one

@@ -185,4 +185,32 @@ class AsOfSpec extends SparkSpec {
       (d0, 0L) -> 1L, (d0, 1L) -> 1L, (d0, 3L) -> 1L,        // user 1
       (d0 + 1, 0L) -> 1L, (d0 + 1, 2L) -> 1L), r.toString)   // user 2
   }
+
+  test("attribution: last vs first touch, lookback bound exact, equal-ts inclusive") {
+    import graft.operators.Attribution
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000) // whole-ms fixtures
+    // user 1: view@1s, click@5s, purchase@10s → last=click, first=view;
+    // user 2: view@0s, purchase@100s with lookback 50s → unattributed;
+    // user 3: touch at EXACTLY conv ts (inclusive) and a stale one
+    val ev = Seq(
+      (1L, 1L, ts(1000000L), "view"), (2L, 1L, ts(5000000L), "click"),
+      (3L, 1L, ts(10000000L), "purchase"),
+      (4L, 2L, ts(0L), "view"), (5L, 2L, ts(100000000L), "purchase"),
+      (6L, 3L, ts(7000000L), "click"), (7L, 3L, ts(7000000L), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Attribution.attribute(ev, "user_id", "ts", "event_id",
+        col("event_type").isin("view", "click"),
+        col("event_type") === "purchase", 50000000L)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(3)), Option(r.get(6)), r.getBoolean(9)))).toMap
+    assert(out(3L) == ((Some("click"), Some("view"), true)))
+    assert(out(5L) == ((None, None, false)))
+    assert(out(7L) == ((Some("click"), Some("click"), true)))
+    // ages are exact integer microseconds
+    val ages = Attribution.attribute(ev, "user_id", "ts", "event_id",
+        col("event_type").isin("view", "click"),
+        col("event_type") === "purchase", 50000000L)
+      .filter(col("event_id") === 3L).head()
+    assert(ages.getLong(5) == 5000000L && ages.getLong(8) == 9000000L)
+  }
 }
