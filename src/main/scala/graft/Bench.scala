@@ -56,6 +56,7 @@ object Bench {
     "pipeline_shuffle",
     "pipeline_budget_select",
     "pipeline_source_cap",
+    "pipeline_sample_weighted",
     "pipeline_decon_report",
     "text_tfidf_top",
     "text_pmi_top",

@@ -256,6 +256,11 @@ object PlanAudit {
     Check("pipeline_nb_classifier", "no shuffled join in the scoring plan",
       "!SortMergeJoin"),
     Check("pipeline_nb_classifier", "no window anywhere", "!Window"),
+    // weighted sample: map-only key pass + TakeOrdered — no shuffle
+    // beyond the top-n reduction, no window
+    Check("pipeline_sample_weighted", "top-n without total sort",
+      "TakeOrderedAndProject"),
+    Check("pipeline_sample_weighted", "no window anywhere", "!Window"),
     // bucketing serves from the compiled LM kernel (train once,
     // collect the config-sized model, score map-only — round 11): the
     // whole scoring plan is join-free; only the 1-row threshold bind

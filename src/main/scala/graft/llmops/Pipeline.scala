@@ -89,6 +89,32 @@ object Pipeline {
       .filter(col("pct") < col("rate"))
   }
 
+  /** Weighted sampling WITHOUT replacement — the A-ES exponential race
+    * (Efraimidis–Spirakis): each row draws a deterministic uniform
+    * u ∈ (0,1) from its salted md5 and competes with key = ln(u)/w;
+    * the n LARGEST keys are exactly a weight-proportional
+    * without-replacement sample (a heavy row's key concentrates near
+    * 0⁻, a light row's dives). The canonical use is token-mass- or
+    * quality-score-proportional corpus subsampling where Bernoulli
+    * rates can't hit an exact n.
+    *
+    * Scale: map-only key pass + TakeOrdered — no shuffle beyond the
+    * top-n reduction, rerun-stable under the salt (the samplePct
+    * determinism contract). Keys are ROUND(·, 12) so the oracle ranks
+    * the identical doubles (ln last-ulp discipline); ties break by id.
+    * Non-positive weights are excluded (they cannot race). Returns
+    * (id, weight, key) — the n winners. */
+  def weightedSample(docs: DataFrame, idCol: String, weight: Column,
+      n: Int, salt: String): DataFrame = {
+    require(n >= 1, "sample size must be positive")
+    val u = (TextOps.md5Hash32(concat(lit(salt), col(idCol).cast("string")))
+      + 0.5) / 4294967296.0
+    docs.select(col(idCol), weight.cast("double").as("weight"))
+      .filter(col("weight") > 0)
+      .withColumn("key", round(log(u) / col("weight"), 12))
+      .orderBy(col("key").desc, col(idCol).asc).limit(n)
+  }
+
   /** Documents per prefix-sum block in the packers below. 2^16 ids per
     * block keeps the block-total table metadata-sized (a 100 B-doc
     * corpus yields ~1.5 M block rows — broadcastable) while bounding

@@ -1465,6 +1465,19 @@ object LlmQueries {
         WHERE ${sqlMd5Hash32("'graft_mix_' || CAST(doc_id AS VARCHAR)")} % 100
           < CASE WHEN lang = 'en' THEN 60 ELSE 20 END""")),
 
+    // ✚ weighted sampling (round 12): A-ES exponential race — the n=64
+    // largest ln(u)/w keys are an exact length-proportional
+    // without-replacement sample; map-only + TakeOrdered.
+    Q("pipeline_sample_weighted",
+      (s, d) => Pipeline.weightedSample(t(s, d, "documents"), "doc_id",
+        col("n_chars"), 64, "graft_ws_"),
+      Some(s"""WITH k AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+          ROUND(ln((${sqlMd5Hash32("'graft_ws_' || CAST(doc_id AS VARCHAR)")}
+            + 0.5) / 4294967296.0) / CAST(n_chars AS DOUBLE), 12) AS key
+          FROM documents WHERE n_chars > 0)
+        SELECT doc_id, weight, key FROM k
+        ORDER BY key DESC, doc_id ASC LIMIT 64""")),
+
     // ✚ per-source frequency cap (Pipeline.sourceCap): the
     // Common-Crawl domain cap — keep ≤10 docs per source by salted-md5
     // rank. The Spark side runs the TWO-LEVEL blocked top-k (blockDocs

@@ -1885,6 +1885,34 @@ class LlmSpec extends SparkSpec {
     assert(r4.getInt(1) == 1 && r4.getLong(2) == 2L, r4.toString)
   }
 
+  test("weightedSample: exact A-ES race replay, weight dominance, salt freshness") {
+    val docs = (1L to 400L).map(i => (i, if (i == 7L) 100000L else 1L))
+      .toDF("doc_id", "w")
+    val got = Pipeline.weightedSample(docs, "doc_id", $"w", 10, "s1_")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length == 10)
+    // the 100000x-weight doc races with key ~ ln(u)/1e5 ≈ 0⁻ — it wins
+    assert(got.exists(_._1 == 7L))
+    // exact driver-side replay of the race (same md5, same rounding)
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val ref = (1L to 400L).map { i =>
+      val w = if (i == 7L) 100000.0 else 1.0
+      val u = (h32(s"s1_$i") + 0.5) / 4294967296.0
+      (i, w, math.rint(math.log(u) / w * 1e12) / 1e12)
+    }.sortBy { case (id, _, k) => (-k, id) }.take(10)
+    assert(got.sortBy(x => (-x._3, x._1)).toSeq == ref)
+    // a different salt redraws the race (zero-weight rows never appear)
+    val other = Pipeline.weightedSample(docs.withColumn("w",
+        when($"doc_id" === 3L, 0L).otherwise($"w")), "doc_id", $"w", 10, "s2_")
+      .collect().map(_.getLong(0)).toSet
+    assert(!other.contains(3L))
+    assert(other != got.map(_._1).toSet)
+  }
+
   test("hardNegatives: nearest cross-label only; same-label neighbors never appear") {
     // label 1 hugs +x, label 2 hugs +y; query 0 is label 1 near +x.
     // Its same-label twins (10, 11) are closest absolutely but must be
