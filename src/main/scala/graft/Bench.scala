@@ -57,6 +57,7 @@ object Bench {
     "pipeline_budget_select",
     "pipeline_source_cap",
     "pipeline_sample_weighted",
+    "pipeline_drift",
     "pipeline_decon_report",
     "text_tfidf_top",
     "text_pmi_top",

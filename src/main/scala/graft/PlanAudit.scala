@@ -261,6 +261,14 @@ object PlanAudit {
     Check("pipeline_sample_weighted", "top-n without total sort",
       "TakeOrderedAndProject"),
     Check("pipeline_sample_weighted", "no window anywhere", "!Window"),
+    // KS drift: bucket counts are partial aggregates; the cumulative
+    // window runs over the config-sized bucket lattice only (bounded
+    // by construction), and the max is a 1-row TakeOrdered
+    Check("pipeline_drift", "bucket counts map-side combine", "HashAggregate"),
+    // the argmax sort runs over the config-sized bucket lattice only
+    // (post-aggregate), so CollectLimit-over-Sort is the bounded shape
+    Check("pipeline_drift", "argmax is a limit-1 over the bucket lattice",
+      "CollectLimit"),
     // bucketing serves from the compiled LM kernel (train once,
     // collect the config-sized model, score map-only — round 11): the
     // whole scoring plan is join-free; only the 1-row threshold bind

@@ -115,6 +115,54 @@ object Pipeline {
       .orderBy(col("key").desc, col(idCol).asc).limit(n)
   }
 
+  /** Two-sample distribution DRIFT over fixed buckets — the
+    * Kolmogorov–Smirnov statistic between two corpus slices (snapshot
+    * vs snapshot, source vs source) on a numeric column: did the
+    * length/score/quality distribution MOVE? The detector a refresh
+    * pipeline alarms on before retraining.
+    *
+    * Exactness discipline: bucket on FIXED edges (lo + i·width,
+    * config-sized by construction), count per bucket map-side, then
+    * compare cumulative masses as INTEGERS — the max of
+    * |cumA·N_B − cumB·N_A| — and divide by N_A·N_B ONCE at the end
+    * (an a_i/N_A − b_i/N_B float subtract per bucket would reintroduce
+    * summation-order noise; this never leaves ℤ until the last op).
+    * The cumulative window runs over ≤ nBuckets+2 rows (out-of-range
+    * values clamp to the edge buckets), the trending boundedness
+    * argument. Like correlations: keep cum·N inside a long (rescale
+    * at extreme scale). Returns one row
+    * (n_a, n_b, ks_bucket, ks = round 6dp, drifted). */
+  def distributionDrift(a: DataFrame, b: DataFrame, value: Column,
+      lo: Long, width: Long, nBuckets: Int, tau: Double): DataFrame = {
+    require(nBuckets >= 1 && width >= 1, "need a positive bucket lattice")
+    // INTEGER bucket lattice (lo + i·width): no float boundary can
+    // disagree with the oracle's; out-of-range values clamp to the
+    // edge buckets
+    def bucketed(df: DataFrame) = df.select(
+        least(lit(nBuckets - 1), greatest(lit(0),
+          floor((value.cast("long") - lo) / width).cast("int"))).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val ab = bucketed(a).withColumnRenamed("n", "na")
+      .join(bucketed(b).withColumnRenamed("n", "nb"), Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0) // ≤ nBuckets rows total
+    val cum = ab
+      .withColumn("ca", sum(col("na")).over(w))
+      .withColumn("cb", sum(col("nb")).over(w))
+    val tot = cum.agg(max(col("ca")).as("n_a"), max(col("cb")).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        abs(col("ca") * col("n_b") - col("cb") * col("n_a")).as("num"))
+      .orderBy(col("num").desc, col("bucket").asc).limit(1)
+      .select(col("n_a"), col("n_b"), col("bucket").as("ks_bucket"),
+        when(col("n_a") === 0 || col("n_b") === 0, lit(0.0))
+          .otherwise(round(col("num").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")), 6)).as("ks"))
+      .withColumn("drifted", col("ks") > tau)
+  }
+
   /** Documents per prefix-sum block in the packers below. 2^16 ids per
     * block keeps the block-total table metadata-sized (a 100 B-doc
     * corpus yields ~1.5 M block rows — broadcastable) while bounding

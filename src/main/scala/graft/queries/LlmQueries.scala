@@ -1465,6 +1465,46 @@ object LlmQueries {
         WHERE ${sqlMd5Hash32("'graft_mix_' || CAST(doc_id AS VARCHAR)")} % 100
           < CASE WHEN lang = 'en' THEN 60 ELSE 20 END""")),
 
+    // ✚ distribution drift (round 12): two-sample KS on an integer
+    // bucket lattice — cumulative masses compared as |cumA·N_B −
+    // cumB·N_A| integers, ONE division at the end; src0-vs-src1 doc
+    // lengths.
+    Q("pipeline_drift",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Pipeline.distributionDrift(docs.filter(col("source") === "src0"),
+          docs.filter(col("source") === "src1"), col("n_chars"),
+          0L, 32L, 20, 0.1)
+      },
+      Some("""WITH ba AS (SELECT LEAST(19, GREATEST(0,
+            CAST(FLOOR((CAST(n_chars AS BIGINT) - 0) / 32) AS INTEGER))) AS bucket,
+            CAST(count(*) AS BIGINT) AS na
+          FROM documents WHERE source = 'src0' GROUP BY 1),
+        bb AS (SELECT LEAST(19, GREATEST(0,
+            CAST(FLOOR((CAST(n_chars AS BIGINT) - 0) / 32) AS INTEGER))) AS bucket,
+            CAST(count(*) AS BIGINT) AS nb
+          FROM documents WHERE source = 'src1' GROUP BY 1),
+        ab AS (SELECT COALESCE(ba.bucket, bb.bucket) AS bucket,
+            COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+          FROM ba FULL OUTER JOIN bb ON ba.bucket = bb.bucket),
+        cum AS (SELECT bucket,
+            SUM(na) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS ca,
+            SUM(nb) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cb
+          FROM ab),
+        tot AS (SELECT CAST(MAX(ca) AS BIGINT) AS n_a,
+            CAST(MAX(cb) AS BIGINT) AS n_b FROM cum),
+        num AS (SELECT bucket, CAST(ABS(ca * n_b - cb * n_a) AS BIGINT) AS num,
+            n_a, n_b FROM cum, tot
+          ORDER BY num DESC, bucket ASC LIMIT 1)
+        SELECT n_a, n_b, CAST(bucket AS INTEGER) AS ks_bucket,
+          CASE WHEN n_a = 0 OR n_b = 0 THEN 0.0
+            ELSE ROUND(CAST(num AS DOUBLE)
+              / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) END AS ks,
+          CASE WHEN n_a = 0 OR n_b = 0 THEN 0.0
+            ELSE ROUND(CAST(num AS DOUBLE)
+              / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) END > 0.1 AS drifted
+        FROM num""")),
+
     // ✚ weighted sampling (round 12): A-ES exponential race — the n=64
     // largest ln(u)/w keys are an exact length-proportional
     // without-replacement sample; map-only + TakeOrdered.

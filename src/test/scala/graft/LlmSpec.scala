@@ -1885,6 +1885,29 @@ class LlmSpec extends SparkSpec {
     assert(r4.getInt(1) == 1 && r4.getLong(2) == 2L, r4.toString)
   }
 
+  test("distributionDrift: planted shift detected, identical slices score 0, clamp") {
+    // A: 100 values at 10, 100 at 50; B: 100 at 10, 100 at 90 —
+    // with width 40, buckets 0/1/2: CDFs diverge by 100/200 = 0.5 at
+    // bucket 1
+    val a = ((1 to 100).map(_ => 10L) ++ (1 to 100).map(_ => 50L)).toDF("v")
+    val bshift = ((1 to 100).map(_ => 10L) ++ (1 to 100).map(_ => 90L)).toDF("v")
+    val r = Pipeline.distributionDrift(a, bshift, $"v", 0L, 40L, 3, 0.1).head()
+    assert((r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+      r.getBoolean(4)) == ((200L, 200L, 1, 0.5, true)))
+    // identical slices: ks exactly 0, no drift
+    val same = Pipeline.distributionDrift(a, a, $"v", 0L, 40L, 3, 0.1).head()
+    assert(same.getDouble(3) == 0.0 && !same.getBoolean(4))
+    // out-of-range values clamp to edge buckets rather than vanishing
+    val wild = Seq(-100L, 1000L).toDF("v")
+    val c = Pipeline.distributionDrift(wild, wild, $"v", 0L, 40L, 3, 0.1).head()
+    assert(c.getLong(0) == 2L && c.getDouble(3) == 0.0)
+    // unequal sizes, same shape: integer cross-products keep ks at 0
+    val half = (1 to 50).map(_ => 10L).toDF("v")
+    val full = (1 to 100).map(_ => 10L).toDF("v")
+    assert(Pipeline.distributionDrift(half, full, $"v", 0L, 40L, 3, 0.1)
+      .head().getDouble(3) == 0.0)
+  }
+
   test("weightedSample: exact A-ES race replay, weight dominance, salt freshness") {
     val docs = (1L to 400L).map(i => (i, if (i == 7L) 100000L else 1L))
       .toDF("doc_id", "w")
