@@ -124,6 +124,7 @@ object Bench {
     "graph_clustering_top",
     "graph_transitivity",
     "graph_assortativity",
+    "graph_assoc_rules",
     "text_fertility",
     "multimodal_meta",
     "multimodal_frames",

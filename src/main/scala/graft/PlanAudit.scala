@@ -237,6 +237,9 @@ object PlanAudit {
       "!Window"),
     Check("graph_assortativity", "degree joins are equi-joins, no window",
       "!Window"),
+    Check("graph_assoc_rules", "rule top-k without total sort",
+      "TakeOrderedAndProject"),
+    Check("graph_assoc_rules", "no window anywhere", "!Window"),
     // LM scoring: the capped model must BIND BROADCAST onto the corpus
     // scan (a shuffled model join would re-partition the corpus by
     // bigram text — the exact thing the config-sized cap exists to

@@ -157,6 +157,52 @@ object Triangles {
           .as("transitivity"))
   }
 
+  /** Pairwise ASSOCIATION RULES over the membership table — the
+    * market-basket classic (support / confidence / lift for item
+    * pairs), mined on the SAME capped co-occurrence machinery as the
+    * triangle family: pair support comes from the per-group self-join
+    * (quadratic per basket, bounded by the group-size cap), item
+    * support from one membership aggregate, and the ratios are exact
+    * integer counts divided ONCE per output column. Both rule
+    * directions (a→b, b→a) emit from the one canonical pair row.
+    * Top-k by (lift, pair support, antecedent) — rounded before
+    * ranking so the cut is engine-stable. Returns
+    * (ante, cons, n_pair, n_ante, n_baskets, confidence, lift). */
+  def associationRules(membership: DataFrame, groupCol: String,
+      itemCol: String, maxGroupSize: Int, minSupport: Long, k: Int): DataFrame = {
+    require(minSupport >= 1 && k >= 1, "support floor and k must be positive")
+    val m0 = membership.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
+    val ok = m0.groupBy(col("g")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= maxGroupSize).select(col("g"))
+    // ONE capped universe for every count — pair, item, and basket
+    // totals all come from the same post-cap membership, so the ratios
+    // are internally consistent
+    val mm = m0.join(ok, Seq("g"), "left_semi")
+      .localCheckpoint(true) // feeds basket count, item support, pair join
+    val nB = mm.agg(countDistinct(col("g")).as("n_baskets"))
+    val pairs = mm.as("x").join(mm.as("y"), Seq("g"))
+      .filter(col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("a"), col("y.i").as("b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minSupport)
+    val item = mm.groupBy(col("i")).agg(count(lit(1)).as("n_item"))
+    val both = pairs
+      .join(item.select(col("i").as("a"), col("n_item").as("na")), Seq("a"))
+      .join(item.select(col("i").as("b"), col("n_item").as("nb")), Seq("b"))
+      .crossJoin(broadcast(nB))
+    val fwd = both.select(col("a").as("ante"), col("b").as("cons"),
+      col("n_pair"), col("na").as("n_ante"), col("nb").as("n_cons"), col("n_baskets"))
+    val rev = both.select(col("b").as("ante"), col("a").as("cons"),
+      col("n_pair"), col("nb").as("n_ante"), col("na").as("n_cons"), col("n_baskets"))
+    fwd.unionByName(rev)
+      .select(col("ante"), col("cons"), col("n_pair"), col("n_ante"), col("n_baskets"),
+        round(col("n_pair").cast("double") / col("n_ante"), 6).as("confidence"),
+        round(col("n_pair").cast("double") * col("n_baskets") /
+          (col("n_ante").cast("double") * col("n_cons")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("n_pair").desc, col("ante").asc, col("cons").asc)
+      .limit(k)
+  }
+
   /** Degree ASSORTATIVITY (Newman's r): the Pearson correlation of
     * endpoint degrees over the symmetrized edge ends — do hubs attach
     * to hubs (r > 0, social graphs) or to leaves (r < 0, hub-and-spoke

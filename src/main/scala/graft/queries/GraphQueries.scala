@@ -485,6 +485,39 @@ object GraphQueries {
             ELSE ROUND(t.n_triangles * 3.0 / w.n_wedges, 6) END AS transitivity
         FROM t, w""")),
 
+    // ✚ pairwise association rules (round 12): support / confidence /
+    // lift over the capped basket universe, both rule directions,
+    // exact integer counts divided once; top-20 by rounded lift.
+    Q("graph_assoc_rules",
+      (s, d) => graft.operators.Triangles.associationRules(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50, 3, 20),
+      Some("""WITH m0 AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        ok AS (SELECT g FROM m0 GROUP BY g HAVING count(*) <= 50),
+        mm AS (SELECT m0.g, m0.i FROM m0 JOIN ok USING (g)),
+        nb AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n_baskets FROM mm),
+        pairs AS (SELECT x.i AS a, y.i AS b, CAST(count(*) AS BIGINT) AS n_pair
+          FROM mm x JOIN mm y ON x.g = y.g AND x.i < y.i
+          GROUP BY 1, 2 HAVING count(*) >= 3),
+        item AS (SELECT i, CAST(count(*) AS BIGINT) AS n_item FROM mm GROUP BY i),
+        bt AS (SELECT p.a, p.b, p.n_pair, ia.n_item AS na, ib.n_item AS nb2,
+            nb.n_baskets
+          FROM pairs p JOIN item ia ON ia.i = p.a
+            JOIN item ib ON ib.i = p.b, nb),
+        rules AS (
+          SELECT a AS ante, b AS cons, n_pair, na AS n_ante, n_baskets,
+            ROUND(CAST(n_pair AS DOUBLE) / na, 6) AS confidence,
+            ROUND(CAST(n_pair AS DOUBLE) * n_baskets
+              / (CAST(na AS DOUBLE) * nb2), 6) AS lift
+          FROM bt
+          UNION ALL
+          SELECT b, a, n_pair, nb2, n_baskets,
+            ROUND(CAST(n_pair AS DOUBLE) / nb2, 6),
+            ROUND(CAST(n_pair AS DOUBLE) * n_baskets
+              / (CAST(nb2 AS DOUBLE) * na), 6)
+          FROM bt)
+        SELECT * FROM rules
+        ORDER BY lift DESC, n_pair DESC, ante ASC, cons ASC LIMIT 20""")),
+
     // ✚ degree assortativity (Newman's r): do hubs attach to hubs?
     // Symmetrized endpoint-degree sums in ONE edge pass, exact
     // integers divided once, nullif pin for the degree-regular case.

@@ -378,6 +378,29 @@ class GraphSpec extends SparkSpec {
     assert(KCore.kCore(none, 1).columns.toSeq == Seq("n", "deg"))
   }
 
+  test("associationRules: exact support/confidence/lift, both directions, floor") {
+    import spark.implicits._
+    import graft.operators.Triangles
+    // baskets: {1,2,3}, {1,2}, {1,2}, {4,5} → pair (1,2) support 3,
+    // all other pairs support 1 (below the floor of 2)
+    val m = Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 2L), (13L, 4L), (13L, 5L)).toDF("g", "i")
+    val r = Triangles.associationRules(m, "g", "i", 50, 2, 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getDouble(5), x.getDouble(6)))
+    // both directions of (1,2): conf = 3/3 = 1.0 each (both items in 3
+    // baskets), lift = 3·4/(3·3) = 1.333333
+    assert(r.toSet == Set(
+      (1L, 2L, 3L, 3L, 4L, 1.0, 1.333333),
+      (2L, 1L, 3L, 3L, 4L, 1.0, 1.333333)), r.toSeq.toString)
+    // asymmetric confidence: {1,2},{1,2},{1} → conf(1→2)=2/3, conf(2→1)=1
+    val m2 = Seq((20L, 1L), (20L, 2L), (21L, 1L), (21L, 2L), (22L, 1L))
+      .toDF("g", "i")
+    val conf = Triangles.associationRules(m2, "g", "i", 50, 2, 10)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(5))).toMap
+    assert(conf == Map((1L, 2L) -> 0.666667, (2L, 1L) -> 1.0), conf.toString)
+  }
+
   test("cooccurrenceEdges: canonical distinct pairs; the group-size cap binds") {
     import spark.implicits._
     import graft.operators.Triangles
