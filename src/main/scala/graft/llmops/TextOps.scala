@@ -477,6 +477,23 @@ object TextOps {
           .otherwise(round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6)))
   }
 
+  /** Compression-ratio quality signal (the Gopher/MassiveText filter
+    * family): bytes / deflate(bytes) per document via the compiled
+    * [[graft.plans.DeflateSize]] kernel — low-entropy boilerplate and
+    * keyword stuffing compress far harder than natural prose. Map-only;
+    * `keep` gates docs whose ratio stays UNDER `maxRatio` (junk is the
+    * high side). Returns (id, n_bytes, n_deflated, ratio 6dp, keep). */
+  def compressionGate(docs: DataFrame, idCol: String, textCol: String,
+      maxRatio: Double): DataFrame = {
+    docs.select(col(idCol),
+        octet_length(col(textCol)).cast("long").as("n_bytes"),
+        graft.plans.DeflateSize(col(textCol)).cast("long").as("n_deflated"))
+      .withColumn("ratio",
+        when(col("n_deflated") === 0, lit(0.0))
+          .otherwise(round(col("n_bytes").cast("double") / col("n_deflated"), 6)))
+      .withColumn("keep", col("ratio") <= maxRatio)
+  }
+
   def cleanColumns(text: Column): Seq[Column] = {
     val scrubbed = regexp_replace(regexp_replace(text, UrlRe, " "), EmailRe, " ")
     val squashed = trim(regexp_replace(scrubbed, " +", " "))

@@ -1885,6 +1885,24 @@ class LlmSpec extends SparkSpec {
     assert(r4.getInt(1) == 1 && r4.getLong(2) == 2L, r4.toString)
   }
 
+  test("compressionGate: repetition compresses harder than prose, rerun-stable") {
+    val rep = ("spam ham " * 200).trim
+    val prose = (1 to 400).map(i => s"w${i * 2654435761L % 9973}").mkString(" ")
+    val docs = Seq((1L, rep), (2L, prose), (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.compressionGate(docs, "doc_id", "text", 4.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    // the repeated phrase compresses an order of magnitude harder
+    assert(out(1L)._3 > 10.0 && !out(1L)._4, out(1L).toString)
+    assert(out(2L)._3 < 4.0 && out(2L)._4, out(2L).toString)
+    // empty doc: deflate emits a few framing bytes; ratio 0, kept
+    assert(out(3L)._1 == 0L && out(3L)._3 <= 1.0)
+    // deterministic across reruns (thread-confined deflaters reset)
+    val again = TextOps.compressionGate(docs, "doc_id", "text", 4.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == out.map { case (k, v) => k -> v._2 })
+  }
+
   test("distributionDrift: planted shift detected, identical slices score 0, clamp") {
     // A: 100 values at 10, 100 at 50; B: 100 at 10, 100 at 90 —
     // with width 40, buckets 0/1/2: CDFs diverge by 100/200 = 0.5 at
