@@ -35,6 +35,17 @@ case class FunnelState(times: List[Long], pending: List[(Long, Long, Int)],
   * `stage` is 1-based, `ts_ms` its completion time. */
 case class FunnelAdvance(user_id: Long, stage: Int, ts_ms: Long)
 
+/** Per-user state for [[EventsStream.attributionStateful]]: the touch
+  * timeline as (ts ms, type, event_id) and the conversions still
+  * awaiting the watermark as (ts ms, event_id). */
+case class AttrState(touches: List[(Long, String, Long)],
+  pending: List[(Long, Long)])
+
+/** One attributed conversion from [[EventsStream.attributionStateful]]. */
+case class AttrOut(event_id: Long, user_id: Long, conv_ms: Long,
+  last_type: Option[String], last_ms: Option[Long],
+  first_type: Option[String], first_ms: Option[Long], attributed: Boolean)
+
 /** Typed doc row for [[EventsStream.quotaGate]]. */
 case class QuotaDoc(doc_id: Long, source: String)
 
@@ -625,6 +636,68 @@ object EventsStream {
     }
 
     events.filter(e => e.event_type == "view" || e.event_type == "purchase")
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** STATEFUL streaming attribution — the serving face of
+    * `events_attribution` ([[graft.operators.Attribution]]): each
+    * conversion credits its last- and first-touch view/click inside
+    * the lookback, under out-of-order arrival. The batch formulation
+    * is a range-framed window, which Structured Streaming cannot run;
+    * the streaming shape is the [[asofStateful]] discipline verbatim —
+    * conversions BUFFER until the watermark passes their event time
+    * (only then can no admissible touch still arrive), the strict
+    * `< wm` flush + wm+1 timeout clamp carry over unchanged (see
+    * asofStateful's boundary scaladoc), and emission is event-time
+    * order.
+    *
+    * State bound: touches with ts ≥ wm − lookback (any future
+    * conversion flushes at cts ≥ wm, so older touches can never fall
+    * inside its window again) plus the buffered conversions — the
+    * lookback horizon IS the state bound, tighter than asof's
+    * keep-one-before rule because attribution has no "latest prior
+    * ever" clause. Ties at equal ms break (ts, type, id) max for last
+    * / min for first — the batch struct order. */
+  def attributionStateful(events: Dataset[EventRow], lookbackMs: Long,
+      watermark: String = "30 minutes"): Dataset[AttrOut] = {
+    require(lookbackMs > 0, "lookback must be positive")
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, rows: Iterator[EventRow],
+        state: GroupState[AttrState]): Iterator[AttrOut] = {
+      val st = state.getOption.getOrElse(AttrState(Nil, Nil))
+      val rs = rows.toSeq
+      val touches = st.touches ++ rs
+        .filter(r => r.event_type == "view" || r.event_type == "click")
+        .map(r => (r.ts.getTime, r.event_type, r.event_id))
+      val pending = st.pending ++ rs.filter(_.event_type == "purchase")
+        .map(r => (r.ts.getTime, r.event_id))
+      val wm = state.getCurrentWatermarkMs()
+      val timeline = touches.sortBy(identity)
+      val (ready, still) = pending.partition(_._1 < wm)
+      val out = ready.sortBy(identity).map { case (cts, eid) =>
+        val window = timeline.filter(t => t._1 >= cts - lookbackMs && t._1 <= cts)
+        val last = window.lastOption
+        val first = window.headOption
+        AttrOut(eid, userId, cts,
+          last.map(_._2), last.map(_._1),
+          first.map(_._2), first.map(_._1), last.nonEmpty)
+      }
+      val keep = timeline.filter(_._1 >= wm - lookbackMs)
+      if (still.isEmpty && keep.isEmpty) state.remove()
+      else {
+        state.update(AttrState(keep, still))
+        if (still.nonEmpty)
+          state.setTimeoutTimestamp(math.max(still.map(_._1).min, wm + 1))
+      }
+      out.iterator
+    }
+
+    events.filter(e =>
+        e.event_type == "view" || e.event_type == "click" ||
+        e.event_type == "purchase")
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)

@@ -487,6 +487,56 @@ class StreamingSpec extends SparkSpec {
     assert(kern == decl)
   }
 
+  test("stateful attribution matches the batch operator under out-of-order arrival") {
+    import graft.streaming.EventRow
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // lookback 10 minutes
+    val q = EventsStream.attributionStateful(mem.toDF().as[EventRow],
+        600000L, "30 minutes")
+      .writeStream.format("memory").queryName("attrstream")
+      .outputMode(OutputMode.Append()).start()
+    // purchase@20 arrives before its true touches (late but inside the
+    // watermark); lookback 10 min from minute 20 → [10, 20], so view@5
+    // is OUTSIDE; click@15 is first, view@18 last; user 2 has no touch
+    mem.addData(
+      Ev(ts(20), 1, "purchase", 0.0, 101),
+      Ev(ts(5), 1, "view", 1.0, 11),
+      Ev(ts(2), 2, "purchase", 0.0, 201))
+    q.processAllAvailable()
+    mem.addData(Ev(ts(15), 1, "click", 0.0, 12), Ev(ts(18), 1, "view", 0.0, 13))
+    q.processAllAvailable()
+    // advance the watermark far past everything; timeouts flush
+    mem.addData(Ev(ts(600), 9, "view", 0.0, 999)); q.processAllAvailable()
+    mem.addData(Ev(ts(700), 9, "view", 0.0, 998)); q.processAllAvailable()
+    q.stop()
+    def shape(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), Option(r.get(3)), Option(r.get(4)),
+        Option(r.get(5)), Option(r.get(6)), r.getBoolean(7))
+    val got = spark.table("attrstream").collect().map(shape(_)).toSet
+    assert(got.size == 2)
+    // purchase 101: last = view@18, first = click@15 (view@5 outside)
+    assert(got.contains((101L, 1L, Some("view"), Some(ts(18).getTime),
+      Some("click"), Some(ts(15).getTime), true)), got.toString)
+    assert(got.contains((201L, 2L, None, None, None, None, false)))
+    // ground truth: the BATCH operator over the same rows (µs ↔ ms)
+    val all = Seq(
+      Ev(ts(20), 1, "purchase", 0.0, 101), Ev(ts(5), 1, "view", 1.0, 11),
+      Ev(ts(2), 2, "purchase", 0.0, 201), Ev(ts(15), 1, "click", 0.0, 12),
+      Ev(ts(18), 1, "view", 0.0, 13))
+    val batch = graft.operators.Attribution.attribute(all.toDF(),
+        "user_id", "ts", "event_id",
+        col("event_type").isin("view", "click"),
+        col("event_type") === "purchase", 600000000L)
+      .select($"event_id", $"user_id", $"last_type", $"last_us",
+        $"first_type", $"first_us", $"attributed")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)),
+        Option(r.get(3)).map(_.asInstanceOf[Long] / 1000),
+        Option(r.get(4)), Option(r.get(5)).map(_.asInstanceOf[Long] / 1000),
+        r.getBoolean(6))).toSet
+    assert(got == batch, s"streamed $got != batch $batch")
+  }
+
   test("session windows merge events within the gap (streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
