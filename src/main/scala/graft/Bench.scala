@@ -58,6 +58,7 @@ object Bench {
     "pipeline_source_cap",
     "pipeline_sample_weighted",
     "pipeline_drift",
+    "pipeline_span_corruption",
     "pipeline_decon_report",
     "text_tfidf_top",
     "text_pmi_top",

@@ -268,6 +268,10 @@ object PlanAudit {
     // window runs over the config-sized bucket lattice only (bounded
     // by construction), and the max is a 1-row TakeOrdered
     Check("pipeline_drift", "bucket counts map-side combine", "HashAggregate"),
+    // span corruption: a single map-only fold per doc — no explode
+    // row-blowup, no join, no shuffle of any kind
+    Check("pipeline_span_corruption", "no explode anywhere", "!Generate"),
+    Check("pipeline_span_corruption", "no shuffle at all", "!Exchange"),
     // the argmax sort runs over the config-sized bucket lattice only
     // (post-aggregate), so CollectLimit-over-Sort is the bounded shape
     Check("pipeline_drift", "argmax is a limit-1 over the bucket lattice",

@@ -163,6 +163,67 @@ object Pipeline {
       .withColumn("drifted", col("ks") > tau)
   }
 
+  /** T5/UL2-style SPAN-CORRUPTION pair generation: turn raw documents
+    * into (input-with-sentinels, target-spans) denoising examples —
+    * the objective-preparation step between a cleaned corpus and an
+    * encoder-decoder training run. Masking is at BLOCK granularity
+    * (`blockTokens` consecutive tokens): block b of doc d masks iff
+    * md5(salt‖d‖'_'‖b) % 100 < maskPct — deterministic, rerun-stable,
+    * and non-overlapping BY CONSTRUCTION (the reason for blocks over
+    * per-token Bernoulli + merge: greedy run-merging is a sequential
+    * fold the oracle can't replay cheaply, where the block lattice is
+    * pure arithmetic both engines agree on). Each masked block gets
+    * its own ordinal sentinel `<extra_id_k>` (k in block order; the
+    * documented simplification vs T5's merge-adjacent-spans — adjacent
+    * masked blocks keep distinct sentinels).
+    *
+    * Map-only: the whole construction is one `aggregate` fold over the
+    * per-doc block lattice — no explode, no join, no shuffle. Returns
+    * (id, n_tokens, n_masked, input_text, target_text). */
+  def spanCorruption(docs: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int, maskPct: Int, salt: String): DataFrame = {
+    require(blockTokens >= 1, "block size must be positive")
+    require(maskPct >= 0 && maskPct <= 100, "mask percent is a percentage")
+    val tk = filter(TextOps.tokens(col(textCol)), t => t =!= "")
+    val nTok = size(tk)
+    val nBlocks = ceil(nTok.cast("double") / blockTokens).cast("int")
+    val blockIdx = sequence(lit(0), greatest(nBlocks - 1, lit(0)))
+    val masked = transform(blockIdx, b =>
+      when(nTok === 0, lit(false)).otherwise(
+        TextOps.md5Hash32(concat(lit(salt), col(idCol).cast("string"),
+          lit("_"), b.cast("string"))) % 100 < maskPct))
+    // fold over blocks: acc = (input parts, target parts, sentinel k)
+    val zero = struct(
+      array().cast("array<string>").as("inp"),
+      array().cast("array<string>").as("tgt"),
+      lit(0).as("k"))
+    val folded = aggregate(
+      zip_with(blockIdx, masked, (b, m) => struct(b.as("b"), m.as("m"))),
+      zero,
+      (acc, bm) => {
+        val blockToks = slice(tk, bm.getField("b") * blockTokens + 1, lit(blockTokens))
+        val sent = concat(lit("<extra_id_"), acc.getField("k").cast("string"), lit(">"))
+        when(bm.getField("m"),
+          struct(
+            concat(acc.getField("inp"), array(sent)).as("inp"),
+            concat(acc.getField("tgt"), array(sent), blockToks).as("tgt"),
+            (acc.getField("k") + 1).as("k")))
+          .otherwise(struct(
+            concat(acc.getField("inp"), blockToks).as("inp"),
+            acc.getField("tgt").as("tgt"),
+            acc.getField("k").as("k")))
+      })
+    docs.select(col(idCol), nTok.cast("long").as("n_tokens"),
+        folded.as("__f"),
+        aggregate(zip_with(blockIdx, masked, (b, m) =>
+            when(m, least(nTok - b * blockTokens, lit(blockTokens)))
+              .otherwise(lit(0))),
+          lit(0L), (a, x) => a + x).as("n_masked"))
+      .select(col(idCol), col("n_tokens"), col("n_masked"),
+        array_join(col("__f.inp"), " ").as("input_text"),
+        array_join(col("__f.tgt"), " ").as("target_text"))
+  }
+
   /** Documents per prefix-sum block in the packers below. 2^16 ids per
     * block keeps the block-total table metadata-sized (a 100 B-doc
     * corpus yields ~1.5 M block rows — broadcastable) while bounding

@@ -1465,6 +1465,44 @@ object LlmQueries {
         WHERE ${sqlMd5Hash32("'graft_mix_' || CAST(doc_id AS VARCHAR)")} % 100
           < CASE WHEN lang = 'en' THEN 60 ELSE 20 END""")),
 
+    // ✚ span-corruption pairs (round 12): T5/UL2 denoising examples —
+    // deterministic block-lattice masking (non-overlapping by
+    // construction), ordinal sentinels, one map-only fold per doc.
+    Q("pipeline_span_corruption",
+      (s, d) => Pipeline.spanCorruption(t(s, d, "documents"), "doc_id", "text",
+        8, 15, "graft_sc_"),
+      Some {
+        val h = sqlMd5Hash32(
+          "'graft_sc_' || CAST(doc_id AS VARCHAR) || '_' || CAST(u.b AS VARCHAR)")
+        s"""WITH base AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), t -> t <> '') AS tk
+          FROM documents),
+        lat AS (SELECT doc_id, tk, len(tk) AS n,
+            generate_series(0, GREATEST(
+              CAST(CEIL(CAST(len(tk) AS DOUBLE) / 8) AS INTEGER) - 1, 0)) AS bl
+          FROM base),
+        blocks AS (SELECT doc_id, tk, n, u.b AS b,
+            CASE WHEN n = 0 THEN FALSE ELSE ($h) % 100 < 15 END AS m
+          FROM lat, unnest(bl) AS u(b)),
+        ord AS (SELECT *, CASE WHEN m THEN CAST(row_number() OVER
+            (PARTITION BY doc_id, m ORDER BY b) - 1 AS INTEGER) END AS k
+          FROM blocks),
+        parts AS (SELECT doc_id, n, b, m,
+            CASE WHEN m THEN '<extra_id_' || k || '>'
+              ELSE array_to_string(list_slice(tk, b * 8 + 1, b * 8 + 8), ' ')
+            END AS ipart,
+            CASE WHEN m THEN '<extra_id_' || k || '> ' ||
+              array_to_string(list_slice(tk, b * 8 + 1, b * 8 + 8), ' ')
+            END AS tpart,
+            CASE WHEN m THEN LEAST(n - b * 8, 8) ELSE 0 END AS mc
+          FROM ord)
+        SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+          CAST(SUM(mc) AS BIGINT) AS n_masked,
+          COALESCE(string_agg(NULLIF(ipart, ''), ' ' ORDER BY b), '') AS input_text,
+          COALESCE(string_agg(tpart, ' ' ORDER BY b), '') AS target_text
+        FROM parts GROUP BY doc_id"""
+      }),
+
     // ✚ distribution drift (round 12): two-sample KS on an integer
     // bucket lattice — cumulative masses compared as |cumA·N_B −
     // cumB·N_A| integers, ONE division at the end; src0-vs-src1 doc

@@ -1885,6 +1885,42 @@ class LlmSpec extends SparkSpec {
     assert(r4.getInt(1) == 1 && r4.getLong(2) == 2L, r4.toString)
   }
 
+  test("spanCorruption: lattice masking, ordinal sentinels, round-trip token mass") {
+    val docs = Seq((1L, (1 to 20).map(i => s"t$i").mkString(" ")),
+      (2L, ""), (3L, "only three words")).toDF("doc_id", "text")
+    val out = Pipeline.spanCorruption(docs, "doc_id", "text", 4, 50, "scs_")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    // doc 1: 20 tokens, 5 blocks of 4 — replay the mask rule driver-side
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val toks = (1 to 20).map(i => s"t$i")
+    val maskedBlocks = (0 until 5).filter(b => h32(s"scs_1_$b") % 100 < 50)
+    val expInput = (0 until 5).flatMap { b =>
+      if (maskedBlocks.contains(b))
+        Seq(s"<extra_id_${maskedBlocks.indexOf(b)}>")
+      else toks.slice(b * 4, b * 4 + 4)
+    }.mkString(" ")
+    val expTarget = maskedBlocks.zipWithIndex.flatMap { case (b, k) =>
+      s"<extra_id_$k>" +: toks.slice(b * 4, b * 4 + 4)
+    }.mkString(" ")
+    assert(out(1L) == ((20L, maskedBlocks.size * 4L, expInput, expTarget)))
+    assert(maskedBlocks.nonEmpty, "fixture should mask at least one block at 50%")
+    // every token lands in exactly one side: unmasked in input, masked
+    // in target — the denoising round-trip invariant
+    val inToks = out(1L)._3.split(" ").filterNot(_.startsWith("<extra")).toSet
+    val tgToks = out(1L)._4.split(" ").filterNot(_.startsWith("<extra")).toSet
+    assert((inToks ++ tgToks) == toks.toSet && (inToks & tgToks).isEmpty)
+    // empty doc: empty pair, nothing masked
+    assert(out(2L) == ((0L, 0L, "", "")))
+    // partial final block masks only its real tokens
+    val d3 = out(3L)
+    assert(d3._1 == 3L && (d3._2 == 0L || d3._2 == 3L))
+  }
+
   test("compressionGate: repetition compresses harder than prose, rerun-stable") {
     val rep = ("spam ham " * 200).trim
     val prose = (1 to 400).map(i => s"w${i * 2654435761L % 9973}").mkString(" ")
