@@ -59,6 +59,7 @@ object Bench {
     "pipeline_sample_weighted",
     "pipeline_drift",
     "pipeline_span_corruption",
+    "pipeline_fim",
     "pipeline_decon_report",
     "text_tfidf_top",
     "text_pmi_top",

@@ -272,6 +272,8 @@ object PlanAudit {
     // row-blowup, no join, no shuffle of any kind
     Check("pipeline_span_corruption", "no explode anywhere", "!Generate"),
     Check("pipeline_span_corruption", "no shuffle at all", "!Exchange"),
+    Check("pipeline_fim", "no explode anywhere", "!Generate"),
+    Check("pipeline_fim", "no shuffle at all", "!Exchange"),
     // the argmax sort runs over the config-sized bucket lattice only
     // (post-aggregate), so CollectLimit-over-Sort is the bounded shape
     Check("pipeline_drift", "argmax is a limit-1 over the bucket lattice",

@@ -224,6 +224,42 @@ object Pipeline {
         array_join(col("__f.tgt"), " ").as("target_text"))
   }
 
+  /** FILL-IN-MIDDLE transformation (the infilling objective of code
+    * models): split each document's tokens at two deterministic cut
+    * points and emit the PSM rearrangement
+    * `<PRE> prefix <SUF> suffix <MID> middle` — the model learns to
+    * produce the middle conditioned on both sides. Cuts are salted-md5
+    * draws over [0, n] (order-normalized), so the transform is
+    * rerun-stable and the oracle replays it with pure slicing
+    * arithmetic. `fimPct` controls the classic mixed objective: docs
+    * whose draw lands ≥ fimPct pass through unchanged (plain CLM text,
+    * fim = false). Map-only — no explode, no join, no shuffle (the
+    * spanCorruption posture). Returns
+    * (id, n_tokens, n_middle, fim, fim_text). */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+      fimPct: Int, salt: String): DataFrame = {
+    require(fimPct >= 0 && fimPct <= 100, "fim percent is a percentage")
+    val tk = filter(TextOps.tokens(col(textCol)), t => t =!= "")
+    val n = size(tk)
+    def h(tag: String) = TextOps.md5Hash32(
+      concat(lit(salt), col(idCol).cast("string"), lit(tag)))
+    val doFim = h("_q") % 100 < fimPct && n > 0
+    val c1 = (h("_a") % (n + 1)).cast("int")
+    val c2 = (h("_b") % (n + 1)).cast("int")
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val pre = slice(tk, lit(1), lo)
+    val mid = slice(tk, lo + 1, hi - lo)
+    val suf = slice(tk, hi + 1, n - hi)
+    docs.select(col(idCol), n.cast("long").as("n_tokens"),
+      when(doFim, (hi - lo).cast("long")).otherwise(lit(0L)).as("n_middle"),
+      doFim.as("fim"),
+      when(doFim, array_join(
+          concat(array(lit("<PRE>")), pre, array(lit("<SUF>")), suf,
+            array(lit("<MID>")), mid), " "))
+        .otherwise(array_join(tk, " ")).as("fim_text"))
+  }
+
   /** Documents per prefix-sum block in the packers below. 2^16 ids per
     * block keeps the block-total table metadata-sized (a 100 B-doc
     * corpus yields ~1.5 M block rows — broadcastable) while bounding

@@ -1503,6 +1503,35 @@ object LlmQueries {
         FROM parts GROUP BY doc_id"""
       }),
 
+    // ✚ fill-in-middle transform (round 12): PSM rearrangement at two
+    // salted-md5 cut points, 50% mixed objective; map-only.
+    Q("pipeline_fim",
+      (s, d) => Pipeline.fimTransform(t(s, d, "documents"), "doc_id", "text",
+        50, "graft_fim_"),
+      Some {
+        def h(tag: String) = sqlMd5Hash32(
+          s"'graft_fim_' || CAST(doc_id AS VARCHAR) || '$tag'")
+        s"""WITH base AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), t -> t <> '') AS tk
+          FROM documents),
+        cuts AS (SELECT doc_id, tk, len(tk) AS n,
+            (${h("_q")}) % 100 < 50 AND len(tk) > 0 AS fim,
+            (${h("_a")}) % (len(tk) + 1) AS c1,
+            (${h("_b")}) % (len(tk) + 1) AS c2
+          FROM base),
+        cut2 AS (SELECT doc_id, tk, n, fim,
+            LEAST(c1, c2) AS lo, GREATEST(c1, c2) AS hi FROM cuts)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+          CAST(CASE WHEN fim THEN hi - lo ELSE 0 END AS BIGINT) AS n_middle,
+          fim,
+          CASE WHEN fim THEN array_to_string(
+              flatten([['<PRE>'], list_slice(tk, 1, lo),
+                ['<SUF>'], list_slice(tk, hi + 1, n),
+                ['<MID>'], list_slice(tk, lo + 1, hi)]), ' ')
+            ELSE array_to_string(tk, ' ') END AS fim_text
+        FROM cut2"""
+      }),
+
     // ✚ distribution drift (round 12): two-sample KS on an integer
     // bucket lattice — cumulative masses compared as |cumA·N_B −
     // cumB·N_A| integers, ONE division at the end; src0-vs-src1 doc

@@ -1921,6 +1921,34 @@ class LlmSpec extends SparkSpec {
     assert(d3._1 == 3L && (d3._2 == 0L || d3._2 == 3L))
   }
 
+  test("fimTransform: PSM reassembles to the original; CLM passthrough; empty doc") {
+    val docs = Seq((1L, (1 to 12).map(i => s"w$i").mkString(" ")), (2L, ""))
+      .toDF("doc_id", "text")
+    // fimPct 100: every non-empty doc transforms
+    val out = Pipeline.fimTransform(docs, "doc_id", "text", 100, "f_")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getString(4)))).toMap
+    val (n, nm, fim, txt) = out(1L)
+    assert(n == 12L && fim)
+    // parse PSM back: <PRE> pre <SUF> suf <MID> mid → pre ++ mid ++ suf
+    // must equal the original token sequence
+    val body = txt.split(" ").toSeq
+    assert(body.head == "<PRE>")
+    val sufAt = body.indexOf("<SUF>")
+    val midAt = body.indexOf("<MID>")
+    val pre = body.slice(1, sufAt)
+    val suf = body.slice(sufAt + 1, midAt)
+    val mid = body.drop(midAt + 1)
+    assert((pre ++ mid ++ suf) == (1 to 12).map(i => s"w$i"), body.toString)
+    assert(mid.size.toLong == nm)
+    // empty doc: never transforms, empty passthrough
+    assert(out(2L) == ((0L, 0L, false, "")))
+    // fimPct 0: pure CLM passthrough, text unchanged
+    val clm = Pipeline.fimTransform(docs, "doc_id", "text", 0, "f_")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(3), r.getString(4))).toMap
+    assert(clm(1L) == ((false, (1 to 12).map(i => s"w$i").mkString(" "))))
+  }
+
   test("compressionGate: repetition compresses harder than prose, rerun-stable") {
     val rep = ("spam ham " * 200).trim
     val prose = (1 to 400).map(i => s"w${i * 2654435761L % 9973}").mkString(" ")
