@@ -562,6 +562,65 @@ object Similarity {
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** PERSISTED IVF index — the cold-serving face of the IVF family
+    * (the [[graft.llmops.Dedup.residentSpanIndex]] doctrine applied to
+    * ANN): train the coarse quantizer once, assign the corpus once,
+    * and PUBLISH the result as parquet laid out for probe-time
+    * PARTITION PRUNING — `cells/` is partitioned by the cell id, so a
+    * query touching `nProbe` of `k` cells reads `nProbe/k` of the
+    * corpus FROM DISK, not post-scan. That layout is the entire 100 TB
+    * story: the in-memory routes prune after a full scan; this one
+    * prunes at the file index. Centroids land beside the cells
+    * (config-sized). Vectors store with their precomputed norms so
+    * serving never recomputes them. */
+  def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, nTrain: Int, outDir: String): Seq[(Long, Seq[Double])] = {
+    val cents = trainKMeans(emb, idCol, vecCol, k, nTrain)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    cents.map { case (cid, cv) => (cid, cv) }.toDF("cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/centroids")
+    val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nv", norm(col("v")))
+    v.withColumn("cell", ivfCell(col("v"), col("nv"), cents))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/cells")
+    cents
+  }
+
+  /** Serve top-k from a [[buildIvfIndex]] layout: centroids load as a
+    * config-sized collect, the probe set computes DRIVER-side (queries
+    * are a config-sized set by the sim_* contract), and the cells scan
+    * carries `cell IN (probes)` — which the parquet reader turns into
+    * PARTITION PRUNING (the spec asserts `PartitionFilters` on the
+    * plan). Ranking/tie rules are [[ivfTopKWith]]'s verbatim, so the
+    * cold route answers EQUAL the in-memory route's for the same
+    * centroids (spec-asserted). */
+  def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queryIds: Seq[Long], nProbe: Int, k: Int,
+      capPerCell: Int = CandidateCap): DataFrame = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    val cells = spark.read.parquet(s"$indexDir/cells")
+    val idCol = cells.columns.filterNot(Set("v", "nv", "cell")).head
+    // query vectors: an id-pushed scan (query-sized result)
+    val q = cells.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), col("v").as("qv"), col("nv").as("qn"))
+      .select(col("qid"), col("qv"), col("qn"),
+        explode(ivfProbes(col("qv"), cents, nProbe)).as("cell"))
+    val probeCells = q.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq // ≤ queries × nProbe — config-sized
+    val cand = capPerKey(
+        cells.filter(col("cell").isin(probeCells: _*)), "cell", idCol, capPerCell)
+      .join(broadcast(q), Seq("cell"))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol).as("nn"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nv"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nn").asc)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Bucketed ANN: candidates share a bucket; exact cosine re-rank
     * within bucket. */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String, dim: Int,

@@ -2018,6 +2018,29 @@ class LlmSpec extends SparkSpec {
     assert(other != got.map(_._1).toSet)
   }
 
+  test("persisted IVF index: cold route equals the in-memory route; scan prunes partitions") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val cents = Similarity.buildIvfIndex(emb, "vec_id", "embedding", 8, 128, dir)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val cold = Similarity.ivfIndexTopK(spark, dir, qids, 2, 10)
+    val warm = Similarity.ivfTopKWith(emb, "vec_id", "embedding", cents, 2, qids, 10)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select($"qid", $"nn", $"rank", round($"cos", 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(shape(cold) == shape(warm))
+    assert(cold.count() > 0)
+    // the cells scan must prune AT THE FILE INDEX: the executed plan
+    // carries a partition filter on cell (reading nProbe/k of the
+    // corpus from disk is the entire point of the layout)
+    val plan = cold.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      plan.take(2000))
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("cell"), pf)
+  }
+
   test("hardNegatives: nearest cross-label only; same-label neighbors never appear") {
     // label 1 hugs +x, label 2 hugs +y; query 0 is label 1 near +x.
     // Its same-label twins (10, 11) are closest absolutely but must be
