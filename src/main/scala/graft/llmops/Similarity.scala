@@ -621,6 +621,33 @@ object Similarity {
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** INCREMENTAL append to a [[buildIvfIndex]] layout — the arrival
+    * path of the serving story (the minhash incremental-index
+    * doctrine): new vectors assign against the PUBLISHED centroids
+    * (config-sized collect — retraining is a rebuild decision, not an
+    * append) and land as additional files inside their cells'
+    * partitions. Append-mode parquet adds files without touching
+    * existing ones, so concurrent serving reads stay consistent at
+    * file granularity; the partition-pruned probe picks the new rows
+    * up on its next scan with zero index surgery. Returns the number
+    * of appended vectors. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, emb: DataFrame, idCol: String, vecCol: String): Long = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nv", norm(col("v")))
+      .withColumn("cell", ivfCell(col("v"), col("nv"), cents))
+      .localCheckpoint(true) // count + write share one assignment pass
+    v.write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
+    // Spark caches parquet file listings session-wide (SharedInMemoryCache):
+    // without an explicit refresh, a reader that has already scanned this
+    // index would keep serving the PRE-append file set indefinitely
+    spark.catalog.refreshByPath(s"$indexDir/cells")
+    v.count()
+  }
+
   /** Bucketed ANN: candidates share a bucket; exact cosine re-rank
     * within bucket. */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String, dim: Int,

@@ -2041,6 +2041,25 @@ class LlmSpec extends SparkSpec {
     assert(pf.contains("cell"), pf)
   }
 
+  test("IVF index append: arrivals join their cells and serve without rebuild") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("ivfapp").toString
+    val split = 150L // the sf0.01 embeddings table holds 200 vectors
+    val base = emb.filter($"vec_id" < split)
+    Similarity.buildIvfIndex(base, "vec_id", "embedding", 8, 64, dir)
+    val before = Similarity.ivfIndexTopK(spark, dir, Seq(0L, 1L), 8, 2000)
+      .select($"nn").collect().map(_.getLong(0)).toSet
+    assert(!before.exists(_ >= split))
+    // append the held-out tail; served results must now include it
+    val n = Similarity.appendToIvfIndex(spark, dir,
+      emb.filter($"vec_id" >= split), "vec_id", "embedding")
+    assert(n == emb.filter($"vec_id" >= split).count() && n > 0)
+    val after = Similarity.ivfIndexTopK(spark, dir, Seq(0L, 1L), 8, 2000)
+      .select($"nn").collect().map(_.getLong(0)).toSet
+    assert(after.exists(_ >= split), s"appended vectors absent: ${after.size}")
+    assert(before.subsetOf(after))
+  }
+
   test("hardNegatives: nearest cross-label only; same-label neighbors never appear") {
     // label 1 hugs +x, label 2 hugs +y; query 0 is label 1 near +x.
     // Its same-label twins (10, 11) are closest absolutely but must be
