@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -293,6 +293,46 @@ object EventsStream {
       .withColumn("score", col("__s.score"))
       .withColumn("keep", col("score") > tau)
       .drop("__s")
+  }
+
+  /** Streaming DISTRIBUTION-DRIFT monitor — the serving face of
+    * `pipeline_drift` ([[graft.llmops.Pipeline.distributionDrift]]):
+    * per event-time window, the two-sample KS statistic of the
+    * window's value distribution against a TRAINED reference
+    * histogram riding as literals (the anomalyGate moments
+    * discipline — the reference comes from a batch pass; the stream
+    * is only compared). One windowed aggregate collects the window's
+    * bucket ids; the KS computes STATELESSLY after it (chained
+    * streaming aggregations are illegal — the mixMonitor rule), as
+    * pure integer cross-products over the config-sized lattice:
+    * max |cumWin·N_ref − cumRef·n_win| / (n_win·N_ref), the
+    * [[graft.llmops.Pipeline.distributionDrift]] exactness discipline.
+    * Retraining is a new query with new literals. Returns
+    * (window, n, ks, drifted). */
+  def driftMonitor(docs: DataFrame, tsCol: String, value: Column,
+      lo: Long, width: Long, nBuckets: Int, refCounts: Seq[Long],
+      tau: Double, window_ : String = "10 minutes",
+      watermark: String = "15 minutes"): DataFrame = {
+    require(refCounts.length == nBuckets, "reference histogram must fill the lattice")
+    require(refCounts.forall(_ >= 0) && refCounts.sum > 0, "reference must be non-empty")
+    val cumRef = refCounts.scanLeft(0L)(_ + _).tail
+    val nRef = refCounts.sum
+    val bucket = least(lit(nBuckets - 1), greatest(lit(0),
+      floor((value.cast("long") - lo) / width).cast("int")))
+    docs.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_))
+      .agg(collect_list(bucket).as("__bs"), count(lit(1)).as("n"))
+      .withColumn("__cum", transform(sequence(lit(0), lit(nBuckets - 1)),
+        b => size(filter(col("__bs"), x => x <= b)).cast("long")))
+      .withColumn("__num", aggregate(
+        zip_with(col("__cum"),
+          array(cumRef.map(lit): _*).cast("array<long>"),
+          (cw, cr) => abs(cw * nRef - cr * col("n"))),
+        lit(0L), (acc, x) => greatest(acc, x)))
+      .withColumn("ks", when(col("n") === 0, lit(0.0))
+        .otherwise(round(col("__num").cast("double") /
+          (col("n").cast("double") * nRef), 6)))
+      .select(col("window"), col("n"), col("ks"), (col("ks") > tau).as("drifted"))
   }
 
   /** Streaming volume-anomaly gate — the serving face of

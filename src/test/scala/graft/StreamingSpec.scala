@@ -487,6 +487,40 @@ class StreamingSpec extends SparkSpec {
     assert(kern == decl)
   }
 
+  test("drift monitor: shifted window flags, matching window scores 0, streaming == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventsStream
+    // reference: 50/50 mass in buckets 0 and 1 (width 40, lattice 3)
+    val ref = Seq(50L, 50L, 0L)
+    // window A (minutes 0-9): values 10 and 50 evenly — matches ref;
+    // window B (minutes 10-19): all values 90 — total shift
+    val evs = (1 to 20).map(i => Ev(ts(i % 10), 1, "m",
+        if (i % 2 == 0) 10.0 else 50.0, i)) ++
+      (21 to 40).map(i => Ev(ts(10 + i % 10), 1, "m", 90.0, i))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      EventsStream.driftMonitor(df, "ts", col("value"), 0L, 40L, 3, ref, 0.1)
+    val mem = MemoryStream[Ev]
+    val q = run(mem.toDF()).writeStream.format("memory").queryName("drift")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(evs: _*)
+    q.processAllAvailable()
+    mem.addData(Ev(ts(600), 9, "m", 10.0, 999)); q.processAllAvailable()
+    mem.addData(Ev(ts(700), 9, "m", 10.0, 998)); q.processAllAvailable()
+    q.stop()
+    def shape(r: org.apache.spark.sql.Row) =
+      (r.getLong(1), r.getDouble(2), r.getBoolean(3))
+    val streamed = spark.table("drift").collect().map(shape(_))
+      .filter(_._1 >= 10) // drop the watermark-rider windows
+      .toSet
+    // A: 10+10 values matching ref exactly → ks 0; B: 20 values all in
+    // bucket 2 → max |cumWin·100 − cumRef·20| peaks at b=1:
+    // |0 − 100·20| = 2000 → ks = 2000/(20·100) = 1.0 (total shift)
+    assert(streamed == Set((20L, 0.0, false), (20L, 1.0, true)), streamed.toString)
+    // streaming equals the same plan run as batch
+    val batch = run(evs.toDF()).collect().map(shape(_)).toSet
+    assert(streamed == batch)
+  }
+
   test("stateful attribution matches the batch operator under out-of-order arrival") {
     import graft.streaming.EventRow
     implicit val sqlCtx = spark.sqlContext
