@@ -401,6 +401,31 @@ class GraphSpec extends SparkSpec {
     assert(conf == Map((1L, 2L) -> 0.666667, (2L, 1L) -> 1.0), conf.toString)
   }
 
+  test("labelPropagation: planted cliques resolve to two communities deterministically") {
+    import spark.implicits._
+    import graft.operators.Communities
+    // two K4 cliques {1..4} and {5..8} joined by one bridge edge (4,5)
+    val g = ((for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)) ++
+      (for { a <- 5L to 8L; b <- (a + 1) to 8L } yield (a, b)) ++
+      Seq((4L, 5L))).toDF("a", "b")
+    val c = Communities.labelPropagation(g, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // interior vertices of each clique must agree with each other and
+    // differ across cliques (the bridge endpoints may go either way)
+    assert(c(1L) == c(2L) && c(2L) == c(3L))
+    assert(c(6L) == c(7L) && c(7L) == c(8L))
+    assert(c(1L) != c(6L), c.toString)
+    // deterministic across reruns (synchronous updates, min-label ties)
+    val again = Communities.labelPropagation(g, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == c)
+    // a clique alone collapses to its smallest id
+    val k3 = Seq((10L, 11L), (10L, 12L), (11L, 12L)).toDF("a", "b")
+    val ck = Communities.labelPropagation(k3, 4)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(ck == Set(10L), ck.toString)
+  }
+
   test("cooccurrenceEdges: canonical distinct pairs; the group-size cap binds") {
     import spark.implicits._
     import graft.operators.Triangles
