@@ -41,6 +41,14 @@ object GraphProbe {
     println(s"""{"probe":"kcore","edges":$nEdges,"core3_vertices":$c3,""" +
       s""""core3_sec":$s3,"max_core":$maxCore,"coreness_sec":$s,""" +
       s""""top_cores":{$top}}""")
+
+    val t2 = System.nanoTime()
+    val lpa = graft.operators.Communities.labelPropagation(edges, 5)
+      .localCheckpoint(true)
+    val nComm = lpa.select(col("community")).distinct().count()
+    val sLpa = (System.nanoTime() - t2) / 1e9
+    println(s"""{"probe":"lpa","edges":$nEdges,"rounds":5,""" +
+      s""""communities":$nComm,"sec":$sLpa}""")
     spark.stop()
   }
 }
