@@ -49,6 +49,20 @@ object GraphProbe {
     val sLpa = (System.nanoTime() - t2) / 1e9
     println(s"""{"probe":"lpa","edges":$nEdges,"rounds":5,""" +
       s""""communities":$nComm,"sec":$sLpa}""")
+
+    val t3 = System.nanoTime()
+    val ccDf = graft.operators.Communities.connectedComponentsDf(edges)
+      .localCheckpoint(true)
+    val nCompDf = ccDf.select(col("component")).distinct().count()
+    val sDf = (System.nanoTime() - t3) / 1e9
+    val t4 = System.nanoTime()
+    val ccGx = graft.graphx.GraphXBridge.componentsOfPairs(spark,
+      edges.select(col("a").as("src"), col("b").as("dst")))
+    val nCompGx = ccGx.select(col("component")).distinct().count()
+    val sGx = (System.nanoTime() - t4) / 1e9
+    println(s"""{"probe":"cc_df_vs_graphx","edges":$nEdges,""" +
+      s""""df_components":$nCompDf,"df_sec":$sDf,""" +
+      s""""graphx_components":$nCompGx,"graphx_sec":$sGx}""")
     spark.stop()
   }
 }

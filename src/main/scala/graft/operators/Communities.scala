@@ -27,6 +27,78 @@ import org.apache.spark.sql.functions._
   * round to keep lineage flat. Returns (n, community). */
 object Communities {
 
+  /** DataFrame-NATIVE connected components via alternating
+    * large-star / small-star rounds (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") — the 100 TB-path twin of
+    * the GraphX bridge's CC: no RDD caching, no Pregel, every round
+    * two vertex-keyed aggregates and a projection, AQE-splittable like
+    * any join. Each round strictly shrinks the forest height;
+    * convergence is checked by an edge-count fixpoint on the star
+    * edges (1-row count per round — the k-core loop-control
+    * discipline).
+    *
+    *  - large-star: every neighbor u > min-of-neighborhood m(v) links
+    *    to m(v) — applied from BOTH endpoints' perspectives via the
+    *    bidirectional list.
+    *  - small-star: each vertex links its ≤-self neighbors to its
+    *    minimum neighbor.
+    *
+    * Returns (n, component = minimum reachable id) — bit-equal to the
+    * GraphX bridge's components (spec-asserted on planted and random
+    * graphs). */
+  def connectedComponentsDf(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    // star edges as (parent, child) pairs, child > parent invariant
+    // after each small-star; init from the canonical list
+    var star = edges.select(
+        least(col("a"), col("b")).as("p"), greatest(col("a"), col("b")).as("c"))
+      .filter(col("p") =!= col("c")).distinct().localCheckpoint(true)
+    var prev = -1L
+    var curCount = star.count()
+    var it = 0
+    var same = false
+    while (it < maxIters && !same) {
+      // LARGE-STAR on the bidirectional view: for each center v with
+      // neighborhood N(v), link every u ∈ N(v) with u > v to
+      // m = min(v, min N(v))
+      val bi = star.select(col("p").as("v"), col("c").as("u"))
+        .unionAll(star.select(col("c").as("v"), col("p").as("u")))
+      val mins = bi.groupBy(col("v"))
+        .agg(least(min(col("u")), first(col("v"))).as("m"))
+      val ls = bi.join(mins, Seq("v"))
+        .filter(col("u") > col("v"))
+        .select(col("m").as("p"), col("u").as("c"))
+        .unionAll(bi.filter(col("u") > col("v")) // keep v linked to m too
+          .join(mins, Seq("v"))
+          .select(col("m").as("p"), col("v").as("c")))
+        .filter(col("p") =!= col("c")).distinct()
+      // SMALL-STAR: link each center's ≤-self neighbors (its parents
+      // in the current forest) to its overall minimum neighbor
+      val bi2 = ls.select(col("p").as("v"), col("c").as("u"))
+        .unionAll(ls.select(col("c").as("v"), col("p").as("u")))
+      val mins2 = bi2.groupBy(col("v")).agg(min(col("u")).as("m"))
+      val ss = bi2.filter(col("u") <= col("v"))
+        .join(mins2, Seq("v"))
+        .select(least(col("m"), col("u")).as("p"),
+          when(col("u") === col("m"), col("v")).otherwise(col("u")).as("c"))
+        .unionAll(bi2.filter(col("u") <= col("v")).join(mins2, Seq("v"))
+          .select(col("m").as("p"), col("v").as("c")))
+        .filter(col("p") =!= col("c")).distinct()
+        .localCheckpoint(true)
+      prev = curCount
+      curCount = ss.count() // 1-row loop control
+      // fixpoint: the star set stabilizes when every child points at
+      // its component minimum — detected as two consecutive identical
+      // edge sets (count equality + containment probe)
+      same = curCount == prev &&
+        ss.join(star, Seq("p", "c"), "left_anti").isEmpty
+      star = ss
+      it += 1
+    }
+    star.select(col("c").as("n"), col("p").as("component"))
+      .unionAll(star.select(col("p").as("n"), col("p").as("component")))
+      .groupBy(col("n")).agg(min(col("component")).as("component"))
+  }
+
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "need at least one round")
     val e = edges.select(col("a"), col("b")).localCheckpoint(true)

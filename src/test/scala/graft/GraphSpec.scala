@@ -426,6 +426,40 @@ class GraphSpec extends SparkSpec {
     assert(ck == Set(10L), ck.toString)
   }
 
+  test("connectedComponentsDf: equals GraphX CC on planted and random graphs") {
+    import spark.implicits._
+    import graft.operators.Communities
+    // planted: path 1-2-3, clique {10,11,12}, isolated edge (20,21)
+    val g = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("a", "b")
+    val cc = Communities.connectedComponentsDf(g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L), cc.toString)
+    // random graph: deterministic md5-derived edges, compared against
+    // the GraphX bridge (the independent implementation)
+    def h(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val rnd = (1 to 400).map { i =>
+      val a = h(s"ccA$i") % 300; val b = h(s"ccB$i") % 300
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).toDF("a", "b")
+    val mine = Communities.connectedComponentsDf(rnd)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gx = graft.graphx.GraphXBridge.componentsOfPairs(spark,
+        rnd.select($"a".as("src"), $"b".as("dst")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mine == gx, s"sizes ${mine.size} vs ${gx.size}")
+    // a long path exercises the logarithmic doubling (depth 64 chain)
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    val cchain = Communities.connectedComponentsDf(chain)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(cchain == Set(0L))
+  }
+
   test("cooccurrenceEdges: canonical distinct pairs; the group-size cap binds") {
     import spark.implicits._
     import graft.operators.Triangles
