@@ -89,6 +89,7 @@ object Bench {
     "events_transitions",
     "events_trending",
     "events_attribution",
+    "events_ltv",
     "graph_degree_hist",
     "asof_events_salted",
     "range_join_events",

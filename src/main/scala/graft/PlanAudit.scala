@@ -82,6 +82,10 @@ object PlanAudit {
       "!SortMergeJoin"),
     Check("events_attribution", "no broadcast join either",
       "!BroadcastHashJoin"),
+    // LTV: the cumulative window partitions by cohort over ≤ day-span
+    // rows (calendar-bounded); distinct-user counts partial-aggregate
+    Check("events_ltv", "cumulative window present once", "Window"),
+    Check("events_ltv", "cohort aggregates map-side combine", "HashAggregate"),
     Check("range_join_events", "band join is an equi-join",
       "BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin"),
     Check("pipeline_decontaminate", "decontamination is one left-semi probe", "LeftSemi"),

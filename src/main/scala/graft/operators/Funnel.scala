@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** K-stage funnel analysis over an event table — the events-analytics
@@ -84,6 +85,37 @@ object Funnel {
     days.join(cohort, Seq(userCol))
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
       .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
+  /** Cohort LIFETIME VALUE — retention's revenue twin: users cohorted
+    * by first-active epoch-day, revenue accumulated per (cohort,
+    * day-offset) and CUMULATED along the offset axis, normalized per
+    * cohort head. Monetary values ride as exact integer cents (the RFM
+    * rule) and the running sum is a window whose partitions hold at
+    * most the corpus's day-span rows per cohort — bounded by the
+    * calendar, never by users or events (the trending boundedness
+    * argument). ltv divides two exact integers ONCE per row. Returns
+    * (cohort_day, offset_days, n_users, rev_cents, cum_rev_cents,
+    * cohort_size, ltv_cents). */
+  def cohortLtv(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val usPerDay = 86400000000L
+    val base = events.select(col(userCol),
+      expr(s"unix_micros($tsCol) div $usPerDay").as("day"),
+      round(col(valueCol) * 100).cast("long").as("cents"))
+    val cohort = base.groupBy(col(userCol)).agg(min(col("day")).as("cohort_day"))
+    val sized = cohort.groupBy(col("cohort_day"))
+      .agg(countDistinct(col(userCol)).as("cohort_size"))
+    val per = base.join(cohort, Seq(userCol))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+      .agg(countDistinct(col(userCol)).as("n_users"),
+        sum(col("cents")).as("rev_cents"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("offset_days"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    per.withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .join(sized, Seq("cohort_day"))
+      .withColumn("ltv_cents",
+        round(col("cum_rev_cents").cast("double") / col("cohort_size"), 2))
   }
 }
 

@@ -250,6 +250,33 @@ object WindowQueries {
         FROM days d JOIN cohort c ON d.user_id = c.user_id
         GROUP BY 1, 2""")),
 
+    // ✚ cohort lifetime value (round 12): retention's revenue twin —
+    // integer cents, calendar-bounded cumulative window, one rounded
+    // division per row.
+    Q("events_ltv",
+      (s, d) => graft.operators.Funnel.cohortLtv(events(s, d), "user_id", "ts",
+        "value"),
+      Some("""WITH base AS (SELECT user_id,
+          epoch_us(ts) // 86400000000 AS day,
+          CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        cohort AS (SELECT user_id, min(day) AS cohort_day FROM base
+          GROUP BY user_id),
+        sized AS (SELECT cohort_day,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_size
+          FROM cohort GROUP BY 1),
+        per AS (SELECT c.cohort_day, b.day - c.cohort_day AS offset_days,
+            CAST(count(DISTINCT b.user_id) AS BIGINT) AS n_users,
+            CAST(sum(b.cents) AS BIGINT) AS rev_cents
+          FROM base b JOIN cohort c ON b.user_id = c.user_id
+          GROUP BY 1, 2),
+        cum AS (SELECT *, CAST(sum(rev_cents) OVER (PARTITION BY cohort_day
+            ORDER BY offset_days ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS cum_rev_cents FROM per)
+        SELECT cum.cohort_day, offset_days, n_users, rev_cents,
+          cum_rev_cents, s.cohort_size,
+          round(CAST(cum_rev_cents AS DOUBLE) / s.cohort_size, 2) AS ltv_cents
+        FROM cum JOIN sized s ON s.cohort_day = cum.cohort_day""")),
+
     Q("asof_events",
       (s, d) => {
         val e = events(s, d)

@@ -186,6 +186,30 @@ class AsOfSpec extends SparkSpec {
       (d0 + 1, 0L) -> 1L, (d0 + 1, 2L) -> 1L), r.toString)   // user 2
   }
 
+  test("cohortLtv: cumulative revenue per cohort head, exact cents") {
+    import graft.operators.Funnel
+    def ts(day: Int) = new java.sql.Timestamp(day * 86400000L)
+    // cohort day 0: users 1, 2 (user 2 silent after day 0);
+    // cohort day 1: user 3
+    val ev = Seq(
+      (1L, ts(0), 10.00), (2L, ts(0), 5.00),
+      (1L, ts(1), 2.50),
+      (3L, ts(1), 1.00), (3L, ts(3), 4.00)
+    ).toDF("user_id", "ts", "value")
+    val out = Funnel.cohortLtv(ev, "user_id", "ts", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    // cohort 0 offset 0: both users, 1500c; offset 1: user 1, 250c,
+    // cum 1750c, ltv = 1750/2 = 875.0
+    assert(out((0L, 0L)) == ((2L, 1500L, 1500L, 2L, 750.0)))
+    assert(out((0L, 1L)) == ((1L, 250L, 1750L, 2L, 875.0)))
+    // cohort 1: user 3 alone; offset 2 cum = 100 + 400
+    assert(out((1L, 0L)) == ((1L, 100L, 100L, 1L, 100.0)))
+    assert(out((1L, 2L)) == ((1L, 400L, 500L, 1L, 500.0)))
+    assert(out.size == 4)
+  }
+
   test("attribution: last vs first touch, lookback bound exact, equal-ts inclusive") {
     import graft.operators.Attribution
     def ts(us: Long) = new java.sql.Timestamp(us / 1000) // whole-ms fixtures
