@@ -151,16 +151,25 @@ object Pipeline {
     val cum = ab
       .withColumn("ca", sum(col("na")).over(w))
       .withColumn("cb", sum(col("nb")).over(w))
-    val tot = cum.agg(max(col("ca")).as("n_a"), max(col("cb")).as("n_b"))
-    cum.crossJoin(broadcast(tot))
-      .select(col("bucket"), col("n_a"), col("n_b"),
+    val tot = cum.agg(coalesce(max(col("ca")), lit(0L)).as("n_a"),
+      coalesce(max(col("cb")), lit(0L)).as("n_b"))
+    val best = cum.crossJoin(broadcast(tot))
+      .select(col("bucket"),
         abs(col("ca") * col("n_b") - col("cb") * col("n_a")).as("num"))
       .orderBy(col("num").desc, col("bucket").asc).limit(1)
+    // ALWAYS one row out (tot aggregates even over nothing), and a
+    // slice that VANISHED is a detection, not a clean bill: ks stays
+    // 0.0 (the statistic is undefined against an empty sample) but
+    // `drifted` forces true when exactly one side is empty — a total
+    // data loss must alarm the refresh pipeline, not pass it
+    // (code-review r12). Both-empty reports (0, 0, 0.0, false).
+    tot.join(best, lit(true), "left")
       .select(col("n_a"), col("n_b"), col("bucket").as("ks_bucket"),
         when(col("n_a") === 0 || col("n_b") === 0, lit(0.0))
           .otherwise(round(col("num").cast("double") /
             (col("n_a").cast("double") * col("n_b").cast("double")), 6)).as("ks"))
-      .withColumn("drifted", col("ks") > tau)
+      .withColumn("drifted",
+        ((col("n_a") === 0) =!= (col("n_b") === 0)) || col("ks") > tau)
   }
 
   /** T5/UL2-style SPAN-CORRUPTION pair generation: turn raw documents
@@ -819,9 +828,16 @@ object Pipeline {
       .select(col("t"),
         (log((col("c1") + 1.0) / (col("n1") + col("v"))) -
           log((col("c0") + 1.0) / (col("n0") + col("v")))).as("llr"))
+    // the documented both-classes-non-empty precondition fails LOUDLY
+    // at execution (a silent ln(n/0) → null would ripple null scores
+    // through every document and surface as an opaque NPE downstream)
     val prior = docs.agg(
-      log(sum(positive.cast("long")).cast("double") /
-        sum(lit(1L) - positive.cast("long"))).as("p"))
+      when(sum(positive.cast("long")) === 0 ||
+          sum(lit(1L) - positive.cast("long")) === 0,
+        raise_error(lit("nbClassifier needs BOTH classes non-empty " +
+          "(the prior is a log odds)")).cast("double"))
+        .otherwise(log(sum(positive.cast("long")).cast("double") /
+          sum(lit(1L) - positive.cast("long")))).as("p"))
     (model, prior)
   }
 

@@ -603,13 +603,28 @@ object Similarity {
       .sortBy(_._1).toSeq
     val cells = spark.read.parquet(s"$indexDir/cells")
     val idCol = cells.columns.filterNot(Set("v", "nv", "cell")).head
-    // query vectors: an id-pushed scan (query-sized result)
-    val q = cells.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("qid"), col("v").as("qv"), col("nv").as("qn"))
-      .select(col("qid"), col("qv"), col("qn"),
-        explode(ivfProbes(col("qv"), cents, nProbe)).as("cell"))
-    val probeCells = q.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).toSeq // ≤ queries × nProbe — config-sized
+    // query rows collect ONCE (config-sized by the sim_* queries
+    // contract) and probes compute DRIVER-side against the collected
+    // centroids — the first formulation evaluated the query subplan
+    // twice (once for the probe-cell collect, once inside the join),
+    // paying an extra full-index scan per serve (code-review r12)
+    val qRows = cells.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol), col("v"), col("nv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    def cosTo(v: Seq[Double], c: Seq[Double], nv: Double): Double = {
+      var d = 0.0; var i = 0
+      while (i < v.length) { d += v(i) * c(i); i += 1 }
+      d / (nv * normOf(c))
+    }
+    val probed = qRows.flatMap { case (qid, qv, qn) =>
+      cents.map { case (cid, cv) => (cid, qid, qv, qn, cosTo(qv, cv, qn)) }
+        .sortBy { case (cid, _, _, _, ccos) => (-ccos, cid) }
+        .take(nProbe)
+        .map { case (cid, id, v, n, _) => (cid, id, v, n) }
+    }
+    import spark.implicits._
+    val q = probed.toSeq.toDF("cell", "qid", "qv", "qn")
+    val probeCells = probed.map(_._1).distinct.toSeq
     val cand = capPerKey(
         cells.filter(col("cell").isin(probeCells: _*)), "cell", idCol, capPerCell)
       .join(broadcast(q), Seq("cell"))

@@ -24,13 +24,13 @@ object Attribution {
 
   def attribute(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, isTouch: Column, isConversion: Column,
-      lookbackUs: Long): DataFrame = {
+      lookbackUs: Long, typeCol: String = "event_type"): DataFrame = {
     require(lookbackUs > 0, "lookback must be positive")
     val rows = events.filter(isTouch || isConversion)
       .select(col(idCol), col(userCol),
         unix_micros(col(tsCol)).as("us"),
         isTouch.as("__touch"), isConversion.as("__conv"),
-        col("event_type").as("__ty"))
+        col(typeCol).as("__ty"))
     val w = Window.partitionBy(col(userCol)).orderBy(col("us"))
       .rangeBetween(-lookbackUs, 0)
     val touchS = when(col("__touch"),

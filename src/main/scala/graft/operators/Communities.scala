@@ -94,6 +94,12 @@ object Communities {
       star = ss
       it += 1
     }
+    // truncation is NOT silent: an unconverged exit would hand back
+    // split components with no signal (each round contracts forest
+    // height at least geometrically, so 50 rounds covers any real
+    // graph — hitting this means the star steps themselves regressed)
+    require(same || curCount == 0,
+      s"connected components did not converge within $maxIters rounds")
     star.select(col("c").as("n"), col("p").as("component"))
       .unionAll(star.select(col("p").as("n"), col("p").as("component")))
       .groupBy(col("n")).agg(min(col("component")).as("component"))

@@ -1567,6 +1567,7 @@ object LlmQueries {
           CASE WHEN n_a = 0 OR n_b = 0 THEN 0.0
             ELSE ROUND(CAST(num AS DOUBLE)
               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) END AS ks,
+          ((n_a = 0) <> (n_b = 0)) OR
           CASE WHEN n_a = 0 OR n_b = 0 THEN 0.0
             ELSE ROUND(CAST(num AS DOUBLE)
               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) END > 0.1 AS drifted

@@ -36,10 +36,11 @@ case class FunnelState(times: List[Long], pending: List[(Long, Long, Int)],
 case class FunnelAdvance(user_id: Long, stage: Int, ts_ms: Long)
 
 /** Per-user state for [[EventsStream.attributionStateful]]: the touch
-  * timeline as (ts ms, type, event_id) and the conversions still
-  * awaiting the watermark as (ts ms, event_id). */
+  * timeline as (ts ms, type, event_id), the conversions still awaiting
+  * the watermark as (ts ms, event_id), and the latest event time seen
+  * (the idle-TTL clock). */
 case class AttrState(touches: List[(Long, String, Long)],
-  pending: List[(Long, Long)])
+  pending: List[(Long, Long)], lastMs: Long)
 
 /** One attributed conversion from [[EventsStream.attributionStateful]]. */
 case class AttrOut(event_id: Long, user_id: Long, conv_ms: Long,
@@ -319,11 +320,18 @@ object EventsStream {
     val nRef = refCounts.sum
     val bucket = least(lit(nBuckets - 1), greatest(lit(0),
       floor((value.cast("long") - lo) / width).cast("int")))
+    // per-window aggregation state is LATTICE-sized (one conditional
+    // sum per bucket), never row-sized — a collect_list of bucket ids
+    // would hold one element per event in the state store, on exactly
+    // the high-volume streams a drift monitor watches (code-review r12)
+    val bucketSums = (0 until nBuckets).map(i =>
+      sum(when(bucket === i, 1L).otherwise(0L)).as(s"__b$i"))
     docs.withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), window_))
-      .agg(collect_list(bucket).as("__bs"), count(lit(1)).as("n"))
+      .agg(bucketSums.head, (bucketSums.tail :+ count(lit(1)).as("n")): _*)
+      .withColumn("__cnt", array((0 until nBuckets).map(i => col(s"__b$i")): _*))
       .withColumn("__cum", transform(sequence(lit(0), lit(nBuckets - 1)),
-        b => size(filter(col("__bs"), x => x <= b)).cast("long")))
+        b => aggregate(slice(col("__cnt"), lit(1), b + 1), lit(0L), (a, x) => a + x)))
       .withColumn("__num", aggregate(
         zip_with(col("__cum"),
           array(cumRef.map(lit): _*).cast("array<long>"),
@@ -698,16 +706,27 @@ object EventsStream {
     * inside its window again) plus the buffered conversions — the
     * lookback horizon IS the state bound, tighter than asof's
     * keep-one-before rule because attribution has no "latest prior
-    * ever" clause. Ties at equal ms break (ts, type, id) max for last
-    * / min for first — the batch struct order. */
+    * ever" clause — plus the funnelStateful IDLE TTL: user cardinality
+    * is corpus-scale, so a user who touches but never converts (the
+    * common case) must not hold state forever (code-review r12; the
+    * earlier form only set a timeout when conversions were pending).
+    * `idleTtlMs` must cover the lookback — then expiry can never drop
+    * a touch a future conversion could still credit (any conversion
+    * admitted after expiry has cts > lastMs + ttl ≥ lastMs + lookback,
+    * so its window excludes everything expired). Ties at equal ms
+    * break (ts, type, id) max for last / min for first — the batch
+    * struct order. */
   def attributionStateful(events: Dataset[EventRow], lookbackMs: Long,
-      watermark: String = "30 minutes"): Dataset[AttrOut] = {
+      watermark: String = "30 minutes",
+      idleTtlMs: Long = 30L * 24 * 3600 * 1000): Dataset[AttrOut] = {
     require(lookbackMs > 0, "lookback must be positive")
+    require(idleTtlMs >= lookbackMs,
+      "idle TTL must cover the lookback (expiry must not outrun attribution)")
     import events.sparkSession.implicits._
 
     def update(userId: Long, rows: Iterator[EventRow],
         state: GroupState[AttrState]): Iterator[AttrOut] = {
-      val st = state.getOption.getOrElse(AttrState(Nil, Nil))
+      val st = state.getOption.getOrElse(AttrState(Nil, Nil, 0L))
       val rs = rows.toSeq
       val touches = st.touches ++ rs
         .filter(r => r.event_type == "view" || r.event_type == "click")
@@ -726,11 +745,18 @@ object EventsStream {
           first.map(_._2), first.map(_._1), last.nonEmpty)
       }
       val keep = timeline.filter(_._1 >= wm - lookbackMs)
-      if (still.isEmpty && keep.isEmpty) state.remove()
+      val lastMs = (st.lastMs +: (touches.map(_._1) ++ pending.map(_._1))).max
+      val idleExpired = state.hasTimedOut && still.isEmpty &&
+        wm >= lastMs + idleTtlMs
+      if ((still.isEmpty && keep.isEmpty) || idleExpired) state.remove()
       else {
-        state.update(AttrState(keep, still))
-        if (still.nonEmpty)
-          state.setTimeoutTimestamp(math.max(still.map(_._1).min, wm + 1))
+        state.update(AttrState(keep, still, lastMs))
+        // earliest of: the pending flush point, the idle expiry —
+        // clamped above the watermark (the asofStateful discipline)
+        val next =
+          if (still.nonEmpty) math.min(still.map(_._1).min, lastMs + idleTtlMs)
+          else lastMs + idleTtlMs
+        state.setTimeoutTimestamp(math.max(next, wm + 1))
       }
       out.iterator
     }

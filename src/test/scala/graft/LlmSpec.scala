@@ -1988,6 +1988,16 @@ class LlmSpec extends SparkSpec {
     val full = (1 to 100).map(_ => 10L).toDF("v")
     assert(Pipeline.distributionDrift(half, full, $"v", 0L, 40L, 3, 0.1)
       .head().getDouble(3) == 0.0)
+    // a VANISHED slice is a detection, not a clean bill (review r12):
+    // one empty side forces drifted = true; both-empty reports the
+    // quiet (0, 0, 0.0, false) row rather than zero rows
+    val none = Seq.empty[Long].toDF("v")
+    val gone = Pipeline.distributionDrift(a, none, $"v", 0L, 40L, 3, 0.1).head()
+    assert(gone.getLong(0) == 200L && gone.getLong(1) == 0L &&
+      gone.getBoolean(4), gone.toString)
+    val both = Pipeline.distributionDrift(none, none, $"v", 0L, 40L, 3, 0.1).head()
+    assert((both.getLong(0), both.getLong(1), both.getDouble(3),
+      both.getBoolean(4)) == ((0L, 0L, 0.0, false)))
   }
 
   test("weightedSample: exact A-ES race replay, weight dominance, salt freshness") {
