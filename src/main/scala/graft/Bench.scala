@@ -58,6 +58,7 @@ object Bench {
     "pipeline_source_cap",
     "pipeline_sample_weighted",
     "pipeline_drift",
+    "pipeline_drift_categorical",
     "pipeline_span_corruption",
     "pipeline_fim",
     "pipeline_decon_report",

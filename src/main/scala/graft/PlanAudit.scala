@@ -278,10 +278,14 @@ object PlanAudit {
     Check("pipeline_span_corruption", "no shuffle at all", "!Exchange"),
     Check("pipeline_fim", "no explode anywhere", "!Generate"),
     Check("pipeline_fim", "no shuffle at all", "!Exchange"),
-    // the argmax sort runs over the config-sized bucket lattice only
-    // (post-aggregate), so CollectLimit-over-Sort is the bounded shape
-    Check("pipeline_drift", "argmax is a limit-1 over the bucket lattice",
-      "CollectLimit"),
+    // the argmax runs over the config-sized bucket lattice only
+    // (post-aggregate); the always-one-row rewrite (review r12) feeds
+    // it into the totals join, where it fuses back to TakeOrdered
+    Check("pipeline_drift", "argmax without total sort",
+      "TakeOrderedAndProject"),
+    Check("pipeline_drift_categorical", "category counts map-side combine",
+      "HashAggregate"),
+    Check("pipeline_drift_categorical", "no window anywhere", "!Window"),
     // bucketing serves from the compiled LM kernel (train once,
     // collect the config-sized model, score map-only — round 11): the
     // whole scoring plan is join-free; only the 1-row threshold bind

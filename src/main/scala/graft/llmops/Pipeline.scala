@@ -269,6 +269,41 @@ object Pipeline {
         .otherwise(array_join(tk, " ")).as("fim_text"))
   }
 
+  /** CATEGORICAL drift — [[distributionDrift]]'s twin for label-valued
+    * columns (language mix, source mix, predicted-class shares):
+    * TOTAL-VARIATION distance between two slices' category
+    * distributions, tvd = ½ Σ|pA(c) − pB(c)|. Same exactness
+    * discipline: per-category counts (map-side combinable) full-outer
+    * joined, the sum computed as Σ|cntA·N_B − cntB·N_A| INTEGERS with
+    * ONE division by 2·N_A·N_B at the end; same vanished-slice rule
+    * (one empty side forces `drifted`, both-empty reports the quiet
+    * zero row). The category set is the OBSERVED union — bounded by
+    * label cardinality, the trending argument. Returns one row
+    * (n_a, n_b, n_categories, tvd, drifted). */
+  def categoricalDrift(a: DataFrame, b: DataFrame, category: Column,
+      tau: Double): DataFrame = {
+    def counted(df: DataFrame) = df.select(category.cast("string").as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("n"))
+    val ab = counted(a).withColumnRenamed("n", "na")
+      .join(counted(b).withColumnRenamed("n", "nb"), Seq("c"), "full_outer")
+      .select(col("c"), coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val tot = ab.agg(coalesce(sum(col("na")), lit(0L)).as("n_a"),
+      coalesce(sum(col("nb")), lit(0L)).as("n_b"))
+    ab.crossJoin(broadcast(tot))
+      .agg(coalesce(first(col("n_a")), lit(0L)).as("n_a"),
+        coalesce(first(col("n_b")), lit(0L)).as("n_b"),
+        count(lit(1)).as("n_categories"),
+        coalesce(sum(abs(col("na") * col("n_b") - col("nb") * col("n_a"))),
+          lit(0L)).as("__num"))
+      .select(col("n_a"), col("n_b"), col("n_categories"),
+        when(col("n_a") === 0 || col("n_b") === 0, lit(0.0))
+          .otherwise(round(col("__num").cast("double") /
+            (lit(2.0) * col("n_a").cast("double") * col("n_b")), 6)).as("tvd"))
+      .withColumn("drifted",
+        ((col("n_a") === 0) =!= (col("n_b") === 0)) || col("tvd") > tau)
+  }
+
   /** Documents per prefix-sum block in the packers below. 2^16 ids per
     * block keeps the block-total table metadata-sized (a 100 B-doc
     * corpus yields ~1.5 M block rows — broadcastable) while bounding

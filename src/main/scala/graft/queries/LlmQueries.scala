@@ -1573,6 +1573,37 @@ object LlmQueries {
               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) END > 0.1 AS drifted
         FROM num""")),
 
+    // ✚ categorical drift (round 12): total-variation distance between
+    // src0's and src1's language mixes — integer cross-products, one
+    // division by 2·N_A·N_B.
+    Q("pipeline_drift_categorical",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Pipeline.categoricalDrift(docs.filter(col("source") === "src0"),
+          docs.filter(col("source") === "src1"), col("lang"), 0.1)
+      },
+      Some("""WITH ca AS (SELECT lang AS c, CAST(count(*) AS BIGINT) AS na
+          FROM documents WHERE source = 'src0' GROUP BY 1),
+        cb AS (SELECT lang AS c, CAST(count(*) AS BIGINT) AS nb
+          FROM documents WHERE source = 'src1' GROUP BY 1),
+        ab AS (SELECT COALESCE(ca.c, cb.c) AS c, COALESCE(na, 0) AS na,
+            COALESCE(nb, 0) AS nb
+          FROM ca FULL OUTER JOIN cb ON ca.c = cb.c),
+        tot AS (SELECT CAST(COALESCE(SUM(na), 0) AS BIGINT) AS n_a,
+            CAST(COALESCE(SUM(nb), 0) AS BIGINT) AS n_b FROM ab),
+        agg AS (SELECT n_a, n_b, CAST(count(*) AS BIGINT) AS n_categories,
+            CAST(COALESCE(SUM(ABS(na * n_b - nb * n_a)), 0) AS BIGINT) AS num
+          FROM ab, tot GROUP BY n_a, n_b)
+        SELECT n_a, n_b, n_categories,
+          CASE WHEN n_a = 0 OR n_b = 0 THEN 0.0
+            ELSE ROUND(CAST(num AS DOUBLE)
+              / (2.0 * CAST(n_a AS DOUBLE) * n_b), 6) END AS tvd,
+          ((n_a = 0) <> (n_b = 0)) OR
+          CASE WHEN n_a = 0 OR n_b = 0 THEN 0.0
+            ELSE ROUND(CAST(num AS DOUBLE)
+              / (2.0 * CAST(n_a AS DOUBLE) * n_b), 6) END > 0.1 AS drifted
+        FROM agg""")),
+
     // ✚ weighted sampling (round 12): A-ES exponential race — the n=64
     // largest ln(u)/w keys are an exact length-proportional
     // without-replacement sample; map-only + TakeOrdered.

@@ -2000,6 +2000,29 @@ class LlmSpec extends SparkSpec {
       both.getBoolean(4)) == ((0L, 0L, 0.0, false)))
   }
 
+  test("categoricalDrift: exact TVD, disjoint = 1, identical = 0, vanished flags") {
+    val a = (Seq.fill(60)("en") ++ Seq.fill(40)("fr")).toDF("lang")
+    val bsame = (Seq.fill(30)("en") ++ Seq.fill(20)("fr")).toDF("lang")
+    val bshift = (Seq.fill(20)("en") ++ Seq.fill(80)("de")).toDF("lang")
+    // identical shares at different sizes: tvd exactly 0
+    val same = Pipeline.categoricalDrift(a, bsame, $"lang", 0.1).head()
+    assert((same.getLong(0), same.getLong(1), same.getLong(2),
+      same.getDouble(3), same.getBoolean(4)) == ((100L, 50L, 2L, 0.0, false)))
+    // shifted: p_A = (.6, .4, 0), p_B = (.2, 0, .8) → tvd = ½(0.4+0.4+0.8) = 0.8
+    val moved = Pipeline.categoricalDrift(a, bshift, $"lang", 0.1).head()
+    assert(moved.getLong(2) == 3L && moved.getDouble(3) == 0.8 &&
+      moved.getBoolean(4), moved.toString)
+    // fully disjoint categories: tvd = 1
+    val z = (1 to 10).map(_ => "zh").toDF("lang")
+    assert(Pipeline.categoricalDrift(a, z, $"lang", 0.1).head().getDouble(3) == 1.0)
+    // vanished slice flags; both-empty reports the quiet zero row
+    val none = Seq.empty[String].toDF("lang")
+    assert(Pipeline.categoricalDrift(a, none, $"lang", 0.1).head().getBoolean(4))
+    val both = Pipeline.categoricalDrift(none, none, $"lang", 0.1).head()
+    assert((both.getLong(0), both.getLong(1), both.getDouble(3),
+      both.getBoolean(4)) == ((0L, 0L, 0.0, false)))
+  }
+
   test("weightedSample: exact A-ES race replay, weight dominance, salt freshness") {
     val docs = (1L to 400L).map(i => (i, if (i == 7L) 100000L else 1L))
       .toDF("doc_id", "w")
