@@ -31,6 +31,7 @@ object Bench {
     "dedup_minhash",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_containment",
     "dedup_incremental",
     "dedup_embedding_lsh",
     "dedup_semantic",

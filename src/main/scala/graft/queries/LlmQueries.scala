@@ -326,6 +326,32 @@ object LlmQueries {
         FROM pairs JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
         WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.22""")),
 
+    // ✚ containment pairs (round 12): Broder's OTHER similarity —
+    // containment c(d1→d2) = |S1 ∩ S2|/|S1| catches a small doc
+    // embedded in a big one, which resemblance (Jaccard) dilutes
+    // toward 0; same df-capped shingle machinery, two extra rounded
+    // divisions per surviving pair.
+    Q("dedup_containment",
+      (s, d) => Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 3)
+        .select(col("d1"), col("d2"), col("inter"), col("sz1"), col("sz2"),
+          round(col("inter") / col("sz1"), 6).as("c1"),
+          round(col("inter") / col("sz2"), 6).as("c2"))
+        .filter(greatest(col("c1"), col("c2")) >= 0.5),
+      Some(s"""WITH sh0 AS (SELECT DISTINCT doc_id, ${sqlMd5Hash32("sh")} AS sh
+          FROM ($sqlShingles3) raw),
+        sh AS (SELECT doc_id, sh FROM (SELECT doc_id, sh,
+            count(*) OVER (PARTITION BY sh) AS df FROM sh0) f
+          WHERE df <= ${Dedup.JaccardMaxDf}),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        sc AS (SELECT d1, d2, inter, sa.sz AS sz1, sb.sz AS sz2,
+            ROUND(inter / CAST(sa.sz AS DOUBLE), 6) AS c1,
+            ROUND(inter / CAST(sb.sz AS DOUBLE), 6) AS c2
+          FROM pairs JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2)
+        SELECT * FROM sc WHERE GREATEST(c1, c2) >= 0.5""")),
+
     // benchmark decontamination (Pipeline.decontaminate): corpus docs
     // sharing any 8-gram with the held-out source (src0 stands in for
     // the benchmark) are flagged — one semi-join on the shingle hash

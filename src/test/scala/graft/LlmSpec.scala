@@ -2000,6 +2000,28 @@ class LlmSpec extends SparkSpec {
       both.getBoolean(4)) == ((0L, 0L, 0.0, false)))
   }
 
+  test("containment catches an embedded doc that Jaccard dilutes away") {
+    // doc 2 is a verbatim SLICE of doc 1 (plus nothing): containment
+    // c2→1 is 1.0 while Jaccard is small because doc 1 is much larger
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")
+    val small = (10 to 17).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, small), (3L, "x y z q r s t u v")).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3)
+      .select($"d1", $"d2", $"inter", $"sz1", $"sz2",
+        round($"inter" / $"sz1", 6).as("c1"),
+        round($"inter" / $"sz2", 6).as("c2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    val (inter, sz1, sz2, c1, c2) = pairs((1L, 2L))
+    // every one of the small doc's shingles appears in the big doc
+    assert(c2 == 1.0 && inter == sz2, pairs.toString)
+    // resemblance on the same pair is far below any dedup threshold
+    assert(inter.toDouble / (sz1 + sz2 - inter) < 0.15)
+    // disjoint docs never pair
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
   test("categoricalDrift: exact TVD, disjoint = 1, identical = 0, vanished flags") {
     val a = (Seq.fill(60)("en") ++ Seq.fill(40)("fr")).toDF("lang")
     val bsame = (Seq.fill(30)("en") ++ Seq.fill(20)("fr")).toDF("lang")
