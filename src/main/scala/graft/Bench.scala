@@ -60,6 +60,7 @@ object Bench {
     "pipeline_sample_weighted",
     "pipeline_drift",
     "pipeline_drift_categorical",
+    "pipeline_epochs",
     "pipeline_span_corruption",
     "pipeline_fim",
     "pipeline_decon_report",

@@ -289,6 +289,8 @@ object PlanAudit {
     // containment rides the same df-capped shingle machinery as the
     // jaccard pair join — never a window over the shingle key
     Check("dedup_containment", "no window over the shingle key", "!Window"),
+    Check("pipeline_epochs", "source masses map-side combine", "HashAggregate"),
+    Check("pipeline_epochs", "no window anywhere", "!Window"),
     // bucketing serves from the compiled LM kernel (train once,
     // collect the config-sized model, score map-only — round 11): the
     // whole scoring plan is join-free; only the 1-row threshold bind

@@ -304,6 +304,43 @@ object Pipeline {
         ((col("n_a") === 0) =!= (col("n_b") === 0)) || col("tvd") > tau)
   }
 
+  /** Data-REPETITION planner — the data-constrained-scaling decision:
+    * given integer mixture weights (parts) and a total token budget,
+    * how many EPOCHS of each source does the mix demand? A source
+    * whose share exceeds its mass repeats (epochs > 1, the
+    * repeated-data regime worth flagging); one with surplus
+    * subsamples (epochs < 1, [[stratifiedSample]] / [[sourceCap]]
+    * territory).
+    *
+    * Exactness: per-source token masses are ONE map-side-combinable
+    * aggregate; the part table rides as literals (config-sized);
+    * targets are integer `budget·part DIV Σparts` over the OBSERVED
+    * sources' parts (absent sources claim no share — the mixRates
+    * visibility rule applies to the caller's part map, not here); the
+    * only float is the final round(target/mass, 4) per row. Returns
+    * (source, n_tokens, part, target_tokens, epochs, repeats). */
+  def epochsPlan(docs: DataFrame, sourceCol: String, textCol: String,
+      parts: Map[String, Long], defaultPart: Long, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "token budget must be positive")
+    require(defaultPart >= 0 && parts.values.forall(_ >= 0), "parts are non-negative")
+    val mass = docs.select(col(sourceCol).as("source"),
+        size(filter(TextOps.tokens(col(textCol)), t => t =!= ""))
+          .cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("part", parts.toSeq.sortBy(_._1).foldLeft(lit(defaultPart)) {
+        case (acc, (s, p)) => when(col("source") === s, lit(p)).otherwise(acc)
+      })
+    val tot = mass.agg(sum(col("part")).as("total_parts"))
+    mass.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("part"),
+        expr(s"CAST($budgetTokens AS BIGINT) * part DIV total_parts")
+          .as("target_tokens"))
+      .withColumn("epochs",
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(round(col("target_tokens").cast("double") / col("n_tokens"), 4)))
+      .withColumn("repeats", coalesce(col("epochs") > 1.0, lit(false)))
+  }
+
   /** Documents per prefix-sum block in the packers below. 2^16 ids per
     * block keeps the block-total table metadata-sized (a 100 B-doc
     * corpus yields ~1.5 M block rows — broadcastable) while bounding

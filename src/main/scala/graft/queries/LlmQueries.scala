@@ -1630,6 +1630,28 @@ object LlmQueries {
               / (2.0 * CAST(n_a AS DOUBLE) * n_b), 6) END > 0.1 AS drifted
         FROM agg""")),
 
+    // ✚ data-repetition planner (round 12): epochs per source under a
+    // 3-1-…-1 mix and a 1M-token budget — integer masses, integer
+    // DIV targets, one rounded division per row.
+    Q("pipeline_epochs",
+      (s, d) => Pipeline.epochsPlan(t(s, d, "documents"), "source", "text",
+        Map("src0" -> 3L), 1L, 1000000L),
+      Some("""WITH mass AS (SELECT source,
+          CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> '')))
+            AS BIGINT) AS n_tokens,
+          CAST(CASE WHEN source = 'src0' THEN 3 ELSE 1 END AS BIGINT) AS part
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(SUM(part) AS BIGINT) AS total_parts FROM mass)
+        SELECT source, n_tokens, part,
+          CAST(1000000 * part // total_parts AS BIGINT) AS target_tokens,
+          CASE WHEN n_tokens = 0 THEN NULL
+            ELSE ROUND(CAST(1000000 * part // total_parts AS DOUBLE)
+              / n_tokens, 4) END AS epochs,
+          COALESCE(CASE WHEN n_tokens = 0 THEN NULL
+            ELSE ROUND(CAST(1000000 * part // total_parts AS DOUBLE)
+              / n_tokens, 4) END > 1.0, FALSE) AS repeats
+        FROM mass, tot""")),
+
     // ✚ weighted sampling (round 12): A-ES exponential race — the n=64
     // largest ln(u)/w keys are an exact length-proportional
     // without-replacement sample; map-only + TakeOrdered.

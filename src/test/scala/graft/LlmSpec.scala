@@ -2022,6 +2022,31 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("epochsPlan: integer targets, repeat flag, empty-source null epochs") {
+    val docs = Seq(
+      (1L, "srcA", "a b c d e f g h i j"),  // srcA: 10 tokens
+      (2L, "srcB", "a b c d e"), (3L, "srcB", "a b c d e"), // srcB: 10
+      (4L, "srcC", "")).toDF("doc_id", "source", "text") // srcC: 0
+    // parts: A=3, default 1; budget 100 → total parts 5 (3+1+1)
+    val out = Pipeline.epochsPlan(docs, "source", "text",
+        Map("srcA" -> 3L), 1L, 100L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]), r.getBoolean(5)))).toMap
+    // A: target 100·3 DIV 5 = 60 over 10 tokens → 6 epochs, repeats
+    assert(out("srcA") == ((10L, 3L, 60L, Some(6.0), true)))
+    // B: target 20 over 10 → 2 epochs, repeats
+    assert(out("srcB") == ((10L, 1L, 20L, Some(2.0), true)))
+    // C: zero mass → null epochs, repeats false (not an alarm — a
+    // zero-mass source cannot repeat, it simply cannot serve its share)
+    assert(out("srcC") == ((0L, 1L, 20L, None, false)))
+    // subsample regime: huge corpus, tiny budget → epochs < 1
+    val sub = Pipeline.epochsPlan(docs.filter($"source" === "srcA"),
+        "source", "text", Map.empty, 1L, 5L)
+      .head()
+    assert(sub.getDouble(4) == 0.5 && !sub.getBoolean(5))
+  }
+
   test("categoricalDrift: exact TVD, disjoint = 1, identical = 0, vanished flags") {
     val a = (Seq.fill(60)("en") ++ Seq.fill(40)("fr")).toDF("lang")
     val bsame = (Seq.fill(30)("en") ++ Seq.fill(20)("fr")).toDF("lang")
