@@ -61,6 +61,7 @@ object Bench {
     "pipeline_drift",
     "pipeline_drift_categorical",
     "pipeline_epochs",
+    "pipeline_canary_check",
     "pipeline_span_corruption",
     "pipeline_fim",
     "pipeline_decon_report",

@@ -291,6 +291,10 @@ object PlanAudit {
     Check("dedup_containment", "no window over the shingle key", "!Window"),
     Check("pipeline_epochs", "source masses map-side combine", "HashAggregate"),
     Check("pipeline_epochs", "no window anywhere", "!Window"),
+    Check("pipeline_canary_check", "detection is one partial aggregate",
+      "HashAggregate"),
+    Check("pipeline_canary_check", "no join against a canary table",
+      "!SortMergeJoin"),
     // bucketing serves from the compiled LM kernel (train once,
     // collect the config-sized model, score map-only — round 11): the
     // whole scoring plan is join-free; only the 1-row threshold bind

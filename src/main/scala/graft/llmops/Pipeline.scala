@@ -341,6 +341,54 @@ object Pipeline {
       .withColumn("repeats", coalesce(col("epochs") > 1.0, lit(false)))
   }
 
+  /** Eval-integrity CANARIES — the contamination-testing primitive:
+    * plant deterministic unique strings in a corpus, run the pipeline,
+    * then ask which survived into the output (a canary in a training
+    * shard proves the decontamination/dedup path leaks; one missing
+    * from a supposedly-lossless transform proves data loss). Canary
+    * strings derive from salted md5 (regenerable anywhere, including
+    * the SQL oracle — no stored registry needed). */
+  def canaryStrings(n: Int, salt: String): Seq[String] = {
+    require(n >= 1, "need at least one canary")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until n).map { i =>
+      md.reset()
+      "canary-" + md.digest(s"$salt$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(24)
+    }
+  }
+
+  /** Union `n` canary documents into the corpus (ids from `idBase`,
+    * one canary string per doc, a dedicated source label). Map-only. */
+  def insertCanaries(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, n: Int, salt: String, idBase: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val canaries = canaryStrings(n, salt).zipWithIndex
+      .map { case (cs, i) => (idBase + i, cs, "__canary") }
+      .toDF(idCol, textCol, sourceCol)
+    docs.select(col(idCol), col(textCol), col(sourceCol)).unionByName(canaries)
+  }
+
+  /** Detect which canaries appear anywhere in the corpus: ONE
+    * aggregate — per canary a `max(contains)` partial (map-side
+    * combinable boolean), the summary derived from the 1-row result.
+    * O(docs × n) substring probes, n config-sized by contract.
+    * Returns one row (n_canaries, n_detected, all_present). */
+  def detectCanaries(docs: DataFrame, textCol: String, n: Int,
+      salt: String): DataFrame = {
+    val cs = canaryStrings(n, salt)
+    val hits = cs.zipWithIndex.map { case (c, i) =>
+      max(col(textCol).contains(c)).as(s"__c$i")
+    }
+    docs.agg(hits.head, hits.tail: _*)
+      .select(lit(n.toLong).as("n_canaries"),
+        size(filter(array((0 until n).map(i =>
+            coalesce(col(s"__c$i"), lit(false))): _*), x => x))
+          .cast("long").as("n_detected"))
+      .withColumn("all_present", col("n_detected") === col("n_canaries"))
+  }
+
   /** Documents per prefix-sum block in the packers below. 2^16 ids per
     * block keeps the block-total table metadata-sized (a 100 B-doc
     * corpus yields ~1.5 M block rows — broadcastable) while bounding

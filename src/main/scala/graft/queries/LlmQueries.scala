@@ -1630,6 +1630,24 @@ object LlmQueries {
               / (2.0 * CAST(n_a AS DOUBLE) * n_b), 6) END > 0.1 AS drifted
         FROM agg""")),
 
+    // ✚ eval-integrity canaries (round 12): plant 8 salted-md5 canary
+    // docs, detect them back — one max(contains) aggregate; the oracle
+    // regenerates the same strings from the same md5.
+    Q("pipeline_canary_check",
+      (s, d) => Pipeline.detectCanaries(
+        Pipeline.insertCanaries(t(s, d, "documents"), "doc_id", "text",
+          "source", 8, "graft_cn_", 1000000L),
+        "text", 8, "graft_cn_"),
+      Some("""WITH c AS (SELECT 'canary-' ||
+          substr(md5('graft_cn_' || CAST(i AS VARCHAR)), 1, 24) AS cs
+          FROM generate_series(0, 7) t(i)),
+        corpus AS (SELECT text FROM documents UNION ALL SELECT cs FROM c),
+        hits AS (SELECT cs FROM c
+          WHERE EXISTS (SELECT 1 FROM corpus WHERE contains(corpus.text, c.cs)))
+        SELECT CAST(8 AS BIGINT) AS n_canaries,
+          CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_detected,
+          (SELECT count(*) FROM hits) = 8 AS all_present""")),
+
     // ✚ data-repetition planner (round 12): epochs per source under a
     // 3-1-…-1 mix and a 1M-token budget — integer masses, integer
     // DIV targets, one rounded division per row.

@@ -2022,6 +2022,32 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("canaries: round-trip through insert, vanish under dedup-style drops") {
+    val docs = Seq((1L, "plain text here", "srcA")).toDF("doc_id", "text", "source")
+    // raw corpus carries no canaries
+    val clean = Pipeline.detectCanaries(docs, "text", 4, "ct_").head()
+    assert((clean.getLong(0), clean.getLong(1), clean.getBoolean(2)) ==
+      ((4L, 0L, false)))
+    // inserted corpus detects all of them
+    val planted = Pipeline.insertCanaries(docs, "doc_id", "text", "source",
+      4, "ct_", 100L)
+    assert(planted.count() == 5)
+    val full = Pipeline.detectCanaries(planted, "text", 4, "ct_").head()
+    assert((full.getLong(1), full.getBoolean(2)) == ((4L, true)))
+    // a pipeline stage that DROPS canary docs is caught: filter one out
+    val leakyFixed = planted.filter($"doc_id" =!= 100L)
+    val partial = Pipeline.detectCanaries(leakyFixed, "text", 4, "ct_").head()
+    assert((partial.getLong(1), partial.getBoolean(2)) == ((3L, false)))
+    // strings are salt-deterministic and regenerable
+    assert(Pipeline.canaryStrings(4, "ct_") == Pipeline.canaryStrings(4, "ct_"))
+    assert(Pipeline.canaryStrings(4, "ct_") != Pipeline.canaryStrings(4, "other_"))
+    assert(Pipeline.canaryStrings(4, "ct_").forall(_.startsWith("canary-")))
+    // empty corpus: zero detected, never a null row
+    val none = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    val z = Pipeline.detectCanaries(none, "text", 4, "ct_").head()
+    assert((z.getLong(1), z.getBoolean(2)) == ((0L, false)))
+  }
+
   test("epochsPlan: integer targets, repeat flag, empty-source null epochs") {
     val docs = Seq(
       (1L, "srcA", "a b c d e f g h i j"),  // srcA: 10 tokens
