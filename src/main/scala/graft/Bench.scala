@@ -62,6 +62,7 @@ object Bench {
     "pipeline_drift_categorical",
     "pipeline_epochs",
     "pipeline_canary_check",
+    "pipeline_drift_psi",
     "pipeline_span_corruption",
     "pipeline_fim",
     "pipeline_decon_report",

@@ -295,6 +295,8 @@ object PlanAudit {
       "HashAggregate"),
     Check("pipeline_canary_check", "no join against a canary table",
       "!SortMergeJoin"),
+    Check("pipeline_drift_psi", "bucket counts map-side combine", "HashAggregate"),
+    Check("pipeline_drift_psi", "no window anywhere", "!Window"),
     // bucketing serves from the compiled LM kernel (train once,
     // collect the config-sized model, score map-only — round 11): the
     // whole scoring plan is join-free; only the 1-row threshold bind

@@ -389,6 +389,52 @@ object Pipeline {
       .withColumn("all_present", col("n_detected") === col("n_canaries"))
   }
 
+  /** POPULATION STABILITY INDEX — the third drift lens beside
+    * [[distributionDrift]] (KS: max CDF gap, tail-sensitive) and
+    * [[categoricalDrift]] (TVD: mass moved): psi = Σ (pA−pB)·ln(pA/pB)
+    * over the same integer bucket lattice, the score-monitoring
+    * industry's standard alarm (rule of thumb: > 0.2 = significant
+    * shift). Buckets and counts follow the KS twin exactly; empty
+    * buckets take the standard ε = 1e-6 floor on each proportion
+    * (ln of a zero share is undefined — the floor is part of the
+    * metric's definition, mirrored verbatim in the oracle). The
+    * per-bucket terms are float (ln), summed over the ≤ nBuckets
+    * lattice and rounded 6dp — the lmScore ulp rule at 20-term scale.
+    * Same vanished-slice alarm semantics. Returns one row
+    * (n_a, n_b, psi, drifted). */
+  def psiDrift(a: DataFrame, b: DataFrame, value: Column,
+      lo: Long, width: Long, nBuckets: Int, tau: Double): DataFrame = {
+    require(nBuckets >= 1 && width >= 1, "need a positive bucket lattice")
+    def bucketed(df: DataFrame) = df.select(
+        least(lit(nBuckets - 1), greatest(lit(0),
+          floor((value.cast("long") - lo) / width).cast("int"))).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val ab = bucketed(a).withColumnRenamed("n", "na")
+      .join(bucketed(b).withColumnRenamed("n", "nb"), Seq("bucket"), "full_outer")
+      .select(coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val tot = ab.agg(coalesce(sum(col("na")), lit(0L)).as("n_a"),
+      coalesce(sum(col("nb")), lit(0L)).as("n_b"))
+    val eps = 1e-6
+    // the ln branch runs ONLY when both sides are populated (a /0
+    // share would ride through as Infinity, not null); empty sides
+    // take the vanished-slice row — exactly one row out either way
+    val scored = ab.crossJoin(broadcast(tot))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("n_a"), col("n_b"),
+        (greatest(col("na").cast("double") / col("n_a"), lit(eps)) -
+          greatest(col("nb").cast("double") / col("n_b"), lit(eps))).as("__d"),
+        log(greatest(col("na").cast("double") / col("n_a"), lit(eps)) /
+          greatest(col("nb").cast("double") / col("n_b"), lit(eps))).as("__l"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(round(sum(col("__d") * col("__l")), 6).as("psi"))
+    scored
+      .unionByName(tot.select(col("n_a"), col("n_b"), lit(0.0).as("psi"))
+        .filter(col("n_a") === 0 || col("n_b") === 0))
+      .withColumn("drifted",
+        ((col("n_a") === 0) =!= (col("n_b") === 0)) || col("psi") > tau)
+  }
+
   /** Documents per prefix-sum block in the packers below. 2^16 ids per
     * block keeps the block-total table metadata-sized (a 100 B-doc
     * corpus yields ~1.5 M block rows — broadcastable) while bounding

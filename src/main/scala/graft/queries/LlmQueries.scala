@@ -1630,6 +1630,39 @@ object LlmQueries {
               / (2.0 * CAST(n_a AS DOUBLE) * n_b), 6) END > 0.1 AS drifted
         FROM agg""")),
 
+    // ✚ PSI drift (round 12): the score-monitoring industry's standard
+    // alarm beside KS and TVD — src0-vs-src1 doc lengths on the same
+    // integer lattice, eps-floored shares, round-6 ulp rule.
+    Q("pipeline_drift_psi",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Pipeline.psiDrift(docs.filter(col("source") === "src0"),
+          docs.filter(col("source") === "src1"), col("n_chars"),
+          0L, 32L, 20, 0.2)
+      },
+      Some("""WITH ba AS (SELECT LEAST(19, GREATEST(0,
+            CAST(FLOOR((CAST(n_chars AS BIGINT) - 0) / 32) AS INTEGER))) AS bucket,
+            CAST(count(*) AS BIGINT) AS na
+          FROM documents WHERE source = 'src0' GROUP BY 1),
+        bb AS (SELECT LEAST(19, GREATEST(0,
+            CAST(FLOOR((CAST(n_chars AS BIGINT) - 0) / 32) AS INTEGER))) AS bucket,
+            CAST(count(*) AS BIGINT) AS nb
+          FROM documents WHERE source = 'src1' GROUP BY 1),
+        ab AS (SELECT COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+          FROM ba FULL OUTER JOIN bb ON ba.bucket = bb.bucket),
+        tot AS (SELECT CAST(COALESCE(SUM(na), 0) AS BIGINT) AS n_a,
+            CAST(COALESCE(SUM(nb), 0) AS BIGINT) AS n_b FROM ab),
+        terms AS (SELECT n_a, n_b,
+            (GREATEST(CAST(na AS DOUBLE) / n_a, 1e-6)
+              - GREATEST(CAST(nb AS DOUBLE) / n_b, 1e-6)) AS d,
+            ln(GREATEST(CAST(na AS DOUBLE) / n_a, 1e-6)
+              / GREATEST(CAST(nb AS DOUBLE) / n_b, 1e-6)) AS l
+          FROM ab, tot WHERE n_a > 0 AND n_b > 0),
+        agg AS (SELECT n_a, n_b, ROUND(SUM(d * l), 6) AS psi
+          FROM terms GROUP BY n_a, n_b)
+        SELECT n_a, n_b, psi,
+          ((n_a = 0) <> (n_b = 0)) OR psi > 0.2 AS drifted FROM agg""")),
+
     // ✚ eval-integrity canaries (round 12): plant 8 salted-md5 canary
     // docs, detect them back — one max(contains) aggregate; the oracle
     // regenerates the same strings from the same md5.

@@ -2022,6 +2022,31 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("psiDrift: zero on identical shares, symmetric-ish shift detected, vanished flags") {
+    val a = ((1 to 100).map(_ => 10L) ++ (1 to 100).map(_ => 50L)).toDF("v")
+    // identical distributions at different sizes: every term's d = 0
+    val half = ((1 to 50).map(_ => 10L) ++ (1 to 50).map(_ => 50L)).toDF("v")
+    val same = Pipeline.psiDrift(a, half, $"v", 0L, 40L, 3, 0.2).head()
+    assert((same.getLong(0), same.getLong(1), same.getDouble(2),
+      same.getBoolean(3)) == ((200L, 100L, 0.0, false)))
+    // a planted shift alarms: half the mass moves to a new bucket —
+    // hand-computed psi = 0.5·ln(0.5/1e-6) + 0.5·ln(0.5/1e-6) scale
+    val moved = ((1 to 100).map(_ => 10L) ++ (1 to 100).map(_ => 90L)).toDF("v")
+    val m = Pipeline.psiDrift(a, moved, $"v", 0L, 40L, 3, 0.2).head()
+    val pexp = { // exact driver-side replay of the eps-floored formula
+      val pa = Seq(0.5, 0.5, 1e-6); val pb = Seq(0.5, 1e-6, 0.5)
+      math.rint(pa.zip(pb).map { case (x, y) =>
+        (x - y) * math.log(x / y) }.sum * 1e6) / 1e6
+    }
+    assert(m.getDouble(2) == pexp && m.getBoolean(3), m.toString)
+    // vanished slice flags; both-empty reports the quiet zero row
+    val none = Seq.empty[Long].toDF("v")
+    assert(Pipeline.psiDrift(a, none, $"v", 0L, 40L, 3, 0.2).head().getBoolean(3))
+    val both = Pipeline.psiDrift(none, none, $"v", 0L, 40L, 3, 0.2).head()
+    assert((both.getLong(0), both.getLong(1), both.getDouble(2),
+      both.getBoolean(3)) == ((0L, 0L, 0.0, false)))
+  }
+
   test("canaries: round-trip through insert, vanish under dedup-style drops") {
     val docs = Seq((1L, "plain text here", "srcA")).toDF("doc_id", "text", "source")
     // raw corpus carries no canaries
