@@ -61,12 +61,37 @@ object PipelineE2E {
       out
     }
 
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val nIn = docs.count()
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
 
     // eval set for decontamination: a deterministic 1%% hash slice
     // (the benchmark stand-in; build the bitmap from it ONCE)
-    val benchmark = docs.filter(Pipeline.samplePct(col("doc_id"), "e2e_bench") < 1)
+    val benchmark = raw.filter(Pipeline.samplePct(col("doc_id"), "e2e_bench") < 1)
+
+    // EVAL-INTEGRITY CANARIES (round 12): plant two kinds before the
+    // pipeline runs — 8 CLEAN canaries (unique 8-token docs; the
+    // scrub/dedup/decon stages must NOT false-positive them away) and
+    // 8 LEAK canaries (verbatim benchmark text + a canary marker; the
+    // pipeline MUST catch them — at the span scrub, the near-dup
+    // stage, or the bloom decon, any of which is a correct catch).
+    val cleanSalt = "e2e_canary_clean_"
+    val leakSalt = "e2e_canary_leak_"
+    import spark.implicits._
+    val idMax = raw.agg(max(col("doc_id"))).head.getLong(0)
+    val cleanCanaries = Pipeline.canaryStrings(64, cleanSalt).grouped(8).toSeq
+      .zipWithIndex.map { case (g, i) => (idMax + 1 + i, g.mkString(" "), "en", "__canary") }
+      .toDF("doc_id", "text", "lang", "source")
+    val leakTexts = benchmark.select(col("text")).limit(8)
+      .collect().map(_.getString(0))
+    val leakMarkers = Pipeline.canaryStrings(8, leakSalt)
+    val leakCanaries = leakTexts.zip(leakMarkers).zipWithIndex
+      .map { case ((t, m), i) => (idMax + 100 + i, s"$t $m", "en", "__canary") }
+      .toSeq.toDF("doc_id", "text", "lang", "source")
+    def nCanaries(df: DataFrame, salt: String, n: Int): Long =
+      Pipeline.detectCanaries(df, "text", n, salt).head.getLong(1)
+    val docs = raw.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .unionByName(cleanCanaries).unionByName(leakCanaries)
+      .localCheckpoint(true)
+    val nIn = docs.count()
 
     // 1. quality gate: rule-based keep/drop, map-only
     val gated = stage("gate", {
@@ -131,6 +156,30 @@ object PipelineE2E {
     println(line); acc += line
 
     require(exported == packed.count(), "export lost rows")
+
+    // canary + contamination verdicts. The HARD check is direct: no
+    // exported doc may share an 8-gram with the benchmark (the exact
+    // decontaminate probe over the export itself). The leak-canary
+    // MARKER count is informational, not an invariant — the first run
+    // of this harness caught exactly why: the span scrub CUTS the
+    // duplicated benchmark text out of a leak doc, leaving a sanitized
+    // husk whose marker legitimately survives while its benchmark
+    // content is gone. Markers track the husks; the shingle probe
+    // tracks the contamination.
+    val export = spark.read.json(outDir).withColumn("doc_id", col("doc_id").cast("long"))
+    val contaminated = Pipeline.decontaminate(export, benchmark, "doc_id", "text", 8).count()
+    require(contaminated == 0,
+      s"$contaminated exported docs still share an 8-gram with the benchmark")
+    val leakHusks = nCanaries(export, leakSalt, 8)
+    val cleanAtDecon = nCanaries(cleaned, cleanSalt, 64)
+    require(cleanAtDecon == 64,
+      s"only $cleanAtDecon/64 clean canary strings survived to decon")
+    val cleanOut = nCanaries(export, cleanSalt, 64)
+    val canaryLine = s"""{"stage":"canary_verdict","contaminated_in_export":$contaminated,""" +
+      s""""leak_husks_in_export":$leakHusks,"clean_at_decon":$cleanAtDecon,""" +
+      s""""clean_in_export":$cleanOut}"""
+    println(canaryLine); acc += canaryLine
+
     val totalSec = (System.nanoTime() - t0) / 1e9
     println(f"""{"probe":"pipeline_e2e","docs_in":$nIn,"docs_out":$exported,"total_sec":$totalSec%.1f,"stages":[${acc.result().mkString(",")}]}""")
     graft.load.Store.tryDeleteRecursively(java.nio.file.Paths.get(outDir))
