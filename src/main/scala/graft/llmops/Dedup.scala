@@ -476,7 +476,7 @@ object Dedup {
     * windows into islands, cut the covered tokens, re-join. Doc-sized
     * window partitions + a per-row HOF against the doc's own
     * config-sized span list — nothing here scales past a document. */
-  private def cutFlagged(docs: DataFrame, flagged: DataFrame, idCol: String,
+  private[llmops] def cutFlagged(docs: DataFrame, flagged: DataFrame, idCol: String,
       textCol: String, windowTokens: Int): DataFrame = {
     val tk = TextOps.tokens(col(textCol))
     val wd = org.apache.spark.sql.expressions.Window

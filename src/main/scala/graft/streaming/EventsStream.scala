@@ -217,6 +217,92 @@ object EventsStream {
     w.start()
   }
 
+  /** Streaming COMPOSED corpus refresh — the foreachBatch twin of
+    * [[graft.llmops.Refresh.process]] (VERDICT r12 order #10, the
+    * streaming face of order #1): quality gate → epoch span scrub →
+    * near-dup star → Bloom decontamination [→ per-source quota] as ONE
+    * pipeline per micro-batch, every stage probing the SAME persisted
+    * epoch authorities the batch refresh uses. Cross-batch star state
+    * is a stream-local DELTA authority under `deltaDir/bands` (bucket
+    * mins of each batch's scrubbed docs, appended per batch — the
+    * [[neardupGate]] append discipline at bucket granularity);
+    * cross-batch quota state is per-source admitted counts under
+    * `deltaDir/quota`. Both live on storage, not in driver memory, so
+    * a restarted gate resumes exactly where it stopped.
+    *
+    * STREAMING ≡ BATCH (spec-asserted end-to-end): for batches
+    * arriving in non-decreasing `seqCol` order — the arrival
+    * contract; [[graft.llmops.Refresh.processBatch]] states the
+    * theorem — the union of sunk batches EQUALS
+    * `Refresh.process(epoch, allArrivals)` with the same quota applied
+    * once, document-for-document, regardless of how the stream was
+    * sliced. Quota admits the `cap` SMALLEST-seq kept docs per source
+    * (the [[quotaGate]] arrival-order semantics made deterministic by
+    * seq), via one batch-sized window over the batch's kept rows plus
+    * the persisted counts — never a window over the stream's history.
+    *
+    * Per-batch cost is batch-bound: the epoch and delta probes are
+    * equi-joins into pre-aggregated bucket indexes, the Bloom pass is
+    * a map-only literal-bitmap column, the resident corpus is never
+    * re-read. One gate per `deltaDir` (concurrent writers would race
+    * their star/quota decisions). */
+  def refreshGate(epoch: graft.llmops.Refresh.Epoch, deltaDir: String,
+      docs: DataFrame, idCol: String, seqCol: String, textCol: String,
+      langCol: String, quota: Option[(String, Int)] = None,
+      checkpointDir: Option[String] = None)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val bandsDir = s"$deltaDir/bands"
+    val quotaDir = s"$deltaDir/quota"
+    // the neardupGate FS discipline: resolve through the Hadoop
+    // FileSystem API so distributed delta paths work and broken ones
+    // fail loudly; re-list per batch (we append below)
+    def readIf(dir: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) &&
+          fs.globStatus(new org.apache.hadoop.fs.Path(p, "*.parquet")).nonEmpty)
+        Some(spark.read.parquet(dir))
+      else None
+    }
+    val w = docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint(true) // one source read per batch
+          val (kept0, deltaRows) = graft.llmops.Refresh.processBatch(
+            epoch, readIf(bandsDir), b, idCol, seqCol, textCol, langCol)
+          val kept = quota match {
+            case Some((sc, cap)) =>
+              val k0 = kept0.localCheckpoint(true) // rank + admit share it
+              val withUsed = readIf(quotaDir)
+                .map(_.groupBy(col(sc)).agg(sum(col("n")).as("__used")))
+                .map(u => k0.join(u, Seq(sc), "left")
+                  .withColumn("__used", coalesce(col("__used"), lit(0L))))
+                .getOrElse(k0.withColumn("__used", lit(0L)))
+              val win = org.apache.spark.sql.expressions.Window
+                .partitionBy(col(sc)).orderBy(col(seqCol)) // batch-sized
+              val admitted = withUsed
+                .withColumn("__rk", row_number().over(win))
+                .filter(col("__rk") + col("__used") <= cap)
+                .drop("__rk", "__used")
+                .localCheckpoint(true) // sink + the accounting append
+              admitted.groupBy(col(sc)).agg(count(lit(1)).as("n"))
+                .write.mode("append").parquet(quotaDir)
+              spark.catalog.refreshByPath(quotaDir)
+              admitted
+            case None => kept0
+          }
+          sink(kept)
+          deltaRows.write.mode("append").parquet(bandsDir)
+          // parquet file listings cache session-wide — without the
+          // refresh a later batch could probe the PRE-append delta
+          spark.catalog.refreshByPath(bandsDir)
+        }
+      }
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.start()
+  }
+
   /** Streaming SEMANTIC decontamination gate — ingest hygiene against a
     * fixed benchmark set: annotate every arriving vector with whether
     * its max cosine against the benchmark reaches `tau` (and with that

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.llmops.{Pipeline, Refresh}
+
+/** The exact-incrementality contract of the composed refresh
+  * ([[graft.llmops.Refresh]]): within an epoch,
+  *
+  *   process(epoch, newCorpus) ≡ (process(epoch, resident) ∖ deletes)
+  *                                ∪ process(epoch, arrivals)
+  *
+  * asserted on an adversarial corpus that exercises every stage
+  * boundary: cross-batch duplicates (arrival must drop via the index
+  * probe), intra-batch duplicates (smaller seq wins), a changed
+  * document whose new text duplicates a resident (net: leaves the
+  * export), a removed document whose resident duplicate must NOT
+  * revive mid-epoch (the declared compaction-cadence freshness model),
+  * benchmark contamination (Bloom), a too-short arrival (gate), and an
+  * arrival carrying resident boilerplate (span cut, doc survives). */
+class RefreshSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rules = Pipeline.GateRules(minTokens = 5, maxTokens = 10000,
+    minStopRatio = 0.0, minTtr = 0.0, maxDupTrigram = 1.0)
+
+  // English-stopword-heavy bodies so predictLang agrees with the label
+  private def en(body: String) = s"the story of $body and the end of it all"
+
+  private val resident = Seq(
+    (1L, en("a quiet village in the north where rivers meet the sea")),
+    (2L, en("a merchant who sails to the east for spice and silk trade")),
+    // 3 duplicates 2 exactly → star drops 3 at epoch build
+    (3L, en("a merchant who sails to the east for spice and silk trade")),
+    // 4 and 5 share a long boilerplate passage → span authority
+    (4L, en("chapter one all rights reserved printed in the year of the press edition") + " unique tail four"),
+    (5L, en("chapter one all rights reserved printed in the year of the press edition") + " unique tail five"),
+    (6L, en("a lighthouse keeper and the storm that took the harbor wall down")),
+    // 7 will be REMOVED in the new snapshot; 8 duplicates it (dropped
+    // at build) and must not revive mid-epoch
+    (7L, en("an orchard on the hill where the west wind bends the apple trees")),
+    (8L, en("an orchard on the hill where the west wind bends the apple trees")),
+    // 9 will be CHANGED in the new snapshot
+    (9L, en("a clockmaker in the old town square who winds the tower bell")),
+    // 10 will be CHANGED by a minor edit — the self-masked index probe
+    // must NOT let its own predecessor's bands suppress the new version
+    (10L, en("a ferryman who rows the night mail across the frozen strait"))
+  ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+    .withColumn("seq", col("doc_id"))
+
+  private val benchmark = Seq(
+    (100L, en("the secret benchmark passage about the seven bridges of the river city"))
+  ).toDF("doc_id", "text")
+
+  private def newCorpus = {
+    val changed = Seq(
+      // 9 changes: its NEW text duplicates resident 6 → new version
+      // drops at dedup; net effect: doc 9 tombstones out
+      (9L, en("a lighthouse keeper and the storm that took the harbor wall down")),
+      // 10 changes by a MINOR EDIT: near-dup of its own old version
+      // only → must re-enter the export (self-masked star probe)
+      (10L, en("a ferryman who rows the night mail across the frozen strait") + " second printing"))
+    val added = Seq(
+      // duplicates resident 1 → must drop via the band-index probe
+      (20L, en("a quiet village in the north where rivers meet the sea")),
+      // intra-batch duplicate pair → 21 (smaller seq) survives, 22 drops
+      (21L, en("a baker whose ovens warm the street before the sun is up")),
+      (22L, en("a baker whose ovens warm the street before the sun is up")),
+      // contaminated: shares an 8-gram with the benchmark → Bloom drops
+      (23L, "notes on " + en("the secret benchmark passage about the seven bridges of the river city")),
+      // too short → gate drops
+      (24L, "tiny doc"),
+      // carries the resident boilerplate passage → span cut, survives scrubbed
+      (25L, en("chapter one all rights reserved printed in the year of the press edition") + " a genuinely new ending about the glassblower and the furnace"),
+      // plain new doc → survives untouched
+      (26L, en("a cartographer who maps the coast from a rowing boat in the fog")))
+    resident.filter(!col("doc_id").isin(7L, 9L, 10L)).select("doc_id", "text")
+      .unionByName((changed ++ added).toDF("doc_id", "text"))
+      .withColumn("lang", lit("en"))
+  }
+
+  private lazy val cacheRoot =
+    java.nio.file.Files.createTempDirectory("refresh-spec").toString
+
+  private lazy val epoch = Refresh.buildEpoch(spark, cacheRoot, "e1",
+    resident, benchmark, "doc_id", "seq", "text", "lang", rules,
+    windowTokens = 8, numPerms = 16, bands = 4, bloomN = 8)
+
+  private lazy val residentKept =
+    Refresh.process(epoch, resident, "doc_id", "seq", "text", "lang")
+      .localCheckpoint(true)
+
+  private lazy val (upserts, deletes) = Refresh.refreshDelta(epoch,
+    resident.select("doc_id", "text"), newCorpus,
+    "doc_id", "seq", "text", "lang", seqBase = 1000L)
+
+  private def keptSet(df: DataFrame): Set[(Long, String)] =
+    df.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("epoch build: star keeps min-seq, span authority is resident boilerplate") {
+    val kept = keptSet(residentKept).map(_._1)
+    assert(kept.contains(2L) && !kept.contains(3L), "min-seq dup keeper")
+    assert(kept.contains(7L) && !kept.contains(8L), "orchard dup keeper")
+    assert(kept.contains(1L) && kept.contains(6L) && kept.contains(9L))
+    // 4 kept, 5 kept as DOCS (scrub cuts the shared span, tails differ)
+    assert(kept.contains(4L) && kept.contains(5L))
+    val t5 = keptSet(residentKept).find(_._1 == 5L).get._2
+    assert(!t5.contains("rights reserved"), s"span not cut: $t5")
+  }
+
+  test("delta verdicts: every adversarial arrival lands on the right side") {
+    val up = keptSet(upserts).map(_._1)
+    assert(!up.contains(20L), "cross-batch duplicate must drop via the index probe")
+    assert(up.contains(21L) && !up.contains(22L), "intra-batch: smaller seq wins")
+    assert(!up.contains(23L), "benchmark 8-gram overlap must drop at the Bloom")
+    assert(!up.contains(24L), "too-short arrival must drop at the gate")
+    assert(up.contains(25L), "boilerplate-carrying arrival survives scrubbed")
+    val t25 = keptSet(upserts).find(_._1 == 25L).get._2
+    assert(!t25.contains("rights reserved") && t25.contains("glassblower"),
+      s"arrival span cut wrong: $t25")
+    assert(up.contains(26L), "plain new doc survives")
+    assert(!up.contains(9L), "changed doc's new text duplicates resident 6")
+    assert(up.contains(10L),
+      "minor-edit change must re-enter: own predecessor's bands are self-masked")
+    val del = deletes.as[Long].collect().toSet
+    assert(del === Set(7L, 9L, 10L), s"tombstones = removed ∪ changed, got $del")
+  }
+
+  test("exact incrementality: resident ∖ deletes ∪ upserts ≡ full run, verdict-for-verdict") {
+    val full = Refresh.process(epoch,
+      newCorpus.withColumn("seq",
+        when(col("doc_id") >= 20L || col("doc_id").isin(9L, 10L),
+          lit(1000L) + col("doc_id")).otherwise(col("doc_id"))),
+      "doc_id", "seq", "text", "lang")
+    val del = deletes.as[Long].collect().toSet
+    val applied = keptSet(residentKept).filterNot(d => del(d._1)) ++ keptSet(upserts)
+    assert(applied === keptSet(full),
+      "incremental apply diverged from the full epoch run")
+    // the mid-epoch freshness model: 8 (dup of removed 7) must NOT
+    // revive in EITHER path — the band index is the authority until
+    // the next epoch rebuild
+    assert(!applied.map(_._1).contains(8L) && !keptSet(full).map(_._1).contains(8L))
+  }
+
+  test("resident verdicts are immune to arrivals: upserts never touch unchanged ids") {
+    val unchangedIds = resident.select("doc_id").as[Long].collect().toSet - 7L - 9L - 10L
+    assert(keptSet(upserts).map(_._1).intersect(unchangedIds).isEmpty)
+  }
+}

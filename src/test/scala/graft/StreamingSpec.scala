@@ -10,6 +10,7 @@ case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double, e
 case class Doc(ts: Timestamp, doc_id: Long, text: String)
 case class SrcDoc(ts: Timestamp, doc_id: Long, source: String, text: String)
 case class DeconV(vec_id: Long, embedding: Seq[Double])
+case class RefDoc(doc_id: Long, text: String, lang: String, source: String, seq: Long)
 
 /** ✚ Structured Streaming extension (SURVEY §2.B.10): the same
   * declarative plans run incrementally — MemoryStream in, memory sink
@@ -749,5 +750,77 @@ class StreamingSpec extends SparkSpec {
     val one = EventsStream.quotaGate(batch, cap = 2).collect()
       .map(r => (r.doc_id, r.source, r.qrank)).toSet
     assert(one == b1)
+  }
+
+  test("composed refresh gate: gate→scrub→neardup→bloom→quota, streaming ≡ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llmops.{Pipeline, Refresh}
+    val rules = Pipeline.GateRules(minTokens = 5, maxTokens = 10000,
+      minStopRatio = 0.0, minTtr = 0.0, maxDupTrigram = 1.0)
+    def en(b: String) = s"the story of $b and the end of it all"
+    val resident = Seq(
+      (1L, en("a quiet village in the north where rivers meet the sea")),
+      // 2 and 3 share a long passage → the epoch's span authority
+      (2L, en("chapter one all rights reserved printed in the year of the press edition") + " tail two"),
+      (3L, en("chapter one all rights reserved printed in the year of the press edition") + " tail three"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("seq", col("doc_id"))
+    val benchmark = Seq(
+      (100L, en("the secret benchmark passage about the seven bridges of the river city")))
+      .toDF("doc_id", "text")
+    val cacheRoot = java.nio.file.Files.createTempDirectory("refresh-gate").toString
+    val epoch = Refresh.buildEpoch(spark, cacheRoot, "se1", resident, benchmark,
+      "doc_id", "seq", "text", "lang", rules,
+      windowTokens = 8, numPerms = 16, bands = 4, bloomN = 8)
+
+    // every stage gets a planted arrival; quota cap 2 per source
+    val arrivals = Seq(
+      RefDoc(20L, en("a quiet village in the north where rivers meet the sea"), "en", "a", 20L), // resident dup → star drop
+      RefDoc(21L, en("a baker whose ovens warm the street before the sun is up"), "en", "a", 21L), // keep (a #1)
+      RefDoc(22L, en("a baker whose ovens warm the street before the sun is up"), "en", "a", 22L), // intra-batch dup → drop
+      RefDoc(23L, "notes on " + en("the secret benchmark passage about the seven bridges of the river city"), "en", "a", 23L), // Bloom → drop
+      RefDoc(24L, "tiny doc", "en", "b", 24L), // gate → drop
+      RefDoc(25L, en("chapter one all rights reserved printed in the year of the press edition") + " a genuinely new ending about the glassblower and the furnace", "en", "b", 25L), // span cut, keep (b #1)
+      RefDoc(26L, en("a cartographer who maps the coast from a rowing boat in the fog"), "en", "a", 26L), // keep (a #2)
+      RefDoc(27L, en("a baker whose ovens warm the street before the sun is up"), "en", "b", 27L), // CROSS-BATCH dup of 21 → delta drop
+      RefDoc(28L, en("a glazier who sets the coloured windows of the winter chapel"), "en", "a", 28L), // survives stages, quota a full → drop
+      RefDoc(29L, en("a printer who sets the morning news by lamplight in the cellar"), "en", "b", 29L)) // keep (b #2)
+
+    def run(batches: Seq[Seq[RefDoc]]): Set[(Long, String)] = {
+      val deltaDir = java.nio.file.Files.createTempDirectory("refresh-delta").toString
+      val got = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      val mem = MemoryStream[RefDoc]
+      val q = EventsStream.refreshGate(epoch, deltaDir, mem.toDF(),
+        "doc_id", "seq", "text", "lang", quota = Some(("source", 2))) { kept =>
+        got.synchronized {
+          got ++= kept.select("doc_id", "text").collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+        }
+      }
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      got.toSet
+    }
+
+    // batch twin: ONE Refresh.process over all arrivals + the quota once
+    // (cap smallest-seq kept per source — the gate's declared semantics)
+    val kept = Refresh.process(epoch, arrivals.toDF(),
+      "doc_id", "seq", "text", "lang")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"seq")
+    val twin = kept.withColumn("rk", row_number().over(w)).filter($"rk" <= 2)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    // three seq-ordered micro-batches ≡ the batch twin, doc-for-doc
+    val streamed = run(Seq(arrivals.take(4), arrivals.slice(4, 7), arrivals.drop(7)))
+    assert(streamed === twin, s"streaming ≠ batch: $streamed vs $twin")
+    // the planted verdicts, by name
+    assert(streamed.map(_._1) === Set(21L, 25L, 26L, 29L))
+    val t25 = streamed.find(_._1 == 25L).get._2
+    assert(t25.contains("glassblower") && !t25.contains("rights reserved"),
+      s"arrival span cut wrong: $t25")
+    // slicing invariance: the same arrivals as ONE batch, same answer
+    assert(run(Seq(arrivals)) === twin)
   }
 }
