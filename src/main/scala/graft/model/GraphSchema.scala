@@ -51,7 +51,14 @@ final case class ConstraintDesc(
   * (`ArcadeDBService.java:150-151,234-235`) and declares it up-front
   * before the first insert (`:148-154`, `:232-238`). kind ∈ {vertex, edge}.
   */
-final case class LabelSchema(label: String, kind: String, schema: StructType)
+/** `settings`: the ALTER TYPE attribute bag (bucketselectionstrategy,
+  * custom.<key> — ArcadeDB's physical-placement knobs [dep arcadedb
+  * SQL]). Recorded for catalog round-trip fidelity; the Spark store's
+  * physical layout is label-partitioned generations, so placement
+  * strategies are declarative metadata here, not an execution switch
+  * (documented no-op, like A18's log bridge). */
+final case class LabelSchema(label: String, kind: String, schema: StructType,
+    settings: Map[String, String] = Map.empty)
 
 /** A server-registered SQL function (the reference's `DEFINE FUNCTION`
   * surface [dep arcadedb SQL], SQL-language form only): a named
@@ -80,7 +87,16 @@ final case class GraphSchema(labels: Seq[LabelSchema], indexes: Seq[IndexDesc],
   def toJson: String = {
     import GraphSchema.{escJson => esc}
     val ls = labels
-      .map(l => s"""{"label":"${esc(l.label)}","kind":"${l.kind}","schema":${l.schema.json}}""")
+      .map { l =>
+        // settings emit only when present: existing stores' schema.json
+        // stays byte-identical (and diff-clean) through an upgrade
+        val st =
+          if (l.settings.isEmpty) ""
+          else l.settings.toSeq.sortBy(_._1)
+            .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+            .mkString(""","settings":{""", ",", "}")
+        s"""{"label":"${esc(l.label)}","kind":"${l.kind}","schema":${l.schema.json}$st}"""
+      }
       .mkString("[", ",", "]")
     val is = indexes
       .map(i =>
@@ -134,7 +150,14 @@ object GraphSchema {
             (l \ "label").extract[String],
             (l \ "kind").extract[String],
             DataType.fromJson(JsonMethods.compact(JsonMethods.render(l \ "schema")))
-              .asInstanceOf[StructType]
+              .asInstanceOf[StructType],
+            // absent in pre-ALTER-TYPE schema.json files → no settings
+            settings = (l \ "settings") match {
+              case JObject(fields) => fields.collect {
+                case (k, JString(v)) => k -> v
+              }.toMap
+              case _ => Map.empty
+            }
           )
         }
       case _ => Nil

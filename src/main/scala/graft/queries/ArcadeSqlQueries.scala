@@ -266,6 +266,25 @@ object ArcadeSqlQueries {
         CAST((SELECT coalesce(list_sort(list(CAST(o_orderkey + $OrderOff AS BIGINT))), [])
          FROM orders WHERE o_custkey = c_custkey) AS VARCHAR) AS orders FROM customer""")),
 
+    // hop PROPERTY projection (VERDICT r12 missing #1): out('L').prop
+    // fetches the neighbors' property values through the adjacency
+    // machinery — one aggregated (id → sorted value list) frame
+    // left-joined on id, the degree-frame shape with a vertex join
+    Q("asql_hop_projection",
+      asql("SELECT id, out('PLACED').status.asString() AS statuses FROM Customer"),
+      Some(s"""SELECT CAST(c_custkey + $CustomerOff AS BIGINT) AS id,
+        CAST((SELECT coalesce(list_sort(list(o_orderstatus)), [])
+         FROM orders WHERE o_custkey = c_custkey) AS VARCHAR) AS statuses FROM customer""")),
+
+    // hop CHAIN degree: out('A').out('B').size() — two edge-sized
+    // equi joins composed, then ONE partial-aggregated count frame
+    Q("asql_hop_chain",
+      asql("SELECT name, out('PLACED').out('CONTAINS').size() AS n_parts FROM Customer"),
+      Some("""SELECT c_name AS name,
+        CAST((SELECT count(*) FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE o_custkey = c_custkey) AS BIGINT) AS n_parts
+        FROM customer""")),
+
     // SELECT DISTINCT projection
     Q("asql_distinct",
       asql("SELECT DISTINCT mktsegment FROM Customer"),

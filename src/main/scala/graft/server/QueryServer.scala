@@ -294,7 +294,16 @@ object QueryServer {
       // instead of rows — here Spark's formatted physical plan, the
       // honest answer for a Catalyst-backed engine
       val explain = command0.trim.toUpperCase.startsWith("EXPLAIN ")
-      val command = if (explain) command0.trim.drop("EXPLAIN ".length) else command0
+      // `PROFILE <query>` — ArcadeDB pairs EXPLAIN with PROFILE (the
+      // executed plan + per-step stats); here: run the query to
+      // completion and serialize the EXECUTED physical plan with every
+      // node's SQL metric values (rows, spill, build/probe times — the
+      // Catalyst-honest per-step stats)
+      val profile = command0.trim.toUpperCase.startsWith("PROFILE ")
+      val command =
+        if (explain) command0.trim.drop("EXPLAIN ".length)
+        else if (profile) command0.trim.drop("PROFILE ".length)
+        else command0
       // GraphQL introspection (`__schema`/`__type`): the client
       // handshake answers straight from the schema registry as a
       // spec-shaped `{"data": …}` response (what stock clients parse)
@@ -334,7 +343,40 @@ object QueryServer {
       // toJSON keeps row serialization distributed (executor-side
       // Jackson codegen); only the bounded page is collected
       def page(): String =
-        df.limit(limit).toJSON.collect().mkString("{\"result\":[", ",", "]}")
+        if (profile) profiled()
+        else df.limit(limit).toJSON.collect().mkString("{\"result\":[", ",", "]}")
+      // PROFILE body: execute to completion DISTRIBUTED (toRdd + count —
+      // no driver collect; the metrics must cover the real
+      // cardinalities, so the page limit does not apply), then walk the
+      // executed plan serializing each node's SQL metric values. AQE
+      // wrappers unwrap to their final plan (isFinalPlan by then).
+      def profiled(): String = {
+        val rows = df.queryExecution.toRdd.count()
+        def esc(s: String) = s.flatMap {
+          case '"' => "\\\""; case '\\' => "\\\\"
+          case c if c < ' ' => ""; case c => c.toString
+        }
+        def node(p: org.apache.spark.sql.execution.SparkPlan): String = {
+          // AQE wraps the real operators twice: the adaptive root holds
+          // the final plan, and each materialized stage (Result/
+          // Shuffle/BroadcastQueryStage) holds its stage plan — unwrap
+          // both or the profile tree is a metric-less shell
+          @annotation.tailrec
+          def unwrap(q: org.apache.spark.sql.execution.SparkPlan): org.apache.spark.sql.execution.SparkPlan = q match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              unwrap(a.executedPlan)
+            case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              unwrap(s.plan)
+            case x => x
+          }
+          val real = unwrap(p)
+          val ms = real.metrics.toSeq.sortBy(_._1)
+            .map { case (k, m) => s""""${esc(k)}":${m.value}""" }.mkString(",")
+          s"""{"node":"${esc(real.nodeName)}","metrics":{$ms},""" +
+            s""""children":[${real.children.map(node).mkString(",")}]}"""
+        }
+        s"""{"result":[{"rows":$rows,"profile":${node(df.queryExecution.executedPlan)}}]}"""
+      }
       queryTimeoutSec match {
         case None => page()
         case Some(budget) =>
@@ -652,24 +694,29 @@ object QueryServer {
               current = new Snapshot(Some(ctx.reload()), storeSchema(), paths)
               retired.add(old)
             }
-            val n0 =
+            val n0: Dml.DmlResult =
               if (script && commands.exists(Dml.isBarrier))
                 // a mixed script advances DISK state even when it fails
                 // partway (DDL barriers and earlier runs have already
                 // committed — the reference's sqlscript contract), so
                 // the served snapshot must refresh on BOTH exits; the
                 // plain single-commit forms below stay success-only
-                try Dml.executeScript(spark, ctx.dir, commands)
+                try Dml.DmlResult(Dml.executeScript(spark, ctx.dir, commands), None)
                 finally swapSnapshot()
               else if (batch.isDefined || gqlBatch) {
                 val r = Dml.executeBatch(spark, ctx.dir, commands)
-                swapSnapshot(); r
-              } else { val r = Dml.execute(spark, ctx.dir, commands.head)
+                swapSnapshot(); Dml.DmlResult(r, None)
+              } else { // single command: the RETURN BEFORE/AFTER forms
+                // answer with the affected records' images, query-style
+                val r = Dml.executeReturning(spark, ctx.dir, commands.head)
                 swapSnapshot(); r }
             n0
           }
           maybeSweep()
-          s"""{"result":[{"count":$n}]}"""
+          n.returned match {
+            case Some(rows) => rows.mkString("{\"result\":[", ",", "]}")
+            case None => s"""{"result":[{"count":${n.count}}]}"""
+          }
       }
     })
 

@@ -692,4 +692,49 @@ class ArcadeSqlSpec extends SparkSpec {
       }
     }
   }
+
+  test("hop property projection: out('L').prop is the sorted neighbor value list") {
+    val row = run("SELECT out('PLACED').totalprice AS prices FROM Customer WHERE id = 1000042")
+      .collect()(0)
+    val want = g.edgesOf("PLACED").filter(col("src") === 1000042L)
+      .join(g.nodesOf("Order").select(col("id").as("dst"), col("totalprice")), "dst")
+      .select("totalprice").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(row.getSeq[Double](0) == want && want.nonEmpty)
+    // a customer with no orders projects the EMPTY list, not null
+    val lonely = run("SELECT out('PLACED').totalprice AS prices FROM Customer")
+      .filter(size(col("prices")) === 0).count()
+    val noOrders = g.nodesOf("Customer").join(
+      g.edgesOf("PLACED").select(col("src").as("id")), Seq("id"), "left_anti").count()
+    assert(lonely == noOrders)
+  }
+
+  test("hop chains: out('A').out('B') composes; .prop and .size() terminate it") {
+    // 2-hop degree ≡ the customer's lineitem count
+    val got = run("SELECT id, out('PLACED').out('CONTAINS').size() AS n FROM Customer")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = g.edgesOf("PLACED").select(col("src").as("cid"), col("dst").as("oid"))
+      .join(g.edgesOf("CONTAINS").select(col("src").as("oid")), "oid")
+      .groupBy("cid").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, n) => assert(n == want.getOrElse(id, 0L), s"id $id") }
+    assert(want.values.sum > 0)
+    // chain ending in a property: the reached parts' names
+    val names = run(
+      "SELECT out('PLACED').out('CONTAINS').name AS parts FROM Customer WHERE id = 1000042")
+      .collect()(0).getSeq[String](0)
+    val wantNames = g.edgesOf("PLACED").filter(col("src") === 1000042L)
+      .select(col("dst").as("oid"))
+      .join(g.edgesOf("CONTAINS").select(col("src").as("oid"), col("dst").as("pid")), "oid")
+      .join(g.nodesOf("Part").select(col("id").as("pid"), col("name")), "pid")
+      .select("name").collect().map(_.getString(0)).sorted.toSeq
+    assert(names == wantNames && names.nonEmpty)
+  }
+
+  test("hop property projection fails loudly off a hop and on unknown properties") {
+    intercept[IllegalArgumentException] {
+      run("SELECT out('PLACED').no_such_prop AS x FROM Customer").collect()
+    }
+    intercept[IllegalArgumentException] {
+      run("SELECT name.substring(0, 3).foo AS x FROM Customer").collect()
+    }
+  }
 }
