@@ -133,6 +133,10 @@ object Bench {
     "graph_transitivity",
     "graph_assortativity",
     "graph_assoc_rules",
+    "graph_closeness",
+    "graph_betweenness_top",
+    "asql_hop_projection",
+    "asql_hop_chain",
     "text_fertility",
     "multimodal_meta",
     "multimodal_frames",

@@ -38,8 +38,19 @@ object GraphProbe {
       .orderBy(col("core").desc).limit(3)
       .collect().map(r => s""""${r.getInt(0)}":${r.getLong(1)}""").mkString(",")
 
+    // the replaced level peel, timed beside the h-index fixpoint AND
+    // asserted identical on the full dense graph (VERDICT r12 order #5)
+    val tp = System.nanoTime()
+    val corePeel = KCore.corenessPeel(edges).localCheckpoint(true)
+    val sPeel = (System.nanoTime() - tp) / 1e9
+    val diverged = core.join(
+        corePeel.withColumnRenamed("core", "cp"), Seq("n"), "full_outer")
+      .filter(!(col("core") <=> col("cp"))).count()
+    require(diverged == 0, s"h-index coreness diverged from the peel on $diverged vertices")
+
     println(s"""{"probe":"kcore","edges":$nEdges,"core3_vertices":$c3,""" +
       s""""core3_sec":$s3,"max_core":$maxCore,"coreness_sec":$s,""" +
+      s""""coreness_peel_sec":$sPeel,"peel_equal":true,""" +
       s""""top_cores":{$top}}""")
 
     val t2 = System.nanoTime()
@@ -63,6 +74,30 @@ object GraphProbe {
     println(s"""{"probe":"cc_df_vs_graphx","edges":$nEdges,""" +
       s""""df_components":$nCompDf,"df_sec":$sDf,""" +
       s""""graphx_components":$nCompGx,"graphx_sec":$sGx}""")
+
+    // centrality posture (r13 order #8): sampled-source closeness and
+    // Brandes betweenness — the cost driver is |S| × BFS levels, so
+    // the probe reports walls for the declared-query source counts;
+    // scale across SF probes shows edge-linearity per level
+    val verts = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v"))).distinct()
+      .localCheckpoint(true)
+    val nVert = verts.count()
+    val srcs32 = verts.orderBy(col("v")).limit(32)
+      .collect().map(_.getLong(0)).toSeq
+    val t5 = System.nanoTime()
+    val clo = graft.operators.Centrality.closeness(edges, srcs32.take(8))
+      .localCheckpoint(true)
+    val maxReach = clo.agg(max(col("n_reached"))).head().getLong(0)
+    val sClo = (System.nanoTime() - t5) / 1e9
+    val t6 = System.nanoTime()
+    val bc = graft.operators.Centrality
+      .betweenness(edges, srcs32, Some(nVert)).localCheckpoint(true)
+    val nBc = bc.count()
+    val sBc = (System.nanoTime() - t6) / 1e9
+    println(s"""{"probe":"centrality","edges":$nEdges,"vertices":$nVert,""" +
+      s""""closeness_sources":8,"closeness_sec":$sClo,"max_reached":$maxReach,""" +
+      s""""betweenness_sources":32,"betweenness_sec":$sBc,"bc_vertices":$nBc}""")
     spark.stop()
   }
 }

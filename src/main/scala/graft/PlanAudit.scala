@@ -243,6 +243,18 @@ object PlanAudit {
       "!Window"),
     Check("graph_assoc_rules", "rule top-k without total sort",
       "TakeOrderedAndProject"),
+    // centrality (round 13): the level frames are checkpointed, so the
+    // audited plan is the per-source reduction — which must be plain
+    // partial aggregates over the BFS levels (no window over the
+    // vertex set, no cartesian anywhere), and the betweenness top-k
+    // must cut by TakeOrdered like every other k-cut
+    Check("graph_closeness", "per-source reduction is aggregate-only, no window",
+      "!Window"),
+    Check("graph_closeness", "no cartesian product anywhere", "!CartesianProduct"),
+    Check("graph_betweenness_top", "top-k without total sort",
+      "TakeOrderedAndProject"),
+    Check("graph_betweenness_top", "no cartesian product anywhere",
+      "!CartesianProduct"),
     Check("graph_assoc_rules", "no window anywhere", "!Window"),
     // LM scoring: the capped model must BIND BROADCAST onto the corpus
     // scan (a shuffled model join would re-partition the corpus by

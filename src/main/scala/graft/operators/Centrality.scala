@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sampled-source centrality over an undirected canonical (a < b) edge
+  * list — closeness and Brandes betweenness, the flow-position members
+  * of the §2.B.12 analytics family beside density (triangles, k-core),
+  * components (CC, LPA), and rank (PageRank). ArcadeDB exposes graph
+  * analytics through Gremlin, which the reference does not depend on;
+  * these are the Spark-native equivalents.
+  *
+  * Both run on ONE shared multi-source LEVEL-SYNCHRONOUS BFS: the
+  * frontier carries (source, vertex, σ = shortest-path count), so all
+  * sampled sources advance in the SAME Spark job per level — rounds
+  * are bounded by the graph DIAMETER, not by diameter × |sources|
+  * (the per-source-loop shape would pay the full job-launch overhead
+  * |S| times). Per level: one edge-sized equi-join (frontier onto the
+  * bidirectional edge view), one anti-join against the visited set,
+  * one (source, vertex)-keyed σ-sum (map-side combinable), and ONE
+  * 1-row count for loop control — nothing ever shuffles more than
+  * |S| × edges of the current frontier's incidence. Frontiers
+  * localCheckpoint per level (flat lineage across the fixpoint, and
+  * the backward pass re-reads them).
+  *
+  * Exactness/sampling: with `sources` = all vertices the results are
+  * EXACT (spec-asserted against an in-test sequential Brandes); with a
+  * sample they are the standard Brandes–Pich estimator, extrapolated
+  * by n/|S|. Sources are caller-chosen (deterministic), never a random
+  * draw inside the operator.
+  */
+object Centrality {
+
+  /** Bidirectional view (u → w both ways) of a canonical edge list. */
+  private def biView(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b")).distinct()
+    e.select(col("a").as("u"), col("b").as("w"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("w")))
+      .localCheckpoint(true)
+  }
+
+  /** Multi-source level-synchronous BFS. Returns one frame PER LEVEL
+    * of (s, v, sigma = number of distinct shortest s→v paths, exact in
+    * Long — a 40-level BFS on a real graph never approaches 2⁶³). The
+    * level index IS the distance. Level 0 is the sources themselves. */
+  private def forward(bi: DataFrame, sources: Seq[Long],
+      maxDepth: Int): Vector[DataFrame] = {
+    require(sources.nonEmpty, "need at least one source")
+    require(maxDepth >= 1, "maxDepth must be at least 1")
+    val spark = bi.sparkSession
+    import spark.implicits._
+    val levels = Vector.newBuilder[DataFrame]
+    var frontier = sources.distinct.toDF("s")
+      .select(col("s"), col("s").as("v"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    var visited = frontier.select(col("s"), col("v")).localCheckpoint(true)
+    levels += frontier
+    var d = 0
+    var more = true
+    while (more && d < maxDepth) {
+      val nxt = frontier.join(bi, frontier("v") === bi("u"))
+        .select(col("s"), col("w").as("v"), col("sigma"))
+        .join(visited, Seq("s", "v"), "left_anti")
+        .groupBy(col("s"), col("v")).agg(sum(col("sigma")).as("sigma"))
+        .localCheckpoint(true)
+      more = !nxt.isEmpty // loop control — the only driver traffic
+      if (more) {
+        visited = visited.unionAll(nxt.select(col("s"), col("v")))
+          .localCheckpoint(true)
+        levels += nxt
+        frontier = nxt
+        d += 1
+      }
+    }
+    levels.result()
+  }
+
+  /** EXACT closeness of each source vertex: over the vertices it
+    * reaches (self excluded), `closeness` = n_reached / Σdist (the
+    * reached-component form, robust to disconnection) and `harmonic`
+    * = Σ 1/dist (the disconnection-free variant). Distances and Σdist
+    * are exact integers; the two ratios round to 6 decimals ONCE (the
+    * clustering-coefficient discipline — never an average of partial
+    * doubles). Sources reaching nothing are omitted (an edge list
+    * carries no isolated vertices). Oracle-twinned: single-source BFS
+    * is a bounded-depth recursive CTE in DuckDB (`graph_closeness`). */
+  def closeness(edges: DataFrame, sources: Seq[Long],
+      maxDepth: Int = 40): DataFrame = {
+    val levels = forward(biView(edges), sources, maxDepth)
+    val dist = levels.zipWithIndex.map { case (f, d) =>
+      f.select(col("s"), lit(d.toLong).as("d"))
+    }.reduce(_ unionAll _)
+    dist.filter(col("d") > 0)
+      .groupBy(col("s").as("n"))
+      .agg(
+        count(lit(1)).as("n_reached"),
+        sum(col("d")).as("sum_dist"),
+        round(sum(lit(1.0) / col("d")), 6).as("harmonic"))
+      .select(col("n"), col("n_reached"), col("sum_dist"),
+        round(col("n_reached").cast("double") / col("sum_dist"), 6)
+          .as("closeness"),
+        col("harmonic"))
+  }
+
+  /** Brandes betweenness from the sampled `sources`, extrapolated by
+    * n/|S| and halved (undirected graphs count each ordered pair
+    * twice); with `sources` = all vertices this is EXACT betweenness.
+    *
+    * Backward pass: dependencies accumulate level-by-level DESCENDING
+    * — δ(u) = Σ over successors v of σ(u)/σ(v) · (1 + δ(v)), where
+    * "successor" is exactly (edge u–v) ∧ (dist v = dist u + 1), so the
+    * per-level work is one edge-sized join between two adjacent level
+    * frames plus a (s, u)-keyed sum. No path is ever materialized —
+    * σ does the counting, the classic Brandes collapse.
+    *
+    * Returns (n, betweenness) for every non-source-level vertex
+    * touched by the BFS; vertices reached by no sampled source (or
+    * strictly interior to none) simply don't appear — callers treat
+    * absence as 0. `nVertices` overrides the extrapolation numerator
+    * when the caller already knows |V| (saves one distinct-count job). */
+  def betweenness(edges: DataFrame, sources: Seq[Long],
+      nVertices: Option[Long] = None, maxDepth: Int = 40): DataFrame = {
+    val bi = biView(edges)
+    val levels = forward(bi, sources, maxDepth)
+    val maxD = levels.length - 1
+    val nVert = nVertices.getOrElse(
+      bi.select(col("u")).distinct().count()) // 1-row, or caller-supplied
+    val scale = nVert.toDouble / sources.distinct.size / 2.0
+    val spark = bi.sparkSession
+    if (maxD == 0) { // no expansion: every sampled source is isolated
+      import spark.implicits._
+      return Seq.empty[(Long, Double)].toDF("n", "betweenness")
+    }
+    // δ at the deepest level is 0 (no successors); walk levels down,
+    // folding each level's finished δ into the accumulator
+    var delta = levels(maxD).select(col("s"), col("v"), lit(0.0).as("delta"))
+    var acc: DataFrame = null
+    var d = maxD
+    while (d >= 1) {
+      val cur = levels(d).join(delta, Seq("s", "v")) // (s, v, sigma, delta)
+      val contrib = cur.join(bi, cur("v") === bi("w"))
+        .select(col("s"), col("u").as("pv"), col("sigma").as("sv"), col("delta"))
+        .join(levels(d - 1).select(
+          col("s"), col("v").as("pv"), col("sigma").as("su")), Seq("s", "pv"))
+        .groupBy(col("s"), col("pv").as("v"))
+        .agg(sum(col("su").cast("double") / col("sv")
+          * (lit(1.0) + col("delta"))).as("delta"))
+      acc = if (acc == null) delta else acc.unionAll(delta)
+      // level d−1 vertices with no successors get δ = 0
+      delta = levels(d - 1).select(col("s"), col("v"))
+        .join(contrib, Seq("s", "v"), "left")
+        .select(col("s"), col("v"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+        .localCheckpoint(true)
+      d -= 1
+    }
+    // `delta` now holds level 0 — the sources' own δ, excluded by
+    // definition (bc sums over v ∉ {s, t}); acc holds levels maxD..1,
+    // which never contain a source (the visited set blocks re-entry)
+    acc.groupBy(col("v").as("n"))
+      .agg(round(sum(col("delta")) * scale, 6).as("betweenness"))
+  }
+}

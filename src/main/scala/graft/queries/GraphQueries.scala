@@ -542,6 +542,66 @@ object GraphQueries {
              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
           / NULLIF(CAST(m AS DOUBLE) * CAST(qx AS DOUBLE)
              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6) AS r
-        FROM s"""))
+        FROM s""")),
+
+    // ✚ closeness centrality (round 13, operators.Centrality): exact
+    // closeness + harmonic for 8 deterministic sources (the smallest
+    // vertex ids of the capped co-purchase graph — an 8-row bounded
+    // collect, documented). The Spark side runs ONE multi-source
+    // level-synchronous BFS (rounds = diameter, not diameter×|S|);
+    // the oracle is a bounded-depth recursive CTE whose UNION-dedup
+    // working table is ≤ depth × |V| × 8 rows — single-source BFS IS
+    // SQL-expressible, unlike the shrink-until-fixpoint family.
+    Q("graph_closeness",
+      (s, d) => {
+        val edges = graft.operators.Triangles.cooccurrenceEdges(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50)
+          .localCheckpoint(true) // feeds both the source pick and the BFS
+        val srcs = edges.select(col("a").as("v"))
+          .unionAll(edges.select(col("b").as("v")))
+          .distinct().orderBy(col("v")).limit(8)
+          .collect().map(_.getLong(0)).toSeq // 8 rows, bounded
+        graft.operators.Centrality.closeness(edges, srcs)
+      },
+      Some("""WITH RECURSIVE
+        m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        ok AS (SELECT g FROM m GROUP BY g HAVING count(*) <= 50),
+        mm AS (SELECT m.g, m.i FROM m JOIN ok USING (g)),
+        e AS (SELECT DISTINCT x.i AS a, y.i AS b
+          FROM mm x JOIN mm y ON x.g = y.g AND x.i < y.i),
+        bi AS (SELECT a AS u, b AS w FROM e UNION ALL SELECT b AS u, a AS w FROM e),
+        srcs AS (SELECT DISTINCT u AS s FROM bi ORDER BY s LIMIT 8),
+        bfs AS (
+          SELECT s, s AS v, 0 AS d FROM srcs
+          UNION
+          SELECT bfs.s, bi.w AS v, bfs.d + 1 FROM bfs
+            JOIN bi ON bi.u = bfs.v WHERE bfs.d < 40),
+        dist AS (SELECT s, v, min(d) AS d FROM bfs GROUP BY s, v)
+        SELECT s AS n, CAST(count(*) AS BIGINT) AS n_reached,
+          CAST(sum(d) AS BIGINT) AS sum_dist,
+          ROUND(CAST(count(*) AS DOUBLE) / sum(d), 6) AS closeness,
+          ROUND(SUM(1.0 / CAST(d AS DOUBLE)), 6) AS harmonic
+        FROM dist WHERE d > 0 GROUP BY s""")),
+
+    // ✚ betweenness centrality top-k (round 13): Brandes–Pich sampled
+    // betweenness from 32 deterministic sources, extrapolated by
+    // n/|S|/2. σ path-counting is NOT SQL-expressible without
+    // enumerating paths (exponential), so the oracle is omitted — the
+    // driver records the rows-only check; exactness (all-sources = the
+    // sequential Brandes) is spec-asserted in GraphSpec.
+    Q("graph_betweenness_top",
+      (s, d) => {
+        val edges = graft.operators.Triangles.cooccurrenceEdges(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50)
+          .localCheckpoint(true)
+        val verts = edges.select(col("a").as("v"))
+          .unionAll(edges.select(col("b").as("v"))).distinct()
+        val nVert = verts.count()
+        val srcs = verts.orderBy(col("v")).limit(32)
+          .collect().map(_.getLong(0)).toSeq // 32 rows, bounded
+        graft.operators.Centrality.betweenness(edges, srcs, Some(nVert))
+          .orderBy(col("betweenness").desc, col("n").asc).limit(20)
+      },
+      None)
   )
 }

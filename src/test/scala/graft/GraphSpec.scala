@@ -376,6 +376,16 @@ class GraphSpec extends SparkSpec {
     val none = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(KCore.coreness(none).count() == 0L)
     assert(KCore.kCore(none, 1).columns.toSeq == Seq("n", "deg"))
+
+    // h-index fixpoint ≡ sequential peel, vertex-for-vertex (the
+    // round-13 replacement's correctness contract), capped runs too
+    for ((graph, cap) <- Seq((g, 64), (star, 64), (k4, 2), (g, 2))) {
+      val hi = KCore.coreness(graph, cap)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val peel = KCore.corenessPeel(graph, cap)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(hi == peel, s"h-index vs peel at cap $cap")
+    }
   }
 
   test("associationRules: exact support/confidence/lift, both directions, floor") {
@@ -476,5 +486,100 @@ class GraphSpec extends SparkSpec {
     assert(Triangles.triangleCount(
       Triangles.cooccurrenceEdges(m, "g", "i", maxGroupSize = 3))
       .head().getLong(0) == 1L)
+  }
+
+  /** Sequential Brandes — the independently-derived reference the
+    * distributed level-synchronous pass is asserted against (undirected,
+    * pair-halved, unnormalized). */
+  private def refBrandes(edges: Seq[(Long, Long)]): Map[Long, Double] = {
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .distinct.groupMap(_._1)(_._2)
+    val vs = adj.keySet.toSeq.sorted
+    val bc = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+    for (s <- vs) {
+      val dist = scala.collection.mutable.Map[Long, Int](s -> 0)
+      val sigma = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      sigma(s) = 1L
+      val order = scala.collection.mutable.ArrayBuffer[Long]()
+      var frontier = Seq(s)
+      var d = 0
+      while (frontier.nonEmpty) {
+        order ++= frontier
+        val next = scala.collection.mutable.LinkedHashSet.empty[Long]
+        for (u <- frontier; v <- adj.getOrElse(u, Nil) if !dist.contains(v))
+          next += v
+        for (u <- frontier; v <- adj.getOrElse(u, Nil) if next.contains(v))
+          sigma(v) += sigma(u)
+        d += 1
+        next.foreach(v => dist(v) = d)
+        frontier = next.toSeq
+      }
+      val delta = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      for (v <- order.reverse; u <- adj.getOrElse(v, Nil)
+           if dist.get(u).contains(dist(v) - 1))
+        delta(u) += sigma(u).toDouble / sigma(v) * (1.0 + delta(v))
+      for (v <- order if v != s) bc(v) += delta(v)
+    }
+    bc.map { case (k, v) => k -> v / 2.0 }.toMap.withDefaultValue(0.0)
+  }
+
+  test("closeness: exact distances on path/star, disconnection via harmonic") {
+    import spark.implicits._
+    import graft.operators.Centrality
+    // path 1-2-3-4-5, sources 1 and 3
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val c = Centrality.closeness(path, Seq(1L, 3L)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // from 1: dists 1,2,3,4 → Σ=10, closeness 4/10; harmonic 1+½+⅓+¼
+    assert(c(1L) == ((4L, 10L, 0.4, math.rint((1.0 + 0.5 + 1.0 / 3 + 0.25) * 1e6) / 1e6)))
+    // from 3 (center): dists 1,1,2,2 → Σ=6; harmonic 3.0
+    assert(c(3L) == ((4L, 6L, math.rint(4.0 / 6 * 1e6) / 1e6, 3.0)))
+    // star hub sees everything at 1; a leaf sees the hub at 1, rest at 2
+    val star = (2L to 6L).map(i => (1L, i)).toDF("a", "b")
+    val cs = Centrality.closeness(star, Seq(1L, 2L)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(cs(1L) == ((5L, 5L)) && cs(2L) == ((5L, 9L)))
+    // two components: each source only reaches its own side — the
+    // reached-component closeness never divides by an unreached vertex
+    val disc = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val cd = Centrality.closeness(disc, Seq(1L, 3L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cd == Map(1L -> 1L, 3L -> 1L))
+    // maxDepth truncation is symmetric with the oracle's bound
+    val far = Centrality.closeness(path, Seq(1L), maxDepth = 2)
+      .head()
+    assert(far.getLong(1) == 2L && far.getLong(2) == 3L)
+  }
+
+  test("betweenness: all-sources run equals sequential Brandes exactly") {
+    import spark.implicits._
+    import graft.operators.Centrality
+    val graphs: Seq[Seq[(Long, Long)]] = Seq(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), // path: 3,4,3 interior
+      (2L to 6L).map(i => (1L, i)), // star: hub C(5,2)=10, leaves 0
+      (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)), // K4: all 0
+      // bowtie + pendant — multiple shortest paths through the waist
+      Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (3L, 5L), (4L, 5L), (1L, 6L)),
+      // two components: σ never leaks across
+      Seq((1L, 2L), (2L, 3L), (7L, 8L)))
+    for (es <- graphs) {
+      val ref = refBrandes(es)
+      val vs = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val got = Centrality.betweenness(es.toDF("a", "b"), vs, Some(vs.size.toLong))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        .withDefaultValue(0.0)
+      for (v <- vs)
+        assert(math.abs(got(v) - ref(v)) < 1e-6, s"bc($v) on $es: ${got(v)} vs ${ref(v)}")
+    }
+    // sampled extrapolation: S={3} on the path scales by n/|S|/2 = 5/2
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val one = Centrality.betweenness(path, Seq(3L), Some(5L)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap.withDefaultValue(0.0)
+    // δ_3(2) = δ_3(4) = 1+1 = 2? no: from 3, successors of 2 are {1}:
+    // δ_3(2) = 1·(1+0) = 1 → bc estimate = 1 · 5/2 = 2.5; ends 0
+    assert(one(2L) == 2.5 && one(4L) == 2.5 && one(1L) == 0.0 && one(3L) == 0.0)
+    // a source absent from the graph expands nowhere → empty frame
+    assert(Centrality.betweenness(path, Seq(99L), Some(5L)).count() == 0L)
   }
 }
