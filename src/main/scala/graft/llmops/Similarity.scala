@@ -574,7 +574,8 @@ object Similarity {
     * (config-sized). Vectors store with their precomputed norms so
     * serving never recomputes them. */
   def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, nTrain: Int, outDir: String): Seq[(Long, Seq[Double])] = {
+      k: Int, nTrain: Int, outDir: String,
+      source: Option[String] = None): Seq[(Long, Seq[Double])] = {
     val cents = trainKMeans(emb, idCol, vecCol, k, nTrain)
     val spark = emb.sparkSession
     import spark.implicits._
@@ -584,6 +585,10 @@ object Similarity {
       .withColumn("nv", norm(col("v")))
     v.withColumn("cell", ivfCell(col("v"), col("nv"), cents))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/cells")
+    // unified freshness (load.IndexKeys, r13 order #9): record which
+    // source generation this layout answers for — the stale probe
+    // (requireFresh) refuses after the source moves on
+    source.foreach(graft.load.IndexKeys.stamp(outDir, _))
     cents
   }
 
@@ -647,7 +652,8 @@ object Similarity {
     * up on its next scan with zero index surgery. Returns the number
     * of appended vectors. */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, emb: DataFrame, idCol: String, vecCol: String): Long = {
+      indexDir: String, emb: DataFrame, idCol: String, vecCol: String,
+      source: Option[String] = None): Long = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1).toSeq
@@ -660,6 +666,9 @@ object Similarity {
     // without an explicit refresh, a reader that has already scanned this
     // index would keep serving the PRE-append file set indefinitely
     spark.catalog.refreshByPath(s"$indexDir/cells")
+    // the append is what catches the index up to the source's current
+    // generation — re-stamp so requireFresh admits it again (r13 #9)
+    source.foreach(graft.load.IndexKeys.stamp(indexDir, _))
     v.count()
   }
 

@@ -105,19 +105,16 @@ object LlmQueries {
   // trained PQ codebooks, cached under the same key discipline
   private val trainedPqBooks =
     scala.collection.mutable.Map[(String, String), IndexedSeq[IndexedSeq[Array[Double]]]]()
-  private def embFingerprint(d: String): String = {
-    val p = java.nio.file.Paths.get(s"$d/embeddings.parquet")
-    if (java.nio.file.Files.isDirectory(p)) graft.load.Checksum.pseudoHashDir(p)
-    else graft.load.Checksum.pseudoHash(p)
-  }
-  // signature-index cache key (dedup_incremental) — same mtime__size
-  // fingerprint discipline (and the same documented staleness trade,
-  // BASELINE #14) as the trained-centroid cache above
-  private def docFingerprint(d: String): String = {
-    val p = java.nio.file.Paths.get(s"$d/documents.parquet")
-    if (java.nio.file.Files.isDirectory(p)) graft.load.Checksum.pseudoHashDir(p)
-    else graft.load.Checksum.pseudoHash(p)
-  }
+  // — both via the UNIFIED fingerprint (load.IndexKeys, r13 order #9):
+  // raw parquet keys on mtime__size exactly as before; a graft-store
+  // source keys on the manifest seq, so every DML commit re-keys
+  private def embFingerprint(d: String): String =
+    graft.load.IndexKeys.fingerprint(s"$d/embeddings.parquet")
+  // signature-index cache key (dedup_incremental) — same fingerprint
+  // discipline (and the same documented staleness trade, BASELINE #14)
+  // as the trained-centroid cache above
+  private def docFingerprint(d: String): String =
+    graft.load.IndexKeys.fingerprint(s"$d/documents.parquet")
 
   // DuckDB replay of Similarity.trainKMeans(k=16, nTrain=256, iters=2):
   // grid-round (floor to 2^-20 — sums of grid values are exact under

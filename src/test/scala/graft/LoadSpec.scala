@@ -333,6 +333,117 @@ class LoadSpec extends SparkSpec {
     assert(cust(1000045L).select("acctbal").head.getDouble(0) == 3.5)
   }
 
+  test("UPDATE RETURN BEFORE/AFTER/COUNT: the rewrite's record images") {
+    val out = Files.createTempDirectory("graftret").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    import graft.server.Dml
+    def cust(id: Long) = storeNodes(out).filter(col("id") === id)
+
+    // BEFORE: the pre-update image of the affected record
+    val before = Dml.executeReturning(spark, out,
+      "UPDATE Customer SET mktsegment = 'RET_B' RETURN BEFORE WHERE id = 1000042")
+    assert(before.count == 1 && before.returned.get.size == 1)
+    assert(before.returned.get.head.contains("\"id\":1000042"))
+    assert(!before.returned.get.head.contains("RET_B"),
+      s"BEFORE image leaked the new value: ${before.returned.get.head}")
+    assert(cust(1000042L).select("mktsegment").head.getString(0) == "RET_B")
+
+    // AFTER: the post-update image, exactly what the rewrite wrote
+    val after = Dml.executeReturning(spark, out,
+      "UPDATE Customer SET mktsegment = 'RET_A' RETURN AFTER WHERE id = 1000042")
+    assert(after.count == 1 && after.returned.get.head.contains("RET_A"))
+
+    // COUNT (and no RETURN) keep the count-only response
+    val cnt = Dml.executeReturning(spark, out,
+      "UPDATE Customer SET mktsegment = 'RET_C' RETURN COUNT WHERE id = 1000042")
+    assert(cnt.count == 1 && cnt.returned.isEmpty)
+    assert(Dml.executeReturning(spark, out,
+      "UPDATE Customer SET mktsegment = 'RET_D' WHERE id = 1000042").returned.isEmpty)
+
+    // content forms share the grammar: INCREMENT … RETURN AFTER
+    val inc = Dml.executeReturning(spark, out,
+      "UPDATE Customer INCREMENT acctbal = 100.0 RETURN AFTER WHERE id = 1000042")
+    val prev = cust(1000042L).select("acctbal").head.getDouble(0)
+    assert(inc.count == 1 &&
+      inc.returned.get.head.contains(s"\"acctbal\":$prev"), inc.returned.get.head)
+
+    // zero-match RETURN: empty images, not a count row
+    val none = Dml.executeReturning(spark, out,
+      "UPDATE Customer SET mktsegment = 'X' RETURN AFTER WHERE id = 1")
+    assert(none.count == 0 && none.returned.get.isEmpty)
+
+    // refusals: images inside a batch, and with UPSERT
+    intercept[IllegalArgumentException](Dml.executeBatch(spark, out, Seq(
+      "UPDATE Customer SET mktsegment = 'Y' RETURN AFTER WHERE id = 1000042")))
+    intercept[IllegalArgumentException](Dml.executeReturning(spark, out,
+      "UPDATE Customer SET mktsegment = 'Y' UPSERT RETURN AFTER WHERE id = 1000042"))
+  }
+
+  test("ALTER TYPE lifecycle: rename preserves data, constraints, indexes, rids; settings round-trip") {
+    val out = Files.createTempDirectory("graftalt").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    import graft.server.Dml
+    def gs() = graft.model.GraphSchema.fromJson(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$out/schema.json")))
+
+    // constraint + index on the type before renaming, to prove both ride
+    Dml.execute(spark, out, "ALTER PROPERTY Customer.name MANDATORY true")
+    val nBefore = storeNodes(out).filter(col("label") === "Customer").count()
+    val acct42 = storeNodes(out).filter(col("id") === 1000042L)
+      .select("acctbal").head.getDouble(0)
+
+    // rename: data, declared schema, constraints, indexes, endpoint
+    // sets and ids all move under the new name
+    assert(Dml.execute(spark, out, "ALTER TYPE Customer NAME Client") == 1)
+    val after = gs()
+    assert(!after.labels.exists(_.label == "Customer"))
+    assert(after.labels.exists(l => l.label == "Client" && l.kind == "vertex"))
+    assert(after.constraints.exists(c => c.label == "Client" && c.kind == "mandatory"))
+    assert(after.indexes.exists(_.label == "Client") &&
+      !after.indexes.exists(_.label == "Customer"))
+    val renamed = storeNodes(out)
+    assert(renamed.filter(col("label") === "Client").count() == nBefore)
+    assert(renamed.filter(col("label") === "Customer").count() == 0)
+    // rid keeps resolving: same id, same record content
+    assert(renamed.filter(col("id") === 1000042L).select("acctbal")
+      .head.getDouble(0) == acct42)
+    // endpoint sets re-keyed: edges observing Customer now observe Client
+    val eps = graft.load.Store.readManifest(out).edgeEndpoints
+    assert(eps.values.exists { case (s, d) => s.contains("Client") || d.contains("Client") })
+    assert(!eps.values.exists { case (s, d) => s.contains("Customer") || d.contains("Customer") })
+    // the dialect serves the new name; the old one is gone
+    val g2 = GraphLoader.openGraph(spark, out)
+    assert(graft.query.ArcadeSql.compile(g2, gs(),
+      "SELECT name FROM Client WHERE id = 1000042").count() == 1)
+    intercept[Exception](graft.query.ArcadeSql.compile(g2, gs(),
+      "SELECT name FROM Customer WHERE id = 1000042").count())
+    // DML keeps working against the renamed type (constraints enforced)
+    assert(Dml.execute(spark, out,
+      "UPDATE Client SET mktsegment = 'RENAMED' WHERE id = 1000042") == 1)
+    intercept[IllegalArgumentException](Dml.execute(spark, out,
+      "UPDATE Client REMOVE name WHERE id = 1000042"))
+
+    // refusals: unknown type, name collision, inside a batch
+    intercept[IllegalArgumentException](Dml.execute(spark, out,
+      "ALTER TYPE Nope NAME X"))
+    intercept[IllegalArgumentException](Dml.execute(spark, out,
+      "ALTER TYPE Client NAME Order"))
+    intercept[IllegalArgumentException](Dml.executeBatch(spark, out,
+      Seq("ALTER TYPE Client NAME Patron")))
+
+    // settings: recorded, round-tripped, declarative no-ops
+    assert(Dml.execute(spark, out,
+      "ALTER TYPE Client BUCKETSELECTIONSTRATEGY 'round-robin'") == 1)
+    assert(Dml.execute(spark, out, "ALTER TYPE Client CUSTOM owner = 'data-eng'") == 1)
+    val st = gs().labels.find(_.label == "Client").get.settings
+    assert(st("bucketselectionstrategy") == "round-robin" && st("custom.owner") == "data-eng")
+    // settings survive a schema round-trip byte-for-byte
+    val rt = graft.model.GraphSchema.fromJson(gs().toJson)
+    assert(rt.labels.find(_.label == "Client").get.settings == st)
+    intercept[IllegalArgumentException](Dml.execute(spark, out,
+      "ALTER TYPE Client SUPERTYPE Thing"))
+  }
+
   test("UPDATE collection forms: ADD / REMOVE element / PUT (LIST and MAP)") {
     val out = Files.createTempDirectory("graftcoll").toString
     GraphLoader.writeGraph(spark, sfDir, out)
@@ -1356,5 +1467,50 @@ class LoadSpec extends SparkSpec {
     val reread = graft.model.GraphSchema.fromJson(Files.readString(Path.of(out, "schema.json")))
     assert(reread == GraphLoader.schema)
     assert(n.filter(col("label") === "Customer").count() == 150)
+  }
+
+  test("IndexKeys: one DML commit re-keys every dependent index; stale probes refuse loudly") {
+    import spark.implicits._
+    import graft.load.IndexKeys
+    val out = Files.createTempDirectory("graftidx").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    // a graft store fingerprints on the manifest seq, not on mtimes
+    val fp0 = IndexKeys.fingerprint(out)
+    assert(fp0 == s"seq${graft.load.Store.readManifest(out).seq}")
+    // key-addressed cache (band/span/epoch discipline) published at the
+    // current generation opens fresh
+    val cacheRoot = Files.createTempDirectory("graftcache").toString
+    graft.llmops.Refresh.persisted(spark, cacheRoot,
+      IndexKeys.key("spanidx", out))(Seq((1L, "x")).toDF("id", "t"))
+    assert(IndexKeys.openFresh(spark, cacheRoot, "spanidx", out).count() == 1)
+    // in-place layout (IVF discipline): stamp then pass the stale probe
+    val ivfDir = Files.createTempDirectory("graftivf").toString
+    IndexKeys.stamp(ivfDir, out)
+    IndexKeys.requireFresh(ivfDir, out) // no throw
+    // ONE DML append bumps the manifest seq → EVERY fingerprint moves
+    GraphLoader.appendNodes(spark, out,
+      Seq((2999999L, "Customer", "Customer#idxkeys", 1.0, "BUILDING"))
+        .toDF("id", "label", "name", "acctbal", "mktsegment"))
+    val fp1 = IndexKeys.fingerprint(out)
+    assert(fp1 != fp0 && fp1 == s"seq${graft.load.Store.readManifest(out).seq}")
+    // stale probes refuse LOUDLY, naming the stale generation on disk
+    val e1 = intercept[IllegalStateException](
+      IndexKeys.openFresh(spark, cacheRoot, "spanidx", out))
+    assert(e1.getMessage.contains("STALE") &&
+      e1.getMessage.contains(s"spanidx-$fp0"))
+    val e2 = intercept[IllegalStateException](IndexKeys.requireFresh(ivfDir, out))
+    assert(e2.getMessage.contains("STALE") && e2.getMessage.contains(fp0))
+    // an index append re-stamps → fresh again (the IVF catch-up path)
+    IndexKeys.stamp(ivfDir, out)
+    IndexKeys.requireFresh(ivfDir, out)
+    // a never-built family refuses as missing, not as a silent rebuild
+    val e3 = intercept[IllegalStateException](
+      IndexKeys.openFresh(spark, cacheRoot, "bandidx", out))
+    assert(e3.getMessage.contains("missing"))
+    // non-store sources keep the reference's attribute pseudo-hash
+    val raw = java.nio.file.Paths.get(s"$sfDir/documents.parquet")
+    val want = if (Files.isDirectory(raw)) Checksum.pseudoHashDir(raw)
+               else Checksum.pseudoHash(raw)
+    assert(IndexKeys.fingerprint(raw.toString) == want)
   }
 }
