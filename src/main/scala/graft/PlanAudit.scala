@@ -255,6 +255,20 @@ object PlanAudit {
       "TakeOrderedAndProject"),
     Check("graph_betweenness_top", "no cartesian product anywhere",
       "!CartesianProduct"),
+    // hop property projection (round 13): ONE aggregated values frame
+    // left-joined on id — never a per-row subquery (no nested-loop
+    // join), and the neighbor list aggregates before the vertex join
+    Check("asql_hop_projection", "values frame left-joins on id", "LeftOuter"),
+    Check("asql_hop_projection", "no per-row subquery",
+      "!BroadcastNestedLoopJoin"),
+    Check("asql_hop_chain", "chain links are equi joins",
+      "!BroadcastNestedLoopJoin"),
+    Check("asql_hop_chain", "no cartesian product anywhere",
+      "!CartesianProduct"),
+    // HITS (round 13): grid-rounded power iteration — the audited plan
+    // is the final two k-cuts over the checkpointed score frames
+    Check("graph_hits", "k-cuts without total sort", "TakeOrderedAndProject"),
+    Check("graph_hits", "no cartesian product anywhere", "!CartesianProduct"),
     Check("graph_assoc_rules", "no window anywhere", "!Window"),
     // LM scoring: the capped model must BIND BROADCAST onto the corpus
     // scan (a shuffled model join would re-partition the corpus by

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HITS (Kleinberg hubs & authorities) over a DIRECTED edge list — the
+  * directed link-analysis twin of PageRank (which ranks by stationary
+  * visit mass; HITS separates "points at good things" from "is pointed
+  * at by good things", the natural pair on a bipartite order→part
+  * graph). §2.B.12 analytics family, beside PageRank/CC/triangles/
+  * k-core/centrality.
+  *
+  * Exact-arithmetic determinism (the trainKMeans grid doctrine,
+  * `llmops/Similarity.scala`): a hash-checked oracle twin admits only
+  * outputs both engines compute BIT-identically, and float sums across
+  * partitions are order-dependent — so after every normalization the
+  * scores are FLOORED TO THE 2⁻²⁰ GRID. Grid values are ≤ 1 with 20
+  * fractional bits; a per-vertex fan-in sum of ≤ 2¹⁸ of them needs
+  * ≤ 38 significand bits — EXACT in IEEE double under ANY summation
+  * order. The per-round max is a max of exact values (exact), the
+  * normalizing division and the grid floor are single IEEE ops written
+  * identically on both sides. The DuckDB twin unrolls the same
+  * iterations and hash-matches.
+  *
+  * Scale shape per iteration: two edge-sized equi joins (scores onto
+  * the edge list) + two vertex-keyed map-side-combinable sums + two
+  * 1-row max aggregates (the loop-control-sized driver traffic);
+  * score frames localCheckpoint per round (flat lineage). L∞
+  * normalization (divide by max) instead of L2: the max of exact grid
+  * sums is exact, where an L2 norm's sum-of-squares would reintroduce
+  * order-dependent rounding.
+  *
+  * Returns (kind ∈ {hub, auth}, n, score ∈ [0, 1] rounded 6dp): hubs
+  * are the source vertices, authorities the destinations. */
+object Hits {
+
+  private val Grid = 1048576.0 // 2^20
+  private def grid(c: Column): Column = floor(c * Grid) / Grid
+
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val e = edges.select(col("s"), col("d")).distinct().localCheckpoint(true)
+    var hub = e.select(col("s").as("n")).distinct()
+      .select(col("n"), lit(1.0).as("score"))
+    var auth: DataFrame = null
+    (1 to iters).foreach { _ =>
+      val ar = e.join(hub.select(col("n").as("s"), col("score").as("h")), Seq("s"))
+        .groupBy(col("d").as("n")).agg(sum(col("h")).as("x"))
+      val am = ar.agg(max(col("x"))).head.getDouble(0) // 1-row, exact
+      auth = ar.select(col("n"), grid(col("x") / lit(am)).as("score"))
+        .localCheckpoint(true)
+      val hr = e.join(auth.select(col("n").as("d"), col("score").as("a")), Seq("d"))
+        .groupBy(col("s").as("n")).agg(sum(col("a")).as("x"))
+      val hm = hr.agg(max(col("x"))).head.getDouble(0) // 1-row, exact
+      hub = hr.select(col("n"), grid(col("x") / lit(hm)).as("score"))
+        .localCheckpoint(true)
+    }
+    hub.select(lit("hub").as("kind"), col("n"), round(col("score"), 6).as("score"))
+      .unionByName(auth.select(
+        lit("auth").as("kind"), col("n"), round(col("score"), 6).as("score")))
+  }
+
+  /** Top-k hubs and top-k authorities (score desc, id asc — the
+    * deterministic k-cut rule), as one (kind, n, score) frame. */
+  def hitsTop(edges: DataFrame, iters: Int, k: Int): DataFrame = {
+    val all = hits(edges, iters).localCheckpoint(true) // two k-cuts share it
+    all.filter(col("kind") === "hub")
+      .orderBy(col("score").desc, col("n").asc).limit(k)
+      .unionByName(all.filter(col("kind") === "auth")
+        .orderBy(col("score").desc, col("n").asc).limit(k))
+  }
+}

@@ -65,6 +65,34 @@ object GraphQueries {
       FROM r$iters ORDER BY pr DESC, id ASC LIMIT 20"""
   }
 
+  /** DuckDB twin of `Hits.hits(iters)` on the order→part bipartite
+    * graph — the SAME unrolled iterations, grid floor, and L∞
+    * normalization (the grid keeps every per-vertex sum exact under
+    * any summation order, so the hash comparison is legitimate; see
+    * the operator's scaladoc). */
+  private def hitsSql(iters: Int, k: Int): String = {
+    // AS MATERIALIZED: every CTE here is referenced 2-3 times (the
+    // frame + its MAX-scalar subquery + the next level); DuckDB's
+    // default inlining would re-evaluate the whole upstream chain per
+    // reference — ~4^iters copies of the edge join
+    val steps = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT e.d AS n, SUM(h${i - 1}.score) AS x
+        FROM e JOIN h${i - 1} ON h${i - 1}.n = e.s GROUP BY e.d),
+      a$i AS MATERIALIZED (SELECT n, FLOOR(x / (SELECT MAX(x) FROM ar$i) * 1048576) / 1048576 AS score FROM ar$i),
+      hr$i AS MATERIALIZED (SELECT e.s AS n, SUM(a$i.score) AS x
+        FROM e JOIN a$i ON a$i.n = e.d GROUP BY e.s),
+      h$i AS MATERIALIZED (SELECT n, FLOOR(x / (SELECT MAX(x) FROM hr$i) * 1048576) / 1048576 AS score FROM hr$i)"""
+    }.mkString(",\n      ")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_orderkey AS s, l_partkey AS d FROM lineitem),
+      h0 AS MATERIALIZED (SELECT DISTINCT s AS n, CAST(1.0 AS DOUBLE) AS score FROM e),
+      $steps,
+      hubs AS (SELECT 'hub' AS kind, n, ROUND(score, 6) AS score FROM h$iters
+        ORDER BY score DESC, n ASC LIMIT $k),
+      auths AS (SELECT 'auth' AS kind, n, ROUND(score, 6) AS score FROM a$iters
+        ORDER BY score DESC, n ASC LIMIT $k)
+      SELECT * FROM hubs UNION ALL SELECT * FROM auths"""
+  }
+
   def queries: Seq[Q] = Seq(
 
     // A3 — label enumeration (catalog scan)
@@ -602,6 +630,16 @@ object GraphQueries {
         graft.operators.Centrality.betweenness(edges, srcs, Some(nVert))
           .orderBy(col("betweenness").desc, col("n").asc).limit(20)
       },
-      None)
+      None),
+
+    // ✚ HITS hubs & authorities (round 13): the directed link-analysis
+    // twin of PageRank on the order→part bipartite graph; grid-rounded
+    // power iterations keep every per-vertex sum EXACT under any
+    // partition order, so the unrolled DuckDB twin hash-matches.
+    Q("graph_hits",
+      (s, d) => graft.operators.Hits.hitsTop(
+        t(s, d, "lineitem").select(
+          col("l_orderkey").as("s"), col("l_partkey").as("d")), 4, 20),
+      Some(hitsSql(4, 20)))
   )
 }

@@ -582,4 +582,27 @@ class GraphSpec extends SparkSpec {
     // a source absent from the graph expands nowhere → empty frame
     assert(Centrality.betweenness(path, Seq(99L), Some(5L)).count() == 0L)
   }
+
+  test("HITS: mutual reinforcement ranks the shared authority and the big hub first") {
+    import spark.implicits._
+    import graft.operators.Hits
+    // o1 → {p1, p2, p3}, o2 → {p1}: p1 is cited by both (top authority),
+    // o1 cites the most (top hub); iteration reinforces both.
+    val e = Seq((101L, 1L), (101L, 2L), (101L, 3L), (102L, 1L)).toDF("s", "d")
+    val r = Hits.hits(e, 4).collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(r(("hub", 101L)) == 1.0 && r(("auth", 1L)) == 1.0)
+    assert(r(("hub", 102L)) > 0.0 && r(("hub", 102L)) < 1.0)
+    assert(r(("auth", 2L)) == r(("auth", 3L)) && r(("auth", 2L)) < 1.0)
+    // L∞ normalization pins every score to (0, 1]
+    assert(r.values.forall(v => v > 0.0 && v <= 1.0))
+    // determinism: a rerun is value-identical (the grid doctrine)
+    val r2 = Hits.hits(e, 4).collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(r == r2)
+    // top-k cut: k=1 keeps exactly the two leaders, ties by id
+    val top = Hits.hitsTop(e, 4, 1).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSet
+    assert(top == Set(("hub", 101L), ("auth", 1L)))
+  }
 }
