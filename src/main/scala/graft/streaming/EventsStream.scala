@@ -254,19 +254,29 @@ object EventsStream {
     val spark = docs.sparkSession
     val bandsDir = s"$deltaDir/bands"
     val quotaDir = s"$deltaDir/quota"
+    // each gate INSTANCE tags its per-batch state dirs: a micro-batch
+    // REPLAYED after a failure (same instance, same batchId) lands in
+    // the same dir in overwrite mode — idempotent, no double-counted
+    // quota, no duplicated delta rows — and a FRESH gate resuming over
+    // an existing deltaDir (batchIds restart at 0) can never clobber a
+    // predecessor's state. A checkpoint-RESTART replay (new instance
+    // re-running the crashed batch) double-lands that one batch's
+    // accounting: quota then over-counts, i.e. admits FEWER — the safe
+    // direction for a cap; the star delta is min-semantics and immune.
+    val runTag = java.util.UUID.randomUUID().toString.take(8)
     // the neardupGate FS discipline: resolve through the Hadoop
     // FileSystem API so distributed delta paths work and broken ones
-    // fail loudly; re-list per batch (we append below)
+    // fail loudly; re-list per batch (we write below)
     def readIf(dir: String): Option[DataFrame] = {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p) &&
-          fs.globStatus(new org.apache.hadoop.fs.Path(p, "*.parquet")).nonEmpty)
-        Some(spark.read.parquet(dir))
+          fs.globStatus(new org.apache.hadoop.fs.Path(p, "*/_SUCCESS")).nonEmpty)
+        Some(spark.read.parquet(s"$dir/*"))
       else None
     }
     val w = docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val b = batch.localCheckpoint(true) // one source read per batch
           val (kept0, deltaRows) = graft.llmops.Refresh.processBatch(
@@ -285,17 +295,19 @@ object EventsStream {
                 .withColumn("__rk", row_number().over(win))
                 .filter(col("__rk") + col("__used") <= cap)
                 .drop("__rk", "__used")
-                .localCheckpoint(true) // sink + the accounting append
+                .localCheckpoint(true) // sink + the accounting write
               admitted.groupBy(col(sc)).agg(count(lit(1)).as("n"))
-                .write.mode("append").parquet(quotaDir)
+                .write.mode("overwrite")
+                .parquet(s"$quotaDir/run-$runTag-batch-$batchId")
               spark.catalog.refreshByPath(quotaDir)
               admitted
             case None => kept0
           }
           sink(kept)
-          deltaRows.write.mode("append").parquet(bandsDir)
+          deltaRows.write.mode("overwrite")
+            .parquet(s"$bandsDir/run-$runTag-batch-$batchId")
           // parquet file listings cache session-wide — without the
-          // refresh a later batch could probe the PRE-append delta
+          // refresh a later batch could probe the PRE-write delta
           spark.catalog.refreshByPath(bandsDir)
         }
       }

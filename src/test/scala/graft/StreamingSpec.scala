@@ -786,19 +786,25 @@ class StreamingSpec extends SparkSpec {
       RefDoc(28L, en("a glazier who sets the coloured windows of the winter chapel"), "en", "a", 28L), // survives stages, quota a full → drop
       RefDoc(29L, en("a printer who sets the morning news by lamplight in the cellar"), "en", "b", 29L)) // keep (b #2)
 
-    def run(batches: Seq[Seq[RefDoc]]): Set[(Long, String)] = {
+    // `gates` is a list of GATE INSTANCES, each fed its own batches over
+    // the SAME deltaDir — instance boundaries model a gate restart (the
+    // persisted star/quota state must carry across; batch ids restart
+    // at 0 in the new instance, so per-instance state dirs are load-bearing)
+    def run(gates: Seq[Seq[Seq[RefDoc]]]): Set[(Long, String)] = {
       val deltaDir = java.nio.file.Files.createTempDirectory("refresh-delta").toString
       val got = scala.collection.mutable.ArrayBuffer[(Long, String)]()
-      val mem = MemoryStream[RefDoc]
-      val q = EventsStream.refreshGate(epoch, deltaDir, mem.toDF(),
-        "doc_id", "seq", "text", "lang", quota = Some(("source", 2))) { kept =>
-        got.synchronized {
-          got ++= kept.select("doc_id", "text").collect()
-            .map(r => (r.getLong(0), r.getString(1)))
+      gates.foreach { batches =>
+        val mem = MemoryStream[RefDoc]
+        val q = EventsStream.refreshGate(epoch, deltaDir, mem.toDF(),
+          "doc_id", "seq", "text", "lang", quota = Some(("source", 2))) { kept =>
+          got.synchronized {
+            got ++= kept.select("doc_id", "text").collect()
+              .map(r => (r.getLong(0), r.getString(1)))
+          }
         }
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        q.stop()
       }
-      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
-      q.stop()
       got.toSet
     }
 
@@ -813,7 +819,7 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet
 
     // three seq-ordered micro-batches ≡ the batch twin, doc-for-doc
-    val streamed = run(Seq(arrivals.take(4), arrivals.slice(4, 7), arrivals.drop(7)))
+    val streamed = run(Seq(Seq(arrivals.take(4), arrivals.slice(4, 7), arrivals.drop(7))))
     assert(streamed === twin, s"streaming ≠ batch: $streamed vs $twin")
     // the planted verdicts, by name
     assert(streamed.map(_._1) === Set(21L, 25L, 26L, 29L))
@@ -821,6 +827,13 @@ class StreamingSpec extends SparkSpec {
     assert(t25.contains("glassblower") && !t25.contains("rights reserved"),
       s"arrival span cut wrong: $t25")
     // slicing invariance: the same arrivals as ONE batch, same answer
-    assert(run(Seq(arrivals)) === twin)
+    assert(run(Seq(Seq(arrivals))) === twin)
+    // restart continuity: stop after two batches, bring up a FRESH gate
+    // on the same deltaDir for the rest — cross-batch dup 27 and the
+    // source-a quota (21+26 fill it before 28) must still resolve
+    // through the PERSISTED state, and the new instance's batch ids
+    // (restarting at 0) must not clobber the predecessor's
+    assert(run(Seq(Seq(arrivals.take(4), arrivals.slice(4, 7)),
+      Seq(arrivals.drop(7)))) === twin)
   }
 }
