@@ -90,13 +90,25 @@ object GraphProbe {
       .localCheckpoint(true)
     val maxReach = clo.agg(max(col("n_reached"))).head().getLong(0)
     val sClo = (System.nanoTime() - t5) / 1e9
+    // the MS-BFS packed path, same 8 sources AND the full 32 (the
+    // packed win grows with |S| — one edge join per level regardless)
+    val tp8 = System.nanoTime()
+    graft.operators.Centrality.closenessPacked(edges, srcs32.take(8))
+      .localCheckpoint(true).count()
+    val sPack8 = (System.nanoTime() - tp8) / 1e9
+    val tp32 = System.nanoTime()
+    graft.operators.Centrality.closenessPacked(edges, srcs32)
+      .localCheckpoint(true).count()
+    val sPack32 = (System.nanoTime() - tp32) / 1e9
     val t6 = System.nanoTime()
     val bc = graft.operators.Centrality
       .betweenness(edges, srcs32, Some(nVert)).localCheckpoint(true)
     val nBc = bc.count()
     val sBc = (System.nanoTime() - t6) / 1e9
     println(s"""{"probe":"centrality","edges":$nEdges,"vertices":$nVert,""" +
-      s""""closeness_sources":8,"closeness_sec":$sClo,"max_reached":$maxReach,""" +
+      s""""closeness_sources":8,"closeness_sec":$sClo,""" +
+      s""""closeness_packed8_sec":$sPack8,"closeness_packed32_sec":$sPack32,""" +
+      s""""max_reached":$maxReach,""" +
       s""""betweenness_sources":32,"betweenness_sec":$sBc,"bc_vertices":$nBc}""")
     spark.stop()
   }

@@ -102,6 +102,86 @@ object Centrality {
         col("harmonic"))
   }
 
+  /** SOURCE-PACKED closeness — the scale path of [[closeness]] (MS-BFS,
+    * Then et al., "The More the Merrier: Efficient Multi-Source Graph
+    * Traversal", VLDB 2014): up to 64 sources ride ONE Long bitmask
+    * per vertex, so each BFS level is one edge-sized join + a
+    * vertex-keyed `bit_or` — the edge list is traversed ONCE per level
+    * regardless of |S|, where the row-per-(source, vertex) shape
+    * ([[forward]]) carries |S| × the touched vertices through every
+    * join. σ path-counting cannot pack (counts, not bits), which is
+    * why betweenness keeps the unpacked pass and closeness gets this
+    * one. More than 64 sources run in ⌈|S|/64⌉ independent packed
+    * waves. Per level the only non-join work is a 64-row per-source
+    * count aggregate (bits explode AFTER the join, never through it)
+    * and the 1-row loop control. Output ≡ [[closeness]] row-for-row
+    * (spec-asserted; the declared `graph_closeness` runs THIS path
+    * against the recursive-CTE oracle). */
+  def closenessPacked(edges: DataFrame, sources: Seq[Long],
+      maxDepth: Int = 40): DataFrame = {
+    require(sources.nonEmpty, "need at least one source")
+    val bi = biView(edges)
+    val spark = bi.sparkSession
+    import spark.implicits._
+    val waves = sources.distinct.sorted.grouped(64).map { wave =>
+      val seed = wave.zipWithIndex
+        .map { case (s, i) => (s, 1L << i) }
+        .toDF("v", "bits")
+      var state = seed
+        .select(col("v"), col("bits").as("seen"), col("bits").as("frontier"))
+        .localCheckpoint(true)
+      val levels = Vector.newBuilder[DataFrame] // (bit, d, cnt), ≤64 rows each
+      var d = 0
+      var more = true
+      while (more && d < maxDepth) {
+        val msgs = state.filter(col("frontier") =!= 0L)
+          .join(bi, state("v") === bi("u"))
+          .groupBy(col("w").as("v"))
+          .agg(expr("bit_or(frontier)").as("arr"))
+        val st2 = state.join(msgs, Seq("v"), "full_outer")
+          .select(col("v"),
+            coalesce(col("seen"), lit(0L)).as("s0"),
+            coalesce(col("arr"), lit(0L)).as("a0"))
+          .select(col("v"),
+            (col("s0").bitwiseOR(col("a0"))).as("seen"),
+            (col("a0").bitwiseAND(bitwise_not(col("s0")))).as("frontier"))
+          .localCheckpoint(true)
+        d += 1
+        val fresh = st2.filter(col("frontier") =!= 0L)
+        more = !fresh.isEmpty // 1-row loop control
+        if (more) {
+          levels += fresh.select(explode(expr(
+              // set-bit positions of the frontier word (the SQL lambda
+              // form: the Scala shiftleft() pins numBits to a literal)
+              "filter(transform(sequence(0, 63), i -> " +
+                "CASE WHEN (frontier & shiftleft(1L, i)) != 0 THEN i END), " +
+                "x -> x IS NOT NULL)")).as("bit"))
+            .groupBy(col("bit")).agg(count(lit(1)).as("cnt"))
+            .withColumn("d", lit(d.toLong))
+          state = st2
+        }
+      }
+      val built = levels.result()
+      if (built.isEmpty) None
+      else {
+        val byBit = wave.zipWithIndex.map { case (s, i) => (i, s) }.toDF("bit", "n")
+        Some(built.reduce(_ unionAll _)
+          .join(byBit, Seq("bit"))
+          .groupBy(col("n"))
+          .agg(
+            sum(col("cnt")).as("n_reached"),
+            sum(col("cnt") * col("d")).as("sum_dist"),
+            round(sum(col("cnt") / col("d").cast("double")), 6).as("harmonic"))
+          .select(col("n"), col("n_reached"), col("sum_dist"),
+            round(col("n_reached").cast("double") / col("sum_dist"), 6)
+              .as("closeness"),
+            col("harmonic")))
+      }
+    }.flatten.toSeq
+    if (waves.isEmpty) closeness(edges, sources, maxDepth) // all isolated
+    else waves.reduce(_ unionByName _)
+  }
+
   /** Brandes betweenness from the sampled `sources`, extrapolated by
     * n/|S| and halved (undirected graphs count each ordered pair
     * twice); with `sources` = all vertices this is EXACT betweenness.

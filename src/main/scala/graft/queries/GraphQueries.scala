@@ -589,7 +589,9 @@ object GraphQueries {
           .unionAll(edges.select(col("b").as("v")))
           .distinct().orderBy(col("v")).limit(8)
           .collect().map(_.getLong(0)).toSeq // 8 rows, bounded
-        graft.operators.Centrality.closeness(edges, srcs)
+        // the MS-BFS packed path (one edge join per level for all 8
+        // sources); ≡ the row-per-source path, spec-asserted
+        graft.operators.Centrality.closenessPacked(edges, srcs)
       },
       Some("""WITH RECURSIVE
         m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),

@@ -552,6 +552,34 @@ class GraphSpec extends SparkSpec {
     assert(far.getLong(1) == 2L && far.getLong(2) == 3L)
   }
 
+  test("closenessPacked ≡ closeness: bitmask MS-BFS matches row-per-source, incl. >64 waves") {
+    import spark.implicits._
+    import graft.operators.Centrality
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // a random-ish connected graph: ring of 80 + chords — 80 sources
+    // forces two packed waves (64 + 16)
+    val ring = (0L until 80L).map(i => (i, (i + 1) % 80)) ++
+      (0L until 80L by 7).map(i => (i, (i + 13) % 80))
+    val g = ring.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.filter(e => e._1 != e._2).toDF("a", "b")
+    val all = (0L until 80L)
+    assert(asMap(Centrality.closenessPacked(g, all)) ==
+      asMap(Centrality.closeness(g, all)))
+    // the small fixtures, including disconnection and depth truncation
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    assert(asMap(Centrality.closenessPacked(path, Seq(1L, 3L))) ==
+      asMap(Centrality.closeness(path, Seq(1L, 3L))))
+    val disc = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    assert(asMap(Centrality.closenessPacked(disc, Seq(1L, 3L))) ==
+      asMap(Centrality.closeness(disc, Seq(1L, 3L))))
+    assert(asMap(Centrality.closenessPacked(path, Seq(1L), maxDepth = 2)) ==
+      asMap(Centrality.closeness(path, Seq(1L), maxDepth = 2)))
+    // sources absent from the graph: both paths produce nothing
+    assert(Centrality.closenessPacked(path, Seq(99L)).count() == 0L)
+  }
+
   test("betweenness: all-sources run equals sequential Brandes exactly") {
     import spark.implicits._
     import graft.operators.Centrality
