@@ -95,8 +95,10 @@ object Centrality {
       .agg(
         count(lit(1)).as("n_reached"),
         sum(col("d")).as("sum_dist"),
+        max(col("d")).as("ecc"), // eccentricity (within maxDepth); the
+        // max over sampled sources lower-bounds the graph diameter
         round(sum(lit(1.0) / col("d")), 6).as("harmonic"))
-      .select(col("n"), col("n_reached"), col("sum_dist"),
+      .select(col("n"), col("n_reached"), col("sum_dist"), col("ecc"),
         round(col("n_reached").cast("double") / col("sum_dist"), 6)
           .as("closeness"),
         col("harmonic"))
@@ -171,8 +173,9 @@ object Centrality {
           .agg(
             sum(col("cnt")).as("n_reached"),
             sum(col("cnt") * col("d")).as("sum_dist"),
+            max(col("d")).as("ecc"),
             round(sum(col("cnt") / col("d").cast("double")), 6).as("harmonic"))
-          .select(col("n"), col("n_reached"), col("sum_dist"),
+          .select(col("n"), col("n_reached"), col("sum_dist"), col("ecc"),
             round(col("n_reached").cast("double") / col("sum_dist"), 6)
               .as("closeness"),
             col("harmonic")))

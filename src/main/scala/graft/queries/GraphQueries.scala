@@ -609,6 +609,7 @@ object GraphQueries {
         dist AS (SELECT s, v, min(d) AS d FROM bfs GROUP BY s, v)
         SELECT s AS n, CAST(count(*) AS BIGINT) AS n_reached,
           CAST(sum(d) AS BIGINT) AS sum_dist,
+          CAST(max(d) AS BIGINT) AS ecc,
           ROUND(CAST(count(*) AS DOUBLE) / sum(d), 6) AS closeness,
           ROUND(SUM(1.0 / CAST(d AS DOUBLE)), 6) AS harmonic
         FROM dist WHERE d > 0 GROUP BY s""")),

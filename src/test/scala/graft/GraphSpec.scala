@@ -529,16 +529,18 @@ class GraphSpec extends SparkSpec {
     // path 1-2-3-4-5, sources 1 and 3
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
     val c = Centrality.closeness(path, Seq(1L, 3L)).collect()
-      .map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
-    // from 1: dists 1,2,3,4 → Σ=10, closeness 4/10; harmonic 1+½+⅓+¼
-    assert(c(1L) == ((4L, 10L, 0.4, math.rint((1.0 + 0.5 + 1.0 / 3 + 0.25) * 1e6) / 1e6)))
-    // from 3 (center): dists 1,1,2,2 → Σ=6; harmonic 3.0
-    assert(c(3L) == ((4L, 6L, math.rint(4.0 / 6 * 1e6) / 1e6, 3.0)))
+      .map(r => r.getAs[Long]("n") -> ((r.getAs[Long]("n_reached"),
+        r.getAs[Long]("sum_dist"), r.getAs[Long]("ecc"),
+        r.getAs[Double]("closeness"), r.getAs[Double]("harmonic")))).toMap
+    // from 1: dists 1,2,3,4 → Σ=10, ecc 4, closeness 4/10; harmonic 1+½+⅓+¼
+    assert(c(1L) == ((4L, 10L, 4L, 0.4, math.rint((1.0 + 0.5 + 1.0 / 3 + 0.25) * 1e6) / 1e6)))
+    // from 3 (center): dists 1,1,2,2 → Σ=6, ecc 2; harmonic 3.0
+    assert(c(3L) == ((4L, 6L, 2L, math.rint(4.0 / 6 * 1e6) / 1e6, 3.0)))
     // star hub sees everything at 1; a leaf sees the hub at 1, rest at 2
     val star = (2L to 6L).map(i => (1L, i)).toDF("a", "b")
     val cs = Centrality.closeness(star, Seq(1L, 2L)).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      .map(r => r.getAs[Long]("n") ->
+        ((r.getAs[Long]("n_reached"), r.getAs[Long]("sum_dist")))).toMap
     assert(cs(1L) == ((5L, 5L)) && cs(2L) == ((5L, 9L)))
     // two components: each source only reaches its own side — the
     // reached-component closeness never divides by an unreached vertex
@@ -556,8 +558,9 @@ class GraphSpec extends SparkSpec {
     import spark.implicits._
     import graft.operators.Centrality
     def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+      .map(r => r.getAs[Long]("n") -> ((r.getAs[Long]("n_reached"),
+        r.getAs[Long]("sum_dist"), r.getAs[Long]("ecc"),
+        r.getAs[Double]("closeness"), r.getAs[Double]("harmonic")))).toMap
     // a random-ish connected graph: ring of 80 + chords — 80 sources
     // forces two packed waves (64 + 16)
     val ring = (0L until 80L).map(i => (i, (i + 1) % 80)) ++
