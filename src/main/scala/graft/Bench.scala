@@ -134,6 +134,7 @@ object Bench {
     "graph_assortativity",
     "graph_assoc_rules",
     "graph_closeness",
+    "graph_closeness_all",
     "graph_hits",
     // graph_betweenness_top is declared + oracle/spec-covered but NOT a
     // headline: 32-source Brandes on the dense sf0.1 co-purchase graph

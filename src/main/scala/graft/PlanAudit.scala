@@ -269,6 +269,9 @@ object PlanAudit {
     // is the final two k-cuts over the checkpointed score frames
     Check("graph_hits", "k-cuts without total sort", "TakeOrderedAndProject"),
     Check("graph_hits", "no cartesian product anywhere", "!CartesianProduct"),
+    Check("graph_closeness_all", "top-k without total sort",
+      "TakeOrderedAndProject"),
+    Check("graph_closeness_all", "no window anywhere", "!Window"),
     Check("graph_assoc_rules", "no window anywhere", "!Window"),
     // LM scoring: the capped model must BIND BROADCAST onto the corpus
     // scan (a shuffled model join would re-partition the corpus by

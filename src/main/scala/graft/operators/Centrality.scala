@@ -185,6 +185,73 @@ object Centrality {
     else waves.reduce(_ unionByName _)
   }
 
+  /** ALL-VERTEX closeness ESTIMATE from sampled pivots (Eppstein &
+    * Wang, "Fast approximation of centrality", SODA 2001) — the
+    * serving shape at scale: [[closeness]] ranks only the sampled
+    * sources; this ranks EVERY vertex by its distances FROM the
+    * pivots (symmetric on an undirected graph), at the same cost —
+    * the packed BFS already touches each vertex per level, so the
+    * per-vertex accumulation is a `bit_count` of the frontier word,
+    * zero extra joins. Exact per-pivot integers (pivots_reached,
+    * sum_dist) with ONE rounded division — with `pivots` = all
+    * vertices this IS exact closeness of every vertex. Vertices no
+    * pivot reaches are absent (callers treat absence as unreachable).
+    * Oracle-twinned: same recursive CTE as `graph_closeness`, grouped
+    * by the REACHED vertex instead of the source. */
+  def closenessAll(edges: DataFrame, pivots: Seq[Long],
+      maxDepth: Int = 40): DataFrame = {
+    require(pivots.nonEmpty, "need at least one pivot")
+    val bi = biView(edges)
+    val spark = bi.sparkSession
+    import spark.implicits._
+    val waves = pivots.distinct.sorted.grouped(64).map { wave =>
+      val seed = wave.zipWithIndex
+        .map { case (s, i) => (s, 1L << i) }
+        .toDF("v", "bits")
+      var state = seed
+        .select(col("v"), col("bits").as("seen"), col("bits").as("frontier"))
+        .localCheckpoint(true)
+      val levels = Vector.newBuilder[DataFrame] // (v, cnt, d) per level
+      var d = 0
+      var more = true
+      while (more && d < maxDepth) {
+        val msgs = state.filter(col("frontier") =!= 0L)
+          .join(bi, state("v") === bi("u"))
+          .groupBy(col("w").as("v"))
+          .agg(expr("bit_or(frontier)").as("arr"))
+        val st2 = state.join(msgs, Seq("v"), "full_outer")
+          .select(col("v"),
+            coalesce(col("seen"), lit(0L)).as("s0"),
+            coalesce(col("arr"), lit(0L)).as("a0"))
+          .select(col("v"),
+            (col("s0").bitwiseOR(col("a0"))).as("seen"),
+            (col("a0").bitwiseAND(bitwise_not(col("s0")))).as("frontier"))
+          .localCheckpoint(true)
+        d += 1
+        val fresh = st2.filter(col("frontier") =!= 0L)
+        more = !fresh.isEmpty // 1-row loop control
+        if (more) {
+          levels += fresh.select(col("v"),
+            expr("bit_count(frontier)").cast("long").as("cnt"),
+            lit(d.toLong).as("d"))
+          state = st2
+        }
+      }
+      val built = levels.result()
+      if (built.isEmpty) None else Some(built.reduce(_ unionAll _))
+    }.flatten.toSeq
+    if (waves.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("n", "pivots_reached", "sum_dist", "pivot_closeness")
+    waves.reduce(_ unionAll _)
+      .groupBy(col("v").as("n"))
+      .agg(sum(col("cnt")).as("pivots_reached"),
+        sum(col("cnt") * col("d")).as("sum_dist"))
+      .select(col("n"), col("pivots_reached"), col("sum_dist"),
+        round(col("pivots_reached").cast("double") / col("sum_dist"), 6)
+          .as("pivot_closeness"))
+  }
+
   /** Brandes betweenness from the sampled `sources`, extrapolated by
     * n/|S| and halved (undirected graphs count each ordered pair
     * twice); with `sources` = all vertices this is EXACT betweenness.

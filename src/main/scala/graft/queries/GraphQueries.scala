@@ -614,6 +614,43 @@ object GraphQueries {
           ROUND(SUM(1.0 / CAST(d AS DOUBLE)), 6) AS harmonic
         FROM dist WHERE d > 0 GROUP BY s""")),
 
+    // ✚ ALL-vertex closeness estimate (round 13): Eppstein–Wang pivot
+    // sampling — every vertex ranked by its exact distances from the 8
+    // pivots, same packed-BFS cost as graph_closeness (the per-vertex
+    // accumulation is a bit_count of the frontier word, zero extra
+    // joins). Top-20 by the single rounded division, ties → id.
+    Q("graph_closeness_all",
+      (s, d) => {
+        val edges = graft.operators.Triangles.cooccurrenceEdges(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50)
+          .localCheckpoint(true)
+        val srcs = edges.select(col("a").as("v"))
+          .unionAll(edges.select(col("b").as("v")))
+          .distinct().orderBy(col("v")).limit(8)
+          .collect().map(_.getLong(0)).toSeq // 8 rows, bounded
+        graft.operators.Centrality.closenessAll(edges, srcs)
+          .orderBy(col("pivot_closeness").desc, col("n").asc).limit(20)
+      },
+      Some("""WITH RECURSIVE
+        m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        ok AS (SELECT g FROM m GROUP BY g HAVING count(*) <= 50),
+        mm AS (SELECT m.g, m.i FROM m JOIN ok USING (g)),
+        e AS (SELECT DISTINCT x.i AS a, y.i AS b
+          FROM mm x JOIN mm y ON x.g = y.g AND x.i < y.i),
+        bi AS (SELECT a AS u, b AS w FROM e UNION ALL SELECT b AS u, a AS w FROM e),
+        srcs AS (SELECT DISTINCT u AS s FROM bi ORDER BY s LIMIT 8),
+        bfs AS (
+          SELECT s, s AS v, 0 AS d FROM srcs
+          UNION
+          SELECT bfs.s, bi.w AS v, bfs.d + 1 FROM bfs
+            JOIN bi ON bi.u = bfs.v WHERE bfs.d < 40),
+        dist AS (SELECT s, v, min(d) AS d FROM bfs GROUP BY s, v)
+        SELECT v AS n, CAST(count(*) AS BIGINT) AS pivots_reached,
+          CAST(sum(d) AS BIGINT) AS sum_dist,
+          ROUND(CAST(count(*) AS DOUBLE) / sum(d), 6) AS pivot_closeness
+        FROM dist WHERE d > 0 GROUP BY v
+        ORDER BY pivot_closeness DESC, n ASC LIMIT 20""")),
+
     // ✚ betweenness centrality top-k (round 13): Brandes–Pich sampled
     // betweenness from 32 deterministic sources, extrapolated by
     // n/|S|/2. σ path-counting is NOT SQL-expressible without

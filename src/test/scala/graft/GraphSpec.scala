@@ -581,6 +581,16 @@ class GraphSpec extends SparkSpec {
       asMap(Centrality.closeness(path, Seq(1L), maxDepth = 2)))
     // sources absent from the graph: both paths produce nothing
     assert(Centrality.closenessPacked(path, Seq(99L)).count() == 0L)
+    // closenessAll with ALL vertices as pivots: on an undirected graph
+    // distances are symmetric, so every vertex's (pivots_reached,
+    // sum_dist) equals its own per-source closeness row — the
+    // Eppstein–Wang estimator collapses to exact closeness
+    val perSource = asMap(Centrality.closeness(g, all))
+      .map { case (n, t) => n -> ((t._1, t._2)) }
+    val allV = Centrality.closenessAll(g, all).collect()
+      .map(r => r.getAs[Long]("n") ->
+        ((r.getAs[Long]("pivots_reached"), r.getAs[Long]("sum_dist")))).toMap
+    assert(allV == perSource)
   }
 
   test("betweenness: all-sources run equals sequential Brandes exactly") {
