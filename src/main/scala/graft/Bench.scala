@@ -136,6 +136,7 @@ object Bench {
     "graph_closeness",
     "graph_closeness_all",
     "graph_hits",
+    "graph_random_walks",
     // graph_betweenness_top is declared + oracle/spec-covered but NOT a
     // headline: 32-source Brandes on the dense sf0.1 co-purchase graph
     // is diameter×|S|-bound by design (24.5 s — GraphProbe is its perf

@@ -272,6 +272,12 @@ object PlanAudit {
     Check("graph_closeness_all", "top-k without total sort",
       "TakeOrderedAndProject"),
     Check("graph_closeness_all", "no window anywhere", "!Window"),
+    // random walks (round 13): `length` equi joins against ONE
+    // checkpointed adjacency frame — no window, no cartesian, and the
+    // hop choice hashes through the native md5 fold
+    Check("graph_random_walks", "no window anywhere", "!Window"),
+    Check("graph_random_walks", "no cartesian product anywhere",
+      "!CartesianProduct"),
     Check("graph_assoc_rules", "no window anywhere", "!Window"),
     // LM scoring: the capped model must BIND BROADCAST onto the corpus
     // scan (a shuffled model join would re-partition the corpus by

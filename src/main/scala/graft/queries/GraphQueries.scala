@@ -93,6 +93,37 @@ object GraphQueries {
       SELECT * FROM hubs UNION ALL SELECT * FROM auths"""
   }
 
+  /** DuckDB twin of `RandomWalks.randomWalks`: the same salted-md5 hop
+    * choice replayed step by step (hex-fold of md5 — the
+    * sqlMd5Hash32 pattern; `instr` returns BIGINT so the fold never
+    * overflows), the same sorted adjacency, the same 1-based index. */
+  private def walkSql(salt: String, length: Int): String = {
+    def hexFold(hexExpr: String): String =
+      "list_reduce(list_transform(generate_series(1, 8), " +
+        s"j -> instr('0123456789abcdef', substr($hexExpr, j, 1)) - 1), " +
+        "(a, x) -> a * 16 + x)"
+    def h(t: Int) = hexFold(
+      s"md5('$salt' || '|' || CAST(start AS VARCHAR) || '|$t|' || CAST(cur AS VARCHAR))")
+    val steps = (1 to length).map { t =>
+      s"""p$t AS MATERIALIZED (SELECT s.start, s.walk,
+        adj.nbrs[CAST((${h(t)} % adj.deg) + 1 AS INT)] AS nxt
+        FROM s${t - 1} s JOIN adj ON adj.u = s.cur),
+      s$t AS MATERIALIZED (SELECT start, nxt AS cur,
+        walk || '->' || CAST(nxt AS VARCHAR) AS walk FROM p$t)"""
+    }.mkString(",\n      ")
+    s"""WITH m AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      ok AS MATERIALIZED (SELECT g FROM m GROUP BY g HAVING count(*) <= 50),
+      mm AS MATERIALIZED (SELECT m.g, m.i FROM m JOIN ok USING (g)),
+      e AS MATERIALIZED (SELECT DISTINCT x.i AS a, y.i AS b
+        FROM mm x JOIN mm y ON x.g = y.g AND x.i < y.i),
+      bi AS MATERIALIZED (SELECT a AS u, b AS w FROM e UNION ALL SELECT b, a FROM e),
+      adj AS MATERIALIZED (SELECT u, list_sort(list(w)) AS nbrs,
+        CAST(count(*) AS BIGINT) AS deg FROM bi GROUP BY u),
+      s0 AS MATERIALIZED (SELECT u AS start, u AS cur, CAST(u AS VARCHAR) AS walk FROM adj),
+      $steps
+      SELECT start, walk FROM s$length"""
+  }
+
   def queries: Seq[Q] = Seq(
 
     // A3 — label enumeration (catalog scan)
@@ -671,6 +702,16 @@ object GraphQueries {
           .orderBy(col("betweenness").desc, col("n").asc).limit(20)
       },
       None),
+
+    // ✚ deterministic random walks (round 13): DeepWalk corpus
+    // generation with salted-md5 hop choice — replayable (same salt =
+    // bit-identical walks, the samplePct doctrine) and therefore
+    // hash-green against a DuckDB replay of every hop.
+    Q("graph_random_walks",
+      (s, d) => graft.operators.RandomWalks.randomWalks(
+        graft.operators.Triangles.cooccurrenceEdges(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50), "r13", 4),
+      Some(walkSql("r13", 4))),
 
     // ✚ HITS hubs & authorities (round 13): the directed link-analysis
     // twin of PageRank on the order→part bipartite graph; grid-rounded

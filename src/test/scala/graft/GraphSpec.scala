@@ -624,6 +624,32 @@ class GraphSpec extends SparkSpec {
     assert(Centrality.betweenness(path, Seq(99L), Some(5L)).count() == 0L)
   }
 
+  test("randomWalks: deterministic, edge-respecting, salt-fresh") {
+    import spark.implicits._
+    import graft.operators.RandomWalks
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)).toDF("a", "b")
+    val adj = Map(1L -> Set(2L, 3L, 4L), 2L -> Set(1L, 3L),
+      3L -> Set(1L, 2L, 4L), 4L -> Set(1L, 3L))
+    val w1 = RandomWalks.randomWalks(g, "s1", 5).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // one walk per vertex, length+1 nodes, starting at the start
+    assert(w1.keySet == adj.keySet)
+    w1.foreach { case (start, walk) =>
+      val hops = walk.split("->").map(_.toLong).toSeq
+      assert(hops.length == 6 && hops.head == start)
+      hops.sliding(2).foreach { case Seq(x, y) =>
+        assert(adj(x).contains(y), s"non-edge $x->$y in $walk")
+      }
+    }
+    // replayable: same salt is bit-identical; a new salt moves walks
+    val w1b = RandomWalks.randomWalks(g, "s1", 5).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(w1 == w1b)
+    val w2 = RandomWalks.randomWalks(g, "s2", 5).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(w1 != w2)
+  }
+
   test("HITS: mutual reinforcement ranks the shared authority and the big hub first") {
     import spark.implicits._
     import graft.operators.Hits
