@@ -147,4 +147,48 @@ class RefreshSpec extends SparkSpec {
     val unchangedIds = resident.select("doc_id").as[Long].collect().toSet - 7L - 9L - 10L
     assert(keptSet(upserts).map(_._1).intersect(unchangedIds).isEmpty)
   }
+
+  test("store-backed epoch: the manifest seq IS the epoch key — DML re-keys, generations persist") {
+    import graft.server.Dml
+    import graft.load.{GraphLoader, IndexKeys, Store}
+    val out = java.nio.file.Files.createTempDirectory("refreshstore").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    // the resident corpus lives IN the store, landed through the same
+    // validated DML sink everything else uses
+    Dml.execute(spark, out, "CREATE VERTEX TYPE Doc")
+    Dml.execute(spark, out, "CREATE PROPERTY Doc.text STRING")
+    Dml.execute(spark, out, "CREATE PROPERTY Doc.lang STRING")
+    val values = resident.select("doc_id", "text").collect()
+      .map(r => s"(${5000000L + r.getLong(0)}, '${r.getString(1)}', 'en')")
+      .mkString(", ")
+    Dml.execute(spark, out, s"INSERT INTO Doc (id, text, lang) VALUES $values")
+    def docs() = Store.readLabel(spark, out, "nodes", "Doc",
+        Store.readManifest(out)).get
+      .select(col("id").as("doc_id"), col("text"), col("lang"))
+      .withColumn("seq", col("doc_id"))
+    val cache2 = java.nio.file.Files.createTempDirectory("refreshstore-cache").toString
+    val fp0 = IndexKeys.fingerprint(out)
+    val epStore = Refresh.buildEpoch(spark, cache2, IndexKeys.key("epoch", out),
+      docs(), benchmark, "doc_id", "seq", "text", "lang", rules, windowTokens = 8)
+    val kept0 = Refresh.process(epStore, docs(), "doc_id", "seq", "text", "lang")
+      .select("doc_id").as[Long].collect().toSet
+    // the store-backed run is the parquet-frame run, id-shifted: same
+    // texts, same seq ORDER, same knobs → same verdicts
+    assert(kept0 == keptSet(residentKept).map(_._1 + 5000000L),
+      "store-backed epoch diverged from the parquet-frame epoch")
+    // ONE DML commit bumps the manifest seq → the epoch key moves too
+    Dml.execute(spark, out, "INSERT INTO Doc (id, text, lang) VALUES " +
+      "(5000011, 'the tale of a glassfloat drifting over the reef at dawn and the end of it all', 'en')")
+    assert(IndexKeys.fingerprint(out) != fp0)
+    // a rebuild under the CURRENT key sees the appended doc; the stale
+    // generation's authorities stay untouched on disk (readers of the
+    // old epoch keep serving their snapshot — generation semantics)
+    val ep1 = Refresh.buildEpoch(spark, cache2, IndexKeys.key("epoch", out),
+      docs(), benchmark, "doc_id", "seq", "text", "lang", rules, windowTokens = 8)
+    val kept1 = Refresh.process(ep1, docs(), "doc_id", "seq", "text", "lang")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept1 == kept0 + 5000011L)
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(cache2, s"epoch-$fp0-span")))
+  }
 }
