@@ -8,11 +8,16 @@ import graft.operators.{KCore, Triangles}
   * sf0.1 co-purchase graph (the same edge list the triangle family
   * benches on). Reports the 3-core size, the full coreness profile
   * (max core + distribution mass), and walls. One JSON line for
-  * BASELINE.md. Run: `sbt "runMain graft.GraphProbe"`. */
+  * BASELINE.md. Run: `sbt "runMain graft.GraphProbe"`.
+  * `SPARK_GRAFT_PROBE_ONLY=kcore,lpa,cc,centrality,hits_walks` filters
+  * sections — the ×10-SF posture runs skip the slow legacy sections
+  * (the peel alone is ~17 min at 12M edges). */
 object GraphProbe {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.split(",").toSet)
+    def want(s: String): Boolean = only.forall(_.contains(s))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,6 +31,7 @@ object GraphProbe {
       "l_orderkey", "l_partkey", 50).localCheckpoint(true)
     val nEdges = edges.count()
 
+    if (want("kcore")) {
     val t0 = System.nanoTime()
     val c3 = KCore.kCore(edges, 3).count()
     val s3 = (System.nanoTime() - t0) / 1e9
@@ -52,7 +58,9 @@ object GraphProbe {
       s""""core3_sec":$s3,"max_core":$maxCore,"coreness_sec":$s,""" +
       s""""coreness_peel_sec":$sPeel,"peel_equal":true,""" +
       s""""top_cores":{$top}}""")
+    }
 
+    if (want("lpa")) {
     val t2 = System.nanoTime()
     val lpa = graft.operators.Communities.labelPropagation(edges, 5)
       .localCheckpoint(true)
@@ -60,7 +68,9 @@ object GraphProbe {
     val sLpa = (System.nanoTime() - t2) / 1e9
     println(s"""{"probe":"lpa","edges":$nEdges,"rounds":5,""" +
       s""""communities":$nComm,"sec":$sLpa}""")
+    }
 
+    if (want("cc")) {
     val t3 = System.nanoTime()
     val ccDf = graft.operators.Communities.connectedComponentsDf(edges)
       .localCheckpoint(true)
@@ -74,7 +84,9 @@ object GraphProbe {
     println(s"""{"probe":"cc_df_vs_graphx","edges":$nEdges,""" +
       s""""df_components":$nCompDf,"df_sec":$sDf,""" +
       s""""graphx_components":$nCompGx,"graphx_sec":$sGx}""")
+    }
 
+    if (want("centrality")) {
     // centrality posture (r13 order #8): sampled-source closeness and
     // Brandes betweenness — the cost driver is |S| × BFS levels, so
     // the probe reports walls for the declared-query source counts;
@@ -110,6 +122,26 @@ object GraphProbe {
       s""""closeness_packed8_sec":$sPack8,"closeness_packed32_sec":$sPack32,""" +
       s""""max_reached":$maxReach,""" +
       s""""betweenness_sources":32,"betweenness_sec":$sBc,"bc_vertices":$nBc}""")
+    }
+
+    if (want("hits_walks")) {
+    // HITS + random walks (round 13): the remaining iterative family
+    // members — posture across SF probes shows edge-linearity
+    val t7 = System.nanoTime()
+    val hits = graft.operators.Hits.hitsTop(
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey").as("s"), col("l_partkey").as("d")), 4, 20)
+    val nHits = hits.count()
+    val sHits = (System.nanoTime() - t7) / 1e9
+    val t8 = System.nanoTime()
+    val walks = graft.operators.RandomWalks.randomWalks(edges, "probe", 4)
+      .localCheckpoint(true)
+    val nWalks = walks.count()
+    val sWalks = (System.nanoTime() - t8) / 1e9
+    println(s"""{"probe":"hits_walks","edges":$nEdges,""" +
+      s""""hits_iters":4,"hits_rows":$nHits,"hits_sec":$sHits,""" +
+      s""""walk_len":4,"walks":$nWalks,"walks_sec":$sWalks}""")
+    }
     spark.stop()
   }
 }

@@ -729,6 +729,23 @@ class ArcadeSqlSpec extends SparkSpec {
     assert(names == wantNames && names.nonEmpty)
   }
 
+  test("hop property projection respects direction: in() and both()") {
+    // every Order has exactly ONE placing customer: in('PLACED') from
+    // the Order side is the reverse hop (edges stored once, src→dst)
+    val got = run("SELECT id, in('PLACED').name AS names FROM Order")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val want = g.edgesOf("PLACED").select(col("dst").as("id"), col("src").as("cid"))
+      .join(g.nodesOf("Customer").select(col("id").as("cid"), col("name")), "cid")
+      .select("id", "name").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, names) => assert(names == Seq(want(id)), s"order $id") }
+    // both() unions the directions: a Nation sees its region through
+    // the out-edge only, so both('IN_REGION') has exactly one value
+    val b = run("SELECT both('IN_REGION').name AS rn FROM Nation")
+      .collect().map(_.getSeq[String](0))
+    assert(b.length == 25 && b.forall(_.length == 1))
+  }
+
   test("hop property projection fails loudly off a hop and on unknown properties") {
     intercept[IllegalArgumentException] {
       run("SELECT out('PLACED').no_such_prop AS x FROM Customer").collect()
