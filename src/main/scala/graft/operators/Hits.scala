@@ -40,6 +40,9 @@ object Hits {
   def hits(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     val e = edges.select(col("s"), col("d")).distinct().localCheckpoint(true)
+    if (e.isEmpty) // no edges: no hubs, no authorities — schema kept
+      return e.select(lit("hub").as("kind"), col("s").as("n"),
+        lit(0.0).as("score")).limit(0)
     var hub = e.select(col("s").as("n")).distinct()
       .select(col("n"), lit(1.0).as("score"))
     var auth: DataFrame = null

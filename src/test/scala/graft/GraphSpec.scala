@@ -671,5 +671,10 @@ class GraphSpec extends SparkSpec {
     val top = Hits.hitsTop(e, 4, 1).collect()
       .map(x => (x.getString(0), x.getLong(1))).toSet
     assert(top == Set(("hub", 101L), ("auth", 1L)))
+    // empty graph: empty result with the schema intact, no NPE on the
+    // normalization max
+    val none = Hits.hits(Seq.empty[(Long, Long)].toDF("s", "d"), 4)
+    assert(none.count() == 0L &&
+      none.columns.toSeq == Seq("kind", "n", "score"))
   }
 }
