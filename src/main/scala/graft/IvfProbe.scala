@@ -26,8 +26,12 @@ object IvfProbe {
     val emb = spark.read.parquet(src)
     val dir = "target/ivfindex_probe"
     val t0 = System.nanoTime()
-    val cents = Similarity.buildIvfIndex(emb, "vec_id", "embedding", 16, 256, dir)
+    // build STAMPED with the source fingerprint (r13 #9) so the serve
+    // below runs through the stale probe — the production wiring
+    val cents = Similarity.buildIvfIndex(emb, "vec_id", "embedding", 16, 256, dir,
+      source = Some(src))
     val buildS = (System.nanoTime() - t0) / 1e9
+    graft.load.IndexKeys.requireFresh(dir, src) // refuses if stale
     val qids = (0L to 4L).toSeq
     def time(f: => Long): (Double, Long) = {
       val runs = (1 to 3).map { _ =>
@@ -36,7 +40,7 @@ object IvfProbe {
       (runs.map(_._1).min, runs.head._2)
     }
     val (coldS, nCold) = time(
-      Similarity.ivfIndexTopK(spark, dir, qids, 4, 10).count())
+      Similarity.ivfIndexTopK(spark, dir, qids, 4, 10, source = Some(src)).count())
     val (warmS, nWarm) = time(
       Similarity.ivfTopKWith(emb, "vec_id", "embedding", cents, 4, qids, 10).count())
     assert(nCold == nWarm, s"route mismatch: $nCold vs $nWarm")

@@ -156,25 +156,15 @@ object Dedup {
     * probes would silently miss new residents. */
   def residentBandIndex(spark: org.apache.spark.sql.SparkSession,
       cacheRoot: String, key: String, resident: => DataFrame,
-      idCol: String, textCol: String, numPerms: Int, bands: Int): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val dest = Paths.get(cacheRoot, key)
-    if (!Files.isDirectory(dest)) {
-      Files.createDirectories(Paths.get(cacheRoot))
-      val tmp = Paths.get(cacheRoot,
-        s".build-$key-${java.util.UUID.randomUUID().toString.take(8)}")
+      idCol: String, textCol: String, numPerms: Int, bands: Int): DataFrame =
+    // ONE publish protocol for every persisted index (code-review r13:
+    // three inline copies of the tmp-dir + ATOMIC_MOVE + lose-the-race
+    // sequence had to stay in sync by hand)
+    Refresh.persisted(spark, cacheRoot, key)(
       bandedSignatures(minhashSignatures(resident, idCol, textCol, numPerms),
           idCol, numPerms, bands)
         .repartitionByRange(col("band"), col("sig"))
-        .sortWithinPartitions("band", "sig")
-        .write.mode("overwrite").parquet(tmp.toString)
-      try { Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE); () }
-      catch { case _: java.io.IOException => // lost the publish race
-        graft.load.Store.tryDeleteRecursively(tmp); ()
-      }
-    }
-    spark.read.parquet(dest.toString)
-  }
+        .sortWithinPartitions("band", "sig"))
 
   /** Incremental near-dup: drop every batch document whose bands
     * collide with the resident index, or with a smaller-id document of
@@ -519,13 +509,8 @@ object Dedup {
       cacheRoot: String, key: String, corpus: => DataFrame,
       idCol: String, textCol: String, windowTokens: Int,
       maxDf: Long = Long.MaxValue): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     require(windowTokens >= 2, "span windows need ≥ 2 tokens")
-    val dest = Paths.get(cacheRoot, key)
-    if (!Files.isDirectory(dest)) {
-      Files.createDirectories(Paths.get(cacheRoot))
-      val tmp = Paths.get(cacheRoot,
-        s".build-$key-${java.util.UUID.randomUUID().toString.take(8)}")
+    Refresh.persisted(spark, cacheRoot, key)(
       spread(corpus)
         .select(explode(graft.plans.NGramMd5(
           TextOps.tokens(col(textCol)), windowTokens, 8)).as("h"))
@@ -533,14 +518,7 @@ object Dedup {
         .filter(col("df") >= 2 && col("df") <= maxDf)
         .select(col("h"))
         .repartitionByRange(col("h"))
-        .sortWithinPartitions("h")
-        .write.mode("overwrite").parquet(tmp.toString)
-      try { Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE); () }
-      catch { case _: java.io.IOException => // lost the publish race
-        graft.load.Store.tryDeleteRecursively(tmp); ()
-      }
-    }
-    spark.read.parquet(dest.toString)
+        .sortWithinPartitions("h"))
   }
 
   /** Incremental span scrub: cut every arrival passage whose window

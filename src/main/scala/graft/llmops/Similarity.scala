@@ -602,7 +602,13 @@ object Similarity {
     * centroids (spec-asserted). */
   def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       queryIds: Seq[Long], nProbe: Int, k: Int,
-      capPerCell: Int = CandidateCap): DataFrame = {
+      capPerCell: Int = CandidateCap,
+      source: Option[String] = None): DataFrame = {
+    // unified freshness (r13 #9): when the caller names the SOURCE the
+    // index answers for, serving REFUSES on a stale layout instead of
+    // silently answering from a pre-append generation — the in-place
+    // twin of the key-addressed caches' openFresh
+    source.foreach(graft.load.IndexKeys.requireFresh(indexDir, _))
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1).toSeq

@@ -1095,14 +1095,19 @@ object GraphLoader {
     * mention their type name — the data rides one rewrite generation
     * under the new label path, full-text postings rebuild from that
     * copied generation through the same [[stageFt]] every rewrite
-    * uses, and the SINGLE manifest write is the atomic commit point
-    * (a crash before it leaves only sweepable orphans under the new
-    * name). schema.json re-keys FIRST — the DROP TYPE ordering
-    * argument: the in-between states are a declared-but-empty new
-    * type and an undeclared old manifest entry, both benign. Indexes,
-    * constraints, settings, edge-endpoint sets and record ids all
-    * survive under the new name (ids are label-independent, so every
-    * rid keeps resolving). */
+    * uses, and the manifest write is the data commit point (a crash
+    * before it leaves only sweepable orphans under the new name).
+    * schema.json re-keys LAST (code-review r13 — the reverse order
+    * left a crash window where oldName was gone from the schema while
+    * the data still keyed under it, hiding the rows until manual
+    * repair): with manifest-first, the only half-state is "data under
+    * newName, schema still oldName", and RE-ISSUING THE SAME ALTER
+    * TYPE completes it — the guard still finds oldName in the schema,
+    * the data pass is a no-op (oldName has no manifest entry left),
+    * and the schema swap finishes the rename. Indexes, constraints,
+    * settings, edge-endpoint sets and record ids all survive under
+    * the new name (ids are label-independent, so every rid keeps
+    * resolving). */
   def renameType(spark: SparkSession, outDir: String, oldName: String,
       newName: String): Long = StoreLock.withWriteLock(outDir) {
     val gsPath = java.nio.file.Paths.get(s"$outDir/schema.json")
@@ -1119,12 +1124,6 @@ object GraphLoader {
         if (i.label == oldName) i.copy(label = newName) else i),
       constraints = gs.constraints.map(c =>
         if (c.label == oldName) c.copy(label = newName) else c))
-    val tmp = java.nio.file.Paths.get(
-      s"$outDir/.schema.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    java.nio.file.Files.writeString(tmp, gs2.toJson)
-    java.nio.file.Files.move(tmp, gsPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val m = Store.readManifest(outDir)
     val dataGen = Store.readLabel(spark, outDir, entity, oldName, m)
       .map(df => Store.writeGen(outDir, entity, newName, m.seq + 1, df))
@@ -1147,7 +1146,16 @@ object GraphLoader {
         Store.genDir(outDir, entity, newName, g), append = false)
       m2 = m3
     }
+    // data commit first, schema swap LAST (see scaladoc: the half-state
+    // is completed by re-issuing the same ALTER TYPE — a no-op data
+    // pass plus this swap)
     Store.writeManifest(outDir, m2)
+    val tmp = java.nio.file.Paths.get(
+      s"$outDir/.schema.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    java.nio.file.Files.writeString(tmp, gs2.toJson)
+    java.nio.file.Files.move(tmp, gsPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     Store.sweep(outDir, keepPerLabel = 1)
     1L
   }

@@ -78,12 +78,18 @@ object Centrality {
   /** EXACT closeness of each source vertex: over the vertices it
     * reaches (self excluded), `closeness` = n_reached / Σdist (the
     * reached-component form, robust to disconnection) and `harmonic`
-    * = Σ 1/dist (the disconnection-free variant). Distances and Σdist
-    * are exact integers; the two ratios round to 6 decimals ONCE (the
-    * clustering-coefficient discipline — never an average of partial
-    * doubles). Sources reaching nothing are omitted (an edge list
-    * carries no isolated vertices). Oracle-twinned: single-source BFS
-    * is a bounded-depth recursive CTE in DuckDB (`graph_closeness`). */
+    * = Σ 1/dist (the disconnection-free variant). n_reached/Σdist/ecc
+    * are exact integers and `closeness` is ONE rounded division;
+    * `harmonic` is inherently an order-dependent double sum (Σ 1/d has
+    * no exact integer form — lcm(1..40)-scaled numerators overflow
+    * Long at corpus vertex counts), so it rides the Qh doctrine's
+    * documented bridge for such aggregates: round to 6 decimals,
+    * boundary-collision odds ~1e-9 (the stddev rule). The packed path
+    * sums the same value as Σ cnt_d/d over ≤ maxDepth level rows —
+    * fewer roundings, same 6-dp value under that bridge. Sources
+    * reaching nothing are omitted (an edge list carries no isolated
+    * vertices). Oracle-twinned: single-source BFS is a bounded-depth
+    * recursive CTE in DuckDB (`graph_closeness`). */
   def closeness(edges: DataFrame, sources: Seq[Long],
       maxDepth: Int = 40): DataFrame = {
     val levels = forward(biView(edges), sources, maxDepth)
@@ -119,6 +125,58 @@ object Centrality {
     * and the 1-row loop control. Output ≡ [[closeness]] row-for-row
     * (spec-asserted; the declared `graph_closeness` runs THIS path
     * against the recursive-CTE oracle). */
+  /** The shared packed-wave driver ([[closenessPacked]] and
+    * [[closenessAll]] differ ONLY in what they take from each level):
+    * seed ≤ 64 sources as one-bit masks, expand level-synchronously
+    * (per level: one edge join + a vertex-keyed `bit_or` + the anti
+    * semantics folded into `arr & ~seen` + ONE 1-row loop control),
+    * and hand each level's fresh-frontier frame (v, frontier) plus its
+    * depth to `payload`. Returns the payload frames, possibly empty
+    * (a wave of all-isolated sources never expands). */
+  private def packedWave(bi: DataFrame, wave: Seq[Long], maxDepth: Int)(
+      payload: (DataFrame, Int) => DataFrame): Vector[DataFrame] = {
+    val spark = bi.sparkSession
+    import spark.implicits._
+    val seed = wave.zipWithIndex
+      .map { case (s, i) => (s, 1L << i) }
+      .toDF("v", "bits")
+    var state = seed
+      .select(col("v"), col("bits").as("seen"), col("bits").as("frontier"))
+      .localCheckpoint(true)
+    val levels = Vector.newBuilder[DataFrame]
+    var d = 0
+    var more = true
+    while (more && d < maxDepth) {
+      val msgs = state.filter(col("frontier") =!= 0L)
+        .join(bi, state("v") === bi("u"))
+        .groupBy(col("w").as("v"))
+        .agg(expr("bit_or(frontier)").as("arr"))
+      val st2 = state.join(msgs, Seq("v"), "full_outer")
+        .select(col("v"),
+          coalesce(col("seen"), lit(0L)).as("s0"),
+          coalesce(col("arr"), lit(0L)).as("a0"))
+        .select(col("v"),
+          (col("s0").bitwiseOR(col("a0"))).as("seen"),
+          (col("a0").bitwiseAND(bitwise_not(col("s0")))).as("frontier"))
+        .localCheckpoint(true)
+      d += 1
+      val fresh = st2.filter(col("frontier") =!= 0L)
+      more = !fresh.isEmpty // 1-row loop control
+      if (more) {
+        levels += payload(fresh, d)
+        state = st2
+      }
+    }
+    levels.result()
+  }
+
+  /** Set-bit positions of the frontier word (the SQL lambda form: the
+    * Scala shiftleft() pins numBits to a literal). */
+  private val FrontierBits =
+    "filter(transform(sequence(0, 63), i -> " +
+      "CASE WHEN (frontier & shiftleft(1L, i)) != 0 THEN i END), " +
+      "x -> x IS NOT NULL)"
+
   def closenessPacked(edges: DataFrame, sources: Seq[Long],
       maxDepth: Int = 40): DataFrame = {
     require(sources.nonEmpty, "need at least one source")
@@ -126,44 +184,11 @@ object Centrality {
     val spark = bi.sparkSession
     import spark.implicits._
     val waves = sources.distinct.sorted.grouped(64).map { wave =>
-      val seed = wave.zipWithIndex
-        .map { case (s, i) => (s, 1L << i) }
-        .toDF("v", "bits")
-      var state = seed
-        .select(col("v"), col("bits").as("seen"), col("bits").as("frontier"))
-        .localCheckpoint(true)
-      val levels = Vector.newBuilder[DataFrame] // (bit, d, cnt), ≤64 rows each
-      var d = 0
-      var more = true
-      while (more && d < maxDepth) {
-        val msgs = state.filter(col("frontier") =!= 0L)
-          .join(bi, state("v") === bi("u"))
-          .groupBy(col("w").as("v"))
-          .agg(expr("bit_or(frontier)").as("arr"))
-        val st2 = state.join(msgs, Seq("v"), "full_outer")
-          .select(col("v"),
-            coalesce(col("seen"), lit(0L)).as("s0"),
-            coalesce(col("arr"), lit(0L)).as("a0"))
-          .select(col("v"),
-            (col("s0").bitwiseOR(col("a0"))).as("seen"),
-            (col("a0").bitwiseAND(bitwise_not(col("s0")))).as("frontier"))
-          .localCheckpoint(true)
-        d += 1
-        val fresh = st2.filter(col("frontier") =!= 0L)
-        more = !fresh.isEmpty // 1-row loop control
-        if (more) {
-          levels += fresh.select(explode(expr(
-              // set-bit positions of the frontier word (the SQL lambda
-              // form: the Scala shiftleft() pins numBits to a literal)
-              "filter(transform(sequence(0, 63), i -> " +
-                "CASE WHEN (frontier & shiftleft(1L, i)) != 0 THEN i END), " +
-                "x -> x IS NOT NULL)")).as("bit"))
-            .groupBy(col("bit")).agg(count(lit(1)).as("cnt"))
-            .withColumn("d", lit(d.toLong))
-          state = st2
-        }
+      val built = packedWave(bi, wave, maxDepth) { (fresh, d) =>
+        fresh.select(explode(expr(FrontierBits)).as("bit"))
+          .groupBy(col("bit")).agg(count(lit(1)).as("cnt"))
+          .withColumn("d", lit(d.toLong)) // ≤ 64 rows per level
       }
-      val built = levels.result()
       if (built.isEmpty) None
       else {
         val byBit = wave.zipWithIndex.map { case (s, i) => (i, s) }.toDF("bit", "n")
@@ -205,39 +230,11 @@ object Centrality {
     val spark = bi.sparkSession
     import spark.implicits._
     val waves = pivots.distinct.sorted.grouped(64).map { wave =>
-      val seed = wave.zipWithIndex
-        .map { case (s, i) => (s, 1L << i) }
-        .toDF("v", "bits")
-      var state = seed
-        .select(col("v"), col("bits").as("seen"), col("bits").as("frontier"))
-        .localCheckpoint(true)
-      val levels = Vector.newBuilder[DataFrame] // (v, cnt, d) per level
-      var d = 0
-      var more = true
-      while (more && d < maxDepth) {
-        val msgs = state.filter(col("frontier") =!= 0L)
-          .join(bi, state("v") === bi("u"))
-          .groupBy(col("w").as("v"))
-          .agg(expr("bit_or(frontier)").as("arr"))
-        val st2 = state.join(msgs, Seq("v"), "full_outer")
-          .select(col("v"),
-            coalesce(col("seen"), lit(0L)).as("s0"),
-            coalesce(col("arr"), lit(0L)).as("a0"))
-          .select(col("v"),
-            (col("s0").bitwiseOR(col("a0"))).as("seen"),
-            (col("a0").bitwiseAND(bitwise_not(col("s0")))).as("frontier"))
-          .localCheckpoint(true)
-        d += 1
-        val fresh = st2.filter(col("frontier") =!= 0L)
-        more = !fresh.isEmpty // 1-row loop control
-        if (more) {
-          levels += fresh.select(col("v"),
-            expr("bit_count(frontier)").cast("long").as("cnt"),
-            lit(d.toLong).as("d"))
-          state = st2
-        }
+      val built = packedWave(bi, wave, maxDepth) { (fresh, d) =>
+        fresh.select(col("v"),
+          expr("bit_count(frontier)").cast("long").as("cnt"),
+          lit(d.toLong).as("d"))
       }
-      val built = levels.result()
       if (built.isEmpty) None else Some(built.reduce(_ unionAll _))
     }.flatten.toSeq
     if (waves.isEmpty)

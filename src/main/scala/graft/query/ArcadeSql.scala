@@ -1371,6 +1371,11 @@ object ArcadeSql {
       case Method(t, m, args) => Method(rewriteDegrees(t), m, args.map(rewriteDegrees))
       case Bin(op, l, r) => Bin(op, rewriteDegrees(l), rewriteDegrees(r))
       case Not(x) => Not(rewriteDegrees(x))
+      case Neg(x) => Neg(rewriteDegrees(x))
+      case IsNull(x, n) => IsNull(rewriteDegrees(x), n)
+      case InList(x, vs, n) => InList(rewriteDegrees(x), vs, n)
+      case Between(x, lo, hi) =>
+        Between(rewriteDegrees(x), rewriteDegrees(lo), rewriteDegrees(hi))
       case InSubquery(x, st, not) => InSubquery(rewriteDegrees(x), st, not)
       case Func("expand", args) => Func("expand", args) // handled upstream
       case Func(n, args) => Func(n, args.map(rewriteDegrees))

@@ -714,7 +714,13 @@ object QueryServer {
           }
           maybeSweep()
           n.returned match {
-            case Some(rows) => rows.mkString("{\"result\":[", ",", "]}")
+            // the affected-row count rides beside the images so a
+            // DmlReturnCap page bound is DETECTABLE: images.size <
+            // count means the record list was truncated (code-review
+            // r13 — without the count, 1,000 capped images are
+            // indistinguishable from a 1,000-row update)
+            case Some(rows) => rows.mkString(
+              s"""{"count":${n.count},"result":[""", ",", "]}")
             case None => s"""{"result":[{"count":${n.count}}]}"""
           }
       }

@@ -259,10 +259,12 @@ object EventsStream {
     // the same dir in overwrite mode — idempotent, no double-counted
     // quota, no duplicated delta rows — and a FRESH gate resuming over
     // an existing deltaDir (batchIds restart at 0) can never clobber a
-    // predecessor's state. A checkpoint-RESTART replay (new instance
-    // re-running the crashed batch) double-lands that one batch's
-    // accounting: quota then over-counts, i.e. admits FEWER — the safe
-    // direction for a cap; the star delta is min-semantics and immune.
+    // predecessor's state. A crash straddling the sink and the state
+    // writes resolves conservatively: the sink runs FIRST (see below),
+    // so a cross-instance replay can only re-DELIVER (at-least-once)
+    // or leave quota over-counted (admits fewer later — the safe
+    // direction for a cap); the star delta is min-semantics and
+    // immune either way. Documents are never silently dropped.
     val runTag = java.util.UUID.randomUUID().toString.take(8)
     // the neardupGate FS discipline: resolve through the Hadoop
     // FileSystem API so distributed delta paths work and broken ones
@@ -291,19 +293,28 @@ object EventsStream {
                 .getOrElse(k0.withColumn("__used", lit(0L)))
               val win = org.apache.spark.sql.expressions.Window
                 .partitionBy(col(sc)).orderBy(col(seqCol)) // batch-sized
-              val admitted = withUsed
+              withUsed
                 .withColumn("__rk", row_number().over(win))
                 .filter(col("__rk") + col("__used") <= cap)
                 .drop("__rk", "__used")
                 .localCheckpoint(true) // sink + the accounting write
-              admitted.groupBy(col(sc)).agg(count(lit(1)).as("n"))
-                .write.mode("overwrite")
-                .parquet(s"$quotaDir/run-$runTag-batch-$batchId")
-              spark.catalog.refreshByPath(quotaDir)
-              admitted
             case None => kept0
           }
+          // DELIVER FIRST, commit state after (code-review r13): with
+          // the state writes first, a crash between them and the sink
+          // would make the restart replay count the crashed attempt's
+          // quota against the SAME docs — dropping documents that were
+          // never delivered anywhere. Sink-first degrades a crash to
+          // at-least-once DELIVERY (the standard foreachBatch
+          // contract) instead of silent loss; the state writes below
+          // stay idempotent per (instance, batchId).
           sink(kept)
+          quota.foreach { case (sc, _) =>
+            kept.groupBy(col(sc)).agg(count(lit(1)).as("n"))
+              .write.mode("overwrite")
+              .parquet(s"$quotaDir/run-$runTag-batch-$batchId")
+            spark.catalog.refreshByPath(quotaDir)
+          }
           deltaRows.write.mode("overwrite")
             .parquet(s"$bandsDir/run-$runTag-batch-$batchId")
           // parquet file listings cache session-wide — without the

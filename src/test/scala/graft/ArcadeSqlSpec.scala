@@ -383,6 +383,21 @@ class ArcadeSqlSpec extends SparkSpec {
     val busy = run("SELECT id FROM Customer WHERE out('PLACED').size() >= 15").count()
     val twin = g.outDegree("PLACED").filter(col("degree") >= 15).count()
     assert(busy == twin)
+    // …including BETWEEN / IN / negation contexts (code-review r13:
+    // the rewrite must recurse through every predicate constructor,
+    // not just Bin/Not — the >= spelling and the BETWEEN spelling are
+    // the same query)
+    val between = run(
+      "SELECT id FROM Customer WHERE out('PLACED').size() BETWEEN 15 AND 100").count()
+    val twinB = g.outDegree("PLACED")
+      .filter(col("degree") >= 15 && col("degree") <= 100).count()
+    assert(between == twinB && between > 0)
+    val inlist = run(
+      "SELECT id FROM Customer WHERE out('PLACED').size() IN [0, 15]").count()
+    val deg0 = g.nodesOf("Customer").join(
+      g.edgesOf("PLACED").select(col("src").as("id")), Seq("id"), "left_anti").count()
+    val twinI = deg0 + g.outDegree("PLACED").filter(col("degree") === 15).count()
+    assert(inlist == twinI && inlist > 0)
   }
 
   test("expand(outV()/inV()) hops from edges to endpoint records") {

@@ -667,10 +667,11 @@ class CliSpec extends SparkSpec {
         !ub3.contains("archaebacteria") && ub3.contains("Archaea"), ub3)
 
       // RETURN BEFORE/AFTER over HTTP: the response carries the record
-      // images, query-style, instead of the count row
+      // images query-style, PLUS the affected-row count beside them so
+      // a DmlReturnCap truncation is detectable (images < count)
       val (rc1, rb1) = post("command",
         """{"language":"sql","command":"UPDATE Topic SET title = 'halophiles' RETURN BEFORE WHERE id = 9100003"}""")
-      assert(rc1 == 200 && rb1.contains("archaea") && !rb1.contains("count"), rb1)
+      assert(rc1 == 200 && rb1.contains("archaea") && rb1.contains("\"count\":1"), rb1)
       val (rc2, rb2) = post("command",
         """{"language":"sql","command":"UPDATE Topic SET title = 'methanogens' RETURN AFTER WHERE id = 9100003"}""")
       assert(rc2 == 200 && rb2.contains("methanogens"), rb2)

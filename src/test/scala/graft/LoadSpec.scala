@@ -1500,6 +1500,12 @@ class LoadSpec extends SparkSpec {
       e1.getMessage.contains(s"spanidx-$fp0"))
     val e2 = intercept[IllegalStateException](IndexKeys.requireFresh(ivfDir, out))
     assert(e2.getMessage.contains("STALE") && e2.getMessage.contains(fp0))
+    // the IVF SERVING path enforces it too: a stale-stamped layout
+    // refuses before any parquet is read (code-review r13: the stale
+    // probe must be wired into serving, not just available)
+    val e4 = intercept[IllegalStateException](graft.llmops.Similarity
+      .ivfIndexTopK(spark, ivfDir, Seq(1L), 1, 1, source = Some(out)))
+    assert(e4.getMessage.contains("STALE"))
     // an index append re-stamps → fresh again (the IVF catch-up path)
     IndexKeys.stamp(ivfDir, out)
     IndexKeys.requireFresh(ivfDir, out)
