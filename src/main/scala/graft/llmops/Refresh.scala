@@ -151,10 +151,19 @@ object Refresh {
       bloomN: Int = 8, mBits: Int = 1 << 18, k: Int = 4): Epoch = {
     val gated = gate(resident, idCol, textCol, langCol, rules)
       .localCheckpoint(true) // consumed by the span build AND the scrub probe
-    val spanIndex = persisted(spark, cacheRoot, s"$key-span")(
+    // cache keys fingerprint the KNOBS and the gate rules, not just the
+    // source: an index is only valid for the exact (window, perms,
+    // bands, rules) it was built with — the Epoch scaladoc's
+    // "silently wrong" pairing — so a knob change must miss the cache
+    // and rebuild rather than open the old index under new knobs
+    // (ADVICE r13 #1). Case-class hashCode is MurmurHash3 over the
+    // rule values — deterministic across JVMs for these primitives.
+    val knobKey =
+      f"$key-w$windowTokens-p$numPerms-b$bands-g${rules.hashCode}%08x"
+    val spanIndex = persisted(spark, cacheRoot, s"$knobKey-span")(
       epochSpanIndex(gated, idCol, textCol, windowTokens))
     val scrubbed = scrub(spanIndex, gated, idCol, textCol, windowTokens)
-    val bandIndex = persisted(spark, cacheRoot, s"$key-band")(
+    val bandIndex = persisted(spark, cacheRoot, s"$knobKey-band")(
       epochBandIndex(scrubbed, idCol, seqCol, textCol, numPerms, bands))
     val words = Pipeline.bloomWords(evalDocs, textCol, bloomN, mBits, k)
     Epoch(spanIndex, bandIndex, BloomSpec(words, bloomN, mBits, k),
@@ -312,6 +321,15 @@ object Refresh {
   def refreshDelta(epoch: Epoch, oldCorpus: DataFrame, newCorpus: DataFrame,
       idCol: String, seqCol: String, textCol: String, langCol: String,
       seqBase: Long): (DataFrame, DataFrame) = {
+    // arrival seq = seqBase + id is only meaningful over a NUMERIC id;
+    // with a string id the addition would yield NULL, every star-rule
+    // comparison against NULL would be false, and arrivals would
+    // silently stop deduplicating — fail the contract violation loudly
+    // instead (ADVICE r13 #3)
+    val idType = newCorpus.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"refreshDelta needs a numeric '$idCol' (arrival seq = seqBase + id); " +
+        s"got ${idType.simpleString}")
     val diff = Pipeline.corpusDiff(oldCorpus, newCorpus, idCol, textCol)
       .localCheckpoint(true) // consumed by both the delete and arrival sides
     val deletes = diff.filter(col("status").isin("removed", "changed"))

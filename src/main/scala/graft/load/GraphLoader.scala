@@ -864,14 +864,19 @@ object GraphLoader {
     // read generation (write-once files — still on disk through this
     // call), and AFTER is the same slice through the SET expressions,
     // so the response shows exactly what the rewrite writes
+    // the capped page is ordered by the (immutable) record id so a
+    // >cap UPDATE returns the SAME sample every run — an unordered
+    // limit would page partition-order nondeterministically
+    // (ADVICE r13 #4); the count beside the images still signals the
+    // truncation
     val images: Option[Array[String]] = returning.collect {
       case "BEFORE" =>
-        part.filter(hit).limit(DmlReturnCap).toJSON.collect()
+        part.filter(hit).orderBy(col("id")).limit(DmlReturnCap).toJSON.collect()
       case "AFTER" =>
         part.filter(hit).select(part.schema.fields.toSeq.map { f =>
           sets.get(f.name).map(v => v.cast(f.dataType).as(f.name))
             .getOrElse(col(f.name)) }: _*)
-          .limit(DmlReturnCap).toJSON.collect()
+          .orderBy(col("id")).limit(DmlReturnCap).toJSON.collect()
     }
     val obs = org.apache.spark.sql.Observation()
     val rewritten = part.select(part.schema.fields.toSeq.map { f =>

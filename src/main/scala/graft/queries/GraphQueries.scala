@@ -93,6 +93,72 @@ object GraphQueries {
       SELECT * FROM hubs UNION ALL SELECT * FROM auths"""
   }
 
+  /** DuckDB twin of `Centrality.betweenness` — the `graph_hits`
+    * iterative-oracle doctrine applied to Brandes (VERDICT r13 next #1,
+    * the last rows-only query): the forward σ-per-level BFS and the
+    * backward δ-per-level accumulation are each ONE aggregating
+    * `AS MATERIALIZED` CTE per level, unrolled to `depth` (probed
+    * fixture diameter 3 from these sources; 6 is 2× margin — levels
+    * past the drain are empty frames and contribute nothing, exactly
+    * like the Spark loop's natural exit). σ stays an exact BIGINT;
+    * δ = Σ σ(u)/σ(v)·(1+δ(v)) is the same double arithmetic written
+    * identically on both sides, and the single ROUND(…, 6) at the end
+    * rides the Qh doctrine's drift bridge (the `pagerank` precedent:
+    * per-vertex float sums drift ~1e-12 relative between engines,
+    * absorbed by 6dp). Extrapolation scale = |V|/|S|/2 with the
+    * divisions in the same order → bit-identical scale. */
+  private def betweennessSql(depth: Int, k: Int): String = {
+    val fwd = (1 to depth).map { d =>
+      s"""l$d AS MATERIALIZED (
+        SELECT f.s, bi.w AS v, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+        FROM l${d - 1} f JOIN bi ON bi.u = f.v
+        WHERE NOT EXISTS (
+          SELECT 1 FROM vis${d - 1} x WHERE x.s = f.s AND x.v = bi.w)
+        GROUP BY f.s, bi.w),
+      vis$d AS MATERIALIZED (
+        SELECT s, v FROM vis${d - 1} UNION ALL SELECT s, v FROM l$d)"""
+    }.mkString(",\n      ")
+    val bwd = (depth to 1 by -1).map { d =>
+      val c =
+        s"""c$d AS MATERIALIZED (
+        SELECT lo.s, lo.v,
+          SUM(CAST(lo.sigma AS DOUBLE) / CAST(hi.sigma AS DOUBLE)
+            * (CAST(1.0 AS DOUBLE) + hi.delta)) AS delta
+        FROM (SELECT l.s, l.v, l.sigma, dd.delta
+              FROM l$d l JOIN d$d dd ON dd.s = l.s AND dd.v = l.v) hi
+        JOIN bi ON bi.w = hi.v
+        JOIN l${d - 1} lo ON lo.s = hi.s AND lo.v = bi.u
+        GROUP BY lo.s, lo.v)"""
+      if (d == 1) c
+      else c + s""",
+      d${d - 1} AS MATERIALIZED (
+        SELECT l.s, l.v, COALESCE(c.delta, CAST(0 AS DOUBLE)) AS delta
+        FROM l${d - 1} l LEFT JOIN c$d c ON c.s = l.s AND c.v = l.v)"""
+    }.mkString(",\n      ")
+    val acc = (depth to 1 by -1)
+      .map(d => s"SELECT s, v, delta FROM d$d").mkString(" UNION ALL ")
+    s"""WITH m AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      ok AS MATERIALIZED (SELECT g FROM m GROUP BY g HAVING count(*) <= 50),
+      mm AS MATERIALIZED (SELECT m.g, m.i FROM m JOIN ok USING (g)),
+      e AS MATERIALIZED (SELECT DISTINCT x.i AS a, y.i AS b
+        FROM mm x JOIN mm y ON x.g = y.g AND x.i < y.i),
+      bi AS MATERIALIZED (SELECT a AS u, b AS w FROM e UNION ALL SELECT b, a FROM e),
+      srcs AS MATERIALIZED (SELECT DISTINCT u AS s FROM bi ORDER BY s LIMIT 32),
+      l0 AS MATERIALIZED (SELECT s, s AS v, CAST(1 AS BIGINT) AS sigma FROM srcs),
+      vis0 AS MATERIALIZED (SELECT s, v FROM l0),
+      $fwd,
+      d$depth AS MATERIALIZED (
+        SELECT s, v, CAST(0 AS DOUBLE) AS delta FROM l$depth),
+      $bwd,
+      acc AS ($acc)
+      SELECT v AS n, ROUND(SUM(delta)
+        * ((SELECT CAST(count(DISTINCT u) AS DOUBLE) FROM bi)
+           / (SELECT CAST(count(*) AS DOUBLE) FROM srcs)
+           / CAST(2.0 AS DOUBLE)), 6) AS betweenness
+      FROM acc GROUP BY v
+      ORDER BY betweenness DESC, n ASC LIMIT $k"""
+  }
+
   /** DuckDB twin of `RandomWalks.randomWalks`: the same salted-md5 hop
     * choice replayed step by step (hex-fold of md5 — the
     * sqlMd5Hash32 pattern; `instr` returns BIGINT so the fold never
@@ -424,6 +490,41 @@ object GraphQueries {
         .orderBy(col("pr").desc, col("id").asc).limit(20),
       Some(pagerankSql(10))),
 
+    // ✚ DataFrame-native PageRank (round 14, operators.PageRank): the
+    // dual-path twin of the GraphX `pagerank` row — same semantics
+    // (rank₀ = 1, damped in-sums over 1/outDeg edge weights, final
+    // Σrank = |V| renormalization via a 1-row broadcast bind), pure
+    // joins + map-side-combinable sums, no RDD caching. SAME oracle as
+    // `pagerank` — both engines model the identical power iteration,
+    // which is itself part of what's checked.
+    Q("pagerank_df",
+      (s, d) => {
+        val gg = graph(s, d)
+        graft.operators.PageRank.pageRankDf(
+          gg.nodes.select(col("id")), gg.edges.select(col("src"), col("dst")), 10)
+          .select(col("id"), round(col("pagerank"), 6).as("pr"))
+          .orderBy(col("pr").desc, col("id").asc).limit(20)
+      },
+      Some(pagerankSql(10))),
+
+    // ✚ DataFrame-native weighted SSSP (round 14,
+    // operators.ShortestPath): the dual-path twin of the GraphX
+    // `dijkstra_supplier0` row — frontier-pruned Bellman–Ford relax
+    // rounds, identical tie-break (dist, then hops), same oracle.
+    Q("dijkstra_df",
+      (s, d) => {
+        val gg = graph(s, d)
+        graft.operators.ShortestPath.dijkstraDf(
+          gg.edges.filter(col("label").isin("IN_NATION", "IN_REGION"))
+            .select(col("src"), col("dst"), lit(1.0).as("w")),
+          GraphLoader.SupplierOff)
+          .select(col("id"), col("dist"))
+      },
+      Some(s"""SELECT CAST(${GraphLoader.SupplierOff} AS BIGINT) AS id, 0.0 AS dist
+        UNION ALL SELECT CAST(100 + s_nationkey AS BIGINT), 1.0 FROM supplier WHERE s_suppkey = 0
+        UNION ALL SELECT CAST(n_regionkey AS BIGINT), 2.0 FROM supplier
+          JOIN nation ON n_nationkey = s_nationkey WHERE s_suppkey = 0""")),
+
     // §2.B.7 graph-scalar — out().size() degree
     Q("degree_out",
       (s, d) => graph(s, d).outDegree("PLACED")
@@ -682,12 +783,14 @@ object GraphQueries {
         FROM dist WHERE d > 0 GROUP BY v
         ORDER BY pivot_closeness DESC, n ASC LIMIT 20""")),
 
-    // ✚ betweenness centrality top-k (round 13): Brandes–Pich sampled
-    // betweenness from 32 deterministic sources, extrapolated by
-    // n/|S|/2. σ path-counting is NOT SQL-expressible without
-    // enumerating paths (exponential), so the oracle is omitted — the
-    // driver records the rows-only check; exactness (all-sources = the
-    // sequential Brandes) is spec-asserted in GraphSpec.
+    // ✚ betweenness centrality top-k (round 13; hash oracle round 14):
+    // Brandes–Pich sampled betweenness from 32 deterministic sources,
+    // extrapolated by n/|S|/2. σ path counting needs no path
+    // enumeration — the [[betweennessSql]] twin unrolls forward
+    // σ-per-level and backward δ-per-level as AS MATERIALIZED CTEs,
+    // the graph_hits iterative-oracle doctrine; exactness
+    // (all-sources = the sequential Brandes) is also spec-asserted in
+    // GraphSpec.
     Q("graph_betweenness_top",
       (s, d) => {
         val edges = graft.operators.Triangles.cooccurrenceEdges(
@@ -701,7 +804,7 @@ object GraphQueries {
         graft.operators.Centrality.betweenness(edges, srcs, Some(nVert))
           .orderBy(col("betweenness").desc, col("n").asc).limit(20)
       },
-      None),
+      Some(betweennessSql(6, 20))),
 
     // ✚ deterministic random walks (round 13): DeepWalk corpus
     // generation with salted-md5 hop choice — replayable (same salt =

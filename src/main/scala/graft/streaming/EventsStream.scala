@@ -272,10 +272,19 @@ object EventsStream {
     def readIf(dir: String): Option[DataFrame] = {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p) &&
-          fs.globStatus(new org.apache.hadoop.fs.Path(p, "*/_SUCCESS")).nonEmpty)
-        Some(spark.read.parquet(s"$dir/*"))
-      else None
+      if (!fs.exists(p)) None
+      else {
+        // read ONLY the batch subdirs whose commit marker landed: a
+        // write that crashed after making data files visible but
+        // before _SUCCESS (non-atomic committers / object stores) must
+        // not feed torn quota/band state into a restarted gate
+        // (ADVICE r13 #2) — globbing $dir/* would include it
+        val committed = fs.globStatus(
+            new org.apache.hadoop.fs.Path(p, "*/_SUCCESS"))
+          .map(_.getPath.getParent.toString)
+        if (committed.isEmpty) None
+        else Some(spark.read.parquet(committed.toIndexedSeq: _*))
+      }
     }
     val w = docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -76,6 +76,33 @@ class GraphSpec extends SparkSpec {
     assert(d.map(_.getDouble(1)).sorted.toSeq == Seq(0.0, 1.0, 2.0))
   }
 
+  test("dijkstraDf ≡ GraphX dijkstra (DataFrame-native dual path)") {
+    import spark.implicits._
+    import graft.operators.ShortestPath
+    // the fixture hierarchy, unit weights — same rows as the bridge
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+    val es = g.edges.filter(col("label").isin("IN_NATION", "IN_REGION"))
+      .select(col("src"), col("dst"), lit(1.0).as("w"))
+    val df = asMap(ShortestPath.dijkstraDf(es, GraphLoader.SupplierOff).collect())
+    val gx = asMap(GraphXBridge.dijkstra(spark, g, Seq("IN_NATION", "IN_REGION"),
+      lit(1.0), GraphLoader.SupplierOff).collect())
+    assert(df == gx)
+    // weighted digraph where the MINIMAL-WEIGHT path is not the
+    // fewest-hop path (1→2→3→4 weighs 3 < direct 1→4 at 10), plus a
+    // tie where fewer hops must win (1→5 direct = 1→2→5 = 2.0)
+    val wes = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0),
+      (1L, 4L, 10.0), (1L, 5L, 2.0), (2L, 5L, 1.0), (6L, 1L, 1.0))
+      .toDF("src", "dst", "w")
+    val got = asMap(ShortestPath.dijkstraDf(wes, 1L).collect())
+    assert(got == Map(1L -> ((0.0, 0)), 2L -> ((1.0, 1)), 3L -> ((2.0, 2)),
+      4L -> ((3.0, 3)), 5L -> ((2.0, 1)))) // 6 unreached: absent
+    // negative weights are rejected loudly
+    intercept[IllegalArgumentException] {
+      ShortestPath.dijkstraDf(Seq((1L, 2L, -1.0)).toDF("src", "dst", "w"), 1L)
+    }
+  }
+
   test("saltedJoin is bag-equal to the plain equi-join") {
     import graft.query.Skew
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -233,6 +260,19 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(gx.keySet == rank.keySet)
     rank.foreach { case (id, r) => assert(math.abs(gx(id) - r) < 1e-9, s"vertex $id") }
+  }
+
+  test("pageRankDf ≡ GraphX staticPageRank (DataFrame-native dual path)") {
+    // the full fixture graph: dangling vertices (regions, suppliers)
+    // and high fan-in hubs both present — the DF power iteration must
+    // agree with GraphX everywhere to float-reduce-order precision
+    val df = graft.operators.PageRank.pageRankDf(
+        g.nodes.select("id"), g.edges.select("src", "dst"), 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val gx = GraphXBridge.pageRank(spark, g, 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(df.keySet == gx.keySet)
+    df.foreach { case (id, r) => assert(math.abs(gx(id) - r) < 1e-9, s"vertex $id") }
   }
 
   test("PageRank is stable across runs (fixed iterations, up to float reduce order)") {
