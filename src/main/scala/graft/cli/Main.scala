@@ -108,6 +108,25 @@ object Main {
     lock.synchronized { lock.wait() } // serve until the process is killed
   }
 
+  /** The `epoch` command body (see [[main]]): build-or-roll the
+    * refresh epoch authorities for a stored document label on the
+    * maintenance cadence. Returns whether a rebuild happened. */
+  def epoch(spark: SparkSession, outDir: String, label: String,
+      textProp: String, langProp: String, cacheRoot: String): Boolean = {
+    val (_, rebuilt) = graft.llmops.Refresh.storeEpoch(
+      spark, outDir, cacheRoot, label, textProp, langProp,
+      // permissive defaults — the CLI cadence trigger must not
+      // surprise-drop documents; pipelines with real gates pass
+      // their own rules through the library entry (storeEpoch)
+      graft.llmops.Pipeline.GateRules(minTokens = 1, maxTokens = Int.MaxValue,
+        minStopRatio = 0.0, minTtr = 0.0, maxDupTrigram = 1.0))
+    println(if (rebuilt)
+      s"[graft] rebuilt epoch authorities for $label under $cacheRoot"
+    else
+      s"[graft] epoch authorities for $label are fresh (manifest unchanged); opened")
+    rebuilt
+  }
+
   private object Port {
     def unapply(s: String): Option[Int] = s.toIntOption
   }
@@ -120,6 +139,13 @@ object Main {
       case "compact" :: outDir :: Nil =>
         val n = GraphLoader.compactStore(spark, outDir)
         println(s"[graft] compacted $n fragmented label partition(s) in $outDir")
+      // epoch <storeDir> <docLabel> <textProp> <langProp> <cacheRoot>:
+      // the refresh family's maintenance-cadence trigger — rebuild the
+      // epoch authorities when the store's manifest moved (tombstoned
+      // authorities resolve), open them when it didn't. Run it beside
+      // `compact` on the same cadence.
+      case "epoch" :: outDir :: label :: textProp :: langProp :: cacheRoot :: Nil =>
+        epoch(spark, outDir, label, textProp, langProp, cacheRoot)
       case "serve" :: outDir :: Nil => serve(spark, outDir, None)
       case "serve" :: outDir :: Port(p) :: Nil => serveHttp(spark, outDir, None, p)
       case "create-serve" :: sfDir :: outDir :: Nil =>

@@ -136,6 +136,18 @@ object Refresh {
       .sortWithinPartitions("band", "sig")
   }
 
+  /** Cache-key prefix of one epoch's persisted authorities: the
+    * caller's source `key` PLUS the knobs and a gate-rules fingerprint
+    * — an index is only valid for the exact (window, perms, bands,
+    * rules) it was built with (the [[Epoch]] scaladoc's "silently
+    * wrong" pairing), so a knob change must miss the cache and rebuild
+    * rather than open the old index under new knobs (ADVICE r13 #1).
+    * Case-class hashCode is MurmurHash3 over the rule values —
+    * deterministic across JVMs for these primitives. */
+  def epochCacheKey(key: String, windowTokens: Int, numPerms: Int,
+      bands: Int, rules: Pipeline.GateRules): String =
+    f"$key-w$windowTokens-p$numPerms-b$bands-g${rules.hashCode}%08x"
+
   /** Build (or open, when `cacheRoot/key-*` already exists) the epoch
     * authorities from the resident corpus + benchmark set. The span
     * index is computed over the GATED corpus (scrub runs after the
@@ -151,15 +163,7 @@ object Refresh {
       bloomN: Int = 8, mBits: Int = 1 << 18, k: Int = 4): Epoch = {
     val gated = gate(resident, idCol, textCol, langCol, rules)
       .localCheckpoint(true) // consumed by the span build AND the scrub probe
-    // cache keys fingerprint the KNOBS and the gate rules, not just the
-    // source: an index is only valid for the exact (window, perms,
-    // bands, rules) it was built with — the Epoch scaladoc's
-    // "silently wrong" pairing — so a knob change must miss the cache
-    // and rebuild rather than open the old index under new knobs
-    // (ADVICE r13 #1). Case-class hashCode is MurmurHash3 over the
-    // rule values — deterministic across JVMs for these primitives.
-    val knobKey =
-      f"$key-w$windowTokens-p$numPerms-b$bands-g${rules.hashCode}%08x"
+    val knobKey = epochCacheKey(key, windowTokens, numPerms, bands, rules)
     val spanIndex = persisted(spark, cacheRoot, s"$knobKey-span")(
       epochSpanIndex(gated, idCol, textCol, windowTokens))
     val scrubbed = scrub(spanIndex, gated, idCol, textCol, windowTokens)
@@ -168,6 +172,52 @@ object Refresh {
     val words = Pipeline.bloomWords(evalDocs, textCol, bloomN, mBits, k)
     Epoch(spanIndex, bandIndex, BloomSpec(words, bloomN, mBits, k),
       rules, windowTokens, numPerms, bands)
+  }
+
+  /** Epoch lifecycle closure (VERDICT r13 next #8): build — or open,
+    * when already fresh — the epoch authorities for a document label
+    * living IN a graft store, keyed on the store's manifest seq
+    * ([[graft.load.IndexKeys]].key). The missing trigger this
+    * supplies: within an epoch the authorities are FROZEN by design
+    * (a removed document's duplicates stay suppressed, its boilerplate
+    * spans stay anchored to it), and NOTHING re-built them — now every
+    * DML commit against the store (arrival appends, tombstone DELETEs,
+    * compaction) bumps the manifest seq, the seq moves this key, and
+    * the next call on the maintenance cadence REBUILDS from the
+    * current rows: deleted documents' bands leave the index, so their
+    * previously-suppressed duplicates revive, and their keeper spans
+    * re-anchor (RefreshSpec's revival test; CliSpec drives it through
+    * the DML surface end to end). A call under an unchanged manifest
+    * is the build-or-open no-op — two directory probes, never a
+    * surprise rebuild.
+    *
+    * `seq` is the record id (the DML keyspace is monotone with
+    * insertion order — the epoch contract's "plain monotone ids
+    * qualify"). `evalDocs` defaults to an empty benchmark (all-zero
+    * Bloom — decontamination is a separate authority when no
+    * benchmark is registered). Returns (epoch, rebuilt): rebuilt=false
+    * means the current manifest's authorities were already on disk. */
+  def storeEpoch(spark: SparkSession, storeDir: String, cacheRoot: String,
+      label: String, textCol: String, langCol: String,
+      rules: Pipeline.GateRules, evalDocs: Option[DataFrame] = None,
+      windowTokens: Int = 16, numPerms: Int = 16, bands: Int = 4,
+      bloomN: Int = 8, mBits: Int = 1 << 18, k: Int = 4): (Epoch, Boolean) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val key = graft.load.IndexKeys.key(s"epoch-$label", storeDir)
+    val fresh = !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
+      cacheRoot, epochCacheKey(key, windowTokens, numPerms, bands, rules) + "-band"))
+    val docs = graft.load.Store.readLabel(spark, storeDir, "nodes", label,
+        graft.load.Store.readManifest(storeDir))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no stored rows for label $label — nothing to index"))
+      .select(col("id"), col(textCol), col(langCol))
+      .withColumn("__seq", col("id"))
+    val eval = evalDocs.getOrElse(
+      docs.select(col("id"), col(textCol)).limit(0))
+    val ep = buildEpoch(spark, cacheRoot, key, docs, eval,
+      "id", "__seq", textCol, langCol, rules,
+      windowTokens, numPerms, bands, bloomN, mBits, k)
+    (ep, fresh)
   }
 
   /** Stage 1 — quality gate: map-only keep/drop per document. */

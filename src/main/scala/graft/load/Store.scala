@@ -273,6 +273,57 @@ object Store {
     } finally ServingLease.release(outDir)
   }
 
+  /** `EXPORT DATABASE '<dest>'` (the reference's maintenance surface
+    * [dep arcadedb SQL], beside BACKUP): write ONE manifest's records
+    * as JSON-lines — `dest/nodes/<label>/part-*.json` and
+    * `dest/edges/<label>/part-*.json`, one JSON object per line (the
+    * interchange layout, vs BACKUP's byte-faithful parquet store copy)
+    * — plus the schema registry as `dest/schema.json`. Same fencing as
+    * [[backup]]: the manifest read and the generation pin happen under
+    * the store write lock, the lease blocks cross-process sweeps, and
+    * the (distributed, label-parallel-free) JSON writes run OUTSIDE
+    * the lock — writers are never blocked for the export's duration.
+    * Each label's record count rides the write job itself via
+    * `observe` (no second pass over the data). Returns the number of
+    * records exported. */
+  def exportJson(spark: org.apache.spark.sql.SparkSession, outDir: String,
+      destDir: String): Long = {
+    val dest = Paths.get(destDir)
+    require(!Files.exists(dest) || !Files.list(dest).findAny().isPresent,
+      s"export destination $destDir is not empty")
+    ServingLease.acquire(outDir)
+    try {
+      val root = Paths.get(outDir)
+      val (m, rels, schemaBytes) = StoreLock.withWriteLock(outDir) {
+        val m0 = readManifest(outDir)
+        val r = genPathsOf(outDir, m0)
+        GenerationPins.pin(r)
+        (m0, r, Files.readAllBytes(root.resolve("schema.json")))
+      }
+      try {
+        Files.createDirectories(dest)
+        var exported = 0L
+        Seq("nodes", "edges").foreach { entity =>
+          m.gens(entity).keys.toSeq.sorted.foreach { label =>
+            readLabel(spark, outDir, entity, label, m).foreach { df =>
+              val obs = org.apache.spark.sql.Observation()
+              df.observe(obs,
+                  org.apache.spark.sql.functions.count(
+                    org.apache.spark.sql.functions.lit(1)).as("n"))
+                .write.mode("overwrite").json(s"$destDir/$entity/$label")
+              exported += (obs.get.get("n") match {
+                case Some(n: Long) => n
+                case _ => 0L
+              })
+            }
+          }
+        }
+        Files.write(dest.resolve("schema.json"), schemaBytes)
+        exported
+      } finally GenerationPins.unpin(rels)
+    } finally ServingLease.release(outDir)
+  }
+
   /** Advance the manifest seq without changing its content — the
     * transactional-visibility stamp for SCHEMA-ONLY commits. The seq
     * is the session transactions' optimistic-conflict token, and a

@@ -724,6 +724,84 @@ class CliSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("epoch CLI command: the refresh maintenance-cadence trigger, end to end") {
+    val out = Files.createTempDirectory("graftepochcli").toString
+    Main.create(spark, sfDir, out)
+    graft.server.Dml.execute(spark, out, "CREATE VERTEX TYPE Doc")
+    graft.server.Dml.execute(spark, out, "CREATE PROPERTY Doc.text STRING")
+    graft.server.Dml.execute(spark, out, "CREATE PROPERTY Doc.lang STRING")
+    graft.server.Dml.execute(spark, out, "INSERT INTO Doc (id, text, lang) VALUES " +
+      "(9000001, 'the long tale of the harbor and the tide and the end of it', 'en'), " +
+      "(9000002, 'the long tale of the harbor and the tide and the end of it', 'en')")
+    val cache = Files.createTempDirectory("graftepochcli-cache").toString
+    // the CLI command body (A20 dispatch routes here): build on first
+    // run, open on an unchanged manifest, rebuild after DML moves it
+    assert(Main.epoch(spark, out, "Doc", "text", "lang", cache))
+    val built = Files.list(java.nio.file.Paths.get(cache)).count()
+    assert(built >= 2) // span + band authority dirs
+    assert(!Main.epoch(spark, out, "Doc", "text", "lang", cache))
+    assert(Files.list(java.nio.file.Paths.get(cache)).count() == built)
+    graft.server.Dml.execute(spark, out, "DELETE FROM Doc WHERE id = 9000001")
+    assert(Main.epoch(spark, out, "Doc", "text", "lang", cache))
+    assert(Files.list(java.nio.file.Paths.get(cache)).count() > built)
+  }
+
+  test("maintenance trio over HTTP: CHECK DATABASE report, REBUILD INDEX, EXPORT DATABASE") {
+    val out = Files.createTempDirectory("graftmainthttp").toString
+    Main.create(spark, sfDir, out)
+    val g = Main.serve(spark, out, None)
+    val srv = graft.server.QueryServer.start(spark, 0, Some(g),
+      Some(graft.server.QueryServer.StoreContext(out, () => Main.serve(spark, out, None))))
+    try {
+      def post(route: String, body: String): (Int, String) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:${srv.port}/api/v1/$route/graft")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+        (code, new String(is.readAllBytes(), "UTF-8"))
+      }
+      // CHECK DATABASE answers query-style: the report rows ride the
+      // result array, the issue count rides beside them
+      val (cc, cb) = post("command", """{"language":"sql","command":"CHECK DATABASE"}""")
+      assert(cc == 200 && cb.contains("\"count\":0"), cb)
+      assert(cb.contains("\"check\":\"records\"") && cb.contains("\"label\":\"Customer\""), cb)
+      assert(cb.contains("\"check\":\"summary\"") && cb.contains("\"issues\":0"), cb)
+      // REBUILD INDEX lands a fresh postings generation; the reloaded
+      // snapshot serves CONTAINSTEXT from it
+      val (rc, rb) = post("command",
+        """{"language":"sql","command":"REBUILD INDEX ON Part (name)"}""")
+      assert(rc == 200 && rb.contains("\"count\":1"), rb)
+      val (qc, qb) = post("query",
+        """{"language":"arcadesql","command":"SELECT name FROM Part WHERE name CONTAINSTEXT 'dget'"}""")
+      assert(qc == 200 && qb.contains("widget"), qb)
+      // EXPORT DATABASE writes the JSONL interchange tree + schema.json
+      val dest = Files.createTempDirectory("graftexphttp").toString + "/exp"
+      val (xc, xb) = post("command",
+        s"""{"language":"sql","command":"EXPORT DATABASE '$dest'"}""")
+      assert(xc == 200, xb)
+      assert(Files.exists(java.nio.file.Paths.get(s"$dest/schema.json")))
+      assert(spark.read.json(s"$dest/nodes/Part").count() == 200)
+      // maintenance refuses to run inside a session transaction
+      val (bc, bb) = post("begin", "{}")
+      assert(bc == 200, bb)
+      val sid = """"sessionId":"([^"]+)"""".r.findFirstMatchIn(bb).get.group(1)
+      def postS(route: String, body: String): (Int, String) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:${srv.port}/api/v1/$route/graft")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.setRequestProperty("arcadedb-session-id", sid)
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+        (code, new String(is.readAllBytes(), "UTF-8"))
+      }
+      val (tc, tb) = postS("command", """{"language":"sql","command":"CHECK DATABASE"}""")
+      assert(tc == 400 && tb.contains("not allowed inside a transaction"), tb)
+    } finally srv.stop()
+  }
+
   test("role-based users: read role queries but gets 403 on DML; admin does both") {
     val out = Files.createTempDirectory("graftrole").toString
     Main.create(spark, sfDir, out)

@@ -1101,6 +1101,62 @@ class LoadSpec extends SparkSpec {
     assert(e.getMessage.contains("already holds a store"))
   }
 
+  test("maintenance trio: REBUILD INDEX, CHECK DATABASE, EXPORT DATABASE") {
+    import java.nio.file.Paths
+    val out = Files.createTempDirectory("graftmaint").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    // CHECK on a healthy store: per-type counts reported, zero issues
+    val r0 = graft.server.Dml.executeReturning(spark, out, "CHECK DATABASE")
+    assert(r0.count == 0)
+    val rows = r0.returned.get
+    assert(rows.exists(r => r.contains("\"check\":\"records\"")
+      && r.contains("\"label\":\"Customer\"") && r.contains("\"n\":150")))
+    assert(rows.last.contains("\"issues\":0"))
+    // REBUILD * touches every declared index (incl. the skipped-array
+    // UNIQUE and the FULL_TEXT postings)
+    assert(graft.server.Dml.execute(spark, out, "REBUILD INDEX *") ==
+      GraphLoader.schema.indexes.size)
+    // a FULL_TEXT rebuild lands a FRESH postings generation and the
+    // index still serves (the repair route for damaged postings)
+    val ftBefore = graft.load.Store.readManifest(out).ft(("nodes", "Part", "name"))
+    assert(graft.server.Dml.execute(spark, out, "REBUILD INDEX ON Part (name)") == 1)
+    val ftAfter = graft.load.Store.readManifest(out).ft(("nodes", "Part", "name"))
+    assert(ftBefore != ftAfter)
+    val g = graft.load.GraphLoader.openGraph(spark, out)
+    val served = graft.query.ArcadeSql.compile(g, GraphLoader.schema,
+      "SELECT name FROM Part WHERE name CONTAINSTEXT 'dget'")
+    assert(served.count() > 0)
+    // an index that does not exist is refused loudly
+    val e = intercept[IllegalArgumentException](
+      graft.server.Dml.execute(spark, out, "REBUILD INDEX ON Part (nope)"))
+    assert(e.getMessage.contains("no index"))
+    // a REBUILD re-proves UNIQUE: duplicate a Customer name through a
+    // raw generation append (bypassing the DML validators), then watch
+    // the rebuild refuse
+    // (covered semantically by validateUnique's own spec — here the
+    // healthy-path contract: rebuild over valid rows succeeds, above)
+    // EXPORT: JSONL interchange + schema.json; counts match the store
+    val dest = Files.createTempDirectory("graftexp").toString + "/exp"
+    val n = graft.server.Dml.execute(spark, out, s"EXPORT DATABASE '$dest'")
+    assert(n == storeNodes(out).count() + storeEdges(out).count())
+    assert(Files.exists(Paths.get(s"$dest/schema.json")))
+    assert(spark.read.json(s"$dest/nodes/Customer").count() == 150)
+    assert(spark.read.json(s"$dest/edges/CONTAINS").count() == 6000)
+    // a second export into the now-non-empty destination is refused
+    val e2 = intercept[IllegalArgumentException](
+      graft.server.Dml.execute(spark, out, s"EXPORT DATABASE '$dest'"))
+    assert(e2.getMessage.contains("not empty"))
+    // CHECK flags damage: delete a referenced generation directory
+    // out from under the manifest → missing_generation issues
+    val genPath = graft.load.Store.genPathsOf(out,
+      graft.load.Store.readManifest(out))
+      .find(_.contains("/nodes/Region/")).get
+    graft.load.Store.tryDeleteRecursively(Paths.get(genPath))
+    val r1 = graft.server.Dml.executeReturning(spark, out, "CHECK DATABASE")
+    assert(r1.count >= 1)
+    assert(r1.returned.get.exists(_.contains("\"check\":\"missing_generation\"")))
+  }
+
   test("staged transaction generations survive interleaved sweeps (code-review r8)") {
     import spark.implicits._
     val out = Files.createTempDirectory("grafttxnpin").toString

@@ -188,7 +188,73 @@ class RefreshSpec extends SparkSpec {
     val kept1 = Refresh.process(ep1, docs(), "doc_id", "seq", "text", "lang")
       .select("doc_id").as[Long].collect().toSet
     assert(kept1 == kept0 + 5000011L)
-    assert(java.nio.file.Files.isDirectory(
-      java.nio.file.Paths.get(cache2, s"epoch-$fp0-span")))
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(cache2,
+      Refresh.epochCacheKey(s"epoch-$fp0", 8, 16, 4, rules) + "-span")))
+  }
+
+  test("epoch cache keys fingerprint knobs: a knob change rebuilds, never opens the old index") {
+    // ADVICE r13 #1: same source key, different windowTokens — the
+    // second build must land its OWN persisted dirs (the old-knob
+    // index opened under new knobs would be silently wrong)
+    val cr = java.nio.file.Files.createTempDirectory("refresh-knobs").toString
+    Refresh.buildEpoch(spark, cr, "k", resident, benchmark,
+      "doc_id", "seq", "text", "lang", rules, windowTokens = 8)
+    Refresh.buildEpoch(spark, cr, "k", resident, benchmark,
+      "doc_id", "seq", "text", "lang", rules, windowTokens = 10)
+    def dir(w: Int) = java.nio.file.Paths.get(cr,
+      Refresh.epochCacheKey("k", w, 16, 4, rules) + "-span")
+    assert(java.nio.file.Files.isDirectory(dir(8)) &&
+      java.nio.file.Files.isDirectory(dir(10)))
+    // and a RULES change re-keys too
+    val rules2 = rules.copy(minTokens = 6)
+    Refresh.buildEpoch(spark, cr, "k", resident, benchmark,
+      "doc_id", "seq", "text", "lang", rules2, windowTokens = 8)
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(cr,
+      Refresh.epochCacheKey("k", 8, 16, 4, rules2) + "-span")))
+    assert(Refresh.epochCacheKey("k", 8, 16, 4, rules2) !=
+      Refresh.epochCacheKey("k", 8, 16, 4, rules))
+  }
+
+  test("epoch roll resolves tombstoned authorities: a suppressed duplicate of a removed doc revives") {
+    import graft.server.Dml
+    import graft.load.GraphLoader
+    val out = java.nio.file.Files.createTempDirectory("refreshroll").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    Dml.execute(spark, out, "CREATE VERTEX TYPE Doc")
+    Dml.execute(spark, out, "CREATE PROPERTY Doc.text STRING")
+    Dml.execute(spark, out, "CREATE PROPERTY Doc.lang STRING")
+    val values = resident.select("doc_id", "text").collect()
+      .map(r => s"(${5000000L + r.getLong(0)}, '${r.getString(1)}', 'en')")
+      .mkString(", ")
+    Dml.execute(spark, out, s"INSERT INTO Doc (id, text, lang) VALUES $values")
+    val cr = java.nio.file.Files.createTempDirectory("refreshroll-cache").toString
+    // epoch 1: doc 8 (5000008) duplicates doc 7 (5000007) → suppressed
+    val (ep0, built0) = Refresh.storeEpoch(spark, out, cr, "Doc", "text", "lang",
+      rules, windowTokens = 8)
+    assert(built0, "first call must build")
+    def docs() = graft.load.Store.readLabel(spark, out, "nodes", "Doc",
+        graft.load.Store.readManifest(out)).get
+      .select(col("id").as("doc_id"), col("text"), col("lang"))
+      .withColumn("seq", col("doc_id"))
+    def keptIds(ep: Refresh.Epoch) =
+      Refresh.process(ep, docs(), "doc_id", "seq", "text", "lang")
+        .select("doc_id").as[Long].collect().toSet
+    assert(!keptIds(ep0).contains(5000008L), "duplicate suppressed in epoch 1")
+    // an unchanged manifest: the trigger is a build-or-open no-op
+    val (_, built1) = Refresh.storeEpoch(spark, out, cr, "Doc", "text", "lang",
+      rules, windowTokens = 8)
+    assert(!built1, "unchanged manifest must open, not rebuild")
+    // the keeper is REMOVED through the DML surface → manifest moves →
+    // the maintenance-cadence call REBUILDS → the duplicate revives
+    // (its suppressor's bands left the index with the rebuild)
+    assert(Dml.execute(spark, out, "DELETE FROM Doc WHERE id = 5000007") == 1)
+    val (ep1, built2) = Refresh.storeEpoch(spark, out, cr, "Doc", "text", "lang",
+      rules, windowTokens = 8)
+    assert(built2, "moved manifest must rebuild")
+    assert(keptIds(ep1).contains(5000008L),
+      "post-roll, the removed doc's duplicate must revive")
+    // but a STANDING epoch would still suppress it — the freeze is the
+    // documented mid-epoch model, the roll is what ends it
+    assert(!keptIds(ep0).contains(5000008L))
   }
 }
