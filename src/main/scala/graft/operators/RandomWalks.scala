@@ -70,4 +70,65 @@ object RandomWalks {
     }
     st.select(col("start"), col("walk"))
   }
+
+  /** node2vec BIASED walks (Grover & Leskovec, KDD 2016) on the same
+    * replayable-salt doctrine as [[randomWalks]]: per step, each
+    * candidate neighbor w of the current vertex weighs
+    *
+    *   - `wReturn` when w IS the previous vertex (the 1/p return bias),
+    *   - `wIn`     when w is a neighbor of the previous vertex
+    *               (distance 1 — the BFS-ish stay-local bias),
+    *   - `wOut`    otherwise (distance 2 — the DFS-ish explore bias,
+    *               1/q),
+    *
+    * with the weights as INTEGERS (the caller scales 1/p and 1/q to
+    * exact integers — e.g. p = 2, q = 2 at scale 4 is (2, 4, 2)), so
+    * the weighted choice is EXACT arithmetic: r = h mod Σwt, pick the
+    * first candidate (sorted-neighbor order) whose cumulative weight
+    * exceeds r. No transcendentals, no floats — the DuckDB twin
+    * replays every hop bit-identically (`graph_node2vec`), which a
+    * Gumbel/exponential race could never promise across engines.
+    *
+    * Step 1 has no previous vertex (prev = cur seeds it): no candidate
+    * equals prev (the canonical list carries no self-loops) and every
+    * candidate is a neighbor of prev — all `wIn`, i.e. the standard
+    * uniform first step. Shape: per step one candidate expansion
+    * (walk ⋈ adjacency rows — Σ deg(cur) rows, edge-bounded), one
+    * edge-marker anti-probe (is (prev, w) an edge — a left join on the
+    * bidirectional set), and a per-walk cumulative window whose
+    * partition is ONE vertex's candidate list (deg-sized — the skew
+    * bound is walks-at-hub × deg, not a materialized giant row). */
+  def node2vecWalks(edges: DataFrame, salt: String, length: Int,
+      wReturn: Long, wIn: Long, wOut: Long): DataFrame = {
+    require(length >= 1, "walks need at least one step")
+    require(wReturn > 0 && wIn > 0 && wOut > 0, "weights must be positive")
+    val (adj, deg) = adjacency(edges)
+    val marker = adj.select(col("u").as("__mu"), col("w").as("__mw"),
+      lit(true).as("__isNbr"))
+    var st = deg.select(col("u").as("start"), col("u").as("prev"),
+      col("u").as("cur"), col("u").cast("string").as("walk"))
+    (1 to length).foreach { t =>
+      val h = graft.llmops.TextOps.md5Hash32(concat_ws("|",
+        lit(salt), col("start").cast("string"), lit(t.toString),
+        col("cur").cast("string"), col("prev").cast("string")))
+      val byWalk = Window.partitionBy(col("start"))
+      val cands = st.join(adj, st("cur") === adj("u"))
+        .join(marker,
+          col("prev") === col("__mu") && col("w") === col("__mw"), "left")
+        .withColumn("__wt",
+          when(col("w") === col("prev"), lit(wReturn))
+            .when(col("__isNbr").isNotNull, lit(wIn))
+            .otherwise(lit(wOut)))
+        .withColumn("__cum", sum(col("__wt")).over(byWalk.orderBy(col("idx"))))
+        .withColumn("__tot", sum(col("__wt")).over(byWalk))
+      st = cands.filter(col("__cum") > (h % col("__tot")))
+        .groupBy(col("start"), col("cur"), col("walk"))
+        .agg(min(struct(col("idx"), col("w"))).as("__m"))
+        .select(col("start"), col("cur").as("prev"),
+          col("__m.w").as("cur"),
+          concat(col("walk"), lit("->"), col("__m.w").cast("string"))
+            .as("walk"))
+    }
+    st.select(col("start"), col("walk"))
+  }
 }

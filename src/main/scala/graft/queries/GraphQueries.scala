@@ -190,6 +190,51 @@ object GraphQueries {
       SELECT start, walk FROM s$length"""
   }
 
+  /** DuckDB twin of `RandomWalks.node2vecWalks`: the same integer
+    * cumulative-weight choice replayed step by step — per step the
+    * candidate expansion (adjacency rows), the edge-marker probe (is
+    * (prev, w) an edge), the exact integer cumulative window over the
+    * sorted-neighbor order, and the salted-md5 range pick, all written
+    * identically on both sides. No floats anywhere, so the hash check
+    * is unconditional. */
+  private def node2vecSql(salt: String, length: Int,
+      wRet: Long, wIn: Long, wOut: Long): String = {
+    def hexFold(hexExpr: String): String =
+      "list_reduce(list_transform(generate_series(1, 8), " +
+        s"j -> instr('0123456789abcdef', substr($hexExpr, j, 1)) - 1), " +
+        "(a, x) -> a * 16 + x)"
+    def h(t: Int) = hexFold(
+      s"md5('$salt' || '|' || CAST(start AS VARCHAR) || '|$t|' || " +
+        "CAST(cur AS VARCHAR) || '|' || CAST(prev AS VARCHAR))")
+    val steps = (1 to length).map { t =>
+      s"""c$t AS MATERIALIZED (SELECT s.start, s.prev, s.cur, s.walk, a.w, a.idx,
+        CASE WHEN a.w = s.prev THEN $wRet
+             WHEN eb.u IS NOT NULL THEN $wIn ELSE $wOut END AS wt
+        FROM s${t - 1} s JOIN adjr a ON a.u = s.cur
+        LEFT JOIN bi eb ON eb.u = s.prev AND eb.w = a.w),
+      k$t AS MATERIALIZED (SELECT start, prev, cur, walk, w, idx,
+        CAST(SUM(wt) OVER (PARTITION BY start ORDER BY idx) AS BIGINT) AS cum,
+        CAST(SUM(wt) OVER (PARTITION BY start) AS BIGINT) AS tot
+        FROM c$t),
+      s$t AS MATERIALIZED (SELECT start, cur AS prev, arg_min(w, idx) AS cur,
+        walk || '->' || CAST(arg_min(w, idx) AS VARCHAR) AS walk
+        FROM k$t WHERE cum > (${h(t)} % tot)
+        GROUP BY start, cur, walk)"""
+    }.mkString(",\n      ")
+    s"""WITH m AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      ok AS MATERIALIZED (SELECT g FROM m GROUP BY g HAVING count(*) <= 50),
+      mm AS MATERIALIZED (SELECT m.g, m.i FROM m JOIN ok USING (g)),
+      e AS MATERIALIZED (SELECT DISTINCT x.i AS a, y.i AS b
+        FROM mm x JOIN mm y ON x.g = y.g AND x.i < y.i),
+      bi AS MATERIALIZED (SELECT a AS u, b AS w FROM e UNION ALL SELECT b, a FROM e),
+      adjr AS MATERIALIZED (SELECT u, w,
+        CAST(row_number() OVER (PARTITION BY u ORDER BY w) AS INT) AS idx FROM bi),
+      s0 AS MATERIALIZED (SELECT u AS start, u AS prev, u AS cur,
+        CAST(u AS VARCHAR) AS walk FROM (SELECT DISTINCT u FROM bi)),
+      $steps
+      SELECT start, walk FROM s$length"""
+  }
+
   def queries: Seq[Q] = Seq(
 
     // A3 — label enumeration (catalog scan)
@@ -815,6 +860,17 @@ object GraphQueries {
         graft.operators.Triangles.cooccurrenceEdges(
           t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50), "r13", 4),
       Some(walkSql("r13", 4))),
+
+    // ✚ node2vec biased walks (round 14): the p/q-weighted DeepWalk
+    // sibling — integer return/in/out weights (here p = q = 2 at
+    // scale 4: (2, 4, 2)) chosen by an exact cumulative-range pick
+    // under the same replayable salt, so the DuckDB twin replays
+    // every biased hop bit-identically (no floats anywhere).
+    Q("graph_node2vec",
+      (s, d) => graft.operators.RandomWalks.node2vecWalks(
+        graft.operators.Triangles.cooccurrenceEdges(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50), "r14", 4, 2L, 4L, 2L),
+      Some(node2vecSql("r14", 4, 2L, 4L, 2L))),
 
     // ✚ HITS hubs & authorities (round 13): the directed link-analysis
     // twin of PageRank on the order→part bipartite graph; grid-rounded

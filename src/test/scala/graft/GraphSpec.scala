@@ -690,6 +690,52 @@ class GraphSpec extends SparkSpec {
     assert(w1 != w2)
   }
 
+  test("node2vecWalks: deterministic, edge-respecting, p/q biases bind") {
+    import spark.implicits._
+    import graft.operators.RandomWalks
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)).toDF("a", "b")
+    val adj = Map(1L -> Set(2L, 3L, 4L), 2L -> Set(1L, 3L),
+      3L -> Set(1L, 2L, 4L), 4L -> Set(1L, 3L))
+    val w1 = RandomWalks.node2vecWalks(g, "s1", 5, 2L, 4L, 2L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(w1.keySet == adj.keySet)
+    w1.foreach { case (start, walk) =>
+      val hops = walk.split("->").map(_.toLong).toSeq
+      assert(hops.length == 6 && hops.head == start)
+      hops.sliding(2).foreach { case Seq(x, y) =>
+        assert(adj(x).contains(y), s"non-edge $x->$y in $walk")
+      }
+    }
+    // replayable: same salt bit-identical, new salt moves
+    assert(w1 == RandomWalks.node2vecWalks(g, "s1", 5, 2L, 4L, 2L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap)
+    assert(w1 != RandomWalks.node2vecWalks(g, "s2", 5, 2L, 4L, 2L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap)
+    // the RETURN bias binds: on the path 1-2-3 with an overwhelming
+    // wReturn, every step ≥ 2 walks straight back — hops alternate.
+    // (Deterministic: the fixed salt pins the hash; the non-return
+    // range is 1 part in ~10⁶ of the cumulative span.)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val back = RandomWalks.node2vecWalks(path, "s1", 4, 1000000L, 1L, 1L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hops1 = back(1L).split("->").map(_.toLong).toSeq
+    assert(hops1 == Seq(1L, 2L, 1L, 2L, 1L), s"return bias: ${back(1L)}")
+    // and the OUT bias binds: on the 4-cycle 1-2-3-4, step 2 from a
+    // corner chooses between returning (prev) and the OPPOSITE corner
+    // (distance 2 from prev → wOut) — a huge wOut forces the walk
+    // onward around the cycle, never back
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val out = RandomWalks.node2vecWalks(cyc, "s1", 3, 1L, 1L, 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (start, walk) =>
+      val hops = walk.split("->").map(_.toLong).toSeq
+      hops.sliding(3).foreach { case Seq(x, _, z) =>
+        assert(x != z, s"out bias returned to $x in $walk")
+      }
+      assert(hops.length == 4 && hops.head == start)
+    }
+  }
+
   test("HITS: mutual reinforcement ranks the shared authority and the big hub first") {
     import spark.implicits._
     import graft.operators.Hits
