@@ -140,7 +140,10 @@ object Bench {
     // graph_betweenness_top is declared + oracle/spec-covered but NOT a
     // headline: 32-source Brandes on the dense sf0.1 co-purchase graph
     // is diameter×|S|-bound by design (24.5 s — GraphProbe is its perf
-    // evidence; a bench slot would just re-measure the probe)
+    // evidence; a bench slot would just re-measure the probe). Same
+    // rule for graph_node2vec (per-step candidate windows ≈ 3× the
+    // DeepWalk walk cost), pagerank_df, and dijkstra_df (dual-path
+    // twins of non-headline GraphX rows) — GraphProbe times all three.
     "asql_hop_projection",
     "asql_hop_chain",
     "text_fertility",

@@ -138,9 +138,76 @@ object GraphProbe {
       .localCheckpoint(true)
     val nWalks = walks.count()
     val sWalks = (System.nanoTime() - t8) / 1e9
+    val t9 = System.nanoTime()
+    val n2v = graft.operators.RandomWalks
+      .node2vecWalks(edges, "probe", 4, 2L, 4L, 2L).localCheckpoint(true)
+    val nN2v = n2v.count()
+    val sN2v = (System.nanoTime() - t9) / 1e9
     println(s"""{"probe":"hits_walks","edges":$nEdges,""" +
       s""""hits_iters":4,"hits_rows":$nHits,"hits_sec":$sHits,""" +
-      s""""walk_len":4,"walks":$nWalks,"walks_sec":$sWalks}""")
+      s""""walk_len":4,"walks":$nWalks,"walks_sec":$sWalks,""" +
+      s""""node2vec_walks":$nN2v,"node2vec_sec":$sN2v}""")
+    }
+
+    if (want("dualpath")) {
+    // DF-native vs GraphX dual paths (round 14): PageRank and weighted
+    // SSSP on the FULL property graph — the posture evidence for the
+    // pagerank_df / dijkstra_df rows (not bench headlines)
+    val g = graft.query.PropertyGraph(
+      graft.load.GraphLoader.nodes(spark, sfDir),
+      graft.load.GraphLoader.edges(spark, sfDir))
+    val tq = System.nanoTime()
+    graft.operators.PageRank.pageRankDf(
+      g.nodes.select(col("id")), g.edges.select(col("src"), col("dst")), 10)
+      .localCheckpoint(true).count()
+    val sPrDf = (System.nanoTime() - tq) / 1e9
+    val tg = System.nanoTime()
+    graft.graphx.GraphXBridge.pageRank(spark, g, 10).count()
+    val sPrGx = (System.nanoTime() - tg) / 1e9
+    val td = System.nanoTime()
+    graft.operators.ShortestPath.dijkstraDf(
+      g.edges.filter(col("label").isin("IN_NATION", "IN_REGION"))
+        .select(col("src"), col("dst"), lit(1.0).as("w")),
+      graft.load.GraphLoader.SupplierOff).count()
+    val sDjDf = (System.nanoTime() - td) / 1e9
+    val tg2 = System.nanoTime()
+    graft.graphx.GraphXBridge.dijkstra(spark, g, Seq("IN_NATION", "IN_REGION"),
+      lit(1.0), graft.load.GraphLoader.SupplierOff).count()
+    val sDjGx = (System.nanoTime() - tg2) / 1e9
+    println(s"""{"probe":"dualpath","pagerank_df_sec":$sPrDf,""" +
+      s""""pagerank_graphx_sec":$sPrGx,"dijkstra_df_sec":$sDjDf,""" +
+      s""""dijkstra_graphx_sec":$sDjGx}""")
+    }
+
+    if (want("hub")) {
+    // planted MEGA-HUB posture (VERDICT r13 watch #1 / order #4): one
+    // vertex adjacent to EVERY other vertex, on top of the co-purchase
+    // graph. The r13 collect_list adjacency would materialize the hub
+    // as ONE |V|-element row (×100: a multi-GB single row); the row-
+    // form adjacency keeps it |V| ordinary rows, and each walk step
+    // probes exactly one (u, idx) row — the wall must stay in the
+    // un-hubbed band.
+    val verts = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v"))).distinct()
+      .localCheckpoint(true)
+    val nVert = verts.count()
+    val hubEdges = edges.unionByName(
+        verts.filter(col("v") =!= 0L)
+          .select(lit(0L).as("a"), col("v").as("b")))
+      .localCheckpoint(true)
+    val th = System.nanoTime()
+    val hw = graft.operators.RandomWalks.randomWalks(hubEdges, "probe", 4)
+      .localCheckpoint(true)
+    val nHw = hw.count()
+    val sHw = (System.nanoTime() - th) / 1e9
+    val th2 = System.nanoTime()
+    val hn = graft.operators.RandomWalks
+      .node2vecWalks(hubEdges, "probe", 4, 2L, 4L, 2L).localCheckpoint(true)
+    val nHn = hn.count()
+    val sHn = (System.nanoTime() - th2) / 1e9
+    println(s"""{"probe":"hub_walks","edges":$nEdges,"hub_degree":${nVert - 1},""" +
+      s""""walks":$nHw,"walks_sec":$sHw,""" +
+      s""""node2vec_walks":$nHn,"node2vec_sec":$sHn}""")
     }
     spark.stop()
   }

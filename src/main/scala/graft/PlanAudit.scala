@@ -272,11 +272,27 @@ object PlanAudit {
     Check("graph_closeness_all", "top-k without total sort",
       "TakeOrderedAndProject"),
     Check("graph_closeness_all", "no window anywhere", "!Window"),
-    // random walks (round 13): `length` equi joins against ONE
-    // checkpointed adjacency frame — no window, no cartesian, and the
-    // hop choice hashes through the native md5 fold
-    Check("graph_random_walks", "no window anywhere", "!Window"),
+    // random walks (round 13; row-form adjacency round 14): `length`
+    // equi joins against ONE checkpointed adjacency frame — the
+    // per-vertex rank window lives UPSTREAM of the checkpoint, so the
+    // walk loop itself stays window-free; no cartesian; the hop choice
+    // hashes through the native md5 fold
+    Check("graph_random_walks", "walk loop is window-free (rank window is pre-checkpoint)",
+      "!Window"),
     Check("graph_random_walks", "no cartesian product anywhere",
+      "!CartesianProduct"),
+    // round 14: node2vec's per-step cumulative windows are deg-bounded
+    // per-vertex partitions (deliberate — the exact integer weighted
+    // choice); every join stays an equi join, never a cartesian
+    Check("graph_node2vec", "no cartesian product anywhere",
+      "!CartesianProduct"),
+    // DF-native PageRank (round 14): the renormalization is the 1-row
+    // broadcast scalar bind (BroadcastNestedLoopJoin over one row is
+    // the sanctioned shape, a CartesianProduct is not), k-cut by
+    // TakeOrdered
+    Check("pagerank_df", "top-k without total sort", "TakeOrderedAndProject"),
+    Check("pagerank_df", "no cartesian product anywhere", "!CartesianProduct"),
+    Check("dijkstra_df", "relax rounds leave no cartesian product",
       "!CartesianProduct"),
     Check("graph_assoc_rules", "no window anywhere", "!Window"),
     // LM scoring: the capped model must BIND BROADCAST onto the corpus

@@ -42,7 +42,17 @@ object Centrality {
   /** Multi-source level-synchronous BFS. Returns one frame PER LEVEL
     * of (s, v, sigma = number of distinct shortest s→v paths, exact in
     * Long — a 40-level BFS on a real graph never approaches 2⁶³). The
-    * level index IS the distance. Level 0 is the sources themselves. */
+    * level index IS the distance. Level 0 is the sources themselves.
+    *
+    * Retention bound (VERDICT r13 watch #3): every level frame stays
+    * localCheckpointed until the caller releases it — the backward
+    * Brandes pass re-reads them, so this is load-bearing, not a leak.
+    * Total retained rows = Σ per-level frontiers ≤ |S| × reached
+    * vertices (each (s, v) pair appears in exactly ONE level), i.e.
+    * the same asymptotic footprint as the visited set the loop already
+    * carries; `maxDepth` caps the frame COUNT. High-diameter graphs
+    * pay |S| × reach either way — choose |S| (Brandes–Pich sampling)
+    * to size it, not maxDepth. */
   private def forward(bi: DataFrame, sources: Seq[Long],
       maxDepth: Int): Vector[DataFrame] = {
     require(sources.nonEmpty, "need at least one source")

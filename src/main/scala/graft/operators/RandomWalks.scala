@@ -21,32 +21,38 @@ import org.apache.spark.sql.functions._
   * made a 10M-degree hub ONE giant row): the adjacency is kept in ROW
   * form, (u, idx, w) with idx = the neighbor's 1-based rank in sorted
   * order (a per-vertex window — partial-sorted per key, never a global
-  * row_number), beside a vertex-sized degree frame. Each step is then
-  * one vertex-sized join (degree → pick = h mod deg + 1) and one
-  * (u, idx)-keyed equi join (pick → neighbor) — a mega-hub's adjacency
-  * stays deg ordinary rows spread across partitions, and each walk
-  * probes exactly one of them. The walk table stays one row per start
-  * for the whole run (the path accumulates in-row). No vertex in the
-  * bidirectional view is a dead end, so walks never truncate. The
-  * chosen neighbor is IDENTICAL to the list form's `nbrs[pick]`
-  * (sorted rank = sorted-array index), so the r13 oracle replay holds
-  * unchanged.
+  * row_number), beside a vertex-sized degree frame. Each step is a
+  * vertex-sized pick join (degree → pick = h mod deg + 1; the salted
+  * md5 evaluates ONCE PER WALK here — folding the pick into the
+  * adjacency join as a residual predicate was measured 2× worse, the
+  * hash re-evaluating per candidate row) followed by a (u, idx)-keyed
+  * equi join into the adjacency rows — a mega-hub stays deg ordinary
+  * rows spread across partitions, each walk probes exactly one (the
+  * GraphProbe planted-hub posture: hub wall ≡ un-hubbed wall). The
+  * walk table stays one row per start for the whole run (the path
+  * accumulates in-row). No vertex in the bidirectional view is a dead
+  * end, so walks never truncate. The chosen neighbor is IDENTICAL to
+  * the list form's `nbrs[pick]` (sorted rank = sorted-array index),
+  * so the r13 oracle replay holds unchanged.
   *
   * Returns (start, walk) with the walk as a "v0->v1->…" string (the
   * array-stringify comparison discipline of `asql_hop_projection`). */
 object RandomWalks {
 
-  /** (adjacency rows (u, idx, w) sorted-rank-indexed, degree frame
-    * (u, deg)) for the bidirectional view of a canonical edge list. */
+  /** (adjacency rows (u, idx, w, deg) sorted-rank-indexed with the
+    * vertex degree ON each row, degree frame (u, deg)) for the
+    * bidirectional view of a canonical edge list. */
   private def adjacency(edges: DataFrame): (DataFrame, DataFrame) = {
     val e = edges.select(col("a"), col("b")).distinct()
     val bi = e.select(col("a").as("u"), col("b").as("w"))
       .unionAll(e.select(col("b").as("u"), col("a").as("w")))
-    val adj = bi.withColumn("idx",
-        row_number().over(Window.partitionBy(col("u")).orderBy(col("w"))))
+    val byU = Window.partitionBy(col("u"))
+    val adj = bi
+      .withColumn("idx", row_number().over(byU.orderBy(col("w"))))
+      .withColumn("deg", count(lit(1)).over(byU))
       .localCheckpoint(true) // probed once per step
-    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true) // vertex-sized, probed once per step
+    val deg = adj.groupBy(col("u")).agg(first(col("deg")).as("deg"))
+      .localCheckpoint(true) // vertex-sized
     (adj, deg)
   }
 
