@@ -39,7 +39,7 @@ object PageRank {
     val ew = edges.select(col("src"), col("dst")).join(deg, Seq("src"))
       .localCheckpoint(true) // probed once per iteration
     var rank = v.select(col("id"), lit(1.0).as("pr"))
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val in = ew.join(rank.select(col("id").as("src"), col("pr")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("pr") * col("w")).as("s"))
@@ -47,7 +47,12 @@ object PageRank {
         .select(col("id"),
           (lit(resetProb) + lit(1.0 - resetProb)
             * coalesce(col("s"), lit(0.0))).as("pr"))
-        .localCheckpoint(true)
+      // checkpoint every FEW rounds, not every round: the lineage stays
+      // shallow (≤ 3 join levels) while the driver pays one
+      // synchronized job per cadence instead of per iteration — the
+      // per-round eager form measured ~4× GraphX at sf0.1 on job-launch
+      // overhead alone, not on data volume
+      if (i % 3 == 0 || i == iters) rank = rank.localCheckpoint(true)
     }
     // SPARK-18847: normalize the final mass to |V| (dangling vertices
     // leak mass each round; GraphX repairs it once at the end)

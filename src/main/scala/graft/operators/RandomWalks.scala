@@ -17,41 +17,47 @@ import org.apache.spark.sql.functions._
   * (`graph_random_walks` is hash-green), which is the strongest
   * correctness statement available for a sampler.
   *
-  * Shape (VERDICT r13 watch #1 — the earlier `collect_list` adjacency
-  * made a 10M-degree hub ONE giant row): the adjacency is kept in ROW
-  * form, (u, idx, w) with idx = the neighbor's 1-based rank in sorted
-  * order (a per-vertex window — partial-sorted per key, never a global
-  * row_number), beside a vertex-sized degree frame. Each step is a
-  * vertex-sized pick join (degree → pick = h mod deg + 1; the salted
-  * md5 evaluates ONCE PER WALK here — folding the pick into the
-  * adjacency join as a residual predicate was measured 2× worse, the
-  * hash re-evaluating per candidate row) followed by a (u, idx)-keyed
-  * equi join into the adjacency rows — a mega-hub stays deg ordinary
-  * rows spread across partitions, each walk probes exactly one (the
-  * GraphProbe planted-hub posture: hub wall ≡ un-hubbed wall). The
-  * walk table stays one row per start for the whole run (the path
-  * accumulates in-row). No vertex in the bidirectional view is a dead
-  * end, so walks never truncate. The chosen neighbor is IDENTICAL to
-  * the list form's `nbrs[pick]` (sorted rank = sorted-array index),
-  * so the r13 oracle replay holds unchanged.
+  * Shape (VERDICT r13 watch #1 — the earlier whole-vertex
+  * `collect_list` adjacency made a 10M-degree hub ONE giant row): the
+  * adjacency is BLOCKED neighbor lists, (u, blk, nbrs[≤1024]) with the
+  * neighbors in sorted order and blk = (rank−1) div 1024, beside a
+  * vertex-sized degree frame. Each step is a vertex-sized pick join
+  * (degree → pick = h mod deg + 1; the salted md5 evaluates ONCE PER
+  * WALK — folding it into the adjacency join as a residual predicate
+  * re-evaluated it per candidate row, measured 2× worse) followed by a
+  * (u, blk)-keyed equi join into the block holding the pick. The block
+  * frame is ~(vertices + edges/1024) BOUNDED rows — a mega-hub is
+  * deg/1024 rows of ≤ 8 KB each, never one giant row (the GraphProbe
+  * planted-hub posture), while the per-step build side stays
+  * vertex-scale, not edge-scale (the plain (u, idx) row form measured
+  * 4× slower at ×10 — a 24M-row hash build per step). The walk table
+  * stays one row per start for the whole run (the path accumulates
+  * in-row). No vertex in the bidirectional view is a dead end, so
+  * walks never truncate. The chosen neighbor is IDENTICAL to the flat
+  * list form's `nbrs[pick]` (sorted rank = block-local offset), so the
+  * r13 oracle replay holds unchanged.
   *
   * Returns (start, walk) with the walk as a "v0->v1->…" string (the
   * array-stringify comparison discipline of `asql_hop_projection`). */
 object RandomWalks {
 
-  /** (adjacency rows (u, idx, w, deg) sorted-rank-indexed with the
-    * vertex degree ON each row, degree frame (u, deg)) for the
-    * bidirectional view of a canonical edge list. */
+  /** Block width of the blocked neighbor lists: 1024 longs ≈ 8 KB per
+    * row — big enough that ordinary vertices stay one block (the flat
+    * list form's single probe), small enough that no degree can make a
+    * row large. */
+  val BlockSize = 1024
+
+  /** (adjacency rows (u, idx, w) sorted-rank-indexed, degree frame
+    * (u, deg)) for the bidirectional view of a canonical edge list —
+    * the node2vec candidate form. */
   private def adjacency(edges: DataFrame): (DataFrame, DataFrame) = {
     val e = edges.select(col("a"), col("b")).distinct()
     val bi = e.select(col("a").as("u"), col("b").as("w"))
       .unionAll(e.select(col("b").as("u"), col("a").as("w")))
-    val byU = Window.partitionBy(col("u"))
-    val adj = bi
-      .withColumn("idx", row_number().over(byU.orderBy(col("w"))))
-      .withColumn("deg", count(lit(1)).over(byU))
+    val adj = bi.withColumn("idx",
+        row_number().over(Window.partitionBy(col("u")).orderBy(col("w"))))
       .localCheckpoint(true) // probed once per step
-    val deg = adj.groupBy(col("u")).agg(first(col("deg")).as("deg"))
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true) // vertex-sized
     (adj, deg)
   }
@@ -59,6 +65,12 @@ object RandomWalks {
   def randomWalks(edges: DataFrame, salt: String, length: Int): DataFrame = {
     require(length >= 1, "walks need at least one step")
     val (adj, deg) = adjacency(edges)
+    val blocks = adj
+      .withColumn("blk", expr(s"CAST((idx - 1) DIV $BlockSize AS INT)"))
+      .groupBy(col("u"), col("blk"))
+      .agg(expr("transform(sort_array(collect_list(struct(idx, w))), x -> x.w)")
+        .as("nbrs"))
+      .localCheckpoint(true) // probed once per step
     var st = deg.select(col("u").as("start"), col("u").as("cur"),
       col("u").cast("string").as("walk"))
     (1 to length).foreach { t =>
@@ -68,10 +80,13 @@ object RandomWalks {
       val pick = st.join(deg, st("cur") === deg("u"))
         .select(col("start"), col("cur"), col("walk"),
           ((h % col("deg")) + 1).cast("int").as("__pick"))
-      st = pick.join(adj,
-          pick("cur") === adj("u") && pick("__pick") === adj("idx"))
-        .select(col("start"), col("w").as("cur"),
-          concat(col("walk"), lit("->"), col("w").cast("string"))
+        .withColumn("__blk", expr(s"CAST((__pick - 1) DIV $BlockSize AS INT)"))
+      st = pick.join(blocks,
+          pick("cur") === blocks("u") && pick("__blk") === blocks("blk"))
+        .withColumn("__nxt", element_at(col("nbrs"),
+          (((col("__pick") - 1) % BlockSize) + 1).cast("int")))
+        .select(col("start"), col("__nxt").as("cur"),
+          concat(col("walk"), lit("->"), col("__nxt").cast("string"))
             .as("walk"))
     }
     st.select(col("start"), col("walk"))

@@ -690,6 +690,34 @@ class GraphSpec extends SparkSpec {
     assert(w1 != w2)
   }
 
+  test("randomWalks: block boundary — a vertex wider than one block picks across blocks") {
+    import spark.implicits._
+    import graft.operators.RandomWalks
+    // star hub with 1500 leaves (> BlockSize = 1024): the hub's
+    // adjacency spans two blocks; every walk from the hub must land on
+    // a real leaf (incl. picks addressing the second block), every
+    // leaf-walk alternates leaf→hub→leaf
+    val n = 1500L
+    val star = (2L to (n + 1)).map(i => (1L, i)).toDF("a", "b")
+    val w = RandomWalks.randomWalks(star, "blk", 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(w.size == n.toInt + 1)
+    val hubHops = w(1L).split("->").map(_.toLong).toSeq
+    assert(hubHops.head == 1L && hubHops(1) >= 2L && hubHops(1) <= n + 1
+      && hubHops(2) == 1L, s"hub walk: ${w(1L)}")
+    // across many salts the second block is actually reachable (picks
+    // above 1024 occur): collect the hub's first hop under 8 salts
+    val picks = (1 to 8).map { s =>
+      RandomWalks.randomWalks(star, s"blk$s", 1)
+        .filter(col("start") === 1L).head().getString(1)
+        .split("->")(1).toLong
+    }
+    assert(picks.exists(_ > 1025L), s"no pick reached block 2: $picks")
+    w.filterNot(_._1 == 1L).foreach { case (leaf, walk) =>
+      assert(walk == s"$leaf->1->${walk.split("->")(2)}")
+    }
+  }
+
   test("node2vecWalks: deterministic, edge-respecting, p/q biases bind") {
     import spark.implicits._
     import graft.operators.RandomWalks
