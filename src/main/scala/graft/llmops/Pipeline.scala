@@ -604,6 +604,36 @@ object Pipeline {
         floor(col("start_offset").cast("double") / capTokens).cast("long"))
   }
 
+  /** Length-bucket batching audit — the padding-efficiency report a
+    * serving/training stack runs before fixing its batch shapes: every
+    * document lands in the smallest power-of-two token bucket that
+    * holds it (floor `minBucket`, cap `maxBucket` — longer docs
+    * truncate into the cap, the max-sequence-length rule), and each
+    * bucket reports how much of its capacity real tokens fill. The
+    * bucket ladder is a closed CASE chain of exact integer compares
+    * (never ceil(log2(n)) — a float log at a power-of-two boundary is
+    * exactly the off-by-one that flips a bucket), so the DuckDB twin
+    * replays it verbatim. Map-only token count + one bucket-keyed
+    * config-sized aggregate. Returns per bucket:
+    * (bucket, n_docs, total_tokens, capacity, padding_frac 6dp). */
+  def lengthBuckets(docs: DataFrame, idCol: String, textCol: String,
+      minBucket: Int = 16, maxBucket: Int = 2048): DataFrame = {
+    require(minBucket > 0 && Integer.bitCount(minBucket) == 1, "minBucket must be a power of two")
+    require(maxBucket >= minBucket && Integer.bitCount(maxBucket) == 1, "maxBucket must be a power of two")
+    val ladder = Iterator.iterate(minBucket)(_ * 2).takeWhile(_ <= maxBucket).toSeq
+    val n = size(TextOps.tokens(col(textCol)))
+    val bucket = ladder.init.foldRight(lit(maxBucket): Column) {
+      (b, rest) => when(n <= b, lit(b)).otherwise(rest)
+    }
+    docs.select(bucket.as("bucket"), least(n, lit(maxBucket)).as("eff"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("eff")).as("total_tokens"))
+      .withColumn("capacity", col("n_docs") * col("bucket"))
+      .withColumn("padding_frac",
+        round(lit(1.0) - col("total_tokens").cast("double")
+          / col("capacity").cast("double"), 6))
+  }
+
   /** N-gram novelty scoring — the memorization/novelty metric: what
     * fraction of a document's n-gram POSITIONS are absent from a
     * reference set (training-set memorization checks score generated

@@ -678,6 +678,193 @@ object Similarity {
     v.count()
   }
 
+  /** PQ encode of a vector column against caller-supplied codebooks:
+    * 0-based code per subspace (first-minimum = smallest code id, the
+    * [[pqTopKWith]] tie rule), as one `array<int>` — the compressed
+    * form an IVF-PQ index STORES (m bytes-ish per vector instead of
+    * dim doubles; the 100 TB memory story of product quantization). */
+  def pqCodes(vc: Column, codebooks: IndexedSeq[IndexedSeq[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    def litVec(xs: Array[Double]): Column = array(xs.toIndexedSeq.map(lit): _*)
+    array((0 until m).map { mi =>
+      val s = slice(vc, mi * dsub + 1, dsub)
+      val dists = array(codebooks(mi).map { cw =>
+        val c = litVec(cw)
+        dot(s, s) - lit(2.0) * dot(s, c) + dot(c, c)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+  }
+
+  /** Reconstruction of a [[pqCodes]] column: per subspace, the codeword
+    * the stored code names, flattened back to a dim-length vector —
+    * the decompression half of ADC scoring (codebooks ride as
+    * literals, so this is map-only). */
+  def pqReconstruct(codesCol: Column,
+      codebooks: IndexedSeq[IndexedSeq[Array[Double]]]): Column = {
+    def litVec(xs: Array[Double]): Column = array(xs.toIndexedSeq.map(lit): _*)
+    flatten(array(codebooks.indices.map(mi =>
+      element_at(array(codebooks(mi).map(litVec): _*),
+        element_at(codesCol, mi + 1) + 1)): _*))
+  }
+
+  /** IVF-PQ composed retrieval — the two scale levers stacked the way
+    * a billion-vector serving stack stacks them (Jégou et al., PAMI'11:
+    * IVFADC): the COARSE quantizer prunes which cells are scanned at
+    * all (IVF — touch nProbe/k of the corpus), and the PRODUCT
+    * quantizer compresses what a scanned row costs (ADC scoring reads
+    * m codes, not dim doubles). Pipeline: map-only cell assignment +
+    * PQ encode → probe the `nProbe` best cells per query → ADC
+    * shortlist (cos(query, reconstruction), top k·`overfetch` per
+    * query, ties → nn) → EXACT re-rank of the shortlist only. Both
+    * stages are window-ranked on the same (score desc, nn asc) rule,
+    * so the result is deterministic and the DuckDB twin replays it
+    * bit-for-bit (trained centroids/codebooks are grid-round-exact,
+    * dots are the shared strict LTR fold).
+    *
+    * Shuffles: ONE (the qid-keyed shortlist/re-rank windows share the
+    * candidate exchange); candidate volume is probed-cell occupancy,
+    * never O(Q·N). Encodes-on-the-fly here (in-memory route);
+    * [[buildIvfPqIndex]] persists the codes so serving never re-pays
+    * the encode. */
+  def ivfPqTopKWith(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Seq[Double])],
+      codebooks: IndexedSeq[IndexedSeq[Array[Double]]],
+      nProbe: Int, queryIds: Seq[Long], k: Int, overfetch: Int = 4,
+      capPerCell: Int = CandidateCap): DataFrame = {
+    require(overfetch > 0, "overfetch must be positive")
+    val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nv", norm(col("v")))
+    val assigned = capPerKey(
+      v.withColumn("cell", ivfCell(col("v"), col("nv"), centroids)),
+      "cell", idCol, capPerCell)
+      .withColumn("rv", pqReconstruct(pqCodes(col("v"), codebooks), codebooks))
+      .withColumn("rn", norm(col("rv")))
+    val probed = v.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), col("v").as("qv"), col("nv").as("qn"))
+      .select(col("qid"), col("qv"), col("qn"),
+        explode(ivfProbes(col("qv"), centroids, nProbe)).as("cell"))
+    val cand = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col(idCol) =!= col("qid"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc").desc, col("nn").asc)
+    val wEx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nn").asc)
+    cand
+      .select(col("qid"), col(idCol).as("nn"),
+        (dot(col("qv"), col("rv")) / (col("qn") * col("rn"))).as("adc"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nv"))).as("cos"))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= k * overfetch)
+      .withColumn("rank", row_number().over(wEx)).filter(col("rank") <= k)
+      .select(col("qid"), col("nn"), col("rank"), col("cos"))
+  }
+
+  /** PERSISTED IVF-PQ index — [[buildIvfIndex]]'s layout with the PQ
+    * codes MATERIALIZED per row: `cells/` is partitioned by cell id
+    * (probe-time partition pruning, the disk-level 100 TB lever) and
+    * each row carries (id, codes array<int>, rn, v, nv) — the ADC scan
+    * reads only (id, codes, rn) column pages (columnar pruning: a few
+    * bytes per row), and the exact vectors are touched ONLY for the
+    * shortlist. Centroids and codebooks land beside the cells
+    * (config-sized). `rn` = reconstruction norm, precomputed at build
+    * so serving never re-derives it. Returns (centroids, codebooks). */
+  def buildIvfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+      kCells: Int, m: Int, nCodes: Int, nTrain: Int, outDir: String,
+      source: Option[String] = None)
+      : (Seq[(Long, Seq[Double])], IndexedSeq[IndexedSeq[Array[Double]]]) = {
+    val cents = trainKMeans(emb, idCol, vecCol, kCells, nTrain)
+    val books = trainPqCodebooks(emb, idCol, vecCol, m, nCodes, nTrain)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    cents.map { case (cid, cv) => (cid, cv) }.toDF("cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/centroids")
+    books.indices.flatMap(mi => books(mi).indices.map(code =>
+        (mi, code, books(mi)(code).toSeq)))
+      .toDF("m", "code", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/codebooks")
+    val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nv", norm(col("v")))
+    v.withColumn("cell", ivfCell(col("v"), col("nv"), cents))
+      .withColumn("codes", pqCodes(col("v"), books))
+      .withColumn("rn", norm(pqReconstruct(col("codes"), books)))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/cells")
+    source.foreach(graft.load.IndexKeys.stamp(outDir, _))
+    (cents, books)
+  }
+
+  /** Serve top-k from a [[buildIvfPqIndex]] layout. Two scans of the
+    * PRUNED partitions, both cheap for different reasons: the ADC pass
+    * reads only the (id, codes, rn) pages of the probed cells and
+    * reconstructs against broadcast-literal codebooks; the exact pass
+    * re-reads the same pruned partitions but keeps only shortlist rows
+    * (a broadcast semi-probe — queries × k × overfetch ids), paying
+    * the wide `v` column for those alone. Ranking/tie rules are
+    * [[ivfPqTopKWith]]'s verbatim, so the cold route's answers EQUAL
+    * the in-memory route's for the same quantizers (spec-asserted). */
+  def ivfPqIndexTopK(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queryIds: Seq[Long], nProbe: Int, k: Int,
+      overfetch: Int = 4, capPerCell: Int = CandidateCap,
+      source: Option[String] = None): DataFrame = {
+    source.foreach(graft.load.IndexKeys.requireFresh(indexDir, _))
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    val bookRows = spark.read.parquet(s"$indexDir/codebooks")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    val m = bookRows.keys.map(_._1).max + 1
+    val nCodes = bookRows.keys.map(_._2).max + 1
+    val books: IndexedSeq[IndexedSeq[Array[Double]]] =
+      (0 until m).map(mi => (0 until nCodes).map(code => bookRows((mi, code))))
+    val cells = spark.read.parquet(s"$indexDir/cells")
+    val idCol = cells.columns.filterNot(Set("v", "nv", "cell", "codes", "rn")).head
+    val qRows = cells.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol), col("v"), col("nv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    def cosTo(v: Seq[Double], c: Seq[Double], nv: Double): Double = {
+      var d = 0.0; var i = 0
+      while (i < v.length) { d += v(i) * c(i); i += 1 }
+      d / (nv * normOf(c))
+    }
+    val probed = qRows.flatMap { case (qid, qv, qn) =>
+      cents.map { case (cid, cv) => (cid, qid, qv, qn, cosTo(qv, cv, qn)) }
+        .sortBy { case (cid, _, _, _, ccos) => (-ccos, cid) }
+        .take(nProbe)
+        .map { case (cid, id, v, n, _) => (cid, id, v, n) }
+    }
+    import spark.implicits._
+    val q = probed.toSeq.toDF("cell", "qid", "qv", "qn")
+    val probeCells = probed.map(_._1).distinct.toSeq
+    val pruned = capPerKey(
+      cells.filter(col("cell").isin(probeCells: _*)), "cell", idCol, capPerCell)
+    // ADC pass: codes + rn column pages only — the narrow scan
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc").desc, col("nn").asc)
+    val shortlist = pruned
+      .select(col("cell"), col(idCol).as("nn"),
+        pqReconstruct(col("codes"), books).as("rv"), col("rn"))
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("nn") =!= col("qid"))
+      .select(col("qid"), col("nn"),
+        (dot(col("qv"), col("rv")) / (col("qn") * col("rn"))).as("adc"))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= k * overfetch)
+      .select(col("qid"), col("nn"))
+    // exact pass: same pruned partitions, shortlist rows only pay `v`
+    val wEx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nn").asc)
+    cells.filter(col("cell").isin(probeCells: _*))
+      .select(col(idCol).as("nn"), col("v"), col("nv"))
+      .join(broadcast(shortlist), Seq("nn"))
+      .join(broadcast(q.select(col("qid"), col("qv"), col("qn")).distinct()), Seq("qid"))
+      .select(col("qid"), col("nn"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nv"))).as("cos"))
+      .withColumn("rank", row_number().over(wEx)).filter(col("rank") <= k)
+      .select(col("qid"), col("nn"), col("rank"), col("cos"))
+  }
+
   /** Bucketed ANN: candidates share a bucket; exact cosine re-rank
     * within bucket. */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String, dim: Int,

@@ -494,6 +494,22 @@ object TextOps {
       .withColumn("keep", col("ratio") <= maxRatio)
   }
 
+  /** Character-entropy quality signal — the DIRECT form of the
+    * low-entropy-junk test [[compressionGate]] proxies through zlib:
+    * Shannon bits/char of the code-point distribution via the compiled
+    * [[graft.plans.CharEntropy]] kernel (per-row count table, map-only,
+    * no per-character explode — the shape that stays a scan at 100 TB).
+    * Natural prose sits ~3.5–4.5 bits/char; floods/templates fall
+    * below `minBits`, base64/hex blobs rise above `maxBits` — the gate
+    * keeps the middle band. Returns (id, n_chars, entropy 6dp, keep). */
+  def entropyGate(docs: DataFrame, idCol: String, textCol: String,
+      minBits: Double, maxBits: Double): DataFrame = {
+    docs.select(col(idCol),
+        length(col(textCol)).cast("long").as("n_chars"),
+        round(graft.plans.CharEntropy(col(textCol)), 6).as("entropy"))
+      .withColumn("keep", col("entropy") >= minBits && col("entropy") <= maxBits)
+  }
+
   def cleanColumns(text: Column): Seq[Column] = {
     val scrubbed = regexp_replace(regexp_replace(text, UrlRe, " "), EmailRe, " ")
     val squashed = trim(regexp_replace(scrubbed, " +", " "))

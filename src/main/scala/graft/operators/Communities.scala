@@ -105,6 +105,45 @@ object Communities {
       .groupBy(col("n")).agg(min(col("component")).as("component"))
   }
 
+  /** Newman MODULARITY of a vertex partition over the same canonical
+    * (a < b) unit-weight edge list — the quality score that makes a
+    * community assignment COMPARABLE (Newman & Girvan 2004):
+    * Q = Σ_c [ e_c/m − (d_c/2m)² ] where e_c = intra-community edges,
+    * d_c = total degree mass of community c, m = |E|. Computed as ONE
+    * exact-integer rational — Q = Σ_c (4·m·e_c − d_c²) / (4m²) — so
+    * the float division happens once at the end (the transitivity
+    * doctrine: average-of-doubles is summation-order-dependent;
+    * integer sums are not). d_c ≤ 2m and e_c ≤ m keep every term well
+    * inside Long at any realistic m per community.
+    *
+    * Shape: one edge-sized join of the assignment onto both endpoints
+    * (intra test + per-community degree mass ride the same joined
+    * frame), two community-keyed map-combinable aggregates, one
+    * config-sized final reduce. `assignment` is (n, community) — the
+    * output shape of [[labelPropagation]] and
+    * [[connectedComponentsDf]], so either plugs in directly.
+    * Returns ONE row (n_communities, modularity). */
+  def modularity(edges: DataFrame, assignment: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+    val la = assignment.select(col("n").as("a"), col("community").as("ca"))
+    val lb = assignment.select(col("n").as("b"), col("community").as("cb"))
+    val joined = e.join(la, Seq("a")).join(lb, Seq("b")).localCheckpoint(true)
+    val m = joined.count() // |E| — 1-row loop-control-style bind is a plain count here
+    // per-community intra-edge count (both endpoints in c)…
+    val intra = joined.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("ec"))
+    // …and degree mass: each edge contributes 1 to BOTH endpoints'
+    // communities (2 to c when intra — the unionAll does that naturally)
+    val degMass = joined.select(col("ca").as("c"))
+      .unionAll(joined.select(col("cb").as("c")))
+      .groupBy(col("c")).agg(count(lit(1)).as("dc"))
+    degMass.join(intra, Seq("c"), "left")
+      .select(col("c"), coalesce(col("ec"), lit(0L)).as("ec"), col("dc"))
+      .agg(count(lit(1)).as("n_communities"),
+        round(sum(lit(4L) * lit(m) * col("ec") - col("dc") * col("dc"))
+          .cast("double") / lit(4.0 * m * m), 6).as("modularity"))
+  }
+
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "need at least one round")
     val e = edges.select(col("a"), col("b")).localCheckpoint(true)

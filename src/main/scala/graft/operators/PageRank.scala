@@ -38,15 +38,25 @@ object PageRank {
       .agg((lit(1.0) / count(lit(1))).as("w"))
     val ew = edges.select(col("src"), col("dst")).join(deg, Seq("src"))
       .localCheckpoint(true) // probed once per iteration
-    var rank = v.select(col("id"), lit(1.0).as("pr"))
+    // SPARSE iteration (the shape that closed the 3× gap to GraphX at
+    // sf0.1): a vertex with no in-edges sits at the CLOSED-FORM value
+    // every round — 1.0 before round 1, resetProb + 0.85·0 = resetProb
+    // after — so the rank frame only carries vertices with incoming
+    // mass and the per-round |V|-sized left join collapses to one at
+    // the END. The edge probe coalesces absent sources to that same
+    // default, so the math is bit-identical to the dense form.
+    var rank: DataFrame = null // null = round 0 (all vertices at 1.0)
     (1 to iters).foreach { i =>
-      val in = ew.join(rank.select(col("id").as("src"), col("pr")), Seq("src"))
+      val prevDefault = if (i == 1) 1.0 else resetProb
+      val contrib =
+        if (rank == null) ew.withColumn("pr", lit(1.0))
+        else ew.join(rank.select(col("id").as("src"), col("pr")), Seq("src"), "left")
+          .select(col("dst"), col("w"), coalesce(col("pr"), lit(prevDefault)).as("pr"))
+      rank = contrib
         .groupBy(col("dst").as("id"))
         .agg(sum(col("pr") * col("w")).as("s"))
-      rank = v.join(in, Seq("id"), "left")
         .select(col("id"),
-          (lit(resetProb) + lit(1.0 - resetProb)
-            * coalesce(col("s"), lit(0.0))).as("pr"))
+          (lit(resetProb) + lit(1.0 - resetProb) * col("s")).as("pr"))
       // checkpoint every FEW rounds, not every round: the lineage stays
       // shallow (≤ 3 join levels) while the driver pays one
       // synchronized job per cadence instead of per iteration — the
@@ -54,11 +64,68 @@ object PageRank {
       // overhead alone, not on data volume
       if (i % 3 == 0 || i == iters) rank = rank.localCheckpoint(true)
     }
+    val full = v.join(rank, Seq("id"), "left")
+      .select(col("id"), coalesce(col("pr"), lit(resetProb)).as("pr"))
     // SPARK-18847: normalize the final mass to |V| (dangling vertices
     // leak mass each round; GraphX repairs it once at the end)
-    val norm = broadcast(rank.agg(
+    val norm = broadcast(full.agg(
       (count(lit(1)).cast("double") / sum(col("pr"))).as("__f")))
-    rank.crossJoin(norm)
+    full.crossJoin(norm)
       .select(col("id"), (col("pr") * col("__f")).as("pagerank"))
+  }
+
+  /** PERSONALIZED PageRank — random walks that teleport back to a seed
+    * SET instead of everywhere: the "relevance to these vertices"
+    * ranking (neighborhood expansion, graph-curation signals like
+    * trusted-source proximity). Same iteration shape as [[pageRankDf]]
+    * (one edge join + one vertex-keyed map-combinable sum + one
+    * vertex-sized left join per round), only the teleport vector
+    * changes: rank₀(v) = [v ∈ S]·|V|/|S| (total mass |V|, all of it on
+    * the seeds), rankᵢ(v) = resetProb·[v ∈ S]·|V|/|S| +
+    * (1−resetProb)·Σ_in rank(src)/outDeg(src). No final
+    * renormalization — dangling leak is the walk's absorption
+    * probability under personalization, part of the semantics (a
+    * global rescale would erase the seed-relative calibration).
+    * Non-seed vertices unreachable from S stay at rank 0 — exactly
+    * "irrelevant to the seed set". Deterministic up to float-reduce
+    * order (round before hashing, the `pagerank` doctrine); the DuckDB
+    * twin unrolls the same rounds. Seeds are a config-sized driver
+    * list (the sampled-sources discipline of Centrality.closeness). */
+  def personalizedPageRankDf(vertices: DataFrame, edges: DataFrame,
+      seeds: Seq[Long], iters: Int, resetProb: Double = 0.15): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    require(seeds.nonEmpty, "need at least one seed vertex")
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val v = vertices.select(col("id")).localCheckpoint(true)
+    val nV = v.count().toDouble
+    val seedMass = nV / seeds.length // per-seed teleport mass
+    val deg = edges.groupBy(col("src"))
+      .agg((lit(1.0) / count(lit(1))).as("w"))
+    val ew = edges.select(col("src"), col("dst")).join(deg, Seq("src"))
+      .localCheckpoint(true)
+    // personalization is SPARSE by nature: rank is nonzero only on
+    // seeds and vertices reached from them, so the frame carries
+    // exactly those — the edge probe is an INNER join (absent source
+    // ≡ zero contribution), the teleport re-adds the config-sized seed
+    // rows each round, and the frame grows with the reached set, never
+    // |V|. The final left join materializes the zeros once.
+    val seedTele = seeds.map(id => (id, resetProb * seedMass))
+      .toDF("id", "tele")
+    var rank = seeds.map(id => (id, seedMass)).toDF("id", "pr")
+    (1 to iters).foreach { i =>
+      val in = ew.join(rank.select(col("id").as("src"), col("pr")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("pr") * col("w")).as("s"))
+      val flowed = in.join(broadcast(seedTele), Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - resetProb) * col("s") + coalesce(col("tele"), lit(0.0))).as("pr"))
+      val seedOnly = seedTele.join(in, Seq("id"), "left_anti")
+        .select(col("id"), col("tele").as("pr"))
+      rank = flowed.unionByName(seedOnly)
+      if (i % 3 == 0 || i == iters) rank = rank.localCheckpoint(true)
+    }
+    v.join(rank, Seq("id"), "left")
+      .select(col("id"), coalesce(col("pr"), lit(0.0)).as("pagerank"))
   }
 }

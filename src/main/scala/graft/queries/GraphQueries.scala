@@ -26,17 +26,12 @@ object GraphQueries {
     * aggregated incoming contributions, and the final SELECT applies the
     * |V|/Σrank correction factor. Literals are cast to DOUBLE — DuckDB
     * would otherwise compute 0.15/0.85 in DECIMAL. */
-  private def pagerankSql(iters: Int): String = {
+  /** The shared v/e/dg CTE prefix: vertex set, directed edge set (same
+    * offsets as [[GraphLoader]]), and 1/outDeg — the relational mirror
+    * of the property graph every PageRank-family oracle iterates on. */
+  private def graphVeCtes: String = {
     import GraphLoader.{NationOff, PartOff, RegionOff, SupplierOff}
-    val steps = (1 to iters).map { i =>
-      s"""r$i AS (SELECT v.id,
-         CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * COALESCE(m.s, CAST(0 AS DOUBLE)) AS pr
-         FROM v LEFT JOIN (
-           SELECT e.dst AS id, SUM(r.pr * dg.w) AS s
-           FROM e JOIN r${i - 1} r ON r.id = e.src JOIN dg ON dg.src = e.src
-           GROUP BY e.dst) m ON m.id = v.id)"""
-    }.mkString(",\n")
-    s"""WITH v AS (
+    s"""v AS (
         SELECT CAST(r_regionkey + $RegionOff AS BIGINT) AS id FROM region
         UNION ALL SELECT CAST(n_nationkey + $NationOff AS BIGINT) FROM nation
         UNION ALL SELECT CAST(c_custkey + $CustomerOff AS BIGINT) FROM customer
@@ -57,12 +52,51 @@ object GraphQueries {
         UNION ALL SELECT CAST(l_partkey + $PartOff AS BIGINT),
           CAST(l_suppkey + $SupplierOff AS BIGINT) FROM lineitem),
       dg AS (SELECT src, CAST(1.0 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS w
-        FROM e GROUP BY src),
+        FROM e GROUP BY src)"""
+  }
+
+  private def pagerankSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT v.id,
+         CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * COALESCE(m.s, CAST(0 AS DOUBLE)) AS pr
+         FROM v LEFT JOIN (
+           SELECT e.dst AS id, SUM(r.pr * dg.w) AS s
+           FROM e JOIN r${i - 1} r ON r.id = e.src JOIN dg ON dg.src = e.src
+           GROUP BY e.dst) m ON m.id = v.id)"""
+    }.mkString(",\n")
+    s"""WITH $graphVeCtes,
       r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS pr FROM v),
       $steps
       SELECT id, round(pr * ((SELECT CAST(count(*) AS DOUBLE) FROM v)
         / (SELECT SUM(pr) FROM r$iters)), 6) AS pr
       FROM r$iters ORDER BY pr DESC, id ASC LIMIT 20"""
+  }
+
+  /** DuckDB twin of `PageRank.personalizedPageRankDf` — the same
+    * unrolled rounds with the SEED teleport vector: mass |V|/|S| on
+    * each seed, reset returns there (and only there) every round, no
+    * final renormalization (the operator's scaladoc explains why).
+    * `tele` is a 1-row-bound scalar per vertex, exactly the Spark
+    * side's `when(isin(seeds))` literal. */
+  private def pprSql(iters: Int, seeds: Seq[Long]): String = {
+    val seedList = seeds.mkString(", ")
+    val tele = s"""(CASE WHEN v.id IN ($seedList)
+        THEN (SELECT CAST(count(*) AS DOUBLE) FROM v) / ${seeds.length}
+        ELSE CAST(0 AS DOUBLE) END)"""
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT v.id,
+         CAST(0.15 AS DOUBLE) * $tele
+           + CAST(0.85 AS DOUBLE) * COALESCE(m.s, CAST(0 AS DOUBLE)) AS pr
+         FROM v LEFT JOIN (
+           SELECT e.dst AS id, SUM(r.pr * dg.w) AS s
+           FROM e JOIN r${i - 1} r ON r.id = e.src JOIN dg ON dg.src = e.src
+           GROUP BY e.dst) m ON m.id = v.id)"""
+    }.mkString(",\n")
+    s"""WITH $graphVeCtes,
+      r0 AS (SELECT v.id, $tele AS pr FROM v),
+      $steps
+      SELECT id, round(pr, 6) AS pr FROM r$iters
+      WHERE pr > 0 ORDER BY pr DESC, id ASC LIMIT 20"""
   }
 
   /** DuckDB twin of `Hits.hits(iters)` on the order→part bipartite
@@ -569,6 +603,71 @@ object GraphQueries {
         UNION ALL SELECT CAST(100 + s_nationkey AS BIGINT), 1.0 FROM supplier WHERE s_suppkey = 0
         UNION ALL SELECT CAST(n_regionkey AS BIGINT), 2.0 FROM supplier
           JOIN nation ON n_nationkey = s_nationkey WHERE s_suppkey = 0""")),
+
+    // ✚ PERSONALIZED PageRank (round 14, operators.PageRank): teleport
+    // restricted to a seed set — "relevance to these vertices", the
+    // neighborhood-expansion ranking. Seeds = customers 1–5; mass flows
+    // seed → nation/order → region/part → supplier, so the top-20 is
+    // the seeds' supply-chain neighborhood. No renormalization (the
+    // operator scaladoc explains why); zero-mass vertices filtered
+    // BEFORE rounding on both sides.
+    Q("graph_ppr",
+      (s, d) => {
+        val gg = graph(s, d)
+        val seeds = Seq(1L, 2L, 3L, 4L, 5L).map(CustomerOff + _)
+        graft.operators.PageRank.personalizedPageRankDf(
+          gg.nodes.select(col("id")), gg.edges.select(col("src"), col("dst")),
+          seeds, 10)
+          .filter(col("pagerank") > 0)
+          .select(col("id"), round(col("pagerank"), 6).as("pr"))
+          .orderBy(col("pr").desc, col("id").asc).limit(20)
+      },
+      Some(pprSql(10, Seq(1L, 2L, 3L, 4L, 5L).map(CustomerOff + _)))),
+
+    // ✚ LPA + MODULARITY (round 14, operators.Communities): synchronous
+    // min-tie label propagation (3 rounds) over the co-purchase graph,
+    // scored by Newman modularity as ONE exact-integer rational — the
+    // oracle replays every LPA round (argmax by count, ties → smallest
+    // label) then the same Q formula, making LPA itself oracle-checked
+    // for the first time (it was spec-only: fixed-round synchronous
+    // updates ARE SQL-expressible, unlike the k-core fixpoint).
+    Q("graph_lpa_modularity",
+      (s, d) => {
+        val edges = graft.operators.Triangles.cooccurrenceEdges(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50)
+        graft.operators.Communities.modularity(edges,
+          graft.operators.Communities.labelPropagation(edges, 3))
+      },
+      Some {
+        val rounds = (1 to 3).map { i =>
+          s"""cnt$i AS MATERIALIZED (SELECT b.dst AS n, l.community AS lbl,
+              count(*) AS cnt
+            FROM bi b JOIN l${i - 1} l ON l.n = b.src GROUP BY b.dst, l.community),
+          l$i AS MATERIALIZED (SELECT n, lbl AS community FROM (
+              SELECT n, lbl, row_number() OVER (PARTITION BY n
+                ORDER BY cnt DESC, lbl ASC) AS rn FROM cnt$i) z
+            WHERE rn = 1)"""
+        }.mkString(",\n")
+        s"""WITH m0 AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+          ok AS (SELECT g FROM m0 GROUP BY g HAVING count(*) <= 50),
+          mm AS (SELECT m0.g, m0.i FROM m0 JOIN ok USING (g)),
+          e AS MATERIALIZED (SELECT DISTINCT x.i AS a, y.i AS b
+            FROM mm x JOIN mm y ON x.g = y.g AND x.i < y.i),
+          bi AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+            UNION ALL SELECT b, a FROM e),
+          l0 AS (SELECT DISTINCT src AS n, src AS community FROM bi),
+          $rounds,
+          j AS MATERIALIZED (SELECT e.a, e.b, la.community AS ca, lb.community AS cb
+            FROM e JOIN l3 la ON la.n = e.a JOIN l3 lb ON lb.n = e.b),
+          mc AS (SELECT count(*) AS m FROM j),
+          intra AS (SELECT ca AS c, count(*) AS ec FROM j WHERE ca = cb GROUP BY ca),
+          dm AS (SELECT c, count(*) AS dc FROM (
+            SELECT ca AS c FROM j UNION ALL SELECT cb FROM j) z GROUP BY c)
+          SELECT CAST(count(*) AS BIGINT) AS n_communities,
+            round(CAST(sum(4 * (SELECT m FROM mc) * coalesce(ec, 0) - dc * dc) AS DOUBLE)
+              / (4.0 * (SELECT m FROM mc) * (SELECT m FROM mc)), 6) AS modularity
+          FROM dm LEFT JOIN intra USING (c)"""
+      }),
 
     // §2.B.7 graph-scalar — out().size() degree
     Q("degree_out",

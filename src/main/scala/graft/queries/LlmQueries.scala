@@ -1322,6 +1322,119 @@ object LlmQueries {
           ORDER BY cos DESC, nn ASC) AS INTEGER) AS rank FROM cand)
         SELECT qid, nn, rank, round(cos, 6) AS cos FROM r WHERE rank <= 10""")),
 
+    // ✚ IVF-PQ composed retrieval (round 14, Jégou et al. IVFADC): the
+    // two scale levers STACKED — coarse cells prune what is scanned,
+    // PQ codes compress what a scanned row costs (ADC shortlist), and
+    // the exact re-rank touches only queries × k × overfetch vectors.
+    // Both quantizers are the trained, grid-round-exact ones the
+    // sim_ivf_trained / sim_pq_trained rows already oracle, so the
+    // composition replays bit-for-bit: the oracle is their CTE chains
+    // joined by the probe → ADC-shortlist → re-rank pipeline.
+    Q("sim_ivfpq_topk",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cents = trainedCentroids.synchronized {
+          trainedCentroids.getOrElseUpdate((d, embFingerprint(d)),
+            Similarity.trainKMeans(emb, "vec_id", "embedding", 16, 256))
+        }
+        val books = trainedPqBooks.synchronized {
+          trainedPqBooks.getOrElseUpdate((d, embFingerprint(d)),
+            Similarity.trainPqCodebooks(emb, "vec_id", "embedding", 4, 16, 256))
+        }
+        Similarity.ivfPqTopKWith(emb, "vec_id", "embedding", cents, books,
+          4, Seq(0L, 1L, 2L, 3L, 4L), 10, overfetch = 4)
+          .select(col("qid"), col("nn"), col("rank"), round(col("cos"), 6).as("cos"))
+      },
+      Some(s"WITH $KmeansCtes, $PqKmeansCtes, " +
+        s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sc AS (SELECT t.vec_id, t.v, c.cid, list_dot_product(t.v, c.cv) /
+            (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
+          FROM v t CROSS JOIN c2 c),
+        cell AS (SELECT vec_id, v, cid AS cell FROM (
+            SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id
+              ORDER BY ccos DESC, cid ASC) AS rn FROM sc) z
+          WHERE rn = 1),
+        celln AS (SELECT vec_id, v, cell, row_number() OVER (PARTITION BY cell
+            ORDER BY vec_id ASC) AS crn FROM cell),
+        esl AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS s FROM v CROSS JOIN pms),
+        ed AS (SELECT e.vec_id, e.m, b.code, b.c,
+            list_dot_product(e.s, e.s) - 2.0 * list_dot_product(e.s, b.c)
+              + list_dot_product(b.c, b.c) AS d2
+          FROM esl e JOIN pcb2 b ON b.m = e.m),
+        chosen AS (SELECT vec_id, m, c FROM (
+            SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m
+              ORDER BY d2 ASC, code ASC) AS rn FROM ed) z
+          WHERE rn = 1),
+        recon AS (SELECT vec_id, flatten(list(c ORDER BY m)) AS rv
+          FROM chosen GROUP BY vec_id),
+        q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id IN (0,1,2,3,4)),
+        qsc AS (SELECT qid, qv, cid, list_dot_product(qv, cv) /
+            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS ccos
+          FROM q CROSS JOIN c2),
+        probes AS (SELECT qid, qv, cid AS cell FROM (
+            SELECT qid, qv, cid, row_number() OVER (PARTITION BY qid
+              ORDER BY ccos DESC, cid ASC) AS rn FROM qsc) z
+          WHERE rn <= 4),
+        cand AS (SELECT p.qid, p.qv, m.vec_id AS nn, m.v AS mv, r.rv
+          FROM probes p JOIN celln m ON m.cell = p.cell AND m.vec_id <> p.qid
+          JOIN recon r ON r.vec_id = m.vec_id
+          WHERE m.crn <= ${Similarity.CandidateCap}),
+        adc AS (SELECT qid, qv, nn, mv, list_dot_product(qv, rv) /
+            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(rv, rv))) AS adc
+          FROM cand),
+        sl AS (SELECT qid, qv, nn, mv FROM (
+            SELECT qid, qv, nn, mv, row_number() OVER (PARTITION BY qid
+              ORDER BY adc DESC, nn ASC) AS arn FROM adc) z
+          WHERE arn <= 40),
+        ex AS (SELECT qid, nn, list_dot_product(qv, mv) /
+            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(mv, mv))) AS cos
+          FROM sl),
+        r AS (SELECT qid, nn, cos, CAST(row_number() OVER (PARTITION BY qid
+          ORDER BY cos DESC, nn ASC) AS INTEGER) AS rank FROM ex)
+        SELECT qid, nn, rank, round(cos, 6) AS cos FROM r WHERE rank <= 10""")),
+
+    // ✚ length-bucket batching audit (round 14): the padding-efficiency
+    // report behind fixed batch shapes — smallest power-of-two bucket
+    // per doc (floor 16, cap 2048 = truncation), per-bucket capacity
+    // vs real tokens. The bucket ladder is a closed CASE chain of
+    // integer compares (no float log), replayed verbatim by the twin.
+    Q("pipeline_length_buckets",
+      (s, d) => Pipeline.lengthBuckets(t(s, d, "documents"), "doc_id", "text"),
+      Some("""WITH n AS (SELECT len(string_split(text, ' ')) AS n FROM documents),
+        b AS (SELECT CAST(CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+            WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256
+            WHEN n <= 512 THEN 512 WHEN n <= 1024 THEN 1024 ELSE 2048 END AS INTEGER)
+            AS bucket,
+          CAST(least(n, 2048) AS INTEGER) AS eff FROM n)
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(eff) AS BIGINT) AS total_tokens,
+          CAST(count(*) * bucket AS BIGINT) AS capacity,
+          round(1.0 - CAST(sum(eff) AS DOUBLE) / CAST(count(*) * bucket AS DOUBLE), 6)
+            AS padding_frac
+        FROM b GROUP BY bucket""")),
+
+    // ✚ character-entropy gate (round 14, plans.CharEntropy): the
+    // direct low-entropy-junk signal beside the zlib proxy — Shannon
+    // bits/char over code points, summed in ASCENDING code-point order
+    // on both sides (kernel TreeMap walk ≡ list_reduce over
+    // list(term ORDER BY c) under binary collation), 6dp-rounded (the
+    // Qh continuous bridge). Band keep = natural-prose range.
+    Q("text_entropy",
+      (s, d) => TextOps.entropyGate(t(s, d, "documents"), "doc_id", "text", 2.0, 5.5),
+      Some("""WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c
+          FROM documents),
+        cnt AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
+          FROM ch GROUP BY doc_id, c),
+        tot AS (SELECT doc_id, sum(k) AS n,
+          list(k * ln(k) / ln(2) ORDER BY c) AS terms FROM cnt GROUP BY doc_id),
+        ent AS (SELECT doc_id,
+          round(ln(n) / ln(2) - list_reduce(terms, (a, x) -> a + x) / n, 6) AS e
+          FROM tot)
+        SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+          coalesce(ent.e, 0.0) AS entropy,
+          coalesce(ent.e, 0.0) >= 2.0 AND coalesce(ent.e, 0.0) <= 5.5 AS keep
+        FROM documents d LEFT JOIN ent ON ent.doc_id = d.doc_id""")),
+
     // IVF ANN: deterministic sampled centroids (vec_id < 16), map-only
     // cell assignment, probe 4 cells/query, exact re-rank within cells
     Q("sim_ivf_topk",

@@ -275,6 +275,74 @@ class GraphSpec extends SparkSpec {
     df.foreach { case (id, r) => assert(math.abs(gx(id) - r) < 1e-9, s"vertex $id") }
   }
 
+  test("personalizedPageRankDf: closed-form path graph + seed-relative semantics") {
+    import spark.implicits._
+    // 1 → 2 → 3 with seed {1}: a dense driver replay of the declared
+    // semantics (rank₀ = |V|/|S| on seeds; rankᵢ = 0.15·tele +
+    // 0.85·Σ rank/outdeg) must match the sparse operator EXACTLY —
+    // the sparse form only drops structurally-zero rows.
+    val v = Seq(1L, 2L, 3L, 4L).toDF("id") // 4 is isolated
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = graft.operators.PageRank
+      .personalizedPageRankDf(v, e, Seq(1L), 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver replay (dense)
+    val outDeg = Map(1L -> 1, 2L -> 1)
+    val tele = Map(1L -> 4.0, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0)
+    var rank = tele
+    (1 to 4).foreach { _ =>
+      val in = Map(2L -> rank(1L) / outDeg(1L), 3L -> rank(2L) / outDeg(2L))
+      rank = tele.map { case (id, t) =>
+        id -> (0.15 * t + 0.85 * in.getOrElse(id, 0.0))
+      }
+    }
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    rank.foreach { case (id, r) =>
+      assert(math.abs(got(id) - r) < 1e-12, s"vertex $id: ${got(id)} vs $r") }
+    // unreached vertex is EXACTLY zero; the seed holds the reset floor
+    assert(got(4L) == 0.0)
+    assert(got(1L) == 0.15 * 4.0)
+  }
+
+  test("personalizedPageRankDf on the fixture graph: mass localizes around the seeds") {
+    val seeds = Seq(1L, 2L).map(GraphLoader.CustomerOff + _)
+    val ppr = graft.operators.PageRank.personalizedPageRankDf(
+        g.nodes.select(col("id")), g.edges.select(col("src"), col("dst")),
+        seeds, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ppr.values.forall(_ >= 0.0))
+    // customers have no in-edges: every non-seed customer is exactly 0
+    val custIds = g.nodes.filter(col("label") === "Customer")
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    (custIds -- seeds).foreach(id => assert(ppr(id) == 0.0, s"customer $id"))
+    seeds.foreach(id => assert(ppr(id) > 0.0))
+    // positive mass reaches the seeds' forward neighborhood only:
+    // their orders exist, some other customer's order stays zero
+    val placed = g.edges.filter(col("label") === "PLACED")
+      .select(col("src"), col("dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val seedOrders = placed.filter(p => seeds.contains(p._1)).map(_._2)
+    assert(seedOrders.forall(o => ppr(o) > 0.0))
+    val otherOrder = placed.find(p => !seeds.contains(p._1)).map(_._2)
+    otherOrder.foreach(o => assert(ppr(o) == 0.0))
+  }
+
+  test("modularity: hand-computed partitions (two triangles; one blob)") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+      .toDF("a", "b")
+    val twoComms = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("n", "community")
+    val r = graft.operators.Communities.modularity(e, twoComms).head()
+    // m = 6, per community: e_c = 3, d_c = 6 → Q = 2·(3/6 − (6/12)²) = 0.5
+    assert(r.getLong(0) == 2 && r.getDouble(1) == 0.5)
+    val oneComm = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(n => (n, 1L))
+      .toDF("n", "community")
+    val r1 = graft.operators.Communities.modularity(e, oneComm).head()
+    // everything intra: Q = m/m − 1² = 0 (the classic degenerate case)
+    assert(r1.getLong(0) == 1 && r1.getDouble(1) == 0.0)
+  }
+
   test("PageRank is stable across runs (fixed iterations, up to float reduce order)") {
     // message combining reduces doubles in nondeterministic partition
     // order, so runs agree only to ~1e-12 relative — which is why the

@@ -2172,6 +2172,107 @@ class LlmSpec extends SparkSpec {
     assert(pf.contains("cell"), pf)
   }
 
+  test("IVF-PQ: persisted route equals the in-memory route; scan prunes partitions") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    val (cents, books) = Similarity.buildIvfPqIndex(
+      emb, "vec_id", "embedding", 8, 4, 16, 128, dir)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val cold = Similarity.ivfPqIndexTopK(spark, dir, qids, 2, 10)
+    val warm = Similarity.ivfPqTopKWith(
+      emb, "vec_id", "embedding", cents, books, 2, qids, 10)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select($"qid", $"nn", $"rank", round($"cos", 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(shape(cold) == shape(warm))
+    assert(cold.count() > 0)
+    // the pruning story must hold on the EXECUTED plan: cells read
+    // through a partition filter on cell (both the ADC scan and the
+    // exact re-read are pruned to the probed cells)
+    val plan = cold.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      plan.take(2000))
+    // ADC shortlists, exact re-ranks: the exact stage only ever sees
+    // k·overfetch candidates per query, so a rank-k result EXISTS for
+    // every query (the shortlist cannot starve the re-rank)
+    val perQ = cold.groupBy($"qid").count().collect()
+    assert(perQ.forall(_.getLong(1) == 10))
+  }
+
+  test("IVF-PQ in-memory: ADC shortlist is a real filter; exact cosines returned") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = Similarity.trainKMeans(emb, "vec_id", "embedding", 8, 128)
+    val books = Similarity.trainPqCodebooks(emb, "vec_id", "embedding", 4, 16, 128)
+    val got = Similarity.ivfPqTopKWith(
+      emb, "vec_id", "embedding", cents, books, 8, Seq(0L), 5, overfetch = 64)
+    // probing ALL cells with a huge overfetch degenerates to exact IVF:
+    // the returned cosines must match the plain IVF route's for the
+    // same centroids (the PQ stage only SHORTLISTS, never rescores)
+    val ivf = Similarity.ivfTopKWith(emb, "vec_id", "embedding", cents, 8, Seq(0L), 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"qid", $"nn", $"rank", round($"cos", 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(rows(got) == rows(ivf))
+  }
+
+  test("lengthBuckets: power-of-two ladder, truncation at the cap, exact padding") {
+    import spark.implicits._
+    def doc(id: Long, n: Int) = (id, Seq.fill(n)("w").mkString(" "))
+    val docs = Seq(doc(1, 1), doc(2, 16), doc(3, 17), doc(4, 100),
+      doc(5, 2048), doc(6, 5000)).toDF("doc_id", "text")
+    val got = Pipeline.lengthBuckets(docs, "doc_id", "text")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // 1, 16 → bucket 16; 17 → 32; 100 → 128; 2048, 5000(truncated) → 2048
+    assert(got.keySet == Set(16, 32, 128, 2048))
+    assert(got(16) == ((2L, 17L, 32L, math.rint((1.0 - 17.0 / 32.0) * 1e6) / 1e6)))
+    assert(got(32) == ((1L, 17L, 32L, math.rint((1.0 - 17.0 / 32.0) * 1e6) / 1e6)))
+    assert(got(128) == ((1L, 100L, 128L, math.rint((1.0 - 100.0 / 128.0) * 1e6) / 1e6)))
+    // the cap bucket: 2048 + truncated 5000→2048 tokens, zero padding
+    assert(got(2048) == ((2L, 4096L, 4096L, 0.0)))
+  }
+
+  test("charEntropy: closed forms, empty text, gate band") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaaaaaa"), // one symbol → 0 bits
+      (2L, "abababab"), // two equiprobable → 1 bit
+      (3L, "abcdabcd"), // four equiprobable → 2 bits
+      (4L, ""), // empty → 0 by convention
+      (5L, "The quick brown fox jumps over the lazy dog.")
+    ).toDF("doc_id", "text")
+    val got = TextOps.entropyGate(docs, "doc_id", "text", 2.0, 5.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((8L, 0.0, false)))
+    assert(got(2L) == ((8L, 1.0, false)))
+    assert(got(3L) == ((8L, 2.0, true)))
+    assert(got(4L) == ((0L, 0.0, false)))
+    // natural prose sits in the keep band
+    assert(got(5L)._2 > 3.0 && got(5L)._2 < 5.0 && got(5L)._3)
+    // kernel ≡ a driver replay of the same ordered fold on real docs
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").limit(50)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val fromKernel = TextOps.entropyGate(
+        spark.read.parquet(s"$sfDir/documents.parquet").limit(50),
+        "doc_id", "text", 2.0, 5.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    real.foreach { case (id, text) =>
+      val counts = scala.collection.immutable.TreeMap.empty[Int, Long] ++
+        text.codePoints().toArray.groupBy(identity).map { case (cp, a) => cp -> a.length.toLong }
+      val n = counts.values.sum
+      val ref = if (n == 0) 0.0 else {
+        var acc = 0.0
+        counts.values.foreach(k => acc += k * (math.log(k.toDouble) / math.log(2.0)))
+        math.rint((math.log(n.toDouble) / math.log(2.0) - acc / n) * 1e6) / 1e6
+      }
+      assert(fromKernel(id) == ref, s"doc $id")
+    }
+  }
+
   test("IVF index append: arrivals join their cells and serve without rebuild") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val dir = java.nio.file.Files.createTempDirectory("ivfapp").toString
