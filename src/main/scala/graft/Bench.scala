@@ -147,6 +147,13 @@ object Bench {
     "asql_hop_projection",
     "asql_hop_chain",
     "text_fertility",
+    // round 14: the composed IVF-PQ retrieval (ADC shortlist + exact
+    // re-rank), LPA+modularity, and the two new map-only gates; graph_ppr
+    // follows the pagerank_df non-headline rule (GraphProbe times it)
+    "sim_ivfpq_topk",
+    "graph_lpa_modularity",
+    "pipeline_length_buckets",
+    "text_entropy",
     "multimodal_meta",
     "multimodal_frames",
     "multimodal_resize",

@@ -23,6 +23,11 @@ object GraphProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ×100 probes run 100M-edge frames through a single big-heap JVM:
+      // a long GC pause must not let the self-heartbeat reap the
+      // in-process executor (observed at 119M edges / 96g heap)
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -124,28 +129,37 @@ object GraphProbe {
       s""""betweenness_sources":32,"betweenness_sec":$sBc,"bc_vertices":$nBc}""")
     }
 
-    if (want("hits_walks")) {
-    // HITS + random walks (round 13): the remaining iterative family
-    // members — posture across SF probes shows edge-linearity
+    // HITS + random walks (round 13; split into per-operator sections
+    // in round 14 — each prints IMMEDIATELY, so a later section's crash
+    // can't lose earlier walls, and ×100 runs can skip the heavy
+    // node2vec expansion): posture across SF probes shows edge-linearity.
+    // `hits_walks` keeps running all three for compatibility.
+    if (want("hits_walks") || want("hits")) {
     val t7 = System.nanoTime()
     val hits = graft.operators.Hits.hitsTop(
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .select(col("l_orderkey").as("s"), col("l_partkey").as("d")), 4, 20)
     val nHits = hits.count()
     val sHits = (System.nanoTime() - t7) / 1e9
+    println(s"""{"probe":"hits","edges":$nEdges,""" +
+      s""""hits_iters":4,"hits_rows":$nHits,"hits_sec":$sHits}""")
+    }
+    if (want("hits_walks") || want("walks")) {
     val t8 = System.nanoTime()
     val walks = graft.operators.RandomWalks.randomWalks(edges, "probe", 4)
       .localCheckpoint(true)
     val nWalks = walks.count()
     val sWalks = (System.nanoTime() - t8) / 1e9
+    println(s"""{"probe":"walks","edges":$nEdges,""" +
+      s""""walk_len":4,"walks":$nWalks,"walks_sec":$sWalks}""")
+    }
+    if (want("hits_walks") || want("n2v")) {
     val t9 = System.nanoTime()
     val n2v = graft.operators.RandomWalks
       .node2vecWalks(edges, "probe", 4, 2L, 4L, 2L).localCheckpoint(true)
     val nN2v = n2v.count()
     val sN2v = (System.nanoTime() - t9) / 1e9
-    println(s"""{"probe":"hits_walks","edges":$nEdges,""" +
-      s""""hits_iters":4,"hits_rows":$nHits,"hits_sec":$sHits,""" +
-      s""""walk_len":4,"walks":$nWalks,"walks_sec":$sWalks,""" +
+    println(s"""{"probe":"n2v","edges":$nEdges,""" +
       s""""node2vec_walks":$nN2v,"node2vec_sec":$sN2v}""")
     }
 
@@ -174,8 +188,18 @@ object GraphProbe {
     graft.graphx.GraphXBridge.dijkstra(spark, g, Seq("IN_NATION", "IN_REGION"),
       lit(1.0), graft.load.GraphLoader.SupplierOff).count()
     val sDjGx = (System.nanoTime() - tg2) / 1e9
+    // personalized PageRank (round 14): same iteration shape with the
+    // seed-sparse frames — the wall shows what sparsity buys when the
+    // reached set is a small fraction of |V|
+    val tp = System.nanoTime()
+    graft.operators.PageRank.personalizedPageRankDf(
+      g.nodes.select(col("id")), g.edges.select(col("src"), col("dst")),
+      Seq(1L, 2L, 3L, 4L, 5L).map(graft.load.GraphLoader.CustomerOff + _), 10)
+      .filter(col("pagerank") > 0).count()
+    val sPpr = (System.nanoTime() - tp) / 1e9
     println(s"""{"probe":"dualpath","pagerank_df_sec":$sPrDf,""" +
-      s""""pagerank_graphx_sec":$sPrGx,"dijkstra_df_sec":$sDjDf,""" +
+      s""""pagerank_graphx_sec":$sPrGx,"ppr_df_sec":$sPpr,""" +
+      s""""dijkstra_df_sec":$sDjDf,""" +
       s""""dijkstra_graphx_sec":$sDjGx}""")
     }
 

@@ -47,6 +47,32 @@ object IvfProbe {
     println(s"""{"probe":"ivf_index","src":"$src","build_sec":$buildS,""" +
       s""""cold_serve_sec":$coldS,"inmem_serve_sec":$warmS,"rows":$nCold,""" +
       s""""probed_fraction":${4.0 / 16}}""")
+
+    // IVF-PQ (round 14): the composed index on the same corpus — build
+    // (train both quantizers + encode + partitioned write), cold serve
+    // (ADC narrow-column shortlist + exact re-rank, both partition-
+    // pruned), in-memory composed route, and recall of the composed
+    // path vs brute-force exact top-10 (the honest quality number: the
+    // ADC shortlist can drop true neighbors the plain-IVF route keeps).
+    val dir2 = "target/ivfpqindex_probe"
+    val t2 = System.nanoTime()
+    val (cents2, books2) = Similarity.buildIvfPqIndex(
+      emb, "vec_id", "embedding", 16, 4, 16, 256, dir2, source = Some(src))
+    val buildPq = (System.nanoTime() - t2) / 1e9
+    val (coldPq, nColdPq) = time(
+      Similarity.ivfPqIndexTopK(spark, dir2, qids, 4, 10, source = Some(src)).count())
+    val (warmPq, nWarmPq) = time(
+      Similarity.ivfPqTopKWith(emb, "vec_id", "embedding", cents2, books2,
+        4, qids, 10).count())
+    assert(nColdPq == nWarmPq, s"ivfpq route mismatch: $nColdPq vs $nWarmPq")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, 10)
+      .select(col("qid"), col("nn")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.ivfPqIndexTopK(spark, dir2, qids, 4, 10, source = Some(src))
+      .select(col("qid"), col("nn")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    println(s"""{"probe":"ivfpq_index","src":"$src","build_sec":$buildPq,""" +
+      s""""cold_serve_sec":$coldPq,"inmem_serve_sec":$warmPq,"rows":$nColdPq,""" +
+      s""""recall_at_10":$recall}""")
     spark.stop()
   }
 }

@@ -294,6 +294,31 @@ object PlanAudit {
     Check("pagerank_df", "no cartesian product anywhere", "!CartesianProduct"),
     Check("dijkstra_df", "relax rounds leave no cartesian product",
       "!CartesianProduct"),
+    // personalized PageRank (round 14): seed-sparse frames, seed
+    // teleport rides a broadcast, top-20 is TakeOrdered
+    Check("graph_ppr", "top-k without total sort", "TakeOrderedAndProject"),
+    Check("graph_ppr", "no cartesian product anywhere", "!CartesianProduct"),
+    // LPA + modularity (round 14): every round is argmax-by-aggregate,
+    // the score is integer sums — no window, no cartesian anywhere
+    Check("graph_lpa_modularity", "no window anywhere", "!Window"),
+    Check("graph_lpa_modularity", "no cartesian product anywhere",
+      "!CartesianProduct"),
+    // IVF-PQ (round 14): encode through the compiled kernel (the
+    // column-tree form fell out of codegen past janino's 64 KB limit),
+    // probes broadcast onto the assigned cells, never a shuffled join
+    Check("sim_ivfpq_topk", "compiled PQ-encode kernel", "graft_pq_encode"),
+    Check("sim_ivfpq_topk", "probes broadcast onto cells", "BroadcastHashJoin"),
+    Check("sim_ivfpq_topk", "no shuffled join anywhere", "!SortMergeJoin"),
+    // length buckets (round 14): the ladder is per-row CASE arithmetic
+    // + ONE bucket-keyed aggregate — no explode, no window
+    Check("pipeline_length_buckets", "no explode anywhere", "!Generate"),
+    Check("pipeline_length_buckets", "no window anywhere", "!Window"),
+    Check("pipeline_length_buckets", "bucket counts map-side combine",
+      "HashAggregate"),
+    // char entropy (round 14): the whole gate is one compiled map-only
+    // pass — zero shuffle of any kind
+    Check("text_entropy", "compiled entropy kernel", "graft_char_entropy"),
+    Check("text_entropy", "no shuffle at all", "!Exchange"),
     Check("graph_assoc_rules", "no window anywhere", "!Window"),
     // LM scoring: the capped model must BIND BROADCAST onto the corpus
     // scan (a shuffled model join would re-partition the corpus by

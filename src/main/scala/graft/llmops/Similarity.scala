@@ -223,28 +223,12 @@ object Similarity {
       codebooks: IndexedSeq[IndexedSeq[Array[Double]]],
       queryIds: Seq[Long], k: Int): DataFrame = {
     val v0 = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-    val m = codebooks.length
     val dsub = codebooks.head.head.length
     require(codebooks.forall(_.forall(_.length == dsub)), "ragged codebook")
-    val cbSub = codebooks
-    def litVec(xs: Array[Double]): Column = array(xs.toIndexedSeq.map(lit): _*)
-    def subv(vc: Column, mi: Int): Column = slice(vc, mi * dsub + 1, dsub)
-    // 1-based argmin code per subspace; array_position takes the FIRST
-    // minimum, and the codeword array is ordered by code id
-    def codeCol(vc: Column, mi: Int): Column = {
-      val s = subv(vc, mi)
-      val dists = array(cbSub(mi).map { cw =>
-        val c = litVec(cw)
-        dot(s, s) - lit(2.0) * dot(s, c) + dot(c, c)
-      }: _*)
-      array_position(dists, array_min(dists))
-    }
-    val coded = v0.withColumn("codes",
-      array((0 until m).map(mi => codeCol(col("v"), mi)): _*))
-    val recon = flatten(array((0 until m).map(mi =>
-      element_at(array(cbSub(mi).map(litVec): _*),
-        element_at(col("codes"), mi + 1).cast("int"))): _*))
-    val rv = coded.withColumn("rv", recon).withColumn("rn", norm(col("rv")))
+    // compiled encode (first-minimum tie rule) + literal-codeword recon
+    val rv = v0.withColumn("codes", pqCodes(col("v"), codebooks))
+      .withColumn("rv", pqReconstruct(col("codes"), codebooks))
+      .withColumn("rn", norm(col("rv")))
     val q = v0.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("qid"), col("v").as("qv"))
       .withColumn("qn", norm(col("qv")))
@@ -454,28 +438,18 @@ object Similarity {
     val dim = seedRows.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    def sumSq(c: Array[Double]): Double = { // strict LTR — the kernel's fold
-      var acc = 0.0; c.foreach(x => acc += x * x); acc
-    }
-    def subv(vc: Column, mi: Int): Column = slice(vc, mi * dsub + 1, dsub)
-    // 0-based argmin code (first minimum = smallest code id)
-    def codeCol(s: Column, cws: IndexedSeq[Array[Double]]): Column = {
-      val dists = array(cws.map { c =>
-        val cl = array(c.toIndexedSeq.map(lit): _*)
-        dot(s, s) - lit(2.0) * dot(s, cl) + lit(sumSq(c))
-      }: _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
     var books: IndexedSeq[IndexedSeq[Array[Double]]] =
       (0 until m).map(mi => seedRows.toIndexedSeq.map(_.slice(mi * dsub, (mi + 1) * dsub)))
     (1 to iters).foreach { _ =>
       // one row contributes m (subspace, code, subvector) triples — all
-      // subspaces train in the SAME assignment pass and ONE shuffle
-      val stats = v.select(explode(array((0 until m).map { mi =>
-          val s = subv(col("v"), mi)
-          struct(lit(mi).as("mi"), codeCol(s, books(mi)).as("code"), s.as("s"))
-        }: _*)).as("t"))
-        .select(col("t.mi"), col("t.code"), posexplode(col("t.s")).as(Seq("pos", "x")))
+      // subspaces train in the SAME assignment pass (the compiled
+      // PqEncode kernel, one fused loop per row) and ONE shuffle
+      val stats = v
+        .withColumn("codes", pqCodes(col("v"), books))
+        .select(col("v"), posexplode(col("codes")).as(Seq("mi", "code")))
+        .select(col("mi"), col("code"),
+          posexplode(slice(col("v"), col("mi") * lit(dsub) + lit(1), lit(dsub)))
+            .as(Seq("pos", "x")))
         .groupBy(col("mi"), col("code"), col("pos"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
         .collect()
@@ -682,20 +656,12 @@ object Similarity {
     * 0-based code per subspace (first-minimum = smallest code id, the
     * [[pqTopKWith]] tie rule), as one `array<int>` — the compressed
     * form an IVF-PQ index STORES (m bytes-ish per vector instead of
-    * dim doubles; the 100 TB memory story of product quantization). */
-  def pqCodes(vc: Column, codebooks: IndexedSeq[IndexedSeq[Array[Double]]]): Column = {
-    val m = codebooks.length
-    val dsub = codebooks.head.head.length
-    def litVec(xs: Array[Double]): Column = array(xs.toIndexedSeq.map(lit): _*)
-    array((0 until m).map { mi =>
-      val s = slice(vc, mi * dsub + 1, dsub)
-      val dists = array(codebooks(mi).map { cw =>
-        val c = litVec(cw)
-        dot(s, s) - lit(2.0) * dot(s, c) + dot(c, c)
-      }: _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }: _*)
-  }
+    * dim doubles; the 100 TB memory story of product quantization).
+    * Runs through the compiled [[graft.plans.PqEncode]] kernel: the
+    * equivalent column-expression tree grew past janino's 64 KB method
+    * limit and dropped the stage out of codegen. */
+  def pqCodes(vc: Column, codebooks: IndexedSeq[IndexedSeq[Array[Double]]]): Column =
+    graft.plans.PqEncode(vc, codebooks.map(_.map(_.toSeq)))
 
   /** Reconstruction of a [[pqCodes]] column: per subspace, the codeword
     * the stored code names, flattened back to a dim-length vector —
@@ -852,12 +818,20 @@ object Similarity {
       .withColumn("arn", row_number().over(wAdc))
       .filter(col("arn") <= k * overfetch)
       .select(col("qid"), col("nn"))
-    // exact pass: same pruned partitions, shortlist rows only pay `v`
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exact pass: the shortlist is queries × k × overfetch pairs —
+    // config-sized by the sim_* contract — so its ids PUSH DOWN into
+    // the re-read as a parquet In filter (row-group min/max pruning on
+    // top of the partition pruning; a join-only formulation would read
+    // every row of the probed cells' `v` pages)
+    val shortIds = shortlist.map(_._2).distinct.toSeq
+    val slDf = shortlist.toSeq.toDF("qid", "nn")
     val wEx = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("nn").asc)
     cells.filter(col("cell").isin(probeCells: _*))
+      .filter(col(idCol).isin(shortIds: _*))
       .select(col(idCol).as("nn"), col("v"), col("nv"))
-      .join(broadcast(shortlist), Seq("nn"))
+      .join(broadcast(slDf), Seq("nn"))
       .join(broadcast(q.select(col("qid"), col("qv"), col("qn")).distinct()), Seq("qid"))
       .select(col("qid"), col("nn"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nv"))).as("cos"))

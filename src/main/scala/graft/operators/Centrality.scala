@@ -31,11 +31,22 @@ import org.apache.spark.sql.functions._
   */
 object Centrality {
 
-  /** Bidirectional view (u → w both ways) of a canonical edge list. */
+  /** Bidirectional view (u → w both ways) of a canonical edge list —
+    * PRE-PARTITIONED on the traversal key `u` before the checkpoint
+    * (localCheckpoint preserves outputPartitioning through LogicalRDD),
+    * so every per-level frontier⋈edges join reuses this layout and
+    * shuffles only the frontier side. Without it the planner re-sorted
+    * and re-exchanged the full edge list EVERY level: invisible at ×10
+    * (24M rows, 8.8 s packed closeness) and catastrophic at ×100
+    * (239M rows — 933 s, 4× the row-form; the ×100 probe caught it).
+    * One extra shuffle at build, amortized across all levels of every
+    * caller (closeness, packed waves, betweenness forward+backward). */
   private def biView(edges: DataFrame): DataFrame = {
     val e = edges.select(col("a"), col("b")).distinct()
     e.select(col("a").as("u"), col("b").as("w"))
       .unionAll(e.select(col("b").as("u"), col("a").as("w")))
+      .repartition(col("u"))
+      .sortWithinPartitions(col("u")) // SMJ streams it sort-free too
       .localCheckpoint(true)
   }
 

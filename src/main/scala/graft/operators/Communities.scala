@@ -113,8 +113,10 @@ object Communities {
     * exact-integer rational — Q = Σ_c (4·m·e_c − d_c²) / (4m²) — so
     * the float division happens once at the end (the transitivity
     * doctrine: average-of-doubles is summation-order-dependent;
-    * integer sums are not). d_c ≤ 2m and e_c ≤ m keep every term well
-    * inside Long at any realistic m per community.
+    * integer sums are not). Exactness bound: the largest term is
+    * 4·m·e_c ≤ 4m², so Long arithmetic is exact up to m ≤ 1.5·10⁹
+    * edges — score a sampled/partitioned subgraph beyond that (a
+    * 100 TB graph's modularity is estimated per shard in practice).
     *
     * Shape: one edge-sized join of the assignment onto both endpoints
     * (intra test + per-community degree mass ride the same joined
@@ -147,8 +149,13 @@ object Communities {
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "need at least one round")
     val e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    // probed once per round on src — pre-partitioned + pre-sorted (the
+    // Centrality.biView layout doctrine) so each round's label join
+    // moves only the vertex-sized label frame, never the edge list
     val bi = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src")).sortWithinPartitions(col("src"))
+      .localCheckpoint(true)
     var labels = bi.select(col("src").as("n")).distinct()
       .select(col("n"), col("n").as("community"))
       .localCheckpoint(true)

@@ -46,18 +46,26 @@ object Hits {
     if (e.isEmpty) // no edges: no hubs, no authorities — schema kept
       return e.select(lit("hub").as("kind"), col("s").as("n"),
         lit(0.0).as("score")).limit(0)
+    // the edge list is probed on BOTH keys every iteration — keep one
+    // pre-partitioned, pre-sorted copy per key (the biView layout
+    // doctrine) so each round's joins move only the vertex-sized score
+    // frames, never re-exchange/re-sort the edges
+    val es = e.repartition(col("s")).sortWithinPartitions(col("s"))
+      .localCheckpoint(true)
+    val ed = e.repartition(col("d")).sortWithinPartitions(col("d"))
+      .localCheckpoint(true)
     var hub = e.select(col("s").as("n")).distinct()
       .select(col("n"), lit(1.0).as("score"))
     var auth: DataFrame = null
     (1 to iters).foreach { _ =>
-      val ar = e.join(hub.select(col("n").as("s"), col("score").as("h")), Seq("s"))
+      val ar = es.join(hub.select(col("n").as("s"), col("score").as("h")), Seq("s"))
         .groupBy(col("d").as("n")).agg(sum(col("h")).as("x"))
         .localCheckpoint(true) // feeds the max bind AND the divide
       val am = broadcast(ar.agg(max(col("x")).as("__m"))) // 1-row, exact
       auth = ar.crossJoin(am)
         .select(col("n"), grid(col("x") / col("__m")).as("score"))
         .localCheckpoint(true)
-      val hr = e.join(auth.select(col("n").as("d"), col("score").as("a")), Seq("d"))
+      val hr = ed.join(auth.select(col("n").as("d"), col("score").as("a")), Seq("d"))
         .groupBy(col("s").as("n")).agg(sum(col("a")).as("x"))
         .localCheckpoint(true)
       val hm = broadcast(hr.agg(max(col("x")).as("__m"))) // 1-row, exact

@@ -68,7 +68,12 @@ object KCore {
     * the sequential peel ([[corenessPeel]]) is spec-asserted. */
   def coreness(edges: DataFrame, maxK: Int = 64): DataFrame = {
     require(maxK >= 1, "maxK must be at least 1")
-    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint(true)
+    // probed twice per round; laid out on the FIRST join's key (the
+    // Centrality.biView doctrine — the second join must exchange the
+    // joined stream by b regardless, since each row carries ca)
+    val e = edges.select(col("a"), col("b")).distinct()
+      .repartition(col("a")).sortWithinPartitions(col("a"))
+      .localCheckpoint(true)
     var est = degrees(e)
       .select(col("n"), least(col("deg"), lit(maxK.toLong)).cast("int").as("core"))
       .localCheckpoint(true)

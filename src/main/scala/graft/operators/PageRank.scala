@@ -36,8 +36,13 @@ object PageRank {
     // mapTriplets(1.0 / srcDeg); parallel edges each carry the weight
     val deg = edges.groupBy(col("src"))
       .agg((lit(1.0) / count(lit(1))).as("w"))
+    // probed once per iteration — pre-partitioned AND pre-sorted on the
+    // join key so each round's rank join reuses this layout and moves
+    // only the rank frame (the biView doctrine: without it the planner
+    // re-exchanged/re-sorted the edge list every iteration)
     val ew = edges.select(col("src"), col("dst")).join(deg, Seq("src"))
-      .localCheckpoint(true) // probed once per iteration
+      .repartition(col("src")).sortWithinPartitions(col("src"))
+      .localCheckpoint(true)
     // SPARSE iteration (the shape that closed the 3× gap to GraphX at
     // sf0.1): a vertex with no in-edges sits at the CLOSED-FORM value
     // every round — 1.0 before round 1, resetProb + 0.85·0 = resetProb
@@ -103,7 +108,8 @@ object PageRank {
     val deg = edges.groupBy(col("src"))
       .agg((lit(1.0) / count(lit(1))).as("w"))
     val ew = edges.select(col("src"), col("dst")).join(deg, Seq("src"))
-      .localCheckpoint(true)
+      .repartition(col("src")).sortWithinPartitions(col("src"))
+      .localCheckpoint(true) // the pageRankDf layout doctrine
     // personalization is SPARSE by nature: rank is nonzero only on
     // seeds and vertices reached from them, so the frame carries
     // exactly those — the edge probe is an INNER join (absent source

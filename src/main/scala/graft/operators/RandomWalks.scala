@@ -56,6 +56,8 @@ object RandomWalks {
       .unionAll(e.select(col("b").as("u"), col("a").as("w")))
     val adj = bi.withColumn("idx",
         row_number().over(Window.partitionBy(col("u")).orderBy(col("w"))))
+      .sortWithinPartitions(col("u")) // window already partitioned by u;
+      // adding the sort lets every per-step SMJ stream it sort-free
       .localCheckpoint(true) // probed once per step
     val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true) // vertex-sized
@@ -65,11 +67,26 @@ object RandomWalks {
   def randomWalks(edges: DataFrame, salt: String, length: Int): DataFrame = {
     require(length >= 1, "walks need at least one step")
     val (adj, deg) = adjacency(edges)
+    // block rows CARRY the vertex degree, so a step is ONE equi join on
+    // the current vertex (the r14 two-join form — pick join against the
+    // degree frame, then a (u, blk) probe — paid two shuffles per step
+    // and measured 29 s at ×10 vs this form's single join): each walk
+    // meets its vertex's deg/1024 block rows (avg 1 + |E|/(1024·|V|) ≈
+    // 1.06 — a mega-hub is a bounded per-walk fan-out, never a giant
+    // row), computes the pick from the IN-ROW degree, and keeps the
+    // single block holding it. The salted hash re-evaluates once per
+    // BLOCK row (≈ once per walk), not per neighbor — the formulation
+    // the r13 residual-predicate measurement rejected evaluated it
+    // deg(cur) times. blocks pre-partitions on u before the checkpoint
+    // so every step's join reuses that layout and shuffles only the
+    // walk side.
     val blocks = adj
       .withColumn("blk", expr(s"CAST((idx - 1) DIV $BlockSize AS INT)"))
       .groupBy(col("u"), col("blk"))
       .agg(expr("transform(sort_array(collect_list(struct(idx, w))), x -> x.w)")
         .as("nbrs"))
+      .join(deg, Seq("u"))
+      .repartition(col("u")).sortWithinPartitions(col("u"))
       .localCheckpoint(true) // probed once per step
     var st = deg.select(col("u").as("start"), col("u").as("cur"),
       col("u").cast("string").as("walk"))
@@ -77,12 +94,9 @@ object RandomWalks {
       val h = graft.llmops.TextOps.md5Hash32(concat_ws("|",
         lit(salt), col("start").cast("string"), lit(t.toString),
         col("cur").cast("string")))
-      val pick = st.join(deg, st("cur") === deg("u"))
-        .select(col("start"), col("cur"), col("walk"),
-          ((h % col("deg")) + 1).cast("int").as("__pick"))
-        .withColumn("__blk", expr(s"CAST((__pick - 1) DIV $BlockSize AS INT)"))
-      st = pick.join(blocks,
-          pick("cur") === blocks("u") && pick("__blk") === blocks("blk"))
+      st = st.join(blocks, st("cur") === blocks("u"))
+        .withColumn("__pick", ((h % col("deg")) + 1).cast("int"))
+        .filter(col("blk") === expr(s"CAST((__pick - 1) DIV $BlockSize AS INT)"))
         .withColumn("__nxt", element_at(col("nbrs"),
           (((col("__pick") - 1) % BlockSize) + 1).cast("int")))
         .select(col("start"), col("__nxt").as("cur"),
@@ -124,16 +138,31 @@ object RandomWalks {
     require(length >= 1, "walks need at least one step")
     require(wReturn > 0 && wIn > 0 && wOut > 0, "weights must be positive")
     val (adj, deg) = adjacency(edges)
+    // edge-marker probe side, sorted on ITS join key pair — adj's
+    // checkpoint layout (hash u) already co-locates it; the sort keeps
+    // every per-step SMJ from re-sorting the edge-sized frame
     val marker = adj.select(col("u").as("__mu"), col("w").as("__mw"),
-      lit(true).as("__isNbr"))
-    var st = deg.select(col("u").as("start"), col("u").as("prev"),
-      col("u").as("cur"), col("u").cast("string").as("walk"))
+        lit(true).as("__isNbr"))
+      .sortWithinPartitions(col("__mu"), col("__mw"))
+      .localCheckpoint(true)
+    // the growing walk STRING never rides the candidate expansion: the
+    // per-step windows move Σdeg(cur) rows (edge-bounded — 240M at the
+    // ×100 probe), and carrying an accumulating ~40-char string through
+    // two window passes per step multiplied the shuffle volume several
+    // times over (the spill that filled the probe box's disk). Position
+    // state (start, prev, cur) is three longs; the chosen hop joins
+    // back onto the walk table by start — one vertex-scale join per
+    // step against the edge-scale window pass it slims.
+    var pos = deg.select(col("u").as("start"), col("u").as("prev"),
+      col("u").as("cur"))
+    var walks = deg.select(col("u").as("start"),
+      col("u").cast("string").as("walk"))
     (1 to length).foreach { t =>
       val h = graft.llmops.TextOps.md5Hash32(concat_ws("|",
         lit(salt), col("start").cast("string"), lit(t.toString),
         col("cur").cast("string"), col("prev").cast("string")))
       val byWalk = Window.partitionBy(col("start"))
-      val cands = st.join(adj, st("cur") === adj("u"))
+      val cands = pos.join(adj, pos("cur") === adj("u"))
         .join(marker,
           col("prev") === col("__mu") && col("w") === col("__mw"), "left")
         .withColumn("__wt",
@@ -142,14 +171,15 @@ object RandomWalks {
             .otherwise(lit(wOut)))
         .withColumn("__cum", sum(col("__wt")).over(byWalk.orderBy(col("idx"))))
         .withColumn("__tot", sum(col("__wt")).over(byWalk))
-      st = cands.filter(col("__cum") > (h % col("__tot")))
-        .groupBy(col("start"), col("cur"), col("walk"))
+      pos = cands.filter(col("__cum") > (h % col("__tot")))
+        .groupBy(col("start"), col("cur"))
         .agg(min(struct(col("idx"), col("w"))).as("__m"))
-        .select(col("start"), col("cur").as("prev"),
-          col("__m.w").as("cur"),
-          concat(col("walk"), lit("->"), col("__m.w").cast("string"))
-            .as("walk"))
+        .select(col("start"), col("cur").as("prev"), col("__m.w").as("cur"))
+        .localCheckpoint(true) // walks joins it twice (pos + extension)
+      walks = walks.join(pos.select(col("start"), col("cur")), Seq("start"))
+        .select(col("start"),
+          concat(col("walk"), lit("->"), col("cur").cast("string")).as("walk"))
     }
-    st.select(col("start"), col("walk"))
+    walks
   }
 }

@@ -37,7 +37,9 @@ object ShortestPath {
     import spark.implicits._
     val e = edges.select(col("src"), col("dst"),
         col("w").cast("double").as("w"))
-      .localCheckpoint(true) // probed once per round
+      .repartition(col("src")).sortWithinPartitions(col("src"))
+      .localCheckpoint(true) // probed once per round (biView layout
+      // doctrine: each relax join moves only the frontier side)
     require(e.filter(col("w") < 0).isEmpty,
       "dijkstraDf requires non-negative edge weights")
     var dist = Seq((source, 0.0, 0)).toDF("id", "dist", "hops")

@@ -318,6 +318,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists { case (id, reasons, keep) => id == 2L && reasons.contains("too_short") && !keep })
   }
 
+  test("entropy gate is stateless: streaming equals batch, flood gated out") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      Doc(ts(1), 1L, "The quick brown fox jumps over the lazy dog."),
+      Doc(ts(2), 2L, "aaaaaaaaaaaaaaaaaaaaaaaa")) // 0-bit flood
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      graft.llmops.TextOps.entropyGate(df, "doc_id", "text", 2.0, 5.5)
+    val mem = MemoryStream[Doc]
+    val q = gate(mem.toDF()).writeStream.format("memory").queryName("egate")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("egate").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3))).toSet
+    val batch = gate(docs.toDF()).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.exists { case (id, e, keep) => id == 2L && e == 0.0 && !keep })
+    assert(streamed.exists { case (id, _, keep) => id == 1L && keep })
+  }
+
   test("source-mix monitor: windowed shares + drift match batch, absent source visible") {
     implicit val sqlCtx = spark.sqlContext
     val targets = Map("web" -> 0.6, "books" -> 0.4)
