@@ -134,6 +134,9 @@ object GraphProbe {
     // can't lose earlier walls, and ×100 runs can skip the heavy
     // node2vec expansion): posture across SF probes shows edge-linearity.
     // `hits_walks` keeps running all three for compatibility.
+    var hitsRes: Option[(Long, Double)] = None
+    var walksRes: Option[(Long, Double)] = None
+    var n2vRes: Option[(Long, Double)] = None
     if (want("hits_walks") || want("hits")) {
     val t7 = System.nanoTime()
     val hits = graft.operators.Hits.hitsTop(
@@ -141,6 +144,7 @@ object GraphProbe {
         .select(col("l_orderkey").as("s"), col("l_partkey").as("d")), 4, 20)
     val nHits = hits.count()
     val sHits = (System.nanoTime() - t7) / 1e9
+    hitsRes = Some((nHits, sHits))
     println(s"""{"probe":"hits","edges":$nEdges,""" +
       s""""hits_iters":4,"hits_rows":$nHits,"hits_sec":$sHits}""")
     }
@@ -150,6 +154,7 @@ object GraphProbe {
       .localCheckpoint(true)
     val nWalks = walks.count()
     val sWalks = (System.nanoTime() - t8) / 1e9
+    walksRes = Some((nWalks, sWalks))
     println(s"""{"probe":"walks","edges":$nEdges,""" +
       s""""walk_len":4,"walks":$nWalks,"walks_sec":$sWalks}""")
     }
@@ -159,8 +164,21 @@ object GraphProbe {
       .node2vecWalks(edges, "probe", 4, 2L, 4L, 2L).localCheckpoint(true)
     val nN2v = n2v.count()
     val sN2v = (System.nanoTime() - t9) / 1e9
+    n2vRes = Some((nN2v, sN2v))
     println(s"""{"probe":"n2v","edges":$nEdges,""" +
       s""""node2vec_walks":$nN2v,"node2vec_sec":$sN2v}""")
+    }
+    // the legacy r13 COMBINED record, kept when the combined section
+    // key is requested (ADVICE r14 #5: the split per-operator records
+    // silently broke any parser keyed on this schema) — same fields,
+    // emitted AFTER the per-operator lines so both forms survive
+    if (want("hits_walks")) (hitsRes, walksRes, n2vRes) match {
+      case (Some((nH, sH)), Some((nW, sW)), Some((nN, sN))) =>
+        println(s"""{"probe":"hits_walks","edges":$nEdges,""" +
+          s""""hits_iters":4,"hits_rows":$nH,"hits_sec":$sH,""" +
+          s""""walk_len":4,"walks":$nW,"walks_sec":$sW,""" +
+          s""""node2vec_walks":$nN,"node2vec_sec":$sN}""")
+      case _ => ()
     }
 
     if (want("dualpath")) {

@@ -752,10 +752,18 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/codebooks")
     val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nv", norm(col("v")))
-    v.withColumn("cell", ivfCell(col("v"), col("nv"), cents))
+    val assigned = v.withColumn("cell", ivfCell(col("v"), col("nv"), cents))
+    assigned
       .withColumn("codes", pqCodes(col("v"), books))
       .withColumn("rn", norm(pqReconstruct(col("codes"), books)))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/cells")
+    // slim qid→cell side table, RANGE-laid on id so a serve call's
+    // pushed In filter prunes to the matching row groups (ADVICE r14
+    // #4: filtering the cells by id scanned every partition of the
+    // index to locate the queries) — 16 bytes/row, never the vectors
+    assigned.select(col(idCol), col("cell"))
+      .repartitionByRange(8, col(idCol)).sortWithinPartitions(col(idCol))
+      .write.mode("overwrite").parquet(s"$outDir/ids")
     source.foreach(graft.load.IndexKeys.stamp(outDir, _))
     (cents, books)
   }
@@ -786,9 +794,32 @@ object Similarity {
       (0 until m).map(mi => (0 until nCodes).map(code => bookRows((mi, code))))
     val cells = spark.read.parquet(s"$indexDir/cells")
     val idCol = cells.columns.filterNot(Set("v", "nv", "cell", "codes", "rn")).head
-    val qRows = cells.filter(col(idCol).isin(queryIds: _*))
+    // query-vector fetch (ADVICE r14 #4): resolve qid→cell through the
+    // slim id-sorted side table (pushed In filter → row-group pruning;
+    // 16 bytes/row), then read the vectors from ONLY those cells'
+    // partitions — the old id-only filter scanned every partition of
+    // the index per serve call. Pre-`ids/` indexes fall back to the
+    // full filter; unknown query ids fail LOUDLY either way instead of
+    // silently shrinking the result.
+    val distinctQ = queryIds.distinct
+    val idsDir = java.nio.file.Paths.get(s"$indexDir/ids")
+    val qSrc =
+      if (java.nio.file.Files.isDirectory(idsDir)) {
+        val qc = spark.read.parquet(idsDir.toString)
+          .filter(col(idCol).isin(distinctQ: _*))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        require(qc.length == distinctQ.size,
+          s"ivfPqIndexTopK: ${distinctQ.size - qc.length} of ${distinctQ.size} " +
+            s"query ids are not in the index at $indexDir")
+        cells.filter(col("cell").isin(qc.map(_._2).distinct.toIndexedSeq: _*) &&
+          col(idCol).isin(distinctQ: _*))
+      } else cells.filter(col(idCol).isin(distinctQ: _*))
+    val qRows = qSrc
       .select(col(idCol), col("v"), col("nv"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    require(qRows.length == distinctQ.size,
+      s"ivfPqIndexTopK: ${distinctQ.size - qRows.length} of ${distinctQ.size} " +
+        s"query ids are not in the index at $indexDir")
     def cosTo(v: Seq[Double], c: Seq[Double], nv: Double): Double = {
       var d = 0.0; var i = 0
       while (i < v.length) { d += v(i) * c(i); i += 1 }

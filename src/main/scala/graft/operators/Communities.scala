@@ -131,6 +131,12 @@ object Communities {
     val lb = assignment.select(col("n").as("b"), col("community").as("cb"))
     val joined = e.join(la, Seq("a")).join(lb, Seq("b")).localCheckpoint(true)
     val m = joined.count() // |E| — 1-row loop-control-style bind is a plain count here
+    // the scaladoc's exactness bound, ENFORCED (ADVICE r14 #3): past
+    // m ≈ 1.5e9 the 4·m·e_c term silently overflows Long and returns a
+    // wrong Q — m is already in hand, so failing loudly is free
+    require(m <= 1500000000L,
+      s"modularity: $m edges exceeds the Long-exact bound of 1.5e9 " +
+        "(4·m·e_c would overflow) — score a sampled or per-shard subgraph")
     // per-community intra-edge count (both endpoints in c)…
     val intra = joined.filter(col("ca") === col("cb"))
       .groupBy(col("ca").as("c")).agg(count(lit(1)).as("ec"))

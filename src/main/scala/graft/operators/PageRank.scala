@@ -39,8 +39,20 @@ object PageRank {
     // probed once per iteration — pre-partitioned AND pre-sorted on the
     // join key so each round's rank join reuses this layout and moves
     // only the rank frame (the biView doctrine: without it the planner
-    // re-exchanged/re-sorted the edge list every iteration)
-    val ew = edges.select(col("src"), col("dst")).join(deg, Seq("src"))
+    // re-exchanged/re-sorted the edge list every iteration).
+    // Edges are SCOPED to v on both endpoints (ADVICE r14 #1): the
+    // sparse iteration coalesces an absent source to the closed-form
+    // default, which is only correct for sources IN v — an open-world
+    // src ∉ v would be credited rank 1.0 in round 1 and a dst ∉ v
+    // would accumulate and re-propagate mass, diverging from the dense
+    // form and the v-scoped oracle. outDeg stays UNscoped (computed
+    // from all edges, like the oracle's dg CTE): an edge leaving v
+    // still thins its source's per-edge share; the mass it carries
+    // just never lands. On a closed graph both joins are no-ops.
+    val ew = edges.select(col("src"), col("dst"))
+      .join(v.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(v.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .join(deg, Seq("src"))
       .repartition(col("src")).sortWithinPartitions(col("src"))
       .localCheckpoint(true)
     // SPARSE iteration (the shape that closed the 3× gap to GraphX at
@@ -104,10 +116,25 @@ object PageRank {
     import spark.implicits._
     val v = vertices.select(col("id")).localCheckpoint(true)
     val nV = v.count().toDouble
+    // seeds MUST be vertices (ADVICE r14 #2): a seed ∉ v would still
+    // dilute every real seed's |V|/|S| mass and inject teleport mass
+    // that propagates through the graph, then silently vanish from the
+    // final v-left-join — diverging from the v-scoped oracle. One
+    // config-sized isin count; loud on violation.
+    val nSeedsInV = v.filter(col("id").isin(seeds: _*)).count()
+    require(nSeedsInV == seeds.distinct.length,
+      s"personalizedPageRankDf: ${seeds.distinct.length - nSeedsInV} of " +
+        s"${seeds.length} seeds are not in the vertex frame")
     val seedMass = nV / seeds.length // per-seed teleport mass
     val deg = edges.groupBy(col("src"))
       .agg((lit(1.0) / count(lit(1))).as("w"))
-    val ew = edges.select(col("src"), col("dst")).join(deg, Seq("src"))
+    // endpoint-scoped like pageRankDf (ADVICE r14 #2): rank can only
+    // ever hold v ids (seeds ⊆ v, dst scoped), so mass never rides an
+    // edge out of v and back; outDeg stays unscoped (the oracle's dg)
+    val ew = edges.select(col("src"), col("dst"))
+      .join(v.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(v.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .join(deg, Seq("src"))
       .repartition(col("src")).sortWithinPartitions(col("src"))
       .localCheckpoint(true) // the pageRankDf layout doctrine
     // personalization is SPARSE by nature: rank is nonzero only on

@@ -132,11 +132,33 @@ object RandomWalks {
     * edge-marker anti-probe (is (prev, w) an edge — a left join on the
     * bidirectional set), and a per-walk cumulative window whose
     * partition is ONE vertex's candidate list (deg-sized — the skew
-    * bound is walks-at-hub × deg, not a materialized giant row). */
+    * bound is walks-at-hub × deg, not a materialized giant row).
+    *
+    * `maxDeg` (VERDICT r14 order #1 / BASELINE #74): the OPERATOR-
+    * boundary degree cap. node2vec's own cost is O(deg(cur)) candidates
+    * per visit — at ×100 the uncapped expansion exhausted the probe
+    * box's shuffle disk — so a visit to a vertex with deg > maxDeg
+    * weighs a DETERMINISTIC stride subsample of its neighbor list
+    * instead of all of it: stride = ⌈deg/maxDeg⌉, offset =
+    * hCap mod stride with hCap a salted per-walk md5 (tagged "cap",
+    * independent of the pick hash), keep candidates with
+    * (idx−1) mod stride = offset — ≤ maxDeg rows, ≥ 1 row, every
+    * neighbor included with probability exactly 1/stride over the salt,
+    * and bit-replayable by the SQL twin like every other hop decision
+    * (`graph_node2vec_capped` is hash-green). DOCUMENTED BIAS: the p/q
+    * weighting then applies within the subsample, so return/in/out
+    * proportions at a capped vertex reflect the sample, not the full
+    * list — the trade any degree-capped node2vec makes. Vertices with
+    * deg ≤ maxDeg run stride 1 ≡ the uncapped math; the default
+    * (Int.MaxValue) skips the cap plumbing entirely so the uncapped
+    * declared query's plan is unchanged. */
   def node2vecWalks(edges: DataFrame, salt: String, length: Int,
-      wReturn: Long, wIn: Long, wOut: Long): DataFrame = {
+      wReturn: Long, wIn: Long, wOut: Long,
+      maxDeg: Int = Int.MaxValue): DataFrame = {
     require(length >= 1, "walks need at least one step")
     require(wReturn > 0 && wIn > 0 && wOut > 0, "weights must be positive")
+    require(maxDeg >= 1, "maxDeg must be at least 1")
+    val capped = maxDeg != Int.MaxValue
     val (adj, deg) = adjacency(edges)
     // edge-marker probe side, sorted on ITS join key pair — adj's
     // checkpoint layout (hash u) already co-locates it; the sort keeps
@@ -162,7 +184,28 @@ object RandomWalks {
         lit(salt), col("start").cast("string"), lit(t.toString),
         col("cur").cast("string"), col("prev").cast("string")))
       val byWalk = Window.partitionBy(col("start"))
-      val cands = pos.join(adj, pos("cur") === adj("u"))
+      // cap plumbing rides the WALK frame (vertex-scale): stride/offset
+      // are per-walk values computed BEFORE the expansion, so the md5
+      // evaluates once per walk and the candidate filter is pure
+      // in-row arithmetic on the expanded rows
+      val posT =
+        if (!capped) pos
+        else {
+          val hCap = graft.llmops.TextOps.md5Hash32(concat_ws("|",
+            lit(salt), lit("cap"), col("start").cast("string"),
+            lit(t.toString), col("cur").cast("string"),
+            col("prev").cast("string")))
+          pos.join(deg.withColumnRenamed("u", "cur"), Seq("cur"))
+            .withColumn("__stride",
+              expr(s"CAST((deg + ${maxDeg - 1}) DIV $maxDeg AS BIGINT)"))
+            .select(col("start"), col("prev"), col("cur"),
+              col("__stride"), (hCap % col("__stride")).as("__off"))
+        }
+      val expanded = posT.join(adj, posT("cur") === adj("u"))
+      val kept =
+        if (!capped) expanded
+        else expanded.filter(((col("idx") - 1) % col("__stride")) === col("__off"))
+      val cands = kept
         .join(marker,
           col("prev") === col("__mu") && col("w") === col("__mw"), "left")
         .withColumn("__wt",

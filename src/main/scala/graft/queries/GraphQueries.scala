@@ -230,9 +230,16 @@ object GraphQueries {
     * (prev, w) an edge), the exact integer cumulative window over the
     * sorted-neighbor order, and the salted-md5 range pick, all written
     * identically on both sides. No floats anywhere, so the hash check
-    * is unconditional. */
+    * is unconditional.
+    *
+    * `maxDeg` replays the CAPPED form (`RandomWalks.node2vecWalks`'s
+    * stride subsample, r15): per step a per-walk stride = ⌈deg/maxDeg⌉
+    * and offset = capHash mod stride computed on the walk frame, then
+    * the candidate expansion keeps only (idx−1) mod stride = offset —
+    * the same integer arithmetic on both sides, so the hash check
+    * stays unconditional. */
   private def node2vecSql(salt: String, length: Int,
-      wRet: Long, wIn: Long, wOut: Long): String = {
+      wRet: Long, wIn: Long, wOut: Long, maxDeg: Option[Int] = None): String = {
     def hexFold(hexExpr: String): String =
       "list_reduce(list_transform(generate_series(1, 8), " +
         s"j -> instr('0123456789abcdef', substr($hexExpr, j, 1)) - 1), " +
@@ -240,12 +247,29 @@ object GraphQueries {
     def h(t: Int) = hexFold(
       s"md5('$salt' || '|' || CAST(start AS VARCHAR) || '|$t|' || " +
         "CAST(cur AS VARCHAR) || '|' || CAST(prev AS VARCHAR))")
+    def hCap(t: Int) = hexFold(
+      s"md5('$salt' || '|cap|' || CAST(x.start AS VARCHAR) || '|$t|' || " +
+        "CAST(x.cur AS VARCHAR) || '|' || CAST(x.prev AS VARCHAR))")
     val steps = (1 to length).map { t =>
-      s"""c$t AS MATERIALIZED (SELECT s.start, s.prev, s.cur, s.walk, a.w, a.idx,
+      val expand = maxDeg match {
+        case Some(md) =>
+          s"""x$t AS MATERIALIZED (SELECT s.start, s.prev, s.cur, s.walk,
+        CAST((g.deg + ${md - 1}) // $md AS BIGINT) AS stride
+        FROM s${t - 1} s JOIN dg g ON g.u = s.cur),
+      c$t AS MATERIALIZED (SELECT x.start, x.prev, x.cur, x.walk, a.w, a.idx,
+        CASE WHEN a.w = x.prev THEN $wRet
+             WHEN eb.u IS NOT NULL THEN $wIn ELSE $wOut END AS wt
+        FROM x$t x JOIN adjr a ON a.u = x.cur
+        LEFT JOIN bi eb ON eb.u = x.prev AND eb.w = a.w
+        WHERE (a.idx - 1) % x.stride = (${hCap(t)} % x.stride))"""
+        case None =>
+          s"""c$t AS MATERIALIZED (SELECT s.start, s.prev, s.cur, s.walk, a.w, a.idx,
         CASE WHEN a.w = s.prev THEN $wRet
              WHEN eb.u IS NOT NULL THEN $wIn ELSE $wOut END AS wt
         FROM s${t - 1} s JOIN adjr a ON a.u = s.cur
-        LEFT JOIN bi eb ON eb.u = s.prev AND eb.w = a.w),
+        LEFT JOIN bi eb ON eb.u = s.prev AND eb.w = a.w)"""
+      }
+      s"""$expand,
       k$t AS MATERIALIZED (SELECT start, prev, cur, walk, w, idx,
         CAST(SUM(wt) OVER (PARTITION BY start ORDER BY idx) AS BIGINT) AS cum,
         CAST(SUM(wt) OVER (PARTITION BY start) AS BIGINT) AS tot
@@ -255,6 +279,9 @@ object GraphQueries {
         FROM k$t WHERE cum > (${h(t)} % tot)
         GROUP BY start, cur, walk)"""
     }.mkString(",\n      ")
+    val dgCte = if (maxDeg.isDefined)
+      ",\n      dg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM bi GROUP BY u)"
+    else ""
     s"""WITH m AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
       ok AS MATERIALIZED (SELECT g FROM m GROUP BY g HAVING count(*) <= 50),
       mm AS MATERIALIZED (SELECT m.g, m.i FROM m JOIN ok USING (g)),
@@ -262,7 +289,7 @@ object GraphQueries {
         FROM mm x JOIN mm y ON x.g = y.g AND x.i < y.i),
       bi AS MATERIALIZED (SELECT a AS u, b AS w FROM e UNION ALL SELECT b, a FROM e),
       adjr AS MATERIALIZED (SELECT u, w,
-        CAST(row_number() OVER (PARTITION BY u ORDER BY w) AS INT) AS idx FROM bi),
+        CAST(row_number() OVER (PARTITION BY u ORDER BY w) AS INT) AS idx FROM bi)$dgCte,
       s0 AS MATERIALIZED (SELECT u AS start, u AS prev, u AS cur,
         CAST(u AS VARCHAR) AS walk FROM (SELECT DISTINCT u FROM bi)),
       $steps
@@ -970,6 +997,19 @@ object GraphQueries {
         graft.operators.Triangles.cooccurrenceEdges(
           t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50), "r14", 4, 2L, 4L, 2L),
       Some(node2vecSql("r14", 4, 2L, 4L, 2L))),
+
+    // ✚ degree-CAPPED node2vec (round 15, VERDICT r14 order #1): the
+    // operator-boundary maxDeg stride subsample — a visit to a vertex
+    // with deg > 8 weighs ≤ 8 deterministically-sampled neighbors, and
+    // the subsample itself is replayed hop-for-hop by the twin (the
+    // offset is a salted md5, same doctrine as the pick), so the cap's
+    // bias is AUDITABLE, not just documented.
+    Q("graph_node2vec_capped",
+      (s, d) => graft.operators.RandomWalks.node2vecWalks(
+        graft.operators.Triangles.cooccurrenceEdges(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50),
+        "r15", 4, 2L, 4L, 2L, maxDeg = 8),
+      Some(node2vecSql("r15", 4, 2L, 4L, 2L, Some(8)))),
 
     // ✚ HITS hubs & authorities (round 13): the directed link-analysis
     // twin of PageRank on the order→part bipartite graph; grid-rounded

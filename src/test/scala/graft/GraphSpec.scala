@@ -832,6 +832,50 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("node2vecWalks: maxDeg cap — planted mega-hub completes, replayable, ≡ uncapped when slack") {
+    import spark.implicits._
+    import graft.operators.RandomWalks
+    // hub 1 adjacent to EVERY leaf (deg 3000 ≫ maxDeg = 16): the r14
+    // boundary scenario (BASELINE #74) — uncapped, every walk visiting
+    // the hub expands 3000 candidate rows per step; capped, ≤ 16
+    val n = 3000L
+    val star = (2L to (n + 1)).map(i => (1L, i)).toDF("a", "b")
+    val capped = RandomWalks.node2vecWalks(star, "cap1", 3, 2L, 4L, 2L, maxDeg = 16)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(capped.size == n.toInt + 1)
+    capped.foreach { case (start, walk) =>
+      val hops = walk.split("->").map(_.toLong).toSeq
+      assert(hops.length == 4 && hops.head == start, s"truncated walk $walk")
+      hops.sliding(2).foreach { case Seq(x, y) =>
+        assert((x == 1L && y >= 2L && y <= n + 1) || (y == 1L && x >= 2L),
+          s"non-edge $x->$y in $walk")
+      }
+    }
+    // replayable: same salt bit-identical; a new salt moves BOTH the
+    // subsample offsets and the picks
+    assert(capped == RandomWalks
+      .node2vecWalks(star, "cap1", 3, 2L, 4L, 2L, maxDeg = 16)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+    assert(capped != RandomWalks
+      .node2vecWalks(star, "cap2", 3, 2L, 4L, 2L, maxDeg = 16)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+    // maxDeg = 1 (the floor): exactly one candidate per visit — the
+    // walk degenerates to a deterministic stride pick but still
+    // completes at full length
+    val one = RandomWalks.node2vecWalks(star, "cap1", 3, 2L, 4L, 2L, maxDeg = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(one.size == n.toInt + 1 &&
+      one.values.forall(_.split("->").length == 4))
+    // a cap with SLACK (maxDeg ≥ every degree) is bit-identical to the
+    // uncapped operator: stride 1, offset 0, same candidates, same pick
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)).toDF("a", "b")
+    val un = RandomWalks.node2vecWalks(g, "s1", 5, 2L, 4L, 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val slack = RandomWalks.node2vecWalks(g, "s1", 5, 2L, 4L, 2L, maxDeg = 100)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(un == slack)
+  }
+
   test("HITS: mutual reinforcement ranks the shared authority and the big hub first") {
     import spark.implicits._
     import graft.operators.Hits
