@@ -33,4 +33,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // -Xlog:gc — 100 MB evacuations taking seconds). Capping GC
   // parallelism keeps pauses bounded under throttling.
   "-XX:ParallelGCThreads=8", "-XX:ConcGCThreads=2",
+  // 32 task threads doing sustained compressed spill keep JNI critical
+  // regions (lz4/parquet) almost always occupied; the default GCLocker
+  // retry budget (2) then throws SPURIOUS OutOfMemoryError on word-sized
+  // allocations (observed killing a ×100 probe 53 min in — BASELINE #79,
+  // JDK-8192647 family). A deeper retry budget makes the thrower wait
+  // out the critical regions instead.
+  "-XX:+UnlockDiagnosticVMOptions", "-XX:GCLockerRetryAllocationCount=128",
 ) ++ sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

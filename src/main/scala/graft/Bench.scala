@@ -154,6 +154,11 @@ object Bench {
     "graph_lpa_modularity",
     "pipeline_length_buckets",
     "text_entropy",
+    // round 15: the catalog scan (a constant frame — its bench slot
+    // proves the spelling never becomes a data scan); the CAPPED
+    // node2vec follows the uncapped form's non-headline rule
+    // (GraphProbe times both)
+    "asql_schema_types",
     "multimodal_meta",
     "multimodal_frames",
     "multimodal_resize",
@@ -209,7 +214,22 @@ object Bench {
     val total = best.values.filter(_ >= 0).sum
     val failed = best.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val failJson = if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson$failJson,"sf":"$sfDir","protocol":"min-over-$passes-passes-alternating-order"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson$failJson,"sf":"$sfDir","protocol":"min-over-$passes-passes-alternating-order"}"""
+    println(line)
+    // the full per-query map ALSO lands in a file (VERDICT r14 wrong
+    // #3: the stdout line alone gets tail-truncated to an unparseable
+    // fragment in the round artifact — the artifact should carry the
+    // complete map, not force a re-measurement). Override the path
+    // with SPARK_GRAFT_BENCH_OUT; the round flow commits a copy.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(p, line + "\n")
+      System.err.println(s"[bench] full per-query JSON written to $outPath")
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $outPath: $e")
+    }
     spark.stop()
   }
 }

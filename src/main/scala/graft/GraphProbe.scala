@@ -71,8 +71,38 @@ object GraphProbe {
       .localCheckpoint(true)
     val nComm = lpa.select(col("community")).distinct().count()
     val sLpa = (System.nanoTime() - t2) / 1e9
+    // modularity of the LPA assignment (r15 posture for the r14
+    // newcomer): one edge-sized assignment join + two community-keyed
+    // map-combinable aggregates — the wall must stay linear in the
+    // edge scan across ×10/×100
+    val tm = System.nanoTime()
+    val mod = graft.operators.Communities.modularity(edges, lpa).head()
+    val sMod = (System.nanoTime() - tm) / 1e9
     println(s"""{"probe":"lpa","edges":$nEdges,"rounds":5,""" +
-      s""""communities":$nComm,"sec":$sLpa}""")
+      s""""communities":$nComm,"sec":$sLpa,""" +
+      s""""modularity":${mod.getDouble(1)},"modularity_sec":$sMod}""")
+    }
+
+    if (want("ppr")) {
+    // personalized PageRank posture (r15, VERDICT r14 order #3): the
+    // seed-sparse iteration on the co-purchase graph DIRECTED a→b —
+    // rank frames grow with the reached set, so the per-round cost is
+    // reach-bounded while the edge layout is built once; across
+    // ×10/×100 the wall must track the one-time edge build + reach,
+    // not |E| per round
+    val verts = edges.select(col("a").as("id"))
+      .unionAll(edges.select(col("b").as("id"))).distinct()
+      .localCheckpoint(true)
+    val nVert = verts.count()
+    val seeds = verts.orderBy(col("id")).limit(5)
+      .collect().map(_.getLong(0)).toSeq // config-sized
+    val tp2 = System.nanoTime()
+    val nz = graft.operators.PageRank.personalizedPageRankDf(verts,
+        edges.select(col("a").as("src"), col("b").as("dst")), seeds, 10)
+      .filter(col("pagerank") > 0).count()
+    val sPpr = (System.nanoTime() - tp2) / 1e9
+    println(s"""{"probe":"ppr","edges":$nEdges,"vertices":$nVert,""" +
+      s""""seeds":5,"iters":10,"nonzero":$nz,"sec":$sPpr}""")
     }
 
     if (want("cc")) {
@@ -167,6 +197,20 @@ object GraphProbe {
     n2vRes = Some((nN2v, sN2v))
     println(s"""{"probe":"n2v","edges":$nEdges,""" +
       s""""node2vec_walks":$nN2v,"node2vec_sec":$sN2v}""")
+    }
+    if (want("n2v_capped")) {
+    // the maxDeg-capped node2vec (r15, VERDICT r14 order #1): candidate
+    // volume per step is ≤ walks × maxDeg instead of Σdeg(cur) — the
+    // shape that must COMPLETE at ×100 within the box's shuffle disk
+    // where the uncapped form exhausted it (BASELINE #74)
+    val tc = System.nanoTime()
+    val n2vc = graft.operators.RandomWalks
+      .node2vecWalks(edges, "probe", 4, 2L, 4L, 2L, maxDeg = 32)
+      .localCheckpoint(true)
+    val nC = n2vc.count()
+    val sC = (System.nanoTime() - tc) / 1e9
+    println(s"""{"probe":"n2v_capped","edges":$nEdges,"max_deg":32,""" +
+      s""""node2vec_walks":$nC,"node2vec_capped_sec":$sC}""")
     }
     // the legacy r13 COMBINED record, kept when the combined section
     // key is requested (ADVICE r14 #5: the split per-operator records

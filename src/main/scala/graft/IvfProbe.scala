@@ -20,9 +20,13 @@ object IvfProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val src = if (new java.io.File("target/sf1probe/embeddings.parquet").exists())
-      "target/sf1probe/embeddings.parquet"
-    else "/root/testdata/sf0.1/embeddings.parquet"
+    // SPARK_GRAFT_SF_DIR overrides (the ×100 posture run points it at
+    // target/sf100probe); default stays the ×10 probe with sf0.1 fallback
+    val src = sys.env.get("SPARK_GRAFT_SF_DIR").map(d => s"$d/embeddings.parquet")
+      .getOrElse(
+        if (new java.io.File("target/sf1probe/embeddings.parquet").exists())
+          "target/sf1probe/embeddings.parquet"
+        else "/root/testdata/sf0.1/embeddings.parquet")
     val emb = spark.read.parquet(src)
     val dir = "target/ivfindex_probe"
     val t0 = System.nanoTime()

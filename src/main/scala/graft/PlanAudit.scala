@@ -286,6 +286,14 @@ object PlanAudit {
     // choice); every join stays an equi join, never a cartesian
     Check("graph_node2vec", "no cartesian product anywhere",
       "!CartesianProduct"),
+    // round 15: the degree-capped form — the stride filter is in-row
+    // arithmetic on the expanded rows (equi joins only, no cartesian),
+    // and the per-walk cap hash rides the walk frame, not the expansion
+    Check("graph_node2vec_capped", "no cartesian product anywhere",
+      "!CartesianProduct"),
+    // round 15: schema:types is the registry as a LOCAL constant —
+    // a catalog read must never become a data scan
+    Check("asql_schema_types", "catalog scan reads no files", "!FileScan"),
     // DF-native PageRank (round 14): the renormalization is the 1-row
     // broadcast scalar bind (BroadcastNestedLoopJoin over one row is
     // the sanctioned shape, a CartesianProduct is not), k-cut by

@@ -146,6 +146,11 @@ object Main {
       // `compact` on the same cadence.
       case "epoch" :: outDir :: label :: textProp :: langProp :: cacheRoot :: Nil =>
         epoch(spark, outDir, label, textProp, langProp, cacheRoot)
+      // import <exportTree> <outDir>: rebuild a store from an
+      // EXPORT DATABASE interchange tree (validated bulk-load path)
+      case "import" :: srcDir :: outDir :: Nil =>
+        val nRec = GraphLoader.importJson(spark, srcDir, outDir)
+        println(s"[graft] imported $nRec record(s) from $srcDir into $outDir")
       case "serve" :: outDir :: Nil => serve(spark, outDir, None)
       case "serve" :: outDir :: Port(p) :: Nil => serveHttp(spark, outDir, None, p)
       case "create-serve" :: sfDir :: outDir :: Nil =>
@@ -153,7 +158,7 @@ object Main {
       case "create-serve" :: sfDir :: outDir :: Port(p) :: Nil =>
         create(spark, sfDir, outDir); serveHttp(spark, outDir, Some(sfDir), p)
       case _ =>
-        System.err.println("usage: create <sfDir> <outDir> | compact <outDir> | serve <outDir> [port] | create-serve <sfDir> <outDir> [port]")
+        System.err.println("usage: create <sfDir> <outDir> | compact <outDir> | import <exportTree> <outDir> | serve <outDir> [port] | create-serve <sfDir> <outDir> [port]")
         sys.exit(2)
     }
     spark.stop()

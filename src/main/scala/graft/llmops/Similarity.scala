@@ -557,8 +557,15 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/centroids")
     val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nv", norm(col("v")))
-    v.withColumn("cell", ivfCell(col("v"), col("nv"), cents))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/cells")
+    val assigned = v.withColumn("cell", ivfCell(col("v"), col("nv"), cents))
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/cells")
+    // slim qid→cell side table, id-range-laid (the IVF-PQ build's
+    // shape — ADVICE r14 #4 applies to this route identically: a serve
+    // call's query fetch must prune to the queries' cells, not scan
+    // every partition of the index)
+    assigned.select(col(idCol), col("cell"))
+      .repartitionByRange(8, col(idCol)).sortWithinPartitions(col(idCol))
+      .write.mode("overwrite").parquet(s"$outDir/ids")
     // unified freshness (load.IndexKeys, r13 order #9): record which
     // source generation this layout answers for — the stale probe
     // (requireFresh) refuses after the source moves on
@@ -592,10 +599,31 @@ object Similarity {
     // contract) and probes compute DRIVER-side against the collected
     // centroids — the first formulation evaluated the query subplan
     // twice (once for the probe-cell collect, once inside the join),
-    // paying an extra full-index scan per serve (code-review r12)
-    val qRows = cells.filter(col(idCol).isin(queryIds: _*))
+    // paying an extra full-index scan per serve (code-review r12).
+    // The fetch itself resolves qid→cell through the slim id-sorted
+    // side table and reads vectors from ONLY those cells' partitions
+    // (ADVICE r14 #4, the IVF-PQ route's fix applied here too);
+    // pre-`ids/` layouts fall back to the full filter; unknown ids
+    // fail loudly instead of silently shrinking the result.
+    val distinctQ = queryIds.distinct
+    val idsDir = java.nio.file.Paths.get(s"$indexDir/ids")
+    val qSrc =
+      if (java.nio.file.Files.isDirectory(idsDir)) {
+        val qc = spark.read.parquet(idsDir.toString)
+          .filter(col(idCol).isin(distinctQ: _*))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        require(qc.length == distinctQ.size,
+          s"ivfIndexTopK: ${distinctQ.size - qc.length} of ${distinctQ.size} " +
+            s"query ids are not in the index at $indexDir")
+        cells.filter(col("cell").isin(qc.map(_._2).distinct.toIndexedSeq: _*) &&
+          col(idCol).isin(distinctQ: _*))
+      } else cells.filter(col(idCol).isin(distinctQ: _*))
+    val qRows = qSrc
       .select(col(idCol), col("v"), col("nv"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    require(qRows.length == distinctQ.size,
+      s"ivfIndexTopK: ${distinctQ.size - qRows.length} of ${distinctQ.size} " +
+        s"query ids are not in the index at $indexDir")
     def cosTo(v: Seq[Double], c: Seq[Double], nv: Double): Double = {
       var d = 0.0; var i = 0
       while (i < v.length) { d += v(i) * c(i); i += 1 }
@@ -642,6 +670,15 @@ object Similarity {
       .withColumn("cell", ivfCell(col("v"), col("nv"), cents))
       .localCheckpoint(true) // count + write share one assignment pass
     v.write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
+    // the qid→cell side table rides every append (r15): the serve
+    // path's query fetch resolves cells through it, so an appended
+    // vector must be lookupable immediately or the loud unknown-id
+    // assert would misfire on legitimate queries
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$indexDir/ids"))) {
+      v.select(col(idCol), col("cell"))
+        .write.mode("append").parquet(s"$indexDir/ids")
+      spark.catalog.refreshByPath(s"$indexDir/ids")
+    }
     // Spark caches parquet file listings session-wide (SharedInMemoryCache):
     // without an explicit refresh, a reader that has already scanned this
     // index would keep serving the PRE-append file set indefinitely

@@ -824,8 +824,11 @@ object GraphLoader {
       sets: Map[String, org.apache.spark.sql.Column],
       pred: org.apache.spark.sql.Column,
       txn: Option[StoreTxn],
-      returning: Option[String]): (Long, Option[Array[String]]) =
+      returning: Option[String],
+      retSkip: Long = 0L, retLimit: Long = -1L): (Long, Option[Array[String]]) =
       StoreLock.withWriteLock(outDir) {
+    require(retSkip >= 0 && retSkip <= Int.MaxValue,
+      s"RETURN SKIP $retSkip out of range")
     require(sets.nonEmpty, "UPDATE needs a SET clause")
     // the edge record id is as immutable as the topology it addresses:
     // bare-rid dispatch keys on the eid keyspace, so a rewritten eid
@@ -867,16 +870,31 @@ object GraphLoader {
     // the capped page is ordered by the (immutable) record id so a
     // >cap UPDATE returns the SAME sample every run — an unordered
     // limit would page partition-order nondeterministically
-    // (ADVICE r13 #4); the count beside the images still signals the
-    // truncation
+    // (ADVICE r13 #4); SKIP/LIMIT page the ordered image set (r15,
+    // VERDICT r14 order #8 — the cap was a hard truncation), with the
+    // page size still bounded by DmlReturnCap; the count beside the
+    // images signals how much remains. Edges page on eid (their
+    // immutable record id — the vertex `id` column does not exist on
+    // an edge partition), with the (src, dst) pair as the pre-eid
+    // fallback.
+    val pageKeys: Seq[org.apache.spark.sql.Column] =
+      if (part.columns.contains("id")) Seq(col("id"))
+      else if (part.columns.contains("eid")) Seq(col("eid"))
+      else Seq(col("src"), col("dst"))
+    val effLimit = math.min(
+      if (retLimit < 0) DmlReturnCap.toLong else retLimit,
+      DmlReturnCap.toLong).toInt
+    def page(df: DataFrame): Array[String] = {
+      val ordered = df.orderBy(pageKeys: _*)
+      (if (retSkip > 0) ordered.offset(retSkip.toInt) else ordered)
+        .limit(effLimit).toJSON.collect()
+    }
     val images: Option[Array[String]] = returning.collect {
-      case "BEFORE" =>
-        part.filter(hit).orderBy(col("id")).limit(DmlReturnCap).toJSON.collect()
+      case "BEFORE" => page(part.filter(hit))
       case "AFTER" =>
-        part.filter(hit).select(part.schema.fields.toSeq.map { f =>
+        page(part.filter(hit).select(part.schema.fields.toSeq.map { f =>
           sets.get(f.name).map(v => v.cast(f.dataType).as(f.name))
-            .getOrElse(col(f.name)) }: _*)
-          .orderBy(col("id")).limit(DmlReturnCap).toJSON.collect()
+            .getOrElse(col(f.name)) }: _*))
     }
     val obs = org.apache.spark.sql.Observation()
     val rewritten = part.select(part.schema.fields.toSeq.map { f =>
@@ -1411,5 +1429,111 @@ object GraphLoader {
       Checksum.pseudoHashDir(java.nio.file.Paths.get(checksumDir)))
     Store.sweep(outDir)
     ()
+  }
+
+  /** `IMPORT DATABASE '<src>'` — the inverse of [[Store.exportJson]]
+    * (the reference ships the pair [dep arcadedb SQL]; without this the
+    * JSONL interchange tree was write-only and the only restore path
+    * was BACKUP's byte copy). Re-ingests `src/schema.json` +
+    * `src/{nodes,edges}/<label>/part-*.json` into a FRESH store at
+    * `outDir` through the validated bulk-load path: each label reads
+    * with its DECLARED StructType (JSON carries no type fidelity — the
+    * registry does), undeclared label directories are refused loudly,
+    * endpoints must resolve (zero dangling — the store never holds
+    * them), UNIQUE and check constraints re-prove on the full frames,
+    * and [[writeGraphFrom]] re-derives rid-keyspace assertions,
+    * endpoint metadata, and full-text postings from the imported rows.
+    * The manifest's `eidNext` advances past the largest imported
+    * DML-allocated edge rid so post-import `CREATE EDGE` can never
+    * double-assign. Returns the number of records imported.
+    *
+    * Scale: per label ONE distributed JSON scan with an explicit
+    * schema (no inference pass), one partitioned parquet write; the
+    * validations are the same aggregates every bulk load pays. */
+  def importJson(spark: SparkSession, srcDir: String, outDir: String): Long = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(srcDir)
+    require(Files.isRegularFile(root.resolve("schema.json")),
+      s"$srcDir is not an EXPORT DATABASE tree (no schema.json)")
+    // fresh directory, or a store whose manifest references no labels
+    // (the dialect route: CREATE an empty database, IMPORT into it —
+    // ArcadeDB's empty-database requirement [dep]); anything holding
+    // records is refused, never merged into
+    if (Files.exists(Store.manifestPath(outDir))) {
+      val m0 = Store.readManifest(outDir)
+      require(m0.nodes.isEmpty && m0.edges.isEmpty,
+        s"import target $outDir already holds records — IMPORT DATABASE " +
+          "fills a fresh or empty store (drop the types first, or point elsewhere)")
+    }
+    val gs = graft.model.GraphSchema.fromJson(
+      Files.readString(root.resolve("schema.json")))
+    import scala.jdk.CollectionConverters._
+    def labelDirs(entity: String): Seq[(String, String)] = {
+      val e = root.resolve(entity)
+      if (!Files.isDirectory(e)) Nil
+      else {
+        val s = Files.list(e)
+        try s.iterator().asScala.filter(Files.isDirectory(_))
+          .map(p => p.getFileName.toString -> p.toString).toList.sortBy(_._1)
+        finally s.close()
+      }
+    }
+    def readEntity(entity: String, sys: Seq[StructField],
+        emptyBase: StructType): DataFrame = {
+      val kind = if (entity == "nodes") "vertex" else "edge"
+      val frames = labelDirs(entity).map { case (label, dir) =>
+        val ls = gs.labels.find(l => l.label == label && l.kind == kind)
+          .getOrElse(throw new IllegalArgumentException(
+            s"import rejected: $entity/$label is not declared in the " +
+              "exported schema.json"))
+        spark.read.schema(StructType(sys ++ ls.schema.fields)).json(dir)
+          .withColumn("label", lit(label))
+      }
+      frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
+        .getOrElse(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(emptyBase :+ StructField("label", StringType))))
+    }
+    val n = readEntity("nodes", Seq(StructField("id", LongType)),
+      StructType(Seq(StructField("id", LongType)))).localCheckpoint(true)
+    val e = readEntity("edges",
+      Seq(StructField("src", LongType), StructField("dst", LongType),
+        StructField("eid", LongType)),
+      StructType(Seq(StructField("src", LongType), StructField("dst", LongType))))
+      .localCheckpoint(true)
+    // the store's no-dangling invariant, re-proven on the interchange
+    // rows (a hand-edited or truncated tree must not become a store)
+    val (resolved, dangling) = resolveEdges(n, e)
+    val nDangling = dangling.count()
+    require(nDangling == 0, {
+      val sample = dangling.select(col("label"), col("src"), col("dst"))
+        .limit(3).collect()
+        .map(r => s"${r.getString(0)}(${r.getLong(1)}->${r.getLong(2)})")
+        .mkString(", ")
+      s"import rejected: $nDangling edge(s) reference missing endpoints: $sample"
+    })
+    val uviol = validateUnique(n, e, gs)
+    require(uviol.isEmpty, {
+      val sample = uviol.limit(3).collect()
+        .map(r => s"${r.getString(0)}.${r.getString(1)}=${r.getString(2)} " +
+          s"(${r.getLong(3)}×)").mkString(", ")
+      s"import rejected: UNIQUE violation(s): $sample"
+    })
+    requireConstraints(n, e, gs, "import")
+    writeGraphFrom(spark, outDir, n, resolved, gs, checksumDir = srcDir)
+    // burn the DML edge-rid high-water mark: imported rows may carry
+    // allocated ids (>= EidDmlBase) — a fresh manifest restarting at
+    // the base would hand them out again (an edge-less tree has no eid
+    // column at all — nothing to burn)
+    val maxEid =
+      if (e.columns.contains("eid")) e.agg(max(col("eid"))).head
+      else org.apache.spark.sql.Row(null)
+    if (!maxEid.isNullAt(0) && maxEid.getLong(0) >= EidDmlBase)
+      StoreLock.withWriteLock(outDir) {
+        val m = Store.readManifest(outDir)
+        Store.writeManifest(outDir, m.copy(seq = m.seq + 1,
+          eidNext = maxEid.getLong(0) + 1))
+      }
+    n.count() + e.count()
   }
 }

@@ -80,14 +80,22 @@ object RandomWalks {
     // deg(cur) times. blocks pre-partitions on u before the checkpoint
     // so every step's join reuses that layout and shuffles only the
     // walk side.
-    val blocks = adj
+    val blockRows = adj
       .withColumn("blk", expr(s"CAST((idx - 1) DIV $BlockSize AS INT)"))
       .groupBy(col("u"), col("blk"))
       .agg(expr("transform(sort_array(collect_list(struct(idx, w))), x -> x.w)")
         .as("nbrs"))
       .join(deg, Seq("u"))
-      .repartition(col("u")).sortWithinPartitions(col("u"))
-      .localCheckpoint(true) // probed once per step
+    // the u-keyed layout is SIZE-CONDITIONAL (r15, VERDICT r14 watch
+    // #2, same gate as Centrality.biView): below the threshold the
+    // per-step exchange of a small block frame costs less than the
+    // build shuffle it would save (the r14 sf0.1 walks tax,
+    // 3.5→5.65 s); at ×100 the layout is what keeps each step from
+    // re-exchanging the 100M-row block frame
+    val blocks =
+      (if (edges.count() * 2 < Centrality.BiLayoutMinRows) blockRows
+       else blockRows.repartition(col("u")).sortWithinPartitions(col("u")))
+        .localCheckpoint(true) // probed once per step
     var st = deg.select(col("u").as("start"), col("u").as("cur"),
       col("u").cast("string").as("walk"))
     (1 to length).foreach { t =>

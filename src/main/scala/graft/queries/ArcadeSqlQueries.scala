@@ -544,6 +544,21 @@ object ArcadeSqlQueries {
       Some("""SELECT c_name AS name, c_mktsegment AS mktsegment FROM customer
         WHERE c_acctbal > 9000 ORDER BY name""")),
 
+    // FROM schema:types — the catalog-as-rows spelling (r15, VERDICT
+    // r14 missing #3): the registry served as a queryable constant
+    // frame (bucket id = declaration position, the bucketed-rid
+    // numbering); the oracle renders the SAME registry as a VALUES
+    // table, so a drifted declaration fails the hash
+    Q("asql_schema_types",
+      asql("SELECT name, kind, properties, bucket FROM schema:types ORDER BY bucket"),
+      Some {
+        val rows = GraphLoader.schema.labels.zipWithIndex.map { case (l, i) =>
+          s"('${l.label}','${l.kind}',CAST(${l.schema.fields.length} AS BIGINT)," +
+            s"CAST($i AS BIGINT))"
+        }
+        s"SELECT * FROM (VALUES ${rows.mkString(",")}) AS t(name, kind, properties, bucket)"
+      }),
+
     // MATCH … {optional: true}: the left-join step — customers keep a
     // row even with zero orders (order columns null), the dialect's
     // OPTIONAL MATCH analog; where on the optional node applies INSIDE

@@ -25,6 +25,26 @@ class ArcadeSqlSpec extends SparkSpec {
     assert(edges.columns.take(3).toSeq == Seq("src", "dst", "label"))
   }
 
+  test("SELECT FROM schema:types serves the registry as rows (r15)") {
+    val rows = run("SELECT name, kind, properties, bucket FROM schema:types ORDER BY bucket")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == gs.labels.zipWithIndex.map { case (l, i) =>
+      (l.label, l.kind, l.schema.fields.length.toLong, i.toLong) })
+    // the catalog frame composes with WHERE/projection like any scan
+    val edges = run("SELECT name FROM schema:types WHERE kind = 'edge'")
+      .collect().map(_.getString(0)).toSet
+    assert(edges == gs.edgeLabels.toSet)
+    // bucket ids match the bucketed-rid numbering (RidSource's)
+    val cBucket = rows.find(_._1 == "Customer").get._4
+    assert(gs.labels(cBucket.toInt).label == "Customer")
+    // registry-only: the plan is a local constant, never a data scan
+    val plan = run("SELECT FROM schema:types").queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"), plan)
+    // unknown catalogs stay loud
+    val e = intercept[IllegalArgumentException](run("SELECT FROM schema:indexes"))
+    assert(e.getMessage.contains("unknown schema catalog"))
+  }
+
   test("WHERE predicates match the Column twin") {
     val got = run("SELECT name FROM Customer WHERE mktsegment = 'BUILDING' AND acctbal > 1000")
       .collect().map(_.getString(0)).toSet

@@ -379,6 +379,47 @@ class LoadSpec extends SparkSpec {
       "UPDATE Customer SET mktsegment = 'Y' UPSERT RETURN AFTER WHERE id = 1000042"))
   }
 
+  test("UPDATE RETURN image paging: SKIP/LIMIT across the cap (r15)") {
+    val out = Files.createTempDirectory("graftretpage").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    import graft.server.Dml
+    // Order matches 1500 rows at sf0.001 — ABOVE DmlReturnCap (1000):
+    // the unpaged form truncates to the cap, the SKIP page fetches the
+    // remainder, and the two pages union to the full matched id set
+    val total = storeNodes(out).filter(col("label") === "Order").count()
+    assert(total > GraphLoader.DmlReturnCap,
+      s"fixture too small for a cap-crossing page test: $total")
+    def ids(rows: Seq[String]): Seq[Long] =
+      rows.map(r => """"id":(\d+)""".r.findFirstMatchIn(r).get.group(1).toLong)
+    val p0 = Dml.executeReturning(spark, out,
+      "UPDATE Order SET status = 'PG' RETURN AFTER")
+    assert(p0.count == total &&
+      p0.returned.get.size == GraphLoader.DmlReturnCap)
+    val p1 = Dml.executeReturning(spark, out,
+      s"UPDATE Order SET status = 'PG' RETURN AFTER SKIP ${GraphLoader.DmlReturnCap}")
+    assert(p1.returned.get.size == total - GraphLoader.DmlReturnCap)
+    val all = ids(p0.returned.get.toSeq) ++ ids(p1.returned.get.toSeq)
+    assert(all.distinct.size == total.toInt, "pages overlap or drop records")
+    // pages are id-ordered and contiguous: page 2 starts past page 1
+    assert(ids(p0.returned.get.toSeq).max < ids(p1.returned.get.toSeq).min)
+    // an explicit LIMIT under the cap pages precisely
+    val p2 = Dml.executeReturning(spark, out,
+      "UPDATE Order SET status = 'PG' RETURN BEFORE SKIP 5 LIMIT 10")
+    assert(p2.returned.get.size == 10)
+    assert(ids(p2.returned.get.toSeq) == ids(p0.returned.get.toSeq).slice(5, 15))
+    // LIMIT above the cap clamps to it (the response-size bound holds)
+    val p3 = Dml.executeReturning(spark, out,
+      "UPDATE Order SET status = 'PG' RETURN AFTER LIMIT 999999")
+    assert(p3.returned.get.size == GraphLoader.DmlReturnCap)
+    // a SKIP past the matched set is an empty page, count intact
+    val p4 = Dml.executeReturning(spark, out,
+      "UPDATE Order SET status = 'PG' RETURN AFTER SKIP 100000")
+    assert(p4.count == total && p4.returned.get.isEmpty)
+    // RETURN COUNT refuses the paging clauses loudly
+    intercept[IllegalArgumentException](Dml.executeReturning(spark, out,
+      "UPDATE Order SET status = 'PG' RETURN COUNT LIMIT 5"))
+  }
+
   test("ALTER TYPE lifecycle: rename preserves data, constraints, indexes, rids; settings round-trip") {
     val out = Files.createTempDirectory("graftalt").toString
     GraphLoader.writeGraph(spark, sfDir, out)
@@ -1155,6 +1196,70 @@ class LoadSpec extends SparkSpec {
     val r1 = graft.server.Dml.executeReturning(spark, out, "CHECK DATABASE")
     assert(r1.count >= 1)
     assert(r1.returned.get.exists(_.contains("\"check\":\"missing_generation\"")))
+  }
+
+  test("IMPORT DATABASE: EXPORT round-trip — counts, rids, eidNext, CHECK-clean (r15)") {
+    import java.nio.file.Paths
+    val out = Files.createTempDirectory("graftimpsrc").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    // burn a DML-allocated edge rid so the round-trip must restore the
+    // eidNext high-water mark (a fresh manifest restarting at the base
+    // would double-assign it)
+    assert(graft.server.Dml.execute(spark, out,
+      "CREATE EDGE PLACED FROM 1000001 TO 10000001") == 1)
+    val eidNextSrc = graft.load.Store.readManifest(out).eidNext
+    assert(eidNextSrc > GraphLoader.EidDmlBase)
+    val dest = Files.createTempDirectory("graftimpexp").toString + "/exp"
+    val nExp = graft.server.Dml.execute(spark, out, s"EXPORT DATABASE '$dest'")
+    // import into a FRESH directory (the CLI route's body)
+    val out2 = Files.createTempDirectory("graftimpdst").toString + "/store"
+    val nImp = GraphLoader.importJson(spark, dest, out2)
+    assert(nImp == nExp)
+    // CHECK DATABASE on the imported store: zero issues
+    val chk = graft.server.Dml.executeReturning(spark, out2, "CHECK DATABASE")
+    assert(chk.count == 0 && chk.returned.get.last.contains("\"issues\":0"))
+    // per-label counts and rid SETS match the source exactly
+    val (n1, e1) = (storeNodes(out), storeEdges(out))
+    val (n2, e2) = (storeNodes(out2), storeEdges(out2))
+    assert(n1.groupBy("label").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet ==
+      n2.groupBy("label").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet)
+    assert(n1.select("id").except(n2.select("id")).count() == 0
+      && n2.select("id").except(n1.select("id")).count() == 0)
+    assert(e1.select("eid").except(e2.select("eid")).count() == 0
+      && e2.select("eid").except(e1.select("eid")).count() == 0)
+    // types survive the JSON hop via the declared schema (JSON itself
+    // carries no fidelity): Part.psize comes back integral, tags array
+    val part2 = n2.filter(col("label") === "Part")
+    assert(part2.schema("psize").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(part2.schema("tags").dataType.isInstanceOf[
+      org.apache.spark.sql.types.ArrayType])
+    assert(graft.load.Store.readManifest(out2).eidNext == eidNextSrc)
+    // the imported store SERVES, postings rebuilt from the imported
+    // rows (CONTAINSTEXT routes through the fresh index)
+    val g2 = GraphLoader.openGraph(spark, out2)
+    val served = graft.query.ArcadeSql.compile(g2, GraphLoader.schema,
+      "SELECT name FROM Part WHERE name CONTAINSTEXT 'dget'")
+    assert(served.queryExecution.executedPlan.toString.contains("ft/nodes/Part/name"))
+    assert(served.count() > 0)
+    // refusal: a target already holding records
+    val eNon = intercept[IllegalArgumentException](
+      GraphLoader.importJson(spark, dest, out2))
+    assert(eNon.getMessage.contains("already holds records"))
+    // refusal: a hand-damaged tree (Region removed → IN_REGION dangles)
+    graft.load.Store.deleteRecursively(Paths.get(s"$dest/nodes/Region"))
+    val out3 = Files.createTempDirectory("graftimpdst3").toString + "/store"
+    val eDang = intercept[IllegalArgumentException](
+      GraphLoader.importJson(spark, dest, out3))
+    assert(eDang.getMessage.contains("missing endpoints"))
+    // refusal: an UNDECLARED label directory
+    Files.createDirectories(Paths.get(s"$dest/nodes/Rogue"))
+    val out4 = Files.createTempDirectory("graftimpdst4").toString + "/store"
+    val eRogue = intercept[IllegalArgumentException](
+      GraphLoader.importJson(spark, dest, out4))
+    assert(eRogue.getMessage.contains("not declared"))
   }
 
   test("staged transaction generations survive interleaved sweeps (code-review r8)") {
