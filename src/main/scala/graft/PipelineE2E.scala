@@ -88,6 +88,14 @@ object PipelineE2E {
       .toSeq.toDF("doc_id", "text", "lang", "source")
     def nCanaries(df: DataFrame, salt: String, n: Int): Long =
       Pipeline.detectCanaries(df, "text", n, salt).head.getLong(1)
+    // per-stage clean-canary ledger: when the end-of-pipeline canary
+    // invariant fails, the first question is WHICH stage ate them —
+    // the ×100 debugging loop without this was a guess (bloom? dedup?)
+    var canaryLedger = List.newBuilder[String]
+    def ledger(stage: String, df: DataFrame): Unit = {
+      val n = nCanaries(df, cleanSalt, 64)
+      canaryLedger += s""""$stage":$n"""
+    }
     val docs = raw.select(col("doc_id"), col("text"), col("lang"), col("source"))
       .unionByName(cleanCanaries).unionByName(leakCanaries)
       .localCheckpoint(true)
@@ -100,6 +108,7 @@ object PipelineE2E {
       docs.join(Pipeline.qualityGate(docs, "doc_id", "text", "lang", rules)
         .filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
     })
+    ledger("gate", gated)
 
     // 2. span scrub: cut repeated passages, keep the documents
     val scrubbed = stage("scrub_spans", {
@@ -109,20 +118,36 @@ object PipelineE2E {
         .filter(length(col("text")) > 0)
         .select("doc_id", "text", "lang", "source")
     })
+    ledger("scrub_spans", scrubbed)
 
     // 3. near-dup groups, quality-aware canonical selection
     val deduped = stage("dedup_keep_best", {
       scrubbed.join(Dedup.keepBest(scrubbed, "doc_id", "text", 16, 4)
         .filter(col("kept")).select("doc_id"), Seq("doc_id"), "left_semi")
     })
+    ledger("dedup_keep_best", deduped)
 
-    // 4. bloom decontamination against the benchmark slice
+    // 4. bloom decontamination against the benchmark slice. The
+    // bitmap is SIZED FROM THE BENCHMARK (bloomBitsFor), not
+    // hard-coded: the first ×100 run of this harness used the ×10
+    // run's fixed 2^18 bits, the 10×-larger benchmark slice
+    // saturated it (fill ≈ 0.8), and the resulting ~40% per-shingle
+    // false-positive rate deleted 48 of the 64 clean canaries — the
+    // exact silent over-flagging failure the canary invariant below
+    // exists to catch. bloomWords now also fail-louds past 50% fill.
+    // 32 bits/shingle here, not the operator's 10-bit default: the
+    // kill rule is n_hits > 0, so a doc dies on ONE false-positive
+    // shingle and the hard all-canaries-survive invariant below needs
+    // fpr ≈ 2e-4 (0.33^4 at 10 bits ≈ 1.2% lost a canary doc roughly
+    // one run in twelve — observed before this sizing).
     val cleaned = stage("decontaminate_bloom", {
+      val mBits = Pipeline.bloomBitsFor(benchmark, "text", 8, bitsPerShingle = 32)
       deduped.join(
         Pipeline.decontaminateBloom(deduped, benchmark, "doc_id", "text",
-          8, 1 << 18, 4).select("doc_id"),
+          8, mBits, 4).select("doc_id"),
         Seq("doc_id"), "left_anti")
     })
+    ledger("decontaminate_bloom", cleaned)
 
     // 5. α-tempered language mix (keep rare languages whole)
     val mixed = stage("mix_temperature",
@@ -177,7 +202,8 @@ object PipelineE2E {
     val cleanOut = nCanaries(export, cleanSalt, 64)
     val canaryLine = s"""{"stage":"canary_verdict","contaminated_in_export":$contaminated,""" +
       s""""leak_husks_in_export":$leakHusks,"clean_at_decon":$cleanAtDecon,""" +
-      s""""clean_in_export":$cleanOut}"""
+      s""""clean_in_export":$cleanOut,""" +
+      s""""clean_ledger":{${canaryLedger.result().mkString(",")}}}"""
     println(canaryLine); acc += canaryLine
 
     val totalSec = (System.nanoTime() - t0) / 1e9

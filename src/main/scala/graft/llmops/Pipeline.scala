@@ -942,6 +942,31 @@ object Pipeline {
     * the operator's own motivating size (eval suites of hundreds of
     * millions of shingles) that is multi-GB of driver heap to build a
     * ~mBits/8-byte bitmap; now the driver holds exactly the bitmap. */
+  /** Size a Bloom bitmap for a benchmark: `bitsPerShingle` × the
+    * benchmark's EXACT distinct shingle count, rounded up to a word
+    * boundary. At 10 bits/shingle and k = 4 the expected fill is
+    * 1 − e^(−0.4) ≈ 0.33 and the false-positive rate ≈ 1.2% — far
+    * under the [[bloomWords]] saturation guard. This is the sizing a
+    * caller MUST do when the benchmark scale isn't fixed: the ×100
+    * PipelineE2E run proved a hard-coded mBits is a silent kill
+    * switch (a 2^18-bit map sized for a 500-doc slice saturated at
+    * the 5000-doc slice and false-positived 48 of 64 clean canaries
+    * out of the corpus — over-flagging is only "the safe direction"
+    * while the rate stays calibrated). One exact count-distinct
+    * aggregate over the benchmark; the corpus is never touched. */
+  def bloomBitsFor(evalDocs: DataFrame, textCol: String, n: Int,
+      bitsPerShingle: Int = 10): Int = {
+    require(bitsPerShingle > 0, "bitsPerShingle must be positive")
+    val distinct = evalDocs
+      .select(explode(graft.plans.NGramMd5(TextOps.tokens(col(textCol)), n, 8)).as("h"))
+      .agg(countDistinct(col("h"))).head.getLong(0)
+    val want = math.max(64L, distinct * bitsPerShingle.toLong)
+    val bits = ((want + 63) / 64) * 64
+    require(bits <= Int.MaxValue - 63,
+      s"benchmark needs $bits bloom bits (> 2^31): shard the benchmark or lower bitsPerShingle")
+    bits.toInt
+  }
+
   def bloomWords(evalDocs: DataFrame, textCol: String, n: Int,
       mBits: Int, k: Int): Seq[Long] = {
     require(mBits > 0 && mBits % 64 == 0, "mBits must be a positive multiple of 64")
@@ -957,7 +982,16 @@ object Pipeline {
         expr("shiftleft(1L, cast(p % 64 as int))").as("b"))
       .groupBy(col("w")).agg(bit_or(col("b")).as("bits"))
       .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
-    (0 until mBits / 64).map(i => words.getOrElse(i, 0L))
+    val out = (0 until mBits / 64).map(i => words.getOrElse(i, 0L))
+    // Saturation guard (×100 E2E lesson): past ~50% fill the k=4
+    // false-positive rate crosses 6% and the gate starts deleting
+    // CLEAN documents wholesale — fail loudly instead of silently
+    // over-flagging. fill ≈ 1 − e^(−k·n/m); size via [[bloomBitsFor]].
+    val fill = out.iterator.map(java.lang.Long.bitCount(_).toLong).sum.toDouble / mBits
+    require(fill <= 0.5,
+      f"bloom bitmap saturated (fill = $fill%.2f > 0.50): mBits=$mBits is undersized " +
+        "for this benchmark — size it with Pipeline.bloomBitsFor")
+    out
   }
 
   def decontaminateBloom(corpus: DataFrame, evalDocs: DataFrame, idCol: String,

@@ -154,13 +154,20 @@ object Refresh {
     * gate in the composed order, so un-gated spam must not become a
     * boilerplate authority), the band index over the gated+SCRUBBED
     * corpus (dedup sees clean text). Resident frames must carry
-    * `seqCol` (monotone arrival order; plain monotone ids qualify). */
+    * `seqCol` (monotone arrival order; plain monotone ids qualify).
+    *
+    * `mBits ≤ 0` auto-sizes the Bloom bitmap from the benchmark
+    * ([[Pipeline.bloomBitsFor]], 32 bits/shingle — the serving gate's
+    * kill rule is n_hits > 0, so the false-positive rate must stay
+    * ~2e-4, the ×100 PipelineE2E calibration lesson); a positive
+    * value is honored as given and [[Pipeline.bloomWords]] fail-louds
+    * past 50% fill either way. */
   def buildEpoch(spark: SparkSession, cacheRoot: String, key: String,
       resident: DataFrame, evalDocs: DataFrame,
       idCol: String, seqCol: String, textCol: String, langCol: String,
       rules: Pipeline.GateRules,
       windowTokens: Int = 16, numPerms: Int = 16, bands: Int = 4,
-      bloomN: Int = 8, mBits: Int = 1 << 18, k: Int = 4): Epoch = {
+      bloomN: Int = 8, mBits: Int = 0, k: Int = 4): Epoch = {
     val gated = gate(resident, idCol, textCol, langCol, rules)
       .localCheckpoint(true) // consumed by the span build AND the scrub probe
     val knobKey = epochCacheKey(key, windowTokens, numPerms, bands, rules)
@@ -169,8 +176,12 @@ object Refresh {
     val scrubbed = scrub(spanIndex, gated, idCol, textCol, windowTokens)
     val bandIndex = persisted(spark, cacheRoot, s"$knobKey-band")(
       epochBandIndex(scrubbed, idCol, seqCol, textCol, numPerms, bands))
-    val words = Pipeline.bloomWords(evalDocs, textCol, bloomN, mBits, k)
-    Epoch(spanIndex, bandIndex, BloomSpec(words, bloomN, mBits, k),
+    val bits =
+      if (mBits > 0) mBits
+      else if (evalDocs.isEmpty) 64 // all-zero bitmap; no benchmark registered
+      else Pipeline.bloomBitsFor(evalDocs, textCol, bloomN, bitsPerShingle = 32)
+    val words = Pipeline.bloomWords(evalDocs, textCol, bloomN, bits, k)
+    Epoch(spanIndex, bandIndex, BloomSpec(words, bloomN, bits, k),
       rules, windowTokens, numPerms, bands)
   }
 
@@ -201,7 +212,7 @@ object Refresh {
       label: String, textCol: String, langCol: String,
       rules: Pipeline.GateRules, evalDocs: Option[DataFrame] = None,
       windowTokens: Int = 16, numPerms: Int = 16, bands: Int = 4,
-      bloomN: Int = 8, mBits: Int = 1 << 18, k: Int = 4): (Epoch, Boolean) = {
+      bloomN: Int = 8, mBits: Int = 0, k: Int = 4): (Epoch, Boolean) = {
     import org.apache.spark.sql.functions.{col, lit}
     val key = graft.load.IndexKeys.key(s"epoch-$label", storeDir)
     val fresh = !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(

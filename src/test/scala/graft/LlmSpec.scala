@@ -961,6 +961,26 @@ class LlmSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("bloom saturation fails loudly; bloomBitsFor sizes it back under the guard") {
+    val evalDocs = docs.filter($"source" === "src0")
+    // a deliberately tiny bitmap saturates on the full src0 shingle set
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.bloomWords(evalDocs, "text", 8, 64, 4)
+    }
+    assert(e.getMessage.contains("saturated"))
+    // bloomBitsFor: exact distinct shingles × 10 bits, word-aligned
+    val distinct = evalDocs
+      .select(explode(graft.plans.NGramMd5(TextOps.tokens($"text"), 8, 8)).as("h"))
+      .distinct().count()
+    val mBits = Pipeline.bloomBitsFor(evalDocs, "text", 8)
+    assert(mBits >= distinct * 10 && mBits % 64 == 0 &&
+      mBits - (distinct * 10) < 64)
+    // the sized bitmap builds under the guard with the expected fill band
+    val words = Pipeline.bloomWords(evalDocs, "text", 8, mBits, 4)
+    val fill = words.iterator.map(java.lang.Long.bitCount(_).toLong).sum.toDouble / mBits
+    assert(fill > 0.1 && fill <= 0.5, s"fill $fill outside the sized band")
+  }
+
   test("forced eval-side broadcasts refuse loudly beyond the row ceiling") {
     val corpus = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
     val evalDocs = Seq((10L, "a b c d e f g h i j k l")).toDF("doc_id", "text")
