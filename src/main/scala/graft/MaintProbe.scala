@@ -94,6 +94,35 @@ object MaintProbe {
       s""""backup_files":$copied,"append_5k_sec":$append1Sec,""" +
       s""""append2_5k_sec":$append2Sec,"ft_segments":$ftSegs1,""" +
       s""""containstext_hits":$hits,"sf":"$sfDir"}""")
+
+    // EXPORT → IMPORT round-trip posture (round 15: the IMPORT
+    // newcomer gets the family probe discipline). Export the CLONE
+    // (it now carries the two appended batches — the bigger frame),
+    // re-ingest the JSONL tree through the validated bulk-load path
+    // into a fresh store, and prove the row count round-trips. The
+    // interesting scale question is whether import stays one
+    // distributed JSON scan + the standard bulk-load validations —
+    // i.e. the same O(rows) as the original load, no inference pass.
+    val expDir = s"$dest-export"
+    val impDir = s"$dest-import"
+    try {
+      val te = System.nanoTime()
+      val nExported = Store.exportJson(spark, dest, expDir)
+      val exportSec = secs(te)
+      val ti = System.nanoTime()
+      val nImported = GraphLoader.importJson(spark, expDir, impDir)
+      val importSec = secs(ti)
+      require(nImported == nExported,
+        s"round-trip lost records: exported $nExported, imported $nImported")
+      val nDst = Store.readEntity(spark, impDir, "nodes").count()
+      require(nDst == nDocs + 10000,
+        s"imported store holds $nDst docs, expected ${nDocs + 10000}")
+      println(s"""{"metric":"import_probe","records":$nImported,""" +
+        s""""export_sec":$exportSec,"import_sec":$importSec,"sf":"$sfDir"}""")
+    } finally {
+      Store.tryDeleteRecursively(java.nio.file.Paths.get(expDir))
+      Store.tryDeleteRecursively(java.nio.file.Paths.get(impDir))
+    }
     } finally {
       Store.deleteRecursively(java.nio.file.Paths.get(dest))
       spark.stop()
