@@ -50,18 +50,27 @@ object GraphProbe {
       .collect().map(r => s""""${r.getInt(0)}":${r.getLong(1)}""").mkString(",")
 
     // the replaced level peel, timed beside the h-index fixpoint AND
-    // asserted identical on the full dense graph (VERDICT r12 order #5)
-    val tp = System.nanoTime()
-    val corePeel = KCore.corenessPeel(edges).localCheckpoint(true)
-    val sPeel = (System.nanoTime() - tp) / 1e9
-    val diverged = core.join(
-        corePeel.withColumnRenamed("core", "cp"), Seq("n"), "full_outer")
-      .filter(!(col("core") <=> col("cp"))).count()
-    require(diverged == 0, s"h-index coreness diverged from the peel on $diverged vertices")
+    // asserted identical on the full dense graph (VERDICT r12 order #5).
+    // SPARK_GRAFT_PROBE_PEEL=0 skips it (LOUDLY — the JSON says so):
+    // the peel is the REFERENCE implementation, ~10× the h-index cost,
+    // and at ×100 its only job (the equality assert) re-proves what the
+    // sf0.1/×10 runs already hold on the identical disjoint-copy
+    // structure.
+    val runPeel = sys.env.get("SPARK_GRAFT_PROBE_PEEL").forall(_ != "0")
+    val peelJson = if (runPeel) {
+      val tp = System.nanoTime()
+      val corePeel = KCore.corenessPeel(edges).localCheckpoint(true)
+      val sPeel = (System.nanoTime() - tp) / 1e9
+      val diverged = core.join(
+          corePeel.withColumnRenamed("core", "cp"), Seq("n"), "full_outer")
+        .filter(!(col("core") <=> col("cp"))).count()
+      require(diverged == 0, s"h-index coreness diverged from the peel on $diverged vertices")
+      s""""coreness_peel_sec":$sPeel,"peel_equal":true,"""
+    } else """"peel_skipped":true,"""
 
     println(s"""{"probe":"kcore","edges":$nEdges,"core3_vertices":$c3,""" +
       s""""core3_sec":$s3,"max_core":$maxCore,"coreness_sec":$s,""" +
-      s""""coreness_peel_sec":$sPeel,"peel_equal":true,""" +
+      peelJson +
       s""""top_cores":{$top}}""")
     }
 
