@@ -159,6 +159,7 @@ object Bench {
     // node2vec follows the uncapped form's non-headline rule
     // (GraphProbe times both)
     "asql_schema_types",
+    "pipeline_decontaminate_bloom_sized",
     "multimodal_meta",
     "multimodal_frames",
     "multimodal_resize",

@@ -1043,6 +1043,47 @@ object LlmQueries {
           SELECT doc_id, count(*) AS n_hits FROM cp WHERE $conds GROUP BY doc_id"""
       }),
 
+    // ✚ BENCHMARK-SIZED bloom decontamination (round 15): the same
+    // gate with mBits derived from the benchmark itself
+    // (Pipeline.bloomBitsFor — exact distinct-shingle count × 10
+    // bits, word-aligned, floor 64). The ×100 E2E run proved a
+    // hard-coded mBits is a silent kill switch at the first scale
+    // jump; this query makes the CALIBRATION itself oracle-checked —
+    // the DuckDB twin recomputes mb with the identical integer
+    // arithmetic and uses it as the modulus, so a sizing drift of
+    // even one word flips bit positions and the hash.
+    Q("pipeline_decontaminate_bloom_sized",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val bench = docs.filter(col("source") === "src0")
+        val mBits = Pipeline.bloomBitsFor(bench, "text", 8)
+        Pipeline.decontaminateBloom(
+          docs.filter(col("source") =!= "src0"), bench,
+          "doc_id", "text", 8, mBits, BloomK)
+      },
+      Some {
+        val perms = Dedup.permParams(BloomK)
+        val vals = perms.map { case (a, b) => s"($a,$b)" }.mkString(",")
+        val conds = perms.map { case (a, b) =>
+          s"(($a * hm + $b) % ${Dedup.P31}) % (SELECT mb FROM mbits) " +
+            "IN (SELECT bit FROM bits)"
+        }.mkString(" AND ")
+        s"""WITH sh AS (SELECT doc_id, source, ${sqlHexFold("md5(shv)", 8)} AS h
+            FROM (SELECT doc_id, source,
+              unnest(list_transform(generate_series(1, len(tk) - 7),
+                i -> array_to_string(tk[i:i+7], ' '))) AS shv
+              FROM (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents) t
+              WHERE len(tk) >= 8) raw),
+          ev AS (SELECT DISTINCT h FROM sh WHERE source = 'src0'),
+          mbits AS (SELECT ((greatest(64, count(*) * 10) + 63) // 64) * 64 AS mb
+            FROM ev),
+          pm AS (SELECT * FROM (VALUES $vals) p(a, b)),
+          bits AS (SELECT DISTINCT ((a * (h % ${Dedup.P31}) + b) % ${Dedup.P31})
+              % (SELECT mb FROM mbits) AS bit FROM ev CROSS JOIN pm),
+          cp AS (SELECT doc_id, h % ${Dedup.P31} AS hm FROM sh WHERE source <> 'src0')
+          SELECT doc_id, count(*) AS n_hits FROM cp WHERE $conds GROUP BY doc_id"""
+      }),
+
     // ✚ contamination REPORT (Pipeline.deconReport): the audit face of
     // decontamination — per burned EVAL doc, how many corpus docs hit
     // it and how many of its own distinct shingles are compromised.
