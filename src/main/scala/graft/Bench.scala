@@ -160,6 +160,7 @@ object Bench {
     // (GraphProbe times both)
     "asql_schema_types",
     "pipeline_decontaminate_bloom_sized",
+    "sim_ivfpq_residual_topk",
     "multimodal_meta",
     "multimodal_frames",
     "multimodal_resize",

@@ -77,6 +77,29 @@ object IvfProbe {
     println(s"""{"probe":"ivfpq_index","src":"$src","build_sec":$buildPq,""" +
       s""""cold_serve_sec":$coldPq,"inmem_serve_sec":$warmPq,"rows":$nColdPq,""" +
       s""""recall_at_10":$recall}""")
+
+    // RESIDUAL IVF-PQ (round 15): same layout, codes encode
+    // r = unit(v) − c_cell (IVFADC) — the marker-governed decode must
+    // keep the cold route equal to the in-memory residual route, at
+    // the same (id, codes, rn) narrow-page serve cost
+    val dir3 = "target/ivfpqres_probe"
+    val t3 = System.nanoTime()
+    val (cents3, books3) = Similarity.buildIvfPqIndex(
+      emb, "vec_id", "embedding", 16, 4, 16, 256, dir3, source = Some(src),
+      residual = true)
+    val buildRes = (System.nanoTime() - t3) / 1e9
+    val (coldRes, nColdRes) = time(
+      Similarity.ivfPqIndexTopK(spark, dir3, qids, 4, 10, source = Some(src)).count())
+    val (warmRes, nWarmRes) = time(
+      Similarity.ivfPqResidualTopKWith(emb, "vec_id", "embedding", cents3,
+        books3, 4, qids, 10).count())
+    assert(nColdRes == nWarmRes, s"residual route mismatch: $nColdRes vs $nWarmRes")
+    val gotRes = Similarity.ivfPqIndexTopK(spark, dir3, qids, 4, 10, source = Some(src))
+      .select(col("qid"), col("nn")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallRes = gotRes.intersect(exact).size.toDouble / exact.size
+    println(s"""{"probe":"ivfpq_residual_index","src":"$src","build_sec":$buildRes,""" +
+      s""""cold_serve_sec":$coldRes,"inmem_serve_sec":$warmRes,"rows":$nColdRes,""" +
+      s""""recall_at_10":$recallRes}""")
     spark.stop()
   }
 }

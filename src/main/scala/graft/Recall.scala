@@ -105,6 +105,29 @@ object Recall {
       emb, "vec_id", "embedding", pqBooks, qids, k))
     val pqRerank = recallOf(Similarity.pqRerankTopK(
       emb, "vec_id", "embedding", 4, 16, qids, k))
+    // the composed IVF-PQ rung (round 15 — the r14 newcomer joins the
+    // recall ladder): coarse cells prune the scan, ADC shortlists on
+    // codes, exact re-rank on the shortlist; its recall compounds the
+    // IVF probe miss AND the ADC shortlist miss, so it must sit at or
+    // below min(trained_ivf, pq_rerank) — the honest composed number
+    val ivfPq = recallOf(Similarity.ivfPqTopKWith(
+      emb, "vec_id", "embedding", cents, pqBooks, 4, qids, k))
+    // residual-encoded IVFADC (round 15): codes spend their resolution
+    // on within-cell variation — the clustered-corpus fix
+    val residBooks = Similarity.trainResidualPqCodebooks(
+      emb, "vec_id", "embedding", cents, 4, 16, nTrain)
+    val ivfPqR = recallOf(Similarity.ivfPqResidualTopKWith(
+      emb, "vec_id", "embedding", cents, residBooks, 4, qids, k))
+    // uncapped pair isolates CODE quality from the hot-cell cap (the
+    // same device as the ivf uncapped pair above): on a clustered
+    // corpus every true neighbor shares the query's cell, so the cap
+    // — not the codes — bounds the capped numbers
+    val ivfPqU = recallOf(Similarity.ivfPqTopKWith(
+      emb, "vec_id", "embedding", cents, pqBooks, 4, qids, k,
+      capPerCell = Int.MaxValue))
+    val ivfPqRU = recallOf(Similarity.ivfPqResidualTopKWith(
+      emb, "vec_id", "embedding", cents, residBooks, 4, qids, k,
+      capPerCell = Int.MaxValue))
     // cross-corpus LSH join recall: exact τ-pairs between the even/odd
     // halves are ground truth (brute-force, probe-scale only); the
     // bucketed join's pairs are a subset by construction, so recall =
@@ -132,7 +155,9 @@ object Recall {
       f""""trained_ivf":$trained%.4f,"sampled_ivf_uncapped":$sampledU%.4f,""" +
       f""""trained_ivf_uncapped":$trainedU%.4f,""" +
       f""""int8":$quantized%.4f,"pq":$pq%.4f,"pq_trained":$pqTrained%.4f,""" +
-      f""""pq_rerank":$pqRerank%.4f,""" +
+      f""""pq_rerank":$pqRerank%.4f,"ivfpq":$ivfPq%.4f,""" +
+      f""""ivfpq_residual":$ivfPqR%.4f,""" +
+      f""""ivfpq_uncapped":$ivfPqU%.4f,"ivfpq_residual_uncapped":$ivfPqRU%.4f,""" +
       f""""cross_join_pairs":$crossRecall%.4f,"cross_join_truth_n":${exactPairs.size},""" +
       f""""sf_dir":"$sfDir"}""")
     spark.stop()

@@ -764,6 +764,101 @@ object Similarity {
       .select(col("qid"), col("nn"), col("rank"), col("cos"))
   }
 
+  /** Unit-vector column — the cosine-geometry projection ([[trainKMeans]]'s
+    * normalization, re-applied at encode time): x/|v| per element, zero
+    * vectors map to zero. Cosine is scale-invariant in its second
+    * argument, so ranking against a reconstruction of unit(v) EQUALS
+    * ranking against a reconstruction of v — encoding the unit vector
+    * loses nothing and puts residuals on the centroids' scale. */
+  private def unitCol(vc: Column, nv: Column): Column =
+    transform(vc, x => when(nv === 0d, lit(0.0)).otherwise(x / nv))
+
+  /** Literal (cell → centroid) lookup. [[trainKMeans]] ids are dense
+    * 0..k−1 by construction (seed order); enforced here because
+    * element_at indexing silently mis-addresses a sparse id space. */
+  private def centroidOfCell(centroids: Seq[(Long, Seq[Double])],
+      cell: Column): Column = {
+    val sorted = centroids.sortBy(_._1)
+    require(sorted.map(_._1) == (0L until sorted.length.toLong),
+      s"centroid ids must be dense 0..${sorted.length - 1}")
+    element_at(array(sorted.map { case (_, cv) =>
+      array(cv.map(lit): _*) }: _*), cell.cast("int") + lit(1))
+  }
+
+  /** (id, v, nv, cell, r) — every vector's RESIDUAL against its
+    * assigned coarse centroid, in unit-vector space: r = unit(v) −
+    * c_cell. The IVFADC refinement's input (Jégou et al., PAMI'11 §IV):
+    * raw-vector PQ codes collapse on a clustered corpus (all true
+    * neighbors share a cell and quantize near-identically — measured
+    * recall@10 0.07 on the 16-cluster MoG corpus vs 0.37 structureless),
+    * while residuals carry exactly the within-cell variation ADC needs
+    * to rank. Map-only over broadcast-literal centroids. */
+  private def residualFrame(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nv", norm(col("v")))
+    v.withColumn("cell", ivfCell(col("v"), col("nv"), centroids))
+      .withColumn("r", zip_with(unitCol(col("v"), col("nv")),
+        centroidOfCell(centroids, col("cell")), (a, b) => a - b))
+  }
+
+  /** PQ codebooks trained on coarse-cell RESIDUALS — [[trainPqCodebooks]]
+    * fed the residual frame (its internal grid-round then applies to
+    * the residuals; components are < 2², so the ≤2²⁰-term exact-sum
+    * bound holds with bits to spare and the DuckDB twin replays the
+    * training bit-for-bit). */
+  def trainResidualPqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Seq[Double])], m: Int, nCodes: Int, nTrain: Int,
+      iters: Int = 2): IndexedSeq[IndexedSeq[Array[Double]]] =
+    trainPqCodebooks(residualFrame(emb, idCol, vecCol, centroids),
+      idCol, "r", m, nCodes, nTrain, iters)
+
+  /** IVF-PQ with RESIDUAL encoding — the full IVFADC formulation:
+    * [[ivfPqTopKWith]] encodes raw vectors, which is the right cost
+    * shape but quantizes a clustered cell's members onto near-identical
+    * codes (the ADC shortlist then cannot rank within the cell — the
+    * measured MoG collapse above); here each row stores codes of
+    * r = unit(v) − c_cell and ADC scores cos(q, c_cell + recon(r)), so
+    * the codes spend their 2^codeBits resolution on the within-cell
+    * variation that actually discriminates neighbors. Same pipeline
+    * shape and ONE shuffle as the raw form; same (score desc, nn asc)
+    * determinism, so the DuckDB twin replays it bit-for-bit. */
+  def ivfPqResidualTopKWith(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Long, Seq[Double])],
+      codebooks: IndexedSeq[IndexedSeq[Array[Double]]],
+      nProbe: Int, queryIds: Seq[Long], k: Int, overfetch: Int = 4,
+      capPerCell: Int = CandidateCap): DataFrame = {
+    require(overfetch > 0, "overfetch must be positive")
+    val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nv", norm(col("v")))
+    val assigned = capPerKey(
+      v.withColumn("cell", ivfCell(col("v"), col("nv"), centroids)),
+      "cell", idCol, capPerCell)
+      .withColumn("r", zip_with(unitCol(col("v"), col("nv")),
+        centroidOfCell(centroids, col("cell")), (a, b) => a - b))
+      .withColumn("recon", zip_with(centroidOfCell(centroids, col("cell")),
+        pqReconstruct(pqCodes(col("r"), codebooks), codebooks), (a, b) => a + b))
+      .withColumn("rn", norm(col("recon")))
+    val probed = v.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), col("v").as("qv"), col("nv").as("qn"))
+      .select(col("qid"), col("qv"), col("qn"),
+        explode(ivfProbes(col("qv"), centroids, nProbe)).as("cell"))
+    val cand = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col(idCol) =!= col("qid"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc").desc, col("nn").asc)
+    val wEx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nn").asc)
+    cand
+      .select(col("qid"), col(idCol).as("nn"),
+        (dot(col("qv"), col("recon")) / (col("qn") * col("rn"))).as("adc"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nv"))).as("cos"))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= k * overfetch)
+      .withColumn("rank", row_number().over(wEx)).filter(col("rank") <= k)
+      .select(col("qid"), col("nn"), col("rank"), col("cos"))
+  }
+
   /** PERSISTED IVF-PQ index — [[buildIvfIndex]]'s layout with the PQ
     * codes MATERIALIZED per row: `cells/` is partitioned by cell id
     * (probe-time partition pruning, the disk-level 100 TB lever) and
@@ -775,10 +870,12 @@ object Similarity {
     * so serving never re-derives it. Returns (centroids, codebooks). */
   def buildIvfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
       kCells: Int, m: Int, nCodes: Int, nTrain: Int, outDir: String,
-      source: Option[String] = None)
+      source: Option[String] = None, residual: Boolean = false)
       : (Seq[(Long, Seq[Double])], IndexedSeq[IndexedSeq[Array[Double]]]) = {
     val cents = trainKMeans(emb, idCol, vecCol, kCells, nTrain)
-    val books = trainPqCodebooks(emb, idCol, vecCol, m, nCodes, nTrain)
+    val books =
+      if (residual) trainResidualPqCodebooks(emb, idCol, vecCol, cents, m, nCodes, nTrain)
+      else trainPqCodebooks(emb, idCol, vecCol, m, nCodes, nTrain)
     val spark = emb.sparkSession
     import spark.implicits._
     cents.map { case (cid, cv) => (cid, cv) }.toDF("cid", "cv")
@@ -790,10 +887,31 @@ object Similarity {
     val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nv", norm(col("v")))
     val assigned = v.withColumn("cell", ivfCell(col("v"), col("nv"), cents))
-    assigned
-      .withColumn("codes", pqCodes(col("v"), books))
-      .withColumn("rn", norm(pqReconstruct(col("codes"), books)))
+    // residual layout: codes encode r = unit(v) − c_cell and `rn` is
+    // the FULL reconstruction's norm (c_cell + recon(r)) — serving
+    // needs only (codes, rn, cell) for ADC either way, so the page
+    // shape and the narrow-scan property are identical to the raw form
+    val encoded =
+      if (residual) {
+        val withR = assigned.withColumn("r",
+          zip_with(unitCol(col("v"), col("nv")),
+            centroidOfCell(cents, col("cell")), (a, b) => a - b))
+          .withColumn("codes", pqCodes(col("r"), books))
+        withR.withColumn("rn", norm(zip_with(centroidOfCell(cents, col("cell")),
+            pqReconstruct(col("codes"), books), (a, b) => a + b)))
+          .drop("r")
+      } else assigned
+        .withColumn("codes", pqCodes(col("v"), books))
+        .withColumn("rn", norm(pqReconstruct(col("codes"), books)))
+    encoded
       .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/cells")
+    // layout marker: a serve call MUST reconstruct in the geometry the
+    // codes were built in — a raw-decode of residual codes would be
+    // silently wrong, so the flag lives in the layout, not the caller
+    if (residual) java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/residual.marker"), "residual\n")
+    else java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$outDir/residual.marker"))
     // slim qid→cell side table, RANGE-laid on id so a serve call's
     // pushed In filter prunes to the matching row groups (ADVICE r14
     // #4: filtering the cells by id scanned every partition of the
@@ -876,9 +994,18 @@ object Similarity {
     // ADC pass: codes + rn column pages only — the narrow scan
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("adc").desc, col("nn").asc)
+    // residual layouts reconstruct c_cell + recon(codes) — the marker
+    // travels with the layout so a serve call can never decode residual
+    // codes in raw geometry (silently wrong answers) or vice versa
+    val isResidual = java.nio.file.Files.isRegularFile(
+      java.nio.file.Paths.get(s"$indexDir/residual.marker"))
+    val reconCol =
+      if (isResidual) zip_with(centroidOfCell(cents, col("cell")),
+        pqReconstruct(col("codes"), books), (a, b) => a + b)
+      else pqReconstruct(col("codes"), books)
     val shortlist = pruned
       .select(col("cell"), col(idCol).as("nn"),
-        pqReconstruct(col("codes"), books).as("rv"), col("rn"))
+        reconCol.as("rv"), col("rn"))
       .join(broadcast(q), Seq("cell"))
       .filter(col("nn") =!= col("qid"))
       .select(col("qid"), col("nn"),

@@ -2237,6 +2237,102 @@ class LlmSpec extends SparkSpec {
     assert(rows(got) == rows(ivf))
   }
 
+  test("residual IVF-PQ: all-cells + huge overfetch degenerates to exact IVF") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = Similarity.trainKMeans(emb, "vec_id", "embedding", 8, 128)
+    val books = Similarity.trainResidualPqCodebooks(
+      emb, "vec_id", "embedding", cents, 4, 16, 128)
+    // overfetch must cover EVERY candidate (8 cells × 128 cap = 1024 ≤
+    // 5·256) for the degeneracy to be exact — a shortlist that cuts
+    // anything keeps the ADC ordering in play
+    val got = Similarity.ivfPqResidualTopKWith(
+      emb, "vec_id", "embedding", cents, books, 8, Seq(0L), 5, overfetch = 256)
+    val ivf = Similarity.ivfTopKWith(emb, "vec_id", "embedding", cents, 8, Seq(0L), 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"qid", $"nn", $"rank", round($"cos", 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(rows(got) == rows(ivf))
+  }
+
+  test("residual IVF-PQ: within-cell ranking beats raw codes on a clustered corpus") {
+    import spark.implicits._
+    // two crisp direction-clusters; within each, members differ only in
+    // a small per-member perturbation — raw-vector PQ maps all members
+    // of a cluster onto near-identical codes (ADC can't rank inside the
+    // cell), residual codes encode exactly the perturbation. splitmix64
+    // components — deterministic, no RNG state.
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    def unif(s: Long): Double = (mix(s) >>> 11).toDouble / (1L << 53).toDouble
+    val dim = 64
+    val emb = (0L until 256L).map { id =>
+      val c = (id % 2).toInt // cluster by parity: ids 0/1 seed both books
+      val v = Array.tabulate(dim) { d =>
+        val base = if (c == 0) (if (d < 32) 4.0 else 0.0) else (if (d < 32) 0.0 else 4.0)
+        (base + 0.5 * (unif(id * 131L + d) - 0.5)).toFloat
+      }
+      (id, v)
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.trainKMeans(emb, "vec_id", "embedding", 2, 128)
+    val raw = Similarity.trainPqCodebooks(emb, "vec_id", "embedding", 4, 16, 128)
+    val resid = Similarity.trainResidualPqCodebooks(
+      emb, "vec_id", "embedding", cents, 4, 16, 128)
+    val qids = (0L until 8L).toSeq
+    val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, 10)
+      .select($"qid", $"nn").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select($"qid", $"nn").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val per = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size }
+      per.sum / per.size
+    }
+    val rRaw = recallOf(Similarity.ivfPqTopKWith(
+      emb, "vec_id", "embedding", cents, raw, 1, qids, 10))
+    val rRes = recallOf(Similarity.ivfPqResidualTopKWith(
+      emb, "vec_id", "embedding", cents, resid, 1, qids, 10))
+    assert(rRes > rRaw,
+      s"residual codes should out-rank raw codes within a cell: $rRes vs $rRaw")
+    assert(rRes >= 0.5, s"residual recall unexpectedly low: $rRes")
+  }
+
+  test("residual IVF-PQ: persisted route equals in-memory; marker governs decode") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqr").toString
+    val (cents, books) = Similarity.buildIvfPqIndex(
+      emb, "vec_id", "embedding", 8, 4, 16, 128, dir, residual = true)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val cold = Similarity.ivfPqIndexTopK(spark, dir, qids, 2, 10)
+    val warm = Similarity.ivfPqResidualTopKWith(
+      emb, "vec_id", "embedding", cents, books, 2, qids, 10)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select($"qid", $"nn", $"rank", round($"cos", 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(shape(cold) == shape(warm))
+    val plan = cold.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      plan.take(2000))
+    // a raw rebuild over the same dir must RETIRE the marker — stale
+    // residual decode of raw codes would be silently wrong
+    Similarity.buildIvfPqIndex(
+      emb, "vec_id", "embedding", 8, 4, 16, 128, dir, residual = false)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/residual.marker")))
+    val coldRaw = Similarity.ivfPqIndexTopK(spark, dir, qids, 2, 10)
+    val warmRaw = Similarity.ivfPqTopKWith(
+      emb, "vec_id", "embedding", cents,
+      Similarity.trainPqCodebooks(emb, "vec_id", "embedding", 4, 16, 128),
+      2, qids, 10)
+    assert(shape(coldRaw) == shape(warmRaw))
+  }
+
   test("lengthBuckets: power-of-two ladder, truncation at the cap, exact padding") {
     import spark.implicits._
     def doc(id: Long, n: Int) = (id, Seq.fill(n)("w").mkString(" "))
