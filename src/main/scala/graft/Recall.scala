@@ -115,7 +115,7 @@ object Recall {
     // residual-encoded IVFADC (round 15): codes spend their resolution
     // on within-cell variation — the clustered-corpus fix
     val residBooks = Similarity.trainResidualPqCodebooks(
-      emb, "vec_id", "embedding", cents, 4, 16, nTrain)
+      emb, "vec_id", "embedding", cents, 4, 16, nTrain, iters)
     val ivfPqR = recallOf(Similarity.ivfPqResidualTopKWith(
       emb, "vec_id", "embedding", cents, residBooks, 4, qids, k))
     // uncapped pair isolates CODE quality from the hot-cell cap (the

@@ -562,8 +562,14 @@ object Similarity {
     // slim qid→cell side table, id-range-laid (the IVF-PQ build's
     // shape — ADVICE r14 #4 applies to this route identically: a serve
     // call's query fetch must prune to the queries' cells, not scan
-    // every partition of the index)
-    assigned.select(col(idCol), col("cell"))
+    // every partition of the index). Read (id, cell) BACK from the
+    // just-written cells (narrow column pages + partition values) —
+    // re-deriving them from `assigned` would re-run the whole corpus
+    // scan + k-centroid assignment pass a second time (code-review
+    // r15; the ivfCell scaladoc calls that pass the build's dominant
+    // cost)
+    emb.sparkSession.read.parquet(s"$outDir/cells")
+      .select(col(idCol), col("cell").cast("long").as("cell"))
       .repartitionByRange(8, col(idCol)).sortWithinPartitions(col(idCol))
       .write.mode("overwrite").parquet(s"$outDir/ids")
     // unified freshness (load.IndexKeys, r13 order #9): record which
@@ -612,9 +618,18 @@ object Similarity {
         val qc = spark.read.parquet(idsDir.toString)
           .filter(col(idCol).isin(distinctQ: _*))
           .collect().map(r => (r.getLong(0), r.getLong(1)))
-        require(qc.length == distinctQ.size,
-          s"ivfIndexTopK: ${distinctQ.size - qc.length} of ${distinctQ.size} " +
-            s"query ids are not in the index at $indexDir")
+        // two separate loud failures (code-review r15): a plain
+        // length == size compare reported "-1 ids missing" when a
+        // RE-APPENDED id had left duplicate side-table rows
+        val found = qc.map(_._1)
+        val missing = distinctQ.filterNot(found.toSet)
+        require(missing.isEmpty,
+          s"ivfIndexTopK: ${missing.size} of ${distinctQ.size} query ids " +
+            s"are not in the index at $indexDir (e.g. ${missing.take(3).mkString(", ")})")
+        require(found.distinct.length == found.length,
+          s"ivfIndexTopK: duplicate index rows for query id(s) " +
+            s"${found.diff(found.distinct).distinct.take(3).mkString(", ")} at " +
+            s"$indexDir — an id was re-appended; rebuild the index")
         cells.filter(col("cell").isin(qc.map(_._2).distinct.toIndexedSeq: _*) &&
           col(idCol).isin(distinctQ: _*))
       } else cells.filter(col(idCol).isin(distinctQ: _*))
@@ -915,8 +930,12 @@ object Similarity {
     // slim qid→cell side table, RANGE-laid on id so a serve call's
     // pushed In filter prunes to the matching row groups (ADVICE r14
     // #4: filtering the cells by id scanned every partition of the
-    // index to locate the queries) — 16 bytes/row, never the vectors
-    assigned.select(col(idCol), col("cell"))
+    // index to locate the queries) — 16 bytes/row, never the vectors.
+    // Read back from the just-written cells rather than re-executing
+    // `assigned` (code-review r15: the unmaterialized plan re-ran the
+    // corpus scan + assignment + encode a second time)
+    spark.read.parquet(s"$outDir/cells")
+      .select(col(idCol), col("cell").cast("long").as("cell"))
       .repartitionByRange(8, col(idCol)).sortWithinPartitions(col(idCol))
       .write.mode("overwrite").parquet(s"$outDir/ids")
     source.foreach(graft.load.IndexKeys.stamp(outDir, _))
@@ -963,9 +982,18 @@ object Similarity {
         val qc = spark.read.parquet(idsDir.toString)
           .filter(col(idCol).isin(distinctQ: _*))
           .collect().map(r => (r.getLong(0), r.getLong(1)))
-        require(qc.length == distinctQ.size,
-          s"ivfPqIndexTopK: ${distinctQ.size - qc.length} of ${distinctQ.size} " +
-            s"query ids are not in the index at $indexDir")
+        // split failures like ivfIndexTopK (code-review r15): missing
+        // ids and duplicate side-table rows are different defects and
+        // a combined length compare mis-reports both
+        val found = qc.map(_._1)
+        val missing = distinctQ.filterNot(found.toSet)
+        require(missing.isEmpty,
+          s"ivfPqIndexTopK: ${missing.size} of ${distinctQ.size} query ids " +
+            s"are not in the index at $indexDir (e.g. ${missing.take(3).mkString(", ")})")
+        require(found.distinct.length == found.length,
+          s"ivfPqIndexTopK: duplicate index rows for query id(s) " +
+            s"${found.diff(found.distinct).distinct.take(3).mkString(", ")} at " +
+            s"$indexDir — an id was re-appended; rebuild the index")
         cells.filter(col("cell").isin(qc.map(_._2).distinct.toIndexedSeq: _*) &&
           col(idCol).isin(distinctQ: _*))
       } else cells.filter(col(idCol).isin(distinctQ: _*))

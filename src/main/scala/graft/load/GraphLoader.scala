@@ -1520,6 +1520,25 @@ object GraphLoader {
       s"import rejected: UNIQUE violation(s): $sample"
     })
     requireConstraints(n, e, gs, "import")
+    // rid uniqueness, re-proven on the interchange rows (the
+    // appendNodes/appendEdges invariant: one rid, one record — a
+    // duplicated line in a hand-edited tree must not import into a
+    // store where #id addresses two rows and rid UPDATEs fan out)
+    val dupN = n.groupBy(col("id")).count().filter(col("count") > 1)
+    require(dupN.isEmpty, {
+      val sample = dupN.select(col("id")).limit(5).collect()
+        .map(_.getLong(0)).mkString(", ")
+      s"import rejected: duplicate node id(s): $sample"
+    })
+    if (e.columns.contains("eid")) {
+      val dupE = e.filter(col("eid").isNotNull)
+        .groupBy(col("eid")).count().filter(col("count") > 1)
+      require(dupE.isEmpty, {
+        val sample = dupE.select(col("eid")).limit(5).collect()
+          .map(_.getLong(0)).mkString(", ")
+        s"import rejected: duplicate edge record id(s): $sample"
+      })
+    }
     writeGraphFrom(spark, outDir, n, resolved, gs, checksumDir = srcDir)
     // burn the DML edge-rid high-water mark: imported rows may carry
     // allocated ids (>= EidDmlBase) — a fresh manifest restarting at

@@ -112,6 +112,13 @@ object PageRank {
       seeds: Seq[Long], iters: Int, resetProb: Double = 0.15): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     require(seeds.nonEmpty, "need at least one seed vertex")
+    // the teleport vector is defined on a seed SET: a duplicated id
+    // would pass the membership count below yet build duplicate
+    // seedTele/rank rows, fanning every per-round join into
+    // double-counted mass — malformed input, refused loudly
+    require(seeds.distinct.length == seeds.length,
+      s"personalizedPageRankDf: ${seeds.length - seeds.distinct.length} " +
+        "duplicate seed id(s) — seeds must be distinct")
     val spark = vertices.sparkSession
     import spark.implicits._
     val v = vertices.select(col("id")).localCheckpoint(true)
