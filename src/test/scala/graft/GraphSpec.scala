@@ -302,6 +302,12 @@ class GraphSpec extends SparkSpec {
     // unreached vertex is EXACTLY zero; the seed holds the reset floor
     assert(got(4L) == 0.0)
     assert(got(1L) == 0.15 * 4.0)
+    // duplicate seeds refuse loudly (code-review r15: they passed the
+    // distinct-count membership check yet built duplicate teleport
+    // rows that double-counted mass through every round's join)
+    val eDup = intercept[IllegalArgumentException](graft.operators.PageRank
+      .personalizedPageRankDf(v, e, Seq(1L, 1L, 2L), 2))
+    assert(eDup.getMessage.contains("duplicate seed"))
   }
 
   test("personalizedPageRankDf on the fixture graph: mass localizes around the seeds") {

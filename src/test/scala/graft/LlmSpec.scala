@@ -2406,6 +2406,16 @@ class LlmSpec extends SparkSpec {
       .select($"nn").collect().map(_.getLong(0)).toSet
     assert(after.exists(_ >= split), s"appended vectors absent: ${after.size}")
     assert(before.subsetOf(after))
+    // RE-appending an existing id leaves duplicate index rows: a serve
+    // naming that id must fail with the duplicate diagnosis, not the
+    // old "-1 ids missing" mis-report (code-review r15); other queries
+    // keep serving
+    Similarity.appendToIvfIndex(spark, dir,
+      emb.filter($"vec_id" === 0L), "vec_id", "embedding")
+    val eDup = intercept[IllegalArgumentException](
+      Similarity.ivfIndexTopK(spark, dir, Seq(0L, 1L), 8, 10).collect())
+    assert(eDup.getMessage.contains("duplicate index rows"), eDup.getMessage)
+    assert(Similarity.ivfIndexTopK(spark, dir, Seq(1L), 8, 10).count() == 10)
   }
 
   test("hardNegatives: nearest cross-label only; same-label neighbors never appear") {

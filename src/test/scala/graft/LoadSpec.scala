@@ -1248,6 +1248,24 @@ class LoadSpec extends SparkSpec {
     val eNon = intercept[IllegalArgumentException](
       GraphLoader.importJson(spark, dest, out2))
     assert(eNon.getMessage.contains("already holds records"))
+    // refusal: a duplicated interchange line (code-review r15 — one
+    // rid must never address two records; Region has no UNIQUE
+    // property, so only the rid guard can catch this)
+    val regionParts = Files.list(Paths.get(s"$dest/nodes/Region")).iterator()
+    val partFile = {
+      import scala.jdk.CollectionConverters._
+      regionParts.asScala.filter(_.getFileName.toString.endsWith(".json")).toSeq.head
+    }
+    val firstLine = Files.readAllLines(partFile).get(0)
+    Files.writeString(partFile, firstLine + "\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    // drop Hadoop's local-FS checksum sidecar: the hand-edit must reach
+    // the reader as data, not die as a ChecksumException
+    Files.deleteIfExists(partFile.resolveSibling("." + partFile.getFileName + ".crc"))
+    val outDup = Files.createTempDirectory("graftimpdup").toString + "/store"
+    val eDup = intercept[IllegalArgumentException](
+      GraphLoader.importJson(spark, dest, outDup))
+    assert(eDup.getMessage.contains("duplicate node id"))
     // refusal: a hand-damaged tree (Region removed → IN_REGION dangles)
     graft.load.Store.deleteRecursively(Paths.get(s"$dest/nodes/Region"))
     val out3 = Files.createTempDirectory("graftimpdst3").toString + "/store"
