@@ -128,6 +128,16 @@ object Recall {
     val ivfPqRU = recallOf(Similarity.ivfPqResidualTopKWith(
       emb, "vec_id", "embedding", cents, residBooks, 4, qids, k,
       capPerCell = Int.MaxValue))
+    // the 32-BIT residual rung (r16, VERDICT r15 order #3): m=8
+    // sub-quantizers on the same residual machinery — #85 measured the
+    // 16-bit budget as the binding constraint on crisp MoG
+    val residBooks8 = Similarity.trainResidualPqCodebooks(
+      emb, "vec_id", "embedding", cents, 8, 16, nTrain, iters)
+    val ivfPqR8 = recallOf(Similarity.ivfPqResidualTopKWith(
+      emb, "vec_id", "embedding", cents, residBooks8, 4, qids, k))
+    val ivfPqR8U = recallOf(Similarity.ivfPqResidualTopKWith(
+      emb, "vec_id", "embedding", cents, residBooks8, 4, qids, k,
+      capPerCell = Int.MaxValue))
     // cross-corpus LSH join recall: exact τ-pairs between the even/odd
     // halves are ground truth (brute-force, probe-scale only); the
     // bucketed join's pairs are a subset by construction, so recall =
@@ -158,6 +168,7 @@ object Recall {
       f""""pq_rerank":$pqRerank%.4f,"ivfpq":$ivfPq%.4f,""" +
       f""""ivfpq_residual":$ivfPqR%.4f,""" +
       f""""ivfpq_uncapped":$ivfPqU%.4f,"ivfpq_residual_uncapped":$ivfPqRU%.4f,""" +
+      f""""ivfpq_residual_m8":$ivfPqR8%.4f,"ivfpq_residual_m8_uncapped":$ivfPqR8U%.4f,""" +
       f""""cross_join_pairs":$crossRecall%.4f,"cross_join_truth_n":${exactPairs.size},""" +
       f""""sf_dir":"$sfDir"}""")
     spark.stop()

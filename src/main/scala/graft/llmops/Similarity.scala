@@ -483,6 +483,21 @@ object Similarity {
     * so Catalyst reuses one exchange — no extra shuffle. */
   val CandidateCap = 128
 
+  /** Overfetch-aware effective per-cell cap for the IVF-PQ paths (r16,
+    * VERDICT r15 order #3): the measured MoG ladder showed the BY-ID
+    * cap, not the codes, binding the capped paths (capped residual
+    * 0.095 vs capped-EXACT-IVF 0.145 — even perfect scoring can't
+    * recover candidates the cap already dropped). A caller asking for
+    * a deeper shortlist (higher `overfetch`) is declaring willingness
+    * to scan more per cell, so the guard admits capPerCell × overfetch
+    * rows — still config-bounded (the hot-cell worst case scales by
+    * the same factor the caller chose), still deterministic by-id,
+    * still mirrored verbatim in the DuckDB twins. Int.MaxValue
+    * (uncapped) passes through untouched. */
+  def effectiveCap(capPerCell: Int, overfetch: Int): Int =
+    if (capPerCell == Int.MaxValue) Int.MaxValue
+    else math.min(Int.MaxValue.toLong, capPerCell.toLong * overfetch).toInt
+
   private def capPerKey(df: DataFrame, key: String, ord: String, cap: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key)).orderBy(col(ord).asc)
@@ -756,7 +771,7 @@ object Similarity {
       .withColumn("nv", norm(col("v")))
     val assigned = capPerKey(
       v.withColumn("cell", ivfCell(col("v"), col("nv"), centroids)),
-      "cell", idCol, capPerCell)
+      "cell", idCol, effectiveCap(capPerCell, overfetch))
       .withColumn("rv", pqReconstruct(pqCodes(col("v"), codebooks), codebooks))
       .withColumn("rn", norm(col("rv")))
     val probed = v.filter(col(idCol).isin(queryIds: _*))
@@ -848,7 +863,7 @@ object Similarity {
       .withColumn("nv", norm(col("v")))
     val assigned = capPerKey(
       v.withColumn("cell", ivfCell(col("v"), col("nv"), centroids)),
-      "cell", idCol, capPerCell)
+      "cell", idCol, effectiveCap(capPerCell, overfetch))
       .withColumn("r", zip_with(unitCol(col("v"), col("nv")),
         centroidOfCell(centroids, col("cell")), (a, b) => a - b))
       .withColumn("recon", zip_with(centroidOfCell(centroids, col("cell")),
@@ -918,15 +933,23 @@ object Similarity {
       } else assigned
         .withColumn("codes", pqCodes(col("v"), books))
         .withColumn("rn", norm(pqReconstruct(col("codes"), books)))
-    encoded
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/cells")
     // layout marker: a serve call MUST reconstruct in the geometry the
     // codes were built in — a raw-decode of residual codes would be
-    // silently wrong, so the flag lives in the layout, not the caller
+    // silently wrong, so the flag lives in the layout, not the caller.
+    // Written BEFORE the cells and double-checked against a per-row
+    // `geom` column that rides the codes themselves (ADVICE r15: the
+    // old marker-last order meant a crash between the cells overwrite
+    // and the marker write/delete left codes the serve path silently
+    // decoded in the wrong geometry; now any marker-vs-codes mismatch
+    // fails loudly at serve — the column is a constant, so parquet RLE
+    // stores it in a few bytes per row group)
+    val geom = if (residual) "residual" else "raw"
     if (residual) java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/residual.marker"), "residual\n")
     else java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$outDir/residual.marker"))
+    encoded.withColumn("geom", lit(geom))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/cells")
     // slim qid→cell side table, RANGE-laid on id so a serve call's
     // pushed In filter prunes to the matching row groups (ADVICE r14
     // #4: filtering the cells by id scanned every partition of the
@@ -967,7 +990,8 @@ object Similarity {
     val books: IndexedSeq[IndexedSeq[Array[Double]]] =
       (0 until m).map(mi => (0 until nCodes).map(code => bookRows((mi, code))))
     val cells = spark.read.parquet(s"$indexDir/cells")
-    val idCol = cells.columns.filterNot(Set("v", "nv", "cell", "codes", "rn")).head
+    val idCol = cells.columns
+      .filterNot(Set("v", "nv", "cell", "codes", "rn", "geom")).head
     // query-vector fetch (ADVICE r14 #4): resolve qid→cell through the
     // slim id-sorted side table (pushed In filter → row-group pruning;
     // 16 bytes/row), then read the vectors from ONLY those cells'
@@ -1018,20 +1042,33 @@ object Similarity {
     val q = probed.toSeq.toDF("cell", "qid", "qv", "qn")
     val probeCells = probed.map(_._1).distinct.toSeq
     val pruned = capPerKey(
-      cells.filter(col("cell").isin(probeCells: _*)), "cell", idCol, capPerCell)
+      cells.filter(col("cell").isin(probeCells: _*)), "cell", idCol,
+      effectiveCap(capPerCell, overfetch))
     // ADC pass: codes + rn column pages only — the narrow scan
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("adc").desc, col("nn").asc)
     // residual layouts reconstruct c_cell + recon(codes) — the marker
     // travels with the layout so a serve call can never decode residual
-    // codes in raw geometry (silently wrong answers) or vice versa
+    // codes in raw geometry (silently wrong answers) or vice versa.
+    // The per-row `geom` column (written in the SAME job as the codes,
+    // r16) cross-checks the marker: a crash that left marker and codes
+    // out of step fails loudly here instead of decoding wrong —
+    // assert_true rides the narrow ADC scan (one constant compare per
+    // row) and returns NULL on success, so the filter keeps every row.
     val isResidual = java.nio.file.Files.isRegularFile(
       java.nio.file.Paths.get(s"$indexDir/residual.marker"))
+    val expectedGeom = if (isResidual) "residual" else "raw"
     val reconCol =
       if (isResidual) zip_with(centroidOfCell(cents, col("cell")),
         pqReconstruct(col("codes"), books), (a, b) => a + b)
       else pqReconstruct(col("codes"), books)
-    val shortlist = pruned
+    val geomChecked =
+      if (!pruned.columns.contains("geom")) pruned // pre-r16 layout
+      else pruned.filter(assert_true(col("geom") === lit(expectedGeom),
+        lit(s"ivfPqIndexTopK: index at $indexDir has codes in a geometry " +
+          s"that contradicts its residual.marker (expected $expectedGeom) " +
+          "— a build crashed between the marker and cells writes; rebuild")).isNull)
+    val shortlist = geomChecked
       .select(col("cell"), col(idCol).as("nn"),
         reconCol.as("rv"), col("rn"))
       .join(broadcast(q), Seq("cell"))

@@ -1046,6 +1046,112 @@ object GraphLoader {
     affected
   }
 
+  /** `CHECK DATABASE FIX`'s repair pass (r16, VERDICT r15 missing #2):
+    * routes the issues CHECK enumerates into repairs, ALL staged under
+    * one atomic manifest commit (a crash mid-fix leaves the old store
+    * fully intact — staged generations are unpublished orphans):
+    *
+    *   - a referenced generation directory lost on disk → SALVAGE: the
+    *     dangling manifest reference is pruned (the rows are already
+    *     gone; the reference is what gated every scan of the store),
+    *   - dangling edge endpoints — external damage, or endpoints into
+    *     a node generation the salvage just pruned → the affected edge
+    *     labels rewrite copy-on-write without those rows,
+    *   - full-text postings that are missing their directories,
+    *     declared-but-unrouted, or built over a node label the salvage
+    *     shrank → rebuilt from the surviving rows (the REBUILD INDEX
+    *     build); an UNDECLARED crash-residue postings entry whose
+    *     directory is gone is simply dropped,
+    *   - UNIQUE/constraint violations are NOT auto-fixed — dropping a
+    *     caller's rows to satisfy an index is a policy decision, not a
+    *     repair — so they stay in the post-fix CHECK report.
+    *
+    * Returns the fix-report rows (JSON, the CHECK report's dialect);
+    * empty = nothing needed fixing (and the manifest did not move). */
+  def fixStore(spark: SparkSession, outDir: String): Seq[String] =
+    StoreLock.withWriteLock(outDir) {
+      def js(s: String) = "\"" + GraphSchema.escJson(s) + "\""
+      val fixes = scala.collection.mutable.ArrayBuffer[String]()
+      val gs = GraphSchema.fromJson(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$outDir/schema.json")))
+      val txn = beginTxn(outDir)
+      try {
+        // 1. salvage: prune references to lost generation directories
+        var m = txn.manifest
+        val prunedNodeLabels = scala.collection.mutable.LinkedHashSet[String]()
+        Seq("nodes", "edges").foreach { entity =>
+          txn.manifest.gens(entity).toSeq.sortBy(_._1).foreach { case (label, gens) =>
+            val (ok, gone) = gens.partition(g =>
+              java.nio.file.Files.isDirectory(Store.genDir(outDir, entity, label, g)))
+            if (gone.nonEmpty) {
+              m = m.withGensOnly(entity, label, ok)
+              if (entity == "nodes") prunedNodeLabels += label
+              gone.foreach(g => fixes += s"""{"fix":"pruned_generation",""" +
+                s""""entity":${js(entity)},"label":${js(label)},"gen":${js(g)}}""")
+            }
+          }
+        }
+        // lost postings directories: drop the routing entry — rebuilt
+        // below when the index is declared
+        txn.manifest.ft.toSeq.sortBy(_._1.toString).foreach { case ((e, l, p), gens) =>
+          if (!gens.forall(g =>
+              java.nio.file.Files.isDirectory(Store.ftDir(outDir, e, l, p, g)))) {
+            m = m.withoutFt(e, l, p)
+            fixes += s"""{"fix":"dropped_postings","entity":${js(e)},""" +
+              s""""label":${js(l)},"property":${js(p)}}"""
+          }
+        }
+        if (fixes.nonEmpty) txn.stage(m, Nil, Nil)
+        // 2. dangling edges (one anti-join per direction finds the
+        // affected labels; each rewrites once) — reads AT the salvaged
+        // manifest, so endpoints into a pruned node generation count
+        val mNow = txn.manifest
+        val ids = Store.readEntityAt(spark, outDir, "nodes", mNow).select(col("id"))
+        val edges = Store.readEntityAt(spark, outDir, "edges", mNow)
+        val dangLabels =
+          if (!edges.columns.contains("src")) Seq.empty[String] // no edges at all
+          else edges.join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+            .select(col("label"))
+            .unionAll(edges.join(ids.withColumnRenamed("id", "dst"),
+              Seq("dst"), "left_anti").select(col("label")))
+            .distinct().collect().map(_.getString(0)).sorted.toSeq
+        dangLabels.foreach { label =>
+          val n = rewriteLabelPartition(spark, outDir, "edge", label, Some(txn)) {
+            (df, _) =>
+              val kept = df
+                .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+                .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+              (kept, df.count() - kept.count())
+          }
+          fixes += s"""{"fix":"dropped_dangling_edges","label":${js(label)},"n":$n}"""
+        }
+        // 3. declared full-text indexes that are unrouted, or routed
+        // over a node label the salvage shrank → rebuild postings from
+        // the surviving rows
+        gs.indexes.filter(_.fulltext).foreach { ix =>
+          val mCur = txn.manifest
+          if (!mCur.ft.contains(("nodes", ix.label, ix.property)) ||
+              prunedNodeLabels.contains(ix.label)) {
+            val rows = readLabelWidened(spark, outDir, "nodes", ix.label, mCur, gs)
+              .getOrElse(spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("id", LongType),
+                  org.apache.spark.sql.types.StructField(ix.property, StringType)))))
+            val post = FullText.postings(rows, ix.property)
+            val gen = Store.writeFtGen(outDir, "nodes", ix.label, ix.property,
+              mCur.seq + 1, post)
+            txn.stage(mCur.withFtGen("nodes", ix.label, ix.property, gen), Nil,
+              Seq(Store.ftDir(outDir, "nodes", ix.label, ix.property, gen)))
+            fixes += s"""{"fix":"rebuilt_fulltext","label":${js(ix.label)},""" +
+              s""""property":${js(ix.property)}}"""
+          }
+        }
+        if (fixes.isEmpty) txn.abort() else txn.commit()
+        fixes.toSeq
+      } catch { case e: Throwable => txn.abort(); throw e }
+    }
+
   /** The edge labels whose observed endpoints can reference vertex
     * label `label` — the DELETE probe's pruning set. An edge label
     * with no endpoint metadata is conservatively included. */

@@ -95,6 +95,17 @@ object Store {
       if (entity == "nodes") copy(seq = seq + 1, nodes = nodes + (label -> (cur :+ gen)))
       else copy(seq = seq + 1, edges = edges + (label -> (cur :+ gen)))
     }
+    /** CHECK DATABASE FIX salvage commit (r16): the label's gen list
+      * shrinks to exactly `gens` — a referenced directory was lost on
+      * disk and the dangling manifest reference is the damage being
+      * repaired (the rows are already gone; every scan was gated on
+      * it). An emptied list drops the key entirely: a declared label
+      * with no rows reads as the no-rows-yet shape, not an empty
+      * segment union. */
+    def withGensOnly(entity: String, label: String, keep: Seq[String]): Manifest =
+      if (keep.isEmpty) withoutLabel(entity, label)
+      else if (entity == "nodes") copy(seq = seq + 1, nodes = nodes + (label -> keep))
+      else copy(seq = seq + 1, edges = edges + (label -> keep))
     /** DROP TYPE commit: the label leaves the manifest (its gen dirs
       * become sweepable orphans); an edge label sheds its endpoint
       * metadata with it, and any label sheds its postings entries. */

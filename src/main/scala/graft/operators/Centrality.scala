@@ -71,8 +71,10 @@ object Centrality {
     * for same-session A/B probes only (0 forces the layout everywhere,
     * a huge value forces the skip) — production callers never set it. */
   val BiLayoutMinRows: Long =
-    sys.env.get("GRAFT_BILAYOUT_MIN_ROWS").map(_.toLong)
-      .getOrElse(32L * 1000 * 1000)
+    sys.env.get("GRAFT_BILAYOUT_MIN_ROWS").map { v =>
+      v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"GRAFT_BILAYOUT_MIN_ROWS must be a Long, got '$v'"))
+    }.getOrElse(32L * 1000 * 1000)
 
   /** Multi-source level-synchronous BFS. Returns one frame PER LEVEL
     * of (s, v, sigma = number of distinct shortest s→v paths, exact in

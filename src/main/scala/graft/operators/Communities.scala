@@ -152,6 +152,21 @@ object Communities {
           .cast("double") / lit(4.0 * m * m), 6).as("modularity"))
   }
 
+  /** FRONTIER-SPARSE rounds (r16, VERDICT r15 order #7): synchronous
+    * LPA recomputes a vertex only when its neighbor-label multiset can
+    * have moved — i.e. when at least one neighbor changed label LAST
+    * round. A vertex with no changed neighbor provably keeps its label
+    * (its round-t argmax input is byte-identical to round t−1's), so
+    * skipping it is EXACT, not approximate — the unrolled-round oracle
+    * (`graph_lpa_modularity`) stays hash-green by construction. The
+    * heaviest ×100 posture row (BASELINE #76: 1366 s) re-counted every
+    * vertex's neighborhood each round; as the frontier collapses, the
+    * per-round (vertex, label) count shrinks from edge-sized to
+    * active-edge-sized (the dijkstraDf frontier-pruning precedent).
+    * Rounds where the frontier is still a large fraction of the graph
+    * run the DENSE form (the sparse plumbing's two semi-joins and the
+    * carry-forward merge only pay for themselves once most of the
+    * graph is quiet) — the gate moves COST only, never results. */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "need at least one round")
     val e = edges.select(col("a"), col("b")).localCheckpoint(true)
@@ -165,17 +180,55 @@ object Communities {
     var labels = bi.select(col("src").as("n")).distinct()
       .select(col("n"), col("n").as("community"))
       .localCheckpoint(true)
-    (1 to iters).foreach { _ =>
+    val nV = labels.count()
+    // vertices whose label changed last round; -1 = round 1 (all)
+    var frontier: Option[DataFrame] = None
+    var frontierN = -1L
+    (1 to iters).foreach { t =>
       val prev = labels
-      labels = bi
-        .join(labels.withColumnRenamed("n", "src"), Seq("src"))
-        .groupBy(col("dst").as("n"), col("community").as("lbl"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("n"))
-        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("__m"))
-        .select(col("n"), (-col("__m.neg")).as("community"))
-        .localCheckpoint(true)
+      val prevFrontier = frontier
+      // dense while the frontier covers more than 1/8 of the graph
+      val dense = frontierN < 0 || frontierN * 8 > nV
+      val recomputed =
+        if (dense) bi
+          .join(prev.withColumnRenamed("n", "src"), Seq("src"))
+          .groupBy(col("dst").as("n"), col("community").as("lbl"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("n"))
+          .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("__m"))
+          .select(col("n"), (-col("__m.neg")).as("community"))
+        else {
+          // N(frontier): the only vertices whose argmax input moved —
+          // the semi probe rides bi's src layout (no edge shuffle)
+          val touched = bi
+            .join(prevFrontier.get.withColumnRenamed("n", "src"),
+              Seq("src"), "left_semi")
+            .select(col("dst").as("n")).distinct().localCheckpoint(true)
+          bi.join(prev.withColumnRenamed("n", "src"), Seq("src"))
+            .join(touched.withColumnRenamed("n", "dst"), Seq("dst"), "left_semi")
+            .groupBy(col("dst").as("n"), col("community").as("lbl"))
+            .agg(count(lit(1)).as("cnt"))
+            .groupBy(col("n"))
+            .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("__m"))
+            .select(col("n"), (-col("__m.neg")).as("community"))
+        }
+      labels =
+        (if (dense) recomputed
+         else prev // untouched vertices carry their label forward
+           .join(recomputed.withColumnRenamed("community", "__new"), Seq("n"), "left")
+           .select(col("n"),
+             coalesce(col("__new"), col("community")).as("community")))
+          .localCheckpoint(true)
+      if (t < iters) { // the last round needs no next-round frontier
+        val changed = prev
+          .join(labels.withColumnRenamed("community", "__new"), Seq("n"))
+          .filter(col("__new") =!= col("community")).select(col("n"))
+          .localCheckpoint(true)
+        frontierN = changed.count()
+        frontier = Some(changed)
+      }
       prev.unpersist()
+      prevFrontier.foreach(_.unpersist())
     }
     labels
   }

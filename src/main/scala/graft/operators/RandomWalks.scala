@@ -67,49 +67,71 @@ object RandomWalks {
   def randomWalks(edges: DataFrame, salt: String, length: Int): DataFrame = {
     require(length >= 1, "walks need at least one step")
     val (adj, deg) = adjacency(edges)
-    // block rows CARRY the vertex degree, so a step is ONE equi join on
-    // the current vertex (the r14 two-join form — pick join against the
-    // degree frame, then a (u, blk) probe — paid two shuffles per step
-    // and measured 29 s at ×10 vs this form's single join): each walk
-    // meets its vertex's deg/1024 block rows (avg 1 + |E|/(1024·|V|) ≈
-    // 1.06 — a mega-hub is a bounded per-walk fan-out, never a giant
-    // row), computes the pick from the IN-ROW degree, and keeps the
-    // single block holding it. The salted hash re-evaluates once per
-    // BLOCK row (≈ once per walk), not per neighbor — the formulation
-    // the r13 residual-predicate measurement rejected evaluated it
-    // deg(cur) times. blocks pre-partitions on u before the checkpoint
-    // so every step's join reuses that layout and shuffles only the
-    // walk side.
-    val blockRows = adj
-      .withColumn("blk", expr(s"CAST((idx - 1) DIV $BlockSize AS INT)"))
-      .groupBy(col("u"), col("blk"))
-      .agg(expr("transform(sort_array(collect_list(struct(idx, w))), x -> x.w)")
-        .as("nbrs"))
-      .join(deg, Seq("u"))
-    // the u-keyed layout is SIZE-CONDITIONAL (r15, VERDICT r14 watch
-    // #2, same gate as Centrality.biView): below the threshold the
-    // per-step exchange of a small block frame costs less than the
-    // build shuffle it would save (the r14 sf0.1 walks tax,
-    // 3.5→5.65 s); at ×100 the layout is what keeps each step from
-    // re-exchanging the 100M-row block frame
-    val blocks =
-      (if (edges.count() * 2 < Centrality.BiLayoutMinRows) blockRows
-       else blockRows.repartition(col("u")).sortWithinPartitions(col("u")))
-        .localCheckpoint(true) // probed once per step
+    // The WHOLE step shape is SIZE-CONDITIONAL (r16, VERDICT r15 weak
+    // #1 — the r15 gate only skipped the block frame's repartition, and
+    // the unconditional blocked BUILD (a groupBy(u, blk) collect_list
+    // shuffle) plus the per-step block filter measured 2.1–2.5× the
+    // recorded 3.5 s at sf0.1): below [[Centrality.BiLayoutMinRows]]
+    // the r13 two-join row-form step runs — pick against the
+    // vertex-sized degree frame, then a (u, idx) equi probe into the
+    // checkpointed adjacency, no block frame built at all. The chosen
+    // neighbor is IDENTICAL (pick = h mod deg + 1 probes the same
+    // sorted rank the blocked form reads as nbrs[(pick−1) mod 1024+1]
+    // of block (pick−1) div 1024), so the oracle replay and both
+    // node2vec twins stay hash-green across the gate.
+    val small = edges.count() * 2 < Centrality.BiLayoutMinRows
     var st = deg.select(col("u").as("start"), col("u").as("cur"),
       col("u").cast("string").as("walk"))
-    (1 to length).foreach { t =>
-      val h = graft.llmops.TextOps.md5Hash32(concat_ws("|",
-        lit(salt), col("start").cast("string"), lit(t.toString),
-        col("cur").cast("string")))
-      st = st.join(blocks, st("cur") === blocks("u"))
-        .withColumn("__pick", ((h % col("deg")) + 1).cast("int"))
-        .filter(col("blk") === expr(s"CAST((__pick - 1) DIV $BlockSize AS INT)"))
-        .withColumn("__nxt", element_at(col("nbrs"),
-          (((col("__pick") - 1) % BlockSize) + 1).cast("int")))
-        .select(col("start"), col("__nxt").as("cur"),
-          concat(col("walk"), lit("->"), col("__nxt").cast("string"))
-            .as("walk"))
+    if (small) {
+      (1 to length).foreach { t =>
+        val h = graft.llmops.TextOps.md5Hash32(concat_ws("|",
+          lit(salt), col("start").cast("string"), lit(t.toString),
+          col("cur").cast("string")))
+        val pick = st.join(deg, st("cur") === deg("u"))
+          .select(col("start"), col("cur"), col("walk"),
+            ((h % col("deg")) + 1).cast("int").as("__pick"))
+        st = pick.join(adj,
+            pick("cur") === adj("u") && pick("__pick") === adj("idx"))
+          .select(col("start"), col("w").as("cur"),
+            concat(col("walk"), lit("->"), col("w").cast("string"))
+              .as("walk"))
+      }
+    } else {
+      // block rows CARRY the vertex degree, so a step is ONE equi join
+      // on the current vertex (the r14 two-join form paid two shuffles
+      // per step and measured 29 s at ×10 vs this form's single join):
+      // each walk meets its vertex's deg/1024 block rows (avg
+      // 1 + |E|/(1024·|V|) ≈ 1.06 — a mega-hub is a bounded per-walk
+      // fan-out, never a giant row), computes the pick from the IN-ROW
+      // degree, and keeps the single block holding it. The salted hash
+      // re-evaluates once per BLOCK row (≈ once per walk), not per
+      // neighbor — the formulation the r13 residual-predicate
+      // measurement rejected evaluated it deg(cur) times. blocks
+      // pre-partitions on u before the checkpoint so every step's join
+      // reuses that layout and shuffles only the walk side — at ×100
+      // the layout is what keeps each step from re-exchanging the
+      // 100M-row block frame.
+      val blocks = adj
+        .withColumn("blk", expr(s"CAST((idx - 1) DIV $BlockSize AS INT)"))
+        .groupBy(col("u"), col("blk"))
+        .agg(expr("transform(sort_array(collect_list(struct(idx, w))), x -> x.w)")
+          .as("nbrs"))
+        .join(deg, Seq("u"))
+        .repartition(col("u")).sortWithinPartitions(col("u"))
+        .localCheckpoint(true) // probed once per step
+      (1 to length).foreach { t =>
+        val h = graft.llmops.TextOps.md5Hash32(concat_ws("|",
+          lit(salt), col("start").cast("string"), lit(t.toString),
+          col("cur").cast("string")))
+        st = st.join(blocks, st("cur") === blocks("u"))
+          .withColumn("__pick", ((h % col("deg")) + 1).cast("int"))
+          .filter(col("blk") === expr(s"CAST((__pick - 1) DIV $BlockSize AS INT)"))
+          .withColumn("__nxt", element_at(col("nbrs"),
+            (((col("__pick") - 1) % BlockSize) + 1).cast("int")))
+          .select(col("start"), col("__nxt").as("cur"),
+            concat(col("walk"), lit("->"), col("__nxt").cast("string"))
+              .as("walk"))
+      }
     }
     st.select(col("start"), col("walk"))
   }

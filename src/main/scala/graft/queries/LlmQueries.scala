@@ -105,9 +105,11 @@ object LlmQueries {
   // trained PQ codebooks, cached under the same key discipline
   private val trainedPqBooks =
     scala.collection.mutable.Map[(String, String), IndexedSeq[IndexedSeq[Array[Double]]]]()
-  // residual-PQ codebooks (round 15, IVFADC), same key discipline
+  // residual-PQ codebooks (round 15, IVFADC), same key discipline —
+  // keyed additionally by the sub-quantizer count m (r16: the 16-bit
+  // m=4 rung and the 32-bit m=8 rung train distinct books)
   private val trainedResidBooks =
-    scala.collection.mutable.Map[(String, String), IndexedSeq[IndexedSeq[Array[Double]]]]()
+    scala.collection.mutable.Map[(String, String, Int), IndexedSeq[IndexedSeq[Array[Double]]]]()
   // — both via the UNIFIED fingerprint (load.IndexKeys, r13 order #9):
   // raw parquet keys on mtime__size exactly as before; a graft-store
   // source keys on the manifest seq, so every DML commit re-keys
@@ -295,6 +297,119 @@ object LlmQueries {
       i -> array_to_string(tk[i:i+2], ' '))) AS sh
       FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t
       WHERE len(tk) >= 3"""
+
+  /** DuckDB twin of the residual IVF-PQ retrieval, parameterized on
+    * the sub-quantizer count `m` (r16, VERDICT r15 order #3): the
+    * 16-bit m=4 rung and the 32-bit m=8 rung replay the SAME chain —
+    * only the subspace count and width (dsub = 64/m) move. nCodes
+    * stays 16 (one byte-equivalent codebook per subspace; the budget
+    * rung is m, exactly the IVFADC knob), nTrain stays 256, and the
+    * per-cell candidate cap is the overfetch-aware effective cap. */
+  private def residualIvfPqOracle(m: Int): String = {
+    val dsub = 64 / m
+    require(m * dsub == 64, s"m=$m must divide the 64-dim embeddings")
+    def riter(n: Int, prev: String): String =
+      s"""rd$n AS (SELECT t.vec_id, t.m, t.s, b.code,
+          list_dot_product(t.s, t.s) - 2.0 * list_dot_product(t.s, b.c)
+            + list_dot_product(b.c, b.c) AS d2
+        FROM rsl t JOIN $prev b ON b.m = t.m),
+      ra$n AS (SELECT vec_id, m, s, code FROM (
+          SELECT vec_id, m, s, code, row_number() OVER (PARTITION BY vec_id, m
+            ORDER BY d2 ASC, code ASC) AS rn FROM rd$n) z
+        WHERE rn = 1),
+      rs$n AS (SELECT m, code, p.pos AS pos, sum(s[p.pos + 1]) AS sm, count(*) AS n
+        FROM ra$n CROSS JOIN range($dsub) p(pos) GROUP BY m, code, p.pos),
+      rm$n AS (SELECT m, code, list(sm / n ORDER BY pos) AS c FROM rs$n GROUP BY m, code),
+      rcb$n AS (SELECT b.m, b.code, coalesce(rm$n.c, b.c) AS c
+        FROM $prev b LEFT JOIN rm$n ON rm$n.m = b.m AND rm$n.code = b.code)"""
+    s"WITH $KmeansCtes, " +
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sc AS (SELECT t.vec_id, t.v, c.cid, list_dot_product(t.v, c.cv) /
+        (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
+      FROM v t CROSS JOIN c2 c),
+    cell AS (SELECT vec_id, v, cid AS cell FROM (
+        SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id
+          ORDER BY ccos DESC, cid ASC) AS rn FROM sc) z
+      WHERE rn = 1),
+    celln AS (SELECT vec_id, v, cell, row_number() OVER (PARTITION BY cell
+        ORDER BY vec_id ASC) AS crn FROM cell),
+    uv AS (SELECT vec_id, v, cell, crn, list_transform(v,
+        x -> CASE WHEN list_dot_product(v, v) = 0 THEN 0.0
+          ELSE x / sqrt(list_dot_product(v, v)) END) AS u
+      FROM celln),
+    ures AS (SELECT n.vec_id, n.cell, n.crn,
+        list_transform(generate_series(1, 64), i -> n.u[i] - c.cv[i]) AS r
+      FROM uv n JOIN c2 c ON c.cid = n.cell),
+    rtr AS (SELECT vec_id, list_transform(r,
+        x -> floor(x * 1048576.0) / 1048576.0) AS v
+      FROM ures WHERE vec_id < 256),
+    rms AS (SELECT unnest(range($m)) AS m),
+    rsl AS (SELECT vec_id, m, v[m*$dsub+1 : m*$dsub+$dsub] AS s FROM rtr CROSS JOIN rms),
+    rcb0 AS (SELECT m, vec_id AS code, v[m*$dsub+1 : m*$dsub+$dsub] AS c
+      FROM rtr CROSS JOIN rms WHERE vec_id < 16),
+    ${riter(1, "rcb0")},
+    ${riter(2, "rcb1")},
+    resl AS (SELECT vec_id, m, r[m*$dsub+1 : m*$dsub+$dsub] AS s FROM ures CROSS JOIN rms),
+    red AS (SELECT e.vec_id, e.m, b.code, b.c,
+        list_dot_product(e.s, e.s) - 2.0 * list_dot_product(e.s, b.c)
+          + list_dot_product(b.c, b.c) AS d2
+      FROM resl e JOIN rcb2 b ON b.m = e.m),
+    rchosen AS (SELECT vec_id, m, c FROM (
+        SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m
+          ORDER BY d2 ASC, code ASC) AS rn FROM red) z
+      WHERE rn = 1),
+    rrecon AS (SELECT vec_id, flatten(list(c ORDER BY m)) AS rr
+      FROM rchosen GROUP BY vec_id),
+    fullr AS (SELECT u.vec_id,
+        list_transform(generate_series(1, 64), i -> c.cv[i] + rr.rr[i]) AS rv
+      FROM ures u JOIN c2 c ON c.cid = u.cell
+      JOIN rrecon rr ON rr.vec_id = u.vec_id),
+    q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id IN (0,1,2,3,4)),
+    qsc AS (SELECT qid, qv, cid, list_dot_product(qv, cv) /
+        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS ccos
+      FROM q CROSS JOIN c2),
+    probes AS (SELECT qid, qv, cid AS cell FROM (
+        SELECT qid, qv, cid, row_number() OVER (PARTITION BY qid
+          ORDER BY ccos DESC, cid ASC) AS rn FROM qsc) z
+      WHERE rn <= 4),
+    cand AS (SELECT p.qid, p.qv, m.vec_id AS nn, m.v AS mv, f.rv
+      FROM probes p JOIN celln m ON m.cell = p.cell AND m.vec_id <> p.qid
+      JOIN fullr f ON f.vec_id = m.vec_id
+      WHERE m.crn <= ${Similarity.effectiveCap(Similarity.CandidateCap, 4)}),
+    adc AS (SELECT qid, qv, nn, mv, list_dot_product(qv, rv) /
+        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(rv, rv))) AS adc
+      FROM cand),
+    sl AS (SELECT qid, qv, nn, mv FROM (
+        SELECT qid, qv, nn, mv, row_number() OVER (PARTITION BY qid
+          ORDER BY adc DESC, nn ASC) AS arn FROM adc) z
+      WHERE arn <= 40),
+    ex AS (SELECT qid, nn, list_dot_product(qv, mv) /
+        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(mv, mv))) AS cos
+      FROM sl),
+    r AS (SELECT qid, nn, cos, CAST(row_number() OVER (PARTITION BY qid
+      ORDER BY cos DESC, nn ASC) AS INTEGER) AS rank FROM ex)
+    SELECT qid, nn, rank, round(cos, 6) AS cos FROM r WHERE rank <= 10"""
+  }
+
+  /** Spark side of the residual rungs, shared by the m=4 and m=8
+    * declared queries — same trained centroids, per-m residual books
+    * under the fingerprint cache discipline. */
+  private def residualIvfPqQuery(m: Int)(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val cents = trainedCentroids.synchronized {
+      trainedCentroids.getOrElseUpdate((d, embFingerprint(d)),
+        Similarity.trainKMeans(emb, "vec_id", "embedding", 16, 256))
+    }
+    val books = trainedResidBooks.synchronized {
+      trainedResidBooks.getOrElseUpdate((d, embFingerprint(d), m),
+        Similarity.trainResidualPqCodebooks(
+          emb, "vec_id", "embedding", cents, m, 16, 256))
+    }
+    Similarity.ivfPqResidualTopKWith(emb, "vec_id", "embedding", cents,
+      books, 4, Seq(0L, 1L, 2L, 3L, 4L), 10, overfetch = 4)
+      .select(col("qid"), col("nn"), col("rank"), round(col("cos"), 6).as("cos"))
+  }
 
   def queries: Seq[Q] = Seq(
 
@@ -1018,19 +1133,30 @@ object LlmQueries {
     // serving size. Over-flag only (the safe direction); the oracle
     // replays the bitmap's integer arithmetic exactly, false positives
     // included.
+    // mBits = max(2^18 floor, benchmark-sized) — ADVICE r15: the fixed
+    // 2^18 modulus saturated past the bloomWords fill>0.5 guard at the
+    // ×10/×100 bench slices (the exact 0.8–0.89 fill the ×100 E2E
+    // measured), turning a headline bench slot into a scale-dependent
+    // throw. The floor keeps the query's small-SF modulus (and plan)
+    // identical to its historical recording; the sized term takes over
+    // exactly where the guard would have fired. The twin recomputes mb
+    // with the same greatest().
     Q("pipeline_decontaminate_bloom",
       (s, d) => {
         val docs = t(s, d, "documents")
+        val bench = docs.filter(col("source") === "src0")
+        val mBits = math.max(BloomMBits,
+          Pipeline.bloomBitsFor(bench, "text", 8))
         Pipeline.decontaminateBloom(
-          docs.filter(col("source") =!= "src0"),
-          docs.filter(col("source") === "src0"),
-          "doc_id", "text", 8, BloomMBits, BloomK)
+          docs.filter(col("source") =!= "src0"), bench,
+          "doc_id", "text", 8, mBits, BloomK)
       },
       Some {
         val perms = Dedup.permParams(BloomK)
         val vals = perms.map { case (a, b) => s"($a,$b)" }.mkString(",")
         val conds = perms.map { case (a, b) =>
-          s"(($a * hm + $b) % ${Dedup.P31}) % $BloomMBits IN (SELECT bit FROM bits)"
+          s"(($a * hm + $b) % ${Dedup.P31}) % (SELECT mb FROM mbits) " +
+            "IN (SELECT bit FROM bits)"
         }.mkString(" AND ")
         s"""WITH sh AS (SELECT doc_id, source, ${sqlHexFold("md5(shv)", 8)} AS h
             FROM (SELECT doc_id, source,
@@ -1039,9 +1165,11 @@ object LlmQueries {
               FROM (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents) t
               WHERE len(tk) >= 8) raw),
           ev AS (SELECT DISTINCT h FROM sh WHERE source = 'src0'),
+          mbits AS (SELECT greatest($BloomMBits,
+            ((greatest(64, count(*) * 10) + 63) // 64) * 64) AS mb FROM ev),
           pm AS (SELECT * FROM (VALUES $vals) p(a, b)),
           bits AS (SELECT DISTINCT ((a * (h % ${Dedup.P31}) + b) % ${Dedup.P31})
-              % $BloomMBits AS bit FROM ev CROSS JOIN pm),
+              % (SELECT mb FROM mbits) AS bit FROM ev CROSS JOIN pm),
           cp AS (SELECT doc_id, h % ${Dedup.P31} AS hm FROM sh WHERE source <> 'src0')
           SELECT doc_id, count(*) AS n_hits FROM cp WHERE $conds GROUP BY doc_id"""
       }),
@@ -1422,7 +1550,7 @@ object LlmQueries {
         cand AS (SELECT p.qid, p.qv, m.vec_id AS nn, m.v AS mv, r.rv
           FROM probes p JOIN celln m ON m.cell = p.cell AND m.vec_id <> p.qid
           JOIN recon r ON r.vec_id = m.vec_id
-          WHERE m.crn <= ${Similarity.CandidateCap}),
+          WHERE m.crn <= ${Similarity.effectiveCap(Similarity.CandidateCap, 4)}),
         adc AS (SELECT qid, qv, nn, mv, list_dot_product(qv, rv) /
             (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(rv, rv))) AS adc
           FROM cand),
@@ -1449,104 +1577,16 @@ object LlmQueries {
     // residual book training (grid-rounded residual Lloyd) and the
     // composed chain bit-for-bit.
     Q("sim_ivfpq_residual_topk",
-      (s, d) => {
-        val emb = t(s, d, "embeddings")
-        val cents = trainedCentroids.synchronized {
-          trainedCentroids.getOrElseUpdate((d, embFingerprint(d)),
-            Similarity.trainKMeans(emb, "vec_id", "embedding", 16, 256))
-        }
-        val books = trainedResidBooks.synchronized {
-          trainedResidBooks.getOrElseUpdate((d, embFingerprint(d)),
-            Similarity.trainResidualPqCodebooks(
-              emb, "vec_id", "embedding", cents, 4, 16, 256))
-        }
-        Similarity.ivfPqResidualTopKWith(emb, "vec_id", "embedding", cents,
-          books, 4, Seq(0L, 1L, 2L, 3L, 4L), 10, overfetch = 4)
-          .select(col("qid"), col("nn"), col("rank"), round(col("cos"), 6).as("cos"))
-      },
-      Some {
-        def riter(n: Int, prev: String): String =
-          s"""rd$n AS (SELECT t.vec_id, t.m, t.s, b.code,
-              list_dot_product(t.s, t.s) - 2.0 * list_dot_product(t.s, b.c)
-                + list_dot_product(b.c, b.c) AS d2
-            FROM rsl t JOIN $prev b ON b.m = t.m),
-          ra$n AS (SELECT vec_id, m, s, code FROM (
-              SELECT vec_id, m, s, code, row_number() OVER (PARTITION BY vec_id, m
-                ORDER BY d2 ASC, code ASC) AS rn FROM rd$n) z
-            WHERE rn = 1),
-          rs$n AS (SELECT m, code, p.pos AS pos, sum(s[p.pos + 1]) AS sm, count(*) AS n
-            FROM ra$n CROSS JOIN range(16) p(pos) GROUP BY m, code, p.pos),
-          rm$n AS (SELECT m, code, list(sm / n ORDER BY pos) AS c FROM rs$n GROUP BY m, code),
-          rcb$n AS (SELECT b.m, b.code, coalesce(rm$n.c, b.c) AS c
-            FROM $prev b LEFT JOIN rm$n ON rm$n.m = b.m AND rm$n.code = b.code)"""
-        s"WITH $KmeansCtes, " +
-        s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        sc AS (SELECT t.vec_id, t.v, c.cid, list_dot_product(t.v, c.cv) /
-            (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
-          FROM v t CROSS JOIN c2 c),
-        cell AS (SELECT vec_id, v, cid AS cell FROM (
-            SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id
-              ORDER BY ccos DESC, cid ASC) AS rn FROM sc) z
-          WHERE rn = 1),
-        celln AS (SELECT vec_id, v, cell, row_number() OVER (PARTITION BY cell
-            ORDER BY vec_id ASC) AS crn FROM cell),
-        uv AS (SELECT vec_id, v, cell, crn, list_transform(v,
-            x -> CASE WHEN list_dot_product(v, v) = 0 THEN 0.0
-              ELSE x / sqrt(list_dot_product(v, v)) END) AS u
-          FROM celln),
-        ures AS (SELECT n.vec_id, n.cell, n.crn,
-            list_transform(generate_series(1, 64), i -> n.u[i] - c.cv[i]) AS r
-          FROM uv n JOIN c2 c ON c.cid = n.cell),
-        rtr AS (SELECT vec_id, list_transform(r,
-            x -> floor(x * 1048576.0) / 1048576.0) AS v
-          FROM ures WHERE vec_id < 256),
-        rms AS (SELECT unnest(range(4)) AS m),
-        rsl AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS s FROM rtr CROSS JOIN rms),
-        rcb0 AS (SELECT m, vec_id AS code, v[m*16+1 : m*16+16] AS c
-          FROM rtr CROSS JOIN rms WHERE vec_id < 16),
-        ${riter(1, "rcb0")},
-        ${riter(2, "rcb1")},
-        resl AS (SELECT vec_id, m, r[m*16+1 : m*16+16] AS s FROM ures CROSS JOIN rms),
-        red AS (SELECT e.vec_id, e.m, b.code, b.c,
-            list_dot_product(e.s, e.s) - 2.0 * list_dot_product(e.s, b.c)
-              + list_dot_product(b.c, b.c) AS d2
-          FROM resl e JOIN rcb2 b ON b.m = e.m),
-        rchosen AS (SELECT vec_id, m, c FROM (
-            SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m
-              ORDER BY d2 ASC, code ASC) AS rn FROM red) z
-          WHERE rn = 1),
-        rrecon AS (SELECT vec_id, flatten(list(c ORDER BY m)) AS rr
-          FROM rchosen GROUP BY vec_id),
-        fullr AS (SELECT u.vec_id,
-            list_transform(generate_series(1, 64), i -> c.cv[i] + rr.rr[i]) AS rv
-          FROM ures u JOIN c2 c ON c.cid = u.cell
-          JOIN rrecon rr ON rr.vec_id = u.vec_id),
-        q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id IN (0,1,2,3,4)),
-        qsc AS (SELECT qid, qv, cid, list_dot_product(qv, cv) /
-            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS ccos
-          FROM q CROSS JOIN c2),
-        probes AS (SELECT qid, qv, cid AS cell FROM (
-            SELECT qid, qv, cid, row_number() OVER (PARTITION BY qid
-              ORDER BY ccos DESC, cid ASC) AS rn FROM qsc) z
-          WHERE rn <= 4),
-        cand AS (SELECT p.qid, p.qv, m.vec_id AS nn, m.v AS mv, f.rv
-          FROM probes p JOIN celln m ON m.cell = p.cell AND m.vec_id <> p.qid
-          JOIN fullr f ON f.vec_id = m.vec_id
-          WHERE m.crn <= ${Similarity.CandidateCap}),
-        adc AS (SELECT qid, qv, nn, mv, list_dot_product(qv, rv) /
-            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(rv, rv))) AS adc
-          FROM cand),
-        sl AS (SELECT qid, qv, nn, mv FROM (
-            SELECT qid, qv, nn, mv, row_number() OVER (PARTITION BY qid
-              ORDER BY adc DESC, nn ASC) AS arn FROM adc) z
-          WHERE arn <= 40),
-        ex AS (SELECT qid, nn, list_dot_product(qv, mv) /
-            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(mv, mv))) AS cos
-          FROM sl),
-        r AS (SELECT qid, nn, cos, CAST(row_number() OVER (PARTITION BY qid
-          ORDER BY cos DESC, nn ASC) AS INTEGER) AS rank FROM ex)
-        SELECT qid, nn, rank, round(cos, 6) AS cos FROM r WHERE rank <= 10"""
-      }),
+      residualIvfPqQuery(4), Some(residualIvfPqOracle(4))),
+
+    // ✚ the 32-BIT residual rung (r16, VERDICT r15 order #3): #85
+    // measured the 16-bit budget, not the encoding, as the binding
+    // constraint (residual 0.22 vs coarse-exact 1.0 on crisp MoG) — m=8
+    // sub-quantizers double the code budget on the SAME residual
+    // machinery (dsub drops 16 → 8; nCodes stays 16). Same trained
+    // centroids, same overfetch-aware cap, same bit-exact twin chain.
+    Q("sim_ivfpq_residual_m8_topk",
+      residualIvfPqQuery(8), Some(residualIvfPqOracle(8))),
 
     // ✚ length-bucket batching audit (round 14): the padding-efficiency
     // report behind fixed batch shapes — smallest power-of-two bucket

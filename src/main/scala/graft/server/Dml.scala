@@ -58,7 +58,7 @@ object Dml {
   // JSONL interchange form beside BACKUP's byte-faithful copy
   private val RebuildIndexRe =
     """(?is)\s*REBUILD\s+INDEX\s+(?:ON\s+(\w+)\s*\(\s*(\w+)\s*\)|\*)\s*""".r
-  private val CheckRe = """(?is)\s*CHECK\s+DATABASE\s*""".r
+  private val CheckRe = """(?is)\s*CHECK\s+DATABASE(\s+FIX)?\s*""".r
   private val ExportRe = """(?is)\s*EXPORT\s+DATABASE\s+'([^']+)'\s*""".r
   private val ImportRe = """(?is)\s*IMPORT\s+DATABASE\s+'([^']+)'\s*""".r
   // runtime schema DDL (the reference declares types/properties/indexes
@@ -107,6 +107,20 @@ object Dml {
       t.startsWith("ALTER") || t.startsWith("DROP") ||
       t.startsWith("REBUILD INDEX") || t.startsWith("CHECK DATABASE") ||
       t.startsWith("EXPORT DATABASE")
+  }
+
+  /** Commands that can never move the manifest: the served snapshot
+    * must NOT re-swap after them (r16) — a reload is pure waste on a
+    * healthy store, and on a DAMAGED one (missing generation dirs) it
+    * would crash the very `CHECK DATABASE` report that diagnoses the
+    * damage. `CHECK DATABASE FIX` mutates (salvage commit) and so do
+    * the DML/DDL families — only the pure reporters/exporters land
+    * here. BACKUP/EXPORT read a fenced store view and write OUTSIDE
+    * the store. */
+  def isReadOnlyMaintenance(command: String): Boolean = {
+    val t = command.trim.toUpperCase.replaceAll("\\s+", " ").trim
+    t == "CHECK DATABASE" || t.startsWith("EXPORT DATABASE") ||
+      t.startsWith("BACKUP")
   }
 
   /** Statements that refuse to run inside a transaction — the
@@ -655,13 +669,26 @@ object Dml {
       case RebuildIndexRe(label, prop) =>
         noTxn("REBUILD INDEX")
         rebuildIndexes(spark, storeDir, Option(label), Option(prop))
-      // CHECK DATABASE — integrity report (per-type counts, UNIQUE
-      // violations, dangling endpoints, index routing, generation
-      // presence) as result rows; returns the number of ISSUES (0 =
-      // healthy)
-      case CheckRe() =>
+      // CHECK DATABASE [FIX] — integrity report (per-type counts,
+      // UNIQUE violations, dangling endpoints, index routing,
+      // generation presence) as result rows; returns the number of
+      // ISSUES (0 = healthy). FIX (r16, the dialect's repair-in-place
+      // option [dep arcadedb SQL]) first routes the repairable issues
+      // into repairs — salvage lost generations, drop dangling edges,
+      // rebuild damaged postings — all-or-nothing under ONE manifest
+      // commit (GraphLoader.fixStore), then reports the post-fix
+      // state: the fix rows ride first, the fresh CHECK report after,
+      // and the returned count is the REMAINING issues.
+      case CheckRe(fix) =>
         noTxn("CHECK DATABASE")
-        checkDatabase(spark, storeDir, ret)
+        if (fix == null) checkDatabase(spark, storeDir, ret)
+        else {
+          val fixed = graft.load.GraphLoader.fixStore(spark, storeDir)
+          val issues = checkDatabase(spark, storeDir, ret)
+          ret.foreach(r => r.images =
+            Some(fixed.toArray ++ r.images.getOrElse(Array.empty[String])))
+          issues
+        }
       // EXPORT DATABASE '<dest>' — JSONL interchange export + schema,
       // BACKUP's fencing; returns the number of records exported
       case ExportRe(dest) =>

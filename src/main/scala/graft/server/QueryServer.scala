@@ -709,7 +709,11 @@ object QueryServer {
               } else { // single command: the RETURN BEFORE/AFTER forms
                 // answer with the affected records' images, query-style
                 val r = Dml.executeReturning(spark, ctx.dir, commands.head)
-                swapSnapshot(); r }
+                // pure reporters/exporters never move the manifest — no
+                // re-swap (and a reload over a damaged store would turn
+                // the CHECK report into the crash it diagnoses, r16)
+                if (!Dml.isReadOnlyMaintenance(commands.head)) swapSnapshot()
+                r }
             n0
           }
           maybeSweep()

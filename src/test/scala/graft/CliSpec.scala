@@ -802,6 +802,62 @@ class CliSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("CHECK DATABASE FIX: corrupt store reports, fix repairs, re-CHECK is clean (r16)") {
+    val out = Files.createTempDirectory("graftfixhttp").toString
+    Main.create(spark, sfDir, out)
+    val g = Main.serve(spark, out, None)
+    val srv = graft.server.QueryServer.start(spark, 0, Some(g),
+      Some(graft.server.QueryServer.StoreContext(out, () => Main.serve(spark, out, None))))
+    try {
+      def post(route: String, body: String): (Int, String) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:${srv.port}/api/v1/$route/graft")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+        (code, new String(is.readAllBytes(), "UTF-8"))
+      }
+      // external damage: a referenced node generation AND a postings
+      // generation vanish out from under the manifest
+      val m0 = graft.load.Store.readManifest(out)
+      val regionGen = graft.load.Store.genPathsOf(out, m0)
+        .find(_.contains("/nodes/Region/")).get
+      val ftGen = graft.load.Store.genPathsOf(out, m0)
+        .find(_.contains("/ft/nodes/Part/name/")).get
+      graft.load.Store.tryDeleteRecursively(java.nio.file.Paths.get(regionGen))
+      graft.load.Store.tryDeleteRecursively(java.nio.file.Paths.get(ftGen))
+      // CHECK reports the damage (N > 0, gated on missing generations)
+      val (c1, b1) = post("command", """{"language":"sql","command":"CHECK DATABASE"}""")
+      assert(c1 == 200 && b1.contains("\"check\":\"missing_generation\""), b1)
+      assert(!b1.contains("\"count\":0"), b1)
+      // CHECK … FIX: salvages the lost generations, drops the IN_REGION
+      // edges left dangling by the lost Region rows, rebuilds the Part
+      // postings — one manifest commit — then reports the healthy state
+      val (c2, b2) = post("command", """{"language":"sql","command":"CHECK DATABASE FIX"}""")
+      assert(c2 == 200, b2)
+      assert(b2.contains("\"fix\":\"pruned_generation\""), b2)
+      assert(b2.contains("\"fix\":\"dropped_dangling_edges\"") &&
+        b2.contains("\"label\":\"IN_REGION\""), b2)
+      assert(b2.contains("\"fix\":\"rebuilt_fulltext\""), b2)
+      assert(b2.contains("\"count\":0") && b2.contains("\"issues\":0"), b2)
+      // an independent CHECK agrees: zero issues
+      val (c3, b3) = post("command", """{"language":"sql","command":"CHECK DATABASE"}""")
+      assert(c3 == 200 && b3.contains("\"count\":0") && b3.contains("\"issues\":0"), b3)
+      // the repaired store SERVES: rebuilt postings answer CONTAINSTEXT,
+      // and the pruned label reads as empty instead of crashing the scan
+      val (qc, qb) = post("query",
+        """{"language":"arcadesql","command":"SELECT name FROM Part WHERE name CONTAINSTEXT 'dget'"}""")
+      assert(qc == 200 && qb.contains("widget"), qb)
+      val (rc, rb) = post("query",
+        """{"language":"arcadesql","command":"SELECT count(*) AS n FROM IN_REGION"}""")
+      assert(rc == 200 && rb.contains("\"n\":0"), rb)
+      // a FIX over a healthy store is a no-op: no fix rows, still clean
+      val (c4, b4) = post("command", """{"language":"sql","command":"CHECK DATABASE FIX"}""")
+      assert(c4 == 200 && b4.contains("\"count\":0") && !b4.contains("\"fix\":"), b4)
+    } finally srv.stop()
+  }
+
   test("role-based users: read role queries but gets 403 on DML; admin does both") {
     val out = Files.createTempDirectory("graftrole").toString
     Main.create(spark, sfDir, out)
