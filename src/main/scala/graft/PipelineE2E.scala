@@ -4,12 +4,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.llmops.{Dedup, Pipeline, TextOps}
 
-/** North-star END-TO-END corpus pipeline run (VERDICT r11 order #10):
-  * the "pipeline of pipelines" a real pretraining prep job is, wired
-  * as ONE driver program over the ×10 documents corpus —
+/** North-star END-TO-END corpus pipeline run (VERDICT r11 order #10;
+  * r16 order #8 adds the scoring gates and the semantic pass — the
+  * FULL curation graph): the "pipeline of pipelines" a real
+  * pretraining prep job is, wired as ONE driver program —
   *
-  *   gate → scrub-spans → dedup(keepBest) → decontaminate(bloom)
-  *        → mix(α-temper) → shuffle+budget → pack → exportJsonl
+  *   gate → ppl-gate → nb-gate → [plant canaries]
+  *        → scrub-spans → dedup(keepBest) → decontaminate(bloom)
+  *        → decontaminate(semantic) → mix(α-temper) → shuffle+budget
+  *        → pack → exportJsonl
   *
   * — with wall-clock and row/token accounting per stage (the table a
   * data-engineering runbook wants: where did the corpus shrink, what
@@ -20,6 +23,21 @@ import graft.llmops.{Dedup, Pipeline, TextOps}
   * nine times. The probe ASSERTS the discipline held: no stage after
   * the first may re-scan the source parquet (its executed plan must
   * read checkpointed blocks, not `documents.parquet`).
+  *
+  * CANARY PLACEMENT (r16): the eval-integrity canaries plant AFTER the
+  * scoring gates, before the hygiene stages — they exist to prove
+  * scrub/dedup/decon/mix/pack never falsely destroy unique clean
+  * content; a perplexity or classifier gate is SUPPOSED to kill
+  * gibberish, and the canary strings are deliberate gibberish (random
+  * hex tokens, maximally OOV), so planting them earlier would make the
+  * invariant assert the opposite of the gates' contract.
+  *
+  * Gate thresholds are ORDER STATISTICS of deterministic md5-bucket
+  * samples (the lmBucket discipline): ppl drops the sampled upper
+  * xent tertile (CCNet's tail bucket), NB drops the sampled bottom
+  * score decile. The 10%% sample rate is sized for 10³–10⁵ sampled
+  * docs at the probe scales; a 100 TB run lowers the rate, not the
+  * mechanism (estimation error shrinks as 1/√n regardless of corpus).
   *
   * Prints one JSON line per stage plus a total line for BASELINE.md.
   * Run: `sbt "runMain graft.PipelineE2E [probeDir]"` (default
@@ -96,38 +114,87 @@ object PipelineE2E {
       val n = nCanaries(df, cleanSalt, 64)
       canaryLedger += s""""$stage":$n"""
     }
-    val docs = raw.select(col("doc_id"), col("text"), col("lang"), col("source"))
-      .unionByName(cleanCanaries).unionByName(leakCanaries)
+    val base = raw.select(col("doc_id"), col("text"), col("lang"), col("source"))
       .localCheckpoint(true)
-    val nIn = docs.count()
+    val nIn = base.count()
 
     // 1. quality gate: rule-based keep/drop, map-only
     val gated = stage("gate", {
       val rules = Pipeline.GateRules(minTokens = 5, maxTokens = 100000,
         minStopRatio = 0.0, minTtr = 0.2, maxDupTrigram = 0.5)
-      docs.join(Pipeline.qualityGate(docs, "doc_id", "text", "lang", rules)
+      base.join(Pipeline.qualityGate(base, "doc_id", "text", "lang", rules)
         .filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
     })
-    ledger("gate", gated)
 
-    // 2. span scrub: cut repeated passages, keep the documents
+    // 2. perplexity gate (r16): bigram LM trained ONCE on the
+    // benchmark slice, scored by the compiled LmXent kernel (map-only);
+    // tau = the sampled upper xent tertile — CCNet's "drop the tail
+    // bucket" decision. Docs too short to score (< 2 tokens) pass —
+    // length policy belongs to the rule gate, not the LM.
+    val pplGated = stage("ppl_gate", {
+      val m = Pipeline.lmModel(benchmark, "text", 512, 256)
+      val scored = gated.withColumn("__s",
+        graft.plans.LmXent(TextOps.tokens(col("text")), m))
+      val sample = scored
+        .filter(Pipeline.samplePct(col("doc_id"), "e2e_ppl") < 10)
+        .filter(col("__s.n_scored") > 0)
+        .select(col("__s.xent")).collect().map(_.getDouble(0)).sorted
+      require(sample.nonEmpty, "ppl threshold sample is empty")
+      val tau = sample(math.min(sample.length - 1,
+        math.max(0, math.ceil(2.0 * sample.length / 3).toInt - 1)))
+      scored.filter(col("__s.n_scored") === 0 || col("__s.xent") <= tau)
+        .drop("__s")
+    })
+
+    // 3. NB classifier gate (r16): the fasttext-style linear filter —
+    // self-labeled positive class = the curated source (src1, the
+    // LmRefSource convention; lang can't label here — the rule gate's
+    // LID-agreement check already dropped every non-en doc, so lang
+    // would be a single class), capped-vocab llr model collected once,
+    // scored by the compiled NbScore kernel; keep at or above the
+    // sampled bottom score decile (a quantile keep is the production
+    // shape: "drop the worst X%", calibrated on a sample, not an
+    // absolute boundary).
+    val nbGated = stage("nb_gate", {
+      val (vocab, prior) = Pipeline.nbModel(
+        pplGated, "text", col("source") === "src1", 4000)
+      val scored = graft.streaming.EventsStream.nbGate(
+        pplGated, vocab, prior, "text")
+      val sample = scored
+        .filter(Pipeline.samplePct(col("doc_id"), "e2e_nb") < 10)
+        .select(col("score")).collect().map(_.getDouble(0)).sorted
+      require(sample.nonEmpty, "nb threshold sample is empty")
+      val tau = sample(math.min(sample.length - 1,
+        math.max(0, math.ceil(sample.length / 10.0).toInt - 1)))
+      scored.filter(col("score") >= tau)
+        .select("doc_id", "text", "lang", "source")
+    })
+
+    // canaries plant HERE — after the scoring gates (see scaladoc),
+    // before every hygiene stage the ledger audits
+    val docs = nbGated
+      .unionByName(cleanCanaries).unionByName(leakCanaries)
+      .localCheckpoint(true)
+    ledger("inject", docs)
+
+    // 4. span scrub: cut repeated passages, keep the documents
     val scrubbed = stage("scrub_spans", {
-      Dedup.scrubSpans(gated, "doc_id", "text", 16)
-        .join(gated.drop("text"), Seq("doc_id"))
+      Dedup.scrubSpans(docs, "doc_id", "text", 16)
+        .join(docs.drop("text"), Seq("doc_id"))
         .withColumnRenamed("clean_text", "text")
         .filter(length(col("text")) > 0)
         .select("doc_id", "text", "lang", "source")
     })
     ledger("scrub_spans", scrubbed)
 
-    // 3. near-dup groups, quality-aware canonical selection
+    // 5. near-dup groups, quality-aware canonical selection
     val deduped = stage("dedup_keep_best", {
       scrubbed.join(Dedup.keepBest(scrubbed, "doc_id", "text", 16, 4)
         .filter(col("kept")).select("doc_id"), Seq("doc_id"), "left_semi")
     })
     ledger("dedup_keep_best", deduped)
 
-    // 4. bloom decontamination against the benchmark slice. The
+    // 6. bloom decontamination against the benchmark slice. The
     // bitmap is SIZED FROM THE BENCHMARK (bloomBitsFor), not
     // hard-coded: the first ×100 run of this harness used the ×10
     // run's fixed 2^18 bits, the 10×-larger benchmark slice
@@ -149,11 +216,35 @@ object PipelineE2E {
     })
     ledger("decontaminate_bloom", cleaned)
 
-    // 5. α-tempered language mix (keep rare languages whole)
-    val mixed = stage("mix_temperature",
-      Pipeline.applyMixTemperature(cleaned, "doc_id", "lang", "text", 0.5, "e2e_mix"))
+    // 7. SEMANTIC decontamination (r16): embedding-similarity kill
+    // layer above the n-gram bloom — catches near-paraphrases no
+    // 8-gram shares. Embeddings are a deterministic 64-dim hashed
+    // bag-of-tokens (the zero-egress featurizer stand-in: cosine on
+    // hashed BoW IS lexical-distribution similarity; a production run
+    // swaps in a real embedder, the plumbing — benchmark-sized collect
+    // into the compiled MaxCosHits kernel, map-only corpus pass — is
+    // the real thing). τ = 0.96: measured on this corpus, cross-doc
+    // hashed-BoW cosine tops out ≈ 0.94 while a doc differing by ONE
+    // token from a benchmark doc scores ≥ 0.98 — the gap the threshold
+    // sits in.
+    val semClean = stage("decontaminate_semantic", {
+      def bow(df: DataFrame): DataFrame = df.withColumn("fv",
+        transform(sequence(lit(0), lit(63)), d =>
+          size(filter(TextOps.tokens(col("text")),
+            t => pmod(TextOps.md5Hash32(t), lit(64)) === d)).cast("double")))
+      cleaned.join(
+        Pipeline.decontaminateSemantic(
+          bow(cleaned), bow(benchmark), "doc_id", "fv", 0.96)
+          .select(col("cid").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+    })
+    ledger("decontaminate_semantic", semClean)
 
-    // 6. deterministic global shuffle + token-budget selection (the
+    // 8. α-tempered language mix (keep rare languages whole)
+    val mixed = stage("mix_temperature",
+      Pipeline.applyMixTemperature(semClean, "doc_id", "lang", "text", 0.5, "e2e_mix"))
+
+    // 9. deterministic global shuffle + token-budget selection (the
     // budget pass rides its own internal shuffle ordering; budget =
     // half the surviving tokens, so the cut genuinely binds)
     val budgeted = stage("shuffle_budget", {
@@ -163,14 +254,14 @@ object PipelineE2E {
           .filter(col("kept")).select("doc_id"), Seq("doc_id"), "left_semi")
     })
 
-    // 7. token-budget shard packing (16k-token shards per language)
+    // 10. token-budget shard packing (16k-token shards per language)
     val packed = stage("pack_shards", {
       budgeted.join(
         Pipeline.shardAssign(budgeted, "doc_id", "lang", 16384)
           .select("doc_id", "shard"), Seq("doc_id"))
     })
 
-    // 8. JSONL shard export — the physical last mile
+    // 11. JSONL shard export — the physical last mile
     val outDir = s"target/e2e-export-${java.util.UUID.randomUUID().toString.take(8)}"
     val s0 = System.nanoTime()
     Pipeline.exportJsonl(packed, outDir, "shard", "doc_id")
@@ -198,11 +289,17 @@ object PipelineE2E {
     val leakHusks = nCanaries(export, leakSalt, 8)
     val cleanAtDecon = nCanaries(cleaned, cleanSalt, 64)
     require(cleanAtDecon == 64,
-      s"only $cleanAtDecon/64 clean canary strings survived to decon")
+      s"only $cleanAtDecon/64 clean canary strings survived to bloom decon")
+    // the semantic layer must not false-positive unique clean content
+    // either (hashed-BoW cosine of an 8-hex-token canary against any
+    // real doc sits far below τ — asserted, not assumed)
+    val cleanAtSem = nCanaries(semClean, cleanSalt, 64)
+    require(cleanAtSem == 64,
+      s"only $cleanAtSem/64 clean canary strings survived semantic decon")
     val cleanOut = nCanaries(export, cleanSalt, 64)
     val canaryLine = s"""{"stage":"canary_verdict","contaminated_in_export":$contaminated,""" +
       s""""leak_husks_in_export":$leakHusks,"clean_at_decon":$cleanAtDecon,""" +
-      s""""clean_in_export":$cleanOut,""" +
+      s""""clean_at_semantic":$cleanAtSem,"clean_in_export":$cleanOut,""" +
       s""""clean_ledger":{${canaryLedger.result().mkString(",")}}}"""
     println(canaryLine); acc += canaryLine
 
