@@ -294,6 +294,18 @@ object PlanAudit {
     // round 15: schema:types is the registry as a LOCAL constant —
     // a catalog read must never become a data scan
     Check("asql_schema_types", "catalog scan reads no files", "!FileScan"),
+    // round 16: the remaining two catalog spellings hold the same line
+    Check("asql_schema_indexes", "catalog scan reads no files", "!FileScan"),
+    Check("asql_schema_database", "catalog scan reads no files", "!FileScan"),
+    // round 16: the 32-bit residual rung keeps the raw rung's plan
+    // shape — compiled encode kernel, probes broadcast, no shuffled
+    // join, no cartesian
+    Check("sim_ivfpq_residual_m8_topk", "compiled PQ-encode kernel",
+      "graft_pq_encode"),
+    Check("sim_ivfpq_residual_m8_topk", "no shuffled join anywhere",
+      "!SortMergeJoin"),
+    Check("sim_ivfpq_residual_m8_topk", "no cartesian product anywhere",
+      "!CartesianProduct"),
     // DF-native PageRank (round 14): the renormalization is the 1-row
     // broadcast scalar bind (BroadcastNestedLoopJoin over one row is
     // the sanctioned shape, a CartesianProduct is not), k-cut by

@@ -83,15 +83,29 @@ object RandomWalks {
     var st = deg.select(col("u").as("start"), col("u").as("cur"),
       col("u").cast("string").as("walk"))
     if (small) {
+      // below the layout threshold the walk/degree frames are
+      // vertex-scale — when that is broadcast-sized, BOTH step joins
+      // go map-only (pick rides a broadcast of the walk frame over the
+      // checkpointed adjacency scan): ZERO shuffles per step, which is
+      // what the r13 3.5 s recording was mostly made of (10 sequential
+      // tiny-shuffle round-trips are scheduler-latency-bound, not
+      // throughput-bound). Vertex counts near the gate boundary can
+      // still be tens of millions — and the broadcast side CARRIES the
+      // growing walk string — so the hint is count-gated to keep the
+      // worst-case broadcast a few tens of MB.
+      val bcast = deg.count() <= 200000
+      val degB = if (bcast) broadcast(deg) else deg
       (1 to length).foreach { t =>
         val h = graft.llmops.TextOps.md5Hash32(concat_ws("|",
           lit(salt), col("start").cast("string"), lit(t.toString),
           col("cur").cast("string")))
-        val pick = st.join(deg, st("cur") === deg("u"))
+        val pick = st.join(degB, st("cur") === degB("u"))
           .select(col("start"), col("cur"), col("walk"),
             ((h % col("deg")) + 1).cast("int").as("__pick"))
-        st = pick.join(adj,
-            pick("cur") === adj("u") && pick("__pick") === adj("idx"))
+        st = (if (bcast) adj.join(broadcast(pick),
+                pick("cur") === adj("u") && pick("__pick") === adj("idx"))
+              else pick.join(adj,
+                pick("cur") === adj("u") && pick("__pick") === adj("idx")))
           .select(col("start"), col("w").as("cur"),
             concat(col("walk"), lit("->"), col("w").cast("string"))
               .as("walk"))

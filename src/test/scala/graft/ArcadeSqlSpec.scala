@@ -41,8 +41,39 @@ class ArcadeSqlSpec extends SparkSpec {
     val plan = run("SELECT FROM schema:types").queryExecution.executedPlan.toString
     assert(!plan.contains("FileScan"), plan)
     // unknown catalogs stay loud
-    val e = intercept[IllegalArgumentException](run("SELECT FROM schema:indexes"))
+    val e = intercept[IllegalArgumentException](run("SELECT FROM schema:nope"))
     assert(e.getMessage.contains("unknown schema catalog"))
+  }
+
+  test("SELECT FROM schema:indexes / schema:database serve the registry (r16)") {
+    val idx = run("""SELECT name, target, type_name, property, index_type,
+        unique, buildable FROM schema:indexes ORDER BY name, property""")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getBoolean(5), r.getBoolean(6)))
+    val want = gs.indexes.map { ix =>
+      val kind = if (ix.fulltext) "FULL_TEXT"
+        else if (ix.unique) "UNIQUE" else "NOTUNIQUE"
+      (s"${ix.label}[${ix.property}]", ix.target, ix.label, ix.property,
+        kind, ix.unique, ix.isBuildable)
+    }.sortBy(t => (t._1, t._4))
+    assert(idx.toSeq == want)
+    // composes like any scan; the array-skip decision is catalog-visible
+    val skipped = run("SELECT name FROM schema:indexes WHERE buildable = false")
+      .collect().map(_.getString(0)).toSet
+    assert(skipped == gs.indexes.filter(!_.isBuildable)
+      .map(ix => s"${ix.label}[${ix.property}]").toSet)
+    val db = run("""SELECT types, vertex_types, edge_types, indexes,
+        functions, constraints FROM schema:database""").collect()
+    assert(db.length == 1)
+    assert(db(0).getLong(0) == gs.labels.size.toLong)
+    assert(db(0).getLong(1) == gs.labels.count(_.kind == "vertex").toLong)
+    assert(db(0).getLong(2) == gs.labels.count(_.kind == "edge").toLong)
+    assert(db(0).getLong(3) == gs.indexes.size.toLong)
+    // registry-only: local constants, never data scans
+    Seq("schema:indexes", "schema:database").foreach { c =>
+      val plan = run(s"SELECT FROM $c").queryExecution.executedPlan.toString
+      assert(!plan.contains("FileScan"), plan)
+    }
   }
 
   test("WHERE predicates match the Column twin") {

@@ -550,6 +550,38 @@ class GraphSpec extends SparkSpec {
     assert(ck == Set(10L), ck.toString)
   }
 
+  test("labelPropagation: frontier-sparse rounds bit-equal the dense reference (r16)") {
+    import spark.implicits._
+    import graft.operators.Communities
+    // a 100-clique that settles after two rounds plus a 10-path that
+    // keeps rippling: from round 3 the frontier (~10 path vertices) is
+    // under nV/8 (110/8), so the SPARSE branch executes — which the
+    // declared query's 3 dense-heavy rounds never reach
+    val edges = ((for { a <- 1000L until 1100L; b <- (a + 1) until 1100L }
+        yield (a, b)) ++ (1L until 10L).map(i => (i, i + 1)) ++ Seq((10L, 1000L)))
+      .toDF("a", "b")
+    // synchronous dense reference: every vertex, every round
+    def denseLpa(es: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val adj = (es ++ es.map(e => (e._2, e._1))).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2) }
+      var lab = adj.keys.map(k => k -> k).toMap
+      (1 to iters).foreach { _ =>
+        val prev = lab
+        lab = adj.map { case (v, nbrs) =>
+          val cnt = nbrs.groupBy(prev).map { case (l, xs) => (l, xs.size) }
+          v -> cnt.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        }
+      }
+      lab
+    }
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = denseLpa(es, 8)
+    val got = Communities.labelPropagation(edges, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"sparse LPA diverged from the dense reference: " +
+      s"${got.toSeq.diff(want.toSeq).take(5)}")
+  }
+
   test("connectedComponentsDf: equals GraphX CC on planted and random graphs") {
     import spark.implicits._
     import graft.operators.Communities

@@ -2331,6 +2331,19 @@ class LlmSpec extends SparkSpec {
       Similarity.trainPqCodebooks(emb, "vec_id", "embedding", 4, 16, 128),
       2, qids, 10)
     assert(shape(coldRaw) == shape(warmRaw))
+    // marker-vs-codes MISMATCH fails loudly at serve (r16, ADVICE r15
+    // #2): resurrect a residual marker over the raw cells — the exact
+    // state a crash between the marker and cells writes leaves — and
+    // the per-row geom cross-check must refuse to decode
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/residual.marker"), "residual\n")
+    val e = intercept[Exception] {
+      Similarity.ivfPqIndexTopK(spark, dir, qids, 2, 10).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("contradicts its residual.marker"), rootMsg(e).take(400))
   }
 
   test("lengthBuckets: power-of-two ladder, truncation at the cap, exact padding") {
