@@ -168,6 +168,7 @@ object Bench {
     "asql_schema_database",
     "asql_rid_edge_dml",
     "sim_ivfpq_residual_m8_topk",
+    "sim_ivfpq_residual_m8c64_topk",
     "multimodal_meta",
     "multimodal_frames",
     "multimodal_resize",

@@ -138,6 +138,17 @@ object Recall {
     val ivfPqR8U = recallOf(Similarity.ivfPqResidualTopKWith(
       emb, "vec_id", "embedding", cents, residBooks8, 4, qids, k,
       capPerCell = Int.MaxValue))
+    // the 48-BIT rung: m=8 × nCodes=64 — measures whether codeword
+    // COUNT (not just subspace count) is the remaining ceiling; only
+    // meaningful at the ladder's nTrain (env, 2048 at the MoG runs)
+    // where 64-codeword books have data to learn
+    val residBooks8c64 = Similarity.trainResidualPqCodebooks(
+      emb, "vec_id", "embedding", cents, 8, 64, nTrain, iters)
+    val ivfPqR8c64 = recallOf(Similarity.ivfPqResidualTopKWith(
+      emb, "vec_id", "embedding", cents, residBooks8c64, 4, qids, k))
+    val ivfPqR8c64U = recallOf(Similarity.ivfPqResidualTopKWith(
+      emb, "vec_id", "embedding", cents, residBooks8c64, 4, qids, k,
+      capPerCell = Int.MaxValue))
     // cross-corpus LSH join recall: exact τ-pairs between the even/odd
     // halves are ground truth (brute-force, probe-scale only); the
     // bucketed join's pairs are a subset by construction, so recall =
@@ -169,6 +180,8 @@ object Recall {
       f""""ivfpq_residual":$ivfPqR%.4f,""" +
       f""""ivfpq_uncapped":$ivfPqU%.4f,"ivfpq_residual_uncapped":$ivfPqRU%.4f,""" +
       f""""ivfpq_residual_m8":$ivfPqR8%.4f,"ivfpq_residual_m8_uncapped":$ivfPqR8U%.4f,""" +
+      f""""ivfpq_residual_m8c64":$ivfPqR8c64%.4f,""" +
+      f""""ivfpq_residual_m8c64_uncapped":$ivfPqR8c64U%.4f,""" +
       f""""cross_join_pairs":$crossRecall%.4f,"cross_join_truth_n":${exactPairs.size},""" +
       f""""sf_dir":"$sfDir"}""")
     spark.stop()

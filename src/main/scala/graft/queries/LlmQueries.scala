@@ -305,9 +305,10 @@ object LlmQueries {
     * stays 16 (one byte-equivalent codebook per subspace; the budget
     * rung is m, exactly the IVFADC knob), nTrain stays 256, and the
     * per-cell candidate cap is the overfetch-aware effective cap. */
-  private def residualIvfPqOracle(m: Int): String = {
+  private def residualIvfPqOracle(m: Int, nCodes: Int = 16): String = {
     val dsub = 64 / m
     require(m * dsub == 64, s"m=$m must divide the 64-dim embeddings")
+    require(nCodes >= 2 && nCodes <= 256, s"nCodes=$nCodes out of range")
     def riter(n: Int, prev: String): String =
       s"""rd$n AS (SELECT t.vec_id, t.m, t.s, b.code,
           list_dot_product(t.s, t.s) - 2.0 * list_dot_product(t.s, b.c)
@@ -346,7 +347,7 @@ object LlmQueries {
     rms AS (SELECT unnest(range($m)) AS m),
     rsl AS (SELECT vec_id, m, v[m*$dsub+1 : m*$dsub+$dsub] AS s FROM rtr CROSS JOIN rms),
     rcb0 AS (SELECT m, vec_id AS code, v[m*$dsub+1 : m*$dsub+$dsub] AS c
-      FROM rtr CROSS JOIN rms WHERE vec_id < 16),
+      FROM rtr CROSS JOIN rms WHERE vec_id < $nCodes),
     ${riter(1, "rcb0")},
     ${riter(2, "rcb1")},
     resl AS (SELECT vec_id, m, r[m*$dsub+1 : m*$dsub+$dsub] AS s FROM ures CROSS JOIN rms),
@@ -394,7 +395,7 @@ object LlmQueries {
   /** Spark side of the residual rungs, shared by the m=4 and m=8
     * declared queries — same trained centroids, per-m residual books
     * under the fingerprint cache discipline. */
-  private def residualIvfPqQuery(m: Int)(
+  private def residualIvfPqQuery(m: Int, nCodes: Int = 16)(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val emb = t(s, d, "embeddings")
     val cents = trainedCentroids.synchronized {
@@ -402,9 +403,9 @@ object LlmQueries {
         Similarity.trainKMeans(emb, "vec_id", "embedding", 16, 256))
     }
     val books = trainedResidBooks.synchronized {
-      trainedResidBooks.getOrElseUpdate((d, embFingerprint(d), m),
+      trainedResidBooks.getOrElseUpdate((d, embFingerprint(d), m * 1000 + nCodes),
         Similarity.trainResidualPqCodebooks(
-          emb, "vec_id", "embedding", cents, m, 16, 256))
+          emb, "vec_id", "embedding", cents, m, nCodes, 256))
     }
     Similarity.ivfPqResidualTopKWith(emb, "vec_id", "embedding", cents,
       books, 4, Seq(0L, 1L, 2L, 3L, 4L), 10, overfetch = 4)
@@ -1587,6 +1588,14 @@ object LlmQueries {
     // centroids, same overfetch-aware cap, same bit-exact twin chain.
     Q("sim_ivfpq_residual_m8_topk",
       residualIvfPqQuery(8), Some(residualIvfPqOracle(8))),
+
+    // ✚ the 48-BIT rung (r16): m=8 × nCodes=64 — the next budget knob
+    // after #89's finding that code resolution, not encoding, is the
+    // remaining ceiling. nTrain stays 256 in the DECLARED query (the
+    // replayable-twin contract); the 20k-row MoG ladder trains it at
+    // 2048 where the 64-codeword books actually have data to learn.
+    Q("sim_ivfpq_residual_m8c64_topk",
+      residualIvfPqQuery(8, 64), Some(residualIvfPqOracle(8, 64))),
 
     // ✚ length-bucket batching audit (round 14): the padding-efficiency
     // report behind fixed batch shapes — smallest power-of-two bucket
