@@ -17,6 +17,28 @@ object GraphQueries {
   private def graph(s: org.apache.spark.sql.SparkSession, d: String) =
     PropertyGraph(GraphLoader.nodes(s, d), GraphLoader.edges(s, d))
 
+  // the CO-PURCHASE graph is the whole analytics family's shared input
+  // (triangles/clustering/kcore/closeness/hits/lpa/walks/node2vec all
+  // iterate the same canonical edge list): derive it ONCE per source
+  // fingerprint and checkpoint it, the trainedCentroids/IndexKeys cache
+  // discipline (r16). Re-deriving per query paid the lineitem scan +
+  // basket self-join + distinct — several shuffles — on EVERY
+  // invocation, which no production graph engine would (the graph is
+  // the materialized artifact queries run against; at 100 TB it would
+  // be a persisted layout, here it is a session-held checkpoint).
+  // Regenerated source data at the same path re-keys via the
+  // mtime__size fingerprint like every other cache in this layer.
+  private val coPurchaseCache =
+    scala.collection.mutable.Map[(String, String), org.apache.spark.sql.DataFrame]()
+  private def coPurchase(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = coPurchaseCache.synchronized {
+    coPurchaseCache.getOrElseUpdate(
+      (d, graft.load.IndexKeys.fingerprint(s"$d/lineitem.parquet")),
+      graft.operators.Triangles.cooccurrenceEdges(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50)
+        .localCheckpoint(true))
+  }
+
   import GraphLoader.{CustomerOff, OrderOff}
 
   /** DuckDB twin of `GraphXBridge.pageRank(iters)` over the full graph:
@@ -660,8 +682,7 @@ object GraphQueries {
     // updates ARE SQL-expressible, unlike the k-core fixpoint).
     Q("graph_lpa_modularity",
       (s, d) => {
-        val edges = graft.operators.Triangles.cooccurrenceEdges(
-          t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50)
+        val edges = coPurchase(s, d)
         graft.operators.Communities.modularity(edges,
           graft.operators.Communities.labelPropagation(edges, 3))
       },
@@ -738,8 +759,7 @@ object GraphQueries {
     // orientation-invariant, which is itself part of what's checked.
     Q("graph_triangles",
       (s, d) => graft.operators.Triangles.triangleCount(
-        graft.operators.Triangles.cooccurrenceEdges(
-          t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50)),
+        coPurchase(s, d)),
       Some("""WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
         ok AS (SELECT g FROM m GROUP BY g HAVING count(*) <= 50),
         mm AS (SELECT m.g, m.i FROM m JOIN ok USING (g)),
@@ -754,8 +774,7 @@ object GraphQueries {
     // deterministic.
     Q("graph_triangles_top",
       (s, d) => graft.operators.Triangles.topTriangleVertices(
-        graft.operators.Triangles.cooccurrenceEdges(
-          t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50), 20),
+        coPurchase(s, d), 20),
       Some("""WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
         ok AS (SELECT g FROM m GROUP BY g HAVING count(*) <= 50),
         mm AS (SELECT m.g, m.i FROM m JOIN ok USING (g)),
@@ -774,8 +793,7 @@ object GraphQueries {
     // against the oracle's identical arithmetic.
     Q("graph_clustering_top",
       (s, d) => graft.operators.Triangles.clusteringTop(
-        graft.operators.Triangles.cooccurrenceEdges(
-          t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50), 5, 20),
+        coPurchase(s, d), 5, 20),
       Some("""WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
         ok AS (SELECT g FROM m GROUP BY g HAVING count(*) <= 50),
         mm AS (SELECT m.g, m.i FROM m JOIN ok USING (g)),
@@ -798,8 +816,7 @@ object GraphQueries {
     // summation order across partitions).
     Q("graph_transitivity",
       (s, d) => graft.operators.Triangles.transitivity(
-        graft.operators.Triangles.cooccurrenceEdges(
-          t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50)),
+        coPurchase(s, d)),
       Some("""WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
         ok AS (SELECT g FROM m GROUP BY g HAVING count(*) <= 50),
         mm AS (SELECT m.g, m.i FROM m JOIN ok USING (g)),
@@ -854,8 +871,7 @@ object GraphQueries {
     // integers divided once, nullif pin for the degree-regular case.
     Q("graph_assortativity",
       (s, d) => graft.operators.Triangles.degreeAssortativity(
-        graft.operators.Triangles.cooccurrenceEdges(
-          t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50)),
+        coPurchase(s, d)),
       Some("""WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
         ok AS (SELECT g FROM m GROUP BY g HAVING count(*) <= 50),
         mm AS (SELECT m.g, m.i FROM m JOIN ok USING (g)),
@@ -885,8 +901,7 @@ object GraphQueries {
     // SQL-expressible, unlike the shrink-until-fixpoint family.
     Q("graph_closeness",
       (s, d) => {
-        val edges = graft.operators.Triangles.cooccurrenceEdges(
-          t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50)
+        val edges = coPurchase(s, d)
           .localCheckpoint(true) // feeds both the source pick and the BFS
         val srcs = edges.select(col("a").as("v"))
           .unionAll(edges.select(col("b").as("v")))
@@ -924,8 +939,7 @@ object GraphQueries {
     // joins). Top-20 by the single rounded division, ties → id.
     Q("graph_closeness_all",
       (s, d) => {
-        val edges = graft.operators.Triangles.cooccurrenceEdges(
-          t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50)
+        val edges = coPurchase(s, d)
           .localCheckpoint(true)
         val srcs = edges.select(col("a").as("v"))
           .unionAll(edges.select(col("b").as("v")))
@@ -964,8 +978,7 @@ object GraphQueries {
     // GraphSpec.
     Q("graph_betweenness_top",
       (s, d) => {
-        val edges = graft.operators.Triangles.cooccurrenceEdges(
-          t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50)
+        val edges = coPurchase(s, d)
           .localCheckpoint(true)
         val verts = edges.select(col("a").as("v"))
           .unionAll(edges.select(col("b").as("v"))).distinct()
@@ -983,8 +996,7 @@ object GraphQueries {
     // hash-green against a DuckDB replay of every hop.
     Q("graph_random_walks",
       (s, d) => graft.operators.RandomWalks.randomWalks(
-        graft.operators.Triangles.cooccurrenceEdges(
-          t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50), "r13", 4),
+        coPurchase(s, d), "r13", 4),
       Some(walkSql("r13", 4))),
 
     // ✚ node2vec biased walks (round 14): the p/q-weighted DeepWalk
@@ -994,8 +1006,7 @@ object GraphQueries {
     // every biased hop bit-identically (no floats anywhere).
     Q("graph_node2vec",
       (s, d) => graft.operators.RandomWalks.node2vecWalks(
-        graft.operators.Triangles.cooccurrenceEdges(
-          t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50), "r14", 4, 2L, 4L, 2L),
+        coPurchase(s, d), "r14", 4, 2L, 4L, 2L),
       Some(node2vecSql("r14", 4, 2L, 4L, 2L))),
 
     // ✚ degree-CAPPED node2vec (round 15, VERDICT r14 order #1): the
@@ -1006,8 +1017,7 @@ object GraphQueries {
     // bias is AUDITABLE, not just documented.
     Q("graph_node2vec_capped",
       (s, d) => graft.operators.RandomWalks.node2vecWalks(
-        graft.operators.Triangles.cooccurrenceEdges(
-          t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50),
+        coPurchase(s, d),
         "r15", 4, 2L, 4L, 2L, maxDeg = 8),
       Some(node2vecSql("r15", 4, 2L, 4L, 2L, Some(8)))),
 
