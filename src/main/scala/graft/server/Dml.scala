@@ -58,7 +58,8 @@ object Dml {
   // JSONL interchange form beside BACKUP's byte-faithful copy
   private val RebuildIndexRe =
     """(?is)\s*REBUILD\s+INDEX\s+(?:ON\s+(\w+)\s*\(\s*(\w+)\s*\)|\*)\s*""".r
-  private val CheckRe = """(?is)\s*CHECK\s+DATABASE(\s+FIX)?\s*""".r
+  private val CheckRe =
+    """(?is)\s*CHECK\s+DATABASE(?:\s+TYPE\s+(\w+))?(\s+FIX)?\s*""".r
   private val ExportRe = """(?is)\s*EXPORT\s+DATABASE\s+'([^']+)'\s*""".r
   private val ImportRe = """(?is)\s*IMPORT\s+DATABASE\s+'([^']+)'\s*""".r
   // runtime schema DDL (the reference declares types/properties/indexes
@@ -119,8 +120,8 @@ object Dml {
     * the store. */
   def isReadOnlyMaintenance(command: String): Boolean = {
     val t = command.trim.toUpperCase.replaceAll("\\s+", " ").trim
-    t == "CHECK DATABASE" || t.startsWith("EXPORT DATABASE") ||
-      t.startsWith("BACKUP")
+    (t.startsWith("CHECK DATABASE") && !t.endsWith(" FIX")) ||
+      t.startsWith("EXPORT DATABASE") || t.startsWith("BACKUP")
   }
 
   /** Statements that refuse to run inside a transaction — the
@@ -679,9 +680,17 @@ object Dml {
       // commit (GraphLoader.fixStore), then reports the post-fix
       // state: the fix rows ride first, the fresh CHECK report after,
       // and the returned count is the REMAINING issues.
-      case CheckRe(fix) =>
+      case CheckRe(tpe, fix) =>
         noTxn("CHECK DATABASE")
-        if (fix == null) checkDatabase(spark, storeDir, ret)
+        // TYPE <t> scopes the REPORT to one label (r16, the dialect's
+        // full grammar); FIX stays whole-store — the salvage commit is
+        // ONE atomic manifest swap and a partial repair would leave
+        // cross-label damage (dangling edges into an unfixed label)
+        // half-addressed, so the combination is refused loudly
+        require(tpe == null || fix == null,
+          "CHECK DATABASE TYPE … FIX is not supported: FIX repairs the " +
+            "whole store under one manifest commit — run CHECK DATABASE FIX")
+        if (fix == null) checkDatabase(spark, storeDir, ret, Option(tpe))
         else {
           val fixed = graft.load.GraphLoader.fixStore(spark, storeDir)
           val issues = checkDatabase(spark, storeDir, ret)
@@ -1051,43 +1060,103 @@ object Dml {
       targets.size.toLong
     }
 
-  /** `CHECK DATABASE` [dep arcadedb SQL]: the integrity report —
-    * per-type record counts, UNIQUE-index violations, declared
-    * check-constraint violations, dangling edge endpoints, full-text
-    * index routing (declared vs manifest-routed postings, both
-    * directions), and referenced-generation presence on disk. Report
-    * rows ride the [[ReturnSink]] images channel (the RETURN
+  /** `CHECK DATABASE [TYPE <t>]` [dep arcadedb SQL]: the integrity
+    * report — per-type record counts, UNIQUE-index violations,
+    * declared check-constraint violations, dangling edge endpoints,
+    * full-text index routing (declared vs manifest-routed postings,
+    * both directions), and referenced-generation presence on disk.
+    * Report rows ride the [[ReturnSink]] images channel (the RETURN
     * BEFORE/AFTER transport), so the HTTP single-command route answers
     * query-style; the returned count is the number of ISSUES (0 =
     * healthy). Every check is an aggregate over the store read — no
-    * driver-side row iteration. */
+    * driver-side row iteration.
+    *
+    * `typeFilter` (r16) scopes the report to ONE label: its
+    * generations (plus every node generation when the scope is an
+    * edge type — the dangling probe reads node ids), its indexes and
+    * constraints, its record counts, its postings routing. Scoped
+    * reads touch ONLY the scoped generations, so a damaged
+    * out-of-scope label can never crash an in-scope report — the
+    * per-type triage a big multi-tenant store needs. The dangling
+    * check is an edge-set property: edge scope checks that type's
+    * endpoints, vertex scope skips it (unscoped CHECK covers it). */
   private def checkDatabase(spark: SparkSession, storeDir: String,
-      ret: Option[ReturnSink]): Long = {
+      ret: Option[ReturnSink], typeFilter: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{col, count, lit}
     def js(s: String) = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => ""; case c => c.toString
     } + "\""
-    val gs = graft.model.GraphSchema.fromJson(java.nio.file.Files.readString(
+    val gsAll = graft.model.GraphSchema.fromJson(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$storeDir/schema.json")))
+    typeFilter.foreach(t => require(gsAll.labels.exists(_.label == t),
+      s"unknown type: $t"))
+    def inScope(l: String): Boolean = typeFilter.forall(_ == l)
+    // scoped checks see only the scoped label's indexes/constraints
+    val gs = typeFilter match {
+      case None => gsAll
+      case Some(_) => gsAll.copy(
+        indexes = gsAll.indexes.filter(i => inScope(i.label)),
+        constraints = gsAll.constraints.filter(c => inScope(c.label)))
+    }
+    val scopedKind = typeFilter.map(t => gsAll.labels.find(_.label == t).get.kind)
     val m = graft.load.Store.readManifest(storeDir)
     val report = scala.collection.mutable.ArrayBuffer[String]()
     var issues = 0L
-    // FIRST: every referenced generation directory must exist on disk
-    // — this check GATES the row scans (a scan over a manifest that
-    // points at deleted files would crash the report instead of
-    // producing it)
-    val missing = graft.load.Store.genPathsOf(storeDir, m)
-      .filterNot(p => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
+    // FIRST: every generation directory THIS report will read must
+    // exist on disk — the check GATES the row scans (a scan over a
+    // manifest that points at deleted files would crash the report
+    // instead of producing it). Scope-aware: the scoped label's data
+    // and postings gens, plus every node gen when the scope is an edge
+    // type (the dangling probe reads node ids).
+    val missing = {
+      val dataPaths = Seq("nodes", "edges").flatMap { e =>
+        m.gens(e).toSeq.flatMap { case (l, gens) =>
+          val need = inScope(l) || (e == "nodes" && scopedKind.contains("edge"))
+          if (need) gens.map(g =>
+            graft.load.Store.genDir(storeDir, e, l, g).toString)
+          else Nil
+        }
+      }
+      val ftPaths = m.ft.toSeq.flatMap { case ((e, l, p), gens) =>
+        if (inScope(l)) gens.map(g =>
+          graft.load.Store.ftDir(storeDir, e, l, p, g).toString)
+        else Nil
+      }
+      (dataPaths ++ ftPaths)
+        .filterNot(p => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
+    }
     missing.foreach { p =>
       issues += 1
       report += s"""{"check":"missing_generation","path":${js(p)}}"""
     }
     if (missing.isEmpty) {
-      val nodes = graft.load.Store.readEntity(spark, storeDir, "nodes")
-      val edges = graft.load.Store.readEntity(spark, storeDir, "edges")
+      // a frame the validators may receive but must never scan: no
+      // in-scope index/constraint targets it (schema-only probe)
+      def emptyLabeled = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("label",
+            org.apache.spark.sql.types.StringType))))
+      def scopedFrame(entity: String, label: String) =
+        graft.load.Store.readLabel(spark, storeDir, entity, label, m)
+          .map(_.withColumn("label", lit(label))).getOrElse(emptyLabeled)
+      val nodes = scopedKind match {
+        case Some("vertex") => scopedFrame("nodes", typeFilter.get)
+        case _ => graft.load.Store.readEntity(spark, storeDir, "nodes")
+      }
+      val edges = scopedKind match {
+        case Some("vertex") => emptyLabeled
+        case Some(_) => scopedFrame("edges", typeFilter.get)
+        case None => graft.load.Store.readEntity(spark, storeDir, "edges")
+      }
       // per-type record counts (the reference's per-type totals)
-      Seq("nodes" -> nodes, "edges" -> edges).foreach { case (entity, df) =>
+      val recordFrames = scopedKind match {
+        case Some("vertex") => Seq("nodes" -> nodes)
+        case Some(_) => Seq("edges" -> edges)
+        case None => Seq("nodes" -> nodes, "edges" -> edges)
+      }
+      recordFrames.foreach { case (entity, df) =>
         df.groupBy(col("label")).agg(count(lit(1)).as("n")).collect()
           .sortBy(_.getString(0)).foreach { r =>
             report += s"""{"check":"records","entity":${js(entity)},""" +
@@ -1110,15 +1179,18 @@ object Dml {
       }
       // dangling endpoints: every edge endpoint must be a stored node
       // id (the store's no-dangling invariant — a hit here means
-      // external damage, exactly what CHECK exists to surface)
-      val ids = nodes.select(col("id"))
-      val dangSrc = edges.join(ids.withColumnRenamed("id", "src"),
-        Seq("src"), "left_anti").count()
-      val dangDst = edges.join(ids.withColumnRenamed("id", "dst"),
-        Seq("dst"), "left_anti").count()
-      if (dangSrc + dangDst > 0) {
-        issues += dangSrc + dangDst
-        report += s"""{"check":"dangling_edges","src":$dangSrc,"dst":$dangDst}"""
+      // external damage, exactly what CHECK exists to surface). An
+      // edge-set property: runs unscoped and for edge-type scopes.
+      if (scopedKind.forall(_ == "edge")) {
+        val ids = nodes.select(col("id"))
+        val dangSrc = edges.join(ids.withColumnRenamed("id", "src"),
+          Seq("src"), "left_anti").count()
+        val dangDst = edges.join(ids.withColumnRenamed("id", "dst"),
+          Seq("dst"), "left_anti").count()
+        if (dangSrc + dangDst > 0) {
+          issues += dangSrc + dangDst
+          report += s"""{"check":"dangling_edges","src":$dangSrc,"dst":$dangDst}"""
+        }
       }
     }
     // full-text routing, both directions: a DECLARED index without
@@ -1134,11 +1206,13 @@ object Dml {
       }
     }
     m.ft.keys.toSeq.sorted.foreach { case (e, l, p) =>
-      if (!gs.indexes.exists(i => i.fulltext && i.label == l && i.property == p))
+      if (inScope(l) &&
+          !gsAll.indexes.exists(i => i.fulltext && i.label == l && i.property == p))
         report += s"""{"check":"fulltext_undeclared","entity":${js(e)},""" +
           s""""label":${js(l)},"property":${js(p)}}"""
     }
-    report += s"""{"check":"summary","issues":$issues,"seq":${m.seq}}"""
+    val scopeJson = typeFilter.map(t => s""","type":${js(t)}""").getOrElse("")
+    report += s"""{"check":"summary","issues":$issues,"seq":${m.seq}$scopeJson}"""
     ret.foreach(_.images = Some(report.toArray))
     issues
   }

@@ -1198,6 +1198,47 @@ class LoadSpec extends SparkSpec {
     assert(r1.returned.get.exists(_.contains("\"check\":\"missing_generation\"")))
   }
 
+  test("CHECK DATABASE TYPE <t>: scoped report, damage isolation, FIX refusal (r16)") {
+    import java.nio.file.Paths
+    val out = Files.createTempDirectory("graftchktype").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    // healthy scoped report: only the scoped label's rows, tagged summary
+    val rC = graft.server.Dml.executeReturning(spark, out,
+      "CHECK DATABASE TYPE Customer")
+    assert(rC.count == 0)
+    val rowsC = rC.returned.get
+    assert(rowsC.exists(_.contains("\"label\":\"Customer\"")))
+    assert(!rowsC.exists(_.contains("\"label\":\"Part\"")), rowsC.mkString("\n"))
+    assert(rowsC.last.contains("\"type\":\"Customer\""))
+    // edge scope runs the dangling probe for that type only
+    val rE = graft.server.Dml.executeReturning(spark, out,
+      "CHECK DATABASE TYPE IN_NATION")
+    assert(rE.count == 0 &&
+      rE.returned.get.exists(_.contains("\"label\":\"IN_NATION\"")))
+    // unknown type and TYPE+FIX are refused loudly
+    assert(intercept[IllegalArgumentException](graft.server.Dml.executeReturning(
+      spark, out, "CHECK DATABASE TYPE Nope")).getMessage.contains("unknown type"))
+    assert(intercept[IllegalArgumentException](graft.server.Dml.executeReturning(
+      spark, out, "CHECK DATABASE TYPE Customer FIX")).getMessage
+      .contains("whole store"))
+    // DAMAGE ISOLATION: delete Region's node generation — the scoped
+    // Customer report still answers clean (it never reads Region),
+    // the scoped Region report names the damage, and the edge scope
+    // whose dangling probe needs node ids gates on it too
+    val regionGen = graft.load.Store.genPathsOf(out,
+      graft.load.Store.readManifest(out)).find(_.contains("/nodes/Region/")).get
+    graft.load.Store.tryDeleteRecursively(Paths.get(regionGen))
+    assert(graft.server.Dml.executeReturning(spark, out,
+      "CHECK DATABASE TYPE Customer").count == 0)
+    val rReg = graft.server.Dml.executeReturning(spark, out,
+      "CHECK DATABASE TYPE Region")
+    assert(rReg.count == 1 &&
+      rReg.returned.get.exists(_.contains("missing_generation")))
+    assert(graft.server.Dml.executeReturning(spark, out,
+      "CHECK DATABASE TYPE IN_REGION").returned.get
+      .exists(_.contains("missing_generation")))
+  }
+
   test("IMPORT DATABASE: EXPORT round-trip — counts, rids, eidNext, CHECK-clean (r15)") {
     import java.nio.file.Paths
     val out = Files.createTempDirectory("graftimpsrc").toString
