@@ -59,7 +59,7 @@ object Dml {
   private val RebuildIndexRe =
     """(?is)\s*REBUILD\s+INDEX\s+(?:ON\s+(\w+)\s*\(\s*(\w+)\s*\)|\*)\s*""".r
   private val CheckRe =
-    """(?is)\s*CHECK\s+DATABASE(?:\s+TYPE\s+(\w+))?(\s+FIX)?\s*""".r
+    """(?is)\s*CHECK\s+DATABASE(?:\s+TYPE\s+(\w+))?(?:\s+BUCKET\s+(\d+))?(\s+FIX)?\s*""".r
   private val ExportRe = """(?is)\s*EXPORT\s+DATABASE\s+'([^']+)'\s*""".r
   private val ImportRe = """(?is)\s*IMPORT\s+DATABASE\s+'([^']+)'\s*""".r
   // runtime schema DDL (the reference declares types/properties/indexes
@@ -680,17 +680,33 @@ object Dml {
       // commit (GraphLoader.fixStore), then reports the post-fix
       // state: the fix rows ride first, the fresh CHECK report after,
       // and the returned count is the REMAINING issues.
-      case CheckRe(tpe, fix) =>
+      case CheckRe(tpe, bucket, fix) =>
         noTxn("CHECK DATABASE")
-        // TYPE <t> scopes the REPORT to one label (r16, the dialect's
-        // full grammar); FIX stays whole-store — the salvage commit is
-        // ONE atomic manifest swap and a partial repair would leave
-        // cross-label damage (dangling edges into an unfixed label)
+        // TYPE <t> / BUCKET <b> scope the REPORT to one label (r16,
+        // the dialect's full grammar; buckets ARE label partitions
+        // here — bucket b = the b-th declared label, the RidSource
+        // numbering, so BUCKET resolves to the same scoped path). FIX
+        // stays whole-store — the salvage commit is ONE atomic
+        // manifest swap and a partial repair would leave cross-label
+        // damage (dangling edges into an unfixed label)
         // half-addressed, so the combination is refused loudly
-        require(tpe == null || fix == null,
-          "CHECK DATABASE TYPE … FIX is not supported: FIX repairs the " +
+        val bucketType = Option(bucket).map { b =>
+          val gs = graft.model.GraphSchema.fromJson(java.nio.file.Files.readString(
+            java.nio.file.Paths.get(s"$storeDir/schema.json")))
+          val i = b.toInt
+          require(i >= 0 && i < gs.labels.size,
+            s"unknown bucket #$i: buckets are label partitions and " +
+              s"${gs.labels.size} label(s) are declared")
+          gs.labels(i).label
+        }
+        require(tpe == null || bucketType.isEmpty,
+          "CHECK DATABASE takes TYPE or BUCKET, not both (buckets are " +
+            "label partitions — the two spellings scope the same way)")
+        val scope = Option(tpe).orElse(bucketType)
+        require(scope.isEmpty || fix == null,
+          "CHECK DATABASE TYPE/BUCKET … FIX is not supported: FIX repairs the " +
             "whole store under one manifest commit — run CHECK DATABASE FIX")
-        if (fix == null) checkDatabase(spark, storeDir, ret, Option(tpe))
+        if (fix == null) checkDatabase(spark, storeDir, ret, scope)
         else {
           val fixed = graft.load.GraphLoader.fixStore(spark, storeDir)
           val issues = checkDatabase(spark, storeDir, ret)

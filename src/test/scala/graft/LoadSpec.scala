@@ -1221,6 +1221,17 @@ class LoadSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](graft.server.Dml.executeReturning(
       spark, out, "CHECK DATABASE TYPE Customer FIX")).getMessage
       .contains("whole store"))
+    // BUCKET <b> is the same scope by partition number (bucket b =
+    // the b-th declared label, the RidSource numbering)
+    val cBucket = GraphLoader.schema.labels.indexWhere(_.label == "Customer")
+    val rB = graft.server.Dml.executeReturning(spark, out,
+      s"CHECK DATABASE BUCKET $cBucket")
+    assert(rB.count == 0 && rB.returned.get.last.contains("\"type\":\"Customer\""))
+    assert(intercept[IllegalArgumentException](graft.server.Dml.executeReturning(
+      spark, out, "CHECK DATABASE BUCKET 99")).getMessage.contains("unknown bucket"))
+    assert(intercept[IllegalArgumentException](graft.server.Dml.executeReturning(
+      spark, out, "CHECK DATABASE TYPE Customer BUCKET 1")).getMessage
+      .contains("not both"))
     // DAMAGE ISOLATION: delete Region's node generation — the scoped
     // Customer report still answers clean (it never reads Region),
     // the scoped Region report names the damage, and the edge scope
