@@ -133,8 +133,12 @@ object PipelineE2E {
     // length policy belongs to the rule gate, not the LM.
     val pplGated = stage("ppl_gate", {
       val m = Pipeline.lmModel(benchmark, "text", 512, 256)
+      // checkpoint the scored frame: the threshold sample and the gate
+      // filter are two ACTIONS — unshared, each would run the kernel
+      // over the whole corpus (r16 review: halved both scoring stages)
       val scored = gated.withColumn("__s",
         graft.plans.LmXent(TextOps.tokens(col("text")), m))
+        .localCheckpoint(true)
       val sample = scored
         .filter(Pipeline.samplePct(col("doc_id"), "e2e_ppl") < 10)
         .filter(col("__s.n_scored") > 0)
@@ -160,6 +164,7 @@ object PipelineE2E {
         pplGated, "text", col("source") === "src1", 4000)
       val scored = graft.streaming.EventsStream.nbGate(
         pplGated, vocab, prior, "text")
+        .localCheckpoint(true) // two actions, one kernel pass (see ppl_gate)
       val sample = scored
         .filter(Pipeline.samplePct(col("doc_id"), "e2e_nb") < 10)
         .select(col("score")).collect().map(_.getDouble(0)).sorted

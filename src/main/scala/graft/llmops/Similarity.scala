@@ -908,11 +908,19 @@ object Similarity {
       else trainPqCodebooks(emb, idCol, vecCol, m, nCodes, nTrain)
     val spark = emb.sparkSession
     import spark.implicits._
+    // one BUILD ID rides every artifact of this build (r16 review: the
+    // geom column alone left a window — a crash between the codebooks
+    // overwrite and the cells overwrite leaves NEW books over OLD codes
+    // with geom/marker still self-consistent; the build id makes any
+    // torn combination of centroids/codebooks/cells loud at serve)
+    val buildId = java.util.UUID.randomUUID().toString
     cents.map { case (cid, cv) => (cid, cv) }.toDF("cid", "cv")
+      .withColumn("build", lit(buildId))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/centroids")
     books.indices.flatMap(mi => books(mi).indices.map(code =>
         (mi, code, books(mi)(code).toSeq)))
       .toDF("m", "code", "c")
+      .withColumn("build", lit(buildId))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/codebooks")
     val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nv", norm(col("v")))
@@ -948,7 +956,7 @@ object Similarity {
       java.nio.file.Paths.get(s"$outDir/residual.marker"), "residual\n")
     else java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$outDir/residual.marker"))
-    encoded.withColumn("geom", lit(geom))
+    encoded.withColumn("geom", lit(geom)).withColumn("build", lit(buildId))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/cells")
     // slim qid→cell side table, RANGE-laid on id so a serve call's
     // pushed In filter prunes to the matching row groups (ADVICE r14
@@ -979,10 +987,23 @@ object Similarity {
       overfetch: Int = 4, capPerCell: Int = CandidateCap,
       source: Option[String] = None): DataFrame = {
     source.foreach(graft.load.IndexKeys.requireFresh(indexDir, _))
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val centDf = spark.read.parquet(s"$indexDir/centroids")
+    val bookDf = spark.read.parquet(s"$indexDir/codebooks")
+    // build-id agreement across the config-sized artifacts (driver-side,
+    // free): a crash between the centroids and codebooks overwrites
+    // leaves quantizers from two different trainings — refuse loudly
+    def buildOf(df: org.apache.spark.sql.DataFrame): Option[String] =
+      if (df.columns.contains("build"))
+        Some(df.select("build").head.getString(0))
+      else None // pre-r16 layout
+    val bCent = buildOf(centDf); val bBooks = buildOf(bookDf)
+    require(bCent == bBooks,
+      s"ivfPqIndexTopK: centroids and codebooks at $indexDir come from " +
+        "different builds — a rebuild crashed between their writes; rebuild")
+    val cents = centDf
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1).toSeq
-    val bookRows = spark.read.parquet(s"$indexDir/codebooks")
+    val bookRows = bookDf
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
       .toMap
     val m = bookRows.keys.map(_._1).max + 1
@@ -991,7 +1012,7 @@ object Similarity {
       (0 until m).map(mi => (0 until nCodes).map(code => bookRows((mi, code))))
     val cells = spark.read.parquet(s"$indexDir/cells")
     val idCol = cells.columns
-      .filterNot(Set("v", "nv", "cell", "codes", "rn", "geom")).head
+      .filterNot(Set("v", "nv", "cell", "codes", "rn", "geom", "build")).head
     // query-vector fetch (ADVICE r14 #4): resolve qid→cell through the
     // slim id-sorted side table (pushed In filter → row-group pruning;
     // 16 bytes/row), then read the vectors from ONLY those cells'
@@ -1064,10 +1085,18 @@ object Similarity {
       else pqReconstruct(col("codes"), books)
     val geomChecked =
       if (!pruned.columns.contains("geom")) pruned // pre-r16 layout
-      else pruned.filter(assert_true(col("geom") === lit(expectedGeom),
-        lit(s"ivfPqIndexTopK: index at $indexDir has codes in a geometry " +
-          s"that contradicts its residual.marker (expected $expectedGeom) " +
-          "— a build crashed between the marker and cells writes; rebuild")).isNull)
+      else {
+        val expect = bBooks match {
+          case Some(b) if pruned.columns.contains("build") =>
+            col("geom") === lit(expectedGeom) && col("build") === lit(b)
+          case _ => col("geom") === lit(expectedGeom)
+        }
+        pruned.filter(assert_true(expect,
+          lit(s"ivfPqIndexTopK: index at $indexDir has codes whose geometry " +
+            s"or build id contradicts its quantizers (expected $expectedGeom" +
+            bBooks.map(b => s", build $b").getOrElse("") +
+            ") — a rebuild crashed partway; rebuild the index")).isNull)
+      }
     val shortlist = geomChecked
       .select(col("cell"), col(idCol).as("nn"),
         reconCol.as("rv"), col("rn"))

@@ -1127,8 +1127,13 @@ object GraphLoader {
         }
         // 3. declared full-text indexes that are unrouted, or routed
         // over a node label the salvage shrank → rebuild postings from
-        // the surviving rows
-        gs.indexes.filter(_.fulltext).foreach { ix =>
+        // the surviving rows. The BUILDABLE filter mirrors the build
+        // path exactly (node target, non-array): a declared-but-skipped
+        // index (the A15 class the schema:indexes catalog marks
+        // buildable=false) has no postings BY DESIGN — "rebuilding" it
+        // would commit a bogus manifest mutation on a healthy store.
+        gs.indexes.filter(ix =>
+            ix.fulltext && ix.target == "node" && ix.isBuildable).foreach { ix =>
           val mCur = txn.manifest
           if (!mCur.ft.contains(("nodes", ix.label, ix.property)) ||
               prunedNodeLabels.contains(ix.label)) {

@@ -189,6 +189,7 @@ object Communities {
       val prevFrontier = frontier
       // dense while the frontier covers more than 1/8 of the graph
       val dense = frontierN < 0 || frontierN * 8 > nV
+      var touchedRef: Option[DataFrame] = None // released after the round
       val recomputed =
         if (dense) bi
           .join(prev.withColumnRenamed("n", "src"), Seq("src"))
@@ -204,6 +205,7 @@ object Communities {
             .join(prevFrontier.get.withColumnRenamed("n", "src"),
               Seq("src"), "left_semi")
             .select(col("dst").as("n")).distinct().localCheckpoint(true)
+          touchedRef = Some(touched)
           bi.join(prev.withColumnRenamed("n", "src"), Seq("src"))
             .join(touched.withColumnRenamed("n", "dst"), Seq("dst"), "left_semi")
             .groupBy(col("dst").as("n"), col("community").as("lbl"))
@@ -229,6 +231,9 @@ object Communities {
       }
       prev.unpersist()
       prevFrontier.foreach(_.unpersist())
+      touchedRef.foreach(_.unpersist()) // one vertex-scale RDD per
+      // sparse round would otherwise pin executor storage for the
+      // session (r16 review) — labels is checkpointed, so this is safe
     }
     labels
   }

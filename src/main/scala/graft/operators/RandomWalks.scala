@@ -71,30 +71,30 @@ object RandomWalks {
     // #1 — the r15 gate only skipped the block frame's repartition, and
     // the unconditional blocked BUILD (a groupBy(u, blk) collect_list
     // shuffle) plus the per-step block filter measured 2.1–2.5× the
-    // recorded 3.5 s at sf0.1): below [[Centrality.BiLayoutMinRows]]
-    // the r13 two-join row-form step runs — pick against the
-    // vertex-sized degree frame, then a (u, idx) equi probe into the
-    // checkpointed adjacency, no block frame built at all. The chosen
-    // neighbor is IDENTICAL (pick = h mod deg + 1 probes the same
+    // recorded 3.5 s at sf0.1): the r13 two-join row-form step runs
+    // when the graph is small on BOTH axes — edge-scale below
+    // [[Centrality.BiLayoutMinRows]] AND a broadcast-sized vertex
+    // frame. The vertex condition is load-bearing, not a refinement:
+    // without broadcast hints the row form re-exchanges the edge-scale
+    // adjacency every step on its (u, idx) keys, the exact shape the
+    // r14 ×10 measurement rejected at 29 s — so the row form is only
+    // chosen where it can run shuffle-FREE (pick against a broadcast
+    // degree frame, then a broadcast of the walk frame probed into the
+    // checkpointed adjacency scan; ZERO shuffles per step, which is
+    // what the r13 3.5 s recording was mostly made of — 10 sequential
+    // tiny-shuffle round-trips are scheduler-latency-bound). The 100k
+    // ceiling keeps the worst-case broadcast (the walk frame CARRIES
+    // its growing string) a few tens of MB. The chosen neighbor is
+    // IDENTICAL across forms (pick = h mod deg + 1 probes the same
     // sorted rank the blocked form reads as nbrs[(pick−1) mod 1024+1]
     // of block (pick−1) div 1024), so the oracle replay and both
     // node2vec twins stay hash-green across the gate.
-    val small = edges.count() * 2 < Centrality.BiLayoutMinRows
+    val small = edges.count() * 2 < Centrality.BiLayoutMinRows &&
+      deg.count() <= 100000
     var st = deg.select(col("u").as("start"), col("u").as("cur"),
       col("u").cast("string").as("walk"))
     if (small) {
-      // below the layout threshold the walk/degree frames are
-      // vertex-scale — when that is broadcast-sized, BOTH step joins
-      // go map-only (pick rides a broadcast of the walk frame over the
-      // checkpointed adjacency scan): ZERO shuffles per step, which is
-      // what the r13 3.5 s recording was mostly made of (10 sequential
-      // tiny-shuffle round-trips are scheduler-latency-bound, not
-      // throughput-bound). Vertex counts near the gate boundary can
-      // still be tens of millions — and the broadcast side CARRIES the
-      // growing walk string — so the hint is count-gated to keep the
-      // worst-case broadcast a few tens of MB.
-      val bcast = deg.count() <= 200000
-      val degB = if (bcast) broadcast(deg) else deg
+      val degB = broadcast(deg)
       (1 to length).foreach { t =>
         val h = graft.llmops.TextOps.md5Hash32(concat_ws("|",
           lit(salt), col("start").cast("string"), lit(t.toString),
@@ -102,10 +102,8 @@ object RandomWalks {
         val pick = st.join(degB, st("cur") === degB("u"))
           .select(col("start"), col("cur"), col("walk"),
             ((h % col("deg")) + 1).cast("int").as("__pick"))
-        st = (if (bcast) adj.join(broadcast(pick),
-                pick("cur") === adj("u") && pick("__pick") === adj("idx"))
-              else pick.join(adj,
-                pick("cur") === adj("u") && pick("__pick") === adj("idx")))
+        st = adj.join(broadcast(pick),
+            pick("cur") === adj("u") && pick("__pick") === adj("idx"))
           .select(col("start"), col("w").as("cur"),
             concat(col("walk"), lit("->"), col("w").cast("string"))
               .as("walk"))

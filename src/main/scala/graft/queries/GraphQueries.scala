@@ -32,11 +32,22 @@ object GraphQueries {
     scala.collection.mutable.Map[(String, String), org.apache.spark.sql.DataFrame]()
   private def coPurchase(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = coPurchaseCache.synchronized {
-    coPurchaseCache.getOrElseUpdate(
-      (d, graft.load.IndexKeys.fingerprint(s"$d/lineitem.parquet")),
-      graft.operators.Triangles.cooccurrenceEdges(
-        t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50)
-        .localCheckpoint(true))
+    val key = (d, graft.load.IndexKeys.fingerprint(s"$d/lineitem.parquet"))
+    // unlike the other caches in this layer (which hold plain
+    // driver-side values), a checkpointed DataFrame is BOUND to its
+    // SparkContext — a cached frame from a stopped session would throw
+    // on first use, so a dead-context entry evicts and rebuilds
+    // (r16 review)
+    coPurchaseCache.get(key)
+      .filterNot(_.sparkSession.sparkContext.isStopped) match {
+      case Some(df) => df
+      case None =>
+        val df = graft.operators.Triangles.cooccurrenceEdges(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50)
+          .localCheckpoint(true)
+        coPurchaseCache(key) = df
+        df
+    }
   }
 
   import GraphLoader.{CustomerOff, OrderOff}

@@ -1196,8 +1196,11 @@ object Dml {
       // dangling endpoints: every edge endpoint must be a stored node
       // id (the store's no-dangling invariant — a hit here means
       // external damage, exactly what CHECK exists to surface). An
-      // edge-set property: runs unscoped and for edge-type scopes.
-      if (scopedKind.forall(_ == "edge")) {
+      // edge-set property: runs unscoped and for edge-type scopes —
+      // and only when the edge frame actually HAS endpoints (a scoped
+      // edge type with no stored generations falls back to the
+      // schema-only empty frame, which has nothing to probe)
+      if (scopedKind.forall(_ == "edge") && edges.columns.contains("src")) {
         val ids = nodes.select(col("id"))
         val dangSrc = edges.join(ids.withColumnRenamed("id", "src"),
           Seq("src"), "left_anti").count()
@@ -1213,8 +1216,12 @@ object Dml {
     // manifest postings cannot serve (real issue — the build-order
     // contract says this never happens short of damage); manifest
     // postings without a declaration are the documented benign crash
-    // residue of CREATE INDEX FULL_TEXT (reported, not an issue)
-    gs.indexes.filter(_.fulltext).foreach { ix =>
+    // residue of CREATE INDEX FULL_TEXT (reported, not an issue).
+    // Buildable node indexes only — a declared-but-skipped index (A15
+    // array class / edge target) has no postings BY DESIGN and must
+    // not read as damage (r16 review: FIX mirrors the same filter).
+    gs.indexes.filter(ix =>
+        ix.fulltext && ix.target == "node" && ix.isBuildable).foreach { ix =>
       if (!m.ft.contains(("nodes", ix.label, ix.property))) {
         issues += 1
         report += s"""{"check":"fulltext_unrouted","label":${js(ix.label)},""" +

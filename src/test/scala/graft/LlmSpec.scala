@@ -2343,7 +2343,7 @@ class LlmSpec extends SparkSpec {
     def rootMsg(t: Throwable): String =
       (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
-    assert(rootMsg(e).contains("contradicts its residual.marker"), rootMsg(e).take(400))
+    assert(rootMsg(e).contains("contradicts its quantizers"), rootMsg(e).take(400))
   }
 
   test("lengthBuckets: power-of-two ladder, truncation at the cap, exact padding") {
