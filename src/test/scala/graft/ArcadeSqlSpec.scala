@@ -639,6 +639,36 @@ class ArcadeSqlSpec extends SparkSpec {
     intercept[IllegalArgumentException](run("SELECT @version FROM Region"))
   }
 
+  test("record attributes @in/@out/@size/@this (r17, VERDICT r16 missing #1)") {
+    // @out/@in are the edge's endpoint ids — the frame's src/dst verbatim
+    val e = run("SELECT @out AS o, @in AS i FROM IN_REGION ORDER BY o")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val twin = g.edgesOf("IN_REGION").select(col("src"), col("dst"))
+      .orderBy(col("src")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(e.toSeq == twin.toSeq)
+    // @size = set-property count (keys excluded): IN_REGION declares no
+    // properties, CONTAINS declares 7, all set under null-skip parity
+    assert(run("SELECT @size AS s FROM IN_REGION LIMIT 1").head.getLong(0) == 0L)
+    assert(run("SELECT @size AS s FROM CONTAINS LIMIT 1").head.getLong(0) == 7L)
+    // @size in predicate position: = 7 keeps every CONTAINS row, > 7 none
+    assert(run("SELECT count(*) AS n FROM CONTAINS WHERE @size = 7")
+      .head.getLong(0) == g.edgesOf("CONTAINS").count())
+    assert(run("SELECT count(*) AS n FROM CONTAINS WHERE @size > 7")
+      .head.getLong(0) == 0L)
+    // @this is the record itself: a struct of the row, field order =
+    // frame order, usable beside ordinary projections
+    val t = run("SELECT name, @this AS rec FROM Region WHERE @rid = 0").collect()
+    assert(t.length == 1)
+    val rec = t(0).getStruct(1)
+    assert(rec.schema.fieldNames.toSeq == Seq("id", "label", "name"))
+    assert(rec.getLong(0) == 0L && rec.getString(1) == "Region" &&
+      rec.getString(2) == t(0).getString(0))
+    // @in/@out are edge attributes — a vertex source refuses loudly
+    val ex = intercept[IllegalArgumentException](
+      run("SELECT @in FROM Customer").collect())
+    assert(ex.getMessage.contains("edge attribute"))
+  }
+
   test("statistical aggregates and collectors in the dialect") {
     val row = run("""SELECT stddev(acctbal) AS sd, variance(acctbal) AS vr,
         median(acctbal) AS med, percentile(acctbal, 0.5) AS p50,

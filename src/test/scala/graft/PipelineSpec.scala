@@ -205,4 +205,37 @@ class PipelineSpec extends SparkSpec {
       org.apache.spark.sql.execution.FormattedMode)
     assert(plan.contains("__brk"), "block-level rank missing from plan")
   }
+
+  test("sampleBudget: expected sample bounded by the budget at ANY corpus " +
+       "size; exact percent-set equality while the cap binds (r17 order #4)") {
+    val target = Pipeline.SampleBudgetDocs
+    // rate math: expected hits n·r/10⁷ never exceed 2·target, at any n
+    // (granularity floor included), and a corpus whose 10 % fits the
+    // budget keeps the full historical rate
+    for (n <- Seq(1000L, 500000L, 50000000L, 2000000000L,
+                  10000000000L, 1000000000000L)) {
+      val r7 = Pipeline.sampleRate7(n, target, 10)
+      val expected = n.toDouble * r7 / 1e7
+      assert(expected <= 2.0 * target,
+        s"n=$n rate7=$r7 expected=$expected exceeds 2x budget")
+      if (n * 10 / 100 <= target)
+        assert(r7 == 10L * 100000L, s"cap must bind at n=$n, got $r7")
+    }
+    // while the cap binds (every bench corpus), the selected SET is
+    // EXACTLY the historical samplePct < 10 set — oracle replays and
+    // recorded gate decisions are unchanged by construction
+    val hist = docs.filter(Pipeline.samplePct(col("doc_id"), "sb") < 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val small = docs.filter(Pipeline.sampleBudget(col("doc_id"), "sb",
+        docs.count(), target)).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small == hist, "capped rate must reproduce the percent set")
+    // once the budget engages (simulated 10B-doc corpus → sub-percent
+    // rate), the sample SHRINKS MONOTONICALLY: a subset of the
+    // historical set, never a reshuffle
+    val huge = docs.filter(Pipeline.sampleBudget(col("doc_id"), "sb",
+        10000000000L, target)).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(huge.subsetOf(hist),
+      s"budget-capped sample must refine the percent buckets, " +
+        s"got ${huge.diff(hist).size} rows outside them")
+  }
 }
