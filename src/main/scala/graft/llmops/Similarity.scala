@@ -1083,6 +1083,16 @@ object Similarity {
       if (isResidual) zip_with(centroidOfCell(cents, col("cell")),
         pqReconstruct(col("codes"), books), (a, b) => a + b)
       else pqReconstruct(col("codes"), books)
+    // pre-r16 layouts carry no geom/build on the cells — passthrough is
+    // only legitimate when the quantizers are ALSO pre-r16 (no build
+    // column). Build-stamped centroids/codebooks over geom-less cells
+    // can only mean a rebuild that crashed after the quantizer writes
+    // but before the cells overwrite; decoding old codes with new
+    // quantizers would be silently wrong (ADVICE r16), so refuse.
+    require(bBooks.isEmpty || pruned.columns.contains("geom"),
+      s"ivfPqIndexTopK: quantizers at $indexDir carry build id " +
+        s"${bBooks.get} but the cells have no geom/build columns — a " +
+        "rebuild crashed between the quantizer and cell writes; rebuild")
     val geomChecked =
       if (!pruned.columns.contains("geom")) pruned // pre-r16 layout
       else {

@@ -58,8 +58,11 @@ object Dml {
   // JSONL interchange form beside BACKUP's byte-faithful copy
   private val RebuildIndexRe =
     """(?is)\s*REBUILD\s+INDEX\s+(?:ON\s+(\w+)\s*\(\s*(\w+)\s*\)|\*)\s*""".r
+  // TYPE/BUCKET take comma-separated lists (the reference grammar
+  // [dep arcadedb SQL], ADVICE r16); buckets are named by label OR by
+  // ordinal (buckets ARE label partitions here — see the dispatch)
   private val CheckRe =
-    """(?is)\s*CHECK\s+DATABASE(?:\s+TYPE\s+(\w+))?(?:\s+BUCKET\s+(\d+))?(\s+FIX)?\s*""".r
+    """(?is)\s*CHECK\s+DATABASE(?:\s+TYPE\s+(\w+(?:\s*,\s*\w+)*))?(?:\s+BUCKET\s+(\w+(?:\s*,\s*\w+)*))?(\s+FIX)?\s*""".r
   private val ExportRe = """(?is)\s*EXPORT\s+DATABASE\s+'([^']+)'\s*""".r
   private val ImportRe = """(?is)\s*IMPORT\s+DATABASE\s+'([^']+)'\s*""".r
   // runtime schema DDL (the reference declares types/properties/indexes
@@ -108,20 +111,6 @@ object Dml {
       t.startsWith("ALTER") || t.startsWith("DROP") ||
       t.startsWith("REBUILD INDEX") || t.startsWith("CHECK DATABASE") ||
       t.startsWith("EXPORT DATABASE")
-  }
-
-  /** Commands that can never move the manifest: the served snapshot
-    * must NOT re-swap after them (r16) — a reload is pure waste on a
-    * healthy store, and on a DAMAGED one (missing generation dirs) it
-    * would crash the very `CHECK DATABASE` report that diagnoses the
-    * damage. `CHECK DATABASE FIX` mutates (salvage commit) and so do
-    * the DML/DDL families — only the pure reporters/exporters land
-    * here. BACKUP/EXPORT read a fenced store view and write OUTSIDE
-    * the store. */
-  def isReadOnlyMaintenance(command: String): Boolean = {
-    val t = command.trim.toUpperCase.replaceAll("\\s+", " ").trim
-    (t.startsWith("CHECK DATABASE") && !t.endsWith(" FIX")) ||
-      t.startsWith("EXPORT DATABASE") || t.startsWith("BACKUP")
   }
 
   /** Statements that refuse to run inside a transaction — the
@@ -178,13 +167,28 @@ object Dml {
 
   /** Images side-channel for the single-command RETURN forms: the
     * UPDATE branch deposits its BEFORE/AFTER record pages here. */
-  private final class ReturnSink { var images: Option[Array[String]] = None }
+  private final class ReturnSink {
+    var images: Option[Array[String]] = None
+    // set by the dispatch when the MATCHED statement can never move
+    // the manifest (pure reporters/exporters) — the authoritative
+    // classification, derived from the parsed form rather than
+    // re-matching the raw string (ADVICE r16: a string re-parse can
+    // drift from the grammar, e.g. options after FIX)
+    var readOnly: Boolean = false
+  }
 
   /** A DML command's outcome: the affected count plus — when the
     * statement asked `RETURN BEFORE|AFTER` — the affected records'
     * images as executor-serialized JSON rows (capped at
-    * [[GraphLoader.DmlReturnCap]]). */
-  final case class DmlResult(count: Long, returned: Option[Seq[String]])
+    * [[GraphLoader.DmlReturnCap]]). `readOnly` = the executed
+    * statement was a pure reporter/exporter that cannot have moved
+    * the manifest, so the served snapshot must NOT re-swap: a reload
+    * is pure waste on a healthy store, and on a DAMAGED one (missing
+    * generation dirs) it would crash the very `CHECK DATABASE` report
+    * that diagnoses the damage. Derived from the parsed dispatch, not
+    * from re-matching the command text. */
+  final case class DmlResult(count: Long, returned: Option[Seq[String]],
+      readOnly: Boolean = false)
 
   /** [[execute]] plus the ArcadeDB `UPDATE … RETURN BEFORE|AFTER`
     * record images (VERDICT r12 missing #3). RETURN COUNT (and no
@@ -193,7 +197,7 @@ object Dml {
       command: String): DmlResult = {
     val sink = new ReturnSink
     val n = executeOne(spark, storeDir, command, None, Some(sink))
-    DmlResult(n, sink.images.map(_.toSeq))
+    DmlResult(n, sink.images.map(_.toSeq), sink.readOnly)
   }
 
   /** Execute several DML statements as ONE atomic store commit (the
@@ -663,6 +667,7 @@ object Dml {
       // it through the serving process (this route), whose lease nests
       case BackupRe(dest) =>
         noTxn("BACKUP")
+        ret.foreach(_.readOnly = true) // fenced read, writes OUTSIDE the store
         graft.load.Store.backup(storeDir, dest)
       // REBUILD INDEX ON <T>(<p>) | * — re-derive persisted postings
       // from the current rows / re-prove UNIQUE invariants; returns
@@ -682,32 +687,47 @@ object Dml {
       // and the returned count is the REMAINING issues.
       case CheckRe(tpe, bucket, fix) =>
         noTxn("CHECK DATABASE")
-        // TYPE <t> / BUCKET <b> scope the REPORT to one label (r16,
-        // the dialect's full grammar; buckets ARE label partitions
-        // here — bucket b = the b-th declared label, the RidSource
-        // numbering, so BUCKET resolves to the same scoped path). FIX
-        // stays whole-store — the salvage commit is ONE atomic
-        // manifest swap and a partial repair would leave cross-label
-        // damage (dangling edges into an unfixed label)
-        // half-addressed, so the combination is refused loudly
-        val bucketType = Option(bucket).map { b =>
+        // TYPE <t,…> / BUCKET <b,…> scope the REPORT to a label list
+        // (r16 single, r17 comma lists — the dialect's full grammar
+        // [dep arcadedb SQL]; buckets ARE label partitions here —
+        // bucket b = the b-th declared label, the RidSource numbering,
+        // and a bucket NAME is the label itself, so BUCKET resolves to
+        // the same scoped path). FIX stays whole-store — the salvage
+        // commit is ONE atomic manifest swap and a partial repair
+        // would leave cross-label damage (dangling edges into an
+        // unfixed label) half-addressed, so the combination is
+        // refused loudly (documented divergence from the reference,
+        // which accepts scoped FIX)
+        val bucketTypes = Option(bucket).map { bs =>
           val gs = graft.model.GraphSchema.fromJson(java.nio.file.Files.readString(
             java.nio.file.Paths.get(s"$storeDir/schema.json")))
-          val i = b.toInt
-          require(i >= 0 && i < gs.labels.size,
-            s"unknown bucket #$i: buckets are label partitions and " +
-              s"${gs.labels.size} label(s) are declared")
-          gs.labels(i).label
+          bs.split(",").iterator.map(_.trim).map { b =>
+            if (b.forall(_.isDigit)) {
+              val i = b.toInt
+              require(i >= 0 && i < gs.labels.size,
+                s"unknown bucket #$i: buckets are label partitions and " +
+                  s"${gs.labels.size} label(s) are declared")
+              gs.labels(i).label
+            } else {
+              require(gs.labels.exists(_.label == b),
+                s"unknown bucket '$b': buckets are label partitions — name " +
+                  "a declared type or its ordinal")
+              b
+            }
+          }.toSeq
         }
-        require(tpe == null || bucketType.isEmpty,
+        val typeList = Option(tpe).map(_.split(",").map(_.trim).toSeq)
+        require(typeList.isEmpty || bucketTypes.isEmpty,
           "CHECK DATABASE takes TYPE or BUCKET, not both (buckets are " +
             "label partitions — the two spellings scope the same way)")
-        val scope = Option(tpe).orElse(bucketType)
+        val scope = typeList.orElse(bucketTypes).map(_.distinct)
         require(scope.isEmpty || fix == null,
           "CHECK DATABASE TYPE/BUCKET … FIX is not supported: FIX repairs the " +
             "whole store under one manifest commit — run CHECK DATABASE FIX")
-        if (fix == null) checkDatabase(spark, storeDir, ret, scope)
-        else {
+        if (fix == null) {
+          ret.foreach(_.readOnly = true) // pure report, manifest untouched
+          checkDatabase(spark, storeDir, ret, scope)
+        } else {
           val fixed = graft.load.GraphLoader.fixStore(spark, storeDir)
           val issues = checkDatabase(spark, storeDir, ret)
           ret.foreach(r => r.images =
@@ -718,6 +738,7 @@ object Dml {
       // BACKUP's fencing; returns the number of records exported
       case ExportRe(dest) =>
         noTxn("EXPORT DATABASE")
+        ret.foreach(_.readOnly = true) // fenced read, writes OUTSIDE the store
         graft.load.Store.exportJson(spark, storeDir, dest)
       // IMPORT DATABASE '<src>' — the inverse (r15, VERDICT r14 missing
       // #1): re-ingest an EXPORT's JSONL tree + schema.json through the
@@ -1087,17 +1108,18 @@ object Dml {
     * healthy). Every check is an aggregate over the store read — no
     * driver-side row iteration.
     *
-    * `typeFilter` (r16) scopes the report to ONE label: its
-    * generations (plus every node generation when the scope is an
-    * edge type — the dangling probe reads node ids), its indexes and
-    * constraints, its record counts, its postings routing. Scoped
-    * reads touch ONLY the scoped generations, so a damaged
-    * out-of-scope label can never crash an in-scope report — the
-    * per-type triage a big multi-tenant store needs. The dangling
-    * check is an edge-set property: edge scope checks that type's
-    * endpoints, vertex scope skips it (unscoped CHECK covers it). */
+    * `typeFilter` (r16 single label, r17 comma lists) scopes the
+    * report to the named labels: their generations (plus every node
+    * generation when the scope includes an edge type — the dangling
+    * probe reads node ids), their indexes and constraints, their
+    * record counts, their postings routing. Scoped reads touch ONLY
+    * the scoped generations, so a damaged out-of-scope label can
+    * never crash an in-scope report — the per-type triage a big
+    * multi-tenant store needs. The dangling check is an edge-set
+    * property: an edge type in scope checks that type's endpoints, a
+    * vertex-only scope skips it (unscoped CHECK covers it). */
   private def checkDatabase(spark: SparkSession, storeDir: String,
-      ret: Option[ReturnSink], typeFilter: Option[String] = None): Long = {
+      ret: Option[ReturnSink], typeFilter: Option[Seq[String]] = None): Long = {
     import org.apache.spark.sql.functions.{col, count, lit}
     def js(s: String) = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
@@ -1105,17 +1127,24 @@ object Dml {
     } + "\""
     val gsAll = graft.model.GraphSchema.fromJson(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$storeDir/schema.json")))
-    typeFilter.foreach(t => require(gsAll.labels.exists(_.label == t),
+    typeFilter.toSeq.flatten.foreach(t => require(gsAll.labels.exists(_.label == t),
       s"unknown type: $t"))
-    def inScope(l: String): Boolean = typeFilter.forall(_ == l)
-    // scoped checks see only the scoped label's indexes/constraints
+    def inScope(l: String): Boolean = typeFilter.forall(_.contains(l))
+    // scoped checks see only the scoped labels' indexes/constraints
     val gs = typeFilter match {
       case None => gsAll
       case Some(_) => gsAll.copy(
         indexes = gsAll.indexes.filter(i => inScope(i.label)),
         constraints = gsAll.constraints.filter(c => inScope(c.label)))
     }
-    val scopedKind = typeFilter.map(t => gsAll.labels.find(_.label == t).get.kind)
+    // the scoped labels split by kind: vertex labels drive the node
+    // frame, edge labels drive the edge frame AND pull the full node
+    // read for the dangling probe
+    val scopedVertex = typeFilter.map(_.filter(t =>
+      gsAll.labels.find(_.label == t).get.kind == "vertex"))
+    val scopedEdge = typeFilter.map(_.filter(t =>
+      gsAll.labels.find(_.label == t).get.kind != "vertex"))
+    val edgeInScope = scopedEdge.exists(_.nonEmpty)
     val m = graft.load.Store.readManifest(storeDir)
     val report = scala.collection.mutable.ArrayBuffer[String]()
     var issues = 0L
@@ -1128,7 +1157,7 @@ object Dml {
     val missing = {
       val dataPaths = Seq("nodes", "edges").flatMap { e =>
         m.gens(e).toSeq.flatMap { case (l, gens) =>
-          val need = inScope(l) || (e == "nodes" && scopedKind.contains("edge"))
+          val need = inScope(l) || (e == "nodes" && edgeInScope)
           if (need) gens.map(g =>
             graft.load.Store.genDir(storeDir, e, l, g).toString)
           else Nil
@@ -1157,20 +1186,34 @@ object Dml {
       def scopedFrame(entity: String, label: String) =
         graft.load.Store.readLabel(spark, storeDir, entity, label, m)
           .map(_.withColumn("label", lit(label))).getOrElse(emptyLabeled)
-      val nodes = scopedKind match {
-        case Some("vertex") => scopedFrame("nodes", typeFilter.get)
-        case _ => graft.load.Store.readEntity(spark, storeDir, "nodes")
+      // heterogeneous label schemas union by name (absent columns
+      // null-fill; every validator filters by label before touching a
+      // property column, so the fill is never read cross-label)
+      def unionFrames(entity: String, labels: Seq[String]) = labels
+        .map(scopedFrame(entity, _))
+        .reduceOption(_.unionByName(_, allowMissingColumns = true))
+        .getOrElse(emptyLabeled)
+      val nodes = typeFilter match {
+        case None => graft.load.Store.readEntity(spark, storeDir, "nodes")
+        case Some(_) => unionFrames("nodes", scopedVertex.get)
       }
-      val edges = scopedKind match {
-        case Some("vertex") => emptyLabeled
-        case Some(_) => scopedFrame("edges", typeFilter.get)
+      val edges = typeFilter match {
         case None => graft.load.Store.readEntity(spark, storeDir, "edges")
+        case Some(_) => unionFrames("edges", scopedEdge.get)
       }
+      // the dangling probe needs EVERY stored node id whenever an edge
+      // type is in scope — scoped vertex frames don't cover the
+      // endpoints of other labels' nodes
+      val danglingIds =
+        if (typeFilter.isEmpty) nodes
+        else if (edgeInScope) graft.load.Store.readEntity(spark, storeDir, "nodes")
+        else emptyLabeled
       // per-type record counts (the reference's per-type totals)
-      val recordFrames = scopedKind match {
-        case Some("vertex") => Seq("nodes" -> nodes)
-        case Some(_) => Seq("edges" -> edges)
+      val recordFrames = typeFilter match {
         case None => Seq("nodes" -> nodes, "edges" -> edges)
+        case Some(_) =>
+          (if (scopedVertex.get.nonEmpty) Seq("nodes" -> nodes) else Nil) ++
+            (if (scopedEdge.get.nonEmpty) Seq("edges" -> edges) else Nil)
       }
       recordFrames.foreach { case (entity, df) =>
         df.groupBy(col("label")).agg(count(lit(1)).as("n")).collect()
@@ -1200,8 +1243,8 @@ object Dml {
       // and only when the edge frame actually HAS endpoints (a scoped
       // edge type with no stored generations falls back to the
       // schema-only empty frame, which has nothing to probe)
-      if (scopedKind.forall(_ == "edge") && edges.columns.contains("src")) {
-        val ids = nodes.select(col("id"))
+      if ((typeFilter.isEmpty || edgeInScope) && edges.columns.contains("src")) {
+        val ids = danglingIds.select(col("id"))
         val dangSrc = edges.join(ids.withColumnRenamed("id", "src"),
           Seq("src"), "left_anti").count()
         val dangDst = edges.join(ids.withColumnRenamed("id", "dst"),
@@ -1234,7 +1277,8 @@ object Dml {
         report += s"""{"check":"fulltext_undeclared","entity":${js(e)},""" +
           s""""label":${js(l)},"property":${js(p)}}"""
     }
-    val scopeJson = typeFilter.map(t => s""","type":${js(t)}""").getOrElse("")
+    val scopeJson =
+      typeFilter.map(ts => s""","type":${js(ts.mkString(","))}""").getOrElse("")
     report += s"""{"check":"summary","issues":$issues,"seq":${m.seq}$scopeJson}"""
     ret.foreach(_.images = Some(report.toArray))
     issues

@@ -711,8 +711,11 @@ object QueryServer {
                 val r = Dml.executeReturning(spark, ctx.dir, commands.head)
                 // pure reporters/exporters never move the manifest — no
                 // re-swap (and a reload over a damaged store would turn
-                // the CHECK report into the crash it diagnoses, r16)
-                if (!Dml.isReadOnlyMaintenance(commands.head)) swapSnapshot()
+                // the CHECK report into the crash it diagnoses, r16).
+                // The flag comes from the PARSED dispatch (ADVICE r16:
+                // re-matching the raw string here could drift from the
+                // grammar, e.g. options after FIX)
+                if (!r.readOnly) swapSnapshot()
                 r }
             n0
           }

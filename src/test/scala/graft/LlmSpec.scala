@@ -2344,6 +2344,24 @@ class LlmSpec extends SparkSpec {
       (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
     assert(rootMsg(e).contains("contradicts its quantizers"), rootMsg(e).take(400))
+    // torn REBUILD over a pre-r16 layout (ADVICE r16): quantizers
+    // carry a build id but the cells have neither geom nor build — a
+    // rebuild that crashed after the quantizer writes, before the
+    // cells overwrite. The old passthrough would decode OLD codes with
+    // NEW quantizers silently; serve must refuse instead.
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/residual.marker"))
+    val stale = spark.read.parquet(s"$dir/cells").drop("geom", "build")
+      .cache()
+    stale.count()
+    graft.load.Store.tryDeleteRecursively(
+      java.nio.file.Paths.get(s"$dir/cells"))
+    stale.write.partitionBy("cell").parquet(s"$dir/cells")
+    stale.unpersist()
+    val e2 = intercept[Exception] {
+      Similarity.ivfPqIndexTopK(spark, dir, qids, 2, 10).collect()
+    }
+    assert(rootMsg(e2).contains("no geom/build"), rootMsg(e2).take(400))
   }
 
   test("lengthBuckets: power-of-two ladder, truncation at the cap, exact padding") {

@@ -1250,6 +1250,42 @@ class LoadSpec extends SparkSpec {
       .exists(_.contains("missing_generation")))
   }
 
+  test("CHECK DATABASE comma lists, bucket names, readOnly flag (r17, ADVICE r16)") {
+    val out = Files.createTempDirectory("graftchklist").toString
+    GraphLoader.writeGraph(spark, sfDir, out)
+    // mixed vertex+edge list: both labels' counts, the edge's dangling
+    // probe still runs (endpoints live outside the scoped vertex set)
+    val rL = graft.server.Dml.executeReturning(spark, out,
+      "CHECK DATABASE TYPE Customer, IN_NATION")
+    assert(rL.count == 0)
+    val rowsL = rL.returned.get
+    assert(rowsL.exists(_.contains("\"label\":\"Customer\"")))
+    assert(rowsL.exists(_.contains("\"label\":\"IN_NATION\"")))
+    assert(!rowsL.exists(_.contains("\"label\":\"Part\"")), rowsL.mkString("\n"))
+    assert(rowsL.last.contains("\"type\":\"Customer,IN_NATION\""))
+    // bucket NAMES map through the label registry; names and ordinals mix
+    val cBucket = GraphLoader.schema.labels.indexWhere(_.label == "Customer")
+    val rB = graft.server.Dml.executeReturning(spark, out,
+      s"CHECK DATABASE BUCKET Nation, $cBucket")
+    assert(rB.count == 0 &&
+      rB.returned.get.last.contains("\"type\":\"Nation,Customer\""))
+    assert(intercept[IllegalArgumentException](graft.server.Dml.executeReturning(
+      spark, out, "CHECK DATABASE BUCKET Nope")).getMessage
+      .contains("unknown bucket"))
+    // the parsed dispatch classifies reporters/exporters as read-only
+    // (the served snapshot must not re-swap after them); DML is not
+    assert(rL.readOnly && rB.readOnly)
+    assert(graft.server.Dml.executeReturning(spark, out,
+      "CHECK DATABASE").readOnly)
+    val exp = Files.createTempDirectory("graftchkexp").toString + "/e"
+    assert(graft.server.Dml.executeReturning(spark, out,
+      s"EXPORT DATABASE '$exp'").readOnly)
+    assert(!graft.server.Dml.executeReturning(spark, out,
+      "CHECK DATABASE FIX").readOnly)
+    assert(!graft.server.Dml.executeReturning(spark, out,
+      "UPDATE Customer SET mktsegment = 'X' WHERE id = -1").readOnly)
+  }
+
   test("IMPORT DATABASE: EXPORT round-trip — counts, rids, eidNext, CHECK-clean (r15)") {
     import java.nio.file.Paths
     val out = Files.createTempDirectory("graftimpsrc").toString
