@@ -92,6 +92,28 @@ object GraphProbe {
       s""""modularity":${mod.getDouble(1)},"modularity_sec":$sMod}""")
     }
 
+    if (want("lpa_knob")) {
+    // dense/sparse crossover bracket (r17, VERDICT r16 order #7): the
+    // 1/8 frontier threshold was chosen, not measured — time the SAME
+    // 5-round LPA at divisors 2/8/32 in one JVM, forward then reverse
+    // order (the #82/#88 A/B discipline: the throttle tax moves with
+    // position, min-per-divisor cancels it). Divisor 1 ~= always-dense
+    // (the r15 shape) rides along as the control.
+    val divisors = Seq(1L, 2L, 8L, 32L)
+    val best = scala.collection.mutable.Map[Long, Double]()
+    Seq(divisors, divisors.reverse).foreach(_.foreach { dv =>
+      val t0 = System.nanoTime()
+      val n = graft.operators.Communities.labelPropagation(edges, 5, dv)
+        .select(col("community")).distinct().count()
+      val s = (System.nanoTime() - t0) / 1e9
+      if (!best.get(dv).exists(_ <= s)) best(dv) = s
+      System.err.println(s"[lpa_knob] div=$dv sec=$s communities=$n")
+    })
+    val js = divisors.map(dv => s""""$dv":${best(dv)}""").mkString(",")
+    println(s"""{"probe":"lpa_knob","edges":$nEdges,"rounds":5,""" +
+      s""""min_sec_by_divisor":{$js}}""")
+    }
+
     if (want("ppr")) {
     // personalized PageRank posture (r15, VERDICT r14 order #3): the
     // seed-sparse iteration on the co-purchase graph DIRECTED a→b —

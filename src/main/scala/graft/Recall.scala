@@ -149,6 +149,22 @@ object Recall {
     val ivfPqR8c64U = recallOf(Similarity.ivfPqResidualTopKWith(
       emb, "vec_id", "embedding", cents, residBooks8c64, 4, qids, k,
       capPerCell = Int.MaxValue))
+    // the 64-BIT rung (r17, VERDICT r16 order #3): m=8 × nCodes=256 —
+    // the standard byte-code IVFADC layout. Trained at the ladder's
+    // nTrain (GRAFT_KM_NTRAIN); run the probe at 2048 AND 8192 to
+    // measure the TRAINING-SIZE lever #89 identified ("nCodes > 16
+    // needs nTrain ≫ 256") separately from the code-budget lever.
+    // An OPQ rotation rung is deliberately absent: the MoG residuals
+    // are isotropic Gaussians, so any orthogonal rotation leaves their
+    // distribution (hence PQ distortion) unchanged by symmetry — the
+    // ladder would measure exactly 0 gain at real cost.
+    val residBooks8c256 = Similarity.trainResidualPqCodebooks(
+      emb, "vec_id", "embedding", cents, 8, 256, nTrain, iters)
+    val ivfPqR8c256 = recallOf(Similarity.ivfPqResidualTopKWith(
+      emb, "vec_id", "embedding", cents, residBooks8c256, 4, qids, k))
+    val ivfPqR8c256U = recallOf(Similarity.ivfPqResidualTopKWith(
+      emb, "vec_id", "embedding", cents, residBooks8c256, 4, qids, k,
+      capPerCell = Int.MaxValue))
     // cross-corpus LSH join recall: exact τ-pairs between the even/odd
     // halves are ground truth (brute-force, probe-scale only); the
     // bucketed join's pairs are a subset by construction, so recall =
@@ -182,6 +198,9 @@ object Recall {
       f""""ivfpq_residual_m8":$ivfPqR8%.4f,"ivfpq_residual_m8_uncapped":$ivfPqR8U%.4f,""" +
       f""""ivfpq_residual_m8c64":$ivfPqR8c64%.4f,""" +
       f""""ivfpq_residual_m8c64_uncapped":$ivfPqR8c64U%.4f,""" +
+      f""""ivfpq_residual_m8c256":$ivfPqR8c256%.4f,""" +
+      f""""ivfpq_residual_m8c256_uncapped":$ivfPqR8c256U%.4f,""" +
+      f""""ntrain":$nTrain,""" +
       f""""cross_join_pairs":$crossRecall%.4f,"cross_join_truth_n":${exactPairs.size},""" +
       f""""sf_dir":"$sfDir"}""")
     spark.stop()

@@ -167,7 +167,23 @@ object Communities {
     * run the DENSE form (the sparse plumbing's two semi-joins and the
     * carry-forward merge only pay for themselves once most of the
     * graph is quiet) — the gate moves COST only, never results. */
-  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+  /** Dense/sparse crossover divisor: run the dense form while the
+    * frontier exceeds 1/divisor of the graph. Bracketed by a
+    * same-session A/B at sf0.1 AND ×10 over divisors 1/2/8/32 (r17,
+    * BASELINE #94): flipping to sparse too EARLY — while the frontier
+    * is still a large graph fraction (divisor ≤ 2) — costs 10–25%
+    * (the semi-join + carry-forward plumbing on an edge-scale
+    * frontier), while divisors 8–32 measure flat because the frontier
+    * COLLAPSES 20–30× per round on the co-purchase graph, so almost
+    * every round is clearly dense or clearly quiet and any gate in
+    * that band flips the same rounds. 8 stays as the measured
+    * optimum's centre. `GRAFT_LPA_DENSE_DIV` overrides for
+    * same-session A/B probes only. */
+  val LpaDenseDiv: Long =
+    sys.env.get("GRAFT_LPA_DENSE_DIV").map(_.toLong).getOrElse(8L)
+
+  def labelPropagation(edges: DataFrame, iters: Int,
+      denseDiv: Long = LpaDenseDiv): DataFrame = {
     require(iters >= 1, "need at least one round")
     val e = edges.select(col("a"), col("b")).localCheckpoint(true)
     // probed once per round on src — pre-partitioned + pre-sorted (the
@@ -187,8 +203,8 @@ object Communities {
     (1 to iters).foreach { t =>
       val prev = labels
       val prevFrontier = frontier
-      // dense while the frontier covers more than 1/8 of the graph
-      val dense = frontierN < 0 || frontierN * 8 > nV
+      // dense while the frontier covers more than 1/denseDiv of the graph
+      val dense = frontierN < 0 || frontierN * denseDiv > nV
       var touchedRef: Option[DataFrame] = None // released after the round
       val recomputed =
         if (dense) bi

@@ -1597,6 +1597,18 @@ object LlmQueries {
     Q("sim_ivfpq_residual_m8c64_topk",
       residualIvfPqQuery(8, 64), Some(residualIvfPqOracle(8, 64))),
 
+    // ✚ the 64-BIT rung (r17, VERDICT r16 order #3): m=8 × nCodes=256
+    // — the full byte-code IVFADC configuration (Jégou et al.'s
+    // standard 8-bit-per-subquantizer layout). The DECLARED query
+    // keeps nTrain=256 (the replayable-twin contract: the DuckDB CTE
+    // chain unrolls the same two Lloyd iterations bit-for-bit); the
+    // 20k-row MoG ladder trains it at nTrain 2048-8192 where
+    // 256-codeword books have data to learn (#89: "nCodes > 16 needs
+    // nTrain ≫ 256" — the probe measures that, the twin proves the
+    // machinery).
+    Q("sim_ivfpq_residual_m8c256_topk",
+      residualIvfPqQuery(8, 256), Some(residualIvfPqOracle(8, 256))),
+
     // ✚ length-bucket batching audit (round 14): the padding-efficiency
     // report behind fixed batch shapes — smallest power-of-two bucket
     // per doc (floor 16, cap 2048 = truncation), per-bucket capacity
