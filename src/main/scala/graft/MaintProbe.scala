@@ -40,18 +40,57 @@ object MaintProbe {
     // GATED report (no row scans over a manifest pointing at deleted
     // files), and the repair cost splits into (a) one edge-scan-sized
     // dangling probe (two anti-joins — O(edges), no rewrite) and
-    // (b) rewrites bounded to the AFFECTED labels only. On this store
-    // the lost Region generation dangles the nation-scale IN_REGION
-    // edges while the lineitem-scale CONTAINS label — the bulk of the
-    // store — must come through bit-for-bit untouched (mtime-checked),
-    // plus one postings rebuild for the damaged Part/name index. One
-    // atomic manifest commit; the re-CHECK must be clean.
+    // (b) rewrites bounded to the AFFECTED labels only. The store is
+    // built through the same validated bulk-load path
+    // ([[GraphLoader.writeGraphFrom]]) with a scale-parametric shape —
+    // the TPC-H fixture loader's fixed per-label offsets loudly refuse
+    // ×100 key spans (the documented keyspace bound), and the probe
+    // needs ONE comparable shape at every scale anyway: Doc nodes
+    // (corpus-scale, FULL_TEXT on text), Topic nodes (config-scale),
+    // HAS_TOPIC doc→topic (the label the damage dangles), and SIMILAR
+    // doc→doc at 20 edges/doc — the BULK of the store, which must come
+    // through bit-for-bit untouched (mtime-checked). Lost Topic
+    // generation + lost Doc/text postings generation are the inflicted
+    // damage; one atomic manifest commit repairs both.
     if (want("fix")) {
       val gdir = s"target/fixprobe-${java.util.UUID.randomUUID().toString.take(8)}"
       def fsecs(t0: Long): Double = (System.nanoTime() - t0) / 1e9
       try {
+        import org.apache.spark.sql.types.{StringType, StructField, StructType}
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").cast(LongType).as("id"),
+            lit("Doc").as("label"), col("text"), col("lang"))
+        val nDocs = docs.agg(max(col("id"))).head.getLong(0) + 1
+        val topicOff = 800000000L
+        val nTopics = math.min(5000L, nDocs)
+        val topics = spark.range(nTopics)
+          .select((col("id") + topicOff).as("id"), lit("Topic").as("label"),
+            concat(lit("t"), col("id")).as("name"))
+        val nodes = docs.unionByName(topics, allowMissingColumns = true)
+        val hasTopic = docs.select(col("id").as("src"),
+          (pmod(col("id"), lit(nTopics)) + topicOff).as("dst"),
+          lit("HAS_TOPIC").as("label"))
+        val similar = docs
+          .select(col("id").as("src"),
+            explode(sequence(lit(0L), lit(19L))).as("k"))
+          .select(col("src"),
+            pmod(col("src") * lit(1000003L) + col("k") * lit(7919L),
+              lit(nDocs)).as("dst"),
+            lit("SIMILAR").as("label"))
+        val edgesIn = hasTopic.unionByName(similar)
+        def st(fields: (String, org.apache.spark.sql.types.DataType)*) =
+          StructType(fields.map { case (nm, t) => StructField(nm, t) })
+        val gs = graft.model.GraphSchema(
+          labels = Seq(
+            graft.model.LabelSchema("Doc", "vertex",
+              st("text" -> StringType, "lang" -> StringType)),
+            graft.model.LabelSchema("Topic", "vertex", st("name" -> StringType)),
+            graft.model.LabelSchema("HAS_TOPIC", "edge", st()),
+            graft.model.LabelSchema("SIMILAR", "edge", st())),
+          indexes = Seq(graft.model.IndexDesc("node", "Doc", "text",
+            unique = false, isArray = false, fulltext = true)))
         val tl = System.nanoTime()
-        GraphLoader.writeGraph(spark, sfDir, gdir)
+        GraphLoader.writeGraphFrom(spark, gdir, nodes, edgesIn, gs, sfDir)
         val loadSec = fsecs(tl)
         def treeBytes(sub: String): Long = {
           import scala.jdk.CollectionConverters._
@@ -68,14 +107,23 @@ object MaintProbe {
         val totalBytes = treeBytes("")
         val m0 = Store.readManifest(gdir)
         val nEdges = Store.readEntity(spark, gdir, "edges").count()
-        // inflict the three damage classes of the e2e corrupt test
-        // (CliSpec r16) on the BIG store: lost node generation (Region
-        // → IN_REGION dangles), lost postings generation (Part/name)
-        val regionGen = Store.genPathsOf(gdir, m0)
-          .find(_.contains("/nodes/Region/")).get
+        // pre-damage baseline: on REPLICATED probe data the natural
+        // keys repeat across copies, so CHECK legitimately reports
+        // UNIQUE violations on a healthy store — FIX repairs damage
+        // classes, never data-quality classes (by design), so the
+        // clean criterion is "back to the pre-damage report", not zero
+        val tb0 = System.nanoTime()
+        val baselineIssues =
+          graft.server.Dml.executeReturning(spark, gdir, "CHECK DATABASE").count
+        val checkHealthySec = fsecs(tb0)
+        // inflict the damage classes of the e2e corrupt test (CliSpec
+        // r16) on the BIG store: lost node generation (Topic →
+        // HAS_TOPIC dangles), lost postings generation (Doc/text)
+        val topicGen = Store.genPathsOf(gdir, m0)
+          .find(_.contains("/nodes/Topic/")).get
         val ftGen = Store.genPathsOf(gdir, m0)
-          .find(_.contains("/ft/nodes/Part/name/")).get
-        Store.tryDeleteRecursively(java.nio.file.Paths.get(regionGen))
+          .find(_.contains("/ft/nodes/Doc/text/")).get
+        Store.tryDeleteRecursively(java.nio.file.Paths.get(topicGen))
         Store.tryDeleteRecursively(java.nio.file.Paths.get(ftGen))
         // every generation file OUTSIDE the two labels FIX may rewrite
         // must survive bit-for-bit (rewrite-boundedness, the probe's
@@ -86,8 +134,8 @@ object MaintProbe {
           try w.iterator().asScala
             .filter(p => java.nio.file.Files.isRegularFile(p) &&
               p.toString.contains("gen-") &&
-              !p.toString.contains("/edges/IN_REGION/") &&
-              !p.toString.contains("/ft/nodes/Part/name/"))
+              !p.toString.contains("/edges/HAS_TOPIC/") &&
+              !p.toString.contains("/ft/nodes/Doc/text/"))
             .map(p => p.toString ->
               java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
           finally w.close()
@@ -96,23 +144,31 @@ object MaintProbe {
         val tc = System.nanoTime()
         val damaged = graft.server.Dml.executeReturning(spark, gdir, "CHECK DATABASE")
         val checkDamagedSec = fsecs(tc)
-        require(damaged.count > 0, "damaged store must report issues")
+        // the damaged report GATES on the lost generations (no row
+        // scans → data-quality classes absent), so its count is not
+        // comparable to the baseline — assert the damage CLASS showed
+        require(damaged.returned.exists(_.exists(
+            _.contains("\"check\":\"missing_generation\""))),
+          "damaged store must report its missing generations")
         val tf = System.nanoTime()
         val fixes = GraphLoader.fixStore(spark, gdir)
         val fixSec = fsecs(tf)
         val tr = System.nanoTime()
         val clean = graft.server.Dml.executeReturning(spark, gdir, "CHECK DATABASE")
         val recheckSec = fsecs(tr)
-        require(clean.count == 0,
-          s"re-CHECK after FIX must be clean, got ${clean.count} issues")
+        require(clean.count == baselineIssues,
+          s"re-CHECK after FIX must match the pre-damage report " +
+            s"($baselineIssues issues), got ${clean.count}")
         val after = genFiles()
         val touched = before.filter { case (p, t) => after.get(p).forall(_ != t) }
         require(touched.isEmpty,
           s"FIX must not rewrite unaffected labels; touched: ${touched.keys.take(3)}")
         val rewrittenBytes =
-          treeBytes("edges/IN_REGION") + treeBytes("ft/nodes/Part/name")
+          treeBytes("edges/HAS_TOPIC") + treeBytes("ft/nodes/Doc/text")
         println(s"""{"metric":"fix_probe","edges":$nEdges,""" +
           s""""load_sec":$loadSec,"store_bytes":$totalBytes,""" +
+          s""""baseline_issues":$baselineIssues,""" +
+          s""""check_healthy_sec":$checkHealthySec,""" +
           s""""check_damaged_sec":$checkDamagedSec,"fix_sec":$fixSec,""" +
           s""""recheck_sec":$recheckSec,"fixes":${fixes.size},""" +
           s""""rewritten_bytes":$rewrittenBytes,"sf":"$sfDir"}""")

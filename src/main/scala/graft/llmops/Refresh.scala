@@ -168,12 +168,18 @@ object Refresh {
       rules: Pipeline.GateRules,
       windowTokens: Int = 16, numPerms: Int = 16, bands: Int = 4,
       bloomN: Int = 8, mBits: Int = 0, k: Int = 4): Epoch = {
-    val gated = gate(resident, idCol, textCol, langCol, rules)
-      .localCheckpoint(true) // consumed by the span build AND the scrub probe
+    // LAZY: the gated frame feeds ONLY the index builders — on the
+    // build-or-open NO-OP path (both authorities already on disk,
+    // `persisted`'s by-name thunks never forced) the resident corpus
+    // must not be re-gated: an open is two directory probes plus the
+    // bloom build, never a corpus scan (r17 — the ×10 lifecycle probe
+    // measured the eager gate at 12.8 s of a 12.8 s "no-op")
+    lazy val gated = gate(resident, idCol, textCol, langCol, rules)
+      .localCheckpoint(true) // consumed by the span build AND the band build
     val knobKey = epochCacheKey(key, windowTokens, numPerms, bands, rules)
     val spanIndex = persisted(spark, cacheRoot, s"$knobKey-span")(
       epochSpanIndex(gated, idCol, textCol, windowTokens))
-    val scrubbed = scrub(spanIndex, gated, idCol, textCol, windowTokens)
+    lazy val scrubbed = scrub(spanIndex, gated, idCol, textCol, windowTokens)
     val bandIndex = persisted(spark, cacheRoot, s"$knobKey-band")(
       epochBandIndex(scrubbed, idCol, seqCol, textCol, numPerms, bands))
     val bits =
