@@ -169,6 +169,10 @@ object Bench {
     "asql_rid_edge_dml",
     "sim_ivfpq_residual_m8_topk",
     "sim_ivfpq_residual_m8c64_topk",
+    // round 17: record attributes (store-backed projection) and the
+    // 64-bit residual rung
+    "asql_record_attrs",
+    "sim_ivfpq_residual_m8c256_topk",
     "multimodal_meta",
     "multimodal_frames",
     "multimodal_resize",
