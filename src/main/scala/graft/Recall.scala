@@ -165,6 +165,27 @@ object Recall {
     val ivfPqR8c256U = recallOf(Similarity.ivfPqResidualTopKWith(
       emb, "vec_id", "embedding", cents, residBooks8c256, 4, qids, k,
       capPerCell = Int.MaxValue))
+    // the CELL-COUNT rung (r17 — #93's "next honest lever is
+    // nProbe/cell count"): 64 cells probed at nProbe=16 keeps the
+    // scanned fraction at the ladder's ¼ while quartering each cell's
+    // diameter — the residual the codes must describe shrinks, so the
+    // SAME 64-bit code budget spends on finer detail. Separates the
+    // partition-granularity lever from the code/training levers the
+    // ladder already isolates (only meaningful at ladder nTrain:
+    // 64-cell k-means needs ≫64 training vectors).
+    val cents64 = Similarity.trainKMeans(emb, "vec_id", "embedding", 64, nTrain, iters)
+    val trained64 = recallOf(Similarity.ivfTopKWith(
+      emb, "vec_id", "embedding", cents64, 16, qids, k))
+    val trained64U = recallOf(Similarity.ivfTopKWith(
+      emb, "vec_id", "embedding", cents64, 16, qids, k,
+      capPerCell = Int.MaxValue))
+    val residBooks64c = Similarity.trainResidualPqCodebooks(
+      emb, "vec_id", "embedding", cents64, 8, 256, nTrain, iters)
+    val ivfPqR64c = recallOf(Similarity.ivfPqResidualTopKWith(
+      emb, "vec_id", "embedding", cents64, residBooks64c, 16, qids, k))
+    val ivfPqR64cU = recallOf(Similarity.ivfPqResidualTopKWith(
+      emb, "vec_id", "embedding", cents64, residBooks64c, 16, qids, k,
+      capPerCell = Int.MaxValue))
     // cross-corpus LSH join recall: exact τ-pairs between the even/odd
     // halves are ground truth (brute-force, probe-scale only); the
     // bucketed join's pairs are a subset by construction, so recall =
@@ -200,6 +221,10 @@ object Recall {
       f""""ivfpq_residual_m8c64_uncapped":$ivfPqR8c64U%.4f,""" +
       f""""ivfpq_residual_m8c256":$ivfPqR8c256%.4f,""" +
       f""""ivfpq_residual_m8c256_uncapped":$ivfPqR8c256U%.4f,""" +
+      f""""trained_ivf_c64":$trained64%.4f,""" +
+      f""""trained_ivf_c64_uncapped":$trained64U%.4f,""" +
+      f""""ivfpq_residual_m8c256_c64":$ivfPqR64c%.4f,""" +
+      f""""ivfpq_residual_m8c256_c64_uncapped":$ivfPqR64cU%.4f,""" +
       f""""ntrain":$nTrain,""" +
       f""""cross_join_pairs":$crossRecall%.4f,"cross_join_truth_n":${exactPairs.size},""" +
       f""""sf_dir":"$sfDir"}""")

@@ -973,6 +973,79 @@ object Similarity {
     (cents, books)
   }
 
+  /** INCREMENTAL append to a [[buildIvfPqIndex]] layout — the IVFADC
+    * arrival discipline: quantizers are FROZEN at build time
+    * (retraining is a rebuild decision, not an append), so arrivals
+    * assign against the published centroids, encode against the
+    * published codebooks in the layout's OWN geometry (the
+    * residual.marker governs, exactly as at serve), and land as
+    * additional files inside their cells' partitions carrying the SAME
+    * build id — the serve path's geom/build cross-checks admit them as
+    * first-class rows. Append-mode parquet adds files without touching
+    * existing ones, so concurrent serving reads stay consistent at
+    * file granularity; the ids side table rides the append like
+    * [[appendToIvfIndex]]'s. Pre-build-id layouts are REFUSED: an
+    * append cannot prove it encodes against the quantizers the
+    * resident codes were built with, and mixed-era cells are exactly
+    * the torn state the serve checks exist to make loud — rebuild
+    * first. Returns the number of appended vectors. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, emb: DataFrame, idCol: String, vecCol: String,
+      source: Option[String] = None): Long = {
+    val centDf = spark.read.parquet(s"$indexDir/centroids")
+    val bookDf = spark.read.parquet(s"$indexDir/codebooks")
+    require(centDf.columns.contains("build") && bookDf.columns.contains("build"),
+      s"appendToIvfPqIndex: the layout at $indexDir predates build-stamped " +
+        "artifacts — rebuild it before appending (appended codes could not " +
+        "carry the build id the serve path's torn-rebuild checks key on)")
+    val bCent = centDf.select("build").head.getString(0)
+    val bBooks = bookDf.select("build").head.getString(0)
+    require(bCent == bBooks,
+      s"appendToIvfPqIndex: centroids and codebooks at $indexDir come from " +
+        "different builds — a rebuild crashed between their writes; rebuild " +
+        "before appending")
+    val cents = centDf.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    val bookRows = bookDf
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    val m = bookRows.keys.map(_._1).max + 1
+    val nCodes = bookRows.keys.map(_._2).max + 1
+    val books: IndexedSeq[IndexedSeq[Array[Double]]] =
+      (0 until m).map(mi => (0 until nCodes).map(code => bookRows((mi, code))))
+    val isResidual = java.nio.file.Files.isRegularFile(
+      java.nio.file.Paths.get(s"$indexDir/residual.marker"))
+    val v = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nv", norm(col("v")))
+    val assigned = v.withColumn("cell", ivfCell(col("v"), col("nv"), cents))
+    val encoded =
+      if (isResidual) {
+        val withR = assigned.withColumn("r",
+          zip_with(unitCol(col("v"), col("nv")),
+            centroidOfCell(cents, col("cell")), (a, b) => a - b))
+          .withColumn("codes", pqCodes(col("r"), books))
+        withR.withColumn("rn", norm(zip_with(centroidOfCell(cents, col("cell")),
+            pqReconstruct(col("codes"), books), (a, b) => a + b)))
+          .drop("r")
+      } else assigned
+        .withColumn("codes", pqCodes(col("v"), books))
+        .withColumn("rn", norm(pqReconstruct(col("codes"), books)))
+    val geom = if (isResidual) "residual" else "raw"
+    val out = encoded.withColumn("geom", lit(geom)).withColumn("build", lit(bCent))
+      .localCheckpoint(true) // count + both writes share one encode pass
+    out.write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$indexDir/ids"))) {
+      out.select(col(idCol), col("cell").cast("long").as("cell"))
+        .write.mode("append").parquet(s"$indexDir/ids")
+      spark.catalog.refreshByPath(s"$indexDir/ids")
+    }
+    // parquet file listings cache session-wide — without the refresh a
+    // reader that already scanned this index keeps the pre-append set
+    spark.catalog.refreshByPath(s"$indexDir/cells")
+    source.foreach(graft.load.IndexKeys.stamp(indexDir, _))
+    out.count()
+  }
+
   /** Serve top-k from a [[buildIvfPqIndex]] layout. Two scans of the
     * PRUNED partitions, both cheap for different reasons: the ADC pass
     * reads only the (id, codes, rn) pages of the probed cells and

@@ -217,6 +217,63 @@ object EventsStream {
     w.start()
   }
 
+  /** Streaming ANN-INDEX ingest gate — continuous arrivals maintain a
+    * [[graft.llmops.Similarity.buildIvfPqIndex]] layout through the
+    * frozen-quantizer append path
+    * ([[graft.llmops.Similarity.appendToIvfPqIndex]]): each micro-batch
+    * assigns against the published centroids, encodes in the layout's
+    * own geometry, and lands as additional cell files — retraining
+    * stays a rebuild decision, never a stream decision. Per-batch cost
+    * is batch-bound (assign + encode + write of the batch; the
+    * resident cells are never read or rewritten), so stream length
+    * only grows the index, output-linear in ingested vectors.
+    *
+    * IDEMPOTENT under foreachBatch's at-least-once replay: arrivals
+    * anti-join the slim ids side table before appending, restricted to
+    * the batch's own [min, max] id range so the probe prunes to the
+    * overlapping row groups instead of scanning the ids of the whole
+    * resident corpus (arrival ids are write-clustered, so a replayed
+    * batch touches only its own files' groups). A replayed batch finds
+    * its ids resident, appends nothing, and delivers nothing twice —
+    * the serve path's duplicate-id refusal never fires for replays.
+    * Failure inside the append itself (after the cells write, before
+    * the ids write) can leave a batch's rows in the cells without ids
+    * entries; the replay re-appends them — duplicate CELL rows for one
+    * batch, which cost candidate-scan width until the next rebuild but
+    * keep every id servable (at-least-once prefers a duplicated row
+    * over a lost one; the ids table itself stays duplicate-free, so
+    * the loud re-append diagnosis stays reserved for true caller
+    * bugs). The sink receives exactly the appended (fresh) rows AFTER
+    * the append returns: a row delivered IS in the index. One gate per
+    * index directory (concurrent appenders would race their freshness
+    * decisions). */
+  def annIngestGate(indexDir: String, vecs: DataFrame, idCol: String,
+      vecCol: String, checkpointDir: Option[String] = None)
+      (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = vecs.sparkSession
+    val w = vecs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint(true) // bounds + probe + append share one pass
+          val bounds = b.agg(min(col(idCol)), max(col(idCol))).head
+          val resident = spark.read.parquet(s"$indexDir/ids")
+            .filter(col(idCol) >= bounds.getLong(0) &&
+              col(idCol) <= bounds.getLong(1))
+            .select(col(idCol))
+          val fresh = b.join(resident, Seq(idCol), "left_anti")
+            .localCheckpoint(true) // consumed twice: append + sink
+          if (!fresh.isEmpty) {
+            graft.llmops.Similarity.appendToIvfPqIndex(
+              spark, indexDir, fresh, idCol, vecCol)
+            sink(fresh)
+          }
+        }
+      }
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.start()
+  }
+
   /** Streaming COMPOSED corpus refresh — the foreachBatch twin of
     * [[graft.llmops.Refresh.process]] (VERDICT r12 order #10, the
     * streaming face of order #1): quality gate → epoch span scrub →

@@ -2449,6 +2449,56 @@ class LlmSpec extends SparkSpec {
     assert(Similarity.ivfIndexTopK(spark, dir, Seq(1L), 8, 10).count() == 10)
   }
 
+  test("IVF-PQ index append: arrivals encode with frozen quantizers; serve equals in-memory") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqapp").toString
+    val split = 150L // the sf0.01 embeddings table holds 200 vectors
+    val base = emb.filter($"vec_id" < split)
+    val (cents, books) = Similarity.buildIvfPqIndex(
+      base, "vec_id", "embedding", 8, 4, 16, 128, dir, residual = true)
+    val n = Similarity.appendToIvfPqIndex(spark, dir,
+      emb.filter($"vec_id" >= split), "vec_id", "embedding")
+    assert(n == emb.filter($"vec_id" >= split).count() && n > 0)
+    // an APPENDED id is queryable (the ids side table rode the append),
+    // and the cold route equals the in-memory route over the FULL
+    // corpus with the SAME frozen quantizers — the append encoded the
+    // arrivals exactly as a build with these quantizers would have
+    val qids = Seq(0L, 1L, split + 10L)
+    val cold = Similarity.ivfPqIndexTopK(spark, dir, qids, 2, 10)
+    val warm = Similarity.ivfPqResidualTopKWith(
+      emb, "vec_id", "embedding", cents, books, 2, qids, 10)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select($"qid", $"nn", $"rank", round($"cos", 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(shape(cold) == shape(warm))
+    // appended neighbors actually appear for a base query probing wide
+    val wide = Similarity.ivfPqIndexTopK(spark, dir, Seq(0L), 8, 2000)
+      .select($"nn").collect().map(_.getLong(0)).toSet
+    assert(wide.exists(_ >= split), s"appended vectors absent: ${wide.size}")
+    // RE-appending an existing id → the serve naming it diagnoses the
+    // duplicate loudly; other queries keep serving
+    Similarity.appendToIvfPqIndex(spark, dir,
+      emb.filter($"vec_id" === 0L), "vec_id", "embedding")
+    val eDup = intercept[IllegalArgumentException](
+      Similarity.ivfPqIndexTopK(spark, dir, Seq(0L), 2, 10).collect())
+    assert(eDup.getMessage.contains("duplicate index rows"), eDup.getMessage)
+    assert(Similarity.ivfPqIndexTopK(spark, dir, Seq(1L), 2, 10).count() == 10)
+    // a pre-build-id layout is REFUSED: appended codes could not carry
+    // the build id the serve path's torn-rebuild checks key on
+    val noBuild = spark.read.parquet(s"$dir/centroids").drop("build").cache()
+    noBuild.count()
+    graft.load.Store.tryDeleteRecursively(
+      java.nio.file.Paths.get(s"$dir/centroids"))
+    noBuild.coalesce(1).write.parquet(s"$dir/centroids")
+    noBuild.unpersist()
+    spark.catalog.refreshByPath(s"$dir/centroids")
+    val ePre = intercept[IllegalArgumentException](
+      Similarity.appendToIvfPqIndex(spark, dir,
+        emb.filter($"vec_id" === 1L), "vec_id", "embedding"))
+    assert(ePre.getMessage.contains("predates build-stamped"), ePre.getMessage)
+  }
+
   test("hardNegatives: nearest cross-label only; same-label neighbors never appear") {
     // label 1 hugs +x, label 2 hugs +y; query 0 is label 1 near +x.
     // Its same-label twins (10, 11) are closest absolutely but must be

@@ -294,6 +294,52 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(idx).select("doc_id").distinct().count() == 3)
   }
 
+  test("streaming ANN ingest maintains the persisted IVF-PQ index; replays are idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llmops.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graftanningest").toString
+    val base = emb.filter($"vec_id" < 400L) // the sf0.001 table holds 500
+    val (cents, books) = Similarity.buildIvfPqIndex(
+      base, "vec_id", "embedding", 8, 4, 16, 128, dir, residual = true)
+    def rowsOf(lo: Long, hi: Long): Seq[DeconV] = emb
+      .filter($"vec_id" >= lo && $"vec_id" < hi)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .collect().map(r => DeconV(r.getLong(0), r.getSeq[Double](1))).toSeq
+    val sunk = scala.collection.mutable.ArrayBuffer[Long]()
+    val mem = MemoryStream[DeconV]
+    val q = EventsStream.annIngestGate(dir, mem.toDF(), "vec_id", "embedding") {
+      fresh => sunk.synchronized {
+        sunk ++= fresh.select("vec_id").collect().map(_.getLong(0))
+      }
+    }
+    mem.addData(rowsOf(400L, 420L): _*)
+    q.processAllAvailable()
+    assert(sunk.sorted == (400L until 420L))
+    // REPLAYED arrivals (at-least-once) plus genuinely new ones: the
+    // anti-join admits only the new ids — nothing delivered twice, and
+    // the serve path's duplicate-id refusal never fires
+    mem.addData(rowsOf(400L, 420L) ++ rowsOf(420L, 430L): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(sunk.sorted == (400L until 430L))
+    val ids = spark.read.parquet(s"$dir/ids").select("vec_id")
+      .collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length && ids.length == 430)
+    // the ingested index serves appended ids and EQUALS the in-memory
+    // route over the full corpus with the build's frozen quantizers
+    val qids = Seq(0L, 405L, 425L)
+    val cold = Similarity.ivfPqIndexTopK(spark, dir, qids, 2, 10)
+    val warm = Similarity.ivfPqResidualTopKWith(
+      emb.filter($"vec_id" < 430L), "vec_id", "embedding", cents, books,
+      2, qids, 10)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select($"qid", $"nn", $"rank", round($"cos", 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(shape(cold) == shape(warm))
+  }
+
   test("quality gate runs unchanged under streaming and equals batch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.llmops.Pipeline
