@@ -54,6 +54,18 @@ object Hits {
       .localCheckpoint(true)
     val ed = e.repartition(col("d")).sortWithinPartitions(col("d"))
       .localCheckpoint(true)
+    // TWO checkpoints per round, not four (r17, guide §1.2): `ar`/`hr`
+    // are the frames two downstream consumers re-read (the max bind and
+    // the divide), so they stay eagerly materialized — but `auth`/`hub`
+    // are single cheap projections over those checkpoints (a 1-row
+    // broadcast crossJoin + select), and their dual consumers (the next
+    // round's join + the final output) can recompute that projection
+    // for less than an eager materialization job costs on a
+    // scheduler-latency-bound box. A fully-lazy chain was ALSO measured
+    // (r17): dual consumption at every level recurses — each max bind
+    // re-reads its round's whole upstream — and exchange reuse does not
+    // reliably collapse it through the broadcast subtrees (7.4 s → 25.6
+    // s isolated). Checkpoint placement follows the consumer count.
     var hub = e.select(col("s").as("n")).distinct()
       .select(col("n"), lit(1.0).as("score"))
     var auth: DataFrame = null
@@ -64,14 +76,12 @@ object Hits {
       val am = broadcast(ar.agg(max(col("x")).as("__m"))) // 1-row, exact
       auth = ar.crossJoin(am)
         .select(col("n"), grid(col("x") / col("__m")).as("score"))
-        .localCheckpoint(true)
       val hr = ed.join(auth.select(col("n").as("d"), col("score").as("a")), Seq("d"))
         .groupBy(col("s").as("n")).agg(sum(col("a")).as("x"))
         .localCheckpoint(true)
       val hm = broadcast(hr.agg(max(col("x")).as("__m"))) // 1-row, exact
       hub = hr.crossJoin(hm)
         .select(col("n"), grid(col("x") / col("__m")).as("score"))
-        .localCheckpoint(true)
     }
     hub.select(lit("hub").as("kind"), col("n"), round(col("score"), 6).as("score"))
       .unionByName(auth.select(

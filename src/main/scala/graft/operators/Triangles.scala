@@ -25,6 +25,17 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
+  /** Materialize `df` unless it already IS a materialized LogicalRDD —
+    * i.e. the caller handed a checkpointed frame (the co-purchase cache
+    * hands every family operator one). The defensive re-checkpoint each
+    * operator paid copied the whole edge list once more per query
+    * (guide §1.2: an eager materialization is a full extra pass). */
+  private[graft] def materialized(df: DataFrame): DataFrame =
+    df.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => df
+      case _ => df.localCheckpoint(true)
+    }
+
   /** Canonical co-occurrence edge list from a (group, item) membership
     * table: items sharing a group get an undirected edge (a < b),
     * distinct across groups. The self-join is per-group QUADRATIC in
@@ -96,12 +107,22 @@ object Triangles {
 
   /** Per-vertex triangle counts over ALL vertices (no top-k cut) —
     * shared by [[topTriangleVertices]] and the clustering family.
-    * Vertex-keyed, map-side-combinable; returns (n, n_triangles > 0). */
+    * ONE generate pass over the closed-edge frame (guide §2.4: the
+    * earlier 3-arm union re-read the whole un-checkpointed closure
+    * subtree per arm — r17 plan audit showed the closing joins
+    * TRIPLICATED in `graph_clustering_top`'s plan): u and v credit
+    * |ws| and each third corner credits 1, emitted as a single
+    * generated array per row, so the closure subtree is scanned once
+    * and the credits flow into one vertex-keyed map-side-combinable
+    * sum. Row volume is identical to the union form (2 + |ws| rows per
+    * closed edge). Returns (n, n_triangles > 0). */
   private def vertexTriangles(closed: DataFrame): DataFrame = {
-    val wCredit = closed.select(explode(col("ws")).as("n"), lit(1L).as("c"))
-    val uCredit = closed.select(col("u").as("n"), size(col("ws")).cast("long").as("c"))
-    val vCredit = closed.select(col("v").as("n"), size(col("ws")).cast("long").as("c"))
-    wCredit.unionByName(uCredit).unionByName(vCredit)
+    val sz = size(col("ws")).cast("long")
+    closed.select(explode(concat(
+        array(struct(col("u").as("n"), sz.as("c")),
+          struct(col("v").as("n"), sz.as("c"))),
+        transform(col("ws"), w => struct(w.as("n"), lit(1L).as("c"))))).as("x"))
+      .select(col("x.n").as("n"), col("x.c").as("c"))
       .groupBy(col("n")).agg(sum(col("c")).as("n_triangles"))
   }
 
@@ -119,7 +140,7 @@ object Triangles {
     * Returns (n, deg, n_triangles, cc). */
   def clusteringTop(edges: DataFrame, minDeg: Int, k: Int): DataFrame = {
     require(minDeg >= 2, "cc is undefined below degree 2")
-    val e = edges.localCheckpoint(true)
+    val e = materialized(edges)
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= minDeg)
@@ -141,7 +162,7 @@ object Triangles {
     * the result depend on float summation order across partitions.
     * Returns one row (n_triangles, n_wedges, transitivity). */
   def transitivity(edges: DataFrame): DataFrame = {
-    val e = edges.localCheckpoint(true)
+    val e = materialized(edges)
     // Σ deg(deg−1) summed as LONG, halved once with integer DIV (the
     // sum is even by construction) — `/` would detour through double.
     val wedges = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
@@ -217,7 +238,7 @@ object Triangles {
     * inside a long (rescale/cap first at extreme scale). Returns one
     * row (m = directed end count, r). */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
-    val e = edges.localCheckpoint(true)
+    val e = materialized(edges)
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
     val s = e
@@ -239,14 +260,11 @@ object Triangles {
     * intersection size; each third corner credits 1 via an explode that
     * is OUTPUT-sized (3 rows per triangle, never wedge-sized). The tail
     * is one vertex-keyed aggregate + TakeOrdered. */
-  def topTriangleVertices(edges: DataFrame, k: Int): DataFrame = {
-    val closed = edgeClosures(orient(edges)).filter(size(col("ws")) > 0)
-      .localCheckpoint(true) // triangle-output-sized; feeds three credit arms
-    val wCredit = closed.select(explode(col("ws")).as("n"), lit(1L).as("c"))
-    val uCredit = closed.select(col("u").as("n"), size(col("ws")).cast("long").as("c"))
-    val vCredit = closed.select(col("v").as("n"), size(col("ws")).cast("long").as("c"))
-    wCredit.unionByName(uCredit).unionByName(vCredit)
-      .groupBy(col("n")).agg(sum(col("c")).as("n_triangles"))
+  def topTriangleVertices(edges: DataFrame, k: Int): DataFrame =
+    // single-pass credits ([[vertexTriangles]]) — the closure subtree
+    // is read once, so the r13 checkpoint that de-triplicated the
+    // three credit arms is no longer needed (one fewer eager
+    // materialization job per call)
+    vertexTriangles(edgeClosures(orient(edges)).filter(size(col("ws")) > 0))
       .orderBy(col("n_triangles").desc, col("n").asc).limit(k)
-  }
 }
