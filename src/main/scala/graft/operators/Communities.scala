@@ -185,7 +185,11 @@ object Communities {
   def labelPropagation(edges: DataFrame, iters: Int,
       denseDiv: Long = LpaDenseDiv): DataFrame = {
     require(iters >= 1, "need at least one round")
-    val e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    // e feeds ONLY the bi build below (read twice by the union, cheap
+    // projections); materialize it only when the caller's frame isn't
+    // already a checkpointed LogicalRDD (the co-purchase cache's is) —
+    // the unconditional checkpoint paid a full edge-copy job per query
+    val e = Triangles.materialized(edges).select(col("a"), col("b"))
     // probed once per round on src — pre-partitioned + pre-sorted (the
     // Centrality.biView layout doctrine) so each round's label join
     // moves only the vertex-sized label frame, never the edge list

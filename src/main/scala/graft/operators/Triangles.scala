@@ -211,11 +211,19 @@ object Triangles {
       .join(item.select(col("i").as("a"), col("n_item").as("na")), Seq("a"))
       .join(item.select(col("i").as("b"), col("n_item").as("nb")), Seq("b"))
       .crossJoin(broadcast(nB))
-    val fwd = both.select(col("a").as("ante"), col("b").as("cons"),
-      col("n_pair"), col("na").as("n_ante"), col("nb").as("n_cons"), col("n_baskets"))
-    val rev = both.select(col("b").as("ante"), col("a").as("cons"),
-      col("n_pair"), col("nb").as("n_ante"), col("na").as("n_cons"), col("n_baskets"))
-    fwd.unionByName(rev)
+    // both rule directions from ONE pass over the canonical pair row
+    // (r17, guide §2.4): the fwd/rev union re-read the un-checkpointed
+    // pairs+item join chain twice — same plan-duplication shape as the
+    // old vertexTriangles credit arms
+    both.select(explode(array(
+        struct(col("a").as("ante"), col("b").as("cons"), col("n_pair"),
+          col("na").as("n_ante"), col("nb").as("n_cons"), col("n_baskets")),
+        struct(col("b").as("ante"), col("a").as("cons"), col("n_pair"),
+          col("nb").as("n_ante"), col("na").as("n_cons"), col("n_baskets"))))
+        .as("r"))
+      .select(col("r.ante").as("ante"), col("r.cons").as("cons"),
+        col("r.n_pair").as("n_pair"), col("r.n_ante").as("n_ante"),
+        col("r.n_cons").as("n_cons"), col("r.n_baskets").as("n_baskets"))
       .select(col("ante"), col("cons"), col("n_pair"), col("n_ante"), col("n_baskets"),
         round(col("n_pair").cast("double") / col("n_ante"), 6).as("confidence"),
         round(col("n_pair").cast("double") * col("n_baskets") /
