@@ -188,6 +188,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // methods the JVM refuses to JIT (HotSpot's 8000-byte
+      // DontCompileHugeMethods cap) run as interpreted bytecode on
+      // every row at ANY scale — the wide literal-bearing sim/dedup
+      // projections generated such methods and paid ~2 s per execution
+      // (r17 QProbe A/B: sim_ivf exec 2.2 s -> 0.76 s). Falling back to
+      // interpreted Catalyst expressions for those stages is strictly
+      // better; 8000 matches the JIT limit (scale-independent).
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/session init shouldn't bill the first query

@@ -307,7 +307,7 @@ object Similarity {
     * literals; the cosine VALUES are unchanged (same IEEE op sequence). */
   def ivfCell(vec: Column, nv: Column, centroids: Seq[(Long, Seq[Double])]): Column =
     -array_max(array(centroids.map { case (cid, cv) =>
-      struct((dot(vec, array(cv.map(lit): _*)) / (nv * lit(normOf(cv)))).as("c"),
+      struct((dot(vec, typedlit(cv)) / (nv * lit(normOf(cv)))).as("c"),
         lit(-cid).as("negid"))
     }: _*)).getField("negid")
 
@@ -318,7 +318,7 @@ object Similarity {
   def ivfProbes(vec: Column, centroids: Seq[(Long, Seq[Double])], nProbe: Int): Column =
     transform(
       slice(reverse(array_sort(array(centroids.map { case (cid, cv) =>
-        struct((dot(vec, array(cv.map(lit): _*)) / (norm(vec) * lit(normOf(cv)))).as("c"),
+        struct((dot(vec, typedlit(cv)) / (norm(vec) * lit(normOf(cv)))).as("c"),
           lit(-cid).as("negid"))
       }: _*))), 1, nProbe),
       x => -x("negid"))
@@ -380,7 +380,7 @@ object Similarity {
     // cid, the PQ codeCol tie rule); map-only, like ivfCell
     def cell(cents: IndexedSeq[Array[Double]]): Column = {
       val dists = array(cents.map { c =>
-        val cl = array(c.toIndexedSeq.map(lit): _*)
+        val cl = typedlit(c.toSeq)
         dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), cl) + lit(sumSq(c))
       }: _*)
       (array_position(dists, array_min(dists)) - 1).cast("long")
@@ -736,9 +736,13 @@ object Similarity {
     * literals, so this is map-only). */
   def pqReconstruct(codesCol: Column,
       codebooks: IndexedSeq[IndexedSeq[Array[Double]]]): Column = {
-    def litVec(xs: Array[Double]): Column = array(xs.toIndexedSeq.map(lit): _*)
+    // ONE nested Literal per subspace, not nCodes x dim CreateArray/lit
+    // nodes (r17, guide item 4: the m8c256 rung inlined ~16k expression
+    // nodes, and Catalyst analysis + codegen of that tree dominated the
+    // query's wall time on any corpus size; a typedlit is a single
+    // constant node holding the same doubles, so values are unchanged)
     flatten(array(codebooks.indices.map(mi =>
-      element_at(array(codebooks(mi).map(litVec): _*),
+      element_at(typedlit(codebooks(mi).map(_.toSeq)),
         element_at(codesCol, mi + 1) + 1)): _*))
   }
 
@@ -811,8 +815,7 @@ object Similarity {
     val sorted = centroids.sortBy(_._1)
     require(sorted.map(_._1) == (0L until sorted.length.toLong),
       s"centroid ids must be dense 0..${sorted.length - 1}")
-    element_at(array(sorted.map { case (_, cv) =>
-      array(cv.map(lit): _*) }: _*), cell.cast("int") + lit(1))
+    element_at(typedlit(sorted.map(_._2)), cell.cast("int") + lit(1))
   }
 
   /** (id, v, nv, cell, r) — every vector's RESIDUAL against its
