@@ -53,7 +53,12 @@ object Centrality {
     * layout cost 933 s) sits far above. One cheap `edges.count()`
     * decides — every caller hands a checkpointed edge frame. */
   private def biView(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b")).distinct()
+    // the canonical (a < b) contract means a SET of edges — the r13
+    // defensive distinct re-exchanged the whole edge list per call for
+    // inputs that are distinct by construction (cooccurrenceEdges ends
+    // in distinct; every spec fixture is a distinct list). Duplicated
+    // input is a caller bug the contract already forbids (r17).
+    val e = edges.select(col("a"), col("b"))
     val bi = e.select(col("a").as("u"), col("b").as("w"))
       .unionAll(e.select(col("b").as("u"), col("a").as("w")))
     val laid =

@@ -192,11 +192,18 @@ object Communities {
     val e = Triangles.materialized(edges).select(col("a"), col("b"))
     // probed once per round on src — pre-partitioned + pre-sorted (the
     // Centrality.biView layout doctrine) so each round's label join
-    // moves only the vertex-sized label frame, never the edge list
-    val bi = e.select(col("a").as("src"), col("b").as("dst"))
+    // moves only the vertex-sized label frame, never the edge list.
+    // SIZE-GATED like biView (r17): below BiLayoutMinRows the build
+    // shuffle+sort buys nothing — the label frame is broadcast-sized
+    // and AQE joins it against the checkpointed bi scan in place, so
+    // the up-front exchange of the whole bi frame was pure cost at
+    // sf0.1 (the closeness_all 3.8→6.8 s measurement, same shape)
+    val bi0 = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("src")).sortWithinPartitions(col("src"))
-      .localCheckpoint(true)
+    val bi =
+      (if (edges.count() * 2 < Centrality.BiLayoutMinRows) bi0
+       else bi0.repartition(col("src")).sortWithinPartitions(col("src")))
+        .localCheckpoint(true)
     var labels = bi.select(col("src").as("n")).distinct()
       .select(col("n"), col("n").as("community"))
       .localCheckpoint(true)
@@ -221,10 +228,12 @@ object Communities {
         else {
           // N(frontier): the only vertices whose argmax input moved —
           // the semi probe rides bi's src layout (no edge shuffle)
+          // lazy: consumed by exactly one semi probe in this round's
+          // plan — an eager copy bought nothing (r17)
           val touched = bi
             .join(prevFrontier.get.withColumnRenamed("n", "src"),
               Seq("src"), "left_semi")
-            .select(col("dst").as("n")).distinct().localCheckpoint(true)
+            .select(col("dst").as("n")).distinct()
           touchedRef = Some(touched)
           bi.join(prev.withColumnRenamed("n", "src"), Seq("src"))
             .join(touched.withColumnRenamed("n", "dst"), Seq("dst"), "left_semi")
@@ -242,10 +251,15 @@ object Communities {
              coalesce(col("__new"), col("community")).as("community")))
           .localCheckpoint(true)
       if (t < iters) { // the last round needs no next-round frontier
+        // LAZY (r17): both consumers — the count here and next round's
+        // semi probe — are joins of two already-checkpointed
+        // vertex-sized frames; recomputing that beats an eager
+        // materialization job per round on a scheduler-latency-bound
+        // box (the Hits checkpoint-placement rule: checkpoints follow
+        // consumer COST, not consumer count)
         val changed = prev
           .join(labels.withColumnRenamed("community", "__new"), Seq("n"))
           .filter(col("__new") =!= col("community")).select(col("n"))
-          .localCheckpoint(true)
         frontierN = changed.count()
         frontier = Some(changed)
       }

@@ -49,11 +49,18 @@ object Hits {
     // the edge list is probed on BOTH keys every iteration — keep one
     // pre-partitioned, pre-sorted copy per key (the biView layout
     // doctrine) so each round's joins move only the vertex-sized score
-    // frames, never re-exchange/re-sort the edges
-    val es = e.repartition(col("s")).sortWithinPartitions(col("s"))
-      .localCheckpoint(true)
-    val ed = e.repartition(col("d")).sortWithinPartitions(col("d"))
-      .localCheckpoint(true)
+    // frames, never re-exchange/re-sort the edges. SIZE-GATED like
+    // biView (r17): below BiLayoutMinRows the score frames are
+    // broadcast-sized, AQE turns each round's join into a BHJ over the
+    // checkpointed edge scan in place, and the two up-front
+    // repartition+sort+copy jobs bought nothing.
+    val (es, ed) =
+      if (e.count() * 2 < Centrality.BiLayoutMinRows) (e, e)
+      else (
+        e.repartition(col("s")).sortWithinPartitions(col("s"))
+          .localCheckpoint(true),
+        e.repartition(col("d")).sortWithinPartitions(col("d"))
+          .localCheckpoint(true))
     // TWO checkpoints per round, not four (r17, guide §1.2): `ar`/`hr`
     // are the frames two downstream consumers re-read (the max bind and
     // the divide), so they stay eagerly materialized — but `auth`/`hub`

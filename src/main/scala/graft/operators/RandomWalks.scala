@@ -51,7 +51,10 @@ object RandomWalks {
     * (u, deg)) for the bidirectional view of a canonical edge list —
     * the node2vec candidate form. */
   private def adjacency(edges: DataFrame): (DataFrame, DataFrame) = {
-    val e = edges.select(col("a"), col("b")).distinct()
+    // canonical (a < b) contract = a distinct edge SET (see
+    // Centrality.biView r17 note): the defensive distinct re-exchanged
+    // the whole edge list per walk query for nothing
+    val e = edges.select(col("a"), col("b"))
     val bi = e.select(col("a").as("u"), col("b").as("w"))
       .unionAll(e.select(col("b").as("u"), col("a").as("w")))
     val adj = bi.withColumn("idx",

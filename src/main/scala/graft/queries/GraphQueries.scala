@@ -948,8 +948,8 @@ object GraphQueries {
     // SQL-expressible, unlike the shrink-until-fixpoint family.
     Q("graph_closeness",
       (s, d) => {
-        val edges = coPurchase(s, d)
-          .localCheckpoint(true) // feeds both the source pick and the BFS
+        val edges = coPurchase(s, d) // already a checkpointed LogicalRDD
+        // (feeds both the source pick and the BFS without a re-copy)
         val srcs = edges.select(col("a").as("v"))
           .unionAll(edges.select(col("b").as("v")))
           .distinct().orderBy(col("v")).limit(8)
@@ -986,8 +986,7 @@ object GraphQueries {
     // joins). Top-20 by the single rounded division, ties → id.
     Q("graph_closeness_all",
       (s, d) => {
-        val edges = coPurchase(s, d)
-          .localCheckpoint(true)
+        val edges = coPurchase(s, d) // already a checkpointed LogicalRDD
         val srcs = edges.select(col("a").as("v"))
           .unionAll(edges.select(col("b").as("v")))
           .distinct().orderBy(col("v")).limit(8)
@@ -1025,8 +1024,7 @@ object GraphQueries {
     // GraphSpec.
     Q("graph_betweenness_top",
       (s, d) => {
-        val edges = coPurchase(s, d)
-          .localCheckpoint(true)
+        val edges = coPurchase(s, d) // already a checkpointed LogicalRDD
         val verts = edges.select(col("a").as("v"))
           .unionAll(edges.select(col("b").as("v"))).distinct()
         val nVert = verts.count()
