@@ -110,12 +110,17 @@ object Centrality {
     var d = 0
     var more = true
     while (more && d < maxDepth) {
+      // loop control PIGGYBACKS on the checkpoint job via observe()
+      // (r17, guide §1.2): the isEmpty probe was one extra driver
+      // round-trip per level
+      val obs = new org.apache.spark.sql.Observation()
       val nxt = frontier.join(bi, frontier("v") === bi("u"))
         .select(col("s"), col("w").as("v"), col("sigma"))
         .join(visited, Seq("s", "v"), "left_anti")
         .groupBy(col("s"), col("v")).agg(sum(col("sigma")).as("sigma"))
+        .observe(obs, count(lit(1)).as("rows"))
         .localCheckpoint(true)
-      more = !nxt.isEmpty // loop control — the only driver traffic
+      more = obs.get("rows").asInstanceOf[Long] > 0L
       if (more) {
         visited = visited.unionAll(nxt.select(col("s"), col("v")))
           .localCheckpoint(true)
@@ -203,6 +208,10 @@ object Centrality {
         .join(bi, state("v") === bi("u"))
         .groupBy(col("w").as("v"))
         .agg(expr("bit_or(frontier)").as("arr"))
+      // fresh-frontier loop control PIGGYBACKS on the checkpoint job
+      // via observe() (r17): the isEmpty probe was one extra driver
+      // round-trip per level
+      val obs = new org.apache.spark.sql.Observation()
       val st2 = state.join(msgs, Seq("v"), "full_outer")
         .select(col("v"),
           coalesce(col("seen"), lit(0L)).as("s0"),
@@ -210,10 +219,12 @@ object Centrality {
         .select(col("v"),
           (col("s0").bitwiseOR(col("a0"))).as("seen"),
           (col("a0").bitwiseAND(bitwise_not(col("s0")))).as("frontier"))
+        .observe(obs,
+          count(when(col("frontier") =!= 0L, lit(1))).as("fresh"))
         .localCheckpoint(true)
       d += 1
       val fresh = st2.filter(col("frontier") =!= 0L)
-      more = !fresh.isEmpty // 1-row loop control
+      more = obs.get("fresh").asInstanceOf[Long] > 0L
       if (more) {
         levels += payload(fresh, d)
         state = st2

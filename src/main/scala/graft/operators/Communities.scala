@@ -129,8 +129,12 @@ object Communities {
     val e = edges.select(col("a"), col("b"))
     val la = assignment.select(col("n").as("a"), col("community").as("ca"))
     val lb = assignment.select(col("n").as("b"), col("community").as("cb"))
-    val joined = e.join(la, Seq("a")).join(lb, Seq("b")).localCheckpoint(true)
-    val m = joined.count() // |E| — 1-row loop-control-style bind is a plain count here
+    // |E| piggybacks on the checkpoint job via observe() (r17) — the
+    // separate count was one extra driver round-trip
+    val mObs = new org.apache.spark.sql.Observation()
+    val joined = e.join(la, Seq("a")).join(lb, Seq("b"))
+      .observe(mObs, count(lit(1)).as("m")).localCheckpoint(true)
+    val m = mObs.get("m").asInstanceOf[Long]
     // the scaladoc's exactness bound, ENFORCED (ADVICE r14 #3): past
     // m ≈ 1.5e9 the 4·m·e_c term silently overflows Long and returns a
     // wrong Q — m is already in hand, so failing loudly is free

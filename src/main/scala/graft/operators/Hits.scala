@@ -76,6 +76,10 @@ object Hits {
     var hub = e.select(col("s").as("n")).distinct()
       .select(col("n"), lit(1.0).as("score"))
     var auth: DataFrame = null
+    // checkpoint cadence: TWO per round was measured best (r17 A/B
+    // ladder — 4/round: 7.4 s; 2/round: 5.3 s; 1/round: 6.1 s (the
+    // lazy ar recompute under the max bind outweighed the saved job);
+    // 0/round: 25.6 s (dual consumption recurses across rounds)).
     (1 to iters).foreach { _ =>
       val ar = es.join(hub.select(col("n").as("s"), col("score").as("h")), Seq("s"))
         .groupBy(col("d").as("n")).agg(sum(col("h")).as("x"))
