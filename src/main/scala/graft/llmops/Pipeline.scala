@@ -239,7 +239,15 @@ object Pipeline {
       blockTokens: Int, maskPct: Int, salt: String): DataFrame = {
     require(blockTokens >= 1, "block size must be positive")
     require(maskPct >= 0 && maskPct <= 100, "mask percent is a percentage")
-    val tk = filter(TextOps.tokens(col(textCol)), t => t =!= "")
+    // tokenization MATERIALIZED as a column first (the chunkTokens
+    // lambda-re-evaluation rule, applied here in r17): the HOF lambdas
+    // below are CodegenFallback, so nothing eliminates common
+    // subexpressions — referencing the raw split() Column re-ran the
+    // tokenizer ~10× per row (visible verbatim in the r17 before-plan).
+    // CollapseProject keeps the alias because it is non-cheap and
+    // multiply referenced. Same expressions, same values — map-only
+    // shape unchanged.
+    val tk = col("__tk")
     val nTok = size(tk)
     val nBlocks = ceil(nTok.cast("double") / blockTokens).cast("int")
     val blockIdx = sequence(lit(0), greatest(nBlocks - 1, lit(0)))
@@ -268,7 +276,9 @@ object Pipeline {
             acc.getField("tgt").as("tgt"),
             acc.getField("k").as("k")))
       })
-    docs.select(col(idCol), nTok.cast("long").as("n_tokens"),
+    docs.select(col(idCol),
+        filter(TextOps.tokens(col(textCol)), t => t =!= "").as("__tk"))
+      .select(col(idCol), nTok.cast("long").as("n_tokens"),
         folded.as("__f"),
         aggregate(zip_with(blockIdx, masked, (b, m) =>
             when(m, least(nTok - b * blockTokens, lit(blockTokens)))
