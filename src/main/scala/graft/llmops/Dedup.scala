@@ -364,9 +364,15 @@ object Dedup {
       windowTokens: Int, maxDf: Long = Long.MaxValue): DataFrame = {
     require(windowTokens >= 2, "span windows need ≥ 2 tokens")
     require(maxDf >= 2, s"df cap must admit df = 2 (a pair), got $maxDf")
-    val w = spread(docs).select(col(idCol),
+    // MATERIALIZED (r17): w feeds the df aggregate AND the semi probe,
+    // and the reusable exchange sits BELOW the explode (spread's
+    // round-robin), so without the checkpoint the tokenize+NGramMd5
+    // kernel ran twice per query (the kept-hash table AQE-broadcasts,
+    // leaving the probe side exchange-free and therefore re-computed)
+    val w0 = spread(docs).select(col(idCol),
       posexplode(graft.plans.NGramMd5(TextOps.tokens(col(textCol)), windowTokens, 8)))
       .withColumnRenamed("col", "h")
+    val w = if (w0.isStreaming) w0 else w0.localCheckpoint(true)
     val wd = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos").asc)
     val repeated = w.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -448,9 +454,11 @@ object Dedup {
     require(windowTokens >= 2, "span windows need ≥ 2 tokens")
     require(maxDf >= 2, s"df cap must admit df = 2 (a pair), got $maxDf")
     val tk = TextOps.tokens(col(textCol))
-    val w = spread(docs).select(col(idCol),
+    // materialized for the same dual-consumer reason as duplicateSpans
+    val w0 = spread(docs).select(col(idCol),
       posexplode(graft.plans.NGramMd5(tk, windowTokens, 8)))
       .withColumnRenamed("col", "h")
+    val w = if (w0.isStreaming) w0 else w0.localCheckpoint(true)
     val rep = w.groupBy(col("h"))
       .agg(count(lit(1)).as("df"),
         min(struct(col(idCol), col("pos"))).as("keeper"))

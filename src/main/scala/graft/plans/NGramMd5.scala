@@ -39,19 +39,26 @@ case class NGramMd5(child: Expression, n: Int, hexChars: Int)
     val digest = digests.get()
     val nTok = tokens.numElements()
     if (nTok < n) return new GenericArrayData(Array.emptyLongArray)
+    // token UTF-8 bytes decoded ONCE per row (r17, guide §1.2 per-task
+    // work): the StringBuilder form converted every token to a fresh
+    // java.lang.String and re-encoded it to UTF-8 once PER WINDOW —
+    // ~n× per token, the dedup family's hottest allocation site. The
+    // digest consumes the identical byte stream ("tok1 tok2 … tokn"
+    // UTF-8, 0x20 separators), so every hash is bit-identical.
+    val tb = new Array[Array[Byte]](nTok)
+    var t = 0
+    while (t < nTok) { tb(t) = tokens.getUTF8String(t).getBytes; t += 1 }
     val out = new Array[Long](nTok - n + 1)
-    val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i <= nTok - n) {
-      sb.setLength(0)
+      digest.reset()
       var j = 0
       while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(tokens.getUTF8String(i + j).toString)
+        if (j > 0) digest.update(0x20.toByte)
+        digest.update(tb(i + j))
         j += 1
       }
-      digest.reset()
-      val md = digest.digest(sb.toString.getBytes("UTF-8"))
+      val md = digest.digest()
       // value of the first hexChars hex digits, big-endian
       var acc = 0L
       var k = 0
