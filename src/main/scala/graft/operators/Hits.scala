@@ -49,13 +49,20 @@ object Hits {
     // the edge list is probed on BOTH keys every iteration — keep one
     // pre-partitioned, pre-sorted copy per key (the biView layout
     // doctrine) so each round's joins move only the vertex-sized score
-    // frames, never re-exchange/re-sort the edges. SIZE-GATED like
-    // biView (r17): below BiLayoutMinRows the score frames are
-    // broadcast-sized, AQE turns each round's join into a BHJ over the
-    // checkpointed edge scan in place, and the two up-front
-    // repartition+sort+copy jobs bought nothing.
+    // frames, never re-exchange/re-sort the edges. SIZE-GATED (r17),
+    // but on HITS' OWN measured threshold, not biView's: the skip only
+    // pays while the per-round score frames stay BROADCAST-sized (AQE
+    // then joins them against the checkpointed edge scan in place);
+    // score-frame cardinality tracks the edge count, and the measured
+    // bracket is sf0.1 (0.6M edges: skip 5.3 s vs layout 6.2 s) against
+    // ×10 (6M edges: skip 17.4 s vs layout 16.1 s — the 1.5M-row hub
+    // frame no longer broadcasts and every round re-exchanged the edge
+    // list). 2M sits between the measured postures.
+    // `GRAFT_HITS_LAYOUT_MIN_EDGES` overrides for same-session probes.
+    val layoutMinEdges = sys.env.get("GRAFT_HITS_LAYOUT_MIN_EDGES")
+      .map(_.toLong).getOrElse(2L * 1000 * 1000)
     val (es, ed) =
-      if (e.count() * 2 < Centrality.BiLayoutMinRows) (e, e)
+      if (e.count() < layoutMinEdges) (e, e)
       else (
         e.repartition(col("s")).sortWithinPartitions(col("s"))
           .localCheckpoint(true),
