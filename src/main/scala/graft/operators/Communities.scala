@@ -208,10 +208,14 @@ object Communities {
       (if (edges.count() * 2 < Centrality.BiLayoutMinRows) bi0
        else bi0.repartition(col("src")).sortWithinPartitions(col("src")))
         .localCheckpoint(true)
+    // |V| piggybacks on the labels checkpoint (observe(), r17) — the
+    // separate count was one extra driver round-trip
+    val nObs = new org.apache.spark.sql.Observation()
     var labels = bi.select(col("src").as("n")).distinct()
       .select(col("n"), col("n").as("community"))
+      .observe(nObs, count(lit(1)).as("nv"))
       .localCheckpoint(true)
-    val nV = labels.count()
+    val nV = nObs.get("nv").asInstanceOf[Long]
     // vertices whose label changed last round; -1 = round 1 (all)
     var frontier: Option[DataFrame] = None
     var frontierN = -1L

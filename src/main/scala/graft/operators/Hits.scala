@@ -109,7 +109,11 @@ object Hits {
   /** Top-k hubs and top-k authorities (score desc, id asc — the
     * deterministic k-cut rule), as one (kind, n, score) frame. */
   def hitsTop(edges: DataFrame, iters: Int, k: Int): DataFrame = {
-    val all = hits(edges, iters).localCheckpoint(true) // two k-cuts share it
+    // LAZY (r17): both k-cut branches are cheap projections over the
+    // per-round hr checkpoints inside hits(), so one final action
+    // computes them together — the shared eager copy bought nothing
+    // but a job (grid sums recompute bit-stably, see hits()).
+    val all = hits(edges, iters)
     all.filter(col("kind") === "hub")
       .orderBy(col("score").desc, col("n").asc).limit(k)
       .unionByName(all.filter(col("kind") === "auth")
