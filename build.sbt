@@ -17,6 +17,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout must reach the console RAW: sbt's default
+// LoggedOutput strategy prefixes every forked line with "[info] ",
+// which made the round driver's JSON parse of the final bench line
+// fail every round (BENCH_r01..r17 all record parsed:null — the r17
+// tail shows the compact summary line intact but "[info] "-prefixed).
+// StdoutOutput passes the child's stdout/stderr through unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
