@@ -223,10 +223,15 @@ object Dedup {
     pairs.join(kept, Seq("sh"), "left_semi")
   }
 
+  /** `shingles`: a precomputed (checkpointed) [[shingleSet]] for the
+    * same (docs, n, maxDf) — jaccard and containment queries over one
+    * corpus share the kernel + distinct + df-cap stage (r18, the
+    * derived-layout discipline); when absent it is built here. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
-      maxDf: Int = JaccardMaxDf): DataFrame = {
-    val sh = shingleSet(docs, idCol, textCol, n, maxDf)
-      .localCheckpoint(true) // consumed 3× (sizes + both join sides)
+      maxDf: Int = JaccardMaxDf,
+      shingles: Option[DataFrame] = None): DataFrame = {
+    val sh = shingles.getOrElse(shingleSet(docs, idCol, textCol, n, maxDf)
+      .localCheckpoint(true)) // consumed 3× (sizes + both join sides)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val pairs = sh.select(col("sh"), col(idCol).as("d1"))
       .join(sh.select(col("sh"), col(idCol).as("d2")), Seq("sh"))

@@ -28,6 +28,13 @@ import org.apache.spark.sql.functions._
   * sample they are the standard Brandes–Pich estimator, extrapolated
   * by n/|S|. Sources are caller-chosen (deterministic), never a random
   * draw inside the operator.
+  *
+  * INPUT CONTRACT (ADVICE r17): `edges` is a canonical (a < b)
+  * DISTINCT edge SET. A duplicated edge row silently inflates σ path
+  * counts, degree-derived sums, and BFS fan-out — the operators do NOT
+  * re-deduplicate (the defensive distinct re-exchanged the whole edge
+  * list per call for inputs that are distinct by construction;
+  * `Triangles.cooccurrenceEdges` ends in distinct). Callers own dedup.
   */
 object Centrality {
 
@@ -190,8 +197,17 @@ object Centrality {
     * and hand each level's fresh-frontier frame (v, frontier) plus its
     * depth to `payload`. Returns the payload frames, possibly empty
     * (a wave of all-isolated sources never expands). */
-  private def packedWave(bi: DataFrame, wave: Seq[Long], maxDepth: Int)(
-      payload: (DataFrame, Int) => DataFrame): Vector[DataFrame] = {
+  /** The packed wave's per-level FRESH-FRONTIER frames (v, frontier ≠
+    * 0), depth = index + 1 — the shared BFS state both payload shapes
+    * ([[closenessPacked]]'s 64-row bit counts and [[closenessAll]]'s
+    * per-vertex bit_count) project from. Exposed (r18) so a caller
+    * serving both queries over one source runs the level-synchronous
+    * expansion ONCE (each level is an eager checkpoint job — the BFS
+    * is the whole build cost of a closeness query) and passes the
+    * levels back through the `shared` parameter. Each frame is a lazy
+    * filter over its level's checkpointed state. */
+  private[graft] def packedFreshLevels(bi: DataFrame, wave: Seq[Long],
+      maxDepth: Int): Vector[DataFrame] = {
     val spark = bi.sparkSession
     import spark.implicits._
     val seed = wave.zipWithIndex
@@ -226,12 +242,16 @@ object Centrality {
       val fresh = st2.filter(col("frontier") =!= 0L)
       more = obs.get("fresh").asInstanceOf[Long] > 0L
       if (more) {
-        levels += payload(fresh, d)
+        levels += fresh
         state = st2
       }
     }
     levels.result()
   }
+
+  /** [[biView]] as a reusable layout for callers that serve several
+    * centrality queries from one checkpointed source frame (r18). */
+  private[graft] def biLayout(edges: DataFrame): DataFrame = biView(edges)
 
   /** Set-bit positions of the frontier word (the SQL lambda form: the
     * Scala shiftleft() pins numBits to a literal). */
@@ -241,13 +261,17 @@ object Centrality {
       "x -> x IS NOT NULL)"
 
   def closenessPacked(edges: DataFrame, sources: Seq[Long],
-      maxDepth: Int = 40): DataFrame = {
+      maxDepth: Int = 40,
+      shared: Option[Seq[Long] => Vector[DataFrame]] = None): DataFrame = {
     require(sources.nonEmpty, "need at least one source")
-    val bi = biView(edges)
-    val spark = bi.sparkSession
+    lazy val bi = biView(edges)
+    val spark = edges.sparkSession
     import spark.implicits._
     val waves = sources.distinct.sorted.grouped(64).map { wave =>
-      val built = packedWave(bi, wave, maxDepth) { (fresh, d) =>
+      val built = shared.map(_(wave))
+        .getOrElse(packedFreshLevels(bi, wave, maxDepth))
+        .zipWithIndex.map { case (fresh, i) =>
+        val d = i + 1
         fresh.select(explode(expr(FrontierBits)).as("bit"))
           .groupBy(col("bit")).agg(count(lit(1)).as("cnt"))
           .withColumn("d", lit(d.toLong)) // ≤ 64 rows per level
@@ -287,16 +311,19 @@ object Centrality {
     * Oracle-twinned: same recursive CTE as `graph_closeness`, grouped
     * by the REACHED vertex instead of the source. */
   def closenessAll(edges: DataFrame, pivots: Seq[Long],
-      maxDepth: Int = 40): DataFrame = {
+      maxDepth: Int = 40,
+      shared: Option[Seq[Long] => Vector[DataFrame]] = None): DataFrame = {
     require(pivots.nonEmpty, "need at least one pivot")
-    val bi = biView(edges)
-    val spark = bi.sparkSession
+    lazy val bi = biView(edges)
+    val spark = edges.sparkSession
     import spark.implicits._
     val waves = pivots.distinct.sorted.grouped(64).map { wave =>
-      val built = packedWave(bi, wave, maxDepth) { (fresh, d) =>
+      val built = shared.map(_(wave))
+        .getOrElse(packedFreshLevels(bi, wave, maxDepth))
+        .zipWithIndex.map { case (fresh, i) =>
         fresh.select(col("v"),
           expr("bit_count(frontier)").cast("long").as("cnt"),
-          lit(d.toLong).as("d"))
+          lit((i + 1).toLong).as("d"))
       }
       if (built.isEmpty) None else Some(built.reduce(_ unionAll _))
     }.flatten.toSeq

@@ -192,8 +192,12 @@ object Communities {
     // e feeds ONLY the bi build below (read twice by the union, cheap
     // projections); materialize it only when the caller's frame isn't
     // already a checkpointed LogicalRDD (the co-purchase cache's is) —
-    // the unconditional checkpoint paid a full edge-copy job per query
-    val e = Triangles.materialized(edges).select(col("a"), col("b"))
+    // the unconditional checkpoint paid a full edge-copy job per query.
+    // Bound ONCE so the layout gate below counts the MATERIALIZED frame
+    // (ADVICE r17: gating on the raw caller frame recomputed the full
+    // upstream derivation a second time just for the count)
+    val em = Triangles.materialized(edges)
+    val e = em.select(col("a"), col("b"))
     // probed once per round on src — pre-partitioned + pre-sorted (the
     // Centrality.biView layout doctrine) so each round's label join
     // moves only the vertex-sized label frame, never the edge list.
@@ -205,7 +209,7 @@ object Communities {
     val bi0 = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
     val bi =
-      (if (edges.count() * 2 < Centrality.BiLayoutMinRows) bi0
+      (if (em.count() * 2 < Centrality.BiLayoutMinRows) bi0
        else bi0.repartition(col("src")).sortWithinPartitions(col("src")))
         .localCheckpoint(true)
     // |V| piggybacks on the labels checkpoint (observe(), r17) — the
@@ -251,25 +255,40 @@ object Communities {
             .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("__m"))
             .select(col("n"), (-col("__m.neg")).as("community"))
         }
-      labels =
-        (if (dense) recomputed
-         else prev // untouched vertices carry their label forward
-           .join(recomputed.withColumnRenamed("community", "__new"), Seq("n"), "left")
-           .select(col("n"),
-             coalesce(col("__new"), col("community")).as("community")))
-          .localCheckpoint(true)
       if (t < iters) { // the last round needs no next-round frontier
-        // LAZY (r17): both consumers — the count here and next round's
-        // semi probe — are joins of two already-checkpointed
-        // vertex-sized frames; recomputing that beats an eager
-        // materialization job per round on a scheduler-latency-bound
-        // box (the Hits checkpoint-placement rule: checkpoints follow
-        // consumer COST, not consumer count)
-        val changed = prev
-          .join(labels.withColumnRenamed("community", "__new"), Seq("n"))
-          .filter(col("__new") =!= col("community")).select(col("n"))
-        frontierN = changed.count()
-        frontier = Some(changed)
+        // the changed flag RIDES the labels checkpoint (observe, r18):
+        // the r17 shape recomputed a prev⋈labels join lazily and paid
+        // one separate count job per round for the frontier size — the
+        // same join evaluated once inside the checkpoint job carries a
+        // `__chg` column instead, the frontier count comes back as an
+        // observed metric, and the frontier SET is a filter over the
+        // checkpoint (no prev dependency). One driver round-trip per
+        // round instead of two; label values are untouched.
+        val cObs = new org.apache.spark.sql.Observation()
+        val lab2 =
+          (if (dense) recomputed // all vertices; prev covers the same set
+             .join(prev.withColumnRenamed("community", "__old"), Seq("n"))
+             .select(col("n"), col("community"),
+               (col("community") =!= col("__old")).as("__chg"))
+           else prev // untouched vertices carry their label forward
+             .join(recomputed.withColumnRenamed("community", "__new"), Seq("n"), "left")
+             .select(col("n"),
+               coalesce(col("__new"), col("community")).as("community"),
+               (col("__new").isNotNull && col("__new") =!= col("community"))
+                 .as("__chg")))
+            .observe(cObs, count(when(col("__chg"), lit(1))).as("nchg"))
+            .localCheckpoint(true)
+        labels = lab2.select(col("n"), col("community"))
+        frontierN = cObs.get("nchg").asInstanceOf[Long]
+        frontier = Some(lab2.filter(col("__chg")).select(col("n")))
+      } else {
+        labels =
+          (if (dense) recomputed
+           else prev // untouched vertices carry their label forward
+             .join(recomputed.withColumnRenamed("community", "__new"), Seq("n"), "left")
+             .select(col("n"),
+               coalesce(col("__new"), col("community")).as("community")))
+            .localCheckpoint(true)
       }
       prev.unpersist()
       prevFrontier.foreach(_.unpersist())

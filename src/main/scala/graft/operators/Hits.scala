@@ -24,10 +24,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape per iteration: two edge-sized equi joins (scores onto
   * the edge list) + two vertex-keyed map-side-combinable sums; the
-  * per-round L∞ max rides the SAME job as the normalization via a
-  * 1-row `crossJoin(broadcast(max))` bind (the repo's scalar-bind
-  * discipline — VERDICT r13 watch #2: the earlier `head.getDouble`
-  * form paid two extra driver-synchronized jobs per iteration), so
+  * per-round L∞ max rides the SAME job as the checkpoint via
+  * `observe()` (r18 — the r13 `crossJoin(broadcast(max))` bind already
+  * avoided the `head.getDouble` form's two extra driver-synchronized
+  * jobs per iteration, but each broadcast still built as its own
+  * mini-job; the observed max binds back as a Literal for free), so
   * the only per-round driver traffic is the two localCheckpoints
   * (flat lineage). L∞ normalization (divide by max) instead of L2:
   * the max of exact grid sums is exact, where an L2 norm's
@@ -42,8 +43,14 @@ object Hits {
 
   def hits(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "need at least one iteration")
-    val e = edges.select(col("s"), col("d")).distinct().localCheckpoint(true)
-    if (e.isEmpty) // no edges: no hubs, no authorities — schema kept
+    // |E| piggybacks on the checkpoint job via observe() (r18): the
+    // separate isEmpty probe + layout-gate count were two extra driver
+    // round-trips on a scheduler-latency-bound loop
+    val eObs = new org.apache.spark.sql.Observation()
+    val e = edges.select(col("s"), col("d")).distinct()
+      .observe(eObs, count(lit(1)).as("ne")).localCheckpoint(true)
+    val ne = eObs.get("ne").asInstanceOf[Long]
+    if (ne == 0L) // no edges: no hubs, no authorities — schema kept
       return e.select(lit("hub").as("kind"), col("s").as("n"),
         lit(0.0).as("score")).limit(0)
     // the edge list is probed on BOTH keys every iteration — keep one
@@ -60,9 +67,12 @@ object Hits {
     // list). 2M sits between the measured postures.
     // `GRAFT_HITS_LAYOUT_MIN_EDGES` overrides for same-session probes.
     val layoutMinEdges = sys.env.get("GRAFT_HITS_LAYOUT_MIN_EDGES")
-      .map(_.toLong).getOrElse(2L * 1000 * 1000)
+      .map { v =>
+        v.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"GRAFT_HITS_LAYOUT_MIN_EDGES must be a Long, got '$v'"))
+      }.getOrElse(2L * 1000 * 1000)
     val (es, ed) =
-      if (e.count() < layoutMinEdges) (e, e)
+      if (ne < layoutMinEdges) (e, e)
       else (
         e.repartition(col("s")).sortWithinPartitions(col("s"))
           .localCheckpoint(true),
@@ -87,19 +97,29 @@ object Hits {
     // ladder — 4/round: 7.4 s; 2/round: 5.3 s; 1/round: 6.1 s (the
     // lazy ar recompute under the max bind outweighed the saved job);
     // 0/round: 25.6 s (dual consumption recurses across rounds)).
+    // the per-round L∞ max PIGGYBACKS on the checkpoint job via
+    // observe() (r18, guide §1.2): the r13 `crossJoin(broadcast(max))`
+    // bind avoided two driver-synchronized jobs per iteration, but each
+    // broadcast still built as its own mini-job and its subtree rode
+    // every recomputation of the lazy `auth`/`hub` projections; the
+    // observed max is the SAME exact double (a max of exact grid sums),
+    // bound back as one Literal, so the normalization plan is a pure
+    // projection over the checkpoint. Scores are bit-identical.
     (1 to iters).foreach { _ =>
+      val aObs = new org.apache.spark.sql.Observation()
       val ar = es.join(hub.select(col("n").as("s"), col("score").as("h")), Seq("s"))
         .groupBy(col("d").as("n")).agg(sum(col("h")).as("x"))
-        .localCheckpoint(true) // feeds the max bind AND the divide
-      val am = broadcast(ar.agg(max(col("x")).as("__m"))) // 1-row, exact
-      auth = ar.crossJoin(am)
-        .select(col("n"), grid(col("x") / col("__m")).as("score"))
+        .observe(aObs, max(col("x")).as("m"))
+        .localCheckpoint(true) // feeds the divide (and next round's join)
+      val am = aObs.get("m").asInstanceOf[Double] // 1 value, exact
+      auth = ar.select(col("n"), grid(col("x") / lit(am)).as("score"))
+      val hObs = new org.apache.spark.sql.Observation()
       val hr = ed.join(auth.select(col("n").as("d"), col("score").as("a")), Seq("d"))
         .groupBy(col("s").as("n")).agg(sum(col("a")).as("x"))
+        .observe(hObs, max(col("x")).as("m"))
         .localCheckpoint(true)
-      val hm = broadcast(hr.agg(max(col("x")).as("__m"))) // 1-row, exact
-      hub = hr.crossJoin(hm)
-        .select(col("n"), grid(col("x") / col("__m")).as("score"))
+      val hm = hObs.get("m").asInstanceOf[Double] // 1 value, exact
+      hub = hr.select(col("n"), grid(col("x") / lit(hm)).as("score"))
     }
     hub.select(lit("hub").as("kind"), col("n"), round(col("score"), 6).as("score"))
       .unionByName(auth.select(

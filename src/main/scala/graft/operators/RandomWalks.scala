@@ -38,7 +38,13 @@ import org.apache.spark.sql.functions._
   * r13 oracle replay holds unchanged.
   *
   * Returns (start, walk) with the walk as a "v0->v1->…" string (the
-  * array-stringify comparison discipline of `asql_hop_projection`). */
+  * array-stringify comparison discipline of `asql_hop_projection`).
+  *
+  * INPUT CONTRACT (ADVICE r17): `edges` is a canonical (a < b)
+  * DISTINCT edge SET — a duplicated row would inflate degrees and
+  * shift every salted pick downstream of it; the operator does NOT
+  * re-deduplicate. Callers own dedup (`cooccurrenceEdges` ends in
+  * distinct). */
 object RandomWalks {
 
   /** Block width of the blocked neighbor lists: 1024 longs ≈ 8 KB per
@@ -50,6 +56,14 @@ object RandomWalks {
   /** (adjacency rows (u, idx, w) sorted-rank-indexed, degree frame
     * (u, deg)) for the bidirectional view of a canonical edge list —
     * the node2vec candidate form. */
+  /** The (adj, deg) pair as a REUSABLE layout: several walk queries
+    * over one shared source frame each re-paid the window + checkpoint
+    * build (r18) — a caller serving the family derives it once (the
+    * co-purchase-layout discipline) and passes it back through the
+    * `layout` parameter of [[randomWalks]]/[[node2vecWalks]]. */
+  def adjacencyLayout(edges: DataFrame): (DataFrame, DataFrame) =
+    adjacency(edges)
+
   private def adjacency(edges: DataFrame): (DataFrame, DataFrame) = {
     // canonical (a < b) contract = a distinct edge SET (see
     // Centrality.biView r17 note): the defensive distinct re-exchanged
@@ -67,9 +81,10 @@ object RandomWalks {
     (adj, deg)
   }
 
-  def randomWalks(edges: DataFrame, salt: String, length: Int): DataFrame = {
+  def randomWalks(edges: DataFrame, salt: String, length: Int,
+      layout: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     require(length >= 1, "walks need at least one step")
-    val (adj, deg) = adjacency(edges)
+    val (adj, deg) = layout.getOrElse(adjacency(edges))
     // The WHOLE step shape is SIZE-CONDITIONAL (r16, VERDICT r15 weak
     // #1 — the r15 gate only skipped the block frame's repartition, and
     // the unconditional blocked BUILD (a groupBy(u, blk) collect_list
@@ -199,12 +214,13 @@ object RandomWalks {
     * declared query's plan is unchanged. */
   def node2vecWalks(edges: DataFrame, salt: String, length: Int,
       wReturn: Long, wIn: Long, wOut: Long,
-      maxDeg: Int = Int.MaxValue): DataFrame = {
+      maxDeg: Int = Int.MaxValue,
+      layout: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     require(length >= 1, "walks need at least one step")
     require(wReturn > 0 && wIn > 0 && wOut > 0, "weights must be positive")
     require(maxDeg >= 1, "maxDeg must be at least 1")
     val capped = maxDeg != Int.MaxValue
-    val (adj, deg) = adjacency(edges)
+    val (adj, deg) = layout.getOrElse(adjacency(edges))
     // edge-marker probe side, sorted on ITS join key pair — adj's
     // checkpoint layout (hash u) already co-locates it; the sort keeps
     // every per-step SMJ from re-sorting the edge-sized frame

@@ -43,13 +43,21 @@ object Triangles {
     * than `maxGroupSize` are dropped first (the df-cap discipline: a
     * degenerate mega-group adds no community signal and would dominate
     * the join; the cap bounds work at cap² × groups). */
-  def cooccurrenceEdges(membership: DataFrame, groupCol: String,
-      itemCol: String, maxGroupSize: Int = 50): DataFrame = {
-    require(maxGroupSize >= 2, "groups below 2 members carry no edges")
+  /** The df-capped distinct (g, i) membership universe shared by
+    * [[cooccurrenceEdges]] and [[associationRules]] — exposed so a
+    * caller serving both can derive (and checkpoint) it once (r18). */
+  def cappedMembershipOf(membership: DataFrame, groupCol: String,
+      itemCol: String, maxGroupSize: Int): DataFrame = {
     val m = membership.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
     val ok = m.groupBy(col("g")).agg(count(lit(1)).as("sz"))
       .filter(col("sz") <= maxGroupSize).select(col("g"))
-    val mm = m.join(ok, Seq("g"), "left_semi")
+    m.join(ok, Seq("g"), "left_semi")
+  }
+
+  def cooccurrenceEdges(membership: DataFrame, groupCol: String,
+      itemCol: String, maxGroupSize: Int = 50): DataFrame = {
+    require(maxGroupSize >= 2, "groups below 2 members carry no edges")
+    val mm = cappedMembershipOf(membership, groupCol, itemCol, maxGroupSize)
     mm.as("x").join(mm.as("y"), Seq("g"))
       .filter(col("x.i") < col("y.i"))
       .select(col("x.i").as("a"), col("y.i").as("b"))
@@ -99,11 +107,27 @@ object Triangles {
           .otherwise(array_intersect(col("au"), col("av"))).as("ws"))
   }
 
+  /** The CLOSED-EDGE frame (u, v, ws) of a canonical (a < b) edge
+    * list: every degree-ordered oriented edge with the third corners
+    * that close it — the whole triangle family's shared intermediate
+    * ([[triangleCountFrom]] / [[topTriangleVerticesFrom]] /
+    * [[clusteringTopFrom]] / [[transitivityFrom]] are aggregates over
+    * it). Output-sized: |E| rows carrying one corner per triangle
+    * (Σ|ws| = T — 1.9 M at sf0.1 against 1.2 M edges), so a caller
+    * serving several family queries from one source can derive it ONCE
+    * and checkpoint it (the co-purchase-layout discipline — r18; each
+    * query had re-run the orientation joins AND the adjacency-
+    * intersection pass per execution). */
+  def closedEdges(edges: DataFrame): DataFrame = edgeClosures(orient(edges))
+
   /** Total triangle count of a canonical (a < b) undirected edge list.
     * Returns one row (n_triangles). */
   def triangleCount(edges: DataFrame): DataFrame =
-    edgeClosures(orient(edges))
-      .agg(coalesce(sum(size(col("ws"))), lit(0)).cast("long").as("n_triangles"))
+    triangleCountFrom(closedEdges(edges))
+
+  /** [[triangleCount]] over a precomputed [[closedEdges]] frame. */
+  def triangleCountFrom(closed: DataFrame): DataFrame =
+    closed.agg(coalesce(sum(size(col("ws"))), lit(0)).cast("long").as("n_triangles"))
 
   /** Per-vertex triangle counts over ALL vertices (no top-k cut) —
     * shared by [[topTriangleVertices]] and the clustering family.
@@ -139,12 +163,21 @@ object Triangles {
     * would run twice. Ties (cc, deg desc, n asc) → deterministic cut.
     * Returns (n, deg, n_triangles, cc). */
   def clusteringTop(edges: DataFrame, minDeg: Int, k: Int): DataFrame = {
-    require(minDeg >= 2, "cc is undefined below degree 2")
     val e = materialized(edges)
+    clusteringTopFrom(e, closedEdges(e), minDeg, k)
+  }
+
+  /** [[clusteringTop]] over a precomputed [[closedEdges]] frame (the
+    * degree aggregate still reads the edge list — degrees are not
+    * derivable from the oriented closures). */
+  def clusteringTopFrom(edges: DataFrame, closed: DataFrame,
+      minDeg: Int, k: Int): DataFrame = {
+    require(minDeg >= 2, "cc is undefined below degree 2")
+    val e = edges
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= minDeg)
-    val tri = vertexTriangles(edgeClosures(orient(e)).filter(size(col("ws")) > 0))
+    val tri = vertexTriangles(closed.filter(size(col("ws")) > 0))
     deg.join(tri, Seq("n"), "left")
       .select(col("n"), col("deg"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
@@ -163,14 +196,19 @@ object Triangles {
     * Returns one row (n_triangles, n_wedges, transitivity). */
   def transitivity(edges: DataFrame): DataFrame = {
     val e = materialized(edges)
+    transitivityFrom(e, closedEdges(e))
+  }
+
+  /** [[transitivity]] over a precomputed [[closedEdges]] frame. */
+  def transitivityFrom(edges: DataFrame, closed: DataFrame): DataFrame = {
+    val e = edges
     // Σ deg(deg−1) summed as LONG, halved once with integer DIV (the
     // sum is even by construction) — `/` would detour through double.
     val wedges = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
       .agg(coalesce(sum(col("deg") * (col("deg") - 1)), lit(0L)).as("s2"))
       .select(expr("s2 DIV 2").as("n_wedges"))
-    val tri = edgeClosures(orient(e))
-      .agg(coalesce(sum(size(col("ws"))), lit(0)).cast("long").as("n_triangles"))
+    val tri = triangleCountFrom(closed)
     tri.crossJoin(wedges)
       .select(col("n_triangles"), col("n_wedges"),
         when(col("n_wedges") === 0, lit(0.0)).otherwise(round(
@@ -189,17 +227,20 @@ object Triangles {
     * Top-k by (lift, pair support, antecedent) — rounded before
     * ranking so the cut is engine-stable. Returns
     * (ante, cons, n_pair, n_ante, n_baskets, confidence, lift). */
+  /** `cappedMembership`: a precomputed (checkpointed) capped (g, i)
+    * universe for the same (membership, maxGroupSize) — the distinct +
+    * size-cap + semi stage shared with the co-purchase derivation
+    * (r18, the derived-layout discipline); built here when absent. */
   def associationRules(membership: DataFrame, groupCol: String,
-      itemCol: String, maxGroupSize: Int, minSupport: Long, k: Int): DataFrame = {
+      itemCol: String, maxGroupSize: Int, minSupport: Long, k: Int,
+      cappedMembership: Option[DataFrame] = None): DataFrame = {
     require(minSupport >= 1 && k >= 1, "support floor and k must be positive")
-    val m0 = membership.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
-    val ok = m0.groupBy(col("g")).agg(count(lit(1)).as("sz"))
-      .filter(col("sz") <= maxGroupSize).select(col("g"))
     // ONE capped universe for every count — pair, item, and basket
     // totals all come from the same post-cap membership, so the ratios
     // are internally consistent
-    val mm = m0.join(ok, Seq("g"), "left_semi")
-      .localCheckpoint(true) // feeds basket count, item support, pair join
+    val mm = cappedMembership.getOrElse(
+      cappedMembershipOf(membership, groupCol, itemCol, maxGroupSize)
+        .localCheckpoint(true)) // feeds basket count, item support, pair join
     val nB = mm.agg(countDistinct(col("g")).as("n_baskets"))
     val pairs = mm.as("x").join(mm.as("y"), Seq("g"))
       .filter(col("x.i") < col("y.i"))
@@ -273,6 +314,10 @@ object Triangles {
     // is read once, so the r13 checkpoint that de-triplicated the
     // three credit arms is no longer needed (one fewer eager
     // materialization job per call)
-    vertexTriangles(edgeClosures(orient(edges)).filter(size(col("ws")) > 0))
+    topTriangleVerticesFrom(closedEdges(edges), k)
+
+  /** [[topTriangleVertices]] over a precomputed [[closedEdges]] frame. */
+  def topTriangleVerticesFrom(closed: DataFrame, k: Int): DataFrame =
+    vertexTriangles(closed.filter(size(col("ws")) > 0))
       .orderBy(col("n_triangles").desc, col("n").asc).limit(k)
 }

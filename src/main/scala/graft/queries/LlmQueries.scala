@@ -121,6 +121,16 @@ object LlmQueries {
   private def docFingerprint(d: String): String =
     graft.load.IndexKeys.fingerprint(s"$d/documents.parquet")
 
+  // df-capped 3-gram shingle layout of `documents` — the jaccard AND
+  // containment queries run the same kernel + distinct + df-cap stage
+  // (r18, the derived-layout discipline of [[Qh.FrameCache]]); each
+  // query's pair join + sizes + its own filter still run per query
+  private def docShingles3(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    FrameCache.frame("shingles-3", d, docFingerprint(d))(
+      Dedup.shingleSet(t(s, d, "documents"), "doc_id", "text", 3,
+        Dedup.JaccardMaxDf).localCheckpoint(true))
+
   // DuckDB replay of Similarity.trainKMeans(k=16, nTrain=256, iters=2):
   // grid-round (floor to 2^-20 — sums of grid values are exact under
   // ANY order, the determinism device), then two unrolled Lloyd
@@ -426,7 +436,8 @@ object LlmQueries {
     // shingles in > JaccardMaxDf docs are stop-shingles dropped BEFORE
     // the self-join (they cost O(df²) pairs and carry no signal)
     Q("dedup_ngram_jaccard",
-      (s, d) => Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 3)
+      (s, d) => Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 3,
+          shingles = Some(docShingles3(s, d)))
         .filter(col("inter") / (col("sz1") + col("sz2") - col("inter")) >= 0.22)
         .select(col("d1"), col("d2"), col("inter"), col("sz1"), col("sz2")),
       Some(s"""WITH sh0 AS (SELECT DISTINCT doc_id, ${sqlMd5Hash32("sh")} AS sh
@@ -448,7 +459,8 @@ object LlmQueries {
     // toward 0; same df-capped shingle machinery, two extra rounded
     // divisions per surviving pair.
     Q("dedup_containment",
-      (s, d) => Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 3)
+      (s, d) => Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 3,
+          shingles = Some(docShingles3(s, d)))
         .select(col("d1"), col("d2"), col("inter"), col("sz1"), col("sz2"),
           round(col("inter") / col("sz1"), 6).as("c1"),
           round(col("inter") / col("sz2"), 6).as("c2"))
