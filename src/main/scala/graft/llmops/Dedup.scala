@@ -365,8 +365,19 @@ object Dedup {
     * boilerplate-saturated corpus. Default ∞ reports everything.
     * Returns (id, span_start, span_end, n_windows) with 0-based
     * inclusive token positions. */
+  /** The (id, pos, window-hash) frame every span operator aggregates
+    * over — exposed so a caller serving several span queries at one
+    * (docs, windowTokens) derives (and checkpoints) it once (r18, the
+    * derived-layout discipline). NOT checkpointed here. */
+  def spanWindows(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int): DataFrame =
+    spread(docs).select(col(idCol),
+      posexplode(graft.plans.NGramMd5(TextOps.tokens(col(textCol)), windowTokens, 8)))
+      .withColumnRenamed("col", "h")
+
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-      windowTokens: Int, maxDf: Long = Long.MaxValue): DataFrame = {
+      windowTokens: Int, maxDf: Long = Long.MaxValue,
+      windows: Option[DataFrame] = None): DataFrame = {
     require(windowTokens >= 2, "span windows need ≥ 2 tokens")
     require(maxDf >= 2, s"df cap must admit df = 2 (a pair), got $maxDf")
     // MATERIALIZED (r17): w feeds the df aggregate AND the semi probe,
@@ -374,10 +385,10 @@ object Dedup {
     // round-robin), so without the checkpoint the tokenize+NGramMd5
     // kernel ran twice per query (the kept-hash table AQE-broadcasts,
     // leaving the probe side exchange-free and therefore re-computed)
-    val w0 = spread(docs).select(col(idCol),
-      posexplode(graft.plans.NGramMd5(TextOps.tokens(col(textCol)), windowTokens, 8)))
-      .withColumnRenamed("col", "h")
-    val w = if (w0.isStreaming) w0 else w0.localCheckpoint(true)
+    val w = windows.getOrElse {
+      val w0 = spanWindows(docs, idCol, textCol, windowTokens)
+      if (w0.isStreaming) w0 else w0.localCheckpoint(true)
+    }
     val wd = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos").asc)
     val repeated = w.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -455,15 +466,15 @@ object Dedup {
     * boilerplate-saturated corpus); default ∞ scrubs everything.
     * Returns (id, clean_text, n_removed). */
   def scrubSpans(docs: DataFrame, idCol: String, textCol: String,
-      windowTokens: Int, maxDf: Long = Long.MaxValue): DataFrame = {
+      windowTokens: Int, maxDf: Long = Long.MaxValue,
+      windows: Option[DataFrame] = None): DataFrame = {
     require(windowTokens >= 2, "span windows need ≥ 2 tokens")
     require(maxDf >= 2, s"df cap must admit df = 2 (a pair), got $maxDf")
-    val tk = TextOps.tokens(col(textCol))
     // materialized for the same dual-consumer reason as duplicateSpans
-    val w0 = spread(docs).select(col(idCol),
-      posexplode(graft.plans.NGramMd5(tk, windowTokens, 8)))
-      .withColumnRenamed("col", "h")
-    val w = if (w0.isStreaming) w0 else w0.localCheckpoint(true)
+    val w = windows.getOrElse {
+      val w0 = spanWindows(docs, idCol, textCol, windowTokens)
+      if (w0.isStreaming) w0 else w0.localCheckpoint(true)
+    }
     val rep = w.groupBy(col("h"))
       .agg(count(lit(1)).as("df"),
         min(struct(col(idCol), col("pos"))).as("keeper"))
@@ -759,8 +770,9 @@ object Dedup {
     * a map-only token count. Docs with no repeated span report 0.
     * Returns (id, n_tokens, covered_tokens, coverage ∈ [0,1]). */
   def spanCoverage(docs: DataFrame, idCol: String, textCol: String,
-      windowTokens: Int, maxDf: Long = Long.MaxValue): DataFrame = {
-    val cov = duplicateSpans(docs, idCol, textCol, windowTokens, maxDf)
+      windowTokens: Int, maxDf: Long = Long.MaxValue,
+      windows: Option[DataFrame] = None): DataFrame = {
+    val cov = duplicateSpans(docs, idCol, textCol, windowTokens, maxDf, windows)
       .groupBy(col(idCol))
       .agg(sum(col("span_end") - col("span_start") + 1).as("cov"))
     docs.select(col(idCol),

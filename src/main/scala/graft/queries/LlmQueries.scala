@@ -131,6 +131,16 @@ object LlmQueries {
       Dedup.shingleSet(t(s, d, "documents"), "doc_id", "text", 3,
         Dedup.JaccardMaxDf).localCheckpoint(true))
 
+  // (doc, pos, window-hash) span-window layout at SpanWindow tokens —
+  // the four span queries (spans / spans_capped / spans_scrub /
+  // coverage) each re-ran the tokenize + NGramMd5 kernel pass and
+  // re-checkpointed its output per query per bench pass (r18)
+  private def docSpanWindows(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    FrameCache.frame(s"span-windows-$SpanWindow", d, docFingerprint(d))(
+      Dedup.spanWindows(t(s, d, "documents"), "doc_id", "text", SpanWindow)
+        .localCheckpoint(true))
+
   // DuckDB replay of Similarity.trainKMeans(k=16, nTrain=256, iters=2):
   // grid-round (floor to 2^-20 — sums of grid values are exact under
   // ANY order, the determinism device), then two unrolled Lloyd
@@ -986,7 +996,8 @@ object LlmQueries {
     // drops everything. One window-count shuffle on the hash + doc-
     // sized gaps-and-islands merge; no pair join anywhere.
     Q("dedup_spans",
-      (s, d) => Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text", SpanWindow),
+      (s, d) => Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
+        SpanWindow, windows = Some(docSpanWindows(s, d))),
       Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         w0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - ${SpanWindow - 1}),
             i -> {'pos': i - 1, 'sh': array_to_string(tk[i:i+${SpanWindow - 1}], ' ')})) AS u
@@ -1027,7 +1038,7 @@ object LlmQueries {
     // differs from dedup_spans.
     Q("dedup_spans_capped",
       (s, d) => Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
-        SpanWindow, SpanMaxDf),
+        SpanWindow, SpanMaxDf, windows = Some(docSpanWindows(s, d))),
       Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         w0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - ${SpanWindow - 1}),
             i -> {'pos': i - 1, 'sh': array_to_string(tk[i:i+${SpanWindow - 1}], ' ')})) AS u
@@ -1050,7 +1061,8 @@ object LlmQueries {
     // (doc, pos) per window hash keeps), re-join the surviving tokens.
     // The removal rule a substring-dedup pipeline actually applies.
     Q("dedup_spans_scrub",
-      (s, d) => Dedup.scrubSpans(t(s, d, "documents"), "doc_id", "text", SpanWindow),
+      (s, d) => Dedup.scrubSpans(t(s, d, "documents"), "doc_id", "text",
+        SpanWindow, windows = Some(docSpanWindows(s, d))),
       Some(s"""WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
         w0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - ${SpanWindow - 1}),
             i -> {'pos': i - 1, 'sh': array_to_string(tk[i:i+${SpanWindow - 1}], ' ')})) AS u
@@ -1118,7 +1130,8 @@ object LlmQueries {
     // drop-doc. Same windows/df aggregate as dedup_spans; the tail is
     // one sum over each doc's disjoint islands.
     Q("dedup_coverage",
-      (s, d) => Dedup.spanCoverage(t(s, d, "documents"), "doc_id", "text", SpanWindow),
+      (s, d) => Dedup.spanCoverage(t(s, d, "documents"), "doc_id", "text",
+        SpanWindow, windows = Some(docSpanWindows(s, d))),
       Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         w0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - ${SpanWindow - 1}),
             i -> {'pos': i - 1, 'sh': array_to_string(tk[i:i+${SpanWindow - 1}], ' ')})) AS u
