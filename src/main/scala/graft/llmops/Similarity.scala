@@ -735,16 +735,16 @@ object Similarity {
     * the decompression half of ADC scoring (codebooks ride as
     * literals, so this is map-only). */
   def pqReconstruct(codesCol: Column,
-      codebooks: IndexedSeq[IndexedSeq[Array[Double]]]): Column = {
-    // ONE nested Literal per subspace, not nCodes x dim CreateArray/lit
-    // nodes (r17, guide item 4: the m8c256 rung inlined ~16k expression
-    // nodes, and Catalyst analysis + codegen of that tree dominated the
-    // query's wall time on any corpus size; a typedlit is a single
-    // constant node holding the same doubles, so values are unchanged)
-    flatten(array(codebooks.indices.map(mi =>
-      element_at(typedlit(codebooks(mi).map(_.toSeq)),
-        element_at(codesCol, mi + 1) + 1)): _*))
-  }
+      codebooks: IndexedSeq[IndexedSeq[Array[Double]]]): Column =
+    // compiled kernel, VALUE-identical to the flatten(element_at(
+    // typedlit…)) formulation it replaces (r18): the r17 typedlit form
+    // already collapsed nCodes × dim CreateArray/lit nodes into one
+    // Literal per subspace, but at the m=8 × nCodes=256 rung those
+    // Literals still made every driver-side plan comparison (AQE
+    // re-optimization, canonicalization) walk ~16k-element arrays —
+    // the query's wall was 3× its task time. The kernel holds the
+    // books as a reference object outside the expression tree.
+    graft.plans.PqDecode(codesCol, codebooks.map(_.map(_.toSeq)))
 
   /** IVF-PQ composed retrieval — the two scale levers stacked the way
     * a billion-vector serving stack stacks them (Jégou et al., PAMI'11:
