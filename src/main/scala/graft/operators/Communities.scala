@@ -186,32 +186,39 @@ object Communities {
   val LpaDenseDiv: Long =
     sys.env.get("GRAFT_LPA_DENSE_DIV").map(_.toLong).getOrElse(8L)
 
+  /** `biLayout`: a precomputed (checkpointed) bidirectional (src, dst)
+    * layout of the same edge set — shared with the centrality family's
+    * [[Centrality.biLayout]] by callers serving both (r18); when
+    * absent it is built (and size-gated) here. */
   def labelPropagation(edges: DataFrame, iters: Int,
-      denseDiv: Long = LpaDenseDiv): DataFrame = {
+      denseDiv: Long = LpaDenseDiv,
+      biLayout: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, "need at least one round")
-    // e feeds ONLY the bi build below (read twice by the union, cheap
-    // projections); materialize it only when the caller's frame isn't
-    // already a checkpointed LogicalRDD (the co-purchase cache's is) —
-    // the unconditional checkpoint paid a full edge-copy job per query.
-    // Bound ONCE so the layout gate below counts the MATERIALIZED frame
-    // (ADVICE r17: gating on the raw caller frame recomputed the full
-    // upstream derivation a second time just for the count)
-    val em = Triangles.materialized(edges)
-    val e = em.select(col("a"), col("b"))
-    // probed once per round on src — pre-partitioned + pre-sorted (the
-    // Centrality.biView layout doctrine) so each round's label join
-    // moves only the vertex-sized label frame, never the edge list.
-    // SIZE-GATED like biView (r17): below BiLayoutMinRows the build
-    // shuffle+sort buys nothing — the label frame is broadcast-sized
-    // and AQE joins it against the checkpointed bi scan in place, so
-    // the up-front exchange of the whole bi frame was pure cost at
-    // sf0.1 (the closeness_all 3.8→6.8 s measurement, same shape)
-    val bi0 = e.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-    val bi =
+    val bi = biLayout.getOrElse {
+      // e feeds ONLY the bi build below (read twice by the union, cheap
+      // projections); materialize it only when the caller's frame isn't
+      // already a checkpointed LogicalRDD (the co-purchase cache's is) —
+      // the unconditional checkpoint paid a full edge-copy job per
+      // query. Bound ONCE so the layout gate below counts the
+      // MATERIALIZED frame (ADVICE r17: gating on the raw caller frame
+      // recomputed the full upstream derivation a second time just for
+      // the count)
+      val em = Triangles.materialized(edges)
+      val e = em.select(col("a"), col("b"))
+      // probed once per round on src — pre-partitioned + pre-sorted (the
+      // Centrality.biView layout doctrine) so each round's label join
+      // moves only the vertex-sized label frame, never the edge list.
+      // SIZE-GATED like biView (r17): below BiLayoutMinRows the build
+      // shuffle+sort buys nothing — the label frame is broadcast-sized
+      // and AQE joins it against the checkpointed bi scan in place, so
+      // the up-front exchange of the whole bi frame was pure cost at
+      // sf0.1 (the closeness_all 3.8→6.8 s measurement, same shape)
+      val bi0 = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
       (if (em.count() * 2 < Centrality.BiLayoutMinRows) bi0
        else bi0.repartition(col("src")).sortWithinPartitions(col("src")))
         .localCheckpoint(true)
+    }
     // |V| piggybacks on the labels checkpoint (observe(), r17) — the
     // separate count was one extra driver round-trip
     val nObs = new org.apache.spark.sql.Observation()

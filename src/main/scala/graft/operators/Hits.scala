@@ -41,15 +41,28 @@ object Hits {
   private val Grid = 1048576.0 // 2^20
   private def grid(c: Column): Column = floor(c * Grid) / Grid
 
-  def hits(edges: DataFrame, iters: Int): DataFrame = {
+  /** `edgesDistinct = true`: the caller asserts `edges` is ALREADY a
+    * distinct, checkpointed (s, d) set (a shared layout — r18), so the
+    * dedup exchange + copy are skipped and only a cheap count job runs
+    * on the checkpoint. A duplicated row under this flag silently
+    * inflates the fan-in sums (same contract class as the centrality
+    * family's distinct-edge-set input contract). */
+  def hits(edges: DataFrame, iters: Int,
+      edgesDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     // |E| piggybacks on the checkpoint job via observe() (r18): the
     // separate isEmpty probe + layout-gate count were two extra driver
     // round-trips on a scheduler-latency-bound loop
-    val eObs = new org.apache.spark.sql.Observation()
-    val e = edges.select(col("s"), col("d")).distinct()
-      .observe(eObs, count(lit(1)).as("ne")).localCheckpoint(true)
-    val ne = eObs.get("ne").asInstanceOf[Long]
+    val (e, ne) =
+      if (edgesDistinct) {
+        val e0 = edges.select(col("s"), col("d"))
+        (e0, e0.count())
+      } else {
+        val eObs = new org.apache.spark.sql.Observation()
+        val e0 = edges.select(col("s"), col("d")).distinct()
+          .observe(eObs, count(lit(1)).as("ne")).localCheckpoint(true)
+        (e0, eObs.get("ne").asInstanceOf[Long])
+      }
     if (ne == 0L) // no edges: no hubs, no authorities — schema kept
       return e.select(lit("hub").as("kind"), col("s").as("n"),
         lit(0.0).as("score")).limit(0)
@@ -128,12 +141,13 @@ object Hits {
 
   /** Top-k hubs and top-k authorities (score desc, id asc — the
     * deterministic k-cut rule), as one (kind, n, score) frame. */
-  def hitsTop(edges: DataFrame, iters: Int, k: Int): DataFrame = {
+  def hitsTop(edges: DataFrame, iters: Int, k: Int,
+      edgesDistinct: Boolean = false): DataFrame = {
     // LAZY (r17): both k-cut branches are cheap projections over the
     // per-round hr checkpoints inside hits(), so one final action
     // computes them together — the shared eager copy bought nothing
     // but a job (grid sums recompute bit-stably, see hits()).
-    val all = hits(edges, iters)
+    val all = hits(edges, iters, edgesDistinct)
     all.filter(col("kind") === "hub")
       .orderBy(col("score").desc, col("n").asc).limit(k)
       .unionByName(all.filter(col("kind") === "auth")

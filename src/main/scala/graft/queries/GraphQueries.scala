@@ -116,12 +116,18 @@ object GraphQueries {
     * a closeness query, and `graph_closeness` / `graph_closeness_all`
     * run it over the SAME wave (both payloads are lazy projections of
     * these checkpointed levels). */
+  /** Bidirectional (u, w) layout of the co-purchase graph — shared by
+    * the packed-BFS waves and (column-renamed) the LPA rounds. */
+  private def coPurchaseBi(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    FrameCache.frame("bi-layout", d, sourceFp(d))(
+      graft.operators.Centrality.biLayout(coPurchase(s, d)))
+
   private def coPurchaseWaveLevels(s: org.apache.spark.sql.SparkSession,
       d: String)(wave: Seq[Long]): Vector[org.apache.spark.sql.DataFrame] =
     FrameCache.frames("bfs-wave:" + wave.mkString(","), d, sourceFp(d)) {
-      val bi = FrameCache.frame("bi-layout", d, sourceFp(d))(
-        graft.operators.Centrality.biLayout(coPurchase(s, d)))
-      graft.operators.Centrality.packedFreshLevels(bi, wave, 40)
+      graft.operators.Centrality.packedFreshLevels(
+        coPurchaseBi(s, d), wave, 40)
     }.toVector
 
   private def coPurchaseSrcsN(s: org.apache.spark.sql.SparkSession,
@@ -780,7 +786,9 @@ object GraphQueries {
       (s, d) => {
         val edges = coPurchase(s, d)
         graft.operators.Communities.modularity(edges,
-          graft.operators.Communities.labelPropagation(edges, 3))
+          graft.operators.Communities.labelPropagation(edges, 3,
+            biLayout = Some(coPurchaseBi(s, d)
+              .select(col("u").as("src"), col("w").as("dst")))))
       },
       Some {
         val rounds = (1 to 3).map { i =>
@@ -1120,7 +1128,7 @@ object GraphQueries {
     // partition order, so the unrolled DuckDB twin hash-matches.
     Q("graph_hits",
       (s, d) => graft.operators.Hits.hitsTop(
-        bipartiteOrderPart(s, d), 4, 20),
+        bipartiteOrderPart(s, d), 4, 20, edgesDistinct = true),
       Some(hitsSql(4, 20)))
   )
 }
