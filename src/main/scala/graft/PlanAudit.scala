@@ -165,7 +165,13 @@ object PlanAudit {
     // semi probe, nothing to shuffle)
     Check("dedup_semantic", "per-cell candidate cap precedes the pair join", "__crn"),
     Check("dedup_semantic", "native dot kernel re-ranks within cells", "graft_dot"),
-    Check("dedup_spans", "windows hash through the native n-gram kernel", "graft_ngram_md5"),
+    // r18: the (doc, pos, hash) window frame is the shared span-family
+    // LAYOUT (Dedup.spanWindows, derived once per source) — the kernel
+    // is audited on the stage plan the per-query checkpoints now hide
+    // (the jaccard_shingles precedent)
+    Check("stage:span_windows", "windows hash through the native n-gram kernel",
+      "graft_ngram_md5"),
+    Check("stage:span_windows", "window kernel stays in codegen", "codegen id"),
     // round-12 rewrite (VERDICT r11 Wrong #1): the global df must be a
     // map-side-combinable AGGREGATE on the hash key joined back as a
     // semi probe — never `count(*) over (partition by h)`, which
@@ -185,8 +191,6 @@ object PlanAudit {
     // span SCRUB (the apply side): same native-kernel windowing as the
     // report side — the token cut itself is a per-row HOF, never a join
     // back to the window rows
-    Check("dedup_spans_scrub", "scrub windows hash through the native n-gram kernel",
-      "graft_ngram_md5"),
     // df + keeper-min share one aggregate on the hash key (min over a
     // struct buffers a struct, so Spark plans SortAggregate — still
     // map-side-combined partials, the property that matters); the
@@ -210,8 +214,6 @@ object PlanAudit {
     // coverage metric inherits duplicateSpans' shape: kernel windows,
     // aggregate df, semi rejoin; the per-doc tail adds one more
     // doc-keyed aggregate (never a global anything)
-    Check("dedup_coverage", "windows hash through the native n-gram kernel",
-      "graft_ngram_md5"),
     Check("dedup_coverage", "global df is a partial aggregate on the hash key",
       "HashAggregate"),
     Check("dedup_coverage", "flagged windows rejoin by hash as a semi probe",
@@ -225,7 +227,14 @@ object PlanAudit {
     Check("graph_triangles", "adjacency joins are equi joins",
       "!BroadcastNestedLoopJoin"),
     Check("graph_triangles", "no cartesian product anywhere", "!CartesianProduct"),
-    Check("graph_triangles", "closures are in-row intersections", "array_intersect"),
+    // r18: the closed-edge frame is the triangle family's shared LAYOUT
+    // (Triangles.closedEdges, derived once per source) — the in-row
+    // intersection is audited on the stage plan the per-query
+    // checkpoints now hide
+    Check("stage:tri_closures", "closures are in-row intersections", "array_intersect"),
+    Check("stage:tri_closures", "adjacency joins are equi joins",
+      "!BroadcastNestedLoopJoin"),
+    Check("stage:tri_closures", "no cartesian product anywhere", "!CartesianProduct"),
     Check("graph_triangles_top", "per-vertex top-k without total sort",
       "TakeOrderedAndProject"),
     // clustering family (round 12): same edge-iterator discipline —
@@ -235,8 +244,6 @@ object PlanAudit {
     Check("graph_clustering_top", "cc top-k without total sort",
       "TakeOrderedAndProject"),
     Check("graph_clustering_top", "no window anywhere", "!Window"),
-    Check("graph_clustering_top", "closures are in-row intersections",
-      "array_intersect"),
     Check("graph_transitivity", "integer partial aggregates, no window",
       "!Window"),
     Check("graph_assortativity", "degree joins are equi-joins, no window",
@@ -627,6 +634,13 @@ object PlanAudit {
             graft.llmops.Dedup.JaccardMaxDf)),
         "stage:winnow_fps" -> ((s, d) =>
           graft.llmops.Dedup.winnowFpSet(docs(s, d), "doc_id", "text", 4, 8, 100)),
+        "stage:span_windows" -> ((s, d) =>
+          graft.llmops.Dedup.spanWindows(docs(s, d), "doc_id", "text", 16)),
+        "stage:tri_closures" -> ((s, d) =>
+          graft.operators.Triangles.closedEdges(
+            graft.operators.Triangles.cooccurrenceEdges(
+              s.read.parquet(s"$d/lineitem.parquet"),
+              "l_orderkey", "l_partkey", 50).localCheckpoint(true))),
         "stage:minhash_star_edges" -> ((s, d) =>
           graft.llmops.Dedup.minhashStarEdges(
             graft.llmops.Dedup.minhashSignatures(docs(s, d), "doc_id", "text", 16),
